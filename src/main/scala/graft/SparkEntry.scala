@@ -10,14 +10,74 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg"        -> (Relational.q1Agg _),
-    "q6_filter_agg" -> (Relational.q6FilterAgg _),
+    // §2B relational surface
+    "q1_agg"             -> (Relational.q1Agg _),
+    "q2_filter_project"  -> (Relational.q2FilterProject _),
+    "q3_join_agg"        -> (Relational.q3JoinAgg _),
+    "q4_semi_join"       -> (Relational.q4SemiJoin _),
+    "q5_multi_join"      -> (Relational.q5MultiJoin _),
+    "q6_filter_agg"      -> (Relational.q6FilterAgg _),
+    "q7_anti_join"       -> (Relational.q7AntiJoin _),
+    "q8_outer_join"      -> (Relational.q8OuterJoin _),
+    "q8b_full_outer"     -> (Relational.q8bFullOuter _),
+    "q12_topk"           -> (Relational.q12TopK _),
+    "q13_setops"         -> (Relational.q13SetOps _),
+    "q14_distinct_agg"   -> (Relational.q14DistinctAgg _),
+    "q18_scalar_funcs"   -> (Relational.q18ScalarFuncs _),
+    "q19_case_when"      -> (Relational.q19CaseWhen _),
+    "q20_theta_join"     -> (Relational.q20ThetaJoin _),
+    "q21_cross_join"     -> (Relational.q21CrossJoin _),
+    // §2B window functions
+    "q9_window_rank"     -> (Windows.q9WindowRank _),
+    "q10_window_running" -> (Windows.q10WindowRunning _),
+    "q11_window_lag"     -> (Windows.q11WindowLag _),
+    "q15_rollup"         -> (Windows.q15Rollup _),
+    "q16_cube"           -> (Windows.q16Cube _),
+    // SQL surface (parser + subqueries + grouping sets)
+    "q17_grouping_sets"  -> (SqlSurface.q17GroupingSets _),
+    "q27_exists"         -> (SqlSurface.q27Exists _),
+    "q28_scalar_subquery" -> (SqlSurface.q28ScalarSubquery _),
+    "q29_in_subquery"    -> (SqlSurface.q29InSubquery _),
+    // event-time / semi-structured
+    "q22_json"           -> (EventTime.q22Json _),
+    "q23_tumbling"       -> (EventTime.q23Tumbling _),
+    "q24_sliding"        -> (EventTime.q24Sliding _),
+    "q25_sessionize"     -> (EventTime.q25Sessionize _),
+    "q26_asof_join"      -> (EventTime.q26AsofJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q1_agg"        -> Relational.q1AggSql,
-    "q6_filter_agg" -> Relational.q6FilterAggSql,
+    "q1_agg"             -> Relational.q1AggSql,
+    "q2_filter_project"  -> Relational.q2FilterProjectSql,
+    "q3_join_agg"        -> Relational.q3JoinAggSql,
+    "q4_semi_join"       -> Relational.q4SemiJoinSql,
+    "q5_multi_join"      -> Relational.q5MultiJoinSql,
+    "q6_filter_agg"      -> Relational.q6FilterAggSql,
+    "q7_anti_join"       -> Relational.q7AntiJoinSql,
+    "q8_outer_join"      -> Relational.q8OuterJoinSql,
+    "q8b_full_outer"     -> Relational.q8bFullOuterSql,
+    "q12_topk"           -> Relational.q12TopKSql,
+    "q13_setops"         -> Relational.q13SetOpsSql,
+    "q14_distinct_agg"   -> Relational.q14DistinctAggSql,
+    "q18_scalar_funcs"   -> Relational.q18ScalarFuncsSql,
+    "q19_case_when"      -> Relational.q19CaseWhenSql,
+    "q20_theta_join"     -> Relational.q20ThetaJoinSql,
+    "q21_cross_join"     -> Relational.q21CrossJoinSql,
+    "q9_window_rank"     -> Windows.q9WindowRankSql,
+    "q10_window_running" -> Windows.q10WindowRunningSql,
+    "q11_window_lag"     -> Windows.q11WindowLagSql,
+    "q15_rollup"         -> Windows.q15RollupSql,
+    "q16_cube"           -> Windows.q16CubeSql,
+    "q17_grouping_sets"  -> SqlSurface.q17GroupingSetsSql,
+    "q27_exists"         -> SqlSurface.q27ExistsSql,
+    "q28_scalar_subquery" -> SqlSurface.q28ScalarSubquerySql,
+    "q29_in_subquery"    -> SqlSurface.q29InSubquerySql,
+    "q22_json"           -> EventTime.q22JsonSql,
+    "q23_tumbling"       -> EventTime.q23TumblingSql,
+    "q24_sliding"        -> EventTime.q24SlidingSql,
+    "q25_sessionize"     -> EventTime.q25SessionizeSql,
+    "q26_asof_join"      -> EventTime.q26AsofJoinSql,
   )
 }

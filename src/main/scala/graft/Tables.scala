@@ -17,7 +17,23 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects outright. Read it as raw int64 nanos (legacy conf) and convert
+    * to timestamp_ntz at microsecond precision with *integer* division —
+    * epoch-nanos (~1.7e18) overflows double's 53-bit mantissa, so a float
+    * divide here would silently corrupt timestamps. Truncation matches how
+    * DuckDB narrows ns → µs. */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))
+          .cast("timestamp_ntz"))
+  }
 
   /** Register every table as a temp view so `spark.sql` works against the
     * same names DuckDB sees in the oracle. */

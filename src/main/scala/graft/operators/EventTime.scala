@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` table (SURVEY.md §2B "Streaming"
+  * row, batch equivalents): JSON extraction, tumbling/sliding windows,
+  * gap-based sessionization, and an as-of join.
+  *
+  * The same window/session logic runs in true Structured Streaming form in
+  * [[graft.streaming.EventStreams]]; these batch versions are the
+  * oracle-checkable semantics.
+  *
+  * Scale notes: everything partitions by `user_id` or a time bucket — both
+  * high-cardinality — and the as-of join is the union+last_value technique
+  * (one shuffle by user, no range cross-product), which is the standard way
+  * to keep as-of joins skew-safe at 100 TB.
+  */
+object EventTime {
+
+  /** Event timestamp in epoch microseconds (engine-neutral int64). */
+  private def tsUs(c: org.apache.spark.sql.Column) =
+    unix_micros(c.cast("timestamp"))
+
+  // ---------------------------------------------------------------------
+  // q22_json — semi-structured extraction: the events.props JSON payload
+  // (reference analog: Lambda event payloads, `sync-canvas-data-files
+  // .py:72-82`, parsed as JSON).
+  // ---------------------------------------------------------------------
+  def q22Json(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_k"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+  }
+
+  val q22JsonSql: String =
+    """SELECT event_type,
+      |  SUM(k) AS sum_k, COUNT(k) AS n_k,
+      |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q23_tumbling — 1-hour tumbling event-time windows via Spark's native
+  // window() (identical semantics to the streaming version).
+  // ---------------------------------------------------------------------
+  def q23Tumbling(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumDec(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  val q23TumblingSql: String =
+    """SELECT DATE_TRUNC('hour', ts) AS bucket_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q24_sliding — 1-hour windows sliding every 30 minutes: each event lands
+  // in exactly two windows. Spark's window() expands this natively; the
+  // oracle mirrors it with a two-bucket UNION ALL. Bucket identity is
+  // emitted as epoch seconds (engine-neutral).
+  // ---------------------------------------------------------------------
+  def q24Sliding(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sumDec(col("value")).as("sum_value"))
+      .select(
+        (unix_micros(col("window.start").cast("timestamp")) / 1000000L)
+          .as("bucket_start_s"),
+        col("n_events"), col("sum_value"))
+  }
+
+  val q24SlidingSql: String =
+    """WITH e AS (
+      |  SELECT CAST(FLOOR(epoch_us(ts) / 1800000000) * 1800 AS BIGINT) AS c1,
+      |         value
+      |  FROM events),
+      |b AS (
+      |  SELECT c1 AS bucket_start_s, value FROM e
+      |  UNION ALL
+      |  SELECT c1 - 1800 AS bucket_start_s, value FROM e)
+      |SELECT bucket_start_s, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+      |FROM b GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q25_sessionize — gap-based sessions (30-min inactivity) per user via
+  // lag + running sum; the batch twin of session_window /
+  // flatMapGroupsWithState in the streaming module.
+  // ---------------------------------------------------------------------
+  def q25Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), tsUs(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 1800L * 1000000L
+    e.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        ((max(col("ts_us")) - min(col("ts_us"))).cast("double") / 1000000.0)
+          .as("dur_s"))
+  }
+
+  val q25SessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |x AS (
+      |  SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
+      |                   OR ts_us - LAG(ts_us) OVER w > 1800000000
+      |                 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+      |y AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS sess_id
+      |  FROM x)
+      |SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+      |  CAST(MAX(ts_us) - MIN(ts_us) AS DOUBLE) / 1000000.0 AS dur_s
+      |FROM y GROUP BY user_id, sess_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q26_asof_join — for every purchase, the most recent click at-or-before
+  // it by the same user. Implemented with the union + last_value(ignore
+  // nulls) technique: tag both streams, sort once per user, carry the last
+  // click forward. One shuffle on user_id; no range cross-product — the
+  // skew-safe 100 TB formulation. The oracle uses DuckDB's native ASOF
+  // LEFT JOIN, pinning the exact semantics (ties: ts equality matches).
+  // ---------------------------------------------------------------------
+  def q26AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        tsUs(col("ts")).as("ts_us"))
+    // On equal ts_us, 'click' sorts before 'purchase' (lexicographic), so a
+    // same-instant click is visible to the purchase — matching ASOF >=.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_type").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("click_us",
+        when(col("event_type") === "click", col("ts_us")))
+      .withColumn("last_click_us",
+        last(col("click_us"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"),
+        col("ts_us").as("purchase_us"),
+        col("last_click_us"),
+        (col("ts_us") - col("last_click_us")).as("gap_us"))
+  }
+
+  val q26AsofJoinSql: String =
+    """SELECT p.event_id, p.user_id,
+      |  epoch_us(p.ts) AS purchase_us,
+      |  epoch_us(c.ts) AS last_click_us,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+}

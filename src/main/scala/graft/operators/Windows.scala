@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2B "Window functions"): ranking,
+  * analytic (lag/lead/first/last), and frame-based running aggregates.
+  *
+  * Determinism convention: every ORDER BY inside a window carries a unique
+  * tie-breaker key, so ranks/lags are identical across engines and runs.
+  *
+  * Scale notes: windows shuffle once on their partition key; all three
+  * window queries below partition on a high-cardinality key (custkey /
+  * suppkey), so partitions stay small and state never exceeds a single
+  * key's rows. No global (empty-partition) windows — those serialize the
+  * whole dataset through one task at 100 TB.
+  */
+object Windows {
+
+  // ---------------------------------------------------------------------
+  // q9_window_rank — row_number / rank / dense_rank / ntile per customer,
+  // keeping each customer's top-3 orders by price.
+  // ---------------------------------------------------------------------
+  def q9WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        ntile(2).over(w).as("half"))
+      .filter(col("rn") <= 3)
+  }
+
+  val q9WindowRankSql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    RANK() OVER w AS rk,
+      |    DENSE_RANK() OVER w AS drk,
+      |    NTILE(2) OVER w AS half
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |) WHERE rn <= 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q10_window_running — running (cumulative) sum per supplier in shipdate
+  // order, plus min/max over the growing frame. Decimal-summed so the
+  // result is exact at any parallelism.
+  // ---------------------------------------------------------------------
+  def q10WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      sumDecOver(col("l_quantity"), w).as("run_qty"),
+      min(col("l_quantity")).over(w).as("min_qty"),
+      max(col("l_quantity")).over(w).as("max_qty"))
+  }
+
+  val q10WindowRunningSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) OVER w AS DOUBLE) AS run_qty,
+      |  MIN(l_quantity) OVER w AS min_qty,
+      |  MAX(l_quantity) OVER w AS max_qty
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q11_window_lag — lag/lead analytics per customer order history:
+  // previous/next order price and days since previous order.
+  // ---------------------------------------------------------------------
+  def q11WindowLag(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    o.select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      datediff(col("o_orderdate").cast("date"),
+        lag(col("o_orderdate"), 1).over(w).cast("date")).as("days_since_prev"))
+  }
+
+  val q11WindowLagSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(DATE_DIFF('day', CAST(LAG(o_orderdate, 1) OVER w AS DATE),
+      |       CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q15_rollup — hierarchical subtotals + grand total with grouping_id.
+  // ---------------------------------------------------------------------
+  def q15Rollup(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumDec(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+  }
+
+  val q15RollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q16_cube — all grouping combinations with grouping_id.
+  // ---------------------------------------------------------------------
+  def q16Cube(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sumDec(col("o_totalprice")).as("spend"),
+        grouping_id().as("gid"))
+  }
+
+  val q16CubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS spend,
+      |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+}
