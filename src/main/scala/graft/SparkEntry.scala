@@ -44,6 +44,22 @@ object SparkEntry {
     "q24_sliding"        -> (EventTime.q24Sliding _),
     "q25_sessionize"     -> (EventTime.q25Sessionize _),
     "q26_asof_join"      -> (EventTime.q26AsofJoin _),
+    // [EXT] dedup
+    "q31_dedup_exact"    -> (Dedup.q31DedupExact _),
+    "q32_minhash_lsh"    -> (Dedup.q32MinhashLsh _),
+    "q33_ngram_jaccard"  -> (Dedup.q33NgramJaccard _),
+    "q34_simhash"        -> (Dedup.q34Simhash _),
+    "q35_embed_neardup"  -> (Dedup.q35EmbedNearDup _),
+    // [EXT] similarity search
+    "q36_cosine_topk"    -> (Similarity.q36CosineTopK _),
+    "q37_ann_ivf"        -> (Similarity.q37AnnIvf _),
+    "q39_embedding_stats" -> (Similarity.q39EmbeddingStats _),
+    // [EXT] text analysis + multimodal
+    "q40_text_stats"     -> (TextAnalysis.q40TextStats _),
+    "q41_quality_score"  -> (TextAnalysis.q41QualityScore _),
+    "q42_lang_id"        -> (TextAnalysis.q42LangId _),
+    "q43_fingerprint"    -> (TextAnalysis.q43Fingerprint _),
+    "q38_multimodal"     -> (Multimodal.q38Multimodal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,5 +95,17 @@ object SparkEntry {
     "q24_sliding"        -> EventTime.q24SlidingSql,
     "q25_sessionize"     -> EventTime.q25SessionizeSql,
     "q26_asof_join"      -> EventTime.q26AsofJoinSql,
+    // [EXT] — q32/q34/q35/q37 are hash-function-specific (xxhash64 / LSH),
+    // not SQL-expressible in DuckDB → rows-only driver check; their
+    // semantics are spec-tested against exact counterparts (q33/q36).
+    "q31_dedup_exact"    -> Dedup.q31DedupExactSql,
+    "q33_ngram_jaccard"  -> Dedup.q33NgramJaccardSql,
+    "q36_cosine_topk"    -> Similarity.q36CosineTopKSql,
+    "q39_embedding_stats" -> Similarity.q39EmbeddingStatsSql,
+    "q40_text_stats"     -> TextAnalysis.q40TextStatsSql,
+    "q41_quality_score"  -> TextAnalysis.q41QualityScoreSql,
+    "q42_lang_id"        -> TextAnalysis.q42LangIdSql,
+    "q43_fingerprint"    -> TextAnalysis.q43FingerprintSql,
+    "q38_multimodal"     -> Multimodal.q38MultimodalSql,
   )
 }

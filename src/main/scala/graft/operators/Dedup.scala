@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Deduplication operators over `documents`: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. The reference's own dedup is file-level
+  * ("key already in S3 → skip", `sync-canvas-data-files.py:62-67`); these
+  * extend the idea to content-level dedup for LLM-corpus curation.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - nothing ever compares all pairs: candidate generation is always a
+  *    shuffle-on-key (shared shingle / LSH band bucket / SimHash band),
+  *    so cost tracks the number of *colliding* pairs, not n²;
+  *  - signatures are fixed-width (64 longs / 1 long), so the shuffled
+  *    payload per doc is O(1) regardless of document length;
+  *  - per-bucket pair expansion is bounded by bucket size — skewed buckets
+  *    (boilerplate shingles) should be capped/salted in production, noted
+  *    per operator.
+  */
+object Dedup {
+
+  /** Word 3-shingles of a text column (distinct). */
+  private def shingles(text: Column): Column = {
+    val w = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(1), size(w) - 2), i =>
+        concat_ws("_", element_at(w, i), element_at(w, i + 1),
+          element_at(w, i + 2))))
+  }
+
+  // ---------------------------------------------------------------------
+  // q31_dedup_exact — exact dedup via full-row DISTINCT (deterministic,
+  // unlike dropDuplicates' arbitrary row pick) over a corpus with planted
+  // duplicates (every 10th doc unioned twice).
+  // ---------------------------------------------------------------------
+  def q31DedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val base = d.unionAll(d.filter(col("doc_id") % 10 === 0))
+    val raw = base.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+    val ded = base.distinct().groupBy(col("source"))
+      .agg(count(lit(1)).as("n_dedup"))
+    raw.join(ded, "source")
+  }
+
+  val q31DedupExactSql: String =
+    """WITH base AS (
+      |  SELECT * FROM documents
+      |  UNION ALL
+      |  SELECT * FROM documents WHERE doc_id % 10 = 0),
+      |raw AS (SELECT source, COUNT(*) AS n_raw FROM base GROUP BY source),
+      |ded AS (SELECT source, COUNT(*) AS n_dedup
+      |        FROM (SELECT DISTINCT * FROM base) GROUP BY source)
+      |SELECT raw.source AS source, n_raw, n_dedup
+      |FROM raw JOIN ded ON raw.source = ded.source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q33_ngram_jaccard — exact near-dup pairs by word-trigram Jaccard ≥ 0.6
+  // via the shared-shingle inverted-index join: explode distinct shingles,
+  // self-join on shingle (not on doc!), count intersections, compute
+  // Jaccard from set sizes. Only docs sharing ≥1 shingle ever meet — the
+  // candidate set is the inverted index's collision list, never n².
+  // ---------------------------------------------------------------------
+  def q33NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sized = d.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    val ex = sized.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val a = ex.select(col("doc_id").as("a"), col("n").as("na"), col("s"))
+    val b = ex.select(col("doc_id").as("b"), col("n").as("nb"), col("s"))
+    a.join(b, Seq("s")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.6)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+        col("jac"))
+  }
+
+  val q33NgramJaccardSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         list_aggregate(w[i:i+2], 'string_agg', '_') AS s
+      |       FROM t, UNNEST(range(1, len(w) - 1)) AS g(i)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |c AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+      |      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |      GROUP BY x.doc_id, y.doc_id)
+      |SELECT a, b, inter, sa.n AS na, sb.n AS nb,
+      |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+      |FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q32_minhash_lsh — MinHash(64) + LSH banding (16 bands × 4 rows).
+  // Signature: sig[j] = min over shingles of xxhash64(shingle, j).
+  // Candidates: docs sharing any band hash. Estimate: fraction of equal
+  // signature components ≥ 0.5. No SQL oracle (xxhash64 is Spark-specific)
+  // → driver records rows-only; exactness is spec-tested against
+  // q33's exact Jaccard (planted pairs must all surface).
+  // ---------------------------------------------------------------------
+  private val MinhashPerms = 64
+  private val Bands = 16
+  private val RowsPerBand = MinhashPerms / Bands
+
+  def minhashSignatures(d: DataFrame): DataFrame = {
+    val ex = d.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val aggs = (0 until MinhashPerms).map(j =>
+      min(xxhash64(col("s"), lit(j))).as(s"sig_$j"))
+    ex.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashPerms).map(j => col(s"sig_$j")): _*).as("sig"))
+  }
+
+  def q32MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(t(s, dir, "documents")).cache()
+    // band hash = xxhash64 over the band's slice + band id
+    val banded = sig.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(Bands - 1)), bnd =>
+        xxhash64(bnd, concat_ws(",",
+          slice(col("sig"), bnd * RowsPerBand + 1, lit(RowsPerBand)))))))
+      .toDF("doc_id", "band", "bh")
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
+    val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
+    val cand = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sa = sig.select(col("doc_id").as("a"), col("sig").as("sig_a"))
+    val sb = sig.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+    cand.join(sa, "a").join(sb, "b")
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+          .cast("double") / MinhashPerms)
+      .filter(col("est") >= 0.5)
+      .select(col("a"), col("b"), col("est"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q34_simhash — 64-bit SimHash over word-trigram shingles: bit i of the
+  // signature is the sign of the sum of (2*bit_i(xxhash64(shingle)) - 1)
+  // over the doc's shingles. (Features are shingles, not words: with a
+  // small vocabulary the distinct-word *set* is near-identical across all
+  // docs, which would collapse every SimHash.) Near-dup candidates share
+  // one of 4 16-bit bands; verified by Hamming ≤ 8 via bit_count(xor).
+  // Rows-only oracle (hash-specific); spec-tested against planted pairs.
+  // ---------------------------------------------------------------------
+  def simhash64(d: DataFrame): DataFrame = {
+    val ex = d.select(col("doc_id"),
+      explode(shingles(col("text"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b_$i"))
+    ex.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  def q34Simhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhash64(t(s, dir, "documents")).cache()
+    val bandCols = (0 until 4).map(bnd =>
+      shiftright(col("simhash"), bnd * 16).bitwiseAND(0xFFFFL))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "simhash", "band", "bh")
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"),
+      col("simhash").as("ha"))
+    val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"),
+      col("simhash").as("hb"))
+    l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+  }
+
+  // ---------------------------------------------------------------------
+  // q35_embed_neardup — embedding-cosine near-dup via random-hyperplane
+  // LSH: 16-bit sign signatures over 4 tables, exact cosine rerank of
+  // bucket collisions only. Driver-seeded deterministic hyperplanes.
+  // Rows-only oracle; recall vs brute force is spec-tested.
+  // ---------------------------------------------------------------------
+  def q35EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    val dim = 64
+    val tables = 4
+    val bitsPerTable = 12
+    val rnd = new scala.util.Random(42)
+    // deterministic hyperplanes: tables × bits × dim gaussians
+    val planes = Array.fill(tables, bitsPerTable, dim)(rnd.nextGaussian())
+    val embD = col("embedding").cast("array<double>")
+    def dotPlane(tbl: Int, bit: Int): Column =
+      aggregate(
+        zip_with(embD, typedLit(planes(tbl)(bit).toSeq), (x, p) => x * p),
+        lit(0.0d), (acc, v) => acc + v)
+    def bucket(tbl: Int): Column =
+      (0 until bitsPerTable).map(bit =>
+        when(dotPlane(tbl, bit) > 0, lit(1L << bit)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    val sig = e.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(bucket): _*)))
+      .toDF("vec_id", "embedding", "tbl", "bucket")
+    val l = sig.select(col("tbl"), col("bucket"), col("vec_id").as("a"),
+      col("embedding").as("ea"))
+    val r = sig.select(col("tbl"), col("bucket"), col("vec_id").as("b"),
+      col("embedding").as("eb"))
+    l.join(r, Seq("tbl", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("cosine_sim(ea, eb)").as("sim"))
+      .distinct()
+      .filter(col("sim") >= 0.3)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Multimodal-column conventions: opaque `binary` payload + typed
+  * metadata struct, with decode/feature-extraction as a batched
+  * mapPartitions stage.
+  *
+  * The media codec libraries aren't in this container, so the decode step
+  * is a clearly-marked deterministic STUB ([[StubDecoder.decode]]); the
+  * Spark-side plumbing — binary column, schema, partition-parallel batch
+  * iteration, struct metadata output — is real and oracle-tested (the stub
+  * derives metadata purely from byte content, which SQL can mirror).
+  *
+  * Scale notes: decode runs inside mapPartitions, one partition per task,
+  * streaming the iterator (never materializing a partition's payloads);
+  * binary payloads stay columnar in parquet and are pruned unless selected.
+  */
+object Multimodal {
+
+  /** Payload record entering the decode stage. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded metadata + features leaving the decode stage. */
+  final case class DecodedRow(
+      doc_id: Long, n_bytes: Long, width: Long, height: Long, first_byte: Long)
+
+  /** STUB decoder: stands in for image/audio decode (libs unavailable in
+    * this container). Deterministic function of the bytes only — a real
+    * implementation would replace the body, keeping the signature. */
+  object StubDecoder {
+    def decode(r: MediaRow): DecodedRow = {
+      val n = r.payload.length.toLong
+      DecodedRow(
+        doc_id = r.doc_id,
+        n_bytes = n,
+        width = n % 640,
+        height = (n * 7) % 480,
+        first_byte = if (n > 0) r.payload(0).toLong & 0xFF else -1L)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // q38_multimodal — build a binary media column (UTF-8 bytes of text,
+  // standing in for an image blob), run the batched decode stage, emit the
+  // metadata struct flattened. Oracle mirrors the stub arithmetic over
+  // octet lengths.
+  // ---------------------------------------------------------------------
+  def q38Multimodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val media = d.select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+    media.mapPartitions(_.map(StubDecoder.decode)).toDF()
+  }
+
+  val q38MultimodalSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+      |  CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+      |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
+      |FROM documents""".stripMargin
+}

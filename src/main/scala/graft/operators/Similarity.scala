@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** [EXT] Similarity search over the `embeddings` table (`array<float>`
+  * column): brute-force cosine top-k as the exactness baseline, LSH-bucketed
+  * ANN as the scale path.
+  *
+  * Scale design: the query side is tiny and broadcast — the corpus never
+  * shuffles. Per-query top-k is a window over (query, candidates); at
+  * production scale this becomes per-partition partial top-k (heap) + final
+  * merge, which is exactly the plan Catalyst produces for window+filter(rn
+  * ≤ k) after AQE; the LSH variant bounds candidates per query to bucket
+  * collisions. Cosine is a native codegen'd Catalyst expression
+  * ([[graft.functions.CosineSimilarity]]), not a UDF.
+  */
+object Similarity {
+
+  // ---------------------------------------------------------------------
+  // q36_cosine_topk — exact top-5 neighbors (by cosine) for the first 20
+  // vectors, self excluded. Output is integer-only (query, rank, neighbor)
+  // so the oracle compare is immune to float formatting; ranking ties are
+  // broken by vec_id.
+  // ---------------------------------------------------------------------
+  def q36CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val joined = t(s, dir, "embeddings")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("cosine_sim(q_emb, embedding)").as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+  }
+
+  val q36CosineTopKSql: String =
+    """SELECT q_id, rnk, vec_id FROM (
+      |  SELECT q.vec_id AS q_id, n.vec_id AS vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(
+      |        CAST(q.embedding AS DOUBLE[]),
+      |        CAST(n.embedding AS DOUBLE[])) DESC, n.vec_id ASC) AS rnk
+      |  FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+      |  JOIN embeddings n ON n.vec_id <> q.vec_id)
+      |WHERE rnk <= 5""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q37_ann_ivf — IVF-style ANN: partition the corpus into 16 cells by
+  // nearest deterministic pseudo-random centroid, probe the 4 nearest
+  // cells per query, exact-rerank within. Trades recall for touching only
+  // nprobe/nlist of the corpus — the standard 100 TB ANN shape (cells map
+  // to partition pruning). Rows-only oracle; recall vs q36 is spec-tested.
+  // ---------------------------------------------------------------------
+  def q37AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val dim = 64
+    val nlist = 16
+    val nprobe = 4
+    val rnd = new scala.util.Random(7)
+    val centroids = Array.fill(nlist, dim)(rnd.nextGaussian())
+    val centNorms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+    val e = t(s, dir, "embeddings")
+    // cell score vs centroid i = dot(emb, c_i)/|c_i| — same argmax as
+    // cosine (the row's own norm is constant across cells).
+    def cellScores(embCol: Column): Column = {
+      val embD = embCol.cast("array<double>")
+      array((0 until nlist).map { ci =>
+        val dot = aggregate(
+          zip_with(embD, typedLit(centroids(ci).toSeq), (x, p) => x * p),
+          lit(0.0d), (acc, v) => acc + v)
+        struct((dot / centNorms(ci)).as("score"), lit(ci).as("cell"))
+      }: _*)
+    }
+    def bestCells(embCol: Column, n: Int): Column =
+      transform(slice(reverse(array_sort(cellScores(embCol))), 1, n),
+        s => s.getField("cell"))
+    val corpus = e
+      .withColumn("cell", element_at(bestCells(col("embedding"), 1), 1))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(bestCells(col("embedding"), nprobe)).as("cell"))
+    val cand = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("cosine_sim(q_emb, embedding)").as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q39_embedding_stats — vector-column aggregation: per-label count and
+  // exact-decimal mean of the L2 norm (higher-order fold over the array,
+  // no UDF).
+  // ---------------------------------------------------------------------
+  def q39EmbeddingStats(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    e.withColumn("norm",
+        sqrt(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sumDec(col("norm")).as("sum_norm"))
+  }
+
+  val q39EmbeddingStatsSql: String =
+    """SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(CAST(norm AS DECIMAL(30,8))) AS DOUBLE) AS sum_norm
+      |FROM (
+      |  SELECT label,
+      |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |         x -> x * x))) AS norm
+      |  FROM embeddings)
+      |GROUP BY label""".stripMargin
+}

