@@ -144,7 +144,8 @@ object Dedup {
   // over the doc's shingles. (Features are shingles, not words: with a
   // small vocabulary the distinct-word *set* is near-identical across all
   // docs, which would collapse every SimHash.) Near-dup candidates share
-  // one of 4 16-bit bands; verified by Hamming ≤ 8 via bit_count(xor).
+  // one of 8 8-bit bands (pigeonhole: any pair with Hamming ≤ 7 is
+  // guaranteed a clean band); verified by Hamming ≤ 10 via bit_count(xor).
   // Rows-only oracle (hash-specific); spec-tested against planted pairs.
   // ---------------------------------------------------------------------
   def simhash64(d: DataFrame): DataFrame = {
@@ -163,8 +164,8 @@ object Dedup {
 
   def q34Simhash(s: SparkSession, dir: String): DataFrame = {
     val sh = simhash64(t(s, dir, "documents")).cache()
-    val bandCols = (0 until 4).map(bnd =>
-      shiftright(col("simhash"), bnd * 16).bitwiseAND(0xFFFFL))
+    val bandCols = (0 until 8).map(bnd =>
+      shiftright(col("simhash"), bnd * 8).bitwiseAND(0xFFL))
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array(bandCols: _*)))
       .toDF("doc_id", "simhash", "band", "bh")
@@ -176,7 +177,7 @@ object Dedup {
       .select(col("a"), col("b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= 10)
   }
 
   // ---------------------------------------------------------------------
