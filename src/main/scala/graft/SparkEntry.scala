@@ -60,6 +60,9 @@ object SparkEntry {
     "q42_lang_id"        -> (TextAnalysis.q42LangId _),
     "q43_fingerprint"    -> (TextAnalysis.q43Fingerprint _),
     "q38_multimodal"     -> (Multimodal.q38Multimodal _),
+    // ingest path (reference storage contract end-to-end)
+    "q50_tsv_roundtrip"  -> (Ingest.q50TsvRoundtrip _),
+    "q51_canonicalize"   -> (Ingest.q51Canonicalize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -107,5 +110,7 @@ object SparkEntry {
     "q42_lang_id"        -> TextAnalysis.q42LangIdSql,
     "q43_fingerprint"    -> TextAnalysis.q43FingerprintSql,
     "q38_multimodal"     -> Multimodal.q38MultimodalSql,
+    "q50_tsv_roundtrip"  -> Ingest.q50TsvRoundtripSql,
+    "q51_canonicalize"   -> Ingest.q51CanonicalizeSql,
   )
 }

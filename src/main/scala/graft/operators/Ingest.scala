@@ -1,0 +1,92 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.CatalogSync
+import graft.model.{CDColumn, CDTable}
+import graft.pipeline.Canonicalize
+import graft.sources.TsvSource
+
+/** Ingestion-path queries for the correctness gate: run real data through
+  * the reference's storage contract (gzip TSV + pushed schema + catalog)
+  * and prove the round-trip is lossless by aggregating the result against
+  * an oracle that reads the original parquet.
+  */
+object Ingest {
+
+  private val customerCd = CDTable("customer_rt", Some("round-trip customer"),
+    Seq(
+      CDColumn("c_custkey", "bigint", None, Some("pk")),
+      CDColumn("c_name", "varchar", Some(64)),
+      CDColumn("c_nationkey", "integer"),
+      CDColumn("c_acctbal", "double precision"),
+      CDColumn("c_mktsegment", "enum")))
+
+  // ---------------------------------------------------------------------
+  // q50_tsv_roundtrip — customer → gzip TSV (LazySimpleSerDe layout) →
+  // catalog external table → aggregate. Exercises TsvSource.write, the
+  // CREATE TABLE ... USING CSV descriptor, catalog resolution, and the
+  // type lattice; values must survive text round-trip bit-exactly
+  // (Double.toString/parse is an identity round-trip).
+  // ---------------------------------------------------------------------
+  def q50TsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft_rt").toString
+    val customer = t(s, dir, "customer")
+    TsvSource.write(customer, s"$wh/raw_files/customer_rt")
+    CatalogSync.createOrUpdateTable(s, "graft_rt", customerCd,
+      s"$wh/raw_files/customer_rt")
+    s.table("graft_rt.customer_rt")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sumDec(col("c_acctbal")).as("sum_bal"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"))
+  }
+
+  val q50TsvRoundtripSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS sum_bal,
+      |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q51_canonicalize — orders → gzip TSV raw layer → Canonicalize (Parquet
+  // rewrite) → aggregate from the canonical layer. Proves the
+  // beyond-reference columnar layer is lossless, including timestamp text
+  // round-trip.
+  // ---------------------------------------------------------------------
+  def q51Canonicalize(s: SparkSession, dir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft_canon").toString
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        // timestamp → text in an engine-neutral format
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+          .as("o_orderdate"),
+        col("o_orderpriority"))
+    TsvSource.write(orders, s"$wh/raw_files/orders_rt")
+    val cd = CDTable("orders_rt", None, Seq(
+      CDColumn("o_orderkey", "bigint"),
+      CDColumn("o_custkey", "bigint"),
+      CDColumn("o_orderstatus", "text"),
+      CDColumn("o_totalprice", "double precision"),
+      CDColumn("o_orderdate", "datetime"),
+      CDColumn("o_orderpriority", "text")))
+    Canonicalize.canonicalize(s, wh, cd)
+    Canonicalize.readCanonical(s, wh, "orders_rt")
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sumDec(col("o_totalprice")).as("spend"))
+  }
+
+  val q51CanonicalizeSql: String =
+    """SELECT EXTRACT(year FROM o_orderdate) AS o_year, o_orderstatus,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS spend
+      |FROM orders GROUP BY 1, 2""".stripMargin
+}

@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{CDTable, TypeLattice}
+import graft.sources.TsvSource
+
+/** Beyond-reference canonicalization layer (SURVEY.md §7 step 7): the
+  * reference stores gzip TSV only — non-splittable (one scan task per file,
+  * `sync-canvas-data-files.py:179,189-193`) and unpartitioned
+  * (`'PartitionKeys': []`, `:184`), so every Athena query re-parses whole
+  * files of text. This pass rewrites a raw table to Parquet once, making
+  * all later scans columnar, splittable, and prunable.
+  *
+  * Scale rationale: at 100 TB, text re-parse dominates query time and gzip
+  * forces task granularity = file granularity (stragglers). Parquet gives
+  * row-group splits, column pruning, predicate pushdown, and dictionary/RLE
+  * compression — the single highest-leverage change over the reference's
+  * layout. Optional `partitionBy` a low-cardinality column adds Catalyst
+  * partition pruning.
+  */
+object Canonicalize {
+
+  val CanonicalPrefix = "canonical"
+
+  def canonicalize(
+      spark: SparkSession,
+      warehouseDir: String,
+      table: CDTable,
+      partitionBy: Seq[String] = Nil): String = {
+    val raw = TsvSource.read(spark, TypeLattice.toStructType(table),
+      s"$warehouseDir/${Sync.RawPrefix}/${table.tableName}")
+    val out = s"$warehouseDir/$CanonicalPrefix/${table.tableName}"
+    val writer = raw.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(out)
+    out
+  }
+
+  def readCanonical(spark: SparkSession, warehouseDir: String,
+      table: String): DataFrame =
+    spark.read.parquet(s"$warehouseDir/$CanonicalPrefix/$table")
+}

@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** LazySimpleSerDe-compatible gzip TSV source/sink — the reference's one
+  * and only storage format (`sync-canvas-data-files.py:177-202`: csv
+  * classification, `\t` delimiter, gzip compression, `LazySimpleSerDe`).
+  *
+  * Parsing contract replicated exactly (SURVEY.md §1.2 "hard parts"):
+  *  - literal `\N` is NULL (LazySimpleSerDe default null sequence);
+  *  - there is NO quoting — a quote char is data; disabled via `\u0000`;
+  *  - schema is always pushed, never inferred (the reference pulls schema
+  *    from the API and pushes it to the catalog; inference could drift);
+  *  - malformed numerics read as NULL, not error (PERMISSIVE mode);
+  *  - gzip is whole-file compression → non-splittable, 1 task per file,
+  *    same as Athena on the reference layout. The canonicalize step
+  *    (see [[graft.pipeline.Canonicalize]]) rewrites to splittable
+  *    columnar Parquet for the analytic layer.
+  */
+object TsvSource {
+
+  val ReadOptions: Map[String, String] = Map(
+    "sep" -> "\t",
+    "nullValue" -> "\\N",
+    "quote" -> "\u0000",
+    "escape" -> "\u0000",
+    "mode" -> "PERMISSIVE",
+    "header" -> "false",
+    "emptyValue" -> "")
+
+  /** Read with exact LazySimpleSerDe semantics. Spark's CSV reader can't
+    * express them (it collapses unquoted empty strings to NULL), so this is
+    * a text scan + `split` + `try_cast` projection — pure built-in,
+    * codegen'd expressions:
+    *  - `\N` → NULL (any type);
+    *  - empty field → empty string, NOT null;
+    *  - malformed numeric/timestamp → NULL via try_cast;
+    *  - split limit -1 keeps trailing empty fields.
+    */
+  def read(spark: SparkSession, schema: StructType, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.text(path)
+    val parts = split(col("value"), "\t", -1)
+    val tmp = raw.select(schema.fields.indices.map(i =>
+      element_at(parts, i + 1).as(s"_c$i")): _*)
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      val c = f.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          expr(s"nullif(_c$i, '\\\\N')")
+        case dt =>
+          expr(s"try_cast(nullif(_c$i, '\\\\N') AS ${dt.sql})")
+      }
+      c.as(f.name)
+    }
+    tmp.select(cols: _*)
+  }
+
+  /** Write a DataFrame as reference-layout gzip TSV (for fixtures and the
+    * round-trip correctness gate). */
+  def write(df: DataFrame, path: String): Unit =
+    df.write
+      .options(Map(
+        "sep" -> "\t",
+        "nullValue" -> "\\N",
+        "quote" -> "\u0000",
+        "escape" -> "\u0000",
+        "emptyValue" -> "",
+        "compression" -> "gzip",
+        "header" -> "false"))
+      .mode("overwrite")
+      .csv(path)
+}

@@ -1,0 +1,62 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** LazySimpleSerDe parsing contract (SURVEY.md §1.2): \N nulls, no quoting,
+  * malformed numerics → NULL, round-trip stability. */
+class TsvSourceSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  test("\\N parses as NULL; quotes are data; malformed numeric → NULL") {
+    val dir = Files.createTempDirectory("tsv_in")
+    Files.writeString(dir.resolve("part-0.tsv"),
+      "1\talice\t1.5\n" +
+      "2\t\\N\t\\N\n" +
+      "3\t\"quoted\"\t2.0\n" +   // quote char must be literal data
+      "4\tbob\tnot_a_number\n")  // malformed double → NULL, not error
+    val rows = TsvSource.read(spark, schema, dir.toString)
+      .orderBy("id").collect()
+    assert(rows(0) == Row(1L, "alice", 1.5))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(2).getString(1) == "\"quoted\"")
+    assert(rows(3).getString(1) == "bob" && rows(3).isNullAt(2))
+  }
+
+  test("write → read round-trip preserves values incl. nulls and empties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a"), Option(1.25)),
+      (2L, None: Option[String], None: Option[Double]),
+      (3L, Option(""), Option(-0.5))).toDF("id", "name", "score")
+    val out = Files.createTempDirectory("tsv_rt").toString + "/t"
+    TsvSource.write(df, out)
+    val back = TsvSource.read(spark, StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("score", DoubleType))), out)
+      .orderBy("id").collect()
+    assert(back(0) == Row(1L, "a", 1.25))
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2))
+    // LazySimpleSerDe cannot distinguish empty string from... empty string;
+    // it is NOT null (null is \N)
+    assert(back(2).getString(1) == "" && back(2).getDouble(2) == -0.5)
+  }
+
+  test("gzip output is whole-file compressed (reference layout)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("tsv_gz").toString + "/t"
+    TsvSource.write(Seq((1L, "x")).toDF("a", "b"), out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".gz"))
+    assert(files.nonEmpty, "expected gzip part files")
+  }
+}
