@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2B "Streaming"): the reference
+  * is batch-only (one cron tick/day, `canvas_data_aws.yaml:234-242`; its
+  * "incremental" is file-level diff) — this module is the continuous
+  * counterpart: event-time windows with watermarks, session windows, and
+  * custom state via mapGroupsWithState.
+  *
+  * Every transform takes a DataFrame and works identically on a batch or
+  * streaming input — the batch twins (q23/q24/q25) are the oracle-checked
+  * semantics, and the streaming spec proves stream/batch agreement.
+  *
+  * Scale notes: all stateful ops key on high-cardinality columns (window
+  * bucket / user_id), so state shards evenly; watermarks bound state size
+  * (late data past 1 hour is dropped); file-source ingestion reuses the
+  * sync layer's immutable-file model (a landed file never changes —
+  * exactly the reference's content-addressed contract).
+  */
+object EventStreams {
+
+  /** Continuous ingestion of the events table layout: the streaming analog
+    * of the reference's daily file sync. The layout stores TIMESTAMP(NANOS)
+    * which Spark's vectorized reader rejects — read as int64 nanos and
+    * convert with integer division (see [[graft.Tables]] for why float
+    * division would corrupt epoch-nanos). */
+  def fileStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windows with a 1-hour watermark (streaming twin of
+    * q23_tumbling). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour/30-min windows (streaming twin of q24_sliding). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("bucket_start"), col("n_events"))
+
+  /** Native session windows with a 30-minute gap (streaming twin of
+    * q25_sessionize). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"))
+
+  // --- custom state: running per-user session tracking ------------------
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+
+  final case class UserSessionState(
+      sessionStartUs: Long, lastUs: Long, nEvents: Long, nSessions: Long)
+
+  final case class UserSessionUpdate(
+      user_id: Long, n_sessions: Long, current_session_events: Long)
+
+  private val GapUs = 30L * 60 * 1000000
+
+  /** mapGroupsWithState sessionizer: per user, counts sessions split on a
+    * 30-minute gap and reports the running total after every micro-batch.
+    * Demonstrates the custom-state API (the escape hatch when
+    * session_window's fixed semantics aren't enough). */
+  def statefulSessionCount(events: Dataset[Ev]): Dataset[UserSessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserSessionState, UserSessionUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[UserSessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(
+            UserSessionState(-1L, Long.MinValue / 4, 0L, 0L))
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000
+            st =
+              if (us - st.lastUs > GapUs)
+                UserSessionState(us, us, 1L, st.nSessions + 1)
+              else
+                st.copy(lastUs = us, nEvents = st.nEvents + 1)
+          }
+          state.update(st)
+          UserSessionUpdate(user, st.nSessions, st.nEvents)
+      }
+  }
+}

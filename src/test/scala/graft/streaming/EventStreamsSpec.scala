@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.EventTime
+
+/** Stream/batch agreement: the streaming transforms must produce exactly
+  * the oracle-checked batch results when fed the same events, and custom
+  * state must evolve correctly across micro-batches. */
+class EventStreamsSpec extends SparkSpec {
+
+  import EventStreams.Ev
+
+  private def eventsBatch = graft.Tables.load(spark, sfDir, "events")
+    .withColumn("ts", col("ts").cast("timestamp"))
+
+  test("streaming tumbling windows == batch tumbling aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .collect()
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    mem.addData(rows.toSeq)
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.tumblingCounts(streamDf)
+      .writeStream.format("memory").queryName("tumb")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("tumb")
+      .select(col("bucket_start").cast("long"), col("event_type"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = eventsBatch
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("long"), col("event_type"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("session windows (streaming) agree with batch gap sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsBatch.select(col("event_id"), col("ts"), col("user_id"))
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    mem.addData(rows.toSeq)
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStreams.sessionCounts(streamDf)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    // per-user session counts and per-session event counts must match the
+    // oracle-checked batch formulation (q25)
+    val got = spark.table("sess")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = EventTime.q25Sessionize(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("mapGroupsWithState session counting evolves across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val mem = MemoryStream[Ev]
+    val stream = EventStreams.statefulSessionCount(mem.toDS())
+    val q = stream.writeStream.format("memory").queryName("stateful")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 has two events 10 min apart → one session
+      mem.addData(Ev(1, ts(0), 1), Ev(2, ts(10), 1))
+      q.processAllAvailable()
+      val b1 = spark.table("stateful").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(b1.contains((1L, 1L, 2L)))
+      // batch 2: 45 min gap → second session for user 1; user 2 appears
+      mem.addData(Ev(3, ts(55), 1), Ev(4, ts(56), 2))
+      q.processAllAvailable()
+      val b2 = spark.table("stateful").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(b2.contains((1L, 2L, 1L)))
+      assert(b2.contains((2L, 1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than 1 hour behind the max ts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.tumblingCounts(streamDf)
+      .writeStream.format("memory").queryName("wm")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(10), 1L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // advance event time far ahead → watermark passes hour 0
+      mem.addData((2L, ts(300), 1L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // this event is hours late → must be dropped, not re-open hour 0
+      mem.addData((3L, ts(11), 1L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      val hour0 = spark.table("wm").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+      assert(hour0.forall(_.getAs[Long]("n_events") == 1L),
+        s"late event must not increment the finalized hour-0 window")
+    } finally q.stop()
+  }
+}
