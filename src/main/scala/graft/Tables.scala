@@ -16,9 +16,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+  /** Fact/corpus tables whose downstream compute is heavy enough to need
+    * all cores. The driver's test parquet is one row group per file, so a
+    * bare scan is a single task no matter the core count — on a real
+    * cluster the input would arrive in many splits, and this repartition
+    * restores that shape locally. Dim tables stay unspread: they should
+    * remain cheap single-partition broadcast candidates. Catalyst pushes
+    * filters and column pruning through the repartition to the scan. */
+  private val spreadTables =
+    Set("lineitem", "orders", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") loadEvents(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    if (spreadTables(name))
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects outright. Read it as raw int64 nanos (legacy conf) and convert

@@ -66,7 +66,12 @@ object Dedup {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
     val sized = d.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-    val ex = sized.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    // join on the 64-bit hash of the shingle, not the string: an 8-byte
+    // shuffle/sort key instead of ~20-byte strings (collision odds over
+    // ~10^5 distinct shingles are ~10^-10 — far below any other source of
+    // error, and a collision would only add a candidate pair)
+    val ex = sized.select(col("doc_id"), col("n"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s0")).as("s"))
     val a = ex.select(col("doc_id").as("a"), col("n").as("na"), col("s"))
     val b = ex.select(col("doc_id").as("b"), col("n").as("nb"), col("s"))
     a.join(b, Seq("s")).filter(col("a") < col("b"))

@@ -269,16 +269,16 @@ object Relational {
     val c = t(s, dir, "customer")
     val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
     val b = c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
-    val row = (
-      a.union(b).distinct().count(),
-      a.union(b).count(),
-      a.intersect(b).count(),
-      a.except(b).count(),
-      a.intersectAll(b).count(),
-      a.exceptAll(b).count())
-    import s.implicits._
-    Seq(row).toDF("n_union", "n_union_all", "n_intersect", "n_except",
-      "n_intersect_all", "n_except_all")
+    // one action: six single-row aggregates composed with cross joins, so
+    // all set-op subplans execute inside a single job
+    def one(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as(name))
+    one(a.union(b).distinct(), "n_union")
+      .crossJoin(one(a.union(b), "n_union_all"))
+      .crossJoin(one(a.intersect(b), "n_intersect"))
+      .crossJoin(one(a.except(b), "n_except"))
+      .crossJoin(one(a.intersectAll(b), "n_intersect_all"))
+      .crossJoin(one(a.exceptAll(b), "n_except_all"))
   }
 
   val q13SetOpsSql: String =
