@@ -63,6 +63,16 @@ object SparkEntry {
     // ingest path (reference storage contract end-to-end)
     "q50_tsv_roundtrip"  -> (Ingest.q50TsvRoundtrip _),
     "q51_canonicalize"   -> (Ingest.q51Canonicalize _),
+    // statistics / misc scalar surface
+    "q44_stats_moments"  -> (Stats.q44StatsMoments _),
+    "q45_percentile"     -> (Stats.q45Percentile _),
+    "q54_approx_distinct" -> (Stats.q54ApproxDistinct _),
+    "q46_array_funcs"    -> (Misc.q46ArrayFuncs _),
+    "q47_date_funcs"     -> (Misc.q47DateFuncs _),
+    "q48_null_semantics" -> (Misc.q48NullSemantics _),
+    "q49_pivot"          -> (Misc.q49Pivot _),
+    "q52_tokenize"       -> (Misc.q52Tokenize _),
+    "q53_winnowing"      -> (TextAnalysis.q53Winnowing _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,5 +122,14 @@ object SparkEntry {
     "q38_multimodal"     -> Multimodal.q38MultimodalSql,
     "q50_tsv_roundtrip"  -> Ingest.q50TsvRoundtripSql,
     "q51_canonicalize"   -> Ingest.q51CanonicalizeSql,
+    // q53 (winnowing) and q54 (HLL sketch) are hash/engine-specific →
+    // rows-only driver check, spec-tested instead.
+    "q44_stats_moments"  -> Stats.q44StatsMomentsSql,
+    "q45_percentile"     -> Stats.q45PercentileSql,
+    "q46_array_funcs"    -> Misc.q46ArrayFuncsSql,
+    "q47_date_funcs"     -> Misc.q47DateFuncsSql,
+    "q48_null_semantics" -> Misc.q48NullSemanticsSql,
+    "q49_pivot"          -> Misc.q49PivotSql,
+    "q52_tokenize"       -> Misc.q52TokenizeSql,
   )
 }

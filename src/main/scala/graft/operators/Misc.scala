@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining scalar/semi-structured surface: array functions + collected
+  * aggregates, date arithmetic, null semantics, pivot, regex tokenization.
+  */
+object Misc {
+
+  // ---------------------------------------------------------------------
+  // q46_array_funcs — array construction/aggregation: deterministic
+  // collect (sorted set), element access, containment, flatten.
+  // ---------------------------------------------------------------------
+  def q46ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy(col("o_orderpriority")).agg(
+        array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"))
+      .select(
+        col("o_orderpriority"),
+        col("statuses"),
+        col("n_statuses"),
+        element_at(col("statuses"), 1).as("first_status"),
+        array_contains(col("statuses"), "P").as("has_p"))
+  }
+
+  val q46ArrayFuncsSql: String =
+    """SELECT o_orderpriority, statuses, n_statuses,
+      |  statuses[1] AS first_status,
+      |  list_contains(statuses, 'P') AS has_p
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |    COUNT(DISTINCT o_orderstatus) AS n_statuses
+      |  FROM orders GROUP BY o_orderpriority)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q47_date_funcs — date arithmetic: truncation, offsets, extraction,
+  // end-of-month, day-of-week.
+  // ---------------------------------------------------------------------
+  // Date-typed outputs travel as ISO strings: pandas represents Spark's
+  // date32 as datetime.date but DuckDB's DATE as Timestamp — equal values,
+  // unequal objects under a strict hash compare.
+  def q47DateFuncs(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") % 101 === 0)
+    def iso(c: org.apache.spark.sql.Column) = date_format(c, "yyyy-MM-dd")
+    o.select(
+      col("o_orderkey"),
+      iso(date_trunc("month", col("o_orderdate"))).as("month_start"),
+      iso(add_months(col("o_orderdate").cast("date"), 3)).as("plus_3m"),
+      iso(date_add(col("o_orderdate").cast("date"), 45)).as("plus_45d"),
+      iso(last_day(col("o_orderdate"))).as("eom"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      quarter(col("o_orderdate")).as("qtr"),
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .as("yyyymm"))
+  }
+
+  // DuckDB dayofweek: 0=Sunday..6; Spark: 1=Sunday..7 → +1 aligns.
+  val q47DateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  strftime(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+      |  strftime(CAST(o_orderdate AS DATE) + 45, '%Y-%m-%d') AS plus_45d,
+      |  strftime(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+      |  CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+      |  CAST(EXTRACT(year FROM o_orderdate) * 100
+      |     + EXTRACT(month FROM o_orderdate) AS INT) AS yyyymm
+      |FROM orders WHERE o_orderkey % 101 = 0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q48_null_semantics — three-valued logic: coalesce/nullif, null-safe
+  // equality (<=> / IS NOT DISTINCT FROM), count vs count(col),
+  // null-skipping aggregates over an outer join's null side.
+  // ---------------------------------------------------------------------
+  def q48NullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val j = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+    j.groupBy(col("c_mktsegment")).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("o_orderkey")).as("n_nonnull"),
+      sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_null"),
+      sum(when(col("o_orderstatus") <=> lit("F"), 1).otherwise(0))
+        .as("n_f_nullsafe"),
+      sum(when(nullif(col("o_orderstatus"), lit("O")).isNull &&
+        col("o_orderkey").isNotNull, 1).otherwise(0)).as("n_o_via_nullif"),
+      max(coalesce(col("o_orderstatus"), lit("NONE"))).as("max_status"))
+  }
+
+  val q48NullSemanticsSql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(o_orderkey) AS n_nonnull,
+      |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+      |  SUM(CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'F'
+      |           THEN 1 ELSE 0 END) AS n_f_nullsafe,
+      |  SUM(CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL
+      |            AND o_orderkey IS NOT NULL
+      |           THEN 1 ELSE 0 END) AS n_o_via_nullif,
+      |  MAX(COALESCE(o_orderstatus, 'NONE')) AS max_status
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q49_pivot — pivoted conditional aggregation with an explicit value
+  // list (dynamic pivots are driver-side schema discovery; a fixed list
+  // keeps the plan static — the right call at scale too).
+  // ---------------------------------------------------------------------
+  def q49Pivot(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .toDF("o_orderpriority", "n_f", "n_o", "n_p")
+  }
+
+  val q49PivotSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+      |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q52_tokenize — BPE-ish regex tokenization (word pieces + digits +
+  // punctuation runs), the standard pre-tokenizer shape, over documents.
+  // Same RE semantics in Java regex and RE2 for this pattern.
+  // ---------------------------------------------------------------------
+  def q52Tokenize(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), col("lang"),
+        regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))
+          .as("toks"))
+      .groupBy(col("lang")).agg(
+        sum(size(col("toks"))).as("total_tokens"),
+        sum(size(array_distinct(col("toks")))).as("sum_distinct_tokens"),
+        max(size(col("toks"))).as("max_tokens"))
+  }
+
+  val q52TokenizeSql: String =
+    """SELECT lang,
+      |  SUM(len(toks)) AS total_tokens,
+      |  SUM(len(list_distinct(toks))) AS sum_distinct_tokens,
+      |  MAX(len(toks)) AS max_tokens
+      |FROM (
+      |  SELECT lang,
+      |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+', 0) AS toks
+      |  FROM documents)
+      |GROUP BY lang""".stripMargin
+}

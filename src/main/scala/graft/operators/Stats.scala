@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistical aggregate surface: variance/stddev/correlation/covariance
+  * and percentiles. Spark's built-in `var_samp`/`corr` use streaming
+  * (Welford-style) accumulation whose float rounding depends on partition
+  * order — fine in production, but the correctness gate needs bit-exact
+  * agreement with the single-threaded oracle. So the moments are assembled
+  * from exact decimal power sums (order-independent), with the final
+  * arithmetic in identically-shaped double expressions on both engines.
+  */
+object Stats {
+
+  /** Exact decimal sum of x (2-dp money values): lossless at (18,4). */
+  private def s1(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  /** Order-independent sum of x·y: the per-row product is IEEE double
+    * (bit-identical on any engine), rounded once to 8 decimal places by
+    * the decimal cast (unambiguous — true products have ≤4 decimals), then
+    * summed exactly. Decimal×decimal would be cleaner but overflows
+    * DuckDB's int64-backed DECIMAL(18) physical type and triggers Spark's
+    * precision-loss scale reduction at (38,_) — double-then-decimal avoids
+    * both engines' corner cases. */
+  private def s2(x: Column, y: Column): Column =
+    sum((x * y).cast(DecimalType(30, 8))).cast(DoubleType)
+
+  // ---------------------------------------------------------------------
+  // q44_stats_moments — per-priority variance, stddev, covariance and
+  // correlation of order totals vs customer-key (an arbitrary but
+  // deterministic second variable), from exact power sums.
+  // ---------------------------------------------------------------------
+  def q44StatsMoments(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice").as("x"),
+        col("o_custkey").cast("double").as("y"))
+    val g = o.groupBy(col("o_orderpriority")).agg(
+      count(lit(1)).cast("double").as("n"),
+      s1(col("x")).as("sx"), s1(col("y")).as("sy"),
+      s2(col("x"), col("x")).as("sxx"),
+      s2(col("y"), col("y")).as("syy"),
+      s2(col("x"), col("y")).as("sxy"))
+    // final rounding: the power sums are bit-identical, but the combining
+    // arithmetic can differ by 1 ulp across engines (FMA contraction);
+    // rounding far above ulp and far below data resolution removes it
+    g.select(
+      col("o_orderpriority"),
+      col("n").cast("long").as("n_orders"),
+      round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1),
+        2).as("var_x"),
+      round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+        (col("n") - 1)), 4).as("stddev_x"),
+      round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1),
+        2).as("covar_xy"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+         sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 8)
+        .as("corr_xy"))
+  }
+
+  val q44StatsMomentsSql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(CAST(o_custkey AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(CAST(o_custkey AS DOUBLE) * CAST(o_custkey AS DOUBLE)
+      |               AS DECIMAL(30,8))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(o_totalprice * CAST(o_custkey AS DOUBLE)
+      |               AS DECIMAL(30,8))) AS DOUBLE) AS sxy
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority,
+      |  CAST(n AS BIGINT) AS n_orders,
+      |  ROUND((sxx - sx * sx / n) / (n - 1), 2) AS var_x,
+      |  ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_x,
+      |  ROUND((sxy - sx * sy / n) / (n - 1), 2) AS covar_xy,
+      |  ROUND((n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) AS corr_xy
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q45_percentile — exact interpolated percentiles (Spark `percentile` ==
+  // DuckDB `quantile_cont` up to final-ulp interpolation; rounded to 3dp,
+  // far above the ~1e-10 drift, far below the data's spacing).
+  // ---------------------------------------------------------------------
+  def q45Percentile(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy(col("o_orderpriority")).agg(
+      round(expr("percentile(o_totalprice, 0.5)"), 3).as("median"),
+      round(expr("percentile(o_totalprice, 0.9)"), 3).as("p90"),
+      round(expr("percentile(o_totalprice, 0.99)"), 3).as("p99"))
+  }
+
+  val q45PercentileSql: String =
+    """SELECT o_orderpriority,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 3) AS median,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 3) AS p90,
+      |  ROUND(quantile_cont(o_totalprice, 0.99), 3) AS p99
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q54_approx_distinct — HLL++ approximate distinct (the built-in sketch;
+  // no custom implementation needed per SURVEY §2B). Deterministic for a
+  // given input but engine-specific → rows-only driver check; the spec
+  // asserts the ≤5% relative-error contract vs exact counts.
+  // ---------------------------------------------------------------------
+  def q54ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"))
+  }
+}

@@ -178,4 +178,33 @@ object TextAnalysis {
   val q43FingerprintSql: String =
     """SELECT doc_id, md5(text) AS fp, SUBSTRING(md5(text), 1, 2) AS fp_prefix
       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q53_winnowing — winnowing fingerprints: rolling k-gram hashes (native
+  // codegen'd expression, see graft.functions.RollingHashWindows) → min
+  // hash per sliding window of w consecutive k-grams (the MOSS scheme).
+  // Selected fingerprints are stable under small edits, so shared
+  // fingerprints across docs signal near-dup regions. Hash-specific →
+  // rows-only driver check; spec-tested for the O(n) rolling identity and
+  // edit stability.
+  // ---------------------------------------------------------------------
+  def q53Winnowing(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.RollingHash.register(s)
+    val k = 8  // k-gram length in chars
+    val w = 16 // winnow window
+    val d = t(s, dir, "documents")
+    val fp = d.select(col("doc_id"),
+        expr(s"rolling_hash(text, $k)").as("kg"))
+      .select(col("doc_id"),
+        // min over each window of w consecutive k-gram hashes
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(col("kg")) - w, lit(0))),
+          i => array_min(slice(col("kg"), i + 1, lit(w))))).as("fps"))
+    fp.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy(col("fp")).agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+      .groupBy(col("n_docs")).agg(count(lit(1)).as("n_shared_fps"))
+  }
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.RollingHash
+
+class SkewAndStatsSpec extends SparkSpec {
+
+  test("salted join equals plain join (correctness invariance under salting)") {
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = graft.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(o, Seq("l_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = SkewJoin.saltedInnerJoin(li, o, "l_orderkey", 8)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == plain)
+  }
+
+  test("salted join spreads a hot key over multiple partitions") {
+    import spark.implicits._
+    // skewed left: one key with 10k rows
+    val left = (1 to 10000).map(i => (1L, i)).toDF("k", "v")
+    val right = Seq((1L, "hot")).toDF("k", "name")
+    val parts = SkewJoin.saltedInnerJoin(left, right, "k", 8)
+      .rdd.getNumPartitions
+    assert(parts > 1)
+    assert(SkewJoin.saltedInnerJoin(left, right, "k", 8).count() == 10000L)
+  }
+
+  test("rolling_hash windows match a direct per-window recompute") {
+    RollingHash.register(spark)
+    import spark.implicits._
+    val s = "the quick brown fox jumps"
+    val k = 5
+    val got = Seq(s).toDF("t")
+      .select(expr(s"rolling_hash(t, $k)")).as[Seq[Long]].head()
+    val B = 1000003L
+    val want = (0 to s.length - k).map { i =>
+      s.substring(i, i + k).getBytes("UTF-8")
+        .foldLeft(0L)((h, b) => h * B + (b & 0xFF))
+    }
+    assert(got == want)
+    // shorter-than-k input → empty
+    val empty = Seq("ab").toDF("t")
+      .select(expr(s"rolling_hash(t, $k)")).as[Seq[Long]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("winnowing fingerprints overlap heavily for near-dup docs") {
+    RollingHash.register(spark)
+    import spark.implicits._
+    val doc = "the fast key order sort table scan merge part window " * 4
+    val edited = doc.replaceFirst("order", "merge")
+    def fps(text: String): Set[Long] = {
+      val kg = Seq(text).toDF("t")
+        .select(expr("rolling_hash(t, 8)")).as[Seq[Long]].head()
+      kg.sliding(16).map(_.min).toSet
+    }
+    val a = fps(doc)
+    val b = fps(edited)
+    val jac = (a & b).size.toDouble / (a | b).size
+    assert(jac > 0.5, s"winnow overlap $jac too low for a 1-word edit")
+  }
+
+  test("approx_count_distinct stays within 5% of exact") {
+    val rows = Stats.q54ApproxDistinct(spark, sfDir).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+}
