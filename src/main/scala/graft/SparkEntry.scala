@@ -44,6 +44,8 @@ object SparkEntry {
     "q24_sliding"        -> (EventTime.q24Sliding _),
     "q25_sessionize"     -> (EventTime.q25Sessionize _),
     "q26_asof_join"      -> (EventTime.q26AsofJoin _),
+    "q26b_asof_tolerance" -> (EventTime.q26bAsofTolerance _),
+    "q26c_asof_forward"  -> (EventTime.q26cAsofForward _),
     // [EXT] dedup
     "q31_dedup_exact"    -> (Dedup.q31DedupExact _),
     "q32_minhash_lsh"    -> (Dedup.q32MinhashLsh _),
@@ -108,6 +110,8 @@ object SparkEntry {
     "q24_sliding"        -> EventTime.q24SlidingSql,
     "q25_sessionize"     -> EventTime.q25SessionizeSql,
     "q26_asof_join"      -> EventTime.q26AsofJoinSql,
+    "q26b_asof_tolerance" -> EventTime.q26bAsofToleranceSql,
+    "q26c_asof_forward"  -> EventTime.q26cAsofForwardSql,
     // [EXT] — q32/q34/q35/q37 are hash-function-specific (xxhash64 / LSH),
     // not SQL-expressible in DuckDB → rows-only driver check; their
     // semantics are spec-tested against exact counterparts (q33/q36).

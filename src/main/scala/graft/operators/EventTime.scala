@@ -179,4 +179,56 @@ object EventTime {
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
+  private def purchasesAndClicks(s: SparkSession, dir: String) = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        tsUs(col("ts")).as("ts_us"))
+    (e.filter(col("event_type") === "purchase").drop("event_type"),
+     e.filter(col("event_type") === "click").drop("event_type"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q26b_asof_tolerance — as-of with a 30-minute tolerance through the
+  // generalized AsOf operator: matches older than the tolerance become
+  // NULL (the "stale quote" rule in point-in-time joins).
+  // ---------------------------------------------------------------------
+  def q26bAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(s, dir)
+    AsOf.asofJoin(purchases, clicks, Seq("user_id"), "ts_us", "ts_us",
+        forward = false, toleranceUs = Some(1800L * 1000000L))
+      .select(col("event_id"), col("user_id"),
+        col("ts_us").as("purchase_us"),
+        col("asof.ts_us").as("click_us"))
+  }
+
+  val q26bAsofToleranceSql: String =
+    """SELECT p.event_id, p.user_id,
+      |  epoch_us(p.ts) AS purchase_us,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+      |       THEN epoch_us(c.ts) END AS click_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q26c_asof_forward — forward as-of: earliest click at-or-after each
+  // purchase (next-touch attribution).
+  // ---------------------------------------------------------------------
+  def q26cAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(s, dir)
+    AsOf.asofJoin(purchases, clicks, Seq("user_id"), "ts_us", "ts_us",
+        forward = true)
+      .select(col("event_id"), col("user_id"),
+        col("ts_us").as("purchase_us"),
+        col("asof.ts_us").as("next_click_us"))
+  }
+
+  val q26cAsofForwardSql: String =
+    """SELECT p.event_id, p.user_id,
+      |  epoch_us(p.ts) AS purchase_us,
+      |  epoch_us(c.ts) AS next_click_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin
 }
