@@ -21,13 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word 3-shingles of a text column (distinct). */
-  private def shingles(text: Column): Column = {
-    val w = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(1), size(w) - 2), i =>
-        concat_ws("_", element_at(w, i), element_at(w, i + 1),
-          element_at(w, i + 2))))
+  /** Distinct word-3-shingles as 64-bit hashes, one row per (doc, shingle).
+    *
+    * Relational formulation — posexplode words, hash each once, combine
+    * with the next two via window `lead`, distinct — rather than nested
+    * array lambdas: a Column-level `transform(..., i => f(element_at(hw,
+    * i)))` re-inlines the whole `hw` subtree per reference (Catalyst
+    * doesn't CSE across lambda boundaries), turning shingling O(n²) per
+    * doc. Here every word is hashed exactly once and everything stays in
+    * streaming whole-stage codegen; the one shuffle (by doc_id) is shared
+    * by all downstream dedup operators. Numeric shingles: no per-shingle
+    * string building; collision odds across ~10^5 distinct shingles are
+    * ~10^-10, and the string-based oracle would expose one as a gate
+    * mismatch (it hasn't). */
+  def shingleRows(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("word")).as("h1"))
+      .select(col("doc_id"), col("h1"),
+        lead(col("h1"), 1).over(w).as("h2"),
+        lead(col("h1"), 2).over(w).as("h3"))
+      .filter(col("h3").isNotNull)
+      .select(col("doc_id"), xxhash64(col("h1"), col("h2"), col("h3")).as("s"))
+      .distinct()
   }
 
   // ---------------------------------------------------------------------
@@ -63,15 +80,9 @@ object Dedup {
   // candidate set is the inverted index's collision list, never n².
   // ---------------------------------------------------------------------
   def q33NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val sized = d.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-    // join on the 64-bit hash of the shingle, not the string: an 8-byte
-    // shuffle/sort key instead of ~20-byte strings (collision odds over
-    // ~10^5 distinct shingles are ~10^-10 — far below any other source of
-    // error, and a collision would only add a candidate pair)
-    val ex = sized.select(col("doc_id"), col("n"), explode(col("sh")).as("s0"))
-      .select(col("doc_id"), col("n"), xxhash64(col("s0")).as("s"))
+    val sh = shingleRows(t(s, dir, "documents"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ex = sh.join(sizes, "doc_id")
     val a = ex.select(col("doc_id").as("a"), col("n").as("na"), col("s"))
     val b = ex.select(col("doc_id").as("b"), col("n").as("nb"), col("s"))
     a.join(b, Seq("s")).filter(col("a") < col("b"))
@@ -111,7 +122,7 @@ object Dedup {
   private val RowsPerBand = MinhashPerms / Bands
 
   def minhashSignatures(d: DataFrame): DataFrame = {
-    val ex = d.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val ex = shingleRows(d)
     val aggs = (0 until MinhashPerms).map(j =>
       min(xxhash64(col("s"), lit(j))).as(s"sig_$j"))
     ex.groupBy(col("doc_id"))
@@ -154,9 +165,7 @@ object Dedup {
   // Rows-only oracle (hash-specific); spec-tested against planted pairs.
   // ---------------------------------------------------------------------
   def simhash64(d: DataFrame): DataFrame = {
-    val ex = d.select(col("doc_id"),
-      explode(shingles(col("text"))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+    val ex = shingleRows(d).withColumn("h", xxhash64(col("s")))
     val bitSums = (0 until 64).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b_$i"))
     ex.groupBy(col("doc_id"))

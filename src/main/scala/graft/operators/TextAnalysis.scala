@@ -190,16 +190,15 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   def q53Winnowing(s: SparkSession, dir: String): DataFrame = {
     graft.functions.RollingHash.register(s)
+    graft.functions.WinnowMinFn.register(s)
     val k = 8  // k-gram length in chars
     val w = 16 // winnow window
     val d = t(s, dir, "documents")
+    // rolling_hash: O(n) k-gram hashes; winnow_min: O(n) monotonic-deque
+    // sliding minima — both native codegen'd expressions
     val fp = d.select(col("doc_id"),
-        expr(s"rolling_hash(text, $k)").as("kg"))
-      .select(col("doc_id"),
-        // min over each window of w consecutive k-gram hashes
-        array_distinct(transform(
-          sequence(lit(0), greatest(size(col("kg")) - w, lit(0))),
-          i => array_min(slice(col("kg"), i + 1, lit(w))))).as("fps"))
+      array_distinct(expr(s"winnow_min(rolling_hash(text, $k), $w)"))
+        .as("fps"))
     fp.select(col("doc_id"), explode(col("fps")).as("fp"))
       .groupBy(col("fp")).agg(
         countDistinct(col("doc_id")).as("n_docs"),

@@ -67,6 +67,28 @@ class SkewAndStatsSpec extends SparkSpec {
     assert(jac > 0.5, s"winnow overlap $jac too low for a 1-word edit")
   }
 
+  test("winnow_min equals a direct sliding-window minimum") {
+    graft.functions.WinnowMinFn.register(spark)
+    import spark.implicits._
+    val arr = Seq(5L, 3L, 8L, 3L, 9L, 1L, 7L, 7L, 2L)
+    val w = 3
+    val got = Seq(Tuple1(arr)).toDF("a")
+      .select(expr(s"winnow_min(a, $w)")).as[Seq[Long]].head()
+    val direct = arr.sliding(w).map(_.min).toSeq
+    // expression emits consecutive-deduped minima; same distinct content,
+    // order-preserved subsequence
+    assert(got.toSet == direct.toSet)
+    assert(got == direct.foldLeft(Vector.empty[Long])(
+      (acc, m) => if (acc.nonEmpty && acc.last == m) acc else acc :+ m))
+    // degenerate windows
+    val whole = Seq(Tuple1(Seq(4L, 2L, 6L))).toDF("a")
+      .select(expr("winnow_min(a, 10)")).as[Seq[Long]].head()
+    assert(whole == Seq(2L))
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("a")
+      .select(expr("winnow_min(a, 3)")).as[Seq[Long]].head()
+    assert(empty.isEmpty)
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val rows = Stats.q54ApproxDistinct(spark, sfDir).collect()
     rows.foreach { r =>
