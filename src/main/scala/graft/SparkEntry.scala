@@ -75,6 +75,8 @@ object SparkEntry {
     "q49_pivot"          -> (Misc.q49Pivot _),
     "q52_tokenize"       -> (Misc.q52Tokenize _),
     "q53_winnowing"      -> (TextAnalysis.q53Winnowing _),
+    "q55_range_join"     -> (RangeJoin.q55RangeJoin _),
+    "q56_weighted_mean"  -> (Stats.q56WeightedMean _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,5 +137,7 @@ object SparkEntry {
     "q48_null_semantics" -> Misc.q48NullSemanticsSql,
     "q49_pivot"          -> Misc.q49PivotSql,
     "q52_tokenize"       -> Misc.q52TokenizeSql,
+    "q55_range_join"     -> RangeJoin.q55RangeJoinSql,
+    "q56_weighted_mean"  -> Stats.q56WeightedMeanSql,
   )
 }

@@ -114,4 +114,27 @@ object Stats {
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       countDistinct(col("l_partkey")).as("exact_parts"))
   }
+
+  // ---------------------------------------------------------------------
+  // q56_weighted_mean — the typed Aggregator (UDAF) surface: exact
+  // weighted mean of extended price by quantity per return flag, planned
+  // by Catalyst as a regular partial+final typed aggregate.
+  // ---------------------------------------------------------------------
+  def q56WeightedMean(s: SparkSession, dir: String): DataFrame = {
+    val wm = udaf(graft.functions.TypedAggregators.WeightedMean)
+    val li = t(s, dir, "lineitem")
+    // round(…, 6): DuckDB's wide-decimal→double cast is double-rounded
+    // (int128→double, then ×10⁻ˢ) and can sit 1 ulp off the correctly
+    // rounded value the JVM produces; 6 dp is far above that drift
+    li.groupBy(col("l_returnflag")).agg(
+      round(wm(col("l_extendedprice"), col("l_quantity")), 6).as("w_mean"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  val q56WeightedMeanSql: String =
+    """SELECT l_returnflag,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 6) AS w_mean,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 }
