@@ -62,7 +62,7 @@ object EventTime {
   val q23TumblingSql: String =
     """SELECT DATE_TRUNC('hour', ts) AS bucket_start, event_type,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+      |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
@@ -92,7 +92,7 @@ object EventTime {
       |  UNION ALL
       |  SELECT c1 - 1800 AS bucket_start_s, value FROM e)
       |SELECT bucket_start_s, COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+      |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
       |FROM b GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -49,7 +49,7 @@ object Ingest {
 
   val q50TsvRoundtripSql: String =
     """SELECT c_mktsegment, COUNT(*) AS n_customers,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS sum_bal,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal,
       |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
       |FROM customer GROUP BY c_mktsegment""".stripMargin
 
@@ -87,6 +87,6 @@ object Ingest {
   val q51CanonicalizeSql: String =
     """SELECT EXTRACT(year FROM o_orderdate) AS o_year, o_orderstatus,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS spend
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS spend
       |FROM orders GROUP BY 1, 2""".stripMargin
 }

@@ -121,7 +121,7 @@ object Similarity {
 
   val q39EmbeddingStatsSql: String =
     """SELECT label, COUNT(*) AS n_vecs,
-      |  CAST(SUM(CAST(norm AS DECIMAL(30,8))) AS DOUBLE) AS sum_norm
+      |  CAST(SUM(CAST(norm AS DECIMAL(30,4))) AS DOUBLE) AS sum_norm
       |FROM (
       |  SELECT label,
       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

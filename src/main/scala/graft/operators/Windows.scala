@@ -54,9 +54,14 @@ object Windows {
   // ---------------------------------------------------------------------
   def q10WindowRunning(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data at
+    // larger SFs — tiebreak down to (partkey, quantity, extendedprice) so
+    // the frame order is total (or remaining ties are value-identical and
+    // the running sums are order-invariant)
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
-        col("l_linenumber").asc)
+        col("l_linenumber").asc, col("l_partkey").asc,
+        col("l_quantity").asc, col("l_extendedprice").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     li.select(
       col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -67,12 +72,13 @@ object Windows {
 
   val q10WindowRunningSql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) OVER w AS DOUBLE) AS run_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) OVER w AS DOUBLE) AS run_qty,
       |  MIN(l_quantity) OVER w AS min_qty,
       |  MAX(l_quantity) OVER w AS max_qty
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_suppkey
-      |             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+      |                      l_partkey ASC, l_quantity ASC, l_extendedprice ASC
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -115,7 +121,7 @@ object Windows {
 
   val q15RollupSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
       |  COUNT(*) AS n_rows,
       |  GROUPING(l_returnflag, l_linestatus) AS gid
       |FROM lineitem
@@ -136,7 +142,7 @@ object Windows {
   val q16CubeSql: String =
     """SELECT o_orderstatus, o_orderpriority,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS spend,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS spend,
       |  GROUPING(o_orderstatus, o_orderpriority) AS gid
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
