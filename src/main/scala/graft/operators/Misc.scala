@@ -14,19 +14,22 @@ object Misc {
   // ---------------------------------------------------------------------
   def q46ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
+    // the array travels as a joined string: raw list cells are not
+    // sortable/hashable in a pandas-based compare
     o.groupBy(col("o_orderpriority")).agg(
         array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
         countDistinct(col("o_orderstatus")).as("n_statuses"))
       .select(
         col("o_orderpriority"),
-        col("statuses"),
+        concat_ws(",", col("statuses")).as("statuses_csv"),
         col("n_statuses"),
         element_at(col("statuses"), 1).as("first_status"),
         array_contains(col("statuses"), "P").as("has_p"))
   }
 
   val q46ArrayFuncsSql: String =
-    """SELECT o_orderpriority, statuses, n_statuses,
+    """SELECT o_orderpriority,
+      |  array_to_string(statuses, ',') AS statuses_csv, n_statuses,
       |  statuses[1] AS first_status,
       |  list_contains(statuses, 'P') AS has_p
       |FROM (
