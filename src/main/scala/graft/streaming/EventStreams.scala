@@ -66,6 +66,26 @@ object EventStreams {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks from the preceding hour. Both sides carry watermarks so the
+    * join state is bounded — Spark can discard click state older than
+    * (purchase watermark − 1 hour), the precondition for running this
+    * continuously at scale. Column names are prefixed to keep the join
+    * condition unambiguous. */
+  def clickAttribution(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c, expr(
+      """p_user = c_user AND
+        |c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts""".stripMargin))
+  }
+
   // --- custom state: running per-user session tracking ------------------
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)

@@ -99,6 +99,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch formulation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = eventsBatch.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    val memP = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val memC = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    memP.addData(base.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3)).toSeq)
+    memC.addData(base.filter(_._4 == "click").map(e => (e._1, e._2, e._3)).toSeq)
+    val q = EventStreams.clickAttribution(
+        memP.toDF().toDF("event_id", "ts", "user_id"),
+        memC.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("attr").select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val p = eventsBatch.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = eventsBatch.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val want = p.join(c, expr(
+        "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"))
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("watermark drops events later than 1 hour behind the max ts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
