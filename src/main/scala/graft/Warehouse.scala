@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.CDTable
+import graft.pipeline.{Canonicalize, Sync}
+
+/** The user-facing facade: what a reference deployment migrates to.
+  *
+  * The reference gives its users two things: a daily sync that lands Canvas
+  * extracts + keeps the catalog current (`sync-canvas-data-files.py`), and
+  * a SQL-queryable warehouse (Athena over the Glue catalog). This class is
+  * both, in-process:
+  *
+  * {{{
+  *   val wh = new Warehouse(spark, Warehouse.Config("/data/warehouse"))
+  *   val summary = wh.sync(manifest, schema)        // cron this daily
+  *   wh.sql("SELECT ... FROM canvasdata.course_dim JOIN ...")
+  * }}}
+  */
+object Warehouse {
+  final case class Config(
+      warehouseDir: String,
+      db: String = "canvasdata",
+      dryRun: Boolean = false,
+      parallelism: Int = 32,
+      /** also rewrite synced tables to the splittable Parquet canonical
+        * layer (beyond-reference; recommended for analytic workloads) */
+      canonicalize: Boolean = false)
+}
+
+final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
+
+  /** One sync run: diff → fetch → stale-delete → catalog upsert (+ optional
+    * canonicalize). Idempotent; re-running converges. */
+  def sync(manifest: Seq[Sync.ManifestEntry],
+      schema: Seq[CDTable]): Sync.SyncSummary = {
+    val summary = Sync.run(spark, cfg.warehouseDir, manifest, schema,
+      cfg.db, cfg.dryRun, cfg.parallelism)
+    if (cfg.canonicalize && !cfg.dryRun)
+      schema.foreach(t => Canonicalize.canonicalize(spark, cfg.warehouseDir, t))
+    summary
+  }
+
+  /** Analyst SQL over the synced catalog — the Athena replacement. */
+  def sql(query: String): DataFrame = spark.sql(query)
+
+  /** Catalog-resolved table access (raw TSV layer). */
+  def table(name: String): DataFrame = spark.table(s"${cfg.db}.`$name`")
+
+  /** Canonical (Parquet) layer access, if enabled. */
+  def canonicalTable(name: String): DataFrame =
+    Canonicalize.readCanonical(spark, cfg.warehouseDir, name)
+}
