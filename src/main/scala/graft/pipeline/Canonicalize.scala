@@ -41,4 +41,24 @@ object Canonicalize {
   def readCanonical(spark: SparkSession, warehouseDir: String,
       table: String): DataFrame =
     spark.read.parquet(s"$warehouseDir/$CanonicalPrefix/$table")
+
+  /** Schema-drift detection (SURVEY.md §7 hard parts): the reference's
+    * `update_table` is a full-replace — files landed under an older schema
+    * silently mis-parse once the column list changes. This scans a raw
+    * table and reports, per source file, how many lines don't have exactly
+    * the expected field count, so a sync can quarantine stale files
+    * instead of serving silently-shifted columns. */
+  def validateRaw(spark: SparkSession, warehouseDir: String,
+      table: CDTable): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val expected = table.columns.size
+    spark.read.text(s"$warehouseDir/${Sync.RawPrefix}/${table.tableName}")
+      .select(input_file_name().as("file"),
+        size(split(col("value"), "\t", -1)).as("n_fields"))
+      .groupBy(col("file"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("n_fields") =!= expected, 1).otherwise(0))
+          .as("n_malformed"))
+  }
 }
