@@ -77,6 +77,8 @@ object SparkEntry {
     "q53_winnowing"      -> (TextAnalysis.q53Winnowing _),
     "q55_range_join"     -> (RangeJoin.q55RangeJoin _),
     "q56_weighted_mean"  -> (Stats.q56WeightedMean _),
+    "q57_unpivot"        -> (Misc.q57Unpivot _),
+    "q58_regex"          -> (Misc.q58Regex _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -139,5 +141,7 @@ object SparkEntry {
     "q52_tokenize"       -> Misc.q52TokenizeSql,
     "q55_range_join"     -> RangeJoin.q55RangeJoinSql,
     "q56_weighted_mean"  -> Stats.q56WeightedMeanSql,
+    "q57_unpivot"        -> Misc.q57UnpivotSql,
+    "q58_regex"          -> Misc.q58RegexSql,
   )
 }

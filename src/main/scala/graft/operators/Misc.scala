@@ -129,6 +129,52 @@ object Misc {
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q57_unpivot — wide→long melt of the per-priority status counts (the
+  // inverse of q49's pivot), via Dataset.unpivot (Spark's native melt).
+  // ---------------------------------------------------------------------
+  def q57Unpivot(s: SparkSession, dir: String): DataFrame =
+    q49Pivot(s, dir).unpivot(
+      Array(col("o_orderpriority")),
+      Array(col("n_f"), col("n_o"), col("n_p")),
+      "status_col", "n_orders")
+
+  val q57UnpivotSql: String =
+    """WITH p AS (
+      |  SELECT o_orderpriority,
+      |    COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+      |    COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+      |    COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n_orders FROM p
+      |UNION ALL
+      |SELECT o_orderpriority, 'n_o', n_o FROM p
+      |UNION ALL
+      |SELECT o_orderpriority, 'n_p', n_p FROM p""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q58_regex — regex extraction/matching surface: capture groups,
+  // boolean match, global replace (patterns chosen inside the common
+  // Java-regex ∩ RE2 dialect so both engines agree).
+  // ---------------------------------------------------------------------
+  def q58Regex(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    p.select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("int")
+          .as("brand_num"),
+        col("p_type").rlike("^(PROMO|ECONOMY)").as("is_cheap_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+      .filter(col("p_partkey") % 37 === 0)
+  }
+
+  val q58RegexSql: String =
+    """SELECT p_partkey,
+      |  CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INT) AS brand_num,
+      |  regexp_matches(p_type, '^(PROMO|ECONOMY)') AS is_cheap_type,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+      |FROM part WHERE p_partkey % 37 = 0""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q52_tokenize — BPE-ish regex tokenization (word pieces + digits +
   // punctuation runs), the standard pre-tokenizer shape, over documents.
   // Same RE semantics in Java regex and RE2 for this pattern.
