@@ -79,6 +79,7 @@ object SparkEntry {
     "q56_weighted_mean"  -> (Stats.q56WeightedMean _),
     "q57_unpivot"        -> (Misc.q57Unpivot _),
     "q58_regex"          -> (Misc.q58Regex _),
+    "q59_map_hof"        -> (Misc.q59MapHof _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -143,5 +144,6 @@ object SparkEntry {
     "q56_weighted_mean"  -> Stats.q56WeightedMeanSql,
     "q57_unpivot"        -> Misc.q57UnpivotSql,
     "q58_regex"          -> Misc.q58RegexSql,
+    "q59_map_hof"        -> Misc.q59MapHofSql,
   )
 }

@@ -175,6 +175,46 @@ object Misc {
       |FROM part WHERE p_partkey % 37 = 0""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q59_map_hof — MapType + exists/forall higher-order predicates: a
+  // per-priority map of status→count (q49's pivot as a map value), keyed
+  // lookups, plus exists/forall over token arrays.
+  // ---------------------------------------------------------------------
+  def q59MapHof(s: SparkSession, dir: String): DataFrame = {
+    val statusMap = q49Pivot(s, dir).select(
+      col("o_orderpriority"),
+      map(lit("F"), col("n_f"), lit("O"), col("n_o"), lit("P"), col("n_p"))
+        .as("by_status"))
+    val lookups = statusMap.select(
+      col("o_orderpriority"),
+      element_at(col("by_status"), "F").as("f_count"),
+      size(map_keys(col("by_status"))).as("n_keys"))
+    val d = t(s, dir, "documents")
+    val w = split(col("text"), " ")
+    val hof = d.select(col("lang"),
+        exists(w, x => x === "the").as("has_the"),
+        forall(w, x => length(x) < 10).as("all_short"))
+      .groupBy(col("lang")).agg(
+        sum(when(col("has_the"), 1).otherwise(0)).as("n_has_the"),
+        sum(when(col("all_short"), 1).otherwise(0)).as("n_all_short"))
+    lookups.crossJoin(broadcast(hof))
+  }
+
+  val q59MapHofSql: String =
+    """WITH p AS (
+      |  SELECT o_orderpriority,
+      |    COUNT(*) FILTER (o_orderstatus = 'F') AS f_count,
+      |    3 AS n_keys
+      |  FROM orders GROUP BY o_orderpriority),
+      |h AS (
+      |  SELECT lang,
+      |    SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+      |          x -> x = 'the')) > 0 THEN 1 ELSE 0 END) AS n_has_the,
+      |    SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+      |          x -> NOT length(x) < 10)) = 0 THEN 1 ELSE 0 END) AS n_all_short
+      |  FROM documents GROUP BY lang)
+      |SELECT * FROM p CROSS JOIN h""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q52_tokenize — BPE-ish regex tokenization (word pieces + digits +
   // punctuation runs), the standard pre-tokenizer shape, over documents.
   // Same RE semantics in Java regex and RE2 for this pattern.
