@@ -54,6 +54,7 @@ object SparkEntry {
     "q35_embed_neardup"  -> (Dedup.q35EmbedNearDup _),
     // [EXT] similarity search
     "q36_cosine_topk"    -> (Similarity.q36CosineTopK _),
+    "q36b_topk_agg"      -> (Similarity.q36bTopKAgg _),
     "q37_ann_ivf"        -> (Similarity.q37AnnIvf _),
     "q39_embedding_stats" -> (Similarity.q39EmbeddingStats _),
     // [EXT] text analysis + multimodal
@@ -123,6 +124,7 @@ object SparkEntry {
     "q31_dedup_exact"    -> Dedup.q31DedupExactSql,
     "q33_ngram_jaccard"  -> Dedup.q33NgramJaccardSql,
     "q36_cosine_topk"    -> Similarity.q36CosineTopKSql,
+    "q36b_topk_agg"      -> Similarity.q36CosineTopKSql,
     "q39_embedding_stats" -> Similarity.q39EmbeddingStatsSql,
     "q40_text_stats"     -> TextAnalysis.q40TextStatsSql,
     "q41_quality_score"  -> TextAnalysis.q41QualityScoreSql,

@@ -131,6 +131,13 @@ object Dedup {
         array((0 until MinhashPerms).map(j => col(s"sig_$j")): _*).as("sig"))
   }
 
+  /** Pair expansion per bucket is O(size²) — a boilerplate-heavy corpus can
+    * produce one enormous bucket that dominates the whole job. Buckets
+    * above this cap are excluded from candidate generation (their docs
+    * still meet through their other B−1 bands, which is the standard
+    * mitigation; a capped bucket is near-useless for precision anyway). */
+  val MaxBucketSize = 1000
+
   def q32MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(t(s, dir, "documents")).cache()
     // band hash = xxhash64 over the band's slice + band id
@@ -139,8 +146,14 @@ object Dedup {
         xxhash64(bnd, concat_ws(",",
           slice(col("sig"), bnd * RowsPerBand + 1, lit(RowsPerBand)))))))
       .toDF("doc_id", "band", "bh")
-    val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
-    val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
+    // skew guard: drop pathologically hot buckets before pair expansion
+    val smallBuckets = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, MaxBucketSize))
+      .select(col("band"), col("bh"))
+    val bounded = banded.join(smallBuckets, Seq("band", "bh"), "left_semi")
+    val l = bounded.select(col("band"), col("bh"), col("doc_id").as("a"))
+    val r = bounded.select(col("band"), col("bh"), col("doc_id").as("b"))
     val cand = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     val sa = sig.select(col("doc_id").as("a"), col("sig").as("sig_a"))

@@ -55,6 +55,35 @@ object Similarity {
       |WHERE rnk <= 5""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q36b_topk_agg — the same exact top-k as q36, but via the bounded
+  // partial-heap Aggregator (graft.functions.TopKByScore) instead of a
+  // window sort: map-side partitions reduce to k rows before the shuffle,
+  // so shuffled volume is partitions×k instead of the whole candidate set.
+  // Checked against the SAME oracle as q36 — two implementations, one
+  // truth.
+  // ---------------------------------------------------------------------
+  def q36bTopKAgg(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = t(s, dir, "embeddings")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        expr("cosine_sim(q_emb, embedding)").as("score"),
+        col("vec_id").as("id"))
+    val topk = udaf(new graft.functions.TopKByScore(5),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.ScoredId]())
+    scored.groupBy(col("q_id"))
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).as("rnk"),
+        col("col.id").as("vec_id"))
+  }
+
+  // ---------------------------------------------------------------------
   // q37_ann_ivf — IVF-style ANN: partition the corpus into 16 cells by
   // nearest deterministic pseudo-random centroid, probe the 4 nearest
   // cells per query, exact-rerank within. Trades recall for touching only

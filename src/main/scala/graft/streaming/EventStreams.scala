@@ -66,6 +66,16 @@ object EventStreams {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup: at-least-once upstream delivery (the reference's
+    * model — its fetcher exists precisely because redelivery happens) means
+    * duplicate events; dedup keyed on event id with a watermark so the
+    * dedup state is dropped once an id can no longer recur. State size =
+    * ids within the watermark horizon, not the whole stream. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks from the preceding hour. Both sides carry watermarks so the
     * join state is bounded — Spark can discard click state older than

@@ -99,6 +99,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup collapses redelivered events, keeps state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = EventStreams.dedupedEvents(
+        mem.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows)      // original delivery
+      q.processAllAvailable()
+      mem.addData(rows.take(200)) // partial redelivery (at-least-once)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dedup").count() == rows.size.toLong)
+    assert(spark.table("dedup").select("event_id").distinct().count()
+      == rows.size.toLong)
+  }
+
   test("stream-stream interval join matches the batch formulation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
