@@ -81,6 +81,8 @@ object SparkEntry {
     "q57_unpivot"        -> (Misc.q57Unpivot _),
     "q58_regex"          -> (Misc.q58Regex _),
     "q59_map_hof"        -> (Misc.q59MapHof _),
+    "q60_range_frame"    -> (Windows.q60RangeFrame _),
+    "q61_hybrid_search"  -> (Similarity.q61HybridSearch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -147,5 +149,7 @@ object SparkEntry {
     "q57_unpivot"        -> Misc.q57UnpivotSql,
     "q58_regex"          -> Misc.q58RegexSql,
     "q59_map_hof"        -> Misc.q59MapHofSql,
+    "q60_range_frame"    -> Windows.q60RangeFrameSql,
+    "q61_hybrid_search"  -> Similarity.q61HybridSearchSql,
   )
 }

@@ -133,6 +133,46 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // q61_hybrid_search — text filter + vector rank, the standard RAG
+  // retrieval shape: restrict documents by a token predicate, join their
+  // embeddings (doc_id ≍ vec_id), rank by cosine to a query vector
+  // (vec_id 0), return integer-only (rank, doc_id). Filter prunes before
+  // any vector math; the query embedding is broadcast.
+  // ---------------------------------------------------------------------
+  def q61HybridSearch(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val docs = t(s, dir, "documents")
+      .filter(col("text").contains("spark"))
+      .select(col("doc_id"))
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val scored = docs
+      .join(emb, col("doc_id") === col("vec_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"), expr("cosine_sim(q_emb, embedding)").as("sim"))
+    // top-10 via orderBy+limit → TakeOrderedAndProject (per-partition heap
+    // + driver merge); the rank window then runs over only 10 rows — never
+    // a global sort/window over the full scored set
+    val top = scored.orderBy(col("sim").desc, col("doc_id").asc).limit(10)
+    val w = Window.orderBy(col("sim").desc, col("doc_id").asc)
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("doc_id"))
+  }
+
+  val q61HybridSearchSql: String =
+    """SELECT rnk, doc_id FROM (
+      |  SELECT d.doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(
+      |        CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+      |      DESC, d.doc_id ASC) AS rnk
+      |  FROM documents d
+      |  JOIN embeddings e ON d.doc_id = e.vec_id
+      |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |  WHERE d.text LIKE '%spark%')
+      |WHERE rnk <= 10""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q39_embedding_stats — vector-column aggregation: per-label count and
   // exact-decimal mean of the L2 norm (higher-order fold over the array,
   // no UDF).

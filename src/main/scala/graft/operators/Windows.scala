@@ -108,6 +108,43 @@ object Windows {
       |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q60_range_frame — RANGE (value-based) frames: per customer, count and
+  // spend of orders in the 90 days *of event time* preceding each order —
+  // peers at the same timestamp are all included, so unlike ROWS frames no
+  // tie-breaking is needed. Plus percent_rank/cume_dist distribution
+  // functions over a totally-ordered window.
+  // ---------------------------------------------------------------------
+  def q60RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("od_s", unix_micros(col("o_orderdate").cast("timestamp"))
+        / lit(1000000L))
+    val ninetyDaysS = 90L * 86400L
+    val wRange = Window.partitionBy(col("o_custkey")).orderBy(col("od_s"))
+      .rangeBetween(-ninetyDaysS, Window.currentRow)
+    val wRank = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      count(lit(1)).over(wRange).as("n_90d"),
+      sumDecOver(col("o_totalprice"), wRange).as("spend_90d"),
+      round(percent_rank().over(wRank), 8).as("pr"),
+      round(cume_dist().over(wRank), 8).as("cd"))
+  }
+
+  val q60RangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  COUNT(*) OVER wr AS n_90d,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER wr AS DOUBLE)
+      |    AS spend_90d,
+      |  ROUND(PERCENT_RANK() OVER wk, 8) AS pr,
+      |  ROUND(CUME_DIST() OVER wk, 8) AS cd
+      |FROM (SELECT *, epoch_us(o_orderdate) // 1000000 AS od_s FROM orders)
+      |WINDOW wr AS (PARTITION BY o_custkey ORDER BY od_s
+      |              RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW),
+      |       wk AS (PARTITION BY o_custkey
+      |              ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q15_rollup — hierarchical subtotals + grand total with grouping_id.
   // ---------------------------------------------------------------------
   def q15Rollup(s: SparkSession, dir: String): DataFrame = {
