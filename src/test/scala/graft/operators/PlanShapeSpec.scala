@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Physical-plan regression guards: the scale properties argued in
+  * SCALING.md, machine-checked. If a refactor silently turns a broadcast
+  * star join into sort-merge, or breaks filter pushdown through the
+  * loader's repartition, these fail before any benchmark notices. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q6: filters and column pruning reach the parquet scan") {
+    val p = planOf(Relational.q6FilterAgg(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(500))
+    assert(p.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+        "l_discount:double,l_shipdate:timestamp_ntz>"), p.take(2000))
+  }
+
+  test("q5: star join is all-broadcast, no sort-merge") {
+    val p = planOf(Relational.q5MultiJoin(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast")
+  }
+
+  test("q12: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = planOf(Relational.q12TopK(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("q61: hybrid search top-k is TakeOrdered, query vector broadcast") {
+    val p = planOf(Similarity.q61HybridSearch(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query vector must broadcast")
+  }
+
+  test("q36: cosine expression participates in codegen (no UDF call)") {
+    val p = planOf(Similarity.q36CosineTopK(spark, sfDir))
+    assert(p.contains("cosine_sim"))
+    assert(!p.toLowerCase.contains("scalaudf"), "must not fall back to a UDF")
+  }
+}
