@@ -51,11 +51,13 @@ object SparkEntry {
     "q32_minhash_lsh"    -> (Dedup.q32MinhashLsh _),
     "q33_ngram_jaccard"  -> (Dedup.q33NgramJaccard _),
     "q34_simhash"        -> (Dedup.q34Simhash _),
+    "q34b_simhash_recall" -> (Dedup.q34bSimhashRecall _),
     "q35_embed_neardup"  -> (Dedup.q35EmbedNearDup _),
     // [EXT] similarity search
     "q36_cosine_topk"    -> (Similarity.q36CosineTopK _),
     "q36b_topk_agg"      -> (Similarity.q36bTopKAgg _),
     "q37_ann_ivf"        -> (Similarity.q37AnnIvf _),
+    "q37b_ann_exhaustive" -> (Similarity.q37bAnnExhaustive _),
     "q39_embedding_stats" -> (Similarity.q39EmbeddingStats _),
     // [EXT] text analysis + multimodal
     "q40_text_stats"     -> (TextAnalysis.q40TextStats _),
@@ -122,11 +124,16 @@ object SparkEntry {
     "q26c_asof_forward"  -> EventTime.q26cAsofForwardSql,
     // [EXT] — q32/q34/q35/q37 are hash-function-specific (xxhash64 / LSH),
     // not SQL-expressible in DuckDB → rows-only driver check; their
-    // semantics are spec-tested against exact counterparts (q33/q36).
+    // semantics are spec-tested against exact counterparts (q33/q36) AND
+    // gate-checked through derived oracles: q34b (exact pairs ∩ SimHash
+    // candidates ≡ exact pairs at recall 1.0) and q37b (full-probe IVF ≡
+    // exact brute force).
     "q31_dedup_exact"    -> Dedup.q31DedupExactSql,
     "q33_ngram_jaccard"  -> Dedup.q33NgramJaccardSql,
+    "q34b_simhash_recall" -> Dedup.q34bSimhashRecallSql,
     "q36_cosine_topk"    -> Similarity.q36CosineTopKSql,
     "q36b_topk_agg"      -> Similarity.q36CosineTopKSql,
+    "q37b_ann_exhaustive" -> Similarity.q36CosineTopKSql,
     "q39_embedding_stats" -> Similarity.q39EmbeddingStatsSql,
     "q40_text_stats"     -> TextAnalysis.q40TextStatsSql,
     "q41_quality_score"  -> TextAnalysis.q41QualityScoreSql,

@@ -26,11 +26,20 @@ object Tables {
   private val spreadTables =
     Set("lineitem", "orders", "events", "documents", "embeddings")
 
+  /** Gate for the local-harness repartition above. At production scale the
+    * scan already arrives in many splits and a blanket repartition is an
+    * extra full-network pass of every surviving row — so the default is
+    * OFF; the local bench/verify harness opts in. */
+  val SpreadScansKey = "spark.graft.spreadScans"
+
+  private def spreadScans(spark: SparkSession): Boolean =
+    spark.conf.getOption(SpreadScansKey).exists(_.toBoolean)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df =
       if (name == "events") loadEvents(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet")
-    if (spreadTables(name))
+    if (spreadScans(spark) && spreadTables(name))
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }
@@ -50,8 +59,15 @@ object Tables {
           .cast("timestamp_ntz"))
   }
 
+  /** Last directory registered per session, so repeated SQL-surface calls
+    * don't re-list and re-read 10 tables' footers per query. */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Register every table as a temp view so `spark.sql` works against the
-    * same names DuckDB sees in the oracle. */
+    * same names DuckDB sees in the oracle. Idempotent per (session, dir):
+    * re-registration only happens when the directory changes. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (registeredDir.put(spark, dir) != dir)
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

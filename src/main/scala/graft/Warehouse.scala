@@ -26,19 +26,37 @@ object Warehouse {
       parallelism: Int = 32,
       /** also rewrite synced tables to the splittable Parquet canonical
         * layer (beyond-reference; recommended for analytic workloads) */
-      canonicalize: Boolean = false)
+      canonicalize: Boolean = false,
+      /** Summary notification hook — the reference publishes every sync
+        * summary to an SNS email topic (`sync-canvas-data-files.py:141-145`,
+        * topic `cloud_formation/canvas_data_aws.yaml:68-78`); plug a mailer/
+        * webhook here. Default logs at INFO. */
+      onSummary: Sync.SyncSummary => Unit = logSummary)
+
+  /** Default notification sink: structured log line (the SNS analog when no
+    * transport is configured). */
+  def logSummary(s: Sync.SyncSummary): Unit =
+    org.slf4j.LoggerFactory.getLogger(classOf[Warehouse]).info(
+      s"sync summary: total=${s.totalFiles} fetched=${s.fetched} " +
+        s"skipped=${s.skipped} removed=${s.removed} failed=${s.failed} " +
+        s"tablesCreated=${s.tablesCreated} tablesUpdated=${s.tablesUpdated} " +
+        s"dryRun=${s.dryRun}" +
+        (if (s.failedKeys.nonEmpty)
+           s" failedKeys=${s.failedKeys.mkString(",")}" else ""))
 }
 
 final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
 
   /** One sync run: diff → fetch → stale-delete → catalog upsert (+ optional
-    * canonicalize). Idempotent; re-running converges. */
+    * canonicalize) → summary notification. Idempotent; re-running
+    * converges. */
   def sync(manifest: Seq[Sync.ManifestEntry],
       schema: Seq[CDTable]): Sync.SyncSummary = {
     val summary = Sync.run(spark, cfg.warehouseDir, manifest, schema,
       cfg.db, cfg.dryRun, cfg.parallelism)
     if (cfg.canonicalize && !cfg.dryRun)
       schema.foreach(t => Canonicalize.canonicalize(spark, cfg.warehouseDir, t))
+    cfg.onSummary(summary)
     summary
   }
 

@@ -8,13 +8,22 @@ import graft.model.{CDTable, TypeLattice}
   * `create_or_update_table` (`sync-canvas-data-files.py:170-235`) builds a
   * Glue external-table descriptor — location, TSV SerDe, typed columns with
   * comments — and create-or-updates it. Here the catalog is the Spark
-  * session catalog and the descriptor is `CREATE TABLE ... USING CSV`.
+  * session catalog and the descriptor is `CREATE TABLE ... USING
+  * graft.sources.lazytsv` — the repo's own LazySimpleSerDe-exact source
+  * ([[graft.sources.lazytsv.DefaultSource]]), so `spark.table(name)` and
+  * `TsvSource.read` agree byte-for-byte (the builtin CSV reader collapses
+  * unquoted empty strings to NULL, violating the SerDe contract).
   *
   * Semantics preserved:
-  *  - full-replace upsert: create, and on AlreadyExists re-push the whole
-  *    definition (the reference calls `update_table` with a fresh
-  *    TableInput, `:229-235`) — implemented as DROP + CREATE, which is what
-  *    full-replace means without Glue's versioning;
+  *  - full-replace upsert: the reference calls `update_table` with a fresh
+  *    TableInput (`:229-235`), which Glue applies atomically. The v1
+  *    session catalog has no single-statement replace (`CREATE OR REPLACE
+  *    TABLE` is v2-only), so the swap is staged: CREATE the new definition
+  *    under `<name>__staging` first (fully validated before anything is
+  *    touched), then DROP + RENAME. A crash between those two statements
+  *    leaves the complete new definition under the staging name — never
+  *    lost — and [[recover]] (run automatically at the start of every
+  *    upsert) completes the interrupted swap;
   *  - column and table comments carried (`:172,206-216`);
   *  - schema evolution = next sync pushes the new definition; files under
   *    a changed schema mis-parse the same way they would in Athena.
@@ -27,9 +36,12 @@ object CatalogSync {
   /** Quote/escape a comment for DDL. */
   private def q(s: String): String = s.replace("'", "''")
 
+  private def stagingName(table: String): String = table + "__staging"
+
   /** Build the CREATE TABLE statement for a CD table over a TSV location —
     * the analog of the reference's TableInput dict (`:174-218`). */
-  def createTableDdl(db: String, t: CDTable, location: String): String = {
+  def createTableDdl(db: String, t: CDTable, location: String,
+      nameOverride: Option[String] = None): String = {
     val cols = t.columns.map { c =>
       val comment = c.description
         .map(d => s" COMMENT '${q(d.take(254))}'").getOrElse("")
@@ -37,18 +49,26 @@ object CatalogSync {
     }.mkString(",\n")
     val tblComment = t.description
       .map(d => s"\nCOMMENT '${q(d.take(254))}'").getOrElse("")
-    s"""CREATE TABLE `$db`.`${t.tableName}` (
+    val name = nameOverride.getOrElse(t.tableName)
+    s"""CREATE TABLE `$db`.`$name` (
        |$cols
        |)
-       |USING CSV
-       |OPTIONS (
-       |  sep '\\t',
-       |  nullValue '\\\\N',
-       |  quote '\\u0000',
-       |  header 'false',
-       |  mode 'PERMISSIVE'
-       |)$tblComment
+       |USING graft.sources.lazytsv$tblComment
        |LOCATION '$location'""".stripMargin
+  }
+
+  /** Complete a swap interrupted between DROP and RENAME: if the table is
+    * absent but its staging twin exists, the staging definition IS the
+    * intended new table — promote it. Returns true if a recovery ran. */
+  def recover(spark: SparkSession, db: String, table: String): Boolean = {
+    val main = s"`$db`.`$table`"
+    val stag = s"`$db`.`${stagingName(table)}`"
+    val mainExists = spark.catalog.tableExists(main)
+    val stagExists = spark.catalog.tableExists(stag)
+    if (!mainExists && stagExists) {
+      spark.sql(s"ALTER TABLE $stag RENAME TO `$db`.`$table`")
+      true
+    } else false
   }
 
   /** Create-or-update, returning "created" | "updated" exactly like the
@@ -56,10 +76,18 @@ object CatalogSync {
   def createOrUpdateTable(
       spark: SparkSession, db: String, t: CDTable, location: String): String = {
     ensureDatabase(spark, db)
-    val exists = spark.catalog.tableExists(s"`$db`.`${t.tableName}`")
-    if (exists) {
-      spark.sql(s"DROP TABLE `$db`.`${t.tableName}`")
-      spark.sql(createTableDdl(db, t, location))
+    recover(spark, db, t.tableName)
+    val main = s"`$db`.`${t.tableName}`"
+    val stag = s"`$db`.`${stagingName(t.tableName)}`"
+    if (spark.catalog.tableExists(main)) {
+      // full-replace via staged swap: validate the new DDL completely
+      // before the live table is touched (tables are external — LOCATION
+      // pinned — so every step is metadata-only, no data moves).
+      spark.sql(s"DROP TABLE IF EXISTS $stag")
+      spark.sql(createTableDdl(db, t, location,
+        nameOverride = Some(stagingName(t.tableName))))
+      spark.sql(s"DROP TABLE $main")
+      spark.sql(s"ALTER TABLE $stag RENAME TO `$db`.`${t.tableName}`")
       "updated"
     } else {
       spark.sql(createTableDdl(db, t, location))

@@ -172,10 +172,28 @@ object Dedup {
   // signature is the sign of the sum of (2*bit_i(xxhash64(shingle)) - 1)
   // over the doc's shingles. (Features are shingles, not words: with a
   // small vocabulary the distinct-word *set* is near-identical across all
-  // docs, which would collapse every SimHash.) Near-dup candidates share
-  // one of 8 8-bit bands (pigeonhole: any pair with Hamming ≤ 7 is
-  // guaranteed a clean band); verified by Hamming ≤ 10 via bit_count(xor).
-  // Rows-only oracle (hash-specific); spec-tested against planted pairs.
+  // docs, which would collapse every SimHash.)
+  //
+  // Candidate generation is the block-combination scheme from Manku et
+  // al., "Detecting Near-Duplicates for Web Crawling" (WWW '07): split
+  // the 64-bit signature into 12 blocks (8×5 + 4×6 bits) and key
+  // candidates on every PAIR of blocks — C(12,2) = 66 tables with
+  // 10–12-bit keys. Pigeonhole: a pair within the Hamming-≤10
+  // verification threshold dirties at most 10 blocks, leaving ≥ 2 of 12
+  // clean, so some pair-table matches — candidate recall is GUARANTEED
+  // for every pair the verifier would accept, making the operator
+  // deterministically "all pairs with Hamming ≤ 10" (gate-checked via
+  // the q34b derived oracle; planted exact pairs reach Hamming 9).
+  // Versus naive 8 single-block bands (256 buckets/band → n/256 docs per
+  // bucket → ~n²/32 candidate pairs), the ~2^11-value keys shrink
+  // buckets ~8–16× per table and pair expansion tracks true collisions;
+  // hot buckets (boilerplate-heavy corpora) are excluded by the same
+  // MaxBucketSize semi-join guard as MinHash-LSH. At corpora where
+  // n/2^11 outgrows the cap, widen keys by raising the combination order
+  // (block triples: C(12,3)=220 tables, 15–18-bit keys, guarantee ≤ 9) —
+  // same code shape. Verified by Hamming ≤ 10 via bit_count(xor).
+  // Rows-only oracle for q34 itself (hash-specific); recall is
+  // oracle-gated through q34b and spec-tested against planted pairs.
   // ---------------------------------------------------------------------
   def simhash64(d: DataFrame): DataFrame = {
     val ex = shingleRows(d).withColumn("h", xxhash64(col("s")))
@@ -189,16 +207,33 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
+  /** 12 block widths (bits) summing to 64; offsets are running sums. */
+  private val SimhashBlockBits = Array(5, 5, 5, 5, 5, 5, 5, 5, 6, 6, 6, 6)
+  private val SimhashBlockOffsets = SimhashBlockBits.scanLeft(0)(_ + _)
+
   def q34Simhash(s: SparkSession, dir: String): DataFrame = {
     val sh = simhash64(t(s, dir, "documents")).cache()
-    val bandCols = (0 until 8).map(bnd =>
-      shiftright(col("simhash"), bnd * 8).bitwiseAND(0xFFL))
+    def block(i: Int): Column =
+      shiftright(col("simhash"), SimhashBlockOffsets(i))
+        .bitwiseAND((1L << SimhashBlockBits(i)) - 1)
+    // 66 block-pair tables: key = both blocks' signature content
+    val nb = SimhashBlockBits.length
+    val pairKeys = for { i <- 0 until nb; j <- (i + 1) until nb } yield
+      shiftleft(block(i), SimhashBlockBits(j)).bitwiseOR(block(j))
     val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array(bandCols: _*)))
+      posexplode(array(pairKeys: _*)))
       .toDF("doc_id", "simhash", "band", "bh")
-    val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"),
+    // skew guard: identical to MinHash-LSH — a bucket larger than
+    // MaxBucketSize is boilerplate collapse; its docs still meet through
+    // their other 65 tables.
+    val smallBuckets = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, MaxBucketSize))
+      .select(col("band"), col("bh"))
+    val bounded = banded.join(smallBuckets, Seq("band", "bh"), "left_semi")
+    val l = bounded.select(col("band"), col("bh"), col("doc_id").as("a"),
       col("simhash").as("ha"))
-    val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"),
+    val r = bounded.select(col("band"), col("bh"), col("doc_id").as("b"),
       col("simhash").as("hb"))
     l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
@@ -206,6 +241,34 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= 10)
   }
+
+  // ---------------------------------------------------------------------
+  // q34b_simhash_recall — DERIVED ORACLE for SimHash: the exact
+  // trigram-Jaccard pairs (q33, SQL-expressible) that SimHash banding
+  // also surfaces. Equal to q33's pair list iff SimHash recall over the
+  // planted corpus is 1.0 — so the engine-specific operator gets a real
+  // DuckDB-checked gate: any banding/signature regression shrinks the
+  // intersection and hash-mismatches. (False-positive absence is
+  // spec-tested in DedupSpec; it isn't SQL-expressible.)
+  // ---------------------------------------------------------------------
+  def q34bSimhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val sh = q34Simhash(s, dir).select(col("a"), col("b"))
+    val exact = q33NgramJaccard(s, dir).select(col("a"), col("b"))
+    exact.join(sh, Seq("a", "b"), "left_semi")
+  }
+
+  val q34bSimhashRecallSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         list_aggregate(w[i:i+2], 'string_agg', '_') AS s
+      |       FROM t, UNNEST(range(1, len(w) - 1)) AS g(i)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |c AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+      |      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |      GROUP BY x.doc_id, y.doc_id)
+      |SELECT a, b
+      |FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6""".stripMargin
 
   // ---------------------------------------------------------------------
   // q35_embed_neardup — embedding-cosine near-dup via random-hyperplane

@@ -40,7 +40,7 @@ object EventTime {
 
   val q22JsonSql: String =
     """SELECT event_type,
-      |  SUM(k) AS sum_k, COUNT(k) AS n_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(k) AS n_k,
       |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
       |FROM (SELECT event_type,
       |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -77,7 +77,7 @@ object EventTime {
     e.groupBy(window(col("ts"), "1 hour", "30 minutes"))
       .agg(count(lit(1)).as("n_events"), sumDec(col("value")).as("sum_value"))
       .select(
-        (unix_micros(col("window.start").cast("timestamp")) / 1000000L)
+        unix_seconds(col("window.start").cast("timestamp"))
           .as("bucket_start_s"),
         col("n_events"), col("sum_value"))
   }

@@ -28,9 +28,9 @@ object Ingest {
   // ---------------------------------------------------------------------
   // q50_tsv_roundtrip — customer → gzip TSV (LazySimpleSerDe layout) →
   // catalog external table → aggregate. Exercises TsvSource.write, the
-  // CREATE TABLE ... USING CSV descriptor, catalog resolution, and the
-  // type lattice; values must survive text round-trip bit-exactly
-  // (Double.toString/parse is an identity round-trip).
+  // CREATE TABLE ... USING graft.sources.lazytsv descriptor, catalog
+  // resolution, and the type lattice; values must survive text round-trip
+  // bit-exactly (Double.toString/parse is an identity round-trip).
   // ---------------------------------------------------------------------
   def q50TsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val wh = Files.createTempDirectory("graft_rt").toString

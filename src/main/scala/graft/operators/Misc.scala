@@ -97,12 +97,12 @@ object Misc {
     """SELECT c_mktsegment,
       |  COUNT(*) AS n_rows,
       |  COUNT(o_orderkey) AS n_nonnull,
-      |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
-      |  SUM(CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'F'
-      |           THEN 1 ELSE 0 END) AS n_f_nullsafe,
-      |  SUM(CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL
+      |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  CAST(SUM(CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'F'
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_f_nullsafe,
+      |  CAST(SUM(CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL
       |            AND o_orderkey IS NOT NULL
-      |           THEN 1 ELSE 0 END) AS n_o_via_nullif,
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_o_via_nullif,
       |  MAX(COALESCE(o_orderstatus, 'NONE')) AS max_status
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_mktsegment""".stripMargin
@@ -207,10 +207,10 @@ object Misc {
       |  FROM orders GROUP BY o_orderpriority),
       |h AS (
       |  SELECT lang,
-      |    SUM(CASE WHEN len(list_filter(string_split(text, ' '),
-      |          x -> x = 'the')) > 0 THEN 1 ELSE 0 END) AS n_has_the,
-      |    SUM(CASE WHEN len(list_filter(string_split(text, ' '),
-      |          x -> NOT length(x) < 10)) = 0 THEN 1 ELSE 0 END) AS n_all_short
+      |    CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+      |          x -> x = 'the')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_has_the,
+      |    CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+      |          x -> NOT length(x) < 10)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_all_short
       |  FROM documents GROUP BY lang)
       |SELECT * FROM p CROSS JOIN h""".stripMargin
 
@@ -232,9 +232,9 @@ object Misc {
 
   val q52TokenizeSql: String =
     """SELECT lang,
-      |  SUM(len(toks)) AS total_tokens,
-      |  SUM(len(list_distinct(toks))) AS sum_distinct_tokens,
-      |  MAX(len(toks)) AS max_tokens
+      |  CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS sum_distinct_tokens,
+      |  CAST(MAX(len(toks)) AS INT) AS max_tokens
       |FROM (
       |  SELECT lang,
       |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+', 0) AS toks

@@ -61,6 +61,8 @@ object Multimodal {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
       |  CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
-      |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
+      |  CASE WHEN octet_length(encode(text)) = 0 THEN CAST(-1 AS BIGINT)
+      |       ELSE CAST(('0x' || substring(hex(encode(text)), 1, 2)) AS BIGINT)
+      |  END AS first_byte
       |FROM documents""".stripMargin
 }

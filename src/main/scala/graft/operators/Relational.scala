@@ -336,14 +336,14 @@ object Relational {
     """SELECT o_orderkey,
       |  CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS prio_num,
       |  LOWER(o_orderstatus) AS status_lc,
-      |  LENGTH(o_orderpriority) AS prio_len,
-      |  EXTRACT(year FROM o_orderdate) AS o_year,
-      |  EXTRACT(month FROM o_orderdate) AS o_month,
-      |  EXTRACT(day FROM o_orderdate) AS o_day,
+      |  CAST(LENGTH(o_orderpriority) AS INT) AS prio_len,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+      |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS o_day,
       |  o_orderkey % 7 AS key_mod7,
       |  ABS(o_totalprice - 100000.0) AS price_dev,
-      |  FLOOR(o_totalprice) AS price_floor,
-      |  CEIL(o_totalprice) AS price_ceil
+      |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+      |  CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil
       |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -362,9 +362,9 @@ object Relational {
 
   val q19CaseWhenSql: String =
     """SELECT o_orderpriority,
-      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
       |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(30,4))) AS DOUBLE) AS spend_f
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 

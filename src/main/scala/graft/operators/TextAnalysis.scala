@@ -47,8 +47,9 @@ object TextAnalysis {
   val q40TextStatsSql: String = {
     val inList = stopwords.map(w => s"'$w'").mkString(", ")
     s"""SELECT lang, COUNT(*) AS n_docs,
-       |  SUM(n_tokens) AS sum_tokens, SUM(n_chars_m) AS sum_chars,
-       |  SUM(n_stop) AS sum_stop,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(n_chars_m) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(n_stop) AS BIGINT) AS sum_stop,
        |  CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_tokens) AS distinct_ratio
        |FROM (
        |  SELECT lang,

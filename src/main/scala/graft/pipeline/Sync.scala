@@ -51,7 +51,12 @@ object Sync {
   final case class FetchTask(key: String, url: String)
 
   /** The reference's run summary (`:131-139`), minus the reinvocation
-    * counter (no time cap to continue around). */
+    * counter (no time cap to continue around), plus per-file failure
+    * accounting: unlike one Lambda-per-file (where a failed fetch dies
+    * alone, `fetch-canvas-data-file.py`), a Spark task covers many files —
+    * so failures are caught per file, reported here, and the run completes;
+    * re-running converges (failed keys are still absent, so they are
+    * re-planned as toFetch). */
   final case class SyncSummary(
       totalFiles: Long,
       fetched: Long,
@@ -59,7 +64,12 @@ object Sync {
       removed: Long,
       tablesCreated: Long,
       tablesUpdated: Long,
-      dryRun: Boolean)
+      dryRun: Boolean,
+      failed: Long = 0L,
+      failedKeys: Seq[String] = Seq.empty)
+
+  /** Outcome of the fetch fan-out. */
+  final case class FetchResult(fetched: Long, failedKeys: Seq[String])
 
   val RawPrefix = "raw_files"
   private val ChunkSize = 8 * 1024 * 1024 // 8 MiB, fetch-canvas-data-file.py:20
@@ -117,56 +127,85 @@ object Sync {
     */
   def fetchAll(spark: SparkSession, warehouseDir: String,
       toFetch: Dataset[FetchTask], parallelism: Int = 32,
-      dryRun: Boolean = false): Long = {
+      dryRun: Boolean = false): FetchResult = {
     val fetchedAcc: LongAccumulator =
       spark.sparkContext.longAccumulator("fetched")
+    val failedAcc =
+      spark.sparkContext.collectionAccumulator[String]("failedKeys")
     if (dryRun) {
       toFetch.collect().foreach(t =>
         println(s"[dry-run] would fetch ${t.url} -> ${t.key}"))
-      0L
+      FetchResult(0L, Seq.empty)
     } else {
       toFetch.repartition(parallelism).foreachPartition {
         (it: Iterator[FetchTask]) =>
           val conf = new Configuration()
           val fs = FileSystem.get(new URI(warehouseDir), conf)
+          val log = org.slf4j.LoggerFactory.getLogger(Sync.getClass)
           it.foreach { task =>
             val target = new Path(s"$warehouseDir/${task.key}")
-            // A14 idempotency guard (fetch-canvas-data-file.py:25-31)
-            if (!fs.exists(target)) {
-              val tmp = new Path(target.getParent,
-                s".${target.getName}.inprogress")
-              val in = new BufferedInputStream(
-                new java.net.URI(task.url).toURL.openStream(), ChunkSize)
-              try {
-                val out = new BufferedOutputStream(fs.create(tmp, true), ChunkSize)
+            val tmp = new Path(target.getParent,
+              s".${target.getName}.inprogress")
+            // Failure isolation: one bad URL must not abort the whole
+            // partition (one failed fetch Lambda doesn't kill the
+            // reference's run either) — catch per file, report in the
+            // summary, converge on re-run.
+            try {
+              // A14 idempotency guard (fetch-canvas-data-file.py:25-31)
+              if (!fs.exists(target)) {
+                val in = new BufferedInputStream(
+                  new java.net.URI(task.url).toURL.openStream(), ChunkSize)
                 try {
-                  val buf = new Array[Byte](ChunkSize)
-                  var n = in.read(buf)
-                  while (n >= 0) {
-                    if (n > 0) out.write(buf, 0, n) // skip keep-alive chunks
-                    n = in.read(buf)
+                  val out = new BufferedOutputStream(fs.create(tmp, true), ChunkSize)
+                  try {
+                    val buf = new Array[Byte](ChunkSize)
+                    var n = in.read(buf)
+                    while (n >= 0) {
+                      if (n > 0) out.write(buf, 0, n) // skip keep-alive chunks
+                      n = in.read(buf)
+                    }
+                  } finally out.close()
+                  // atomic publish: a half-written file never becomes state
+                  if (fs.rename(tmp, target)) fetchedAcc.add(1L)
+                  else {
+                    log.warn(s"fetch ${task.key}: publish rename failed")
+                    failedAcc.add(task.key)
+                    fs.delete(tmp, false)
                   }
-                } finally out.close()
-                // atomic publish: a half-written file never becomes state
-                if (!fs.rename(tmp, target)) fs.delete(tmp, false)
-                else fetchedAcc.add(1L)
-              } finally in.close()
+                } finally in.close()
+              }
+            } catch {
+              case e: Exception =>
+                log.warn(s"fetch ${task.key} failed: ${e.getMessage}")
+                failedAcc.add(task.key)
+                try fs.delete(tmp, false) catch { case _: Exception => () }
             }
           }
       }
-      fetchedAcc.value
+      import scala.jdk.CollectionConverters._
+      FetchResult(fetchedAcc.value,
+        failedAcc.value.asScala.toSeq.distinct.sorted)
     }
   }
 
-  /** A9 — stale delete: state keys no longer in the manifest. */
-  def deleteStale(warehouseDir: String, toDelete: Seq[String],
-      dryRun: Boolean = false): Long = {
+  /** A9 — stale delete: state keys no longer in the manifest, deleted
+    * task-parallel (a daily manifest is small, but the 100 TB framing says
+    * never collect an unbounded key list to the driver). */
+  def deleteStale(spark: SparkSession, warehouseDir: String,
+      toDelete: Dataset[String], dryRun: Boolean = false): Long = {
     if (dryRun) {
-      toDelete.foreach(k => println(s"[dry-run] would delete $k"))
+      toDelete.collect().foreach(k => println(s"[dry-run] would delete $k"))
       0L
     } else {
-      val fs = FileSystem.get(new URI(warehouseDir), new Configuration())
-      toDelete.count(k => fs.delete(new Path(s"$warehouseDir/$k"), false))
+      val removedAcc = spark.sparkContext.longAccumulator("removed")
+      toDelete.foreachPartition { (it: Iterator[String]) =>
+        val fs = FileSystem.get(new URI(warehouseDir), new Configuration())
+        it.foreach { k =>
+          if (fs.delete(new Path(s"$warehouseDir/$k"), false))
+            removedAcc.add(1L)
+        }
+      }
+      removedAcc.value
     }
   }
 
@@ -187,10 +226,9 @@ object Sync {
 
     val toFetchCount = p.toFetch.count()
     val skipped = p.toSkip.count()
-    val toDelete = p.toDelete.collect().toSeq
 
-    val fetched = fetchAll(spark, warehouseDir, p.toFetch, parallelism, dryRun)
-    val removed = deleteStale(warehouseDir, toDelete, dryRun)
+    val fetch = fetchAll(spark, warehouseDir, p.toFetch, parallelism, dryRun)
+    val removed = deleteStale(spark, warehouseDir, p.toDelete, dryRun)
 
     var created = 0L
     var updated = 0L
@@ -205,11 +243,13 @@ object Sync {
     }
     SyncSummary(
       totalFiles = manifest.size.toLong,
-      fetched = if (dryRun) toFetchCount else fetched,
+      fetched = if (dryRun) toFetchCount else fetch.fetched,
       skipped = skipped,
       removed = removed,
       tablesCreated = created,
       tablesUpdated = updated,
-      dryRun = dryRun)
+      dryRun = dryRun,
+      failed = fetch.failedKeys.size.toLong,
+      failedKeys = fetch.failedKeys)
   }
 }

@@ -4,7 +4,8 @@ import java.net.URI
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Record-level upsert (MERGE INTO semantics) over an immutable parquet
   * dataset — the record-grained extension of the reference's file-grained
@@ -15,10 +16,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   update rows are inserted; everything else is carried over.
   *
   * Implementation is copy-on-write: `target LEFT ANTI updates ∪ updates`
-  * rewritten to a temp dir, then swapped in. One shuffle on the key. The
-  * swap (delete + rename) is not crash-atomic across both steps — a real
-  * deployment layers a table format (Iceberg/Delta) or a manifest pointer
-  * over it; the dataflow (anti-join + union + rewrite) is identical there.
+  * rewritten to a temp dir, then swapped in. One shuffle on the key.
+  *
+  * Swap ordering minimizes the data-loss window: the live dataset is
+  * renamed ASIDE first (`path → path.__old`), the rewrite renamed in, and
+  * only then is the old dir deleted — at every step at least one complete
+  * copy exists, and a failed swap-in restores the old dir. A crash can at
+  * worst leave the data under `path.__old` (recovered by [[recoverSwap]],
+  * which runs automatically at the start of every merge). Single-statement
+  * atomicity needs a manifest pointer or a table format (Iceberg/Delta) —
+  * the dataflow (anti-join + union + rewrite) is identical there.
+  *
+  * Like SQL MERGE, update rows must be key-distinct — a multi-matching
+  * source is rejected rather than silently inserting duplicates.
   *
   * At scale, partition the dataset and rewrite only partitions containing
   * update keys (partition pruning on the anti-join side).
@@ -27,29 +37,61 @@ object Upsert {
 
   final case class MergeSummary(updated: Long, inserted: Long, total: Long)
 
+  /** Complete a swap interrupted between rename-aside and rename-in: if
+    * nothing lives at `path` but `path.__old` exists, the old dataset is
+    * the last complete state — restore it. Returns true if recovery ran. */
+  def recoverSwap(spark: SparkSession, path: String): Boolean = {
+    val fs = FileSystem.get(new URI(path), new Configuration())
+    val dst = new Path(path)
+    val old = new Path(s"$path.__old")
+    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+    else false
+  }
+
   def mergeInto(
       spark: SparkSession,
       path: String,
       updates: DataFrame,
       keys: Seq[String]): MergeSummary = {
+    recoverSwap(spark, path)
     val target = spark.read.parquet(path)
-    require(target.columns.sameElements(updates.columns),
-      s"schema mismatch: ${target.columns.toSeq} vs ${updates.columns.toSeq}")
+    require(target.columns.toSet == updates.columns.toSet,
+      s"schema mismatch (by name): ${target.columns.sorted.toSeq} vs " +
+        s"${updates.columns.sorted.toSeq}")
+    // MERGE semantics: a source row may match at most one way — duplicate
+    // update keys would silently multiply rows, so reject them up front.
+    val dupKeys = updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"updates contain duplicate merge keys on (${keys.mkString(", ")})")
 
     val updated = target.join(
       updates.selectExpr(keys: _*).distinct(), keys, "left_semi").count()
     val inserted = updates.join(target, keys, "left_anti").count()
+    // total rows observed during the rewrite itself — no post-swap rescan
+    val obs = new Observation("merge_total")
     val merged = target.join(updates, keys, "left_anti")
       .unionByName(updates)
+      .observe(obs, count(lit(1)).as("total"))
 
-    val tmp = s"$path.__merge_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+    val tmp = new Path(s"$path.__merge_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val total = obs.get("total").asInstanceOf[Long]
+
     val fs = FileSystem.get(new URI(path), new Configuration())
     val dst = new Path(path)
-    fs.delete(dst, true)
-    if (!fs.rename(new Path(tmp), dst))
-      throw new java.io.IOException(s"merge swap failed for $path")
+    val old = new Path(s"$path.__old")
+    fs.delete(old, true) // leftover from a crashed-but-completed swap
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"merge swap: cannot move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // restore the last complete state
+      throw new java.io.IOException(s"merge swap failed for $path; restored")
+    }
+    if (!fs.delete(old, true))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"merge swap: could not remove old copy at $old")
 
-    MergeSummary(updated, inserted, spark.read.parquet(path).count())
+    MergeSummary(updated, inserted, total)
   }
 }

@@ -111,27 +111,51 @@ object EventStreams {
   /** mapGroupsWithState sessionizer: per user, counts sessions split on a
     * 30-minute gap and reports the running total after every micro-batch.
     * Demonstrates the custom-state API (the escape hatch when
-    * session_window's fixed semantics aren't enough). */
-  def statefulSessionCount(events: Dataset[Ev]): Dataset[UserSessionUpdate] = {
+    * session_window's fixed semantics aren't enough).
+    *
+    * State is TTL-evicted in EVENT time: on an unbounded user keyspace,
+    * NoTimeout state grows forever. A user's state expires once the
+    * watermark passes their last event + `stateTtlMs` — bounding total
+    * state at (users active within the TTL window). Event-time (not
+    * processing-time) timeout is deliberate twice over: eviction is
+    * replay-deterministic, and processing-time timeouts make the engine
+    * run no-data micro-batches continuously (its shouldRunAnotherBatch is
+    * always true), which burns cluster time between data arrivals.
+    * Eviction is a semantic trade — a user returning after the TTL
+    * restarts their running counters (their in-progress session had long
+    * since closed: TTL ≥ the session gap); size the TTL to the longest
+    * absence whose running totals you care to preserve. */
+  def statefulSessionCount(events: Dataset[Ev],
+      watermarkDelay: String = "10 minutes",
+      stateTtlMs: Long = 2L * 3600 * 1000): Dataset[UserSessionUpdate] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserSessionState, UserSessionUpdate](
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[UserSessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(
-            UserSessionState(-1L, Long.MinValue / 4, 0L, 0L))
-          sorted.foreach { e =>
-            val us = e.ts.getTime * 1000
-            st =
-              if (us - st.lastUs > GapUs)
-                UserSessionState(us, us, 1L, st.nSessions + 1)
-              else
-                st.copy(lastUs = us, nEvents = st.nEvents + 1)
+          if (state.hasTimedOut) {
+            val last = state.getOption
+            state.remove()
+            UserSessionUpdate(user,
+              last.map(_.nSessions).getOrElse(0L), 0L)
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(
+              UserSessionState(-1L, Long.MinValue / 4, 0L, 0L))
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000
+              st =
+                if (us - st.lastUs > GapUs)
+                  UserSessionState(us, us, 1L, st.nSessions + 1)
+                else
+                  st.copy(lastUs = us, nEvents = st.nEvents + 1)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastUs / 1000 + stateTtlMs)
+            UserSessionUpdate(user, st.nSessions, st.nEvents)
           }
-          state.update(st)
-          UserSessionUpdate(user, st.nSessions, st.nEvents)
       }
   }
 }

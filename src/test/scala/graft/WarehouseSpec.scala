@@ -33,11 +33,15 @@ class WarehouseSpec extends SparkSpec {
 
     val whDir = Files.createTempDirectory("wh_root").toUri.toString
       .stripSuffix("/")
+    val notified = scala.collection.mutable.ArrayBuffer
+      .empty[pipeline.Sync.SyncSummary]
     val wh = new Warehouse(spark,
       Warehouse.Config(whDir, db = "cd_wh", parallelism = 2,
-        canonicalize = true))
+        canonicalize = true, onSummary = notified += _))
     val s1 = wh.sync(manifest, schema)
     assert(s1.fetched == 2 && s1.tablesCreated == 2)
+    // the notification hook (SNS analog) fired with the run's counts
+    assert(notified.toSeq == Seq(s1))
 
     val res = wh.sql(
       """SELECT c.account_id, COUNT(*) AS n_enrollments,
@@ -56,5 +60,6 @@ class WarehouseSpec extends SparkSpec {
     // second sync is a no-op on data, full-replace on catalog
     val s2 = wh.sync(manifest, schema)
     assert(s2.fetched == 0 && s2.skipped == 2 && s2.tablesUpdated == 2)
+    assert(notified.toSeq == Seq(s1, s2))
   }
 }

@@ -10,13 +10,12 @@ class CatalogSyncSpec extends SparkSpec {
     CDColumn("name", "varchar", Some(256), Some("course name")),
     CDColumn("created_at", "datetime")))
 
-  test("DDL carries types, comments, location, TSV options") {
+  test("DDL carries types, comments, location, SerDe-exact format") {
     val ddl = CatalogSync.createTableDdl("cd", t, "/tmp/wh/raw_files/course_dim")
     assert(ddl.contains("`id` bigint COMMENT 'primary key'"))
     assert(ddl.contains("`name` varchar(256)"))
     assert(ddl.contains("`created_at` timestamp"))
-    assert(ddl.contains("USING CSV"))
-    assert(ddl.contains("nullValue '\\\\N'"))
+    assert(ddl.contains("USING graft.sources.lazytsv"))
     assert(ddl.contains("COMMENT 'canvas courses'"))
     assert(ddl.contains("LOCATION '/tmp/wh/raw_files/course_dim'"))
   }
@@ -38,5 +37,54 @@ class CatalogSyncSpec extends SparkSpec {
     val loc = java.nio.file.Files.createTempDirectory("cat_loc2").toString
     assert(CatalogSync.createOrUpdateTable(spark, "cd_cat2", tricky, loc)
       == "created")
+  }
+
+  test("interrupted swap never loses the definition; recover completes it") {
+    val loc = java.nio.file.Files.createTempDirectory("cat_loc3").toString
+    val db = "cd_cat3"
+    assert(CatalogSync.createOrUpdateTable(spark, db, t, loc) == "created")
+    // Simulate a crash between DROP and RENAME: stage the evolved
+    // definition, drop the live table, then "die" before the rename.
+    val evolved = t.copy(columns = t.columns :+ CDColumn("extra", "integer"))
+    spark.sql(CatalogSync.createTableDdl(db, evolved, loc,
+      nameOverride = Some("course_dim__staging")))
+    spark.sql(s"DROP TABLE `$db`.`course_dim`")
+    // the new definition survives under the staging name
+    assert(spark.catalog.tableExists(s"`$db`.`course_dim__staging`"))
+    // recover promotes it
+    assert(CatalogSync.recover(spark, db, "course_dim"))
+    val cols = spark.table(s"$db.course_dim").schema.fieldNames.toSeq
+    assert(cols == Seq("id", "name", "created_at", "extra"))
+    // and the next upsert runs recovery implicitly — simulate again, then
+    // upsert straight through
+    spark.sql(CatalogSync.createTableDdl(db, t, loc,
+      nameOverride = Some("course_dim__staging")))
+    spark.sql(s"DROP TABLE `$db`.`course_dim`")
+    assert(CatalogSync.createOrUpdateTable(spark, db, evolved, loc) == "updated")
+    assert(spark.table(s"$db.course_dim").schema.fieldNames.length == 4)
+  }
+
+  test("catalog table and TsvSource.read agree on empty string vs NULL") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("cat_serde").toString
+    // row: id=1, name='' (empty, NOT null), note=\N (null)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-000.tsv"),
+      "1\t\t\\N\n2\tok\tx\n".getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("note", StringType)))
+    val viaSource = graft.sources.TsvSource.read(spark, schema, dir)
+      .orderBy("id").collect()
+    val tbl = CDTable("serde_t", None, Seq(
+      CDColumn("id", "bigint"), CDColumn("name", "varchar", Some(10)),
+      CDColumn("note", "varchar", Some(10))))
+    CatalogSync.createOrUpdateTable(spark, "cd_serde", tbl, dir)
+    val viaCatalog = spark.table("cd_serde.serde_t").orderBy("id").collect()
+    assert(viaSource.length == 2 && viaCatalog.length == 2)
+    viaSource.zip(viaCatalog).foreach { case (a, b) => assert(a == b) }
+    // the SerDe contract: empty field is empty string, \N is NULL
+    assert(viaCatalog(0).getString(1) == "")
+    assert(viaCatalog(0).isNullAt(2))
   }
 }

@@ -42,4 +42,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("cosine_sim"))
     assert(!p.toLowerCase.contains("scalaudf"), "must not fall back to a UDF")
   }
+
+  test("production scan path: no Exchange above a plain filter scan " +
+    "(spreadScans defaults off)") {
+    assert(spark.conf.getOption(graft.Tables.SpreadScansKey).isEmpty)
+    val df = graft.Tables.load(spark, sfDir, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_quantity") > 45.0)
+      .select("l_orderkey", "l_quantity")
+    val p = planOf(df)
+    assert(!p.contains("Exchange"),
+      s"plain filter+project must not shuffle:\n${p.take(800)}")
+    assert(p.contains("PushedFilters"), p.take(500))
+  }
+
+  test("harness scan path: spreadScans=true restores local parallelism") {
+    spark.conf.set(graft.Tables.SpreadScansKey, "true")
+    try {
+      val df = graft.Tables.load(spark, sfDir, "lineitem")
+      assert(df.queryExecution.executedPlan.toString.contains("Exchange"),
+        "spread loader must repartition the one-row-group test parquet")
+    } finally spark.conf.unset(graft.Tables.SpreadScansKey)
+  }
 }

@@ -48,13 +48,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("IVF ANN reaches a sane recall floor vs brute force") {
+  test("IVF ANN reaches a sane recall floor vs brute force on the corpus") {
     val bf = Similarity.q36CosineTopK(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
     val ann = Similarity.q37AnnIvf(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
     val recall = (ann & bf).size.toDouble / bf.size
-    // clusterless random embeddings + nprobe 4/16 : ~0.5 expected
-    assert(recall >= 0.3, s"recall $recall < 0.3")
+    // The synthetic corpus is near-clusterless (top-5 neighbor cosine
+    // ~0.32 vs ~0.29 p99 of random pairs), so candidate recall for ANY
+    // sub-linear index is ≈ the scanned fraction — here nprobe·replicas/
+    // nlist = 0.5. Trained centroids + multi-assignment land well above
+    // that floor; the clustered-fixture test below is the real quality
+    // gate.
+    assert(recall >= 0.6, s"recall $recall < 0.6")
+  }
+
+  test("IVF ANN recall ≥ 0.9 on clusterable data (nprobe=4)") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    // 20 well-separated clusters on the unit sphere, σ=0.2 spread
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val centers = Array.fill(20) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n))
+    }
+    val vecs = (0 until 500).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.2 * rnd.nextGaussian()).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // brute-force truth, computed locally
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val truth = (0 until 20).flatMap { q =>
+      vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q)._2, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+        .map { case (id, _) => (q.toLong, id) }
+    }.toSet
+    val ann = Similarity.annIvf(df).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (ann & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"clustered recall $recall < 0.9")
   }
 }

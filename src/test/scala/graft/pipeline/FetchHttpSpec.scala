@@ -54,30 +54,42 @@ class FetchHttpSpec extends SparkSpec {
     }
   }
 
-  test("a 404 fetch fails its task but leaves no partial state") {
+  test("a 404 fetch is isolated: reported failed, no partial state, " +
+    "and the rest of the batch still lands") {
     withServer(Map("/files/ok.tsv" -> "1\n".getBytes("UTF-8"))) { port =>
       val wh = Files.createTempDirectory("http_wh2").toUri.toString
         .stripSuffix("/")
       import spark.implicits._
       val tasks = Seq(
         FetchTask("raw_files/t/missing.tsv",
-          s"http://127.0.0.1:$port/files/missing.tsv")).toDS()
-      intercept[Exception] {
-        Sync.fetchAll(spark, wh, tasks, parallelism = 1)
-      }
-      // no committed object for the failed key (tmp cleaned or absent)
+          s"http://127.0.0.1:$port/files/missing.tsv"),
+        FetchTask("raw_files/t/ok.tsv",
+          s"http://127.0.0.1:$port/files/ok.tsv")).toDS()
+      val res = Sync.fetchAll(spark, wh, tasks, parallelism = 1)
+      // the failure is isolated and reported, not thrown
+      assert(res.failedKeys == Seq("raw_files/t/missing.tsv"))
+      assert(res.fetched == 1)
+      // the good file committed; no committed object for the failed key
       val dir = java.nio.file.Paths.get(new java.net.URI(s"$wh/raw_files/t"))
-      val committed =
-        if (!java.nio.file.Files.exists(dir)) Seq.empty
-        else {
-          val s = java.nio.file.Files.list(dir)
-          try {
-            import scala.jdk.CollectionConverters._
-            s.iterator().asScala.toSeq.filterNot(
-              _.getFileName.toString.startsWith("."))
-          } finally s.close()
-        }
-      assert(committed.isEmpty, s"unexpected committed files: $committed")
+      val committed = {
+        val s = java.nio.file.Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq
+            .filterNot(_.getFileName.toString.startsWith("."))
+            .map(_.getFileName.toString)
+        } finally s.close()
+      }
+      assert(committed == Seq("ok.tsv"), s"committed: $committed")
+      // and the failure surfaces in the run summary
+      val manifest = Seq(
+        ManifestEntry("t", "missing.tsv",
+          s"http://127.0.0.1:$port/files/missing.tsv"))
+      val sch = Seq(CDTable("t", None, Seq(CDColumn("id", "bigint"))))
+      val sum = Sync.run(spark, wh, manifest, sch, db = "cd_http2",
+        parallelism = 1)
+      assert(sum.failed == 1 &&
+        sum.failedKeys == Seq("raw_files/t/missing.tsv"))
     }
   }
 }

@@ -77,7 +77,9 @@ class EventStreamsSpec extends SparkSpec {
   test("mapGroupsWithState session counting evolves across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // day-1 base: the event-time watermark starts at epoch 0, and events
+    // at-or-before the watermark are dropped as late — t=0 would vanish
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
     val mem = MemoryStream[Ev]
     val stream = EventStreams.statefulSessionCount(mem.toDS())
     val q = stream.writeStream.format("memory").queryName("stateful")
