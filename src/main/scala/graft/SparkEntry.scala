@@ -59,6 +59,10 @@ object SparkEntry {
     "q37_ann_ivf"        -> (Similarity.q37AnnIvf _),
     "q37b_ann_exhaustive" -> (Similarity.q37bAnnExhaustive _),
     "q39_embedding_stats" -> (Similarity.q39EmbeddingStats _),
+    // [EXT] corpus curation
+    "q62_decontaminate"  -> (Curation.q62Decontaminate _),
+    "q63_hash_split"     -> (Curation.q63HashSplit _),
+    "q64_repetition"     -> (Curation.q64Repetition _),
     // [EXT] text analysis + multimodal
     "q40_text_stats"     -> (TextAnalysis.q40TextStats _),
     "q41_quality_score"  -> (TextAnalysis.q41QualityScore _),
@@ -135,6 +139,9 @@ object SparkEntry {
     "q36b_topk_agg"      -> Similarity.q36CosineTopKSql,
     "q37b_ann_exhaustive" -> Similarity.q36CosineTopKSql,
     "q39_embedding_stats" -> Similarity.q39EmbeddingStatsSql,
+    "q62_decontaminate"  -> Curation.q62DecontaminateSql,
+    "q63_hash_split"     -> Curation.q63HashSplitSql,
+    "q64_repetition"     -> Curation.q64RepetitionSql,
     "q40_text_stats"     -> TextAnalysis.q40TextStatsSql,
     "q41_quality_score"  -> TextAnalysis.q41QualityScoreSql,
     "q42_lang_id"        -> TextAnalysis.q42LangIdSql,

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Curation semantics beyond the DuckDB gate: split stability and
+  * internal consistency of the decontamination/repetition accounting. */
+class CurationSpec extends SparkSpec {
+
+  test("decontamination accounting is internally consistent") {
+    val rows = Curation.q62Decontaminate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_train_docs")
+      val c = r.getAs[Long]("n_contaminated")
+      val cl = r.getAs[Long]("n_clean")
+      assert(c + cl == n, s"$c + $cl != $n")
+      assert(c >= 0 && cl >= 0)
+    }
+    // benchmark docs (doc_id % 97 == 0) are excluded from the train side
+    val total = rows.map(_.getAs[Long]("n_train_docs")).sum
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val expected = docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 97 =!= 0).count()
+    assert(total == expected)
+  }
+
+  test("hash split is deterministic, exhaustive, and ~90/10") {
+    val rows = Curation.q63HashSplit(spark, sfDir).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val total = bySplit.values.sum
+    assert(total == graft.Tables.load(spark, sfDir, "documents").count())
+    val trainFrac = bySplit.getOrElse("train", 0L).toDouble / total
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+    // determinism: same result on a second run (hash of doc_id only)
+    val again = Curation.q63HashSplit(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("split"),
+        r.getAs[Long]("n_docs"))).toSet
+    val first = rows.map(r => (r.getAs[String]("lang"),
+      r.getAs[String]("split"), r.getAs[Long]("n_docs"))).toSet
+    assert(again == first)
+  }
+
+  test("repetition counts bound sanely") {
+    val rows = Curation.q64Repetition(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_with_repeat") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("max_gram_count") >= 1L)
+    }
+  }
+}
