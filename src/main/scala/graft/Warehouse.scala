@@ -55,7 +55,9 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     val summary = Sync.run(spark, cfg.warehouseDir, manifest, schema,
       cfg.db, cfg.dryRun, cfg.parallelism)
     if (cfg.canonicalize && !cfg.dryRun)
-      schema.foreach(t => Canonicalize.canonicalize(spark, cfg.warehouseDir, t))
+      // incremental: unchanged tables cost one file listing, no rewrite
+      schema.foreach(t =>
+        Canonicalize.canonicalizeIncremental(spark, cfg.warehouseDir, t))
     cfg.onSummary(summary)
     summary
   }

@@ -79,8 +79,9 @@ object Dedup {
   // Jaccard from set sizes. Only docs sharing ≥1 shingle ever meet — the
   // candidate set is the inverted index's collision list, never n².
   // ---------------------------------------------------------------------
-  def q33NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(t(s, dir, "documents"))
+  /** Exact Jaccard pairs from a precomputed shingle stream (shared with
+    * q34b so the shingle pass runs once). */
+  def jaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val ex = sh.join(sizes, "doc_id")
     val a = ex.select(col("doc_id").as("a"), col("n").as("na"), col("s"))
@@ -94,6 +95,9 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
         col("jac"))
   }
+
+  def q33NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(shingleRows(t(s, dir, "documents")))
 
   val q33NgramJaccardSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -195,8 +199,9 @@ object Dedup {
   // Rows-only oracle for q34 itself (hash-specific); recall is
   // oracle-gated through q34b and spec-tested against planted pairs.
   // ---------------------------------------------------------------------
-  def simhash64(d: DataFrame): DataFrame = {
-    val ex = shingleRows(d).withColumn("h", xxhash64(col("s")))
+  /** SimHash signatures from a precomputed shingle stream. */
+  def simhashFromShingles(sh: DataFrame): DataFrame = {
+    val ex = sh.withColumn("h", xxhash64(col("s")))
     val bitSums = (0 until 64).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b_$i"))
     ex.groupBy(col("doc_id"))
@@ -207,12 +212,16 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
+  def simhash64(d: DataFrame): DataFrame =
+    simhashFromShingles(shingleRows(d))
+
   /** 12 block widths (bits) summing to 64; offsets are running sums. */
   private val SimhashBlockBits = Array(5, 5, 5, 5, 5, 5, 5, 5, 6, 6, 6, 6)
   private val SimhashBlockOffsets = SimhashBlockBits.scanLeft(0)(_ + _)
 
-  def q34Simhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = simhash64(t(s, dir, "documents")).cache()
+  /** Verified near-dup pairs (Hamming ≤ 10) from precomputed signatures. */
+  def simhashPairs(simhashes: DataFrame): DataFrame = {
+    val sh = simhashes
     def block(i: Int): Column =
       shiftright(col("simhash"), SimhashBlockOffsets(i))
         .bitwiseAND((1L << SimhashBlockBits(i)) - 1)
@@ -242,6 +251,9 @@ object Dedup {
       .filter(col("hamming") <= 10)
   }
 
+  def q34Simhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(simhash64(t(s, dir, "documents")).cache())
+
   // ---------------------------------------------------------------------
   // q34b_simhash_recall — DERIVED ORACLE for SimHash: the exact
   // trigram-Jaccard pairs (q33, SQL-expressible) that SimHash banding
@@ -249,12 +261,15 @@ object Dedup {
   // planted corpus is 1.0 — so the engine-specific operator gets a real
   // DuckDB-checked gate: any banding/signature regression shrinks the
   // intersection and hash-mismatches. (False-positive absence is
-  // spec-tested in DedupSpec; it isn't SQL-expressible.)
+  // spec-tested in DedupSpec; it isn't SQL-expressible.) The cached
+  // shingle stream feeds BOTH pipelines — one shingle pass, not two.
   // ---------------------------------------------------------------------
   def q34bSimhashRecall(s: SparkSession, dir: String): DataFrame = {
-    val sh = q34Simhash(s, dir).select(col("a"), col("b"))
-    val exact = q33NgramJaccard(s, dir).select(col("a"), col("b"))
-    exact.join(sh, Seq("a", "b"), "left_semi")
+    val shingles = shingleRows(t(s, dir, "documents")).cache()
+    val cand = simhashPairs(simhashFromShingles(shingles))
+      .select(col("a"), col("b"))
+    val exact = jaccardPairs(shingles).select(col("a"), col("b"))
+    exact.join(cand, Seq("a", "b"), "left_semi")
   }
 
   val q34bSimhashRecallSql: String =

@@ -42,6 +42,64 @@ object Canonicalize {
       table: String): DataFrame =
     spark.read.parquet(s"$warehouseDir/$CanonicalPrefix/$table")
 
+  /** Fingerprint of a raw table's file listing — O(#files) metadata, zero
+    * data read. The reference's change model is file-grained and files are
+    * immutable once landed (`sync-canvas-data-files.py:58-67`: change =
+    * new name appears / old name disappears; the fetch guard never
+    * overwrites), so (name, length) pairs identify the raw state exactly. */
+  def rawFingerprint(spark: SparkSession, warehouseDir: String,
+      table: String): String = {
+    val root = s"$warehouseDir/${Sync.RawPrefix}/$table"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(warehouseDir), new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) "empty"
+    else {
+      val it = fs.listFiles(p, true)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && !st.getPath.getName.startsWith("."))
+          entries += s"${st.getPath.getName}|${st.getLen}"
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      md.digest().map("%02x".format(_)).mkString
+    }
+  }
+
+  /** Incremental canonicalize: rewrite only when the raw file set changed
+    * since the last run (fingerprint marker stored next to the parquet).
+    * On a daily sync where most tables are unchanged, this turns the
+    * canonical refresh into one metadata listing per table instead of a
+    * full text re-parse + parquet rewrite — at 100 TB that is the
+    * difference between minutes and hours. Returns (path, rewritten). */
+  def canonicalizeIncremental(
+      spark: SparkSession,
+      warehouseDir: String,
+      table: CDTable,
+      partitionBy: Seq[String] = Nil): (String, Boolean) = {
+    val out = s"$warehouseDir/$CanonicalPrefix/${table.tableName}"
+    val fp = rawFingerprint(spark, warehouseDir, table.tableName)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(warehouseDir), new org.apache.hadoop.conf.Configuration())
+    val marker = new org.apache.hadoop.fs.Path(out, "_raw_fingerprint")
+    val current =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim)
+        finally in.close()
+      }
+    if (current.contains(fp)) (out, false)
+    else {
+      canonicalize(spark, warehouseDir, table, partitionBy)
+      val os = fs.create(marker, true)
+      try os.write(fp.getBytes("UTF-8")) finally os.close()
+      (out, true)
+    }
+  }
+
   /** Schema-drift detection (SURVEY.md §7 hard parts): the reference's
     * `update_table` is a full-replace — files landed under an older schema
     * silently mis-parse once the column list changes. This scans a raw

@@ -46,4 +46,44 @@ class CanonicalizeSpec extends SparkSpec {
       .filter(year(col("o_orderdate")) === 1996).count()
     assert(q.count() == expected)
   }
+
+  test("incremental canonicalize skips unchanged raw inputs, rewrites on change") {
+    val wh = Files.createTempDirectory("canon_inc").toString
+    val cust = graft.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    TsvSource.write(cust, s"$wh/raw_files/cust_inc")
+    val cd = CDTable("cust_inc", None, Seq(
+      CDColumn("c_custkey", "bigint"), CDColumn("c_name", "varchar", Some(64))))
+
+    val (out1, rewrote1) =
+      Canonicalize.canonicalizeIncremental(spark, wh, cd)
+    assert(rewrote1, "first run must materialize")
+    val n1 = spark.read.parquet(out1).count()
+    assert(n1 == cust.count())
+
+    // unchanged raw → no rewrite (parquet part files keep their mtimes)
+    def partMtimes(dir: String) = {
+      val d = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .map(p => p.getFileName.toString ->
+            java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      } finally s.close()
+    }
+    val before = partMtimes(out1)
+    val (_, rewrote2) = Canonicalize.canonicalizeIncremental(spark, wh, cd)
+    assert(!rewrote2, "unchanged raw must skip the rewrite")
+    assert(partMtimes(out1) == before, "skip must not touch the parquet")
+
+    // a new raw file (the sync's change model) forces a rewrite
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$wh/raw_files/cust_inc/extra.tsv"),
+      "999999\textra row\n".getBytes("UTF-8"))
+    val (_, rewrote3) = Canonicalize.canonicalizeIncremental(spark, wh, cd)
+    assert(rewrote3, "changed raw must rewrite")
+    assert(spark.read.parquet(out1).count() == n1 + 1)
+  }
 }
