@@ -107,6 +107,50 @@ object Canonicalize {
     }
   }
 
+  /** Small-file compaction for the canonical layer. Incremental syncs and
+    * streaming ingestion accrete many small parquet files; at scale each
+    * file costs a task, a footer read, and a NameNode/listing entry, and
+    * scan throughput collapses long before data volume does. Rewrites the
+    * table into ~`targetBytes` files (repartition, not coalesce — coalesce
+    * merges *adjacent* partitions and inherits their skew) behind the same
+    * crash-safe swap as the merge upsert. The incremental-canonicalize
+    * fingerprint marker is preserved, so a following sync still recognizes
+    * the raw layer as unchanged and does not undo the compaction.
+    * Returns (files before, files after). */
+  def compact(
+      spark: SparkSession,
+      warehouseDir: String,
+      table: String,
+      targetBytes: Long = 512L * 1024 * 1024): (Int, Int) = {
+    val out = s"$warehouseDir/$CanonicalPrefix/$table"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(warehouseDir), new org.apache.hadoop.conf.Configuration())
+    val dir = new org.apache.hadoop.fs.Path(out)
+    val parts = fs.listStatus(dir).filter(st =>
+      st.isFile && st.getPath.getName.startsWith("part-"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val marker = new org.apache.hadoop.fs.Path(out, "_raw_fingerprint")
+    val fp =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      }
+    val df = spark.read.parquet(out).repartition(nFiles)
+    SafeSwap.replace(out) { tmp =>
+      df.write.mode("overwrite").option("compression", DefaultCodec)
+        .parquet(tmp)
+      fp.foreach { v =>
+        val os = fs.create(new org.apache.hadoop.fs.Path(tmp, "_raw_fingerprint"), true)
+        try os.write(v.getBytes("UTF-8")) finally os.close()
+      }
+    }
+    val after = fs.listStatus(dir).count(st =>
+      st.isFile && st.getPath.getName.startsWith("part-"))
+    (parts.length, after)
+  }
+
   /** Schema-drift detection (SURVEY.md §7 hard parts): the reference's
     * `update_table` is a full-replace — files landed under an older schema
     * silently mis-parse once the column list changes. This scans a raw

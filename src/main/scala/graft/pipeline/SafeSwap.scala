@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import java.net.URI
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Crash-safe directory replacement shared by the copy-on-write layers
+  * (merge upsert, compaction): write the new content to a temp dir, rename
+  * the live dir ASIDE, rename the temp in, then drop the old copy. At
+  * every step at least one complete copy of the dataset exists on disk; a
+  * failed swap-in restores the old dir, and a crash between the renames is
+  * healed by [[recover]]. Single-statement atomicity needs a manifest
+  * pointer or a table format (Iceberg/Delta) — this is the strongest
+  * ordering plain rename gives, and the one that minimizes the loss
+  * window. */
+object SafeSwap {
+
+  private def fsFor(path: String): FileSystem =
+    FileSystem.get(new URI(path), new Configuration())
+
+  def tmpPath(path: String): String = s"$path.__swap_tmp"
+  private def oldPath(path: String): String = s"$path.__old"
+
+  /** If nothing lives at `path` but the rename-aside copy exists, the old
+    * dataset is the last complete state — restore it. Returns true if a
+    * recovery ran. */
+  def recover(path: String): Boolean = {
+    val fs = fsFor(path)
+    val dst = new Path(path)
+    val old = new Path(oldPath(path))
+    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+    else false
+  }
+
+  /** Replace the dataset at `path` with whatever `write` produces at the
+    * temp location. `write` runs first — the live data is untouched until
+    * the new content is complete. */
+  def replace(path: String)(write: String => Unit): Unit = {
+    recover(path)
+    val fs = fsFor(path)
+    val dst = new Path(path)
+    val tmp = new Path(tmpPath(path))
+    val old = new Path(oldPath(path))
+    write(tmpPath(path))
+    fs.delete(old, true) // leftover from a crashed-but-completed swap
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"swap: cannot move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // restore the last complete state
+      throw new java.io.IOException(s"swap failed for $path; restored")
+    }
+    if (!fs.delete(old, true))
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"swap: could not remove old copy at $old")
+  }
+}

@@ -1,9 +1,5 @@
 package graft.pipeline
 
-import java.net.URI
-
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit}
 
@@ -37,23 +33,16 @@ object Upsert {
 
   final case class MergeSummary(updated: Long, inserted: Long, total: Long)
 
-  /** Complete a swap interrupted between rename-aside and rename-in: if
-    * nothing lives at `path` but `path.__old` exists, the old dataset is
-    * the last complete state — restore it. Returns true if recovery ran. */
-  def recoverSwap(spark: SparkSession, path: String): Boolean = {
-    val fs = FileSystem.get(new URI(path), new Configuration())
-    val dst = new Path(path)
-    val old = new Path(s"$path.__old")
-    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
-    else false
-  }
+  /** See [[SafeSwap.recover]] — kept as the public API surface. */
+  def recoverSwap(spark: SparkSession, path: String): Boolean =
+    SafeSwap.recover(path)
 
   def mergeInto(
       spark: SparkSession,
       path: String,
       updates: DataFrame,
       keys: Seq[String]): MergeSummary = {
-    recoverSwap(spark, path)
+    SafeSwap.recover(path)
     val target = spark.read.parquet(path)
     require(target.columns.toSet == updates.columns.toSet,
       s"schema mismatch (by name): ${target.columns.sorted.toSeq} vs " +
@@ -74,24 +63,9 @@ object Upsert {
       .unionByName(updates)
       .observe(obs, count(lit(1)).as("total"))
 
-    val tmp = new Path(s"$path.__merge_tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val total = obs.get("total").asInstanceOf[Long]
-
-    val fs = FileSystem.get(new URI(path), new Configuration())
-    val dst = new Path(path)
-    val old = new Path(s"$path.__old")
-    fs.delete(old, true) // leftover from a crashed-but-completed swap
-    if (!fs.rename(dst, old))
-      throw new java.io.IOException(s"merge swap: cannot move $dst aside")
-    if (!fs.rename(tmp, dst)) {
-      fs.rename(old, dst) // restore the last complete state
-      throw new java.io.IOException(s"merge swap failed for $path; restored")
+    SafeSwap.replace(path) { tmp =>
+      merged.write.mode("overwrite").parquet(tmp)
     }
-    if (!fs.delete(old, true))
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"merge swap: could not remove old copy at $old")
-
-    MergeSummary(updated, inserted, total)
+    MergeSummary(updated, inserted, obs.get("total").asInstanceOf[Long])
   }
 }
