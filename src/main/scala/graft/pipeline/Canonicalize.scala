@@ -107,6 +107,34 @@ object Canonicalize {
     }
   }
 
+  /** Streaming canonicalization: continuously land raw gzip TSV as
+    * canonical parquet. The parquet file sink + checkpoint gives
+    * EXACTLY-ONCE output (the sink's commit log records which files each
+    * batch wrote; a restarted query never re-emits a committed batch),
+    * and the text file source's processed-files log pairs with the sync
+    * layer's immutable-file contract — a landed raw file never mutates,
+    * so "new file" is the only change event, which is precisely what the
+    * source tracks. `Trigger.AvailableNow` drains everything currently
+    * landed then stops: run it after each sync for an incremental
+    * micro-batch refresh, or with a continuous trigger for a live feed.
+    * Returns the started query; callers await it. */
+  def canonicalizeStream(
+      spark: SparkSession,
+      warehouseDir: String,
+      table: CDTable,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .text(s"$warehouseDir/${Sync.RawPrefix}/${table.tableName}")
+    val parsed = TsvSource.parse(raw, TypeLattice.toStructType(table))
+    parsed.writeStream
+      .format("parquet")
+      .option("path", s"$warehouseDir/$CanonicalPrefix/${table.tableName}")
+      .option("checkpointLocation", checkpointDir)
+      .option("compression", DefaultCodec)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Small-file compaction for the canonical layer. Incremental syncs and
     * streaming ingestion accrete many small parquet files; at scale each
     * file costs a task, a footer read, and a NameNode/listing entry, and

@@ -29,18 +29,16 @@ object TsvSource {
     "header" -> "false",
     "emptyValue" -> "")
 
-  /** Read with exact LazySimpleSerDe semantics. Spark's CSV reader can't
-    * express them (it collapses unquoted empty strings to NULL), so this is
-    * a text scan + `split` + `try_cast` projection — pure built-in,
-    * codegen'd expressions:
+  /** The LazySimpleSerDe projection over a one-string-column `value`
+    * DataFrame — works identically on a batch text scan and a streaming
+    * text source (the streaming canonicalizer reuses it):
     *  - `\N` → NULL (any type);
     *  - empty field → empty string, NOT null;
     *  - malformed numeric/timestamp → NULL via try_cast;
     *  - split limit -1 keeps trailing empty fields.
     */
-  def read(spark: SparkSession, schema: StructType, path: String): DataFrame = {
+  def parse(raw: DataFrame, schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = spark.read.text(path)
     val parts = split(col("value"), "\t", -1)
     val tmp = raw.select(schema.fields.indices.map(i =>
       element_at(parts, i + 1).as(s"_c$i")): _*)
@@ -55,6 +53,13 @@ object TsvSource {
     }
     tmp.select(cols: _*)
   }
+
+  /** Read with exact LazySimpleSerDe semantics. Spark's CSV reader can't
+    * express them (it collapses unquoted empty strings to NULL), so this is
+    * a text scan + `split` + `try_cast` projection — pure built-in,
+    * codegen'd expressions. */
+  def read(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    parse(spark.read.text(path), schema)
 
   /** Write a DataFrame as reference-layout gzip TSV (for fixtures and the
     * round-trip correctness gate). */

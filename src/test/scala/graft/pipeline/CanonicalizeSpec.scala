@@ -143,4 +143,33 @@ class CanonicalizeSpec extends SparkSpec {
       "compaction must not invalidate the incremental marker")
     assert(spark.read.parquet(out).count() == n)
   }
+
+  test("streaming canonicalization is incremental and exactly-once") {
+    val wh = Files.createTempDirectory("canon_stream").toString
+    val cp = Files.createTempDirectory("canon_stream_cp").toString
+    val rawDir = java.nio.file.Paths.get(s"$wh/raw_files/ev_stream")
+    java.nio.file.Files.createDirectories(rawDir)
+    java.nio.file.Files.write(rawDir.resolve("f1.tsv"),
+      "1\talice\n2\t\\N\n3\t\n".getBytes("UTF-8"))
+    val cd = CDTable("ev_stream", None, Seq(
+      CDColumn("id", "bigint"), CDColumn("name", "varchar", Some(32))))
+
+    val q1 = Canonicalize.canonicalizeStream(spark, wh, cd, cp)
+    q1.awaitTermination()
+    val out = s"$wh/canonical/ev_stream"
+    val r1 = spark.read.parquet(out).orderBy("id").collect()
+    assert(r1.length == 3)
+    assert(r1(1).isNullAt(1), "\\N must read as NULL")
+    assert(r1(2).getString(1) == "", "empty field must be empty string")
+
+    // a new raw file arrives (the sync's change model); the committed
+    // batch is never re-emitted, only the new file lands
+    java.nio.file.Files.write(rawDir.resolve("f2.tsv"),
+      "4\tdora\n".getBytes("UTF-8"))
+    val q2 = Canonicalize.canonicalizeStream(spark, wh, cd, cp)
+    q2.awaitTermination()
+    val r2 = spark.read.parquet(out)
+    assert(r2.count() == 4, "exactly-once: 3 old + 1 new, no duplicates")
+    assert(r2.filter(col("id") === 1).count() == 1)
+  }
 }
