@@ -25,7 +25,9 @@ object Bench {
     // min over N passes: the per-query minimum is the steady-state cost;
     // single-pass numbers on this box carry ±40% noise spikes (GC, page
     // cache) that a second pass filters out.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption)
+        .getOrElse(2))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val best = (0 until runs).map { _ =>
         val t0 = System.nanoTime()

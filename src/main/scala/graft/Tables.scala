@@ -66,8 +66,14 @@ object Tables {
 
   /** Register every table as a temp view so `spark.sql` works against the
     * same names DuckDB sees in the oracle. Idempotent per (session, dir):
-    * re-registration only happens when the directory changes. */
+    * re-registration only happens when the directory changes. The cache
+    * entry is written AFTER all views register, so a failure mid-loop
+    * (missing file, transient FS error) leaves the session marked
+    * unregistered and the next call retries instead of serving missing
+    * views. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    if (registeredDir.put(spark, dir) != dir)
+    if (registeredDir.get(spark) != dir) {
       all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registeredDir.put(spark, dir)
+    }
 }

@@ -54,11 +54,15 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       schema: Seq[CDTable]): Sync.SyncSummary = {
     val summary = Sync.run(spark, cfg.warehouseDir, manifest, schema,
       cfg.db, cfg.dryRun, cfg.parallelism)
-    if (cfg.canonicalize && !cfg.dryRun)
-      // incremental: unchanged tables cost one file listing, no rewrite
-      schema.foreach(t =>
-        Canonicalize.canonicalizeIncremental(spark, cfg.warehouseDir, t))
-    cfg.onSummary(summary)
+    // the summary describes the sync — notify unconditionally (the
+    // reference publishes to SNS before anything else can fail), even if
+    // the optional canonical refresh below throws
+    try {
+      if (cfg.canonicalize && !cfg.dryRun)
+        // incremental: unchanged tables cost one file listing, no rewrite
+        schema.foreach(t =>
+          Canonicalize.canonicalizeIncremental(spark, cfg.warehouseDir, t))
+    } finally cfg.onSummary(summary)
     summary
   }
 

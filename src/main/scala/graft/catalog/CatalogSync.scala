@@ -75,6 +75,12 @@ object CatalogSync {
     * reference (`:227,234`). */
   def createOrUpdateTable(
       spark: SparkSession, db: String, t: CDTable, location: String): String = {
+    // the staging namespace is reserved: a real table named X__staging
+    // would be silently dropped by an upsert of X (and recover() could
+    // promote it over a missing X)
+    require(!t.tableName.endsWith("__staging"),
+      s"table name '${t.tableName}' collides with the reserved staging " +
+        "suffix '__staging'")
     ensureDatabase(spark, db)
     recover(spark, db, t.tableName)
     val main = s"`$db`.`${t.tableName}`"

@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 import org.apache.spark.sql.functions._
 
 /** [EXT] Corpus-curation operators for training-data pipelines:
@@ -21,20 +21,10 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** One row per (doc, position): the word-`n`-gram starting there, as a
-    * '_'-joined string. Words are never re-tokenized per gram: one
-    * posexplode + (n-1) window leads, all streaming codegen. */
-  private def wordGrams(docs: DataFrame, n: Int): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leadCols = (1 until n).map(k => lead(col("word"), k).over(w).as(s"w$k"))
-    docs
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      .select(col("doc_id") +: col("word") +: leadCols: _*)
-      .filter(col(s"w${n - 1}").isNotNull)
-      .select(col("doc_id"),
-        concat_ws("_", col("word") +: (1 until n).map(k => col(s"w$k")): _*)
-          .as("s"))
-  }
+    * '_'-joined string (string grams — the oracle must reproduce them in
+    * SQL, unlike Dedup's hashed shingles). Shares [[NGrams.nGramRows]]. */
+  private def wordGrams(docs: DataFrame, n: Int): DataFrame =
+    NGrams.nGramRows(docs, n)(ws => concat_ws("_", ws: _*))
 
   // ---------------------------------------------------------------------
   // q62_decontaminate — benchmark decontamination: a held-out set (docs

@@ -21,31 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word-3-shingles as 64-bit hashes, one row per (doc, shingle).
-    *
-    * Relational formulation — posexplode words, hash each once, combine
-    * with the next two via window `lead`, distinct — rather than nested
-    * array lambdas: a Column-level `transform(..., i => f(element_at(hw,
-    * i)))` re-inlines the whole `hw` subtree per reference (Catalyst
-    * doesn't CSE across lambda boundaries), turning shingling O(n²) per
-    * doc. Here every word is hashed exactly once and everything stays in
-    * streaming whole-stage codegen; the one shuffle (by doc_id) is shared
-    * by all downstream dedup operators. Numeric shingles: no per-shingle
-    * string building; collision odds across ~10^5 distinct shingles are
-    * ~10^-10, and the string-based oracle would expose one as a gate
-    * mismatch (it hasn't). */
-  def shingleRows(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      .select(col("doc_id"), col("pos"), xxhash64(col("word")).as("h1"))
-      .select(col("doc_id"), col("h1"),
-        lead(col("h1"), 1).over(w).as("h2"),
-        lead(col("h1"), 2).over(w).as("h3"))
-      .filter(col("h3").isNotNull)
-      .select(col("doc_id"), xxhash64(col("h1"), col("h2"), col("h3")).as("s"))
+  /** Distinct word-3-shingles as 64-bit hashes, one row per (doc, shingle)
+    * — [[NGrams.nGramRows]] with per-word hashing (each word hashed once,
+    * not once per gram; see NGrams' doc for why this relational shape
+    * beats array lambdas). Numeric shingles: no per-shingle string
+    * building; collision odds across ~10^5 distinct shingles are ~10^-10,
+    * and the string-based oracle would expose one as a gate mismatch (it
+    * hasn't). */
+  def shingleRows(docs: DataFrame): DataFrame =
+    NGrams.nGramRows(docs, 3, w => xxhash64(w))(hs => xxhash64(hs: _*))
       .distinct()
-  }
 
   // ---------------------------------------------------------------------
   // q31_dedup_exact — exact dedup via full-row DISTINCT (deterministic,
@@ -184,17 +169,22 @@ object Dedup {
   // and key candidates on every PAIR of blocks. Pigeonhole: a pair
   // within Hamming ≤ H dirties at most H blocks, leaving ≥ 2 of H+2
   // clean, so some pair-table matches — candidate recall is structurally
-  // GUARANTEED for every pair the verifier would accept, making the
+  // guaranteed for every pair the verifier would accept, making the
   // operator deterministically "all pairs with Hamming ≤ H". q34 runs
   // the high-precision contract H=10 (12 blocks, C(12,2)=66 tables,
   // 10–12-bit keys; at sf0.1 zero non-exact pairs fall below Hamming
   // 11). Versus naive single-block bands (256 buckets/band → n/256 docs
   // per bucket → ~n²/32 candidate pairs), the wide pair keys shrink
-  // buckets so pair expansion tracks true collisions; hot buckets
-  // (boilerplate-heavy corpora) are excluded by the same MaxBucketSize
-  // semi-join guard as MinHash-LSH. At corpora where buckets outgrow the
-  // cap, raise the combination order (block triples with guarantee H =
-  // nb-3) — same code shape. Verified by bit_count(xor) ≤ H.
+  // buckets so pair expansion tracks true collisions. CAVEAT on the
+  // MaxBucketSize skew guard (shared with MinHash-LSH): a capped bucket
+  // trades the pigeonhole guarantee away for the pairs whose ONLY clean
+  // block-pair lands in it — deliberate under boilerplate collapse
+  // (>1000 near-identical docs in one bucket means precision is already
+  // gone) but it means "guaranteed" holds exactly on corpora where no
+  // relevant bucket exceeds the cap. Where ordinary buckets outgrow the
+  // cap (n ≫ cap × 2^keybits), raise the cap or the combination order
+  // (block triples with guarantee H = nb-3) — same code shape.
+  // Verified by bit_count(xor) ≤ H.
   // Rows-only oracle for q34 itself (hash-specific); recall is
   // oracle-gated through q34b and spec-tested against planted pairs.
   // ---------------------------------------------------------------------

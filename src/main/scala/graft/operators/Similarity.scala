@@ -205,7 +205,11 @@ object Similarity {
   // ---------------------------------------------------------------------
   def q37bAnnExhaustive(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
-    annIvf(t(s, dir, "embeddings"), nprobe = 16, replicas = 1)
+    // nprobe is tied to nlist explicitly: probing every cell is what makes
+    // this exhaustive, independent of the default cell count.
+    val cells = 16
+    annIvf(t(s, dir, "embeddings"), nlist = cells, nprobe = cells,
+      replicas = 1)
   }
 
   // ---------------------------------------------------------------------

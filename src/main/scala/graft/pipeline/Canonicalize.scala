@@ -30,6 +30,10 @@ object Canonicalize {
     * dominant storage cost. Override per call for CPU-bound clusters. */
   val DefaultCodec = "zstd"
 
+  /** Full rewrite of a raw table into the canonical layer, behind the
+    * crash-safe swap: the live canonical data stays readable (and
+    * restorable) until the replacement is completely written — a mid-job
+    * crash never leaves readers a partial table. */
   def canonicalize(
       spark: SparkSession,
       warehouseDir: String,
@@ -39,9 +43,11 @@ object Canonicalize {
     val raw = TsvSource.read(spark, TypeLattice.toStructType(table),
       s"$warehouseDir/${Sync.RawPrefix}/${table.tableName}")
     val out = s"$warehouseDir/$CanonicalPrefix/${table.tableName}"
-    val writer = raw.write.mode("overwrite").option("compression", codec)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(out)
+    SafeSwap.replace(out) { tmp =>
+      val writer = raw.write.mode("overwrite").option("compression", codec)
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+       else writer).parquet(tmp)
+    }
     out
   }
 
@@ -144,7 +150,15 @@ object Canonicalize {
     * crash-safe swap as the merge upsert. The incremental-canonicalize
     * fingerprint marker is preserved, so a following sync still recognizes
     * the raw layer as unchanged and does not undo the compaction.
-    * Returns (files before, files after). */
+    * Returns (files before, files after).
+    *
+    * Tables written by [[canonicalizeStream]] carry a `_spark_metadata`
+    * streaming-sink commit log, and batch readers trust ONLY files listed
+    * in it — rewriting the data while keeping (or dropping) that log would
+    * silently hide rows from every subsequent batch read once the stream
+    * resumes. Compacting such a table needs a sink-log-aware rewrite
+    * (stop the stream, rewrite data + log, fresh checkpoint), so this
+    * refuses rather than corrupt. */
   def compact(
       spark: SparkSession,
       warehouseDir: String,
@@ -154,6 +168,9 @@ object Canonicalize {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(warehouseDir), new org.apache.hadoop.conf.Configuration())
     val dir = new org.apache.hadoop.fs.Path(out)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_spark_metadata")),
+      s"$out was written by the streaming sink (_spark_metadata present); " +
+        "compact would desynchronize the sink log from the data — see doc")
     val parts = fs.listStatus(dir).filter(st =>
       st.isFile && st.getPath.getName.startsWith("part-"))
     val totalBytes = parts.map(_.getLen).sum

@@ -35,7 +35,8 @@ object SafeSwap {
 
   /** Replace the dataset at `path` with whatever `write` produces at the
     * temp location. `write` runs first — the live data is untouched until
-    * the new content is complete. */
+    * the new content is complete. A missing `path` (first materialization)
+    * degrades to write + rename-in. */
   def replace(path: String)(write: String => Unit): Unit = {
     recover(path)
     val fs = fsFor(path)
@@ -44,13 +45,13 @@ object SafeSwap {
     val old = new Path(oldPath(path))
     write(tmpPath(path))
     fs.delete(old, true) // leftover from a crashed-but-completed swap
-    if (!fs.rename(dst, old))
+    if (fs.exists(dst) && !fs.rename(dst, old))
       throw new java.io.IOException(s"swap: cannot move $dst aside")
     if (!fs.rename(tmp, dst)) {
       fs.rename(old, dst) // restore the last complete state
       throw new java.io.IOException(s"swap failed for $path; restored")
     }
-    if (!fs.delete(old, true))
+    if (fs.exists(old) && !fs.delete(old, true))
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"swap: could not remove old copy at $old")
   }

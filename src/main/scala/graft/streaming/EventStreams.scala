@@ -124,9 +124,16 @@ object EventStreams {
     * Eviction is a semantic trade — a user returning after the TTL
     * restarts their running counters (their in-progress session had long
     * since closed: TTL ≥ the session gap); size the TTL to the longest
-    * absence whose running totals you care to preserve. */
+    * absence whose running totals you care to preserve.
+    *
+    * The watermark is the OTHER lateness dial: events arriving more than
+    * `watermarkDelay` behind the stream's max event time are dropped
+    * before reaching the state function. The default equals the 30-minute
+    * session gap so any event that could still extend a live session (≤
+    * gap behind) survives; shrink it only if you accept undercounting on
+    * backfills/replays. */
   def statefulSessionCount(events: Dataset[Ev],
-      watermarkDelay: String = "10 minutes",
+      watermarkDelay: String = "30 minutes",
       stateTtlMs: Long = 2L * 3600 * 1000): Dataset[UserSessionUpdate] = {
     import events.sparkSession.implicits._
     events
