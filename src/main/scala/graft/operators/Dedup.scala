@@ -272,6 +272,10 @@ object Dedup {
   // ---------------------------------------------------------------------
   def q34bSimhashRecall(s: SparkSession, dir: String): DataFrame = {
     val shingles = shingleRows(t(s, dir, "documents")).cache()
+    // materialize before fan-out: the SimHash and Jaccard branches run
+    // concurrently inside one job, and two simultaneous cache misses
+    // compute the shingle pass twice (measured: up to 2× on q34b)
+    shingles.count()
     val cand = simhashPairs(simhashFromShingles(shingles), maxHamming = 14)
       .select(col("a"), col("b"))
     val exact = jaccardPairs(shingles).select(col("a"), col("b"))
