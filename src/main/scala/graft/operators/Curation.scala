@@ -140,4 +140,43 @@ object Curation {
       |  CAST(MAX(max_gram) AS BIGINT) AS max_gram_count
       |FROM t JOIN d USING (doc_id)
       |GROUP BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q65_stratified_sample — deterministic stratified sampling: the k docs
+  // with the smallest md5-derived rank PER LANGUAGE. Hash-ranked sampling
+  // is the production shape (stable under corpus growth; a doc's
+  // membership never depends on the rest of the corpus), and the
+  // bounded-heap Aggregator is the scale-correct plan: map-side partial
+  // heaps shuffle partitions×k rows, and low-cardinality strata (5 langs)
+  // never funnel the corpus through 5 window-sort tasks. The 32-bit hash
+  // slice is exact in double (no 53-bit precision loss), ties break by
+  // doc_id in both engines.
+  // ---------------------------------------------------------------------
+  def q65StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val k = 20
+    val hash32 = conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 8), 16, 10).cast("long")
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKByScore(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.ScoredId]())
+    d.select(col("lang"), negate(hash32.cast("double")).as("score"),
+        col("doc_id").as("id"))
+      .groupBy(col("lang"))
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).as("rnk"),
+        col("col.id").as("doc_id"))
+  }
+
+  val q65StratifiedSampleSql: String =
+    """SELECT lang, rnk, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+      |                                      1, 8) AS BIGINT) ASC,
+      |               doc_id ASC) AS rnk
+      |  FROM documents)
+      |WHERE rnk <= 20""".stripMargin
 }

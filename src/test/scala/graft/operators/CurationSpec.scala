@@ -41,6 +41,25 @@ class CurationSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("stratified sample is k-per-stratum, deterministic, hash-ranked") {
+    val rows = Curation.q65StratifiedSample(spark, sfDir).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val langSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length == math.min(20L, langSizes(lang)))
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to rs.length))
+    }
+    // determinism: identical on a second run
+    val again = Curation.q65StratifiedSample(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("doc_id"))).toSet
+    val first = rows.map(r => (r.getAs[String]("lang"),
+      r.getAs[Int]("rnk"), r.getAs[Long]("doc_id"))).toSet
+    assert(again == first)
+  }
+
   test("repetition counts bound sanely") {
     val rows = Curation.q64Repetition(spark, sfDir).collect()
     assert(rows.nonEmpty)
