@@ -215,7 +215,14 @@ object Dedup {
     * signatures. Block count is DERIVED from the threshold (nb = H + 2)
     * so the pair-match pigeonhole guarantee always covers exactly the
     * pairs the verifier accepts. */
-  def simhashPairs(simhashes: DataFrame, maxHamming: Int = 10): DataFrame = {
+  /** `restrictTo`: optional (a, b) pair set that bounds the output — the
+    * broadcast semi-join is applied BEFORE the candidate-dedup shuffle,
+    * so gates that only ask "are these known pairs surfaced?" (q34b)
+    * never shuffle the full candidate expansion. Semantically identical
+    * to intersecting afterwards (semi-join commutes with distinct and the
+    * Hamming filter). */
+  def simhashPairs(simhashes: DataFrame, maxHamming: Int = 10,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
     val sh = simhashes
     val widths = blockWidths(maxHamming + 2)
     val offsets = widths.scanLeft(0)(_ + _)
@@ -241,9 +248,12 @@ object Dedup {
       col("simhash").as("ha"))
     val r = bounded.select(col("band"), col("bh"), col("doc_id").as("b"),
       col("simhash").as("hb"))
-    l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+    val joined = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+    restrictTo.fold(joined)(p =>
+        joined.join(broadcast(p.select(col("a"), col("b"))),
+          Seq("a", "b"), "left_semi"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -276,9 +286,9 @@ object Dedup {
     // concurrently inside one job, and two simultaneous cache misses
     // compute the shingle pass twice (measured: up to 2× on q34b)
     shingles.count()
-    val cand = simhashPairs(simhashFromShingles(shingles), maxHamming = 14)
-      .select(col("a"), col("b"))
-    val exact = jaccardPairs(shingles).select(col("a"), col("b"))
+    val exact = jaccardPairs(shingles).select(col("a"), col("b")).cache()
+    val cand = simhashPairs(simhashFromShingles(shingles), maxHamming = 14,
+      restrictTo = Some(exact)).select(col("a"), col("b"))
     exact.join(cand, Seq("a", "b"), "left_semi")
   }
 
