@@ -129,6 +129,11 @@ object Dedup {
 
   def q32MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(t(s, dir, "documents")).cache()
+    // materialize before fan-out: the banding branch and both rerank join
+    // sides consume this cache inside one job, and two simultaneous cold
+    // misses compute the signature pass twice (NOTES gotcha; q34b measured
+    // up to 2× on the same shape)
+    sig.count()
     // band hash = xxhash64 over the band's slice + band id
     val banded = sig.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(Bands - 1)), bnd =>
@@ -258,8 +263,13 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  def q34Simhash(s: SparkSession, dir: String): DataFrame =
-    simhashPairs(simhash64(t(s, dir, "documents")).cache())
+  def q34Simhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhash64(t(s, dir, "documents")).cache()
+    // same cold-cache race as q32: the pair-key expansion feeds the bucket
+    // filter and both join sides — materialize once before the fan-out
+    sig.count()
+    simhashPairs(sig)
+  }
 
   // ---------------------------------------------------------------------
   // q34b_simhash_recall — DERIVED ORACLE for SimHash: the exact

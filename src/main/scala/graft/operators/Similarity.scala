@@ -104,6 +104,12 @@ object Similarity {
       .limit(sampleSize)
       .select(col("emb")).collect()
       .map(r => normalize(r.getSeq[Double](0).toArray))
+    // degenerate corpora fail here with a clear message instead of an
+    // IndexOutOfBounds at sample(0); nlist > sample size is benign (the
+    // maximin init then re-picks sample points — duplicate centroids
+    // waste cells but stay correct)
+    require(sample.nonEmpty,
+      "cannot train IVF centroids: the embeddings corpus is empty")
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0d; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }

@@ -30,21 +30,51 @@ object Canonicalize {
     * dominant storage cost. Override per call for CPU-bound clusters. */
   val DefaultCodec = "zstd"
 
+  private def fsFor(path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
+
+  /** True if `dir` was written by the streaming sink ([[canonicalizeStream]])
+    * — it then carries a `_spark_metadata` commit log that batch readers
+    * trust exclusively. */
+  def isStreamSinkDir(path: String): Boolean = {
+    val fs = fsFor(path)
+    fs.exists(new org.apache.hadoop.fs.Path(path, "_spark_metadata"))
+  }
+
   /** Full rewrite of a raw table into the canonical layer, behind the
     * crash-safe swap: the live canonical data stays readable (and
     * restorable) until the replacement is completely written — a mid-job
-    * crash never leaves readers a partial table. */
+    * crash never leaves readers a partial table.
+    *
+    * Refuses tables owned by the streaming sink (same hazard [[compact]]
+    * refuses): a SafeSwap replace drops the `_spark_metadata` sink log
+    * while the stream's checkpoint survives, and a later stream resume
+    * recreates the log listing only post-resume batches — batch readers
+    * then trust the log and silently hide every earlier row. Streamed
+    * tables are refreshed by re-running [[canonicalizeStream]] against the
+    * same checkpoint, and compacted with [[compactStreamed]].
+    *
+    * Optional `derive` runs before the write — for date-deriving a
+    * partition column (e.g. `ts → ts_date`) so the canonical layer gains
+    * Catalyst partition pruning the raw layer can't have. */
   def canonicalize(
       spark: SparkSession,
       warehouseDir: String,
       table: CDTable,
       partitionBy: Seq[String] = Nil,
-      codec: String = DefaultCodec): String = {
+      codec: String = DefaultCodec,
+      derive: DataFrame => DataFrame = identity): String = {
     val raw = TsvSource.read(spark, TypeLattice.toStructType(table),
       s"$warehouseDir/${Sync.RawPrefix}/${table.tableName}")
     val out = s"$warehouseDir/$CanonicalPrefix/${table.tableName}"
+    require(!isStreamSinkDir(out),
+      s"$out was written by the streaming sink (_spark_metadata present); " +
+        "a batch rewrite would desynchronize the sink log from the data — " +
+        "refresh streamed tables by resuming canonicalizeStream instead")
     SafeSwap.replace(out) { tmp =>
-      val writer = raw.write.mode("overwrite").option("compression", codec)
+      val writer = derive(raw).write.mode("overwrite")
+        .option("compression", codec)
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
        else writer).parquet(tmp)
     }
@@ -59,21 +89,28 @@ object Canonicalize {
     * data read. The reference's change model is file-grained and files are
     * immutable once landed (`sync-canvas-data-files.py:58-67`: change =
     * new name appears / old name disappears; the fetch guard never
-    * overwrites), so (name, length) pairs identify the raw state exactly. */
+    * overwrites), so (path, length) pairs identify the raw state exactly.
+    * Keys are root-RELATIVE paths (same basename in different subdirs must
+    * not collide), and modification time is included as a tripwire for
+    * in-place replacement — a contract violation the fingerprint exists to
+    * catch (an extra rewrite is cheap; serving a stale canonical copy is
+    * not). */
   def rawFingerprint(spark: SparkSession, warehouseDir: String,
       table: String): String = {
     val root = s"$warehouseDir/${Sync.RawPrefix}/$table"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(warehouseDir), new org.apache.hadoop.conf.Configuration())
+    val fs = fsFor(warehouseDir)
     val p = new org.apache.hadoop.fs.Path(root)
     if (!fs.exists(p)) "empty"
     else {
+      val rootPath = fs.makeQualified(p).toUri.getPath
       val it = fs.listFiles(p, true)
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
       while (it.hasNext) {
         val st = it.next()
-        if (st.isFile && !st.getPath.getName.startsWith("."))
-          entries += s"${st.getPath.getName}|${st.getLen}"
+        if (st.isFile && !st.getPath.getName.startsWith(".")) {
+          val rel = st.getPath.toUri.getPath.stripPrefix(rootPath)
+          entries += s"$rel|${st.getLen}|${st.getModificationTime}"
+        }
       }
       val md = java.security.MessageDigest.getInstance("MD5")
       md.update(entries.sorted.mkString("\n").getBytes("UTF-8"))
@@ -86,16 +123,24 @@ object Canonicalize {
     * On a daily sync where most tables are unchanged, this turns the
     * canonical refresh into one metadata listing per table instead of a
     * full text re-parse + parquet rewrite — at 100 TB that is the
-    * difference between minutes and hours. Returns (path, rewritten). */
+    * difference between minutes and hours. Returns (path, rewritten).
+    *
+    * Tables owned by the streaming sink are SKIPPED (returns (out, false))
+    * rather than rewritten: their refresh mechanism is resuming
+    * [[canonicalizeStream]] against the same checkpoint (which drains
+    * exactly the not-yet-processed raw files), and a batch SafeSwap here
+    * would corrupt the sink log ([[canonicalize]] doc). Skipping keeps
+    * `Warehouse.sync(canonicalize = true)` safe over a mixed warehouse. */
   def canonicalizeIncremental(
       spark: SparkSession,
       warehouseDir: String,
       table: CDTable,
-      partitionBy: Seq[String] = Nil): (String, Boolean) = {
+      partitionBy: Seq[String] = Nil,
+      derive: DataFrame => DataFrame = identity): (String, Boolean) = {
     val out = s"$warehouseDir/$CanonicalPrefix/${table.tableName}"
+    if (isStreamSinkDir(out)) return (out, false)
     val fp = rawFingerprint(spark, warehouseDir, table.tableName)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(warehouseDir), new org.apache.hadoop.conf.Configuration())
+    val fs = fsFor(warehouseDir)
     val marker = new org.apache.hadoop.fs.Path(out, "_raw_fingerprint")
     val current =
       if (!fs.exists(marker)) None
@@ -106,7 +151,7 @@ object Canonicalize {
       }
     if (current.contains(fp)) (out, false)
     else {
-      canonicalize(spark, warehouseDir, table, partitionBy)
+      canonicalize(spark, warehouseDir, table, partitionBy, derive = derive)
       val os = fs.create(marker, true)
       try os.write(fp.getBytes("UTF-8")) finally os.close()
       (out, true)
@@ -165,35 +210,60 @@ object Canonicalize {
       table: String,
       targetBytes: Long = 512L * 1024 * 1024): (Int, Int) = {
     val out = s"$warehouseDir/$CanonicalPrefix/$table"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(warehouseDir), new org.apache.hadoop.conf.Configuration())
+    val fs = fsFor(warehouseDir)
     val dir = new org.apache.hadoop.fs.Path(out)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_spark_metadata")),
+    require(!isStreamSinkDir(out),
       s"$out was written by the streaming sink (_spark_metadata present); " +
-        "compact would desynchronize the sink log from the data — see doc")
-    val parts = fs.listStatus(dir).filter(st =>
-      st.isFile && st.getPath.getName.startsWith("part-"))
-    val totalBytes = parts.map(_.getLen).sum
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val marker = new org.apache.hadoop.fs.Path(out, "_raw_fingerprint")
-    val fp =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
-      }
-    val df = spark.read.parquet(out).repartition(nFiles)
-    SafeSwap.replace(out) { tmp =>
-      df.write.mode("overwrite").option("compression", DefaultCodec)
-        .parquet(tmp)
-      fp.foreach { v =>
-        val os = fs.create(new org.apache.hadoop.fs.Path(tmp, "_raw_fingerprint"), true)
-        try os.write(v.getBytes("UTF-8")) finally os.close()
-      }
+        "compact would desynchronize the sink log from the data — use " +
+        "compactStreamed (after stopping the stream)")
+    // Partitioned layout: part files live under col=val/ subdirs. Each
+    // LEAF directory is compacted independently — reading a leaf directly
+    // involves no partition-column inference (the files carry only data
+    // columns) and the directory names are untouched, so the layout AND
+    // the partition value types survive byte-for-byte. This is also the
+    // scale-correct shape: each partition rewrite is its own bounded job,
+    // and untouched partitions cost nothing.
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val subdirs = fs.listStatus(p).filter(st =>
+        st.isDirectory && st.getPath.getName.contains("="))
+      if (subdirs.isEmpty) Seq(p)
+      else subdirs.toSeq.flatMap(st => leaves(st.getPath))
     }
-    val after = fs.listStatus(dir).count(st =>
-      st.isFile && st.getPath.getName.startsWith("part-"))
-    (parts.length, after)
+    def partFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter(st =>
+        st.isFile && st.getPath.getName.startsWith("part-"))
+    var before = 0
+    var after = 0
+    leaves(dir).foreach { leaf =>
+      val parts = partFiles(leaf)
+      before += parts.length
+      val totalBytes = parts.map(_.getLen).sum
+      val nFiles =
+        math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      if (parts.length > nFiles) {
+        // preserve the incremental-canonicalize marker when the leaf IS
+        // the table root (unpartitioned layout; the marker lives there)
+        val marker = new org.apache.hadoop.fs.Path(leaf, "_raw_fingerprint")
+        val fp =
+          if (!fs.exists(marker)) None
+          else {
+            val in = fs.open(marker)
+            try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+          }
+        val df = spark.read.parquet(leaf.toString).repartition(nFiles)
+        SafeSwap.replace(leaf.toString) { tmp =>
+          df.write.mode("overwrite").option("compression", DefaultCodec)
+            .parquet(tmp)
+          fp.foreach { v =>
+            val os = fs.create(
+              new org.apache.hadoop.fs.Path(tmp, "_raw_fingerprint"), true)
+            try os.write(v.getBytes("UTF-8")) finally os.close()
+          }
+        }
+      }
+      after += partFiles(leaf).length
+    }
+    (before, after)
   }
 
   /** Schema-drift detection (SURVEY.md §7 hard parts): the reference's

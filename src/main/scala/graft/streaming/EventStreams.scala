@@ -160,7 +160,14 @@ object EventStreams {
                   st.copy(lastUs = us, nEvents = st.nEvents + 1)
             }
             state.update(st)
-            state.setTimeoutTimestamp(st.lastUs / 1000 + stateTtlMs)
+            // the engine rejects timeouts at/before the current watermark
+            // (IllegalArgumentException kills the query) — reachable when
+            // callers pass a TTL smaller than the watermark delay, so clamp
+            // to just past the watermark: eviction then happens at the
+            // earliest legal instant instead of crashing the stream
+            state.setTimeoutTimestamp(
+              math.max(st.lastUs / 1000 + stateTtlMs,
+                state.getCurrentWatermarkMs() + 1))
             UserSessionUpdate(user, st.nSessions, st.nEvents)
           }
       }

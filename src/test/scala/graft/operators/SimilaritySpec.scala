@@ -97,4 +97,12 @@ class SimilaritySpec extends SparkSpec {
     val recall = (ann & truth).size.toDouble / truth.size
     assert(recall >= 0.9, s"clustered recall $recall < 0.9")
   }
+
+  test("IVF training on an empty corpus fails with a clear message") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException](
+      Similarity.annIvf(empty).collect())
+    assert(ex.getMessage.contains("empty"))
+  }
 }

@@ -144,6 +144,68 @@ class CanonicalizeSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == n)
   }
 
+  test("batch canonicalize refuses stream-written tables; incremental skips them") {
+    val wh = Files.createTempDirectory("canon_guard").toString
+    val cp = Files.createTempDirectory("canon_guard_cp").toString
+    val rawDir = java.nio.file.Paths.get(s"$wh/raw_files/ev_guard")
+    java.nio.file.Files.createDirectories(rawDir)
+    java.nio.file.Files.write(rawDir.resolve("f1.tsv"),
+      "1\talice\n".getBytes("UTF-8"))
+    val cd = CDTable("ev_guard", None, Seq(
+      CDColumn("id", "bigint"), CDColumn("name", "varchar", Some(32))))
+    Canonicalize.canonicalizeStream(spark, wh, cd, cp).awaitTermination()
+
+    // a batch SafeSwap would orphan the sink log → must refuse loudly
+    val ex = intercept[IllegalArgumentException](
+      Canonicalize.canonicalize(spark, wh, cd))
+    assert(ex.getMessage.contains("_spark_metadata"))
+    // the sync path must stay safe over a mixed warehouse: skip, not throw
+    val (_, rewrote) = Canonicalize.canonicalizeIncremental(spark, wh, cd)
+    assert(!rewrote, "incremental must skip stream-owned tables")
+    // and the streamed data is still intact + readable
+    assert(spark.read.parquet(s"$wh/canonical/ev_guard").count() == 1)
+  }
+
+  test("compaction preserves a partitioned layout (per-leaf rewrite)") {
+    val wh = Files.createTempDirectory("canon_part_cmp").toString
+    val out = s"$wh/canonical/orders_pc"
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_year"))
+    orders.repartition(6).write.mode("overwrite")
+      .partitionBy("o_year").parquet(out)
+    val n = orders.count()
+    val yearsBefore = spark.read.parquet(out)
+      .select("o_year").distinct().collect().map(_.get(0)).toSet
+
+    val (before, after) = Canonicalize.compact(spark, wh, "orders_pc")
+    assert(before > after, s"$before -> $after must shrink")
+    val back = spark.read.parquet(out)
+    assert(back.count() == n, "row count must survive compaction")
+    // layout preserved: same partition values, same inferred type (int,
+    // from the directory names — a flatten would re-materialize the
+    // column from data and change file layout)
+    assert(back.select("o_year").distinct().collect()
+      .map(_.get(0)).toSet == yearsBefore)
+    assert(back.schema("o_year").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val leafDirs = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+    try {
+      import scala.jdk.CollectionConverters._
+      val leaves = leafDirs.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("o_year=")).toSeq
+      assert(leaves.nonEmpty, "partition directories must survive")
+      leaves.foreach { leaf =>
+        val files = java.nio.file.Files.list(leaf)
+        try {
+          val parts = files.iterator().asScala
+            .count(_.getFileName.toString.startsWith("part-"))
+          assert(parts == 1, s"$leaf should compact to one file, got $parts")
+        } finally files.close()
+      }
+    } finally leafDirs.close()
+  }
+
   test("streaming canonicalization is incremental and exactly-once") {
     val wh = Files.createTempDirectory("canon_stream").toString
     val cp = Files.createTempDirectory("canon_stream_cp").toString
