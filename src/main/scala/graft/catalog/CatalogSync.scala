@@ -71,6 +71,31 @@ object CatalogSync {
     } else false
   }
 
+  /** Register the canonical Parquet layer under `<table>_canonical` so the
+    * catalog resolves BOTH layers by name — the reference's entire product
+    * is catalog-resolved tables (`sync-canvas-data-files.py:170-235`
+    * registers every table in Glue so Athena resolves by name), and a
+    * canonical layer reachable only by path would leave analysts on the
+    * slow raw TSV scan by default.
+    *
+    * Registered as a VIEW over the parquet path, not a catalog table, for
+    * two reasons: (1) `CREATE OR REPLACE VIEW` is a single atomic
+    * statement, so the full-replace upsert needs no staging dance; (2) the
+    * view re-resolves the path's file listing at query time, so a SafeSwap
+    * rewrite (canonicalize/compact) or newly-arrived partitions are
+    * visible immediately — a catalog table would serve a stale cached
+    * listing until an explicit REFRESH TABLE. Partition discovery and
+    * pruning work through the view (the path read discovers `col=val/`
+    * dirs). Names: a raw table literally named `x_canonical` would collide
+    * with the canonical view of `x`; the sync surfaces that as a CREATE
+    * VIEW error rather than silently shadowing either. */
+  def registerCanonicalView(spark: SparkSession, db: String, table: String,
+      location: String): Unit = {
+    ensureDatabase(spark, db)
+    spark.sql(s"CREATE OR REPLACE VIEW `$db`.`${table}_canonical` AS " +
+      s"SELECT * FROM parquet.`$location`")
+  }
+
   /** Create-or-update, returning "created" | "updated" exactly like the
     * reference (`:227,234`). */
   def createOrUpdateTable(

@@ -57,9 +57,59 @@ class WarehouseSpec extends SparkSpec {
 
     // canonical layer carries the same rows
     assert(wh.canonicalTable("enrollment_fact").count() == 6L)
+    // ... and is catalog-resolved by name (the reference's product shape:
+    // analysts resolve tables through the catalog, not paths), planning a
+    // parquet scan instead of the raw TSV scan
+    val cat = spark.table("cd_wh.`enrollment_fact_canonical`")
+    assert(cat.count() == 6L)
+    assert(cat.exceptAll(wh.canonicalTable("enrollment_fact")).isEmpty &&
+      wh.canonicalTable("enrollment_fact").exceptAll(cat).isEmpty,
+      "catalog view must serve exactly the canonical rows")
+    val plan = cat.queryExecution.executedPlan.toString
+    assert(plan.contains("Format: Parquet"),
+      s"canonical view must plan a parquet scan:\n$plan")
     // second sync is a no-op on data, full-replace on catalog
     val s2 = wh.sync(manifest, schema)
     assert(s2.fetched == 0 && s2.skipped == 2 && s2.tablesUpdated == 2)
     assert(notified.toSeq == Seq(s1, s2))
+    // the view survives the full-replace and still resolves
+    assert(spark.table("cd_wh.`enrollment_fact_canonical`").count() == 6L)
+  }
+
+  test("canonical layer partitions via per-table specs and prunes from SQL") {
+    val src = Files.createTempDirectory("wh_part_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val manifest = Seq(put("request_fact", "r1.tsv",
+      "1\t2024-01-01 10:00:00\t1.5\n" +
+        "2\t2024-01-01 23:59:59\t2.5\n" +
+        "3\t2024-01-02 00:00:01\t3.5\n" +
+        "4\t2024-01-03 12:00:00\t4.5\n"))
+    val schema = Seq(CDTable("request_fact", None, Seq(
+      CDColumn("id", "bigint"),
+      CDColumn("ts", "datetime"),
+      CDColumn("v", "double precision"))))
+    val whDir = Files.createTempDirectory("wh_part_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark,
+      Warehouse.Config(whDir, db = "cd_whp", parallelism = 2,
+        canonicalize = true,
+        canonicalSpecs = Map(
+          "request_fact" -> Warehouse.datePartitioned("ts", "ts_date"))))
+    wh.sync(manifest, schema)
+
+    val cat = spark.table("cd_whp.`request_fact_canonical`")
+    assert(cat.count() == 4L)
+    // a date predicate through the CATALOG name must partition-prune
+    val q = cat.filter(org.apache.spark.sql.functions.col("ts_date") ===
+        "2024-01-01")
+      .select("id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ts_date"),
+      s"expected partition pruning through the catalog view:\n$plan")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 }
