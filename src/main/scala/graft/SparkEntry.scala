@@ -49,10 +49,12 @@ object SparkEntry {
     // [EXT] dedup
     "q31_dedup_exact"    -> (Dedup.q31DedupExact _),
     "q32_minhash_lsh"    -> (Dedup.q32MinhashLsh _),
+    "q32b_minhash_recall" -> (Dedup.q32bMinhashRecall _),
     "q33_ngram_jaccard"  -> (Dedup.q33NgramJaccard _),
     "q34_simhash"        -> (Dedup.q34Simhash _),
     "q34b_simhash_recall" -> (Dedup.q34bSimhashRecall _),
     "q35_embed_neardup"  -> (Dedup.q35EmbedNearDup _),
+    "q35b_embed_recall"  -> (Dedup.q35bEmbedRecall _),
     // [EXT] similarity search
     "q36_cosine_topk"    -> (Similarity.q36CosineTopK _),
     "q36b_topk_agg"      -> (Similarity.q36bTopKAgg _),
@@ -127,15 +129,18 @@ object SparkEntry {
     "q26_asof_join"      -> EventTime.q26AsofJoinSql,
     "q26b_asof_tolerance" -> EventTime.q26bAsofToleranceSql,
     "q26c_asof_forward"  -> EventTime.q26cAsofForwardSql,
-    // [EXT] — q32/q34/q35/q37 are hash-function-specific (xxhash64 / LSH),
-    // not SQL-expressible in DuckDB → rows-only driver check; their
-    // semantics are spec-tested against exact counterparts (q33/q36) AND
-    // gate-checked through derived oracles: q34b (exact pairs ∩ SimHash
-    // candidates ≡ exact pairs at recall 1.0) and q37b (full-probe IVF ≡
-    // exact brute force).
+    // [EXT] — q32/q34/q35/q37/q53 are hash-function-specific (xxhash64 /
+    // LSH / rolling hash), not SQL-expressible in DuckDB → rows-only
+    // driver check; their semantics are spec-tested against exact
+    // counterparts (q33/q36) AND gate-checked through derived oracles:
+    // q32b/q34b (exact pairs ∩ banding candidates ≡ exact pairs at recall
+    // 1.0), q35b (structurally-guaranteed planted pairs ≡ the DuckDB-
+    // predicted set), and q37b (full-probe IVF ≡ exact brute force).
     "q31_dedup_exact"    -> Dedup.q31DedupExactSql,
+    "q32b_minhash_recall" -> Dedup.q34bSimhashRecallSql,
     "q33_ngram_jaccard"  -> Dedup.q33NgramJaccardSql,
     "q34b_simhash_recall" -> Dedup.q34bSimhashRecallSql,
+    "q35b_embed_recall"  -> Dedup.q35bEmbedRecallSql,
     "q36_cosine_topk"    -> Similarity.q36CosineTopKSql,
     "q36b_topk_agg"      -> Similarity.q36CosineTopKSql,
     "q37b_ann_exhaustive" -> Similarity.q36CosineTopKSql,
@@ -151,8 +156,7 @@ object SparkEntry {
     "q38_multimodal"     -> Multimodal.q38MultimodalSql,
     "q50_tsv_roundtrip"  -> Ingest.q50TsvRoundtripSql,
     "q51_canonicalize"   -> Ingest.q51CanonicalizeSql,
-    // q53 (winnowing) and q54 (HLL sketch) are hash/engine-specific →
-    // rows-only driver check, spec-tested instead.
+    "q54_approx_distinct" -> Stats.q54ApproxDistinctSql,
     "q44_stats_moments"  -> Stats.q44StatsMomentsSql,
     "q45_percentile"     -> Stats.q45PercentileSql,
     "q46_array_funcs"    -> Misc.q46ArrayFuncsSql,

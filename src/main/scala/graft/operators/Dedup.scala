@@ -110,14 +110,47 @@ object Dedup {
   private val Bands = 16
   private val RowsPerBand = MinhashPerms / Bands
 
-  def minhashSignatures(d: DataFrame): DataFrame = {
-    val ex = shingleRows(d)
+  /** MinHash signatures from a precomputed shingle stream (shared with
+    * q32b so the shingle pass runs once). */
+  def minhashSignaturesFromShingles(ex: DataFrame): DataFrame = {
     val aggs = (0 until MinhashPerms).map(j =>
       min(xxhash64(col("s"), lit(j))).as(s"sig_$j"))
     ex.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until MinhashPerms).map(j => col(s"sig_$j")): _*).as("sig"))
+  }
+
+  def minhashSignatures(d: DataFrame): DataFrame =
+    minhashSignaturesFromShingles(shingleRows(d))
+
+  /** LSH-band candidate pairs from MinHash signatures — the banding half
+    * of q32, factored out so the recall gate (q32b) can run it standalone.
+    * `restrictTo` bounds the output to a known pair set with a broadcast
+    * semi-join BEFORE the candidate-dedup shuffle (same contract as
+    * [[simhashPairs]]). */
+  def minhashCandidates(sig: DataFrame,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
+    // band hash = xxhash64 over the band's slice + band id
+    val banded = sig.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(Bands - 1)), bnd =>
+        xxhash64(bnd, concat_ws(",",
+          slice(col("sig"), bnd * RowsPerBand + 1, lit(RowsPerBand)))))))
+      .toDF("doc_id", "band", "bh")
+    // skew guard: drop pathologically hot buckets before pair expansion
+    val smallBuckets = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, MaxBucketSize))
+      .select(col("band"), col("bh"))
+    val bounded = banded.join(smallBuckets, Seq("band", "bh"), "left_semi")
+    val l = bounded.select(col("band"), col("bh"), col("doc_id").as("a"))
+    val r = bounded.select(col("band"), col("bh"), col("doc_id").as("b"))
+    val joined = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    restrictTo.fold(joined)(p =>
+        joined.join(broadcast(p.select(col("a"), col("b"))),
+          Seq("a", "b"), "left_semi"))
+      .distinct()
   }
 
   /** Pair expansion per bucket is O(size²) — a boilerplate-heavy corpus can
@@ -134,22 +167,7 @@ object Dedup {
     // misses compute the signature pass twice (NOTES gotcha; q34b measured
     // up to 2× on the same shape)
     sig.count()
-    // band hash = xxhash64 over the band's slice + band id
-    val banded = sig.select(col("doc_id"), posexplode(
-      transform(sequence(lit(0), lit(Bands - 1)), bnd =>
-        xxhash64(bnd, concat_ws(",",
-          slice(col("sig"), bnd * RowsPerBand + 1, lit(RowsPerBand)))))))
-      .toDF("doc_id", "band", "bh")
-    // skew guard: drop pathologically hot buckets before pair expansion
-    val smallBuckets = banded.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("sz"))
-      .filter(col("sz").between(2, MaxBucketSize))
-      .select(col("band"), col("bh"))
-    val bounded = banded.join(smallBuckets, Seq("band", "bh"), "left_semi")
-    val l = bounded.select(col("band"), col("bh"), col("doc_id").as("a"))
-    val r = bounded.select(col("band"), col("bh"), col("doc_id").as("b"))
-    val cand = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val cand = minhashCandidates(sig)
     val sa = sig.select(col("doc_id").as("a"), col("sig").as("sig_a"))
     val sb = sig.select(col("doc_id").as("b"), col("sig").as("sig_b"))
     cand.join(sa, "a").join(sb, "b")
@@ -159,6 +177,29 @@ object Dedup {
           .cast("double") / MinhashPerms)
       .filter(col("est") >= 0.5)
       .select(col("a"), col("b"), col("est"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q32b_minhash_recall — DERIVED ORACLE for MinHash-LSH (the q34b
+  // pattern): the exact trigram-Jaccard pairs (q33, SQL-expressible) that
+  // the banding also surfaces as candidates. Equal to q33's pair list iff
+  // banding recall over the corpus's true near-dup pairs is 1.0 — any
+  // signature/banding regression shrinks the intersection and
+  // hash-mismatches against DuckDB. Unlike SimHash's pigeonhole, MinHash
+  // recall is probabilistic in general (16 bands × 4 rows: a jaccard-0.6
+  // pair misses every band with p ≈ 0.11) — but it is DETERMINISTIC for a
+  // fixed corpus and hash family (xxhash64, fixed seeds), and on this
+  // corpus the true pairs sit far above the threshold, where the miss
+  // probability is ~1e-7 per pair; verified green at sf0.01 and sf0.1.
+  // ---------------------------------------------------------------------
+  def q32bMinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val shingles = shingleRows(t(s, dir, "documents")).cache()
+    // materialize before fan-out (same race as q34b)
+    shingles.count()
+    val exact = jaccardPairs(shingles).select(col("a"), col("b")).cache()
+    val cand = minhashCandidates(minhashSignaturesFromShingles(shingles),
+      restrictTo = Some(exact))
+    exact.join(cand, Seq("a", "b"), "left_semi")
   }
 
   // ---------------------------------------------------------------------
@@ -321,9 +362,10 @@ object Dedup {
   // bucket collisions only. Driver-seeded deterministic hyperplanes.
   // Rows-only oracle; recall vs brute force is spec-tested.
   // ---------------------------------------------------------------------
-  def q35EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val e = t(s, dir, "embeddings")
+  /** The RH-LSH near-dup pipeline over an arbitrary embeddings frame —
+    * factored out so the structural gate (q35b) can run it on an
+    * augmented corpus. */
+  def embedNearDupPairs(e: DataFrame): DataFrame = {
     val dim = 64
     val tables = 4
     val bitsPerTable = 12
@@ -352,4 +394,43 @@ object Dedup {
       .distinct()
       .filter(col("sim") >= 0.3)
   }
+
+  def q35EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    embedNearDupPairs(t(s, dir, "embeddings"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q35b_embed_recall — DERIVED ORACLE for the RH-LSH machinery. The
+  // corpus's natural ≥0.3-cosine pairs are NOT a usable truth set: at
+  // sim 0.3-0.5 the collision probability of a 12-bit×4-table
+  // sign-hash is under 2% BY DESIGN (the operator's contract is "high-sim
+  // near-dups", and the synthetic corpus has no pair above 0.6). So the
+  // gate plants its own: a ×2-scaled copy of every 20th vector. Scaling
+  // by a positive power of two preserves every hyperplane dot's sign
+  // EXACTLY (fl(2a+2b) = 2·fl(a+b): ×2 only shifts exponents, so it
+  // commutes with every rounding in the dot product) — each planted copy
+  // lands in its original's bucket in all 4 tables, collision is
+  // structural, and cosine(v, 2v) = 1. DuckDB can therefore predict the
+  // surfaced planted pairs exactly: (v, v+10⁷) for every 20th vec_id.
+  // Any regression in signature computation, bucket join, cosine rerank,
+  // or the threshold filter loses planted pairs and hash-mismatches.
+  // ---------------------------------------------------------------------
+  val PlantOffset = 10000000L
+
+  def q35bEmbedRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + PlantOffset).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    embedNearDupPairs(e.unionByName(planted))
+      .filter(col("b") === col("a") + PlantOffset &&
+        col("a") % 20 === 0)
+      .select(col("a"), col("b"))
+  }
+
+  val q35bEmbedRecallSql: String =
+    """SELECT vec_id AS a, vec_id + 10000000 AS b
+      |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 }

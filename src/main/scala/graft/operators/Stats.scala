@@ -110,10 +110,22 @@ object Stats {
   // ---------------------------------------------------------------------
   def q54ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
+    // tolerance-verdict output (fully oracle-checkable): the raw sketch
+    // value is engine-specific, but "the sketch lands within its ≤5%
+    // relative-error contract of the exact count" is a boolean DuckDB can
+    // assert as TRUE — so the gate hash-checks the exact count AND that
+    // the HLL++ estimate holds its contract, instead of a rows-only pass
     li.groupBy(col("l_returnflag")).agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      countDistinct(col("l_partkey")).as("exact_parts"))
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      (abs(approx_count_distinct(col("l_partkey")) -
+          countDistinct(col("l_partkey"))).cast("double") /
+        countDistinct(col("l_partkey")) <= 0.05).as("within_5pct"))
   }
+
+  val q54ApproxDistinctSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS within_5pct
+      |FROM lineitem GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // q56_weighted_mean — the typed Aggregator (UDAF) surface: exact
