@@ -85,6 +85,7 @@ object SparkEntry {
     "q49_pivot"          -> (Misc.q49Pivot _),
     "q52_tokenize"       -> (Misc.q52Tokenize _),
     "q53_winnowing"      -> (TextAnalysis.q53Winnowing _),
+    "q53b_winnow_relational" -> (TextAnalysis.q53bWinnowRelational _),
     "q55_range_join"     -> (RangeJoin.q55RangeJoin _),
     "q56_weighted_mean"  -> (Stats.q56WeightedMean _),
     "q57_unpivot"        -> (Misc.q57Unpivot _),
@@ -164,6 +165,7 @@ object SparkEntry {
     "q48_null_semantics" -> Misc.q48NullSemanticsSql,
     "q49_pivot"          -> Misc.q49PivotSql,
     "q52_tokenize"       -> Misc.q52TokenizeSql,
+    "q53b_winnow_relational" -> TextAnalysis.q53bWinnowRelationalSql,
     "q55_range_join"     -> RangeJoin.q55RangeJoinSql,
     "q56_weighted_mean"  -> Stats.q56WeightedMeanSql,
     "q57_unpivot"        -> Misc.q57UnpivotSql,

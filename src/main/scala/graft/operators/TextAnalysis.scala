@@ -207,4 +207,56 @@ object TextAnalysis {
       .filter(col("n_docs") >= 2)
       .groupBy(col("n_docs")).agg(count(lit(1)).as("n_shared_fps"))
   }
+
+  // ---------------------------------------------------------------------
+  // q53b_winnow_relational — DERIVED ORACLE for the winnowing SCHEME:
+  // the same MOSS pipeline (k-gram hash → sliding-window min → distinct
+  // per doc → cross-doc sharing histogram) expressed with an
+  // engine-neutral hash (md5 hex, compared as a string) and a relational
+  // sliding min, so DuckDB reproduces it bit-for-bit. Gates window
+  // semantics (full windows only), per-doc dedup, and the sharing
+  // aggregation — everything q53 computes except the engine-specific
+  // rolling-hash values, which the spec gates separately against an O(n²)
+  // reference. The shape is also the scheme's scale story: explode +
+  // window over (doc_id, i) shards by document, no cross-doc shuffle
+  // until the (tiny) fingerprint-sharing aggregation.
+  // ---------------------------------------------------------------------
+  def q53bWinnowRelational(s: SparkSession, dir: String): DataFrame = {
+    val k = 8  // k-gram length in chars
+    val w = 16 // winnow window
+    val d = t(s, dir, "documents")
+    val grams = d
+      .select(col("doc_id"),
+        (length(col("text")) - (k - 1)).as("n_grams"), col("text"))
+      .filter(col("n_grams") >= w) // docs too short for one full window drop
+      .select(col("doc_id"), col("n_grams"),
+        explode(sequence(lit(1), col("n_grams"))).as("i"), col("text"))
+      .select(col("doc_id"), col("n_grams"), col("i"),
+        md5(expr(s"substring(text, i, $k)")).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, w - 1)
+    val sel = grams
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("i") <= col("n_grams") - (w - 1)) // full windows only
+      .select(col("doc_id"), col("fp")).distinct()
+    sel.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .groupBy(col("n_docs")).agg(count(lit(1)).as("n_shared_fps"))
+  }
+
+  val q53bWinnowRelationalSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, LENGTH(text) - 7 AS n_grams, i,
+      |         md5(substr(text, CAST(i AS INTEGER), 8)) AS h
+      |  FROM documents, UNNEST(range(1, LENGTH(text) - 7 + 1)) AS t(i)
+      |  WHERE LENGTH(text) - 7 >= 16),
+      |m AS (
+      |  SELECT doc_id, n_grams, i,
+      |         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+      |  FROM g),
+      |sel AS (SELECT DISTINCT doc_id, fp FROM m WHERE i <= n_grams - 15),
+      |sh AS (SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM sel
+      |       GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2)
+      |SELECT n_docs, COUNT(*) AS n_shared_fps FROM sh GROUP BY n_docs""".stripMargin
 }
