@@ -266,6 +266,77 @@ object Canonicalize {
     (before, after)
   }
 
+  /** Small-file compaction for STREAM-WRITTEN canonical tables — the
+    * sink-log-aware rewrite that [[compact]] refuses to improvise.
+    *
+    * CALLER CONTRACT: the stream writing this table must be STOPPED (for
+    * `Trigger.AvailableNow` ingestion that is simply "between runs").
+    *
+    * Batch readers of a streamed table trust ONLY the files listed in its
+    * `_spark_metadata` sink log, and a resumed stream appends batch
+    * latest+1 to that same log — so the rewrite must keep the log, the
+    * data, and the (untouched) source checkpoint mutually consistent:
+    *
+    *  1. read the table THROUGH the sink log (exactly the committed rows);
+    *  2. rewrite into ~targetBytes files behind the crash-safe swap;
+    *  3. regenerate the sink log inside the replacement dir with the SAME
+    *     latest batch id (batches 0..latest-1 empty, latest listing every
+    *     compacted file, `.compact` naming preserved by the real
+    *     FileStreamSinkLog so interval derivation on resume is unchanged).
+    *
+    * A resumed stream then continues from its checkpoint offsets (the
+    * processed-raw-files set is unaffected by the rewrite) and appends
+    * batch latest+1; batch readers see exactly the compacted files.
+    * Returns (files before, files after). */
+  def compactStreamed(
+      spark: SparkSession,
+      warehouseDir: String,
+      table: String,
+      targetBytes: Long = 512L * 1024 * 1024): (Int, Int) = {
+    import org.apache.spark.sql.execution.streaming.sinks.{FileStreamSinkLog, SinkFileStatus}
+    val out = s"$warehouseDir/$CanonicalPrefix/$table"
+    require(isStreamSinkDir(out),
+      s"$out has no _spark_metadata sink log — use compact() for " +
+        "batch-written tables")
+    val fs = fsFor(warehouseDir)
+    val oldLog = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
+      s"$out/_spark_metadata", None)
+    val oldFiles = oldLog.allFiles()
+    val latestBatch = oldLog.getLatest().map(_._1).getOrElse(0L)
+    val before = oldFiles.length
+    val totalBytes = oldFiles.map(_.size).sum
+    val nFiles =
+      math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // log-aware read: exactly the committed rows, never uncommitted parts
+    val df = spark.read.parquet(out).repartition(nFiles)
+    val outQualified = fs.makeQualified(new org.apache.hadoop.fs.Path(out))
+    var after = 0
+    SafeSwap.replace(out) { tmp =>
+      df.write.mode("overwrite").option("compression", DefaultCodec)
+        .parquet(tmp)
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      after = parts.length
+      // Regenerated log entries must carry the FINAL (post-swap) paths.
+      val statuses = parts.map(st =>
+        SinkFileStatus(st).copy(path =
+          new org.apache.hadoop.fs.Path(outQualified, st.getPath.getName)
+            .toUri.toString))
+      val newLog = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
+        s"$tmp/_spark_metadata", None)
+      // rebuild the ladder 0..latest so every batch id the checkpoint has
+      // committed resolves; only the latest carries files
+      (0L to latestBatch).foreach { bid =>
+        val files =
+          if (bid == latestBatch) statuses
+          else Array.empty[SinkFileStatus]
+        require(newLog.add(bid, files),
+          s"failed to regenerate sink log batch $bid for $out")
+      }
+    }
+    (before, after)
+  }
+
   /** Schema-drift detection (SURVEY.md §7 hard parts): the reference's
     * `update_table` is a full-replace — files landed under an older schema
     * silently mis-parse once the column list changes. This scans a raw

@@ -206,6 +206,48 @@ class CanonicalizeSpec extends SparkSpec {
     } finally leafDirs.close()
   }
 
+  test("sink-log-aware compaction: batch read AND resumed stream see the original rows") {
+    val wh = Files.createTempDirectory("canon_scmp").toString
+    val cp = Files.createTempDirectory("canon_scmp_cp").toString
+    val rawDir = java.nio.file.Paths.get(s"$wh/raw_files/ev_scmp")
+    java.nio.file.Files.createDirectories(rawDir)
+    // two drains × multiple small files → fragmented sink output
+    (1 to 3).foreach(i => java.nio.file.Files.write(
+      rawDir.resolve(s"a$i.tsv"), s"$i\tv$i\n".getBytes("UTF-8")))
+    val cd = CDTable("ev_scmp", None, Seq(
+      CDColumn("id", "bigint"), CDColumn("name", "varchar", Some(32))))
+    Canonicalize.canonicalizeStream(spark, wh, cd, cp).awaitTermination()
+    (4 to 5).foreach(i => java.nio.file.Files.write(
+      rawDir.resolve(s"b$i.tsv"), s"$i\tv$i\n".getBytes("UTF-8")))
+    Canonicalize.canonicalizeStream(spark, wh, cd, cp).awaitTermination()
+    val out = s"$wh/canonical/ev_scmp"
+    val orig = spark.read.parquet(out).orderBy("id").collect().toSeq
+    assert(orig.map(_.getLong(0)) == (1L to 5L))
+
+    val (before, after) = Canonicalize.compactStreamed(spark, wh, "ev_scmp")
+    assert(before > 1 && after == 1, s"$before -> $after")
+    // batch read goes through the regenerated sink log: exact same rows
+    assert(spark.read.parquet(out).orderBy("id").collect().toSeq == orig)
+    // ... and the log lists exactly the compacted files (a stale or
+    // partial log would surface extra/missing entries here)
+    import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+    val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
+      s"$out/_spark_metadata", None)
+    assert(log.allFiles().length == 1)
+
+    // the stream resumes against the untouched checkpoint: only the new
+    // raw file lands (batch latest+1), nothing is re-emitted
+    java.nio.file.Files.write(rawDir.resolve("c6.tsv"),
+      "6\tv6\n".getBytes("UTF-8"))
+    Canonicalize.canonicalizeStream(spark, wh, cd, cp).awaitTermination()
+    val resumed = spark.read.parquet(out).orderBy("id").collect().toSeq
+    assert(resumed.map(_.getLong(0)) == (1L to 6L),
+      "resume must append exactly the new file's rows")
+    // compact() still refuses (the table remains stream-owned)
+    intercept[IllegalArgumentException](
+      Canonicalize.compact(spark, wh, "ev_scmp"))
+  }
+
   test("streaming canonicalization is incremental and exactly-once") {
     val wh = Files.createTempDirectory("canon_stream").toString
     val cp = Files.createTempDirectory("canon_stream_cp").toString
