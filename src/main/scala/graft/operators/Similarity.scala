@@ -159,31 +159,46 @@ object Similarity {
   // corpus recall is information-theoretically ≈ the scanned fraction —
   // see NOTES.md).
   // ---------------------------------------------------------------------
+  /** Cell affinity vs each centroid = dot(emb, c_i) — centroids are
+    * unit-norm and the row's own norm is constant across cells, so
+    * argmax = cosine. Centroids are plan literals: broadcast for free
+    * inside the serialized expression tree. */
+  private def cellScores(centroids: Array[Array[Double]],
+      embCol: Column): Column = {
+    val embD = embCol.cast("array<double>")
+    array(centroids.indices.map { ci =>
+      val dot = aggregate(
+        zip_with(embD, typedLit(centroids(ci).toSeq), (x, p) => x * p),
+        lit(0.0d), (acc, v) => acc + v)
+      struct(dot.as("score"), lit(ci).as("cell"))
+    }: _*)
+  }
+
+  private def bestCells(centroids: Array[Array[Double]], embCol: Column,
+      n: Int): Column =
+    transform(slice(reverse(array_sort(cellScores(centroids, embCol))), 1, n),
+      s => s.getField("cell"))
+
+  /** One-shot IVF (train + assign + probe in a single plan) — the spec
+    * harness's shape for small fixtures. Production uses the build/probe
+    * split below ([[ensureIvfIndex]] / [[probeIvfIndex]]) so the corpus
+    * is assigned once, not per query batch. */
   def annIvf(e: DataFrame, nQueries: Int = 20, k: Int = 5, nlist: Int = 16,
       nprobe: Int = 4, replicas: Int = 2): DataFrame = {
     val centroids = trainCentroids(e, nlist)
-
-    // cell score vs centroid i = dot(emb, c_i) — centroids are unit-norm
-    // and the row's own norm is constant across cells, so argmax = cosine.
-    def cellScores(embCol: Column): Column = {
-      val embD = embCol.cast("array<double>")
-      array((0 until nlist).map { ci =>
-        val dot = aggregate(
-          zip_with(embD, typedLit(centroids(ci).toSeq), (x, p) => x * p),
-          lit(0.0d), (acc, v) => acc + v)
-        struct(dot.as("score"), lit(ci).as("cell"))
-      }: _*)
-    }
-    def bestCells(embCol: Column, n: Int): Column =
-      transform(slice(reverse(array_sort(cellScores(embCol))), 1, n),
-        s => s.getField("cell"))
     val corpus = e
       .select(col("vec_id"), col("embedding"),
-        explode(bestCells(col("embedding"), replicas)).as("cell"))
+        explode(bestCells(centroids, col("embedding"), replicas)).as("cell"))
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        explode(bestCells(col("embedding"), nprobe)).as("cell"))
-    val cand = corpus.join(broadcast(queries), Seq("cell"))
+        explode(bestCells(centroids, col("q_emb"), nprobe)).as("cell"))
+    rerank(corpus.join(broadcast(queries), Seq("cell")), k)
+  }
+
+  /** Shared exact rerank: cosine within the probed candidate set, bounded
+    * top-k per query. */
+  private def rerank(cand0: DataFrame, k: Int): DataFrame = {
+    val cand = cand0
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         expr("cosine_sim(q_emb, embedding)").as("sim"))
@@ -195,9 +210,115 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // Persisted IVF index — the production build/probe split. Build runs
+  // once per corpus version (train on a bounded sample, assign the whole
+  // corpus distributed, write cell-partitioned parquet); probes read only
+  // their probed cells. Layout under `indexDir`:
+  //   centroids/            tiny parquet (cell, centroid: array<double>)
+  //   cells/cell=N/         corpus rows assigned to cell N (replicas×)
+  //   _corpus_fingerprint   rebuild trigger (corpus content + params)
+  // The whole tree is replaced behind the crash-safe SafeSwap, so probes
+  // never see a half-built index.
+  // ---------------------------------------------------------------------
+
+  /** Order-independent corpus fingerprint: one distributed pass, O(1)
+    * driver result — the rebuild trigger at any corpus size. */
+  def corpusFingerprint(e: DataFrame): String = {
+    // decimal accumulator: a long sum of 2^63-magnitude hashes overflows
+    // (an error under ANSI mode); decimal(38,0) holds ~10^12 rows' worth
+    val r = e.agg(
+      count(lit(1)).as("n"),
+      sum(xxhash64(col("vec_id"), col("embedding")).cast("decimal(38,0)"))
+        .as("h")).head()
+    s"${r.getLong(0)}|${if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString}"
+  }
+
+  def buildIvfIndex(spark: SparkSession, e: DataFrame, indexDir: String,
+      nlist: Int = 16, replicas: Int = 2): Unit = {
+    val centroids = trainCentroids(e, nlist)
+    val fp = corpusFingerprint(e)
+    val corpus = e.select(col("vec_id"), col("embedding"),
+      explode(bestCells(centroids, col("embedding"), replicas)).as("cell"))
+    graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
+      val sqlCtx = spark
+      import sqlCtx.implicits._
+      centroids.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid").coalesce(1)
+        .write.parquet(s"$tmp/centroids")
+      // cell-partitioned: a probe of p cells reads p/nlist of the corpus
+      // via partition pruning, the IVF promise made physical
+      corpus.write.partitionBy("cell").parquet(s"$tmp/cells")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+      val os = fs.create(
+        new org.apache.hadoop.fs.Path(tmp, "_corpus_fingerprint"), true)
+      try os.write(s"$fp|nlist=$nlist|replicas=$replicas".getBytes("UTF-8"))
+      finally os.close()
+    }
+  }
+
+  /** Build-if-stale: rebuilds when the corpus content or index parameters
+    * changed since the persisted build (marker compare — one metadata read
+    * plus one fingerprint pass). Returns true if a rebuild ran. */
+  def ensureIvfIndex(spark: SparkSession, e: DataFrame, indexDir: String,
+      nlist: Int = 16, replicas: Int = 2): Boolean = {
+    val expected =
+      s"${corpusFingerprint(e)}|nlist=$nlist|replicas=$replicas"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(indexDir, "_corpus_fingerprint")
+    val current =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim)
+        finally in.close()
+      }
+    if (current.contains(expected)) false
+    else { buildIvfIndex(spark, e, indexDir, nlist, replicas); true }
+  }
+
+  /** Probe a persisted index: assign each query to its `nprobe` best
+    * cells (centroids collected — nlist × dim doubles, KBs), join the
+    * cell-partitioned corpus on the partition column (broadcast query
+    * side → dynamic partition pruning reads only probed cells), exact
+    * cosine rerank within. `queries` needs (q_id, q_emb). */
+  def probeIvfIndex(spark: SparkSession, indexDir: String,
+      queries: DataFrame, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val q = queries.select(col("q_id"), col("q_emb"),
+      explode(bestCells(centroids, col("q_emb"), nprobe)).as("cell"))
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    rerank(cells.join(broadcast(q), Seq("cell")), k)
+  }
+
+  /** IVF through the persisted index: ensure-built, then probe. */
+  def annIvfIndexed(spark: SparkSession, e: DataFrame, indexDir: String,
+      nQueries: Int = 20, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+      replicas: Int = 2): DataFrame = {
+    ensureIvfIndex(spark, e, indexDir, nlist, replicas)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    probeIvfIndex(spark, indexDir, queries, k, nprobe)
+  }
+
+  /** Deterministic per-(corpus, params) index location for the gate
+    * queries — a warehouse deployment would place this next to the
+    * canonical layer instead. */
+  private def gateIndexDir(dir: String, nlist: Int, replicas: Int): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_${h}_n${nlist}_r$replicas"
+  }
+
   def q37AnnIvf(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
-    annIvf(t(s, dir, "embeddings"))
+    annIvfIndexed(s, t(s, dir, "embeddings"),
+      gateIndexDir(dir, nlist = 16, replicas = 2))
   }
 
   // ---------------------------------------------------------------------
@@ -212,10 +333,13 @@ object Similarity {
   def q37bAnnExhaustive(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     // nprobe is tied to nlist explicitly: probing every cell is what makes
-    // this exhaustive, independent of the default cell count.
+    // this exhaustive, independent of the default cell count. Runs through
+    // the persisted index too, so build + probe + rerank are all inside
+    // the oracle-checked path.
     val cells = 16
-    annIvf(t(s, dir, "embeddings"), nlist = cells, nprobe = cells,
-      replicas = 1)
+    annIvfIndexed(s, t(s, dir, "embeddings"),
+      gateIndexDir(dir, nlist = cells, replicas = 1),
+      nlist = cells, nprobe = cells, replicas = 1)
   }
 
   // ---------------------------------------------------------------------

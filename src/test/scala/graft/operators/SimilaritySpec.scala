@@ -98,6 +98,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"clustered recall $recall < 0.9")
   }
 
+  test("persisted IVF index: probe equals one-shot; rebuilds only on corpus change") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("ivf_idx").toString +
+      "/index"
+
+    val built = Similarity.ensureIvfIndex(spark, e, idx)
+    assert(built, "first ensure must build")
+    // identical parameters → identical results through the persisted path
+    val oneShot = Similarity.annIvf(e).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val indexed = Similarity.annIvfIndexed(spark, e, idx).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(indexed == oneShot,
+      "persisted-index probe must reproduce the one-shot plan exactly")
+    // unchanged corpus: ensure is a no-op (one fingerprint pass, no write)
+    assert(!Similarity.ensureIvfIndex(spark, e, idx),
+      "same corpus must not rebuild")
+    // index is cell-partitioned on disk — the probe's pruning substrate
+    val cellDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$idx/cells"))
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(cellDirs.iterator().asScala
+        .count(_.getFileName.toString.startsWith("cell=")) > 1)
+    } finally cellDirs.close()
+    // corpus change (one appended vector) → fingerprint miss → rebuild
+    val grown = e.unionByName(e.limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        col("label")))
+    assert(Similarity.ensureIvfIndex(spark, grown, idx),
+      "changed corpus must rebuild")
+  }
+
   test("IVF training on an empty corpus fails with a clear message") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
