@@ -53,9 +53,15 @@ object Bench {
       s
     }
 
+    // local-iteration filter: comma-separated query names; unset = all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+
     // stable grouping: sorted names, fixed-size groups — identical group
     // membership across passes, so each query's samples share a context
-    val groups = SparkEntry.queries.toSeq.sortBy(_._1).grouped(groupSize).toSeq
+    val groups = selected.toSeq.sortBy(_._1).grouped(groupSize).toSeq
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (pass <- 0 until runs; group <- groups) {
       val spark = freshSession()
@@ -77,7 +83,7 @@ object Bench {
       }
       spark.stop()
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> best(n))
+    val results = selected.keys.toSeq.sorted.map(n => n -> best(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -31,10 +31,16 @@ import graft.model.{CDTable, TypeLattice}
 object CatalogSync {
 
   def ensureDatabase(spark: SparkSession, db: String): Unit =
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `${qi(db)}`")
 
-  /** Quote/escape a comment for DDL. */
+  /** Quote/escape a comment or path literal for DDL. */
   private def q(s: String): String = s.replace("'", "''")
+
+  /** Escape a backtick-quoted identifier: table names come from an
+    * untrusted external manifest/schema (the reference trusts the Canvas
+    * API the same way, but interpolating into SQL text makes a stray
+    * backtick a statement-breaker — and an injection vector). */
+  private def qi(s: String): String = s.replace("`", "``")
 
   private def stagingName(table: String): String = table + "__staging"
 
@@ -45,28 +51,28 @@ object CatalogSync {
     val cols = t.columns.map { c =>
       val comment = c.description
         .map(d => s" COMMENT '${q(d.take(254))}'").getOrElse("")
-      s"  `${c.name}` ${TypeLattice.toDdl(c)}$comment"
+      s"  `${qi(c.name)}` ${TypeLattice.toDdl(c)}$comment"
     }.mkString(",\n")
     val tblComment = t.description
       .map(d => s"\nCOMMENT '${q(d.take(254))}'").getOrElse("")
     val name = nameOverride.getOrElse(t.tableName)
-    s"""CREATE TABLE `$db`.`$name` (
+    s"""CREATE TABLE `${qi(db)}`.`${qi(name)}` (
        |$cols
        |)
        |USING graft.sources.lazytsv$tblComment
-       |LOCATION '$location'""".stripMargin
+       |LOCATION '${q(location)}'""".stripMargin
   }
 
   /** Complete a swap interrupted between DROP and RENAME: if the table is
     * absent but its staging twin exists, the staging definition IS the
     * intended new table — promote it. Returns true if a recovery ran. */
   def recover(spark: SparkSession, db: String, table: String): Boolean = {
-    val main = s"`$db`.`$table`"
-    val stag = s"`$db`.`${stagingName(table)}`"
+    val main = s"`${qi(db)}`.`${qi(table)}`"
+    val stag = s"`${qi(db)}`.`${qi(stagingName(table))}`"
     val mainExists = spark.catalog.tableExists(main)
     val stagExists = spark.catalog.tableExists(stag)
     if (!mainExists && stagExists) {
-      spark.sql(s"ALTER TABLE $stag RENAME TO `$db`.`$table`")
+      spark.sql(s"ALTER TABLE $stag RENAME TO `${qi(db)}`.`${qi(table)}`")
       true
     } else false
   }
@@ -92,8 +98,8 @@ object CatalogSync {
   def registerCanonicalView(spark: SparkSession, db: String, table: String,
       location: String): Unit = {
     ensureDatabase(spark, db)
-    spark.sql(s"CREATE OR REPLACE VIEW `$db`.`${table}_canonical` AS " +
-      s"SELECT * FROM parquet.`$location`")
+    spark.sql(s"CREATE OR REPLACE VIEW `${qi(db)}`.`${qi(table)}_canonical` AS " +
+      s"SELECT * FROM parquet.`${qi(location)}`")
   }
 
   /** Create-or-update, returning "created" | "updated" exactly like the
@@ -108,8 +114,8 @@ object CatalogSync {
         "suffix '__staging'")
     ensureDatabase(spark, db)
     recover(spark, db, t.tableName)
-    val main = s"`$db`.`${t.tableName}`"
-    val stag = s"`$db`.`${stagingName(t.tableName)}`"
+    val main = s"`${qi(db)}`.`${qi(t.tableName)}`"
+    val stag = s"`${qi(db)}`.`${qi(stagingName(t.tableName))}`"
     if (spark.catalog.tableExists(main)) {
       // full-replace via staged swap: validate the new DDL completely
       // before the live table is touched (tables are external — LOCATION
@@ -118,7 +124,7 @@ object CatalogSync {
       spark.sql(createTableDdl(db, t, location,
         nameOverride = Some(stagingName(t.tableName))))
       spark.sql(s"DROP TABLE $main")
-      spark.sql(s"ALTER TABLE $stag RENAME TO `$db`.`${t.tableName}`")
+      spark.sql(s"ALTER TABLE $stag RENAME TO `${qi(db)}`.`${qi(t.tableName)}`")
       "updated"
     } else {
       spark.sql(createTableDdl(db, t, location))

@@ -189,9 +189,13 @@ object Similarity {
     val corpus = e
       .select(col("vec_id"), col("embedding"),
         explode(bestCells(centroids, col("embedding"), replicas)).as("cell"))
+    // the generator must reference the real input column, not the q_emb
+    // alias defined in the same select: a lateral-column-alias reference
+    // inside explode() fails analysis on Spark 4.1
+    // ("Resolved plan should not contain any LateralColumnAliasReference")
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        explode(bestCells(centroids, col("q_emb"), nprobe)).as("cell"))
+        explode(bestCells(centroids, col("embedding"), nprobe)).as("cell"))
     rerank(corpus.join(broadcast(queries), Seq("cell")), k)
   }
 
@@ -306,13 +310,22 @@ object Similarity {
     probeIvfIndex(spark, indexDir, queries, k, nprobe)
   }
 
+  /** Per-process base for gate indexes: a shared java.io.tmpdir location
+    * keyed only by data dir would race across concurrent bench/test JVMs
+    * (SafeSwap's rename window is not atomic across processes, and tmp
+    * cleaners can reap between fingerprint check and probe), so each JVM
+    * builds its own — still reused across the many Verify/Bench calls
+    * within one process, which is where the build cost matters. */
+  private lazy val gateIndexBase: String =
+    java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+
   /** Deterministic per-(corpus, params) index location for the gate
     * queries — a warehouse deployment would place this next to the
-    * canonical layer instead. */
+    * canonical layer instead (single-writer by construction there). */
   private def gateIndexDir(dir: String, nlist: Int, replicas: Int): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_${h}_n${nlist}_r$replicas"
+    s"$gateIndexBase/ivf_${h}_n${nlist}_r$replicas"
   }
 
   def q37AnnIvf(s: SparkSession, dir: String): DataFrame = {

@@ -94,7 +94,14 @@ object Canonicalize {
     * not collide), and modification time is included as a tripwire for
     * in-place replacement — a contract violation the fingerprint exists to
     * catch (an extra rewrite is cheap; serving a stale canonical copy is
-    * not). */
+    * not).
+    *
+    * UPGRADE NOTE: this format (relative-path|len|mtime) replaced the
+    * original basename|len keys, so the first canonicalize=true sync after
+    * upgrading sees every existing marker as stale and full-rewrites every
+    * canonical table ONCE — schedule that sync accordingly at large scale.
+    * mtime in the key also means a byte-identical re-copy of a raw file
+    * triggers a rewrite; that is the tripwire working as intended. */
   def rawFingerprint(spark: SparkSession, warehouseDir: String,
       table: String): String = {
     val root = s"$warehouseDir/${Sync.RawPrefix}/$table"
@@ -302,7 +309,16 @@ object Canonicalize {
     val oldLog = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
       s"$out/_spark_metadata", None)
     val oldFiles = oldLog.allFiles()
-    val latestBatch = oldLog.getLatest().map(_._1).getOrElse(0L)
+    // a sink log with no committed batch means the stream never completed
+    // a batch: defaulting latest to 0 would write OUR batch 0, and the
+    // resumed stream's own batch 0 would then be skipped as already
+    // committed — silently dropping its rows. Refuse instead (there is
+    // nothing to compact anyway).
+    val latestBatch = oldLog.getLatest().map(_._1).getOrElse {
+      throw new IllegalStateException(
+        s"$out has a sink log with no committed batches — nothing to " +
+          "compact; run the stream to completion first")
+    }
     val before = oldFiles.length
     val totalBytes = oldFiles.map(_.size).sum
     val nFiles =

@@ -64,6 +64,22 @@ class CatalogSyncSpec extends SparkSpec {
     assert(spark.table(s"$db.course_dim").schema.fieldNames.length == 4)
   }
 
+  test("backticks in identifiers are escaped — DDL stays one statement") {
+    // names come from an untrusted external schema: a stray backtick must
+    // not terminate the quoted identifier (statement breakage / injection)
+    val tricky = CDTable("odd`name", Some("desc"), Seq(
+      CDColumn("col`1", "bigint", None, Some("weird col"))))
+    val ddl = CatalogSync.createTableDdl("d`b", tricky, "/tmp/x'y")
+    assert(ddl.contains("`odd``name`"))
+    assert(ddl.contains("`col``1`"))
+    assert(ddl.contains("`d``b`"))
+    assert(ddl.contains("LOCATION '/tmp/x''y'"))
+    // proof it parses as a single well-formed statement with the intended
+    // identifiers, not wherever the raw backtick would have cut it
+    val plan = spark.sessionState.sqlParser.parsePlan(ddl)
+    assert(plan.toString.contains("odd`name"))
+  }
+
   test("catalog table and TsvSource.read agree on empty string vs NULL") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("cat_serde").toString

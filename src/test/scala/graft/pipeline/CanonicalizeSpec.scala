@@ -248,6 +248,18 @@ class CanonicalizeSpec extends SparkSpec {
       Canonicalize.compact(spark, wh, "ev_scmp"))
   }
 
+  test("compactStreamed refuses a sink log with no committed batches") {
+    // a log dir with no committed batch means the stream never finished a
+    // batch; writing our own batch 0 would shadow the resumed stream's
+    // first commit and silently drop its rows
+    val wh = Files.createTempDirectory("canon_scmp_empty").toString
+    val out = java.nio.file.Paths.get(s"$wh/canonical/ev_empty")
+    java.nio.file.Files.createDirectories(out.resolve("_spark_metadata"))
+    val ex = intercept[IllegalStateException](
+      Canonicalize.compactStreamed(spark, wh, "ev_empty"))
+    assert(ex.getMessage.contains("no committed batches"))
+  }
+
   test("streaming canonicalization is incremental and exactly-once") {
     val wh = Files.createTempDirectory("canon_stream").toString
     val cp = Files.createTempDirectory("canon_stream_cp").toString
