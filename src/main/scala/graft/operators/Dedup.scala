@@ -143,8 +143,23 @@ object Dedup {
       .filter(col("sz").between(2, MaxBucketSize))
       .select(col("band"), col("bh"))
     val bounded = banded.join(smallBuckets, Seq("band", "bh"), "left_semi")
-    val l = bounded.select(col("band"), col("bh"), col("doc_id").as("a"))
-    val r = bounded.select(col("band"), col("bh"), col("doc_id").as("b"))
+    // the doc-level restriction applies BEFORE the bucket self-join: a
+    // restricted pair (a,b) survives iff both endpoints share a bucket,
+    // and dropping non-endpoint docs removes only pairs the final (a,b)
+    // semi-join would discard anyway — while the bucket-size cap above is
+    // still computed over the FULL corpus, so cap semantics are untouched.
+    // Without this, the gate pays the full O(bucket²) candidate expansion
+    // just to throw it away (measured 2-3× on q32b/q34b at sf0.1).
+    val (lsrc, rsrc) = restrictTo match {
+      case Some(p) =>
+        (bounded.join(broadcast(p.select(col("a").as("doc_id")).distinct()),
+           Seq("doc_id"), "left_semi"),
+         bounded.join(broadcast(p.select(col("b").as("doc_id")).distinct()),
+           Seq("doc_id"), "left_semi"))
+      case None => (bounded, bounded)
+    }
+    val l = lsrc.select(col("band"), col("bh"), col("doc_id").as("a"))
+    val r = rsrc.select(col("band"), col("bh"), col("doc_id").as("b"))
     val joined = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
       .select(col("a"), col("b"))
     restrictTo.fold(joined)(p =>
@@ -197,6 +212,10 @@ object Dedup {
     // materialize before fan-out (same race as q34b)
     shingles.count()
     val exact = jaccardPairs(shingles).select(col("a"), col("b")).cache()
+    // materialize: the pair set feeds both endpoint-restriction broadcasts,
+    // the pair-level semi-join, and the final join — concurrent cold
+    // misses would run the exact-Jaccard pipeline more than once
+    exact.count()
     val cand = minhashCandidates(minhashSignaturesFromShingles(shingles),
       restrictTo = Some(exact))
     exact.join(cand, Seq("a", "b"), "left_semi")
@@ -290,9 +309,21 @@ object Dedup {
       .filter(col("sz").between(2, MaxBucketSize))
       .select(col("band"), col("bh"))
     val bounded = banded.join(smallBuckets, Seq("band", "bh"), "left_semi")
-    val l = bounded.select(col("band"), col("bh"), col("doc_id").as("a"),
+    // same pre-join doc restriction as [[minhashCandidates]]: cap counts
+    // stay corpus-wide, but the O(bucket²) pair expansion only runs over
+    // the gated endpoints (H=14 means 120 8-bit pair-key tables — the
+    // full expansion is millions of rows at sf0.1, all but ~25 discarded)
+    val (lsrc, rsrc) = restrictTo match {
+      case Some(p) =>
+        (bounded.join(broadcast(p.select(col("a").as("doc_id")).distinct()),
+           Seq("doc_id"), "left_semi"),
+         bounded.join(broadcast(p.select(col("b").as("doc_id")).distinct()),
+           Seq("doc_id"), "left_semi"))
+      case None => (bounded, bounded)
+    }
+    val l = lsrc.select(col("band"), col("bh"), col("doc_id").as("a"),
       col("simhash").as("ha"))
-    val r = bounded.select(col("band"), col("bh"), col("doc_id").as("b"),
+    val r = rsrc.select(col("band"), col("bh"), col("doc_id").as("b"),
       col("simhash").as("hb"))
     val joined = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
@@ -338,6 +369,9 @@ object Dedup {
     // compute the shingle pass twice (measured: up to 2× on q34b)
     shingles.count()
     val exact = jaccardPairs(shingles).select(col("a"), col("b")).cache()
+    // materialize: four consumers (endpoint broadcasts, pair semi-join,
+    // final join) — see q32b
+    exact.count()
     val cand = simhashPairs(simhashFromShingles(shingles), maxHamming = 14,
       restrictTo = Some(exact)).select(col("a"), col("b"))
     exact.join(cand, Seq("a", "b"), "left_semi")
