@@ -55,6 +55,7 @@ object SparkEntry {
     "q34b_simhash_recall" -> (Dedup.q34bSimhashRecall _),
     "q35_embed_neardup"  -> (Dedup.q35EmbedNearDup _),
     "q35b_embed_recall"  -> (Dedup.q35bEmbedRecall _),
+    "q66_dedup_clusters" -> (Components.q66DedupClusters _),
     // [EXT] similarity search
     "q36_cosine_topk"    -> (Similarity.q36CosineTopK _),
     "q36b_topk_agg"      -> (Similarity.q36bTopKAgg _),
@@ -142,6 +143,7 @@ object SparkEntry {
     "q33_ngram_jaccard"  -> Dedup.q33NgramJaccardSql,
     "q34b_simhash_recall" -> Dedup.q34bSimhashRecallSql,
     "q35b_embed_recall"  -> Dedup.q35bEmbedRecallSql,
+    "q66_dedup_clusters" -> Components.q66DedupClustersSql,
     "q36_cosine_topk"    -> Similarity.q36CosineTopKSql,
     "q36b_topk_agg"      -> Similarity.q36CosineTopKSql,
     "q37b_ann_exhaustive" -> Similarity.q36CosineTopKSql,

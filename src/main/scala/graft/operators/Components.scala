@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Connected components over a pair list — the step that turns
+  * near-dup PAIRS (q32-q35) into dedup GROUPS: pairs are not transitive
+  * ((a,b) and (b,c) near-dup does not list (a,c)), so "keep one copy per
+  * duplicate group" needs the transitive closure, with one canonical
+  * representative per component (min doc_id — deterministic). This is the
+  * final stage of every production corpus-dedup pipeline; without it a
+  * pair list only supports pairwise removal, which over-deletes (both
+  * endpoints) or under-deletes (chains survive).
+  *
+  * Algorithm: iterative hash-min label propagation. Every node starts
+  * with itself as label; each round sends labels across edges
+  * and keeps the min. Terminates in O(component diameter) rounds.
+  *
+  * Scale design (100 TB):
+  *  - each round is one shuffle-on-id join + one groupBy min — no
+  *    driver-side graph state; node labels stay distributed;
+  *  - near-dup graphs in corpus dedup are overwhelmingly tiny cliques
+  *    (duplicate families), so diameter — and the round count — is small
+  *    and does NOT grow with corpus size; for adversarial long-chain
+  *    graphs, the alternating large-star/small-star variant (Kiveris et
+  *    al., "Connected Components in MapReduce and Beyond", SoCC'14)
+  *    converges in O(log²  n) with the same join shape — the loop below is
+  *    the place to swap it in;
+  *  - every round `localCheckpoint`s the labels: iterative self-joins
+  *    otherwise stack lineage (plan grows per round, re-analysis cost
+  *    compounds, and a task retry would recompute the whole chain);
+  *  - convergence is an aggregate (count of changed labels), the loop's
+  *    only driver-side value — O(1) per round at any scale.
+  *
+  * Reference tie-in: the reference dedups at FILE level ("key already in
+  * S3 → skip", `sync-canvas-data-files.py:62-67`); this is the content-
+  * level generalization the LLM-pipeline mandate adds.
+  */
+object Components {
+
+  /** (id, component) for every node appearing in `edges` (cols `a`, `b`);
+    * component = min node id reachable. Nodes not in any edge are absent —
+    * a singleton is its own component by definition, so callers union
+    * them in if needed. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val e = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b"))
+    // undirected: propagate both ways
+    val adj = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = adj.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      // each node offers its label to every neighbor; keep the min of
+      // (own label, best offer)
+      val offers = adj.join(labels.withColumnRenamed("id", "a"), "a")
+        .select(col("b").as("id"), col("comp"))
+      val next = labels.unionByName(offers)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxIters rounds — " +
+        "component diameter exceeds the bound; raise maxIters or switch " +
+        "the loop body to large-star/small-star")
+    labels
+  }
+
+  // ---------------------------------------------------------------------
+  // q66_dedup_clusters — pairs → groups end-to-end: plant an exact copy of
+  // every 10th document (id + 10⁷), run the exact-Jaccard pair pipeline
+  // (q33) over the augmented corpus, resolve transitive closure, report
+  // each duplicate group with its canonical representative. A planted copy
+  // c of doc d inherits ALL of d's near-dup edges (identical text ⇒
+  // identical shingles), so natural pairs (a,b) with planted copies become
+  // 3-4 node components — the gate exercises real merging, not just pair
+  // echo. Fully oracle-checked: DuckDB computes the same closure with a
+  // recursive CTE over the same SQL pair list.
+  // ---------------------------------------------------------------------
+  val PlantOffset = 10000000L
+
+  def q66DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"))
+    val pairs = Dedup.jaccardPairs(
+        Dedup.shingleRows(d.unionByName(planted)))
+      .select(col("a"), col("b"))
+    connectedComponents(pairs)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(sort_array(collect_list(col("id"))),
+          _.cast("string")), ",").as("members"))
+      .select(col("comp").as("component"), col("n_docs"), col("members"))
+  }
+
+  val q66DedupClustersSql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         list_aggregate(w[i:i+2], 'string_agg', '_') AS s
+      |       FROM t, UNNEST(range(1, len(w) - 1)) AS g(i)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |c AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+      |      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |      GROUP BY x.doc_id, y.doc_id),
+      |p AS (SELECT a, b
+      |      FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
+      |      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6),
+      |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT x.id, e.b FROM reach x JOIN edges e ON e.a = x.r),
+      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+      |SELECT component, COUNT(*) AS n_docs,
+      |  STRING_AGG(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+      |FROM comp GROUP BY component""".stripMargin
+}
