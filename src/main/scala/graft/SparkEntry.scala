@@ -67,6 +67,7 @@ object SparkEntry {
     "q63_hash_split"     -> (Curation.q63HashSplit _),
     "q64_repetition"     -> (Curation.q64Repetition _),
     "q65_stratified_sample" -> (Curation.q65StratifiedSample _),
+    "q67_pack_sequences" -> (Curation.q67PackSequences _),
     // [EXT] text analysis + multimodal
     "q40_text_stats"     -> (TextAnalysis.q40TextStats _),
     "q41_quality_score"  -> (TextAnalysis.q41QualityScore _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "q63_hash_split"     -> Curation.q63HashSplitSql,
     "q64_repetition"     -> Curation.q64RepetitionSql,
     "q65_stratified_sample" -> Curation.q65StratifiedSampleSql,
+    "q67_pack_sequences" -> Curation.q67PackSequencesSql,
     "q40_text_stats"     -> TextAnalysis.q40TextStatsSql,
     "q41_quality_score"  -> TextAnalysis.q41QualityScoreSql,
     "q42_lang_id"        -> TextAnalysis.q42LangIdSql,

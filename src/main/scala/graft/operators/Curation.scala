@@ -179,4 +179,78 @@ object Curation {
       |               doc_id ASC) AS rnk
       |  FROM documents)
       |WHERE rnk <= 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q67_pack_sequences — token-budget packing (concatenate-and-chunk):
+  // assign every document its global token offset in doc_id order, then
+  // bin = offset DIV budget — the standard way training pipelines pack
+  // variable-length documents into fixed context windows (concatenate the
+  // corpus, cut every `budget` tokens; a doc straddling a cut is split
+  // across bins, reported in `straddle`).
+  //
+  // The interesting part is HOW the global running sum is computed. The
+  // obvious `sum over (ORDER BY doc_id)` window has no PARTITION BY, so
+  // Spark plans it as a SINGLE task over the whole corpus — correct at
+  // sf0.1, a non-starter at 100 TB. [[packSequences]] is the distributed
+  // prefix sum instead:
+  //   1. bucket docs by coarse doc_id range; per-bucket token totals
+  //      (one small aggregate);
+  //   2. exclusive-prefix the BUCKET TOTALS — a single-partition window
+  //      over #buckets rows (thousands), not corpus rows;
+  //   3. within-bucket exclusive prefix, windowed PER BUCKET (parallel),
+  //      plus the bucket's offset from (2).
+  // Same algebra as a scan primitive on GPUs: local scan + block offsets.
+  // The oracle computes the naive global window in DuckDB — the
+  // distributed decomposition must agree to the row, and does.
+  // ---------------------------------------------------------------------
+  /** Global exclusive token offsets + fixed-budget bin assignment in
+    * `orderCol` order, as a distributed prefix sum (see q67 note above).
+    * `bucketWidth` controls the decomposition: #buckets ≈ id-range /
+    * bucketWidth must stay driver-friendly (it never touches the driver
+    * here, but the bucket-offset window is single-partition). */
+  def packSequences(docs: DataFrame, budget: Long,
+      bucketWidth: Long = 1000L): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      floor(col("doc_id") / bucketWidth).cast("long").as("bkt"))
+    val bktTotals = toks.groupBy(col("bkt"))
+      .agg(sum(col("n_tokens")).as("tot"))
+    val wBkt = org.apache.spark.sql.expressions.Window.orderBy(col("bkt"))
+      .rowsBetween(Long.MinValue, -1)
+    val bktOff = bktTotals
+      .withColumn("bkt_off", coalesce(sum(col("tot")).over(wBkt), lit(0L)))
+      .select(col("bkt"), col("bkt_off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    toks
+      .withColumn("in_off", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(bktOff), Seq("bkt"))
+      .withColumn("off", (col("bkt_off") + col("in_off")).cast("long"))
+      .withColumn("bin", expr(s"off DIV $budget"))
+      .withColumn("straddle",
+        when((col("off") % budget) + col("n_tokens") > budget, 1L)
+          .otherwise(0L))
+      .select(col("doc_id"), col("n_tokens"), col("off"), col("bin"),
+        col("straddle"))
+  }
+
+  val PackBudget = 8192L
+
+  def q67PackSequences(s: SparkSession, dir: String): DataFrame =
+    packSequences(t(s, dir, "documents"), PackBudget)
+
+  val q67PackSequencesSql: String =
+    """WITH tk AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT doc_id, n_tokens,
+      |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS off
+      |  FROM tk)
+      |SELECT doc_id, n_tokens, off, off // 8192 AS bin,
+      |  CAST(CASE WHEN (off % 8192) + n_tokens > 8192 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS straddle
+      |FROM o""".stripMargin
 }

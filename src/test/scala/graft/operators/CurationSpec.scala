@@ -68,4 +68,39 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Long]("max_gram_count") >= 1L)
     }
   }
+
+  test("distributed prefix sum matches the naive global window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    // deliberately tiny buckets so the decomposition is exercised hard
+    // (many buckets, uneven sizes — doc_ids need not be dense)
+    val got = Curation.packSequences(docs, 8192L, bucketWidth = 17L)
+      .orderBy("doc_id").collect()
+    val w = Window.orderBy(col("doc_id")).rowsBetween(Long.MinValue, -1)
+    val naive = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(w), lit(0L)))
+      .orderBy("doc_id").collect()
+    assert(got.length == naive.length)
+    got.zip(naive).foreach { case (g, n) =>
+      assert(g.getAs[Long]("doc_id") == n.getAs[Long]("doc_id"))
+      assert(g.getAs[Long]("off") == n.getAs[Long]("off"),
+        s"offset mismatch at doc ${g.getAs[Long]("doc_id")}")
+    }
+    // offsets are contiguous: each doc starts where the previous ended
+    got.sliding(2).foreach {
+      case Array(p, c) =>
+        assert(c.getAs[Long]("off") ==
+          p.getAs[Long]("off") + p.getAs[Long]("n_tokens"))
+      case _ => ()
+    }
+    // bin/straddle arithmetic holds
+    got.foreach { r =>
+      val off = r.getAs[Long]("off"); val n = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("bin") == off / 8192L)
+      assert(r.getAs[Long]("straddle") ==
+        (if (off % 8192L + n > 8192L) 1L else 0L))
+    }
+  }
 }
