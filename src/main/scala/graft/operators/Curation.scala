@@ -253,4 +253,74 @@ object Curation {
       |  CAST(CASE WHEN (off % 8192) + n_tokens > 8192 THEN 1 ELSE 0 END
       |    AS BIGINT) AS straddle
       |FROM o""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q68_quality_prune — quantile-threshold pruning: per language, keep the
+  // documents at or above the median length (n_chars stands in for a
+  // quality score; the rule is "drop the bottom half per stratum", the
+  // standard quality-prune shape).
+  //
+  // Scale design: the naive plan is a per-language percent_rank window —
+  // but 5 languages means the whole corpus funnels through 5 window-sort
+  // tasks (the q65 lesson). Instead the threshold is computed as an exact
+  // order statistic RELATIONALLY: group scores per (lang, value) — the
+  // per-stratum distinct-value table, which is small by construction —
+  // cumulate counts from the top over that tiny table, pick the largest
+  // value whose ≥-count covers ceil(n/2), broadcast the 5-row threshold
+  // table, filter. The corpus is touched by exactly two streaming passes
+  // (count, filter) and never sorted. Exact, so fully oracle-checked —
+  // no cross-engine percentile-interpolation hazard (threshold is an
+  // actual data value, quantile_disc semantics).
+  // ---------------------------------------------------------------------
+  /** Per-`key` threshold = largest `value` v with #(rows ≥ v) ≥ ceil(q·n)
+    * — the upper-tail discrete quantile, computed without sorting the
+    * corpus (see q68 note). */
+  def quantileThresholds(df: DataFrame, key: String, value: String,
+      q: Double): DataFrame = {
+    val counts = df.groupBy(col(key), col(value))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(value).desc)
+      .rowsBetween(Long.MinValue, 0)
+    counts
+      .withColumn("cum_ge", sum(col("cnt")).over(w))
+      .join(totals, key)
+      .filter(col("cum_ge") >= ceil(col("n") * q).cast("long"))
+      .groupBy(col(key), col("n"))
+      .agg(max(col(value)).as("threshold"))
+  }
+
+  def q68QualityPrune(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val thr = quantileThresholds(d, "lang", "n_chars", 0.5)
+      .select(col("lang"), col("threshold"))
+    d.join(broadcast(thr), "lang")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"),
+        max(col("threshold")).as("threshold"))
+  }
+
+  val q68QualityPruneSql: String =
+    """WITH c AS (SELECT lang, n_chars, COUNT(*) AS cnt
+      |           FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+      |cum AS (SELECT lang, n_chars,
+      |          SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS cum_ge
+      |        FROM c),
+      |thr AS (SELECT cum.lang, MAX(n_chars) AS threshold
+      |        FROM cum JOIN tot ON cum.lang = tot.lang
+      |        WHERE cum_ge >= CAST(CEIL(n * 0.5) AS BIGINT)
+      |        GROUP BY cum.lang)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept,
+      |  MAX(t.threshold) AS threshold
+      |FROM documents d JOIN thr t ON d.lang = t.lang
+      |GROUP BY d.lang""".stripMargin
 }

@@ -74,4 +74,25 @@ object SqlSurface {
 
   def q29InSubquery(s: SparkSession, dir: String): DataFrame =
     run(s, dir, q29InSubquerySql)
+
+  // q69_lateral_topk — correlated LATERAL subquery with ORDER BY + LIMIT:
+  // per region, the top-2 nations by total supplier balance. The classic
+  // top-k-per-group as SQL text; Catalyst plans the decorrelated
+  // DomainJoin + per-group limit. Dialect-neutral: LATERAL is SQL:1999,
+  // identical in Spark and DuckDB.
+  val q69LateralTopkSql: String =
+    """SELECT r.r_name, t.n_name, t.total_bal
+      |FROM region r,
+      |  LATERAL (
+      |    SELECT n.n_name,
+      |      CAST(SUM(CAST(s.s_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+      |        AS total_bal
+      |    FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      |    WHERE n.n_regionkey = r.r_regionkey
+      |    GROUP BY n.n_name
+      |    ORDER BY total_bal DESC, n.n_name ASC
+      |    LIMIT 2) t""".stripMargin
+
+  def q69LateralTopk(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, q69LateralTopkSql)
 }

@@ -103,4 +103,26 @@ class CurationSpec extends SparkSpec {
         (if (off % 8192L + n > 8192L) 1L else 0L))
     }
   }
+
+  test("quantile threshold is the exact upper-tail order statistic") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val thr = Curation.quantileThresholds(docs, "lang", "n_chars", 0.5)
+      .collect().map(r => r.getAs[String]("lang") ->
+        r.getAs[Long]("threshold")).toMap
+    val local = docs.select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    local.foreach { case (lang, vals) =>
+      val need = math.ceil(vals.length * 0.5).toLong
+      val v = thr(lang)
+      // v covers the top half...
+      assert(vals.count(_ >= v) >= need, s"$lang: $v covers too little")
+      // ...and is the LARGEST value doing so
+      val above = vals.filter(_ > v)
+      if (above.nonEmpty)
+        assert(vals.count(_ >= above.min) < need,
+          s"$lang: ${above.min} also covers — $v is not maximal")
+    }
+  }
 }
