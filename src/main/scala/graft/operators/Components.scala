@@ -43,8 +43,12 @@ object Components {
     * a singleton is its own component by definition, so callers union
     * them in if needed. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    // materialize the edge list once: the undirected union below references
+    // it twice, and an expensive upstream (e.g. the whole near-dup pair
+    // pipeline) would otherwise run per reference
     val e = edges.select(col("a").cast("long"), col("b").cast("long"))
       .filter(col("a") =!= col("b"))
+      .localCheckpoint()
     // undirected: propagate both ways
     val adj = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
