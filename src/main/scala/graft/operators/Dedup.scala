@@ -467,4 +467,130 @@ object Dedup {
   val q35bEmbedRecallSql: String =
     """SELECT vec_id AS a, vec_id + 10000000 AS b
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Persisted MinHash index — incremental dedup's build/probe split (the
+  // dedup analog of Similarity's IVF index). At 100 TB nobody re-signs
+  // the corpus to dedup a daily batch: the corpus's signatures and band
+  // buckets are persisted once, and an incoming batch only computes ITS
+  // OWN signatures and joins its band keys against the stored bucket
+  // table. Cost per batch: O(batch) signature work + a join whose stored
+  // side would, in a deployed warehouse, be bucketed by band hash so only
+  // the (small) incoming side shuffles — the layout `BucketingSpec`
+  // proves zero-exchange for. Layout under `indexDir`:
+  //   signatures/   (doc_id, sig: array<long>)   — for estimate rerank
+  //   bands/        (band, bh, doc_id)           — collision substrate
+  // Tree replaced behind the crash-safe SafeSwap, same as the IVF index.
+  // ---------------------------------------------------------------------
+
+  /** Band-key rows (band, bh, doc_id) for MinHash signatures — the
+    * banding half of [[minhashCandidates]], shared with the index. */
+  private def bandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(Bands - 1)), bnd =>
+        xxhash64(bnd, concat_ws(",",
+          slice(col("sig"), bnd * RowsPerBand + 1, lit(RowsPerBand)))))))
+      .toDF("doc_id", "band", "bh")
+
+  def buildMinhashIndex(spark: SparkSession, docs: DataFrame,
+      indexDir: String): Unit = {
+    val sig = minhashSignatures(docs).cache()
+    sig.count() // two writers below — materialize once
+    graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
+      sig.write.parquet(s"$tmp/signatures")
+      // hot-bucket cap applied at BUILD time (the incremental analog of
+      // minhashCandidates' skew guard): a stored bucket over the cap is
+      // boilerplate collapse, and excluding it here bounds every future
+      // batch's pair expansion instead of re-filtering per probe
+      val bands = bandRows(sig)
+      val small = bands.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("sz"))
+        .filter(col("sz") <= MaxBucketSize)
+        .select(col("band"), col("bh"))
+      bands.join(small, Seq("band", "bh"), "left_semi")
+        .write.parquet(s"$tmp/bands")
+    }
+    sig.unpersist()
+  }
+
+  /** Near-dup pairs (corpus doc `a`, incoming doc `b`) between a persisted
+    * index and an incoming batch: banding collision against the stored
+    * bucket table, then signature-estimate rerank ≥ `minEst`. The corpus
+    * is touched only through the index — no corpus re-signing, no
+    * corpus-side shingle pass. Incoming docs are assumed id-disjoint from
+    * the corpus (the sync layer's immutable-file contract). */
+  def incrementalNearDups(spark: SparkSession, indexDir: String,
+      incoming: DataFrame, minEst: Double = 0.5): DataFrame = {
+    val sigNew = minhashSignatures(incoming).cache()
+    sigNew.count() // band derivation + rerank join both consume it
+    val bandsNew = bandRows(sigNew)
+      .select(col("band"), col("bh"), col("doc_id").as("b"))
+    val bandsOld = spark.read.parquet(s"$indexDir/bands")
+      .select(col("band"), col("bh"), col("doc_id").as("a"))
+    val cand = bandsOld.join(bandsNew, Seq("band", "bh"))
+      .select(col("a"), col("b")).distinct()
+    val sigOld = spark.read.parquet(s"$indexDir/signatures")
+      .select(col("doc_id").as("a"), col("sig").as("sig_a"))
+    cand.join(sigOld, "a")
+      .join(sigNew.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+          .cast("double") / MinhashPerms)
+      .filter(col("est") >= minEst)
+      .select(col("a"), col("b"), col("est"))
+  }
+
+  /** Per-process index dir for the gate query (same rationale as
+    * Similarity's gateIndexBase: cross-JVM tmp sharing races SafeSwap). */
+  private lazy val dedupIndexBase: String =
+    java.nio.file.Files.createTempDirectory("graft_mh_").toString
+
+  // ---------------------------------------------------------------------
+  // q70_incremental_dedup — DERIVED ORACLE for the whole build/probe
+  // machinery (the q32b pattern applied across the index boundary): the
+  // corpus is `documents`, the incoming batch is an exact copy of every
+  // 10th document (id + 10⁷). DuckDB computes the exact trigram-Jaccard
+  // ≥0.6 pairs BETWEEN the two sides; the gate keeps exactly those of
+  // them the index probe also surfaces. Equality holds iff signature
+  // persistence, band storage, the incremental banding join, and the
+  // estimate rerank all reproduce the one-shot pipeline's recall — any
+  // regression (stale index read, wrong band slice, estimate off-by-one)
+  // shrinks the intersection and hash-mismatches.
+  // ---------------------------------------------------------------------
+  def q70IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val idx = s"$dedupIndexBase/mh_${dir.hashCode.toHexString}"
+    // build once per process+corpus (the gate's analog of ensureIvfIndex;
+    // a warehouse deployment rebuilds on sync, keyed by raw fingerprint)
+    if (!new java.io.File(s"$idx/bands").exists())
+      buildMinhashIndex(s, d, idx)
+    val incoming = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"))
+    val exact = jaccardPairs(shingleRows(d.unionByName(incoming)))
+      .filter(col("b") >= PlantOffset && col("a") < PlantOffset)
+      .select(col("a"), col("b")).cache()
+    exact.count()
+    exact.join(incrementalNearDups(s, idx, incoming),
+      Seq("a", "b"), "left_semi")
+  }
+
+  val q70IncrementalDedupSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, 0 AS side FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text, 1 FROM documents
+      |  WHERE doc_id % 10 = 0),
+      |t AS (SELECT doc_id, side, string_split(text, ' ') AS w FROM base),
+      |sh AS (SELECT DISTINCT doc_id, side,
+      |         list_aggregate(w[i:i+2], 'string_agg', '_') AS s
+      |       FROM t, UNNEST(range(1, len(w) - 1)) AS g(i)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |c AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+      |      FROM sh x JOIN sh y ON x.s = y.s
+      |      WHERE x.side = 0 AND y.side = 1
+      |      GROUP BY x.doc_id, y.doc_id)
+      |SELECT a, b
+      |FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6""".stripMargin
 }

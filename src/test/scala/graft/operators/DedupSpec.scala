@@ -56,4 +56,39 @@ class DedupSpec extends SparkSpec {
     val rows = Dedup.q35EmbedNearDup(spark, sfDir).collect()
     rows.foreach(r => assert(r.getAs[Double]("sim") >= 0.3))
   }
+
+  test("incremental dedup via the persisted index equals the one-shot pipeline") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = java.nio.file.Files.createTempDirectory("mh_idx").toString +
+      "/index"
+    Dedup.buildMinhashIndex(spark, d, idx)
+    val incoming = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val inc = Dedup.incrementalNearDups(spark, idx, incoming).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one-shot truth: full-corpus MinHash-LSH over old ∪ new, restricted
+    // to cross pairs — the persisted path must reproduce it exactly
+    val sig = Dedup.minhashSignatures(d.unionByName(incoming)).cache()
+    sig.count()
+    val full = Dedup.minhashCandidates(sig)
+    val sa = sig.select(col("doc_id").as("a"), col("sig").as("sig_a"))
+    val sb = sig.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+    val oneShot = full.join(sa, "a").join(sb, "b")
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+          .cast("double") / 64)
+      .filter(col("est") >= 0.5)
+      .filter(col("b") >= 5000000L && col("a") < 5000000L)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(inc == oneShot,
+      s"persisted-index probe diverged: ${inc.size} vs ${oneShot.size}")
+    // every planted copy collides with its original at estimate 1.0
+    val planted = d.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    planted.foreach(id =>
+      assert(inc.contains((id, id + 5000000L)), s"copy of $id missed"))
+  }
 }
