@@ -57,6 +57,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"))
   }
 
+  test("q67: no window runs over the full corpus in one task") {
+    // the distributed prefix sum's only empty-partition window is over
+    // BUCKET TOTALS; every corpus-row window is partitioned by bkt. A
+    // regression to the naive global cumsum would put an unpartitioned
+    // Window directly over the (large) token stream.
+    val plan = Curation.packSequences(
+      graft.Tables.load(spark, sfDir, "documents"), 8192L)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // the unpartitioned window must sit above the bucket aggregate,
+      // i.e. consume an Aggregate, never the raw doc scan
+      val overAgg = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
+      assert(overAgg,
+        "unpartitioned window must consume bucket totals, not corpus rows")
+    }
+  }
+
+  test("q68: quantile thresholds broadcast to the corpus filter") {
+    val p = planOf(Curation.q68QualityPrune(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "the 5-row threshold table must broadcast")
+  }
+
   test("production scan path: no Exchange above a plain filter scan " +
     "(spreadScans defaults off)") {
     assert(spark.conf.getOption(graft.Tables.SpreadScansKey).isEmpty)
