@@ -109,6 +109,69 @@ object Components {
       .select(col("comp").as("component"), col("n_docs"), col("members"))
   }
 
+  // ---------------------------------------------------------------------
+  // q71_dedup_keep_best — the last step of the dedup pipeline: per
+  // duplicate group, KEEP the best document (here: longest text; ties →
+  // smallest doc_id — a deterministic quality rule, the production analog
+  // being a quality-classifier score). Composes q66's closure with a
+  // quality join: representative = min doc_id among members with the
+  // group-max length. Relational argmax (max + filter-join), identical in
+  // both engines — no reliance on engine-specific arg_max tie behavior.
+  // ---------------------------------------------------------------------
+  def q71DedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val aug = d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
+    val pairs = Dedup.jaccardPairs(Dedup.shingleRows(aug))
+      .select(col("a"), col("b"))
+    val comp = connectedComponents(pairs)
+    val sized = comp.join(
+      aug.select(col("doc_id").as("id"), length(col("text")).as("len")),
+      "id")
+    val best = sized.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"), max(col("len")).as("max_len"))
+    sized.join(best, "comp")
+      .filter(col("len") === col("max_len"))
+      .groupBy(col("comp"), col("n_members"), col("max_len"))
+      .agg(min(col("id")).as("kept_doc"))
+      .select(col("comp").as("component"), col("n_members"),
+        col("kept_doc"), col("max_len").cast("long").as("max_len"))
+  }
+
+  val q71DedupKeepBestSql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         list_aggregate(w[i:i+2], 'string_agg', '_') AS s
+      |       FROM t, UNNEST(range(1, len(w) - 1)) AS g(i)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |c AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+      |      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |      GROUP BY x.doc_id, y.doc_id),
+      |p AS (SELECT a, b
+      |      FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
+      |      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6),
+      |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT x.id, e.b FROM reach x JOIN edges e ON e.a = x.r),
+      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      |sized AS (SELECT comp.id, comp.component, length(base.text) AS len
+      |          FROM comp JOIN base ON base.doc_id = comp.id),
+      |best AS (SELECT component, COUNT(*) AS n_members,
+      |           MAX(len) AS max_len
+      |         FROM sized GROUP BY component)
+      |SELECT s.component, b.n_members, MIN(s.id) AS kept_doc,
+      |  CAST(b.max_len AS BIGINT) AS max_len
+      |FROM sized s JOIN best b ON s.component = b.component
+      |  AND s.len = b.max_len
+      |GROUP BY s.component, b.n_members, b.max_len""".stripMargin
+
   val q66DedupClustersSql: String =
     """WITH RECURSIVE base AS (
       |  SELECT doc_id, text FROM documents
