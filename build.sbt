@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through verbatim: the bench harness parses
+// a JSON line from the tail of `sbt runMain` output, and sbt's default
+// logger decorates every forked-process line with an "[info] " prefix
+// that breaks line-oriented JSON parsing.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

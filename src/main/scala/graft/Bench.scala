@@ -84,9 +84,32 @@ object Bench {
       spark.stop()
     }
     val results = selected.keys.toSeq.sorted.map(n => n -> best(n))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+
+    // The harness keeps only the LAST ~2000 bytes of stdout and parses the
+    // JSON line out of that tail; with ~75 full-name queries at nanosecond
+    // precision the line is >2KB and has never fit (BENCH_r01..r03 all show
+    // parsed:null). Emit the machine-read line with SHORT keys (the unique
+    // prefix before the first '_' — the contract's own example shape,
+    // {"q1":sec,...}) at ms precision (~1.1KB), and keep the full-name,
+    // full-precision map in bench_full.json for humans.
+    def shortKey(n: String): String = n.takeWhile(_ != '_')
+    val shortKeys = results.map { case (n, _) => shortKey(n) }
+    val keyOf: String => String =
+      if (shortKeys.distinct.size == shortKeys.size) shortKey else identity
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
   }
 }
