@@ -323,4 +323,140 @@ object Curation {
       |  MAX(t.threshold) AS threshold
       |FROM documents d JOIN thr t ON d.lang = t.lang
       |GROUP BY d.lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q72_domain_mix — training-mixture sampling: every source domain gets a
+  // target inclusion percentage (the mixture spec — here derived from the
+  // source id; in production a curated table), and membership is decided
+  // by an md5 bucket of the doc id against that percentage. Hash-gated
+  // mixing is the production shape (reproducible; a doc's membership is
+  // independent of the rest of the corpus, so the mixture is stable under
+  // corpus growth and incremental reruns).
+  //
+  // Scale design: the spec is a per-domain table (tiny by construction)
+  // broadcast to a map-only filter over the corpus — one aggregate
+  // shuffle for the report, zero shuffles for the sampling itself.
+  // ---------------------------------------------------------------------
+  def q72DomainMix(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val spec = d.select(col("source")).distinct()
+      .withColumn("pct",
+        lit(25L) + lit(5L) * (substring(col("source"), 4, 10).cast("long") % 8))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 8), 16, 10).cast("long") % 100
+    d.join(broadcast(spec), "source")
+      .withColumn("keep", bucket < col("pct"))
+      .groupBy(col("source"), col("pct"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+  }
+
+  val q72DomainMixSql: String =
+    """WITH spec AS (SELECT DISTINCT source,
+      |    25 + 5 * (CAST(substring(source, 4) AS BIGINT) % 8) AS pct
+      |  FROM documents)
+      |SELECT d.source, spec.pct, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN
+      |    CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+      |      AS BIGINT) % 100 < spec.pct THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sampled
+      |FROM documents d JOIN spec USING (source)
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q73_vocab_prune — vocabulary pruning / OOV masking: build the corpus
+  // term-frequency table, mark words under 1% of total token mass as
+  // out-of-vocabulary, and rewrite every document with those tokens
+  // replaced by <unk> — the classic closed-vocabulary preprocessing pass.
+  // The rewritten text must preserve token ORDER, so the reassembly is the
+  // interesting relational part: posexplode → per-token broadcast join
+  // against the (tiny) OOV set → order-restoring re-aggregation
+  // (sort_array over (pos, token) structs). The gate hashes the rebuilt
+  // text (md5 is engine-neutral), so a single out-of-order token fails.
+  //
+  // Scale design: two corpus passes (count, rewrite), both map-side until
+  // their aggregate; the vocabulary and OOV tables are bounded by |vocab|,
+  // not corpus size, and broadcast. No window over the corpus: the
+  // re-aggregation groups by doc_id (corpus-proportional cardinality).
+  // ---------------------------------------------------------------------
+  def q73VocabPrune(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val words = d.select(col("doc_id"),
+      posexplode(split(col("text"), " "))).toDF("doc_id", "pos", "w")
+    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("tot"))
+    val rare = counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * 100 < col("tot"))
+      .select(col("w"), lit(true).as("is_rare"))
+    words.join(broadcast(rare), Seq("w"), "left_outer")
+      .withColumn("w2",
+        when(col("is_rare"), lit("<unk>")).otherwise(col("w")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("is_rare"), 1L).otherwise(0L)).as("n_unk"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w2")))),
+            x => x.getField("w2")), " ").cast("binary")).as("pruned_md5"))
+  }
+
+  val q73VocabPruneSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |wd AS (SELECT doc_id, i AS pos, ws[i] AS w
+      |       FROM t, UNNEST(range(1, len(ws) + 1)) AS gg(i)),
+      |c AS (SELECT w, COUNT(*) AS cnt FROM wd GROUP BY 1),
+      |tot AS (SELECT SUM(cnt) AS tot FROM c),
+      |rare AS (SELECT w AS rw FROM c, tot WHERE cnt * 100 < tot)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN rw IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unk,
+      |  md5(string_agg(CASE WHEN rw IS NOT NULL THEN '<unk>' ELSE w END,
+      |      ' ' ORDER BY pos)) AS pruned_md5
+      |FROM wd LEFT JOIN rare ON wd.w = rare.rw
+      |GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q74_keywords — per-document keyword extraction, tf-idf-shaped but
+  // integer-only: rank a document's terms by term frequency descending,
+  // break ties by document frequency ascending (rarer-in-corpus wins —
+  // the idf direction without the float), then by term; keep the top 3.
+  // Integer ordering keys make the gate immune to cross-engine ln()/
+  // division drift that a literal tf·idf score would carry.
+  //
+  // Scale design: tf is one shuffle on (doc, term); df is an aggregate
+  // over the tf table (bounded by |vocab|·|docs| but shrunk before the
+  // join, which broadcasts the |vocab|-row df side). The top-3 window
+  // partitions by doc_id — corpus-proportional cardinality, so no
+  // low-cardinality funnel (the q65/q68 lesson does not apply).
+  // ---------------------------------------------------------------------
+  def q74Keywords(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val words = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val tf = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("w").asc)
+    tf.join(broadcast(dfTab), "w")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("w").as("keyword"),
+        col("tf"), col("df"))
+  }
+
+  val q74KeywordsSql: String =
+    """WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |            FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM wd GROUP BY 1, 2),
+      |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1)
+      |SELECT doc_id, rnk, w AS keyword, tf, df FROM (
+      |  SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, dfq.df ASC, tf.w ASC) AS rnk
+      |  FROM tf JOIN dfq USING (w))
+      |WHERE rnk <= 3""".stripMargin
 }

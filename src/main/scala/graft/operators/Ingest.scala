@@ -89,4 +89,37 @@ object Ingest {
       |  COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS spend
       |FROM orders GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q75_jsonl_roundtrip — JSON-lines interchange: documents → JSONL sink →
+  // schema'd JSONL source → aggregate; the oracle reads the original
+  // parquet, so any escaping/encoding loss in either direction fails the
+  // hash. The read side declares its schema explicitly — schema-on-read
+  // inference is a full extra pass over the data at scale (and
+  // nondeterministic under sampling), so production JSONL readers always
+  // pin the schema. Both sides are splittable line-oriented text, so the
+  // round-trip parallelizes per-file/per-split like the TSV path (q50).
+  // ---------------------------------------------------------------------
+  def q75JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft_jsonl").toString
+    t(s, dir, "documents").write.mode("overwrite")
+      .json(s"$wh/documents_jsonl")
+    val back = s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .json(s"$wh/documents_jsonl")
+    back.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_len"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+
+  val q75JsonlRoundtripSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(len(text)) AS BIGINT) AS sum_len,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents GROUP BY source""".stripMargin
 }

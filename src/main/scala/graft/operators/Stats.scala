@@ -128,6 +128,53 @@ object Stats {
       |FROM lineitem GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q76_quantile_gate — approximate-percentile sketch with a tolerance
+  // verdict (the q54 pattern for the quantile-sketch family): the exact
+  // per-group upper median comes from the relational order statistic
+  // (Curation.quantileThresholds — distinct-value counts, never a corpus
+  // sort), the approximate one from percentile_approx (Spark's
+  // KLL-style mergeable sketch), and the gate hash-checks the exact value
+  // PLUS the boolean "the sketch lands within 5% of exact". The oracle
+  // computes the exact statistic with the same rule and asserts TRUE — so
+  // the sketch's error contract is driver-checked, not just spec-tested.
+  // exact_median is an actual data value (no arithmetic), so double
+  // equality across engines is safe.
+  // ---------------------------------------------------------------------
+  def q76QuantileGate(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val thr = graft.operators.Curation
+      .quantileThresholds(o, "o_orderpriority", "o_totalprice", 0.5)
+      .select(col("o_orderpriority"), col("n"), col("threshold"))
+    val approx = o.groupBy(col("o_orderpriority"))
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+        .as("apx"))
+    thr.join(approx, "o_orderpriority")
+      .select(col("o_orderpriority"), col("n").as("n_orders"),
+        col("threshold").as("exact_median"),
+        (abs(col("apx") - col("threshold")) / col("threshold") <= 0.05)
+          .as("within_5pct"))
+  }
+
+  val q76QuantileGateSql: String =
+    """WITH c AS (SELECT o_orderpriority, o_totalprice, COUNT(*) AS cnt
+      |           FROM orders GROUP BY 1, 2),
+      |tot AS (SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1),
+      |cum AS (SELECT o_orderpriority, o_totalprice,
+      |          SUM(cnt) OVER (PARTITION BY o_orderpriority
+      |            ORDER BY o_totalprice DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS cum_ge
+      |        FROM c),
+      |thr AS (SELECT cum.o_orderpriority, MAX(tot.n) AS n,
+      |          MAX(o_totalprice) AS threshold
+      |        FROM cum JOIN tot USING (o_orderpriority)
+      |        WHERE cum_ge >= CAST(CEIL(tot.n * 0.5) AS BIGINT)
+      |        GROUP BY 1)
+      |SELECT o_orderpriority, n AS n_orders, threshold AS exact_median,
+      |  TRUE AS within_5pct
+      |FROM thr""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q56_weighted_mean — the typed Aggregator (UDAF) surface: exact
   // weighted mean of extended price by quantity per return flag, planned
   // by Catalyst as a regular partial+final typed aggregate.

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Curation semantics beyond the DuckDB gate: split stability and
@@ -123,6 +125,74 @@ class CurationSpec extends SparkSpec {
       if (above.nonEmpty)
         assert(vals.count(_ >= above.min) < need,
           s"$lang: ${above.min} also covers — $v is not maximal")
+    }
+  }
+
+  test("domain mixture sampling respects the spec and is deterministic") {
+    val rows = Curation.q72DomainMix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pct = r.getAs[Long]("pct")
+      val n = r.getAs[Long]("n_docs")
+      val k = r.getAs[Long]("n_sampled")
+      assert(pct >= 25 && pct <= 60)
+      assert(k >= 0 && k <= n)
+    }
+    val again = Curation.q72DomainMix(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_sampled")))
+      .toSet
+    assert(again == rows.map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("n_sampled"))).toSet)
+  }
+
+  test("vocab pruning rewrites rare tokens only, preserving order") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val out = Curation.q73VocabPrune(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_unk"),
+          r.getAs[String]("pruned_md5"))).toMap
+    assert(out.size == docs.count())
+    // a doc with zero OOV tokens must hash to its ORIGINAL text — the
+    // order-restoring reassembly is the identity there
+    val origMd5 = docs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = out.filter { case (_, (_, unk, _)) => unk == 0 }
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, (_, _, h)) =>
+      assert(h == origMd5(id), s"doc $id: reassembly is not the identity")
+    }
+    // total <unk> mass equals the corpus count of sub-1% tokens
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+    val counts = words.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val tot = counts.map(_._2).sum
+    val rareMass = counts.filter(_._2 * 100 < tot).map(_._2).sum
+    assert(out.values.map(_._2).sum == rareMass)
+  }
+
+  test("keyword extraction returns each doc's max-tf terms first") {
+    val rows = Curation.q74Keywords(spark, sfDir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val rnks: Seq[Int] = rs.map(_.getAs[Int]("rnk")).toSeq.sorted
+      assert(rnks == (1 to rs.length))
+      // tf is non-increasing in rank
+      val byRnk: Seq[Long] =
+        rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("tf")).toSeq
+      assert(byRnk.zip(byRnk.drop(1)).forall { case (a, b) => a >= b })
+    }
+    // rank-1 keyword carries the doc's true max term frequency
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val maxTf = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id").agg(max("count").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (id, rs) =>
+      val top = rs.minBy(_.getAs[Int]("rnk"))
+      assert(top.getAs[Long]("tf") == maxTf(id))
     }
   }
 }

@@ -100,4 +100,21 @@ class SkewAndStatsSpec extends SparkSpec {
           s"exact=${r.getAs[Long]("exact_parts")}")
     }
   }
+
+  test("quantile sketch gate: exact median is a data value, sketch in contract") {
+    val rows = Stats.q76QuantileGate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    val vals = orders.select(col("o_orderpriority"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val k = r.getAs[String]("o_orderpriority")
+      val m = r.getAs[Double]("exact_median")
+      assert(vals(k).contains(m), s"$k: median $m is not a data value")
+      val need = math.ceil(vals(k).length * 0.5).toLong
+      assert(vals(k).count(_ >= m) >= need)
+      assert(r.getAs[Boolean]("within_5pct"), s"$k: sketch out of contract")
+    }
+  }
 }
