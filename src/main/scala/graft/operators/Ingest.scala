@@ -122,4 +122,34 @@ object Ingest {
       |  CAST(SUM(len(text)) AS BIGINT) AS sum_len,
       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       |FROM documents GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q77_zorder_roundtrip — Z-order layout rewrite is lossless: events →
+  // Morton-clustered parquet on (user_id, ts) → aggregate; the oracle
+  // reads the original parquet. The layout's pruning value (per-file
+  // min/max ranges tight in BOTH dimensions) is asserted in LayoutSpec;
+  // the gate proves the rewrite changes bytes-on-disk order only, never
+  // row content — the invariant that makes layout rewrites safe to run
+  // against a live canonical table behind SafeSwap.
+  // ---------------------------------------------------------------------
+  def q77ZorderRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_zorder").toString + "/events"
+    graft.pipeline.Layout.zorderWrite(
+      t(s, dir, "events"), "user_id", "ts", out, numFiles = 16)
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sumDec(col("value")).as("sum_value"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val q77ZorderRoundtripSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value,
+      |  MIN(event_id) AS min_event, MAX(event_id) AS max_event,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type""".stripMargin
 }
