@@ -106,4 +106,26 @@ class PlanShapeSpec extends SparkSpec {
         "spread loader must repartition the one-row-group test parquet")
     } finally spark.conf.unset(graft.Tables.SpreadScansKey)
   }
+  test("q72: mixture spec broadcasts; sampling itself adds no shuffle") {
+    val p = planOf(Curation.q72DomainMix(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "the per-domain rate spec must broadcast")
+  }
+
+  test("q73: OOV set broadcasts; reassembly is hash-aggregated, no sort") {
+    val p = planOf(Curation.q73VocabPrune(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "the rare-token set is |vocab|-bounded and must broadcast")
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
+
+  test("q74: df side broadcasts; the top-3 window partitions by doc_id") {
+    val p = planOf(Curation.q74Keywords(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "the document-frequency table is |vocab|-bounded and must broadcast")
+    assert(p.contains("windowspecdefinition(doc_id"), p.take(2000))
+  }
 }
