@@ -152,4 +152,39 @@ object Ingest {
       |  MIN(event_id) AS min_event, MAX(event_id) AS max_event,
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q78_bucketed_join — bucketed storage through the catalog: both fact
+  // sides are written bucketBy(16) on the join key, re-read via
+  // spark.table, joined, aggregated. Bucketing is the pay-the-shuffle-
+  // once layout for repeated fact⋈fact joins (BucketingSpec asserts the
+  // zero-Exchange plan with broadcast disabled); this gate proves the
+  // bucketed write→catalog-read→join path is lossless against an oracle
+  // that joins the original parquet.
+  // ---------------------------------------------------------------------
+  def q78BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft_bkt").toString
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_bkt")
+    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").option("path", s"$wh/li_b")
+      .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bkt.li_b")
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").option("path", s"$wh/o_b")
+      .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt.o_b")
+    s.table("graft_bkt.li_b")
+      .join(s.table("graft_bkt.o_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sumDec(col("l_quantity")).as("sum_qty"))
+  }
+
+  val q78BucketedJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
 }

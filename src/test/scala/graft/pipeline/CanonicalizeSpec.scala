@@ -288,4 +288,51 @@ class CanonicalizeSpec extends SparkSpec {
     assert(r2.count() == 4, "exactly-once: 3 old + 1 new, no duplicates")
     assert(r2.filter(col("id") === 1).count() == 1)
   }
+  test("schema evolution: upstream adds a column; canonical + catalog follow") {
+    val wh = Files.createTempDirectory("canon_evo").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // v1 dump: two columns
+    val v1 = graft.Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    TsvSource.write(v1, s"$wh/raw_files/nation_evo")
+    val cdV1 = CDTable("nation_evo", None, Seq(
+      CDColumn("n_nationkey", "bigint"),
+      CDColumn("n_name", "varchar", Some(64))))
+    val (out, r1) = Canonicalize.canonicalizeIncremental(spark, wh, cdV1)
+    assert(r1)
+    val v1Rows = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // the upstream schema gains a column: the reference's dumps are FULL
+    // replacements, so the change lands as a re-dump of every raw file
+    // under the new column list (never a mixed-schema directory — the
+    // positional TSV SerDe could not read one)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$wh/raw_files/nation_evo"),
+      true)
+    val v2 = graft.Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    TsvSource.write(v2, s"$wh/raw_files/nation_evo")
+    val cdV2 = CDTable("nation_evo", None, cdV1.columns :+
+      CDColumn("n_regionkey", "bigint"))
+
+    // the re-dump changes the raw fingerprint, so the incremental pass
+    // rewrites under the new schema without any special evolution mode
+    val (_, r2) = Canonicalize.canonicalizeIncremental(spark, wh, cdV2)
+    assert(r2, "schema change arrives as new raw files -> rewrite")
+    val evolved = spark.read.parquet(out)
+    assert(evolved.schema.fieldNames.toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    // a v1-shaped query answers exactly as before the evolution
+    assert(evolved.select("n_nationkey", "n_name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == v1Rows)
+
+    // and the catalog upsert carries the new column (the reference's
+    // update_table full-replace semantics)
+    graft.catalog.CatalogSync.createOrUpdateTable(spark, "evo_db", cdV2,
+      s"$wh/raw_files/nation_evo")
+    val cols = spark.table("evo_db.nation_evo").columns.toSeq
+    assert(cols == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(spark.table("evo_db.nation_evo").count() == v1Rows.size)
+  }
 }
