@@ -259,4 +259,44 @@ object TextAnalysis {
       |sh AS (SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM sel
       |       GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2)
       |SELECT n_docs, COUNT(*) AS n_shared_fps FROM sh GROUP BY n_docs""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q79_heavy_hitters — frequent items via the two-pass Misra–Gries
+  // pattern: pass 1 runs the O(k)-state mergeable sketch
+  // (functions.MisraGries) whose summary is a GUARANTEED SUPERSET of all
+  // items with frequency > n/(k+1); pass 2 counts exactly, restricted to
+  // those ≤k candidates by a broadcast semi-join, and applies the real
+  // threshold (>1% of tokens). Sketch superset + exact recount ⇒ the
+  // output provably equals the naive full GROUP BY — so the approximate
+  // operator is fully oracle-checked, not rows-only.
+  //
+  // Scale: the corpus never shuffles on the token in pass 1 (partial
+  // sketches merge, k rows per partition); pass 2's shuffle carries only
+  // candidate tokens. The full-vocabulary GROUP BY this replaces is the
+  // thing that dies at 100 TB when the key space explodes (URLs,
+  // n-grams); k bounds state regardless of cardinality.
+  // ---------------------------------------------------------------------
+  def q79HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val words = d.select(explode(split(col("text"), " ")).as("w"))
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGries(512),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    val cand = words.agg(mg(col("w")).as("sketch"))
+      .select(explode(map_keys(col("sketch"))).as("w"))
+    val tot = words.agg(count(lit(1)).as("tot"))
+    words.join(broadcast(cand), Seq("w"), "left_semi")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * 100 > col("tot"))
+      .select(col("w").as("word"), col("cnt").as("n_occurrences"))
+  }
+
+  val q79HeavyHittersSql: String =
+    """WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w
+      |            FROM documents),
+      |c AS (SELECT w, COUNT(*) AS cnt FROM wd GROUP BY 1),
+      |tot AS (SELECT SUM(cnt) AS tot FROM c)
+      |SELECT w AS word, cnt AS n_occurrences
+      |FROM c, tot WHERE cnt * 100 > tot""".stripMargin
 }

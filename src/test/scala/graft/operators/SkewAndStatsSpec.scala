@@ -117,4 +117,42 @@ class SkewAndStatsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("within_5pct"), s"$k: sketch out of contract")
     }
   }
+  test("Misra-Gries: superset guarantee, error bound, merge-order invariance") {
+    val mg = new graft.functions.MisraGries(8)
+    // adversarial stream: two heavy items among 50 light ones
+    val stream = (Seq.fill(40)("heavy1") ++ Seq.fill(25)("heavy2") ++
+      (1 to 50).flatMap(i => Seq.fill(2)(s"light$i"))).toVector
+    val n = stream.length
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // sequential reduce
+    val seqSummary = stream.foldLeft(mg.zero)(mg.reduce)
+    // arbitrary merge tree over chunked partials (the partial+final path)
+    val merged = stream.grouped(13)
+      .map(_.foldLeft(mg.zero)(mg.reduce))
+      .reduce(mg.merge)
+    for (summary <- Seq(seqSummary, merged)) {
+      assert(summary.size <= 8)
+      // anything with true count > n/(k+1) must be present
+      truth.filter(_._2 > n / 9).keys.foreach(w =>
+        assert(summary.contains(w), s"$w missing from $summary"))
+      // credits never overcount and undercount by at most n/(k+1)
+      summary.foreach { case (w, c) =>
+        assert(c <= truth(w), s"$w overcounted: $c > ${truth(w)}")
+        assert(truth(w) - c <= n / 9 + 1, s"$w undercut past the bound")
+      }
+    }
+  }
+
+  test("q79: two-pass heavy hitters equals the naive exact GROUP BY") {
+    val rows = TextAnalysis.q79HeavyHitters(spark, sfDir).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("n_occurrences"))
+      .toMap
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val counts = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val tot = counts.map(_._2).sum
+    val expected = counts.filter { case (_, c) => c * 100 > tot }.toMap
+    assert(rows == expected)
+  }
 }
