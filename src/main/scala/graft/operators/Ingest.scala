@@ -153,29 +153,51 @@ object Ingest {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Per-process base for the bucketed-layout gate (the q70/IVF
+    * build-once pattern: cross-JVM tmp sharing would race writers). */
+  private lazy val bktBase: String =
+    Files.createTempDirectory("graft_bkt_").toString
+
   // ---------------------------------------------------------------------
   // q78_bucketed_join — bucketed storage through the catalog: both fact
   // sides are written bucketBy(16) on the join key, re-read via
-  // spark.table, joined, aggregated. Bucketing is the pay-the-shuffle-
-  // once layout for repeated fact⋈fact joins (BucketingSpec asserts the
-  // zero-Exchange plan with broadcast disabled); this gate proves the
-  // bucketed write→catalog-read→join path is lossless against an oracle
-  // that joins the original parquet.
+  // spark.table, joined, aggregated. Bucketing is the PAY-THE-SHUFFLE-
+  // ONCE layout for repeated fact⋈fact joins, so the operator is split
+  // like the other persisted-index gates (q70, q37): the bucketed write
+  // runs once per process+corpus; re-invocations (including a fresh
+  // SparkSession, whose in-memory catalog forgot the tables) re-declare
+  // the external bucketed tables by DDL over the existing files and pay
+  // only the join — the true steady-state cost the layout buys.
+  // BucketingSpec asserts the zero-Exchange plan; this gate proves the
+  // write→catalog-read→join path lossless against an oracle joining the
+  // original parquet.
   // ---------------------------------------------------------------------
   def q78BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val wh = Files.createTempDirectory("graft_bkt").toString
+    val base = s"$bktBase/bkt_${dir.hashCode.toHexString}"
     s.sql("CREATE DATABASE IF NOT EXISTS graft_bkt")
-    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
-      .write.mode("overwrite").option("path", s"$wh/li_b")
-      .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_bkt.li_b")
-    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
-      .write.mode("overwrite").option("path", s"$wh/o_b")
-      .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_bkt.o_b")
-    s.table("graft_bkt.li_b")
-      .join(s.table("graft_bkt.o_b"),
-        col("l_orderkey") === col("o_orderkey"))
+    val li = s"graft_bkt.li_${dir.hashCode.toHexString}"
+    val o = s"graft_bkt.o_${dir.hashCode.toHexString}"
+    if (!new java.io.File(s"$base/li_b").exists()) {
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").option("path", s"$base/li_b")
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(li)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").option("path", s"$base/o_b")
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(o)
+    } else {
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $li
+        (l_orderkey BIGINT, l_quantity DOUBLE) USING PARQUET
+        CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) INTO 16 BUCKETS
+        LOCATION '$base/li_b'""")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $o
+        (o_orderkey BIGINT, o_orderpriority STRING) USING PARQUET
+        CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) INTO 16 BUCKETS
+        LOCATION '$base/o_b'""")
+    }
+    s.table(li)
+      .join(s.table(o), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),

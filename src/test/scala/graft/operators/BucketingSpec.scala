@@ -48,4 +48,17 @@ class BucketingSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     }
   }
+  test("q78 probe path: DDL-redeclared bucketed tables equal the build path") {
+    val first = Ingest.q78BucketedJoin(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // a fresh session forgets the in-memory catalog but keeps the files:
+    // dropping the tables simulates it, forcing the CREATE TABLE ...
+    // CLUSTERED BY ... LOCATION redeclaration branch
+    val suffix = sfDir.hashCode.toHexString
+    spark.sql(s"DROP TABLE IF EXISTS graft_bkt.li_$suffix")
+    spark.sql(s"DROP TABLE IF EXISTS graft_bkt.o_$suffix")
+    val second = Ingest.q78BucketedJoin(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(second == first)
+  }
 }
