@@ -65,4 +65,45 @@ object Multimodal {
       |       ELSE CAST(('0x' || substring(hex(encode(text)), 1, 2)) AS BIGINT)
       |  END AS first_byte
       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q80_frame_sample — frame sampling over an opaque media payload: treat
+  // the binary column as a fixed-frame-size stream (64-byte frames
+  // standing in for video frames / audio windows), keep every 4th frame,
+  // fingerprint each sampled frame. The frame arithmetic runs over the
+  // hex view of the payload so the oracle can mirror it byte-exactly
+  // (both engines' hex() is uppercase, md5() lowercase-hex).
+  //
+  // Scale design: fully relational — sequence+explode generates frame
+  // indices (rows ∝ sampled frames, not payload bytes re-copied per
+  // frame), the per-frame substring/md5 stays inside codegen, and no
+  // decode library is touched: sampling/slicing is pure byte plumbing, so
+  // unlike decode it needs no stub. One narrow shuffle only if the
+  // consumer aggregates.
+  // ---------------------------------------------------------------------
+  val FrameHexChars = 128 // 64-byte frames in hex chars
+  val FrameStride = 4     // keep every 4th frame
+
+  def q80FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
+      .withColumn("n_frames",
+        ceil(length(col("hx")).cast("double") / FrameHexChars).cast("long"))
+      .select(col("doc_id"), col("hx"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"))
+      .filter(col("frame_no") % FrameStride === 0)
+      .select(col("doc_id"), col("frame_no"),
+        md5(expr(s"CAST(substring(hx, CAST(frame_no * $FrameHexChars + 1" +
+          s" AS INT), $FrameHexChars) AS BINARY)")).as("frame_md5"))
+  }
+
+  val q80FrameSampleSql: String =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+      |f AS (SELECT doc_id, hx,
+      |        CAST(CEIL(len(hx) / 128.0) AS BIGINT) AS n_frames
+      |      FROM h)
+      |SELECT doc_id, i AS frame_no,
+      |  md5(substring(hx, CAST(i * 128 + 1 AS INTEGER), 128)) AS frame_md5
+      |FROM f, UNNEST(range(0, n_frames)) AS t(i)
+      |WHERE i % 4 = 0""".stripMargin
 }

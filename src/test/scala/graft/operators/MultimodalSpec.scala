@@ -24,4 +24,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out.columns.toSeq ==
       Seq("doc_id", "n_bytes", "width", "height", "first_byte"))
   }
+  test("frame sampling covers every 4th frame of every payload") {
+    val rows = Multimodal.q80FrameSample(spark, sfDir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(byDoc.keySet == docs.keySet, "every payload is sampled")
+    byDoc.foreach { case (id, rs) =>
+      val nFrames = (docs(id) * 2 + 127) / 128 // hex doubles the length
+      val expected = (0L until nFrames by 4).toSet
+      assert(rs.map(_.getAs[Long]("frame_no")).toSet == expected)
+      // fingerprints are well-formed md5 hex
+      rs.foreach(r =>
+        assert(r.getAs[String]("frame_md5").matches("[0-9a-f]{32}")))
+    }
+  }
 }
