@@ -420,4 +420,36 @@ object Similarity {
       |         x -> x * x))) AS norm
       |  FROM embeddings)
       |GROUP BY label""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q81_vector_resize — the embedding analog of media resize:
+  // dimensionality truncation to the leading 16 dims (the Matryoshka/
+  // MRL serving pattern — cheap ANN over a prefix slice, full-dim
+  // re-rank later) followed by L2 re-normalization. Emitted per vector:
+  // the slice's norm and the normalized-component checksum. Both engines
+  // compute the per-row fold in element order (the q36/q39-established
+  // parity), and sqrt/division are correctly-rounded IEEE ops over
+  // identical inputs — so the floats hash-match without rounding tricks.
+  // Map-only: no shuffle at all; the slice never copies the tail dims
+  // after column pruning.
+  // ---------------------------------------------------------------------
+  def q81VectorResize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val sliced = slice(col("embedding"), 1, 16)
+    val ss = aggregate(sliced, lit(0.0d),
+      (a, x) => a + x.cast("double") * x.cast("double"))
+    val sm = aggregate(sliced, lit(0.0d), (a, x) => a + x.cast("double"))
+    e.select(col("vec_id"), size(sliced).as("n_dims"),
+      sqrt(ss).as("norm"),
+      when(ss > 0, sm / sqrt(ss)).otherwise(lit(0.0d)).as("unit_checksum"))
+  }
+
+  val q81VectorResizeSql: String =
+    """SELECT vec_id, len(s) AS n_dims,
+      |  sqrt(list_sum(list_transform(s, x -> x * x))) AS norm,
+      |  CASE WHEN list_sum(list_transform(s, x -> x * x)) > 0
+      |       THEN list_sum(s) / sqrt(list_sum(list_transform(s, x -> x * x)))
+      |       ELSE 0.0 END AS unit_checksum
+      |FROM (SELECT vec_id, CAST(embedding[1:16] AS DOUBLE[]) AS s
+      |      FROM embeddings)""".stripMargin
 }
