@@ -53,11 +53,21 @@ object Bench {
       s
     }
 
-    // local-iteration filter: comma-separated query names; unset = all
+    // local-iteration filter: comma-separated query names — full names or
+    // the short keys the JSON line prints (copying "q68" from the output
+    // must select q68_quality_prune, not silently nothing)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
-      SparkEntry.queries.filter { case (n, _) => names(n) })
+      SparkEntry.queries.filter { case (n, _) =>
+        names(n) || names(n.takeWhile(_ != '_')) })
+    only.foreach { names =>
+      val known = SparkEntry.queries.keySet
+        .flatMap(n => Set(n, n.takeWhile(_ != '_')))
+      val unknown = names.diff(known)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names match nothing: ${unknown.mkString(",")}")
+    }
 
     // stable grouping: sorted names, fixed-size groups — identical group
     // membership across passes, so each query's samples share a context

@@ -92,15 +92,24 @@ object Components {
   // echo. Fully oracle-checked: DuckDB computes the same closure with a
   // recursive CTE over the same SQL pair list.
   // ---------------------------------------------------------------------
-  val PlantOffset = 10000000L
+  /** Same id space as q70's planted batch — ONE constant (the SQL twins
+    * hard-code the literal, so a change must sweep all of them). */
+  val PlantOffset: Long = Dedup.PlantOffset
+
+  /** Shared q66/q71 fixture: corpus + an exact copy of every 10th doc. */
+  private def augmentedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
+  }
+
+  /** Exact-Jaccard near-dup edges over the augmented corpus (the q33
+    * pipeline), shared by the q66/q71 closures. */
+  private def plantedPairs(aug: DataFrame): DataFrame =
+    Dedup.jaccardPairs(Dedup.shingleRows(aug)).select(col("a"), col("b"))
 
   def q66DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val planted = d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"))
-    val pairs = Dedup.jaccardPairs(
-        Dedup.shingleRows(d.unionByName(planted)))
-      .select(col("a"), col("b"))
+    val pairs = plantedPairs(augmentedCorpus(s, dir))
     connectedComponents(pairs)
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("n_docs"),
@@ -119,13 +128,8 @@ object Components {
   // both engines — no reliance on engine-specific arg_max tie behavior.
   // ---------------------------------------------------------------------
   def q71DedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val aug = d.unionByName(
-      d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
-    val pairs = Dedup.jaccardPairs(Dedup.shingleRows(aug))
-      .select(col("a"), col("b"))
-    val comp = connectedComponents(pairs)
+    val aug = augmentedCorpus(s, dir)
+    val comp = connectedComponents(plantedPairs(aug))
     val sized = comp.join(
       aug.select(col("doc_id").as("id"), length(col("text")).as("len")),
       "id")
@@ -139,7 +143,11 @@ object Components {
         col("kept_doc"), col("max_len").cast("long").as("max_len"))
   }
 
-  val q71DedupKeepBestSql: String =
+  /** Shared SQL prefix for the q66/q71 oracles: planted corpus → shingle
+    * pairs → recursive-CTE closure, ending at the `comp(id, component)`
+    * CTE. ONE copy so a change to the plant rule, threshold, or shingle
+    * width cannot desynchronize the two oracles. */
+  private val plantedClosureSqlPrefix: String =
     """WITH RECURSIVE base AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -160,8 +168,10 @@ object Components {
       |  SELECT DISTINCT a, a FROM edges
       |  UNION
       |  SELECT x.id, e.b FROM reach x JOIN edges e ON e.a = x.r),
-      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
-      |sized AS (SELECT comp.id, comp.component, length(base.text) AS len
+      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
+
+  val q71DedupKeepBestSql: String = plantedClosureSqlPrefix + ",\n" +
+    """sized AS (SELECT comp.id, comp.component, length(base.text) AS len
       |          FROM comp JOIN base ON base.doc_id = comp.id),
       |best AS (SELECT component, COUNT(*) AS n_members,
       |           MAX(len) AS max_len
@@ -172,29 +182,8 @@ object Components {
       |  AND s.len = b.max_len
       |GROUP BY s.component, b.n_members, b.max_len""".stripMargin
 
-  val q66DedupClustersSql: String =
-    """WITH RECURSIVE base AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0),
-      |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         list_aggregate(w[i:i+2], 'string_agg', '_') AS s
-      |       FROM t, UNNEST(range(1, len(w) - 1)) AS g(i)),
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |c AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
-      |      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-      |      GROUP BY x.doc_id, y.doc_id),
-      |p AS (SELECT a, b
-      |      FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
-      |      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6),
-      |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
-      |reach(id, r) AS (
-      |  SELECT DISTINCT a, a FROM edges
-      |  UNION
-      |  SELECT x.id, e.b FROM reach x JOIN edges e ON e.a = x.r),
-      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
-      |SELECT component, COUNT(*) AS n_docs,
+  val q66DedupClustersSql: String = plantedClosureSqlPrefix + "\n" +
+    """SELECT component, COUNT(*) AS n_docs,
       |  STRING_AGG(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
       |FROM comp GROUP BY component""".stripMargin
 }

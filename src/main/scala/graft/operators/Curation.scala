@@ -371,13 +371,17 @@ object Curation {
   // replaced by <unk> — the classic closed-vocabulary preprocessing pass.
   // The rewritten text must preserve token ORDER, so the reassembly is the
   // interesting relational part: posexplode → per-token broadcast join
-  // against the (tiny) OOV set → order-restoring re-aggregation
+  // against the kept vocabulary → order-restoring re-aggregation
   // (sort_array over (pos, token) structs). The gate hashes the rebuilt
   // text (md5 is engine-neutral), so a single out-of-order token fails.
   //
   // Scale design: two corpus passes (count, rewrite), both map-side until
-  // their aggregate; the vocabulary and OOV tables are bounded by |vocab|,
-  // not corpus size, and broadcast. No window over the corpus: the
+  // their aggregate. The broadcast side is the KEPT set (tokens with ≥1%
+  // of token mass — at most 100 rows BY CONSTRUCTION), never the OOV set:
+  // in a realistic corpus almost the whole vocabulary is sub-threshold,
+  // so broadcasting the rare side would ship ~|vocab| rows (an OOM at the
+  // 100 TB target); a token is OOV iff it misses the kept set, the same
+  // predicate from the bounded side. No window over the corpus: the
   // re-aggregation groups by doc_id (corpus-proportional cardinality).
   // ---------------------------------------------------------------------
   def q73VocabPrune(s: SparkSession, dir: String): DataFrame = {
@@ -386,16 +390,16 @@ object Curation {
       posexplode(split(col("text"), " "))).toDF("doc_id", "pos", "w")
     val counts = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("tot"))
-    val rare = counts.crossJoin(broadcast(total))
-      .filter(col("cnt") * 100 < col("tot"))
-      .select(col("w"), lit(true).as("is_rare"))
-    words.join(broadcast(rare), Seq("w"), "left_outer")
+    val kept = counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * 100 >= col("tot"))
+      .select(col("w"), lit(true).as("is_kept"))
+    words.join(broadcast(kept), Seq("w"), "left_outer")
       .withColumn("w2",
-        when(col("is_rare"), lit("<unk>")).otherwise(col("w")))
+        when(col("is_kept").isNull, lit("<unk>")).otherwise(col("w")))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
-        sum(when(col("is_rare"), 1L).otherwise(0L)).as("n_unk"),
+        sum(when(col("is_kept").isNull, 1L).otherwise(0L)).as("n_unk"),
         md5(array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("w2")))),
             x => x.getField("w2")), " ").cast("binary")).as("pruned_md5"))

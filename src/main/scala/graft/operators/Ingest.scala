@@ -177,7 +177,11 @@ object Ingest {
     s.sql("CREATE DATABASE IF NOT EXISTS graft_bkt")
     val li = s"graft_bkt.li_${dir.hashCode.toHexString}"
     val o = s"graft_bkt.o_${dir.hashCode.toHexString}"
-    if (!new java.io.File(s"$base/li_b").exists()) {
+    // completion marker, not a directory probe: a failure between the two
+    // writes must not leave a half-built layout that later invocations
+    // treat as complete (li_b present, o_b missing → silently empty join)
+    val done = new java.io.File(s"$base/_layout_complete")
+    if (!done.exists()) {
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
         .write.mode("overwrite").option("path", s"$base/li_b")
         .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
@@ -186,6 +190,8 @@ object Ingest {
         .write.mode("overwrite").option("path", s"$base/o_b")
         .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(o)
+      done.getParentFile.mkdirs()
+      java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
     } else {
       s.sql(s"""CREATE TABLE IF NOT EXISTS $li
         (l_orderkey BIGINT, l_quantity DOUBLE) USING PARQUET

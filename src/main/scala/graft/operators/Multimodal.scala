@@ -89,6 +89,11 @@ object Multimodal {
     d.select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
       .withColumn("n_frames",
         ceil(length(col("hx")).cast("double") / FrameHexChars).cast("long"))
+      // n_frames = 0 (empty payload) must yield NO rows: Spark's
+      // sequence(0, -1) would produce a DESCENDING [0, -1] — frame 0
+      // would pass the stride filter while the oracle's range(0, 0) is
+      // empty. Filter before the explode.
+      .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("hx"),
         explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"))
       .filter(col("frame_no") % FrameStride === 0)
