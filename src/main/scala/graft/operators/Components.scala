@@ -76,9 +76,83 @@ object Components {
     }
     require(converged,
       s"connected components did not converge in $maxIters rounds — " +
-        "component diameter exceeds the bound; raise maxIters or switch " +
-        "the loop body to large-star/small-star")
+        "component diameter exceeds the bound; raise maxIters or use " +
+        "connectedComponentsLSS (large-star/small-star)")
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log² n) rounds REGARDLESS of component
+    * diameter, where hash-min label propagation needs O(diameter). Use
+    * this variant for adversarial graphs (long chains — reply threads,
+    * citation paths); [[connectedComponents]] stays the default for
+    * near-dup graphs, whose components are tiny cliques.
+    *
+    * Both operations are one groupBy-min + one join per round over the
+    * canonical (big, small) edge list — the same distributed shape as
+    * the hash-min loop, no driver-side graph state:
+    *  - large-star: every node u links its LARGER neighbors to
+    *    m = min(Γ(u) ∪ u);
+    *  - small-star: every node u links its smaller neighbors (and
+    *    itself) to m = min of those.
+    * The fixpoint is a star forest rooted at each component's minimum;
+    * convergence is checked by an O(1) per-round edge-set checksum. */
+  def connectedComponentsLSS(edges: DataFrame, maxIters: Int = 40): DataFrame = {
+    var e = edges
+      .select(greatest(col("a").cast("long"), col("b").cast("long")).as("u"),
+        least(col("a").cast("long"), col("b").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+
+    def checksum(d: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent like sum, but cannot overflow
+      // under ANSI arithmetic
+      val r = d.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def largeStar(d: DataFrame): DataFrame = {
+      val adj = d.unionByName(d.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      adj.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(d: DataFrame): DataFrame = {
+      // canonical (big, small): a node's SMALLER neighbors are exactly its
+      // v-side partners; m = min of them (all < u, so u never wins)
+      val mins = d.groupBy(col("u")).agg(min(col("v")).as("m"))
+      d.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var iters = 0
+    var converged = false
+    var sig = checksum(e)
+    while (!converged && iters < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      e = next
+      sig = nextSig
+      iters += 1
+    }
+    require(converged,
+      s"large-star/small-star did not converge in $maxIters rounds")
+    // star forest: every (u, v) points u at its component min; roots
+    // appear only on the v side
+    e.select(col("u").as("id"), col("v").as("comp"))
+      .unionByName(e.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
   }
 
   // ---------------------------------------------------------------------

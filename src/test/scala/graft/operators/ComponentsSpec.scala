@@ -51,4 +51,26 @@ class ComponentsSpec extends SparkSpec {
     val all = byComp.flatMap(_._2)
     assert(all.length == all.distinct.length)
   }
+  test("large-star/small-star equals hash-min on clique-ish graphs") {
+    import spark.implicits._
+    // several overlapping families + isolated pairs
+    val edges = Seq((1L,2L),(2L,3L),(3L,1L),(10L,11L),(11L,12L),
+      (20L,21L),(30L,31L),(31L,32L),(32L,33L),(33L,30L),(2L,10L))
+      .toDF("a","b")
+    val hm = Components.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lss = Components.connectedComponentsLSS(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lss == hm)
+  }
+
+  test("large-star/small-star converges on a 500-node chain in O(log^2 n)") {
+    import spark.implicits._
+    // a path graph: diameter 499 — hash-min would need ~499 rounds
+    val chain = (1L until 500L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Components.connectedComponentsLSS(chain, maxIters = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 500)
+    assert(comp.values.forall(_ == 1L), "single component rooted at the min")
+  }
 }
