@@ -215,4 +215,64 @@ object Ingest {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q82_scd2_merge — SCD2 history fold (pipeline.Upsert.scd2Merge): v1 =
+  // customer balances as the open history; v2 = a deterministic mutation
+  // of the same snapshot (+100.0 for custkey % 7 = 0, keys % 13 = 0
+  // deleted, copies of keys % 11 = 0 inserted at custkey + 10⁶). The
+  // merged history is aggregated by validity interval; the oracle
+  // replays the identical set algebra in SQL. Exercises change
+  // detection (null-safe compare), upstream-delete closing, insert
+  // opening, and carried-open rows — the full SCD2 branch matrix.
+  // ---------------------------------------------------------------------
+  def q82Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val history = c
+      .withColumn("valid_from", lit(1L))
+      .withColumn("valid_to", lit(null).cast("long"))
+    val snapshot = c.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"),
+        (col("c_acctbal") + when(col("c_custkey") % 7 === 0, 100.0d)
+          .otherwise(0.0d)).as("c_acctbal"))
+      .unionByName(c.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_acctbal")))
+    graft.pipeline.Upsert
+      .scd2Merge(history, snapshot, Seq("c_custkey"), version = 2L)
+      .groupBy(col("valid_from"), coalesce(col("valid_to"), lit(-1L))
+        .as("valid_to"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sumDec(col("c_acctbal")).as("sum_bal"))
+  }
+
+  val q82Scd2MergeSql: String =
+    """WITH s1 AS (SELECT c_custkey, c_acctbal FROM customer),
+      |s2 AS (
+      |  SELECT c_custkey,
+      |    c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END
+      |      AS c_acctbal
+      |  FROM customer WHERE c_custkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_acctbal
+      |  FROM customer WHERE c_custkey % 11 = 0),
+      |m AS (SELECT COALESCE(a.c_custkey, b.c_custkey) AS k,
+      |        a.c_acctbal AS o_bal, b.c_acctbal AS n_bal,
+      |        a.c_custkey IS NOT NULL AS in_o,
+      |        b.c_custkey IS NOT NULL AS in_s,
+      |        a.c_acctbal IS DISTINCT FROM b.c_acctbal AS chg
+      |      FROM s1 a FULL OUTER JOIN s2 b ON a.c_custkey = b.c_custkey),
+      |rows_ AS (
+      |  SELECT k, o_bal AS bal, 1 AS valid_from, CAST(NULL AS BIGINT)
+      |    AS valid_to FROM m WHERE in_o AND in_s AND NOT chg
+      |  UNION ALL
+      |  SELECT k, o_bal, 1, 2 FROM m WHERE in_o AND (NOT in_s OR chg)
+      |  UNION ALL
+      |  SELECT k, n_bal, 2, CAST(NULL AS BIGINT) FROM m
+      |  WHERE in_s AND (NOT in_o OR chg))
+      |SELECT valid_from, COALESCE(valid_to, -1) AS valid_to,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(bal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal
+      |FROM rows_ GROUP BY 1, 2""".stripMargin
 }

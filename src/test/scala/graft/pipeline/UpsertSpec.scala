@@ -39,4 +39,33 @@ class UpsertSpec extends SparkSpec {
         Seq((1L, 2.0)).toDF("id", "other"), Seq("id"))
     }
   }
+  test("scd2Merge folds versions; as-of reads reconstruct every snapshot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "val")
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "val") // 3 del
+    val v3 = Seq((1L, "A"), (2L, "B"), (4L, "d")).toDF("k", "val")
+    val h1 = v1.withColumn("valid_from", lit(1L))
+      .withColumn("valid_to", lit(null).cast("long"))
+    val h2 = Upsert.scd2Merge(h1, v2, Seq("k"), version = 2L)
+    val h3 = Upsert.scd2Merge(h2, v3, Seq("k"), version = 3L)
+
+    def asOf(h: org.apache.spark.sql.DataFrame, v: Long) =
+      h.filter(col("valid_from") <= v &&
+          (col("valid_to").isNull || col("valid_to") > v))
+        .select("k", "val").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    assert(asOf(h3, 1L) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(asOf(h3, 2L) == Set((1L, "a"), (2L, "B"), (4L, "d")))
+    assert(asOf(h3, 3L) == Set((1L, "A"), (2L, "B"), (4L, "d")))
+    // closed rows are immutable: the v1 row of key 2 keeps [1, 2)
+    val closed2 = h3.filter(col("k") === 2 && col("valid_to").isNotNull)
+      .select("val", "valid_from", "valid_to").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(closed2 == Set(("b", 1L, 2L)))
+    // an unchanged re-fold is a no-op (idempotent on identical snapshots)
+    val h3b = Upsert.scd2Merge(h3, v3, Seq("k"), version = 4L)
+    assert(h3b.count() == h3.count())
+  }
 }
