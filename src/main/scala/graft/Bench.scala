@@ -72,7 +72,16 @@ object Bench {
     // stable grouping: sorted names, fixed-size groups — identical group
     // membership across passes, so each query's samples share a context
     val groups = selected.toSeq.sortBy(_._1).grouped(groupSize).toSeq
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    // ALL samples per query (not just the running min): the per-query
+    // spread max/min is the interference signal the artifact must carry —
+    // three same-day r4 runs disagreed up to 5× per query and the judge
+    // had to adjudicate forensically because the JSON line hid it.
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // A query that throws must FAIL the bench, not record its
+    // time-to-crash as a legitimate sample (the r3 annIvf crash would
+    // have benched as a *fast* query). Keep running the rest so one bad
+    // query still yields a full artifact, then exit nonzero.
+    val failures = scala.collection.mutable.Map.empty[String, String]
     for (pass <- 0 until runs; group <- groups) {
       val spark = freshSession()
       // codegen warmup for exactly this group's plans
@@ -85,16 +94,27 @@ object Bench {
       Tables.registerAll(spark, sfDir)
       group.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            failures(name) = s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(120)
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // leaked cached plans from one query must not degrade the next
         spark.catalog.clearCache()
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        if (ok) samples(name) = dt :: samples.getOrElse(name, Nil)
       }
       spark.stop()
     }
-    val results = selected.keys.toSeq.sorted.map(n => n -> best(n))
+    val timed = selected.keys.toSeq.sorted.filter(samples.contains)
+    val results = timed.map(n => n -> samples(n).min)
     val total = results.map(_._2).sum
+    // spread = max/min across passes; > 1.5 means the number is
+    // interference-suspect, not a code regression
+    val spreads = timed.map(n =>
+      n -> (if (samples(n).min > 0) samples(n).max / samples(n).min else 1.0))
 
     // The harness keeps only the LAST ~2000 bytes of stdout and parses the
     // JSON line out of that tail; with ~75 full-name queries at nanosecond
@@ -111,15 +131,32 @@ object Bench {
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // the compact line can't afford per-query min+max (would blow the
+    // ~2KB tail buffer again); emit max only where spread > 1.5×, which
+    // is exactly the set a reader needs to discount — all samples land
+    // in bench_full.json
+    val suspect = spreads.filter(_._2 > 1.5).map { case (n, _) =>
+      "\"" + keyOf(n) + "\":" + fmt(samples(n).max) }.mkString("{", ",", "}")
+    val failedArr = failures.keys.toSeq.sorted
+      .map(n => "\"" + keyOf(n) + "\"").mkString("[", ",", "]")
 
-    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val fullQs = timed.map { n =>
+      "\"" + n + "\":" + samples(n).sorted.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val fullFails = failures.toSeq.sortBy(_._1).map { case (n, e) =>
+      "\"" + n + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","samples":$fullQs,"failed":$fullFails,"sf":"$sfDir","runs":$runs}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedArr,"spread_max":$suspect,"sf":"$sfDir","runs":$runs}""")
+    if (failures.nonEmpty) {
+      failures.toSeq.sortBy(_._1).foreach { case (n, e) =>
+        System.err.println(s"BENCH FAILURE $n: $e") }
+      sys.exit(1)
+    }
   }
 }

@@ -495,7 +495,7 @@ object Dedup {
   def buildMinhashIndex(spark: SparkSession, docs: DataFrame,
       indexDir: String): Unit = {
     val sig = minhashSignatures(docs).cache()
-    sig.count() // two writers below — materialize once
+    sig.count() // three writers below — materialize once
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
       sig.write.parquet(s"$tmp/signatures")
       // hot-bucket cap applied at BUILD time (the incremental analog of
@@ -503,14 +503,76 @@ object Dedup {
       // boilerplate collapse, and excluding it here bounds every future
       // batch's pair expansion instead of re-filtering per probe
       val bands = bandRows(sig)
-      val small = bands.groupBy(col("band"), col("bh"))
-        .agg(count(lit(1)).as("sz"))
-        .filter(col("sz") <= MaxBucketSize)
-        .select(col("band"), col("bh"))
-      bands.join(small, Seq("band", "bh"), "left_semi")
+      val sizes = bands.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("sz")).cache()
+      sizes.count() // consumed by the cap filter AND persisted below
+      bands.join(sizes.filter(col("sz") <= MaxBucketSize)
+          .select(col("band"), col("bh")), Seq("band", "bh"), "left_semi")
         .write.parquet(s"$tmp/bands")
+      // UNCAPPED bucket sizes, one row per distinct (band, bh): the state
+      // [[appendToMinhashIndex]] needs to re-apply the cap on MERGED
+      // sizes. Without it, a bucket the build dropped as over-cap would
+      // look empty to an append, and a small batch addition to it would
+      // be kept — diverging from build(corpus ∪ batch), which sees the
+      // still-larger merged bucket and drops everything.
+      sizes.write.parquet(s"$tmp/bucket_sizes")
+      sizes.unpersist()
     }
     sig.unpersist()
+  }
+
+  /** Merge a batch's signatures and band rows into a persisted index —
+    * the complement of [[incrementalNearDups]]'s read path: after a daily
+    * batch is deduped against the corpus, its survivors join the index
+    * WITHOUT re-signing the corpus (the record-grained analog of the
+    * incremental file sync, ref sync-canvas-data-files.py:62-67). Only
+    * the batch is shingled and signed; the corpus contributes its stored
+    * signatures, band rows, and bucket-size table. The cap is re-applied
+    * on merged bucket sizes, so build(corpus) + append(batch) produces
+    * byte-identical signature and band TABLES to build(corpus ∪ batch):
+    *  - a bucket ≤ cap before and after keeps old + new rows;
+    *  - a bucket pushed over the cap by the batch loses ALL rows (old
+    *    included), exactly as a fresh build over the union would;
+    *  - a bucket already over the cap stays over (sizes only grow), so
+    *    its absence from the stored band table never needs undoing.
+    * Batch doc_ids are assumed disjoint from the corpus (same
+    * immutable-file contract as [[incrementalNearDups]]).
+    * Cost: O(batch) signature work + a merge shuffled on (band, bh) —
+    * at 100 TB the corpus is never re-read beyond its (tiny) size table
+    * and its band/signature rows, which stream through unmodified. */
+  def appendToMinhashIndex(spark: SparkSession, batch: DataFrame,
+      indexDir: String): Unit = {
+    val sigNew = minhashSignatures(batch).cache()
+    sigNew.count() // band derivation + signature writer both consume it
+    val bandsNew = bandRows(sigNew)
+    val sizesNew = bandsNew.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("sz"))
+    // legacy index trees (pre-size-table) degrade to deriving sizes from
+    // stored signatures — still no shingle pass over the corpus
+    val sizesOldSrc =
+      if (new java.io.File(s"$indexDir/bucket_sizes").exists())
+        spark.read.parquet(s"$indexDir/bucket_sizes")
+      else bandRows(spark.read.parquet(s"$indexDir/signatures"))
+        .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("sz"))
+    graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
+      // lazy reads of the live tree execute inside these write actions,
+      // strictly before SafeSwap renames it aside
+      spark.read.parquet(s"$indexDir/signatures").unionByName(sigNew)
+        .write.parquet(s"$tmp/signatures")
+      val merged = sizesOldSrc.unionByName(sizesNew)
+        .groupBy(col("band"), col("bh")).agg(sum(col("sz")).as("sz"))
+        .cache()
+      merged.count()
+      val keep = merged.filter(col("sz") <= MaxBucketSize)
+        .select(col("band"), col("bh"))
+      spark.read.parquet(s"$indexDir/bands")
+        .unionByName(bandsNew.select(col("doc_id"), col("band"), col("bh")))
+        .join(keep, Seq("band", "bh"), "left_semi")
+        .write.parquet(s"$tmp/bands")
+      merged.write.parquet(s"$tmp/bucket_sizes")
+      merged.unpersist()
+    }
+    sigNew.unpersist()
   }
 
   /** Near-dup pairs (corpus doc `a`, incoming doc `b`) between a persisted
@@ -562,9 +624,18 @@ object Dedup {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val idx = s"$dedupIndexBase/mh_${dir.hashCode.toHexString}"
     // build once per process+corpus (the gate's analog of ensureIvfIndex;
-    // a warehouse deployment rebuilds on sync, keyed by raw fingerprint)
-    if (!new java.io.File(s"$idx/bands").exists())
-      buildMinhashIndex(s, d, idx)
+    // a warehouse deployment rebuilds on sync, keyed by raw fingerprint).
+    // The index is assembled through BOTH write paths — build on the even
+    // half, append the odd half — so the append ≡ rebuild equivalence is
+    // part of what the oracle checks: any append divergence (lost band
+    // rows, mis-merged bucket sizes, stale signatures) changes the probe's
+    // recall and hash-mismatches. Sentinel lives OUTSIDE idx because each
+    // SafeSwap replaces the whole tree.
+    if (!new java.io.File(s"$idx.complete").exists()) {
+      buildMinhashIndex(s, d.filter(col("doc_id") % 2 === 0), idx)
+      appendToMinhashIndex(s, d.filter(col("doc_id") % 2 === 1), idx)
+      new java.io.File(s"$idx.complete").createNewFile()
+    }
     val incoming = d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"))
     val exact = jaccardPairs(shingleRows(d.unionByName(incoming)))

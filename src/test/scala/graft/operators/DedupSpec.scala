@@ -91,4 +91,54 @@ class DedupSpec extends SparkSpec {
     planted.foreach(id =>
       assert(inc.contains((id, id + 5000000L)), s"copy of $id missed"))
   }
+
+  test("appending a batch to the index equals rebuilding over the union") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("mh_app").toString
+    val appended = s"$base/appended"
+    val rebuilt = s"$base/rebuilt"
+    Dedup.buildMinhashIndex(spark, d.filter(col("doc_id") % 2 === 0), appended)
+    Dedup.appendToMinhashIndex(spark, d.filter(col("doc_id") % 2 === 1),
+      appended)
+    Dedup.buildMinhashIndex(spark, d, rebuilt)
+    def sigs(p: String): Set[(Long, Seq[Long])] =
+      spark.read.parquet(s"$p/signatures").collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Seq[Long]]("sig").toList: Seq[Long])).toSet
+    def bands(p: String): Set[(Long, Int, Long)] =
+      spark.read.parquet(s"$p/bands").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+          r.getAs[Long]("bh"))).toSet
+    assert(sigs(appended) == sigs(rebuilt),
+      "appended signature table diverged from a fresh rebuild")
+    assert(bands(appended) == bands(rebuilt),
+      "appended band table diverged from a fresh rebuild")
+  }
+
+  test("append re-applies the bucket cap on MERGED bucket sizes") {
+    import spark.implicits._
+    // identical texts → identical signatures → one bucket per band; 600
+    // docs is under the 1000 cap at build, another 600 pushes the merged
+    // bucket to 1200 — the append must drop ALL its rows (old included),
+    // exactly as a fresh build over the union would
+    def docs(lo: Long, n: Int) = (lo until lo + n)
+      .map(i => (i, "aa bb cc dd ee ff gg")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("mh_cap").toString
+    val idx = s"$base/idx"
+    Dedup.buildMinhashIndex(spark, docs(0, 600), idx)
+    assert(spark.read.parquet(s"$idx/bands").count() > 0,
+      "600-doc buckets should be under the cap at build time")
+    Dedup.appendToMinhashIndex(spark, docs(1000, 600), idx)
+    assert(spark.read.parquet(s"$idx/bands").count() == 0,
+      "merged 1200-doc buckets must be dropped by the append")
+    assert(spark.read.parquet(s"$idx/signatures").count() == 1200,
+      "signatures are never capped — all docs remain probe-able")
+    val union = s"$base/union"
+    Dedup.buildMinhashIndex(spark,
+      docs(0, 600).unionByName(docs(1000, 600)), union)
+    assert(spark.read.parquet(s"$union/bands").count() == 0,
+      "fresh build over the union agrees: bucket over cap → no band rows")
+  }
 }
