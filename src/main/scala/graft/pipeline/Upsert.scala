@@ -69,6 +69,81 @@ object Upsert {
     MergeSummary(updated, inserted, obs.get("total").asInstanceOf[Long])
   }
 
+  /** Partition-scoped MERGE: the 100 TB complement of [[mergeInto]]'s
+    * full-dataset copy-on-write. The dataset lives partitioned by
+    * `partitionCol` (`path/<partitionCol>=<v>/…`, the
+    * `write.partitionBy` layout); only partitions that CONTAIN update
+    * keys are rewritten — every other partition's files are never read,
+    * never copied, and keep their on-disk identity (the spec asserts
+    * byte-identical files + mtimes).
+    *
+    * `partitionCol` must be one of `keys`: then a key addresses exactly
+    * one partition and confining the rewrite to the updates' partition
+    * values cannot strand a stale matching row elsewhere. (A mutable
+    * partition attribute would need a delete-vector or table format —
+    * out of scope, same caveat as [[mergeInto]]'s atomicity note.)
+    * The returned summary's `total` counts rows in the REWRITTEN
+    * partitions only — untouched partitions are, by design, never read.
+    *
+    * The distinct partition values of the update batch are collected to
+    * the driver — bounded by the number of AFFECTED partitions (a daily
+    * batch touches a handful), which is the quantity this operator
+    * exists to keep small; each affected partition then merges behind
+    * its own [[SafeSwap]], so a crash is confined to one partition and
+    * heals on the next run. */
+  def mergeIntoPartitioned(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      partitionCol: String): MergeSummary = {
+    require(keys.contains(partitionCol),
+      s"partition column $partitionCol must be part of the merge key " +
+        "(otherwise a key could match rows in unrewritten partitions)")
+    require(updates.filter(col(partitionCol).isNull).isEmpty,
+      s"null $partitionCol in updates: null partition values are not " +
+        "addressable as directories")
+    val dupKeys = updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"updates contain duplicate merge keys on (${keys.mkString(", ")})")
+
+    val affected = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0))
+    val restKeys = keys.filterNot(_ == partitionCol)
+    var updated = 0L; var inserted = 0L; var total = 0L
+    affected.foreach { pv =>
+      val pdir = s"$path/$partitionCol=$pv"
+      SafeSwap.recover(pdir)
+      val slice = updates.filter(col(partitionCol) === lit(pv))
+        .drop(partitionCol)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(pdir),
+        spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(pdir))) {
+        // partitionBy layout: files under pc=v/ do not carry the column
+        val target = spark.read.parquet(pdir)
+        updated += target.join(
+          slice.selectExpr(restKeys: _*).distinct(), restKeys, "left_semi")
+          .count()
+        inserted += slice.join(target, restKeys, "left_anti").count()
+        val obs = new Observation(s"merge_part_$pv")
+        val merged = target.join(slice, restKeys, "left_anti")
+          .unionByName(slice)
+          .observe(obs, count(lit(1)).as("total"))
+        SafeSwap.replace(pdir) { tmp =>
+          merged.write.mode("overwrite").parquet(tmp)
+        }
+        total += obs.get("total").asInstanceOf[Long]
+      } else {
+        // brand-new partition: every update row is an insert
+        val n = slice.count()
+        inserted += n; total += n
+        slice.write.mode("overwrite").parquet(pdir)
+      }
+    }
+    MergeSummary(updated, inserted, total)
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) history merge: fold a new
     * FULL snapshot into a validity-interval history table.
     *
@@ -126,5 +201,60 @@ object Upsert {
 
     closedRows.select(carried.columns.map(col): _*)
       .unionByName(carried).unionByName(closedNow).unionByName(opened)
+  }
+
+  /** Partition-scoped SCD2: [[scd2Merge]] semantics with the closed
+    * history physically LEFT IN PLACE instead of concatenated through the
+    * writer. Layout under `path` (Hive partition discovery):
+    *
+    *   hist=open/        the current open rows (valid_to NULL)
+    *   hist=closed_<v>/  rows closed at version v — written once, at the
+    *                     merge that closed them, then never touched again
+    *
+    * Per merge, exactly two directories change: `hist=closed_<version>`
+    * is written (overwrite — idempotent under re-run of the same
+    * version) and `hist=open` is replaced behind [[SafeSwap]]. Every
+    * older `hist=closed_*` directory keeps its on-disk identity — at
+    * 100 TB the merge cost is O(open ∪ snapshot), not O(history). A
+    * crash between the two writes leaves `closed_<version>` present
+    * with the open dir un-swapped; re-running the same merge recomputes
+    * the identical closed set from the still-open rows and overwrites
+    * it, converging.
+    *
+    * Bootstrap an empty history from the first snapshot with
+    * [[scd2Init]]; read the full history back with [[readScd2]] (drops
+    * the layout column). */
+  def scd2Init(spark: SparkSession, path: String, snapshot: DataFrame,
+      version: Long): Unit = {
+    val open = snapshot
+      .withColumn("valid_from", lit(version))
+      .withColumn("valid_to", lit(null).cast("long"))
+    SafeSwap.replace(s"$path/hist=open") { tmp =>
+      open.write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  def readScd2(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path).drop("hist")
+
+  def scd2MergePartitioned(spark: SparkSession, path: String,
+      snapshot: DataFrame, keys: Seq[String], version: Long): Unit = {
+    SafeSwap.recover(s"$path/hist=open")
+    val open = spark.read.parquet(s"$path/hist=open")
+    // reuse the in-memory merge on JUST the open rows: an empty closed
+    // side makes its output exactly carried ∪ closedNow ∪ opened
+    val merged = scd2Merge(open, snapshot, keys, version)
+    // the open-rows-only input makes merged = carried ∪ closedNow ∪
+    // opened, so valid_to is either NULL (stays open) or `version`
+    val closedNow = merged.filter(col("valid_to") === version).cache()
+    val nextOpen = merged.filter(col("valid_to").isNull).cache()
+    closedNow.count(); nextOpen.count() // materialize before any dir moves
+    if (!closedNow.isEmpty)
+      closedNow.write.mode("overwrite")
+        .parquet(s"$path/hist=closed_$version")
+    SafeSwap.replace(s"$path/hist=open") { tmp =>
+      nextOpen.write.mode("overwrite").parquet(tmp)
+    }
+    closedNow.unpersist(); nextOpen.unpersist()
   }
 }

@@ -68,4 +68,75 @@ class UpsertSpec extends SparkSpec {
     val h3b = Upsert.scd2Merge(h3, v3, Seq("k"), version = 4L)
     assert(h3b.count() == h3.count())
   }
+
+  /** (name, size, mtime) of every data file under a directory — the
+    * "physically untouched" witness for the partition-scoped paths. */
+  private def fileIdentity(dir: String): Set[(String, Long, Long)] = {
+    val d = new java.io.File(dir)
+    assert(d.isDirectory, s"$dir should exist")
+    d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+  }
+
+  test("mergeIntoPartitioned rewrites only partitions containing update keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("upsert_part").toString + "/t"
+    Seq((1, 1L, "a"), (1, 2L, "b"), (2, 3L, "c"), (3, 4L, "d"))
+      .toDF("day", "id", "name").write.partitionBy("day").parquet(path)
+    val before2 = fileIdentity(s"$path/day=2")
+    val before3 = fileIdentity(s"$path/day=3")
+
+    // updates touch day=1 (update + insert) and day=4 (new partition)
+    val updates = Seq((1, 2L, "b2"), (1, 9L, "i"), (4, 5L, "e"))
+      .toDF("day", "id", "name")
+    val s = Upsert.mergeIntoPartitioned(spark, path, updates,
+      Seq("day", "id"), "day")
+    assert(s.updated == 1L && s.inserted == 2L && s.total == 4L)
+
+    // untouched partitions keep their exact on-disk identity
+    assert(fileIdentity(s"$path/day=2") == before2)
+    assert(fileIdentity(s"$path/day=3") == before3)
+
+    // content equals full-merge semantics across the whole dataset
+    val rows = spark.read.parquet(path)
+      .select("day", "id", "name").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set((1, 1L, "a"), (1, 2L, "b2"), (1, 9L, "i"),
+      (2, 3L, "c"), (3, 4L, "d"), (4, 5L, "e")))
+
+    // partition col outside the key is rejected (stale-row hazard)
+    intercept[IllegalArgumentException] {
+      Upsert.mergeIntoPartitioned(spark, path, updates, Seq("id"), "day")
+    }
+  }
+
+  test("scd2MergePartitioned leaves closed history physically in place") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("scd2_part").toString + "/h"
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "val")
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "val")
+    val v3 = Seq((1L, "A"), (2L, "B"), (4L, "d")).toDF("k", "val")
+    Upsert.scd2Init(spark, path, v1, version = 1L)
+    Upsert.scd2MergePartitioned(spark, path, v2, Seq("k"), version = 2L)
+    val closed2Before = fileIdentity(s"$path/hist=closed_2")
+    Upsert.scd2MergePartitioned(spark, path, v3, Seq("k"), version = 3L)
+    // the v2 merge's closed partition was not touched by the v3 merge
+    assert(fileIdentity(s"$path/hist=closed_2") == closed2Before)
+
+    // full history content matches the in-memory scd2Merge chain
+    val h1 = v1.withColumn("valid_from", lit(1L))
+      .withColumn("valid_to", lit(null).cast("long"))
+    val expected = Upsert.scd2Merge(
+      Upsert.scd2Merge(h1, v2, Seq("k"), 2L), v3, Seq("k"), 3L)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("val"),
+        r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")))).toSet
+    val got = Upsert.readScd2(spark, path)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("val"),
+        r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")))).toSet
+    assert(got == expected)
+  }
 }
