@@ -291,6 +291,71 @@ object Curation {
       .agg(max(col(value)).as("threshold"))
   }
 
+  /** Exact per-`key` upper-tail quantile threshold for CONTINUOUS scores
+    * — same contract as [[quantileThresholds]] (largest v with
+    * #(rows ≥ v) ≥ ceil(q·n); the threshold is an actual data value,
+    * never interpolated), but safe when the score is a double and the
+    * per-(key, value) distinct table is corpus-sized. There the discrete
+    * path's per-key window would sort corpus-sized partitions through
+    * #keys tasks — the exact funnel q68's decomposition exists to avoid.
+    *
+    * Two-level decomposition (the q67 block-scan pattern, applied to
+    * order statistics):
+    *  1. value range → `numBuckets` equi-width buckets (global min/max:
+    *     two scalars to the driver, the Layout stats pattern);
+    *  2. per (key, bucket) counts — a table bounded by keys × buckets,
+    *     independent of corpus size; a top-down cumulative window over
+    *     it locates each key's BOUNDARY bucket (the highest bucket whose
+    *     top-down count covers the quota) and how many rows lie above;
+    *  3. the exact in-bucket order statistic, windowed over the DISTINCT
+    *     VALUES of the boundary bucket only — ~1/numBuckets of the
+    *     stratum's distinct values, never the corpus.
+    * The corpus itself is touched by streaming aggregations only.
+    * Correct for any distribution: eligibility (#≥v ≥ quota) is
+    * monotone downward in v, rows above the boundary bucket can never
+    * meet the quota, and the boundary bucket's minimum always does —
+    * so the answer lives in the boundary bucket. */
+  def quantileThresholdsContinuous(df: DataFrame, key: String,
+      value: String, q: Double, numBuckets: Int = 4096): DataFrame = {
+    val range = df.agg(min(col(value)).cast("double"),
+      max(col(value)).cast("double")).head()
+    val (lo, hi) =
+      if (range.isNullAt(0)) (0.0, 0.0)
+      else (range.getDouble(0), range.getDouble(1))
+    val width = math.max((hi - lo) / numBuckets, java.lang.Double.MIN_VALUE)
+    val bucketed = df.select(col(key), col(value),
+      least(floor((col(value) - lit(lo)) / lit(width)),
+        lit(numBuckets - 1L)).cast("long").as("bkt"))
+    val totals = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val bktCounts = bucketed.groupBy(col(key), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("bkt").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val cum = bktCounts.withColumn("cum_ge", sum(col("cnt")).over(wB))
+      .join(totals, key)
+      .withColumn("need", ceil(col("n") * q).cast("long"))
+    // boundary = highest bucket whose top-down count reaches the quota;
+    // rows strictly above it = cum_ge - cnt at that bucket
+    val boundary = cum.filter(col("cum_ge") >= col("need"))
+      .groupBy(col(key), col("n"), col("need"))
+      .agg(max(col("bkt")).as("bkt"))
+      .join(cum.select(col(key), col("bkt"), col("cnt"), col("cum_ge")),
+        Seq(key, "bkt"))
+      .withColumn("above", col("cum_ge") - col("cnt"))
+      .select(col(key), col("bkt"), col("n"), col("need"), col("above"))
+    val slice = bucketed.join(broadcast(boundary), Seq(key, "bkt"))
+    val wV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(value).desc)
+      .rowsBetween(Long.MinValue, 0)
+    slice.groupBy(col(key), col(value), col("n"), col("need"), col("above"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_in", sum(col("cnt")).over(wV))
+      .filter(col("above") + col("cum_in") >= col("need"))
+      .groupBy(col(key), col("n"))
+      .agg(max(col(value)).as("threshold"))
+  }
+
   def q68QualityPrune(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val thr = quantileThresholds(d, "lang", "n_chars", 0.5)
@@ -322,6 +387,50 @@ object Curation {
       |    AS BIGINT) AS n_kept,
       |  MAX(t.threshold) AS threshold
       |FROM documents d JOIN thr t ON d.lang = t.lang
+      |GROUP BY d.lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q68b_quality_prune_cont — the continuous-score version of q68: the
+  // score n_chars + doc_id·1e-7 is unique per document (per-(key, value)
+  // distinct table = the corpus), which is exactly the distribution that
+  // makes the discrete path's window corpus-sized. The two-level
+  // decomposition must agree with DuckDB's naive global-window order
+  // statistic to the row AND the bit (the threshold is an actual data
+  // value; both engines compute the score with the same IEEE-double ops).
+  // ---------------------------------------------------------------------
+  def q68bQualityPruneCont(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").withColumn("score",
+      col("n_chars") + col("doc_id") * lit(1e-7))
+    val thr = quantileThresholdsContinuous(d, "lang", "score", 0.5)
+      .select(col("lang"), col("threshold"))
+    d.join(broadcast(thr), "lang")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"),
+        max(col("threshold")).as("threshold"))
+  }
+
+  val q68bQualityPruneContSql: String =
+    """WITH d AS (SELECT lang, n_chars + doc_id * 1e-7 AS score
+      |           FROM documents),
+      |c AS (SELECT lang, score, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+      |tot AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY 1),
+      |cum AS (SELECT lang, score,
+      |          SUM(cnt) OVER (PARTITION BY lang ORDER BY score DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS cum_ge
+      |        FROM c),
+      |thr AS (SELECT cum.lang, MAX(score) AS threshold
+      |        FROM cum JOIN tot ON cum.lang = tot.lang
+      |        WHERE cum_ge >= CAST(CEIL(n * 0.5) AS BIGINT)
+      |        GROUP BY cum.lang)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN d.score >= t.threshold THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept,
+      |  MAX(t.threshold) AS threshold
+      |FROM d JOIN thr t ON d.lang = t.lang
       |GROUP BY d.lang""".stripMargin
 
   // ---------------------------------------------------------------------

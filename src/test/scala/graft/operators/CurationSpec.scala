@@ -195,4 +195,63 @@ class CurationSpec extends SparkSpec {
       assert(top.getAs[Long]("tf") == maxTf(id))
     }
   }
+
+  test("continuous quantile thresholds match the naive order statistic") {
+    import spark.implicits._
+    // high-cardinality doubles (every value distinct within a key) plus
+    // an atom-heavy key (90% of mass on one value) — the two shapes that
+    // stress the bucket decomposition differently
+    val rows = (0 until 30000).map { i =>
+      val key = s"k${i % 3}"
+      val v =
+        if (i % 3 == 2 && i % 10 != 0) 42.0 // atom-heavy stratum
+        else ((i * 2654435761L) % 1000003).toDouble / 7.0
+      (key, v)
+    }
+    val df = rows.toDF("key", "score")
+    for (q <- Seq(0.25, 0.5, 0.9)) {
+      val got = Curation.quantileThresholdsContinuous(df, "key", "score", q)
+        .collect().map(r => r.getAs[String]("key") ->
+          r.getAs[Double]("threshold")).toMap
+      val expected = rows.groupBy(_._1).map { case (k, vs) =>
+        val need = math.ceil(vs.size * q).toLong
+        // walk distinct values downward; first v whose top-down
+        // cumulative count reaches the quota is the largest eligible
+        val byValueDesc = vs.groupBy(_._2).view.mapValues(_.size)
+          .toSeq.sortBy(-_._1)
+        var cum = 0L
+        k -> byValueDesc.find { case (_, c) =>
+          cum += c; cum >= need }.get._1
+      }
+      assert(got == expected, s"q=$q: $got vs $expected")
+    }
+    // degenerate: single distinct value per key
+    val one = Seq(("a", 7.5), ("a", 7.5), ("b", 7.5)).toDF("key", "score")
+    val g1 = Curation.quantileThresholdsContinuous(one, "key", "score", 0.5)
+      .collect().map(r => r.getAs[String]("key") ->
+        r.getAs[Double]("threshold")).toMap
+    assert(g1 == Map("a" -> 7.5, "b" -> 7.5))
+  }
+
+  test("continuous quantile: the value window never sees unrestricted corpus rows") {
+    import spark.implicits._
+    val df = (0 until 1000)
+      .map(i => (s"k${i % 3}", i.toDouble / 7.0)).toDF("key", "score")
+    val plan = Curation.quantileThresholdsContinuous(df, "key", "score", 0.5)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    // the window ordered by the score column must consume the
+    // boundary-bucket SLICE (a join against the per-key boundary row),
+    // never the raw input — a regression to the discrete path's
+    // corpus-sized per-(key, value) window removes that join
+    val valueWindows = windows.filter(_.orderSpec.exists(
+      _.child.references.exists(_.name == "score")))
+    assert(valueWindows.nonEmpty, "expected a window ordered by score")
+    valueWindows.foreach { w =>
+      assert(w.child.collectFirst { case j: Join => j }.isDefined,
+        "score-ordered window must sit above the boundary-bucket join")
+    }
+  }
 }
