@@ -286,9 +286,16 @@ object Similarity {
 
   /** Probe a persisted index: assign each query to its `nprobe` best
     * cells (centroids collected — nlist × dim doubles, KBs), join the
-    * cell-partitioned corpus on the partition column (broadcast query
-    * side → dynamic partition pruning reads only probed cells), exact
-    * cosine rerank within. `queries` needs (q_id, q_emb). */
+    * cell-partitioned corpus on the partition column, exact cosine
+    * rerank within. `queries` needs (q_id, q_emb).
+    *
+    * Pruning is STATIC, not left to dynamic-partition-pruning: the
+    * distinct probed cell ids — ≤ nlist values however many queries
+    * there are — are collected and pushed as a partition IN-filter, so
+    * the scan's selected partitions are fixed at planning time (DPP's
+    * broadcast-reuse preconditions can silently degrade to a full scan;
+    * a literal partition filter cannot). `PlanShapeSpec` asserts the
+    * scan touches exactly the probed directories. */
   def probeIvfIndex(spark: SparkSession, indexDir: String,
       queries: DataFrame, k: Int = 5, nprobe: Int = 4): DataFrame = {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
@@ -296,7 +303,10 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
     val q = queries.select(col("q_id"), col("q_emb"),
       explode(bestCells(centroids, col("q_emb"), nprobe)).as("cell"))
+      .cache() // consumed by the cell collect AND the probe join
+    val probed = q.select(col("cell")).distinct().collect().map(_.get(0))
     val cells = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probed: _*))
     rerank(cells.join(broadcast(q), Seq("cell")), k)
   }
 

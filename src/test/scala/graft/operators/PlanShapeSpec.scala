@@ -106,6 +106,32 @@ class PlanShapeSpec extends SparkSpec {
         "spread loader must repartition the one-row-group test parquet")
     } finally spark.conf.unset(graft.Tables.SpreadScansKey)
   }
+  test("IVF probe: the cells scan partition-prunes to the probed cells") {
+    graft.functions.VectorFunctions.register(spark)
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("ivf_prune")
+      .toString + "/idx"
+    Similarity.buildIvfIndex(spark, e, idx, nlist = 16, replicas = 2)
+    // ONE query at nprobe=4 → the static IN-filter names ≤ 4 of the 16
+    // cell directories; anything more means the pruning claim regressed
+    val queries = e.filter(
+      org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("q_id"),
+        org.apache.spark.sql.functions.col("embedding").as("q_emb"))
+    val probe = Similarity.probeIvfIndex(spark, idx, queries,
+      k = 5, nprobe = 4)
+    val p = planOf(probe)
+    val scanLine = p.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("/cells"))
+      .getOrElse(fail(s"no cells FileScan in plan:\n${p.take(2000)}"))
+    val inList = raw"cell#\d+ IN \(([^)]*)\)".r.findFirstMatchIn(scanLine)
+    assert(inList.isDefined,
+      s"cells scan must carry a literal partition IN-filter:\n$scanLine")
+    val nCells = inList.get.group(1).split(",").length
+    assert(nCells <= 4, s"probe of nprobe=4 selected $nCells cells")
+    assert(probe.count() > 0)
+  }
+
   test("q72: mixture spec broadcasts; sampling itself adds no shuffle") {
     val p = planOf(Curation.q72DomainMix(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
