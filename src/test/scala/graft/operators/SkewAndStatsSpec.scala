@@ -124,12 +124,13 @@ class SkewAndStatsSpec extends SparkSpec {
       (1 to 50).flatMap(i => Seq.fill(2)(s"light$i"))).toVector
     val n = stream.length
     val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
-    // sequential reduce
-    val seqSummary = stream.foldLeft(mg.zero)(mg.reduce)
+    // sequential reduce (finish compresses the working buffer to ≤ k,
+    // as Spark does on the single-partition path)
+    val seqSummary = mg.finish(stream.foldLeft(mg.zero)(mg.reduce))
     // arbitrary merge tree over chunked partials (the partial+final path)
-    val merged = stream.grouped(13)
+    val merged = mg.finish(stream.grouped(13)
       .map(_.foldLeft(mg.zero)(mg.reduce))
-      .reduce(mg.merge)
+      .reduce(mg.merge))
     for (summary <- Seq(seqSummary, merged)) {
       assert(summary.size <= 8)
       // anything with true count > n/(k+1) must be present
