@@ -29,14 +29,28 @@ import org.apache.spark.sql.functions._
   *  - every round `localCheckpoint`s the labels: iterative self-joins
   *    otherwise stack lineage (plan grows per round, re-analysis cost
   *    compounds, and a task retry would recompute the whole chain);
-  *  - convergence is an aggregate (count of changed labels), the loop's
-  *    only driver-side value — O(1) per round at any scale.
+  *  - convergence is an O(1)-per-round (count, xor-of-hashes) checksum
+  *    over the label set — one aggregate action, shared with the LSS
+  *    variant, instead of an extra join-against-previous-labels per
+  *    round.
   *
   * Reference tie-in: the reference dedups at FILE level ("key already in
   * S3 → skip", `sync-canvas-data-files.py:62-67`); this is the content-
   * level generalization the LLM-pipeline mandate adds.
   */
 object Components {
+
+  /** O(1)-per-round convergence probe shared by both closure loops:
+    * (row count, xor of row hashes) — order-independent, overflow-free
+    * under ANSI arithmetic (bit_xor, not sum). Labels/edges only shrink
+    * or re-point monotonically, so an unchanged checksum with a changed
+    * set needs an xxhash64 xor-coincidence — negligible against
+    * maxIters more rounds of convergence headroom. */
+  private def checksum(d: DataFrame, x: String, y: String): (Long, Long) = {
+    val r = d.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col(x), col(y))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** (id, component) for every node appearing in `edges` (cols `a`, `b`);
     * component = min node id reachable. Nodes not in any edge are absent —
@@ -58,6 +72,7 @@ object Components {
       .localCheckpoint()
     var iters = 0
     var converged = false
+    var sig = checksum(labels, "id", "comp")
     while (!converged && iters < maxIters) {
       // each node offers its label to every neighbor; keep the min of
       // (own label, best offer)
@@ -66,12 +81,10 @@ object Components {
       val next = labels.unionByName(offers)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
+      val nextSig = checksum(next, "id", "comp")
       labels = next
-      converged = changed == 0
+      converged = nextSig == sig
+      sig = nextSig
       iters += 1
     }
     require(converged,
@@ -105,14 +118,6 @@ object Components {
       .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint()
 
-    def checksum(d: DataFrame): (Long, Long) = {
-      // bit_xor, not sum: order-independent like sum, but cannot overflow
-      // under ANSI arithmetic
-      val r = d.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-
     def largeStar(d: DataFrame): DataFrame = {
       val adj = d.unionByName(d.select(col("v").as("u"), col("u").as("v")))
       val mins = adj.groupBy(col("u"))
@@ -137,10 +142,10 @@ object Components {
 
     var iters = 0
     var converged = false
-    var sig = checksum(e)
+    var sig = checksum(e, "u", "v")
     while (!converged && iters < maxIters) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      val nextSig = checksum(next)
+      val nextSig = checksum(next, "u", "v")
       converged = nextSig == sig
       e = next
       sig = nextSig
