@@ -93,12 +93,24 @@ object CatalogSync {
     * listing until an explicit REFRESH TABLE. Partition discovery and
     * pruning work through the view (the path read discovers `col=val/`
     * dirs). Names: a raw table literally named `x_canonical` would collide
-    * with the canonical view of `x`; the sync surfaces that as a CREATE
-    * VIEW error rather than silently shadowing either. */
+    * with the canonical view of `x`; the guard below surfaces that as an
+    * explicit error naming the colliding object rather than letting
+    * CREATE OR REPLACE VIEW shadow it (or fail with whatever analysis
+    * error fires first). */
   def registerCanonicalView(spark: SparkSession, db: String, table: String,
       location: String): Unit = {
     ensureDatabase(spark, db)
-    spark.sql(s"CREATE OR REPLACE VIEW `${qi(db)}`.`${qi(table)}_canonical` AS " +
+    val viewName = s"${table}_canonical"
+    val fq = s"`${qi(db)}`.`${qi(viewName)}`"
+    if (spark.catalog.tableExists(fq)) {
+      val kind = spark.catalog.getTable(fq).tableType
+      require(kind == "VIEW",
+        s"cannot register canonical view $db.$viewName: a $kind table " +
+          "with that name already exists (a raw table carrying the " +
+          "_canonical suffix) — rename the raw table or the canonical " +
+          "layer would shadow it")
+    }
+    spark.sql(s"CREATE OR REPLACE VIEW $fq AS " +
       s"SELECT * FROM parquet.`${qi(location)}`")
   }
 

@@ -59,7 +59,10 @@ object Ingest {
   // beyond-reference columnar layer is lossless, including timestamp text
   // round-trip.
   // ---------------------------------------------------------------------
-  def q51Canonicalize(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q51/q83 fixture: orders → gzip TSV raw layer → canonical
+    * parquet. Returns (warehouseDir, canonical path). */
+  private def canonicalOrdersFixture(s: SparkSession,
+      dir: String): (String, String) = {
     val wh = Files.createTempDirectory("graft_canon").toString
     val orders = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -76,12 +79,18 @@ object Ingest {
       CDColumn("o_totalprice", "double precision"),
       CDColumn("o_orderdate", "datetime"),
       CDColumn("o_orderpriority", "text")))
-    Canonicalize.canonicalize(s, wh, cd)
-    Canonicalize.readCanonical(s, wh, "orders_rt")
-      .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+    (wh, Canonicalize.canonicalize(s, wh, cd))
+  }
+
+  private def ordersYearAgg(df: DataFrame): DataFrame =
+    df.groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n_orders"),
         sumDec(col("o_totalprice")).as("spend"))
+
+  def q51Canonicalize(s: SparkSession, dir: String): DataFrame = {
+    val (wh, _) = canonicalOrdersFixture(s, dir)
+    ordersYearAgg(Canonicalize.readCanonical(s, wh, "orders_rt"))
   }
 
   val q51CanonicalizeSql: String =
@@ -89,6 +98,21 @@ object Ingest {
       |  COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS spend
       |FROM orders GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q83_canonical_catalog — the canonical layer resolved BY NAME through
+  // the session catalog (Warehouse.sync's registerCanonicalView path):
+  // same data as q51 but read via spark.table("<db>.orders_rt_canonical")
+  // instead of the parquet path, so the view registration, name
+  // resolution, and view→path indirection are inside the oracle check.
+  // ---------------------------------------------------------------------
+  def q83CanonicalCatalog(s: SparkSession, dir: String): DataFrame = {
+    val (_, path) = canonicalOrdersFixture(s, dir)
+    CatalogSync.registerCanonicalView(s, "graft_gate", "orders_rt", path)
+    ordersYearAgg(s.table("graft_gate.orders_rt_canonical"))
+  }
+
+  val q83CanonicalCatalogSql: String = q51CanonicalizeSql
 
   // ---------------------------------------------------------------------
   // q75_jsonl_roundtrip — JSON-lines interchange: documents → JSONL sink →

@@ -103,4 +103,31 @@ class CatalogSyncSpec extends SparkSpec {
     assert(viaCatalog(0).getString(1) == "")
     assert(viaCatalog(0).isNullAt(2))
   }
+
+  test("a raw table named x_canonical blocks the canonical view of x") {
+    import spark.implicits._
+    val db = "cd_collide"
+    val loc = java.nio.file.Files.createTempDirectory("cat_loc4").toString
+    val pq = java.nio.file.Files.createTempDirectory("cat_loc4pq").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(pq)
+    // a REAL raw table that happens to carry the canonical suffix
+    val clash = CDTable("course_dim_canonical", None,
+      Seq(CDColumn("id", "bigint")))
+    assert(CatalogSync.createOrUpdateTable(spark, db, clash, loc)
+      == "created")
+    // registering the canonical view of course_dim must surface a clear
+    // error, not silently shadow either object
+    val e = intercept[IllegalArgumentException] {
+      CatalogSync.registerCanonicalView(spark, db, "course_dim", pq)
+    }
+    assert(e.getMessage.contains("course_dim_canonical"),
+      s"error should name the colliding object: ${e.getMessage}")
+    // the raw table survives untouched and still resolves as a TABLE
+    assert(spark.table(s"$db.course_dim_canonical").schema
+      .fieldNames.sameElements(Array("id")))
+    // and re-registering over an EXISTING canonical view stays allowed
+    CatalogSync.registerCanonicalView(spark, db, "other_table", pq)
+    CatalogSync.registerCanonicalView(spark, db, "other_table", pq)
+    assert(spark.table(s"$db.other_table_canonical").count() == 1)
+  }
 }
