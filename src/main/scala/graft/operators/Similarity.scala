@@ -284,6 +284,55 @@ object Similarity {
     else { buildIvfIndex(spark, e, indexDir, nlist, replicas); true }
   }
 
+  /** Append a batch of vectors to a persisted IVF index without touching
+    * the corpus: the batch is assigned under the index's FROZEN centroids
+    * (read back from `centroids/`, params from the fingerprint marker)
+    * and its rows are appended as new files into only the affected
+    * `cells/cell=N/` directories — every other cell's files keep their
+    * on-disk identity. The fingerprint is a (count, hash-sum) pair and
+    * therefore ADDITIVE: the marker advances to fp(corpus ∪ batch) by
+    * adding the batch's own fingerprint, no corpus re-read — so a
+    * subsequent [[ensureIvfIndex]] over the union sees a match and does
+    * not rebuild. Crash mid-append self-heals: the marker still names the
+    * OLD corpus, so the next ensure detects the mismatch and rebuilds.
+    *
+    * Caveat (documented, inherent to IVF): appended vectors are indexed
+    * under centroids trained on the original corpus. Under distribution
+    * drift the new cells grow unbalanced and recall degrades — the remedy
+    * is a periodic full [[buildIvfIndex]] (retrain), which this append
+    * makes cheap to DEFER, not obsolete. Batch vec_ids are assumed
+    * disjoint from the corpus (the sync layer's immutable-file
+    * contract). */
+  def appendToIvfIndex(spark: SparkSession, batch: DataFrame,
+      indexDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val markerPath =
+      new org.apache.hadoop.fs.Path(indexDir, "_corpus_fingerprint")
+    require(fs.exists(markerPath),
+      s"no IVF index at $indexDir (missing fingerprint marker)")
+    val in = fs.open(markerPath)
+    val marker = try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+    val Array(n0, h0, nlistPart, replicasPart) = marker.split('|')
+    val replicas = replicasPart.stripPrefix("replicas=").toInt
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    // batch fingerprint BEFORE the write (one pass over the batch only)
+    val Array(n1, h1) = corpusFingerprint(batch).split('|')
+    batch.select(col("vec_id"), col("embedding"),
+        explode(bestCells(centroids, col("embedding"), replicas)).as("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/cells")
+    // marker last: files-without-marker ⇒ stale fingerprint ⇒ the next
+    // ensure rebuilds (self-healing); marker-without-files cannot happen
+    val newMarker = s"${n0.toLong + n1.toLong}|" +
+      s"${(BigInt(h0) + BigInt(h1)).toString}|$nlistPart|$replicasPart"
+    val os = fs.create(markerPath, true)
+    try os.write(newMarker.getBytes("UTF-8")) finally os.close()
+  }
+
   /** Probe a persisted index: assign each query to its `nprobe` best
     * cells (centroids collected — nlist × dim doubles, KBs), join the
     * cell-partitioned corpus on the partition column, exact cosine

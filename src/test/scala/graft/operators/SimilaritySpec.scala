@@ -133,6 +133,47 @@ class SimilaritySpec extends SparkSpec {
       "changed corpus must rebuild")
   }
 
+  test("IVF append: full probe equals brute force; no rebuild; no file rewrites") {
+    graft.functions.VectorFunctions.register(spark)
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("ivf_app").toString +
+      "/index"
+    Similarity.buildIvfIndex(spark, e.filter(col("vec_id") % 5 =!= 0), idx)
+    def listing(): Map[String, Set[String]] = {
+      val base = new java.io.File(s"$idx/cells")
+      base.listFiles().filter(_.getName.startsWith("cell=")).map { d =>
+        d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet
+      }.toMap
+    }
+    val before = listing()
+    Similarity.appendToIvfIndex(spark, e.filter(col("vec_id") % 5 === 0), idx)
+    val after = listing()
+    // append only ADDS files — existing cell files are never rewritten
+    before.foreach { case (cell, files) =>
+      assert(files.subsetOf(after(cell)), s"$cell lost files in the append") }
+    // the fingerprint advanced additively to the union: ensure is a no-op
+    assert(!Similarity.ensureIvfIndex(spark, e, idx),
+      "append must leave the union's fingerprint, not a stale one")
+    // exhaustive probe (nprobe = nlist) through the appended index must
+    // equal brute force over the FULL corpus — lost or double-indexed
+    // batch rows would show up here
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val got = Similarity.probeIvfIndex(spark, idx, q, k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    val brute = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("cosine_sim(q_emb, embedding)").as("sim"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == brute, "appended index diverged from brute force")
+  }
+
   test("IVF training on an empty corpus fails with a clear message") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
