@@ -133,10 +133,12 @@ object Bench {
       .mkString("{", ",", "}")
     // the compact line can't afford per-query min+max (would blow the
     // ~2KB tail buffer again); emit max only where spread > 1.5×, which
-    // is exactly the set a reader needs to discount — all samples land
-    // in bench_full.json
-    val suspect = spreads.filter(_._2 > 1.5).map { case (n, _) =>
-      "\"" + keyOf(n) + "\":" + fmt(samples(n).max) }.mkString("{", ",", "}")
+    // is exactly the set a reader needs to discount — capped at the 8
+    // worst offenders so a fully interference-polluted run still fits
+    // the tail buffer; all samples land in bench_full.json
+    val suspect = spreads.filter(_._2 > 1.5).sortBy(-_._2).take(8)
+      .map { case (n, _) =>
+        "\"" + keyOf(n) + "\":" + fmt(samples(n).max) }.mkString("{", ",", "}")
     val failedArr = failures.keys.toSeq.sorted
       .map(n => "\"" + keyOf(n) + "\"").mkString("[", ",", "]")
 
