@@ -664,4 +664,177 @@ object Dedup {
       |SELECT a, b
       |FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Duplicated-SPAN dedup (ExactSubstr-style, Lee et al. ACL'22
+  // "Deduplicating Training Data Makes Language Models Better"): find
+  // maximal contiguous word spans that occur verbatim more than once
+  // anywhere in the corpus (cross-doc or within-doc), and optionally strip
+  // every occurrence. Where the doc-level operators above keep/drop whole
+  // documents, this removes the boilerplate *inside* otherwise-unique
+  // documents — the dominant duplication mode in web corpora.
+  //
+  // The paper's single-machine engine is a suffix array; the Spark-first
+  // equivalent is a rolling word-k-gram index: a span of length ≥ k is
+  // duplicated iff every k-gram inside it is duplicated, so the union of
+  // duplicated k-gram intervals [pos, pos+k-1], merged per doc
+  // (gaps-and-islands), IS the set of maximal duplicated spans at
+  // resolution k.
+  //
+  // Scale shape (one pass, three key-partitioned shuffles, nothing n²):
+  //   words(pos)  --window by doc-->  k-grams hashed to 8 bytes
+  //               --window by gram--> occurrence count (dup iff > 1)
+  //               --window by doc-->  interval merge
+  // The gram-count window concentrates each gram's occurrence list on one
+  // task; a pathological gram (site-wide boilerplate at 100 TB) is the
+  // same hot-key problem as an LSH bucket — production caps it by
+  // replacing the count window with a groupBy-count + hot-gram filter at
+  // `SpanBucketCap`, trading completeness on that one gram for boundedness
+  // (the spans it anchors are still found via their other grams).
+  // ---------------------------------------------------------------------
+
+  /** One row per (doc_id, pos) where the k-gram starting at `pos` occurs
+    * more than once corpus-wide; `endp` = pos + k - 1 is the last word the
+    * gram covers. Positions are 0-based (posexplode). */
+  private def dupGramHits(corpus: DataFrame, k: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = corpus
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("word")).as("w0"))
+    val leads = (1 until k).map(i => lead(col("w0"), i).over(byDoc).as(s"w$i"))
+    val grams = words
+      .select(Seq(col("doc_id"), col("pos"), col("w0")) ++ leads: _*)
+      .filter(col(s"w${k - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        xxhash64((0 until k).map(i => col(s"w$i")): _*).as("g"))
+    grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("occ") > 1)
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("endp"))
+  }
+
+  /** Maximal duplicated word-spans: (doc_id, span_start, span_end,
+    * span_words), positions 0-based inclusive. Overlapping/adjacent
+    * duplicated k-gram intervals merge via the classic running-max island
+    * break (a new span starts where pos jumps past max(prev endp) + 1). */
+  def duplicatedSpans(corpus: DataFrame, k: Int): DataFrame = {
+    val byDocPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMax = max(col("endp"))
+      .over(byDocPos.rowsBetween(Window.unboundedPreceding, -1))
+    dupGramHits(corpus, k)
+      .withColumn("brk",
+        when(prevMax.isNull || col("pos") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(byDocPos))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"), max(col("endp")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"))
+  }
+
+  /** Strip every occurrence of every duplicated span (the released
+    * ExactSubstr tool's behavior — all copies go, not all-but-one, so the
+    * result is deterministic without choosing a canonical survivor) and
+    * reassemble the remaining words in order. Docs stripped to nothing
+    * disappear. Covered positions come straight from the gram hits
+    * (sequence-explode of [pos, endp], ≤ k× the hit count) — the island
+    * merge is only needed for span *reporting*, not removal. */
+  def stripDuplicatedSpans(corpus: DataFrame, k: Int): DataFrame = {
+    val covered = dupGramHits(corpus, k)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("endp"))).as("pos"))
+      .distinct()
+    val words = corpus
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+    words.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")), " ").as("kept_text"))
+  }
+
+  /** Gate corpus: every 7th document re-appears (id + 2·10⁶) with words
+    * 3..14 of the original embedded between unique filler — so the
+    * duplicated region is a *partial* span inside both docs, not a
+    * whole-doc dup, and both sides must report it. */
+  private def spanCorpus(d: DataFrame): DataFrame = {
+    val planted = d.filter(col("doc_id") % 7 === 0).select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      concat(lit("plant "), (col("doc_id") % 5).cast("string"),
+        lit(" opens here "),
+        array_join(slice(split(col("text"), " "), 3, 12), " "),
+        lit(" and closes "), (col("doc_id") % 3).cast("string")).as("text"))
+    d.select(col("doc_id"), col("text")).unionByName(planted)
+  }
+
+  private val spanCorpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    'plant ' || (doc_id % 5) || ' opens here ' ||
+      |    array_to_string(list_slice(string_split(text, ' '), 3, 14), ' ') ||
+      |    ' and closes ' || (doc_id % 3)
+      |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Oracle twin of [[dupGramHits]] + islands: grams are the raw
+    * word-8-grams joined with '|' (the Spark side hashes them to 8 bytes
+    * before the shuffle — same duplicated set barring a 2⁻⁶⁴ collision,
+    * the q33 convention). */
+  private val spanHitsSql: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+      |wd AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
+      |       FROM w, UNNEST(range(1, len(ws) + 1)) AS gg(i)),
+      |gr AS (SELECT doc_id, pos,
+      |         word || '|' || lead(word, 1) OVER dw || '|' ||
+      |         lead(word, 2) OVER dw || '|' || lead(word, 3) OVER dw || '|' ||
+      |         lead(word, 4) OVER dw || '|' || lead(word, 5) OVER dw || '|' ||
+      |         lead(word, 6) OVER dw || '|' || lead(word, 7) OVER dw AS g
+      |       FROM wd WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |hits AS (SELECT doc_id, pos, pos + 7 AS endp
+      |         FROM (SELECT doc_id, pos,
+      |                 COUNT(*) OVER (PARTITION BY g) AS occ
+      |               FROM gr WHERE g IS NOT NULL)
+      |         WHERE occ > 1)""".stripMargin
+
+  def q84DupSpans(s: SparkSession, dir: String): DataFrame =
+    duplicatedSpans(spanCorpus(t(s, dir, "documents")), 8)
+
+  val q84DupSpansSql: String =
+    s"""WITH $spanCorpusSql,
+      |$spanHitsSql,
+      |brk AS (SELECT doc_id, pos, endp,
+      |          CASE WHEN MAX(endp) OVER pw IS NULL
+      |                 OR pos > MAX(endp) OVER pw + 1
+      |               THEN 1 ELSE 0 END AS brk
+      |        FROM hits
+      |        WINDOW pw AS (PARTITION BY doc_id ORDER BY pos
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING
+      |                      AND 1 PRECEDING)),
+      |isl AS (SELECT doc_id, pos, endp,
+      |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      |        FROM brk)
+      |SELECT doc_id, MIN(pos) AS span_start, MAX(endp) AS span_end,
+      |  MAX(endp) - MIN(pos) + 1 AS span_words
+      |FROM isl GROUP BY doc_id, isl""".stripMargin
+
+  def q85StripSpans(s: SparkSession, dir: String): DataFrame =
+    stripDuplicatedSpans(spanCorpus(t(s, dir, "documents")), 8)
+      .select(col("doc_id"), col("n_kept"),
+        md5(col("kept_text").cast("binary")).as("kept_md5"))
+
+  val q85StripSpansSql: String =
+    s"""WITH $spanCorpusSql,
+      |$spanHitsSql,
+      |cov AS (SELECT DISTINCT doc_id, UNNEST(generate_series(pos, endp))
+      |          AS pos FROM hits)
+      |SELECT wd.doc_id AS doc_id, COUNT(*) AS n_kept,
+      |  md5(string_agg(wd.word, ' ' ORDER BY wd.pos)) AS kept_md5
+      |FROM wd LEFT JOIN cov ON wd.doc_id = cov.doc_id AND wd.pos = cov.pos
+      |WHERE cov.pos IS NULL
+      |GROUP BY wd.doc_id""".stripMargin
 }

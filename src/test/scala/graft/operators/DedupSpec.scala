@@ -141,4 +141,47 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$union/bands").count() == 0,
       "fresh build over the union agrees: bucket over cap → no band rows")
   }
+
+  // ---- duplicated-span dedup (ExactSubstr-style) ----
+
+  private def spans(df: org.apache.spark.sql.DataFrame) =
+    Dedup.duplicatedSpans(df, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def kept(df: org.apache.spark.sql.DataFrame) =
+    Dedup.stripDuplicatedSpans(df, 8).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+
+  test("duplicated spans: partial cross-doc, within-doc, and whole-doc") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f g h i j k l",               // shares c..j with d2
+      2L -> "x1 x2 c d e f g h i j x3 x4",
+      3L -> "p q r s t u v w",                       // unique — no spans
+      4L -> "r1 r2 r3 r4 r5 r6 r7 r8 z r1 r2 r3 r4 r5 r6 r7 r8", // self-rep
+      5L -> "m1 m2 m3 m4 m5 m6 m7 m8",               // d5 ≡ d6 whole-doc
+      6L -> "m1 m2 m3 m4 m5 m6 m7 m8"
+    ).toDF("doc_id", "text")
+    assert(spans(docs) === Set(
+      (1L, 2L, 9L), (2L, 2L, 9L),          // the shared 8 words only
+      (4L, 0L, 7L), (4L, 9L, 16L),         // both copies, NOT merged across z
+      (5L, 0L, 7L), (6L, 0L, 7L)))
+    val k = kept(docs)
+    assert(k === Map(
+      1L -> "a b k l", 2L -> "x1 x2 x3 x4",
+      3L -> "p q r s t u v w",             // untouched doc passes through
+      4L -> "z"))                          // fully-dup docs 5/6 disappear
+  }
+
+  test("overlapping duplicated grams merge into one maximal span") {
+    import spark.implicits._
+    // c..k = 9 shared words → two overlapping dup 8-grams per doc, which
+    // must merge into a single maximal span (the islands step)
+    val docs = Seq(
+      7L -> "y1 c d e f g h i j k y2",
+      8L -> "w1 w2 c d e f g h i j k w3"
+    ).toDF("doc_id", "text")
+    assert(spans(docs) === Set((7L, 1L, 9L), (8L, 2L, 10L)))
+    assert(kept(docs) === Map(7L -> "y1 y2", 8L -> "w1 w2 w3"))
+  }
 }
