@@ -572,4 +572,86 @@ object Curation {
       |      ORDER BY tf.tf DESC, dfq.df ASC, tf.w ASC) AS rnk
       |  FROM tf JOIN dfq USING (w))
       |WHERE rnk <= 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q86_pii_redact — PII detection + redaction, the standard pre-training
+  // scrub (C4/Dolma-style): count and replace emails, dotted-quad IPs, and
+  // NANP-style phone numbers with typed tags. Pure `regexp_replace` /
+  // `regexp_extract_all` — single codegen'd scan, no UDF, map-only (no
+  // shuffle at any scale). The patterns stay inside the regex subset whose
+  // semantics are identical between java.util.regex (Spark) and RE2
+  // (DuckDB): character classes, bounded repetition, ASCII `\b` — no
+  // backreferences, no lookaround — so the oracle checks the redacted
+  // STRING byte-for-byte, not just the counts.
+  // ---------------------------------------------------------------------
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b555-\\d{4}\\b"
+
+  /** Adds n_email/n_ip/n_phone counts and a `redacted` text column.
+    * Replacement order matters and is fixed (email → ip → phone) so a
+    * dotted substring already consumed by the email rule is never
+    * double-redacted. */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_email",
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("long"))
+      .withColumn("n_ip",
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+          .cast("long"))
+      .withColumn("n_phone",
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+          .cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
+
+  /** Gate corpus: every 3rd document gets a deterministic PII tail
+    * (doc_id-derived email, IP, phone); the rest pass through clean, so
+    * zero-count rows are part of what the oracle checks. */
+  def q86PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val planted = d.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(
+        col("text"),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".org"),
+        lit(" from 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0."), (col("doc_id") % 250).cast("string"),
+        lit(" call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" end"))).otherwise(col("text")).as("text"))
+    redactPii(planted)
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        col("redacted"))
+  }
+
+  val q86PiiRedactSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |      text || ' reach user' || doc_id ||
+      |      '@mail' || (doc_id % 7) || '.org' ||
+      |      ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250) ||
+      |      ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      || ' end'
+      |    ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |    AS n_email,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+      |  CAST(len(regexp_extract_all(text, '\b555-\d{4}\b')) AS BIGINT)
+      |    AS n_phone,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b555-\d{4}\b', '<PHONE>', 'g') AS redacted
+      |FROM corpus""".stripMargin
 }

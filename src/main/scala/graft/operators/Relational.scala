@@ -201,6 +201,74 @@ object Relational {
       |GROUP BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q87_bloom_diff — the q7 sync diff with a BLOOM-PRUNED fast path, the
+  // shape that keeps the reference's "what's new" anti-join cheap when the
+  // state side is huge: build one bloom sketch over the state keys
+  // (Catalyst's own BloomFilterAggregate — see functions/Bloom), probe it
+  // MAP-SIDE on the manifest. `NOT might_contain` rows are *guaranteed*
+  // new (blooms have no false negatives) and skip the join entirely; only
+  // the `might_contain` survivors — true matches plus the ~2% false
+  // positives — pay the exact anti-join shuffle. At 100 TB the sketch is
+  // a few MB shipped once per executor via the scalar subquery's one-row
+  // broadcast, the manifest scan stays exchange-free for the fast path,
+  // and the anti-join's shuffled input shrinks from |manifest| to
+  // |matches| + 2% — the identical economics to Spark's InjectRuntimeFilter,
+  // applied to a join direction (anti) the optimizer never rewrites.
+  // ---------------------------------------------------------------------
+
+  /** Rows of `left` with no match in `right` (left-anti semantics),
+    * computed via the bloom fast path. Exactness does not depend on the
+    * sketch: false positives are re-checked by the exact anti-join, false
+    * negatives are impossible. `estItems` sizes the sketch (8 bits/item). */
+  def bloomPrunedAntiJoin(s: SparkSession, left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      estItems: Long = 1000000L): DataFrame = {
+    graft.functions.Bloom.register(s)
+    left.createOrReplaceTempView("__bpaj_left")
+    right.createOrReplaceTempView("__bpaj_right")
+    // COALESCE(…, false): an EMPTY right side aggregates to a NULL sketch
+    // and might_contain(NULL, k) is NULL — without the coalesce both
+    // branches would drop every row, when the correct answer is "all of
+    // the left is new"
+    s.sql(
+      s"""WITH bloom AS (
+         |  SELECT graft_bloom_agg(xxhash64($rightKey),
+         |           CAST($estItems AS BIGINT)) AS bf
+         |  FROM __bpaj_right)
+         |SELECT l.* FROM __bpaj_left l
+         |WHERE NOT COALESCE(graft_might_contain((SELECT bf FROM bloom),
+         |        xxhash64(l.$leftKey)), false)
+         |UNION ALL
+         |SELECT l.* FROM __bpaj_left l
+         |WHERE COALESCE(graft_might_contain((SELECT bf FROM bloom),
+         |        xxhash64(l.$leftKey)), false)
+         |  AND NOT EXISTS (SELECT 1 FROM __bpaj_right r
+         |                  WHERE r.$rightKey = l.$leftKey)""".stripMargin)
+  }
+
+  def q87BloomDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val state = orders.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey").as("state_key"))
+    val manifest = orders.select(col("o_orderkey"))
+    bloomPrunedAntiJoin(s, manifest, state, "o_orderkey", "state_key")
+      .groupBy((col("o_orderkey") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_new"), min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  val q87BloomDiffSql: String =
+    """WITH state AS (
+      |  SELECT o_orderkey AS state_key FROM orders WHERE o_orderkey % 3 <> 0),
+      |new_keys AS (
+      |  SELECT o_orderkey FROM orders m
+      |  WHERE NOT EXISTS (SELECT 1 FROM state s
+      |                    WHERE s.state_key = m.o_orderkey))
+      |SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n_new,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM new_keys GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q8_outer_join — left outer join preserving customers with no orders;
   // null-safe aggregation over the outer side.
   // ---------------------------------------------------------------------

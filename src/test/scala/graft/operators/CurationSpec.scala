@@ -254,4 +254,24 @@ class CurationSpec extends SparkSpec {
         "score-ordered window must sit above the boundary-bucket join")
     }
   }
+
+  test("PII redaction counts and replaces every occurrence, in rule order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write a@b.io or c.d+x@e-f.org today"),      // 2 emails
+      (2L, "hosts 10.0.0.1 and 192.168.255.3"),          // 2 IPs, one at end
+      (3L, "call 555-0134 then 555-9999"),               // 2 phones
+      (4L, "mixed x@y.com at 10.1.2.3 call 555-0000"),   // one of each
+      (5L, "clean text with 1234-5678 and a@b only")     // no matches
+    ).toDF("doc_id", "text")
+    val r = Curation.redactPii(docs).collect()
+      .map(x => x.getLong(0) ->
+        (x.getAs[Long]("n_email"), x.getAs[Long]("n_ip"),
+          x.getAs[Long]("n_phone"), x.getAs[String]("redacted"))).toMap
+    assert(r(1L) === ((2L, 0L, 0L, "write <EMAIL> or <EMAIL> today")))
+    assert(r(2L) === ((0L, 2L, 0L, "hosts <IP> and <IP>")))
+    assert(r(3L) === ((0L, 0L, 2L, "call <PHONE> then <PHONE>")))
+    assert(r(4L) === ((1L, 1L, 1L, "mixed <EMAIL> at <IP> call <PHONE>")))
+    assert(r(5L) === ((0L, 0L, 0L, "clean text with 1234-5678 and a@b only")))
+  }
 }
