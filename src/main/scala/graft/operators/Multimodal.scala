@@ -111,4 +111,79 @@ object Multimodal {
       |  md5(substring(hx, CAST(i * 128 + 1 AS INTEGER), 128)) AS frame_md5
       |FROM f, UNNEST(range(0, n_frames)) AS t(i)
       |WHERE i % 4 = 0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q88_media_header — typed metadata EXTRACTION from the binary payload
+  // itself: a 12-byte container header (4-byte magic "IMG1", 4-byte
+  // big-endian width, 4-byte big-endian height) parsed relationally —
+  // no decode stub, no mapPartitions, pure codegen byte plumbing, so
+  // unlike q38's stubbed decode this is fully oracle-checked. Corrupt
+  // payloads (wrong magic or shorter than the header) surface as
+  // is_valid=false with NULL fields instead of poisoning the batch —
+  // the at-scale contract for ingesting crawled media.
+  //
+  // Scale note: only the 12-byte header is sliced out of the (binary,
+  // possibly multi-MB) payload before hexing — O(header) per row, never
+  // O(payload); the payload column itself is pruned unless selected.
+  // ---------------------------------------------------------------------
+  val MagicHex = "494D4731" // hex of the ASCII magic "IMG1"
+
+  /** Adds is_valid/magic_hex/width/height/body_bytes parsed from a 12-byte
+    * big-endian header on `payload`. Invalid rows keep NULL fields. */
+  def parseHeaders(media: DataFrame): DataFrame =
+    media
+      .withColumn("hdr", hex(expr("substring(payload, 1, 12)")))
+      .withColumn("is_valid",
+        length(col("payload")) >= 12 &&
+          substring(col("hdr"), 1, 8) === MagicHex)
+      .select(col("doc_id"), col("is_valid"),
+        when(col("is_valid"), substring(col("hdr"), 1, 8)).as("magic_hex"),
+        when(col("is_valid"),
+          expr("CAST(conv(substring(hdr, 9, 8), 16, 10) AS BIGINT)"))
+          .as("width"),
+        when(col("is_valid"),
+          expr("CAST(conv(substring(hdr, 17, 8), 16, 10) AS BIGINT)"))
+          .as("height"),
+        when(col("is_valid"), (length(col("payload")) - 12).cast("long"))
+          .as("body_bytes"))
+
+  /** Gate corpus: headered payloads with doc_id-derived dimensions; every
+    * 13th payload is raw text bytes (wrong magic) — the corrupt case. */
+  def q88MediaHeader(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val media = d.select(col("doc_id"),
+      when(col("doc_id") % 13 =!= 0,
+        concat(
+          unhex(lit(MagicHex)),
+          unhex(lpad(hex(lit(64L) + col("doc_id") % 512), 8, "0")),
+          unhex(lpad(hex(lit(48L) + col("doc_id") % 256), 8, "0")),
+          col("text").cast("binary")))
+        .otherwise(col("text").cast("binary")).as("payload"))
+    parseHeaders(media)
+  }
+
+  val q88MediaHeaderSql: String =
+    """WITH media AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 <> 0 THEN
+      |      from_hex('494D4731') ||
+      |      from_hex(lpad(to_hex(64 + doc_id % 512), 8, '0')) ||
+      |      from_hex(lpad(to_hex(48 + doc_id % 256), 8, '0')) ||
+      |      encode(text)
+      |    ELSE encode(text) END AS payload
+      |  FROM documents),
+      |h AS (SELECT doc_id, octet_length(payload) AS nb,
+      |        substring(hex(payload), 1, 24) AS hdr
+      |      FROM media),
+      |v AS (SELECT doc_id, nb, hdr,
+      |        (nb >= 12 AND substring(hdr, 1, 8) = '494D4731') AS is_valid
+      |      FROM h)
+      |SELECT doc_id, is_valid,
+      |  CASE WHEN is_valid THEN substring(hdr, 1, 8) END AS magic_hex,
+      |  CASE WHEN is_valid THEN ('0x' || substring(hdr, 9, 8))::BIGINT END
+      |    AS width,
+      |  CASE WHEN is_valid THEN ('0x' || substring(hdr, 17, 8))::BIGINT END
+      |    AS height,
+      |  CASE WHEN is_valid THEN CAST(nb - 12 AS BIGINT) END AS body_bytes
+      |FROM v""".stripMargin
 }

@@ -42,4 +42,27 @@ class MultimodalSpec extends SparkSpec {
         assert(r.getAs[String]("frame_md5").matches("[0-9a-f]{32}")))
     }
   }
+
+  test("header parse: valid, wrong-magic, and too-short payloads") {
+    import spark.implicits._
+    def header(w: Int, h: Int): Array[Byte] =
+      "IMG1".getBytes("UTF-8") ++
+        java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array()
+    val media = Seq(
+      (1L, header(640, 480) ++ "body".getBytes("UTF-8")), // valid + body
+      (2L, header(1, 16777216)),                          // valid, no body
+      (3L, "PNG0".getBytes("UTF-8") ++ new Array[Byte](20)), // wrong magic
+      (4L, "tiny".getBytes("UTF-8"))                      // shorter than hdr
+    ).toDF("doc_id", "payload")
+    val r = Multimodal.parseHeaders(media).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(1) && r(1L).getLong(3) == 640 &&
+      r(1L).getLong(4) == 480 && r(1L).getLong(5) == 4)
+    assert(r(2L).getBoolean(1) && r(2L).getLong(3) == 1 &&
+      r(2L).getLong(4) == 16777216 && r(2L).getLong(5) == 0)
+    Seq(3L, 4L).foreach { id =>
+      assert(!r(id).getBoolean(1))
+      (2 to 5).foreach(i => assert(r(id).isNullAt(i), s"doc $id col $i"))
+    }
+  }
 }
