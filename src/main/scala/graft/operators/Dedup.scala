@@ -685,12 +685,16 @@ object Dedup {
   //   words(pos)  --window by doc-->  k-grams hashed to 8 bytes
   //               --window by gram--> occurrence count (dup iff > 1)
   //               --window by doc-->  interval merge
-  // The gram-count window concentrates each gram's occurrence list on one
-  // task; a pathological gram (site-wide boilerplate at 100 TB) is the
-  // same hot-key problem as an LSH bucket — production caps it by
-  // replacing the count window with a groupBy-count + hot-gram filter at
-  // `SpanBucketCap`, trading completeness on that one gram for boundedness
-  // (the spans it anchors are still found via their other grams).
+  // Unlike an LSH bucket there is NO pair expansion anywhere — the gram
+  // shuffle carries (doc, pos, 8-byte hash) and the hot key produces a
+  // COUNT, not count² candidate pairs, so cost stays linear in corpus
+  // size even on site-wide boilerplate grams; a pathological gram's
+  // occurrence list lands on one WindowExec task, which sorts/spills
+  // (UnsafeExternalSorter) rather than OOMing. The single count-window
+  // pass is chosen over groupBy-count + join-back deliberately: the join
+  // formulation re-derives the gram stream (two consumers of the
+  // explode+lead pipeline — a second full scan+window) or caches it,
+  // for no reduction in shuffled bytes.
   // ---------------------------------------------------------------------
 
   /** One row per (doc_id, pos) where the k-gram starting at `pos` occurs

@@ -154,4 +154,28 @@ class PlanShapeSpec extends SparkSpec {
       "the document-frequency table is |vocab|-bounded and must broadcast")
     assert(p.contains("windowspecdefinition(doc_id"), p.take(2000))
   }
+
+  test("q84: span detection is window-only — no join, no pair expansion") {
+    val p = planOf(Dedup.q84DupSpans(spark, sfDir))
+    assert(!p.contains("Join"),
+      "dup-gram counting must be a count-window, never a self-join " +
+        "(a join would recompute or re-shuffle the gram stream)")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("windowspecdefinition(g"), p.take(2000))
+  }
+
+  test("q86: PII redaction is map-only — zero exchanges") {
+    val p = planOf(Curation.q86PiiRedact(spark, sfDir)
+      .select("doc_id", "n_email", "redacted"))
+    assert(!p.contains("Exchange"),
+      "regex scrub must not shuffle at any scale")
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
+
+  test("q88: header parse is map-only — zero exchanges, no UDF") {
+    val p = planOf(Multimodal.q88MediaHeader(spark, sfDir))
+    assert(!p.contains("Exchange"),
+      "header extraction must not shuffle at any scale")
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
 }
