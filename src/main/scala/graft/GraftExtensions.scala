@@ -34,6 +34,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_min"),
       new ExpressionInfo(classOf[WinnowMin].getName, "winnow_min"),
       (exprs: Seq[Expression]) => WinnowMin(exprs(0), exprs(1))))
+    // bloom sketch pair (Catalyst's own expressions; see functions/Bloom)
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      graft.functions.Bloom.bloomAggBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      graft.functions.Bloom.mightContainBuilder))
     ext.injectOptimizerRule(_ => EmptyVectorCosineFold)
   }
 }

@@ -30,26 +30,31 @@ import org.apache.spark.sql.types.LongType
   * probe is map-side, zero shuffle on the probed table).
   */
 object Bloom {
+  /** Builder shared by the per-session registry and `GraftExtensions`. */
+  val bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => new BloomFilterAggregate(child)
+    case Seq(child, n) =>
+      new BloomFilterAggregate(child, Cast(n, LongType))
+    case Seq(child, n, bits) =>
+      new BloomFilterAggregate(child, Cast(n, LongType),
+        Cast(bits, LongType))
+    case exprs => throw new IllegalArgumentException(
+      s"graft_bloom_agg expects 1-3 args, got ${exprs.size}")
+  }
+
+  val mightContainBuilder: Seq[Expression] => Expression =
+    exprs => BloomFilterMightContain(exprs(0), exprs(1))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName,
         "graft_bloom_agg"),
-      (exprs: Seq[Expression]) => exprs match {
-        case Seq(child) => new BloomFilterAggregate(child)
-        case Seq(child, n) =>
-          new BloomFilterAggregate(child, Cast(n, LongType))
-        case Seq(child, n, bits) =>
-          new BloomFilterAggregate(child, Cast(n, LongType),
-            Cast(bits, LongType))
-        case _ => throw new IllegalArgumentException(
-          s"graft_bloom_agg expects 1-3 args, got ${exprs.size}")
-      })
+      bloomAggBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName,
         "graft_might_contain"),
-      (exprs: Seq[Expression]) =>
-        BloomFilterMightContain(exprs(0), exprs(1)))
+      mightContainBuilder)
   }
 }

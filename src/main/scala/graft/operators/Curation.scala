@@ -574,6 +574,54 @@ object Curation {
       |WHERE rnk <= 3""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q89_chunking — overlapping context-window chunking: split each doc
+  // into C-word chunks on an S = C - O stride so consecutive chunks share
+  // O words (the standard long-document → training-sequence shaping; the
+  // overlap preserves cross-boundary context). Chunk COUNT is closed-form
+  // integer arithmetic — 1 + (max(n - O - 1, 0) div S) — so no chunk is a
+  // pure suffix of its predecessor and every word is covered; the final
+  // chunk may be short. Map-only: split → explode(sequence) → slice; zero
+  // shuffles at any scale (plan-guarded), rows ∝ chunks not words².
+  // ---------------------------------------------------------------------
+
+  /** One row per (doc_id, chunk_id): n_chunk_words + the chunk text.
+    * `chunkWords` = C, `overlap` = O, stride = C - O. */
+  def chunkDocs(docs: DataFrame, chunkWords: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkWords,
+      s"overlap $overlap must be in [0, $chunkWords)")
+    val stride = chunkWords - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("n_chunks",
+        lit(1L) + expr(s"greatest(n - ${overlap + 1}, 0L) div $stride"))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(chunkWords.toLong), col("n") - col("chunk_id") * stride)
+          .as("n_chunk_words"),
+        array_join(slice(col("ws"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunkWords)), " ")
+          .as("chunk_text"))
+  }
+
+  def q89Chunking(s: SparkSession, dir: String): DataFrame =
+    chunkDocs(t(s, dir, "documents"), 32, 8)
+
+  val q89ChunkingSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |c AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+      |        1 + (GREATEST(CAST(len(ws) AS BIGINT) - 9, 0) // 24)
+      |          AS n_chunks
+      |      FROM t)
+      |SELECT doc_id, k AS chunk_id,
+      |  LEAST(32, n - k * 24) AS n_chunk_words,
+      |  array_to_string(list_slice(ws, CAST(k * 24 + 1 AS INTEGER),
+      |    CAST(k * 24 + 32 AS INTEGER)), ' ') AS chunk_text
+      |FROM c, UNNEST(range(0, n_chunks)) AS g(k)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q86_pii_redact — PII detection + redaction, the standard pre-training
   // scrub (C4/Dolma-style): count and replace emails, dotted-quad IPs, and
   // NANP-style phone numbers with typed tags. Pure `regexp_replace` /

@@ -455,6 +455,101 @@ object Similarity {
       |WHERE rnk <= 10""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q90_rrf_fusion — reciprocal-rank fusion of a lexical and a vector
+  // ranking (Cormack & Clarke SIGIR'09), the standard way hybrid
+  // retrieval combines incomparable scores: fuse on integer RANKS, not
+  // raw scores, with rrf = Σ 1/(60 + rank_i). Each signal contributes 0
+  // for documents it didn't rank (full-outer join + coalesce).
+  //
+  // Cross-engine exactness: the fused score is built per row from two
+  // INTEGER ranks by two correctly-rounded IEEE divisions and one add —
+  // bit-identical in any engine — so the gate hashes the double itself,
+  // no tolerance verdict needed. (Raw-score fusion would instead inherit
+  // the engines' float-aggregation ambiguity — rank fusion is both the
+  // better IR practice and the exactness fix.)
+  //
+  // Scale shape: each ranking is TakeOrderedAndProject'd to its top-K
+  // BEFORE the window (q61 pattern — never a global sort), so the fusion
+  // join touches 2K rows regardless of corpus size.
+  // ---------------------------------------------------------------------
+
+  /** Fuse two (doc_id, rnk) rankings: rrf = Σ 1/(k0 + rnk_i), descending,
+    * ties broken by doc_id. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k0: Int = 60): DataFrame = {
+    val joined = a.select(col("doc_id"), col("rnk").as("rnk_a"))
+      .join(b.select(col("doc_id"), col("rnk").as("rnk_b")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0d) / (lit(k0) + col("rnk_a")), lit(0.0d)) +
+          coalesce(lit(1.0d) / (lit(k0) + col("rnk_b")), lit(0.0d)))
+          .as("rrf"))
+    val w = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+    joined.orderBy(col("rrf").desc, col("doc_id").asc).limit(20)
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .select(col("fused_rank"), col("doc_id"), col("rrf"))
+  }
+
+  def q90RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val d = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    // lexical signal: exact term-frequency of "spark", integer-ranked
+    val lexScored = d
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w === "spark"))
+          .cast("long").as("tf"))
+      .filter(col("tf") > 0)
+    val lexTop = lexScored
+      .orderBy(col("tf").desc, col("doc_id").asc).limit(50)
+    val lex = lexTop.withColumn("rnk",
+      row_number().over(Window.orderBy(col("tf").desc, col("doc_id").asc))
+        .cast("long"))
+    // vector signal: cosine to query vec 0 (rank parity per q61)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val vecScored = emb.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        expr("cosine_sim(q_emb, embedding)").as("sim"))
+    val vecTop = vecScored
+      .orderBy(col("sim").desc, col("doc_id").asc).limit(50)
+    val vec = vecTop.withColumn("rnk",
+      row_number().over(Window.orderBy(col("sim").desc, col("doc_id").asc))
+        .cast("long"))
+    rrfFuse(lex.select(col("doc_id"), col("rnk")),
+      vec.select(col("doc_id"), col("rnk")))
+  }
+
+  val q90RrfFusionSql: String =
+    """WITH lex AS (
+      |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id ASC)
+      |    AS BIGINT) AS rnk
+      |  FROM (SELECT doc_id,
+      |          len(list_filter(string_split(text, ' '), w -> w = 'spark'))
+      |            AS tf
+      |        FROM documents)
+      |  WHERE tf > 0
+      |  ORDER BY tf DESC, doc_id ASC LIMIT 50),
+      |vec AS (
+      |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC)
+      |    AS BIGINT) AS rnk
+      |  FROM (SELECT e.vec_id AS doc_id, list_cosine_similarity(
+      |          CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+      |          AS sim
+      |        FROM embeddings e
+      |        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0)
+      |          q)
+      |  ORDER BY sim DESC, doc_id ASC LIMIT 50),
+      |fused AS (
+      |  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+      |    COALESCE(1.0::DOUBLE / (60 + lex.rnk), 0.0::DOUBLE) +
+      |    COALESCE(1.0::DOUBLE / (60 + vec.rnk), 0.0::DOUBLE) AS rrf
+      |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC)
+      |    AS BIGINT) AS fused_rank, doc_id, rrf
+      |FROM fused
+      |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q39_embedding_stats — vector-column aggregation: per-label count and
   // exact-decimal mean of the L2 norm (higher-order fold over the array,
   // no UDF).

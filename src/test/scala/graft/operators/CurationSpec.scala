@@ -255,6 +255,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("chunking covers every word once per stride, no suffix-only chunk") {
+    import spark.implicits._
+    // C=8, O=3 → stride 5; n=12 → chunks at 0 (8 words) and 5 (7 words);
+    // n=8 → exactly one chunk; n=9 → two (the 9th word must appear);
+    // n=3 → one short chunk
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8"),
+      (3L, "b1 b2 b3 b4 b5 b6 b7 b8 b9"),
+      (4L, "c1 c2 c3")
+    ).toDF("doc_id", "text")
+    val r = Curation.chunkDocs(docs, 8, 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getString(3))).toMap
+    assert(r((1L, 0L)) === ((8L, "w1 w2 w3 w4 w5 w6 w7 w8")))
+    assert(r((1L, 1L)) === ((7L, "w6 w7 w8 w9 w10 w11 w12")))
+    assert(r((2L, 0L)) === ((8L, "a1 a2 a3 a4 a5 a6 a7 a8")))
+    assert(!r.contains((2L, 1L)), "exactly-C doc yields one chunk")
+    assert(r((3L, 0L))._1 === 8L)
+    assert(r((3L, 1L)) === ((4L, "b6 b7 b8 b9")))
+    assert(r((4L, 0L)) === ((3L, "c1 c2 c3")))
+    assert(r.size === 6)
+  }
+
   test("PII redaction counts and replaces every occurrence, in rule order") {
     import spark.implicits._
     val docs = Seq(

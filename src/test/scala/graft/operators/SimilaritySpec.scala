@@ -181,4 +181,22 @@ class SimilaritySpec extends SparkSpec {
       Similarity.annIvf(empty).collect())
     assert(ex.getMessage.contains("empty"))
   }
+
+  test("RRF fusion: both-ranked beats single-ranked; absentees score one term") {
+    import spark.implicits._
+    val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rnk")
+    val b = Seq((12L, 1L), (13L, 2L)).toDF("doc_id", "rnk")
+    val r = Similarity.rrfFuse(a, b, k0 = 60).collect()
+      .map(x => x.getLong(1) -> (x.getLong(0), x.getDouble(2))).toMap
+    // doc 12 appears in both rankings → two terms, must fuse to rank 1
+    assert(r(12L)._1 === 1L)
+    assert(r(12L)._2 === 1.0 / 63 + 1.0 / 61)
+    // single-ranking docs carry exactly one term
+    assert(r(10L)._2 === 1.0 / 61)
+    assert(r(13L)._2 === 1.0 / 62)
+    assert(r(11L)._2 === 1.0 / 62)
+    // tie between 11 and 13 (both 1/62) breaks by doc_id
+    assert(r(11L)._1 < r(13L)._1)
+    assert(r.size === 4)
+  }
 }
