@@ -761,6 +761,56 @@ object Dedup {
             x => x.getField("word")), " ").as("kept_text"))
   }
 
+  /** The ALL-BUT-ONE stripping mode (Lee et al.'s other policy): each
+    * duplicated gram keeps its CANONICAL occurrence — the minimum
+    * (doc_id, pos) — and only non-canonical occurrences mark positions
+    * for removal. A position survives if every gram covering it is
+    * canonical there; the earliest copy of a boilerplate block therefore
+    * stays in the corpus, later copies go. Same three-shuffle shape as
+    * [[stripDuplicatedSpans]] plus one min-window over each gram's
+    * (already-shuffled) occurrence list. */
+  def stripDuplicatedSpansKeepFirst(corpus: DataFrame, k: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = corpus
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("word")).as("w0"))
+    val leads = (1 until k).map(i => lead(col("w0"), i).over(byDoc).as(s"w$i"))
+    val grams = words
+      .select(Seq(col("doc_id"), col("pos"), col("w0")) ++ leads: _*)
+      .filter(col(s"w${k - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        xxhash64((0 until k).map(i => col(s"w$i")): _*).as("g"))
+    val byGram = Window.partitionBy(col("g"))
+    val nonCanonical = grams
+      .withColumn("occ", count(lit(1)).over(byGram))
+      .withColumn("first_doc", min(col("doc_id")).over(byGram))
+      // canonical = min (doc_id, pos) lexicographically: min pos WITHIN
+      // the min doc (pos alone would cross documents)
+      .withColumn("first_pos",
+        min(when(col("doc_id") === col("first_doc"), col("pos")))
+          .over(byGram))
+      .filter(col("occ") > 1 &&
+        !(col("doc_id") === col("first_doc") &&
+          col("pos") === col("first_pos")))
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("endp"))
+    val covered = nonCanonical
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("endp"))).as("pos"))
+      .distinct()
+    val allWords = corpus
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+    allWords.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")), " ").as("kept_text"))
+  }
+
   /** Gate corpus: every 7th document re-appears (id + 2·10⁶) with words
     * 3..14 of the original embedded between unique filler — so the
     * duplicated region is a *partial* span inside both docs, not a
@@ -836,6 +886,33 @@ object Dedup {
       |$spanHitsSql,
       |cov AS (SELECT DISTINCT doc_id, UNNEST(generate_series(pos, endp))
       |          AS pos FROM hits)
+      |SELECT wd.doc_id AS doc_id, COUNT(*) AS n_kept,
+      |  md5(string_agg(wd.word, ' ' ORDER BY wd.pos)) AS kept_md5
+      |FROM wd LEFT JOIN cov ON wd.doc_id = cov.doc_id AND wd.pos = cov.pos
+      |WHERE cov.pos IS NULL
+      |GROUP BY wd.doc_id""".stripMargin
+
+  def q91StripKeepFirst(s: SparkSession, dir: String): DataFrame =
+    stripDuplicatedSpansKeepFirst(spanCorpus(t(s, dir, "documents")), 8)
+      .select(col("doc_id"), col("n_kept"),
+        md5(col("kept_text").cast("binary")).as("kept_md5"))
+
+  val q91StripKeepFirstSql: String =
+    s"""WITH $spanCorpusSql,
+      |$spanHitsSql,
+      |oc AS (SELECT doc_id, pos, g,
+      |         COUNT(*) OVER (PARTITION BY g) AS occ,
+      |         MIN(doc_id) OVER (PARTITION BY g) AS first_doc
+      |       FROM gr WHERE g IS NOT NULL),
+      |oc2 AS (SELECT doc_id, pos, occ, first_doc,
+      |          MIN(CASE WHEN doc_id = first_doc THEN pos END)
+      |            OVER (PARTITION BY g) AS first_pos
+      |        FROM oc),
+      |nc AS (SELECT doc_id, pos, pos + 7 AS endp FROM oc2
+      |       WHERE occ > 1
+      |         AND NOT (doc_id = first_doc AND pos = first_pos)),
+      |cov AS (SELECT DISTINCT doc_id, UNNEST(generate_series(pos, endp))
+      |          AS pos FROM nc)
       |SELECT wd.doc_id AS doc_id, COUNT(*) AS n_kept,
       |  md5(string_agg(wd.word, ' ' ORDER BY wd.pos)) AS kept_md5
       |FROM wd LEFT JOIN cov ON wd.doc_id = cov.doc_id AND wd.pos = cov.pos

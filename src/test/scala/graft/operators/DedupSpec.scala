@@ -173,6 +173,26 @@ class DedupSpec extends SparkSpec {
       4L -> "z"))                          // fully-dup docs 5/6 disappear
   }
 
+  test("keep-first strip preserves exactly the canonical occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f g h i j k l",               // canonical for c..j
+      2L -> "x1 x2 c d e f g h i j x3 x4",           // later copy → stripped
+      3L -> "p q r s t u v w",
+      4L -> "r1 r2 r3 r4 r5 r6 r7 r8 z r1 r2 r3 r4 r5 r6 r7 r8",
+      5L -> "m1 m2 m3 m4 m5 m6 m7 m8",               // canonical whole-doc
+      6L -> "m1 m2 m3 m4 m5 m6 m7 m8"                // copy → disappears
+    ).toDF("doc_id", "text")
+    val k = Dedup.stripDuplicatedSpansKeepFirst(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(k === Map(
+      1L -> "a b c d e f g h i j k l",               // untouched: canonical
+      2L -> "x1 x2 x3 x4",
+      3L -> "p q r s t u v w",
+      4L -> "r1 r2 r3 r4 r5 r6 r7 r8 z",             // first copy survives
+      5L -> "m1 m2 m3 m4 m5 m6 m7 m8"))              // doc 6 vanished
+  }
+
   test("overlapping duplicated grams merge into one maximal span") {
     import spark.implicits._
     // c..k = 9 shared words → two overlapping dup 8-grams per doc, which
