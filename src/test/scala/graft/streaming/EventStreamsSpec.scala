@@ -181,4 +181,35 @@ class EventStreamsSpec extends SparkSpec {
         s"late event must not increment the finalized hour-0 window")
     } finally q.stop()
   }
+
+  test("curation map-stages compose onto streams: PII scrub stream==batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a stateless curation operator (map-only by plan guard) must run
+    // unchanged on a streaming DataFrame — the composition the ingest
+    // path relies on (scrub-before-persist)
+    val docs = Seq(
+      (1L, "send to a@b.io now"),
+      (2L, "from 10.0.0.7 call 555-0001"),
+      (3L, "nothing sensitive here"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs)
+    val q = graft.operators.Curation
+      .redactPii(mem.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "n_email", "n_ip", "n_phone", "redacted")
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("pii_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    val want = graft.operators.Curation
+      .redactPii(docs.toDF("doc_id", "text"))
+      .select("doc_id", "n_email", "n_ip", "n_phone", "redacted")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(got === want)
+    assert(got.exists(_._5 == "from <IP> call <PHONE>"))
+  }
 }
