@@ -550,6 +550,65 @@ object Similarity {
       |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q92_label_centroid — per-label embedding centroid with BIT-REPRODUCIBLE
+  // float aggregation. Plain sum(double) across rows is partition-order-
+  // dependent (float addition is non-associative), so the same corpus can
+  // produce different centroids run to run — poison for cached/downstream
+  // artifacts keyed on content. Fix: a two-level ORDERED fold — within
+  // each vec_id bucket, values fold in vec_id order; bucket partials fold
+  // in bucket order. Every fold runs left-to-right over an explicitly
+  // sorted list, so the result is a pure function of the data, identical
+  // on any partitioning, any cluster size — and identical in DuckDB
+  // (list_reduce over the same ordered lists), which is what lets the
+  // gate hash the centroid doubles exactly with no tolerance verdict.
+  //
+  // Scale: level-1 lists are ≤ `bucket` elements by construction; level-2
+  // lists are one partial per OCCUPIED bucket (max_vec_id/bucket) — pick
+  // bucket ≈ √n to balance, or add a third level for extreme ids; both
+  // groupBys are ordinary hash shuffles on (label, dim[, bkt]).
+  // ---------------------------------------------------------------------
+  def centroidByLabel(emb: DataFrame, bucket: Long = 1024L): DataFrame = {
+    val vals = emb
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("vec_id"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val lvl1 = vals
+      .withColumn("bkt", expr(s"vec_id div $bucket"))
+      .groupBy(col("label"), col("dim"), col("bkt"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v"))))
+        .as("xs"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), col("bkt"), col("n"),
+        aggregate(col("xs"), lit(0.0d), (a, x) => a + x.getField("v"))
+          .as("partial"))
+    lvl1.groupBy(col("label"), col("dim"))
+      .agg(sort_array(collect_list(struct(col("bkt"), col("partial"))))
+        .as("ps"), sum(col("n")).as("n"))
+      .select(col("label"), col("dim"),
+        (aggregate(col("ps"), lit(0.0d),
+          (a, x) => a + x.getField("partial")) / col("n")).as("centroid"))
+  }
+
+  def q92LabelCentroid(s: SparkSession, dir: String): DataFrame =
+    centroidByLabel(t(s, dir, "embeddings"))
+
+  val q92LabelCentroidSql: String =
+    """WITH vals AS (
+      |  SELECT label, vec_id, CAST(i - 1 AS BIGINT) AS dim, e[i] AS v
+      |  FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |        FROM embeddings),
+      |       UNNEST(range(1, len(e) + 1)) AS g(i)),
+      |l1 AS (
+      |  SELECT label, dim, vec_id // 1024 AS bkt, COUNT(*) AS n,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(v ORDER BY vec_id)),
+      |      (a, b) -> a + b) AS partial
+      |  FROM vals GROUP BY label, dim, bkt)
+      |SELECT label, dim,
+      |  list_reduce(list_prepend(0.0::DOUBLE, list(partial ORDER BY bkt)),
+      |    (a, b) -> a + b) / SUM(n) AS centroid
+      |FROM l1 GROUP BY label, dim""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q39_embedding_stats — vector-column aggregation: per-label count and
   // exact-decimal mean of the L2 norm (higher-order fold over the array,
   // no UDF).

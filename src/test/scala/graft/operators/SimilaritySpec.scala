@@ -182,6 +182,27 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("empty"))
   }
 
+  test("centroid is bit-identical under any partitioning, exact on fixture") {
+    import spark.implicits._
+    // vec_ids straddle the 1024 bucket boundary; values chosen so the
+    // exact mean is representable (.25 steps)
+    val rows = (0L until 2500L).map(i =>
+      (i, Array(0.25f * (i % 4), 1.0f), (i % 3).toInt))
+    def centroid(parts: Int) =
+      Similarity.centroidByLabel(
+        rows.toDF("vec_id", "embedding", "label").repartition(parts))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val c1 = centroid(1)
+    val c7 = centroid(7)
+    assert(c1 === c7, "fold order must not depend on partitioning")
+    // dim 1 is constant 1.0 → every label's centroid there is exactly 1.0
+    (0 to 2).foreach(l => assert(c1((l, 1L)) === 1.0))
+    // label 0 holds vec_ids ≡ 0 (mod 3); their (i%4) cycle over 0..3 makes
+    // the dim-0 mean land near 0.375 — just sanity-bound it
+    assert(c1((0, 0L)) > 0.3 && c1((0, 0L)) < 0.45)
+  }
+
   test("RRF fusion: both-ranked beats single-ranked; absentees score one term") {
     import spark.implicits._
     val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rnk")
