@@ -148,6 +148,41 @@ object Ingest {
       |FROM documents GROUP BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q93_orc_roundtrip — ORC sink/source: the third columnar-adjacent
+  // format of the storage surface (gzip-TSV q50, JSONL q75, parquet
+  // everywhere). Written with zstd + bloom filters on the key column —
+  // the knobs an ORC-based warehouse actually sets (predicate pushdown
+  // consumes the blooms the same way parquet consumes min/max). The gate
+  // aggregates the read-back against the original parquet table, so any
+  // type mangling (timestamps, longs) or row loss in either direction
+  // hash-fails. Both sides splittable stripes — per-split parallel scans
+  // at any scale.
+  // ---------------------------------------------------------------------
+  def q93OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft_orc").toString
+    t(s, dir, "orders").write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("orc.bloom.filter.columns", "o_orderkey")
+      .orc(s"$wh/orders_orc")
+    s.read.orc(s"$wh/orders_orc")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sumDec(col("o_totalprice")).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+  }
+
+  val q93OrcRoundtripSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+      |    AS sum_price,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q77_zorder_roundtrip — Z-order layout rewrite is lossless: events →
   // Morton-clustered parquet on (user_id, ts) → aggregate; the oracle
   // reads the original parquet. The layout's pruning value (per-file

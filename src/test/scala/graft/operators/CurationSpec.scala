@@ -279,6 +279,35 @@ class CurationSpec extends SparkSpec {
     assert(r.size === 6)
   }
 
+  test("chunking property: full coverage, exact overlap, no empty chunks") {
+    import spark.implicits._
+    // sweep (n, C, O) shapes incl. n < C, n = C, n ≡ boundary cases
+    for ((c, o) <- Seq((8, 3), (8, 0), (5, 4), (32, 8));
+         n <- Seq(1, 4, c - 1, c, c + 1, 2 * c - o, 2 * c - o + 1, 57)) {
+      val words = (0 until n).map(i => s"t$i")
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = Curation.chunkDocs(docs, c, o)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getString(3).split(" ")))
+      val stride = c - o
+      chunks.foreach { case (k, nw, ws) =>
+        assert(ws.nonEmpty && nw == ws.length, s"n=$n C=$c O=$o k=$k")
+        assert(ws.head == s"t${k * stride}", "chunk starts on its stride")
+      }
+      val covered = chunks.flatMap { case (k, _, ws) =>
+        ws.indices.map(_ + k.toInt * stride) }.toSet
+      assert(covered == (0 until n).toSet,
+        s"every word in some chunk: n=$n C=$c O=$o")
+      // no chunk is a suffix of its predecessor (dedup of tail windows)
+      chunks.sliding(2).foreach {
+        case Array((k1, _, w1), (k2, _, w2)) =>
+          assert(k2.toInt * stride + w2.length > k1.toInt * stride + w1.length,
+            s"chunk $k2 must extend coverage: n=$n C=$c O=$o")
+        case _ =>
+      }
+    }
+  }
+
   test("PII redaction counts and replaces every occurrence, in rule order") {
     import spark.implicits._
     val docs = Seq(
