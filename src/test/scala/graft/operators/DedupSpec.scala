@@ -173,6 +173,35 @@ class DedupSpec extends SparkSpec {
       4L -> "z"))                          // fully-dup docs 5/6 disappear
   }
 
+  test("span property: randomly planted blocks are recovered exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // 20 all-unique-word docs (no organic dups possible), then 5 pairs of
+    // docs sharing a 10-word block planted at random offsets
+    val base = (0L until 20L).map(i =>
+      i -> (0 until 30).map(j => s"d${i}w$j").mkString(" "))
+    val expected = scala.collection.mutable.Set[(Long, Long, Long)]()
+    val planted = (0 until 5).flatMap { p =>
+      val block = (0 until 10).map(k => s"p${p}b$k")
+      Seq(0, 1).map { side =>
+        val id = 100L + p * 2 + side
+        val filler = (0 until 25).map(j => s"f${id}w$j")
+        val off = rnd.nextInt(filler.size - 1) + 1 // never at pos 0: test interior
+        expected += ((id, off.toLong, off.toLong + 9))
+        id -> (filler.take(off) ++ block ++ filler.drop(off)).mkString(" ")
+      }
+    }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected.toSet)
+    // stripping removes exactly the 10 block words from each planted doc
+    val kept = Dedup.stripDuplicatedSpans(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    expected.foreach { case (id, _, _) => assert(kept(id) === 25L) }
+    base.foreach { case (id, _) => assert(kept(id) === 30L) }
+  }
+
   test("keep-first strip preserves exactly the canonical occurrence") {
     import spark.implicits._
     val docs = Seq(
