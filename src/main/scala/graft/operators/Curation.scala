@@ -323,9 +323,16 @@ object Curation {
       if (range.isNullAt(0)) (0.0, 0.0)
       else (range.getDouble(0), range.getDouble(1))
     val width = math.max((hi - lo) / numBuckets, java.lang.Double.MIN_VALUE)
+    // NULL scores land in a synthetic bucket BELOW all real ones (bkt -1),
+    // mirroring the discrete path's NULLS-LAST descending order: they
+    // count toward n, can carry the boundary when a key is NULL-heavy,
+    // and then yield that key's threshold = NULL — the discrete contract.
+    // (Without this, max(bkt) over a NULL-only eligible set is NULL and
+    // the key silently vanishes from the output.)
     val bucketed = df.select(col(key), col(value),
-      least(floor((col(value) - lit(lo)) / lit(width)),
-        lit(numBuckets - 1L)).cast("long").as("bkt"))
+      when(col(value).isNull, lit(-1L))
+        .otherwise(least(floor((col(value) - lit(lo)) / lit(width)),
+          lit(numBuckets - 1L)).cast("long")).as("bkt"))
     val totals = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
     val bktCounts = bucketed.groupBy(col(key), col("bkt"))
       .agg(count(lit(1)).as("cnt"))

@@ -548,9 +548,15 @@ object Dedup {
     val sizesNew = bandsNew.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("sz"))
     // legacy index trees (pre-size-table) degrade to deriving sizes from
-    // stored signatures — still no shingle pass over the corpus
+    // stored signatures — still no shingle pass over the corpus.
+    // Existence goes through the index's OWN filesystem (java.io.File is
+    // always false on hdfs:// or s3:// paths, which would silently force
+    // the legacy corpus-sized re-derivation on every non-local append)
+    val idxFs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
     val sizesOldSrc =
-      if (new java.io.File(s"$indexDir/bucket_sizes").exists())
+      if (idxFs.exists(
+          new org.apache.hadoop.fs.Path(s"$indexDir/bucket_sizes")))
         spark.read.parquet(s"$indexDir/bucket_sizes")
       else bandRows(spark.read.parquet(s"$indexDir/signatures"))
         .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("sz"))
@@ -697,27 +703,37 @@ object Dedup {
   // for no reduction in shuffled bytes.
   // ---------------------------------------------------------------------
 
-  /** One row per (doc_id, pos) where the k-gram starting at `pos` occurs
-    * more than once corpus-wide; `endp` = pos + k - 1 is the last word the
-    * gram covers. Positions are 0-based (posexplode). */
-  private def dupGramHits(corpus: DataFrame, k: Int): DataFrame = {
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val words = corpus
+  /** (doc_id, pos: Long, word) — positions 0-based (posexplode). */
+  private def wordRows(corpus: DataFrame): DataFrame =
+    corpus
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        xxhash64(col("word")).as("w0"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+
+  /** (doc_id, pos, g): the 8-byte hash of the k-gram starting at each
+    * position with ≥ k following words — the ONE gram definition every
+    * span operator (q84/q85/q91) and the shared SQL oracle twin must
+    * agree on. */
+  private def gramRows(corpus: DataFrame, k: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = wordRows(corpus)
+      .select(col("doc_id"), col("pos"), xxhash64(col("word")).as("w0"))
     val leads = (1 until k).map(i => lead(col("w0"), i).over(byDoc).as(s"w$i"))
-    val grams = words
+    words
       .select(Seq(col("doc_id"), col("pos"), col("w0")) ++ leads: _*)
       .filter(col(s"w${k - 1}").isNotNull)
       .select(col("doc_id"), col("pos"),
         xxhash64((0 until k).map(i => col(s"w$i")): _*).as("g"))
-    grams
+  }
+
+  /** One row per (doc_id, pos) where the k-gram starting at `pos` occurs
+    * more than once corpus-wide; `endp` = pos + k - 1 is the last word the
+    * gram covers. */
+  private def dupGramHits(corpus: DataFrame, k: Int): DataFrame =
+    gramRows(corpus, k)
       .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("g"))))
       .filter(col("occ") > 1)
       .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("endp"))
-  }
 
   /** Maximal duplicated word-spans: (doc_id, span_start, span_end,
     * span_words), positions 0-based inclusive. Overlapping/adjacent
@@ -744,22 +760,8 @@ object Dedup {
     * disappear. Covered positions come straight from the gram hits
     * (sequence-explode of [pos, endp], ≤ k× the hit count) — the island
     * merge is only needed for span *reporting*, not removal. */
-  def stripDuplicatedSpans(corpus: DataFrame, k: Int): DataFrame = {
-    val covered = dupGramHits(corpus, k)
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("endp"))).as("pos"))
-      .distinct()
-    val words = corpus
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
-    words.join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-            x => x.getField("word")), " ").as("kept_text"))
-  }
+  def stripDuplicatedSpans(corpus: DataFrame, k: Int): DataFrame =
+    reassembleUncovered(corpus, dupGramHits(corpus, k))
 
   /** The ALL-BUT-ONE stripping mode (Lee et al.'s other policy): each
     * duplicated gram keeps its CANONICAL occurrence — the minimum
@@ -770,20 +772,8 @@ object Dedup {
     * [[stripDuplicatedSpans]] plus one min-window over each gram's
     * (already-shuffled) occurrence list. */
   def stripDuplicatedSpansKeepFirst(corpus: DataFrame, k: Int): DataFrame = {
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val words = corpus
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        xxhash64(col("word")).as("w0"))
-    val leads = (1 until k).map(i => lead(col("w0"), i).over(byDoc).as(s"w$i"))
-    val grams = words
-      .select(Seq(col("doc_id"), col("pos"), col("w0")) ++ leads: _*)
-      .filter(col(s"w${k - 1}").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        xxhash64((0 until k).map(i => col(s"w$i")): _*).as("g"))
     val byGram = Window.partitionBy(col("g"))
-    val nonCanonical = grams
+    val nonCanonical = gramRows(corpus, k)
       .withColumn("occ", count(lit(1)).over(byGram))
       .withColumn("first_doc", min(col("doc_id")).over(byGram))
       // canonical = min (doc_id, pos) lexicographically: min pos WITHIN
@@ -795,15 +785,18 @@ object Dedup {
         !(col("doc_id") === col("first_doc") &&
           col("pos") === col("first_pos")))
       .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("endp"))
-    val covered = nonCanonical
+    reassembleUncovered(corpus, nonCanonical)
+  }
+
+  /** Shared tail of both strip modes: explode covered intervals, anti-join
+    * against the word stream, reassemble survivors in order. */
+  private def reassembleUncovered(corpus: DataFrame,
+      hits: DataFrame): DataFrame = {
+    val covered = hits
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("endp"))).as("pos"))
       .distinct()
-    val allWords = corpus
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
-    allWords.join(covered, Seq("doc_id", "pos"), "left_anti")
+    wordRows(corpus).join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(

@@ -224,26 +224,36 @@ object Relational {
       leftKey: String, rightKey: String,
       estItems: Long = 1000000L): DataFrame = {
     graft.functions.Bloom.register(s)
-    left.createOrReplaceTempView("__bpaj_left")
-    right.createOrReplaceTempView("__bpaj_right")
+    // per-call unique view names, dropped after planning: fixed names
+    // would clobber caller views and race concurrent calls on a shared
+    // session (sql() resolves the plan eagerly, so dropping is safe)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val lv = s"__bpaj_left_$tag"
+    val rv = s"__bpaj_right_$tag"
+    left.createOrReplaceTempView(lv)
+    right.createOrReplaceTempView(rv)
     // COALESCE(…, false): an EMPTY right side aggregates to a NULL sketch
     // and might_contain(NULL, k) is NULL — without the coalesce both
     // branches would drop every row, when the correct answer is "all of
     // the left is new"
-    s.sql(
+    try s.sql(
       s"""WITH bloom AS (
          |  SELECT graft_bloom_agg(xxhash64($rightKey),
          |           CAST($estItems AS BIGINT)) AS bf
-         |  FROM __bpaj_right)
-         |SELECT l.* FROM __bpaj_left l
+         |  FROM $rv)
+         |SELECT l.* FROM $lv l
          |WHERE NOT COALESCE(graft_might_contain((SELECT bf FROM bloom),
          |        xxhash64(l.$leftKey)), false)
          |UNION ALL
-         |SELECT l.* FROM __bpaj_left l
+         |SELECT l.* FROM $lv l
          |WHERE COALESCE(graft_might_contain((SELECT bf FROM bloom),
          |        xxhash64(l.$leftKey)), false)
-         |  AND NOT EXISTS (SELECT 1 FROM __bpaj_right r
+         |  AND NOT EXISTS (SELECT 1 FROM $rv r
          |                  WHERE r.$rightKey = l.$leftKey)""".stripMargin)
+    finally {
+      s.catalog.dropTempView(lv)
+      s.catalog.dropTempView(rv)
+    }
   }
 
   def q87BloomDiff(s: SparkSession, dir: String): DataFrame = {

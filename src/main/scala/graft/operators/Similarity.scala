@@ -305,6 +305,10 @@ object Similarity {
     * contract). */
   def appendToIvfIndex(spark: SparkSession, batch: DataFrame,
       indexDir: String): Unit = {
+    // a crashed build swap leaves the last complete index under the
+    // hidden aside dir — heal it like every other entry point does
+    // instead of hard-failing on the missing marker
+    graft.pipeline.SafeSwap.recover(indexDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
     val markerPath =
@@ -350,9 +354,13 @@ object Similarity {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
+    // no cache: the hot probe path would pin one dead cache entry per
+    // call for the session lifetime (nothing can unpersist after the
+    // returned DataFrame executes). The exploded assignment is recomputed
+    // once by the cell-collect and once by the join — per-row centroid
+    // math over the (bounded) probe batch, cheaper than a storage leak.
     val q = queries.select(col("q_id"), col("q_emb"),
       explode(bestCells(centroids, col("q_emb"), nprobe)).as("cell"))
-      .cache() // consumed by the cell collect AND the probe join
     val probed = q.select(col("cell")).distinct().collect().map(_.get(0))
     val cells = spark.read.parquet(s"$indexDir/cells")
       .filter(col("cell").isin(probed: _*))

@@ -19,8 +19,21 @@ object SafeSwap {
   private def fsFor(path: String): FileSystem =
     FileSystem.get(new URI(path), new Configuration())
 
-  def tmpPath(path: String): String = s"$path.__swap_tmp"
-  private def oldPath(path: String): String = s"$path.__old"
+  /** Temp/aside names are DOT-PREFIXED siblings: when the swapped dir is
+    * itself a Hive partition directory (`root/day=1`), a visible sibling
+    * (`root/day=1.__swap_tmp`) would be picked up by partition discovery
+    * as a phantom partition — duplicate rows during the swap window (or
+    * forever, after a crash) and a silent partition-column type flip
+    * (`1.__swap_tmp` doesn't parse as int → column widens to string).
+    * File listing skips `.`/`_`-prefixed names, so the hidden siblings
+    * are invisible to every reader at every moment of the swap. */
+  private def hiddenSibling(path: String, suffix: String): String = {
+    val p = new Path(path)
+    new Path(p.getParent, s".${p.getName}$suffix").toString
+  }
+
+  def tmpPath(path: String): String = hiddenSibling(path, ".__swap_tmp")
+  private def oldPath(path: String): String = hiddenSibling(path, ".__old")
 
   /** If nothing lives at `path` but the rename-aside copy exists, the old
     * dataset is the last complete state — restore it. Returns true if a

@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions.{col, count, lit}
   * rewritten to a temp dir, then swapped in. One shuffle on the key.
   *
   * Swap ordering minimizes the data-loss window: the live dataset is
-  * renamed ASIDE first (`path → path.__old`), the rewrite renamed in, and
-  * only then is the old dir deleted — at every step at least one complete
-  * copy exists, and a failed swap-in restores the old dir. A crash can at
-  * worst leave the data under `path.__old` (recovered by [[recoverSwap]],
+  * renamed ASIDE first (to a hidden dot-prefixed sibling), the rewrite
+  * renamed in, and only then is the old dir deleted — at every step at
+  * least one complete copy exists, and a failed swap-in restores the old
+  * dir. A crash can at worst leave the data under the hidden aside dir
+  * (recovered by [[recoverSwap]],
   * which runs automatically at the start of every merge). Single-statement
   * atomicity needs a manifest pointer or a table format (Iceberg/Delta) —
   * the dataflow (anti-join + union + rewrite) is identical there.
@@ -113,7 +114,13 @@ object Upsert {
     val restKeys = keys.filterNot(_ == partitionCol)
     var updated = 0L; var inserted = 0L; var total = 0L
     affected.foreach { pv =>
-      val pdir = s"$path/$partitionCol=$pv"
+      // Hive partition-path escaping (the write.partitionBy convention):
+      // a raw interpolation of e.g. 'a:b' would miss the on-disk
+      // 'src=a%3Ab' directory and write a second, stale-row-stranding
+      // 'src=a:b' next to it
+      val pdir = s"$path/$partitionCol=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(String.valueOf(pv))
       SafeSwap.recover(pdir)
       val slice = updates.filter(col(partitionCol) === lit(pv))
         .drop(partitionCol)
@@ -135,10 +142,15 @@ object Upsert {
         }
         total += obs.get("total").asInstanceOf[Long]
       } else {
-        // brand-new partition: every update row is an insert
+        // brand-new partition: every update row is an insert — still
+        // behind SafeSwap, so a crash mid-write leaves only the hidden
+        // tmp dir (overwritten by the next run), never a half-written
+        // live partition that wedges subsequent merges
         val n = slice.count()
         inserted += n; total += n
-        slice.write.mode("overwrite").parquet(pdir)
+        SafeSwap.replace(pdir) { tmp =>
+          slice.write.mode("overwrite").parquet(tmp)
+        }
       }
     }
     MergeSummary(updated, inserted, total)

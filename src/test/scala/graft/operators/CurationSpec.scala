@@ -255,6 +255,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("continuous quantile matches discrete on NULL-heavy keys") {
+    import spark.implicits._
+    // key "nul": 6 of 10 scores NULL and q=0.5 → the quota is only
+    // reachable through the NULL tail; both paths must return the key
+    // with a NULL threshold rather than dropping it
+    val rows =
+      (1 to 4).map(i => ("nul", Some(i.toDouble))) ++
+        (1 to 6).map(_ => ("nul", Option.empty[Double])) ++
+        (1 to 10).map(i => ("ok", Some(i.toDouble)))
+    val df = rows.toDF("k", "score")
+    def canon(r: org.apache.spark.sql.DataFrame) =
+      r.select("k", "n", "threshold").collect()
+        .map(x => (x.getString(0), x.getLong(1),
+          if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toSet
+    val discrete = canon(Curation.quantileThresholds(df, "k", "score", 0.5))
+    val continuous =
+      canon(Curation.quantileThresholdsContinuous(df, "k", "score", 0.5))
+    assert(discrete === continuous)
+    assert(discrete.exists(r => r._1 == "nul" && r._3.isEmpty),
+      "NULL-heavy key must surface with a NULL threshold, not vanish")
+    assert(discrete.exists(r => r._1 == "ok" && r._3.contains(6.0)))
+  }
+
   test("chunking covers every word once per stride, no suffix-only chunk") {
     import spark.implicits._
     // C=8, O=3 → stride 5; n=12 → chunks at 0 (8 words) and 5 (7 words);

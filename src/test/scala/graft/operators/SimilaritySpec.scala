@@ -203,6 +203,23 @@ class SimilaritySpec extends SparkSpec {
     assert(c1((0, 0L)) > 0.3 && c1((0, 0L)) < 0.45)
   }
 
+  test("probing the persisted index pins no cache entries") {
+    import spark.implicits._
+    val e = (0L until 200L).map(i =>
+      (i, Array.tabulate(8)(d => ((i + d) % 7).toFloat))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivf_nocache")
+      .toString + "/idx"
+    Similarity.buildIvfIndex(spark, e, idx, nlist = 4, replicas = 1)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.probeIvfIndex(spark, idx, queries, k = 3, nprobe = 2).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before,
+      s"probe leaked ${after - before} cache entr(ies) — the hot path " +
+        "must not grow storage memory per call")
+  }
+
   test("RRF fusion: both-ranked beats single-ranked; absentees score one term") {
     import spark.implicits._
     val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rnk")

@@ -111,6 +111,53 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
+  test("swap leftovers are invisible to partition discovery") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("upsert_ghost").toString + "/t"
+    Seq((1, 1L, "a"), (2, 2L, "b"))
+      .toDF("day", "id", "name").write.partitionBy("day").parquet(path)
+    // simulate a crash that left BOTH hidden swap dirs behind: a stale
+    // complete copy under the aside name and a half-written tmp
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/.day=1.__swap_tmp"))
+    Seq((7L, "ghost")).toDF("id", "name")
+      .write.parquet(s"$path/.day=1.__old/inner")
+    // a full-dataset read must see neither phantom rows nor a type flip
+    val df = spark.read.parquet(path)
+    assert(df.schema("day").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      "hidden swap dirs must not widen the partition column to string")
+    assert(df.count() == 2L, "no phantom partition rows")
+    // and the next merge of that partition proceeds normally
+    val s = Upsert.mergeIntoPartitioned(spark, path,
+      Seq((1, 1L, "a2")).toDF("day", "id", "name"), Seq("day", "id"), "day")
+    assert(s.updated == 1L)
+    assert(spark.read.parquet(path).count() == 2L)
+  }
+
+  test("partition values with Hive-escaped characters hit the same dir") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("upsert_esc").toString + "/t"
+    Seq(("a:b", 1L, "x"), ("plain", 2L, "y"))
+      .toDF("src", "id", "name").write.partitionBy("src").parquet(path)
+    val s = Upsert.mergeIntoPartitioned(spark, path,
+      Seq(("a:b", 1L, "x2")).toDF("src", "id", "name"),
+      Seq("src", "id"), "src")
+    assert(s.updated == 1L && s.inserted == 0L)
+    val rows = spark.read.parquet(path).select("src", "id", "name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(rows == Set(("a:b", 1L, "x2"), ("plain", 2L, "y")),
+      "the escaped on-disk dir must be rewritten, not shadowed by a raw one")
+    // exactly one physical directory for the escaped value
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("src=")).sorted
+    assert(dirs.toSeq == Seq("src=a%3Ab", "src=plain"), dirs.mkString(","))
+  }
+
   test("scd2MergePartitioned leaves closed history physically in place") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
