@@ -363,6 +363,68 @@ object Curation {
       .agg(max(col(value)).as("threshold"))
   }
 
+  // ---------------------------------------------------------------------
+  // q94_winsorize — per-stratum outlier clipping (winsorization): clamp
+  // each value into [lo, hi] where lo/hi are the stratum's exact
+  // tail-order-statistics. Reuses [[quantileThresholds]] at q and 1−q —
+  // the upper-tail contract ("largest v with #(rows ≥ v) ≥ ceil(q·n)")
+  // gives the hi bound directly and the lo bound by symmetry (q→1−q).
+  // The standard robust-stats pre-step before any mean/variance-based
+  // quality score at corpus scale; thresholds are |keys|-bounded and
+  // broadcast, the clamp itself is map-only.
+  // ---------------------------------------------------------------------
+  def winsorize(df: DataFrame, key: String, value: String,
+      tail: Double): DataFrame = {
+    require(tail > 0 && tail < 0.5, s"tail $tail must be in (0, 0.5)")
+    val hi = quantileThresholds(df, key, value, tail)
+      .select(col(key), col("threshold").as("hi"))
+    val lo = quantileThresholds(df, key, value, 1.0 - tail)
+      .select(col(key), col("threshold").as("lo"))
+    df.join(broadcast(hi), key).join(broadcast(lo), key)
+      .withColumn("clipped",
+        greatest(col("lo"), least(col("hi"), col(value))))
+  }
+
+  def q94Winsorize(s: SparkSession, dir: String): DataFrame =
+    winsorize(t(s, dir, "documents"), "lang", "n_chars", 0.05)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"),
+        sum(col("clipped")).as("sum_clipped"),
+        sum(when(col("n_chars") < col("lo"), 1L).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L))
+          .as("n_clipped_high"))
+
+  val q94WinsorizeSql: String =
+    """WITH c AS (SELECT lang, n_chars, COUNT(*) AS cnt
+      |           FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+      |cum AS (SELECT lang, n_chars,
+      |          SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS cum_ge
+      |        FROM c),
+      |hi AS (SELECT cum.lang, MAX(n_chars) AS hi
+      |       FROM cum JOIN tot ON cum.lang = tot.lang
+      |       WHERE cum_ge >= CEIL(n * 0.05) GROUP BY cum.lang),
+      |lo AS (SELECT cum.lang, MAX(n_chars) AS lo
+      |       FROM cum JOIN tot ON cum.lang = tot.lang
+      |       WHERE cum_ge >= CEIL(n * 0.95) GROUP BY cum.lang)
+      |SELECT d.lang AS lang, COUNT(*) AS n_docs,
+      |  MAX(lo.lo) AS lo, MAX(hi.hi) AS hi,
+      |  CAST(SUM(GREATEST(lo.lo, LEAST(hi.hi, d.n_chars))) AS BIGINT)
+      |    AS sum_clipped,
+      |  CAST(SUM(CASE WHEN d.n_chars < lo.lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_low,
+      |  CAST(SUM(CASE WHEN d.n_chars > hi.hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_high
+      |FROM documents d
+      |JOIN hi ON d.lang = hi.lang JOIN lo ON d.lang = lo.lang
+      |GROUP BY d.lang""".stripMargin
+
   def q68QualityPrune(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val thr = quantileThresholds(d, "lang", "n_chars", 0.5)

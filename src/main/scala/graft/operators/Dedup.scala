@@ -589,8 +589,14 @@ object Dedup {
     * the corpus (the sync layer's immutable-file contract). */
   def incrementalNearDups(spark: SparkSession, indexDir: String,
       incoming: DataFrame, minEst: Double = 0.5): DataFrame = {
-    val sigNew = minhashSignatures(incoming).cache()
-    sigNew.count() // band derivation + rerank join both consume it
+    // no cache: this is the hot per-batch probe path, and a cache pinned
+    // here can never be unpersisted (the returned DataFrame consumes it
+    // lazily) — one leaked entry per daily batch for the session's
+    // lifetime. The two consumers (band derivation, rerank join) instead
+    // recompute the batch signatures — 2× the BATCH's shingle+minhash
+    // cost, zero extra corpus cost; a caller probing the same batch
+    // repeatedly should cache `incoming` itself, which it owns.
+    val sigNew = minhashSignatures(incoming)
     val bandsNew = bandRows(sigNew)
       .select(col("band"), col("bh"), col("doc_id").as("b"))
     val bandsOld = spark.read.parquet(s"$indexDir/bands")

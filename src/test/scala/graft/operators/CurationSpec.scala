@@ -255,6 +255,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clips exactly the tails the order statistic defines") {
+    import spark.implicits._
+    // 1..20, tail 0.1: hi = largest v with #(≥v) ≥ ceil(2) → 19;
+    // lo = largest v with #(≥v) ≥ ceil(18) → 3
+    val df = (1L to 20L).map(v => ("a", v)).toDF("k", "v")
+    val r = Curation.winsorize(df, "k", "v", 0.1)
+      .select("v", "lo", "hi", "clipped").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r(1L) === ((3L, 19L, 3L)))
+    assert(r(2L) === ((3L, 19L, 3L)))
+    assert(r(3L) === ((3L, 19L, 3L)))
+    assert(r(10L) === ((3L, 19L, 10L)))
+    assert(r(19L) === ((3L, 19L, 19L)))
+    assert(r(20L) === ((3L, 19L, 19L)))
+    intercept[IllegalArgumentException](Curation.winsorize(df, "k", "v", 0.6))
+  }
+
   test("continuous quantile matches discrete on NULL-heavy keys") {
     import spark.implicits._
     // key "nul": 6 of 10 scores NULL and q=0.5 → the quota is only

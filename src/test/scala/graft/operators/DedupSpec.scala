@@ -142,6 +142,25 @@ class DedupSpec extends SparkSpec {
       "fresh build over the union agrees: bucket over cap → no band rows")
   }
 
+  test("incremental probe pins no cache entries on the hot path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("mh_nocache").toString
+    val idx = s"$base/idx"
+    val d = Dedup.q33NgramJaccard(spark, sfDir) // warm anything lazy
+    d.count()
+    val corpus = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    Dedup.buildMinhashIndex(spark, corpus, idx)
+    val incoming = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.incrementalNearDups(spark, idx, incoming).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before,
+      s"probe leaked ${after - before} cache entr(ies)")
+  }
+
   // ---- duplicated-span dedup (ExactSubstr-style) ----
 
   private def spans(df: org.apache.spark.sql.DataFrame) =
