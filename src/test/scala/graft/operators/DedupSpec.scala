@@ -161,6 +161,51 @@ class DedupSpec extends SparkSpec {
       s"probe leaked ${after - before} cache entr(ies)")
   }
 
+  test("streaming batches probe the persisted index like one batch probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // the production daily-batch story: a stream of incoming docs,
+    // foreachBatch probing the SAME persisted index — micro-batch
+    // boundaries must not change what surfaces
+    val base = java.nio.file.Files.createTempDirectory("mh_stream").toString
+    val idx = s"$base/idx"
+    val corpus = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    Dedup.buildMinhashIndex(spark, corpus, idx)
+    val incoming = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val want = Dedup.incrementalNearDups(spark, idx,
+        incoming.toSeq.toDF("doc_id", "text"))
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // two micro-batches split mid-stream
+    mem.addData(incoming.take(incoming.length / 2).toSeq)
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= Dedup.incrementalNearDups(spark, idx, batch)
+            .select("a", "b").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      mem.addData(incoming.drop(incoming.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet === want,
+      "micro-batch boundaries must not change the probe's result")
+  }
+
   // ---- duplicated-span dedup (ExactSubstr-style) ----
 
   private def spans(df: org.apache.spark.sql.DataFrame) =
