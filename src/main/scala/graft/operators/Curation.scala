@@ -425,6 +425,66 @@ object Curation {
       |JOIN hi ON d.lang = hi.lang JOIN lo ON d.lang = lo.lang
       |GROUP BY d.lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q95_url_domains — URL host extraction + normalization, the unit
+  // underneath every domain-level curation decision (blocklists, per-
+  // domain mixture rates à la q72, per-domain quality priors): pull the
+  // authority out of the URL, lowercase it, strip the www. prefix and
+  // any port. Pure regexp in the java-regex∩RE2 dialect (q86's
+  // convention) — map-only until the final per-domain aggregate, one
+  // shuffle on the normalized domain at any scale.
+  // ---------------------------------------------------------------------
+  private val UrlHostRe = "^[a-z]+://([^/:?#]+)"
+
+  /** Adds a `domain` column: lowercased authority, www.-stripped,
+    * port-free; NULL when `url` has no scheme://host shape. */
+  def normalizeDomains(df: DataFrame): DataFrame =
+    df.withColumn("domain", {
+      val host = lower(regexp_extract(col("url"), UrlHostRe, 1))
+      when(host =!= "", regexp_replace(host, "^www\\.", ""))
+    })
+
+  /** Gate corpus: deterministic messy URLs — mixed-case hosts, optional
+    * WWW. prefix, optional port, query strings; every 11th row is a
+    * schemeless string that must normalize to NULL, not a bogus domain. */
+  def q95UrlDomains(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val urls = d.select(col("doc_id"),
+      when(col("doc_id") % 11 =!= 0, concat(
+        lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Host"), (col("doc_id") % 20).cast("string"),
+        lit(".Example.COM"),
+        when(col("doc_id") % 5 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string"), lit("?ref=x")))
+        .otherwise(concat(lit("not a url "), col("doc_id").cast("string")))
+        .as("url"))
+    normalizeDomains(urls)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+  }
+
+  val q95UrlDomainsSql: String =
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 <> 0 THEN
+      |      'https://' ||
+      |      CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+      |      'Host' || (doc_id % 20) || '.Example.COM' ||
+      |      CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+      |      '/p/' || doc_id || '?ref=x'
+      |    ELSE 'not a url ' || doc_id END AS url
+      |  FROM documents),
+      |n AS (SELECT doc_id,
+      |        CASE WHEN lower(regexp_extract(url,
+      |               '^[a-z]+://([^/:?#]+)', 1)) <> ''
+      |             THEN regexp_replace(lower(regexp_extract(url,
+      |               '^[a-z]+://([^/:?#]+)', 1)), '^www\.', '')
+      |        END AS domain
+      |      FROM urls)
+      |SELECT domain, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+      |FROM n GROUP BY domain""".stripMargin
+
   def q68QualityPrune(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val thr = quantileThresholds(d, "lang", "n_chars", 0.5)

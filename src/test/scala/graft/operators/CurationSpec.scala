@@ -255,6 +255,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("domain normalization: case, www, port, and non-URL inputs") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://WWW.Foo.COM/p?q=1"),
+      (2L, "http://foo.com:8080/x"),
+      (3L, "https://www.sub.Bar.org#frag"),
+      (4L, "ftp://Baz.net"),
+      (5L, "no scheme here"),
+      (6L, "https://www.foo.com")
+    ).toDF("doc_id", "url")
+    val r = Curation.normalizeDomains(urls).collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) None else Some(x.getString(2)))).toMap
+    assert(r(1L).contains("foo.com"))
+    assert(r(2L).contains("foo.com"))
+    assert(r(3L).contains("sub.bar.org"))
+    assert(r(4L).contains("baz.net"))
+    assert(r(5L).isEmpty, "schemeless input must yield NULL")
+    assert(r(6L).contains("foo.com"))
+  }
+
   test("winsorize clips exactly the tails the order statistic defines") {
     import spark.implicits._
     // 1..20, tail 0.1: hi = largest v with #(≥v) ≥ ceil(2) → 19;
