@@ -155,6 +155,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(doc_id"), p.take(2000))
   }
 
+  test("q90: both fusion signals TakeOrdered before any rank window") {
+    val p = planOf(Similarity.q90RrfFusion(spark, sfDir))
+    assert("TakeOrderedAndProject".r.findAllMatchIn(p).length >= 2,
+      "lexical and vector signals must both bound to top-K via " +
+        "TakeOrderedAndProject, never a global sort: " + p.take(800))
+  }
+
+  test("q94: winsorize thresholds broadcast; clamp adds no shuffle") {
+    val p = planOf(Curation.q94Winsorize(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "the |keys|-bounded threshold tables must broadcast")
+  }
+
+  test("q95: domain normalization is one aggregate exchange, no UDF") {
+    val p = planOf(Curation.q95UrlDomains(spark, sfDir))
+    assert("Exchange".r.findAllMatchIn(p).length == 1, p.take(800))
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
+
   test("q84: span detection is window-only — no join, no pair expansion") {
     val p = planOf(Dedup.q84DupSpans(spark, sfDir))
     assert(!p.contains("Join"),
