@@ -196,4 +196,71 @@ object Stats {
       |    / CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 6) AS w_mean,
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q97_profile — per-column data profiling (the data-quality surface a
+  // catalog crawler maintains next to the schema): one row per column
+  // with null count, distinct count, and min/max, computed in a SINGLE
+  // pass over the table (one aggregate, then explode to rows — the table
+  // is never re-scanned per column). min/max run on the NATIVE type and
+  // cast to string only in the output (string-min of longs would order
+  // "10" < "9").
+  //
+  // `exactDistinct = false` (production default) uses the HLL++ sketch —
+  // exact multi-column COUNT(DISTINCT) plans an Expand that multiplies
+  // the scan by the column count, the one shape that does not survive a
+  // 100× scale-up. The gate runs exact (DuckDB-checkable); the sketch
+  // variant is the same plan minus the Expand.
+  // ---------------------------------------------------------------------
+  def profile(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = false): DataFrame = {
+    val aggs =
+      cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+          (if (exactDistinct) countDistinct(col(c))
+           else approx_count_distinct(col(c))).as(s"__nd_$c"),
+          min(col(c)).cast("string").as(s"__mn_$c"),
+          max(col(c)).cast("string").as(s"__mx_$c"))
+      } :+ count(lit(1)).as("__n")
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val metrics = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"__nn_$c").as("n_null"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_val"), col(s"__mx_$c").as("max_val"))
+    }
+    agged
+      .select(col("__n").as("n_rows"), explode(array(metrics: _*)).as("m"))
+      .select(col("m.col_name").as("col_name"), col("n_rows"),
+        col("m.n_null").as("n_null"), col("m.n_distinct").as("n_distinct"),
+        col("m.min_val").as("min_val"), col("m.max_val").as("max_val"))
+  }
+
+  /** Gate: profile orders with planted nulls on o_custkey (every 9th). */
+  def q97Profile(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 9 =!= 0, col("o_custkey")).as("o_custkey"),
+      col("o_orderstatus"), col("o_orderpriority"))
+    profile(o,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+      exactDistinct = true)
+  }
+
+  val q97ProfileSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_val,
+         |  CAST(MAX($c) AS VARCHAR) AS max_val
+         |FROM t""".stripMargin
+    """WITH t AS (SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 9 <> 0 THEN o_custkey END AS o_custkey,
+      |  o_orderstatus, o_orderpriority FROM orders)
+      |""".stripMargin +
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(one).mkString("\nUNION ALL\n")
+  }
 }

@@ -156,4 +156,26 @@ class SkewAndStatsSpec extends SparkSpec {
     val expected = counts.filter { case (_, c) => c * 100 > tot }.toMap
     assert(rows == expected)
   }
+
+  test("profile: nulls, distincts, and NUMERIC min/max order, one pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 9 vs 10 catches string-ordered min/max ("10" < "9" lexically)
+    val df = Seq(
+      (Some(9L), Some("b")), (Some(10L), Some("a")),
+      (None, Some("a")), (Some(10L), None)
+    ).toDF("k", "s")
+    val r = Stats.profile(df, Seq("k", "s"), exactDistinct = true)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3),
+          x.getString(4), x.getString(5))).toMap
+    assert(r("k") === ((4L, 1L, 2L, "9", "10")))
+    assert(r("s") === ((4L, 1L, 2L, "a", "b")))
+    // the production (sketch) variant returns the same shape and exact
+    // null/min/max; only n_distinct is approximate
+    val a = Stats.profile(df, Seq("k"), exactDistinct = false)
+      .collect().head
+    assert(a.getString(4) == "9" && a.getString(5) == "10")
+    assert(a.getLong(3) >= 1L)
+  }
 }
