@@ -385,6 +385,30 @@ object Curation {
         greatest(col("lo"), least(col("hi"), col(value))))
   }
 
+  /** Winsorization for CONTINUOUS scores — the production case (a
+    * quality score is a double, so the per-(key, value) distinct table
+    * is corpus-sized and the discrete path's per-key value window would
+    * funnel each stratum through one sort task). Both tails route
+    * through [[quantileThresholdsContinuous]], which is generic in q:
+    * the upper tail at `tail` directly, the lower tail as the same
+    * upper-tail order statistic at 1−tail (identical contract to the
+    * discrete [[winsorize]] — "largest v with #(rows ≥ v) ≥ ceil(q·n)"
+    * at both quantiles, so the two variants agree wherever both apply).
+    * Thresholds stay |keys|-bounded and broadcast; the clamp is
+    * map-only. */
+  def winsorizeContinuous(df: DataFrame, key: String, value: String,
+      tail: Double, numBuckets: Int = 4096): DataFrame = {
+    require(tail > 0 && tail < 0.5, s"tail $tail must be in (0, 0.5)")
+    val hi = quantileThresholdsContinuous(df, key, value, tail, numBuckets)
+      .select(col(key), col("threshold").as("hi"))
+    val lo = quantileThresholdsContinuous(df, key, value, 1.0 - tail,
+        numBuckets)
+      .select(col(key), col("threshold").as("lo"))
+    df.join(broadcast(hi), key).join(broadcast(lo), key)
+      .withColumn("clipped",
+        greatest(col("lo"), least(col("hi"), col(value))))
+  }
+
   def q94Winsorize(s: SparkSession, dir: String): DataFrame =
     winsorize(t(s, dir, "documents"), "lang", "n_chars", 0.05)
       .groupBy(col("lang"))
@@ -426,6 +450,57 @@ object Curation {
       |GROUP BY d.lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q94b_winsorize_cont — the continuous-score version of q94 (the q68b
+  // pattern): the score n_chars + doc_id·1e-7 is unique per document, so
+  // the per-(key, value) distinct table IS the corpus — exactly the
+  // distribution where the discrete path's window becomes a per-stratum
+  // corpus sort. Both tail thresholds must agree with DuckDB's naive
+  // global-window order statistic to the row AND the bit (thresholds are
+  // actual data values; both engines build the score with the same
+  // IEEE-double ops). The gate pins the thresholds and the integer clip
+  // counts — no float sum, so no cross-engine aggregation-order hazard.
+  // ---------------------------------------------------------------------
+  def q94bWinsorizeCont(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").withColumn("score",
+      col("n_chars") + col("doc_id") * lit(1e-7))
+    winsorizeContinuous(d, "lang", "score", 0.05)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"),
+        sum(when(col("score") < col("lo"), 1L).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("score") > col("hi"), 1L).otherwise(0L))
+          .as("n_clipped_high"))
+  }
+
+  val q94bWinsorizeContSql: String =
+    """WITH d AS (SELECT lang, n_chars + doc_id * 1e-7 AS score
+      |           FROM documents),
+      |c AS (SELECT lang, score, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+      |tot AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY 1),
+      |cum AS (SELECT lang, score,
+      |          SUM(cnt) OVER (PARTITION BY lang ORDER BY score DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS cum_ge
+      |        FROM c),
+      |hi AS (SELECT cum.lang, MAX(score) AS hi
+      |       FROM cum JOIN tot ON cum.lang = tot.lang
+      |       WHERE cum_ge >= CEIL(n * 0.05) GROUP BY cum.lang),
+      |lo AS (SELECT cum.lang, MAX(score) AS lo
+      |       FROM cum JOIN tot ON cum.lang = tot.lang
+      |       WHERE cum_ge >= CEIL(n * 0.95) GROUP BY cum.lang)
+      |SELECT d.lang AS lang, COUNT(*) AS n_docs,
+      |  MAX(lo.lo) AS lo, MAX(hi.hi) AS hi,
+      |  CAST(SUM(CASE WHEN d.score < lo.lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_low,
+      |  CAST(SUM(CASE WHEN d.score > hi.hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_high
+      |FROM d JOIN hi ON d.lang = hi.lang JOIN lo ON d.lang = lo.lang
+      |GROUP BY d.lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q95_url_domains — URL host extraction + normalization, the unit
   // underneath every domain-level curation decision (blocklists, per-
   // domain mixture rates à la q72, per-domain quality priors): pull the
@@ -437,21 +512,26 @@ object Curation {
   private val UrlHostRe = "^[a-z]+://([^/:?#]+)"
 
   /** Adds a `domain` column: lowercased authority, www.-stripped,
-    * port-free; NULL when `url` has no scheme://host shape. */
+    * port-free; NULL when `url` has no scheme://host shape. The scheme
+    * match is case-insensitive (URI schemes are, RFC 3986 §3.1): the
+    * whole URL is lowercased BEFORE the extract, so `HTTPS://Foo.com`
+    * normalizes like `https://foo.com` instead of dropping to NULL. */
   def normalizeDomains(df: DataFrame): DataFrame =
     df.withColumn("domain", {
-      val host = lower(regexp_extract(col("url"), UrlHostRe, 1))
+      val host = regexp_extract(lower(col("url")), UrlHostRe, 1)
       when(host =!= "", regexp_replace(host, "^www\\.", ""))
     })
 
-  /** Gate corpus: deterministic messy URLs — mixed-case hosts, optional
-    * WWW. prefix, optional port, query strings; every 11th row is a
-    * schemeless string that must normalize to NULL, not a bogus domain. */
+  /** Gate corpus: deterministic messy URLs — mixed-case hosts AND
+    * schemes (every 7th row shouts `HTTPS://`), optional WWW. prefix,
+    * optional port, query strings; every 11th row is a schemeless string
+    * that must normalize to NULL, not a bogus domain. */
   def q95UrlDomains(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val urls = d.select(col("doc_id"),
       when(col("doc_id") % 11 =!= 0, concat(
-        lit("https://"),
+        when(col("doc_id") % 7 === 0, lit("HTTPS://"))
+          .otherwise(lit("https://")),
         when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
         lit("Host"), (col("doc_id") % 20).cast("string"),
         lit(".Example.COM"),
@@ -468,7 +548,7 @@ object Curation {
     """WITH urls AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 11 <> 0 THEN
-      |      'https://' ||
+      |      CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
       |      CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
       |      'Host' || (doc_id % 20) || '.Example.COM' ||
       |      CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
@@ -476,10 +556,10 @@ object Curation {
       |    ELSE 'not a url ' || doc_id END AS url
       |  FROM documents),
       |n AS (SELECT doc_id,
-      |        CASE WHEN lower(regexp_extract(url,
-      |               '^[a-z]+://([^/:?#]+)', 1)) <> ''
-      |             THEN regexp_replace(lower(regexp_extract(url,
-      |               '^[a-z]+://([^/:?#]+)', 1)), '^www\.', '')
+      |        CASE WHEN regexp_extract(lower(url),
+      |               '^[a-z]+://([^/:?#]+)', 1) <> ''
+      |             THEN regexp_replace(regexp_extract(lower(url),
+      |               '^[a-z]+://([^/:?#]+)', 1), '^www\.', '')
       |        END AS domain
       |      FROM urls)
       |SELECT domain, COUNT(*) AS n_docs, MIN(doc_id) AS min_id

@@ -480,7 +480,16 @@ object Dedup {
   // proves zero-exchange for. Layout under `indexDir`:
   //   signatures/   (doc_id, sig: array<long>)   — for estimate rerank
   //   bands/        (band, bh, doc_id)           — collision substrate
-  // Tree replaced behind the crash-safe SafeSwap, same as the IVF index.
+  //   bucket_sizes/ (band, bh, sz) DELTA LOG     — uncapped counts; the
+  //                 TRUE size of a bucket is sum(sz) over its deltas
+  //   _applied/     append ledger (graft.pipeline.AppendCommit)
+  // Builds replace the tree behind the crash-safe SafeSwap; APPENDS are
+  // file-additive — O(batch) I/O, never a rewrite of the stored tables
+  // (see [[appendToMinhashIndex]]). The hot-bucket cap is enforced on
+  // the LIVE VIEW ([[readMinhashBands]]): stored rows of a bucket whose
+  // cumulative size later crossed the cap stay on disk but are filtered
+  // out by every reader; [[compactMinhashIndex]] purges them
+  // periodically.
   // ---------------------------------------------------------------------
 
   /** Band-key rows (band, bh, doc_id) for MinHash signatures — the
@@ -521,64 +530,156 @@ object Dedup {
     sig.unpersist()
   }
 
+  /** Content-derived batch fingerprint "n|h" — the append idempotency
+    * key (the IVF corpusFingerprint convention, over (doc_id, text)). */
+  private def docsFingerprint(batch: DataFrame): String = {
+    val r = batch.agg(
+      count(lit(1)).as("n"),
+      sum(xxhash64(col("doc_id"), col("text")).cast("decimal(38,0)"))
+        .as("h")).head()
+    s"${r.getLong(0)}|${if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString}"
+  }
+
+  /** Raw bucket-size DELTAS (band, bh, sz) — the true size of a bucket
+    * is sum(sz) over its delta rows. Consumers restrict to the buckets
+    * they care about BEFORE aggregating where possible. Legacy trees
+    * (pre-size-table) degrade to deriving sizes from stored signatures —
+    * still no shingle pass over the corpus. */
+  private def minhashSizeDeltas(spark: SparkSession,
+      indexDir: String): DataFrame = {
+    // existence goes through the index's OWN filesystem (java.io.File is
+    // always false on hdfs:// or s3:// paths)
+    val idxFs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    if (idxFs.exists(
+        new org.apache.hadoop.fs.Path(s"$indexDir/bucket_sizes")))
+      spark.read.parquet(s"$indexDir/bucket_sizes")
+        .select(col("band"), col("bh"), col("sz"))
+    else bandRows(spark.read.parquet(s"$indexDir/signatures"))
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("sz"))
+  }
+
+  /** Cumulative bucket sizes: sum(sz) per (band, bh) over the whole
+    * delta log — for whole-index consumers (live view, compaction). */
+  private def minhashBucketSizes(spark: SparkSession,
+      indexDir: String): DataFrame =
+    minhashSizeDeltas(spark, indexDir)
+      .groupBy(col("band"), col("bh")).agg(sum(col("sz")).as("sz"))
+
+  /** The index's LIVE band view: stored rows restricted to buckets whose
+    * cumulative size is ≤ cap. Appends never rewrite stored band rows —
+    * a bucket that CROSSED the cap in some later batch keeps its old
+    * rows on disk, and this filter is what makes them invisible, so the
+    * view equals what a fresh build over the accumulated corpus would
+    * store. Probes confine the size aggregation to the buckets they
+    * actually touch (see [[incrementalNearDups]]); this whole-index view
+    * is for equivalence checks and compaction. */
+  def readMinhashBands(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/bands")
+      .join(minhashBucketSizes(spark, indexDir)
+          .filter(col("sz") <= MaxBucketSize).select(col("band"), col("bh")),
+        Seq("band", "bh"), "left_semi")
+
   /** Merge a batch's signatures and band rows into a persisted index —
     * the complement of [[incrementalNearDups]]'s read path: after a daily
     * batch is deduped against the corpus, its survivors join the index
     * WITHOUT re-signing the corpus (the record-grained analog of the
     * incremental file sync, ref sync-canvas-data-files.py:62-67). Only
     * the batch is shingled and signed; the corpus contributes its stored
-    * signatures, band rows, and bucket-size table. The cap is re-applied
-    * on merged bucket sizes, so build(corpus) + append(batch) produces
-    * byte-identical signature and band TABLES to build(corpus ∪ batch):
-    *  - a bucket ≤ cap before and after keeps old + new rows;
-    *  - a bucket pushed over the cap by the batch loses ALL rows (old
-    *    included), exactly as a fresh build over the union would;
-    *  - a bucket already over the cap stays over (sizes only grow), so
-    *    its absence from the stored band table never needs undoing.
+    * size table (read, never rewritten).
+    *
+    * I/O is O(batch): the batch's signatures, its band rows (pre-capped
+    * against cumulative bucket sizes), and its UNCAPPED size deltas land
+    * as NEW FILES via [[graft.pipeline.AppendCommit]] — the stored
+    * signature/band/size files are never read-modify-written, so at
+    * 100 TB a daily batch costs the batch, not the index. (The previous
+    * scheme re-wrote the full signatures and bands tables through
+    * SafeSwap per append — a multi-TB rewrite per day at scale.)
+    *
+    * The cap contract is preserved ON THE LIVE VIEW: build(corpus) +
+    * append(batch) and build(corpus ∪ batch) agree on
+    * [[readMinhashBands]] and on the signature table —
+    *  - a bucket ≤ cap before and after: old rows stored by the build,
+    *    new rows added by the append, all live;
+    *  - a bucket pushed over the cap by the batch: its new rows are not
+    *    written, its old rows stay on disk but the size filter hides
+    *    them — exactly the empty bucket a fresh union build stores
+    *    ([[compactMinhashIndex]] purges the dead rows);
+    *  - a bucket already over the cap stays over (sizes only grow).
+    *
+    * Idempotent under at-least-once delivery and crash-retry: the batch
+    * id is content-derived and the placement runs through AppendCommit
+    * (replayed batch → no-op; crashed move → tag-scoped re-place).
     * Batch doc_ids are assumed disjoint from the corpus (same
-    * immutable-file contract as [[incrementalNearDups]]).
-    * Cost: O(batch) signature work + a merge shuffled on (band, bh) —
-    * at 100 TB the corpus is never re-read beyond its (tiny) size table
-    * and its band/signature rows, which stream through unmodified. */
+    * immutable-file contract as [[incrementalNearDups]]); single
+    * maintenance writer, like every index maintenance op. */
   def appendToMinhashIndex(spark: SparkSession, batch: DataFrame,
       indexDir: String): Unit = {
+    graft.pipeline.SafeSwap.recover(indexDir)
+    val fpBatch = docsFingerprint(batch)
+    val batchId = java.security.MessageDigest.getInstance("MD5")
+      .digest(fpBatch.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(16)
+    if (graft.pipeline.AppendCommit.isApplied(indexDir, batchId)) return
     val sigNew = minhashSignatures(batch).cache()
     sigNew.count() // band derivation + signature writer both consume it
     val bandsNew = bandRows(sigNew)
     val sizesNew = bandsNew.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("sz"))
-    // legacy index trees (pre-size-table) degrade to deriving sizes from
-    // stored signatures — still no shingle pass over the corpus.
-    // Existence goes through the index's OWN filesystem (java.io.File is
-    // always false on hdfs:// or s3:// paths, which would silently force
-    // the legacy corpus-sized re-derivation on every non-local append)
+      .agg(count(lit(1)).as("sz")).cache()
+    sizesNew.count() // cap decision + delta writer both consume it
+    // stored sizes confined (pre-aggregation) to buckets the batch
+    // touches — the only part of the existing index this append reads
+    // beyond the legacy fallback
+    val oldTouched = minhashSizeDeltas(spark, indexDir)
+      .join(sizesNew.select(col("band"), col("bh")),
+        Seq("band", "bh"), "left_semi")
+      .groupBy(col("band"), col("bh")).agg(sum(col("sz")).as("old_sz"))
+    val keep = sizesNew.join(oldTouched, Seq("band", "bh"), "left")
+      .filter(coalesce(col("old_sz"), lit(0L)) + col("sz") <= MaxBucketSize)
+      .select(col("band"), col("bh"))
     val idxFs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
-    val sizesOldSrc =
-      if (idxFs.exists(
-          new org.apache.hadoop.fs.Path(s"$indexDir/bucket_sizes")))
-        spark.read.parquet(s"$indexDir/bucket_sizes")
-      else bandRows(spark.read.parquet(s"$indexDir/signatures"))
-        .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("sz"))
+    val legacyNoSizes = !idxFs.exists(
+      new org.apache.hadoop.fs.Path(s"$indexDir/bucket_sizes"))
+    graft.pipeline.AppendCommit.appendBatch(spark, indexDir, batchId,
+        fpBatch) { tmp =>
+      sigNew.write.parquet(s"$tmp/signatures")
+      bandsNew.join(keep, Seq("band", "bh"), "left_semi")
+        .select(col("doc_id"), col("band"), col("bh"))
+        .write.parquet(s"$tmp/bands")
+      // UNCAPPED size deltas — future appends and the live view sum
+      // them. A legacy tree gets its derived base sizes folded into this
+      // first delta (one-time O(corpus-bands) migration write).
+      val delta =
+        if (legacyNoSizes)
+          minhashBucketSizes(spark, indexDir).unionByName(sizesNew)
+            .groupBy(col("band"), col("bh")).agg(sum(col("sz")).as("sz"))
+        else sizesNew
+      delta.write.parquet(s"$tmp/bucket_sizes")
+    }
+    sizesNew.unpersist()
+    sigNew.unpersist()
+  }
+
+  /** Periodic maintenance: purge physically-stale band rows (buckets
+    * that crossed the cap after their rows were stored) and collapse the
+    * size-delta log to one row per bucket — the space-debt bound for the
+    * O(batch) append path, run on the IVF-retrain cadence. Rewrites the
+    * tree behind SafeSwap (this is the op that is ALLOWED to cost
+    * O(index)); the append ledger resets with the tree, which is correct
+    * because the compacted content already includes every applied batch.
+    * Single-writer, like every maintenance op. */
+  def compactMinhashIndex(spark: SparkSession, indexDir: String): Unit = {
+    val sigs = spark.read.parquet(s"$indexDir/signatures")
+    val live = readMinhashBands(spark, indexDir)
+    val sizes = minhashBucketSizes(spark, indexDir)
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
       // lazy reads of the live tree execute inside these write actions,
       // strictly before SafeSwap renames it aside
-      spark.read.parquet(s"$indexDir/signatures").unionByName(sigNew)
-        .write.parquet(s"$tmp/signatures")
-      val merged = sizesOldSrc.unionByName(sizesNew)
-        .groupBy(col("band"), col("bh")).agg(sum(col("sz")).as("sz"))
-        .cache()
-      merged.count()
-      val keep = merged.filter(col("sz") <= MaxBucketSize)
-        .select(col("band"), col("bh"))
-      spark.read.parquet(s"$indexDir/bands")
-        .unionByName(bandsNew.select(col("doc_id"), col("band"), col("bh")))
-        .join(keep, Seq("band", "bh"), "left_semi")
-        .write.parquet(s"$tmp/bands")
-      merged.write.parquet(s"$tmp/bucket_sizes")
-      merged.unpersist()
+      sigs.write.parquet(s"$tmp/signatures")
+      live.write.parquet(s"$tmp/bands")
+      sizes.write.parquet(s"$tmp/bucket_sizes")
     }
-    sigNew.unpersist()
   }
 
   /** Near-dup pairs (corpus doc `a`, incoming doc `b`) between a persisted
@@ -599,7 +700,19 @@ object Dedup {
     val sigNew = minhashSignatures(incoming)
     val bandsNew = bandRows(sigNew)
       .select(col("band"), col("bh"), col("doc_id").as("b"))
+    // live-bucket filter (the read-time half of the append's cap
+    // contract), confined to buckets the batch actually collides with:
+    // the size aggregation runs over the deltas of candidate buckets
+    // only, so probe cost stays O(batch + collisions) however large the
+    // index's bucket population is
+    val liveTouched = minhashSizeDeltas(spark, indexDir)
+      .join(bandsNew.select(col("band"), col("bh")).distinct(),
+        Seq("band", "bh"), "left_semi")
+      .groupBy(col("band"), col("bh")).agg(sum(col("sz")).as("sz"))
+      .filter(col("sz") <= MaxBucketSize)
+      .select(col("band"), col("bh"))
     val bandsOld = spark.read.parquet(s"$indexDir/bands")
+      .join(liveTouched, Seq("band", "bh"), "left_semi")
       .select(col("band"), col("bh"), col("doc_id").as("a"))
     val cand = bandsOld.join(bandsNew, Seq("band", "bh"))
       .select(col("a"), col("b")).distinct()

@@ -263,24 +263,46 @@ object Similarity {
     }
   }
 
+  /** The index's current cumulative fingerprint: the BUILD-time base
+    * marker plus the sum of every applied append batch's (count, hash)
+    * entry from the `_applied/` ledger. The marker file itself is never
+    * rewritten after the build — appends advance the fingerprint by the
+    * atomic creation of their ledger entry ([[graft.pipeline.AppendCommit]]),
+    * so there is no window in which data files and fingerprint can
+    * disagree after a crash-and-retry. Returns None when no index
+    * exists. Format: `n|h|nlist=..|replicas=..`. */
+  private def ivfCurrentFingerprint(spark: SparkSession,
+      indexDir: String): Option[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(indexDir, "_corpus_fingerprint")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val base = try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      val Array(n0, h0, rest @ _*) = base.split('|')
+      var n = n0.toLong
+      var h = BigInt(h0)
+      graft.pipeline.AppendCommit.appliedEntries(indexDir).foreach {
+        case (_, payload) =>
+          val Array(nb, hb) = payload.trim.split('|')
+          n += nb.toLong
+          h += BigInt(hb)
+      }
+      Some((Seq(n.toString, h.toString) ++ rest).mkString("|"))
+    }
+  }
+
   /** Build-if-stale: rebuilds when the corpus content or index parameters
-    * changed since the persisted build (marker compare — one metadata read
-    * plus one fingerprint pass). Returns true if a rebuild ran. */
+    * changed since the persisted state (build base + applied appends —
+    * one metadata read plus one fingerprint pass). Returns true if a
+    * rebuild ran. */
   def ensureIvfIndex(spark: SparkSession, e: DataFrame, indexDir: String,
       nlist: Int = 16, replicas: Int = 2): Boolean = {
     val expected =
       s"${corpusFingerprint(e)}|nlist=$nlist|replicas=$replicas"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(indexDir, "_corpus_fingerprint")
-    val current =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        try Some(new String(in.readAllBytes(), "UTF-8").trim)
-        finally in.close()
-      }
-    if (current.contains(expected)) false
+    if (ivfCurrentFingerprint(spark, indexDir).contains(expected)) false
     else { buildIvfIndex(spark, e, indexDir, nlist, replicas); true }
   }
 
@@ -290,11 +312,21 @@ object Similarity {
     * and its rows are appended as new files into only the affected
     * `cells/cell=N/` directories — every other cell's files keep their
     * on-disk identity. The fingerprint is a (count, hash-sum) pair and
-    * therefore ADDITIVE: the marker advances to fp(corpus ∪ batch) by
-    * adding the batch's own fingerprint, no corpus re-read — so a
-    * subsequent [[ensureIvfIndex]] over the union sees a match and does
-    * not rebuild. Crash mid-append self-heals: the marker still names the
-    * OLD corpus, so the next ensure detects the mismatch and rebuilds.
+    * therefore ADDITIVE: the batch's own fingerprint is recorded as the
+    * payload of its [[graft.pipeline.AppendCommit]] ledger entry and
+    * summed onto the build-time base by [[ivfCurrentFingerprint]] — no
+    * corpus re-read — so a subsequent [[ensureIvfIndex]] over the union
+    * sees a match and does not rebuild.
+    *
+    * Idempotent under at-least-once delivery AND crash-retry: the whole
+    * placement runs through AppendCommit (staged write → tag-deleted
+    * move → ledger entry LAST), so a replayed batch id is a no-op, a
+    * retry after a crash mid-move re-places the same files without
+    * duplication, and the fingerprint advances exactly once — the
+    * ledger entry and the fingerprint advance are the same atomic file
+    * creation. (The previous scheme — append files, then rewrite the
+    * marker — had a window where a retry double-appended the batch and
+    * the advanced marker then masked the duplicates from `ensure`.)
     *
     * Caveat (documented, inherent to IVF): appended vectors are indexed
     * under centroids trained on the original corpus. Under distribution
@@ -318,23 +350,23 @@ object Similarity {
     val in = fs.open(markerPath)
     val marker = try new String(in.readAllBytes(), "UTF-8").trim
       finally in.close()
-    val Array(n0, h0, nlistPart, replicasPart) = marker.split('|')
-    val replicas = replicasPart.stripPrefix("replicas=").toInt
+    val replicas = marker.split('|')(3).stripPrefix("replicas=").toInt
+    // batch fingerprint BEFORE the write (one pass over the batch only);
+    // it is both the idempotency key and the ledger payload
+    val fpBatch = corpusFingerprint(batch)
+    val batchId = java.security.MessageDigest.getInstance("MD5")
+      .digest(fpBatch.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(16)
+    if (graft.pipeline.AppendCommit.isApplied(indexDir, batchId)) return
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
-    // batch fingerprint BEFORE the write (one pass over the batch only)
-    val Array(n1, h1) = corpusFingerprint(batch).split('|')
-    batch.select(col("vec_id"), col("embedding"),
-        explode(bestCells(centroids, col("embedding"), replicas)).as("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$indexDir/cells")
-    // marker last: files-without-marker ⇒ stale fingerprint ⇒ the next
-    // ensure rebuilds (self-healing); marker-without-files cannot happen
-    val newMarker = s"${n0.toLong + n1.toLong}|" +
-      s"${(BigInt(h0) + BigInt(h1)).toString}|$nlistPart|$replicasPart"
-    val os = fs.create(markerPath, true)
-    try os.write(newMarker.getBytes("UTF-8")) finally os.close()
+    graft.pipeline.AppendCommit.appendBatch(spark, indexDir, batchId,
+        fpBatch) { tmp =>
+      batch.select(col("vec_id"), col("embedding"),
+          explode(bestCells(centroids, col("embedding"), replicas)).as("cell"))
+        .write.partitionBy("cell").parquet(s"$tmp/cells")
+    }
   }
 
   /** Probe a persisted index: assign each query to its `nprobe` best

@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import java.net.URI
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Idempotent FILE-ADDITIVE append of a batch into a live multi-table
+  * dataset tree — the commit protocol under the O(batch) index appends
+  * (MinHash signatures/bands, IVF cells). Where [[SafeSwap]] replaces a
+  * whole tree (O(dataset) I/O per commit — fine for rebuilds, ruinous
+  * for a daily batch against a 100 TB index), this moves only the
+  * batch's OWN files into place:
+  *
+  *   1. the batch's tables are staged under a hidden per-batch staging
+  *      dir, itself written behind [[SafeSwap]] so a crashed staging
+  *      write heals on retry;
+  *   2. every staged data file is renamed into the live tree under a
+  *      name TAGGED with the batch id — after first deleting any
+  *      same-tag files a crashed earlier attempt left behind, so the
+  *      move can never double-place a batch;
+  *   3. the batch id (plus an optional payload, e.g. the batch's
+  *      additive fingerprint) is recorded as one tiny file in
+  *      `_applied/` — created LAST, so an id in the ledger means the
+  *      batch's files are fully placed.
+  *
+  * Re-running an applied batch is a cheap no-op (one ledger probe). A
+  * crash at ANY point leaves a state the retry converges from: before
+  * the moves — staging is rebuilt; mid-move — same-tag leftovers are
+  * cleared and re-placed; after the moves but before the ledger write —
+  * the re-place is content-equivalent (the stage recomputes the same
+  * batch). This is the record-grained analog of the reference fetcher's
+  * exists-guard (`fetch-canvas-data-file.py:25-31`): at-least-once
+  * delivery, effectively-once state.
+  *
+  * SINGLE maintenance writer required (same contract as [[Rollup]]):
+  * concurrent appends of different batches interleave safely at the
+  * file level, but a compaction/rebuild running between a crashed
+  * attempt and its retry invalidates the tag-delete step (the ledger
+  * still short-circuits the fully-applied case). The `_applied/` ledger
+  * is one tiny file per batch — compact it when a rebuild resets the
+  * tree (a rebuild under SafeSwap drops the ledger with the old tree,
+  * which is correct: the new tree's content already includes every
+  * applied batch).
+  */
+object AppendCommit {
+
+  private def fsFor(path: String): FileSystem =
+    FileSystem.get(new URI(path), new Configuration())
+
+  private def ledgerPath(root: String, batchId: String): Path =
+    new Path(root, s"_applied/$batchId")
+
+  private def stagingPath(root: String, batchId: String): String =
+    s"$root/.append_$batchId"
+
+  private def tagOf(batchId: String): String = s"a_${batchId}_"
+
+  def isApplied(root: String, batchId: String): Boolean =
+    fsFor(root).exists(ledgerPath(root, batchId))
+
+  /** All (batchId, payload) ledger entries — e.g. summed by
+    * fingerprint-tracking consumers ([[graft.operators.Similarity]]'s
+    * IVF `ensure`). Unordered (appends are content-commutative). */
+  def appliedEntries(root: String): Seq[(String, String)] = {
+    val fs = fsFor(root)
+    val dir = new Path(root, "_applied")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map { st =>
+      val in = fs.open(st.getPath)
+      val payload =
+        try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      (st.getPath.getName, payload)
+    }
+  }
+
+  /** Remove data files tagged with `batchId` anywhere under `root` —
+    * leftovers of a crashed earlier attempt at the same batch. Hidden
+    * entries and the ledger are skipped. */
+  private def deleteTagged(fs: FileSystem, root: Path,
+      batchId: String): Unit = {
+    val tag = tagOf(batchId)
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) {
+        if (!n.startsWith(".") && n != "_applied") walk(st.getPath)
+      } else if (n.startsWith(tag)) fs.delete(st.getPath, false)
+    }
+    if (fs.exists(root)) walk(root)
+  }
+
+  /** Rename staged data files into the live tree, preserving relative
+    * directories (so `partitionBy` layouts land in their partition
+    * dirs), tagging each file name with the batch id. Metadata files
+    * (`_SUCCESS`, checksums) are not moved. */
+  private def moveTagged(fs: FileSystem, staging: Path, root: Path,
+      batchId: String): Unit = {
+    val tag = tagOf(batchId)
+    var i = 0
+    def walk(p: Path, rel: String): Unit = fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory)
+        walk(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
+      else if (!n.startsWith("_") && !n.startsWith(".")) {
+        val destDir = if (rel.isEmpty) root else new Path(root, rel)
+        fs.mkdirs(destDir)
+        val dest = new Path(destDir, s"$tag${i}_$n")
+        i += 1
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(
+            s"append: cannot move ${st.getPath} to $dest")
+      }
+    }
+    walk(staging, "")
+  }
+
+  /** Stage-then-move `batchId`'s files into the live tree at `root`.
+    * Returns false (and runs nothing) if the batch is already applied.
+    * `stage` writes the batch's tables under the passed temp root using
+    * the same relative layout as the live tree (`tmp/signatures`,
+    * `tmp/cells`, ...). */
+  def appendBatch(spark: org.apache.spark.sql.SparkSession, root: String,
+      batchId: String, payload: String = "")
+      (stage: String => Unit): Boolean = {
+    require(batchId.matches("[A-Za-z0-9._-]+"),
+      s"batch id must be path-safe, got: $batchId")
+    val fs = fsFor(root)
+    val staging = new Path(stagingPath(root, batchId))
+    if (isApplied(root, batchId)) {
+      // a crash between the ledger write and the staging cleanup leaves
+      // an orphan staging dir — reap it here
+      fs.delete(staging, true)
+      return false
+    }
+    SafeSwap.replace(stagingPath(root, batchId))(stage)
+    deleteTagged(fs, new Path(root), batchId)
+    moveTagged(fs, staging, new Path(root), batchId)
+    fs.delete(staging, true)
+    val lp = ledgerPath(root, batchId)
+    fs.mkdirs(lp.getParent)
+    val os = fs.create(lp, true)
+    try os.write(payload.getBytes("UTF-8")) finally os.close()
+    true
+  }
+}

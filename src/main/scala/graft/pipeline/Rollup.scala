@@ -25,6 +25,15 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * applied-id list lives INSIDE the swapped tree, so partials and the
   * replay ledger move atomically together.
   *
+  * SINGLE-WRITER contract: replay-safety assumes one maintenance
+  * writer at a time (the sync layer's own model — one daily driver).
+  * Two CONCURRENT [[merge]] calls with different batch ids would both
+  * pass the ledger check and the later SafeSwap would silently discard
+  * the earlier fold; plain rename gives no cross-process compare-and-
+  * swap to detect it. Serialize maintenance externally (the scheduler
+  * already does); replays of the SAME batch id at any later time are
+  * what the ledger protects against, and that protection is exact.
+  *
   * Limitations (documented, not hidden): only algebraic aggregates
   * (count/sum — and anything derivable: mean, ratios) are mergeable
   * this way; holistic aggregates (exact median, distinct count) need
@@ -58,7 +67,8 @@ object Rollup {
   }
 
   /** Fold one batch into the store. Replaying an applied `batchId` is a
-    * no-op (returns false). */
+    * no-op (returns false). NOT safe under concurrent writers — see the
+    * single-writer contract in the object doc. */
   def merge(spark: SparkSession, storeDir: String, batch: DataFrame,
       groupCols: Seq[String], sumCols: Seq[String],
       batchId: String): Boolean = {

@@ -56,6 +56,11 @@ object SafeSwap {
     val dst = new Path(path)
     val tmp = new Path(tmpPath(path))
     val old = new Path(oldPath(path))
+    // A crash mid-`write` leaves a populated tmp dir; writers using the
+    // default ErrorIfExists save mode would then fail on every retry with
+    // "path already exists" — the advertised heal-on-next-run recovery
+    // requires the stale tmp to be cleared before `write` runs.
+    fs.delete(tmp, true)
     write(tmpPath(path))
     fs.delete(old, true) // leftover from a crashed-but-completed swap
     if (fs.exists(dst) && !fs.rename(dst, old))

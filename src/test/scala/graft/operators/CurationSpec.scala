@@ -263,7 +263,8 @@ class CurationSpec extends SparkSpec {
       (3L, "https://www.sub.Bar.org#frag"),
       (4L, "ftp://Baz.net"),
       (5L, "no scheme here"),
-      (6L, "https://www.foo.com")
+      (6L, "https://www.foo.com"),
+      (7L, "HTTPS://Upper.Example.com/x")
     ).toDF("doc_id", "url")
     val r = Curation.normalizeDomains(urls).collect()
       .map(x => x.getLong(0) ->
@@ -274,6 +275,8 @@ class CurationSpec extends SparkSpec {
     assert(r(4L).contains("baz.net"))
     assert(r(5L).isEmpty, "schemeless input must yield NULL")
     assert(r(6L).contains("foo.com"))
+    assert(r(7L).contains("upper.example.com"),
+      "schemes are case-insensitive (RFC 3986): HTTPS:// must parse")
   }
 
   test("winsorize clips exactly the tails the order statistic defines") {
@@ -292,6 +295,38 @@ class CurationSpec extends SparkSpec {
     assert(r(19L) === ((3L, 19L, 19L)))
     assert(r(20L) === ((3L, 19L, 19L)))
     intercept[IllegalArgumentException](Curation.winsorize(df, "k", "v", 0.6))
+  }
+
+  test("continuous winsorize agrees with discrete and never windows the corpus") {
+    import spark.implicits._
+    // same contract at both tails: on a distribution where both paths
+    // apply, the clipped columns must be identical
+    val df = (1L to 20L).map(v => ("a", v.toDouble)).toDF("k", "v")
+    def canon(r: org.apache.spark.sql.DataFrame) =
+      r.select("v", "lo", "hi", "clipped").collect()
+        .map(x => (x.getDouble(0), x.getDouble(1), x.getDouble(2),
+          x.getDouble(3))).toSet
+    assert(canon(Curation.winsorizeContinuous(df, "k", "v", 0.1)) ===
+      canon(Curation.winsorize(df, "k", "v", 0.1)))
+    intercept[IllegalArgumentException](
+      Curation.winsorizeContinuous(df, "k", "v", 0.6))
+    // the q68b plan guard, extended to the winsorize shape: on a
+    // unique-per-row double score, every score-ordered window must
+    // consume the boundary-bucket slice (above a join), never raw
+    // corpus rows — for BOTH tails
+    val uniq = (0 until 1000)
+      .map(i => (s"k${i % 3}", i.toDouble / 7.0)).toDF("key", "score")
+    val plan = Curation.winsorizeContinuous(uniq, "key", "score", 0.05)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val valueWindows = plan.collect { case w: LWindow => w }
+      .filter(_.orderSpec.exists(
+        _.child.references.exists(_.name == "score")))
+    assert(valueWindows.size >= 2, "expected a score window per tail")
+    valueWindows.foreach { w =>
+      assert(w.child.collectFirst { case j: Join => j }.isDefined,
+        "score-ordered window must sit above the boundary-bucket join")
+    }
   }
 
   test("continuous quantile matches discrete on NULL-heavy keys") {

@@ -107,14 +107,61 @@ class DedupSpec extends SparkSpec {
       spark.read.parquet(s"$p/signatures").collect()
         .map(r => (r.getAs[Long]("doc_id"),
           r.getAs[Seq[Long]]("sig").toList: Seq[Long])).toSet
+    // bands are compared on the LIVE VIEW: the file-additive append
+    // leaves dead rows of cap-crossed buckets on disk by design, and
+    // readMinhashBands is the reader contract every probe goes through
     def bands(p: String): Set[(Long, Int, Long)] =
-      spark.read.parquet(s"$p/bands").collect()
+      Dedup.readMinhashBands(spark, p).collect()
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
           r.getAs[Long]("bh"))).toSet
     assert(sigs(appended) == sigs(rebuilt),
       "appended signature table diverged from a fresh rebuild")
     assert(bands(appended) == bands(rebuilt),
-      "appended band table diverged from a fresh rebuild")
+      "appended band view diverged from a fresh rebuild")
+    // ... and compaction preserves the view while purging dead rows
+    Dedup.compactMinhashIndex(spark, appended)
+    assert(sigs(appended) == sigs(rebuilt),
+      "compaction changed the signature table")
+    assert(bands(appended) == bands(rebuilt),
+      "compaction changed the live band view")
+  }
+
+  test("append is file-additive and idempotent (untouched files keep identity)") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("mh_mtime").toString
+    val idx = s"$base/idx"
+    Dedup.buildMinhashIndex(spark, d.filter(col("doc_id") % 2 === 0), idx)
+    // snapshot of every data file: (path -> (mtime, length))
+    def snapshot(): Map[String, (Long, Long)] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, (Long, Long))] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq(st.getPath.toString ->
+            (st.getModificationTime, st.getLen))
+        }
+      walk(new org.apache.hadoop.fs.Path(idx)).toMap
+    }
+    val before = snapshot()
+    val batch = d.filter(col("doc_id") % 2 === 1)
+    Dedup.appendToMinhashIndex(spark, batch, idx)
+    val after = snapshot()
+    // O(batch) I/O, proven physically: every pre-existing file is still
+    // there, byte-identical (same mtime + length) — the append added
+    // files, it rewrote nothing (the r5 layout rewrote both tables here)
+    before.foreach { case (path, id) =>
+      assert(after.get(path).contains(id),
+        s"append rewrote or removed pre-existing index file $path")
+    }
+    assert(after.size > before.size, "append should have added files")
+    // replaying the same batch is a no-op at the file level: the
+    // content-derived batch id is already in the append ledger
+    Dedup.appendToMinhashIndex(spark, batch, idx)
+    assert(snapshot() == after,
+      "replaying an applied batch must not touch the index")
   }
 
   test("append re-applies the bucket cap on MERGED bucket sizes") {
@@ -128,17 +175,24 @@ class DedupSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("mh_cap").toString
     val idx = s"$base/idx"
     Dedup.buildMinhashIndex(spark, docs(0, 600), idx)
-    assert(spark.read.parquet(s"$idx/bands").count() > 0,
+    assert(Dedup.readMinhashBands(spark, idx).count() > 0,
       "600-doc buckets should be under the cap at build time")
     Dedup.appendToMinhashIndex(spark, docs(1000, 600), idx)
+    assert(Dedup.readMinhashBands(spark, idx).count() == 0,
+      "merged 1200-doc buckets must vanish from the live view")
+    // the build's 600 old rows stay on disk (file-additive append never
+    // rewrites them) — dead until compaction purges them
+    assert(spark.read.parquet(s"$idx/bands").count() == 600 * 16,
+      "pre-crossing rows should still be physically present")
+    Dedup.compactMinhashIndex(spark, idx)
     assert(spark.read.parquet(s"$idx/bands").count() == 0,
-      "merged 1200-doc buckets must be dropped by the append")
+      "compaction must purge the dead rows physically")
     assert(spark.read.parquet(s"$idx/signatures").count() == 1200,
       "signatures are never capped — all docs remain probe-able")
     val union = s"$base/union"
     Dedup.buildMinhashIndex(spark,
       docs(0, 600).unionByName(docs(1000, 600)), union)
-    assert(spark.read.parquet(s"$union/bands").count() == 0,
+    assert(Dedup.readMinhashBands(spark, union).count() == 0,
       "fresh build over the union agrees: bucket over cap → no band rows")
   }
 

@@ -155,6 +155,15 @@ class SimilaritySpec extends SparkSpec {
     // the fingerprint advanced additively to the union: ensure is a no-op
     assert(!Similarity.ensureIvfIndex(spark, e, idx),
       "append must leave the union's fingerprint, not a stale one")
+    // at-least-once delivery: replaying the SAME batch is a no-op — the
+    // content-derived batch id is in the append ledger, so neither the
+    // cell files nor the cumulative fingerprint move (the r5 scheme
+    // double-appended here and the advanced marker masked it)
+    Similarity.appendToIvfIndex(spark, e.filter(col("vec_id") % 5 === 0), idx)
+    assert(listing() == after,
+      "replaying an applied batch must not touch the cells")
+    assert(!Similarity.ensureIvfIndex(spark, e, idx),
+      "replaying an applied batch must not move the fingerprint")
     // exhaustive probe (nprobe = nlist) through the appended index must
     // equal brute force over the FULL corpus — lost or double-indexed
     // batch rows would show up here
