@@ -33,9 +33,18 @@ object Bench {
     val runs = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption)
         .getOrElse(2))
+    // BENCH_ONLY adjudication runs select the heaviest queries by
+    // construction; packing them into one 16-slot session concentrates
+    // GC/codegen pressure that the full run dilutes across groups (r5:
+    // q32b measured 12.3 s filtered vs 5.3 s in the full run). Shrink
+    // the default group under an active filter so adjudication numbers
+    // are comparable to full-run numbers; an explicit BENCH_GROUP still
+    // wins for deliberate group-composition experiments.
+    val defaultGroup = if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) 4
+      else 16
     val groupSize = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_GROUP").flatMap(_.toIntOption)
-        .getOrElse(16))
+        .getOrElse(defaultGroup))
 
     def freshSession(): SparkSession = {
       SparkSession.getActiveSession.foreach(_.stop())

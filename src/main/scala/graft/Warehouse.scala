@@ -39,6 +39,12 @@ object Warehouse {
         org.apache.spark.sql.functions.to_date(
           org.apache.spark.sql.functions.col(tsCol))))
 
+  /** A materialized rollup maintained per sync batch: `spec` aggregates
+    * over `table`'s RAW column space, refreshed with O(new files) work
+    * after every sync (the q96 machinery wired into the daily driver). */
+  final case class RollupDef(name: String, table: String,
+      spec: graft.pipeline.Rollup.Spec)
+
   final case class Config(
       warehouseDir: String,
       db: String = "canvasdata",
@@ -50,6 +56,12 @@ object Warehouse {
       /** per-table canonical layout overrides (partitioning/derivation);
         * tables absent from the map canonicalize unpartitioned */
       canonicalSpecs: Map[String, CanonicalSpec] = Map.empty,
+      /** rollups auto-refreshed per sync batch (see [[Warehouse.rollup]]) */
+      maintainedRollups: Seq[RollupDef] = Nil,
+      /** table → profiled columns: per-column null/distinct/min-max kept
+        * fresh per sync batch without table re-scans
+        * (see [[Warehouse.profileOf]]) */
+      maintainedProfiles: Map[String, Seq[String]] = Map.empty,
       /** Summary notification hook — the reference publishes every sync
         * summary to an SNS email topic (`sync-canvas-data-files.py:141-145`,
         * topic `cloud_formation/canvas_data_aws.yaml:68-78`); plug a mailer/
@@ -94,9 +106,85 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
           graft.catalog.CatalogSync.registerCanonicalView(
             spark, cfg.db, t.tableName, path)
         }
+      if (!cfg.dryRun) maintainStores(schema)
     } finally cfg.onSummary(summary)
     summary
   }
+
+  /** Per-sync-batch refresh of the configured rollups and profiles —
+    * data-quality observability (A13's operational summary grown into
+    * data) at O(new files) cost per run.
+    *
+    * The refresh unit is the raw FILE (immutable and content-addressed
+    * by name — the reference's storage contract): each store's Rollup
+    * ledger records which files it has folded, and a refresh folds
+    * exactly `current raw listing ∖ ledger` in one batch whose per-file
+    * ids commit atomically with the partials. That makes the loop
+    * self-converging under any crash — a sync that fetched files but
+    * died before this refresh folds them on the NEXT run (the ledger,
+    * not the sync's in-memory delta, is the source of truth), and a
+    * replayed file can never double-count. A stale-DELETE (the
+    * reference models change as new-file-appears + old-file-disappears)
+    * breaks the insert-only premise of min/max/HLL partials, so a
+    * ledger id with no surviving file triggers a full store rebuild
+    * over the current listing — rare, detected, never silent. */
+  private def maintainStores(schema: Seq[CDTable]): Unit = {
+    import graft.pipeline.Rollup
+    val stores: Seq[(String, String, Rollup.Spec)] =
+      cfg.maintainedRollups.map(r =>
+        (s"rollup_${r.name}", r.table, r.spec)) ++
+        cfg.maintainedProfiles.toSeq.map { case (t, cols) =>
+          (s"profile_$t", t, graft.operators.Stats.profileSpec(cols)) }
+    if (stores.isEmpty) return
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(cfg.warehouseDir),
+      spark.sparkContext.hadoopConfiguration)
+    stores.foreach { case (storeName, tableName, spec) =>
+      schema.find(_.tableName == tableName).foreach { t =>
+        val tableDir = s"${cfg.warehouseDir}/${Sync.RawPrefix}/$tableName"
+        val files =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(tableDir))) Nil
+          else fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+            .toSeq.filter(_.isFile).map(_.getPath.getName)
+            .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+            .sorted
+        if (files.nonEmpty) {
+          val store = s"${cfg.warehouseDir}/_maintained/$storeName"
+          val st = graft.model.TypeLattice.toStructType(t)
+          def readFiles(fnames: Seq[String]) = graft.sources.TsvSource
+            .read(spark, st, fnames.map(f => s"$tableDir/$f"))
+          val applied =
+            if (Rollup.exists(spark, store))
+              Rollup.appliedIds(spark, store) else Nil
+          if (applied.isEmpty)
+            Rollup.init(spark, store, readFiles(files), spec, files)
+          else if (!applied.forall(files.contains)) {
+            // a folded file was stale-deleted: partials can't subtract —
+            // rebuild over the surviving files
+            org.slf4j.LoggerFactory.getLogger(classOf[Warehouse]).warn(
+              s"$storeName: folded file(s) removed by stale-delete — " +
+                "rebuilding store from the current listing")
+            Rollup.init(spark, store, readFiles(files), spec, files)
+          } else {
+            val fresh = files.filterNot(applied.contains)
+            if (fresh.nonEmpty)
+              Rollup.merge(spark, store, readFiles(fresh), spec, fresh)
+          }
+        }
+      }
+    }
+  }
+
+  /** Read a maintained rollup (see [[Warehouse.Config.maintainedRollups]]). */
+  def rollup(name: String, spec: graft.pipeline.Rollup.Spec)
+      : DataFrame =
+    graft.pipeline.Rollup.read(spark,
+      s"${cfg.warehouseDir}/_maintained/rollup_$name", spec)
+
+  /** Read a maintained profile in q97 shape (one row per column). */
+  def profileOf(table: String, cols: Seq[String]): DataFrame =
+    graft.operators.Stats.readProfileStore(spark,
+      s"${cfg.warehouseDir}/_maintained/profile_$table", cols)
 
   /** Analyst SQL over the synced catalog — the Athena replacement. */
   def sql(query: String): DataFrame = spark.sql(query)

@@ -565,6 +565,111 @@ object Curation {
       |SELECT domain, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
       |FROM n GROUP BY domain""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q98_domain_blocklist — the operator every curation pipeline runs
+  // right after domain extraction (q95): drop documents whose domain is
+  // on a blocklist, with SUBDOMAIN-SUFFIX semantics — an entry
+  // `example.com` blocks `example.com`, `a.example.com`, and
+  // `deep.a.b.example.com`, but NOT `notexample.com` (matches only at
+  // dot boundaries).
+  //
+  // Scale shape: each domain expands to its dot-boundary suffixes (≤
+  // label count, a small constant) and the match is an EQUI-join of
+  // those suffixes against the broadcast blocklist — a hash probe per
+  // suffix, never a per-row scan of the list (the naive
+  // `domain LIKE '%.' || entry` predicate is O(|blocklist|) per row and
+  // can't be hash-joined). The matched ids (blocked docs ≪ corpus in
+  // any sane pipeline) then anti-join the corpus — broadcastable, so
+  // the corpus itself never shuffles. Docs with a NULL domain (q95's
+  // schemeless rows) match nothing and survive: a blocklist can only
+  // speak about domains it can name.
+  // ---------------------------------------------------------------------
+
+  /** All dot-boundary suffixes of a domain, incl. the full host:
+    * `a.b.example.com` → [a.b.example.com, b.example.com, example.com,
+    * com]. */
+  private def domainSuffixes(domain: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val parts = split(domain, "\\.")
+    transform(sequence(lit(1), size(parts)), i =>
+      array_join(slice(parts, i, size(parts) - i + 1), "."))
+  }
+
+  /** Survivors of `docs` after blocklist filtering on `domainCol` with
+    * subdomain-suffix matching. `blocklist`'s first column holds the
+    * blocked domains (curated, bounded — it broadcasts). `idCol` is the
+    * document key the blocked set anti-joins back on. */
+  def blockByDomain(docs: DataFrame, idCol: String, domainCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val entries = blocklist
+      .select(col(blocklist.columns.head).as("__sfx")).distinct()
+    val blockedIds = docs
+      .select(col(idCol),
+        explode(domainSuffixes(col(domainCol))).as("__sfx"))
+      .join(broadcast(entries), Seq("__sfx"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(broadcast(blockedIds), Seq(idCol), "left_anti")
+  }
+
+  /** Gate corpus: the q95 URL generator re-pointed at four domain
+    * families — direct subdomains of a blocked apex, an exact-entry
+    * match among unblocked siblings, a never-blocked domain, and a
+    * multi-level subdomain of the blocked apex; schemeless rows keep
+    * their NULL domain and must survive. */
+  def q98DomainBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val urls = d.select(col("doc_id"),
+      when(col("doc_id") % 11 =!= 0, concat(
+        lit("https://"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("sub"), (col("doc_id") % 5).cast("string"),
+            lit(".blocked.net")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("host"), (col("doc_id") % 7).cast("string"),
+              lit(".example.com")))
+          .when(col("doc_id") % 4 === 2, lit("safe.org"))
+          .otherwise(lit("deep.a.b.blocked.net")),
+        lit("/p/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("not a url "), col("doc_id").cast("string")))
+        .as("url"))
+    val blocklist = Seq("blocked.net", "host3.example.com")
+      .toDF("entry")
+    blockByDomain(normalizeDomains(urls), "doc_id", "domain", blocklist)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+  }
+
+  val q98DomainBlocklistSql: String =
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 <> 0 THEN
+      |      'https://' ||
+      |      CASE WHEN doc_id % 4 = 0
+      |             THEN 'sub' || (doc_id % 5) || '.blocked.net'
+      |           WHEN doc_id % 4 = 1
+      |             THEN 'host' || (doc_id % 7) || '.example.com'
+      |           WHEN doc_id % 4 = 2 THEN 'safe.org'
+      |           ELSE 'deep.a.b.blocked.net' END ||
+      |      '/p/' || doc_id
+      |    ELSE 'not a url ' || doc_id END AS url
+      |  FROM documents),
+      |n AS (SELECT doc_id,
+      |        CASE WHEN regexp_extract(lower(url),
+      |               '^[a-z]+://([^/:?#]+)', 1) <> ''
+      |             THEN regexp_replace(regexp_extract(lower(url),
+      |               '^[a-z]+://([^/:?#]+)', 1), '^www\.', '')
+      |        END AS domain
+      |      FROM urls),
+      |b AS (SELECT * FROM (VALUES ('blocked.net'), ('host3.example.com'))
+      |      AS t(entry))
+      |SELECT domain, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+      |FROM n
+      |WHERE domain IS NULL OR NOT EXISTS (
+      |  SELECT 1 FROM b
+      |  WHERE n.domain = b.entry OR n.domain LIKE '%.' || b.entry)
+      |GROUP BY domain""".stripMargin
+
   def q68QualityPrune(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val thr = quantileThresholds(d, "lang", "n_chars", 0.5)

@@ -306,6 +306,96 @@ object Ingest {
         sumDec(col("c_acctbal")).as("sum_bal"))
   }
 
+  // ---------------------------------------------------------------------
+  // q99_scd2_rollup — COMPOSITION gate: the change-capture →
+  // aggregate-refresh path a warehouse runs daily. Three snapshot
+  // versions fold through the real [[graft.pipeline.Upsert.scd2Merge]]
+  // (v1 init, v2 = q82's mutation, v3 = a further mutation of v2), and
+  // after each fold the rows OPENED at that version — the merge's change
+  // capture, the one append-only product of SCD2 (a row's `valid_from`
+  // is immutable; only `valid_to` flips once) — feed a
+  // [[graft.pipeline.Rollup]] keyed by `valid_from`, with v3 replayed
+  // (must no-op). The oracle exploits the snapshot identity (after
+  // folding a full snapshot, the open state EQUALS the snapshot, so
+  // opened@v = rows of snapshot v that are new-or-changed vs snapshot
+  // v−1) to replay the whole pipeline in SQL. Any divergence in the
+  // SCD2 branch matrix ACROSS TWO CHAINED FOLDS, in the opened-row
+  // capture, or in the rollup's fold/replay machinery moves a count or
+  // a decimal sum and hash-fails.
+  // ---------------------------------------------------------------------
+  private lazy val scd2RuBase: String =
+    Files.createTempDirectory("graft_scd2ru_").toString
+
+  def q99Scd2Rollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Rollup, Upsert}
+    val store = s"$scd2RuBase/ru_${dir.hashCode.toHexString}"
+    val spec = Rollup.Spec(Seq("valid_from"), sumCols = Seq("c_acctbal"))
+    if (!new java.io.File(s"$store.complete").exists()) {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val h1 = c
+        .withColumn("valid_from", lit(1L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      val s2 = c.filter(col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey"),
+          (col("c_acctbal") + when(col("c_custkey") % 7 === 0, 100.0d)
+            .otherwise(0.0d)).as("c_acctbal"))
+        .unionByName(c.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_acctbal")))
+      val h2 = Upsert.scd2Merge(h1, s2, Seq("c_custkey"), version = 2L)
+      val s3 = s2.filter(col("c_custkey") % 17 =!= 0)
+        .select(col("c_custkey"),
+          (col("c_acctbal") + when(col("c_custkey") % 5 === 0, 50.0d)
+            .otherwise(0.0d)).as("c_acctbal"))
+        .unionByName(s2.filter(col("c_custkey") % 19 === 0)
+          .select((col("c_custkey") + 2000000L).as("c_custkey"),
+            col("c_acctbal")))
+      val h3 = Upsert.scd2Merge(h2, s3, Seq("c_custkey"), version = 3L)
+      Rollup.init(s, store, h1, spec, "v1")
+      Rollup.merge(s, store, h2.filter(col("valid_from") === 2L), spec, "v2")
+      Rollup.merge(s, store, h3.filter(col("valid_from") === 3L), spec, "v3")
+      // at-least-once: the replayed version must not double-count
+      Rollup.merge(s, store, h3.filter(col("valid_from") === 3L), spec, "v3")
+      new java.io.File(s"$store.complete").createNewFile()
+    }
+    Rollup.read(s, store, spec)
+      .select(col("valid_from"), col("n"), col("sum_c_acctbal"))
+  }
+
+  val q99Scd2RollupSql: String =
+    """WITH s1 AS (SELECT c_custkey, c_acctbal FROM customer),
+      |s2 AS (
+      |  SELECT c_custkey,
+      |    c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END
+      |      AS c_acctbal
+      |  FROM customer WHERE c_custkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_acctbal
+      |  FROM customer WHERE c_custkey % 11 = 0),
+      |s3 AS (
+      |  SELECT c_custkey,
+      |    c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 50.0 ELSE 0.0 END
+      |      AS c_acctbal
+      |  FROM s2 WHERE c_custkey % 17 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 2000000, c_acctbal
+      |  FROM s2 WHERE c_custkey % 19 = 0),
+      |o2 AS (SELECT b.c_custkey, b.c_acctbal
+      |       FROM s2 b LEFT JOIN s1 a ON a.c_custkey = b.c_custkey
+      |       WHERE a.c_custkey IS NULL
+      |          OR a.c_acctbal IS DISTINCT FROM b.c_acctbal),
+      |o3 AS (SELECT b.c_custkey, b.c_acctbal
+      |       FROM s3 b LEFT JOIN s2 a ON a.c_custkey = b.c_custkey
+      |       WHERE a.c_custkey IS NULL
+      |          OR a.c_acctbal IS DISTINCT FROM b.c_acctbal),
+      |r AS (SELECT CAST(1 AS BIGINT) AS valid_from, c_acctbal FROM s1
+      |      UNION ALL SELECT 2, c_acctbal FROM o2
+      |      UNION ALL SELECT 3, c_acctbal FROM o3)
+      |SELECT valid_from, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE)
+      |    AS sum_c_acctbal
+      |FROM r GROUP BY valid_from""".stripMargin
+
   val q82Scd2MergeSql: String =
     """WITH s1 AS (SELECT c_custkey, c_acctbal FROM customer),
       |s2 AS (

@@ -199,6 +199,23 @@ object Similarity {
     rerank(corpus.join(broadcast(queries), Seq("cell")), k)
   }
 
+  /** Rank 1..n over an ALREADY-bounded result (the ≤k-row output of
+    * `orderBy(...).limit(k)`) without a global window: coalesce to one
+    * partition, re-sort locally so the rank is defined by the ordering
+    * (not physical arrival), and number rows with
+    * `monotonically_increasing_id` — on partition 0 the ids are exactly
+    * 0..n−1 in row order, and the expression is nondeterministic so the
+    * optimizer cannot reorder it across the sort. Semantically identical
+    * to `row_number().over(Window.orderBy(order))` on this bounded
+    * input, but plans no WindowExec at all — a `Window.partitionBy(lit)`
+    * spelling does not survive the optimizer (foldable partition keys
+    * are eliminated, reintroducing the no-partition WindowExec and its
+    * per-run warning in every bench tail). */
+  private def rankBounded(df: DataFrame, rankCol: String,
+      order: Seq[Column]): DataFrame =
+    df.coalesce(1).sortWithinPartitions(order: _*)
+      .withColumn(rankCol, monotonically_increasing_id() + 1)
+
   /** Shared exact rerank: cosine within the probed candidate set, bounded
     * top-k per query. */
   private def rerank(cand0: DataFrame, k: Int): DataFrame = {
@@ -474,12 +491,11 @@ object Similarity {
       .crossJoin(broadcast(qv))
       .select(col("doc_id"), expr("cosine_sim(q_emb, embedding)").as("sim"))
     // top-10 via orderBy+limit → TakeOrderedAndProject (per-partition heap
-    // + driver merge); the rank window then runs over only 10 rows — never
-    // a global sort/window over the full scored set
+    // + driver merge); the rank then derives from the bounded 10-row
+    // result with no window at all (rankBounded)
     val top = scored.orderBy(col("sim").desc, col("doc_id").asc).limit(10)
-    val w = Window.orderBy(col("sim").desc, col("doc_id").asc)
-    top.withColumn("rnk", row_number().over(w))
-      .select(col("rnk"), col("doc_id"))
+    rankBounded(top, "rnk", Seq(col("sim").desc, col("doc_id").asc))
+      .select(col("rnk").cast("int").as("rnk"), col("doc_id"))
   }
 
   val q61HybridSearchSql: String =
@@ -523,10 +539,11 @@ object Similarity {
         (coalesce(lit(1.0d) / (lit(k0) + col("rnk_a")), lit(0.0d)) +
           coalesce(lit(1.0d) / (lit(k0) + col("rnk_b")), lit(0.0d)))
           .as("rrf"))
-    val w = Window.orderBy(col("rrf").desc, col("doc_id").asc)
-    joined.orderBy(col("rrf").desc, col("doc_id").asc).limit(20)
-      .withColumn("fused_rank", row_number().over(w).cast("long"))
-      .select(col("fused_rank"), col("doc_id"), col("rrf"))
+    val top = joined.orderBy(col("rrf").desc, col("doc_id").asc).limit(20)
+    rankBounded(top, "fused_rank",
+        Seq(col("rrf").desc, col("doc_id").asc))
+      .select(col("fused_rank").cast("long").as("fused_rank"),
+        col("doc_id"), col("rrf"))
   }
 
   def q90RrfFusion(s: SparkSession, dir: String): DataFrame = {
@@ -541,9 +558,8 @@ object Similarity {
       .filter(col("tf") > 0)
     val lexTop = lexScored
       .orderBy(col("tf").desc, col("doc_id").asc).limit(50)
-    val lex = lexTop.withColumn("rnk",
-      row_number().over(Window.orderBy(col("tf").desc, col("doc_id").asc))
-        .cast("long"))
+    val lex = rankBounded(lexTop, "rnk",
+      Seq(col("tf").desc, col("doc_id").asc))
     // vector signal: cosine to query vec 0 (rank parity per q61)
     val qv = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"))
@@ -552,9 +568,8 @@ object Similarity {
         expr("cosine_sim(q_emb, embedding)").as("sim"))
     val vecTop = vecScored
       .orderBy(col("sim").desc, col("doc_id").asc).limit(50)
-    val vec = vecTop.withColumn("rnk",
-      row_number().over(Window.orderBy(col("sim").desc, col("doc_id").asc))
-        .cast("long"))
+    val vec = rankBounded(vecTop, "rnk",
+      Seq(col("sim").desc, col("doc_id").asc))
     rrfFuse(lex.select(col("doc_id"), col("rnk")),
       vec.select(col("doc_id"), col("rnk")))
   }

@@ -263,4 +263,110 @@ object Stats {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
         .map(one).mkString("\nUNION ALL\n")
   }
+
+  // ---------------------------------------------------------------------
+  // Incrementally-maintained profile — q97's profile kept fresh per sync
+  // batch through the Rollup partial store instead of re-scanning the
+  // table: null counts and min/max are algebraic (insert-only batches,
+  // the sync layer's immutable-file contract), and distinct is carried
+  // as a mergeable HLL sketch (the union of per-batch sketches IS the
+  // sketch of the union, so the estimate never depends on how the data
+  // arrived in batches). Per batch this costs O(|batch|) + a one-row
+  // merge — the profile of a 100 TB table stays current for the price
+  // of each day's delta.
+  // ---------------------------------------------------------------------
+  /** The Rollup spec that carries a table's profile: per-column min/max,
+    * null counts, and HLL distinct sketches in one global partial row.
+    * Public so the warehouse maintenance loop can feed the same store
+    * ([[graft.Warehouse]]). */
+  def profileSpec(cols: Seq[String]): graft.pipeline.Rollup.Spec =
+    graft.pipeline.Rollup.Spec(
+      groupCols = Nil, minCols = cols, maxCols = cols,
+      nullCountCols = cols, distinctSketchCols = cols)
+
+  def initProfileStore(spark: SparkSession, storeDir: String,
+      df: DataFrame, cols: Seq[String], batchId: String): Unit =
+    graft.pipeline.Rollup.init(spark, storeDir, df, profileSpec(cols),
+      batchId)
+
+  def mergeProfileStore(spark: SparkSession, storeDir: String,
+      batch: DataFrame, cols: Seq[String], batchId: String): Boolean =
+    graft.pipeline.Rollup.merge(spark, storeDir, batch, profileSpec(cols),
+      batchId)
+
+  /** The store's one partial row, reshaped to [[profile]]'s per-column
+    * rows. `n_distinct` is the HLL estimate (the production default of
+    * [[profile]] too — exact distinct is not mergeable). */
+  def readProfileStore(spark: SparkSession, storeDir: String,
+      cols: Seq[String]): DataFrame = {
+    val r = graft.pipeline.Rollup.read(spark, storeDir, profileSpec(cols))
+    val metrics = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"nulls_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+        col(s"min_$c").cast("string").as("min_val"),
+        col(s"max_$c").cast("string").as("max_val"))
+    }
+    r.select(col("n").as("n_rows"), explode(array(metrics: _*)).as("m"))
+      .select(col("m.col_name").as("col_name"), col("n_rows"),
+        col("m.n_null").as("n_null"), col("m.n_distinct").as("n_distinct"),
+        col("m.min_val").as("min_val"), col("m.max_val").as("max_val"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q97b_profile_incremental — DERIVED ORACLE for the incremental
+  // profile: the q97 table is fed through the store in three batches
+  // (init + two merges) plus a replay of the middle batch (must no-op),
+  // then read back. n_rows / n_null / min / max are exact and must match
+  // DuckDB's from-scratch profile; the HLL distinct estimate is checked
+  // Spark-side against the exact count with a ≤5% tolerance VERDICT
+  // column (the q76 sketch-gate pattern) — DuckDB asserts TRUE.
+  // ---------------------------------------------------------------------
+  private lazy val profileGateBase: String =
+    java.nio.file.Files.createTempDirectory("graft_prof_").toString
+
+  def q97bProfileIncremental(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 9 =!= 0, col("o_custkey")).as("o_custkey"),
+      col("o_orderstatus"), col("o_orderpriority"))
+    val cols =
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val store = s"$profileGateBase/ps_${dir.hashCode.toHexString}"
+    if (!new java.io.File(s"$store.complete").exists()) {
+      initProfileStore(s, store, o.filter(col("o_orderkey") % 3 === 0),
+        cols, "b0")
+      mergeProfileStore(s, store, o.filter(col("o_orderkey") % 3 === 1),
+        cols, "b1")
+      mergeProfileStore(s, store, o.filter(col("o_orderkey") % 3 === 1),
+        cols, "b1") // at-least-once replay: must not double-count
+      mergeProfileStore(s, store, o.filter(col("o_orderkey") % 3 === 2),
+        cols, "b2")
+      new java.io.File(s"$store.complete").createNewFile()
+    }
+    val exact = profile(o, cols, exactDistinct = true)
+      .select(col("col_name"), col("n_distinct").as("nd_exact"))
+    readProfileStore(s, store, cols)
+      .join(broadcast(exact), "col_name")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("min_val"), col("max_val"),
+        (abs(col("n_distinct") - col("nd_exact")) <=
+          col("nd_exact") * 0.05).as("nd_ok"))
+  }
+
+  val q97bProfileIncrementalSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  CAST(MIN($c) AS VARCHAR) AS min_val,
+         |  CAST(MAX($c) AS VARCHAR) AS max_val,
+         |  TRUE AS nd_ok
+         |FROM t""".stripMargin
+    """WITH t AS (SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 9 <> 0 THEN o_custkey END AS o_custkey,
+      |  o_orderstatus, o_orderpriority FROM orders)
+      |""".stripMargin +
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(one).mkString("\nUNION ALL\n")
+  }
 }

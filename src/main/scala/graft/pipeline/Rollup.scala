@@ -8,15 +8,23 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * per sync batch) — the aggregate-level analog of the reference's
   * incremental file sync (`sync-canvas-data-files.py:58-67`: only what
   * changed moves): instead of re-aggregating the full fact table after
-  * every batch, the store holds MERGEABLE PARTIALS (count + exact
-  * decimal sums per group) and each batch folds in with one
-  * batch-sized aggregation + a |groups|-sized merge. Re-aggregating
-  * 100 TB per day becomes touching O(|batch| + |groups|).
+  * every batch, the store holds MERGEABLE PARTIALS and each batch folds
+  * in with one batch-sized aggregation + a |groups|-sized merge.
+  * Re-aggregating 100 TB per day becomes touching O(|batch| + |groups|).
   *
-  * Exactness: sums are decimal(30,4) partials (the [[graft.operators.sumDec]]
-  * convention), so the merged result is bit-identical to a from-scratch
-  * aggregate under any batch arrival order — decimal addition is
-  * associative/commutative.
+  * Mergeable partials ([[Rollup.Spec]]): count; exact decimal sums (the
+  * [[graft.operators.sumDec]] convention — bit-identical to a
+  * from-scratch aggregate under any batch arrival order, decimal
+  * addition being associative/commutative); min/max (min-of-mins /
+  * max-of-maxes — algebraic under INSERT-ONLY batches, which is the
+  * sync layer's immutable-file contract; a delete would need a rebuild);
+  * per-column null counts; and HLL distinct-count sketches
+  * (`hll_sketch_agg` partials unioned by `hll_union_agg` — the
+  * DataSketches union of per-batch sketches equals the sketch of the
+  * union, so estimates never drift with batch boundaries). Together
+  * these are exactly the inputs of the per-column profile
+  * ([[graft.operators.Stats.readProfileStore]]), making data-quality
+  * observability incremental too.
   *
   * Idempotent replay: every batch carries a caller-supplied `batchId`;
   * applied ids are recorded in the store and a replayed id is a no-op —
@@ -34,62 +42,180 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * already does); replays of the SAME batch id at any later time are
   * what the ledger protects against, and that protection is exact.
   *
-  * Limitations (documented, not hidden): only algebraic aggregates
-  * (count/sum — and anything derivable: mean, ratios) are mergeable
-  * this way; holistic aggregates (exact median, distinct count) need
-  * sketches with their own merge (see q54/q76 for the sketch gates).
+  * Limitations (documented, not hidden): holistic aggregates (exact
+  * median, exact distinct) are not mergeable — the HLL sketch is the
+  * mergeable stand-in for distinct (see q54/q76 for the sketch gates);
+  * min/max assume insert-only batches as above.
   */
 object Rollup {
 
-  private def partials(df: DataFrame, groupCols: Seq[String],
-      sumCols: Seq[String]): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__cnt"),
-        sumCols.map(c =>
-          sum(col(c).cast(DecimalType(30, 4))).as(s"__sum_$c")): _*)
+  /** Which mergeable aggregates the store maintains, per group. Empty
+    * `groupCols` = one global row (the profile shape). */
+  final case class Spec(
+      groupCols: Seq[String],
+      sumCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil,
+      nullCountCols: Seq[String] = Nil,
+      distinctSketchCols: Seq[String] = Nil)
 
-  private def mergePartials(a: DataFrame, groupCols: Seq[String],
-      sumCols: Seq[String]): DataFrame =
-    a.groupBy(groupCols.map(col): _*)
-      .agg(sum(col("__cnt")).as("__cnt"),
-        sumCols.map(c =>
-          sum(col(s"__sum_$c")).as(s"__sum_$c")): _*)
+  /** Batch → partials: one aggregation over the batch only. */
+  private def partials(df: DataFrame, spec: Spec): DataFrame = {
+    val aggs =
+      Seq(count(lit(1)).as("__cnt")) ++
+        spec.sumCols.map(c =>
+          sum(col(c).cast(DecimalType(30, 4))).as(s"__sum_$c")) ++
+        spec.minCols.map(c => min(col(c)).as(s"__min_$c")) ++
+        spec.maxCols.map(c => max(col(c)).as(s"__max_$c")) ++
+        spec.nullCountCols.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
+        spec.distinctSketchCols.map { c =>
+          // hll_sketch_agg accepts int/bigint/string/binary only; other
+          // types go through an injective string cast (Spark's double→
+          // string is the shortest round-trip form, so distinct values
+          // stay distinct and the estimate is over the same set)
+          val in = df.schema(c).dataType match {
+            case org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.StringType |
+                 org.apache.spark.sql.types.BinaryType => col(c)
+            case _ => col(c).cast("string")
+          }
+          hll_sketch_agg(in).as(s"__hll_$c")
+        }
+    df.groupBy(spec.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** Create the store from the initial fact snapshot. */
+  /** Partials ∪ partials → partials: the merge fold (|groups|-sized). */
+  private def mergePartials(a: DataFrame, spec: Spec): DataFrame = {
+    val aggs =
+      Seq(sum(col("__cnt")).as("__cnt")) ++
+        spec.sumCols.map(c => sum(col(s"__sum_$c")).as(s"__sum_$c")) ++
+        spec.minCols.map(c => min(col(s"__min_$c")).as(s"__min_$c")) ++
+        spec.maxCols.map(c => max(col(s"__max_$c")).as(s"__max_$c")) ++
+        spec.nullCountCols.map(c =>
+          sum(col(s"__nulls_$c")).as(s"__nulls_$c")) ++
+        spec.distinctSketchCols.map(c =>
+          hll_union_agg(col(s"__hll_$c")).as(s"__hll_$c"))
+    a.groupBy(spec.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Create the store from the initial fact snapshot. `batchIds` are the
+    * units of replay (e.g. one id per source file) recorded atomically
+    * with the partials. */
   def init(spark: SparkSession, storeDir: String, df: DataFrame,
-      groupCols: Seq[String], sumCols: Seq[String],
-      batchId: String): Unit = {
-    val p = partials(df, groupCols, sumCols)
+      spec: Spec, batchIds: Seq[String]): Unit = {
+    val p = partials(df, spec)
     SafeSwap.replace(storeDir) { tmp =>
       p.write.parquet(s"$tmp/partials")
-      writeApplied(spark, tmp, Seq(batchId))
+      writeApplied(spark, tmp, batchIds)
     }
   }
 
-  /** Fold one batch into the store. Replaying an applied `batchId` is a
-    * no-op (returns false). NOT safe under concurrent writers — see the
+  def init(spark: SparkSession, storeDir: String, df: DataFrame,
+      spec: Spec, batchId: String): Unit =
+    init(spark, storeDir, df, spec, Seq(batchId))
+
+  /** Fold one batch into the store, recording `batchIds` atomically with
+    * the fold. A batch whose ids are ALL already applied is a no-op
+    * (returns false); a PARTIALLY-applied id set is refused — the caller
+    * derives the batch from [[appliedIds]] (as [[graft.Warehouse]]
+    * does), so a mixed set means the batch contains rows the store
+    * already counted. NOT safe under concurrent writers — see the
     * single-writer contract in the object doc. */
   def merge(spark: SparkSession, storeDir: String, batch: DataFrame,
-      groupCols: Seq[String], sumCols: Seq[String],
-      batchId: String): Boolean = {
+      spec: Spec, batchIds: Seq[String]): Boolean = {
     SafeSwap.recover(storeDir)
     val applied = readApplied(spark, storeDir)
-    if (applied.contains(batchId)) return false
+    val fresh = batchIds.filterNot(applied.contains)
+    if (fresh.isEmpty) return false
+    require(fresh.size == batchIds.size,
+      s"batch mixes applied and unapplied ids (${batchIds.size - fresh.size}" +
+        s" of ${batchIds.size} already applied) — filter the batch to" +
+        " unapplied units first")
     val merged = mergePartials(
       spark.read.parquet(s"$storeDir/partials")
-        .unionByName(partials(batch, groupCols, sumCols)),
-      groupCols, sumCols)
+        .unionByName(partials(batch, spec)),
+      spec)
     SafeSwap.replace(storeDir) { tmp =>
       // the lazy read of the live partials executes inside this write,
       // strictly before SafeSwap renames the old tree aside
       merged.write.parquet(s"$tmp/partials")
-      writeApplied(spark, tmp, applied :+ batchId)
+      writeApplied(spark, tmp, applied ++ batchIds)
     }
     true
   }
 
-  /** Final aggregate view: count + double sums per group (decimal→double
-    * cast last, the sumDec convention). */
+  def merge(spark: SparkSession, storeDir: String, batch: DataFrame,
+      spec: Spec, batchId: String): Boolean =
+    merge(spark, storeDir, batch, spec, Seq(batchId))
+
+  /** Does a store live at `storeDir` (healing a crashed swap first)? */
+  def exists(spark: SparkSession, storeDir: String): Boolean = {
+    SafeSwap.recover(storeDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/partials"))
+  }
+
+  /** The applied-unit ledger — for callers that derive their next batch
+    * from what the store has already seen ([[graft.Warehouse]]'s
+    * maintenance derives "new files" as raw listing ∖ this). */
+  def appliedIds(spark: SparkSession, storeDir: String): Seq[String] = {
+    SafeSwap.recover(storeDir)
+    readApplied(spark, storeDir)
+  }
+
+  /** Streaming maintenance: a `foreachBatch` sink that folds each
+    * micro-batch into the store with the MICRO-BATCH ID as the replay
+    * unit. Structured Streaming re-delivers a failed micro-batch under
+    * the SAME id on restart, so the ledger turns the engine's
+    * at-least-once `foreachBatch` contract into exactly-once store
+    * maintenance — and because decimal/min/max/HLL partials are
+    * merge-associative, how the stream is chopped into micro-batches
+    * cannot change the final store (spec-proved 1-batch ≡ N-batch).
+    * Usage: `stream.writeStream.foreachBatch(Rollup.foreachBatchSink(
+    * dir, spec)).option("checkpointLocation", ...).start()`. */
+  def foreachBatchSink(storeDir: String,
+      spec: Spec): (DataFrame, Long) => Unit = { (batch, id) =>
+    val spark = batch.sparkSession
+    if (!exists(spark, storeDir))
+      init(spark, storeDir, batch, spec, s"stream-$id")
+    else merge(spark, storeDir, batch, spec, s"stream-$id")
+    ()
+  }
+
+  /** Final aggregate view per group: `n`, `sum_c` (decimal→double cast
+    * last, the sumDec convention), `min_c`/`max_c` (native type),
+    * `nulls_c`, and `nd_c` (HLL distinct estimate). */
+  def read(spark: SparkSession, storeDir: String, spec: Spec): DataFrame = {
+    SafeSwap.recover(storeDir)
+    val p = spark.read.parquet(s"$storeDir/partials")
+    p.select(
+      spec.groupCols.map(col) ++
+        Seq(col("__cnt").as("n")) ++
+        spec.sumCols.map(c =>
+          col(s"__sum_$c").cast(DoubleType).as(s"sum_$c")) ++
+        spec.minCols.map(c => col(s"__min_$c").as(s"min_$c")) ++
+        spec.maxCols.map(c => col(s"__max_$c").as(s"max_$c")) ++
+        spec.nullCountCols.map(c => col(s"__nulls_$c").as(s"nulls_$c")) ++
+        spec.distinctSketchCols.map(c =>
+          hll_sketch_estimate(col(s"__hll_$c")).as(s"nd_$c")): _*)
+  }
+
+  // --- the original count+sum surface (q96), now a Spec special case ---
+
+  def init(spark: SparkSession, storeDir: String, df: DataFrame,
+      groupCols: Seq[String], sumCols: Seq[String],
+      batchId: String): Unit =
+    init(spark, storeDir, df, Spec(groupCols, sumCols), batchId)
+
+  def merge(spark: SparkSession, storeDir: String, batch: DataFrame,
+      groupCols: Seq[String], sumCols: Seq[String],
+      batchId: String): Boolean =
+    merge(spark, storeDir, batch, Spec(groupCols, sumCols), batchId)
+
+  /** Count+sum read view (group cols inferred from the stored schema). */
   def read(spark: SparkSession, storeDir: String,
       sumCols: Seq[String]): DataFrame = {
     SafeSwap.recover(storeDir)

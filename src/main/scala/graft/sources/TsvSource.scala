@@ -61,6 +61,12 @@ object TsvSource {
   def read(spark: SparkSession, schema: StructType, path: String): DataFrame =
     parse(spark.read.text(path), schema)
 
+  /** Read an explicit file subset (the warehouse maintenance loop feeds
+    * only a sync batch's NEW files through this — never the table dir). */
+  def read(spark: SparkSession, schema: StructType,
+      paths: Seq[String]): DataFrame =
+    parse(spark.read.text(paths: _*), schema)
+
   /** Write a DataFrame as reference-layout gzip TSV (for fixtures and the
     * round-trip correctness gate). */
   def write(df: DataFrame, path: String): Unit =

@@ -76,6 +76,85 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.table("cd_wh.`enrollment_fact_canonical`").count() == 6L)
   }
 
+  test("sync auto-refreshes maintained rollup and profile at O(new files)") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("wh_maint_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("fact", None, Seq(
+      CDColumn("grp", "varchar", Some(10)),
+      CDColumn("x", "double precision"),
+      CDColumn("id", "bigint"))))
+    val m1 = Seq(
+      put("fact", "f1.tsv", "a\t1.5\t1\nb\t2.5\t2\na\t\\N\t3\n"),
+      put("fact", "f2.tsv", "b\t4.0\t4\na\t0.5\t5\n"))
+    val whDir = Files.createTempDirectory("wh_maint_root").toUri.toString
+      .stripSuffix("/")
+    val spec = graft.pipeline.Rollup.Spec(Seq("grp"), sumCols = Seq("x"))
+    val wh = new Warehouse(spark,
+      Warehouse.Config(whDir, db = "cd_whm", parallelism = 2,
+        maintainedRollups = Seq(Warehouse.RollupDef("by_grp", "fact", spec)),
+        maintainedProfiles = Map("fact" -> Seq("grp", "x", "id"))))
+    wh.sync(m1, schema)
+
+    def rollupRows() = wh.rollup("by_grp", spec)
+      .select("grp", "n", "sum_x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rollupRows() === Set(("a", 3L, 2.0), ("b", 2L, 6.5)))
+    def profRows() = wh.profileOf("fact", Seq("grp", "x", "id"))
+      .select("col_name", "n_rows", "n_null", "min_val", "max_val")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(profRows()("x") === ((5L, 1L, "0.5", "4.0")))
+    assert(profRows()("id") === ((5L, 0L, "1", "5")))
+
+    // the refresh unit is the file: both stores' ledgers hold exactly
+    // the per-file ids, which is what makes the next sync fold ONLY the
+    // delta (and a replayed file impossible to double-count)
+    val store = s"$whDir/_maintained/rollup_by_grp"
+    assert(graft.pipeline.Rollup.appliedIds(spark, store).sorted ==
+      Seq("f1.tsv", "f2.tsv"))
+
+    // second sync adds one file; the refresh folds just it — proven by
+    // the ledger gaining exactly that id and the values updating
+    val m2 = m1 :+ put("fact", "f3.tsv", "a\t10.0\t6\nc\t1.0\t7\n")
+    wh.sync(m2, schema)
+    assert(rollupRows() ===
+      Set(("a", 4L, 12.0), ("b", 2L, 6.5), ("c", 1L, 1.0)))
+    assert(profRows()("x") === ((7L, 1L, "0.5", "10.0")))
+    assert(graft.pipeline.Rollup.appliedIds(spark, store).sorted ==
+      Seq("f1.tsv", "f2.tsv", "f3.tsv"))
+
+    // a third sync with nothing new leaves both stores untouched (the
+    // UpsertSpec identity pattern: same files, same mtimes)
+    def snapshot(): Map[String, Long] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(whDir), spark.sparkContext.hadoopConfiguration)
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq(st.getPath.toString -> st.getModificationTime)
+        }
+      walk(new org.apache.hadoop.fs.Path(s"$whDir/_maintained")).toMap
+    }
+    val before = snapshot()
+    wh.sync(m2, schema)
+    assert(snapshot() == before,
+      "a delta-free sync must not rewrite the maintained stores")
+
+    // stale-delete of a folded file → detected via the ledger → rebuild
+    // over the survivors (min/max/HLL partials cannot subtract)
+    val m3 = m2.filterNot(_.filename == "f1.tsv")
+    wh.sync(m3, schema)
+    assert(rollupRows() ===
+      Set(("a", 2L, 10.5), ("b", 1L, 4.0), ("c", 1L, 1.0)))
+    assert(graft.pipeline.Rollup.appliedIds(spark, store).sorted ==
+      Seq("f2.tsv", "f3.tsv"))
+  }
+
   test("canonical layer partitions via per-table specs and prunes from SQL") {
     val src = Files.createTempDirectory("wh_part_src")
     def put(table: String, name: String, content: String): ManifestEntry = {

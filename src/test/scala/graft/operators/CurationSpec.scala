@@ -279,6 +279,23 @@ class CurationSpec extends SparkSpec {
       "schemes are case-insensitive (RFC 3986): HTTPS:// must parse")
   }
 
+  test("domain blocklist: suffix matches at dot boundaries only; NULL survives") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("example.com")),          // exact match → blocked
+      (2L, Some("a.example.com")),        // subdomain → blocked
+      (3L, Some("deep.a.b.example.com")), // multi-level subdomain → blocked
+      (4L, Some("notexample.com")),       // NOT a dot-boundary match → kept
+      (5L, Some("example.com.evil.io")),  // entry is not a SUFFIX → kept
+      (6L, Some("safe.org")),             // unrelated → kept
+      (7L, Option.empty[String])          // NULL domain → kept
+    ).toDF("doc_id", "domain")
+    val bl = Seq("example.com").toDF("entry")
+    val kept = Curation.blockByDomain(docs, "doc_id", "domain", bl)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(4L, 5L, 6L, 7L))
+  }
+
   test("winsorize clips exactly the tails the order statistic defines") {
     import spark.implicits._
     // 1..20, tail 0.1: hi = largest v with #(≥v) ≥ ceil(2) → 19;

@@ -175,6 +175,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"))
   }
 
+  test("q98: blocklist and blocked-id set both broadcast; corpus never shuffles") {
+    val p = planOf(Curation.q98DomainBlocklist(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "the bounded blocklist and the blocked-id set must broadcast — " +
+        "the corpus side of the anti-join never shuffles")
+  }
+
   test("q84: span detection is window-only — no join, no pair expansion") {
     val p = planOf(Dedup.q84DupSpans(spark, sfDir))
     assert(!p.contains("Join"),

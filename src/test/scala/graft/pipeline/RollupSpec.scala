@@ -45,6 +45,72 @@ class RollupSpec extends SparkSpec {
       "replay must not change the store")
   }
 
+  test("min/max/null/HLL partials merge to the from-scratch aggregate") {
+    import spark.implicits._
+    def rows(lo: Long, n: Long) = (lo until lo + n).map { i =>
+      (s"g${i % 2}", i,
+        if (i % 5 == 0) Option.empty[Long] else Some(i % 37))
+    }.toDF("grp", "v", "w")
+    val spec = Rollup.Spec(Seq("grp"), minCols = Seq("v"),
+      maxCols = Seq("v"), nullCountCols = Seq("w"),
+      distinctSketchCols = Seq("w"))
+    val store = Files.createTempDirectory("ru4").toString + "/s"
+    Rollup.init(spark, store, rows(0, 40), spec, "b0")
+    assert(Rollup.merge(spark, store, rows(40, 40), spec, "b1"))
+    assert(!Rollup.merge(spark, store, rows(40, 40), spec, "b1"),
+      "replay must no-op")
+    assert(Rollup.merge(spark, store, rows(80, 20), spec, "b2"))
+    val got = Rollup.read(spark, store, spec)
+      .select("grp", "n", "min_v", "max_v", "nulls_w", "nd_w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // from-scratch truth, including the SAME sketch estimator: the merge
+    // of per-batch HLL sketches must equal the sketch of the union —
+    // batch boundaries cannot move the estimate
+    val want = rows(0, 100).groupBy(col("grp")).agg(
+        count(lit(1)).as("n"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        sum(when(col("w").isNull, 1L).otherwise(0L)).as("nulls_w"),
+        hll_sketch_estimate(hll_sketch_agg(col("w"))).as("nd_w"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === want)
+  }
+
+  test("streaming sink: micro-batch boundaries and replays don't change the store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 90L).map(i => (s"g${i % 3}", i % 7 + 0.25))
+    val spec = Rollup.Spec(Seq("grp"), sumCols = Seq("x"))
+    def ingest(store: String, chunks: Seq[Seq[(String, Double)]]): Unit = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Double)]
+      val q = mem.toDF().toDF("grp", "x")
+        .writeStream.foreachBatch(Rollup.foreachBatchSink(store, spec))
+        .start()
+      try chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val oneShot = Files.createTempDirectory("rus1").toString + "/s"
+    val chopped = Files.createTempDirectory("rus2").toString + "/s"
+    ingest(oneShot, Seq(rows))
+    ingest(chopped, Seq(rows.take(30), rows.slice(30, 31), rows.drop(31)))
+    def canon2(store: String) = Rollup.read(spark, store, Seq("x"))
+      .select("grp", "n", "sum_x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(canon2(oneShot) === canon2(chopped),
+      "micro-batch chopping must not change the maintained aggregate")
+    assert(canon2(oneShot) === canon(rows.toDF("grp", "x")
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"),
+        graft.operators.sumDec(col("x")).as("sum_x"))))
+    // engine-style replay: re-delivering micro-batch id 1 must no-op
+    val replayed = rows.slice(30, 31).toDF("grp", "x")
+    Rollup.foreachBatchSink(chopped, spec)(replayed, 1L)
+    assert(canon2(chopped) === canon2(oneShot),
+      "a re-delivered micro-batch id must not double-count")
+  }
+
   test("a crashed swap heals: aside tree restored, ledger intact") {
     val store = Files.createTempDirectory("ru3").toString + "/s"
     Rollup.init(spark, store, facts(0, 40), Seq("grp"), Seq("x"), "b0")
