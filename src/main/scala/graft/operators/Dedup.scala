@@ -854,15 +854,14 @@ object Dedup {
       .filter(col("occ") > 1)
       .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("endp"))
 
-  /** Maximal duplicated word-spans: (doc_id, span_start, span_end,
-    * span_words), positions 0-based inclusive. Overlapping/adjacent
-    * duplicated k-gram intervals merge via the classic running-max island
-    * break (a new span starts where pos jumps past max(prev endp) + 1). */
-  def duplicatedSpans(corpus: DataFrame, k: Int): DataFrame = {
+  /** Gaps-and-islands merge of per-doc (pos, endp) hit intervals into
+    * maximal spans — the reporting tail shared by [[duplicatedSpans]]
+    * and [[contaminatedSpans]]. */
+  private def mergeIslands(hits: DataFrame): DataFrame = {
     val byDocPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevMax = max(col("endp"))
       .over(byDocPos.rowsBetween(Window.unboundedPreceding, -1))
-    dupGramHits(corpus, k)
+    hits
       .withColumn("brk",
         when(prevMax.isNull || col("pos") > prevMax + 1, 1L).otherwise(0L))
       .withColumn("isl", sum(col("brk")).over(byDocPos))
@@ -871,6 +870,13 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_words"))
   }
+
+  /** Maximal duplicated word-spans: (doc_id, span_start, span_end,
+    * span_words), positions 0-based inclusive. Overlapping/adjacent
+    * duplicated k-gram intervals merge via the classic running-max island
+    * break (a new span starts where pos jumps past max(prev endp) + 1). */
+  def duplicatedSpans(corpus: DataFrame, k: Int): DataFrame =
+    mergeIslands(dupGramHits(corpus, k))
 
   /** Strip every occurrence of every duplicated span (the released
     * ExactSubstr tool's behavior — all copies go, not all-but-one, so the
@@ -906,6 +912,45 @@ object Dedup {
       .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("endp"))
     reassembleUncovered(corpus, nonCanonical)
   }
+
+  // ---------------------------------------------------------------------
+  // Span-level benchmark DECONTAMINATION — the two-corpus composition of
+  // the ExactSubstr machinery: where q62 drops a whole document when it
+  // shares n-grams with a benchmark, this strips just the contaminated
+  // TEXT (every maximal word-span, at resolution k, that appears
+  // verbatim anywhere in the benchmark) and keeps the rest of the
+  // document — the higher-recall, lower-collateral policy for eval
+  // hygiene (Lee et al. ACL'22 §6 apply their dedup tooling exactly
+  // this way across train/test).
+  //
+  // Scale shape: the corpus side pays the same gram windows as q84; the
+  // benchmark side is benchmark-sized BY DEFINITION, so its distinct
+  // gram hashes broadcast and the contamination test is a broadcast
+  // semi-join on the 8-byte gram hash — the corpus never shuffles
+  // against the benchmark, and there is no pair expansion anywhere.
+  // ---------------------------------------------------------------------
+
+  /** (doc_id, pos, endp) rows of `corpus` whose k-gram also occurs in
+    * `bench` (both need doc_id + text). */
+  private def contaminatedHits(corpus: DataFrame, bench: DataFrame,
+      k: Int): DataFrame = {
+    val benchGrams = gramRows(bench, k).select(col("g")).distinct()
+    gramRows(corpus, k)
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("endp"))
+  }
+
+  /** Maximal benchmark-contaminated spans per corpus doc (reporting). */
+  def contaminatedSpans(corpus: DataFrame, bench: DataFrame,
+      k: Int): DataFrame =
+    mergeIslands(contaminatedHits(corpus, bench, k))
+
+  /** Strip every benchmark-contaminated span from the corpus and
+    * reassemble (docs stripped to nothing disappear — fully-leaked
+    * documents are exactly the ones q62 would have dropped whole). */
+  def stripContaminatedSpans(corpus: DataFrame, bench: DataFrame,
+      k: Int): DataFrame =
+    reassembleUncovered(corpus, contaminatedHits(corpus, bench, k))
 
   /** Shared tail of both strip modes: explode covered intervals, anti-join
     * against the word stream, reassemble survivors in order. */
@@ -996,6 +1041,71 @@ object Dedup {
   val q85StripSpansSql: String =
     s"""WITH $spanCorpusSql,
       |$spanHitsSql,
+      |cov AS (SELECT DISTINCT doc_id, UNNEST(generate_series(pos, endp))
+      |          AS pos FROM hits)
+      |SELECT wd.doc_id AS doc_id, COUNT(*) AS n_kept,
+      |  md5(string_agg(wd.word, ' ' ORDER BY wd.pos)) AS kept_md5
+      |FROM wd LEFT JOIN cov ON wd.doc_id = cov.doc_id AND wd.pos = cov.pos
+      |WHERE cov.pos IS NULL
+      |GROUP BY wd.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q100_decontaminate_spans — gate for span-level decontamination: the
+  // benchmark leaks words 3..14 of every 9th document (wrapped in
+  // benchmark-only framing text, so only the leaked slice — not the
+  // framing — matches corpus grams). The gate strips corpus-side
+  // contamination and hashes every survivor's reassembled text: a missed
+  // hit, an off-by-one interval, or collateral stripping of clean text
+  // all change some doc's kept_md5 and hash-fail. Organic corpus
+  // near-dups of a leaked doc get stripped too (their grams ARE in the
+  // benchmark) — deterministic, and mirrored by the oracle.
+  // ---------------------------------------------------------------------
+  def q100DecontaminateSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") % 9 === 0).select(
+      col("doc_id"),
+      concat(lit("bench q "), (col("doc_id") % 4).cast("string"),
+        lit(" : "),
+        array_join(slice(split(col("text"), " "), 3, 12), " "),
+        lit(" ans")).as("text"))
+    stripContaminatedSpans(d, bench, 8)
+      .select(col("doc_id"), col("n_kept"),
+        md5(col("kept_text").cast("binary")).as("kept_md5"))
+  }
+
+  val q100DecontaminateSpansSql: String =
+    """WITH corpus AS (SELECT doc_id, text FROM documents),
+      |bench AS (
+      |  SELECT doc_id,
+      |    'bench q ' || (doc_id % 4) || ' : ' ||
+      |    array_to_string(list_slice(string_split(text, ' '), 3, 14), ' ') ||
+      |    ' ans' AS text
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+      |wd AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
+      |       FROM w, UNNEST(range(1, len(ws) + 1)) AS gg(i)),
+      |gr AS (SELECT doc_id, pos,
+      |         word || '|' || lead(word, 1) OVER dw || '|' ||
+      |         lead(word, 2) OVER dw || '|' || lead(word, 3) OVER dw || '|' ||
+      |         lead(word, 4) OVER dw || '|' || lead(word, 5) OVER dw || '|' ||
+      |         lead(word, 6) OVER dw || '|' || lead(word, 7) OVER dw AS g
+      |       FROM wd WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |bw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM bench),
+      |bwd AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
+      |        FROM bw, UNNEST(range(1, len(ws) + 1)) AS gg(i)),
+      |bgr AS (SELECT DISTINCT g FROM (
+      |          SELECT word || '|' || lead(word, 1) OVER dw || '|' ||
+      |            lead(word, 2) OVER dw || '|' || lead(word, 3) OVER dw
+      |            || '|' ||
+      |            lead(word, 4) OVER dw || '|' || lead(word, 5) OVER dw
+      |            || '|' ||
+      |            lead(word, 6) OVER dw || '|' || lead(word, 7) OVER dw AS g
+      |          FROM bwd
+      |          WINDOW dw AS (PARTITION BY doc_id ORDER BY pos))
+      |        WHERE g IS NOT NULL),
+      |hits AS (SELECT doc_id, pos, pos + 7 AS endp
+      |         FROM gr
+      |         WHERE g IS NOT NULL AND g IN (SELECT g FROM bgr)),
       |cov AS (SELECT DISTINCT doc_id, UNNEST(generate_series(pos, endp))
       |          AS pos FROM hits)
       |SELECT wd.doc_id AS doc_id, COUNT(*) AS n_kept,

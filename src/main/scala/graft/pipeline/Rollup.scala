@@ -227,6 +227,13 @@ object Rollup {
           col(s"__sum_$c").cast(DoubleType).as(s"sum_$c")): _*)
   }
 
+  /** The ledger is collected and rewritten whole per merge — bounded by
+    * the number of applied units (files/batches), the same cardinality
+    * the sync layer's own listing already handles per run; at daily
+    * cadence it stays KBs for years. If a deployment ever outgrows
+    * that, the fix is the [[AppendCommit]] shape (one tiny file per
+    * unit, listed not rewritten) — not compaction, since the Warehouse
+    * diff needs every id. */
   private def writeApplied(spark: SparkSession, dir: String,
       ids: Seq[String]): Unit = {
     import spark.implicits._

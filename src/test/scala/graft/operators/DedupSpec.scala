@@ -340,6 +340,32 @@ class DedupSpec extends SparkSpec {
       5L -> "m1 m2 m3 m4 m5 m6 m7 m8"))              // doc 6 vanished
   }
 
+  test("decontamination strips benchmark spans only, keeps clean text") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> "a b LEAK1 LEAK2 LEAK3 LEAK4 LEAK5 LEAK6 LEAK7 LEAK8 y z",
+      2L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9",                // clean — untouched
+      3L -> "LEAK1 LEAK2 LEAK3 LEAK4 LEAK5 LEAK6 LEAK7 LEAK8", // fully leaked
+      // corpus-internal duplicate block NOT in the bench — must survive
+      4L -> "d1 d2 d3 d4 d5 d6 d7 d8 tail",
+      5L -> "d1 d2 d3 d4 d5 d6 d7 d8 other"
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      100L -> "q: LEAK1 LEAK2 LEAK3 LEAK4 LEAK5 LEAK6 LEAK7 LEAK8 a?"
+    ).toDF("doc_id", "text")
+    val kept = Dedup.stripContaminatedSpans(corpus, bench, 8).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(kept === Map(
+      1L -> "a b y z",                    // leaked slice gone, framing kept
+      2L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9",
+      // doc 3 stripped to nothing → disappears
+      4L -> "d1 d2 d3 d4 d5 d6 d7 d8 tail",  // corpus-only dup: NOT stripped
+      5L -> "d1 d2 d3 d4 d5 d6 d7 d8 other"))
+    val spans = Dedup.contaminatedSpans(corpus, bench, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((1L, 2L, 9L), (3L, 0L, 7L)))
+  }
+
   test("overlapping duplicated grams merge into one maximal span") {
     import spark.implicits._
     // c..k = 9 shared words → two overlapping dup 8-grams per doc, which
