@@ -161,6 +161,170 @@ object Components {
   }
 
   // ---------------------------------------------------------------------
+  // Persisted INCREMENTAL component store — the clustering analog of the
+  // index appends: at 100 TB nobody re-runs the transitive closure over
+  // every near-dup pair ever found to fold in a daily batch of new
+  // pairs. The store keeps (id, comp) labels partitioned by
+  // pmod(xxhash64(id), P); a batch folds in by CONTRACTION: every known
+  // component collapses to its label (one node), the closure runs on
+  // the contracted batch graph only — O(batch) nodes/edges, however
+  // large the accumulated graph — and only CHANGED or NEW label rows
+  // merge back through the partition-scoped upsert (a component's
+  // members relabel only when the batch lowers its minimum, so in the
+  // common new-docs-get-higher-ids regime most batches write new rows
+  // only). The stored label table is scanned (map-only, broadcast
+  // probes) but never shuffled.
+  //
+  // Replay/crash contract: min-label relabeling is MONOTONE (comps only
+  // decrease toward the fixpoint), so re-running a batch from any
+  // partially-applied state converges to the same labels — the
+  // `_applied/` ledger entry (written last) is a cheap short-circuit,
+  // not a correctness requirement. Single maintenance writer, like
+  // every store.
+  // ---------------------------------------------------------------------
+
+  private def edgeFingerprint(e: DataFrame): String = {
+    val r = e.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).head()
+    s"${r.getLong(0)}|${r.getLong(1)}"
+  }
+
+  private def npartsMarker(spark: SparkSession, storeDir: String,
+      write: Option[Int]): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(storeDir, "_nparts")
+    write match {
+      case Some(n) =>
+        val os = fs.create(p, true)
+        try os.write(n.toString.getBytes("UTF-8")) finally os.close()
+        n
+      case None =>
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), "UTF-8").trim.toInt
+        finally in.close()
+    }
+  }
+
+  /** Build the store from an initial edge list (full closure, once). */
+  def buildComponentStore(spark: SparkSession, storeDir: String,
+      edges: DataFrame, nParts: Int = 32): Unit = {
+    val labels = connectedComponents(edges)
+      .withColumn("part", pmod(xxhash64(col("id")), lit(nParts)))
+    graft.pipeline.SafeSwap.replace(storeDir) { tmp =>
+      labels.write.partitionBy("part").parquet(s"$tmp/labels")
+      // marker swaps in WITH the labels — no window where a store
+      // exists without its partition-count contract
+      npartsMarker(spark, tmp, Some(nParts))
+    }
+  }
+
+  /** (id, comp) for every node the store has seen. */
+  def readComponents(spark: SparkSession, storeDir: String): DataFrame = {
+    graft.pipeline.SafeSwap.recover(storeDir)
+    spark.read.parquet(s"$storeDir/labels").select(col("id"), col("comp"))
+  }
+
+  /** Fold a batch of new edges into the store. Returns false if this
+    * exact batch (content fingerprint) was already applied. */
+  def appendEdges(spark: SparkSession, storeDir: String,
+      edges: DataFrame): Boolean = {
+    graft.pipeline.SafeSwap.recover(storeDir)
+    val e = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint() // consumed by fingerprint, node set, contraction
+    val fp = edgeFingerprint(e)
+    val batchId = java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    if (graft.pipeline.AppendCommit.isApplied(storeDir, batchId))
+      return false
+    val nParts = npartsMarker(spark, storeDir, None)
+    val labels = spark.read.parquet(s"$storeDir/labels")
+      .select(col("id"), col("comp"))
+    val nodes = e.select(explode(array(col("a"), col("b"))).as("id"))
+      .distinct()
+    // stored labels of batch-touched nodes: a map-side broadcast
+    // semi-probe over the label scan — small output, no label shuffle
+    val touched = labels
+      .join(broadcast(nodes), Seq("id"), "left_semi")
+      .localCheckpoint()
+    // contraction: endpoints map to their stored component (or stay
+    // themselves when unseen); edges inside one known component vanish
+    val contracted = e
+      .join(broadcast(touched.select(col("id").as("a"),
+        col("comp").as("ca"))), Seq("a"), "left")
+      .join(broadcast(touched.select(col("id").as("b"),
+        col("comp").as("cb"))), Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"),
+        coalesce(col("cb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    // closure over the contracted graph only — O(batch), never O(graph)
+    val sub = connectedComponents(contracted).localCheckpoint()
+    // old components whose label drops (the batch connected them to a
+    // smaller id): every stored member of such a component relabels —
+    // again a broadcast probe over the label scan
+    val remap = sub.filter(col("comp") =!= col("id"))
+      .select(col("id").as("old"), col("comp").as("new_comp"))
+    val changed = labels.as("l")
+      .join(broadcast(remap), col("l.comp") === col("old"))
+      .filter(col("new_comp") =!= col("l.comp"))
+      .select(col("l.id").as("id"), col("new_comp").as("comp"))
+    // brand-new nodes take their contracted-closure label
+    val newNodes = nodes
+      .join(touched.select(col("id")), Seq("id"), "left_anti")
+      .join(broadcast(sub.withColumnRenamed("comp", "sub_comp")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("sub_comp"), col("id")).as("comp"))
+    // materialize BEFORE the merge: `changed` lazily re-reads the live
+    // label tree, and mergeIntoPartitioned swaps that tree partition by
+    // partition — an unmaterialized plan re-evaluated for partition B
+    // after partition A swapped would read moved/deleted files
+    val updates = changed.unionByName(newNodes)
+      .withColumn("part", pmod(xxhash64(col("id")), lit(nParts)))
+      .localCheckpoint()
+    graft.pipeline.Upsert.mergeIntoPartitioned(spark,
+      s"$storeDir/labels", updates, Seq("part", "id"), "part")
+    graft.pipeline.AppendCommit.markApplied(storeDir, batchId, fp)
+    true
+  }
+
+  // ---------------------------------------------------------------------
+  // q101_incremental_components — DERIVED ORACLE for the store (the q70
+  // pattern for clustering): the q66 planted pair list splits by
+  // (a + b) % 2 — the even-sum half builds the store, the odd-sum half
+  // appends as a batch (then replays, which must no-op). Splitting by
+  // parity fragments components across the two halves, so the append
+  // path must perform REAL cross-component merges through contraction
+  // to reconstruct the full closure — which DuckDB computes from
+  // scratch with q66's recursive CTE. A wrong contraction, a missed
+  // member relabel, or a double-applied batch changes some component's
+  // membership string and hash-fails.
+  // ---------------------------------------------------------------------
+  private lazy val storeGateBase: String =
+    java.nio.file.Files.createTempDirectory("graft_ccstore_").toString
+
+  def q101IncrementalComponents(s: SparkSession, dir: String): DataFrame = {
+    val store = s"$storeGateBase/cc_${dir.hashCode.toHexString}"
+    if (!new java.io.File(s"$store.complete").exists()) {
+      val pairs = plantedPairs(augmentedCorpus(s, dir))
+        .select(col("a").cast("long"), col("b").cast("long"))
+        .localCheckpoint()
+      val base = pairs.filter((col("a") + col("b")) % 2 === 0)
+      val batch = pairs.filter((col("a") + col("b")) % 2 === 1)
+      buildComponentStore(s, store, base)
+      appendEdges(s, store, batch)
+      appendEdges(s, store, batch) // at-least-once replay: must no-op
+      new java.io.File(s"$store.complete").createNewFile()
+    }
+    readComponents(s, store)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(sort_array(collect_list(col("id"))),
+          _.cast("string")), ",").as("members"))
+      .select(col("comp").as("component"), col("n_docs"), col("members"))
+  }
+
+  // ---------------------------------------------------------------------
   // q66_dedup_clusters — pairs → groups end-to-end: plant an exact copy of
   // every 10th document (id + 10⁷), run the exact-Jaccard pair pipeline
   // (q33) over the augmented corpus, resolve transitive closure, report

@@ -75,6 +75,21 @@ object AppendCommit {
     }
   }
 
+  /** Record `batchId` as applied WITHOUT the staging/move machinery —
+    * for maintenance ops whose data path is already idempotent under
+    * re-run (e.g. the component-store label merge, whose min-label
+    * fixpoint is reached from any partially-applied state) and that
+    * only need the replay short-circuit. Callers order this AFTER the
+    * data commit, so a crash before it leaves a retryable state. */
+  def markApplied(root: String, batchId: String,
+      payload: String = ""): Unit = {
+    val fs = fsFor(root)
+    val lp = ledgerPath(root, batchId)
+    fs.mkdirs(lp.getParent)
+    val os = fs.create(lp, true)
+    try os.write(payload.getBytes("UTF-8")) finally os.close()
+  }
+
   /** Remove data files tagged with `batchId` anywhere under `root` —
     * leftovers of a crashed earlier attempt at the same batch. Hidden
     * entries and the ledger are skipped. */
@@ -137,10 +152,7 @@ object AppendCommit {
     deleteTagged(fs, new Path(root), batchId)
     moveTagged(fs, staging, new Path(root), batchId)
     fs.delete(staging, true)
-    val lp = ledgerPath(root, batchId)
-    fs.mkdirs(lp.getParent)
-    val os = fs.create(lp, true)
-    try os.write(payload.getBytes("UTF-8")) finally os.close()
+    markApplied(root, batchId, payload)
     true
   }
 }

@@ -153,6 +153,11 @@ object Upsert {
         }
       }
     }
+    // the rewritten partitions invalidated any file listing Spark's
+    // shared FileStatusCache holds for this tree — without the refresh,
+    // a reader that touched the path earlier in the session plans
+    // against pre-swap file names and fails with FILE_NOT_EXIST
+    spark.catalog.refreshByPath(path)
     MergeSummary(updated, inserted, total)
   }
 

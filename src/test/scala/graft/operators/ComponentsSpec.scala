@@ -64,6 +64,89 @@ class ComponentsSpec extends SparkSpec {
     assert(lss == hm)
   }
 
+  // -------------------------------------------------------------------
+  // Persisted incremental component store
+  // -------------------------------------------------------------------
+
+  private def storeLabels(dir: String): Map[Long, Long] =
+    Components.readComponents(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def fullClosure(pairs: Seq[(Long, Long)]): Map[Long, Long] = cc(pairs)
+
+  test("component store: build + append == full rebuild (cross-component merges)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccstore").toString + "/s"
+    // base: three components {1,2,3}, {10,11}, {100,101,102}
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (100L, 101L), (101L, 102L))
+    // batch: merges {1..3} with {10,11}, attaches new node 50 to {100..},
+    // and adds a brand-new pair {200,201}; plus a new node 0 that lowers
+    // component 100's label (forces stored-member relabeling)
+    val batch = Seq((3L, 10L), (50L, 100L), (200L, 201L), (0L, 102L))
+    Components.buildComponentStore(spark, dir, base.toDF("a", "b"), nParts = 8)
+    assert(Components.appendEdges(spark, dir, batch.toDF("a", "b")))
+    assert(storeLabels(dir) == fullClosure(base ++ batch))
+  }
+
+  test("component store: replayed batch is a no-op; crash-retry (lost ledger) converges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccstore").toString + "/s"
+    val base = Seq((1L, 2L), (10L, 11L))
+    val batch = Seq((2L, 10L), (20L, 21L))
+    Components.buildComponentStore(spark, dir, base.toDF("a", "b"), nParts = 4)
+    assert(Components.appendEdges(spark, dir, batch.toDF("a", "b")))
+    val after = storeLabels(dir)
+    // exact replay short-circuits on the ledger
+    assert(!Components.appendEdges(spark, dir, batch.toDF("a", "b")))
+    assert(storeLabels(dir) == after)
+    // crash window: data committed but ledger write lost — delete the
+    // ledger entry and re-run; the monotone relabel must no-op on the
+    // already-applied state, not corrupt it
+    val ledger = new java.io.File(s"$dir/_applied")
+    ledger.listFiles().foreach(_.delete())
+    assert(Components.appendEdges(spark, dir, batch.toDF("a", "b")))
+    assert(storeLabels(dir) == after)
+    assert(after == fullClosure(base ++ batch))
+  }
+
+  test("component store: append rewrites only label partitions holding changed/new ids") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccstore").toString + "/s"
+    // base nodes spread across partitions; batch touches only {200,201}
+    val base = (1L to 64L by 2L).map(i => (i, i + 1L))
+    Components.buildComponentStore(spark, dir, base.toDF("a", "b"), nParts = 8)
+    val beforeParts = (0 until 8).map { p =>
+      val d = new java.io.File(s"$dir/labels/part=$p")
+      p -> (if (d.isDirectory)
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      else Set.empty[(String, Long, Long)])
+    }.toMap
+    assert(Components.appendEdges(spark, dir, Seq((200L, 201L)).toDF("a", "b")))
+    // the two new ids land in a known partition set; every OTHER
+    // partition keeps exact file identity (name+size+mtime)
+    val touched = Seq(200L, 201L)
+      .map(id => spark.range(1).select(
+        pmod(xxhash64(lit(id)), lit(8)).cast("int")).head().getInt(0)).toSet
+    (0 until 8).filterNot(touched).foreach { p =>
+      val d = new java.io.File(s"$dir/labels/part=$p")
+      val now = if (d.isDirectory)
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      else Set.empty[(String, Long, Long)]
+      assert(now == beforeParts(p), s"partition $p was rewritten")
+    }
+    assert(storeLabels(dir) == fullClosure(base :+ (200L, 201L)))
+  }
+
+  test("q101 equals q66's from-scratch closure through the store boundary") {
+    val viaStore = Components.q101IncrementalComponents(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val scratch = Components.q66DedupClusters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(viaStore == scratch)
+  }
+
   test("large-star/small-star converges on a 500-node chain in O(log^2 n)") {
     import spark.implicits._
     // a path graph: diameter 499 — hash-min would need ~499 rounds
