@@ -225,18 +225,30 @@ object Components {
     spark.read.parquet(s"$storeDir/labels").select(col("id"), col("comp"))
   }
 
+  /** Does a label store live at `storeDir` (healing a crashed swap)? */
+  def componentStoreExists(spark: SparkSession, storeDir: String): Boolean = {
+    graft.pipeline.SafeSwap.recover(storeDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/labels"))
+  }
+
   /** Fold a batch of new edges into the store. Returns false if this
-    * exact batch (content fingerprint) was already applied. */
+    * exact batch (content fingerprint) was already applied. The replay
+    * unit defaults to the batch's content fingerprint; pass an explicit
+    * `batchId` when the delivery layer has its own replay identity
+    * (e.g. a Structured Streaming micro-batch id). */
   def appendEdges(spark: SparkSession, storeDir: String,
-      edges: DataFrame): Boolean = {
+      edges: DataFrame, batchId: String = null): Boolean = {
     graft.pipeline.SafeSwap.recover(storeDir)
     val e = edges.select(col("a").cast("long"), col("b").cast("long"))
       .filter(col("a") =!= col("b"))
       .localCheckpoint() // consumed by fingerprint, node set, contraction
     val fp = edgeFingerprint(e)
-    val batchId = java.security.MessageDigest.getInstance("MD5")
-      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    if (graft.pipeline.AppendCommit.isApplied(storeDir, batchId))
+    val id = Option(batchId).getOrElse(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16))
+    if (graft.pipeline.AppendCommit.isApplied(storeDir, id))
       return false
     val nParts = npartsMarker(spark, storeDir, None)
     val labels = spark.read.parquet(s"$storeDir/labels")
@@ -284,8 +296,37 @@ object Components {
       .localCheckpoint()
     graft.pipeline.Upsert.mergeIntoPartitioned(spark,
       s"$storeDir/labels", updates, Seq("part", "id"), "part")
-    graft.pipeline.AppendCommit.markApplied(storeDir, batchId, fp)
+    graft.pipeline.AppendCommit.markApplied(storeDir, id, fp)
     true
+  }
+
+  /** Streaming maintenance: a `foreachBatch` sink that folds each
+    * micro-batch of edges (cols `a`, `b` — e.g. a streaming near-dup
+    * pair pipeline's output) into the component store, keyed by the
+    * MICRO-BATCH ID as the replay unit. The engine re-delivers a failed
+    * micro-batch under the same id, so the `_applied/` ledger turns
+    * at-least-once delivery into exactly-once store maintenance; and
+    * because contraction-fold only depends on the accumulated edge SET
+    * (min-label closure is confluent — edge arrival order cannot change
+    * the fixpoint), how the stream is chopped into micro-batches cannot
+    * change the final labels (spec-proved 1-batch ≡ N-batch).
+    *
+    * The first micro-batch builds the store (full closure over itself);
+    * a crash between that build and its ledger mark re-delivers the
+    * batch as an APPEND, which contraction reduces to a no-op — the same
+    * already-applied convergence argument as the batch path. */
+  def foreachBatchEdgeSink(storeDir: String,
+      nParts: Int = 32): (DataFrame, Long) => Unit = { (batch, id) =>
+    val spark = batch.sparkSession
+    // an empty micro-batch folds to a no-op — and must not BUILD, since
+    // a zero-row partitionBy write emits no files (unreadable store)
+    if (!batch.isEmpty) {
+      if (!componentStoreExists(spark, storeDir)) {
+        buildComponentStore(spark, storeDir, batch, nParts)
+        graft.pipeline.AppendCommit.markApplied(storeDir, s"stream-$id")
+      } else appendEdges(spark, storeDir, batch, s"stream-$id")
+    }
+    ()
   }
 
   // ---------------------------------------------------------------------

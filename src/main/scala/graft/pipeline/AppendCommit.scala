@@ -56,8 +56,107 @@ object AppendCommit {
 
   private def tagOf(batchId: String): String = s"a_${batchId}_"
 
-  def isApplied(root: String, batchId: String): Boolean =
-    fsFor(root).exists(ledgerPath(root, batchId))
+  // --- ledger compaction -------------------------------------------------
+  // One tiny file per applied batch is O(1) to write but O(batches) to
+  // list; a store that lives for years of daily (or streaming) batches
+  // accumulates an unbounded ledger directory. Compaction rolls every
+  // per-batch entry into ONE generation-numbered file
+  // (`_applied/_compacted_<g>`), crash-safe at every step: the new
+  // generation is written hidden and renamed in BEFORE old generations
+  // and per-batch files are deleted, readers always take the MAX
+  // generation plus any remaining per-batch files (duplicates are
+  // id-identical, so the union is exact), and a crashed compaction
+  // retries by writing generation g+1 from whatever survives. Batch ids
+  // may not start with '_' ([[appendBatch]] requires path-safe ids and
+  // [[markApplied]] callers use hex/stream ids), so compacted files can
+  // never collide with an entry.
+
+  private val CompactedPrefix = "_compacted_"
+
+  /** Auto-compaction threshold: once a ledger holds this many per-batch
+    * files, the next append folds them into the compacted generation.
+    * Amortized O(1) files per append, worst-case ledger listing bounded
+    * by this constant. */
+  val AutoCompactAt: Int = 256
+
+  private def compactedGens(fs: FileSystem, dir: Path): Seq[(Long, Path)] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(CompactedPrefix))
+        scala.util.Try(n.stripPrefix(CompactedPrefix).toLong).toOption
+          .map(_ -> st.getPath)
+      else None
+    }
+
+  /** (max generation, its id → payload map). Generation 0 = none yet. */
+  private def readCompacted(fs: FileSystem,
+      dir: Path): (Long, Map[String, String]) = {
+    val gens = compactedGens(fs, dir)
+    if (gens.isEmpty) (0L, Map.empty)
+    else {
+      val (g, p) = gens.maxBy(_._1)
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      (g, txt.split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        line.substring(0, i) -> new String(
+          java.util.Base64.getDecoder.decode(line.substring(i + 1)), "UTF-8")
+      }.toMap)
+    }
+  }
+
+  private def plainEntryFiles(fs: FileSystem, dir: Path) =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      !st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Roll all per-batch ledger files (plus any previous compacted
+    * generation) into one `_compacted_<g+1>` file. Idempotent, safe to
+    * re-run after a crash at any point; single maintenance writer (the
+    * object-level contract). Returns the number of entries the ledger
+    * now records. */
+  def compactLedger(root: String): Int = {
+    val fs = fsFor(root)
+    val dir = new Path(root, "_applied")
+    if (!fs.exists(dir)) return 0
+    val (gen, compacted) = readCompacted(fs, dir)
+    val plain = plainEntryFiles(fs, dir)
+    if (plain.isEmpty && compactedGens(fs, dir).size <= 1)
+      return compacted.size
+    val plainEntries = plain.map { st =>
+      val in = fs.open(st.getPath)
+      val payload = try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+      st.getPath.getName -> payload
+    }
+    val all = compacted ++ plainEntries
+    val next = new Path(dir, s"$CompactedPrefix${gen + 1}")
+    val tmp = new Path(dir, s".$CompactedPrefix${gen + 1}.tmp")
+    val os = fs.create(tmp, true)
+    try os.write(all.toSeq.sortBy(_._1).map { case (id, payload) =>
+      id + "\t" + java.util.Base64.getEncoder
+        .encodeToString(payload.getBytes("UTF-8"))
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally os.close()
+    fs.delete(next, false) // leftover of a crashed identical attempt
+    if (!fs.rename(tmp, next))
+      throw new java.io.IOException(s"ledger compaction: cannot place $next")
+    // the new generation now holds every entry — dropping the sources
+    // can only remove duplicates, whatever prefix of these deletes runs
+    compactedGens(fs, dir).filter(_._1 <= gen).foreach(g =>
+      fs.delete(g._2, false))
+    plain.foreach(st => fs.delete(st.getPath, false))
+    all.size
+  }
+
+  def isApplied(root: String, batchId: String): Boolean = {
+    val fs = fsFor(root)
+    fs.exists(ledgerPath(root, batchId)) ||
+      readCompacted(fs, new Path(root, "_applied"))._2.contains(batchId)
+  }
 
   /** All (batchId, payload) ledger entries — e.g. summed by
     * fingerprint-tracking consumers ([[graft.operators.Similarity]]'s
@@ -65,14 +164,17 @@ object AppendCommit {
   def appliedEntries(root: String): Seq[(String, String)] = {
     val fs = fsFor(root)
     val dir = new Path(root, "_applied")
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map { st =>
+    val (_, compacted) = readCompacted(fs, dir)
+    val plain = plainEntryFiles(fs, dir).map { st =>
       val in = fs.open(st.getPath)
       val payload =
         try new String(in.readAllBytes(), "UTF-8")
         finally in.close()
       (st.getPath.getName, payload)
     }
+    // a crashed compaction can leave an entry both compacted and plain —
+    // id-identical by construction, keep one
+    (compacted ++ plain).toSeq
   }
 
   /** Record `batchId` as applied WITHOUT the staging/move machinery —
@@ -83,11 +185,17 @@ object AppendCommit {
     * data commit, so a crash before it leaves a retryable state. */
   def markApplied(root: String, batchId: String,
       payload: String = ""): Unit = {
+    require(batchId.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"batch id must be path-safe and not hidden, got: $batchId")
     val fs = fsFor(root)
     val lp = ledgerPath(root, batchId)
     fs.mkdirs(lp.getParent)
     val os = fs.create(lp, true)
     try os.write(payload.getBytes("UTF-8")) finally os.close()
+    // amortized ledger maintenance: fold per-batch files into the
+    // compacted generation once enough accumulate
+    if (plainEntryFiles(fs, lp.getParent).size >= AutoCompactAt)
+      compactLedger(root)
   }
 
   /** Remove data files tagged with `batchId` anywhere under `root` —
@@ -138,8 +246,8 @@ object AppendCommit {
   def appendBatch(spark: org.apache.spark.sql.SparkSession, root: String,
       batchId: String, payload: String = "")
       (stage: String => Unit): Boolean = {
-    require(batchId.matches("[A-Za-z0-9._-]+"),
-      s"batch id must be path-safe, got: $batchId")
+    require(batchId.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"batch id must be path-safe and not hidden, got: $batchId")
     val fs = fsFor(root)
     val staging = new Path(stagingPath(root, batchId))
     if (isApplied(root, batchId)) {

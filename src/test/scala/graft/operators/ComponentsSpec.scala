@@ -139,6 +139,36 @@ class ComponentsSpec extends SparkSpec {
     assert(storeLabels(dir) == fullClosure(base :+ (200L, 201L)))
   }
 
+  test("streaming edge sink: micro-batch chopping and replays don't change the labels") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // chain + clique + isolated pair, arriving out of order so later
+    // micro-batches force cross-component merges of earlier state
+    val edges = Seq((5L, 6L), (1L, 2L), (10L, 11L), (3L, 4L),
+      (2L, 3L), (11L, 12L), (4L, 5L), (20L, 21L))
+    def ingest(store: String, chunks: Seq[Seq[(Long, Long)]]): Unit = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("a", "b")
+        .writeStream.foreachBatch(Components.foreachBatchEdgeSink(store, 4))
+        .start()
+      try chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val oneShot = java.nio.file.Files.createTempDirectory("ccs1").toString + "/s"
+    val chopped = java.nio.file.Files.createTempDirectory("ccs2").toString + "/s"
+    ingest(oneShot, Seq(edges))
+    ingest(chopped, Seq(edges.take(3), edges.slice(3, 5), edges.drop(5)))
+    assert(storeLabels(oneShot) == storeLabels(chopped),
+      "micro-batch chopping must not change the closure")
+    assert(storeLabels(oneShot) == fullClosure(edges))
+    // engine-style replay: re-delivering micro-batch id 1 must no-op
+    Components.foreachBatchEdgeSink(chopped, 4)(
+      edges.slice(3, 5).toDF("a", "b"), 1L)
+    assert(storeLabels(chopped) == fullClosure(edges),
+      "a re-delivered micro-batch id must not change the labels")
+  }
+
   test("q101 equals q66's from-scratch closure through the store boundary") {
     val viaStore = Components.q101IncrementalComponents(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
