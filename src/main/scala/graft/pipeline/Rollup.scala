@@ -49,6 +49,19 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Rollup {
 
+  /** A mergeable fixed-width histogram over `col`: per group, the store
+    * keeps a `map<bin, count>` with `bin = floor(value / binWidth)`.
+    * Count sums are merge-associative, so batch boundaries cannot change
+    * the histogram — and because `floor(x / w)` is one IEEE double
+    * division + floor, ANY engine bins a value identically, making the
+    * derived quantile bounds exactly cross-checkable (q103). Bins only
+    * exist where data exists: the map is value-range-sparse, NOT
+    * corpus-sized — |bins| ≤ range/binWidth per group. NULLs are
+    * excluded (profile convention: quantiles are over scored rows). */
+  final case class Hist(col: String, binWidth: Double) {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+  }
+
   /** Which mergeable aggregates the store maintains, per group. Empty
     * `groupCols` = one global row (the profile shape). */
   final case class Spec(
@@ -57,7 +70,8 @@ object Rollup {
       minCols: Seq[String] = Nil,
       maxCols: Seq[String] = Nil,
       nullCountCols: Seq[String] = Nil,
-      distinctSketchCols: Seq[String] = Nil)
+      distinctSketchCols: Seq[String] = Nil,
+      histCols: Seq[Hist] = Nil)
 
   /** Batch → partials: one aggregation over the batch only. */
   private def partials(df: DataFrame, spec: Spec): DataFrame = {
@@ -83,7 +97,29 @@ object Rollup {
           }
           hll_sketch_agg(in).as(s"__hll_$c")
         }
-    df.groupBy(spec.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val base =
+      df.groupBy(spec.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // histogram partials need a per-(group, bin) count first — a second
+    // batch-sized aggregation per hist column, joined back on the group
+    // keys (via a constant key when the spec is global, so the left join
+    // shape is uniform). A group whose batch rows are all-NULL gets an
+    // empty map, not a NULL column.
+    spec.histCols.foldLeft(base.withColumn("__gk", lit(0))) { (acc, h) =>
+      val keyCols = spec.groupCols :+ "__gk"
+      val binned = df
+        .filter(col(h.col).isNotNull)
+        .withColumn("__gk", lit(0))
+        .groupBy((keyCols.map(col) :+
+          floor(col(h.col) / h.binWidth).cast("long").as("__bin")): _*)
+        .agg(count(lit(1)).as("__bc"))
+      val m = binned.groupBy(keyCols.map(col): _*)
+        .agg(map_from_entries(collect_list(
+          struct(col("__bin"), col("__bc")))).as(s"__hist_${h.col}"))
+      acc.join(m, keyCols, "left")
+        .withColumn(s"__hist_${h.col}",
+          coalesce(col(s"__hist_${h.col}"),
+            map().cast("map<bigint,bigint>")))
+    }.drop("__gk")
   }
 
   /** Partials ∪ partials → partials: the merge fold (|groups|-sized). */
@@ -96,8 +132,21 @@ object Rollup {
         spec.nullCountCols.map(c =>
           sum(col(s"__nulls_$c")).as(s"__nulls_$c")) ++
         spec.distinctSketchCols.map(c =>
-          hll_union_agg(col(s"__hll_$c")).as(s"__hll_$c"))
-    a.groupBy(spec.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          hll_union_agg(col(s"__hll_$c")).as(s"__hll_$c")) ++
+        spec.histCols.map(h =>
+          collect_list(col(s"__hist_${h.col}")).as(s"__histl_${h.col}"))
+    val g = a.groupBy(spec.groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    // fold the collected per-partial maps (≤ store+batch = 2 per group)
+    // by summing counts bin-wise — map_zip_with over the key union
+    spec.histCols.foldLeft(g) { (acc, h) =>
+      acc.withColumn(s"__hist_${h.col}",
+        aggregate(col(s"__histl_${h.col}"),
+          map().cast("map<bigint,bigint>"),
+          (m1, m2) => map_zip_with(m1, m2,
+            (_, v1, v2) => coalesce(v1, lit(0L)) + coalesce(v2, lit(0L)))))
+        .drop(s"__histl_${h.col}")
+    }
   }
 
   /** Create the store from the initial fact snapshot. `batchIds` are the
@@ -203,6 +252,42 @@ object Rollup {
           hll_sketch_estimate(col(s"__hll_$c")).as(s"nd_$c")): _*)
   }
 
+  /** Histogram-derived quantile UPPER BOUNDS per group, from the stored
+    * `map<bin,count>` partials of `histCol`: for each requested quantile
+    * q, the smallest bin upper edge `(bin+1)·binWidth` whose cumulative
+    * count reaches `ceil(q · n_scored)` — exact to within one binWidth of
+    * the true order statistic, deterministically (no sketch error, no
+    * randomness). Columns: group cols, `n_scored` (non-NULL rows), and
+    * one `p<QQ>_ub` per quantile. A group with zero scored rows surfaces
+    * NULL bounds. The plan stays |groups|×|bins|-sized: the corpus was
+    * only touched at partial-build time. */
+  def histQuantiles(spark: SparkSession, storeDir: String, spec: Spec,
+      histCol: String, quantiles: Seq[Double]): DataFrame = {
+    val h = spec.histCols.find(_.col == histCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"$histCol has no histogram in the store spec"))
+    SafeSwap.recover(storeDir)
+    val p = spark.read.parquet(s"$storeDir/partials")
+    val exploded = p.select(
+      (spec.groupCols.map(col) :+
+        explode_outer(col(s"__hist_$histCol")).as(Seq("__bin", "__bc"))): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(spec.groupCols.map(col): _*).orderBy(col("__bin").asc)
+    val cum = exploded
+      .withColumn("__n", sum(col("__bc")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(spec.groupCols.map(col): _*)))
+      .withColumn("__cum", sum(col("__bc")).over(w))
+    val qAggs = quantiles.map { q =>
+      val name = f"p${math.round(q * 100)}%02d_ub"
+      min(when(col("__cum") >= ceil(col("__n") * q),
+        (col("__bin") + 1) * h.binWidth)).as(name)
+    }
+    cum.groupBy(spec.groupCols.map(col): _*)
+      .agg(coalesce(max(col("__n")), lit(0L)).as("n_scored"),
+        qAggs: _*)
+  }
+
   // --- the original count+sum surface (q96), now a Spec special case ---
 
   def init(spark: SparkSession, storeDir: String, df: DataFrame,
@@ -279,4 +364,51 @@ object Rollup {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
       |    AS sum_o_totalprice
       |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q103_rollup_quantile — DERIVED ORACLE for the mergeable histogram
+  // partials: per-status quantile bounds of o_totalprice maintained
+  // incrementally (init even keys, merge odd, replay odd — must no-op),
+  // then read as p50/p90 upper bounds. DuckDB re-derives the SAME bounds
+  // from scratch with the same binning rule; since floor(x/width) and
+  // (bin+1)·width are single IEEE double ops, the bounds are
+  // bit-identical — the gate hash-checks real doubles, no tolerance
+  // verdict. Equality holds iff batch binning, the map_zip_with merge
+  // fold, replay suppression, AND the cumulative readout are all exact.
+  // ---------------------------------------------------------------------
+  def q103RollupQuantile(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    val store = s"$gateBase/hq_${dir.hashCode.toHexString}"
+    val spec = Spec(groupCols = Seq("o_orderstatus"),
+      histCols = Seq(Hist("o_totalprice", 1000.0)))
+    if (!new java.io.File(s"$store.complete").exists()) {
+      init(s, store, orders.filter(col("o_orderkey") % 2 === 0), spec,
+        Seq("b0"))
+      merge(s, store, orders.filter(col("o_orderkey") % 2 === 1), spec,
+        Seq("b1"))
+      merge(s, store, orders.filter(col("o_orderkey") % 2 === 1), spec,
+        Seq("b1")) // replay: double-counting shifts the bounds → hash fail
+      new java.io.File(s"$store.complete").createNewFile()
+    }
+    histQuantiles(s, store, spec, "o_totalprice", Seq(0.5, 0.9))
+  }
+
+  val q103RollupQuantileSql: String =
+    """WITH b AS (
+      |  SELECT o_orderstatus,
+      |    CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS bin,
+      |    COUNT(*) AS cnt
+      |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+      |c AS (
+      |  SELECT o_orderstatus, bin, cnt,
+      |    SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n
+      |  FROM b)
+      |SELECT o_orderstatus, CAST(MAX(n) AS BIGINT) AS n_scored,
+      |  MIN(CASE WHEN cum >= CEIL(n * 0.5) THEN (bin + 1) * 1000.0 END)
+      |    AS p50_ub,
+      |  MIN(CASE WHEN cum >= CEIL(n * 0.9) THEN (bin + 1) * 1000.0 END)
+      |    AS p90_ub
+      |FROM c GROUP BY o_orderstatus""".stripMargin
 }

@@ -78,6 +78,66 @@ class RollupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("histogram partials merge to the from-scratch bins and quantile bounds") {
+    import spark.implicits._
+    def rows(lo: Long, n: Long) = (lo until lo + n).map { i =>
+      (s"g${i % 2}",
+        if (i % 11 == 0) Option.empty[Double]
+        else Some((i * 37 % 250) + i * 0.001)) // unique-ish doubles
+    }.toDF("grp", "score")
+    val spec = Rollup.Spec(Seq("grp"),
+      histCols = Seq(Rollup.Hist("score", 10.0)))
+    val store = Files.createTempDirectory("ruh").toString + "/s"
+    // deliberately uneven chopping, plus a replay
+    Rollup.init(spark, store, rows(0, 13), spec, "b0")
+    assert(Rollup.merge(spark, store, rows(13, 77), spec, "b1"))
+    assert(!Rollup.merge(spark, store, rows(13, 77), spec, "b1"))
+    assert(Rollup.merge(spark, store, rows(90, 110), spec, "b2"))
+    val got = Rollup.histQuantiles(spark, store, spec, "score",
+        Seq(0.25, 0.5, 0.9)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    // from-scratch truth with the same binning rule, built relationally
+    val all = rows(0, 200).filter(col("score").isNotNull)
+      .withColumn("bin", floor(col("score") / 10.0).cast("long"))
+      .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val wGrp = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val wCum = wGrp.orderBy(col("bin").asc)
+    val cum = all
+      .withColumn("n", sum(col("cnt")).over(wGrp))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+    val want = cum.groupBy(col("grp")).agg(
+        max(col("n")).as("n_scored"),
+        min(when(col("cum") >= ceil(col("n") * 0.25),
+          (col("bin") + 1) * 10.0)).as("p25_ub"),
+        min(when(col("cum") >= ceil(col("n") * 0.5),
+          (col("bin") + 1) * 10.0)).as("p50_ub"),
+        min(when(col("cum") >= ceil(col("n") * 0.9),
+          (col("bin") + 1) * 10.0)).as("p90_ub")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got === want,
+      "merged histogram quantile bounds must equal the from-scratch bounds")
+    // bound semantics: the true order statistic lies within binWidth
+    val p50 = got.map(t => t._1 -> t._4).toMap
+    val exact = rows(0, 200).filter(col("score").isNotNull)
+      .groupBy(col("grp"))
+      .agg(expr("percentile(score, 0.5)").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (g, m) =>
+      assert(m <= p50(g) && m > p50(g) - 2 * 10.0,
+        s"true median $m outside histogram bound window for $g (${p50(g)})")
+    }
+    // an all-NULL group surfaces n_scored=0 and NULL bounds
+    val nullStore = Files.createTempDirectory("ruh2").toString + "/s"
+    Rollup.init(spark, nullStore,
+      Seq(("g0", Option.empty[Double]), ("g0", None)).toDF("grp", "score"),
+      spec, "b0")
+    val nr = Rollup.histQuantiles(spark, nullStore, spec, "score", Seq(0.5))
+      .collect()
+    assert(nr.length == 1 && nr(0).getLong(1) == 0L && nr(0).isNullAt(2))
+  }
+
   test("streaming sink: micro-batch boundaries and replays don't change the store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
