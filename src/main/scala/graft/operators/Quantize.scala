@@ -1,0 +1,338 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding corpora — the memory side of
+  * the 100 TB ANN story (Jégou, Douze, Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011). Where IVF ([[Similarity]])
+  * prunes WHICH rows a probe touches, PQ compresses WHAT each row costs:
+  * a d-dim float vector (d·4 bytes) becomes `m` sub-codes of `log₂ k`
+  * bits — 64-dim float32 at m=8, k=16 is 256 B → 8 codes, a 32–64×
+  * working-set reduction, which is what lets a candidate table that
+  * would not fit in cluster memory live there compressed.
+  *
+  * Spark-first shape: the codebook is trained on a BOUNDED deterministic
+  * driver sample (the [[Similarity]] IVF train pattern — O(1) at any
+  * corpus size); encoding is a single map-only projection with the
+  * codebook as plan literals (no shuffle, no UDF — nested higher-order
+  * functions that stay inside codegen); the ADC scan is a broadcast of
+  * per-query LOOKUP TABLES against the codes table (per row per query:
+  * m array lookups + adds, no vector math); candidate top-k reduces
+  * map-side through the bounded-heap [[graft.functions.TopKByScore]]
+  * aggregator, so shuffled volume is partitions×k, never corpus-sized.
+  *
+  * Cosine contract: corpus vectors and queries are L2-normalized before
+  * sub-splitting, so the ADC sum Σⱼ q̂ⱼ·cⱼ,codeⱼ approximates q̂·x̂ =
+  * cosine(q, x) with the quantization residual as the only error; exact
+  * cosine rerank over the top `rerankN` candidates removes that error
+  * from the final ranking (FAISS's IndexRefineFlat shape).
+  */
+object Quantize {
+
+  /** Codebook: `cb(j)(c)` is the k-means centroid `c` of subspace `j`,
+    * each of dimension d/m. */
+  type Codebook = Array[Array[Array[Double]]]
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Deterministic per-subspace k-means on a bounded hash-ordered sample
+    * (maximin init + fixed Lloyd iterations, L2 metric — sub-centroids
+    * are NOT unit vectors, unlike the spherical IVF cells). No RNG: the
+    * same corpus always trains the same codebook, so codes are
+    * content-addressable artifacts. */
+  def trainPqCodebook(e: DataFrame, m: Int = 8, k: Int = 16,
+      sampleSize: Int = 1024, iters: Int = 20): Codebook = {
+    val sample: Array[Array[Double]] = e
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(sampleSize)
+      .select(col("emb")).collect()
+      .map(r => normalize(r.getSeq[Double](0).toArray))
+    require(sample.nonEmpty,
+      "cannot train a PQ codebook: the embeddings corpus is empty")
+    val d = sample(0).length
+    require(d % m == 0, s"dimension $d not divisible by m=$m subspaces")
+    val sub = d / m
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    Array.tabulate(m) { j =>
+      val xs = sample.map(_.slice(j * sub, (j + 1) * sub))
+      val cents = new Array[Array[Double]](k)
+      cents(0) = xs(0)
+      val minD = xs.map(l2(_, cents(0)))
+      for (c <- 1 until k) {
+        val next = minD.indices.maxBy(minD) // farthest point
+        cents(c) = xs(next)
+        var i = 0
+        while (i < xs.length) {
+          val dd = l2(xs(i), cents(c))
+          if (dd < minD(i)) minD(i) = dd
+          i += 1
+        }
+      }
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Int](k)
+        xs.foreach { x =>
+          val best = (0 until k).minBy(c => l2(x, cents(c)))
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += x(i); i += 1 }
+        }
+        for (c <- 0 until k if counts(c) > 0)
+          cents(c) = sums(c).map(_ / counts(c))
+      }
+      cents
+    }
+  }
+
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d),
+      (acc, v) => acc + v)
+
+  /** The input column L2-normalized (zero vectors pass through). */
+  private def normCol(embCol: Column): Column = {
+    val embD = embCol.cast("array<double>")
+    val n = sqrt(aggregate(embD, lit(0.0d), (acc, v) => acc + v * v))
+    when(n === 0.0d, embD).otherwise(transform(embD, x => x / n))
+  }
+
+  /** PQ encode as a map-only column: for each subspace j, the argmin-L2
+    * sub-centroid id, via argmax of (2·x·c − |c|²) (the |x|² term is
+    * constant per row). Codebook travels as plan literals; `array_max`
+    * over (score, code) structs picks the winner — ties (exactly equal
+    * scores, possible only for duplicate centroids on degenerate
+    * corpora) resolve to the HIGHER code deterministically. */
+  def pqEncodeCol(cb: Codebook, embCol: Column): Column = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val xn = normCol(embCol)
+    array((0 until m).map { j =>
+      val xj = slice(xn, j * sub + 1, sub)
+      val scored = array(cb(j).indices.map { c =>
+        val cNorm2 = cb(j)(c).map(x => x * x).sum
+        struct(
+          (dotCol(xj, typedLit(cb(j)(c).toSeq)) * 2.0d - cNorm2).as("s"),
+          lit(c).as("code"))
+      }: _*)
+      array_max(scored).getField("code").cast("tinyint")
+    }: _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted PQ index — build/append/probe, the [[Similarity]] IVF
+  // protocol applied to codes. Layout under `indexDir`:
+  //   codebook/             tiny parquet (sub, code, centroid)
+  //   codes/                (vec_id, codes: array<tinyint>)
+  //   _corpus_fingerprint   additive rebuild trigger (base + appends)
+  // Build swaps the whole tree (SafeSwap); appends encode under the
+  // FROZEN codebook and land file-additively through AppendCommit —
+  // O(batch) I/O, crash-idempotent, replay-suppressed. The IVF drift
+  // caveat applies identically: appended vectors quantize under the
+  // original codebook; periodic retrain-rebuilds stay cheap to defer.
+  // ---------------------------------------------------------------------
+
+  def buildPqIndex(spark: SparkSession, e: DataFrame, indexDir: String,
+      m: Int = 8, k: Int = 16): Unit = {
+    val cb = trainPqCodebook(e, m, k)
+    val fp = Similarity.corpusFingerprint(e)
+    graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
+      val sqlCtx = spark
+      import sqlCtx.implicits._
+      cb.zipWithIndex.flatMap { case (cents, j) =>
+        cents.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+      }.toSeq.toDF("sub", "code", "centroid").coalesce(1)
+        .write.parquet(s"$tmp/codebook")
+      e.select(col("vec_id"), pqEncodeCol(cb, col("embedding")).as("codes"))
+        .write.parquet(s"$tmp/codes")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+      val os = fs.create(
+        new org.apache.hadoop.fs.Path(tmp, "_corpus_fingerprint"), true)
+      try os.write(s"$fp|m=$m|k=$k".getBytes("UTF-8")) finally os.close()
+    }
+  }
+
+  private def readCodebook(spark: SparkSession, indexDir: String): Codebook =
+    spark.read.parquet(s"$indexDir/codebook")
+      .orderBy(col("sub"), col("code")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+      .map(_.toArray).toArray
+
+  /** Current cumulative fingerprint: build base + applied appends (the
+    * IVF convention — the marker file is immutable after build; appends
+    * advance the fingerprint via their atomic ledger entry). */
+  private def pqCurrentFingerprint(spark: SparkSession,
+      indexDir: String): Option[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val marker =
+      new org.apache.hadoop.fs.Path(indexDir, "_corpus_fingerprint")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val base = try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      val Array(n0, h0, rest @ _*) = base.split('|')
+      var n = n0.toLong
+      var h = BigInt(h0)
+      graft.pipeline.AppendCommit.appliedEntries(indexDir).foreach {
+        case (_, payload) =>
+          val Array(nb, hb) = payload.trim.split('|')
+          n += nb.toLong
+          h += BigInt(hb)
+      }
+      Some((Seq(n.toString, h.toString) ++ rest).mkString("|"))
+    }
+  }
+
+  /** Build-if-stale; returns true when a rebuild ran. */
+  def ensurePqIndex(spark: SparkSession, e: DataFrame, indexDir: String,
+      m: Int = 8, k: Int = 16): Boolean = {
+    graft.pipeline.SafeSwap.recover(indexDir)
+    val expected = s"${Similarity.corpusFingerprint(e)}|m=$m|k=$k"
+    if (pqCurrentFingerprint(spark, indexDir).contains(expected)) false
+    else { buildPqIndex(spark, e, indexDir, m, k); true }
+  }
+
+  /** Encode a batch under the index's frozen codebook and append its
+    * files — O(batch) I/O, idempotent under replay and crash-retry
+    * (staged write → tagged move → ledger entry LAST, per
+    * [[graft.pipeline.AppendCommit]]). */
+  def appendToPqIndex(spark: SparkSession, batch: DataFrame,
+      indexDir: String): Unit = {
+    graft.pipeline.SafeSwap.recover(indexDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(
+      new org.apache.hadoop.fs.Path(indexDir, "_corpus_fingerprint")),
+      s"no PQ index at $indexDir (missing fingerprint marker)")
+    val fpBatch = Similarity.corpusFingerprint(batch)
+    val batchId = java.security.MessageDigest.getInstance("MD5")
+      .digest(fpBatch.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(16)
+    if (graft.pipeline.AppendCommit.isApplied(indexDir, batchId)) return
+    val cb = readCodebook(spark, indexDir)
+    graft.pipeline.AppendCommit.appendBatch(spark, indexDir, batchId,
+        fpBatch) { tmp =>
+      batch.select(col("vec_id"),
+          pqEncodeCol(cb, col("embedding")).as("codes"))
+        .write.parquet(s"$tmp/codes")
+    }
+  }
+
+  /** ADC probe of a persisted PQ index. `queries` (q_id, q_emb) is a
+    * BOUNDED batch (collected to build the per-query lookup tables —
+    * nQueries × m × k doubles, KBs; same driver-side contract as the
+    * IVF centroid collect). Per corpus row per query the scan does m
+    * table lookups + adds over the codes — no vector math touches the
+    * corpus. Top `rerankN` candidates per query reduce map-side
+    * ([[graft.functions.TopKByScore]]), then exact cosine over the
+    * candidates' ORIGINAL embeddings (from `e`, broadcast-joined by id)
+    * yields the final top `k`. `rerankN <= 0` means EXHAUSTIVE: every
+    * indexed id becomes a candidate (the q102b derived-oracle knob —
+    * approximation off, result must equal brute force). */
+  def probePqIndex(spark: SparkSession, indexDir: String,
+      queries: DataFrame, e: DataFrame, k: Int = 5,
+      rerankN: Int = 64): DataFrame = {
+    val cb = readCodebook(spark, indexDir)
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val qRows = queries.select(col("q_id"),
+        col("q_emb").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), normalize(r.getSeq[Double](1).toArray)))
+    val sqlCtx = spark
+    import sqlCtx.implicits._
+    // per-query ADC tables: tbl(j)(c) = q̂ⱼ · cb(j)(c)
+    val tables = qRows.toSeq.map { case (qId, qn) =>
+      (qId, (0 until m).map { j =>
+        val qj = qn.slice(j * sub, (j + 1) * sub)
+        cb(j).map(c => c.zip(qj).map { case (a, b) => a * b }.sum).toSeq
+      })
+    }.toDF("q_id", "tbl")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val scored = codes.crossJoin(broadcast(tables))
+      .filter(col("vec_id") =!= col("q_id"))
+    val candidates =
+      if (rerankN <= 0) scored.select(col("q_id"), col("vec_id"))
+      else {
+        val adc = scored.select(col("q_id"), col("vec_id"),
+          aggregate(
+            zip_with(col("codes"), col("tbl"),
+              (code, row) => element_at(row, code.cast("int") + 1)),
+            lit(0.0d), (acc, v) => acc + v).as("approx"))
+        val topk = udaf(new graft.functions.TopKByScore(rerankN),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[graft.functions.ScoredId]())
+        adc.groupBy(col("q_id"))
+          .agg(topk(col("approx"), col("vec_id")).as("cand"))
+          .select(col("q_id"), explode(col("cand")).as("c"))
+          .select(col("q_id"), col("c.id").as("vec_id"))
+      }
+    // exact rerank over the bounded candidate set: both joins stream the
+    // big side once with the candidates/queries broadcast
+    val withEmb = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candidates), Seq("vec_id"))
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))),
+        Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("cosine_sim(q_emb, embedding)").as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    withEmb.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+  }
+
+  private lazy val gateIndexBase: String =
+    java.nio.file.Files.createTempDirectory("graft_pq_").toString
+
+  private def gateIndexDir(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"$gateIndexBase/pq_$h"
+  }
+
+  // ---------------------------------------------------------------------
+  // q102_pq_adc — PQ ANN through the persisted index: ensure-built,
+  // ADC-probe the standard 20 gate queries, rerank top-64 candidates to
+  // a top-5. Codebook (hence candidate order) is engine-specific →
+  // rows-only driver check; ranking quality is spec-tested (recall
+  // floor vs exact on a clustered fixture, ADC ≡ reconstructed-dot
+  // identity) in QuantizeSpec.
+  // ---------------------------------------------------------------------
+  def q102PqAdc(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    ensurePqIndex(s, e, gateIndexDir(dir))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    probePqIndex(s, gateIndexDir(dir), queries, e, k = 5, rerankN = 64)
+  }
+
+  // ---------------------------------------------------------------------
+  // q102b_pq_exhaustive — DERIVED ORACLE for the PQ machinery (the q37b
+  // pattern): with rerankN ≤ 0 every indexed id is a candidate, so the
+  // whole pipeline — codebook train, corpus encode, index persistence,
+  // candidate provenance THROUGH the codes table, the embedding
+  // join-back, cosine rerank, rank ties — must reproduce the exact
+  // brute-force answer and is checked against q36's DuckDB oracle. The
+  // ADC ordering (the one approximation) is then spec-tested separately.
+  // ---------------------------------------------------------------------
+  def q102bPqExhaustive(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    ensurePqIndex(s, e, gateIndexDir(dir))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    probePqIndex(s, gateIndexDir(dir), queries, e, k = 5, rerankN = 0)
+  }
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+/** PQ quality + persistence contract: ADC scores must equal the exact
+  * dot with the RECONSTRUCTED vector (the defining identity of product
+  * quantization), ranking quality must clear a recall floor on
+  * clusterable data, codes must be deterministic, and the persisted
+  * index must append file-additively with replay suppression. */
+class QuantizeSpec extends SparkSpec {
+
+  private def clusteredVecs(n: Int = 500, nClusters: Int = 20,
+      dim: Int = 64, sigma: Double = 0.2): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(nClusters) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / norm)
+    }
+    (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => (x + sigma * rnd.nextGaussian()).toFloat))
+    }
+  }
+
+  test("ADC score equals the dot product with the reconstructed vector") {
+    import spark.implicits._
+    val vecs = clusteredVecs(120)
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = Quantize.trainPqCodebook(df, m = 8, k = 16)
+    val sub = cb(0)(0).length
+    val got = df.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"),
+        Quantize.pqEncodeCol(cb, col("embedding")).as("codes"))
+      .collect()
+    // pick an arbitrary deterministic query and verify, per row:
+    //   Σⱼ tbl[j][code_j]  ==  dot(q̂, decode(codes))
+    val q = {
+      val v = vecs(7)._2.map(_.toDouble)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val tbl = (0 until cb.length).map { j =>
+      val qj = q.slice(j * sub, (j + 1) * sub)
+      cb(j).map(c => c.zip(qj).map { case (a, b) => a * b }.sum)
+    }
+    got.foreach { r =>
+      val codes = r.getSeq[Byte](2)
+      val adc = codes.zipWithIndex.map { case (c, j) => tbl(j)(c.toInt) }.sum
+      val decoded = codes.zipWithIndex.flatMap { case (c, j) => cb(j)(c.toInt) }
+      val exactDot = decoded.zip(q).map { case (a, b) => a * b }.sum
+      assert(math.abs(adc - exactDot) < 1e-9,
+        s"ADC ${adc} != reconstructed dot $exactDot for vec ${r.getLong(0)}")
+    }
+    // codes are within range and the right arity
+    got.foreach { r =>
+      val codes = r.getSeq[Byte](2)
+      assert(codes.length == 8)
+      assert(codes.forall(c => c >= 0 && c < 16))
+    }
+  }
+
+  test("PQ + rerank recall ≥ 0.9 on clusterable data; exhaustive == brute force") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val vecs = clusteredVecs()
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("pq_idx").toString +
+      "/index"
+    assert(Quantize.ensurePqIndex(spark, df, idx), "first ensure must build")
+    assert(!Quantize.ensurePqIndex(spark, df, idx), "same corpus: no rebuild")
+    val queries = df.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val truth = (0 until 20).flatMap { q =>
+      vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q)._2, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+        .map { case (id, _) => (q.toLong, id) }
+    }.toSet
+    val ann = Quantize.probePqIndex(spark, idx, queries, df, k = 5,
+        rerankN = 64).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (ann & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"PQ clustered recall $recall < 0.9")
+    // approximation off (rerank everything) ⇒ exact brute-force answer
+    val exhaustive = Quantize.probePqIndex(spark, idx, queries, df, k = 5,
+        rerankN = 0).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"))).toSet
+    val bf = truth // truth is already the exact top-5 set
+    assert(exhaustive.map(t => (t._1, t._3)) == bf,
+      "exhaustive PQ probe must equal brute force")
+  }
+
+  test("codes are deterministic: two independent builds produce identical indexes") {
+    import spark.implicits._
+    val df = clusteredVecs(200).toDF("vec_id", "embedding")
+    val a = java.nio.file.Files.createTempDirectory("pq_a").toString + "/i"
+    val b = java.nio.file.Files.createTempDirectory("pq_b").toString + "/i"
+    Quantize.buildPqIndex(spark, df, a)
+    Quantize.buildPqIndex(spark, df, b)
+    def codes(d: String) = spark.read.parquet(s"$d/codes")
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1))).toSet
+    assert(codes(a) == codes(b))
+    def book(d: String) = spark.read.parquet(s"$d/codebook")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .toSet
+    assert(book(a) == book(b))
+  }
+
+  test("append is file-additive, replay-suppressed, and fingerprint-advancing") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val vecs = clusteredVecs(400)
+    val df = vecs.toDF("vec_id", "embedding")
+    val even = df.filter(col("vec_id") % 2 === 0)
+    val odd = df.filter(col("vec_id") % 2 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("pq_ap").toString +
+      "/index"
+    Quantize.buildPqIndex(spark, even, idx)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    def codeFiles() = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$idx/codes"), true)
+      val buf = scala.collection.mutable.Map[String, Long]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.getPath.getName.startsWith("_"))
+          buf(st.getPath.toString) = st.getModificationTime
+      }
+      buf.toMap
+    }
+    val before = codeFiles()
+    Quantize.appendToPqIndex(spark, odd, idx)
+    val after = codeFiles()
+    // untouched files keep physical identity (the O(batch) proof)
+    before.foreach { case (p, mtime) =>
+      assert(after.contains(p), s"pre-append file $p disappeared")
+      assert(after(p) == mtime, s"pre-append file $p was rewritten")
+    }
+    assert(after.size > before.size, "append must add files")
+    // replay: same batch content is a no-op (no new files)
+    Quantize.appendToPqIndex(spark, odd, idx)
+    assert(codeFiles() == after, "replayed append must be a no-op")
+    // the additive fingerprint matches the union ⇒ ensure does not rebuild
+    assert(!Quantize.ensurePqIndex(spark, df, idx),
+      "append must advance the fingerprint to the union's")
+    // probes see build + append rows: an appended (odd) id can be found
+    val queries = df.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val res = Quantize.probePqIndex(spark, idx, queries, df, k = 5,
+      rerankN = 0).collect()
+    assert(res.length == 5, "probe through the appended index must work")
+  }
+}
