@@ -292,6 +292,179 @@ object Quantize {
       .select(col("q_id"), col("rnk"), col("vec_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // IVFADC — the composed billion-scale index (FAISS's IndexIVFPQ /
+  // Jégou et al. TPAMI'11 §V): IVF prunes WHICH cells a probe reads,
+  // and inside each cell rows carry PQ CODES INSTEAD OF VECTORS, so the
+  // pruned scan is over 8-byte codes, not 256-byte floats. One build
+  // pass assigns cells AND encodes codes in a single map-only
+  // projection; the cell-partitioned layout gives probes static
+  // partition pruning (the [[Similarity.probeIvfIndex]] contract) and
+  // the codes give the scan its 32–64× working-set reduction — the two
+  // halves of the 100 TB ANN story in one artifact. Exact rerank joins
+  // candidates back to the ORIGINAL embeddings, so compression never
+  // touches the final ranking, only candidate selection.
+  // ---------------------------------------------------------------------
+
+  def buildIvfPqIndex(spark: SparkSession, e: DataFrame, indexDir: String,
+      nlist: Int = 16, replicas: Int = 2, m: Int = 8, k: Int = 16): Unit = {
+    val cells = Similarity.trainCentroids(e, nlist)
+    val cb = trainPqCodebook(e, m, k)
+    val fp = Similarity.corpusFingerprint(e)
+    graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
+      val sqlCtx = spark
+      import sqlCtx.implicits._
+      cells.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid").coalesce(1)
+        .write.parquet(s"$tmp/centroids")
+      cb.zipWithIndex.flatMap { case (cents, j) =>
+        cents.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+      }.toSeq.toDF("sub", "code", "centroid").coalesce(1)
+        .write.parquet(s"$tmp/codebook")
+      // one projection: cell assignment + PQ encode; vectors are NOT
+      // stored — the cell files hold (vec_id, codes) only
+      e.select(col("vec_id"),
+          pqEncodeCol(cb, col("embedding")).as("codes"),
+          explode(Similarity.bestCells(cells, col("embedding"), replicas))
+            .as("cell"))
+        .write.partitionBy("cell").parquet(s"$tmp/cells")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+      val os = fs.create(
+        new org.apache.hadoop.fs.Path(tmp, "_corpus_fingerprint"), true)
+      try os.write(
+        s"$fp|nlist=$nlist|replicas=$replicas|m=$m|k=$k".getBytes("UTF-8"))
+      finally os.close()
+    }
+  }
+
+  /** Build-if-stale (same additive-fingerprint contract as the plain PQ
+    * and IVF indexes). Returns true when a rebuild ran. */
+  def ensureIvfPqIndex(spark: SparkSession, e: DataFrame, indexDir: String,
+      nlist: Int = 16, replicas: Int = 2, m: Int = 8,
+      k: Int = 16): Boolean = {
+    graft.pipeline.SafeSwap.recover(indexDir)
+    val expected = s"${Similarity.corpusFingerprint(e)}" +
+      s"|nlist=$nlist|replicas=$replicas|m=$m|k=$k"
+    if (pqCurrentFingerprint(spark, indexDir).contains(expected)) false
+    else { buildIvfPqIndex(spark, e, indexDir, nlist, replicas, m, k); true }
+  }
+
+  /** Assign + encode a batch under the index's FROZEN centroids and
+    * codebook; files land only in the batch's affected `cells/cell=N/`
+    * dirs (O(batch), crash-idempotent, replay-suppressed — the
+    * [[appendToPqIndex]] contract on the partitioned layout). */
+  def appendToIvfPqIndex(spark: SparkSession, batch: DataFrame,
+      indexDir: String): Unit = {
+    graft.pipeline.SafeSwap.recover(indexDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val markerPath =
+      new org.apache.hadoop.fs.Path(indexDir, "_corpus_fingerprint")
+    require(fs.exists(markerPath),
+      s"no IVFADC index at $indexDir (missing fingerprint marker)")
+    val in = fs.open(markerPath)
+    val marker = try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+    val replicas = marker.split('|').find(_.startsWith("replicas="))
+      .get.stripPrefix("replicas=").toInt
+    val fpBatch = Similarity.corpusFingerprint(batch)
+    val batchId = java.security.MessageDigest.getInstance("MD5")
+      .digest(fpBatch.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(16)
+    if (graft.pipeline.AppendCommit.isApplied(indexDir, batchId)) return
+    val cells = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cb = readCodebook(spark, indexDir)
+    graft.pipeline.AppendCommit.appendBatch(spark, indexDir, batchId,
+        fpBatch) { tmp =>
+      batch.select(col("vec_id"),
+          pqEncodeCol(cb, col("embedding")).as("codes"),
+          explode(Similarity.bestCells(cells, col("embedding"), replicas))
+            .as("cell"))
+        .write.partitionBy("cell").parquet(s"$tmp/cells")
+    }
+  }
+
+  /** IVFADC probe: queries route to their `nprobe` best cells (static
+    * partition IN-filter — the pruned dirs are fixed at planning time),
+    * ADC scores the probed cells' CODES via broadcast lookup tables,
+    * the bounded-heap top-`rerankN` per query reranks exactly on the
+    * original embeddings. Replica multi-assignment duplicates rows
+    * across cells, so candidates dedup before rerank. `rerankN <= 0`
+    * with `nprobe = nlist` is the derived-oracle knob: both
+    * approximations off ⇒ exact brute force (q104b). */
+  def probeIvfPqIndex(spark: SparkSession, indexDir: String,
+      queries: DataFrame, e: DataFrame, k: Int = 5, nprobe: Int = 4,
+      rerankN: Int = 64): DataFrame = {
+    val cells = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cb = readCodebook(spark, indexDir)
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val qRows = queries.select(col("q_id"),
+        col("q_emb").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val sqlCtx = spark
+    import sqlCtx.implicits._
+    val tables = qRows.toSeq.map { case (qId, q) =>
+      val qn = normalize(q)
+      val probed = {
+        // same affinity rule as the corpus assignment: max dot vs the
+        // unit cell centroids
+        val scored = cells.indices.map(ci =>
+          (cells(ci).zip(qn).map { case (a, b) => a * b }.sum, ci))
+        scored.sortBy { case (s, ci) => (-s, ci) }.take(nprobe).map(_._2)
+      }
+      (qId, probed,
+        (0 until m).map { j =>
+          val qj = qn.slice(j * sub, (j + 1) * sub)
+          cb(j).map(c => c.zip(qj).map { case (a, b) => a * b }.sum).toSeq
+        })
+    }.toDF("q_id", "cells", "tbl")
+    val probedCells = qRows.isEmpty match {
+      case true => Array.empty[Int]
+      case false => tables.select(explode(col("cells"))).distinct()
+        .collect().map(_.getInt(0))
+    }
+    val scan = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+    val scored = scan
+      .join(broadcast(tables), array_contains(col("cells"), col("cell")))
+      .filter(col("vec_id") =!= col("q_id"))
+    val candidates =
+      if (rerankN <= 0)
+        scored.select(col("q_id"), col("vec_id")).distinct()
+      else {
+        val adc = scored.select(col("q_id"), col("vec_id"),
+            aggregate(
+              zip_with(col("codes"), col("tbl"),
+                (code, row) => element_at(row, code.cast("int") + 1)),
+              lit(0.0d), (acc, v) => acc + v).as("approx"))
+          .distinct() // replica duplicates carry identical codes/scores
+        val topk = udaf(new graft.functions.TopKByScore(rerankN),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[graft.functions.ScoredId]())
+        adc.groupBy(col("q_id"))
+          .agg(topk(col("approx"), col("vec_id")).as("cand"))
+          .select(col("q_id"), explode(col("cand")).as("c"))
+          .select(col("q_id"), col("c.id").as("vec_id"))
+      }
+    val withEmb = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candidates), Seq("vec_id"))
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))),
+        Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("cosine_sim(q_emb, embedding)").as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    withEmb.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+  }
+
   private lazy val gateIndexBase: String =
     java.nio.file.Files.createTempDirectory("graft_pq_").toString
 
@@ -334,5 +507,44 @@ object Quantize {
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     probePqIndex(s, gateIndexDir(dir), queries, e, k = 5, rerankN = 0)
+  }
+
+  private def gateIvfPqDir(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"$gateIndexBase/ivfpq_$h"
+  }
+
+  // ---------------------------------------------------------------------
+  // q104_ivfadc — the composed index end-to-end: cell-pruned scan over
+  // PQ codes, ADC candidate selection, exact rerank. Engine-specific
+  // ordering → rows-only; quality spec'd in QuantizeSpec.
+  // ---------------------------------------------------------------------
+  def q104Ivfadc(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    ensureIvfPqIndex(s, e, gateIvfPqDir(dir))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    probeIvfPqIndex(s, gateIvfPqDir(dir), queries, e, k = 5, nprobe = 4,
+      rerankN = 64)
+  }
+
+  // ---------------------------------------------------------------------
+  // q104b_ivfadc_exhaustive — DERIVED ORACLE: nprobe = nlist AND
+  // rerankN ≤ 0 turn BOTH approximations off (every cell probed, every
+  // indexed id a candidate), so cell assignment, code persistence, the
+  // cell-pruned scan, replica dedup, the embedding join-back and the
+  // rerank must together reproduce exact brute force vs q36's DuckDB
+  // oracle. The two quality knobs are then spec-tested separately.
+  // ---------------------------------------------------------------------
+  def q104bIvfadcExhaustive(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    ensureIvfPqIndex(s, e, gateIvfPqDir(dir))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    probeIvfPqIndex(s, gateIvfPqDir(dir), queries, e, k = 5, nprobe = 16,
+      rerankN = 0)
   }
 }

@@ -92,7 +92,7 @@ object Similarity {
     * distributed. Deterministic: hash-ordered sample, farthest-point
     * init, fixed iteration count — no RNG, same centroids every run.
     */
-  private def trainCentroids(e: DataFrame, nlist: Int,
+  private[operators] def trainCentroids(e: DataFrame, nlist: Int,
       sampleSize: Int = 1024, iters: Int = 20): Array[Array[Double]] = {
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
@@ -174,7 +174,7 @@ object Similarity {
     }: _*)
   }
 
-  private def bestCells(centroids: Array[Array[Double]], embCol: Column,
+  private[operators] def bestCells(centroids: Array[Array[Double]], embCol: Column,
       n: Int): Column =
     transform(slice(reverse(array_sort(cellScores(centroids, embCol))), 1, n),
       s => s.getField("cell"))

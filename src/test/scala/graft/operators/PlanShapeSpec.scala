@@ -132,6 +132,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(probe.count() > 0)
   }
 
+  test("IVFADC probe: the codes scan partition-prunes to the probed cells") {
+    graft.functions.VectorFunctions.register(spark)
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_prune")
+      .toString + "/idx"
+    Quantize.buildIvfPqIndex(spark, e, idx, nlist = 16, replicas = 2)
+    val queries = e.filter(
+      org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("q_id"),
+        org.apache.spark.sql.functions.col("embedding").as("q_emb"))
+    val probe = Quantize.probeIvfPqIndex(spark, idx, queries, e,
+      k = 5, nprobe = 4, rerankN = 16)
+    val p = planOf(probe)
+    val scanLine = p.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("/cells"))
+      .getOrElse(fail(s"no cells FileScan in plan:\n${p.take(2000)}"))
+    val inList = raw"cell#\d+ IN \(([^)]*)\)".r.findFirstMatchIn(scanLine)
+    assert(inList.isDefined,
+      s"cells scan must carry a literal partition IN-filter:\n$scanLine")
+    val nCells = inList.get.group(1).split(",").length
+    assert(nCells <= 4, s"probe of nprobe=4 selected $nCells cells")
+    // the pruned scan reads codes, never embeddings
+    assert(!scanLine.contains("embedding"),
+      s"IVFADC cell scan must read codes only:\n$scanLine")
+    assert(probe.count() > 0)
+  }
+
   test("q72: mixture spec broadcasts; sampling itself adds no shuffle") {
     val p = planOf(Curation.q72DomainMix(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p.take(800))

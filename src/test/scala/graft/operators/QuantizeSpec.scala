@@ -101,6 +101,87 @@ class QuantizeSpec extends SparkSpec {
       "exhaustive PQ probe must equal brute force")
   }
 
+  test("IVFADC: recall ≥ 0.9 clustered at nprobe=4; both-knobs-off == brute force") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val vecs = clusteredVecs()
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq").toString +
+      "/index"
+    assert(Quantize.ensureIvfPqIndex(spark, df, idx))
+    assert(!Quantize.ensureIvfPqIndex(spark, df, idx))
+    val queries = df.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val truth = (0 until 20).flatMap { q =>
+      vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q)._2, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+        .map { case (id, _) => (q.toLong, id) }
+    }.toSet
+    val ann = Quantize.probeIvfPqIndex(spark, idx, queries, df, k = 5,
+        nprobe = 4, rerankN = 64).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (ann & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"IVFADC clustered recall $recall < 0.9")
+    val exhaustive = Quantize.probeIvfPqIndex(spark, idx, queries, df,
+        k = 5, nprobe = 16, rerankN = 0).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(exhaustive == truth,
+      "IVFADC with both knobs off must equal brute force")
+    // the cells hold codes, not vectors: the compression is real
+    val cellSchema = spark.read.parquet(s"$idx/cells").schema
+    assert(!cellSchema.fieldNames.contains("embedding"),
+      "IVFADC cells must store codes only, never the raw vectors")
+  }
+
+  test("IVFADC append: file-additive into affected cells, replay no-op, probe sees union") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val vecs = clusteredVecs(400)
+    val df = vecs.toDF("vec_id", "embedding")
+    val even = df.filter(col("vec_id") % 2 === 0)
+    val odd = df.filter(col("vec_id") % 2 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_ap").toString +
+      "/index"
+    Quantize.buildIvfPqIndex(spark, even, idx)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    def cellFiles() = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$idx/cells"), true)
+      val buf = scala.collection.mutable.Map[String, Long]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.getPath.getName.startsWith("_"))
+          buf(st.getPath.toString) = st.getModificationTime
+      }
+      buf.toMap
+    }
+    val before = cellFiles()
+    Quantize.appendToIvfPqIndex(spark, odd, idx)
+    val after = cellFiles()
+    before.foreach { case (p, mtime) =>
+      assert(after.contains(p) && after(p) == mtime,
+        s"pre-append cell file $p was touched")
+    }
+    assert(after.size > before.size)
+    Quantize.appendToIvfPqIndex(spark, odd, idx)
+    assert(cellFiles() == after, "replayed append must be a no-op")
+    assert(!Quantize.ensureIvfPqIndex(spark, df, idx),
+      "append must advance the fingerprint to the union's")
+    // an appended id is findable through the full probe
+    val queries = df.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val res = Quantize.probeIvfPqIndex(spark, idx, queries, df, k = 5,
+      nprobe = 16, rerankN = 0).collect()
+    assert(res.length == 5)
+  }
+
   test("codes are deterministic: two independent builds produce identical indexes") {
     import spark.implicits._
     val df = clusteredVecs(200).toDF("vec_id", "embedding")
