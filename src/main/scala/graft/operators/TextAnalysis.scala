@@ -299,4 +299,42 @@ object TextAnalysis {
       |tot AS (SELECT SUM(cnt) AS tot FROM c)
       |SELECT w AS word, cnt AS n_occurrences
       |FROM c, tot WHERE cnt * 100 > tot""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q105_unicode_nfc — Unicode NFC normalization via the native
+  // `unicode_norm` expression ([[graft.functions.UnicodeNormalize]]),
+  // the pre-dedup canonicalization step. The synthetic corpus is ASCII
+  // (which must pass through BYTE-IDENTICAL — the fast path), so the
+  // gate plants decomposed sequences ("e"+U+0301, "A"+U+030A) onto each
+  // document prefix; the normalized output must compose them ("é", "Å")
+  // byte-exactly as DuckDB's nfc_normalize does. Both the planted and
+  // pass-through halves are hash-checked, plus codepoint lengths before/
+  // after (composition must shorten exactly the planted rows). Map-only.
+  // ---------------------------------------------------------------------
+  def q105UnicodeNfc(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.UnicodeNormalize.register(s)
+    val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+    d.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("préfix Ångström: "),
+            substring(col("text"), 1, 40)))
+          .otherwise(substring(col("text"), 1, 40)).as("raw"))
+      .select(col("doc_id"),
+        expr("unicode_norm(raw, 'NFC')").as("norm_text"),
+        length(col("raw")).as("len_raw"),
+        length(expr("unicode_norm(raw, 'NFC')")).as("len_norm"))
+  }
+
+  val q105UnicodeNfcSql: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN 'pre' || chr(769) || 'fix A' || chr(778) || 'ngstro'
+      |        || chr(776) || 'm: ' || substr(text, 1, 40)
+      |      ELSE substr(text, 1, 40) END AS raw
+      |  FROM documents WHERE doc_id < 500)
+      |SELECT doc_id, nfc_normalize(raw) AS norm_text,
+      |  length(raw) AS len_raw,
+      |  length(nfc_normalize(raw)) AS len_norm
+      |FROM r""".stripMargin
 }

@@ -178,4 +178,33 @@ class SkewAndStatsSpec extends SparkSpec {
     assert(a.getString(4) == "9" && a.getString(5) == "10")
     assert(a.getLong(3) >= 1L)
   }
+  test("unicode_norm: composes/decomposes per form, ASCII passes through, matches the JDK") {
+    graft.functions.UnicodeNormalize.register(spark)
+    import spark.implicits._
+    // decomposed e+U+0301, A+U+030A, compatibility ligature U+FB01 (fi),
+    // fullwidth digit U+FF11 (1), plus plain ASCII
+    val decomposed = "pre\u0301fix A\u030A \ufb01le \uff111 ok"
+    val rows = Seq(decomposed, "plain ascii only", "", "caf\u00e9").toDF("t")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val got = rows.select(expr(s"unicode_norm(t, '$form')")).as[String].collect()
+      val want = Seq(decomposed, "plain ascii only", "", "caf\u00e9").map(s =>
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.valueOf(form)))
+      assert(got.toSeq == want, s"$form mismatch")
+      // idempotence: normalizing twice is a fixpoint
+      val twice = rows
+        .select(expr(s"unicode_norm(unicode_norm(t, '$form'), '$form')"))
+        .as[String].collect()
+      assert(twice.toSeq == want, s"$form not idempotent")
+    }
+    // NFC composes the combining marks; NFKC additionally folds
+    // compatibility chars (ligature fi -> "fi", fullwidth 1 -> "1")
+    val nfc = rows.select(expr("unicode_norm(t, 'NFC')")).as[String].head()
+    assert(nfc == "pr\u00e9fix \u00c5 \ufb01le \uff111 ok")
+    val nfkc = rows.select(expr("unicode_norm(t, 'NFKC')")).as[String].head()
+    assert(nfkc == "pr\u00e9fix \u00c5 file 11 ok")
+    // NULL propagates
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(expr("unicode_norm(t, 'NFC')")).collect()
+    assert(n(0).isNullAt(0))
+  }
 }
