@@ -501,11 +501,18 @@ object Dedup {
           slice(col("sig"), bnd * RowsPerBand + 1, lit(RowsPerBand)))))))
       .toDF("doc_id", "band", "bh")
 
+  /** `ledger` entries are written INSIDE the swapped tree, so "built
+    * from batch X" and "X is applied" commit atomically — the streaming
+    * bootstrap's crash-safety hinge ([[foreachBatchIndexSink]]): there
+    * is no window in which the index exists but its founding batch
+    * could be re-appended. */
   def buildMinhashIndex(spark: SparkSession, docs: DataFrame,
-      indexDir: String): Unit = {
+      indexDir: String, ledger: Seq[(String, String)] = Nil): Unit = {
     val sig = minhashSignatures(docs).cache()
     sig.count() // three writers below — materialize once
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
+      ledger.foreach { case (id, payload) =>
+        graft.pipeline.AppendCommit.markApplied(tmp, id, payload) }
       sig.write.parquet(s"$tmp/signatures")
       // hot-bucket cap applied at BUILD time (the incremental analog of
       // minhashCandidates' skew guard): a stored bucket over the cap is
@@ -659,6 +666,35 @@ object Dedup {
     }
     sizesNew.unpersist()
     sigNew.unpersist()
+  }
+
+  /** Streaming index maintenance: a `foreachBatch` sink that folds each
+    * micro-batch of docs (doc_id, text) into the persisted MinHash
+    * index. The FIRST non-empty micro-batch bootstraps the index with
+    * its own content-derived batch id committed atomically inside the
+    * build swap; later batches go through the O(batch) append, whose
+    * content-derived id makes engine redelivery a no-op. Exactly-once
+    * index maintenance on top of foreachBatch's at-least-once contract,
+    * with no ordering assumptions beyond the id-disjoint batches the
+    * batch append already requires. */
+  def foreachBatchIndexSink(indexDir: String): (DataFrame, Long) => Unit = {
+    (batch, _) =>
+      val spark = batch.sparkSession
+      if (!batch.isEmpty) {
+        graft.pipeline.SafeSwap.recover(indexDir)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(
+            new org.apache.hadoop.fs.Path(s"$indexDir/signatures"))) {
+          val b = batch.localCheckpoint() // fingerprint + build consume it
+          val fp = docsFingerprint(b)
+          val id = java.security.MessageDigest.getInstance("MD5")
+            .digest(fp.getBytes("UTF-8")).map("%02x".format(_))
+            .mkString.take(16)
+          buildMinhashIndex(spark, b, indexDir, Seq(id -> "0|0"))
+        } else appendToMinhashIndex(spark, batch, indexDir)
+      }
+      ()
   }
 
   /** Periodic maintenance: purge physically-stale band rows (buckets

@@ -139,13 +139,20 @@ object Quantize {
   // original codebook; periodic retrain-rebuilds stay cheap to defer.
   // ---------------------------------------------------------------------
 
+  /** `ledger` entries commit atomically inside the build swap (payload
+    * "0|0": the base marker already covers the founding batch, so the
+    * additive fingerprint must not count it twice) — the streaming
+    * bootstrap's crash-safety hinge ([[foreachBatchPqSink]]). */
   def buildPqIndex(spark: SparkSession, e: DataFrame, indexDir: String,
-      m: Int = 8, k: Int = 16): Unit = {
+      m: Int = 8, k: Int = 16,
+      ledger: Seq[(String, String)] = Nil): Unit = {
     val cb = trainPqCodebook(e, m, k)
     val fp = Similarity.corpusFingerprint(e)
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
       val sqlCtx = spark
       import sqlCtx.implicits._
+      ledger.foreach { case (id, payload) =>
+        graft.pipeline.AppendCommit.markApplied(tmp, id, payload) }
       cb.zipWithIndex.flatMap { case (cents, j) =>
         cents.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
       }.toSeq.toDF("sub", "code", "centroid").coalesce(1)
@@ -307,13 +314,16 @@ object Quantize {
   // ---------------------------------------------------------------------
 
   def buildIvfPqIndex(spark: SparkSession, e: DataFrame, indexDir: String,
-      nlist: Int = 16, replicas: Int = 2, m: Int = 8, k: Int = 16): Unit = {
+      nlist: Int = 16, replicas: Int = 2, m: Int = 8, k: Int = 16,
+      ledger: Seq[(String, String)] = Nil): Unit = {
     val cells = Similarity.trainCentroids(e, nlist)
     val cb = trainPqCodebook(e, m, k)
     val fp = Similarity.corpusFingerprint(e)
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
       val sqlCtx = spark
       import sqlCtx.implicits._
+      ledger.foreach { case (id, payload) =>
+        graft.pipeline.AppendCommit.markApplied(tmp, id, payload) }
       cells.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
         .toDF("cell", "centroid").coalesce(1)
         .write.parquet(s"$tmp/centroids")
@@ -463,6 +473,54 @@ object Quantize {
     withEmb.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id"))
+  }
+
+  private def contentBatchId(fp: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+
+  private def indexExists(spark: SparkSession, indexDir: String): Boolean = {
+    graft.pipeline.SafeSwap.recover(indexDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    fs.exists(
+      new org.apache.hadoop.fs.Path(indexDir, "_corpus_fingerprint"))
+  }
+
+  /** Streaming PQ index maintenance (`foreachBatch`): the first
+    * non-empty micro-batch bootstraps — codebook trained on it, its
+    * content-derived batch id committed atomically inside the build
+    * swap — and later batches append O(batch) under the frozen
+    * codebook, engine redelivery suppressed by the content id.
+    * Exactly-once on top of foreachBatch's at-least-once contract. */
+  def foreachBatchPqSink(indexDir: String, m: Int = 8,
+      k: Int = 16): (DataFrame, Long) => Unit = { (batch, _) =>
+    val spark = batch.sparkSession
+    if (!batch.isEmpty) {
+      if (!indexExists(spark, indexDir)) {
+        val b = batch.localCheckpoint() // fingerprint + build consume it
+        buildPqIndex(spark, b, indexDir, m, k, Seq(
+          contentBatchId(Similarity.corpusFingerprint(b)) -> "0|0"))
+      } else appendToPqIndex(spark, batch, indexDir)
+    }
+    ()
+  }
+
+  /** Streaming IVFADC maintenance — [[foreachBatchPqSink]] for the
+    * composed index (cells + codes both frozen after the bootstrap
+    * batch; the retrain cadence stays a batch-side decision). */
+  def foreachBatchIvfPqSink(indexDir: String, nlist: Int = 16,
+      replicas: Int = 2, m: Int = 8,
+      k: Int = 16): (DataFrame, Long) => Unit = { (batch, _) =>
+    val spark = batch.sparkSession
+    if (!batch.isEmpty) {
+      if (!indexExists(spark, indexDir)) {
+        val b = batch.localCheckpoint()
+        buildIvfPqIndex(spark, b, indexDir, nlist, replicas, m, k, Seq(
+          contentBatchId(Similarity.corpusFingerprint(b)) -> "0|0"))
+      } else appendToIvfPqIndex(spark, batch, indexDir)
+    }
+    ()
   }
 
   private lazy val gateIndexBase: String =

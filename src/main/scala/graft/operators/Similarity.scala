@@ -255,8 +255,12 @@ object Similarity {
     s"${r.getLong(0)}|${if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString}"
   }
 
+  /** `ledger` entries commit atomically inside the build swap (payload
+    * "0|0" — the base marker already covers the founding batch), the
+    * streaming bootstrap's crash-safety hinge ([[foreachBatchIvfSink]]). */
   def buildIvfIndex(spark: SparkSession, e: DataFrame, indexDir: String,
-      nlist: Int = 16, replicas: Int = 2): Unit = {
+      nlist: Int = 16, replicas: Int = 2,
+      ledger: Seq[(String, String)] = Nil): Unit = {
     val centroids = trainCentroids(e, nlist)
     val fp = corpusFingerprint(e)
     val corpus = e.select(col("vec_id"), col("embedding"),
@@ -264,6 +268,8 @@ object Similarity {
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
       val sqlCtx = spark
       import sqlCtx.implicits._
+      ledger.foreach { case (id, payload) =>
+        graft.pipeline.AppendCommit.markApplied(tmp, id, payload) }
       centroids.zipWithIndex.toSeq
         .map { case (c, i) => (i, c.toSeq) }
         .toDF("cell", "centroid").coalesce(1)
@@ -414,6 +420,32 @@ object Similarity {
     val cells = spark.read.parquet(s"$indexDir/cells")
       .filter(col("cell").isin(probed: _*))
     rerank(cells.join(broadcast(q), Seq("cell")), k)
+  }
+
+  /** Streaming IVF index maintenance (`foreachBatch`): first non-empty
+    * micro-batch bootstraps (centroids trained on it; its content id
+    * committed atomically inside the build swap), later batches run the
+    * O(batch) frozen-centroid append whose content-derived id makes
+    * engine redelivery a no-op — exactly-once on top of foreachBatch's
+    * at-least-once contract. */
+  def foreachBatchIvfSink(indexDir: String, nlist: Int = 16,
+      replicas: Int = 2): (DataFrame, Long) => Unit = { (batch, _) =>
+    val spark = batch.sparkSession
+    if (!batch.isEmpty) {
+      graft.pipeline.SafeSwap.recover(indexDir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          indexDir, "_corpus_fingerprint"))) {
+        val b = batch.localCheckpoint() // fingerprint + build consume it
+        val id = java.security.MessageDigest.getInstance("MD5")
+          .digest(corpusFingerprint(b).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+        buildIvfIndex(spark, b, indexDir, nlist, replicas,
+          Seq(id -> "0|0"))
+      } else appendToIvfIndex(spark, batch, indexDir)
+    }
+    ()
   }
 
   /** IVF through the persisted index: ensure-built, then probe. */

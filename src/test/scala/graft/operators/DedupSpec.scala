@@ -260,6 +260,55 @@ class DedupSpec extends SparkSpec {
       "micro-batch boundaries must not change the probe's result")
   }
 
+  test("streaming index sink: chopping-invariant live view, founding-batch replay no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 120)
+      .as[(Long, String)].collect().toSeq
+    def ingest(idx: String, chunks: Seq[Seq[(Long, String)]]): Unit = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text")
+        .writeStream.foreachBatch(Dedup.foreachBatchIndexSink(idx))
+        .start()
+      try chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val oneShot = java.nio.file.Files.createTempDirectory("mhs1")
+      .toString + "/idx"
+    val chopped = java.nio.file.Files.createTempDirectory("mhs2")
+      .toString + "/idx"
+    ingest(oneShot, Seq(docs))
+    ingest(chopped, Seq(docs.take(40), docs.slice(40, 90), docs.drop(90)))
+    def sigs(d: String) = spark.read.parquet(s"$d/signatures")
+      .select("doc_id").as[Long].collect().toSet
+    def bands(d: String) = Dedup.readMinhashBands(spark, d)
+      .collect().map(r => (r.getLong(2), r.getInt(0), r.getLong(1))).toSet
+    assert(sigs(oneShot) == sigs(chopped),
+      "micro-batch chopping must not change the signature table")
+    assert(bands(oneShot) == bands(chopped),
+      "micro-batch chopping must not change the live band view")
+    // engine-style redelivery of the FOUNDING batch: the content id was
+    // committed inside the build swap, so this must be a file-level no-op
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(chopped), spark.sparkContext.hadoopConfiguration)
+    def files(d: String) = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(d), true)
+      val buf = scala.collection.mutable.Map[String, Long]()
+      while (it.hasNext) {
+        val st = it.next(); buf(st.getPath.toString) = st.getModificationTime
+      }
+      buf.toMap
+    }
+    val before = files(chopped)
+    Dedup.foreachBatchIndexSink(chopped)(docs.take(40).toDF("doc_id", "text"), 0L)
+    assert(files(chopped) == before,
+      "a redelivered founding batch must not change any index file")
+  }
+
   // ---- duplicated-span dedup (ExactSubstr-style) ----
 
   private def spans(df: org.apache.spark.sql.DataFrame) =

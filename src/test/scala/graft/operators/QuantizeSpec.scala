@@ -182,6 +182,65 @@ class QuantizeSpec extends SparkSpec {
     assert(res.length == 5)
   }
 
+  test("streaming IVFADC sink: exhaustive probe sees every streamed id; founding replay no-ops") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = clusteredVecs(300)
+    val df = vecs.toDF("vec_id", "embedding")
+    def ingest(idx: String,
+        chunks: Seq[Seq[(Long, Array[Float])]]): Unit = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val q = mem.toDF().toDF("vec_id", "embedding")
+        .writeStream.foreachBatch(Quantize.foreachBatchIvfPqSink(idx))
+        .start()
+      try chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_s")
+      .toString + "/idx"
+    ingest(idx, Seq(vecs.take(100), vecs.slice(100, 250), vecs.drop(250)))
+    // the quality of codes depends on the founding batch (codebook and
+    // centroids freeze there — documented); RESULT-level equivalence is
+    // asserted where it is exact: both knobs off ≡ brute force over
+    // everything the stream delivered, regardless of chopping
+    val queries = df.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val got = Quantize.probeIvfPqIndex(spark, idx, queries, df, k = 5,
+        nprobe = 16, rerankN = 0).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val truth = (0 until 10).flatMap { q =>
+      vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q)._2, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+        .map { case (id, _) => (q.toLong, id) }
+    }.toSet
+    assert(got == truth,
+      "exhaustive probe through the streamed index must equal brute force")
+    // founding-batch redelivery: committed inside the build swap → no-op
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    def files() = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(idx), true)
+      val buf = scala.collection.mutable.Map[String, Long]()
+      while (it.hasNext) {
+        val st = it.next(); buf(st.getPath.toString) = st.getModificationTime
+      }
+      buf.toMap
+    }
+    val before = files()
+    Quantize.foreachBatchIvfPqSink(idx)(
+      vecs.take(100).toDF("vec_id", "embedding"), 0L)
+    assert(files() == before,
+      "a redelivered founding batch must not change any index file")
+  }
+
   test("codes are deterministic: two independent builds produce identical indexes") {
     import spark.implicits._
     val df = clusteredVecs(200).toDF("vec_id", "embedding")
