@@ -181,6 +181,17 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     graft.pipeline.Rollup.read(spark,
       s"${cfg.warehouseDir}/_maintained/rollup_$name", spec)
 
+  /** Histogram-derived quantile bounds from a maintained rollup whose
+    * spec carries `histCols` — per-group deterministic p-bounds (exact
+    * to one binWidth, zero sketch error) kept fresh per sync batch.
+    * The reproducible complement to percentile sketches when the
+    * thresholds feed pruning decisions. */
+  def quantilesOf(name: String, spec: graft.pipeline.Rollup.Spec,
+      histCol: String, quantiles: Seq[Double]): DataFrame =
+    graft.pipeline.Rollup.histQuantiles(spark,
+      s"${cfg.warehouseDir}/_maintained/rollup_$name", spec, histCol,
+      quantiles)
+
   /** Read a maintained profile in q97 shape (one row per column). */
   def profileOf(table: String, cols: Seq[String]): DataFrame =
     graft.operators.Stats.readProfileStore(spark,

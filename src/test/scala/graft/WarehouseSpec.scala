@@ -155,6 +155,42 @@ class WarehouseSpec extends SparkSpec {
       Seq("f2.tsv", "f3.tsv"))
   }
 
+  test("sync keeps histogram quantile bounds fresh through a maintained rollup") {
+    val src = Files.createTempDirectory("wh_hist_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("fact", None, Seq(
+      CDColumn("grp", "varchar", Some(10)),
+      CDColumn("x", "double precision"),
+      CDColumn("id", "bigint"))))
+    val m1 = Seq(
+      put("fact", "f1.tsv", "a\t1.5\t1\nb\t2.5\t2\na\t\\N\t3\n"),
+      put("fact", "f2.tsv", "b\t4.0\t4\na\t0.5\t5\n"))
+    val whDir = Files.createTempDirectory("wh_hist_root").toUri.toString
+      .stripSuffix("/")
+    val spec = graft.pipeline.Rollup.Spec(Seq("grp"),
+      histCols = Seq(graft.pipeline.Rollup.Hist("x", 1.0)))
+    val wh = new Warehouse(spark,
+      Warehouse.Config(whDir, db = "cd_whh", parallelism = 2,
+        maintainedRollups = Seq(Warehouse.RollupDef("hist", "fact", spec))))
+    wh.sync(m1, schema)
+    def bounds() = wh.quantilesOf("hist", spec, "x", Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // hand-derived: a's scored values {1.5, 0.5} (NULL excluded) → bins
+    // {1, 0}, p50 ub = 1.0, p90 ub = 2.0; b's {2.5, 4.0} → 3.0 / 5.0
+    assert(bounds() == Map(
+      "a" -> ((2L, 1.0, 2.0)), "b" -> ((2L, 3.0, 5.0))))
+    // the next sync's new file shifts a's upper tail and adds group c
+    wh.sync(m1 :+ put("fact", "f3.tsv", "a\t10.0\t6\nc\t1.0\t7\n"), schema)
+    assert(bounds() == Map(
+      "a" -> ((3L, 2.0, 11.0)), "b" -> ((2L, 3.0, 5.0)),
+      "c" -> ((1L, 2.0, 2.0))))
+  }
+
   test("canonical layer partitions via per-table specs and prunes from SQL") {
     val src = Files.createTempDirectory("wh_part_src")
     def put(table: String, name: String, content: String): ManifestEntry = {
