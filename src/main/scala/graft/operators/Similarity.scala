@@ -211,7 +211,7 @@ object Similarity {
     * spelling does not survive the optimizer (foldable partition keys
     * are eliminated, reintroducing the no-partition WindowExec and its
     * per-run warning in every bench tail). */
-  private def rankBounded(df: DataFrame, rankCol: String,
+  private[operators] def rankBounded(df: DataFrame, rankCol: String,
       order: Seq[Column]): DataFrame =
     df.coalesce(1).sortWithinPartitions(order: _*)
       .withColumn(rankCol, monotonically_increasing_id() + 1)
@@ -752,4 +752,70 @@ object Similarity {
       |       ELSE 0.0 END AS unit_checksum
       |FROM (SELECT vec_id, CAST(embedding[1:16] AS DOUBLE[]) AS s
       |      FROM embeddings)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q106_semdedup — SemDeDup (Abbas et al., "SemDeDup: Data-efficient
+  // learning at web-scale through semantic deduplication", arXiv:
+  // 2303.09540): spherical k-means partitions the corpus into cells and
+  // pairwise cosine runs ONLY within a cell; a vector is removed when an
+  // earlier (lower vec_id) cell-mate sits above the threshold — the
+  // paper's keep-one-per-semantic-group policy with a deterministic
+  // representative. The third member of the embedding-dedup family:
+  // q35's RH-LSH surfaces high-sim pairs probabilistically; this one is
+  // exhaustive WITHIN a semantic cell and blind across cells — exactly
+  // the trade the paper makes for web scale.
+  //
+  // Scale design: centroids train on a bounded sample (O(1) driver
+  // work, plan literals — no shuffle to assign); the only shuffle is
+  // the self-join on `cell`, and the paper's own prescription bounds it
+  // — nlist grows ∝ corpus so E[cell] stays fixed, and a hot cell is a
+  // skew-join problem AQE splits on the quadratic side. Nothing is
+  // ever all-pairs across cells.
+  // ---------------------------------------------------------------------
+  def semDedup(e: DataFrame, nlist: Int, tau: Double): DataFrame = {
+    val centroids = trainCentroids(e, nlist)
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      bestCells(centroids, col("embedding"), 1).getItem(0).as("cell"))
+    val lhs = assigned.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("ea"))
+    val rhs = assigned.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("eb"))
+    lhs.join(rhs, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(expr("cosine_sim(ea, eb)") > tau)
+      .select(col("b").as("vec_id"))
+      .distinct()
+  }
+
+  def q106SemDedup(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    semDedup(t(s, dir, "embeddings"), nlist = 8, tau = 0.3)
+  }
+
+  // ---------------------------------------------------------------------
+  // q106b_semdedup_planted — DERIVED ORACLE for the SemDeDup machinery,
+  // by the q35b construction: a ×2-scaled copy of every 20th vector.
+  // Scaling by 2 only shifts float exponents, so it commutes with every
+  // rounding in `cellScores`' dot folds (fl(2a+2b) = 2·fl(a+b)) and
+  // scales all nlist cell affinities uniformly — each copy lands in its
+  // original's cell STRUCTURALLY, cell-membership ULP cannot flip it.
+  // cos(v, 2v) = 1 > τ exactly, while τ = 0.9 clears every natural pair
+  // (corpus max ≈ 0.6, and cos(2v, u) = cos(v, u) keeps planted-vs-
+  // other pairs in the natural range). The removed set is therefore
+  // predictable by DuckDB with no vector math at all; any regression in
+  // centroid training, cell assignment, the within-cell join, or the
+  // keep-first threshold filter loses planted ids and hash-mismatches.
+  // ---------------------------------------------------------------------
+  def q106bSemDedupPlanted(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + Dedup.PlantOffset).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    semDedup(e.unionByName(planted), nlist = 8, tau = 0.9)
+  }
+
+  val q106bSemDedupPlantedSql: String =
+    """SELECT vec_id + 10000000 AS vec_id
+      |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 }

@@ -337,4 +337,184 @@ object TextAnalysis {
       |  length(raw) AS len_raw,
       |  length(nfc_normalize(raw)) AS len_norm
       |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q107_bm25 — Okapi BM25 top-k retrieval (Robertson & Walker, SIGIR
+  // '94): the lexical ranking half a real hybrid-search stack pairs with
+  // q61's vector half (and q90's RRF fuses). Per query term t:
+  //   w(d,t) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+  //   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+  // and score(d) sums w over the FIXED literal term order — one
+  // conditional-sum column per term, added left-to-right — so the float
+  // result is a deterministic expression over exact integers (tf, df, N
+  // are counts; dl sums and avgdl's numerator are integer-valued
+  // doubles, exact under any summation order), not an
+  // arbitrary-order float reduce. The oracle mirrors the same
+  // association, so both engines round the same operations in the same
+  // order (the q92 ordered-fold discipline). Output is integer-only
+  // (rnk, doc_id) per the q36/q61 convention.
+  //
+  // Scale: tokens filter to the |terms| literals BEFORE the tf groupBy,
+  // so the shuffle carries only query-term hits; df/avgdl/N are
+  // |terms|-row and 1-row broadcasts; the final top-k is
+  // TakeOrderedAndProject, never a global sort.
+  // ---------------------------------------------------------------------
+  def bm25TopK(d: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = d.select(col("doc_id"),
+      size(words(col("text"))).cast("double").as("dl"),
+      explode(words(col("text"))).as("tok"))
+    val tf = toks.filter(col("tok").isInCollection(terms))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df0 = tf.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val stats = d.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(words(col("text"))).cast("double")).as("avgdl"))
+    val w = tf.join(broadcast(df0), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / col("avgdl"))))
+    // fixed-order sum: one exact single-row conditional sum per term,
+    // then left-to-right addition in literal term order
+    val termSums = terms.zipWithIndex.map { case (term, i) =>
+      sum(when(col("tok") === term, col("w"))).as(s"w_$i")
+    }
+    val perTerm = w.groupBy(col("doc_id"))
+      .agg(termSums.head, termSums.tail: _*)
+    val score = terms.indices
+      .map(i => coalesce(col(s"w_$i"), lit(0.0d)))
+      .reduceLeft(_ + _)
+    val top = perTerm.select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    Similarity.rankBounded(top, "rnk",
+        Seq(col("score").desc, col("doc_id").asc))
+      .select(col("rnk").cast("int").as("rnk"), col("doc_id"))
+  }
+
+  private val bm25Terms = Seq("spark", "merge", "window")
+
+  def q107Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25TopK(t(s, dir, "documents"), bm25Terms, k = 15)
+
+  val q107Bm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM toks WHERE tok IN ('spark', 'merge', 'window')
+      |  GROUP BY doc_id, dl, tok),
+      |df AS (
+      |  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      |  FROM tf GROUP BY tok),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |    AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+      |  FROM documents),
+      |w AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |      * tf.tf * 2.2
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) AS w
+      |  FROM tf JOIN df USING (tok) CROSS JOIN stats s),
+      |scored AS (
+      |  SELECT doc_id,
+      |    (COALESCE(SUM(CASE WHEN tok = 'spark'  THEN w END), 0.0)
+      |     + COALESCE(SUM(CASE WHEN tok = 'merge' THEN w END), 0.0))
+      |     + COALESCE(SUM(CASE WHEN tok = 'window' THEN w END), 0.0)
+      |      AS score
+      |  FROM w GROUP BY doc_id)
+      |SELECT CAST(rnk AS INT) AS rnk, doc_id FROM (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 15""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q109_unigram_surprisal — unigram language-model scoring: each doc's
+  // mean token log-probability under the corpus's own add-one-smoothed
+  // unigram distribution, ranked most-surprising-first. The CCNet-style
+  // "perplexity filter" shape (Wenzek et al., LREC 2020) with the LM
+  // reduced to its relational core: p(t) = (c_t + 1)/(total + V).
+  // Per-doc reduction is the q92 ordered fold — distinct-token weights
+  // n_t·ln(p_t) summed in token sort order via a sorted-list fold, so
+  // the double result is reproducible across engines and partitionings
+  // (never an arbitrary-order float SUM). Output integer-only
+  // (rnk, doc_id).
+  //
+  // Scale: the vocab table is |V| rows (≪ corpus) and broadcast; the
+  // per-doc fold state is one double; the top-k is
+  // TakeOrderedAndProject. One shuffle on (doc_id, tok), one on the
+  // bounded fold input.
+  // ---------------------------------------------------------------------
+  def unigramSurprisal(d: DataFrame, k: Int): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      explode(words(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(
+      sum(col("c")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("v"))
+    val logp = vocab.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        log((col("c").cast("double") + lit(1.0))
+          / (col("total") + col("v"))).as("logp"))
+    val perDocTok = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(logp), Seq("tok"))
+      .select(col("doc_id"), col("n"),
+        struct(col("tok"), (col("n").cast("double") * col("logp"))
+          .as("w")).as("tw"))
+    val perDoc = perDocTok.groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("double").as("n_toks"),
+        array_sort(collect_list(col("tw"))).as("tws"))
+      .select(col("doc_id"),
+        (aggregate(col("tws"), lit(0.0d),
+          (acc, x) => acc + x.getField("w")) / col("n_toks"))
+          .as("mean_logp"))
+    val top = perDoc.orderBy(col("mean_logp").asc, col("doc_id").asc)
+      .limit(k)
+    Similarity.rankBounded(top, "rnk",
+        Seq(col("mean_logp").asc, col("doc_id").asc))
+      .select(col("rnk").cast("int").as("rnk"), col("doc_id"))
+  }
+
+  def q109UnigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    unigramSurprisal(t(s, dir, "documents"), k = 20)
+
+  val q109UnigramSurprisalSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      |totals AS (
+      |  SELECT CAST(SUM(c) AS DOUBLE) AS total,
+      |    CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+      |logp AS (
+      |  SELECT tok, ln((CAST(c AS DOUBLE) + 1.0) / (t.total + t.v)) AS logp
+      |  FROM vocab CROSS JOIN totals t),
+      |per_doc_tok AS (
+      |  SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
+      |per_doc AS (
+      |  SELECT p.doc_id,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |        list(CAST(p.n AS DOUBLE) * l.logp ORDER BY p.tok)),
+      |      (a, b) -> a + b)
+      |      / CAST(SUM(p.n) AS DOUBLE) AS mean_logp
+      |  FROM per_doc_tok p JOIN logp l USING (tok)
+      |  GROUP BY p.doc_id)
+      |SELECT CAST(rnk AS INT) AS rnk, doc_id FROM (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY mean_logp ASC, doc_id ASC) AS rnk
+      |  FROM per_doc)
+      |WHERE rnk <= 20""".stripMargin
 }

@@ -233,4 +233,30 @@ class PlanShapeSpec extends SparkSpec {
       "header extraction must not shuffle at any scale")
     assert(!p.toLowerCase.contains("scalaudf"))
   }
+
+  test("q106: semdedup pairwise join shuffles on cell only, no cartesian") {
+    graft.functions.VectorFunctions.register(spark)
+    val p = planOf(Similarity.q106SemDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      "within-cell pairing must join on the cell key, never cross the " +
+        "whole corpus")
+    assert(p.contains("cosine_sim"))
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
+
+  test("q107: BM25 stats broadcast; top-k is TakeOrdered, not a sort") {
+    val p = planOf(TextAnalysis.q107Bm25(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"),
+      "the |terms|-row df table and the 1-row corpus stats must " +
+        "broadcast — the tf side never reshuffles for them")
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
+
+  test("q108: snapshot diff is one join and no post-join shuffle blowup") {
+    val p = planOf(Snapshot.q108SnapshotDiff(spark, sfDir))
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllMatchIn(p).length == 1,
+      p.take(800))
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SemDedupSpec extends SparkSpec {
+
+  private def removed(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.collect().map(_.getLong(0)).toSet
+
+  test("cellwise removals are a subset of single-cell (exhaustive) removals") {
+    graft.functions.VectorFunctions.register(spark)
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val exhaustive = removed(Similarity.semDedup(e, nlist = 1, tau = 0.3))
+    val cellwise = removed(Similarity.semDedup(e, nlist = 4, tau = 0.3))
+    assert(cellwise.subsetOf(exhaustive),
+      "clustering may only LOSE pairs (across cells), never invent them")
+    assert(exhaustive.nonEmpty, "fixture must have ≥0.3-cosine pairs")
+  }
+
+  test("well-separated clusters: cellwise equals brute force") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // 3 orthogonal clusters of 20 vectors; within a cluster, vectors
+    // share a base axis with a small member-specific perturbation on a
+    // private dimension — within-cluster cosine ≈ 1, across ≈ 0, so a
+    // correct k-means (k = 3) must reproduce the exhaustive answer.
+    val dim = 16
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 20
+    } yield {
+      val v = Array.fill(dim)(0.0f)
+      v(c) = 1.0f
+      v(8 + c) = 0.01f * (i % 5) // 4 duplicates per perturbation level
+      ((c * 100 + i).toLong, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val exhaustive = removed(Similarity.semDedup(e, nlist = 1, tau = 0.9))
+    val cellwise = removed(Similarity.semDedup(e, nlist = 3, tau = 0.9))
+    assert(cellwise == exhaustive,
+      "no near-dup pair may straddle cells when clusters are separated")
+    assert(exhaustive.nonEmpty)
+  }
+
+  test("×2-scaled copies land in their original's cell for any nlist") {
+    // the q106b oracle's structural premise, at a different nlist than
+    // the gate uses: scaling by two shifts exponents only, so every cell
+    // affinity doubles exactly and the argmax cell cannot move — the
+    // planted copy is always removed, at any clustering granularity
+    graft.functions.VectorFunctions.register(spark)
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val planted = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + Dedup.PlantOffset).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val expected = e.filter(col("vec_id") % 10 === 0)
+      .collect().map(_.getLong(0) + Dedup.PlantOffset).toSet
+    for (nlist <- Seq(2, 5, 16)) {
+      val got = removed(
+        Similarity.semDedup(e.unionByName(planted), nlist, tau = 0.9))
+      assert(got == expected, s"nlist=$nlist must remove exactly the copies")
+    }
+  }
+}
