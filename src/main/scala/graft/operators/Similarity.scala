@@ -818,4 +818,82 @@ object Similarity {
   val q106bSemDedupPlantedSql: String =
     """SELECT vec_id + 10000000 AS vec_id
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Incremental SemDeDup — the probe side of the family's standing
+  // build/append/probe discipline (q70 for MinHash, ensureIvfIndex/
+  // probeIvfIndex for ANN): dedup an incoming batch against a persisted
+  // IVF index WITHOUT re-clustering or re-reading the corpus. At 100 TB
+  // nobody re-runs k-means to admit a daily batch: the corpus sits
+  // cell-partitioned on disk; the batch is assigned under the index's
+  // frozen centroids and joins only its own cells' partitions.
+  // ---------------------------------------------------------------------
+
+  /** Removed vec_ids of `batch`, deduped against the index AND itself.
+    * Corpus precedence: a batch vector is removed when its assigned
+    * cell holds any indexed vector above `tau`, or an earlier (lower
+    * vec_id) batch-mate assigned to the same cell. Cost: O(batch)
+    * assignment + a partition-pruned read of only the probed cells
+    * (static literal IN-filter, the probeIvfIndex discipline). The
+    * index's boundary replicas work FOR recall here: a corpus vector
+    * sits in its `replicas` nearest cells, so a batch arrival on the
+    * far side of a Voronoi edge still meets it. Batch vec_ids are
+    * assumed disjoint from the corpus (sync-layer contract, as for
+    * [[appendToIvfIndex]]). */
+  def semDedupProbe(spark: SparkSession, batch: DataFrame,
+      indexDir: String, tau: Double): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val b = batch.select(col("vec_id"), col("embedding"),
+      bestCells(centroids, col("embedding"), 1).getItem(0).as("cell"))
+    val probed = b.select(col("cell")).distinct().collect().map(_.get(0))
+    val bq = b.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("eb"))
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col("cell"), col("embedding").as("ea"))
+    val vsCorpus = cells.join(broadcast(bq), Seq("cell"))
+      .filter(expr("cosine_sim(ea, eb)") > tau)
+      .select(col("b").as("vec_id"))
+    val lhs = b.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("ea"))
+    val vsBatch = lhs.join(bq, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(expr("cosine_sim(ea, eb)") > tau)
+      .select(col("b").as("vec_id"))
+    vsCorpus.unionByName(vsBatch).distinct()
+  }
+
+  // ---------------------------------------------------------------------
+  // q110_semdedup_incremental — the incremental probe under the q106b
+  // planted construction, with the index assembled through BOTH write
+  // paths (build on the even half, append the odd half — the q70
+  // discipline), so centroid persistence, the frozen-centroid append,
+  // partition-pruned probing, and corpus-precedence removal are all
+  // inside the oracle-checked path. Every planted ×2 copy must meet its
+  // original: the original sits in its best cell (replicas ≥ 1) and the
+  // copy's single assignment IS that cell (the exponent-shift
+  // argument), so removal is structural; copies of distinct originals
+  // stay in the natural ≤0.6 range and never remove each other.
+  // ---------------------------------------------------------------------
+  def q110SemDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val idx = gateIndexDir(dir, nlist = 8, replicas = 2) + "_sem"
+    if (!new java.io.File(s"$idx.complete").exists()) {
+      buildIvfIndex(s, e.filter(col("vec_id") % 2 === 0), idx,
+        nlist = 8, replicas = 2)
+      appendToIvfIndex(s, e.filter(col("vec_id") % 2 === 1), idx)
+      new java.io.File(s"$idx.complete").createNewFile()
+    }
+    val batch = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + Dedup.PlantOffset).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    semDedupProbe(s, batch, idx, tau = 0.9)
+  }
+
+  val q110SemDedupIncrementalSql: String =
+    """SELECT vec_id + 10000000 AS vec_id
+      |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 }

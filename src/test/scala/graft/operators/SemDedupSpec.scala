@@ -43,6 +43,30 @@ class SemDedupSpec extends SparkSpec {
     assert(exhaustive.nonEmpty)
   }
 
+  test("semDedupProbe: corpus precedence, batch-internal keep-first, far kept") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("semprobe").toString +
+      "/index"
+    Similarity.buildIvfIndex(spark, e, idx, nlist = 8, replicas = 2)
+    // three-part batch: a ×2 copy of corpus vector 0 (corpus-removed), a
+    // NEGATED corpus vector (cos ≤ 0.6 to everything: kept, and the
+    // batch's earliest claimant of its direction), and a ×2 copy of that
+    // negation with a HIGHER id (batch-internal removed)
+    val e0 = e.filter(col("vec_id") === 0)
+    val batch = e0.select(lit(100L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      .unionByName(e0.select(lit(200L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding")))
+      .unionByName(e0.select(lit(300L).as("vec_id"),
+        transform(col("embedding"), x => -x * lit(2.0f)).as("embedding")))
+    val got = removed(Similarity.semDedupProbe(spark, batch, idx, tau = 0.9))
+    assert(got == Set(100L, 300L),
+      "copy of corpus → removed; negation → kept (first); its ×2 → removed")
+  }
+
   test("×2-scaled copies land in their original's cell for any nlist") {
     // the q106b oracle's structural premise, at a different nlist than
     // the gate uses: scaling by two shifts exponents only, so every cell
