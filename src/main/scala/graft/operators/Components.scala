@@ -206,11 +206,20 @@ object Components {
     }
   }
 
-  /** Build the store from an initial edge list (full closure, once). */
+  /** Build the store from an initial edge list (full closure, once).
+    * Requires at least one EFFECTIVE edge (non-null endpoints, not a
+    * self-loop): zero labels under a partitionBy write would emit a
+    * labels dir holding only `_SUCCESS` — a store that exists for
+    * [[componentStoreExists]] but fails every read. Fail loud instead
+    * of wedging the store. */
   def buildComponentStore(spark: SparkSession, storeDir: String,
       edges: DataFrame, nParts: Int = 32): Unit = {
     val labels = connectedComponents(edges)
       .withColumn("part", pmod(xxhash64(col("id")), lit(nParts)))
+      .localCheckpoint() // consumed by the emptiness guard + the write
+    require(!labels.isEmpty,
+      "cannot build a component store from zero effective edges " +
+        "(all rows were null-endpoint or self-loop)")
     graft.pipeline.SafeSwap.replace(storeDir) { tmp =>
       labels.write.partitionBy("part").parquet(s"$tmp/labels")
       // marker swaps in WITH the labels — no window where a store
@@ -246,8 +255,7 @@ object Components {
       .localCheckpoint() // consumed by fingerprint, node set, contraction
     val fp = edgeFingerprint(e)
     val id = Option(batchId).getOrElse(
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16))
+      graft.pipeline.AppendCommit.contentId(fp))
     if (graft.pipeline.AppendCommit.isApplied(storeDir, id))
       return false
     val nParts = npartsMarker(spark, storeDir, None)
@@ -318,13 +326,18 @@ object Components {
   def foreachBatchEdgeSink(storeDir: String,
       nParts: Int = 32): (DataFrame, Long) => Unit = { (batch, id) =>
     val spark = batch.sparkSession
-    // an empty micro-batch folds to a no-op — and must not BUILD, since
-    // a zero-row partitionBy write emits no files (unreadable store)
-    if (!batch.isEmpty) {
+    // emptiness is judged on the EFFECTIVE edges (the same normalization
+    // every store path applies), not the raw micro-batch: a first batch
+    // of only self-loops/null endpoints is non-empty but carries zero
+    // labels, and building from it would emit an unreadable store —
+    // the exact zero-row partitionBy hazard the build guard rejects
+    val e = batch.select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b"))
+    if (!e.isEmpty) {
       if (!componentStoreExists(spark, storeDir)) {
-        buildComponentStore(spark, storeDir, batch, nParts)
+        buildComponentStore(spark, storeDir, e, nParts)
         graft.pipeline.AppendCommit.markApplied(storeDir, s"stream-$id")
-      } else appendEdges(spark, storeDir, batch, s"stream-$id")
+      } else appendEdges(spark, storeDir, e, s"stream-$id")
     }
     ()
   }

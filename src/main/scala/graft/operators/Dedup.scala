@@ -552,14 +552,28 @@ object Dedup {
     * they care about BEFORE aggregating where possible. Legacy trees
     * (pre-size-table) degrade to deriving sizes from stored signatures —
     * still no shingle pass over the corpus. */
-  private def minhashSizeDeltas(spark: SparkSession,
-      indexDir: String): DataFrame = {
+  /** True when the index carries a non-empty size-delta table. A bare
+    * directory-existence probe is NOT enough: a crashed append's
+    * partially-moved files are tag-deleted on retry, which can leave the
+    * directory present but EMPTY — reading it would fail schema
+    * inference, and treating it as non-legacy would silently skip the
+    * one-time base-size migration on a legacy tree. Only data files
+    * count. */
+  private def hasSizesTable(spark: SparkSession, indexDir: String): Boolean = {
     // existence goes through the index's OWN filesystem (java.io.File is
     // always false on hdfs:// or s3:// paths)
     val idxFs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
-    if (idxFs.exists(
-        new org.apache.hadoop.fs.Path(s"$indexDir/bucket_sizes")))
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/bucket_sizes")
+    idxFs.exists(p) && idxFs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }
+  }
+
+  private def minhashSizeDeltas(spark: SparkSession,
+      indexDir: String): DataFrame = {
+    if (hasSizesTable(spark, indexDir))
       spark.read.parquet(s"$indexDir/bucket_sizes")
         .select(col("band"), col("bh"), col("sz"))
     else bandRows(spark.read.parquet(s"$indexDir/signatures"))
@@ -624,10 +638,14 @@ object Dedup {
       indexDir: String): Unit = {
     graft.pipeline.SafeSwap.recover(indexDir)
     val fpBatch = docsFingerprint(batch)
-    val batchId = java.security.MessageDigest.getInstance("MD5")
-      .digest(fpBatch.getBytes("UTF-8")).map("%02x".format(_))
-      .mkString.take(16)
+    val batchId = graft.pipeline.AppendCommit.contentId(fpBatch)
     if (graft.pipeline.AppendCommit.isApplied(indexDir, batchId)) return
+    // a crashed attempt's partially-placed files must go BEFORE the
+    // size-delta read below is planned: the stage would otherwise
+    // either double-count them as corpus base (cap on base + its own
+    // half-placed deltas) or — once appendBatch tag-deletes them —
+    // fail on the stale captured file listing
+    graft.pipeline.AppendCommit.clearCrashedAttempt(indexDir, batchId)
     val sigNew = minhashSignatures(batch).cache()
     sigNew.count() // band derivation + signature writer both consume it
     val bandsNew = bandRows(sigNew)
@@ -644,10 +662,7 @@ object Dedup {
     val keep = sizesNew.join(oldTouched, Seq("band", "bh"), "left")
       .filter(coalesce(col("old_sz"), lit(0L)) + col("sz") <= MaxBucketSize)
       .select(col("band"), col("bh"))
-    val idxFs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
-    val legacyNoSizes = !idxFs.exists(
-      new org.apache.hadoop.fs.Path(s"$indexDir/bucket_sizes"))
+    val legacyNoSizes = !hasSizesTable(spark, indexDir)
     graft.pipeline.AppendCommit.appendBatch(spark, indexDir, batchId,
         fpBatch) { tmp =>
       sigNew.write.parquet(s"$tmp/signatures")
@@ -687,10 +702,7 @@ object Dedup {
         if (!fs.exists(
             new org.apache.hadoop.fs.Path(s"$indexDir/signatures"))) {
           val b = batch.localCheckpoint() // fingerprint + build consume it
-          val fp = docsFingerprint(b)
-          val id = java.security.MessageDigest.getInstance("MD5")
-            .digest(fp.getBytes("UTF-8")).map("%02x".format(_))
-            .mkString.take(16)
+          val id = graft.pipeline.AppendCommit.contentId(docsFingerprint(b))
           buildMinhashIndex(spark, b, indexDir, Seq(id -> "0|0"))
         } else appendToMinhashIndex(spark, batch, indexDir)
       }
@@ -702,19 +714,26 @@ object Dedup {
     * size-delta log to one row per bucket — the space-debt bound for the
     * O(batch) append path, run on the IVF-retrain cadence. Rewrites the
     * tree behind SafeSwap (this is the op that is ALLOWED to cost
-    * O(index)); the append ledger resets with the tree, which is correct
-    * because the compacted content already includes every applied batch.
+    * O(index)). The append ledger is CARRIED ACROSS the swap: the
+    * compacted content already includes every applied batch, but the
+    * ledger's other job is replay suppression — a streaming micro-batch
+    * redelivered after a compaction (sink appended, process died before
+    * the checkpoint committed) must still read as applied, or its
+    * signatures and size deltas double-apply. The ledger itself is
+    * folded to one generation file first, so the carry is O(1) files.
     * Single-writer, like every maintenance op. */
   def compactMinhashIndex(spark: SparkSession, indexDir: String): Unit = {
     val sigs = spark.read.parquet(s"$indexDir/signatures")
     val live = readMinhashBands(spark, indexDir)
     val sizes = minhashBucketSizes(spark, indexDir)
+    graft.pipeline.AppendCommit.compactLedger(indexDir)
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
       // lazy reads of the live tree execute inside these write actions,
       // strictly before SafeSwap renames it aside
       sigs.write.parquet(s"$tmp/signatures")
       live.write.parquet(s"$tmp/bands")
       sizes.write.parquet(s"$tmp/bucket_sizes")
+      graft.pipeline.AppendCommit.copyLedger(indexDir, tmp)
     }
   }
 

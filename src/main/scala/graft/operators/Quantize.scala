@@ -178,28 +178,8 @@ object Quantize {
     * IVF convention — the marker file is immutable after build; appends
     * advance the fingerprint via their atomic ledger entry). */
   private def pqCurrentFingerprint(spark: SparkSession,
-      indexDir: String): Option[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
-    val marker =
-      new org.apache.hadoop.fs.Path(indexDir, "_corpus_fingerprint")
-    if (!fs.exists(marker)) None
-    else {
-      val in = fs.open(marker)
-      val base = try new String(in.readAllBytes(), "UTF-8").trim
-        finally in.close()
-      val Array(n0, h0, rest @ _*) = base.split('|')
-      var n = n0.toLong
-      var h = BigInt(h0)
-      graft.pipeline.AppendCommit.appliedEntries(indexDir).foreach {
-        case (_, payload) =>
-          val Array(nb, hb) = payload.trim.split('|')
-          n += nb.toLong
-          h += BigInt(hb)
-      }
-      Some((Seq(n.toString, h.toString) ++ rest).mkString("|"))
-    }
-  }
+      indexDir: String): Option[String] =
+    graft.pipeline.AppendCommit.cumulativeFingerprint(indexDir)
 
   /** Build-if-stale; returns true when a rebuild ran. */
   def ensurePqIndex(spark: SparkSession, e: DataFrame, indexDir: String,
@@ -223,9 +203,7 @@ object Quantize {
       new org.apache.hadoop.fs.Path(indexDir, "_corpus_fingerprint")),
       s"no PQ index at $indexDir (missing fingerprint marker)")
     val fpBatch = Similarity.corpusFingerprint(batch)
-    val batchId = java.security.MessageDigest.getInstance("MD5")
-      .digest(fpBatch.getBytes("UTF-8")).map("%02x".format(_))
-      .mkString.take(16)
+    val batchId = graft.pipeline.AppendCommit.contentId(fpBatch)
     if (graft.pipeline.AppendCommit.isApplied(indexDir, batchId)) return
     val cb = readCodebook(spark, indexDir)
     graft.pipeline.AppendCommit.appendBatch(spark, indexDir, batchId,
@@ -379,9 +357,7 @@ object Quantize {
     val replicas = marker.split('|').find(_.startsWith("replicas="))
       .get.stripPrefix("replicas=").toInt
     val fpBatch = Similarity.corpusFingerprint(batch)
-    val batchId = java.security.MessageDigest.getInstance("MD5")
-      .digest(fpBatch.getBytes("UTF-8")).map("%02x".format(_))
-      .mkString.take(16)
+    val batchId = graft.pipeline.AppendCommit.contentId(fpBatch)
     if (graft.pipeline.AppendCommit.isApplied(indexDir, batchId)) return
     val cells = spark.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
@@ -475,9 +451,6 @@ object Quantize {
       .select(col("q_id"), col("rnk"), col("vec_id"))
   }
 
-  private def contentBatchId(fp: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
 
   private def indexExists(spark: SparkSession, indexDir: String): Boolean = {
     graft.pipeline.SafeSwap.recover(indexDir)
@@ -500,7 +473,8 @@ object Quantize {
       if (!indexExists(spark, indexDir)) {
         val b = batch.localCheckpoint() // fingerprint + build consume it
         buildPqIndex(spark, b, indexDir, m, k, Seq(
-          contentBatchId(Similarity.corpusFingerprint(b)) -> "0|0"))
+          graft.pipeline.AppendCommit.contentId(
+            Similarity.corpusFingerprint(b)) -> "0|0"))
       } else appendToPqIndex(spark, batch, indexDir)
     }
     ()
@@ -517,7 +491,8 @@ object Quantize {
       if (!indexExists(spark, indexDir)) {
         val b = batch.localCheckpoint()
         buildIvfPqIndex(spark, b, indexDir, nlist, replicas, m, k, Seq(
-          contentBatchId(Similarity.corpusFingerprint(b)) -> "0|0"))
+          graft.pipeline.AppendCommit.contentId(
+            Similarity.corpusFingerprint(b)) -> "0|0"))
       } else appendToIvfPqIndex(spark, batch, indexDir)
     }
     ()

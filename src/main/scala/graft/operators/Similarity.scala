@@ -295,27 +295,8 @@ object Similarity {
     * disagree after a crash-and-retry. Returns None when no index
     * exists. Format: `n|h|nlist=..|replicas=..`. */
   private def ivfCurrentFingerprint(spark: SparkSession,
-      indexDir: String): Option[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(indexDir, "_corpus_fingerprint")
-    if (!fs.exists(marker)) None
-    else {
-      val in = fs.open(marker)
-      val base = try new String(in.readAllBytes(), "UTF-8").trim
-        finally in.close()
-      val Array(n0, h0, rest @ _*) = base.split('|')
-      var n = n0.toLong
-      var h = BigInt(h0)
-      graft.pipeline.AppendCommit.appliedEntries(indexDir).foreach {
-        case (_, payload) =>
-          val Array(nb, hb) = payload.trim.split('|')
-          n += nb.toLong
-          h += BigInt(hb)
-      }
-      Some((Seq(n.toString, h.toString) ++ rest).mkString("|"))
-    }
-  }
+      indexDir: String): Option[String] =
+    graft.pipeline.AppendCommit.cumulativeFingerprint(indexDir)
 
   /** Build-if-stale: rebuilds when the corpus content or index parameters
     * changed since the persisted state (build base + applied appends —
@@ -377,9 +358,7 @@ object Similarity {
     // batch fingerprint BEFORE the write (one pass over the batch only);
     // it is both the idempotency key and the ledger payload
     val fpBatch = corpusFingerprint(batch)
-    val batchId = java.security.MessageDigest.getInstance("MD5")
-      .digest(fpBatch.getBytes("UTF-8")).map("%02x".format(_))
-      .mkString.take(16)
+    val batchId = graft.pipeline.AppendCommit.contentId(fpBatch)
     if (graft.pipeline.AppendCommit.isApplied(indexDir, batchId)) return
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
@@ -438,9 +417,8 @@ object Similarity {
       if (!fs.exists(new org.apache.hadoop.fs.Path(
           indexDir, "_corpus_fingerprint"))) {
         val b = batch.localCheckpoint() // fingerprint + build consume it
-        val id = java.security.MessageDigest.getInstance("MD5")
-          .digest(corpusFingerprint(b).getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(16)
+        val id =
+          graft.pipeline.AppendCommit.contentId(corpusFingerprint(b))
         buildIvfIndex(spark, b, indexDir, nlist, replicas,
           Seq(id -> "0|0"))
       } else appendToIvfIndex(spark, batch, indexDir)
@@ -847,6 +825,10 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
     val b = batch.select(col("vec_id"), col("embedding"),
       bestCells(centroids, col("embedding"), 1).getItem(0).as("cell"))
+      // consumed three times (probed-cell collect, corpus join side,
+      // batch-internal join side) — materialize the nlist×dim scoring
+      // once, the appendEdges/appendToMinhashIndex pattern
+      .localCheckpoint()
     val probed = b.select(col("cell")).distinct().collect().map(_.get(0))
     val bq = b.select(col("cell"), col("vec_id").as("b"),
       col("embedding").as("eb"))

@@ -113,6 +113,68 @@ object AppendCommit {
       !st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
     }
 
+  /** Remove a crashed attempt's partially-moved files for `batchId`
+    * from the live tree. [[appendBatch]] does this itself, but a caller
+    * whose stage READS a live table the batch also writes (MinHash's
+    * size-delta log) must invoke it earlier — before planning that
+    * read, or the captured file listing references deleted files. */
+  def clearCrashedAttempt(root: String, batchId: String): Unit =
+    deleteTagged(fsFor(root), new Path(root), batchId)
+
+  /** Content-derived batch id — the replay-suppression key every index
+    * append/bootstrap shares. ONE definition on purpose: these ids are
+    * compared across build, append, and streaming-sink paths, so a
+    * divergent local copy would silently break replay suppression. */
+  def contentId(fingerprint: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(fingerprint.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(16)
+
+  /** Cumulative content fingerprint of a build-once/append-additively
+    * store: the immutable build-time `_corpus_fingerprint` marker's
+    * `count|hashsum|params...` base plus the sum of every applied
+    * batch's `n|h` ledger payload. None when no marker exists. The
+    * marker never rewrites after build — the fingerprint advances by
+    * the atomic creation of each ledger entry, so data files and
+    * fingerprint cannot disagree after a crash-and-retry. */
+  def cumulativeFingerprint(root: String): Option[String] = {
+    val fs = fsFor(root)
+    val marker = new Path(root, "_corpus_fingerprint")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val base = try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      val Array(n0, h0, rest @ _*) = base.split('|')
+      var n = n0.toLong
+      var h = BigInt(h0)
+      appliedEntries(root).foreach { case (_, payload) =>
+        val Array(nb, hb) = payload.trim.split('|')
+        n += nb.toLong
+        h += BigInt(hb)
+      }
+      Some((Seq(n.toString, h.toString) ++ rest).mkString("|"))
+    }
+  }
+
+  /** Copy `src`'s ledger directory into `dst` (a store rewrite staged
+    * under SafeSwap) so replay suppression SURVIVES a compaction/rewrite
+    * of the data tree: the rewritten content includes every applied
+    * batch, but a batch redelivered afterwards (at-least-once streaming)
+    * must still read as applied. No-op when `src` has no ledger. */
+  def copyLedger(src: String, dst: String): Unit = {
+    val fs = fsFor(src)
+    val from = new Path(src, "_applied")
+    if (!fs.exists(from)) return
+    val to = new Path(dst, "_applied")
+    fs.mkdirs(to)
+    fs.listStatus(from).foreach { st =>
+      if (!st.isDirectory)
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new Path(to, st.getPath.getName), false, fs.getConf)
+    }
+  }
+
   /** Roll all per-batch ledger files (plus any previous compacted
     * generation) into one `_compacted_<g+1>` file. Idempotent, safe to
     * re-run after a crash at any point; single maintenance writer (the
@@ -256,8 +318,18 @@ object AppendCommit {
       fs.delete(staging, true)
       return false
     }
-    SafeSwap.replace(stagingPath(root, batchId))(stage)
+    // clear a crashed attempt's partially-moved same-tag files BEFORE
+    // staging runs: stage callbacks lazily read the LIVE tree (bucket
+    // sizes, stored labels, codebooks), and a leftover partial placement
+    // of this very batch would be double-counted into that read (e.g.
+    // the MinHash cap deciding on base + its own half-placed deltas).
+    // NOTE: a caller whose stage reads a live table the batch ITSELF
+    // writes must call [[clearCrashedAttempt]] before PLANNING that
+    // read — spark.read captures the file listing eagerly, so files
+    // deleted here after planning fail the stage with FILE_NOT_EXIST
+    // (appendToMinhashIndex's bucket_sizes read is the case in point).
     deleteTagged(fs, new Path(root), batchId)
+    SafeSwap.replace(stagingPath(root, batchId))(stage)
     moveTagged(fs, staging, new Path(root), batchId)
     fs.delete(staging, true)
     markApplied(root, batchId, payload)

@@ -115,7 +115,15 @@ object Rollup {
       val m = binned.groupBy(keyCols.map(col): _*)
         .agg(map_from_entries(collect_list(
           struct(col("__bin"), col("__bc")))).as(s"__hist_${h.col}"))
-      acc.join(m, keyCols, "left")
+      // NULL-SAFE key match: a NULL group key is a real group (groupBy
+      // keeps it, and base carries its counts) — a plain USING join
+      // would never match it and silently hand it an empty histogram
+      val mr = m.select(keyCols.map(c => col(c).as(s"__m_$c"))
+        :+ col(s"__hist_${h.col}"): _*)
+      val cond = keyCols.map(c => col(c) <=> col(s"__m_$c"))
+        .reduce(_ && _)
+      acc.join(mr, cond, "left")
+        .drop(keyCols.map(c => s"__m_$c"): _*)
         .withColumn(s"__hist_${h.col}",
           coalesce(col(s"__hist_${h.col}"),
             map().cast("map<bigint,bigint>")))

@@ -186,4 +186,23 @@ class ComponentsSpec extends SparkSpec {
     assert(comp.size == 500)
     assert(comp.values.forall(_ == 1L), "single component rooted at the min")
   }
+
+  test("streaming sink: a degenerate first micro-batch cannot wedge the store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc_dgn").toString +
+      "/store"
+    val sink = Components.foreachBatchEdgeSink(dir)
+    // only self-loops and a null endpoint: zero EFFECTIVE edges. A build
+    // from this would write a labels dir holding just _SUCCESS — a store
+    // that "exists" but fails every read, wedging the sink forever
+    sink(Seq((Some(1L), Some(1L)), (Some(2L), Some(2L)),
+      (Some(3L), Option.empty[Long])).toDF("a", "b"), 0L)
+    assert(!Components.componentStoreExists(spark, dir),
+      "a zero-effective-edge batch must not found the store")
+    // the first REAL batch founds it and reads back fine
+    sink(Seq((1L, 2L)).toDF("a", "b"), 1L)
+    assert(Components.readComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 1L)))
+  }
 }

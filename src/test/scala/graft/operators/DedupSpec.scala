@@ -164,6 +164,69 @@ class DedupSpec extends SparkSpec {
       "replaying an applied batch must not touch the index")
   }
 
+  test("crash between move and ledger converges on retry (no size double-count)") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val even = d.filter(col("doc_id") % 2 === 0)
+    val odd = d.filter(col("doc_id") % 2 === 1)
+    val base = java.nio.file.Files.createTempDirectory("mh_crash").toString
+    val idx = s"$base/idx"
+    val ref = s"$base/ref"
+    Dedup.buildMinhashIndex(spark, even, idx)
+    Dedup.appendToMinhashIndex(spark, odd, idx)
+    // simulate the crash window: batch files fully moved into the live
+    // tree, ledger entry lost — the retry MUST NOT read its own placed
+    // size deltas as corpus base (the delete-tagged-before-stage order)
+    val applied = new java.io.File(s"$idx/_applied").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(applied.length == 1, "expected exactly one plain ledger entry")
+    assert(applied.head.delete())
+    Dedup.appendToMinhashIndex(spark, odd, idx) // retry
+    Dedup.buildMinhashIndex(spark, even, ref)
+    Dedup.appendToMinhashIndex(spark, odd, ref)
+    def sizes(p: String): Map[(Any, Any), Long] =
+      spark.read.parquet(s"$p/bucket_sizes")
+        .groupBy(col("band"), col("bh")).agg(sum(col("sz")).as("sz"))
+        .collect().map(r => ((r.get(0), r.get(1)), r.getLong(2))).toMap
+    assert(sizes(idx) == sizes(ref),
+      "retried append double-counted its own partially-placed deltas")
+    assert(spark.read.parquet(s"$idx/signatures").count() ==
+      spark.read.parquet(s"$ref/signatures").count(),
+      "retried append duplicated signatures")
+  }
+
+  test("compaction carries the replay ledger: a redelivered batch still no-ops") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val odd = d.filter(col("doc_id") % 2 === 1)
+    val base = java.nio.file.Files.createTempDirectory("mh_cmpl").toString
+    val idx = s"$base/idx"
+    Dedup.buildMinhashIndex(spark, d.filter(col("doc_id") % 2 === 0), idx)
+    Dedup.appendToMinhashIndex(spark, odd, idx)
+    Dedup.compactMinhashIndex(spark, idx)
+    def snapshot(): Map[String, (Long, Long)] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, (Long, Long))] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq(st.getPath.toString ->
+            (st.getModificationTime, st.getLen))
+        }
+      walk(new org.apache.hadoop.fs.Path(idx)).toMap
+    }
+    val after = snapshot()
+    // the streaming-redelivery scenario: sink appended, process died
+    // before the checkpoint committed, compaction ran in the gap, the
+    // engine re-delivers the batch — it must still read as applied
+    Dedup.appendToMinhashIndex(spark, odd, idx)
+    assert(snapshot() == after,
+      "a batch redelivered after compaction re-applied (ledger lost)")
+  }
+
   test("append re-applies the bucket cap on MERGED bucket sizes") {
     import spark.implicits._
     // identical texts → identical signatures → one bucket per band; 600

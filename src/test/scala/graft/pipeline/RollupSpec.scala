@@ -138,6 +138,32 @@ class RollupSpec extends SparkSpec {
     assert(nr.length == 1 && nr(0).getLong(1) == 0L && nr(0).isNullAt(2))
   }
 
+  test("a NULL group key keeps its histogram (null-safe partial attach)") {
+    import spark.implicits._
+    // grp = NULL is a real group: groupBy keeps it and base counts its
+    // rows, but a plain USING join on the key would never re-attach its
+    // bin map (NULL != NULL) and silently hand it an empty histogram
+    val spec = Rollup.Spec(Seq("grp"),
+      histCols = Seq(Rollup.Hist("score", 10.0)))
+    val store = Files.createTempDirectory("ruhn").toString + "/s"
+    Rollup.init(spark, store, Seq(
+        (Some("a"), Some(5.0)),
+        (None, Some(15.0)), (None, Some(25.0)),
+        (None, Option.empty[Double])).toDF("grp", "score"),
+      spec, "b0")
+    // the merge path re-attaches through the same join — exercise both
+    assert(Rollup.merge(spark, store,
+      Seq((None: Option[String], Some(35.0))).toDF("grp", "score"),
+      spec, "b1"))
+    val got = Rollup.histQuantiles(spark, store, spec, "score", Seq(0.5))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // NULL group: bins {1, 2, 3}, n = 3, p50 at cum ceil(1.5) = 2 → bin 2
+    // upper bound 30.0; group a: one value in bin 0 → bound 10.0
+    assert(got == Set((Some("a"), 1L, 10.0), (None, 3L, 30.0)))
+  }
+
   test("streaming sink: micro-batch boundaries and replays don't change the store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
