@@ -670,6 +670,93 @@ object Curation {
       |  WHERE n.domain = b.entry OR n.domain LIKE '%.' || b.entry)
       |GROUP BY domain""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q111_term_blocklist — word-boundary term-blocklist filtering: the
+  // bad-words pass every public curation pipeline runs (C4's banned-word
+  // list, Raffel et al. JMLR 2020 §2.2). A doc is blocked when any
+  // blocklist TERM appears as a whole whitespace token — substring hits
+  // inside other words don't count (the classic "Scunthorpe" failure of
+  // `text LIKE '%term%'`).
+  //
+  // Scale shape: the token stream filters to blocklist hits BEFORE any
+  // shuffle (isInCollection over a bounded literal set compiles to a
+  // hash-set probe inside the scan's codegen), so the groupBy shuffles
+  // only matching (doc, term) rows — a vanishing fraction of the corpus.
+  // The audit aggregate carries a per-doc sorted term list, bounded by
+  // |blocklist|. Survivor filtering is the q98 anti-join: blocked ids ≪
+  // corpus, broadcast, corpus never shuffles.
+  // ---------------------------------------------------------------------
+
+  /** Per-doc audit of whole-token blocklist matches: one row per BLOCKED
+    * doc with hit count, distinct-term count, and the sorted matched
+    * terms. Docs with no hits don't appear (they're the survivors). */
+  def matchBlockedTerms(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist blocks nothing")
+    docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("__tok"))
+      .filter(col("__tok").isInCollection(terms))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("__tok")).as("n_terms"),
+        array_join(array_sort(collect_set(col("__tok"))), "_")
+          .as("terms"))
+  }
+
+  /** Survivors of whole-token blocklist filtering. */
+  def blockByTerms(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val blocked = matchBlockedTerms(docs, terms).select(col("doc_id"))
+    docs.join(broadcast(blocked), Seq("doc_id"), "left_anti")
+  }
+
+  /** Gate corpus: blocklist terms planted as whole tokens into two doc
+    * families, plus a SUBSTRING-only family (`xbadword` glued into a
+    * longer token) that must NOT match — the word-boundary semantics
+    * under test. Audit rows for blocked docs + a survivor summary row. */
+  def q111TermBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val planted = d.select(col("doc_id"),
+      when(col("doc_id") % 41 === 0,
+          concat(col("text"), lit(" xbadword")))
+        .when(col("doc_id") % 43 === 0,
+          concat(lit("xspam xbadword "), col("text")))
+        .when(col("doc_id") % 47 === 0,
+          concat(col("text"), lit(" prefixbadwordsuffix")))
+        .otherwise(col("text")).as("text"))
+    val audit = matchBlockedTerms(planted, Seq("xbadword", "xspam"))
+      .select(col("doc_id"), col("n_hits"), col("n_terms"), col("terms"))
+    val survivors = blockByTerms(planted, Seq("xbadword", "xspam"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(-1L).as("doc_id"), col("n_hits"),
+        lit(0L).as("n_terms"), lit("__survivors__").as("terms"))
+    audit.unionByName(survivors)
+  }
+
+  val q111TermBlocklistSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 41 = 0 THEN text || ' xbadword'
+      |         WHEN doc_id % 43 = 0 THEN 'xspam xbadword ' || text
+      |         WHEN doc_id % 47 = 0 THEN text || ' prefixbadwordsuffix'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id, tok
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM planted)
+      |  WHERE tok IN ('xbadword', 'xspam')),
+      |audit AS (
+      |  SELECT doc_id, COUNT(*) AS n_hits,
+      |    COUNT(DISTINCT tok) AS n_terms,
+      |    list_aggregate(list_sort(list(DISTINCT tok)), 'string_agg', '_')
+      |      AS terms
+      |  FROM hits GROUP BY doc_id)
+      |SELECT doc_id, n_hits, n_terms, terms FROM audit
+      |UNION ALL
+      |SELECT -1 AS doc_id,
+      |  (SELECT COUNT(*) FROM planted
+      |   WHERE doc_id NOT IN (SELECT doc_id FROM audit)) AS n_hits,
+      |  0 AS n_terms, '__survivors__' AS terms""".stripMargin
+
   def q68QualityPrune(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val thr = quantileThresholds(d, "lang", "n_chars", 0.5)

@@ -64,9 +64,11 @@ object Dedup {
   // Jaccard from set sizes. Only docs sharing ≥1 shingle ever meet — the
   // candidate set is the inverted index's collision list, never n².
   // ---------------------------------------------------------------------
-  /** Exact Jaccard pairs from a precomputed shingle stream (shared with
-    * q34b so the shingle pass runs once). */
-  def jaccardPairs(sh: DataFrame): DataFrame = {
+  /** Shared-shingle intersection counts per candidate pair — the
+    * inverted-index core both q33 (Jaccard) and q112 (containment)
+    * score from: (a, b, na, nb, inter) for every pair sharing ≥1
+    * shingle. */
+  private def sharedShingleCounts(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val ex = sh.join(sizes, "doc_id")
     val a = ex.select(col("doc_id").as("a"), col("n").as("na"), col("s"))
@@ -74,15 +76,76 @@ object Dedup {
     a.join(b, Seq("s")).filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  /** Exact Jaccard pairs from a precomputed shingle stream (shared with
+    * q34b so the shingle pass runs once). */
+  def jaccardPairs(sh: DataFrame): DataFrame =
+    sharedShingleCounts(sh)
       .withColumn("jac", col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= 0.6)
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
         col("jac"))
-  }
 
   def q33NgramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(shingleRows(t(s, dir, "documents")))
+
+  // ---------------------------------------------------------------------
+  // q112_containment — asymmetric near-dup detection by shingle-set
+  // CONTAINMENT: inter / min(|A|, |B|) ≥ 0.9. Catches what Jaccard
+  // structurally cannot: a short doc quoted whole inside a long one has
+  // containment 1.0 but Jaccard ≈ |A|/|B| → 0 as the host grows — the
+  // excerpt/quotation/boilerplate-inclusion case (the containment variant
+  // of Broder's resemblance, STOC '97). Same inverted-index join as q33
+  // (candidates = docs sharing ≥1 shingle, never n²); only the scoring
+  // differs, so both operators share [[sharedShingleCounts]].
+  // ---------------------------------------------------------------------
+  def containmentPairs(sh: DataFrame, tau: Double): DataFrame =
+    sharedShingleCounts(sh)
+      .withColumn("cont", col("inter").cast("double") /
+        least(col("na"), col("nb")))
+      .filter(col("cont") >= tau)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+        col("cont"))
+
+  /** Gate corpus: `documents` plus planted EXCERPTS — the leading 60% of
+    * every 89th doc's words under a shifted id. Each excerpt's trigram
+    * set is a strict subset of its parent's (containment 1.0) while its
+    * Jaccard vs the parent is ≈0.6 — rows q33's threshold can miss but
+    * the containment rule must catch. */
+  def q112Containment(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+    val excerpts = d.filter(col("doc_id") % 89 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(w, lit(1),
+            greatest(lit(3), expr("(size(split(text, ' ')) * 3) div 5"))),
+          " ").as("text"))
+    containmentPairs(shingleRows(d.unionByName(excerpts)), 0.9)
+  }
+
+  val q112ContainmentSql: String =
+    """WITH exc AS (
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    list_aggregate(w[1:greatest(3, (len(w)*3)//5)],
+      |      'string_agg', ' ') AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |        FROM documents WHERE doc_id % 89 = 0)),
+      |ad AS (SELECT doc_id, text FROM documents UNION ALL
+      |       SELECT doc_id, text FROM exc),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM ad),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         list_aggregate(w[i:i+2], 'string_agg', '_') AS s
+      |       FROM t, UNNEST(range(1, len(w) - 1)) AS g(i)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |c AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+      |      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |      GROUP BY x.doc_id, y.doc_id)
+      |SELECT a, b, inter, sa.n AS na, sb.n AS nb,
+      |  CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS cont
+      |FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.9""".stripMargin
 
   val q33NgramJaccardSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

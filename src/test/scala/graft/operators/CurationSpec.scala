@@ -296,6 +296,29 @@ class CurationSpec extends SparkSpec {
     assert(kept === Set(4L, 5L, 6L, 7L))
   }
 
+  test("term blocklist matches whole tokens only; clean docs survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text here"),                 // no hit → survives
+      (2L, "has xbadword inside"),             // whole-token hit → blocked
+      (3L, "prefixxbadword and xbadwordsuffix"), // substrings only → survives
+      (4L, "xspam xbadword xspam"),            // 3 hits, 2 distinct terms
+      (5L, "xbadword")                         // doc IS the term
+    ).toDF("doc_id", "text")
+    val bl = Seq("xbadword", "xspam")
+    val audit = Curation.matchBlockedTerms(docs, bl).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(audit.keySet === Set(2L, 4L, 5L))
+    assert(audit(2L) === ((1L, 1L, "xbadword")))
+    assert(audit(4L) === ((3L, 2L, "xbadword_xspam")),
+      "hit count is occurrences; terms are distinct and sorted")
+    val kept = Curation.blockByTerms(docs, bl)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L),
+      "substring-only docs must survive word-boundary matching")
+  }
+
   test("winsorize clips exactly the tails the order statistic defines") {
     import spark.implicits._
     // 1..20, tail 0.1: hi = largest v with #(≥v) ≥ ceil(2) → 19;

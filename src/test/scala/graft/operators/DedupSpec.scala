@@ -36,6 +36,26 @@ class DedupSpec extends SparkSpec {
     assert((sh -- exactPairs).isEmpty, s"false positives: ${sh -- exactPairs}")
   }
 
+  test("containment catches a short doc quoted inside a long one that Jaccard misses") {
+    import spark.implicits._
+    // doc 1 = 10 unique words; doc 2 quotes it whole inside 40 more words.
+    // Trigram sets: |A| = 8, A ⊂ B, |B| ≫ |A| → containment 1.0 but
+    // Jaccard = 8/|B| ≈ 0.17, far below q33's 0.6 threshold.
+    val quoted = (1 to 10).map(i => s"q$i").mkString(" ")
+    val host = (1 to 20).map(i => s"h$i").mkString(" ") + " " + quoted +
+      " " + (21 to 40).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, quoted), (2L, host),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val sh = Dedup.shingleRows(docs)
+    val cont = Dedup.containmentPairs(sh, 0.9).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L)))
+    assert(cont.head.getAs[Double]("cont") === 1.0,
+      "a strict shingle subset must score containment 1.0")
+    assert(Dedup.jaccardPairs(sh).count() === 0,
+      "the case is invisible to symmetric Jaccard at its threshold")
+  }
+
   test("exact dedup removes exactly the planted duplicate rows") {
     val res = Dedup.q31DedupExact(spark, sfDir).collect()
     res.foreach { r =>
