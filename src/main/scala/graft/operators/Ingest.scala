@@ -362,6 +362,50 @@ object Ingest {
       .select(col("valid_from"), col("n"), col("sum_c_acctbal"))
   }
 
+  // ---------------------------------------------------------------------
+  // q113_compaction — small-file compaction roundtrip: orders is written
+  // Hive-partitioned by o_orderpriority with every partition deliberately
+  // fragmented into 12 files (the state a year of incremental syncs
+  // leaves behind), [[graft.pipeline.Maintain.compactPartitions]]
+  // rewrites each to one file behind per-partition SafeSwaps, and the
+  // gate aggregates the compacted table — any row lost, duplicated, or
+  // value-damaged by the rewrite moves a count or a decimal sum against
+  // the oracle computed straight from the source. The file-count /
+  // untouched-partition-identity halves of the contract are
+  // MaintainSpec's (the oracle can't see the filesystem).
+  // ---------------------------------------------------------------------
+  private lazy val compactBase: String =
+    Files.createTempDirectory("graft_compact_").toString
+
+  def q113Compaction(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Maintain
+    val tbl = s"$compactBase/orders_${dir.hashCode.toHexString}"
+    if (!new java.io.File(s"$tbl.complete").exists()) {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .repartition(12)
+        .write.partitionBy("o_orderpriority").parquet(tbl)
+      val sum = Maintain.compactPartitions(s, tbl,
+        targetBytes = 1L << 30, maxFiles = 1)
+      require(sum.partitionsCompacted == sum.partitionsSeen,
+        s"expected every fragmented partition compacted, got $sum")
+      new java.io.File(s"$tbl.complete").createNewFile()
+    }
+    s.read.parquet(tbl)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sumDec(col("o_totalprice")).as("sum_price"))
+  }
+
+  val q113CompactionSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  COUNT(DISTINCT o_orderkey) AS n_keys,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   val q99Scd2RollupSql: String =
     """WITH s1 AS (SELECT c_custkey, c_acctbal FROM customer),
       |s2 AS (

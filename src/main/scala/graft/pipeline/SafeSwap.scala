@@ -1,6 +1,5 @@
 package graft.pipeline
 
-import java.net.URI
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -16,8 +15,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * window. */
 object SafeSwap {
 
+  // via Path#getFileSystem, NOT FileSystem.get(new URI(path), …): a raw
+  // path can hold characters illegal in a URI (a Hive partition value
+  // with a space, 'priority=4-NOT SPECIFIED'), which the strict
+  // single-arg URI parser rejects; Path's constructor quotes them
   private def fsFor(path: String): FileSystem =
-    FileSystem.get(new URI(path), new Configuration())
+    new Path(path).getFileSystem(new Configuration())
 
   /** Temp/aside names are DOT-PREFIXED siblings: when the swapped dir is
     * itself a Hive partition directory (`root/day=1`), a visible sibling

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class MaintainSpec extends SparkSpec {
+
+  /** (relative file path → (mtime, length)) for every data file. */
+  private def snapshot(root: String): Map[String, (Long, Long)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[(String, (Long, Long))] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".") || n.startsWith("_")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st.getPath.toString.stripPrefix(root) ->
+          (st.getModificationTime, st.getLen))
+      }
+    walk(new org.apache.hadoop.fs.Path(root)).toMap
+  }
+
+  test("compaction rewrites only fragmented partitions and is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("compact").toString + "/t"
+    // partition a: 8 small files; partition b: already 1 file
+    (1 to 80).map(i => (i.toLong, "a")).toDF("k", "p")
+      .repartition(8).write.partitionBy("p").parquet(path)
+    (81 to 90).map(i => (i.toLong, "b")).toDF("k", "p")
+      .coalesce(1).write.mode("append").partitionBy("p").parquet(path)
+    val before = snapshot(path)
+    val beforeRows = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val sum = Maintain.compactPartitions(spark, path,
+      targetBytes = 1L << 30, maxFiles = 1)
+    assert(sum.partitionsSeen == 2 && sum.partitionsCompacted == 1)
+    val after = snapshot(path)
+    val aFiles = after.keys.filter(_.contains("p=a"))
+    assert(aFiles.size == 1, s"partition a should compact to 1 file: $aFiles")
+    // untouched partition keeps PHYSICAL file identity (mtime + length)
+    val bBefore = before.filter(_._1.contains("p=b"))
+    val bAfter = after.filter(_._1.contains("p=b"))
+    assert(bBefore == bAfter, "partition b must keep file identity")
+    // content identical through the rewrite
+    val afterRows = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterRows == beforeRows)
+
+    // idempotent: a second run rewrites nothing anywhere
+    val sum2 = Maintain.compactPartitions(spark, path,
+      targetBytes = 1L << 30, maxFiles = 1)
+    assert(sum2.partitionsCompacted == 0)
+    assert(snapshot(path) == after, "second run must be a physical no-op")
+  }
+
+  test("targetBytes bounds output files; already-in-budget partitions pass") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("compact_tb").toString + "/t"
+    (1 to 4000).map(i => (i.toLong, s"pad_$i" * 20, "a"))
+      .toDF("k", "v", "p")
+      .repartition(16).write.partitionBy("p").parquet(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val pdir = new org.apache.hadoop.fs.Path(s"$path/p=a")
+    val bytes = fs.listStatus(pdir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    // target = ~1/3 of the partition → expect ceil(bytes/target) = 3 files
+    val target = bytes / 3 + 1
+    val sum = Maintain.compactPartitions(spark, path, target, maxFiles = 1)
+    assert(sum.partitionsCompacted == 1)
+    val n = fs.listStatus(pdir).count { st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")
+    }
+    assert(n == 3, s"expected 3 output files, got $n")
+    // a partition already within (maxFiles, want) budget is left alone
+    val sum2 = Maintain.compactPartitions(spark, path, target, maxFiles = 3)
+    assert(sum2.partitionsCompacted == 0)
+  }
+
+  test("unpartitioned table compacts at the root") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("compact_flat").toString + "/t"
+    (1 to 50).map(_.toLong).toDF("k").repartition(10).write.parquet(path)
+    val sum = Maintain.compactPartitions(spark, path,
+      targetBytes = 1L << 30, maxFiles = 1)
+    assert(sum.partitionsSeen == 1 && sum.partitionsCompacted == 1)
+    assert(spark.read.parquet(path).count() == 50)
+    assert(snapshot(path).size == 1)
+  }
+}
