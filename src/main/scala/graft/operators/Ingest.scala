@@ -406,6 +406,50 @@ object Ingest {
       |    AS sum_price
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q114_skipping — file-level min/max data skipping roundtrip: orders is
+  // written range-partitioned on o_orderkey (8 files, disjoint ranges —
+  // the layout [[graft.pipeline.Layout.zorderWrite]] and range syncs
+  // produce), [[graft.pipeline.Skipping.buildStats]] collects the
+  // per-file stats table, and the gate reads a middle key range through
+  // [[graft.pipeline.Skipping.readRange]] — which must touch a strict
+  // subset of files (require'd here; plan-level file accounting is
+  // SkippingSpec's) and return exactly what a full-scan filter returns
+  // (the oracle). Any file wrongly skipped loses rows and hash-fails.
+  // ---------------------------------------------------------------------
+  private lazy val skipBase: String =
+    Files.createTempDirectory("graft_skip_").toString
+
+  def q114Skipping(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Skipping
+    val tbl = s"$skipBase/orders_${dir.hashCode.toHexString}"
+    if (!new java.io.File(s"$tbl.complete").exists()) {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.parquet(tbl)
+      Skipping.buildStats(s, tbl, Seq("o_orderkey"))
+      new java.io.File(s"$tbl.complete").createNewFile()
+    }
+    val (matched, unknown) =
+      Skipping.candidateFiles(s, tbl, "o_orderkey", 20000L, 24000L)
+    require(unknown.isEmpty && matched.size < 8,
+      s"stats must be fresh and the range must prune: " +
+        s"${matched.size} matched, ${unknown.size} unknown")
+    Skipping.readRange(s, tbl, "o_orderkey", 20000L, 24000L)
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sumDec(col("o_totalprice")).as("sum_price"))
+  }
+
+  val q114SkippingSql: String =
+    """SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+      |  MAX(o_orderkey) AS max_key,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders WHERE o_orderkey BETWEEN 20000 AND 24000""".stripMargin
+
   val q99Scd2RollupSql: String =
     """WITH s1 AS (SELECT c_custkey, c_acctbal FROM customer),
       |s2 AS (

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class SkippingSpec extends SparkSpec {
+
+  test("range read touches only overlapping files and matches the full scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("skip").toString + "/t"
+    (1L to 1000L).map(k => (k, k * 2)).toDF("k", "v")
+      .repartitionByRange(10, col("k")).write.parquet(path)
+    Skipping.buildStats(spark, path, Seq("k"))
+    val (matched, unknown) = Skipping.candidateFiles(spark, path,
+      "k", 450L, 520L)
+    assert(unknown.isEmpty, "stats were just built — nothing unknown")
+    // 1000 keys over 10 disjoint range files ≈ 100/file; [450,520]
+    // spans at most 2 of them
+    assert(matched.size <= 2 && matched.nonEmpty,
+      s"expected ≤2 candidate files, got ${matched.size}")
+    val pruned = Skipping.readRange(spark, path, "k", 450L, 520L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = spark.read.parquet(path)
+      .filter(col("k") >= 450L && col("k") <= 520L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == full)
+    assert(pruned.size == 71)
+  }
+
+  test("files appended after the stats build are always scanned (stale-safe)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("skip_stale").toString + "/t"
+    (1L to 100L).map(k => (k, "old")).toDF("k", "src")
+      .coalesce(1).write.parquet(path)
+    Skipping.buildStats(spark, path, Seq("k"))
+    // an incremental append the stats have never seen — IN the range
+    (200L to 210L).map(k => (k, "new")).toDF("k", "src")
+      .coalesce(1).write.mode("append").parquet(path)
+    val (matched, unknown) = Skipping.candidateFiles(spark, path,
+      "k", 205L, 207L)
+    assert(matched.isEmpty, "the stats-known file [1,100] cannot match")
+    assert(unknown.size == 1, "the appended file must be a candidate")
+    val rows = Skipping.readRange(spark, path, "k", 205L, 207L)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows == Set(205L, 206L, 207L),
+      "stale stats must degrade to scanning unknown files, never to " +
+        "missing their rows")
+  }
+
+  test("partition columns survive leaf-file reads; all-null stats files skip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("skip_part").toString + "/t"
+    // Hive-partitioned table + one partition whose stats column is
+    // entirely NULL (its min/max stats are NULL → never range-matched)
+    (1L to 50L).map(k => (k, Some(k * 10), "a")).toDF("k", "m", "p")
+      .unionByName(
+        (51L to 60L).map(k => (k, Option.empty[Long], "b")).toDF("k", "m", "p"))
+      .repartitionByRange(3, col("p"), col("k"))
+      .write.partitionBy("p").parquet(path)
+    Skipping.buildStats(spark, path, Seq("m"))
+    val got = Skipping.readRange(spark, path, "m", 100L, 200L)
+      .select("k", "m", "p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == (10L to 20L).map(k => (k, k * 10, "a")).toSet,
+      "basePath read must keep the partition column; NULL rows excluded")
+    val (matched, unknown) = Skipping.candidateFiles(spark, path,
+      "m", 100L, 200L)
+    assert(unknown.isEmpty)
+    assert(matched.forall(_.contains("p=a")),
+      "the all-NULL partition's files must be skipped, not scanned")
+  }
+}
