@@ -488,6 +488,93 @@ object TextAnalysis {
       .select(col("rnk").cast("int").as("rnk"), col("doc_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // q115_bigram_surprisal — q109's LM upgraded one order: each doc's mean
+  // bigram log-probability under the corpus's own add-one-smoothed
+  // CONDITIONAL bigram model, p(t2|t1) = (c12 + 1)/(c1 + V), ranked
+  // most-surprising-first. A unigram model scores word choice; the
+  // bigram model scores word ORDER — scrambled or machine-mangled text
+  // keeps its unigram profile but lands in unseen transitions, the
+  // signal CCNet-style perplexity filters actually rely on.
+  //
+  // Determinism discipline is q109's: per-doc reduction is an ordered
+  // fold over (t1, t2)-sorted weights, so the double is reproducible
+  // across engines and partitionings. Scale: bigrams come from the
+  // shared window-lead pipeline (NGrams — one posexplode, one doc_id
+  // shuffle); the model table is |distinct bigrams| rows and joins
+  // SHUFFLE-on-(t1,t2) — unlike q109's broadcast vocab, a bigram table
+  // at corpus scale is too big to ship to every executor, so the join
+  // shape must already be the scalable one. Top-k is
+  // TakeOrderedAndProject.
+  // ---------------------------------------------------------------------
+  def bigramSurprisal(d: DataFrame, k: Int): DataFrame = {
+    val bg = NGrams.nGramRows(d, 2)(ws =>
+        struct(ws(0).as("t1"), ws(1).as("t2")))
+      .select(col("doc_id"), col("s.t1").as("t1"), col("s.t2").as("t2"))
+    val c12 = bg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c"))
+    val c1 = c12.groupBy(col("t1")).agg(sum(col("c")).as("c1"))
+    val vocab = d.select(explode(words(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    val logp = c12.join(c1, Seq("t1")).crossJoin(broadcast(vocab))
+      .select(col("t1"), col("t2"),
+        log((col("c").cast("double") + lit(1.0))
+          / (col("c1").cast("double") + col("v"))).as("logp"))
+    val pdt = bg.groupBy(col("doc_id"), col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n"))
+      .join(logp, Seq("t1", "t2"))
+      .select(col("doc_id"), col("n"),
+        struct(col("t1"), col("t2"),
+          (col("n").cast("double") * col("logp")).as("w")).as("tw"))
+    val perDoc = pdt.groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("double").as("n_bg"),
+        array_sort(collect_list(col("tw"))).as("tws"))
+      .select(col("doc_id"),
+        (aggregate(col("tws"), lit(0.0d),
+          (acc, x) => acc + x.getField("w")) / col("n_bg"))
+          .as("mean_logp"))
+    val top = perDoc.orderBy(col("mean_logp").asc, col("doc_id").asc)
+      .limit(k)
+    Similarity.rankBounded(top, "rnk",
+        Seq(col("mean_logp").asc, col("doc_id").asc))
+      .select(col("rnk").cast("int").as("rnk"), col("doc_id"))
+  }
+
+  def q115BigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    bigramSurprisal(t(s, dir, "documents"), k = 20)
+
+  val q115BigramSurprisalSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents),
+      |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS t1,
+      |         unnest(w[2:len(w)]) AS t2
+      |       FROM t WHERE len(w) >= 2),
+      |c12 AS (SELECT t1, t2, COUNT(*) AS c FROM bg GROUP BY t1, t2),
+      |c1 AS (SELECT t1, SUM(c) AS c1 FROM c12 GROUP BY t1),
+      |vocab AS (
+      |  SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)),
+      |logp AS (
+      |  SELECT c12.t1, c12.t2,
+      |    ln((CAST(c12.c AS DOUBLE) + 1.0)
+      |       / (CAST(c1.c1 AS DOUBLE) + v.v)) AS logp
+      |  FROM c12 JOIN c1 USING (t1) CROSS JOIN vocab v),
+      |pdt AS (SELECT doc_id, t1, t2, COUNT(*) AS n
+      |        FROM bg GROUP BY doc_id, t1, t2),
+      |per_doc AS (
+      |  SELECT p.doc_id,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |        list(CAST(p.n AS DOUBLE) * l.logp ORDER BY p.t1, p.t2)),
+      |      (a, b) -> a + b)
+      |      / CAST(SUM(p.n) AS DOUBLE) AS mean_logp
+      |  FROM pdt p JOIN logp l ON p.t1 = l.t1 AND p.t2 = l.t2
+      |  GROUP BY p.doc_id)
+      |SELECT CAST(rnk AS INT) AS rnk, doc_id FROM (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY mean_logp ASC, doc_id ASC) AS rnk
+      |  FROM per_doc)
+      |WHERE rnk <= 20""".stripMargin
+
   def q109UnigramSurprisal(s: SparkSession, dir: String): DataFrame =
     unigramSurprisal(t(s, dir, "documents"), k = 20)
 

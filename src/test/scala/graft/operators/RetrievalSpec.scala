@@ -78,4 +78,35 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
     assert(a == b)
   }
+
+  test("bigramSurprisal flags scrambled word ORDER that unigrams cannot see") {
+    import spark.implicits._
+    // docs 1 and 2 have the SAME token multiset — identical unigram
+    // score — but doc 2's transitions never occur elsewhere in the
+    // corpus while doc 1's dominate it. Only the bigram model separates
+    // them, and it must put the scrambled doc first (most surprising).
+    val docs = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "b b a a b a b a"),
+      (3L, "a b a b a b"),
+      (4L, "a b a b")
+    ).toDF("doc_id", "text")
+    val uni = TextAnalysis.unigramSurprisal(docs, 4)
+      .collect().map(r => (r.getLong(1), r.getInt(0))).toMap
+    assert(uni(1L) < uni(2L),
+      "unigram ties break by doc_id — order damage is invisible to it")
+    val bi = TextAnalysis.bigramSurprisal(docs, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toList
+    assert(bi.head._2 == 2L,
+      s"the scrambled doc must rank most surprising, got $bi")
+  }
+
+  test("bigramSurprisal is partitioning-invariant (ordered fold)") {
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    val a = TextAnalysis.bigramSurprisal(d.repartition(1), 20)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val b = TextAnalysis.bigramSurprisal(d.repartition(13), 20)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(a == b)
+  }
 }
