@@ -296,6 +296,61 @@ object Rollup {
         qAggs: _*)
   }
 
+  /** Population-drift score between two maintained stores' histograms of
+    * `histCol`: per group, the Population Stability Index
+    * PSI = Σ_bins (p_b − q_b)·ln(p_b / q_b) over the UNION of both
+    * stores' bins, with add-one smoothing p_b = (c_b + 1)/(n + B) so a
+    * bin present on one side only stays finite (the standard fix — raw
+    * PSI is undefined the moment a new bin appears, which is exactly
+    * when you want the alarm). Convention: PSI < 0.1 stable, 0.1–0.25
+    * drifting, > 0.25 shifted.
+    *
+    * This is what the maintained histograms are FOR operationally: the
+    * reference store is yesterday's (or the training snapshot's) rollup,
+    * the current store is maintained by the live sync — and the drift
+    * check touches only the two |groups|×|bins| partial tables, never a
+    * corpus. The per-group sum is an ordered fold over bin-sorted terms
+    * (every input an integer count or an IEEE div/ln of integers), so
+    * the double is bit-reproducible across engines and partitionings
+    * (the q92/q103 discipline). Groups missing from one store entirely
+    * surface with n_ref/n_cur = 0 and a PSI computed over the present
+    * side's bins — visible, not dropped. */
+  def histDrift(spark: SparkSession, refStore: String, curStore: String,
+      spec: Spec, histCol: String): DataFrame = {
+    require(spec.histCols.exists(_.col == histCol),
+      s"$histCol has no histogram in the store spec")
+    val keys = spec.groupCols
+    def bins(store: String, side: String): DataFrame = {
+      SafeSwap.recover(store)
+      spark.read.parquet(s"$store/partials").select(
+        (keys.map(col) :+
+          explode(col(s"__hist_$histCol")).as(Seq("__bin", "__c"))): _*)
+        .withColumn("__ref_c",
+          if (side == "ref") col("__c") else lit(0L))
+        .withColumn("__cur_c",
+          if (side == "cur") col("__c") else lit(0L))
+        .drop("__c")
+    }
+    val both = bins(refStore, "ref").unionByName(bins(curStore, "cur"))
+      .groupBy((keys :+ "__bin").map(col): _*)
+      .agg(sum(col("__ref_c")).as("__rc"), sum(col("__cur_c")).as("__cc"))
+    val perKey = both.groupBy(keys.map(col): _*)
+      .agg(sum(col("__rc")).as("n_ref"), sum(col("__cc")).as("n_cur"),
+        count(lit(1)).as("n_bins"),
+        array_sort(collect_list(
+          struct(col("__bin"), col("__rc"), col("__cc")))).as("__bins"))
+    val psi = aggregate(col("__bins"), lit(0.0d), (acc, x) => {
+      val p = (x.getField("__rc").cast(DoubleType) + lit(1.0)) /
+        (col("n_ref").cast(DoubleType) + col("n_bins").cast(DoubleType))
+      val q = (x.getField("__cc").cast(DoubleType) + lit(1.0)) /
+        (col("n_cur").cast(DoubleType) + col("n_bins").cast(DoubleType))
+      acc + (p - q) * log(p / q)
+    })
+    perKey.select(
+      (keys.map(col) :+ col("n_ref") :+ col("n_cur") :+ col("n_bins") :+
+        psi.as("psi")): _*)
+  }
+
   // --- the original count+sum surface (q96), now a Spec special case ---
 
   def init(spark: SparkSession, storeDir: String, df: DataFrame,
@@ -400,6 +455,83 @@ object Rollup {
     }
     histQuantiles(s, store, spec, "o_totalprice", Seq(0.5, 0.9))
   }
+
+  // ---------------------------------------------------------------------
+  // q116_hist_drift — drift detection between two MAINTAINED stores: the
+  // reference rollup holds the even-key half of orders, the current
+  // rollup is built incrementally (init + merge + replay, which must
+  // no-op) from the odd half with group 'O' prices shifted +10% — a
+  // planted distribution shift in exactly one group. [[histDrift]]
+  // compares the two partial tables; any error in the histogram
+  // maintenance, the bin-union smoothing, or the ordered PSI fold moves
+  // a double against the oracle, which recomputes both histograms and
+  // the identical fold from the raw table.
+  // ---------------------------------------------------------------------
+  def q116HistDrift(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    val refStore = s"$gateBase/dr_ref_${dir.hashCode.toHexString}"
+    val curStore = s"$gateBase/dr_cur_${dir.hashCode.toHexString}"
+    val spec = Spec(groupCols = Seq("o_orderstatus"),
+      histCols = Seq(Hist("o_totalprice", 1000.0)))
+    if (!new java.io.File(s"$refStore.complete").exists()) {
+      init(s, refStore, orders.filter(col("o_orderkey") % 2 === 0), spec,
+        Seq("r0"))
+      val cur = orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_totalprice",
+          when(col("o_orderstatus") === "O", col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+      init(s, curStore, cur.filter(col("o_orderkey") % 3 === 0), spec,
+        Seq("c0"))
+      merge(s, curStore, cur.filter(col("o_orderkey") % 3 =!= 0), spec,
+        Seq("c1"))
+      merge(s, curStore, cur.filter(col("o_orderkey") % 3 =!= 0), spec,
+        Seq("c1")) // replay: double-counted bins shift the PSI → hash fail
+      new java.io.File(s"$refStore.complete").createNewFile()
+    }
+    histDrift(s, refStore, curStore, spec, "o_totalprice")
+  }
+
+  val q116HistDriftSql: String =
+    """WITH ref AS (
+      |  SELECT o_orderstatus,
+      |    CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS bin,
+      |    COUNT(*) AS c
+      |  FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+      |  GROUP BY 1, 2),
+      |cur AS (
+      |  SELECT o_orderstatus,
+      |    CAST(FLOOR(
+      |      CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+      |           ELSE o_totalprice END / 1000.0) AS BIGINT) AS bin,
+      |    COUNT(*) AS c
+      |  FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+      |  GROUP BY 1, 2),
+      |both_ AS (
+      |  SELECT COALESCE(r.o_orderstatus, c.o_orderstatus) AS o_orderstatus,
+      |    COALESCE(r.bin, c.bin) AS bin,
+      |    COALESCE(r.c, 0) AS rc, COALESCE(c.c, 0) AS cc
+      |  FROM ref r FULL OUTER JOIN cur c
+      |    ON r.o_orderstatus = c.o_orderstatus AND r.bin = c.bin),
+      |k AS (
+      |  SELECT o_orderstatus, SUM(rc) AS n_ref, SUM(cc) AS n_cur,
+      |    COUNT(*) AS n_bins,
+      |    list(struct_pack(bin := bin, rc := rc, cc := cc)
+      |      ORDER BY bin) AS bins
+      |  FROM both_ GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, CAST(n_ref AS BIGINT) AS n_ref,
+      |  CAST(n_cur AS BIGINT) AS n_cur, CAST(n_bins AS BIGINT) AS n_bins,
+      |  list_reduce(list_prepend(0.0::DOUBLE,
+      |    [((CAST(b.rc AS DOUBLE) + 1.0)
+      |        / (CAST(n_ref AS DOUBLE) + CAST(n_bins AS DOUBLE))
+      |      - (CAST(b.cc AS DOUBLE) + 1.0)
+      |        / (CAST(n_cur AS DOUBLE) + CAST(n_bins AS DOUBLE)))
+      |     * ln(((CAST(b.rc AS DOUBLE) + 1.0)
+      |        / (CAST(n_ref AS DOUBLE) + CAST(n_bins AS DOUBLE)))
+      |       / ((CAST(b.cc AS DOUBLE) + 1.0)
+      |        / (CAST(n_cur AS DOUBLE) + CAST(n_bins AS DOUBLE))))
+      |     FOR b IN bins]),
+      |    (a, x) -> a + x) AS psi
+      |FROM k""".stripMargin
 
   val q103RollupQuantileSql: String =
     """WITH b AS (

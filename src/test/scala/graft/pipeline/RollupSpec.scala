@@ -164,6 +164,34 @@ class RollupSpec extends SparkSpec {
     assert(got == Set((Some("a"), 1L, 10.0), (None, 3L, 30.0)))
   }
 
+  test("histDrift: planted shift dominates; one-sided groups surface") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("drift").toString
+    val spec = Rollup.Spec(Seq("grp"),
+      histCols = Seq(Rollup.Hist("score", 10.0)))
+    // ref: groups a and b over bins 0-4; gone: only in ref
+    val ref = (1 to 500).map(i => ("a", (i % 50).toDouble)) ++
+      (1 to 500).map(i => ("b", (i % 50).toDouble)) ++
+      (1 to 50).map(i => ("gone", (i % 50).toDouble))
+    // cur: a unchanged, b shifted wholesale into bins 10-14; new: only cur
+    val cur = (1 to 500).map(i => ("a", (i % 50).toDouble)) ++
+      (1 to 500).map(i => ("b", 100.0 + (i % 50))) ++
+      (1 to 50).map(i => ("new", (i % 50).toDouble))
+    Rollup.init(spark, s"$base/ref", ref.toDF("grp", "score"), spec, "r")
+    Rollup.init(spark, s"$base/cur", cur.toDF("grp", "score"), spec, "c")
+    val got = Rollup.histDrift(spark, s"$base/ref", s"$base/cur",
+        spec, "score").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(got.keySet == Set("a", "b", "gone", "new"),
+      "groups present in only one store must surface, not drop")
+    assert(got("a")._3 < 0.01, s"identical distribution: ${got("a")}")
+    assert(got("b")._3 > 1.0,
+      s"a wholesale bin shift must alarm loudly: ${got("b")}")
+    assert(got("gone")._1 == 50L && got("gone")._2 == 0L)
+    assert(got("new")._1 == 0L && got("new")._2 == 50L)
+  }
+
   test("streaming sink: micro-batch boundaries and replays don't change the store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
