@@ -44,19 +44,23 @@ object Tables {
     else df
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright. Read it as raw int64 nanos (legacy conf) and convert
-    * to timestamp_ntz at microsecond precision with *integer* division —
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects outright — read as raw int64 nanos via the
+    * legacy conf) and plain TIMESTAMP(MICROS); adapt to the schema actually
+    * on disk. The nanos branch converts with *integer* division —
     * epoch-nanos (~1.7e18) overflows double's 53-bit mantissa, so a float
-    * divide here would silently corrupt timestamps. Truncation matches how
+    * divide there would silently corrupt timestamps. Truncation matches how
     * DuckDB narrows ns → µs. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000"))
-          .cast("timestamp_ntz"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", ts)
   }
 
   /** Last directory registered per session, so repeated SQL-surface calls
