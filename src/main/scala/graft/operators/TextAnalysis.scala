@@ -604,4 +604,62 @@ object TextAnalysis {
       |    ROW_NUMBER() OVER (ORDER BY mean_logp ASC, doc_id ASC) AS rnk
       |  FROM per_doc)
       |WHERE rnk <= 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q119_tfidf — per-document top-k TF-IDF terms, the keyword-extraction
+  // primitive (smoothed idf = ln((1+N)/(1+df))). Scale shape: tf and df
+  // are the two classic shuffle-on-key aggregates (df derived FROM tf, so
+  // the corpus token stream shuffles once); N rides as a one-row
+  // broadcast; the per-doc top-k window partitions BY doc_id — each
+  // window task holds one document's distinct terms, bounded by document
+  // length, never a corpus-sized sort. The output carries the ranking
+  // plus the EXACT integer evidence (tf, df) rather than the tf·idf
+  // double itself: JVM Math.log and libm ln can disagree by 1 ulp on the
+  // same argument (observed: 2.9e-16 drift at sf0.01), which would
+  // hash-fail a float column while leaving every rank unchanged — rank
+  // flips would need two distinct (tf, df) ratios within 1 ulp of each
+  // other, which ties the score exactly in BOTH engines anyway whenever
+  // the pairs are equal.
+  // ---------------------------------------------------------------------
+  def tfIdfTopTerms(d: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          log((lit(1.0) + col("n")) / (lit(1.0) + col("df").cast("double"))))
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("int").as("rnk"),
+        col("term"), col("tf"), col("df"))
+  }
+
+  def q119Tfidf(s: SparkSession, dir: String): DataFrame =
+    tfIdfTopTerms(t(s, dir, "documents"), k = 3)
+
+  val q119TfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    CAST(tf AS DOUBLE)
+      |      * ln((1.0 + n.n) / (1.0 + CAST(df AS DOUBLE))) AS tfidf
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+      |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, df FROM (
+      |  SELECT doc_id, term, tf, df, tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY tfidf DESC, term ASC) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 3""".stripMargin
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.toDF("user_id", "ts_s", "event_type")
+      .select(col("user_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
+        col("event_type"))
+
+  test("funnel: strict temporal order, per-step survivor counts") {
+    // u1: full ordered chain; u2: purchase BEFORE click (only step 1);
+    // u3: no view at all (counted nowhere); u4: click at the exact view
+    // timestamp (strict > drops it at step 2)
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:05:00", "click"),
+      (1L, "2024-01-01 10:10:00", "purchase"),
+      (2L, "2024-01-01 09:00:00", "view"),
+      (2L, "2024-01-01 09:30:00", "purchase"),
+      (3L, "2024-01-01 08:00:00", "click"),
+      (3L, "2024-01-01 08:10:00", "purchase"),
+      (4L, "2024-01-01 07:00:00", "view"),
+      (4L, "2024-01-01 07:00:00", "click"))
+    val got = Behavior
+      .funnel(e, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select("step", "users").as[(Int, Long)].collect().toMap
+    assert(got === Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("funnel: later same-type events can satisfy a step the earliest missed") {
+    // u5's first click precedes its view; the SECOND click (after the
+    // view) must carry it through step 2
+    val e = ev(
+      (5L, "2024-01-01 10:00:00", "click"),
+      (5L, "2024-01-01 11:00:00", "view"),
+      (5L, "2024-01-01 12:00:00", "click"))
+    val got = Behavior
+      .funnel(e, "user_id", "ts", "event_type", Seq("view", "click"))
+      .select("step", "users").as[(Int, Long)].collect().toMap
+    assert(got === Map(1 -> 1L, 2 -> 1L))
+  }
+
+  test("retention: cohort by first-event week, offsets in weeks") {
+    // 2024-01-01 is a Monday. uA cohort w0, active w0 + w2; uB cohort
+    // w0, active w0 only; uC cohort w1, active w1.
+    val e = ev(
+      (10L, "2024-01-02 10:00:00", "view"),
+      (10L, "2024-01-16 10:00:00", "view"),
+      (11L, "2024-01-03 10:00:00", "view"),
+      (12L, "2024-01-09 10:00:00", "view"))
+    val got = Behavior.retentionCohorts(e, "user_id", "ts")
+      .as[(String, Int, Long)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L)))
+  }
+}

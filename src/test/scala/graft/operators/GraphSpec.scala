@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(es: (String, String)*) =
+    es.toDF("src", "dst")
+
+  test("symmetric pair splits rank evenly") {
+    val r = Graph.pageRank(edges(("a", "b"), ("b", "a")), 3, 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r("a") - 0.5) < 1e-12 && math.abs(r("b") - 0.5) < 1e-12)
+  }
+
+  test("path graph a-b-c after one iteration matches hand arithmetic") {
+    val e = edges(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+    val r = Graph.pageRank(e, 1, 0.85).as[(String, Double)].collect().toMap
+    val n = 3.0
+    val tp = (1.0 - 0.85) / n
+    // a and c receive b's rank/2; b receives a + c whole
+    val expA = tp + 0.85 * ((1.0 / n) / 2.0)
+    val expB = tp + 0.85 * (1.0 / n + 1.0 / n)
+    assert(math.abs(r("a") - expA) < 1e-15, r("a"))
+    assert(math.abs(r("c") - expA) < 1e-15)
+    assert(math.abs(r("b") - expB) < 1e-15)
+  }
+
+  test("mass is conserved on a symmetric graph (sums to 1)") {
+    val e = edges(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "d"), ("d", "c"), ("a", "d"), ("d", "a"))
+    val total = Graph.pageRank(e, 5, 0.85)
+      .agg(sum(col("rank"))).as[Double].head()
+    assert(math.abs(total - 1.0) < 1e-9, total)
+  }
+
+  test("ranks are partitioning-invariant bit-exact (ordered fold)") {
+    val es = (1 to 60).map(i => (s"n${i % 12}", s"n${(i * 7) % 12}"))
+      .filter { case (a, b) => a != b }
+    val e1 = es.toDF("src", "dst")
+    val e2 = es.reverse.toDF("src", "dst").repartition(13)
+    val r1 = Graph.pageRank(e1, 3, 0.85).as[(String, Double)]
+      .collect().toMap
+    val r2 = Graph.pageRank(e2, 3, 0.85).as[(String, Double)]
+      .collect().toMap
+    assert(r1 === r2) // exact double equality, not approx
+  }
+
+  test("dangling node keeps the teleport term only") {
+    // directed a -> b with no out-edge from b: b never contributes
+    val r = Graph.pageRank(edges(("a", "b")), 2, 0.85)
+      .as[(String, Double)].collect().toMap
+    val tp = (1.0 - 0.85) / 2.0
+    assert(r("a") === tp) // nothing points at a after iteration 1
+  }
+}

@@ -259,4 +259,34 @@ class PlanShapeSpec extends SparkSpec {
       p.take(800))
     assert(!p.toLowerCase.contains("scalaudf"))
   }
+
+  test("q118: global weighted sample is TakeOrdered; stratified side has no window") {
+    val p = planOf(Sampling.q118WeightedSample(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Window"),
+      "per-stratum top-k must be the bounded-heap aggregator, not a " +
+        "corpus-sorting window")
+  }
+
+  test("q119: tf-idf top-k window partitions by doc_id, never global") {
+    val p = planOf(TextAnalysis.q119Tfidf(spark, sfDir))
+    assert(p.contains("Window"), p.take(500))
+    assert("Window \\[[^\\]]*\\], \\[doc_id".r.findFirstIn(p).isDefined,
+      "window must partition by doc_id: " + p.take(1200))
+  }
+
+  test("q120/q122: funnel and pagerank are equi-join only, no cartesian") {
+    val pf = planOf(Behavior.q120Funnel(spark, sfDir))
+    assert(!pf.contains("CartesianProduct"), pf.take(500))
+    val pg = planOf(Graph.q122Pagerank(spark, sfDir))
+    assert(!pg.contains("CartesianProduct"), pg.take(500))
+    assert(!pg.toLowerCase.contains("scalaudf"))
+  }
+
+  test("q117: fuzzy-join candidates come from equi-joins, never a cross join") {
+    val p = planOf(FuzzyJoin.q117EditdistJoin(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      "prefix/band pruning must keep the pairing equi-keyed")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
 }
