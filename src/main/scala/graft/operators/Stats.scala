@@ -369,4 +369,55 @@ object Stats {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
         .map(one).mkString("\nUNION ALL\n")
   }
+
+  // ---------------------------------------------------------------------
+  // q127_zscore_outliers — per-group z-score anomaly flagging: the
+  // monitoring primitive behind "this partition's values drifted".
+  // Group moments come from the exact decimal power sums above (order-
+  // independent), the per-row z from identically-shaped double
+  // expressions; the z output rounds to 6 dp (the q44 convention: far
+  // above any 1-ulp cross-engine FMA difference, far below data
+  // resolution). Scale: the |groups|-row stats table broadcasts back to
+  // a map-only flag pass — the corpus never shuffles.
+  // ---------------------------------------------------------------------
+  def zscoreOutliers(df: DataFrame, group: String, value: String,
+      id: String, threshold: Double): DataFrame = {
+    val stats = df.groupBy(col(group)).agg(
+      count(lit(1)).cast("double").as("n"),
+      s1(col(value)).as("sx"),
+      s2(col(value), col(value)).as("sxx"))
+      .select(col(group), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+          / (col("n") - 1)).as("std"))
+      // zero-variance (or singleton) groups have no outliers by
+      // definition — and ANSI mode would throw on the division
+      .filter(col("std") > 0.0)
+    df.join(broadcast(stats), group)
+      .withColumn("z", (col(value) - col("mean")) / col("std"))
+      .filter(abs(col("z")) > threshold)
+      .select(col(group), col(id), round(col("z"), 6).as("z"))
+  }
+
+  def q127ZscoreOutliers(s: SparkSession, dir: String): DataFrame =
+    zscoreOutliers(t(s, dir, "events"), "event_type", "value",
+      "event_id", threshold = 3.0)
+
+  val q127ZscoreOutliersSql: String =
+    """WITH stats AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(30,8)))
+      |      AS DOUBLE) AS sxx
+      |  FROM events GROUP BY event_type),
+      |m AS (
+      |  SELECT event_type, sx / n AS mean,
+      |    sqrt((sxx - sx * sx / n) / (n - 1)) AS std
+      |  FROM stats
+      |  WHERE sqrt((sxx - sx * sx / n) / (n - 1)) > 0.0)
+      |SELECT e.event_type, e.event_id,
+      |  ROUND((e.value - m.mean) / m.std, 6) AS z
+      |FROM events e JOIN m USING (event_type)
+      |WHERE ABS((e.value - m.mean) / m.std) > 3.0""".stripMargin
 }

@@ -18,7 +18,7 @@ object TextAnalysis {
   private val stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
-  private def words(c: Column): Column = split(c, " ")
+  private[operators] def words(c: Column): Column = split(c, " ")
 
   // ---------------------------------------------------------------------
   // q40_text_stats — per-language corpus statistics: tokens, chars,
@@ -368,11 +368,21 @@ object TextAnalysis {
     val tf = toks.filter(col("tok").isInCollection(terms))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val df0 = tf.groupBy(col("tok"))
-      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
     val stats = d.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(size(words(col("text"))).cast("double")).as("avgdl"))
+    bm25FromTf(tf, stats, terms, k, k1, b)
+  }
+
+  /** BM25 scoring from a prepared per-hit table (doc_id, dl, tok, tf) and
+    * a one-row (n_docs, avgdl) stats frame — shared by the from-scratch
+    * q107 path and the persisted-term-index probe ([[TermIndex]]), so the
+    * two can face the SAME oracle: identical expression shapes over
+    * identical exact inputs round identically. */
+  private[operators] def bm25FromTf(tf: DataFrame, stats: DataFrame,
+      terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
+    val df0 = tf.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
     val w = tf.join(broadcast(df0), Seq("tok"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",

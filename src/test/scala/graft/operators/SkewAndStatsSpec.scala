@@ -207,4 +207,21 @@ class SkewAndStatsSpec extends SparkSpec {
       .select(expr("unicode_norm(t, 'NFC')")).collect()
     assert(n(0).isNullAt(0))
   }
+
+  test("zscore outliers: planted outlier flagged, z matches host arithmetic") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0),
+      ("a", 4L, 10.0), ("a", 5L, 100.0),
+      ("b", 6L, 5.0), ("b", 7L, 5.0), ("b", 8L, 5.0))
+      .toDF("g", "id", "x")
+    val got = Stats.zscoreOutliers(df, "g", "x", "id", threshold = 1.5)
+      .as[(String, Long, Double)].collect()
+    // group a: n=5, sum=140, sumsq=10400; var=(10400-140*140/5)/4=1620
+    val std = math.sqrt((10400.0 - 140.0 * 140.0 / 5.0) / 4.0)
+    val zExp = BigDecimal((100.0 - 140.0 / 5.0) / std)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq === Seq(("a", 5L, zExp)))
+    // group b: zero variance -> std 0 -> z NULL/NaN filtered out, no rows
+    assert(!got.exists(_._1 == "b"))
+  }
 }
