@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{CosineSimilarity, RollingHashWindows, WinnowMin}
+import graft.functions.{CosineSimilarity, JaroWinklerSimilarity, RollingHashWindows, WinnowMin}
 
 /** Production entry point for the engine's custom Catalyst surface:
   *
@@ -16,7 +16,8 @@ import graft.functions.{CosineSimilarity, RollingHashWindows, WinnowMin}
   * }}}
   *
   * registers the native expressions (`cosine_sim`, `rolling_hash`,
-  * `winnow_min`) in every session and installs the optimizer rules. The
+  * `jaro_winkler`, `winnow_min`) in every session and installs the
+  * optimizer rules. The
   * per-session `register(spark)` helpers on each function object remain for
   * programmatic use.
   */
@@ -30,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHashWindows].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHashWindows(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName,
+        "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("winnow_min"),
       new ExpressionInfo(classOf[WinnowMin].getName, "winnow_min"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Event-sequence analytics over the `events` stream table: ordered
@@ -116,4 +117,59 @@ object Behavior {
       |  COUNT(*) AS users
       |FROM active a JOIN cohort c ON a.user_id = c.user_id
       |GROUP BY 1, 2""".stripMargin
+
+  /** First-order Markov transition matrix over each user's event stream:
+    * count and row-normalized probability per (prev_type → event_type)
+    * step. The sequence model behind "what do users do after X"
+    * dashboards and behavioral anomaly scoring — and the event-stream
+    * sibling of q115's token bigram LM.
+    *
+    * Scale shape: ONE shuffle (the per-user window sort on (ts,
+    * event_id) — the unique tiebreak makes `lag` deterministic under
+    * timestamp ties); the transition table is |types|² rows, so the
+    * row-normalizing totals join is a broadcast. Per-user state is the
+    * sort, never a collected event list. The probability is one exact-
+    * int division, bit-identical across engines. */
+  def markovTransitions(events: DataFrame, user: String, ts: String,
+      typ: String, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col(user))
+      .orderBy(col(ts).asc, col(tiebreak).asc)
+    val steps = events
+      .select(col(user), col(ts), col(tiebreak), col(typ))
+      .withColumn("prev_type", lag(col(typ), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = steps.groupBy(col("prev_type"), col(typ).as("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("row_total"))
+    counts.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("event_type"), col("n"),
+        (col("n").cast("double") / col("row_total").cast("double"))
+          .as("p"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q132_markov_transitions — event-type transition matrix over events.
+  // ---------------------------------------------------------------------
+  def q132MarkovTransitions(s: SparkSession, dir: String): DataFrame =
+    markovTransitions(t(s, dir, "events"), "user_id", "ts", "event_type",
+      "event_id")
+
+  val q132MarkovTransitionsSql: String =
+    """WITH steps AS (
+      |  SELECT
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type,
+      |    event_type
+      |  FROM events),
+      |counts AS (
+      |  SELECT prev_type, event_type, COUNT(*) AS n
+      |  FROM steps WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, event_type),
+      |totals AS (
+      |  SELECT prev_type, SUM(n) AS row_total FROM counts
+      |  GROUP BY prev_type)
+      |SELECT c.prev_type, c.event_type, c.n,
+      |  CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE) AS p
+      |FROM counts c JOIN totals t USING (prev_type)""".stripMargin
 }

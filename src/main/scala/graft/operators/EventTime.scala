@@ -231,4 +231,66 @@ object EventTime {
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin
+
+  /** Time-grid resampling with forward fill: densify a sparse per-key
+    * observation series onto a regular tick grid, carrying each key's
+    * most recent observation forward — the gap-filling step before any
+    * sliding-window feature or drift computation runs over a series with
+    * holes. Built BY COMPOSITION: grid = keys × sequence(), fill = the
+    * existing backward [[AsOf.asofJoin]] — resampling is not a new
+    * engine primitive, it's as-of against a generated axis.
+    *
+    * Scale shape: the grid is |keys|·span rows generated engine-side
+    * (sequence + explode — never a driver loop); the fill inherits
+    * as-of's one-shuffle union+carry plan, so cost is one shuffle of
+    * |grid|+|obs| rows on the key. Span is a parameter: a year of days
+    * is 365 rows per key, linear growth, no quadratic anything. */
+  def resampleFfill(obs: DataFrame, key: String, obsTick: String,
+      span: Int): DataFrame = {
+    val bounds = obs.agg(min(col(obsTick)).as("__d0"))
+    val grid = obs.select(col(key)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(key),
+        explode(sequence(col("__d0"), col("__d0") + lit(span - 1)))
+          .as("tick"))
+    AsOf.asofJoin(grid, obs, Seq(key), "tick", obsTick)
+  }
+
+  // ---------------------------------------------------------------------
+  // q133_resample_ffill — per-supplier daily shipment counts densified
+  // onto the first 60 days of the corpus, forward-filled. Integer-only
+  // output: (key, tick, source obs day, filled count).
+  // ---------------------------------------------------------------------
+  def q133ResampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val obs = graft.operators.t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("k"),
+        datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+          .cast("long").as("obs_day"))
+      .groupBy(col("k"), col("obs_day"))
+      .agg(count(lit(1)).as("n"))
+    resampleFfill(obs, "k", "obs_day", span = 60)
+      .select(col("k").as("l_suppkey"), col("tick").as("day"),
+        col("asof.obs_day").as("obs_day"),
+        col("asof.n").as("n_filled"))
+  }
+
+  val q133ResampleFfillSql: String =
+    """WITH obs AS (
+      |  SELECT l_suppkey AS k,
+      |    datediff('day', DATE '1992-01-01',
+      |             CAST(l_shipdate AS DATE))::BIGINT AS obs_day,
+      |    COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |b AS (SELECT MIN(obs_day) AS d0 FROM obs),
+      |grid AS (
+      |  SELECT k.k, b.d0 + g.x AS day
+      |  FROM (SELECT DISTINCT k FROM obs) k
+      |  CROSS JOIN b
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS x) g)
+      |SELECT g.k AS l_suppkey, g.day,
+      |  last_value(o.obs_day IGNORE NULLS) OVER w AS obs_day,
+      |  last_value(o.n IGNORE NULLS) OVER w AS n_filled
+      |FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.day = o.obs_day
+      |WINDOW w AS (PARTITION BY g.k ORDER BY g.day
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 }

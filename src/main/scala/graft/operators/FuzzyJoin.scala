@@ -194,6 +194,52 @@ object FuzzyJoin {
       |  MAX(id) AS max_id
       |FROM assigned GROUP BY component""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q138_jaro_rerank — the ER scoring stage: candidate pairs from the
+  // exact edit-distance blocking (the q117 planting, k=2), re-scored by
+  // the native jaro_winkler expression (functions/JaroWinkler.scala —
+  // Spark has levenshtein but no Jaro–Winkler; this one runs inside
+  // whole-stage codegen as a single static call). Candidate SELECTION
+  // stays integer-exact (levenshtein ≤ k) — the float score is emitted
+  // rounded to 6 dp, never used as a filter, so no cross-engine
+  // last-ulp boundary can flip a row (the q119 discipline applied to a
+  // scalar: round the evidence, don't threshold on it).
+  //
+  // Scale: scoring is map-only over the blocked candidate set — the
+  // expensive part (candidate generation) is q117's prefix-filtered
+  // shape; the rerank adds one codegen'd scalar per candidate row.
+  // ---------------------------------------------------------------------
+  def q138JaroRerank(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.JaroWinkler.register(s)
+    val p = t(s, dir, "part")
+    val dirty = p.filter(col("p_partkey") % 7 === 0)
+      .select(col("p_partkey").as("d_id"),
+        when(col("p_partkey") % 14 === 0,
+          concat(substring(col("p_name"), 1, 3), lit("#"),
+            substring(col("p_name"), 5, 1000000)))
+          .otherwise(concat(substring(col("p_name"), 1, 4),
+            substring(col("p_name"), 6, 1000000)))
+          .as("d_name"))
+    val clean = p.select(col("p_partkey").as("c_id"), col("p_name"))
+    editDistanceJoin(dirty, "d_id", "d_name", clean, "c_id", "p_name", k = 2)
+      .select(col("left_id").as("d_id"), col("right_id").as("c_id"))
+      .join(dirty, "d_id").join(clean, "c_id")
+      .select(col("d_id"), col("c_id"),
+        round(expr("jaro_winkler(d_name, p_name)"), 6).as("jw_r"))
+  }
+
+  val q138JaroRerankSql: String =
+    """WITH dirty AS (
+      |  SELECT p_partkey AS d_id,
+      |    CASE WHEN p_partkey % 14 = 0
+      |      THEN substr(p_name, 1, 3) || '#' || substr(p_name, 5)
+      |      ELSE substr(p_name, 1, 4) || substr(p_name, 6) END AS d_name
+      |  FROM part WHERE p_partkey % 7 = 0)
+      |SELECT d.d_id, c.p_partkey AS c_id,
+      |  round(jaro_winkler_similarity(d.d_name, c.p_name), 6) AS jw_r
+      |FROM dirty d, part c
+      |WHERE levenshtein(d.d_name, c.p_name) <= 2""".stripMargin
+
   val q117EditdistJoinSql: String =
     """WITH dirty AS (
       |  SELECT p_partkey AS d_id,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -420,4 +421,187 @@ object Stats {
       |  ROUND((e.value - m.mean) / m.std, 6) AS z
       |FROM events e JOIN m USING (event_type)
       |WHERE ABS((e.value - m.mean) / m.std) > 3.0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q134_group_ols — per-group ordinary least squares (slope/intercept of
+  // y on x), the grouped trend-fit behind "is this supplier's price
+  // drifting with quantity" panels. Closed form from the same exact
+  // decimal power sums as q44/q127 (s1/s2 — order-independent by
+  // construction), so the only doubles are the final slope/intercept
+  // expressions, shaped identically in both engines and rounded to 6 dp.
+  // Scale: one shuffle on the group key; the dimension join (supplier →
+  // nation) is a broadcast; nothing is iterative — OLS per group is one
+  // aggregate, not a solver.
+  // ---------------------------------------------------------------------
+  def groupOls(df: DataFrame, group: String, x: String, y: String): DataFrame = {
+    val sums = df.groupBy(col(group)).agg(
+      count(lit(1)).as("n_rows"),
+      s1(col(x)).as("sx"), s1(col(y)).as("sy"),
+      s2(col(x), col(x)).as("sxx"), s2(col(x), col(y)).as("sxy"))
+    val n = col("n_rows").cast("double")
+    val denom = n * col("sxx") - col("sx") * col("sx")
+    sums.filter(denom =!= 0.0)
+      .select(col(group), col("n_rows"),
+        round(((n * col("sxy") - col("sx") * col("sy")) / denom), 6)
+          .as("slope"),
+        round(((col("sy") - ((n * col("sxy") - col("sx") * col("sy"))
+          / denom) * col("sx")) / n), 6).as("intercept"))
+  }
+
+  def q134GroupOls(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val joined = li.join(broadcast(sup),
+        li("l_suppkey") === sup("s_suppkey"))
+    groupOls(joined, "s_nationkey", "l_quantity", "l_extendedprice")
+  }
+
+  val q134GroupOlsSql: String =
+    """WITH sums AS (
+      |  SELECT s.s_nationkey,
+      |    COUNT(*) AS n_rows,
+      |    CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |      AS sy,
+      |    CAST(SUM(CAST(l.l_quantity * l.l_quantity AS DECIMAL(30,8)))
+      |      AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l.l_quantity * l.l_extendedprice
+      |      AS DECIMAL(30,8))) AS DOUBLE) AS sxy
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY s.s_nationkey)
+      |SELECT s_nationkey, n_rows,
+      |  ROUND((CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+      |    / (CAST(n_rows AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+      |  ROUND((sy - ((CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+      |    / (CAST(n_rows AS DOUBLE) * sxx - sx * sx)) * sx)
+      |    / CAST(n_rows AS DOUBLE), 6) AS intercept
+      |FROM sums
+      |WHERE CAST(n_rows AS DOUBLE) * sxx - sx * sx <> 0.0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q135_chi2_cells — chi-square independence evidence for a contingency
+  // table (order priority × order status): observed count, expected
+  // count under independence, and the cell's (O−E)²/E contribution. The
+  // drift/independence sibling of q116's PSI. Emitted PER CELL — the
+  // global statistic is a float fold over cells, so the gate keeps the
+  // exact integer evidence plus per-cell doubles from identical
+  // expression shapes (rounded 6 dp) and leaves the final ≤|cells|-term
+  // sum to the consumer, dodging cross-engine reduction-order drift
+  // entirely. Scale: one shuffle on the cell key; marginals are
+  // reaggregates of the |cells|-row table; N is a one-row broadcast.
+  // ---------------------------------------------------------------------
+  def chi2Cells(df: DataFrame, rowDim: String, colDim: String): DataFrame = {
+    val cells = df.groupBy(col(rowDim), col(colDim))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy(col(rowDim)).agg(sum(col("n")).as("rt"))
+    val colTot = cells.groupBy(col(colDim)).agg(sum(col("n")).as("ct"))
+    val total = cells.agg(sum(col("n")).cast("double").as("tot"))
+    val e = (col("rt").cast("double") * col("ct").cast("double")) /
+      col("tot")
+    cells.join(broadcast(rowTot), Seq(rowDim))
+      .join(broadcast(colTot), Seq(colDim))
+      .crossJoin(broadcast(total))
+      .select(col(rowDim), col(colDim), col("n"),
+        round(e, 6).as("expected"),
+        round((col("n").cast("double") - e) * (col("n").cast("double") - e)
+          / e, 6).as("contrib"))
+  }
+
+  def q135Chi2Cells(s: SparkSession, dir: String): DataFrame =
+    chi2Cells(t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+
+  val q135Chi2CellsSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT o_orderpriority, SUM(n) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT o_orderstatus, SUM(n) AS ct FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM cells)
+      |SELECT c.o_orderpriority, c.o_orderstatus, c.n,
+      |  ROUND(CAST(r.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / t.tot, 6)
+      |    AS expected,
+      |  ROUND((CAST(c.n AS DOUBLE)
+      |      - CAST(r.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / t.tot)
+      |    * (CAST(c.n AS DOUBLE)
+      |      - CAST(r.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / t.tot)
+      |    / (CAST(r.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / t.tot), 6)
+      |    AS contrib
+      |FROM cells c
+      |JOIN rt r USING (o_orderpriority)
+      |JOIN ct USING (o_orderstatus)
+      |CROSS JOIN tot t""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q136_cusum_changepoint — offline change-point detection per key over
+  // an ordered integer series, in INTEGER-ONLY arithmetic: the classic
+  // CUSUM deviation S_k = Σ_{i≤k}(v_i − mean) is scaled by n to
+  // S*_k = n·prefix_k − k·total (all int64), so the argmax over k — the
+  // most likely level-shift point (Page 1954, scaled) — involves no
+  // float anywhere. The monitoring answer to "WHEN did this supplier's
+  // daily volume shift", where q127 answers "which rows are anomalous".
+  //
+  // Scale shape: one shuffle on the key (the window sort); per-key state
+  // is the running sum; the argmax is a bounded per-key window
+  // (row_number over the series, filter rn=1), never a global sort.
+  // Overflow bound: n·prefix ≤ n²·max_v — a 10^6-tick series of 10^6
+  // counts stays under 2^63.
+  // ---------------------------------------------------------------------
+  def cusumChangepoint(df: DataFrame, key: String, tick: String,
+      value: String): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col(tick).asc)
+    val whole = Window.partitionBy(col(key))
+    val scored = df
+      .withColumn("__pfx", sum(col(value))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__k", row_number().over(ord))
+      .withColumn("__tot", sum(col(value)).over(whole))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__s",
+        col("__n") * col("__pfx") - col("__k") * col("__tot"))
+    val pick = Window.partitionBy(col(key))
+      .orderBy(abs(col("__s")).desc, col(tick).asc)
+    scored.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col(key), col("__n").as("n_ticks"),
+        col(tick).as("cp_tick"), abs(col("__s")).as("max_dev"))
+  }
+
+  def q136CusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+          .cast("long").as("day"))
+      .groupBy(col("l_suppkey"), col("day"))
+      .agg(count(lit(1)).as("n_ship"))
+    cusumChangepoint(obs, "l_suppkey", "day", "n_ship")
+  }
+
+  val q136CusumChangepointSql: String =
+    """WITH obs AS (
+      |  SELECT l_suppkey,
+      |    datediff('day', DATE '1992-01-01',
+      |             CAST(l_shipdate AS DATE))::BIGINT AS day,
+      |    COUNT(*) AS n_ship
+      |  FROM lineitem GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT l_suppkey, day,
+      |    SUM(n_ship) OVER (PARTITION BY l_suppkey ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx,
+      |    ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY day) AS k,
+      |    SUM(n_ship) OVER (PARTITION BY l_suppkey) AS tot,
+      |    COUNT(*) OVER (PARTITION BY l_suppkey) AS n
+      |  FROM obs),
+      |s AS (
+      |  SELECT l_suppkey, day, n,
+      |    n * pfx - k * tot AS sdev
+      |  FROM scored)
+      |SELECT l_suppkey, n AS n_ticks, day AS cp_tick,
+      |  CAST(ABS(sdev) AS BIGINT) AS max_dev
+      |FROM (
+      |  SELECT l_suppkey, day, n, sdev,
+      |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |      ORDER BY ABS(sdev) DESC, day ASC) AS rn
+      |  FROM s)
+      |WHERE rn = 1""".stripMargin
 }

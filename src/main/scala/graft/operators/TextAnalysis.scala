@@ -672,4 +672,77 @@ object TextAnalysis {
       |      ORDER BY tfidf DESC, term ASC) AS rnk
       |  FROM scored)
       |WHERE rnk <= 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q130_pmi_collocations — corpus-wide collocation mining: top-k adjacent
+  // word pairs by pointwise mutual information, PMI = ln(c12·T/(cL·cR))
+  // with c12 = bigram count, cL/cR = the pair's left/right unigram counts
+  // over bigram positions, T = total bigrams (Church & Hanks, CL 1990).
+  // TF-IDF ranks terms within a doc; PMI ranks PAIRS across the corpus —
+  // the phrase-detection signal (multi-word-expression merging) a corpus
+  // pipeline runs before tokenizer training.
+  //
+  // Determinism is q119's discipline: the ln-derived double never leaves
+  // the plan — output is rank + exact integer evidence (c12, c_left,
+  // c_right), and a rank flip would need two distinct integer ratios
+  // within 1 ulp, which ties them in both engines anyway.
+  //
+  // Scale shape: bigram counts shuffle once on (t1, t2) (shared NGrams
+  // pipeline — posexplode + one doc_id window); left/right marginals are
+  // REAGGREGATES of the c12 table (|distinct bigrams| rows, ≪ corpus —
+  // the token stream is never re-shuffled); the min-support filter runs
+  // on c12 BEFORE both marginal joins, cutting the Zipf tail early; T is
+  // a one-row broadcast; top-k is TakeOrderedAndProject, never a global
+  // sort.
+  // ---------------------------------------------------------------------
+  def pmiCollocations(d: DataFrame, minCount: Int, k: Int): DataFrame = {
+    val bg = NGrams.nGramRows(d, 2)(ws =>
+        struct(ws(0).as("t1"), ws(1).as("t2")))
+      .select(col("s.t1").as("t1"), col("s.t2").as("t2"))
+    val c12 = bg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
+    val cL = c12.groupBy(col("t1")).agg(sum(col("c12")).as("c_left"))
+    val cR = c12.groupBy(col("t2")).agg(sum(col("c12")).as("c_right"))
+    val tot = c12.agg(sum(col("c12")).cast("double").as("t"))
+    val scored = c12.filter(col("c12") >= minCount)
+      .join(cL, Seq("t1")).join(cR, Seq("t2"))
+      .crossJoin(broadcast(tot))
+      .select(col("t1"), col("t2"), col("c12"), col("c_left"),
+        col("c_right"),
+        log((col("c12").cast("double") * col("t"))
+          / (col("c_left").cast("double") * col("c_right").cast("double")))
+          .as("pmi"))
+    val top = scored
+      .orderBy(col("pmi").desc, col("t1").asc, col("t2").asc).limit(k)
+    Similarity.rankBounded(top, "rnk",
+        Seq(col("pmi").desc, col("t1").asc, col("t2").asc))
+      .select(col("rnk").cast("int").as("rnk"), col("t1"), col("t2"),
+        col("c12"), col("c_left"), col("c_right"))
+  }
+
+  def q130PmiCollocations(s: SparkSession, dir: String): DataFrame =
+    pmiCollocations(t(s, dir, "documents"), minCount = 5, k = 25)
+
+  val q130PmiCollocationsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents),
+      |bg AS (SELECT unnest(w[1:len(w)-1]) AS t1, unnest(w[2:len(w)]) AS t2
+      |       FROM t WHERE len(w) >= 2),
+      |c12 AS (SELECT t1, t2, COUNT(*) AS c12 FROM bg GROUP BY t1, t2),
+      |cl AS (SELECT t1, CAST(SUM(c12) AS BIGINT) AS c_left
+      |       FROM c12 GROUP BY t1),
+      |cr AS (SELECT t2, CAST(SUM(c12) AS BIGINT) AS c_right
+      |       FROM c12 GROUP BY t2),
+      |tot AS (SELECT CAST(SUM(c12) AS DOUBLE) AS t FROM c12),
+      |scored AS (
+      |  SELECT c12.t1, c12.t2, c12.c12, cl.c_left, cr.c_right,
+      |    ln((CAST(c12.c12 AS DOUBLE) * tot.t)
+      |       / (CAST(cl.c_left AS DOUBLE) * CAST(cr.c_right AS DOUBLE)))
+      |      AS pmi
+      |  FROM c12 JOIN cl USING (t1) JOIN cr USING (t2) CROSS JOIN tot
+      |  WHERE c12.c12 >= 5)
+      |SELECT CAST(rnk AS INT) AS rnk, t1, t2, c12, c_left, c_right FROM (
+      |  SELECT t1, t2, c12, c_left, c_right,
+      |    ROW_NUMBER() OVER (ORDER BY pmi DESC, t1 ASC, t2 ASC) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 25""".stripMargin
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PMI collocations, grouped OLS, chi-square cells, and the native
+  * jaro_winkler expression — the scoring family added with
+  * q130/q134/q135/q138. */
+class ScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pmiCollocations ranks an always-together pair above a promiscuous one") {
+    // "fleet week" always co-occur (5×); "the" pairs with everything
+    val docs = Seq.tabulate(5)(i =>
+      (i.toLong, s"fleet week the a$i the b$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, minCount = 5, k = 5)
+      .collect()
+    assert(out.nonEmpty)
+    val top = out.minBy(_.getInt(0))
+    assert((top.getString(1), top.getString(2)) == (("fleet", "week")))
+    // evidence columns are the exact counts
+    assert(top.getLong(3) == 5L) // c12
+  }
+
+  test("pmiCollocations: min-support filter drops rare pairs") {
+    val docs = Seq((1L, "rare pair"), (2L, "x y x y x y x y x y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, minCount = 3, k = 10)
+      .collect()
+    assert(!out.exists(r => r.getString(1) == "rare"))
+  }
+
+  test("groupOls recovers an exact line per group") {
+    // group 1: y = 2x + 3 exactly; group 2: y = -x + 10
+    val rows = (1 to 20).map(i => (1, i.toDouble, 2.0 * i + 3.0)) ++
+      (1 to 20).map(i => (2, i.toDouble, -i.toDouble + 10.0))
+    val out = Stats.groupOls(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => (r.getInt(0),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1) == ((2.0, 3.0)))
+    assert(out(2) == ((-1.0, 10.0)))
+  }
+
+  test("groupOls drops zero-variance-x groups instead of dividing by zero") {
+    val rows = Seq((1, 5.0, 1.0), (1, 5.0, 2.0), (2, 1.0, 1.0),
+      (2, 2.0, 2.0))
+    val out = Stats.groupOls(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect()
+    assert(out.map(_.getInt(0)).toSet == Set(2))
+  }
+
+  test("chi2Cells: independent uniform table has zero contributions") {
+    val rows = for { r <- Seq("a", "b"); c <- Seq("x", "y") }
+      yield (r, c)
+    val out = Stats.chi2Cells(rows.toDF("r", "c"), "r", "c").collect()
+    assert(out.length == 4)
+    out.foreach { row =>
+      assert(row.getLong(2) == 1L)
+      assert(row.getDouble(3) == 1.0) // expected
+      assert(row.getDouble(4) == 0.0) // contribution
+    }
+  }
+
+  test("chi2Cells: dependence shows up as positive contributions") {
+    // r=a occurs only with c=x (8×); r=b only with c=y (2×)
+    val rows = Seq.fill(8)(("a", "x")) ++ Seq.fill(2)(("b", "y"))
+    val out = Stats.chi2Cells(rows.toDF("r", "c"), "r", "c")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // E(a,x) = 8*8/10 = 6.4; contrib = (8-6.4)^2/6.4 = 0.4
+    assert(out(("a", "x")) == ((8L, 6.4, 0.4)))
+  }
+
+  private def jw(a: String, b: String): Double =
+    graft.functions.JaroWinklerImpl.similarity(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("jaro_winkler matches DuckDB's values on pinned cases") {
+    // every constant below was read off duckdb 1.0.0's
+    // jaro_winkler_similarity on this host
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-15)
+    assert(math.abs(jw("JELLYFISH", "SMELLYFISH") - 0.8962962962962964) < 1e-15)
+    assert(math.abs(jw("kitten", "sitting") - 0.746031746031746) < 1e-15)
+    // boost threshold: jaro = 2/3 <= 0.7 stays unboosted despite prefix 3
+    assert(math.abs(jw("abcdef", "abcxyz") - 2.0 / 3.0) < 1e-15)
+    // prefix bonus caps at 4 even with a 6-char common prefix
+    assert(math.abs(jw("aaaaaaab", "aaaaaaba") - 0.975) < 1e-15)
+    // odd out-of-order count halves by INTEGER division (3-cycle case)
+    assert(math.abs(jw("abcyyyy", "cabyyyy") - 0.9523809523809524) < 1e-15)
+    // window ⌊max/2⌋−1 = 0 blocks the adjacent transposition entirely
+    assert(jw("ab", "ba") == 0.0)
+    // DuckDB's empty-string convention is 0, including both-empty
+    assert(jw("", "") == 0.0 && jw("abc", "") == 0.0)
+    assert(jw("abc", "abc") == 1.0)
+  }
+
+  test("jaro_winkler expression evaluates under codegen and handles nulls") {
+    graft.functions.JaroWinkler.register(spark)
+    val out = Seq(("MARTHA", "MARHTA"), ("abc", null))
+      .toDF("a", "b")
+      .select(expr("jaro_winkler(a, b)").as("s")).collect()
+    assert(math.abs(out(0).getDouble(0) - 0.9611111111111111) < 1e-15)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("q138 gate: rerank keeps exactly the edit-distance candidates") {
+    val pairs = FuzzyJoin.q138JaroRerank(spark, sfDir)
+    val base = FuzzyJoin.q117EditdistJoin(spark, sfDir)
+    assert(pairs.count() == base.count())
+    // scores are in [0, 1] and identical pairs score 1
+    val rows = pairs.collect()
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Markov transitions, grid resampling with forward fill, and CUSUM
+  * change-point detection — the ordered-series family added with
+  * q132/q133/q136. */
+class SeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("markovTransitions counts ordered steps and row-normalizes") {
+    val ev = Seq(
+      (1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "a"),
+      (4L, 2L, "a"), (5L, 2L, "b"),
+      (6L, 3L, "a")) // single event → no transition
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", col("event_id").cast("timestamp"))
+    val out = Behavior.markovTransitions(ev, "user_id", "ts", "event_type",
+        "event_id")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // user1: a→b, b→a; user2: a→b  ⇒  a→b: 2 of 2, b→a: 1 of 1
+    assert(out == Map(
+      ("a", "b") -> ((2L, 1.0)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("markovTransitions splits a row's mass across successors") {
+    val ev = Seq(
+      (1L, 1L, "x"), (2L, 1L, "y"),
+      (3L, 2L, "x"), (4L, 2L, "z"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", col("event_id").cast("timestamp"))
+    val out = Behavior.markovTransitions(ev, "user_id", "ts", "event_type",
+        "event_id")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3)))
+      .toMap
+    assert(out(("x", "y")) == 0.5 && out(("x", "z")) == 0.5)
+  }
+
+  test("markovTransitions: timestamp ties broken by the tiebreak column") {
+    val ev = Seq( // same ts for both events of user 1
+      (10L, 1L, "a", 100L), (11L, 1L, "b", 100L))
+      .toDF("event_id", "user_id", "event_type", "t")
+      .withColumn("ts", col("t").cast("timestamp")).drop("t")
+    val out = Behavior.markovTransitions(ev, "user_id", "ts", "event_type",
+        "event_id").collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "a" && out(0).getString(1) == "b")
+  }
+
+  test("resampleFfill densifies the grid and carries values forward") {
+    val obs = Seq((1, 10L, 5L), (1, 12L, 7L), (2, 11L, 9L))
+      .toDF("k", "obs_day", "n")
+    val out = EventTime.resampleFfill(obs, "k", "obs_day", span = 4)
+      .select(col("k"), col("tick"),
+        col("asof.n").as("n"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // global min obs_day = 10, span 4 → grid days 10..13 for both keys
+    assert(out == Map(
+      (1, 10L) -> 5L, (1, 11L) -> 5L, (1, 12L) -> 7L, (1, 13L) -> 7L,
+      (2, 10L) -> -1L, (2, 11L) -> 9L, (2, 12L) -> 9L, (2, 13L) -> 9L))
+  }
+
+  test("resampleFfill: grid size is keys × span exactly") {
+    val obs = Seq((1, 0L, 1L), (2, 5L, 1L), (3, 9L, 1L))
+      .toDF("k", "obs_day", "n")
+    val out = EventTime.resampleFfill(obs, "k", "obs_day", span = 10)
+    assert(out.count() == 30)
+  }
+
+  test("cusumChangepoint finds a planted level shift") {
+    // 5 ticks at 10 then 5 ticks at 50 → S* peaks at the boundary (tick 4)
+    val rows = (0L until 5L).map(d => (1, d, 10L)) ++
+      (5L until 10L).map(d => (1, d, 50L))
+    val out = Stats.cusumChangepoint(rows.toDF("k", "tick", "v"),
+      "k", "tick", "v").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 10L) // n_ticks
+    assert(r.getLong(2) == 4L)  // cp at the last pre-shift tick
+    // S*_5 = 10*50 - 5*300 = -1000
+    assert(r.getLong(3) == 1000L)
+  }
+
+  test("cusumChangepoint: constant series has zero deviation") {
+    val rows = (0L until 6L).map(d => (1, d, 7L))
+    val out = Stats.cusumChangepoint(rows.toDF("k", "tick", "v"),
+      "k", "tick", "v").collect()
+    assert(out(0).getLong(3) == 0L)
+    assert(out(0).getLong(2) == 0L) // tie → earliest tick
+  }
+
+  test("cusumChangepoint is input-order invariant") {
+    val rows = ((0L until 5L).map(d => (1, d, 10L)) ++
+      (5L until 10L).map(d => (1, d, 50L)))
+    val a = Stats.cusumChangepoint(rows.toDF("k", "tick", "v"),
+      "k", "tick", "v").collect().toSeq
+    val b = Stats.cusumChangepoint(rows.reverse.toDF("k", "tick", "v"),
+      "k", "tick", "v").collect().toSeq
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+  }
+}
