@@ -172,4 +172,59 @@ object EventStreams {
           }
       }
   }
+
+  final case class TEv(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String)
+
+  final case class LastEv(us: Long, eventId: Long, typ: String)
+
+  final case class Step(user_id: Long, prev_type: String,
+      event_type: String)
+
+  /** flatMapGroupsWithState transition extractor: the streaming twin of
+    * [[graft.operators.Behavior.markovTransitions]]. Per user the state
+    * is ONE row — the last event seen — so a (prev → next) step that
+    * straddles a micro-batch boundary is still emitted exactly once;
+    * downstream counting is a plain (possibly windowed) aggregate over
+    * the emitted steps. Within a batch events sort on (ts, event_id) —
+    * the batch operator's exact tie order — and the stream≡batch spec
+    * holds whenever micro-batch cuts respect event-time order (the
+    * replay-unit convention of the foreachBatch index sinks).
+    *
+    * State is event-time-TTL'd like [[statefulSessionCount]]: a user
+    * silent past the TTL is evicted (their next event starts a fresh
+    * chain — no transition emitted across the eviction), bounding state
+    * at (users active within TTL) × one row. */
+  def statefulTransitions(events: Dataset[TEv],
+      watermarkDelay: String = "30 minutes",
+      stateTtlMs: Long = 2L * 3600 * 1000): Dataset[Step] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, Step](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[TEv], state: GroupState[LastEv]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var last = state.getOption
+            val out = Seq.newBuilder[Step]
+            sorted.foreach { e =>
+              last.foreach(l => out += Step(user, l.typ, e.event_type))
+              last = Some(LastEv(e.ts.getTime * 1000, e.event_id,
+                e.event_type))
+            }
+            last.foreach { l =>
+              state.update(l)
+              state.setTimeoutTimestamp(
+                math.max(l.us / 1000 + stateTtlMs,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -289,4 +289,42 @@ class PlanShapeSpec extends SparkSpec {
       "prefix/band pruning must keep the pairing equi-keyed")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
+
+  test("q130: PMI top-k is TakeOrdered; marginal joins never sort-merge") {
+    val p = planOf(TextAnalysis.q130PmiCollocations(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q131: interval coverage is a SINGLE shuffle end-to-end") {
+    // window on key, then (key, island) and (key) aggregates all reuse
+    // the key partitioning — subset-clustering must keep them
+    // exchange-free
+    val p = planOf(Intervals.q131IntervalCoverage(spark, sfDir))
+    assert("Exchange".r.findAllMatchIn(p).length == 1, p.take(1200))
+  }
+
+  test("q132: transition row-normalization joins broadcast") {
+    val p = planOf(Behavior.q132MarkovTransitions(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "the |types|^2 totals table must broadcast")
+  }
+
+  test("q135: chi-square marginals broadcast back onto the cell table") {
+    val p = planOf(Stats.q135Chi2Cells(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q136: CUSUM plans two exchanges (series agg + key window), no UDF") {
+    val p = planOf(Stats.q136CusumChangepoint(spark, sfDir))
+    assert("Exchange".r.findAllMatchIn(p).length == 2, p.take(1200))
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
+
+  test("q138: jaro_winkler runs as the native expression, not a UDF") {
+    val p = planOf(FuzzyJoin.q138JaroRerank(spark, sfDir))
+    assert(p.contains("jaro_winkler"), p.take(800))
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
 }

@@ -212,4 +212,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === want)
     assert(got.exists(_._5 == "from <IP> call <PHONE>"))
   }
+
+  test("stateful transitions: N micro-batches == 1 batch == batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.TEv
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
+    val evs = Seq(
+      TEv(1, ts(0), 1, "view"), TEv(2, ts(5), 1, "click"),
+      TEv(3, ts(6), 2, "view"),
+      TEv(4, ts(20), 1, "purchase"), TEv(5, ts(21), 2, "click"),
+      TEv(6, ts(22), 2, "view"))
+
+    def run(batches: Seq[Seq[TEv]], name: String) = {
+      val mem = MemoryStream[TEv]
+      val q = EventStreams.statefulTransitions(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name)
+        .groupBy("prev_type", "event_type").count()
+        .collect().map(r => ((r.getString(0), r.getString(1)),
+          r.getLong(2))).toMap
+    }
+
+    // the step (click→purchase for user 1, view→click for user 2)
+    // straddles the batch-2 boundary — the ONE-row carried state must
+    // emit it exactly once
+    val split = run(Seq(evs.take(3), evs.drop(3)), "steps_split")
+    val whole = run(Seq(evs), "steps_whole")
+    assert(split == whole)
+
+    val batchCounts = graft.operators.Behavior
+      .markovTransitions(
+        evs.toDF("event_id", "ts", "user_id", "event_type"),
+        "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(2))).toMap
+    assert(split == batchCounts)
+  }
 }
