@@ -172,4 +172,59 @@ object Behavior {
       |SELECT c.prev_type, c.event_type, c.n,
       |  CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE) AS p
       |FROM counts c JOIN totals t USING (prev_type)""".stripMargin
+
+  /** Top-k frequent event paths: each (user, day)'s events in (ts,
+    * tiebreak) order joined into a `>`-delimited path string, counted
+    * across the corpus, ranked. The clickstream "common journeys" query
+    * — q132 models individual steps; this models whole trajectories.
+    *
+    * Scale shape: one shuffle on (user, day); per-group state is that
+    * group's OWN event list (bounded by a user-day, not the corpus —
+    * collect_list here is per-key aggregation state, not a driver
+    * collect), sorted in-group via array_sort on (ts, tiebreak, type)
+    * structs so the path string is partition-invariant; path counting is
+    * a second shuffle on the path string; top-k is TakeOrdered. A
+    * pathological single user-day with 10^6 events wants a per-group
+    * length cap upstream (slice) — standard for path mining, where
+    * such sessions are bot traffic anyway. */
+  def topPaths(events: DataFrame, user: String, ts: String, typ: String,
+      tiebreak: String, k: Int): DataFrame = {
+    val day = to_date(col(ts))
+    val paths = events
+      .select(col(user), day.as("day"),
+        struct(col(ts), col(tiebreak), col(typ).as("t")).as("s"))
+      .groupBy(col(user), col("day"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("s"))), x => x.getField("t")),
+        ">").as("path"))
+    val counted = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val top = counted
+      .orderBy(col("n_sessions").desc, col("path").asc).limit(k)
+    Similarity.rankBounded(top, "rnk",
+        Seq(col("n_sessions").desc, col("path").asc))
+      .select(col("rnk").cast("int").as("rnk"), col("path"),
+        col("n_sessions"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q143_session_paths — top-15 user-day event-type paths.
+  // ---------------------------------------------------------------------
+  def q143SessionPaths(s: SparkSession, dir: String): DataFrame =
+    topPaths(t(s, dir, "events"), "user_id", "ts", "event_type",
+      "event_id", k = 15)
+
+  val q143SessionPathsSql: String =
+    """WITH paths AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |counted AS (
+      |  SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path)
+      |SELECT CAST(rnk AS INT) AS rnk, path, n_sessions FROM (
+      |  SELECT path, n_sessions,
+      |    ROW_NUMBER() OVER (
+      |      ORDER BY n_sessions DESC, path ASC) AS rnk
+      |  FROM counted)
+      |WHERE rnk <= 15""".stripMargin
 }

@@ -240,6 +240,91 @@ object FuzzyJoin {
       |FROM dirty d, part c
       |WHERE levenshtein(d.d_name, c.p_name) <= 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q142_sorted_neighborhood — the OTHER classic ER blocking strategy
+  // (Hernández & Stolfo SIGMOD'95): sort records on a key, compare each
+  // record only to its w nearest neighbors in sort order. Complements
+  // q117's gram-prefix blocking: SNM is gram-free (robust to short/
+  // repetitive strings where gram pruning is invalid) at the price of a
+  // DOCUMENTED recall contract — only pairs within w sort positions are
+  // candidates. The scalable shape partitions the sort by a block key
+  // (first character here): ranks and neighbor joins run per block
+  // (window partitioned by block, never a global single-task sort), the
+  // standard multi-pass mitigation for cross-block misses. Candidates =
+  // rank equi-join on (block, rank+offset), offset ∈ 1..w — an
+  // equi-shuffle, |blocks|·w·|rows| pairs max, never n².
+  // ---------------------------------------------------------------------
+  /** Sorted-neighborhood candidate pairs + threshold'd verify; the rank
+    * table is computed once (localCheckpoint) and reused as both probe
+    * and target side. */
+  def snmPairs(records: DataFrame, id: String, str: String,
+      w: Int, maxDist: Int): DataFrame = {
+    val blocked = records.select(col(id).as("rid"), col(str).as("rs"),
+      substring(col(str), 1, 1).as("blk"))
+    val win = Window.partitionBy(col("blk"))
+      .orderBy(col("rs").asc, col("rid").asc)
+    val ranked = blocked.withColumn("rnk", row_number().over(win))
+      .localCheckpoint() // rank once; probe and target reuse it
+    val probes = ranked.select(col("blk"), col("rid"), col("rs"),
+      explode(sequence(col("rnk") + lit(1), col("rnk") + lit(w)))
+        .as("nbr"))
+    val cand = probes.join(
+      ranked.select(col("blk"), col("rnk").as("nbr"),
+        col("rid").as("rid2"), col("rs").as("rs2")),
+      Seq("blk", "nbr"))
+    cand.withColumn("dist", levenshtein(col("rs"), col("rs2"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("rid").as("left_id"), col("rid2").as("right_id"),
+        col("dist").cast("long").as("dist"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q142_sorted_neighborhood gate — same typo planting as q117, records
+  // = clean ∪ dirty in ONE pool, window w=5, verify at k=2. The oracle
+  // replays the identical rank construction in SQL, so the recall
+  // contract (neighbors-only) is part of the compared semantics, and a
+  // rank/tie bug on either side hash-fails.
+  // ---------------------------------------------------------------------
+  def q142SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val dirty = p.filter(col("p_partkey") % 7 === 0)
+      .select((col("p_partkey") + 10000000L).as("id"),
+        when(col("p_partkey") % 14 === 0,
+          concat(substring(col("p_name"), 1, 3), lit("#"),
+            substring(col("p_name"), 5, 1000000)))
+          .otherwise(concat(substring(col("p_name"), 1, 4),
+            substring(col("p_name"), 6, 1000000)))
+          .as("name"))
+    val rec = p.select(col("p_partkey").as("id"), col("p_name").as("name"))
+      .unionByName(dirty)
+    snmPairs(rec, "id", "name", w = 5, maxDist = 2)
+  }
+
+  val q142SortedNeighborhoodSql: String =
+    """WITH rec AS (
+      |  SELECT p_partkey AS id, p_name AS name FROM part
+      |  UNION ALL
+      |  SELECT p_partkey + 10000000,
+      |    CASE WHEN p_partkey % 14 = 0
+      |      THEN substr(p_name, 1, 3) || '#' || substr(p_name, 5)
+      |      ELSE substr(p_name, 1, 4) || substr(p_name, 6) END
+      |  FROM part WHERE p_partkey % 7 = 0),
+      |ranked AS (
+      |  SELECT id, name, substr(name, 1, 1) AS blk,
+      |    ROW_NUMBER() OVER (PARTITION BY substr(name, 1, 1)
+      |      ORDER BY name, id) AS rnk
+      |  FROM rec),
+      |cand AS (
+      |  SELECT a.id AS left_id, b.id AS right_id, a.name AS ls,
+      |    b.name AS rs
+      |  FROM ranked a JOIN ranked b
+      |    ON a.blk = b.blk
+      |   AND b.rnk BETWEEN a.rnk + 1 AND a.rnk + 5)
+      |SELECT left_id, right_id,
+      |  CAST(levenshtein(ls, rs) AS BIGINT) AS dist
+      |FROM cand
+      |WHERE levenshtein(ls, rs) <= 2""".stripMargin
+
   val q117EditdistJoinSql: String =
     """WITH dirty AS (
       |  SELECT p_partkey AS d_id,

@@ -129,4 +129,115 @@ object Graph {
       |    ROW_NUMBER() OVER (ORDER BY rank DESC, node ASC) AS rnk
       |  FROM r3)
       |WHERE rnk <= 20""".stripMargin
+
+  /** Triangle counting with degree-ordered orientation (the MapReduce
+    * classic, Suri & Vassilvitskii WWW'11): orient every undirected edge
+    * from its lower-(degree, id) endpoint to the higher one, join
+    * oriented wedges (a→b, a→c) against the oriented closing edge (b→c).
+    * Orientation counts each triangle exactly once AND bounds the wedge
+    * list: a hub of degree d sits on the LOW side of at most O(√m)
+    * oriented edges, so wedge volume is O(m^{3/2}) worst-case instead of
+    * Σd² — the skew guard is in the orientation itself, before any join
+    * runs. All joins are equi-joins on node ids; per-node counts emerge
+    * from one explode of each triangle's three corners. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set (a < b), parallel edges collapsed
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient: lower (degree, id) endpoint first
+    val ori = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db")
+            || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("lo"), col("b").as("hi")))
+          .otherwise(struct(col("b").as("lo"), col("a").as("hi")))
+          .as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+    val wedges = ori.as("e1")
+      .join(ori.as("e2"), col("e1.lo") === col("e2.lo")
+        && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("apex"),
+        col("e1.hi").as("x"), col("e2.hi").as("y"))
+    // the closing edge may be oriented either way between x and y — an
+    // OR-of-equalities join is NOT equi-extractable (it plans a nested
+    // loop over the wedge set); normalize both sides to the canonical
+    // id-ordered pair and join on TWO equi keys instead
+    val closing = ori.select(
+      least(col("lo"), col("hi")).as("p"),
+      greatest(col("lo"), col("hi")).as("q"))
+    val tri = wedges
+      .join(closing,
+        closing("p") === least(col("x"), col("y"))
+          && closing("q") === greatest(col("x"), col("y")))
+      .select(col("apex"), col("x"), col("y"))
+    tri.select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q140_triangle_count — per-node triangle counts over the co-purchase
+  // part graph (parts sharing an order), top-20 by count. The clustering
+  // -coefficient numerator — the cohesion signal link-spam and
+  // community detection both start from. The oracle replays the same
+  // orientation in SQL, so a wedge-join bug (double count / missed
+  // closing orientation) hash-fails.
+  // ---------------------------------------------------------------------
+  def q140TriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val co = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey")
+          && col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    val counts = triangleCounts(co)
+    val top = counts
+      .orderBy(col("n_triangles").desc, col("node").asc).limit(20)
+    Similarity.rankBounded(top, "rnk",
+        Seq(col("n_triangles").desc, col("node").asc))
+      .select(col("rnk").cast("int").as("rnk"), col("node"),
+        col("n_triangles"))
+  }
+
+  val q140TriangleCountSql: String =
+    """WITH und AS (
+      |  SELECT DISTINCT LEAST(x.l_partkey, y.l_partkey) AS a,
+      |    GREATEST(x.l_partkey, y.l_partkey) AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey
+      |   AND x.l_partkey < y.l_partkey),
+      |deg AS (
+      |  SELECT n, COUNT(*) AS d FROM (
+      |    SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY n),
+      |ori AS (
+      |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+      |           THEN a ELSE b END AS lo,
+      |         CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+      |           THEN b ELSE a END AS hi
+      |  FROM und JOIN deg da ON und.a = da.n JOIN deg db ON und.b = db.n),
+      |tri AS (
+      |  SELECT e1.lo AS apex, e1.hi AS x, e2.hi AS y
+      |  FROM ori e1 JOIN ori e2
+      |    ON e1.lo = e2.lo AND e1.hi < e2.hi
+      |  JOIN (SELECT LEAST(lo, hi) AS p, GREATEST(lo, hi) AS q
+      |        FROM ori) c
+      |    ON c.p = LEAST(e1.hi, e2.hi)
+      |   AND c.q = GREATEST(e1.hi, e2.hi)),
+      |per_node AS (
+      |  SELECT node, COUNT(*) AS n_triangles FROM (
+      |    SELECT apex AS node FROM tri
+      |    UNION ALL SELECT x FROM tri
+      |    UNION ALL SELECT y FROM tri)
+      |  GROUP BY node)
+      |SELECT CAST(rnk AS INT) AS rnk, node, n_triangles FROM (
+      |  SELECT node, n_triangles,
+      |    ROW_NUMBER() OVER (
+      |      ORDER BY n_triangles DESC, node ASC) AS rnk
+      |  FROM per_node)
+      |WHERE rnk <= 20""".stripMargin
 }

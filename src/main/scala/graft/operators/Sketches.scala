@@ -109,4 +109,112 @@ object Sketches {
        |  COALESCE(truth.true_cnt, 0) AS true_cnt
        |FROM est LEFT JOIN truth ON est.key = truth.key""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q145_kmv_intersection — KMV (k minimum values) set sketches and the
+  // pairwise-overlap estimate (Beyer et al. SIGMOD'07): each key's
+  // element set reduces to its k smallest hash values; for a pair,
+  // overlap = |KMV_k(A ∪ B) ∩ A_sig ∩ B_sig| estimates k·Jaccard. The
+  // set-INTERSECTION cardinality sketch the family was missing: HLL
+  // answers |distinct|, Bloom answers membership, CM answers frequency —
+  // KMV answers "how much do these two huge sets overlap" from k values
+  // each, without ever joining the sets themselves.
+  //
+  // Everything is integer arithmetic: h(x) = (x·2654435761) mod 1000003
+  // (the q118 mixer — bit-identical in any engine), signatures are
+  // sorted int arrays, the gate's overlap output is an integer count per
+  // pair, with the EXACT |A ∩ B| alongside as oracle-checked evidence.
+  //
+  // Scale shapes: signature build is one shuffle on the set key with the
+  // per-key state capped at k values (the aggregation state is the
+  // slice, and distinct-before-collect bounds it at |distinct elements|;
+  // a production build swaps in a bounded-heap Aggregator — the q36b
+  // TopK — to hold k per partition); the pair stage joins |keys|²-bounded
+  // SIGNATURES (k ints each), never element sets — at 10^9-element sets
+  // and k=64, a pair costs 128 ints.
+  // ---------------------------------------------------------------------
+  private def kmvHash(c: Column): Column =
+    pmod(c * lit(2654435761L), lit(1000003L))
+
+  /** One row per key: sorted array of the k smallest element hashes
+    * (ties impossible modulo collisions; collisions collapse via
+    * collect_set — identically in the SQL twin). */
+  def kmvSignatures(df: DataFrame, key: String, elem: String,
+      k: Int): DataFrame =
+    df.select(col(key), kmvHash(col(elem)).as("h")).distinct()
+      .groupBy(col(key))
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("sig"))
+
+  /** Pairwise KMV overlap for all (a < b) key pairs within `scope`:
+    * (key_a, key_b, kmv_overlap, k_eff). kmv_overlap/k_eff estimates
+    * Jaccard; k_eff = min(k, |union sig|) handles small sets exactly. */
+  def kmvOverlap(sigs: DataFrame, key: String, k: Int): DataFrame = {
+    val a = sigs.select(col(key).as("ka"), col("sig").as("sa"))
+    val b = sigs.select(col(key).as("kb"), col("sig").as("sb"))
+    a.join(b, col("ka") < col("kb"))
+      .select(col("ka"), col("kb"),
+        slice(array_sort(array_union(col("sa"), col("sb"))), 1, k)
+          .as("mu"), col("sa"), col("sb"))
+      .select(col("ka"), col("kb"),
+        size(array_intersect(array_intersect(col("mu"), col("sa")),
+          col("sb"))).cast("long").as("kmv_overlap"),
+        size(col("mu")).cast("long").as("k_eff"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q145 gate — part-set overlap between the first 30 suppliers (a
+  // bounded pair count at EVERY scale factor — a nation-scoped filter is
+  // empty at sf0.001's 10 single-nation suppliers), k=64, with the exact
+  // intersection joined alongside: the estimator and its ground truth in
+  // one hash-checked result.
+  // ---------------------------------------------------------------------
+  def q145KmvIntersection(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+      .filter(col("s_suppkey") <= 30)
+      .select(col("s_suppkey"))
+    val sets = li.join(broadcast(sup),
+        li("l_suppkey") === sup("s_suppkey"))
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+    val sigs = kmvSignatures(sets, "sk", "pk", k = 64)
+    val est = kmvOverlap(sigs, "sk", k = 64)
+    val exact = sets.distinct().as("x")
+      .join(sets.distinct().as("y"), col("x.pk") === col("y.pk")
+        && col("x.sk") < col("y.sk"))
+      .groupBy(col("x.sk").as("ka"), col("y.sk").as("kb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    est.join(exact, Seq("ka", "kb"), "left")
+      .select(col("ka"), col("kb"), col("kmv_overlap"), col("k_eff"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+  }
+
+  val q145KmvIntersectionSql: String =
+    """WITH sup AS (
+      |  SELECT s_suppkey FROM supplier WHERE s_suppkey <= 30),
+      |sets AS (
+      |  SELECT DISTINCT l.l_suppkey AS sk, l.l_partkey AS pk
+      |  FROM lineitem l JOIN sup ON l.l_suppkey = sup.s_suppkey),
+      |hashes AS (
+      |  SELECT DISTINCT sk, (pk * 2654435761) % 1000003 AS h FROM sets),
+      |sigs AS (
+      |  SELECT sk, (list_sort(list(h)))[1:64] AS sig
+      |  FROM hashes GROUP BY sk),
+      |pairs AS (
+      |  SELECT a.sk AS ka, b.sk AS kb, a.sig AS sa, b.sig AS sb,
+      |    (list_sort(list_distinct(a.sig || b.sig)))[1:64] AS mu
+      |  FROM sigs a JOIN sigs b ON a.sk < b.sk),
+      |est AS (
+      |  SELECT ka, kb,
+      |    CAST(len(list_intersect(list_intersect(mu, sa), sb)) AS BIGINT)
+      |      AS kmv_overlap,
+      |    CAST(len(mu) AS BIGINT) AS k_eff
+      |  FROM pairs),
+      |exact AS (
+      |  SELECT x.sk AS ka, y.sk AS kb, COUNT(*) AS exact_inter
+      |  FROM sets x JOIN sets y ON x.pk = y.pk AND x.sk < y.sk
+      |  GROUP BY x.sk, y.sk)
+      |SELECT est.ka, est.kb, est.kmv_overlap, est.k_eff,
+      |  COALESCE(exact.exact_inter, 0) AS exact_inter
+      |FROM est LEFT JOIN exact ON est.ka = exact.ka AND est.kb = exact.kb
+      |""".stripMargin
 }

@@ -183,4 +183,64 @@ object Windows {
       |  GROUPING(o_orderstatus, o_orderpriority) AS gid
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q139_equal_freq_binning — equal-frequency discretization: ntile
+  // deciles of document length within each language stratum, summarized
+  // per bin. The feature-engineering binning step (quantile buckets for
+  // calibration / stratified mixing) — distinct from q76's threshold
+  // gate (keep/drop at a quantile) and q103's equi-width histogram bins.
+  // NTILE's floor-division remainder rule is identical in Spark and
+  // DuckDB GIVEN A TOTAL ORDER — the (n_chars, doc_id) tiebreak is what
+  // makes bin assignment engine-invariant, same discipline as q131.
+  // Scale: windows partition by the stratum — per-task data is one
+  // stratum, and a corpus-sized stratum would move this to the q68b
+  // two-level bucket decomposition; integer-only output.
+  // ---------------------------------------------------------------------
+  def equalFreqBins(df: DataFrame, stratum: String, value: String,
+      tiebreak: String, nBins: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(col(value).asc, col(tiebreak).asc)
+    df.withColumn("bin", ntile(nBins).over(w))
+      .groupBy(col(stratum), col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(value)).as("lo"), max(col(value)).as("hi"))
+  }
+
+  def q139EqualFreqBinning(s: SparkSession, dir: String): DataFrame =
+    equalFreqBins(t(s, dir, "documents"), "lang", "n_chars", "doc_id",
+      nBins = 10)
+
+  val q139EqualFreqBinningSql: String =
+    """SELECT lang, bin, COUNT(*) AS n_rows,
+      |  MIN(n_chars) AS lo, MAX(n_chars) AS hi
+      |FROM (
+      |  SELECT lang, n_chars,
+      |    CAST(NTILE(10) OVER (PARTITION BY lang
+      |      ORDER BY n_chars, doc_id) AS INT) AS bin
+      |  FROM documents)
+      |GROUP BY lang, bin""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q144_quantile_normalize — percent-rank normalization within a
+  // stratum: each document's length mapped to [0,1] by
+  // (rank−1)/(n−1). The monotone feature transform that makes scores
+  // comparable ACROSS strata (a 2k-char doc is long for lang A, median
+  // for lang B). The double is an exact-integer division — bit-identical
+  // cross-engine, no rounding needed. Same stratum-window scale shape
+  // as q139.
+  // ---------------------------------------------------------------------
+  def q144QuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        percent_rank().over(w).as("pr"))
+  }
+
+  val q144QuantileNormalizeSql: String =
+    """SELECT doc_id, lang, n_chars,
+      |  PERCENT_RANK() OVER (PARTITION BY lang
+      |    ORDER BY n_chars, doc_id) AS pr
+      |FROM documents""".stripMargin
 }

@@ -59,4 +59,37 @@ class BehaviorSpec extends SparkSpec {
       ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
       ("2024-01-08", 0, 1L)))
   }
+
+  test("topPaths orders within user-day and counts identical trajectories") {
+    import spark.implicits._
+    def ts(day: Int, min: Int) =
+      new java.sql.Timestamp((day * 1440L + min) * 60000L)
+    val ev = Seq(
+      // two user-days with the same path view>click
+      (1L, 1L, ts(1, 10), "view"), (2L, 1L, ts(1, 20), "click"),
+      (3L, 2L, ts(1, 5), "view"), (4L, 2L, ts(1, 6), "click"),
+      // one user-day with view only
+      (5L, 3L, ts(1, 1), "view"),
+      // same user, different day → separate trajectory
+      (6L, 1L, ts(2, 1), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Behavior.topPaths(ev, "user_id", "ts", "event_type",
+        "event_id", k = 10)
+      .select("path", "n_sessions").as[(String, Long)].collect().toMap
+    assert(got == Map("view>click" -> 2L, "view" -> 1L, "purchase" -> 1L))
+  }
+
+  test("topPaths: out-of-order arrival does not change the path string") {
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(1440L * 60000L + min * 60000L)
+    val inOrder = Seq(
+      (1L, 1L, ts(1), "a"), (2L, 1L, ts(2), "b"), (3L, 1L, ts(3), "c"))
+    val shuffled = inOrder.reverse
+    def run(rows: Seq[(Long, Long, java.sql.Timestamp, String)]) =
+      Behavior.topPaths(rows.toDF("event_id", "user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", "event_id", k = 5)
+        .select("path").as[String].collect().toSeq
+    assert(run(inOrder) == Seq("a>b>c"))
+    assert(run(shuffled) == Seq("a>b>c"))
+  }
 }

@@ -102,4 +102,48 @@ class FuzzyJoinSpec extends SparkSpec {
     }
     assert(comp.count(_._4 >= 10000000L) > 0, "no dirty cluster formed")
   }
+
+  test("snm: adjacent-in-sort-order typos match; window recall contract holds") {
+    import spark.implicits._
+    val rec = Seq(
+      (1L, "apple pie"), (2L, "apple pis"),      // 1 edit, adjacent
+      (3L, "azzzz 1"), (4L, "azzzz 2"),          // 1 edit, adjacent
+      (5L, "banana"), (6L, "zebra"))
+      .toDF("id", "name")
+    val got = FuzzyJoin.snmPairs(rec, "id", "name", w = 5, maxDist = 2)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(got.contains((3L, 4L)))
+    // different first letters → different blocks, never candidates
+    assert(!got.exists(p => Set(p._1, p._2) == Set(5L, 6L)))
+  }
+
+  test("snm: a pair more than w positions apart in its block is MISSED") {
+    import spark.implicits._
+    // all share block 'a'; 4 padding names sort between the near-dups
+    val rec = Seq(
+      (1L, "aa target"),
+      (10L, "ab pad 1"), (11L, "ab pad 2"), (12L, "ab pad 3"),
+      (13L, "ab pad 4"),
+      (2L, "ac target")) // levenshtein("aa target","ac target")=1
+      .toDF("id", "name")
+    val w2 = FuzzyJoin.snmPairs(rec, "id", "name", w = 2, maxDist = 2)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(!w2.contains((1L, 2L)),
+      "w=2 must miss a pair 5 positions apart — the documented contract")
+    val w5 = FuzzyJoin.snmPairs(rec, "id", "name", w = 5, maxDist = 2)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(w5.contains((1L, 2L)), "w=5 covers the gap")
+  }
+
+  test("q142 gate: every planted adjacent typo within the window verifies") {
+    val out = FuzzyJoin.q142SortedNeighborhood(spark, sfDir)
+    assert(out.count() > 0)
+    // symmetric sanity: left ranks strictly precede right ranks, so no
+    // pair appears twice in either orientation
+    val pairs = out.select("left_id", "right_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+    assert(!pairs.exists(p => pairs.contains((p._2, p._1))))
+  }
 }

@@ -55,4 +55,31 @@ class GraphSpec extends SparkSpec {
     val tp = (1.0 - 0.85) / 2.0
     assert(r("a") === tp) // nothing points at a after iteration 1
   }
+
+  private def tri(es: (Int, Int)*) =
+    Graph.triangleCounts(es.toDF("src", "dst"))
+      .as[(Int, Long)].collect().toMap
+
+  test("triangle: K3 counts one triangle at every node") {
+    assert(tri((1, 2), (2, 3), (1, 3)) == Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("triangle: K4 has 4 triangles, 3 through each node") {
+    val m = tri((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+    assert(m == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
+  }
+
+  test("triangle: paths and stars have none; parallel/reversed edges collapse") {
+    assert(tri((1, 2), (2, 3), (3, 4)).isEmpty)
+    assert(tri((1, 2), (1, 3), (1, 4)).isEmpty)
+    // duplicates, reversals, and a self-loop must not fabricate triangles
+    assert(tri((1, 2), (2, 1), (2, 3), (1, 3), (1, 3), (1, 1))
+      == Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("triangle: two triangles sharing an edge") {
+    // 1-2-3 and 2-3-4 share edge (2,3)
+    val m = tri((1, 2), (1, 3), (2, 3), (2, 4), (3, 4))
+    assert(m == Map(1 -> 1L, 2 -> 2L, 3 -> 2L, 4 -> 1L))
+  }
 }
