@@ -293,4 +293,52 @@ object EventTime {
       |FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.day = o.obs_day
       |WINDOW w AS (PARTITION BY g.k ORDER BY g.day
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q148_ewma — per-key exponentially-weighted moving average of a metric
+  // stream, the time-decayed "current level" feature (user engagement,
+  // doc quality drift) every behavioral pipeline derives. s_1 = x_1;
+  // s_t = (1−α)·s_{t−1} + α·x_t over the key's events in (tick, id)
+  // order.
+  //
+  // Determinism is q92's discipline: the recursion is a LEFT-TO-RIGHT
+  // fold over an explicitly totally-ordered list — a pure function of
+  // the data on any partitioning — and DuckDB's `list_reduce` without an
+  // initializer seeds from the first element exactly as this fold does
+  // (seed = element 1, fold over the rest), with the identical
+  // mul/mul/add shape per step, so the gate hashes the raw doubles. α is
+  // chosen binary-exact in the gate (1/8) so `1−α` is the same double
+  // both engines parse.
+  //
+  // Scale shape: one shuffle on the key; each list is ONE key's events
+  // (bounded by per-entity activity, the natural bound sessionized data
+  // has). For truly unbounded keys the recursion is still mergeable —
+  // a segment of length m summarizes to (decay = (1−α)^m, contribution)
+  // and segments compose associatively — so the q92 two-level bucket
+  // decomposition applies verbatim; this single-level fold is the
+  // per-entity case.
+  // ---------------------------------------------------------------------
+  def ewmaByKey(df: DataFrame, key: String, tick: String, id: String,
+      value: String, alpha: Double): DataFrame = {
+    val xs = df.groupBy(col(key))
+      .agg(sort_array(collect_list(struct(col(tick), col(id),
+        col(value).cast("double").as("v")))).as("xs"),
+        count(lit(1)).as("n_events"))
+    xs.select(col(key), col("n_events"),
+      aggregate(
+        slice(col("xs"), lit(2), size(col("xs")) - 1),
+        element_at(col("xs"), 1).getField("v"),
+        (a, x) => a * lit(1.0 - alpha) + x.getField("v") * lit(alpha))
+        .as("ewma"))
+  }
+
+  def q148Ewma(s: SparkSession, dir: String): DataFrame =
+    ewmaByKey(graft.operators.t(s, dir, "events"),
+      "user_id", "ts", "event_id", "value", alpha = 0.125)
+
+  val q148EwmaSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  list_reduce(list(value ORDER BY ts, event_id),
+      |    (a, b) -> a * 0.875 + b * 0.125) AS ewma
+      |FROM events GROUP BY user_id""".stripMargin
 }

@@ -450,6 +450,53 @@ object Ingest {
       |    AS sum_price
       |FROM orders WHERE o_orderkey BETWEEN 20000 AND 24000""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q146_bloom_skipping — per-file BLOOM skipping for the predicate shape
+  // min/max is blind to: equality lookups on a hash-clustered column.
+  // Orders is written hash-partitioned on o_custkey (8 files — every
+  // file's o_orderkey range spans everything, but each CUSTOMER lands in
+  // exactly one file), [[graft.pipeline.Skipping.buildBloom]] collects a
+  // per-file sketch via Catalyst's own BloomFilterAggregate, and the gate
+  // point-looks-up three customers through
+  // [[graft.pipeline.Skipping.readPointLookup]] — which must touch a
+  // strict subset of files (require'd; fresh stats required too) and
+  // return exactly what a full-scan IN filter returns (the oracle). A
+  // false NEGATIVE (wrongly pruned file) loses rows and hash-fails; the
+  // oversized sketch (100k capacity for ~sf·190k/8 rows) makes false
+  // positives measure-zero, so the subset require is deterministic.
+  // ---------------------------------------------------------------------
+  def q146BloomSkipping(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Skipping
+    val tbl = s"$skipBase/orders_bloom_${dir.hashCode.toHexString}"
+    if (!new java.io.File(s"$tbl.complete").exists()) {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(8, col("o_custkey"))
+        .write.parquet(tbl)
+      Skipping.buildBloom(s, tbl, "o_custkey",
+        expectedItemsPerFile = 100000L)
+      new java.io.File(s"$tbl.complete").createNewFile()
+    }
+    val keys = Seq(11L, 42L, 107L)
+    val (matched, unknown) =
+      Skipping.candidateFilesEq(s, tbl, "o_custkey", keys)
+    require(unknown.isEmpty && matched.size < 8,
+      s"bloom stats must be fresh and the lookup must prune: " +
+        s"${matched.size} matched, ${unknown.size} unknown")
+    Skipping.readPointLookup(s, tbl, "o_custkey", keys)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        min(col("o_orderkey")).as("min_key"),
+        sumDec(col("o_totalprice")).as("sum_price"))
+  }
+
+  val q146BloomSkippingSql: String =
+    """SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+      |  MIN(o_orderkey) AS min_key,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders WHERE o_custkey IN (11, 42, 107)""".stripMargin
+
   val q99Scd2RollupSql: String =
     """WITH s1 AS (SELECT c_custkey, c_acctbal FROM customer),
       |s2 AS (

@@ -54,4 +54,92 @@ object Labels {
       |SELECT user_id, event_type, votes,
       |  CAST(total_votes AS BIGINT) AS total_votes
       |FROM ranked WHERE rn = 1""".stripMargin
+
+  /** Inter-rater agreement (Cohen's kappa, Cohen 1960): chance-corrected
+    * agreement between two labelings of the same items — the QA gate a
+    * labeling pipeline runs before trusting annotator (or model-judge)
+    * output. κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement
+    * rate and p_e the expected-by-chance rate from the marginals.
+    *
+    * Determinism: everything up to the last step is integer counts; the
+    * three doubles (p_o, p_e, κ) come from identical expression shapes
+    * in both engines and are emitted rounded 6 dp alongside the exact
+    * integer evidence (n, n_agree, the marginal product sum).
+    *
+    * Scale shape: one shuffle to the confusion table (≤ |labels|² rows —
+    * vocabulary-bounded, not corpus-bounded); marginals and the chance
+    * sum are reaggregates of THAT table; the final row is a broadcast
+    * cross of two one-row frames. Nothing re-touches the corpus.
+    */
+  def cohenKappa(df: DataFrame, raterA: org.apache.spark.sql.Column,
+      raterB: org.apache.spark.sql.Column): DataFrame = {
+    val cells = df.select(raterA.as("ra"), raterB.as("rb"))
+      .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("n_total"),
+      sum(when(col("ra") === col("rb"), col("n")).otherwise(lit(0L)))
+        .as("n_agree"))
+    val ma = cells.groupBy(col("ra")).agg(sum(col("n")).as("na"))
+    val mb = cells.groupBy(col("rb")).agg(sum(col("n")).as("nb"))
+    val chance = ma.join(mb, ma("ra") === mb("rb"))
+      .agg(sum(col("na") * col("nb")).as("chance_sum"))
+    tot.crossJoin(broadcast(chance))
+      .select(col("n_total"), col("n_agree"),
+        coalesce(col("chance_sum"), lit(0L)).as("chance_sum"))
+      .select(col("n_total"), col("n_agree"), col("chance_sum"),
+        round(col("n_agree").cast("double") / col("n_total").cast("double"),
+          6).as("po"),
+        round(col("chance_sum").cast("double") /
+          (col("n_total").cast("double") * col("n_total").cast("double")),
+          6).as("pe"),
+        round((col("n_agree").cast("double") / col("n_total").cast("double")
+          - col("chance_sum").cast("double") /
+            (col("n_total").cast("double") * col("n_total").cast("double")))
+          / (lit(1.0) - col("chance_sum").cast("double") /
+            (col("n_total").cast("double") * col("n_total").cast("double"))),
+          6).as("kappa"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q149_cohen_kappa — agreement between two derived binary "raters" on
+  // orders: rater A calls an order 'hi' when its priority is urgent/high,
+  // rater B when its price clears 250k. The planted disagreement
+  // structure exercises the marginal math (the raters' 'hi' rates
+  // differ); exact integer evidence rides along with the rounded κ.
+  // ---------------------------------------------------------------------
+  def q149CohenKappa(s: SparkSession, dir: String): DataFrame =
+    cohenKappa(t(s, dir, "orders"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit("hi"))
+        .otherwise(lit("lo")),
+      when(col("o_totalprice") >= 250000.0, lit("hi")).otherwise(lit("lo")))
+
+  val q149CohenKappaSql: String =
+    """WITH labeled AS (
+      |  SELECT
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 'hi' ELSE 'lo' END AS ra,
+      |    CASE WHEN o_totalprice >= 250000.0
+      |      THEN 'hi' ELSE 'lo' END AS rb
+      |  FROM orders),
+      |cells AS (SELECT ra, rb, COUNT(*) AS n FROM labeled GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+      |    CAST(SUM(CASE WHEN ra = rb THEN n ELSE 0 END) AS BIGINT)
+      |      AS n_agree
+      |  FROM cells),
+      |ma AS (SELECT ra, SUM(n) AS na FROM cells GROUP BY ra),
+      |mb AS (SELECT rb, SUM(n) AS nb FROM cells GROUP BY rb),
+      |chance AS (
+      |  SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS chance_sum
+      |  FROM ma JOIN mb ON ma.ra = mb.rb)
+      |SELECT n_total, n_agree, chance_sum,
+      |  ROUND(CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS po,
+      |  ROUND(CAST(chance_sum AS DOUBLE)
+      |    / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)), 6) AS pe,
+      |  ROUND((CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE)
+      |    - CAST(chance_sum AS DOUBLE)
+      |      / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
+      |    / (1.0 - CAST(chance_sum AS DOUBLE)
+      |      / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))),
+      |    6) AS kappa
+      |FROM tot CROSS JOIN chance""".stripMargin
 }

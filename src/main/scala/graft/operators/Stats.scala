@@ -604,4 +604,150 @@ object Stats {
       |      ORDER BY ABS(sdev) DESC, day ASC) AS rn
       |  FROM s)
       |WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q150_welch_ttest — per-stratum two-sample Welch t-test (unequal
+  // variances): the A/B readout an experimentation pipeline computes per
+  // segment (Welch 1947; df by Welch–Satterthwaite). Built from the SAME
+  // exact decimal power sums as q44/q127/q134 — n, Σx, Σx² per
+  // (stratum, arm) — so the aggregate is order-independent; the t and df
+  // doubles come from identical expression shapes both engines evaluate
+  // over those exact sums, rounded 6 dp, with the integer/exact evidence
+  // (n per arm, the two means) alongside.
+  //
+  // Scale shape: one shuffle to the (stratum, arm) cell table (≤
+  // |strata|·2 rows); the arm pivot is a self-join of THAT table —
+  // nothing re-touches the fact scan. Zero-variance-both-arms cells
+  // (se² = 0) are dropped rather than emitting ±inf.
+  // ---------------------------------------------------------------------
+  def welchTTest(df: DataFrame, stratum: String, arm: Column,
+      armA: String, armB: String, x: Column): DataFrame = {
+    val cells = df.select(col(stratum), arm.as("arm"), x.as("x"))
+      .filter(col("arm").isin(armA, armB))
+      .groupBy(col(stratum), col("arm"))
+      .agg(count(lit(1)).as("n"), s1(col("x")).as("sx"),
+        s2(col("x"), col("x")).as("sxx"))
+      .filter(col("n") >= 2)
+    def side(tag: String, want: String) = cells.filter(col("arm") === want)
+      .select(col(stratum), col("n").as(s"n_$tag"),
+        col("sx").as(s"sx_$tag"), col("sxx").as(s"sxx_$tag"))
+    val j = side("a", armA).join(side("b", armB), stratum)
+    def nd(tag: String) = col(s"n_$tag").cast("double")
+    def mean(tag: String) = col(s"sx_$tag") / nd(tag)
+    def variance(tag: String) =
+      (col(s"sxx_$tag") - col(s"sx_$tag") * col(s"sx_$tag") / nd(tag)) /
+        (nd(tag) - lit(1.0))
+    val vOverNA = variance("a") / nd("a")
+    val vOverNB = variance("b") / nd("b")
+    val se2 = vOverNA + vOverNB
+    j.filter(se2 > 0.0)
+      .select(col(stratum), col("n_a"), col("n_b"),
+        round(mean("a"), 6).as("mean_a"),
+        round(mean("b"), 6).as("mean_b"),
+        round((mean("a") - mean("b")) / sqrt(se2), 6).as("t_stat"),
+        round((se2 * se2) /
+          (vOverNA * vOverNA / (nd("a") - lit(1.0)) +
+           vOverNB * vOverNB / (nd("b") - lit(1.0))), 6).as("df_w"))
+  }
+
+  def q150WelchTtest(s: SparkSession, dir: String): DataFrame =
+    welchTTest(t(s, dir, "customer"), "c_nationkey",
+      col("c_mktsegment"), "BUILDING", "AUTOMOBILE", col("c_acctbal"))
+
+  val q150WelchTtestSql: String =
+    """WITH cells AS (
+      |  SELECT c_nationkey, c_mktsegment AS arm, COUNT(*) AS n,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,8)))
+      |      AS DOUBLE) AS sxx
+      |  FROM customer
+      |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2),
+      |j AS (
+      |  SELECT a.c_nationkey,
+      |    a.n AS n_a, a.sx AS sx_a, a.sxx AS sxx_a,
+      |    b.n AS n_b, b.sx AS sx_b, b.sxx AS sxx_b
+      |  FROM cells a JOIN cells b USING (c_nationkey)
+      |  WHERE a.arm = 'BUILDING' AND b.arm = 'AUTOMOBILE'),
+      |m AS (
+      |  SELECT c_nationkey, n_a, n_b,
+      |    sx_a / CAST(n_a AS DOUBLE) AS mean_a,
+      |    sx_b / CAST(n_b AS DOUBLE) AS mean_b,
+      |    ((sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE))
+      |      / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE) AS va_n,
+      |    ((sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE))
+      |      / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE) AS vb_n
+      |  FROM j)
+      |SELECT c_nationkey, n_a, n_b,
+      |  ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+      |  ROUND((mean_a - mean_b) / sqrt(va_n + vb_n), 6) AS t_stat,
+      |  ROUND(((va_n + vb_n) * (va_n + vb_n))
+      |    / (va_n * va_n / (CAST(n_a AS DOUBLE) - 1.0)
+      |      + vb_n * vb_n / (CAST(n_b AS DOUBLE) - 1.0)), 6) AS df_w
+      |FROM m WHERE va_n + vb_n > 0.0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q152_median_mad — per-group robust location/scale (median + median
+  // absolute deviation), the outlier-resistant alternative to q127's
+  // mean/std z-scoring that a quality-score pipeline actually wants when
+  // the score distribution has a heavy junk tail (the mean chases the
+  // tail; the median doesn't — Hampel 1974).
+  //
+  // Built as TWO passes of the continuous-quantile machinery
+  // ([[Curation.quantileThresholdsContinuous]], the q68b operator):
+  // median = its q=0.5 threshold (max v with #(x ≥ v) ≥ ⌈n/2⌉ — a
+  // positional pick of an ACTUAL data value, so no interpolation doubles
+  // to drift); MAD = the same pick over |x − median|. |x − median| is one
+  // IEEE subtract+abs with identical shape in both engines, so every
+  // output double is a function of exact positional selection —
+  // hash-exact, no tolerance verdict.
+  //
+  // Scale shape: inherited from the continuous path — each pass is a
+  // keys×buckets table plus a boundary-bucket-only value slice, NEVER a
+  // corpus-sized per-key value window; the deviation join broadcasts the
+  // |keys|-row median table.
+  // ---------------------------------------------------------------------
+  def medianMad(df: DataFrame, key: String, value: String): DataFrame = {
+    val vals = df.select(col(key), col(value).cast("double").as("__x"))
+    val med = Curation.quantileThresholdsContinuous(vals, key, "__x", 0.5)
+      .select(col(key), col("n"), col("threshold").as("median"))
+    val dev = vals.join(broadcast(med.select(col(key), col("median"))), key)
+      .select(col(key), abs(col("__x") - col("median")).as("__adev"))
+    val mad = Curation.quantileThresholdsContinuous(dev, key, "__adev", 0.5)
+      .select(col(key), col("threshold").as("mad"))
+    med.join(mad, key)
+      .select(col(key), col("n"), col("median"), col("mad"))
+  }
+
+  def q152MedianMad(s: SparkSession, dir: String): DataFrame =
+    medianMad(t(s, dir, "customer"), "c_mktsegment", "c_acctbal")
+
+  val q152MedianMadSql: String =
+    """WITH r AS (
+      |  SELECT c_mktsegment AS g, c_acctbal AS x,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal DESC
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM customer),
+      |med AS (
+      |  SELECT g, MAX(n) AS n,
+      |    MAX(x) FILTER (WHERE cum_ge >= CEIL(n * 0.5)) AS median
+      |  FROM r GROUP BY g),
+      |d AS (
+      |  SELECT c.c_mktsegment AS g, ABS(c.c_acctbal - m.median) AS adev
+      |  FROM customer c JOIN med m ON c.c_mktsegment = m.g),
+      |r2 AS (
+      |  SELECT g, adev,
+      |    COUNT(*) OVER (PARTITION BY g ORDER BY adev DESC
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge,
+      |    COUNT(*) OVER (PARTITION BY g) AS n
+      |  FROM d),
+      |mad AS (
+      |  SELECT g, MAX(adev) FILTER (WHERE cum_ge >= CEIL(n * 0.5)) AS mad
+      |  FROM r2 GROUP BY g)
+      |SELECT med.g AS c_mktsegment, CAST(med.n AS BIGINT) AS n,
+      |  med.median, mad.mad
+      |FROM med JOIN mad USING (g)""".stripMargin
 }

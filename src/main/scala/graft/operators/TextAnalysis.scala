@@ -745,4 +745,69 @@ object TextAnalysis {
       |    ROW_NUMBER() OVER (ORDER BY pmi DESC, t1 ASC, t2 ASC) AS rnk
       |  FROM scored)
       |WHERE rnk <= 25""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q151_ctfidf — class-based TF-IDF (the c-TF-IDF of Grootendorst's
+  // BERTopic, arXiv:2203.05794 §2.3): top-k characteristic terms PER
+  // CLASS (cluster/source/topic), score = tf_{t,c} · ln(1 + A/f_t) with
+  // tf_{t,c} the term's count inside the class, f_t its corpus count,
+  // and A the average class token mass. Where q119 ranks terms within a
+  // DOCUMENT, this ranks them within a GROUP of documents — the
+  // topic-labeling / source-characterization step after any clustering.
+  //
+  // Determinism is q119's discipline verbatim: the ln-derived double
+  // orders the rank but never leaves the plan — output is rank + exact
+  // integer evidence (tf_c, f_t), term-asc tie-broken.
+  //
+  // Scale shape: the token stream shuffles ONCE to (class, term) counts;
+  // f_t and A are reaggregates of that table (|classes|·|vocab| rows at
+  // worst, ≪ corpus); the per-class top-k window partitions BY class —
+  // each window task holds one class's vocabulary, never a corpus sort.
+  // ---------------------------------------------------------------------
+  def cTfIdf(d: DataFrame, cls: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d.select(col(cls), explode(words(col("text"))).as("term"))
+    val tfc = toks.groupBy(col(cls), col("term"))
+      .agg(count(lit(1)).as("tf_c"))
+    val ft = tfc.groupBy(col("term")).agg(sum(col("tf_c")).as("f_t"))
+    val a = tfc.agg((sum(col("tf_c")).cast("double") /
+      countDistinct(col(cls)).cast("double")).as("a"))
+    val scored = tfc.join(ft, "term").crossJoin(broadcast(a))
+      .select(col(cls), col("term"), col("tf_c"), col("f_t"),
+        (col("tf_c").cast("double") *
+          log(lit(1.0) + col("a") / col("f_t").cast("double")))
+          .as("score"))
+    val w = Window.partitionBy(col(cls))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(cls), col("rnk").cast("int").as("rnk"), col("term"),
+        col("tf_c"), col("f_t"))
+  }
+
+  def q151Ctfidf(s: SparkSession, dir: String): DataFrame =
+    cTfIdf(t(s, dir, "documents"), "source", k = 5)
+
+  val q151CtfidfSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tfc AS (SELECT source, term, COUNT(*) AS tf_c
+      |        FROM toks GROUP BY 1, 2),
+      |ft AS (SELECT term, CAST(SUM(tf_c) AS BIGINT) AS f_t
+      |       FROM tfc GROUP BY term),
+      |a AS (SELECT CAST(SUM(tf_c) AS DOUBLE)
+      |        / CAST(COUNT(DISTINCT source) AS DOUBLE) AS a
+      |      FROM tfc),
+      |scored AS (
+      |  SELECT tfc.source, tfc.term, tfc.tf_c, ft.f_t,
+      |    CAST(tfc.tf_c AS DOUBLE)
+      |      * ln(1.0 + a.a / CAST(ft.f_t AS DOUBLE)) AS score
+      |  FROM tfc JOIN ft USING (term) CROSS JOIN a)
+      |SELECT source, CAST(rnk AS INT) AS rnk, term, tf_c, f_t FROM (
+      |  SELECT source, term, tf_c, f_t,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY score DESC, term ASC) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 5""".stripMargin
 }

@@ -108,4 +108,90 @@ object Skipping {
       spark.read.option("basePath", tableDir).parquet(files: _*)
         .filter(pred)
   }
+
+  // --- per-file bloom skipping (equality predicates) ---------------------
+  // Min/max prunes RANGES on clustered columns; it is blind to EQUALITY
+  // lookups on a column whose values scatter across each file's full
+  // range (a hash-clustered user/doc id: every file's [min,max] spans
+  // everything, zero pruning). A per-file bloom answers "might this file
+  // contain value v" regardless of ordering — the Delta/Iceberg
+  // bloom-skipping idea on plain parquet dirs, reusing Catalyst's OWN
+  // sketch (`BloomFilterAggregate`, the runtime-join-filter aggregate,
+  // exposed as `graft_bloom_agg`) so build-side hashing, sizing, and the
+  // wire format are all Spark's. Probe side deserializes with the public
+  // `org.apache.spark.util.sketch.BloomFilter.readFrom` — the same class
+  // the aggregate serializes — and hashes the probe values with the same
+  // `xxhash64` expression the build used, evaluated BY Spark on a
+  // one-row plan so the two sides can never disagree.
+  //
+  // Contract mirrors [[candidateFiles]]: files unknown to the stats are
+  // always scanned (stale ⇒ less pruning, never wrong answers); a bloom
+  // "yes" is a maybe (the exact predicate re-filters after the read);
+  // a bloom "no" is definite — no false negatives, so pruning is safe.
+  // Scale: the stats table is one row + one ~(bits/8) sketch per file —
+  // planning reads THAT, not a million parquet footers.
+
+  private def bloomDir(c: String) = s"_skip_bloom_$c"
+
+  /** Build (or rebuild) the per-file bloom stats for equality lookups on
+    * `c`. `expectedItemsPerFile` sizes each sketch (Spark's default 8
+    * bits/item ≈ 2% FPP at capacity; oversize it and the FPP collapses
+    * toward zero — cheap insurance, sketches are per-FILE). */
+  def buildBloom(spark: SparkSession, tableDir: String, c: String,
+      expectedItemsPerFile: Long = 1000000L): Unit = {
+    graft.functions.Bloom.register(spark)
+    val df = spark.read.parquet(tableDir)
+    val stats = df
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(expr(s"graft_bloom_agg(xxhash64($c), " +
+        s"${expectedItemsPerFile}L)").as("bloom"),
+        count(lit(1)).as("n_rows"))
+    SafeSwap.replace(s"$tableDir/${bloomDir(c)}") { tmp =>
+      stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** The files an equality/IN predicate on `c` may need: bloom-matched
+    * known files plus every file unknown to the stats. A file whose
+    * sketch is NULL (no rows reached the aggregate — possible only for
+    * an all-NULL column slice under a pre-filter) cannot match a
+    * non-null probe and is skipped. */
+  def candidateFilesEq(spark: SparkSession, tableDir: String, c: String,
+      values: Seq[Any]): (Seq[String], Seq[String]) = {
+    require(values.nonEmpty, "need at least one lookup value")
+    val stats = spark.read.parquet(s"$tableDir/${bloomDir(c)}")
+      .select(col("file"), col("bloom")).collect()
+    // hash the probe values with Spark's own xxhash64 expression — the
+    // exact function the build-side aggregate hashed with
+    val hashRow = spark.range(1)
+      .select(values.map(v => xxhash64(lit(v))): _*).head()
+    val hashes = values.indices.map(hashRow.getLong)
+    val matched = stats.toSeq.filter { r =>
+      !r.isNullAt(1) && {
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        hashes.exists(bf.mightContainLong)
+      }
+    }.map(_.getString(0))
+    def canon(s: String) = new Path(s).toUri.getPath
+    val known = stats.map(r => canon(r.getString(0))).toSet
+    val unknown = listDataFiles(spark, tableDir)
+      .filterNot(f => known(canon(f)))
+    (matched, unknown)
+  }
+
+  /** Point/IN lookup through the bloom stats: scans bloom-matched +
+    * unknown files only, then applies the exact `IN` predicate (bloom
+    * hits are a superset — FPs re-filter away). */
+  def readPointLookup(spark: SparkSession, tableDir: String, c: String,
+      values: Seq[Any]): DataFrame = {
+    val (matched, unknown) = candidateFilesEq(spark, tableDir, c, values)
+    val files = matched ++ unknown
+    val pred = col(c).isin(values: _*)
+    if (files.isEmpty)
+      spark.read.parquet(tableDir).filter(pred).limit(0)
+    else
+      spark.read.option("basePath", tableDir).parquet(files: _*)
+        .filter(pred)
+  }
 }

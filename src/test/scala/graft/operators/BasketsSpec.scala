@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BasketsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairLift: hand-computed lifts rank rare-but-together above popular") {
+    // baskets: {x,y} {x,y} {x,z} {w,z}; N=4
+    // counts: x=3 y=2 z=2 w=1; pairs: xy=2 xz=1 wz=1
+    // lift xy = 2*4/(3*2)=1.333; xz = 4/(3*2)=0.667; wz = 4/(1*2)=2.0
+    val rows = Seq(
+      (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "w"), (4L, "z")
+    ).toDF("bk", "it")
+    val got = Baskets.pairLift(rows, "bk", "it", minCount = 1, k = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1, "w", "z", 1L, 1L, 2L),
+      (2, "x", "y", 2L, 3L, 2L),
+      (3, "x", "z", 1L, 3L, 2L)))
+  }
+
+  test("pairLift: repeated item rows dedupe; min-support prunes; cap drops mega-baskets") {
+    // basket 1 lists x twice — co-occurrence must count the BASKET once
+    val dup = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"))
+      .toDF("bk", "it")
+    val d = Baskets.pairLift(dup, "bk", "it", minCount = 1, k = 10)
+      .collect()
+    assert(d.length == 1 && d.head.getLong(3) == 2L &&
+      d.head.getLong(4) == 2L, "dup rows must not inflate c12 or c_x")
+    // min-support: the pair appears once, threshold 2 -> empty
+    val rare = Seq((1L, "a"), (1L, "b")).toDF("bk", "it")
+    assert(Baskets.pairLift(rare, "bk", "it", minCount = 2, k = 10)
+      .isEmpty)
+    // a basket over the cap contributes nothing (its pairs AND its
+    // marginal mass vanish together — the capped world stays consistent)
+    val mega = Seq((1L, "a"), (1L, "b"), (1L, "c"), // size 3 > cap 2
+      (2L, "a"), (2L, "b")).toDF("bk", "it")
+    val capped = Baskets.pairLift(mega, "bk", "it", minCount = 1, k = 10,
+      maxBasket = 2).collect()
+    assert(capped.length == 1)
+    val r = capped.head
+    assert((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ("a", "b", 1L, 1L, 1L))
+  }
+}

@@ -27,4 +27,39 @@ class LabelsSpec extends SparkSpec {
       .collect().toSet
     assert(a === b)
   }
+
+  test("cohenKappa: perfect agreement is 1; textbook 2x2 case is exact") {
+    import org.apache.spark.sql.functions.col
+    val perfect = Seq(("y", "y"), ("n", "n"), ("y", "y"))
+      .toDF("a", "b")
+    val k1 = Labels.cohenKappa(perfect, col("a"), col("b"))
+      .collect().head
+    assert(k1.getAs[Double]("po") == 1.0 &&
+      k1.getAs[Double]("kappa") == 1.0)
+    // classic confusion table: yes/yes=20, no/no=15, yes/no=10, no/yes=5
+    // n=50, po=0.7; marginals A: yes 30 no 20, B: yes 25 no 25;
+    // pe=(30*25+20*25)/2500=0.5; kappa=(0.7-0.5)/(1-0.5)=0.4
+    val rows =
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(10)(("y", "n")) ++ Seq.fill(5)(("n", "y"))
+    val k2 = Labels.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    assert(k2.getAs[Long]("n_total") == 50L)
+    assert(k2.getAs[Long]("n_agree") == 35L)
+    assert(k2.getAs[Long]("chance_sum") == 1250L)
+    assert(k2.getAs[Double]("po") == 0.7)
+    assert(k2.getAs[Double]("pe") == 0.5)
+    assert(k2.getAs[Double]("kappa") == 0.4)
+  }
+
+  test("cohenKappa: disjoint label spaces yield pe=0, kappa=po") {
+    import org.apache.spark.sql.functions.col
+    // raters never use a shared label — the chance join is empty and
+    // must coalesce to 0, not NULL-poison the output row
+    val rows = Seq(("x", "u"), ("y", "v"), ("x", "v")).toDF("a", "b")
+    val k = Labels.cohenKappa(rows, col("a"), col("b")).collect().head
+    assert(k.getAs[Long]("chance_sum") == 0L)
+    assert(k.getAs[Double]("pe") == 0.0)
+    assert(k.getAs[Double]("po") == 0.0 && k.getAs[Double]("kappa") == 0.0)
+  }
 }

@@ -114,4 +114,24 @@ class ScoringSpec extends SparkSpec {
     val rows = pairs.collect()
     assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
+
+  test("cTfIdf: class-exclusive terms outrank corpus-wide ones; exact evidence") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "apple apple banana"),
+      ("B", "carrot banana")
+    ).toDF("source", "text")
+    val got = TextAnalysis.cTfIdf(docs, "source", k = 5).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val byClass = got.groupBy(_._1)
+    // apple is exclusive to A and twice as frequent there; banana is
+    // corpus-wide — apple must rank first in A, carrot first in B
+    assert(byClass("A").minBy(_._2)._3 == "apple")
+    assert(byClass("B").minBy(_._2)._3 == "carrot")
+    val apple = got.find(r => r._1 == "A" && r._3 == "apple").get
+    assert(apple._4 == 2L && apple._5 == 2L) // tf_c=2, f_t=2
+    val banana = got.find(r => r._1 == "A" && r._3 == "banana").get
+    assert(banana._4 == 1L && banana._5 == 2L) // appears once per class
+  }
 }

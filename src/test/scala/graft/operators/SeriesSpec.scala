@@ -102,4 +102,36 @@ class SeriesSpec extends SparkSpec {
       "k", "tick", "v").collect().toSeq
     assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
   }
+
+  test("ewmaByKey: hand-computed recursion, singleton = its value") {
+    val df = Seq(
+      (1L, 1L, 10L, 10.0), (1L, 2L, 11L, 20.0),        // 0.5: 15.0
+      (2L, 1L, 12L, 7.0),                               // singleton
+      (3L, 1L, 13L, 1.0), (3L, 2L, 14L, 2.0), (3L, 3L, 15L, 3.0)
+    ).toDF("k", "tick", "id", "v")
+    val out = EventTime.ewmaByKey(df, "k", "tick", "id", "v", alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // key 3: s=1 -> 1*.5+2*.5=1.5 -> 1.5*.5+3*.5=2.25
+    assert(out == Set((1L, 2L, 15.0), (2L, 1L, 7.0), (3L, 3L, 2.25)))
+  }
+
+  test("ewmaByKey: tick ties break on the id column; partition-invariant") {
+    val tied = Seq(
+      (1L, 5L, 1L, 100.0), (1L, 5L, 2L, 0.0)) // same tick, id orders them
+    val fwd = EventTime.ewmaByKey(tied.toDF("k", "tick", "id", "v"),
+      "k", "tick", "id", "v", 0.25).collect().head.getDouble(2)
+    val rev = EventTime.ewmaByKey(tied.reverse.toDF("k", "tick", "id", "v"),
+      "k", "tick", "id", "v", 0.25).collect().head.getDouble(2)
+    assert(fwd == rev && fwd == 100.0 * 0.75 + 0.0 * 0.25)
+    val big = (1 to 500).map(i =>
+      ((i % 13).toLong, (i / 13).toLong, i.toLong, (i * 7 % 23).toDouble))
+      .toDF("k", "tick", "id", "v")
+    val a = EventTime.ewmaByKey(big, "k", "tick", "id", "v", 0.125)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val b = EventTime.ewmaByKey(big.repartition(11), "k", "tick", "id",
+      "v", 0.125)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(a == b, "ordered fold must be bit-identical on any partitioning")
+  }
 }

@@ -224,4 +224,58 @@ class SkewAndStatsSpec extends SparkSpec {
     // group b: zero variance -> std 0 -> z NULL/NaN filtered out, no rows
     assert(!got.exists(_._1 == "b"))
   }
+
+  test("welchTTest: hand-derived t and Welch-Satterthwaite df") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (Seq(1.0, 2.0, 3.0).map(("s1", "A", _)) ++
+      Seq(2.0, 4.0, 6.0).map(("s1", "B", _)) ++
+      Seq(5.0).map(("s2", "A", _)) ++          // n=1 arm -> stratum drops
+      Seq(5.0, 6.0).map(("s2", "B", _)) ++
+      Seq(7.0, 7.0).map(("s3", "A", _)) ++     // zero variance both arms
+      Seq(9.0, 9.0).map(("s3", "B", _)))
+      .toDF("g", "arm", "x")
+    val got = Stats.welchTTest(df, "g", col("arm"), "A", "B", col("x"))
+      .collect()
+    assert(got.length == 1 && got.head.getString(0) == "s1",
+      "s2 (n=1 arm) and s3 (se2=0) must drop")
+    val r = got.head
+    // A=[1,2,3]: mean 2, var 1; B=[2,4,6]: mean 4, var 4
+    val se2 = 1.0 / 3.0 + 4.0 / 3.0
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("mean_a") == 2.0 &&
+      r.getAs[Double]("mean_b") == 4.0)
+    assert(r.getAs[Double]("t_stat") == r6((2.0 - 4.0) / math.sqrt(se2)))
+    val dfExp = se2 * se2 /
+      ((1.0 / 3.0) * (1.0 / 3.0) / 2.0 + (4.0 / 3.0) * (4.0 / 3.0) / 2.0)
+    assert(r.getAs[Double]("df_w") == r6(dfExp))
+  }
+
+  test("medianMad: positional median and MAD on odd and even groups") {
+    import spark.implicits._
+    val df = (Seq(1.0, 3.0, 5.0, 7.0, 9.0).map(("odd", _)) ++
+      Seq(1.0, 2.0, 3.0, 4.0).map(("even", _)))
+      .toDF("g", "x")
+    val got = Stats.medianMad(df, "g", "x").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"),
+        r.getAs[Double]("median"), r.getAs[Double]("mad"))).toSet
+    // odd: median 5, |x-5|=[4,2,0,2,4] -> positional median 2
+    // even (upper-median rule, need=ceil(4*.5)=2 counted from the top):
+    // median 3, |x-3|=[2,1,0,1] -> mad 1
+    assert(got == Set(("odd", 5L, 5.0, 2.0), ("even", 4L, 3.0, 1.0)))
+  }
+
+  test("medianMad is partition-invariant (exact doubles)") {
+    import spark.implicits._
+    val df = (1 to 400)
+      .map(i => (s"g${i % 3}", (i * 37 % 101).toDouble / 4.0))
+      .toDF("g", "x")
+    val a = Stats.medianMad(df, "g", "x").collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3))).toSet
+    val b = Stats.medianMad(df.repartition(13), "g", "x").collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3))).toSet
+    assert(a == b)
+  }
 }

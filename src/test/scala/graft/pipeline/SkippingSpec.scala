@@ -73,4 +73,59 @@ class SkippingSpec extends SparkSpec {
     assert(matched.forall(_.contains("p=a")),
       "the all-NULL partition's files must be skipped, not scanned")
   }
+
+  test("bloom lookup prunes hash-clustered files min/max cannot, no false negatives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("skip_bloom").toString + "/t"
+    // hash-clustered on k: every FILE's [min,max] of v spans everything,
+    // but each k lives in exactly one file
+    (1L to 2000L).map(k => (k, k % 7)).toDF("k", "v")
+      .repartition(8, col("k")).write.parquet(path)
+    Skipping.buildBloom(spark, path, "k", expectedItemsPerFile = 100000L)
+    // min/max stats on the SAME layout prune nothing — the case bloom
+    // exists for
+    Skipping.buildStats(spark, path, Seq("k"))
+    val (mmMatched, _) = Skipping.candidateFiles(spark, path, "k",
+      500L, 500L)
+    assert(mmMatched.size == 8,
+      "hash clustering defeats min/max: every file's range matches")
+    // bloom: each present key must match its own file (no false
+    // negatives — guaranteed, not probabilistic), and the oversized
+    // sketch makes false-positive pruning failures measure-zero on this
+    // fixed data
+    val (matched, unknown) = Skipping.candidateFilesEq(spark, path, "k",
+      Seq(500L, 1500L))
+    assert(unknown.isEmpty)
+    assert(matched.nonEmpty && matched.size < 8,
+      s"bloom must prune below the 8-file full set, got ${matched.size}")
+    val got = Skipping.readPointLookup(spark, path, "k", Seq(500L, 1500L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((500L, 500L % 7), (1500L, 1500L % 7)),
+      "pruned read must equal the full-scan IN filter")
+    // a key that was never written: nothing matches, read is empty
+    val (absent, _) = Skipping.candidateFilesEq(spark, path, "k",
+      Seq(999999L))
+    assert(absent.isEmpty, "absent key must prune every file")
+    assert(Skipping.readPointLookup(spark, path, "k", Seq(999999L))
+      .isEmpty)
+  }
+
+  test("bloom stats are stale-safe: appended files are always scanned") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("skip_bloom_stale").toString + "/t"
+    (1L to 100L).map(k => (k, "old")).toDF("k", "src")
+      .coalesce(1).write.parquet(path)
+    Skipping.buildBloom(spark, path, "k", expectedItemsPerFile = 100000L)
+    (200L to 210L).map(k => (k, "new")).toDF("k", "src")
+      .coalesce(1).write.mode("append").parquet(path)
+    val (matched, unknown) = Skipping.candidateFilesEq(spark, path, "k",
+      Seq(205L))
+    assert(matched.isEmpty, "the known file holds only [1,100]")
+    assert(unknown.size == 1, "the appended file must be a candidate")
+    val rows = Skipping.readPointLookup(spark, path, "k", Seq(205L))
+      .collect().map(_.getLong(0)).toSet
+    assert(rows == Set(205L),
+      "stale bloom stats must degrade to scanning unknown files")
+  }
 }
