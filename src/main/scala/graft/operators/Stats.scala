@@ -750,4 +750,98 @@ object Stats {
       |SELECT med.g AS c_mktsegment, CAST(med.n AS BIGINT) AS n,
       |  med.median, mad.mad
       |FROM med JOIN mad USING (g)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q155_mann_whitney — per-stratum Mann–Whitney U (Wilcoxon rank-sum;
+  // Mann & Whitney 1947): the NONPARAMETRIC two-sample test — q150's
+  // Welch assumes rough normality, which heavy-tailed quality scores
+  // break; rank-sum only needs an ordering. With average ranks for ties,
+  // every rank doubles to an integer: a value block with `cb` rows below
+  // it and `cnt` members has average rank (2·cb + cnt + 1)/2, so
+  // 2·R₁ = Σ_blocks ca·(2·cb + cnt + 1) is exact int64, as are
+  // 2·U₁ = 2·R₁ − n₁(n₁+1) and the tie term Σ(t³−t). Only the final
+  // normal-approximation z (tie-corrected, Lehmann 1975 form) is a
+  // double — identical expression shapes over those integers, rounded
+  // 6 dp, with the integers alongside as exact evidence.
+  //
+  // Scale shape: one shuffle to the per-(stratum, value) block table —
+  // |distinct values| rows, not corpus rows; the rank prefix-sum windows
+  // over THAT table per stratum; the final row is one aggregate per
+  // stratum. Per-block counts feed t³ — int64-safe to ~2M rows per
+  // exact tie block.
+  // ---------------------------------------------------------------------
+  def mannWhitney(df: DataFrame, stratum: String, arm: Column,
+      armA: String, armB: String, x: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = df.select(col(stratum), arm.as("arm"), x.as("x"))
+      .filter(col("arm").isin(armA, armB))
+      .groupBy(col(stratum), col("x"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("arm") === armA, 1L).otherwise(0L)).as("ca"))
+    val w = Window.partitionBy(col(stratum)).orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = blocks.withColumn("cb",
+      coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val agg = ranked.groupBy(col(stratum)).agg(
+      sum(col("ca")).as("n1"),
+      sum(col("cnt") - col("ca")).as("n2"),
+      sum(col("ca") * (lit(2L) * col("cb") + col("cnt") + lit(1L)))
+        .as("two_r1"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+    def d(c: String) = col(c).cast("double")
+    val nd = d("n1") + d("n2")
+    val u1 = (d("two_r1") - d("n1") * (d("n1") + lit(1.0))) / lit(2.0)
+    val mu = d("n1") * d("n2") / lit(2.0)
+    val sig2 = d("n1") * d("n2") / lit(12.0) *
+      ((nd + lit(1.0)) - d("ties") / (nd * (nd - lit(1.0))))
+    agg.filter(col("n1") >= 1 && col("n2") >= 1 && sig2 > 0.0)
+      .select(col(stratum), col("n1"), col("n2"),
+        (col("two_r1") - col("n1") * (col("n1") + lit(1L))).as("two_u1"),
+        round((u1 - mu) / sqrt(sig2), 6).as("z"))
+  }
+
+  def q155MannWhitney(s: SparkSession, dir: String): DataFrame =
+    mannWhitney(t(s, dir, "customer"), "c_nationkey",
+      col("c_mktsegment"), "BUILDING", "AUTOMOBILE", col("c_acctbal"))
+
+  val q155MannWhitneySql: String =
+    """WITH f AS (
+      |  SELECT c_nationkey AS g, c_mktsegment AS arm, c_acctbal AS x
+      |  FROM customer
+      |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+      |v AS (
+      |  SELECT g, x, COUNT(*) AS cnt,
+      |    SUM(CASE WHEN arm = 'BUILDING' THEN 1 ELSE 0 END) AS ca
+      |  FROM f GROUP BY g, x),
+      |w AS (
+      |  SELECT g, x, cnt, ca,
+      |    COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY x ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM v),
+      |agg AS (
+      |  SELECT g,
+      |    CAST(SUM(ca) AS BIGINT) AS n1,
+      |    CAST(SUM(cnt - ca) AS BIGINT) AS n2,
+      |    CAST(SUM(ca * (2 * cb + cnt + 1)) AS BIGINT) AS two_r1,
+      |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+      |  FROM w GROUP BY g),
+      |m AS (
+      |  SELECT g, n1, n2, two_r1, ties,
+      |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+      |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nd,
+      |    (CAST(two_r1 AS DOUBLE)
+      |      - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
+      |      AS u1
+      |  FROM agg)
+      |SELECT g AS c_nationkey, n1, n2,
+      |  CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS two_u1,
+      |  ROUND((u1 - n1d * n2d / 2.0)
+      |    / sqrt(n1d * n2d / 12.0
+      |      * ((nd + 1.0) - CAST(ties AS DOUBLE) / (nd * (nd - 1.0)))),
+      |    6) AS z
+      |FROM m
+      |WHERE n1 >= 1 AND n2 >= 1
+      |  AND n1d * n2d / 12.0
+      |    * ((nd + 1.0) - CAST(ties AS DOUBLE) / (nd * (nd - 1.0))) > 0.0
+      |""".stripMargin
 }

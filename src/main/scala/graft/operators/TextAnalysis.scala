@@ -810,4 +810,61 @@ object TextAnalysis {
       |      ORDER BY score DESC, term ASC) AS rnk
       |  FROM scored)
       |WHERE rnk <= 5""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q156_ngram_novelty — per-document n-gram novelty against a reference
+  // corpus: what fraction of a candidate doc's word n-grams has the
+  // reference never seen. The data-valuation signal behind "does this
+  // crawl snapshot add anything" (and the soft sibling of q100's
+  // decontamination: there a HIT disqualifies a span; here the MISS rate
+  // is the score). Integer-only output: (doc_id, n_grams, n_novel) —
+  // the ratio is the consumer's one division.
+  //
+  // Scale shape: both gram streams come from the shared [[NGrams]]
+  // pipeline (posexplode + one per-doc window, never a driver loop);
+  // the membership probe is ONE shuffle join on the gram key, with the
+  // reference side deduped first (|distinct grams| ≪ gram occurrences).
+  // At 100 TB the reference gram set is itself corpus-scale, so the
+  // probe stays a shuffle join (no broadcast assumption); hot grams are
+  // fine — the join fans out only to their occurrence count, never
+  // count². For a reference that fits a sketch, the q87 bloom-prune
+  // shape slots in front unchanged.
+  // ---------------------------------------------------------------------
+  def ngramNovelty(ref: DataFrame, docs: DataFrame, n: Int): DataFrame = {
+    val gram = (d: DataFrame) => NGrams.nGramRows(d, n)(ws =>
+      concat_ws("|", ws: _*))
+    val refGrams = gram(ref).select(col("s").as("g")).distinct()
+      .withColumn("seen", lit(1))
+    gram(docs).select(col("doc_id"), col("s").as("g"))
+      .join(refGrams, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+  }
+
+  def q156NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    ngramNovelty(d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1), n = 5)
+  }
+
+  val q156NgramNoveltySql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |wd AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
+      |       FROM w, UNNEST(range(1, len(ws) + 1)) AS gg(i)),
+      |gr AS (SELECT doc_id,
+      |         word || '|' || lead(word, 1) OVER dw || '|' ||
+      |         lead(word, 2) OVER dw || '|' || lead(word, 3) OVER dw ||
+      |         '|' || lead(word, 4) OVER dw AS g
+      |       FROM wd WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |refg AS (SELECT DISTINCT g FROM gr
+      |         WHERE doc_id % 2 = 0 AND g IS NOT NULL),
+      |dg AS (SELECT doc_id, g FROM gr
+      |       WHERE doc_id % 2 = 1 AND g IS NOT NULL)
+      |SELECT dg.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN refg.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel
+      |FROM dg LEFT JOIN refg ON dg.g = refg.g
+      |GROUP BY dg.doc_id""".stripMargin
 }

@@ -129,4 +129,54 @@ object JoinView {
       |    AS sum_price
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c.c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q154_enrich_rollup — the composed incremental pipeline a warehouse
+  // actually runs per sync batch: enrich the fact delta against the
+  // dimension (this operator) AND fold the SAME enriched delta into a
+  // maintained aggregate ([[Rollup]]), both keyed on the same batch id —
+  // so a redelivered batch no-ops in BOTH stores independently. The
+  // aggregate is maintained over the ENRICHED rows (grouped by a
+  // dimension attribute the fact table doesn't carry), which is exactly
+  // what neither operator can do alone. DuckDB re-derives the aggregate
+  // from the from-scratch join; equality holds iff the delta-join, both
+  // commit protocols, AND both replay ledgers are correct.
+  //
+  // Scale: per batch this touches O(|batch| + |groups|) — the view
+  // append is the batch's own files, the rollup fold is partials-sized;
+  // the full join and full re-aggregation never run again after init.
+  // ---------------------------------------------------------------------
+  def q154EnrichRollup(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    val cust = graft.Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val store = s"$gateBase/er_${dir.hashCode.toHexString}"
+    val groupCols = Seq("c_mktsegment")
+    val sumCols = Seq("o_totalprice")
+    def enrich(batch: DataFrame) = batch.join(broadcast(cust), "o_custkey")
+    if (!new java.io.File(s"$store.complete").exists()) {
+      val even = orders.filter(col("o_orderkey") % 2 === 0)
+      val odd = orders.filter(col("o_orderkey") % 2 === 1)
+      init(s, s"$store/view", even, cust, Seq("o_custkey"), "b0")
+      Rollup.init(s, s"$store/agg", enrich(even), groupCols, sumCols, "b0")
+      // one sync batch: enrich the delta, fold the enriched delta
+      if (merge(s, s"$store/view", odd, cust, Seq("o_custkey"), "b1"))
+        Rollup.merge(s, s"$store/agg", enrich(odd), groupCols, sumCols,
+          "b1")
+      // redelivery: both stores must no-op on the replayed id
+      if (merge(s, s"$store/view", odd, cust, Seq("o_custkey"), "b1"))
+        Rollup.merge(s, s"$store/agg", enrich(odd), groupCols, sumCols,
+          "b1")
+      Rollup.merge(s, s"$store/agg", enrich(odd), groupCols, sumCols, "b1")
+      new java.io.File(s"$store.complete").createNewFile()
+    }
+    Rollup.read(s, s"$store/agg", sumCols)
+  }
+
+  val q154EnrichRollupSql: String =
+    """SELECT c.c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+      |    AS sum_o_totalprice
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment""".stripMargin
 }

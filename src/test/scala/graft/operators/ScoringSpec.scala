@@ -134,4 +134,18 @@ class ScoringSpec extends SparkSpec {
     val banana = got.find(r => r._1 == "A" && r._3 == "banana").get
     assert(banana._4 == 1L && banana._5 == 2L) // appears once per class
   }
+
+  test("ngramNovelty: counts gram occurrences unseen in the reference") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "a b c d e x"),   // gram1 seen, gram2 novel
+      (11L, "p q r s t"),     // single gram, novel
+      (12L, "a b c")          // shorter than n -> no grams, no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(ref, docs, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((10L, 2L, 1L), (11L, 1L, 1L)))
+  }
 }

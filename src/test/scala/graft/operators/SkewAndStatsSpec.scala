@@ -267,6 +267,34 @@ class SkewAndStatsSpec extends SparkSpec {
     assert(got == Set(("odd", 5L, 5.0, 2.0), ("even", 4L, 3.0, 1.0)))
   }
 
+  test("mannWhitney: hand-computed U and tie-corrected z") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // no ties: A=[1,2] B=[3,4] -> ranks 1,2,3,4; R1=3, U1=0
+    val clean = Seq(("s", "A", 1.0), ("s", "A", 2.0),
+      ("s", "B", 3.0), ("s", "B", 4.0)).toDF("g", "arm", "x")
+    val r1 = Stats.mannWhitney(clean, "g", col("arm"), "A", "B", col("x"))
+      .collect().head
+    assert(r1.getAs[Long]("two_u1") == 0L)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getAs[Double]("z") ==
+      r6((0.0 - 2.0) / math.sqrt(4.0 / 12.0 * 5.0)))
+    // tie block of 3 at x=1: avg rank 2 -> R1=4, U1=1; ties term 24
+    // sig2 = 4/12 * (5 - 24/12) = 1 -> z = (1-2)/1 = -1
+    val tied = Seq(("s", "A", 1.0), ("s", "A", 1.0),
+      ("s", "B", 1.0), ("s", "B", 2.0)).toDF("g", "arm", "x")
+    val r2 = Stats.mannWhitney(tied, "g", col("arm"), "A", "B", col("x"))
+      .collect().head
+    assert(r2.getAs[Long]("n1") == 2L && r2.getAs[Long]("n2") == 2L)
+    assert(r2.getAs[Long]("two_u1") == 2L)
+    assert(r2.getAs[Double]("z") == -1.0)
+    // all values tied -> sig2 = 0 -> stratum drops instead of NaN
+    val flat = Seq(("s", "A", 5.0), ("s", "B", 5.0)).toDF("g", "arm", "x")
+    assert(Stats.mannWhitney(flat, "g", col("arm"), "A", "B", col("x"))
+      .isEmpty)
+  }
+
   test("medianMad is partition-invariant (exact doubles)") {
     import spark.implicits._
     val df = (1 to 400)
