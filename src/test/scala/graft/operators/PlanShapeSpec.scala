@@ -327,4 +327,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("jaro_winkler"), p.take(800))
     assert(!p.toLowerCase.contains("scalaudf"))
   }
+
+  test("q148: EWMA is one shuffle on the key, fold stays codegen-side") {
+    val p = planOf(EventTime.q148Ewma(spark, sfDir))
+    assert(!p.toLowerCase.contains("scalaudf"),
+      "the ordered fold must be the native aggregate() HOF")
+    assert(!p.contains("Window"), "no window — the fold runs per group")
+  }
+
+  test("q150/q155: two-sample tests never re-touch the corpus after the cell table") {
+    val pw = planOf(Stats.q150WelchTtest(spark, sfDir))
+    assert(!pw.contains("CartesianProduct"), pw.take(800))
+    val pm = planOf(Stats.q155MannWhitney(spark, sfDir))
+    assert(!pm.contains("CartesianProduct"), pm.take(800))
+    assert(!pm.toLowerCase.contains("scalaudf"))
+  }
+
+  test("q151: c-TF-IDF class-mass broadcasts; top-k window partitions by class") {
+    val p = planOf(TextAnalysis.q151Ctfidf(spark, sfDir))
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(p.contains("windowspecdefinition(source"),
+      "the rank window must partition by the class column\n" + p.take(1500))
+  }
+
+  test("q153: basket pairs is an equi-join on the basket key, no cartesian") {
+    val p = planOf(Baskets.q153BasketPairs(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must never be a global sort")
+  }
+
+  test("q156: novelty probe is an equi-join on the gram, no cartesian") {
+    val p = planOf(TextAnalysis.q156NgramNovelty(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
 }
