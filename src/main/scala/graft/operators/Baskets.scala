@@ -99,4 +99,77 @@ object Baskets {
       |    ROW_NUMBER() OVER (ORDER BY lift DESC, pa ASC, pb ASC) AS rnk
       |  FROM scored)
       |WHERE rnk <= 25""".stripMargin
+
+  /** Pairwise SET overlap between groups: for every pair of groups, the
+    * exact intersection size of their element sets plus both set sizes —
+    * Jaccard/containment/overlap-coefficient all follow by one division.
+    * The corpus-level cousin of document near-dup: "how much does source
+    * A's gram inventory overlap source B's" is the dataset-mixing /
+    * cross-source-redundancy readout.
+    *
+    * Scale shape: the transposed basket problem — here the ELEMENT is
+    * the join key and the GROUP is the item, so the self-join fan-out
+    * per element is |groups that contain it|² ≤ |groups|² — bounded by
+    * the (small) group count, not the (huge) element count; the output
+    * is ≤ |groups|²/2 rows. Elements dedupe with one shuffle first.
+    */
+  def setOverlap(df: DataFrame, group: String, element: String)
+      : DataFrame = {
+    val sets = df.select(col(group).as("grp"), col(element).as("el"))
+      .distinct()
+    val a = sets.select(col("el"), col("grp").as("ga"))
+    val b = sets.select(col("el"), col("grp").as("gb"))
+    val inter = a.join(b, Seq("el"))
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("n_inter"))
+    val sizes = sets.groupBy(col("grp")).agg(count(lit(1)).as("sz"))
+    inter
+      .join(sizes.select(col("grp").as("ga"), col("sz").as("n_a")), "ga")
+      .join(sizes.select(col("grp").as("gb"), col("sz").as("n_b")), "gb")
+      .select(col("ga"), col("gb"), col("n_inter"), col("n_a"),
+        col("n_b"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q158_source_overlap — 5-gram inventory overlap between document
+  // sources: the cross-source redundancy matrix (190 pairs for 20
+  // sources) a mixing/dedup plan reads before weighting sources.
+  // Integer evidence + the one-division Jaccard.
+  // ---------------------------------------------------------------------
+  def q158SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val grams = NGrams.nGramRows(d, 5)(ws => concat_ws("|", ws: _*))
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("s").as("g"))
+    setOverlap(grams, "source", "g")
+  }
+
+  val q158SourceOverlapSql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |wd AS (SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS pos,
+      |         ws[i] AS word
+      |       FROM w, UNNEST(range(1, len(ws) + 1)) AS gg(i)),
+      |gr AS (SELECT source,
+      |         word || '|' || lead(word, 1) OVER dw || '|' ||
+      |         lead(word, 2) OVER dw || '|' || lead(word, 3) OVER dw ||
+      |         '|' || lead(word, 4) OVER dw AS g
+      |       FROM wd
+      |       WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |sets AS (SELECT DISTINCT source, g FROM gr WHERE g IS NOT NULL),
+      |inter AS (
+      |  SELECT a.source AS ga, b.source AS gb, COUNT(*) AS n_inter
+      |  FROM sets a JOIN sets b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT source, COUNT(*) AS sz FROM sets GROUP BY source)
+      |SELECT i.ga, i.gb, i.n_inter,
+      |  sa.sz AS n_a, sb.sz AS n_b,
+      |  ROUND(CAST(i.n_inter AS DOUBLE)
+      |    / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 6) AS jaccard
+      |FROM inter i
+      |JOIN sz sa ON i.ga = sa.source
+      |JOIN sz sb ON i.gb = sb.source""".stripMargin
 }

@@ -142,4 +142,64 @@ object Labels {
       |      / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))),
       |    6) AS kappa
       |FROM tot CROSS JOIN chance""".stripMargin
+
+  /** Per-group label-distribution diversity: Shannon entropy and Gini
+    * impurity of the label histogram — the class-balance / behavioral-
+    * diversity profile (is this user one-note? is this source's label
+    * mix degenerate?). Gini = 1 − Σc²/n² stays a ratio of exact
+    * integers until one division; entropy's Σp·ln p is a float fold, so
+    * it runs as a LEFT-TO-RIGHT ordered fold over the label-sorted term
+    * list (the q92 discipline) — bit-identical on any partitioning and
+    * in DuckDB's list_reduce over the same ordered list.
+    *
+    * Scale shape: one shuffle to (group, label) counts; per-group lists
+    * are vocabulary-bounded, never corpus-bounded.
+    */
+  def labelDiversity(df: DataFrame, group: String, label: String)
+      : DataFrame = {
+    val counts = df.groupBy(col(group), col(label))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col(group))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_labels"),
+        sum(col("c") * col("c")).as("sumsq"),
+        sort_array(collect_list(struct(col(label).as("l"), col("c"))))
+          .as("xs"))
+      .select(col(group), col("n"), col("n_labels"),
+        round(lit(1.0) - col("sumsq").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")), 6)
+          .as("gini"),
+        round(-aggregate(col("xs"), lit(0.0d), (a, x) =>
+          a + (x.getField("c").cast("double") / col("n").cast("double")) *
+            log(x.getField("c").cast("double") / col("n").cast("double"))),
+          6).as("entropy"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q159_label_diversity — per-user event-type diversity over the event
+  // stream: the "is this account a bot doing one thing" profile signal.
+  // ---------------------------------------------------------------------
+  def q159LabelDiversity(s: SparkSession, dir: String): DataFrame =
+    labelDiversity(t(s, dir, "events"), "user_id", "event_type")
+
+  val q159LabelDiversitySql: String =
+    """WITH counts AS (
+      |  SELECT user_id, event_type, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT user_id,
+      |    CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS n_labels,
+      |    CAST(SUM(c * c) AS BIGINT) AS sumsq,
+      |    list((CAST(c AS DOUBLE)) ORDER BY event_type) AS cs
+      |  FROM counts GROUP BY user_id)
+      |SELECT user_id, n, n_labels,
+      |  ROUND(1.0 - CAST(sumsq AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS gini,
+      |  ROUND(-list_reduce(
+      |    list_prepend(0.0::DOUBLE,
+      |      list_transform(cs,
+      |        c -> (c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)))),
+      |    (a, b) -> a + b), 6) AS entropy
+      |FROM g""".stripMargin
 }

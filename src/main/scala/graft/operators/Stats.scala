@@ -844,4 +844,84 @@ object Stats {
       |  AND n1d * n2d / 12.0
       |    * ((nd + 1.0) - CAST(ties AS DOUBLE) / (nd * (nd - 1.0))) > 0.0
       |""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q157_ks_test — per-stratum two-sample Kolmogorov–Smirnov distance:
+  // D = max_x |F₁(x) − F₂(x)|, the distribution-shape drift test that
+  // completes the family (q116 PSI needs binning, q155 ranks — KS reads
+  // the raw ECDFs). ENTIRELY integer until the last division:
+  // |F₁ − F₂| = |cum₁·n₂ − cum₂·n₁| / (n₁·n₂), so the argmax runs on
+  // the exact int64 numerator; the witness x* (smallest x attaining the
+  // max — a deterministic tie-break) and the integer evidence
+  // (d_num, n₁, n₂) are emitted with D rounded 6 dp.
+  //
+  // Scale shape: q155's exactly — one shuffle to per-(stratum, value)
+  // blocks, ECDF prefix-sums window over |distinct values| rows per
+  // stratum, one aggregate row out. n₁·n₂ caps at ~9e18: int64-safe to
+  // ~3e9 rows per arm per stratum.
+  // ---------------------------------------------------------------------
+  def ksTest(df: DataFrame, stratum: String, arm: Column,
+      armA: String, armB: String, x: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = df.select(col(stratum), arm.as("arm"), x.as("x"))
+      .filter(col("arm").isin(armA, armB))
+      .groupBy(col(stratum), col("x"))
+      .agg(sum(when(col("arm") === armA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === armB, 1L).otherwise(0L)).as("c2"))
+    val w = Window.partitionBy(col(stratum)).orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col(stratum))
+    val cum = blocks
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .withColumn("n1", sum(col("c1")).over(tot))
+      .withColumn("n2", sum(col("c2")).over(tot))
+      .withColumn("dnum",
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+    val pick = Window.partitionBy(col(stratum))
+      .orderBy(col("dnum").desc, col("x").asc)
+    cum.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1 && col("n1") >= 1 && col("n2") >= 1)
+      .select(col(stratum), col("n1"), col("n2"),
+        col("dnum").as("d_num"), col("x").as("d_at"),
+        round(col("dnum").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")), 6)
+          .as("ks_d"))
+  }
+
+  def q157KsTest(s: SparkSession, dir: String): DataFrame =
+    ksTest(t(s, dir, "customer"), "c_nationkey",
+      col("c_mktsegment"), "BUILDING", "AUTOMOBILE", col("c_acctbal"))
+
+  val q157KsTestSql: String =
+    """WITH f AS (
+      |  SELECT c_nationkey AS g, c_mktsegment AS arm, c_acctbal AS x
+      |  FROM customer
+      |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+      |v AS (
+      |  SELECT g, x,
+      |    SUM(CASE WHEN arm = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN arm = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS c2
+      |  FROM f GROUP BY g, x),
+      |cum AS (
+      |  SELECT g, x,
+      |    SUM(c1) OVER (PARTITION BY g ORDER BY x ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+      |    SUM(c2) OVER (PARTITION BY g ORDER BY x ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+      |    SUM(c1) OVER (PARTITION BY g) AS n1,
+      |    SUM(c2) OVER (PARTITION BY g) AS n2
+      |  FROM v),
+      |d AS (
+      |  SELECT g, x, n1, n2,
+      |    ABS(cum1 * n2 - cum2 * n1) AS dnum,
+      |    ROW_NUMBER() OVER (PARTITION BY g
+      |      ORDER BY ABS(cum1 * n2 - cum2 * n1) DESC, x ASC) AS rn
+      |  FROM cum)
+      |SELECT g AS c_nationkey, CAST(n1 AS BIGINT) AS n1,
+      |  CAST(n2 AS BIGINT) AS n2, CAST(dnum AS BIGINT) AS d_num,
+      |  x AS d_at,
+      |  ROUND(CAST(dnum AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_d
+      |FROM d WHERE rn = 1 AND n1 >= 1 AND n2 >= 1""".stripMargin
 }

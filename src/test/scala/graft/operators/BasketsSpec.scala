@@ -47,4 +47,16 @@ class BasketsSpec extends SparkSpec {
     assert((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4),
       r.getLong(5)) == ("a", "b", 1L, 1L, 1L))
   }
+
+  test("setOverlap: exact intersections, disjoint groups emit no row") {
+    // A={1,2,3} B={2,3,4} C={9}: (A,B) inter 2, jaccard 2/4; C disjoint
+    val rows = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 3L), // dup el
+      ("B", 2L), ("B", 3L), ("B", 4L), ("C", 9L)).toDF("g", "el")
+    val got = Baskets.setOverlap(rows, "g", "el").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ("A", "B", 2L, 3L, 3L))
+    assert(r.getDouble(5) == 0.5)
+  }
 }

@@ -62,4 +62,26 @@ class LabelsSpec extends SparkSpec {
     assert(k.getAs[Double]("pe") == 0.0)
     assert(k.getAs[Double]("po") == 0.0 && k.getAs[Double]("kappa") == 0.0)
   }
+
+  test("labelDiversity: uniform vs degenerate distributions; exact gini") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq((1L, "a"), (1L, "b"),      // uniform over 2 labels
+      (2L, "a"), (2L, "a"), (2L, "a"),         // one-note
+      (3L, "a"), (3L, "a"), (3L, "b"), (3L, "c")) // skewed
+      .toDF("g", "l")
+    val got = Labels.labelDiversity(rows, "g", "l").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n"),
+        r.getAs[Long]("n_labels"), r.getAs[Double]("gini"),
+        r.getAs[Double]("entropy")))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // fold runs left-to-right over label-sorted terms: ((0+ta)+tb)+tc
+    def ent(ps: Seq[Double]) =
+      r6(-ps.foldLeft(0.0)((a, p) => a + p * math.log(p)))
+    assert(got(1L) == ((2L, 2L, 0.5, ent(Seq(0.5, 0.5)))))
+    val d = got(2L)
+    assert(d._3 == 0.0 && d._4 == 0.0, "degenerate: zero diversity")
+    // gini = 1 - (4+1+1)/16 = 0.625
+    assert(got(3L) == ((4L, 3L, 0.625, ent(Seq(0.5, 0.25, 0.25)))))
+  }
 }

@@ -295,6 +295,25 @@ class SkewAndStatsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("ksTest: hand ECDF distance, deterministic witness, zero for identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A=[1,2] B=[2,3]: |F1-F2| numerators over x: 2,2,0 -> max 2 at x=1
+    val df = Seq(("s", "A", 1.0), ("s", "A", 2.0),
+      ("s", "B", 2.0), ("s", "B", 3.0)).toDF("g", "arm", "x")
+    val r = Stats.ksTest(df, "g", col("arm"), "A", "B", col("x"))
+      .collect().head
+    assert(r.getAs[Long]("d_num") == 2L)
+    assert(r.getAs[Double]("d_at") == 1.0, "ties take the smallest x")
+    assert(r.getAs[Double]("ks_d") == 0.5)
+    // identical samples -> D = 0
+    val same = Seq(("s", "A", 1.0), ("s", "A", 2.0),
+      ("s", "B", 1.0), ("s", "B", 2.0)).toDF("g", "arm", "x")
+    val r2 = Stats.ksTest(same, "g", col("arm"), "A", "B", col("x"))
+      .collect().head
+    assert(r2.getAs[Long]("d_num") == 0L && r2.getAs[Double]("ks_d") == 0.0)
+  }
+
   test("medianMad is partition-invariant (exact doubles)") {
     import spark.implicits._
     val df = (1 to 400)
