@@ -84,4 +84,59 @@ object AsOf {
     withMatch.select(col("__l.*"),
       when(gapOk, col("__m")).otherwise(lit(null)).as("asof"))
   }
+
+  /** NEAREST as-of: the closer of the backward and forward matches, ties
+    * to backward (pandas `merge_asof(direction='nearest')` semantics).
+    * Completes the direction family (backward/forward/tolerance above).
+    *
+    * Still ONE shuffle: both directions come out of the SAME sorted
+    * window pass — `last` over the preceding frame and `first` over the
+    * following frame share one partition+order, so Spark plans a single
+    * sort and a single WindowExec. (Right rows sort before left at equal
+    * ts, so an equal-ts match lands in the backward frame at gap 0 —
+    * which nearest-ties-to-backward picks regardless.)
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      lTsUs: String,
+      rTsUs: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    val leftStruct = struct(left.columns.map(col).toSeq: _*)
+    val rightStruct = struct(right.columns.map(col).toSeq: _*)
+    val rType = right.schema.fields.foldLeft(
+      new org.apache.spark.sql.types.StructType())((st, f) => st.add(f))
+    val lType = left.schema.fields.foldLeft(
+      new org.apache.spark.sql.types.StructType())((st, f) => st.add(f))
+    val l = left.select(
+      keys.map(col) ++ Seq(col(lTsUs).as("__ts"), lit(0).as("__tag"),
+        leftStruct.as("__l"), lit(null).cast(rType).as("__r")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rTsUs).as("__ts"), lit(1).as("__tag"),
+        lit(null).cast(lType).as("__l"), rightStruct.as("__r")): _*)
+    val base = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__tag").desc)
+    val wB = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rOnly = when(col("__tag") === 1, col("__r"))
+    val withBoth = l.unionByName(r)
+      .withColumn("__mb", last(rOnly, ignoreNulls = true).over(wB))
+      .withColumn("__mf", first(rOnly, ignoreNulls = true).over(wF))
+      .filter(col("__tag") === 0)
+    val gapB = col("__ts") - col("__mb").getField(rTsUs)
+    val gapF = col("__mf").getField(rTsUs) - col("__ts")
+    val nearest = when(col("__mb").isNull, col("__mf"))
+      .when(col("__mf").isNull, col("__mb"))
+      .when(gapB <= gapF, col("__mb"))
+      .otherwise(col("__mf"))
+    val gapOk = toleranceUs match {
+      case Some(tol) =>
+        val gap = abs(col("__ts") - nearest.getField(rTsUs))
+        nearest.isNotNull && gap <= tol
+      case None => nearest.isNotNull
+    }
+    withBoth.select(col("__l.*"),
+      when(gapOk, nearest).otherwise(lit(null)).as("asof"))
+  }
 }

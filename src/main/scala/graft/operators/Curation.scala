@@ -1103,4 +1103,115 @@ object Curation {
       |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
       |    '\b555-\d{4}\b', '<PHONE>', 'g') AS redacted
       |FROM corpus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q161_curation_pipeline — the whole curation chain as ONE declarative
+  // DAG, gate-checked end to end: exact dedup (keep the smallest doc_id
+  // per md5(text) — content-hash identity) → quality gate (length band +
+  // minimum word count, the cheap Gopher-style pre-filter) → q63's
+  // stable hash split → per-(lang, split) doc and token counts. The
+  // point the gate pins: composing the operators does NOT change any
+  // individual operator's semantics — the oracle rebuilds the identical
+  // chain in SQL and every count must survive all three stages exactly.
+  //
+  // Scale shape: dedup is the one shuffle (on the content hash, via a
+  // per-hash min-id window); quality gate and split are map-only on the
+  // survivors; the final aggregate is |langs|·|splits| rows. Catalyst
+  // fuses the whole chain into scan → shuffle → codegen stages — the
+  // declarative-DAG payoff: no materialization between stages.
+  // ---------------------------------------------------------------------
+  def curationPipeline(docs: DataFrame, minChars: Long, maxChars: Long,
+      minWords: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.withColumn("__h", md5(col("text").cast("binary")))
+    val keep = Window.partitionBy(col("__h"))
+      .orderBy(col("doc_id").asc)
+    val deduped = keyed
+      .withColumn("__rn", row_number().over(keep))
+      .filter(col("__rn") === 1)
+    val quality = deduped
+      .withColumn("__nw", size(split(col("text"), " ")).cast("long"))
+      .filter(col("n_chars") >= minChars && col("n_chars") <= maxChars &&
+        col("__nw") >= minWords)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 2), 16, 10).cast("int")
+    quality
+      .withColumn("split",
+        when(bucket < 230, lit("train")).otherwise(lit("val")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_tokens"))
+  }
+
+  def q161CurationPipeline(s: SparkSession, dir: String): DataFrame =
+    curationPipeline(t(s, dir, "documents"),
+      minChars = 50L, maxChars = 5000L, minWords = 8)
+
+  val q161CurationPipelineSql: String =
+    """WITH deduped AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, text, lang, n_chars,
+      |      ROW_NUMBER() OVER (PARTITION BY md5(text)
+      |        ORDER BY doc_id ASC) AS rn
+      |    FROM documents)
+      |  WHERE rn = 1),
+      |quality AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+      |  FROM deduped
+      |  WHERE n_chars >= 50 AND n_chars <= 5000
+      |    AND len(string_split(text, ' ')) >= 8)
+      |SELECT lang,
+      |  CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+      |            1, 2) AS INT) < 230
+      |       THEN 'train' ELSE 'val' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(nw) AS BIGINT) AS n_tokens
+      |FROM quality
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q162_temperature_mix — temperature-weighted source sampling: the
+  // multilingual/multi-source rebalancing rule (sample source i with
+  // probability ∝ mass_i^α, α<1 upweights the tail — the mT5/XLM-R
+  // recipe, Conneau et al. 2020 §3). α is fixed at 1/2 so the power is
+  // `sqrt` — IEEE-exact (correctly rounded) in every engine, unlike
+  // libm pow — and the normalizer folds over the source-sorted list
+  // (q92 discipline), so the weight doubles hash exactly.
+  //
+  // Scale shape: one shuffle to |sources| rows; everything after is on
+  // that table. The weights feed q72's mixture sampler.
+  // ---------------------------------------------------------------------
+  def temperatureMix(docs: DataFrame, source: String): DataFrame = {
+    val mass = docs
+      .withColumn("__nw", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col(source)).agg(sum(col("__nw")).as("n_tokens"))
+    val z = mass
+      .agg(sort_array(collect_list(struct(col(source).as("s"),
+        sqrt(col("n_tokens").cast("double")).as("r")))).as("xs"))
+      .select(aggregate(col("xs"), lit(0.0d),
+        (a, x) => a + x.getField("r")).as("z"))
+    mass.crossJoin(broadcast(z))
+      .select(col(source), col("n_tokens"),
+        round(sqrt(col("n_tokens").cast("double")) / col("z"), 6)
+          .as("weight"))
+  }
+
+  def q162TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    temperatureMix(t(s, dir, "documents"), "source")
+
+  val q162TemperatureMixSql: String =
+    """WITH mass AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |z AS (
+      |  SELECT list_reduce(
+      |    list_prepend(0.0::DOUBLE,
+      |      list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
+      |    (a, b) -> a + b) AS z
+      |  FROM mass)
+      |SELECT source, n_tokens,
+      |  ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / z.z, 6) AS weight
+      |FROM mass CROSS JOIN z""".stripMargin
 }

@@ -232,6 +232,41 @@ object EventTime {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q160_asof_nearest — NEAREST as-of: the closer of last-click-before
+  // and first-click-after each purchase, ties to backward (pandas
+  // merge_asof direction='nearest'). Completes the as-of direction
+  // family q26/q26b/q26c; both directions come out of ONE sorted window
+  // pass. The oracle derives nearest from DuckDB's own backward and
+  // forward ASOF joins plus the same tie rule.
+  // ---------------------------------------------------------------------
+  def q160AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(s, dir)
+    AsOf.asofNearest(purchases, clicks, Seq("user_id"), "ts_us", "ts_us")
+      .select(col("event_id"), col("user_id"),
+        col("ts_us").as("purchase_us"),
+        col("asof.ts_us").as("nearest_click_us"))
+  }
+
+  val q160AsofNearestSql: String =
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |b AS (
+      |  SELECT p.event_id, p.user_id, epoch_us(p.ts) AS pus,
+      |    epoch_us(cb.ts) AS bus
+      |  FROM p ASOF LEFT JOIN c cb
+      |    ON p.user_id = cb.user_id AND p.ts >= cb.ts),
+      |f AS (
+      |  SELECT p.event_id, epoch_us(cf.ts) AS fus
+      |  FROM p ASOF LEFT JOIN c cf
+      |    ON p.user_id = cf.user_id AND p.ts <= cf.ts)
+      |SELECT b.event_id, b.user_id, b.pus AS purchase_us,
+      |  CASE WHEN b.bus IS NULL THEN f.fus
+      |       WHEN f.fus IS NULL THEN b.bus
+      |       WHEN b.pus - b.bus <= f.fus - b.pus THEN b.bus
+      |       ELSE f.fus END AS nearest_click_us
+      |FROM b JOIN f USING (event_id)""".stripMargin
+
   /** Time-grid resampling with forward fill: densify a sparse per-key
     * observation series onto a regular tick grid, carrying each key's
     * most recent observation forward — the gap-filling step before any

@@ -68,4 +68,33 @@ class AsOfSpec extends SparkSpec {
       .toSet
     assert(viaOperator == viaWindow)
   }
+
+  test("nearest as-of: closer side wins, ties to backward, one shuffle") {
+    val left = mk(Seq((1L, 1L, 10L), (2L, 1L, 100L), (3L, 1L, 200L),
+      (4L, 2L, 5L)), ("l_id", "k", "ts"))
+    val right = mk(Seq((10L, 1L, 8L), (11L, 1L, 11L), (12L, 1L, 104L),
+      (13L, 1L, 96L), (14L, 1L, 200L)), ("r_id", "k", "ts"))
+    val df = AsOf.asofNearest(left, right, Seq("k"), "ts", "ts")
+    val res = df.select(col("l_id"), col("asof.r_id"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(res(1L) == 11L)   // gap 1 forward beats gap 2 backward
+    assert(res(2L) == 13L)   // equal gaps (4) -> backward wins
+    assert(res(3L) == 14L)   // exact ts hit, gap 0
+    assert(res(4L) == -1L)   // key 2 has no rights
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(plan).length == 1,
+      "both directions must come from one sorted window pass\n" +
+        plan.take(1200))
+  }
+
+  test("nearest as-of honors the tolerance") {
+    val left = mk(Seq((1L, 1L, 100L)), ("l_id", "k", "ts"))
+    val right = mk(Seq((10L, 1L, 80L), (11L, 1L, 130L)), ("r_id", "k", "ts"))
+    val res = AsOf.asofNearest(left, right, Seq("k"), "ts", "ts",
+        toleranceUs = Some(10L))
+      .select(col("asof.r_id")).collect().head
+    assert(res.isNullAt(0), "nearest match (gap 20) is beyond tol 10")
+  }
 }

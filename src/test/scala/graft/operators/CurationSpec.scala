@@ -464,4 +464,38 @@ class CurationSpec extends SparkSpec {
     assert(r(4L) === ((1L, 1L, 1L, "mixed <EMAIL> at <IP> call <PHONE>")))
     assert(r(5L) === ((0L, 0L, 0L, "clean text with 1234-5678 and a@b only")))
   }
+
+  test("curationPipeline: dedup keeps the smallest id; quality gates bind") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "one two three four five six seven eight", "en", 40L),
+      (3L, "one two three four five six seven eight", "en", 40L), // dup, kept
+      (4L, "short text under the word floor", "en", 31L),         // <8 words
+      (5L, "x " * 30 + "tail", "de", 3000L),                       // ok
+      (6L, "too long " + "y " * 10, "de", 9999L)                   // >maxChars
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val got = Curation.curationPipeline(docs, 10L, 5000L, 8)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+    // survivors: doc 3 (en, 8 words) and doc 5 (de, 31 words)
+    assert(got.map(x => (x._1, x._3)).toSet == Set(("en", 1L), ("de", 1L)))
+    assert(got.find(_._1 == "de").get._4 == 31L)
+    assert(got.find(_._1 == "en").get._4 == 8L)
+  }
+
+  test("temperatureMix: sqrt weights normalize to 1 and upweight the tail") {
+    import spark.implicits._
+    val docs = Seq(
+      ("big", ("w " * 399).trim),   // 400 tokens? no: 399 words
+      ("small", "a b c d")          // 4 tokens
+    ).toDF("source", "text")
+    val got = Curation.temperatureMix(docs, "source").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("weight"))).toMap
+    val (nb, wb) = got("big"); val (ns, ws) = got("small")
+    assert(nb == 399L && ns == 4L)
+    assert(math.abs(wb + ws - 1.0) < 1e-9)
+    // raw share of small = 4/403 ≈ 1%; sqrt share = 2/(2+19.97) ≈ 9%
+    assert(ws > ns.toDouble / (nb + ns), "temperature must upweight")
+  }
 }
