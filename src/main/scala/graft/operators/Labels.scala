@@ -202,4 +202,101 @@ object Labels {
       |        c -> (c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)))),
       |    (a, b) -> a + b), 6) AS entropy
       |FROM g""".stripMargin
+
+  /** Fleiss' kappa (Fleiss 1971): chance-corrected agreement when EVERY
+    * item gets n categorical ratings from interchangeable raters — the
+    * multi-annotator generalization of [[cohenKappa]] (which compares
+    * two FIXED raters). Items are truncated to their first n ratings in
+    * `order`-asc order (and items with fewer dropped), which pins the
+    * fixed-n design the statistic assumes AND keeps everything exact:
+    * with a common n, P̄ = (S − N·n)/(N·n·(n−1)) and
+    * P_e = T/(N·n)² are ratios of pure int64 sums
+    * (S = ΣᵢΣⱼ c²ᵢⱼ, T = Σⱼ(Σᵢ cᵢⱼ)²) — no per-item float fold
+    * anywhere, so the final three doubles hash exactly.
+    *
+    * Scale shape: one shuffle to (item, label) counts after the
+    * per-item top-n window (bounded by ratings-per-item); S folds per
+    * item then globally as int64; T folds over the |labels| marginal.
+    */
+  def fleissKappa(df: DataFrame, item: String, label: String,
+      order: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"Fleiss needs >= 2 ratings per item, got $n")
+    val w = Window.partitionBy(col(item))
+      .orderBy(col(order).asc)
+    val firstN = df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+    val complete = firstN.groupBy(col(item))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") === n)
+      .select(col(item))
+    val cells = firstN.join(complete, item)
+      .groupBy(col(item), col(label)).agg(count(lit(1)).as("c"))
+    val s = cells.agg(sum(col("c") * col("c")).as("s_sum"),
+      (sum(col("c")) / n).as("n_items"))
+    val tTbl = cells.groupBy(col(label)).agg(sum(col("c")).as("cj"))
+      .agg(sum(col("cj") * col("cj")).as("t_sum"))
+    val nd = lit(n.toDouble)
+    val joined = s.crossJoin(broadcast(tTbl))
+      .select(col("n_items").cast("long").as("n_items"),
+        lit(n).as("n_per_item"), col("s_sum"), col("t_sum"))
+    val ni = col("n_items").cast("double")
+    val pbar = (col("s_sum").cast("double") - ni * nd) /
+      (ni * nd * (nd - lit(1.0)))
+    val pe = col("t_sum").cast("double") / ((ni * nd) * (ni * nd))
+    joined.select(col("n_items"), col("n_per_item"), col("s_sum"),
+      col("t_sum"),
+      round(pbar, 6).as("pbar"), round(pe, 6).as("pe"),
+      round((pbar - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q163_fleiss_kappa — within-user behavioral consistency: each user's
+  // first 5 events are 5 interchangeable "ratings" of the user with the
+  // event type as the category; κ asks whether users repeat themselves
+  // beyond what global type frequencies predict. Exact int64 evidence
+  // (S, T) alongside the rounded statistic.
+  // ---------------------------------------------------------------------
+  def q163FleissKappa(s: SparkSession, dir: String): DataFrame =
+    fleissKappa(t(s, dir, "events"), "user_id", "event_type",
+      "event_id", n = 5)
+
+  val q163FleissKappaSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY event_id ASC) AS rn
+      |  FROM events),
+      |firstn AS (SELECT user_id, event_type FROM ranked WHERE rn <= 5),
+      |complete AS (
+      |  SELECT user_id FROM firstn GROUP BY user_id
+      |  HAVING COUNT(*) = 5),
+      |cells AS (
+      |  SELECT f.user_id, f.event_type, COUNT(*) AS c
+      |  FROM firstn f JOIN complete USING (user_id)
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT CAST(SUM(c * c) AS BIGINT) AS s_sum,
+      |    CAST(SUM(c) / 5 AS BIGINT) AS n_items
+      |  FROM cells),
+      |tt AS (
+      |  SELECT CAST(SUM(cj * cj) AS BIGINT) AS t_sum FROM (
+      |    SELECT CAST(SUM(c) AS BIGINT) AS cj
+      |    FROM cells GROUP BY event_type))
+      |SELECT n_items, 5 AS n_per_item, s_sum, t_sum,
+      |  ROUND((CAST(s_sum AS DOUBLE) - CAST(n_items AS DOUBLE) * 5.0)
+      |    / (CAST(n_items AS DOUBLE) * 5.0 * 4.0), 6) AS pbar,
+      |  ROUND(CAST(t_sum AS DOUBLE)
+      |    / ((CAST(n_items AS DOUBLE) * 5.0)
+      |      * (CAST(n_items AS DOUBLE) * 5.0)), 6) AS pe,
+      |  ROUND(((CAST(s_sum AS DOUBLE) - CAST(n_items AS DOUBLE) * 5.0)
+      |    / (CAST(n_items AS DOUBLE) * 5.0 * 4.0)
+      |    - CAST(t_sum AS DOUBLE)
+      |      / ((CAST(n_items AS DOUBLE) * 5.0)
+      |        * (CAST(n_items AS DOUBLE) * 5.0)))
+      |    / (1.0 - CAST(t_sum AS DOUBLE)
+      |      / ((CAST(n_items AS DOUBLE) * 5.0)
+      |        * (CAST(n_items AS DOUBLE) * 5.0))), 6) AS kappa
+      |FROM s CROSS JOIN tt""".stripMargin
 }

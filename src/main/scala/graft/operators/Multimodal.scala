@@ -186,4 +186,62 @@ object Multimodal {
       |    AS height,
       |  CASE WHEN is_valid THEN CAST(nb - 12 AS BIGINT) END AS body_bytes
       |FROM v""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q165_block_dedup — block-level BLOB dedup accounting: slice each
+  // binary payload into fixed 64-byte blocks, fingerprint each block,
+  // and report per doc how many of its blocks also occur in OTHER docs —
+  // the storage-dedup / near-identical-media signal (fixed-size chunking,
+  // the rsync/VM-image baseline; content-defined chunking changes only
+  // the slicing rule, not this plumbing). Runs over the hex view like
+  // q80 so the oracle mirrors it byte-exactly; no decode library.
+  //
+  // Scale shape: the block stream is rows ∝ payload-bytes/64 — ONE
+  // shuffle on the block hash for the global occurrence counts, one on
+  // doc_id for the rollup; a block shared by a million docs contributes
+  // its occurrence count, never count² (the count table is |distinct
+  // blocks| rows). The payload column prunes out after the slice.
+  // ---------------------------------------------------------------------
+  val BlockHexChars = 128 // 64-byte blocks in hex chars
+
+  def blockDedup(media: DataFrame): DataFrame = {
+    val blocks = media
+      .select(col("doc_id"), hex(col("payload")).as("hx"))
+      .withColumn("n_blocks",
+        ceil(length(col("hx")).cast("double") / BlockHexChars).cast("long"))
+      .filter(col("n_blocks") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_blocks") - 1)).as("blk_no"),
+        col("hx"))
+      .select(col("doc_id"), col("blk_no"),
+        md5(expr(s"CAST(substring(hx, CAST(blk_no * $BlockHexChars + 1" +
+          s" AS INT), $BlockHexChars) AS BINARY)")).as("blk"))
+    val occ = blocks.groupBy(col("blk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    blocks.join(occ, "blk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared_blocks"))
+  }
+
+  def q165BlockDedup(s: SparkSession, dir: String): DataFrame =
+    blockDedup(t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  val q165BlockDedupSql: String =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+      |f AS (SELECT doc_id, hx,
+      |        CAST(CEIL(len(hx) / 128.0) AS BIGINT) AS n_blocks
+      |      FROM h WHERE len(hx) > 0),
+      |blocks AS (
+      |  SELECT doc_id,
+      |    md5(substring(hx, CAST(i * 128 + 1 AS INTEGER), 128)) AS blk
+      |  FROM f, UNNEST(range(0, n_blocks)) AS t(i)),
+      |occ AS (SELECT blk, COUNT(DISTINCT doc_id) AS nd
+      |        FROM blocks GROUP BY blk)
+      |SELECT b.doc_id, COUNT(*) AS n_blocks,
+      |  CAST(SUM(CASE WHEN o.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shared_blocks
+      |FROM blocks b JOIN occ o ON b.blk = o.blk
+      |GROUP BY b.doc_id""".stripMargin
 }

@@ -695,10 +695,10 @@ object TextAnalysis {
   // a one-row broadcast; top-k is TakeOrderedAndProject, never a global
   // sort.
   // ---------------------------------------------------------------------
-  def pmiCollocations(d: DataFrame, minCount: Int, k: Int): DataFrame = {
-    val bg = NGrams.nGramRows(d, 2)(ws =>
-        struct(ws(0).as("t1"), ws(1).as("t2")))
-      .select(col("s.t1").as("t1"), col("s.t2").as("t2"))
+  /** Shared PMI scoring tail: count (t1, t2) pairs, rank by
+    * PMI = ln(c12·T/(cL·cR)) with min-support applied BEFORE the
+    * marginal joins, emit rank + integer evidence (q119 discipline). */
+  private def pmiRank(bg: DataFrame, minCount: Int, k: Int): DataFrame = {
     val c12 = bg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
     val cL = c12.groupBy(col("t1")).agg(sum(col("c12")).as("c_left"))
     val cR = c12.groupBy(col("t2")).agg(sum(col("c12")).as("c_right"))
@@ -718,6 +718,12 @@ object TextAnalysis {
       .select(col("rnk").cast("int").as("rnk"), col("t1"), col("t2"),
         col("c12"), col("c_left"), col("c_right"))
   }
+
+  def pmiCollocations(d: DataFrame, minCount: Int, k: Int): DataFrame =
+    pmiRank(
+      NGrams.nGramRows(d, 2)(ws => struct(ws(0).as("t1"), ws(1).as("t2")))
+        .select(col("s.t1").as("t1"), col("s.t2").as("t2")),
+      minCount, k)
 
   def q130PmiCollocations(s: SparkSession, dir: String): DataFrame =
     pmiCollocations(t(s, dir, "documents"), minCount = 5, k = 25)
@@ -740,6 +746,72 @@ object TextAnalysis {
       |      AS pmi
       |  FROM c12 JOIN cl USING (t1) JOIN cr USING (t2) CROSS JOIN tot
       |  WHERE c12.c12 >= 5)
+      |SELECT CAST(rnk AS INT) AS rnk, t1, t2, c12, c_left, c_right FROM (
+      |  SELECT t1, t2, c12, c_left, c_right,
+      |    ROW_NUMBER() OVER (ORDER BY pmi DESC, t1 ASC, t2 ASC) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 25""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q164_skipgram_pmi — PMI over SKIP-GRAM pairs: ordered word pairs up
+  // to `window` positions apart (the word2vec/SGNS context-pair
+  // extraction, Mikolov et al. 2013), scored by the shared PMI tail.
+  // q130 ranks ADJACENT pairs (collocations/phrases); widening the
+  // window surfaces topical association ("model ... training" with a
+  // word between) that adjacency misses — the signal embedding-training
+  // data prep actually extracts.
+  //
+  // Scale shape: pair extraction is the ONE posexplode + per-doc window
+  // the NGrams pipeline already uses, with `window` lead columns stacked
+  // — the token stream shuffles once and the pair stream is window×|tokens|
+  // rows BEFORE the count reduce (map-side combine cuts it at the
+  // shuffle); marginals/min-support/top-k inherit q130's shapes.
+  // ---------------------------------------------------------------------
+  def skipgramPmi(d: DataFrame, window: Int, minCount: Int, k: Int)
+      : DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val base = d
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+    val withLeads = (1 to window).foldLeft(base)((df, dd) =>
+      df.withColumn(s"w$dd", lead(col("w0"), dd).over(w)))
+    val pairs = withLeads
+      .select(col("w0"), array((1 to window).map(dd => col(s"w$dd")): _*)
+        .as("ctx"))
+      .select(col("w0").as("t1"), explode(col("ctx")).as("t2"))
+      .filter(col("t2").isNotNull)
+    pmiRank(pairs, minCount, k)
+  }
+
+  def q164SkipgramPmi(s: SparkSession, dir: String): DataFrame =
+    skipgramPmi(t(s, dir, "documents"), window = 3, minCount = 8, k = 25)
+
+  val q164SkipgramPmiSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents),
+      |wd AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS word,
+      |         len(w) AS n
+      |       FROM t, UNNEST(range(1, len(w) + 1)) AS gg(i)),
+      |pairs AS (
+      |  SELECT a.word AS t1, b.word AS t2
+      |  FROM wd a JOIN wd b
+      |    ON a.doc_id = b.doc_id
+      |   AND b.pos > a.pos AND b.pos <= a.pos + 3),
+      |c12 AS (SELECT t1, t2, COUNT(*) AS c12 FROM pairs GROUP BY t1, t2),
+      |cl AS (SELECT t1, CAST(SUM(c12) AS BIGINT) AS c_left
+      |       FROM c12 GROUP BY t1),
+      |cr AS (SELECT t2, CAST(SUM(c12) AS BIGINT) AS c_right
+      |       FROM c12 GROUP BY t2),
+      |tot AS (SELECT CAST(SUM(c12) AS DOUBLE) AS t FROM c12),
+      |scored AS (
+      |  SELECT c12.t1, c12.t2, c12.c12, cl.c_left, cr.c_right,
+      |    ln((CAST(c12.c12 AS DOUBLE) * tot.t)
+      |       / (CAST(cl.c_left AS DOUBLE) * CAST(cr.c_right AS DOUBLE)))
+      |      AS pmi
+      |  FROM c12 JOIN cl USING (t1) JOIN cr USING (t2) CROSS JOIN tot
+      |  WHERE c12.c12 >= 8)
       |SELECT CAST(rnk AS INT) AS rnk, t1, t2, c12, c_left, c_right FROM (
       |  SELECT t1, t2, c12, c_left, c_right,
       |    ROW_NUMBER() OVER (ORDER BY pmi DESC, t1 ASC, t2 ASC) AS rnk

@@ -227,4 +227,60 @@ object EventStreams {
           }
       }
   }
+
+  final case class VEv(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, value: Double)
+
+  final case class EwmaState(lastUs: Long, n: Long, ewma: Double)
+
+  final case class EwmaUpdate(user_id: Long, n_events: Long, ewma: Double)
+
+  /** mapGroupsWithState EWMA: the streaming twin of
+    * [[graft.operators.EventTime.ewmaByKey]]. Per key the state is ONE
+    * (count, ewma) pair; each micro-batch folds its events in
+    * (ts, event_id) order into the carried value — the batch operator's
+    * exact left-to-right recursion, so 1-batch ≡ N-batch ≡ the batch
+    * operator BIT-EXACTLY whenever micro-batch cuts respect event-time
+    * order (the same stream≡batch contract as [[statefulTransitions]]).
+    * IEEE guarantees the equality: both paths evaluate the identical
+    * a·(1−α) + x·α step sequence.
+    *
+    * State is event-time-TTL'd like the other stateful ops: a key silent
+    * past the TTL restarts its average; size the TTL to the longest
+    * absence whose decayed level still means anything. */
+  def statefulEwma(events: Dataset[VEv], alpha: Double,
+      watermarkDelay: String = "30 minutes",
+      stateTtlMs: Long = 2L * 3600 * 1000): Dataset[EwmaUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaUpdate](
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[VEv], state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) {
+            val last = state.getOption
+            state.remove()
+            EwmaUpdate(user, last.map(_.n).getOrElse(0L),
+              last.map(_.ewma).getOrElse(Double.NaN))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(
+              EwmaState(Long.MinValue / 4, 0L, 0.0))
+            sorted.foreach { e =>
+              st =
+                if (st.n == 0L)
+                  EwmaState(e.ts.getTime * 1000, 1L, e.value)
+                else
+                  EwmaState(e.ts.getTime * 1000, st.n + 1,
+                    st.ewma * (1.0 - alpha) + e.value * alpha)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastUs / 1000 + stateTtlMs,
+                state.getCurrentWatermarkMs() + 1))
+            EwmaUpdate(user, st.n, st.ewma)
+          }
+      }
+  }
 }

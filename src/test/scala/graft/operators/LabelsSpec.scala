@@ -84,4 +84,25 @@ class LabelsSpec extends SparkSpec {
     // gini = 1 - (4+1+1)/16 = 0.625
     assert(got(3L) == ((4L, 3L, 0.625, ent(Seq(0.5, 0.25, 0.25)))))
   }
+
+  test("fleissKappa: textbook integers; short items drop, long ones truncate") {
+    // items at n=2: item 1 = (a,a), item 2 = (a,b)
+    // S = 4 + 2 = 6 -> pbar = (6-4)/(2*2*1) = 0.5
+    // marginals a=3 b=1 -> T = 10 -> pe = 10/16 = 0.625
+    // kappa = (0.5-0.625)/0.375 = -1/3
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b"),
+      (2L, 3L, "b"),          // third rating ignored (first-n truncation)
+      (3L, 1L, "a")           // only one rating -> item dropped
+    ).toDF("item", "rid", "lab")
+    val r = Labels.fleissKappa(rows, "item", "lab", "rid", n = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_items") == 2L)
+    assert(r.getAs[Long]("s_sum") == 6L)
+    assert(r.getAs[Long]("t_sum") == 10L)
+    assert(r.getAs[Double]("pbar") == 0.5)
+    assert(r.getAs[Double]("pe") == 0.625)
+    assert(r.getAs[Double]("kappa") == -0.333333)
+  }
 }

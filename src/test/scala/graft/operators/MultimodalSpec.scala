@@ -65,4 +65,24 @@ class MultimodalSpec extends SparkSpec {
       (2 to 5).foreach(i => assert(r(id).isNullAt(i), s"doc $id col $i"))
     }
   }
+
+  test("blockDedup: aligned shared blocks count, distinct tails don't") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // docs 1 and 2 share their first 64-byte block; tails differ;
+    // doc 3 shares nothing; doc 4 is a short single partial block
+    val docs = Seq(
+      (1L, "A" * 64 + "X" * 10),
+      (2L, "A" * 64 + "Y" * 10),
+      (3L, "B" * 70),
+      (4L, "zz")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val got = Multimodal.blockDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 1L)))
+    assert(got(2L) == ((2L, 1L)))
+    assert(got(3L) == ((2L, 0L)))
+    assert(got(4L) == ((1L, 0L)))
+  }
 }

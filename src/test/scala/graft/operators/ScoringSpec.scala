@@ -135,6 +135,20 @@ class ScoringSpec extends SparkSpec {
     assert(banana._4 == 1L && banana._5 == 2L) // appears once per class
   }
 
+  test("skipgramPmi: window pairs catch what adjacency misses; counts exact") {
+    import spark.implicits._
+    // 'a...b' co-occurs at distance 2 twice; no adjacent pair repeats
+    val docs = Seq((1L, "a x b a y b")).toDF("doc_id", "text")
+    val got = TextAnalysis.skipgramPmi(docs, window = 2, minCount = 2,
+      k = 10).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(1), r.getString(2), r.getLong(3)) == ("a", "b", 2L))
+    // the adjacent-only extraction (q130 path) cannot see the pair
+    assert(TextAnalysis.pmiCollocations(docs, minCount = 2, k = 10)
+      .isEmpty)
+  }
+
   test("ngramNovelty: counts gram occurrences unseen in the reference") {
     import spark.implicits._
     val ref = Seq((1L, "a b c d e f")).toDF("doc_id", "text")

@@ -253,4 +253,41 @@ class EventStreamsSpec extends SparkSpec {
         r.getLong(2))).toMap
     assert(split == batchCounts)
   }
+
+  test("stateful EWMA: N micro-batches equal one batch and the batch operator, bit-exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.VEv
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
+    val evs = Seq(
+      VEv(1, ts(0), 1, 10.0), VEv(2, ts(5), 1, 20.0),
+      VEv(3, ts(10), 1, 7.5), VEv(4, ts(2), 2, 3.0),
+      VEv(5, ts(20), 2, 9.0))
+    def run(chunks: Seq[Seq[VEv]]): Map[Long, (Long, Double)] = {
+      val mem = MemoryStream[VEv]
+      val q = EventStreams.statefulEwma(mem.toDS(), alpha = 0.125)
+        .writeStream.format("memory")
+        .queryName(s"ewma_${chunks.size}")
+        .outputMode("update").start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      // last update per user wins (update mode emits one row per batch)
+      spark.table(s"ewma_${chunks.size}")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("ewma"))).as("s"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getStruct(1).getLong(0),
+          r.getStruct(1).getDouble(1)))).toMap
+    }
+    val one = run(Seq(evs))
+    val three = run(Seq(evs.take(2), evs.slice(2, 4), evs.drop(4)))
+    assert(one == three, "micro-batch boundaries must not move a bit")
+    val batch = EventTime.ewmaByKey(
+        evs.toDF("event_id", "ts", "user_id", "value"),
+        "user_id", "ts", "event_id", "value", alpha = 0.125)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(one == batch, "stream must equal the batch operator bit-exactly")
+  }
 }
