@@ -227,4 +227,113 @@ object Behavior {
       |      ORDER BY n_sessions DESC, path ASC) AS rnk
       |  FROM counted)
       |WHERE rnk <= 15""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q166_km_survival — Kaplan–Meier survival with right-censoring
+  // (Kaplan & Meier 1958): per cohort, the probability a user is still
+  // active h days after their first event — q121's retention grid done
+  // RIGHT when observation windows are unequal (users near the corpus
+  // end haven't had time to churn; counting them as churned biases the
+  // curve — censoring is the fix).
+  //
+  // Per (cohort, lifetime-day t): d_t churned, at-risk n_t = users with
+  // lifetime ≥ t (CENSORED USERS INCLUDED — the estimator's point);
+  // Ŝ(h) = Π_{death t ≤ h}(1 − d_t/n_t). Each factor is one IEEE
+  // divide+subtract from exact integers; the product folds LEFT-TO-RIGHT
+  // over the death-time-sorted list (q92 discipline; DuckDB list_reduce
+  // over the same ordered list with seed 1.0), so Ŝ hashes exactly.
+  // Integer evidence (users, deaths ≤ h) rides along.
+  //
+  // Scale shape: one shuffle to per-user lifetimes, one to per-(cohort,
+  // t) death/censor counts (|cohorts|·|distinct lifetimes| rows); the
+  // at-risk window and the horizon folds run on THAT table.
+  // ---------------------------------------------------------------------
+  def kmSurvival(lifetimes: DataFrame, cohort: String, t: String,
+      churned: String, horizons: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = lifetimes.groupBy(col(cohort), col(t))
+      .agg(sum(when(col(churned), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("all_t"))
+    val wDesc = Window.partitionBy(col(cohort)).orderBy(col(t).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val risk = pts.withColumn("n_risk", sum(col("all_t")).over(wDesc))
+    val curves = risk.filter(col("d") > 0)
+      .select(col(cohort), col(t), col("d"), col("n_risk"),
+        (lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+          .as("factor"))
+      .groupBy(col(cohort))
+      .agg(sort_array(collect_list(struct(col(t).as("tt"), col("d"),
+        col("factor")))).as("xs"))
+    val users = lifetimes.groupBy(col(cohort))
+      .agg(count(lit(1)).as("n_users"))
+    val horizonRows = horizons.map { h =>
+      curves.select(col(cohort), lit(h).as("horizon"),
+        aggregate(expr(s"filter(xs, x -> x.tt <= $h)"), lit(0L),
+          (a, x) => a + x.getField("d")).as("d_cum"),
+        round(aggregate(expr(s"filter(xs, x -> x.tt <= $h)"), lit(1.0d),
+          (a, x) => a * x.getField("factor")), 6).as("survival"))
+    }.reduce(_.unionByName(_))
+    horizonRows.join(broadcast(users), cohort)
+      .select(col(cohort), col("horizon"), col("n_users"), col("d_cum"),
+        col("survival"))
+  }
+
+  def q166KmSurvival(s: SparkSession, dir: String): DataFrame = {
+    // hour-granular lifetimes via exact integer epoch math (unix_micros
+    // div — both engines floor-divide the same int64); a user whose last
+    // activity is within 12h of the corpus end is CENSORED, not churned
+    val e = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+          .as("hr"))
+    val span = e.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("f"), max(col("hr")).as("l"))
+    val corpusEnd = e.agg(max(col("hr")).as("m"))
+    val lifetimes = span.crossJoin(broadcast(corpusEnd))
+      .select((col("user_id") % 3).as("cohort"),
+        (col("l") - col("f")).as("t"),
+        (col("l") <= col("m") - 12).as("churned"))
+    kmSurvival(lifetimes, "cohort", "t", "churned", Seq(672, 696, 720))
+  }
+
+  val q166KmSurvivalSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr
+      |  FROM events),
+      |span AS (
+      |  SELECT user_id, MIN(hr) AS f, MAX(hr) AS l
+      |  FROM e GROUP BY user_id),
+      |m AS (SELECT MAX(hr) AS m FROM e),
+      |lt AS (
+      |  SELECT user_id % 3 AS cohort, l - f AS t,
+      |    l <= m.m - 12 AS churned
+      |  FROM span CROSS JOIN m),
+      |pts AS (
+      |  SELECT cohort, t,
+      |    SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS d,
+      |    COUNT(*) AS all_t
+      |  FROM lt GROUP BY cohort, t),
+      |risk AS (
+      |  SELECT cohort, t, d,
+      |    SUM(all_t) OVER (PARTITION BY cohort ORDER BY t DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      |  FROM pts),
+      |curves AS (
+      |  SELECT cohort, t, d,
+      |    1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+      |  FROM risk WHERE d > 0),
+      |users AS (SELECT cohort, COUNT(*) AS n_users FROM lt
+      |          GROUP BY cohort),
+      |h AS (SELECT UNNEST([672, 696, 720]) AS horizon)
+      |SELECT c.cohort, h.horizon, u.n_users,
+      |  CAST(COALESCE(SUM(c.d) FILTER (WHERE c.t <= h.horizon), 0)
+      |    AS BIGINT) AS d_cum,
+      |  ROUND(COALESCE(list_reduce(
+      |    list_prepend(1.0::DOUBLE,
+      |      list(c.factor ORDER BY c.t) FILTER (WHERE c.t <= h.horizon)),
+      |    (a, b) -> a * b), 1.0), 6) AS survival
+      |FROM curves c
+      |CROSS JOIN h
+      |JOIN users u ON c.cohort = u.cohort
+      |GROUP BY c.cohort, h.horizon, u.n_users""".stripMargin
 }

@@ -92,4 +92,23 @@ class BehaviorSpec extends SparkSpec {
     assert(run(inOrder) == Seq("a>b>c"))
     assert(run(shuffled) == Seq("a>b>c"))
   }
+
+  test("kmSurvival: hand-computed curve; censored users stay at risk") {
+    import spark.implicits._
+    // deaths at t=1 (risk 5), t=2 (risk 4), t=3 (risk 2);
+    // censored at t=2 and t=4 — they raise the risk sets but never
+    // drop the curve. S(1)=0.8, S(2)=0.8*0.75=0.6, S(4)=0.6*0.5=0.3
+    val lt = Seq(("c", 1L, true), ("c", 2L, true), ("c", 2L, false),
+      ("c", 3L, true), ("c", 4L, false)).toDF("g", "t", "churned")
+    val got = Behavior.kmSurvival(lt, "g", "t", "churned", Seq(1, 2, 4))
+      .collect().map(r => r.getInt(1) -> ((r.getAs[Long]("n_users"),
+        r.getAs[Long]("d_cum"), r.getAs[Double]("survival")))).toMap
+    assert(got(1) == ((5L, 1L, 0.8)))
+    assert(got(2) == ((5L, 2L, 0.6)))
+    assert(got(4) == ((5L, 3L, 0.3)))
+    // counting censored users as churned instead would give S(4) =
+    // (1-1/5)(1-2/4)(1-1/2)(1-1/1) = 0 — the bias censoring exists
+    // to avoid; assert we did NOT do that
+    assert(got(4)._3 > 0.0)
+  }
 }
