@@ -330,6 +330,52 @@ object EventTime {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q168_conversion_latency — click→purchase latency percentiles per
+  // user cohort: the attribution-latency panel, built BY COMPOSITION —
+  // the backward as-of join supplies each purchase's last click, the
+  // continuous-quantile machinery (q68b/q152) supplies per-cohort
+  // boundaries without a corpus-sized value window. p50/p90 are
+  // TOP-QUANTILE boundaries (max v with #(x ≥ v) ≥ ⌈n·q⌉ at q=0.5/0.1)
+  // — positional picks of actual latencies, hash-exact; the oracle
+  // mirrors the rule with DuckDB's own ASOF join + RANGE-frame windows.
+  // ---------------------------------------------------------------------
+  def q168ConversionLatency(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(s, dir)
+    val lat = AsOf.asofJoin(purchases, clicks, Seq("user_id"),
+        "ts_us", "ts_us")
+      .filter(col("asof").isNotNull)
+      .select((col("user_id") % 5).as("cohort"),
+        (col("ts_us") - col("asof.ts_us")).cast("double").as("lat"))
+    val p50 = Curation.quantileThresholdsContinuous(lat, "cohort",
+        "lat", 0.5)
+      .select(col("cohort"), col("n"), col("threshold").as("p50_us"))
+    val p90 = Curation.quantileThresholdsContinuous(lat, "cohort",
+        "lat", 0.1)
+      .select(col("cohort"), col("threshold").as("p90_us"))
+    p50.join(p90, "cohort")
+  }
+
+  val q168ConversionLatencySql: String =
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.user_id,
+      |    CAST(epoch_us(p.ts) - epoch_us(cb.ts) AS DOUBLE) AS lat
+      |  FROM p ASOF JOIN c cb
+      |    ON p.user_id = cb.user_id AND p.ts >= cb.ts),
+      |l AS (SELECT user_id % 5 AS cohort, lat FROM j),
+      |r AS (
+      |  SELECT cohort, lat,
+      |    COUNT(*) OVER (PARTITION BY cohort ORDER BY lat DESC
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge,
+      |    COUNT(*) OVER (PARTITION BY cohort) AS n
+      |  FROM l)
+      |SELECT cohort, CAST(MAX(n) AS BIGINT) AS n,
+      |  MAX(lat) FILTER (WHERE cum_ge >= CEIL(n * 0.5)) AS p50_us,
+      |  MAX(lat) FILTER (WHERE cum_ge >= CEIL(n * 0.1)) AS p90_us
+      |FROM r GROUP BY cohort""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q148_ewma — per-key exponentially-weighted moving average of a metric
   // stream, the time-decayed "current level" feature (user engagement,
   // doc quality drift) every behavioral pipeline derives. s_1 = x_1;

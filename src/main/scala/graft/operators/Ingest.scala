@@ -497,6 +497,51 @@ object Ingest {
       |    AS sum_price
       |FROM orders WHERE o_custkey IN (11, 42, 107)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q167_combined_skipping — BOTH skipping indexes over ONE Z-ordered
+  // layout: orders rewritten on the Morton curve of (o_orderkey,
+  // o_custkey) so a range on one column AND an equality on the other
+  // each prune files ([[graft.pipeline.Layout.zorderWrite]] is what
+  // makes a single layout serve both predicates); the combined reader
+  // ([[graft.pipeline.Skipping.readRangeAndPointLookup]]) intersects
+  // the two verdicts. The gate require's fresh stats and pruning on
+  // both axes; the oracle is the plain full-scan conjunction.
+  // ---------------------------------------------------------------------
+  def q167CombinedSkipping(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Layout, Skipping}
+    val tbl = s"$skipBase/orders_zc_${dir.hashCode.toHexString}"
+    if (!new java.io.File(s"$tbl.complete").exists()) {
+      Layout.zorderWrite(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "o_orderkey", "o_custkey", tbl, numFiles = 16)
+      Skipping.buildStats(s, tbl, Seq("o_orderkey"))
+      Skipping.buildBloom(s, tbl, "o_custkey",
+        expectedItemsPerFile = 100000L)
+      new java.io.File(s"$tbl.complete").createNewFile()
+    }
+    val (rm, ru) = Skipping.candidateFiles(s, tbl, "o_orderkey",
+      300L, 900L)
+    val (em, eu) = Skipping.candidateFilesEq(s, tbl, "o_custkey",
+      Seq(11L, 42L))
+    require(ru.isEmpty && eu.isEmpty && rm.size < 16 && em.size < 16,
+      s"both axes must prune on the Z-ordered layout: range ${rm.size}," +
+        s" bloom ${em.size} of 16")
+    Skipping.readRangeAndPointLookup(s, tbl, "o_orderkey", 300L, 900L,
+        "o_custkey", Seq(11L, 42L))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        sumDec(col("o_totalprice")).as("sum_price"))
+  }
+
+  val q167CombinedSkippingSql: String =
+    """SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 300 AND 900
+      |  AND o_custkey IN (11, 42)""".stripMargin
+
   val q99Scd2RollupSql: String =
     """WITH s1 AS (SELECT c_custkey, c_acctbal FROM customer),
       |s2 AS (

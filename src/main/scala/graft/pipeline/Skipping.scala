@@ -194,4 +194,34 @@ object Skipping {
       spark.read.option("basePath", tableDir).parquet(files: _*)
         .filter(pred)
   }
+
+  /** Combined read: `lo <= rc <= hi AND ec IN (values)` pruned through
+    * BOTH stats — a file survives only if its [min,max] of `rc` overlaps
+    * the range AND its bloom on `ec` might contain a probe value (each
+    * pruning is a safe superset, so their INTERSECTION is too). The
+    * common warehouse predicate shape — "this customer, this month" —
+    * where either index alone leaves 10× the files. Unknown files are
+    * the UNION of both sides' unknowns: a file missing from either
+    * stats table cannot be safely pruned by the other's verdict alone.
+    */
+  def readRangeAndPointLookup(spark: SparkSession, tableDir: String,
+      rc: String, lo: Any, hi: Any,
+      ec: String, values: Seq[Any]): DataFrame = {
+    def canon(s: String) = new Path(s).toUri.getPath
+    val (rm, ru) = candidateFiles(spark, tableDir, rc, lo, hi)
+    val (em, eu) = candidateFilesEq(spark, tableDir, ec, values)
+    val unknown = (ru.map(canon) ++ eu.map(canon)).toSet
+    val rangeOk = rm.map(canon).toSet ++ ru.map(canon)
+    val eqOk = em.map(canon).toSet ++ eu.map(canon)
+    val keep = (rm ++ ru ++ em ++ eu)
+      .groupBy(canon).map(_._2.head).toSeq
+      .filter(f => rangeOk(canon(f)) && eqOk(canon(f)))
+    val pred = col(rc) >= lit(lo) && col(rc) <= lit(hi) &&
+      col(ec).isin(values: _*)
+    if (keep.isEmpty)
+      spark.read.parquet(tableDir).filter(pred).limit(0)
+    else
+      spark.read.option("basePath", tableDir).parquet(keep: _*)
+        .filter(pred)
+  }
 }

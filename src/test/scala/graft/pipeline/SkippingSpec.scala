@@ -128,4 +128,41 @@ class SkippingSpec extends SparkSpec {
     assert(rows == Set(205L),
       "stale bloom stats must degrade to scanning unknown files")
   }
+
+  test("combined range+bloom read intersects verdicts; a one-sided unknown is still prunable by the other side") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("skip_comb").toString + "/t"
+    // range-clustered on r, so each file holds one r-range and a
+    // scattered-but-disjoint k population
+    (1L to 1000L).map(i => (i, i % 250, i * 3)).toDF("r", "k", "v")
+      .repartitionByRange(10, col("r")).write.parquet(path)
+    Skipping.buildStats(spark, path, Seq("r"))
+    Skipping.buildBloom(spark, path, "k", expectedItemsPerFile = 100000L)
+    val got = Skipping.readRangeAndPointLookup(spark, path,
+        "r", 100L, 400L, "k", Seq(150L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = spark.read.parquet(path)
+      .filter(col("r").between(100L, 400L) && col("k") === 150L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // append a file AFTER the range stats build but REBUILD the bloom:
+    // the file is range-unknown (must-scan by range alone) yet bloom-
+    // known — a definite bloom "no" must still prune it
+    (5000L to 5010L).map(i => (i, 999L, i)).toDF("r", "k", "v")
+      .coalesce(1).write.mode("append").parquet(path)
+    Skipping.buildBloom(spark, path, "k", expectedItemsPerFile = 100000L)
+    val (rm, ru) = Skipping.candidateFiles(spark, path, "r", 5000L, 5010L)
+    assert(ru.size == 1, "appended file is range-unknown")
+    val pruned = Skipping.readRangeAndPointLookup(spark, path,
+      "r", 5000L, 5010L, "k", Seq(150L))
+    assert(pruned.isEmpty,
+      "bloom knows k=150 is absent from the appended file — the range-" +
+        "unknown verdict must not force a scan")
+    // and the inverse safety: k=999 IS in the appended file
+    val found = Skipping.readRangeAndPointLookup(spark, path,
+        "r", 5000L, 5010L, "k", Seq(999L))
+      .collect().map(_.getLong(0)).toSet
+    assert(found == (5000L to 5010L).toSet)
+  }
 }
