@@ -91,6 +91,53 @@ object Dedup {
   def q33NgramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(shingleRows(t(s, dir, "documents")))
 
+  /** Threshold-calibration sweep over the SAME candidate pairs q33
+    * scores: pair counts per 0.1-wide Jaccard bucket plus the
+    * cumulative count at-or-above each bucket — the "how much does the
+    * corpus shrink at τ" report a dedup rollout reads before committing
+    * to a threshold. Buckets come from one floor(jac·10) on the shared
+    * IEEE double, so both engines bin identically; output is
+    * integer-only. The cumulative runs as a self-join on the ≤11-row
+    * bucket table (not a no-partition window — keeps plans warning-free
+    * per the r5 note). */
+  def jaccardThresholdSweep(sh: DataFrame): DataFrame = {
+    val buckets = sharedShingleCounts(sh)
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .select(floor(col("jac") * 10).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+    val ge = buckets.select(col("bucket").as("b2"),
+      col("n_pairs").as("np2"))
+    buckets.join(ge, col("b2") >= col("bucket"))
+      .groupBy(col("bucket"), col("n_pairs"))
+      .agg(sum(col("np2")).as("n_pairs_ge"))
+  }
+
+  def q169JaccardSweep(s: SparkSession, dir: String): DataFrame =
+    jaccardThresholdSweep(shingleRows(t(s, dir, "documents")))
+
+  val q169JaccardSweepSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         list_aggregate(w[i:i+2], 'string_agg', '_') AS s
+      |       FROM t, UNNEST(range(1, len(w) - 1)) AS g(i)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |c AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+      |      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |      GROUP BY x.doc_id, y.doc_id),
+      |buckets AS (
+      |  SELECT CAST(FLOOR((CAST(inter AS DOUBLE)
+      |      / (sa.n + sb.n - inter)) * 10) AS INT) AS bucket,
+      |    COUNT(*) AS n_pairs
+      |  FROM c JOIN sz sa ON c.a = sa.doc_id
+      |  JOIN sz sb ON c.b = sb.doc_id
+      |  GROUP BY 1)
+      |SELECT x.bucket, x.n_pairs,
+      |  CAST(SUM(y.n_pairs) AS BIGINT) AS n_pairs_ge
+      |FROM buckets x JOIN buckets y ON y.bucket >= x.bucket
+      |GROUP BY x.bucket, x.n_pairs""".stripMargin
+
   // ---------------------------------------------------------------------
   // q112_containment — asymmetric near-dup detection by shingle-set
   // CONTAINMENT: inter / min(|A|, |B|) ≥ 0.9. Catches what Jaccard

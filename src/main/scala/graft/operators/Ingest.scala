@@ -542,6 +542,54 @@ object Ingest {
       |WHERE o_orderkey BETWEEN 300 AND 900
       |  AND o_custkey IN (11, 42)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q170_shard_fingerprint — deterministic training-data sharding with
+  // content fingerprints: every doc lands in a shard by a stable hash of
+  // its id (md5 — engine-neutral, growth-stable like q63's split), and
+  // each shard reports (n_docs, n_tokens, md5 of its doc_id-ordered
+  // concatenated text). The fingerprint is the EXPORT INTEGRITY check —
+  // two export runs (or two engines) must produce byte-identical shard
+  // content or training is silently non-reproducible. The actual export
+  // at scale is `repartition(shard) + sortWithinPartitions(doc_id)` into
+  // files; this operator is its content-addressed receipt (same role as
+  // the AppendCommit fingerprints, at shard granularity).
+  //
+  // Scale shape: one shuffle on the shard key; per-shard concatenation
+  // is the shard's own text (the same bytes the export writes) — the
+  // fingerprint pass costs what the export itself costs, nothing
+  // quadratic. The gate keeps 8 shards over the gate corpus.
+  // ---------------------------------------------------------------------
+  def shardFingerprint(docs: DataFrame, nShards: Int): DataFrame = {
+    val shard = (conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 6), 16, 10).cast("long") % nShards)
+      .cast("int")
+    docs.withColumn("shard", shard)
+      .withColumn("__nw", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_tokens"),
+        sort_array(collect_list(struct(col("doc_id"), col("text"))))
+          .as("xs"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        md5(array_join(expr("transform(xs, x -> x.text)"), "\n")
+          .cast("binary")).as("content_md5"))
+  }
+
+  def q170ShardFingerprint(s: SparkSession, dir: String): DataFrame =
+    shardFingerprint(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      nShards = 8)
+
+  val q170ShardFingerprintSql: String =
+    """SELECT
+      |  CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+      |    AS BIGINT) % 8 AS INT) AS shard,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS content_md5
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
   val q99Scd2RollupSql: String =
     """WITH s1 AS (SELECT c_custkey, c_acctbal FROM customer),
       |s2 AS (

@@ -61,4 +61,25 @@ class BucketingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(second == first)
   }
+
+  test("shardFingerprint: partition-invariant content receipts; one doc moves one shard") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, s"doc $i body word$i"))
+      .toDF("doc_id", "text")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Ingest.shardFingerprint(df, nShards = 4).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+          r.getString(3)))).toMap
+    val a = fp(docs)
+    val b = fp(docs.repartition(7))
+    assert(a == b, "shard content fingerprints must be a pure function" +
+      " of the data, not the partitioning")
+    // editing one doc changes exactly its shard's fingerprint
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 17L, lit("edited")).otherwise(col("text")))
+    val c = fp(edited)
+    val changed = a.keySet.filter(s => a(s)._3 != c(s)._3)
+    assert(changed.size == 1,
+      s"exactly one shard must change, got $changed")
+  }
 }

@@ -509,4 +509,18 @@ class DedupSpec extends SparkSpec {
     assert(spans(docs) === Set((7L, 1L, 9L), (8L, 2L, 10L)))
     assert(kept(docs) === Map(7L -> "y1 y2", 8L -> "w1 w2 w3"))
   }
+
+  test("jaccardThresholdSweep: hand buckets and descending cumulative") {
+    import spark.implicits._
+    // docs 1,2 identical (jac 1.0 -> bucket 10); doc 3 shares 1 of 3
+    // union trigrams with each (jac 1/3 -> bucket 3)
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c x")
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardThresholdSweep(Dedup.shingleRows(docs))
+      .collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_pairs_ge"))).toSet
+    assert(got == Set((10, 1L, 1L), (3, 2L, 3L)))
+  }
 }
