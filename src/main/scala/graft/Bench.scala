@@ -138,8 +138,23 @@ object Bench {
       if (shortKeys.distinct.size == shortKeys.size) shortKey else identity
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // ~170 queries no longer fit the tail even with short keys+ms
+    // (~2.3KB > the ~2KB tail). Spend the query-map budget on the
+    // EXPENSIVE queries (the ones perf grading reads) and roll the
+    // cheap tail into one (count, summed seconds) pair — every number
+    // still lands full-precision in bench_full.json.
+    val qsBudgetBytes = 1350
+    val byCost = results.sortBy { case (n, v) => (-v, n) }
+    val entries = byCost.map { case (k, v) =>
+      "\"" + keyOf(k) + "\":" + fmt(v) }
+    val cum = entries.scanLeft(0)((a, e) => a + e.length + 1)
+    val nKeep = cum.takeWhile(_ <= qsBudgetBytes).length - 1
+    val kept = entries.take(nKeep)
+    val restN = results.size - nKeep
+    val restSec = byCost.drop(nKeep).map(_._2).sum
+    val qs = (kept ++ (if (restN > 0)
+        Seq("\"rest_n\":" + restN, "\"rest_sec\":" + fmt(restSec))
+      else Seq.empty)).mkString("{", ",", "}")
     // the compact line can't afford per-query min+max (would blow the
     // ~2KB tail buffer again); emit max only where spread > 1.5×, which
     // is exactly the set a reader needs to discount — capped at the 8
