@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GramIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("probe through build+append equals the from-scratch novelty; replay no-ops") {
+    val idx = Files.createTempDirectory("gidx").toString + "/i"
+    val base = docs(1L -> "a b c d e f g", 2L -> "h i j k l m n")
+    val batch = docs(3L -> "o p q r s t u")
+    val probe = docs(10L -> "a b c d e x y z w v", // first gram seen
+      11L -> "o p q r s nn1 nn2 nn3 nn4 nn5")      // seen via the APPEND
+    GramIndex.buildGramIndex(spark, base, 5, idx)
+    assert(GramIndex.appendToGramIndex(spark, batch, 5, idx))
+    assert(!GramIndex.appendToGramIndex(spark, batch, 5, idx),
+      "replayed batch must no-op")
+    val viaIndex = GramIndex.noveltyProbe(spark, probe, 5, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val direct = TextAnalysis.ngramNovelty(base.unionByName(batch),
+        probe, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(viaIndex == direct)
+    assert(viaIndex == Set((10L, 6L, 5L), (11L, 6L, 5L)))
+  }
+
+  test("append is file-additive: untouched bucket files keep physical identity") {
+    val idx = Files.createTempDirectory("gidx_mtime").toString + "/i"
+    GramIndex.buildGramIndex(spark,
+      docs(1L -> "a b c d e f g h i j"), 5, idx)
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+        else if (f.getName.startsWith("_") || f.getName.startsWith("."))
+          Seq.empty
+        else Seq(f)
+      walk(new java.io.File(s"$idx/grams"))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = dataFiles()
+    assert(before.nonEmpty)
+    GramIndex.appendToGramIndex(spark,
+      docs(2L -> "z y x w v u t s r q"), 5, idx)
+    val after = dataFiles()
+    before.foreach { case (p, m) =>
+      assert(after.get(p).contains(m),
+        s"pre-existing index file $p must be untouched by an append")
+    }
+    assert(after.size > before.size, "the batch must add its own files")
+  }
+
+  test("cross-batch duplicate grams never multiply probe rows") {
+    val idx = Files.createTempDirectory("gidx_dup").toString + "/i"
+    val d = docs(1L -> "a b c d e f")
+    GramIndex.buildGramIndex(spark, d, 5, idx)
+    // a DIFFERENT batch containing the same grams (dup presence rows)
+    GramIndex.appendToGramIndex(spark,
+      docs(5L -> "a b c d e f"), 5, idx)
+    val probe = docs(9L -> "a b c d e f")
+    val got = GramIndex.noveltyProbe(spark, probe, 5, idx).collect()
+    assert(got.length == 1 &&
+      got.head.getLong(1) == 2L && got.head.getLong(2) == 0L)
+  }
+}
