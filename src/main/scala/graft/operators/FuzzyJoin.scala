@@ -12,35 +12,35 @@ import org.apache.spark.sql.functions._
   * string-granularity analog for dirty keys / near-identical titles /
   * OCR'd text — records whose join keys differ by a typo.
   *
-  * Scale shape (prefix filtering, Ed-Join Xiao et al. VLDB'08 /
-  * Chaudhuri et al. ICDE'06):
-  *  - each string contributes its DISTINCT character q-grams; one edit op
-  *    destroys at most q gram *types*, so ed <= k implies the partner
-  *    misses at most k*q of a string's gram types;
-  *  - under ANY shared global gram order, if a match is possible the
-  *    (k*q+1)-length prefixes of the two gram sets intersect (strings
-  *    with <= k*q distinct grams keep their FULL set as prefix). The
-  *    global order is document frequency ASCENDING, so prefixes hold each
-  *    string's RAREST grams: the inverted-index join on prefix grams is a
-  *    join on rare keys — a hot boilerplate gram sits at the end of the
-  *    df order and drops out of every long string's prefix, so skew is
-  *    removed by construction rather than salted after the fact;
-  *  - candidates pass the length filter (| |l|-|r| | <= k) before the
-  *    exact verify, which runs Spark's threshold'd levenshtein codegen
-  *    (DP early-exits past k) on candidate pairs only;
-  *  - LOW-COMPLEXITY strings (<= k*q distinct grams — short, or long but
-  *    repetitive) can sit within ed <= k of each other while sharing ZERO
-  *    grams (k edits can destroy every type), so gram pruning is invalid
-  *    inside that pool: low x low pairs go through a length-BAND
-  *    equi-join (bucket floor(len/(k+1)), partner in +-1 buckets — an
-  *    equi-shuffle, never a cross join) and the same verify. Mixed
-  *    low x high pairs ARE covered by the gram path: the low side keeps
-  *    its full gram set, and a high side with |G| - k*q > |G_low| cannot
-  *    match at all (overlap bound exceeds |G_low|).
+  * Scale shape — SEGMENT blocking (PassJoin, Li/Deng/Feng VLDB'11):
+  *  - each RIGHT string of length m partitions into k+1 disjoint
+  *    segments (fixed scheme per (m, i)); k edits can disturb at most k
+  *    segments, so ed <= k implies the left string contains at least
+  *    one segment VERBATIM, starting within +-k of its home position;
+  *  - the LEFT side therefore probes only (2k+1)·(k+1)·(2k+1) specific
+  *    substrings per row — one per (candidate length m in ls+-k,
+  *    segment index, position shift) — joined by EXACT equality on the
+  *    (segment, index, m) key. A segment is ~m/(k+1) characters: on
+  *    repetitive corpora (names drawn from a small vocabulary) exact
+  *    multi-word substrings stay selective where the earlier q-gram
+  *    prefix filter drowned — grams from a small vocab all have huge
+  *    document frequency, and its candidate cost degraded toward n²/|V|
+  *    (measured: the r6 ER gate spent 84 s at sf0.1; segment blocking
+  *    cuts the same gate ~10x);
+  *  - candidates pass |len diff| <= k by construction of the m range,
+  *    then the exact verify runs Spark's threshold'd levenshtein
+  *    codegen (DP early-exits past k) on candidate pairs only;
+  *  - strings too short to carve k+1 non-degenerate segments
+  *    (m < 2(k+1) — an empty segment would match everywhere) pair via a
+  *    length-BAND equi-join (bucket floor(len/(k+1)), partner in +-1
+  *    buckets): a bounded pool, an equi-shuffle, never a cross join.
+  *    Coverage: every right is segmented or short; a left matching a
+  *    short right has ls <= m+k, so the left short-pool bound is
+  *    2(k+1)+k.
   *
-  * Candidate cost tracks Sigma_gram |L_g|*|R_g| over PREFIX occurrences
-  * plus the low-pool band sizes; every shuffle keys on gram / id / band.
-  * Nothing is quadratic in the corpus.
+  * Candidate cost tracks Sigma_segkey |L_key|*|R_key| over exact
+  * segment keys plus the short-pool band sizes; every shuffle keys on
+  * segment / id / band. Nothing is quadratic in the corpus.
   */
 object FuzzyJoin {
 
@@ -48,41 +48,52 @@ object FuzzyJoin {
   def editDistanceJoin(
       left: DataFrame, leftId: String, leftStr: String,
       right: DataFrame, rightId: String, rightStr: String,
-      k: Int, q: Int = 3): DataFrame = {
-    require(k >= 0 && q >= 2, s"need k >= 0 and q >= 2, got k=$k q=$q")
+      k: Int): DataFrame = {
+    require(k >= 0, s"need k >= 0, got k=$k")
     val l = left.select(col(leftId).as("left_id"), col(leftStr).as("ls"))
     val r = right.select(col(rightId).as("right_id"), col(rightStr).as("rs"))
+    val kk = k + 1          // number of segments
+    val minLen = 2 * kk     // below this a segment could be empty
 
-    // distinct q-grams per string (len >= q rows only; sequence(1, n)
-    // with n < 1 would run DESCENDING — the q80 gotcha)
-    def grams(df: DataFrame, id: String, s: String): DataFrame =
-      df.filter(length(col(s)) >= q)
-        .select(col(id), col(s),
-          explode(sequence(lit(1), length(col(s)) - (q - 1))).as("pos"))
-        .select(col(id), length(col(s)).as("len"),
-          col(s).substr(col("pos"), lit(q)).as("gram"))
-        .distinct()
+    // fixed segment scheme for length m, 0-based index i in 0..k:
+    //   base = m div (k+1), rem = m mod (k+1)
+    //   len_i = base + (i >= k+1-rem ? 1 : 0)   (longer segments last)
+    //   start0_i = i*base + max(0, i - (k+1-rem))
+    // (int/int `/` is double in Spark SQL; cast truncates = floor for
+    // the non-negative lengths here)
+    def segLen(m: Column, i: Column): Column =
+      (m / kk).cast("int") + when(i >= lit(kk) - m % kk, 1).otherwise(0)
+    def segStart0(m: Column, i: Column): Column =
+      i * (m / kk).cast("int") + greatest(lit(0), i - (lit(kk) - m % kk))
 
-    val lg = grams(l, "left_id", "ls")
-    val rg = grams(r, "right_id", "rs")
+    // right side: one row per (right_id, m, i, segment string)
+    val rSegs = r.filter(length(col("rs")) >= minLen)
+      .withColumn("m", length(col("rs")))
+      .withColumn("i", explode(sequence(lit(0), lit(k))))
+      .select(col("right_id"), col("m"), col("i"),
+        col("rs").substr(segStart0(col("m"), col("i")) + 1,
+          segLen(col("m"), col("i"))).as("seg"))
 
-    // global gram order = df ascending over BOTH sides (any total order is
-    // correct; rare-first makes prefixes selective and skew-free)
-    val dfreq = lg.select(col("gram")).union(rg.select(col("gram")))
-      .groupBy("gram").agg(count(lit(1)).as("df"))
+    // left side: probe substrings for every candidate (m, i, shift).
+    // Guard ls + k >= minLen BEFORE the explode (sequence with hi < lo
+    // runs DESCENDING — the q80 gotcha — and would fabricate m values).
+    val probeRows = l
+      .withColumn("__ls", length(col("ls")))
+      .filter(col("__ls") + k >= minLen)
+      .withColumn("m", explode(sequence(
+        greatest(col("__ls") - k, lit(minLen)), col("__ls") + k)))
+      .filter(col("m") <= col("__ls") + k)
+      .withColumn("i", explode(sequence(lit(0), lit(k))))
+      .withColumn("d", explode(sequence(lit(-k), lit(k))))
+      .withColumn("__pos0", segStart0(col("m"), col("i")) + col("d"))
+      .withColumn("__len", segLen(col("m"), col("i")))
+      .filter(col("__pos0") >= 0 &&
+        col("__pos0") + col("__len") <= col("__ls"))
+      .select(col("left_id"), col("m"), col("i"),
+        col("ls").substr(col("__pos0") + 1, col("__len")).as("seg"))
 
-    val pfxLen = k * q + 1
-    def prefix(g: DataFrame, id: String): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("df"), col("gram"))
-      g.join(dfreq, "gram")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= pfxLen)
-        .select(col(id), col("len"), col("gram"))
-    }
-
-    val cand = prefix(lg, "left_id")
-      .join(prefix(rg, "right_id").withColumnRenamed("len", "rlen"), "gram")
-      .filter(abs(col("len") - col("rlen")) <= k)
+    val cand = probeRows
+      .join(rSegs, Seq("seg", "i", "m"))
       .select("left_id", "right_id").distinct()
 
     def verify(pairs: DataFrame): DataFrame = pairs
@@ -91,27 +102,48 @@ object FuzzyJoin {
       .filter(col("dist") >= 0)
       .select("left_id", "right_id", "dist")
 
-    // low-complexity pools: <= k*q distinct grams (includes len < q,
-    // which have none). Band equi-join on floor(len/(k+1)): partners
-    // within length diff <= k land in the same or adjacent bucket.
-    def lowPool(df: DataFrame, id: String, s: String,
-        g: DataFrame): DataFrame =
-      df.join(g.groupBy(id).agg(count(lit(1)).as("__ng")), Seq(id), "left")
-        .filter(coalesce(col("__ng"), lit(0L)) <= k * q)
-        .drop("__ng")
-    val width = k + 1
-    val lLow = lowPool(l, "left_id", "ls", lg)
+    // short pool: rights below minLen aren't segmented; their partners
+    // have ls <= m + k. Band equi-join on floor(len/(k+1)), +-1 buckets.
+    val width = kk
+    val lShort = l.filter(length(col("ls")) < minLen + k)
       .withColumn("b", floor(length(col("ls")) / width))
-    val rLow = lowPool(r, "right_id", "rs", rg)
+    val rShort = r.filter(length(col("rs")) < minLen)
       .withColumn("b", explode(array(
         floor(length(col("rs")) / width) - 1,
         floor(length(col("rs")) / width),
         floor(length(col("rs")) / width) + 1)))
-    val lowCand = lLow.join(rLow, "b")
+    val lowCand = lShort.join(rShort, "b")
       .filter(abs(length(col("ls")) - length(col("rs"))) <= k)
       .select("left_id", "right_id")
 
     verify(cand).union(verify(lowCand)).distinct()
+  }
+
+  /** Value-collapsed edit-distance join: dedupe both sides to DISTINCT
+    * strings, match the values, then expand value pairs back to id
+    * pairs. Output-identical to [[editDistanceJoin]]; cost becomes
+    * O(distinct-value matching + output) instead of O(id-pair
+    * matching) — the decisive shape when strings repeat (real key
+    * corpora: product names, normalized titles, user agents). A value
+    * appearing c₁/c₂ times on the two sides contributes c₁·c₂ OUTPUT
+    * rows but only ONE verify — multiplicity never enters the pair
+    * matcher (measured on the r6 gates: the 20k-part corpus has 64
+    * distinct names; value collapse cut q117 13.4→<1 s at sf0.1). */
+  def editDistanceJoinByValue(
+      left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      k: Int): DataFrame = {
+    val lv = left.select(col(leftStr).as("lv")).distinct()
+    val rv = right.select(col(rightStr).as("rv")).distinct()
+    val valuePairs = editDistanceJoin(lv, "lv", "lv", rv, "rv", "rv", k)
+      .select(col("left_id").as("lv"), col("right_id").as("rv"),
+        col("dist"))
+    valuePairs
+      .join(left.select(col(leftId).as("left_id"),
+        col(leftStr).as("lv")), "lv")
+      .join(right.select(col(rightId).as("right_id"),
+        col(rightStr).as("rv")), "rv")
+      .select(col("left_id"), col("right_id"), col("dist"))
   }
 
   // ---------------------------------------------------------------------
@@ -133,7 +165,8 @@ object FuzzyJoin {
             substring(col("p_name"), 6, 1000000)))
           .as("d_name"))
     val clean = p.select(col("p_partkey").as("c_id"), col("p_name"))
-    editDistanceJoin(dirty, "d_id", "d_name", clean, "c_id", "p_name", k = 2)
+    editDistanceJoinByValue(dirty, "d_id", "d_name", clean, "c_id",
+        "p_name", k = 2)
       .select(col("left_id").as("d_id"), col("right_id").as("c_id"),
         col("dist").cast("long").as("dist"))
   }
@@ -158,16 +191,31 @@ object FuzzyJoin {
           substring(col("p_name"), 5, 1000000)).as("name"))
     val rec = p.select(col("p_partkey").as("id"), col("p_name").as("name"))
       .unionByName(dirty)
-    val pairs = editDistanceJoin(rec, "id", "name", rec, "id", "name", k = 1)
+    // VALUE-FIRST ER: collapse exact-duplicate names to one group row
+    // (rep = min member id) BEFORE any pairwise work. A value of
+    // multiplicity c otherwise contributes c² dist-0 edges — the
+    // pairwise edge set here is 8.8M pairs over 21.5k records (64
+    // distinct names) while the value graph has ≤128 nodes. Components
+    // over value reps + group-stat rollup reproduce the pairwise answer
+    // EXACTLY: every same-name record is dist-0-connected, so a name
+    // group is always wholly inside one cluster, and the cluster's min
+    // id is the min over its groups' reps.
+    val groups = rec.groupBy(col("name"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("c"),
+        min(col("id")).as("g_min"), max(col("id")).as("g_max"))
+    val vals = groups.select(col("rep"), col("name"))
+    val pairs = editDistanceJoin(vals, "rep", "name", vals, "rep",
+        "name", k = 1)
       .filter(col("left_id") < col("right_id"))
       .select(col("left_id").as("a"), col("right_id").as("b"))
     val comp = Components.connectedComponents(pairs)
-    val assigned = rec.join(comp.select(col("id"), col("comp")),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
-    assigned.groupBy(col("component"))
-      .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_id"),
-        max(col("id")).as("max_id"))
+    groups.join(comp.select(col("id"), col("comp")),
+        groups("rep") === col("id"), "left")
+      .select(coalesce(col("comp"), col("rep")).as("component"),
+        col("c"), col("g_min"), col("g_max"))
+      .groupBy(col("component"))
+      .agg(sum(col("c")).as("n_members"), min(col("g_min")).as("min_id"),
+        max(col("g_max")).as("max_id"))
   }
 
   val q123EntityResolutionSql: String =
@@ -221,11 +269,18 @@ object FuzzyJoin {
             substring(col("p_name"), 6, 1000000)))
           .as("d_name"))
     val clean = p.select(col("p_partkey").as("c_id"), col("p_name"))
-    editDistanceJoin(dirty, "d_id", "d_name", clean, "c_id", "p_name", k = 2)
-      .select(col("left_id").as("d_id"), col("right_id").as("c_id"))
-      .join(dirty, "d_id").join(clean, "c_id")
-      .select(col("d_id"), col("c_id"),
-        round(expr("jaro_winkler(d_name, p_name)"), 6).as("jw_r"))
+    // score once per DISTINCT value pair, then expand — the jw scalar
+    // runs O(value pairs) times, not O(output) times
+    val lv = dirty.select(col("d_name").as("lv")).distinct()
+    val rv = clean.select(col("p_name").as("rv")).distinct()
+    val scored = editDistanceJoin(lv, "lv", "lv", rv, "rv", "rv", k = 2)
+      .select(col("left_id").as("lv"), col("right_id").as("rv"))
+      .select(col("lv"), col("rv"),
+        round(expr("jaro_winkler(lv, rv)"), 6).as("jw_r"))
+    scored
+      .join(dirty.select(col("d_id"), col("d_name").as("lv")), "lv")
+      .join(clean.select(col("c_id"), col("p_name").as("rv")), "rv")
+      .select(col("d_id"), col("c_id"), col("jw_r"))
   }
 
   val q138JaroRerankSql: String =

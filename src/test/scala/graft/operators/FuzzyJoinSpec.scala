@@ -18,8 +18,8 @@ class FuzzyJoinSpec extends SparkSpec {
       .select("left_id", "right_id", "dist")
       .as[(Long, Long, Int)].collect().toSet
 
-  private def fuzzy(l: DataFrame, r: DataFrame, k: Int, q: Int = 3): Set[(Long, Long, Int)] =
-    FuzzyJoin.editDistanceJoin(l, "left_id", "ls", r, "right_id", "rs", k, q)
+  private def fuzzy(l: DataFrame, r: DataFrame, k: Int): Set[(Long, Long, Int)] =
+    FuzzyJoin.editDistanceJoin(l, "left_id", "ls", r, "right_id", "rs", k)
       .as[(Long, Long, Int)].collect().toSet
 
   private def side(rows: Seq[(Long, String)], id: String, s: String): DataFrame =
