@@ -363,6 +363,58 @@ object Curation {
       .agg(max(col(value)).as("threshold"))
   }
 
+  /** Multi-quantile variant of [[quantileThresholdsContinuous]]: ALL
+    * requested upper-tail boundaries from ONE corpus pass. The
+    * keys×buckets cum table fans out per q only AFTER the reduce (the
+    * small table), and each q's boundary-bucket value slice is tiny —
+    * p50/p90/p99 together cost what one quantile costs. Per-q algebra
+    * is identical to the single-q path (spec-proved equal), so results
+    * are interchangeable. Output: (key, n, q, threshold). */
+  def quantileThresholdsContinuousMulti(df: DataFrame, key: String,
+      value: String, qs: Seq[Double], numBuckets: Int = 4096): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    val range = df.agg(min(col(value)).cast("double"),
+      max(col(value)).cast("double")).head()
+    val (lo, hi) =
+      if (range.isNullAt(0)) (0.0, 0.0)
+      else (range.getDouble(0), range.getDouble(1))
+    val width = math.max((hi - lo) / numBuckets, java.lang.Double.MIN_VALUE)
+    val bucketed = df.select(col(key), col(value),
+      when(col(value).isNull, lit(-1L))
+        .otherwise(least(floor((col(value) - lit(lo)) / lit(width)),
+          lit(numBuckets - 1L)).cast("long")).as("bkt"))
+    val totals = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val bktCounts = bucketed.groupBy(col(key), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("bkt").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val cum = bktCounts.withColumn("cum_ge", sum(col("cnt")).over(wB))
+      .join(totals, key)
+    val cumQ = cum
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("need", ceil(col("n") * col("q")).cast("long"))
+    val boundary = cumQ.filter(col("cum_ge") >= col("need"))
+      .groupBy(col(key), col("q"), col("n"), col("need"))
+      .agg(max(col("bkt")).as("bkt"))
+      .join(cum.select(col(key), col("bkt"), col("cnt"), col("cum_ge")),
+        Seq(key, "bkt"))
+      .withColumn("above", col("cum_ge") - col("cnt"))
+      .select(col(key), col("q"), col("bkt"), col("n"), col("need"),
+        col("above"))
+    val slice = bucketed.join(broadcast(boundary), Seq(key, "bkt"))
+    val wV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key), col("q")).orderBy(col(value).desc)
+      .rowsBetween(Long.MinValue, 0)
+    slice.groupBy(col(key), col("q"), col(value), col("n"), col("need"),
+        col("above"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_in", sum(col("cnt")).over(wV))
+      .filter(col("above") + col("cum_in") >= col("need"))
+      .groupBy(col(key), col("q"), col("n"))
+      .agg(max(col(value)).as("threshold"))
+  }
+
   // ---------------------------------------------------------------------
   // q94_winsorize — per-stratum outlier clipping (winsorization): clamp
   // each value into [lo, hi] where lo/hi are the stratum's exact

@@ -346,13 +346,14 @@ object EventTime {
       .filter(col("asof").isNotNull)
       .select((col("user_id") % 5).as("cohort"),
         (col("ts_us") - col("asof.ts_us")).cast("double").as("lat"))
-    val p50 = Curation.quantileThresholdsContinuous(lat, "cohort",
-        "lat", 0.5)
-      .select(col("cohort"), col("n"), col("threshold").as("p50_us"))
-    val p90 = Curation.quantileThresholdsContinuous(lat, "cohort",
-        "lat", 0.1)
-      .select(col("cohort"), col("threshold").as("p90_us"))
-    p50.join(p90, "cohort")
+    // both boundaries from ONE corpus pass (the multi-q variant), then
+    // a conditional-agg pivot — no second scan, no self-join
+    Curation.quantileThresholdsContinuousMulti(lat, "cohort", "lat",
+        Seq(0.5, 0.1))
+      .groupBy(col("cohort"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("q") === 0.5, col("threshold"))).as("p50_us"),
+        max(when(col("q") === 0.1, col("threshold"))).as("p90_us"))
   }
 
   val q168ConversionLatencySql: String =

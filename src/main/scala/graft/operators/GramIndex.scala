@@ -63,6 +63,17 @@ object GramIndex {
     }
   }
 
+  /** Streaming maintenance: a `foreachBatch` sink appending each
+    * micro-batch's grams. The replay unit is the batch's CONTENT id
+    * (the append path's own fingerprint), so a redelivered micro-batch
+    * no-ops without trusting the engine's batch numbering. */
+  def foreachBatchSink(indexDir: String, n: Int)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, _) => {
+      appendToGramIndex(batch.sparkSession, batch.toDF(), n, indexDir)
+      ()
+    }
+
   /** Per-doc novelty against the PERSISTED index — q156's output shape
     * ((doc_id, n_grams, n_novel)) without re-shingling the reference.
     * LEFT SEMI marks seen grams, so index-side duplicates from

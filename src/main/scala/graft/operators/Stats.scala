@@ -723,6 +723,73 @@ object Stats {
   def q152MedianMad(s: SparkSession, dir: String): DataFrame =
     medianMad(t(s, dir, "customer"), "c_mktsegment", "c_acctbal")
 
+  /** Robust outliers via the MODIFIED z-score (Iglewicz & Hoaglin 1993):
+    * flag rows with 0.6745·|x − median|/MAD > threshold (3.5 the
+    * standard). q127's mean/std z is itself dragged by the outliers it
+    * hunts; median/MAD isn't — this is the detector a heavy-tailed
+    * quality score actually needs, composed from [[medianMad]]. Scale:
+    * the |keys|-row stats broadcast back; the flag scan is map-only. */
+  def robustOutliers(df: DataFrame, group: String, value: String,
+      id: String, threshold: Double = 3.5): DataFrame = {
+    val stats = medianMad(df.select(col(group), col(value)), group, value)
+      .filter(col("mad") > 0.0)
+      .select(col(group), col("median"), col("mad"))
+    val mz = lit(0.6745) * abs(col(value) - col("median")) / col("mad")
+    df.join(broadcast(stats), group)
+      .filter(mz > threshold)
+      .select(col(group), col(id), round(mz, 6).as("mod_z"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q172_robust_outliers — planted 10x price spikes (every 997th order)
+  // must flag under the modified z while the bulk distribution stays
+  // quiet; the oracle rebuilds median/MAD with the q152 positional rule
+  // and the identical flag expression.
+  // ---------------------------------------------------------------------
+  def q172RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (col("o_totalprice") *
+          when(col("o_orderkey") % 997 === 0, 10.0).otherwise(1.0))
+          .as("price"))
+    robustOutliers(o, "o_orderpriority", "price", "o_orderkey")
+  }
+
+  val q172RobustOutliersSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    o_totalprice * CASE WHEN o_orderkey % 997 = 0
+      |      THEN 10.0 ELSE 1.0 END AS price
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_orderpriority AS g, price AS x,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY price DESC
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM o),
+      |med AS (
+      |  SELECT g, MAX(x) FILTER (WHERE cum_ge >= CEIL(n * 0.5)) AS median
+      |  FROM r GROUP BY g),
+      |d AS (
+      |  SELECT o.o_orderpriority AS g, ABS(o.price - m.median) AS adev
+      |  FROM o JOIN med m ON o.o_orderpriority = m.g),
+      |r2 AS (
+      |  SELECT g, adev,
+      |    COUNT(*) OVER (PARTITION BY g ORDER BY adev DESC
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge,
+      |    COUNT(*) OVER (PARTITION BY g) AS n
+      |  FROM d),
+      |mad AS (
+      |  SELECT g, MAX(adev) FILTER (WHERE cum_ge >= CEIL(n * 0.5)) AS mad
+      |  FROM r2 GROUP BY g),
+      |stats AS (
+      |  SELECT med.g, med.median, mad.mad
+      |  FROM med JOIN mad USING (g) WHERE mad.mad > 0.0)
+      |SELECT o.o_orderpriority, o.o_orderkey,
+      |  ROUND(0.6745 * ABS(o.price - s.median) / s.mad, 6) AS mod_z
+      |FROM o JOIN stats s ON o.o_orderpriority = s.g
+      |WHERE 0.6745 * ABS(o.price - s.median) / s.mad > 3.5""".stripMargin
+
   val q152MedianMadSql: String =
     """WITH r AS (
       |  SELECT c_mktsegment AS g, c_acctbal AS x,

@@ -465,6 +465,27 @@ class CurationSpec extends SparkSpec {
     assert(r(5L) === ((0L, 0L, 0L, "clean text with 1234-5678 and a@b only")))
   }
 
+  test("multi-quantile thresholds equal the single-q path for every q") {
+    import spark.implicits._
+    val df = (1 to 500).map(i =>
+        (s"g${i % 3}", if (i % 7 == 0) None else Some(i * 13 % 97 / 4.0)))
+      .toDF("k", "v")
+    val qs = Seq(0.1, 0.5, 0.9)
+    val multi = Curation.quantileThresholdsContinuousMulti(df, "k", "v", qs)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    qs.foreach { q =>
+      val single = Curation.quantileThresholdsContinuous(df, "k", "v", q)
+        .collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+      single.foreach { case (k, th) =>
+        assert(multi((k, q)) == th, s"q=$q key=$k")
+      }
+    }
+  }
+
   test("curationPipeline: dedup keeps the smallest id; quality gates bind") {
     import spark.implicits._
     val docs = Seq(

@@ -56,6 +56,28 @@ class GramIndexSpec extends SparkSpec {
     assert(after.size > before.size, "the batch must add its own files")
   }
 
+  test("foreachBatch sink: N micro-batches equal one; content-id replay no-ops") {
+    val idx1 = Files.createTempDirectory("gidx_s1").toString + "/i"
+    val idx2 = Files.createTempDirectory("gidx_s2").toString + "/i"
+    val boot = docs(0L -> "seed gram zero one two")
+    GramIndex.buildGramIndex(spark, boot, 5, idx1)
+    GramIndex.buildGramIndex(spark, boot, 5, idx2)
+    val d1 = docs(1L -> "a b c d e f g")
+    val d2 = docs(2L -> "h i j k l m n")
+    val sink1 = GramIndex.foreachBatchSink(idx1, 5)
+    val sink2 = GramIndex.foreachBatchSink(idx2, 5)
+    sink1(d1.unionByName(d2), 0L)     // one big batch
+    sink2(d1, 0L); sink2(d2, 1L)      // two micro-batches
+    sink2(d1, 0L)                      // redelivery (same content)
+    val probe = docs(9L -> "a b c d e qq ww ee rr tt",
+      10L -> "h i j k l zz xx cc vv bb")
+    def res(idx: String) = GramIndex.noveltyProbe(spark, probe, 5, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(res(idx1) == res(idx2))
+    assert(res(idx1) == Set((9L, 6L, 5L), (10L, 6L, 5L)))
+  }
+
   test("cross-batch duplicate grams never multiply probe rows") {
     val idx = Files.createTempDirectory("gidx_dup").toString + "/i"
     val d = docs(1L -> "a b c d e f")
