@@ -45,6 +45,14 @@ object Warehouse {
   final case class RollupDef(name: String, table: String,
       spec: graft.pipeline.Rollup.Spec)
 
+  /** A materialized ENRICHMENT VIEW (fact ⋈ dim) maintained per sync
+    * batch: each new fact file joins against the dimension as-of its
+    * sync and lands file-additively ([[graft.pipeline.JoinView]] — the
+    * delta-rule machinery wired into the daily driver). `dimTable` is
+    * read in full per refresh (dims are the small side; it broadcasts). */
+  final case class ViewDef(name: String, factTable: String,
+      dimTable: String, joinKeys: Seq[String])
+
   final case class Config(
       warehouseDir: String,
       db: String = "canvasdata",
@@ -62,6 +70,9 @@ object Warehouse {
         * fresh per sync batch without table re-scans
         * (see [[Warehouse.profileOf]]) */
       maintainedProfiles: Map[String, Seq[String]] = Map.empty,
+      /** enrichment views auto-refreshed per sync batch
+        * (see [[Warehouse.view]]) */
+      maintainedViews: Seq[ViewDef] = Nil,
       /** Summary notification hook — the reference publishes every sync
         * summary to an SNS email topic (`sync-canvas-data-files.py:141-145`,
         * topic `cloud_formation/canvas_data_aws.yaml:68-78`); plug a mailer/
@@ -106,10 +117,79 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
           graft.catalog.CatalogSync.registerCanonicalView(
             spark, cfg.db, t.tableName, path)
         }
-      if (!cfg.dryRun) maintainStores(schema)
+      if (!cfg.dryRun) { maintainStores(schema); maintainViews(schema) }
     } finally cfg.onSummary(summary)
     summary
   }
+
+  private def fsOf = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(cfg.warehouseDir),
+    spark.sparkContext.hadoopConfiguration)
+
+  private def rawListing(tableName: String): Seq[String] = {
+    val fs = fsOf
+    val tableDir = s"${cfg.warehouseDir}/${Sync.RawPrefix}/$tableName"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(tableDir))) Nil
+    else fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      .sorted
+  }
+
+  private def readRaw(t: CDTable, fnames: Seq[String]): DataFrame = {
+    val tableDir = s"${cfg.warehouseDir}/${Sync.RawPrefix}/${t.tableName}"
+    graft.sources.TsvSource.read(spark,
+      graft.model.TypeLattice.toStructType(t),
+      fnames.map(f => s"$tableDir/$f"))
+  }
+
+  /** Per-sync-batch refresh of the configured enrichment views — the
+    * same file-granular ledger convergence as [[maintainStores]]: fresh
+    * fact files delta-join the CURRENT dimension (as-of-enrich
+    * semantics, [[graft.pipeline.JoinView]]'s documented contract) and
+    * commit file-additively, one replay-safe unit per raw file. A
+    * ledger id with no surviving fact file means a stale-delete
+    * rewrote history — the view rebuilds from the current listing
+    * (detected, logged, never silent). */
+  private def maintainViews(schema: Seq[CDTable]): Unit = {
+    import graft.pipeline.{AppendCommit, JoinView}
+    if (cfg.maintainedViews.isEmpty) return
+    cfg.maintainedViews.foreach { v =>
+      (schema.find(_.tableName == v.factTable),
+          schema.find(_.tableName == v.dimTable)) match {
+        case (Some(ft), Some(dt)) =>
+          val files = rawListing(v.factTable)
+          val dimFiles = rawListing(v.dimTable)
+          if (files.nonEmpty && dimFiles.nonEmpty) {
+            val store = s"${cfg.warehouseDir}/_maintained/view_${v.name}"
+            val dim = readRaw(dt, dimFiles)
+            val applied = AppendCommit.appliedEntries(store).map(_._1)
+            if (applied.isEmpty)
+              JoinView.init(spark, store, readRaw(ft, files), dim,
+                v.joinKeys, files, broadcastDim = true)
+            else if (!applied.forall(files.contains)) {
+              org.slf4j.LoggerFactory.getLogger(classOf[Warehouse]).warn(
+                s"view_${v.name}: joined fact file(s) removed by " +
+                  "stale-delete — rebuilding view from the current listing")
+              fsOf.delete(new org.apache.hadoop.fs.Path(store), true)
+              JoinView.init(spark, store, readRaw(ft, files), dim,
+                v.joinKeys, files, broadcastDim = true)
+            } else {
+              val fresh = files.filterNot(applied.contains)
+              fresh.foreach(f => JoinView.merge(spark, store,
+                readRaw(ft, Seq(f)), dim, v.joinKeys, f))
+            }
+          }
+        case _ => ()
+      }
+    }
+  }
+
+  /** Read a maintained enrichment view
+    * (see [[Warehouse.Config.maintainedViews]]). */
+  def view(name: String): DataFrame =
+    graft.pipeline.JoinView.read(spark,
+      s"${cfg.warehouseDir}/_maintained/view_$name")
 
   /** Per-sync-batch refresh of the configured rollups and profiles —
     * data-quality observability (A13's operational summary grown into

@@ -44,16 +44,23 @@ object JoinView {
 
   private def viewDir(store: String) = s"$store/view"
 
-  /** Bootstrap the view: full `facts ⋈ dim`, atomically placed. */
+  /** Bootstrap the view: full `facts ⋈ dim`, atomically placed.
+    * `batchIds` are the replay units the bootstrap covers (e.g. one id
+    * per source file, the Warehouse convention). */
   def init(spark: SparkSession, store: String, facts: DataFrame,
-      dim: DataFrame, joinKeys: Seq[String], batchId: String,
-      broadcastDim: Boolean = true): Unit = {
+      dim: DataFrame, joinKeys: Seq[String], batchIds: Seq[String],
+      broadcastDim: Boolean): Unit = {
     val d = if (broadcastDim) broadcast(dim) else dim
     SafeSwap.replace(viewDir(store)) { tmp =>
       facts.join(d, joinKeys).write.mode("overwrite").parquet(tmp)
     }
-    AppendCommit.markApplied(store, batchId)
+    batchIds.foreach(AppendCommit.markApplied(store, _))
   }
+
+  def init(spark: SparkSession, store: String, facts: DataFrame,
+      dim: DataFrame, joinKeys: Seq[String], batchId: String,
+      broadcastDim: Boolean = true): Unit =
+    init(spark, store, facts, dim, joinKeys, Seq(batchId), broadcastDim)
 
   /** Merge an append-only fact delta: joins ONLY the delta against the
     * dimension and file-additively commits the result. Returns false

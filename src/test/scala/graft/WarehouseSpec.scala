@@ -155,6 +155,60 @@ class WarehouseSpec extends SparkSpec {
       Seq("f2.tsv", "f3.tsv"))
   }
 
+  test("sync auto-refreshes a maintained enrichment view file-additively") {
+    val src = Files.createTempDirectory("wh_view_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(
+      CDTable("fact", None, Seq(
+        CDColumn("k", "bigint"), CDColumn("x", "double precision"))),
+      CDTable("dim", None, Seq(
+        CDColumn("k", "bigint"), CDColumn("attr", "varchar", Some(10)))))
+    val m1 = Seq(
+      put("fact", "f1.tsv", "1\t1.5\n2\t2.5\n"),
+      put("dim", "d1.tsv", "1\talpha\n2\tbeta\n"))
+    val whDir = Files.createTempDirectory("wh_view_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark,
+      Warehouse.Config(whDir, db = "cd_whv", parallelism = 2,
+        maintainedViews = Seq(
+          Warehouse.ViewDef("enriched", "fact", "dim", Seq("k")))))
+    wh.sync(m1, schema)
+    def rows() = wh.view("enriched").select("k", "x", "attr").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(rows() == Set((1L, 1.5, "alpha"), (2L, 2.5, "beta")))
+
+    def viewFiles(): Map[String, Long] = {
+      val dir = new java.io.File(new java.net.URI(
+        s"$whDir/_maintained/view_enriched/view"))
+      dir.listFiles
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val before = viewFiles()
+    // sync 2: one new fact file — only its rows join, old files untouched
+    val m2 = m1 :+ put("fact", "f2.tsv", "1\t9.0\n3\t7.0\n")
+    wh.sync(m2, schema)
+    assert(rows() == Set((1L, 1.5, "alpha"), (2L, 2.5, "beta"),
+      (1L, 9.0, "alpha")), "unmatched fact k=3 drops; batch rows join")
+    val after = viewFiles()
+    before.foreach { case (n, m) =>
+      assert(after.get(n).contains(m),
+        s"pre-existing view file $n must be untouched by the refresh")
+    }
+    // delta-free sync: byte-identical store
+    wh.sync(m2, schema)
+    assert(viewFiles() == after,
+      "a delta-free sync must not rewrite the view")
+    // stale-delete of a joined fact file → rebuild from survivors
+    val m3 = m2.filterNot(_.filename == "f1.tsv")
+    wh.sync(m3, schema)
+    assert(rows() == Set((1L, 9.0, "alpha")))
+  }
+
   test("sync keeps histogram quantile bounds fresh through a maintained rollup") {
     val src = Files.createTempDirectory("wh_hist_src")
     def put(table: String, name: String, content: String): ManifestEntry = {
