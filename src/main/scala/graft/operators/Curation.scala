@@ -1156,6 +1156,150 @@ object Curation {
       |    '\b555-\d{4}\b', '<PHONE>', 'g') AS redacted
       |FROM corpus""".stripMargin
 
+  /** Full URL canonicalization — the dedup key for crawl frontiers and
+    * per-page dedup, one step past q95's domain extraction: two URLs
+    * that differ only in scheme/host case, a `www.` prefix, a default
+    * port, a fragment, tracking parameters, or a trailing slash are the
+    * SAME page. Rules, in order:
+    *   1. cut the fragment (`#...`);
+    *   2. no scheme → NULL (the q95 contract: not a URL);
+    *   3. split base/query at the first `?`;
+    *   4. lowercase scheme+authority (path/query case is meaningful);
+    *   5. drop a `www.` prefix and the scheme-default port
+    *      (`https::443`, `http::80` — other ports are kept);
+    *   6. strip trailing slashes from the path;
+    *   7. drop tracking parameters (`utm_*`, `ref`, `fbclid`) — done by
+    *      SPLIT + FILTER + REJOIN on `&` (higher-order functions, not
+    *      regex surgery: deleting a leading `?utm=..&` pair by regex
+    *      leaves separator artifacts; a list filter cannot), dropping
+    *      the `?` entirely when nothing survives.
+    * Regex steps stay in the java∩RE2 dialect (the q86 discipline — no
+    * lookaheads). Map-only; the canonical key then feeds exact dedup.
+    */
+  def canonicalizeUrls(df: DataFrame): DataFrame = {
+    val noFrag = regexp_replace(col("url"), "#.*$", "")
+    val hasScheme = noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    val base0 = expr("substring_index(regexp_replace(url, '#.*$', ''), '?', 1)")
+    val qpos = instr(noFrag, "?")
+    val qpart = when(qpos > 0,
+      substring_index(noFrag, "?", -1)).otherwise(lit(""))
+    // lowercase scheme://authority, keep the rest as-is
+    val auth = regexp_extract(base0, "^([^/]*://[^/?#]*)", 1)
+    val rest = regexp_replace(base0, "^[^/]*://[^/?#]*", "")
+    val lowered = concat(lower(auth), rest)
+    val noWww = regexp_replace(lowered, "://www\\.", "://")
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(https://[^/:]+):443(/|$)", "$1$2"),
+      "^(http://[^/:]+):80(/|$)", "$1$2")
+    val noSlash = regexp_replace(noPort, "/+$", "")
+    val kept = filter(split(qpart, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("ref=") ||
+        p.startsWith("fbclid=") || p === ""))
+    val canon = when(size(kept) > 0,
+      concat(noSlash, lit("?"), array_join(kept, "&")))
+      .otherwise(noSlash)
+    df.withColumn("canonical_url", when(hasScheme, canon))
+  }
+
+  // ---------------------------------------------------------------------
+  // q173_url_canonicalize — deterministic messy variants (case-shouted
+  // schemes/hosts, WWW., :443, trailing slash, fragments, tracking
+  // params in LEADING and trailing positions) must collapse to their
+  // canonical page key; schemeless rows stay NULL. The gate groups by
+  // canonical and counts variants — any rule diverging between engines
+  // splits a group and hash-fails.
+  // ---------------------------------------------------------------------
+  def q173UrlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val urls = d.select(col("doc_id"),
+      when(col("doc_id") % 11 =!= 0, concat(
+        when(col("doc_id") % 7 === 0, lit("HTTPS://"))
+          .otherwise(lit("https://")),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Host"), (col("doc_id") % 10).cast("string"),
+        lit(".Example.COM"),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (col("doc_id") % 25).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("?utm_source=feed&id="),
+            (col("doc_id") % 25).cast("string")))
+          .otherwise(concat(lit("?id="), (col("doc_id") % 25).cast("string"),
+            when(col("doc_id") % 6 === 0, lit("&ref=tw"))
+              .otherwise(lit("")))),
+        when(col("doc_id") % 9 === 0, lit("#frag")).otherwise(lit(""))))
+        .otherwise(concat(lit("not a url "), col("doc_id").cast("string")))
+        .as("url"))
+    canonicalizeUrls(urls)
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("min_id"))
+  }
+
+  val q173UrlCanonicalizeSql: String =
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 <> 0 THEN
+      |      CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+      |      CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+      |      'Host' || (doc_id % 10) || '.Example.COM' ||
+      |      CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+      |      '/p/' || (doc_id % 25) ||
+      |      CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+      |      CASE WHEN doc_id % 4 = 0
+      |        THEN '?utm_source=feed&id=' || (doc_id % 25)
+      |        ELSE '?id=' || (doc_id % 25) ||
+      |          CASE WHEN doc_id % 6 = 0 THEN '&ref=tw' ELSE '' END END ||
+      |      CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END
+      |    ELSE 'not a url ' || doc_id END AS url
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u,
+      |         url FROM urls),
+      |s2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.-]*://')
+      |      THEN u END AS u
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT doc_id, u,
+      |    CASE WHEN strpos(u, '?') > 0
+      |      THEN split_part(u, '?', 1) ELSE u END AS base0,
+      |    CASE WHEN strpos(u, '?') > 0
+      |      THEN substring(u, strpos(u, '?') + 1) ELSE '' END AS qpart
+      |  FROM s2 WHERE u IS NOT NULL),
+      |s4 AS (
+      |  SELECT doc_id, qpart,
+      |    lower(regexp_extract(base0, '^([^/]*://[^/?#]*)', 1)) ||
+      |      regexp_replace(base0, '^[^/]*://[^/?#]*', '') AS b
+      |  FROM s3),
+      |s5 AS (
+      |  SELECT doc_id, qpart,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(b, '://www\.', '://'),
+      |          '^(https://[^/:]+):443(/|$)', '\1\2'),
+      |        '^(http://[^/:]+):80(/|$)', '\1\2'),
+      |      '/+$', '') AS b
+      |  FROM s4),
+      |s6 AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(qpart, '&'),
+      |      p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')
+      |        OR starts_with(p, 'fbclid=') OR p = '')) AS kept, b
+      |  FROM s5),
+      |canon AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(kept) > 0
+      |      THEN b || '?' || array_to_string(kept, '&') ELSE b END
+      |      AS canonical_url
+      |  FROM s6),
+      |alln AS (
+      |  SELECT u.doc_id, c.canonical_url
+      |  FROM urls u LEFT JOIN canon c ON u.doc_id = c.doc_id)
+      |SELECT canonical_url, COUNT(*) AS n_variants,
+      |  MIN(doc_id) AS min_id
+      |FROM alln GROUP BY canonical_url""".stripMargin
+
   // ---------------------------------------------------------------------
   // q161_curation_pipeline — the whole curation chain as ONE declarative
   // DAG, gate-checked end to end: exact dedup (keep the smallest doc_id

@@ -465,6 +465,31 @@ class CurationSpec extends SparkSpec {
     assert(r(5L) === ((0L, 0L, 0L, "clean text with 1234-5678 and a@b only")))
   }
 
+  test("canonicalizeUrls: case, www, default ports, fragments, tracking params") {
+    import spark.implicits._
+    val urls = Seq(
+      1L -> "HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x&id=7#frag",
+      2L -> "https://ex.com/A/b?id=7",                  // same page as 1
+      3L -> "https://ex.com:8080/A/b?id=7",             // kept port differs
+      4L -> "http://ex.com:80/x",                       // http default port
+      5L -> "https://ex.com/only?utm_a=1&ref=z",        // tracking-only qs
+      6L -> "https://ex.com/CaseSensitive/Path",        // path case kept
+      7L -> "no scheme here"
+    ).toDF("doc_id", "url")
+    val got = Curation.canonicalizeUrls(urls).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(got(1L) == "https://ex.com/A/b?id=7")
+    assert(got(2L) == got(1L), "variants must collapse")
+    assert(got(3L) == "https://ex.com:8080/A/b?id=7",
+      "non-default ports are meaningful")
+    assert(got(4L) == "http://ex.com/x")
+    assert(got(5L) == "https://ex.com/only",
+      "a tracking-only query drops its '?' entirely")
+    assert(got(6L) == "https://ex.com/CaseSensitive/Path")
+    assert(got(7L) == null)
+  }
+
   test("multi-quantile thresholds equal the single-q path for every q") {
     import spark.implicits._
     val df = (1 to 500).map(i =>
