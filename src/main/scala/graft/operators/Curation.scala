@@ -1156,6 +1156,64 @@ object Curation {
       |    '\b555-\d{4}\b', '<PHONE>', 'g') AS redacted
       |FROM corpus""".stripMargin
 
+  /** Per-group TRIMMED MEAN: drop both `tail` fractions by the exact
+    * positional thresholds (both from ONE
+    * [[quantileThresholdsContinuousMulti]] pass), then an exact decimal
+    * mean of the survivors — the robust location estimate that, unlike
+    * q152's median, still uses every central observation. The kept set
+    * is a deterministic value-range filter (thresholds are actual data
+    * values), so n_kept is integer-exact and the mean is
+    * decimal-sum/count — no float fold anywhere before the final
+    * division. */
+  def trimmedMean(df: DataFrame, key: String, value: String,
+      tail: Double): DataFrame = {
+    require(tail > 0 && tail < 0.5, s"tail $tail must be in (0, 0.5)")
+    val th = quantileThresholdsContinuousMulti(
+        df.select(col(key), col(value)), key, value,
+        Seq(tail, 1.0 - tail))
+      .groupBy(col(key))
+      .agg(max(col("n")).as("n_total"),
+        max(when(col("q") === tail, col("threshold"))).as("hi"),
+        max(when(col("q") === 1.0 - tail, col("threshold"))).as("lo"))
+    df.join(broadcast(th), key)
+      .filter(col(value) >= col("lo") && col(value) <= col("hi"))
+      .groupBy(col(key), col("n_total"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(sumDec(col(value)) / count(lit(1)).cast("double"), 6)
+          .as("trimmed_mean"))
+      .select(col(key), col("n_total"), col("n_kept"),
+        col("trimmed_mean"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q174_trimmed_mean — 10%-trimmed account-balance mean per market
+  // segment; the oracle re-derives both positional thresholds with the
+  // q152 RANGE-window rule and the identical decimal mean.
+  // ---------------------------------------------------------------------
+  def q174TrimmedMean(s: SparkSession, dir: String): DataFrame =
+    trimmedMean(t(s, dir, "customer"), "c_mktsegment", "c_acctbal", 0.1)
+
+  val q174TrimmedMeanSql: String =
+    """WITH r AS (
+      |  SELECT c_mktsegment AS g, c_acctbal AS x,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+      |      DESC RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cum_ge,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM customer),
+      |th AS (
+      |  SELECT g, MAX(n) AS n_total,
+      |    MAX(x) FILTER (WHERE cum_ge >= CEIL(n * 0.1)) AS hi,
+      |    MAX(x) FILTER (WHERE cum_ge >= CEIL(n * 0.9)) AS lo
+      |  FROM r GROUP BY g)
+      |SELECT th.g AS c_mktsegment, CAST(th.n_total AS BIGINT) AS n_total,
+      |  COUNT(*) AS n_kept,
+      |  ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS trimmed_mean
+      |FROM customer c JOIN th ON c.c_mktsegment = th.g
+      |WHERE c.c_acctbal >= th.lo AND c.c_acctbal <= th.hi
+      |GROUP BY th.g, th.n_total""".stripMargin
+
   /** Full URL canonicalization — the dedup key for crawl frontiers and
     * per-page dedup, one step past q95's domain extraction: two URLs
     * that differ only in scheme/host case, a `www.` prefix, a default
