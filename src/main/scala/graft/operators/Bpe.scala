@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Distributed BPE (byte-pair-encoding) vocabulary learning —
+  * the tokenizer-training step of an LLM data pipeline (Sennrich et
+  * al., ACL 2016), re-expressed in the shape that scales: after ONE
+  * corpus-sized word-count shuffle, every merge iteration runs on the
+  * DISTINCT-WORD table (vocabulary-sized — thousands of rows for a
+  * 100 TB corpus, weighted by word frequency), so training cost is
+  * O(corpus) + nMerges × O(|vocab|), not nMerges × O(corpus). That is
+  * exactly how production BPE trainers (SentencePiece/HF tokenizers)
+  * structure the work; the driver loop holds only the single best pair
+  * per iteration (one 1-row collect), never data.
+  *
+  * Simplification vs Sennrich: no end-of-word sentinel symbol — merges
+  * can span the whole word but not cross words (the oracle mirrors the
+  * same convention). Symbols are strings, so the machinery is agnostic
+  * to whether the alphabet is characters or bytes.
+  */
+object Bpe {
+
+  /** Corpus → weighted word vocabulary: lowercase, split on non-letter
+    * runs, count. The ONLY corpus-sized pass in BPE training. */
+  def wordVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Vocabulary → per-word symbol arrays (initially characters). */
+  def toSymbols(vocab: DataFrame): DataFrame =
+    vocab.select(split(col("word"), "").as("syms"), col("freq"))
+
+  /** Adjacent-pair statistics over the symbolized vocabulary: each
+    * occurrence of (a, b) adjacent in a word contributes that word's
+    * corpus frequency. Vocabulary-sized explode (Σ word lengths over
+    * DISTINCT words), one aggregation — the per-iteration cost of BPE
+    * training. */
+  def pairCounts(syms: DataFrame): DataFrame =
+    syms
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), size(col("syms")) - 1), i =>
+          struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("pair_freq"))
+
+  /** Apply ONE merge (a, b) → a+b to every word, greedy left-to-right
+    * non-overlapping (the BPE contract: "aaa" under merge (a,a) becomes
+    * ["aa","a"], not ["aa","aa"]). A pure array fold per word — map-only,
+    * no shuffle. The fold needs no "just merged" flag: after a merge the
+    * stack top is a+b, which can never textually equal a (b is
+    * non-empty), so accidental chain-merges cannot happen within one
+    * application. */
+  def applyMerge(syms: DataFrame, a: String, b: String): DataFrame = {
+    val merged = a + b
+    syms.select(
+      aggregate(col("syms"),
+        array().cast("array<string>"),
+        (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+          .otherwise(concat(acc, array(x)))).as("syms"),
+      col("freq"))
+  }
+
+  /** Learned merge list after `nMerges` iterations: each iteration
+    * takes the highest-frequency adjacent pair (ties broken by (a, b)
+    * ascending — deterministic), merges it everywhere, repeats. Driver
+    * holds one (a, b, freq) row per iteration; per-word state lives in
+    * the vocabulary DataFrame (localCheckpoint per iteration truncates
+    * the growing fold lineage, the Components/PageRank discipline).
+    * Stops early when no pair remains. */
+  def train(vocab: DataFrame, nMerges: Int): Seq[(String, String, Long)] = {
+    var syms = toSymbols(vocab).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    for (_ <- 1 to nMerges if !done) {
+      val top = pairCounts(syms)
+        .orderBy(col("pair_freq").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val r = top(0)
+        val (a, b) = (r.getString(0), r.getString(1))
+        merges += ((a, b, r.getLong(2)))
+        syms = applyMerge(syms, a, b).localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  // ---------------------------------------------------------------------
+  // q179_bpe_pairs — the first BPE iteration's pair table over the
+  // document corpus: top-20 adjacent character pairs by corpus-weighted
+  // frequency (ties by pair text). Integer evidence only; the oracle
+  // re-derives the same pairs positionally with substr over the distinct
+  // word list. The merge APPLICATION (greedy, iterative) is spec-tested
+  // against hand-computed fixtures — a loop SQL cannot express.
+  // ---------------------------------------------------------------------
+  def q179BpePairs(s: SparkSession, dir: String): DataFrame = {
+    val top = pairCounts(toSymbols(wordVocab(t(s, dir, "documents"), "text")))
+      .orderBy(col("pair_freq").desc, col("a").asc, col("b").asc)
+      .limit(20)
+    Similarity.rankBounded(top, "rnk",
+        Seq(col("pair_freq").desc, col("a").asc, col("b").asc))
+      .select(col("rnk").cast("int").as("rnk"),
+        concat(col("a"), col("b")).as("pair"), col("pair_freq"))
+  }
+
+  val q179BpePairsSql: String =
+    """WITH words AS (
+      |  SELECT w AS word, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      |    FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |pairs AS (
+      |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+      |    CAST(SUM(freq) AS BIGINT) AS pair_freq
+      |  FROM words, LATERAL unnest(range(1, length(word))) AS t(i)
+      |  WHERE length(word) >= 2
+      |  GROUP BY 1, 2)
+      |SELECT CAST(rnk AS INT) AS rnk, a || b AS pair, pair_freq FROM (
+      |  SELECT a, b, pair_freq,
+      |    ROW_NUMBER() OVER (ORDER BY pair_freq DESC, a ASC, b ASC) AS rnk
+      |  FROM pairs)
+      |WHERE rnk <= 20""".stripMargin
+}

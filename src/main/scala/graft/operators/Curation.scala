@@ -1468,4 +1468,158 @@ object Curation {
       |SELECT source, n_tokens,
       |  ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / z.z, 6) AS weight
       |FROM mass CROSS JOIN z""".stripMargin
+
+  /** K-ANONYMITY suppression — the release gate a dataset passes before
+    * quasi-identifier columns (the PII-adjacent ones q86's redaction
+    * does NOT touch: demographics, coarse location, account buckets)
+    * can ship: any combination of quasi values shared by fewer than `k`
+    * rows re-identifies, so those rows' quasi columns are suppressed
+    * (NULLed) as a group. One shuffle: group sizes by the quasi tuple,
+    * broadcast-or-shuffle joined back (Spark picks by stats), then a
+    * map-only conditional NULL-out — never a row explosion, and rows
+    * are PRESERVED (count in == count out; only identifiability drops).
+    * `suppressed` marks the affected rows for the release audit. */
+  def kAnonymize(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val sizes = df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("__gsize"))
+      .select(quasi.map(c => col(c).as(s"__q_$c")) :+ col("__gsize"): _*)
+    // null-safe join keys: a NULL quasi value is itself a group
+    val cond = quasi.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    val joined = df.join(sizes, cond)
+    val keep = col("__gsize") >= k
+    val out = df.columns.map {
+      case c if quasi.contains(c) => when(keep, col(c)).as(c)
+      case c => col(c)
+    }
+    joined.select(out.toSeq :+ (!keep).as("suppressed"): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // q176_k_anonymity — release audit over customers with quasi tuple
+  // (nation, segment, acctbal rounded to 1000s): k=3 suppression, then
+  // the released-group size distribution. Fine acctbal buckets plant
+  // real sub-k groups; every surviving group must have n >= 3 and the
+  // suppressed mass collapses into the all-NULL group — a missed or
+  // extra suppression splits a group and hash-fails.
+  // ---------------------------------------------------------------------
+  def q176KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        (floor(col("c_acctbal") / 1000.0) * 1000).cast("long")
+          .as("balance_band"))
+    kAnonymize(c, Seq("c_nationkey", "c_mktsegment", "balance_band"), 3L)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        col("balance_band"), col("suppressed"))
+      .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
+  }
+
+  val q176KAnonymitySql: String =
+    """WITH q AS (
+      |  SELECT c_custkey, c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / 1000.0) * 1000 AS BIGINT) AS balance_band
+      |  FROM customer),
+      |g AS (
+      |  SELECT *, COUNT(*) OVER (
+      |    PARTITION BY c_nationkey, c_mktsegment, balance_band) AS gsize
+      |  FROM q),
+      |anon AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN gsize >= 3 THEN c_nationkey END AS c_nationkey,
+      |    CASE WHEN gsize >= 3 THEN c_mktsegment END AS c_mktsegment,
+      |    CASE WHEN gsize >= 3 THEN balance_band END AS balance_band,
+      |    gsize < 3 AS suppressed
+      |  FROM g)
+      |SELECT c_nationkey, c_mktsegment, balance_band, suppressed,
+      |  COUNT(*) AS n, MIN(c_custkey) AS min_key
+      |FROM anon
+      |GROUP BY c_nationkey, c_mktsegment, balance_band, suppressed""".stripMargin
+
+  /** LONGEST-PREFIX policy match — the robots.txt / crawl-policy rule
+    * every fetch frontier evaluates per URL: of all rules for the URL's
+    * domain whose path-prefix matches at a SEGMENT boundary ("/p/1"
+    * governs "/p/1/x" but not "/p/10"), the longest prefix wins;
+    * no match falls back to `default`. Spark shape: each URL explodes
+    * into its path-prefix CHAIN (segment-bounded, so boundary semantics
+    * are structural, not textual) — at most path-depth rows, a constant
+    * ≤ ~16 for real URLs — then ONE equi-join against the broadcast
+    * rule table on (domain, prefix) and a max_by(length) per URL. No
+    * LIKE scans, no theta join: at 100 TB the frontier pays
+    * depth × |urls| join probes against an in-memory rule map. */
+  def prefixRuleMatch(urls: DataFrame, rules: DataFrame,
+      default: String): DataFrame = {
+    val parts = split(col("path"), "/")
+    val chain = urls.select(col("id"), col("domain"), col("path"),
+      explode(transform(sequence(lit(2), size(parts)), i =>
+        array_join(slice(parts, lit(1), i), "/"))).as("prefix"))
+    val hit = chain
+      .join(broadcast(rules), Seq("domain", "prefix"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("prefix").as("matched_prefix"),
+        col("action")), length(col("prefix"))).as("m"))
+    urls.join(hit, Seq("id"), "left")
+      .select(col("id"), col("domain"), col("path"),
+        col("m.matched_prefix").as("matched_prefix"),
+        coalesce(col("m.action"), lit(default)).as("action"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q181_prefix_rules — synthetic crawl policy over the q95/q173 URL
+  // shape: every host allows '/p' broadly but denies '/p/3k' subtrees;
+  // longest prefix must win for the denied ids and the boundary case
+  // ('/p/1' vs '/p/10', '/p/12' vs '/p/1') must NOT cross-match. The
+  // oracle derives the same verdict with LIKE-at-boundary semantics —
+  // two independent formulations of "segment-bounded prefix".
+  // ---------------------------------------------------------------------
+  def q181PrefixRules(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val urls = d.select(col("doc_id").as("id"),
+      concat(lit("host"), (col("doc_id") % 10).cast("string"),
+        lit(".example.com")).as("domain"),
+      concat(lit("/p/"), (col("doc_id") % 25).cast("string"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("/v"), (col("doc_id") % 3).cast("string")))
+          .otherwise(lit(""))).as("path"))
+    val hosts = s.range(10).select(
+      concat(lit("host"), col("id").cast("string"), lit(".example.com"))
+        .as("domain"))
+    val allowAll = hosts.select(col("domain"), lit("/p").as("prefix"),
+      lit("allow").as("action"))
+    val denySub = hosts.crossJoin(s.range(9).select(
+        (col("id") * 3).as("k")))
+      .select(col("domain"),
+        concat(lit("/p/"), col("k").cast("string")).as("prefix"),
+        lit("deny").as("action"))
+    prefixRuleMatch(urls, allowAll.unionByName(denySub), "allow")
+      .groupBy(col("domain"), col("action"), col("matched_prefix"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"))
+  }
+
+  val q181PrefixRulesSql: String =
+    """WITH urls AS (
+      |  SELECT doc_id AS id,
+      |    'host' || (doc_id % 10) || '.example.com' AS domain,
+      |    '/p/' || (doc_id % 25) ||
+      |      CASE WHEN doc_id % 4 = 0 THEN '/v' || (doc_id % 3)
+      |           ELSE '' END AS path
+      |  FROM documents),
+      |rules AS (
+      |  SELECT 'host' || d || '.example.com' AS domain,
+      |    '/p' AS prefix, 'allow' AS action
+      |  FROM range(10) AS t(d)
+      |  UNION ALL
+      |  SELECT 'host' || d || '.example.com', '/p/' || (3 * k), 'deny'
+      |  FROM range(10) AS t(d), range(9) AS u(k)),
+      |hit AS (
+      |  SELECT u.id, r.prefix, r.action,
+      |    ROW_NUMBER() OVER (PARTITION BY u.id
+      |      ORDER BY length(r.prefix) DESC) AS rn
+      |  FROM urls u JOIN rules r ON u.domain = r.domain
+      |    AND (u.path = r.prefix OR u.path LIKE r.prefix || '/%'))
+      |SELECT u.domain,
+      |  COALESCE(h.action, 'allow') AS action,
+      |  h.prefix AS matched_prefix,
+      |  COUNT(*) AS n, MIN(u.id) AS min_id
+      |FROM urls u LEFT JOIN hit h ON u.id = h.id AND h.rn = 1
+      |GROUP BY u.domain, COALESCE(h.action, 'allow'), h.prefix""".stripMargin
 }

@@ -240,4 +240,71 @@ object Graph {
       |      ORDER BY n_triangles DESC, node ASC) AS rnk
       |  FROM per_node)
       |WHERE rnk <= 20""".stripMargin
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) — the mutual-
+    * reinforcement ranking PageRank doesn't give: a node is a good
+    * AUTHORITY if good hubs point at it, a good HUB if it points at
+    * good authorities. Kept UNNORMALIZED over a fixed iteration count,
+    * which makes every score a pure int64 path count (hub⁰ = 1;
+    * authᵏ = Σ_in hubᵏ⁻¹; hubᵏ = Σ_out authᵏ) — no per-iteration float
+    * normalization fold to make engine-reproducible, and the RANKING is
+    * identical to the normalized variant (normalization is a positive
+    * scalar per iteration). Each half-iteration is one equi-join +
+    * one groupBy — shuffle-on-key, never a cartesian; state is one row
+    * per node. Int64 headroom: scores grow like (mean degree)^k — at
+    * k = 2 that is deg² ≲ 10⁹ for million-degree hubs, far under 2⁶³;
+    * deeper runs should renormalize (and accept float discipline). */
+  def hits(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    // auth¹ = in-degree (hub⁰ = 1)
+    val auth1 = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("a1"))
+    // hub¹(u) = Σ_{u→v} auth¹(v)
+    val hub1 = e.join(auth1.select(col("node").as("dst"), col("a1")), "dst")
+      .groupBy(col("src").as("node")).agg(sum(col("a1")).as("h1"))
+    // auth²(v) = Σ_{u→v} hub¹(u)
+    val auth2 = e.join(hub1.select(col("node").as("src"), col("h1")), "src")
+      .groupBy(col("dst").as("node")).agg(sum(col("h1")).as("a2"))
+    auth2.join(auth1, Seq("node"), "left")
+      .select(col("node"), coalesce(col("a1"), lit(0L)).as("auth1"),
+        col("a2").as("auth2"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q180_hits — two-step authorities over the directed customer→supplier
+  // purchase graph: suppliers whose customers also buy from many other
+  // well-bought suppliers. Integer path-count evidence; top-20 by auth²
+  // with node tie-break, oracle = the same two join-aggregate rounds.
+  // ---------------------------------------------------------------------
+  def q180Hits(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    val h = hits(edges)
+    val top = h.orderBy(col("auth2").desc, col("node").asc).limit(20)
+    Similarity.rankBounded(top, "rnk",
+        Seq(col("auth2").desc, col("node").asc))
+      .select(col("rnk").cast("int").as("rnk"), col("node"),
+        col("auth1"), col("auth2"))
+  }
+
+  val q180HitsSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |a1 AS (SELECT dst AS node, COUNT(*) AS a1 FROM e GROUP BY dst),
+      |h1 AS (
+      |  SELECT e.src AS node, CAST(SUM(a1.a1) AS BIGINT) AS h1
+      |  FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+      |a2 AS (
+      |  SELECT e.dst AS node, CAST(SUM(h1.h1) AS BIGINT) AS a2
+      |  FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst)
+      |SELECT CAST(rnk AS INT) AS rnk, node, auth1, auth2 FROM (
+      |  SELECT a2.node, COALESCE(a1.a1, 0) AS auth1, a2.a2 AS auth2,
+      |    ROW_NUMBER() OVER (ORDER BY a2.a2 DESC, a2.node ASC) AS rnk
+      |  FROM a2 LEFT JOIN a1 ON a2.node = a1.node)
+      |WHERE rnk <= 20""".stripMargin
 }

@@ -299,4 +299,112 @@ object Labels {
       |      / ((CAST(n_items AS DOUBLE) * 5.0)
       |        * (CAST(n_items AS DOUBLE) * 5.0))), 6) AS kappa
       |FROM s CROSS JOIN tt""".stripMargin
+
+  /** Krippendorff's alpha (nominal) — the agreement statistic that,
+    * unlike [[fleissKappa]]'s fixed-n design, accepts MISSING ratings:
+    * items keep whatever raters they have (any n_i >= 2 contributes),
+    * which is the real shape of crowd/LLM annotation runs where no
+    * rater sees every item. Computed from the coincidence matrix
+    * WITHOUT materializing it: per item, the within-item disagreeing
+    * ordered pairs are n_i² − Σ_c r_ic² and each item's contribution
+    * carries weight 1/(n_i − 1) — kept EXACT by scaling every term by
+    * L = lcm(1..maxRaters−1) (so L/(n_i−1) is an integer; α is
+    * L-invariant, the emitted integer evidence is pinned by the
+    * declared maxRaters). Marginals n_c and the expected-disagreement
+    * term n² − Σ_c n_c² are pure int64; ONE double division at the
+    * end: α = 1 − D'o·(n−1) / (L·(n² − Σ n_c²)).
+    *
+    * Scale shape: dedupe + two grouped aggregations (item,label) →
+    * item, plus a |labels|-sized marginal — no pair expansion ever.
+    * An item with n_i > maxRaters raises engine-side (the L guarantee
+    * would silently break); duplicate (item, rater) ratings collapse
+    * deterministically to the min label. */
+  def krippendorffAlpha(df: DataFrame, item: String, rater: String,
+      label: String, maxRaters: Int): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 16,
+      s"maxRaters must be in [2,16], got $maxRaters")
+    val L: Long = (1 until maxRaters).foldLeft(1L)((a, b) =>
+      a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    val ratings = df.groupBy(col(item), col(rater))
+      .agg(min(col(label)).as("__lab"))
+    val cells = ratings.groupBy(col(item), col("__lab"))
+      .agg(count(lit(1)).as("r"))
+    val perItem = cells.groupBy(col(item))
+      .agg(sum(col("r")).as("ni"), sum(col("r") * col("r")).as("s2"))
+      .filter(col("ni") >= 2)
+    val doTbl = perItem.agg(
+      sum(expr(s"(${L}L div (ni - 1)) * (ni * ni - s2)")).as("do_raw"),
+      sum(col("ni")).as("n_ratings"),
+      count(lit(1)).as("n_items"),
+      max(col("ni")).as("__maxni"))
+    val marg = cells.join(perItem.select(col(item)), Seq(item), "left_semi")
+      .groupBy(col("__lab")).agg(sum(col("r")).as("nc"))
+      .agg(sum(col("nc") * col("nc")).as("sum_nc2"))
+    val j = doTbl.crossJoin(broadcast(marg))
+    val n = col("n_ratings").cast("double")
+    val deNum = col("n_ratings") * col("n_ratings") - col("sum_nc2")
+    // the raise_error guard sits in the emitted projection (not a
+    // prunable side column): an item wider than the declared maxRaters
+    // voids the L/(n_i−1) integrality and must fail loudly
+    val doGuarded = when(col("__maxni") > maxRaters,
+      raise_error(concat(lit("krippendorffAlpha: item with more than " +
+        s"$maxRaters raters: "), col("__maxni").cast("string"))))
+      .otherwise(col("do_raw"))
+    // De = 0 (all usable ratings share one label) leaves α undefined —
+    // NULL, guarded before the division (ANSI raises on /0)
+    j.select(col("n_items"), col("n_ratings"),
+      doGuarded.as("do_scaled"),
+      deNum.as("de_num"),
+      when(deNum =!= 0,
+        round(lit(1.0) - col("do_raw").cast("double") * (n - lit(1.0)) /
+          (lit(L.toDouble) * deNum.cast("double")), 6)).as("alpha"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q177_krippendorff — behavioral agreement with MISSING cells: each
+  // user's 3-hour slots are 8 potential "raters" of the user (label =
+  // lexicographically-first event type in the slot); the event_id % 3
+  // thinning leaves real slot gaps, so items carry 2..8 ratings — the
+  // missing-data case Fleiss cannot express. Integer evidence
+  // (do_scaled at L = lcm(1..7) = 420, de_num) alongside the rounded α.
+  // ---------------------------------------------------------------------
+  def q177Krippendorff(s: SparkSession, dir: String): DataFrame =
+    krippendorffAlpha(
+      t(s, dir, "events").filter(col("event_id") % 3 === 0)
+        .select(col("user_id"),
+          expr("hour(ts) div 3").as("slot"), col("event_type")),
+      "user_id", "slot", "event_type", maxRaters = 8)
+
+  val q177KrippendorffSql: String =
+    """WITH ratings AS (
+      |  SELECT user_id, hour(ts) // 3 AS slot,
+      |    MIN(event_type) AS lab
+      |  FROM events WHERE event_id % 3 = 0
+      |  GROUP BY user_id, hour(ts) // 3),
+      |cells AS (
+      |  SELECT user_id, lab, COUNT(*) AS r
+      |  FROM ratings GROUP BY user_id, lab),
+      |per_item AS (
+      |  SELECT user_id, SUM(r) AS ni, SUM(r * r) AS s2
+      |  FROM cells GROUP BY user_id
+      |  HAVING SUM(r) >= 2),
+      |d AS (
+      |  SELECT CAST(SUM((420 // (ni - 1)) * (ni * ni - s2)) AS BIGINT)
+      |      AS do_scaled,
+      |    CAST(SUM(ni) AS BIGINT) AS n_ratings,
+      |    COUNT(*) AS n_items
+      |  FROM per_item),
+      |marg AS (
+      |  SELECT CAST(SUM(nc * nc) AS BIGINT) AS sum_nc2 FROM (
+      |    SELECT CAST(SUM(c.r) AS BIGINT) AS nc
+      |    FROM cells c JOIN per_item p ON c.user_id = p.user_id
+      |    GROUP BY c.lab))
+      |SELECT n_items, n_ratings, do_scaled,
+      |  n_ratings * n_ratings - sum_nc2 AS de_num,
+      |  CASE WHEN n_ratings * n_ratings - sum_nc2 <> 0 THEN
+      |    ROUND(1.0 - CAST(do_scaled AS DOUBLE)
+      |        * (CAST(n_ratings AS DOUBLE) - 1.0)
+      |      / (420.0 * CAST(n_ratings * n_ratings - sum_nc2 AS DOUBLE)), 6)
+      |  END AS alpha
+      |FROM d CROSS JOIN marg""".stripMargin
 }

@@ -878,4 +878,83 @@ object Similarity {
   val q110SemDedupIncrementalSql: String =
     """SELECT vec_id + 10000000 AS vec_id
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
+  /** SEMANTIC benchmark decontamination — the embedding-space
+    * complement of q62's exact-ngram and q100's span-level checks: a
+    * training example whose embedding sits within cosine `tau` of ANY
+    * benchmark item is contaminated even when no n-gram survives the
+    * paraphrase. Exact by construction: the benchmark side is the
+    * SMALL side (a benchmark is thousands of items, the corpus is the
+    * 100 TB one), so it broadcasts and every corpus row takes one
+    * codegen `cosine_sim` pass per benchmark row — a map-only scan of
+    * the corpus, no shuffle until the per-row max aggregate on the
+    * corpus key. For benchmark sets too large to broadcast, probe the
+    * IVF index instead ([[semDedupProbe]] is exactly that shape).
+    * Returns per-corpus-row `max_sim` and the `contaminated` verdict. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, embCol: String, tau: Double): DataFrame = {
+    val b = broadcast(benchmark
+      .select(col(embCol).as("__b_emb"), col(idCol).as("__b_id")))
+    corpus.select(col(idCol), col(embCol))
+      .crossJoin(b)
+      .filter(col(idCol) =!= col("__b_id"))
+      .groupBy(col(idCol))
+      .agg(max(expr(s"cosine_sim($embCol, __b_emb)")).as("max_sim"))
+      .select(col(idCol), round(col("max_sim"), 4).as("max_sim"),
+        (col("max_sim") >= tau).as("contaminated"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q178_semantic_decontam — benchmark = every 25th embedding; per-label
+  // contamination tally over the rest at tau = 0.8 plus the decimal-
+  // exact mean of rounded per-row max sims. The oracle replays the
+  // identical double-accumulated elementwise fold (dot / sqrt(nx·ny) —
+  // the cosine_sim shape, NOT DuckDB's list_cosine_similarity, whose
+  // norm arrangement differs in ulp). max is order-independent;
+  // per-row rounding to 6dp puts both engines on the same grid before
+  // the decimal mean.
+  // ---------------------------------------------------------------------
+  def q178SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    val bench = e.filter(col("vec_id") % 25 === 0)
+    val corpus = e.filter(col("vec_id") % 25 =!= 0)
+    semanticDecontaminate(corpus, bench, "vec_id", "embedding", tau = 0.8)
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("contaminated").cast("long")).as("n_contaminated"),
+        round(sumDec(col("max_sim")) / count(lit(1)).cast("double"), 6)
+          .as("mean_max_sim"))
+  }
+
+  val q178SemanticDecontamSql: String =
+    """WITH pairs AS (
+      |  SELECT c.vec_id, c.label,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      [CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+      |       FOR i IN range(1, len(c.embedding) + 1)]),
+      |      (a, x) -> a + x)
+      |    / sqrt(
+      |      list_reduce(list_prepend(0.0::DOUBLE,
+      |        [CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+      |         FOR i IN range(1, len(c.embedding) + 1)]),
+      |        (a, x) -> a + x)
+      |      * list_reduce(list_prepend(0.0::DOUBLE,
+      |        [CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+      |         FOR i IN range(1, len(b.embedding) + 1)]),
+      |        (a, x) -> a + x)) AS sim
+      |  FROM embeddings c
+      |  JOIN embeddings b ON b.vec_id % 25 = 0 AND c.vec_id <> b.vec_id
+      |  WHERE c.vec_id % 25 <> 0),
+      |per_row AS (
+      |  SELECT vec_id, label, ROUND(MAX(sim), 4) AS max_sim,
+      |    MAX(sim) >= 0.8 AS contaminated
+      |  FROM pairs GROUP BY vec_id, label)
+      |SELECT label, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contaminated,
+      |  ROUND(CAST(SUM(CAST(max_sim AS DECIMAL(30,4))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_max_sim
+      |FROM per_row GROUP BY label""".stripMargin
 }

@@ -991,4 +991,151 @@ object Stats {
       |  ROUND(CAST(dnum AS DOUBLE)
       |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_d
       |FROM d WHERE rn = 1 AND n1 >= 1 AND n2 >= 1""".stripMargin
+
+  /** Per-series AUTOCORRELATION at lags 1..`maxLag` — the serial-
+    * dependence profile a time-series feature pipeline reads before
+    * choosing model lags (and the residual-whiteness check after).
+    * Per key, the series is the `value` column in `(orderCols)` order;
+    * the lag-k pairs come from ONE window pass producing all lags
+    * (a single `WindowExec`, shuffle-on-key only), and each lag's
+    * Pearson r is assembled from exact decimal power sums over the
+    * pair set (the q44/q134 discipline: order-independent sums, the
+    * combining float arithmetic in one fixed expression shape, rounded
+    * far above ulp). Pairs never cross keys; a series shorter than
+    * k+1 has no lag-k pairs and emits no row for that (key, lag);
+    * a single-pair group has zero variance and surfaces NaN. */
+  def acf(df: DataFrame, key: String, orderCols: Seq[Column],
+      value: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
+    val lagged = df.select(
+      (col(key) +: col(value).as("x") +:
+        (1 to maxLag).map(k => lag(col(value), k).over(w).as(s"__l$k"))): _*)
+    val stacked = lagged.select(col(key),
+      explode(array((1 to maxLag).map(k =>
+        struct(lit(k).as("lag"), col("x"),
+          col(s"__l$k").as("y"))): _*)).as("p"))
+      .select(col(key), col("p.lag").as("lag"), col("p.x").as("x"),
+        col("p.y").as("y"))
+      .filter(col("y").isNotNull)
+    val g = stacked.groupBy(col(key), col("lag")).agg(
+      count(lit(1)).cast("double").as("n"),
+      s1(col("x")).as("sx"), s1(col("y")).as("sy"),
+      s2(col("x"), col("x")).as("sxx"),
+      s2(col("y"), col("y")).as("syy"),
+      s2(col("x"), col("y")).as("sxy"))
+    // a zero-variance side (single pair, constant run) has no defined r —
+    // NULL, guarded BEFORE the division (ANSI mode raises on 0/0)
+    val den = sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+      sqrt(col("n") * col("syy") - col("sy") * col("sy"))
+    g.select(col(key), col("lag"),
+      col("n").cast("long").as("n_pairs"),
+      when(den =!= 0.0,
+        round((col("n") * col("sxy") - col("sx") * col("sy")) / den, 8))
+        .as("acf"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q175_acf — serial correlation of event values at lags 1..3 per event
+  // type (series ordered by (ts, event_id) — event_id makes the order
+  // total). The oracle re-derives the identical lag pairs with LAG
+  // windows and the same power-sum Pearson expression.
+  // ---------------------------------------------------------------------
+  def q175Acf(s: SparkSession, dir: String): DataFrame =
+    acf(t(s, dir, "events"), "event_type",
+      Seq(col("ts").asc, col("event_id").asc), "value", 3)
+
+  val q175AcfSql: String =
+    """WITH l AS (
+      |  SELECT event_type, value AS x,
+      |    LAG(value, 1) OVER w AS l1,
+      |    LAG(value, 2) OVER w AS l2,
+      |    LAG(value, 3) OVER w AS l3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      |p AS (
+      |  SELECT event_type, 1 AS lag, x, l1 AS y FROM l WHERE l1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT event_type, 2, x, l2 FROM l WHERE l2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT event_type, 3, x, l3 FROM l WHERE l3 IS NOT NULL),
+      |g AS (
+      |  SELECT event_type, lag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(30,8))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(30,8))) AS DOUBLE) AS sxy
+      |  FROM p GROUP BY event_type, lag)
+      |SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+      |  CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) <> 0.0
+      |    THEN ROUND((n * sxy - sx * sy) /
+      |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8)
+      |  END AS acf
+      |FROM g""".stripMargin
+
+  /** BENFORD first-significant-digit audit — the classic fabricated-
+    * numbers / unit-mix detector for financial and telemetry columns:
+    * compare the observed first-digit distribution of `value` against
+    * Benford's law p(d) = log10(1 + 1/d) with a chi-square statistic.
+    * Evidence stays integer (per-digit counts — one scan, a 9-row
+    * aggregate); the expected terms are fixed literal-shaped doubles,
+    * so the final statistic is engine-reproducible. Rows with a NULL,
+    * zero, or non-finite value are excluded (no first digit). */
+  def benford(df: DataFrame, value: String): DataFrame = {
+    // first significant digit of |x|: the leading char of the decimal
+    // mantissa — string route, not log10 (pow/log at subnormal corners
+    // differ across libm builds; substring of the formatted value is
+    // exact for any finite double)
+    val d = df.select(abs(col(value)).as("a"))
+      .filter(col("a").isNotNull && col("a") > 0.0 &&
+        !isnan(col("a")) && col("a") =!= Double.PositiveInfinity)
+      .select(regexp_extract(format_number(col("a"), 10), "[1-9]", 0)
+        .as("digit"))
+      .filter(col("digit") =!= "")
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = Window.partitionBy()
+    // chi-square term per digit: (obs − n·p)² / (n·p); emitting per-digit
+    // terms (not the global sum) keeps the float fold trivially ordered.
+    // log10 (not ln-ratio) on BOTH engines — identical expression shape.
+    val expected = log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) *
+      col("n").cast("double")
+    val dev = col("n_obs").cast("double") - expected
+    d.withColumn("n", sum(col("n_obs")).over(total))
+      .select(col("digit"), col("n_obs"),
+        round(expected, 4).as("n_expected"),
+        round(dev * dev / expected, 4).as("chi2_term"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q182_benford — first-digit audit of order totals. o_totalprice is a
+  // product of uniform-ish factors, so it bends toward Benford — the
+  // gate checks the per-digit machinery (string-route digit extraction,
+  // integer counts, fixed-shape expected/chi2 terms), not the verdict.
+  // ---------------------------------------------------------------------
+  def q182Benford(s: SparkSession, dir: String): DataFrame =
+    benford(t(s, dir, "orders"), "o_totalprice")
+
+  val q182BenfordSql: String =
+    """WITH d AS (
+      |  SELECT regexp_extract(format('{:.10f}', ABS(o_totalprice)),
+      |    '[1-9]') AS digit
+      |  FROM orders
+      |  WHERE o_totalprice IS NOT NULL AND ABS(o_totalprice) > 0
+      |    AND isfinite(o_totalprice)),
+      |g AS (
+      |  SELECT digit, COUNT(*) AS n_obs FROM d
+      |  WHERE digit <> '' GROUP BY digit),
+      |t AS (SELECT digit, n_obs, SUM(n_obs) OVER () AS n FROM g)
+      |SELECT digit, n_obs,
+      |  ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+      |    * CAST(n AS DOUBLE), 4) AS n_expected,
+      |  ROUND((CAST(n_obs AS DOUBLE)
+      |      - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * CAST(n AS DOUBLE))
+      |    * (CAST(n_obs AS DOUBLE)
+      |      - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * CAST(n AS DOUBLE))
+      |    / (log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * CAST(n AS DOUBLE)),
+      |    4) AS chi2_term
+      |FROM t""".stripMargin
 }

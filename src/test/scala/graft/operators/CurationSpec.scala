@@ -544,4 +544,54 @@ class CurationSpec extends SparkSpec {
     // raw share of small = 4/403 ≈ 1%; sqrt share = 2/(2+19.97) ≈ 9%
     assert(ws > ns.toDouble / (nb + ns), "temperature must upweight")
   }
+
+  test("kAnonymize: sub-k groups suppress as a unit, rows are preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "US", "a"), (2, "US", "a"), (3, "US", "a"),   // group of 3: kept
+      (4, "FR", "b"), (5, "FR", "b"),                    // group of 2: wiped
+      (6, "DE", "c")).toDF("id", "country", "seg")       // singleton: wiped
+    val r = Curation.kAnonymize(df, Seq("country", "seg"), 3L)
+    assert(r.count() == 6L)
+    val m = r.collect().map(x => x.getInt(0) ->
+      ((Option(x.getString(1)), Option(x.getString(2)),
+        x.getBoolean(3)))).toMap
+    assert(m(1) == ((Some("US"), Some("a"), false)))
+    assert(m(4) == ((None, None, true)))
+    assert(m(6) == ((None, None, true)))
+  }
+
+  test("kAnonymize: NULL quasi values form their own group") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Option.empty[String]), (2, Option.empty[String]),
+      (3, Option.empty[String]), (4, Some("x"))).toDF("id", "q")
+    val m = Curation.kAnonymize(df, Seq("q"), 3L).collect()
+      .map(x => x.getInt(0) -> x.getBoolean(2)).toMap
+    // the three NULLs are a group of 3 -> kept; the singleton x wipes
+    assert(m(1) == false && m(2) == false && m(4) == true)
+  }
+
+  test("prefixRuleMatch: longest prefix wins and segment boundaries hold") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "d.com", "/p/1"),      // exact deny rule
+      (2L, "d.com", "/p/10"),     // must NOT match the /p/1 rule
+      (3L, "d.com", "/p/1/sub"),  // under the deny subtree
+      (4L, "d.com", "/q"),        // no rule: default
+      (5L, "e.com", "/p/1")       // other domain: no rule
+    ).toDF("id", "domain", "path")
+    val rules = Seq(
+      ("d.com", "/p", "allow"), ("d.com", "/p/1", "deny"))
+      .toDF("domain", "prefix", "action")
+    val m = Curation.prefixRuleMatch(urls, rules, "default")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(3)), r.getString(4)))).toMap
+    assert(m(1L) == ((Some("/p/1"), "deny")))
+    assert(m(2L) == ((Some("/p"), "allow")))
+    assert(m(3L) == ((Some("/p/1"), "deny")))
+    assert(m(4L) == ((None, "default")))
+    assert(m(5L) == ((None, "default")))
+  }
+
 }

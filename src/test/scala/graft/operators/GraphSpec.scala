@@ -82,4 +82,23 @@ class GraphSpec extends SparkSpec {
     val m = tri((1, 2), (1, 3), (2, 3), (2, 4), (3, 4))
     assert(m == Map(1 -> 1L, 2 -> 2L, 3 -> 2L, 4 -> 1L))
   }
+
+  test("hits: hand-computed two-step authority scores on a tiny graph") {
+    // hubs h1,h2 → authorities x,y; h1→x,y; h2→y
+    val e = edges(("h1", "x"), ("h1", "y"), ("h2", "y"))
+    val m = Graph.hits(e).as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // auth1: x=1, y=2. hub1: h1=1+2=3, h2=2.
+    // auth2: x=h1=3, y=h1+h2=5.
+    assert(m == Map("x" -> ((1L, 3L)), "y" -> ((2L, 5L))))
+  }
+
+  test("hits: parallel edges collapse; scores are partition-invariant") {
+    val es = (1 to 40).map(i => (s"u${i % 5}", s"v${(i * 3) % 7}"))
+    val a = Graph.hits(es.toDF("src", "dst"))
+      .as[(String, Long, Long)].collect().toSet
+    val b = Graph.hits((es ++ es).reverse.toDF("src", "dst").repartition(9))
+      .as[(String, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }

@@ -105,4 +105,55 @@ class LabelsSpec extends SparkSpec {
     assert(r.getAs[Double]("pe") == 0.625)
     assert(r.getAs[Double]("kappa") == -0.333333)
   }
+
+  test("krippendorffAlpha: hand-computed nominal alpha with missing cells") {
+    import spark.implicits._
+    // item1 (x,x); item2 (x,y,y); item3 (y,y); item4 single rating drops
+    val df = Seq(
+      (1, "A", "x"), (1, "B", "x"),
+      (2, "A", "x"), (2, "B", "y"), (2, "C", "y"),
+      (3, "A", "y"), (3, "B", "y"),
+      (4, "A", "x")).toDF("item", "rater", "lab")
+    val r = Labels.krippendorffAlpha(df, "item", "rater", "lab", 3).head()
+    // L = lcm(1,2) = 2; D'o = 2*(4-4)/1? no: item1 0, item2 (9-5)*1 = 4
+    assert(r.getAs[Long]("n_items") == 3L)
+    assert(r.getAs[Long]("n_ratings") == 7L)
+    assert(r.getAs[Long]("do_scaled") == 4L)
+    assert(r.getAs[Long]("de_num") == 24L)
+    assert(r.getAs[Double]("alpha") == 0.5)
+  }
+
+  test("krippendorffAlpha: perfect agreement is 1; result partition-invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "A", "x"), (1, "B", "x"), (2, "A", "y"), (2, "B", "y"),
+      (2, "C", "y")).toDF("item", "rater", "lab")
+    val r1 = Labels.krippendorffAlpha(df, "item", "rater", "lab", 4).head()
+    val r2 = Labels.krippendorffAlpha(df.repartition(7), "item", "rater",
+      "lab", 4).head()
+    assert(r1.getAs[Double]("alpha") == 1.0)
+    assert(r1 == r2)
+  }
+
+  test("krippendorffAlpha: duplicate (item, rater) collapses to min label") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "A", "z"), (1, "A", "x"), (1, "B", "x"),
+      (2, "A", "y"), (2, "B", "y")).toDF("item", "rater", "lab")
+    val r = Labels.krippendorffAlpha(df, "item", "rater", "lab", 2).head()
+    // A's item-1 rating dedupes to x -> perfect agreement on both items
+    assert(r.getAs[Long]("n_ratings") == 4L && r.getAs[Double]("alpha") == 1.0)
+  }
+
+  test("krippendorffAlpha: an item wider than maxRaters raises") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "A", "x"), (1, "B", "x"), (1, "C", "x"),
+      (2, "A", "x"), (2, "B", "y")).toDF("item", "rater", "lab")
+    val ex = intercept[Exception] {
+      Labels.krippendorffAlpha(df, "item", "rater", "lab", 2).collect()
+    }
+    assert(ex.getMessage.contains("krippendorffAlpha") ||
+      ex.getCause != null)
+  }
 }

@@ -323,9 +323,14 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q138: jaro_winkler runs as the native expression, not a UDF") {
-    val p = planOf(FuzzyJoin.q138JaroRerank(spark, sfDir))
-    assert(p.contains("jaro_winkler"), p.take(800))
-    assert(!p.toLowerCase.contains("scalaudf"))
+    val df = FuzzyJoin.q138JaroRerank(spark, sfDir)
+    // the value-first rewrite moved the jaro expression into a
+    // HashAggregate's resultExpressions, which the PHYSICAL plan string
+    // does not print — assert presence on the optimized logical plan,
+    // absence of UDF fallback on the physical one
+    assert(df.queryExecution.optimizedPlan.toString.contains("jaro_winkler"),
+      df.queryExecution.optimizedPlan.toString.take(800))
+    assert(!planOf(df).toLowerCase.contains("scalaudf"))
   }
 
   test("q148: EWMA is one shuffle on the key, fold stays codegen-side") {
@@ -362,4 +367,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(!p.toLowerCase.contains("scalaudf"))
   }
+
+  test("q178: benchmark vectors broadcast; corpus never shuffles pre-max") {
+    val p = planOf(Similarity.q178SemanticDecontam(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("cosine_sim") && !p.toLowerCase.contains("scalaudf"))
+  }
+
+  test("q181: rule table broadcasts; prefix match is an equi-join") {
+    val p = planOf(Curation.q181PrefixRules(spark, sfDir))
+    // the PROBE join must be hash-equi on (domain, prefix) — a LIKE-scan
+    // would plan a nested loop over the corpus. (The 10x9 rule-table
+    // construction cross is bounded and allowed.)
+    assert(p.contains("BroadcastHashJoin [domain#"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q180: HITS iterations are equi-joins, never cartesian") {
+    val p = planOf(Graph.q180Hits(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q179: BPE pair stats plan is vocabulary-sided (top-k TakeOrdered)") {
+    val p = planOf(Bpe.q179BpePairs(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.toLowerCase.contains("scalaudf"))
+  }
+
+  test("q176: k-anonymity preserves rows — one count shuffle, a join, no explosion") {
+    val p = planOf(Curation.q176KAnonymity(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
 }

@@ -246,4 +246,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r(11L)._1 < r(13L)._1)
     assert(r.size === 4)
   }
+
+  test("semanticDecontaminate flags scaled copies of benchmark vectors only") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f)),   // scaled copy: cosine 1
+      (2L, Array(0.0f, 3.0f, 0.0f)),   // orthogonal: cosine 0
+      (3L, Array(1.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding") // 0.707
+    val r = Similarity.semanticDecontaminate(corpus, bench, "vec_id",
+      "embedding", tau = 0.9).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getBoolean(2)))).toMap
+    assert(r(1L) == ((1.0, true)))
+    assert(r(2L) == ((0.0, false)))
+    assert(r(3L)._2 == false && math.abs(r(3L)._1 - 0.7071) < 0.001)
+  }
 }

@@ -325,4 +325,49 @@ class SkewAndStatsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3))).toSet
     assert(a == b)
   }
+
+  test("acf: linear series has lag-k autocorrelation exactly 1 after rounding") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => ("g", i, i.toDouble)).toDF("g", "t", "x")
+    val r = Stats.acf(df, "g", Seq(col("t").asc), "x", 3)
+      .collect().map(x => x.getInt(1) -> ((x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r(1) == ((49L, 1.0)) && r(2) == ((48L, 1.0)) && r(3) == ((47L, 1.0)))
+  }
+
+  test("acf: alternating series has lag-1 acf -1, lag-2 acf +1") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => ("g", i, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("g", "t", "x")
+    val r = Stats.acf(df, "g", Seq(col("t").asc), "x", 2)
+      .collect().map(x => x.getInt(1) -> x.getDouble(3)).toMap
+    assert(r(1) == -1.0 && r(2) == 1.0)
+  }
+
+  test("acf: series shorter than lag+1 emits no row for that lag") {
+    import spark.implicits._
+    val df = Seq(("g", 1, 5.0), ("g", 2, 7.0)).toDF("g", "t", "x")
+    val lags = Stats.acf(df, "g", Seq(col("t").asc), "x", 3)
+      .collect().map(_.getInt(1)).toSet
+    assert(lags == Set(1))
+  }
+
+  test("benford: digit extraction handles magnitudes, sign, zero and null") {
+    import spark.implicits._
+    val df = Seq[java.lang.Double](123.4, 0.00456, -7.2, 0.0, null, 987.0)
+      .toDF("x")
+    val m = Stats.benford(df, "x").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("1" -> 1L, "4" -> 1L, "7" -> 1L, "9" -> 1L))
+  }
+
+  test("benford: expected counts follow log10(1+1/d) and sum to n") {
+    import spark.implicits._
+    val df = (1 to 900).map(i => i.toDouble).toDF("x")
+    val rows = Stats.benford(df, "x").collect()
+    val n = rows.map(_.getLong(1)).sum
+    assert(n == 900L)
+    val exp = rows.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(exp("1") - 900.0 * math.log10(2.0)) < 0.001)
+  }
 }
