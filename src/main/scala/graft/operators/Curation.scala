@@ -1535,6 +1535,90 @@ object Curation {
       |FROM anon
       |GROUP BY c_nationkey, c_mktsegment, balance_band, suppressed""".stripMargin
 
+  /** WEIGHTED quantile thresholds — quantiles by MASS, not by row: "the
+    * quality score below which 10% of the TOKENS sit" weighs a 100k-token
+    * document 100k times a tweet, which is what a token-budgeted
+    * curation decision actually needs (a row-quantile over documents
+    * answers a different question). Same positional contract as
+    * [[quantileThresholds]] with weight in place of count: per key the
+    * threshold is the largest value v with W(x ≥ v) ≥ ⌈W_total·q⌉ — an
+    * actual data value, integer-exact while weights are integers.
+    * Same decomposition: a (key × distinct value) weight table, one
+    * descending cumulative window over THAT (never the raw corpus), a
+    * filtered max. */
+  def weightedQuantileThresholds(df: DataFrame, key: String, value: String,
+      weight: String, q: Double): DataFrame = {
+    val wTbl = df.groupBy(col(key), col(value))
+      .agg(sum(col(weight)).as("wv"))
+    val totals = df.groupBy(col(key)).agg(sum(col(weight)).as("w_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(value).desc)
+      .rowsBetween(Long.MinValue, 0)
+    wTbl
+      .withColumn("cum_ge", sum(col("wv")).over(w))
+      .join(totals, key)
+      .filter(col("cum_ge") >= ceil(col("w_total") * q).cast("long"))
+      .groupBy(col(key), col("w_total"))
+      .agg(max(col(value)).as("threshold"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q185_weighted_quantile — per-source quality threshold holding the TOP
+  // 30% of CHARACTER mass (weight = n_chars): the token-budget cut. The
+  // planted contrast vs the row quantile is structural — long docs
+  // concentrate mass, so the mass threshold sits below the row
+  // threshold wherever length correlates with the score. Both are
+  // emitted; the oracle replays both cumulative rules.
+  // ---------------------------------------------------------------------
+  def q185WeightedQuantile(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"), col("n_chars"),
+        (length(col("text")) % 97).cast("long").as("score"))
+    val byMass = weightedQuantileThresholds(d, "source", "score",
+        "n_chars", 0.3)
+      .select(col("source"), col("w_total"),
+        col("threshold").as("mass_threshold"))
+    val byRow = quantileThresholds(d, "source", "score", 0.3)
+      .select(col("source"), col("n").as("n_docs"),
+        col("threshold").as("row_threshold"))
+    byMass.join(byRow, "source")
+  }
+
+  val q185WeightedQuantileSql: String =
+    """WITH d AS (
+      |  SELECT source, n_chars, CAST(length(text) % 97 AS BIGINT) AS score
+      |  FROM documents),
+      |wv AS (
+      |  SELECT source, score, SUM(n_chars) AS wv
+      |  FROM d GROUP BY source, score),
+      |wt AS (SELECT source, SUM(n_chars) AS w_total FROM d GROUP BY source),
+      |wcum AS (
+      |  SELECT wv.source, wv.score,
+      |    SUM(wv.wv) OVER (PARTITION BY wv.source ORDER BY wv.score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge,
+      |    MAX(wt.w_total) OVER (PARTITION BY wv.source) AS w_total
+      |  FROM wv JOIN wt ON wv.source = wt.source),
+      |mass AS (
+      |  SELECT source, CAST(MAX(w_total) AS BIGINT) AS w_total,
+      |    MAX(score) AS mass_threshold
+      |  FROM wcum WHERE cum_ge >= CEIL(w_total * 0.3) GROUP BY source),
+      |cv AS (
+      |  SELECT source, score, COUNT(*) AS cnt FROM d GROUP BY source, score),
+      |ct AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+      |ccum AS (
+      |  SELECT cv.source, cv.score,
+      |    SUM(cv.cnt) OVER (PARTITION BY cv.source ORDER BY cv.score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge,
+      |    MAX(ct.n) OVER (PARTITION BY cv.source) AS n
+      |  FROM cv JOIN ct ON cv.source = ct.source),
+      |rowq AS (
+      |  SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+      |    MAX(score) AS row_threshold
+      |  FROM ccum WHERE cum_ge >= CEIL(n * 0.3) GROUP BY source)
+      |SELECT m.source, m.w_total, m.mass_threshold, r.n_docs,
+      |  r.row_threshold
+      |FROM mass m JOIN rowq r ON m.source = r.source""".stripMargin
+
   /** LONGEST-PREFIX policy match — the robots.txt / crawl-policy rule
     * every fetch frontier evaluates per URL: of all rules for the URL's
     * domain whose path-prefix matches at a SEGMENT boundary ("/p/1"

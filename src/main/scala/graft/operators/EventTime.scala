@@ -329,6 +329,116 @@ object EventTime {
       |WINDOW w AS (PARTITION BY g.k ORDER BY g.day
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Time-grid resampling with LINEAR INTERPOLATION — the companion of
+    * [[resampleFfill]] for continuous quantities (a forward fill of a
+    * gauge invents plateaus; interpolation draws the line through the
+    * surrounding observations). Grid tick t between observations
+    * (t_p, v_p) and (t_n, v_n) gets v_p + (v_n − v_p)·(t − t_p)/(t_n −
+    * t_p); before the first / after the last observation it takes the
+    * nearest one (flat extrapolation); a tick ON an observation gets
+    * that value exactly (the fraction is 0).
+    *
+    * ONE shuffle and ONE sort: grid and observation rows union-tag and
+    * both directions come out of the same sorted window pass (the
+    * [[AsOf.asofNearest]] single-WindowExec discipline); observations
+    * OUTSIDE the grid span still anchor edge ticks — the union carries
+    * all of them, which a grid⋈obs equi-join formulation would lose. */
+  def resampleInterpolate(obs: DataFrame, key: String, obsTick: String,
+      valueCol: String, span: Int): DataFrame = {
+    val bounds = obs.agg(min(col(obsTick)).as("__d0"))
+    val grid = obs.select(col(key)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(key),
+        explode(sequence(col("__d0"), col("__d0") + lit(span - 1)))
+          .as("tick"))
+    val l = grid.select(col(key), col("tick").as("__ts"), lit(0).as("__tag"),
+      lit(null).cast("long").as("__d"), lit(null).cast("double").as("__v"))
+    val r = obs.select(col(key), col(obsTick).cast("long").as("__ts"),
+      lit(1).as("__tag"), col(obsTick).cast("long").as("__d"),
+      col(valueCol).cast("double").as("__v"))
+    val base = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__tag").desc)
+    val wB = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dOnly = when(col("__tag") === 1, col("__d"))
+    val vOnly = when(col("__tag") === 1, col("__v"))
+    val both = l.unionByName(r)
+      .withColumn("__pd", last(dOnly, ignoreNulls = true).over(wB))
+      .withColumn("__pv", last(vOnly, ignoreNulls = true).over(wB))
+      .withColumn("__nd", first(dOnly, ignoreNulls = true).over(wF))
+      .withColumn("__nv", first(vOnly, ignoreNulls = true).over(wF))
+      .filter(col("__tag") === 0)
+    // equal-ts obs rows sort BEFORE the grid row, so an on-observation
+    // tick lands in the backward frame at gap 0 and the fraction
+    // vanishes; when both anchors exist, __nd > __ts >= __pd keeps the
+    // denominator >= 1 (no ANSI /0)
+    val interp = when(col("__pd").isNull, col("__nv"))
+      .when(col("__nd").isNull, col("__pv"))
+      .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+        ((col("__ts") - col("__pd")).cast("double") /
+         (col("__nd") - col("__pd")).cast("double")))
+    both.select(col(key), col("__ts").as("tick"),
+      col("__pd").as("prev_tick"), col("__nd").as("next_tick"),
+      round(interp, 6).as("value"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q184_interpolate — per-supplier daily shipped quantity interpolated
+  // onto the same 60-day grid as q133: sparse observation days anchor a
+  // line, edge ticks extrapolate flat. The oracle replays the identical
+  // union+two-frame window (a grid⋈obs equi-join would miss anchors
+  // beyond the span — planted by construction since suppliers ship for
+  // ~2500 days).
+  // ---------------------------------------------------------------------
+  def q184Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val obs = graft.operators.t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("k"),
+        datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+          .cast("long").as("obs_day"), col("l_quantity"))
+      .groupBy(col("k"), col("obs_day"))
+      .agg(sumDec(col("l_quantity")).as("qty"))
+    resampleInterpolate(obs, "k", "obs_day", "qty", span = 60)
+      .select(col("k").as("l_suppkey"), col("tick").as("day"),
+        col("prev_tick"), col("next_tick"), col("value"))
+  }
+
+  val q184InterpolateSql: String =
+    """WITH obs AS (
+      |  SELECT l_suppkey AS k,
+      |    datediff('day', DATE '1992-01-01',
+      |             CAST(l_shipdate AS DATE))::BIGINT AS obs_day,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS qty
+      |  FROM lineitem GROUP BY 1, 2),
+      |b AS (SELECT MIN(obs_day) AS d0 FROM obs),
+      |grid AS (
+      |  SELECT k.k, b.d0 + g.x AS day
+      |  FROM (SELECT DISTINCT k FROM obs) k
+      |  CROSS JOIN b
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS x) g),
+      |comb AS (
+      |  SELECT k, day AS ts, 0 AS tag,
+      |    NULL::BIGINT AS od, NULL::DOUBLE AS v FROM grid
+      |  UNION ALL
+      |  SELECT k, obs_day, 1, obs_day, qty FROM obs),
+      |w AS (
+      |  SELECT k, ts, tag,
+      |    last_value(od IGNORE NULLS) OVER wb AS pd,
+      |    last_value(v IGNORE NULLS) OVER wb AS pv,
+      |    first_value(od IGNORE NULLS) OVER wf AS nd,
+      |    first_value(v IGNORE NULLS) OVER wf AS nv
+      |  FROM comb
+      |  WINDOW wb AS (PARTITION BY k ORDER BY ts ASC, tag DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wf AS (PARTITION BY k ORDER BY ts ASC, tag DESC
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT k AS l_suppkey, ts AS day, pd AS prev_tick, nd AS next_tick,
+      |  ROUND(CASE WHEN pd IS NULL THEN nv
+      |             WHEN nd IS NULL THEN pv
+      |             ELSE pv + (nv - pv) *
+      |               (CAST(ts - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+      |        END, 6) AS value
+      |FROM w WHERE tag = 0""".stripMargin
+
   // ---------------------------------------------------------------------
   // q168_conversion_latency — click→purchase latency percentiles per
   // user cohort: the attribution-latency panel, built BY COMPOSITION —

@@ -307,4 +307,112 @@ object Graph {
       |    ROW_NUMBER() OVER (ORDER BY a2.a2 DESC, a2.node ASC) AS rnk
       |  FROM a2 LEFT JOIN a1 ON a2.node = a1.node)
       |WHERE rnk <= 20""".stripMargin
+
+  /** Synchronous LABEL PROPAGATION community detection (Raghavan et al.
+    * 2007), determinized: every round, each node adopts the most
+    * frequent label among its neighbors (ties → smallest label; an
+    * isolated node keeps its own), ALL nodes simultaneously — the
+    * asynchronous variant converges faster but its result depends on
+    * visit order, which a distributed engine must not. Fixed round
+    * count, labels initialized to the node id.
+    *
+    * Scale shape per round: one equi-join (edges ⋈ labels on the
+    * neighbor key) + one (node, label) count + one per-node argmax
+    * window partitioned by node (bounded by the node's distinct
+    * neighbor labels, never a global sort) — the Pregel step as
+    * dataframes. Lineage is truncated per round (localCheckpoint, the
+    * PageRank/Components discipline). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val e = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint() // both directions: neighbor lists are symmetric
+    val nodes = e.select(col("a").as("node")).distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val counts = e
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val pick = Window.partitionBy(col("node"))
+        .orderBy(col("c").desc, col("label").asc)
+      val next = counts.withColumn("__rn", row_number().over(pick))
+        .filter(col("__rn") === 1).select(col("node"), col("label"))
+      labels = nodes.join(next, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  // ---------------------------------------------------------------------
+  // q183_label_prop — communities after 2 synchronous rounds over the
+  // co-purchase part graph (the q140 edge set), reported as community
+  // size histogram top-20 (label, n_members). The oracle replays both
+  // rounds with mode-via-ROW_NUMBER CTEs — any tie-break or
+  // simultaneity divergence (async adoption leaking a round) moves
+  // members between communities and hash-fails.
+  // ---------------------------------------------------------------------
+  def q183LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val co = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey")
+          && col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    val labels = labelPropagation(co, rounds = 2)
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
+    val top = sizes
+      .orderBy(col("n_members").desc, col("label").asc).limit(20)
+    Similarity.rankBounded(top, "rnk",
+        Seq(col("n_members").desc, col("label").asc))
+      .select(col("rnk").cast("int").as("rnk"), col("label"),
+        col("n_members"), col("min_node"))
+  }
+
+  val q183LabelPropSql: String =
+    """WITH und AS (
+      |  SELECT DISTINCT LEAST(x.l_partkey, y.l_partkey) AS a,
+      |    GREATEST(x.l_partkey, y.l_partkey) AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |e AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+      |nodes AS (SELECT DISTINCT a AS node FROM e),
+      |l0 AS (SELECT node, node AS label FROM nodes),
+      |c1 AS (
+      |  SELECT e.a AS node, l.label, COUNT(*) AS c
+      |  FROM e JOIN l0 l ON e.b = l.node GROUP BY e.a, l.label),
+      |p1 AS (
+      |  SELECT node, label FROM (
+      |    SELECT node, label,
+      |      ROW_NUMBER() OVER (PARTITION BY node
+      |        ORDER BY c DESC, label ASC) AS rn
+      |    FROM c1) WHERE rn = 1),
+      |l1 AS (
+      |  SELECT n.node, COALESCE(p.label, n.node) AS label
+      |  FROM nodes n LEFT JOIN p1 p ON n.node = p.node),
+      |c2 AS (
+      |  SELECT e.a AS node, l.label, COUNT(*) AS c
+      |  FROM e JOIN l1 l ON e.b = l.node GROUP BY e.a, l.label),
+      |p2 AS (
+      |  SELECT node, label FROM (
+      |    SELECT node, label,
+      |      ROW_NUMBER() OVER (PARTITION BY node
+      |        ORDER BY c DESC, label ASC) AS rn
+      |    FROM c2) WHERE rn = 1),
+      |l2 AS (
+      |  SELECT n.node, COALESCE(p.label, n.node) AS label
+      |  FROM nodes n LEFT JOIN p2 p ON n.node = p.node),
+      |sizes AS (
+      |  SELECT label, COUNT(*) AS n_members, MIN(node) AS min_node
+      |  FROM l2 GROUP BY label)
+      |SELECT CAST(rnk AS INT) AS rnk, label, n_members, min_node FROM (
+      |  SELECT label, n_members, min_node,
+      |    ROW_NUMBER() OVER (
+      |      ORDER BY n_members DESC, label ASC) AS rnk
+      |  FROM sizes)
+      |WHERE rnk <= 20""".stripMargin
 }

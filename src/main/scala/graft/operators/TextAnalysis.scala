@@ -939,4 +939,61 @@ object TextAnalysis {
       |    AS n_novel
       |FROM dg LEFT JOIN refg ON dg.g = refg.g
       |GROUP BY dg.doc_id""".stripMargin
+
+  /** FLESCH reading-ease scoring — the classic readability signal a
+    * text-quality pipeline reports next to q41's surface stats:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * the standard cheap proxies (sentences = [.!?]+ runs, floored at 1;
+    * syllables = vowel-cluster [aeiouy]+ runs — a vowelless token
+    * contributes 0). Map-only: three regexp_count scans per row, no
+    * shuffle; evidence stays integer next to the rounded score. */
+  def fleschReadingEase(docs: DataFrame, textCol: String): DataFrame = {
+    val lo = lower(col(textCol))
+    val words = regexp_count(lo, lit("[a-z]+"))
+    val sentences = greatest(lit(1), regexp_count(col(textCol),
+      lit("[.!?]+")))
+    val syllables = regexp_count(lo, lit("[aeiouy]+"))
+    docs.withColumn("n_words", words.cast("long"))
+      .withColumn("n_sentences", sentences.cast("long"))
+      .withColumn("n_syllables", syllables.cast("long"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")), 4)))
+  }
+
+  // ---------------------------------------------------------------------
+  // q186_readability — per-doc Flesch scores over the corpus, integer
+  // evidence (word/sentence/vowel-run counts) beside the rounded score;
+  // empty-ish docs surface NULL score, not a crash (ANSI /0 guard).
+  // ---------------------------------------------------------------------
+  def q186Readability(s: SparkSession, dir: String): DataFrame =
+    fleschReadingEase(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("flesch"))
+
+  val q186ReadabilitySql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+      |    AS n_words,
+      |  CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+      |    AS n_sentences,
+      |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      |    AS n_syllables,
+      |  CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0 THEN
+      |    ROUND(206.835
+      |      - 1.015 * (CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+      |          AS DOUBLE)
+      |        / CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+      |          AS DOUBLE))
+      |      - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |          AS DOUBLE)
+      |        / CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+      |          AS DOUBLE)), 4)
+      |  END AS flesch
+      |FROM documents""".stripMargin
+
 }

@@ -594,4 +594,18 @@ class CurationSpec extends SparkSpec {
     assert(m(5L) == ((None, "default")))
   }
 
+  test("weightedQuantileThresholds: mass quantile differs from row quantile") {
+    import spark.implicits._
+    // scores 1..4; score 4 carries almost all weight
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L),
+      ("g", 4L, 97L)).toDF("k", "score", "w")
+    val mass = Curation.weightedQuantileThresholds(df, "k", "score", "w", 0.5)
+      .head()
+    // W=100, need cum_ge >= 50: score 4 alone has 97 -> threshold 4
+    assert(mass.getAs[Long]("w_total") == 100L)
+    assert(mass.getAs[Long]("threshold") == 4L)
+    val row = Curation.quantileThresholds(df, "k", "score", 0.5).head()
+    // 4 rows, need 2 from the top: threshold 3
+    assert(row.getAs[Long]("threshold") == 3L)
+  }
 }

@@ -101,4 +101,25 @@ class GraphSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("labelPropagation: two cliques joined by a bridge keep two communities") {
+    // cliques {1,2,3} and {7,8,9} with bridge 3-7. Hand-traced three
+    // synchronous rounds: clique one settles on label 1; clique two
+    // settles on label 3 (the bridge leaks 3 into node 7's round-1
+    // neighborhood, and min-ties then spread it) — TWO communities,
+    // split exactly at the bridge.
+    val e = Seq((1, 2), (1, 3), (2, 3), (7, 8), (7, 9), (8, 9), (3, 7))
+      .toDF("src", "dst")
+    val m = Graph.labelPropagation(e, 3).as[(Int, Int)].collect().toMap
+    assert(m == Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 3, 8 -> 3, 9 -> 3), m)
+  }
+
+  test("labelPropagation: synchronous update — round 1 uses ONLY init labels") {
+    // path 1-2-3: after one round every node adopts its smallest
+    // neighbor's INIT label (2->1, 1->2, 3->2); an async sweep would
+    // let 3 see 2's new label 1
+    val e = Seq((1, 2), (2, 3)).toDF("src", "dst")
+    val m = Graph.labelPropagation(e, 1).as[(Int, Int)].collect().toMap
+    assert(m == Map(1 -> 2, 2 -> 1, 3 -> 2))
+  }
 }

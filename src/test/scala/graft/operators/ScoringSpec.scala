@@ -162,4 +162,25 @@ class ScoringSpec extends SparkSpec {
       .toSet
     assert(got == Set((10L, 2L, 1L), (11L, 1L, 1L)))
   }
+
+  test("fleschReadingEase: hand-computed counts and score") {
+    import spark.implicits._
+    val df = Seq((1L, "The cat sat. The dog ran!")).toDF("id", "text")
+    val r = TextAnalysis.fleschReadingEase(df, "text").head()
+    // words: the,cat,sat,the,dog,ran = 6; sentences 2; vowel runs 6
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(r.getAs[Long]("n_syllables") == 6L)
+    val exp = 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)
+    assert(math.abs(r.getAs[Double]("flesch") - exp) < 1e-9)
+  }
+
+  test("fleschReadingEase: wordless text gets NULL score, sentences floor at 1") {
+    import spark.implicits._
+    val r = TextAnalysis.fleschReadingEase(
+      Seq((1L, "123 456")).toDF("id", "text"), "text").head()
+    assert(r.getAs[Long]("n_words") == 0L)
+    assert(r.getAs[Long]("n_sentences") == 1L)
+    assert(r.isNullAt(r.fieldIndex("flesch")))
+  }
 }

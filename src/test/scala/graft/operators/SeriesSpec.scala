@@ -134,4 +134,29 @@ class SeriesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
     assert(a == b, "ordered fold must be bit-identical on any partitioning")
   }
+
+  test("resampleInterpolate: line through anchors, flat edges, exact on-obs") {
+    import spark.implicits._
+    // obs at t=10 v=0 and t=20 v=10; grid d0=10 span 15 (ticks 10..24)
+    val obs = Seq(("k", 10L, 0.0), ("k", 20L, 10.0))
+      .toDF("g", "d", "v")
+    val r = EventTime.resampleInterpolate(obs, "g", "d", "v", span = 15)
+      .collect().map(x => x.getLong(1) -> x.getDouble(4)).toMap
+    assert(r(10L) == 0.0)           // on-observation: exact
+    assert(r(13L) == 3.0)           // interior: linear
+    assert(r(17L) == 7.0)
+    assert(r(20L) == 10.0)
+    assert(r(24L) == 10.0)          // after last: flat
+    assert(r.size == 15)
+  }
+
+  test("resampleInterpolate: anchors beyond the grid span still pull the line") {
+    import spark.implicits._
+    // obs at t=0 v=0 and t=100 v=100 — the second anchor is outside the
+    // 10-tick grid, but interior ticks must still climb toward it
+    val obs = Seq(("k", 0L, 0.0), ("k", 100L, 100.0)).toDF("g", "d", "v")
+    val r = EventTime.resampleInterpolate(obs, "g", "d", "v", span = 10)
+      .collect().map(x => x.getLong(1) -> x.getDouble(4)).toMap
+    assert(r(5L) == 5.0 && r(9L) == 9.0)
+  }
 }
