@@ -92,6 +92,51 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Persist a learned merge list as a tiny ordered parquet artifact
+    * (rank, a, b, pair_freq) behind [[graft.pipeline.SafeSwap]] — the
+    * tokenizer artifact the training pipeline content-addresses and
+    * every downstream encode job loads. KBs regardless of corpus. */
+  def saveMerges(spark: SparkSession, dir: String,
+      merges: Seq[(String, String, Long)]): Unit = {
+    import spark.implicits._
+    val df = merges.zipWithIndex
+      .map { case ((a, b, f), i) => (i, a, b, f) }
+      .toDF("rank", "a", "b", "pair_freq")
+    graft.pipeline.SafeSwap.replace(dir)(tmp =>
+      df.coalesce(1).write.mode("overwrite").parquet(tmp))
+  }
+
+  def loadMerges(spark: SparkSession, dir: String): Seq[(String, String, Long)] =
+    spark.read.parquet(dir).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  /** ENCODE: apply a learned merge list, in rank order, to arbitrary
+    * text — the map-only tokenization pass a 100 TB corpus takes after
+    * training. Each merge is one array fold per word ([[applyMerge]]'s
+    * greedy contract), composed as nMerges chained projections inside
+    * one stage — no shuffle anywhere; the word structure comes from the
+    * same split as [[wordVocab]]. Returns (original columns, tokens =
+    * the concatenated per-word symbol sequences). */
+  def encode(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.withColumn("__words",
+      filter(split(lower(col(textCol)), "[^a-z]+"), w => w =!= ""))
+    val syms0 = words.withColumn("__syms",
+      transform(col("__words"), w => split(w, "")))
+    val merged = merges.foldLeft(syms0) { case (df, (a, b)) =>
+      val m = a + b
+      df.withColumn("__syms", transform(col("__syms"), word =>
+        aggregate(word, array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+            .otherwise(concat(acc, array(x))))))
+    }
+    merged.withColumn("tokens", flatten(col("__syms")))
+      .drop("__words", "__syms")
+  }
+
   // ---------------------------------------------------------------------
   // q179_bpe_pairs — the first BPE iteration's pair table over the
   // document corpus: top-20 adjacent character pairs by corpus-weighted

@@ -1535,6 +1535,49 @@ object Curation {
       |FROM anon
       |GROUP BY c_nationkey, c_mktsegment, balance_band, suppressed""".stripMargin
 
+  /** L-DIVERSITY audit — the check k-anonymity alone misses: a quasi
+    * group can be large (k-anonymous) yet carry ONE sensitive value,
+    * so membership still discloses it (Machanavajjhala et al., ICDE
+    * 2006). Per quasi group: size and distinct-sensitive count, with
+    * the verdict `diverse` = (distinct >= l). Two aggregations over
+    * the (quasi × sensitive) table — the distinct count is exact and
+    * group-bounded, never a corpus-wide expand. Run it AFTER
+    * [[kAnonymize]]: suppressed rows land in the all-NULL group, which
+    * is audited like any other. */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: String,
+      l: Long): DataFrame = {
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitive)).as("n_sensitive"))
+      .select(quasi.map(col) :+ col("n") :+ col("n_sensitive") :+
+        (col("n_sensitive") >= l).as("diverse"): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // q188_l_diversity — the release audit on top of q176's quasi tuple:
+  // per (nation, segment) group, does the sensitive balance band take
+  // at least 3 distinct values? Coarse quasi groups are large enough to
+  // be k-anonymous, so any failure here is exactly the leak k-anonymity
+  // cannot see.
+  // ---------------------------------------------------------------------
+  def q188LDiversity(s: SparkSession, dir: String): DataFrame =
+    lDiversity(
+      t(s, dir, "customer").select(col("c_nationkey"), col("c_mktsegment"),
+        (floor(col("c_acctbal") / 2000.0) * 2000).cast("long")
+          .as("balance_band")),
+      Seq("c_nationkey", "c_mktsegment"), "balance_band", 3L)
+
+  val q188LDiversitySql: String =
+    """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+      |  CAST(COUNT(DISTINCT balance_band) AS BIGINT) AS n_sensitive,
+      |  COUNT(DISTINCT balance_band) >= 3 AS diverse
+      |FROM (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / 2000.0) * 2000 AS BIGINT) AS balance_band
+      |  FROM customer)
+      |GROUP BY c_nationkey, c_mktsegment""".stripMargin
+
   /** WEIGHTED quantile thresholds — quantiles by MASS, not by row: "the
     * quality score below which 10% of the TOKENS sit" weighs a 100k-token
     * document 100k times a tweet, which is what a token-budgeted

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Ranking / model evaluation harness — the offline metrics a
+  * retrieval or scoring pipeline reports before anything ships: NDCG
+  * over a ranked list against graded relevance, and calibration
+  * (reliability) curves for probabilistic scores. Both are
+  * aggregate-only shapes: rankings are cut to top-k BEFORE any metric
+  * math, float folds follow the ordered-fold discipline (q92) so the
+  * metric doubles are engine-reproducible.
+  */
+object Eval {
+
+  /** NDCG@k per query over (query, item, score, relevance) rows:
+    * rank items by (score desc, item asc — total order), cut to k,
+    * DCG = Σ rel_i/log2(i+1) as a LEFT-TO-RIGHT fold over the
+    * rank-sorted terms; IDCG from the query's ideal ordering
+    * (relevance desc) over the SAME fold; queries with no relevant
+    * item surface NULL (0/0 is a verdict, not a number). */
+  def ndcgAtK(df: DataFrame, query: String, item: String, score: String,
+      rel: String, k: Int): DataFrame = {
+    val byScore = Window.partitionBy(col(query))
+      .orderBy(col(score).desc, col(item).asc)
+    val byRel = Window.partitionBy(col(query))
+      .orderBy(col(rel).desc, col(item).asc)
+    val ranked = df
+      .withColumn("__r", row_number().over(byScore))
+      .withColumn("__ir", row_number().over(byRel))
+    val terms = ranked.groupBy(col(query)).agg(
+      count(lit(1)).as("n_items"),
+      sum(col(rel)).as("n_rel_mass"),
+      array_sort(collect_list(when(col("__r") <= k,
+        struct(col("__r").as("i"),
+          (col(rel).cast("double") /
+            log2(col("__r").cast("double") + lit(1.0))).as("t")))))
+        .as("__dcg_terms"),
+      array_sort(collect_list(when(col("__ir") <= k,
+        struct(col("__ir").as("i"),
+          (col(rel).cast("double") /
+            log2(col("__ir").cast("double") + lit(1.0))).as("t")))))
+        .as("__idcg_terms"))
+    def fold(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0d), (acc, x) => acc + x.getField("t"))
+    val dcg = fold(col("__dcg_terms"))
+    val idcg = fold(col("__idcg_terms"))
+    terms.select(col(query), col("n_items"), col("n_rel_mass"),
+      round(dcg, 6).as("dcg"), round(idcg, 6).as("idcg"),
+      when(idcg =!= 0.0, round(dcg / idcg, 6)).as("ndcg"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q187_ndcg — NDCG@10 of a deterministic per-source quality ranking
+  // (score = length(text) % 97, a planted pseudo-model) against binary
+  // relevance rel = (doc_id % 3 = 0). The oracle replays rank cut,
+  // ideal ordering, and BOTH ordered folds with list_reduce — a
+  // regrouped float fold or an off-by-one rank cut moves the sixth
+  // decimal and hash-fails.
+  // ---------------------------------------------------------------------
+  def q187Ndcg(s: SparkSession, dir: String): DataFrame =
+    ndcgAtK(
+      t(s, dir, "documents").select(col("source"), col("doc_id"),
+        (length(col("text")) % 97).cast("long").as("score"),
+        when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("rel")),
+      "source", "doc_id", "score", "rel", k = 10)
+
+  val q187NdcgSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(length(text) % 97 AS BIGINT) AS score,
+      |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source, doc_id, score, rel,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY score DESC, doc_id ASC) AS r,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY rel DESC, doc_id ASC) AS ir
+      |  FROM d),
+      |g AS (
+      |  SELECT source, COUNT(*) AS n_items,
+      |    CAST(SUM(rel) AS BIGINT) AS n_rel_mass,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list(CAST(rel AS DOUBLE) / log2(CAST(r AS DOUBLE) + 1.0)
+      |        ORDER BY r) FILTER (WHERE r <= 10)),
+      |      (a, b) -> a + b) AS dcg,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list(CAST(rel AS DOUBLE) / log2(CAST(ir AS DOUBLE) + 1.0)
+      |        ORDER BY ir) FILTER (WHERE ir <= 10)),
+      |      (a, b) -> a + b) AS idcg
+      |  FROM ranked GROUP BY source)
+      |SELECT source, n_items, n_rel_mass,
+      |  ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+      |  CASE WHEN idcg <> 0.0 THEN ROUND(dcg / idcg, 6) END AS ndcg
+      |FROM g""".stripMargin
+
+  /** CALIBRATION (reliability) curve: bucket a [0,1] score into
+    * `bins` equal-width bins, report per bin the observed positive
+    * rate against the mean predicted score — the curve a probability
+    * consumer (sampling temperature, accept thresholds) reads before
+    * trusting the score. Integer evidence (n, n_pos) next to the two
+    * rounded means; score 1.0 folds into the top bin. One shuffle to
+    * a |bins|-row table. */
+  def calibrationCurve(df: DataFrame, score: String, label: String,
+      bins: Int): DataFrame = {
+    val b = least(floor(col(score) * bins).cast("long"), lit(bins - 1L))
+    df.select(b.as("bin"), col(score).as("__s"),
+        col(label).cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        round(sumDec(col("__s")) / count(lit(1)).cast("double"), 6)
+          .as("mean_score"),
+        round(sum(col("__y")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("frac_pos"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q189_calibration — reliability of a planted 2-dp pseudo-probability
+  // over documents (decile bins). The label is arranged to correlate
+  // with the score so the curve is non-trivial, but the gate checks the
+  // machinery: bin edges (incl. the 1.0 → top-bin fold), exact decimal
+  // score means, integer positive counts.
+  // ---------------------------------------------------------------------
+  def q189Calibration(s: SparkSession, dir: String): DataFrame =
+    calibrationCurve(
+      t(s, dir, "documents").select(
+        ((length(col("text")) % 101).cast("double") / 100.0).as("p"),
+        when((length(col("text")) + col("doc_id")) % 100 <
+          (length(col("text")) % 101), 1L).otherwise(0L).as("y")),
+      "p", "y", bins = 10)
+
+  val q189CalibrationSql: String =
+    """WITH d AS (
+      |  SELECT CAST(length(text) % 101 AS DOUBLE) / 100.0 AS p,
+      |    CASE WHEN (length(text) + doc_id) % 100 < length(text) % 101
+      |         THEN 1 ELSE 0 END AS y
+      |  FROM documents)
+      |SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin,
+      |  COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+      |  ROUND(CAST(SUM(CAST(p AS DECIMAL(30,4))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_score,
+      |  ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    AS frac_pos
+      |FROM d
+      |GROUP BY LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9)""".stripMargin
+}

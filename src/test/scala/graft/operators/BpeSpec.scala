@@ -56,4 +56,19 @@ class BpeSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(v == Map("hello" -> 2L, "world" -> 1L))
   }
+
+  test("encode applies merges in rank order; artifact roundtrips") {
+    val docs = Seq((1L, "low lower")).toDF("id", "text")
+    val merges = Bpe.train(Bpe.wordVocab(docs, "text"), 2)
+      .map(m => (m._1, m._2))
+    assert(merges == Seq(("l", "o"), ("lo", "w")))
+    val toks = Bpe.encode(docs, "text", merges)
+      .select("tokens").as[Seq[String]].head()
+    assert(toks == Seq("low", "low", "e", "r"))
+    val dir = java.nio.file.Files.createTempDirectory("bpe_").toString +
+      "/merges"
+    Bpe.saveMerges(spark, dir, Bpe.train(Bpe.wordVocab(docs, "text"), 2))
+    val loaded = Bpe.loadMerges(spark, dir).map(m => (m._1, m._2))
+    assert(loaded == merges)
+  }
 }

@@ -608,4 +608,17 @@ class CurationSpec extends SparkSpec {
     // 4 rows, need 2 from the top: threshold 3
     assert(row.getAs[Long]("threshold") == 3L)
   }
+
+  test("lDiversity: a k-large group with one sensitive value fails the audit") {
+    import spark.implicits._
+    val df = Seq(
+      ("US", "a", 10L), ("US", "a", 10L), ("US", "a", 10L),  // 1 value
+      ("FR", "b", 10L), ("FR", "b", 20L), ("FR", "b", 30L))  // 3 values
+      .toDF("country", "seg", "sens")
+    val m = Curation.lDiversity(df, Seq("country", "seg"), "sens", 3L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(m("US") == ((3L, 1L, false)))
+    assert(m("FR") == ((3L, 3L, true)))
+  }
 }
