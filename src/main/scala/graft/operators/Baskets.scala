@@ -172,4 +172,78 @@ object Baskets {
       |FROM inter i
       |JOIN sz sa ON i.ga = sa.source
       |JOIN sz sb ON i.gb = sb.source""".stripMargin
+
+  /** Frequent TRIPLES with A-priori candidate pruning (Agrawal &
+    * Srikant, VLDB 1994): a triple can only be frequent if all three of
+    * its pairs are, so the third join runs AFTER a semi-join of the
+    * (a,b) leg against the frequent-pair set — the candidate space
+    * collapses from Σ k³ per basket to extensions of frequent pairs,
+    * which is the entire reason A-priori scales. Pruning is an
+    * OPTIMIZATION, not a semantics change: the result equals the naive
+    * three-way count (the oracle runs the naive form — equivalence is
+    * the gate). Same mega-basket cap as [[pairLift]]. */
+  def tripleSupport(df: DataFrame, basket: String, item: String,
+      minCount: Int, k: Int, maxBasket: Int = 1000): DataFrame = {
+    val items = df.select(col(basket).as("bk"), col(item).as("it"))
+      .distinct()
+    val sized = items
+      .withColumn("bsz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bk"))))
+      .filter(col("bsz") <= maxBasket)
+      .drop("bsz")
+    val a = sized.select(col("bk"), col("it").as("pa"))
+    val b = sized.select(col("bk"), col("it").as("pb"))
+    val c = sized.select(col("bk"), col("it").as("pc"))
+    val f2 = a.join(b, Seq("bk"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .select(col("pa"), col("pb"))
+    // A-priori prune: only (a,b) legs that are themselves frequent
+    // extend to a third item
+    val ab = a.join(b, Seq("bk")).filter(col("pa") < col("pb"))
+      .join(f2, Seq("pa", "pb"), "left_semi")
+    val triples = ab.join(c, Seq("bk"))
+      .filter(col("pb") < col("pc"))
+      .groupBy(col("pa"), col("pb"), col("pc"))
+      .agg(count(lit(1)).as("c123"))
+      .filter(col("c123") >= minCount)
+    val top = triples
+      .orderBy(col("c123").desc, col("pa").asc, col("pb").asc,
+        col("pc").asc).limit(k)
+    Similarity.rankBounded(top, "rnk",
+        Seq(col("c123").desc, col("pa").asc, col("pb").asc,
+          col("pc").asc))
+      .select(col("rnk").cast("int").as("rnk"), col("pa"), col("pb"),
+        col("pc"), col("c123"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q192_basket_triples — top-20 part triples co-ordered in the same
+  // order at min support 2. The oracle counts the NAIVE three-way join;
+  // equality proves the A-priori pruning pass dropped no frequent
+  // triple (the pruned leg is a pure superset argument, machine-checked
+  // here rather than trusted).
+  // ---------------------------------------------------------------------
+  def q192BasketTriples(s: SparkSession, dir: String): DataFrame =
+    tripleSupport(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+      minCount = 2, k = 20)
+
+  val q192BasketTriplesSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      |tri AS (
+      |  SELECT a.it AS pa, b.it AS pb, c.it AS pc, COUNT(*) AS c123
+      |  FROM items a
+      |  JOIN items b ON a.bk = b.bk AND a.it < b.it
+      |  JOIN items c ON b.bk = c.bk AND b.it < c.it
+      |  GROUP BY 1, 2, 3
+      |  HAVING COUNT(*) >= 2)
+      |SELECT CAST(rnk AS INT) AS rnk, pa, pb, pc, c123 FROM (
+      |  SELECT pa, pb, pc, c123,
+      |    ROW_NUMBER() OVER (ORDER BY c123 DESC, pa ASC, pb ASC, pc ASC)
+      |      AS rnk
+      |  FROM tri)
+      |WHERE rnk <= 20""".stripMargin
 }

@@ -336,4 +336,113 @@ object Behavior {
       |CROSS JOIN h
       |JOIN users u ON c.cohort = u.cohort
       |GROUP BY c.cohort, h.horizon, u.n_users""".stripMargin
+
+  /** RECENCY-WEIGHTED engagement score — the time-decayed feature every
+    * behavioral ranking/churn model consumes: score(u) = Σ v·2^(−w)
+    * with w the event's age in whole WEEKS before the corpus horizon
+    * (max ts). Integer week exponents keep the decay factor an exact
+    * dyadic rational built by `1 / (1::BIGINT << w)` — shift, not libm
+    * `pow` (whose last-ulp is implementation-defined; the q162 sqrt
+    * note). The per-user sum is an ordered fold over event-sorted
+    * terms (the q92 discipline). One shuffle on the user; the horizon
+    * is a one-row broadcast. Ages ≥ 62 weeks clamp (decay ~2e-19 —
+    * below any score's resolution). */
+  def timeDecayScore(events: DataFrame, user: String, ts: String,
+      value: String, tiebreak: String): DataFrame = {
+    val horizon = events.agg(max(col(ts)).as("__h"))
+    val terms = events.crossJoin(broadcast(horizon))
+      .withColumn("__w", least(lit(62),
+        expr(s"datediff(to_date(__h), to_date($ts)) div 7").cast("int")))
+      .select(col(user),
+        struct(col(ts), col(tiebreak),
+          (col(value) / expr("cast(shiftleft(1L, __w) as double)"))
+            .as("term")).as("st"))
+    terms.groupBy(col(user))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(col("st"))).as("__ts"))
+      .select(col(user), col("n_events"),
+        round(aggregate(col("__ts"), lit(0.0d),
+          (acc, x) => acc + x.getField("term")), 6).as("decay_score"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q190_time_decay — per-user recency-weighted value mass with a 1-week
+  // half-life against the corpus horizon. The decay factors are exact
+  // powers of two on both engines (shift + divide, no pow), so the
+  // ordered fold hash-matches.
+  // ---------------------------------------------------------------------
+  def q190TimeDecay(s: SparkSession, dir: String): DataFrame =
+    timeDecayScore(t(s, dir, "events"), "user_id", "ts", "value",
+      "event_id")
+
+  val q190TimeDecaySql: String =
+    """WITH h AS (SELECT MAX(ts) AS h FROM events),
+      |terms AS (
+      |  SELECT user_id, ts, event_id,
+      |    value / CAST(1::BIGINT << LEAST(62,
+      |      CAST(datediff('day', CAST(ts AS DATE), CAST(h.h AS DATE)) // 7
+      |        AS INT)) AS DOUBLE) AS term
+      |  FROM events CROSS JOIN h)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list(term ORDER BY ts, event_id)), (a, b) -> a + b), 6)
+      |    AS decay_score
+      |FROM terms GROUP BY user_id""".stripMargin
+
+  /** SEASONAL-NAIVE forecast error — the baseline every real forecast
+    * must beat: predict each day's value with the value `season` days
+    * earlier, report per-key MAE/RMSE over days where both exist.
+    * Exact decimal |diff| sums (values are money-grade), power sums for
+    * RMSE; the self-join is an equi-join on (key, day − season) — one
+    * shuffle, no windows over the corpus. */
+  def seasonalNaiveError(df: DataFrame, key: String, day: String,
+      value: String, season: Int): DataFrame = {
+    val actual = df.select(col(key), col(day).as("__d"),
+      col(value).as("__a"))
+    val predicted = df.select(col(key), (col(day) + season).as("__d"),
+      col(value).as("__p"))
+    val joined = actual.join(predicted, Seq(key, "__d"))
+    joined.groupBy(col(key))
+      .agg(count(lit(1)).as("n_days"),
+        round(sumDec(abs(col("__a") - col("__p"))) /
+          count(lit(1)).cast("double"), 6).as("mae"),
+        round(sqrt(sum(((col("__a") - col("__p")) * (col("__a") - col("__p")))
+            .cast(org.apache.spark.sql.types.DecimalType(30, 8)))
+          .cast("double") / count(lit(1)).cast("double")), 6).as("rmse"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q191_forecast_error — how wrong is "same as last week" for daily
+  // per-type event value mass: the eval floor for any demand model over
+  // this stream. |diff| sums exact decimal; rmse from decimal power
+  // sums of IEEE squares (the q44/s2 discipline).
+  // ---------------------------------------------------------------------
+  def q191ForecastError(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")
+          .as("day"))
+      .agg(sumDec(col("value")).as("v"))
+    seasonalNaiveError(daily, "event_type", "day", "v", season = 7)
+  }
+
+  val q191ForecastErrorSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+      |      AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.event_type, a.v AS av, p.v AS pv
+      |  FROM daily a JOIN daily p
+      |    ON a.event_type = p.event_type AND a.day = p.day + 7)
+      |SELECT event_type, COUNT(*) AS n_days,
+      |  ROUND(CAST(SUM(CAST(ABS(av - pv) AS DECIMAL(30,4))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS mae,
+      |  ROUND(sqrt(CAST(SUM(CAST((av - pv) * (av - pv) AS DECIMAL(30,8)))
+      |      AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE)), 6) AS rmse
+      |FROM j GROUP BY event_type""".stripMargin
+
 }

@@ -59,4 +59,28 @@ class BasketsSpec extends SparkSpec {
       r.getLong(4)) == ("A", "B", 2L, 3L, 3L))
     assert(r.getDouble(5) == 0.5)
   }
+
+  test("tripleSupport: A-priori pruning equals the naive three-way count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val rows = (1 to 200).flatMap { b =>
+      (0 until 1 + b % 5).map(i => (b.toLong, ((b * 7 + i * 3) % 11).toLong))
+    }
+    val df = rows.toDF("bk", "it")
+    val pruned = Baskets.tripleSupport(df, "bk", "it", minCount = 2, k = 10000)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val items = df.distinct()
+    val naive = items.as("a")
+      .join(items.as("b"), col("a.bk") === col("b.bk")
+        && col("a.it") < col("b.it"))
+      .join(items.as("c"), col("b.bk") === col("c.bk")
+        && col("b.it") < col("c.it"))
+      .groupBy(col("a.it").as("pa"), col("b.it").as("pb"),
+        col("c.it").as("pc"))
+      .agg(count(lit(1)).as("c123")).filter(col("c123") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(pruned == naive && naive.nonEmpty)
+  }
 }

@@ -111,4 +111,34 @@ class BehaviorSpec extends SparkSpec {
     // to avoid; assert we did NOT do that
     assert(got(4)._3 > 0.0)
   }
+
+  test("timeDecayScore: exact dyadic halving per whole week of age") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-15 00:00:00", 8.0, 1L),   // horizon day: weight 1
+      (1L, "2024-01-08 00:00:00", 8.0, 2L),   // 7 days old: 1/2
+      (1L, "2024-01-01 00:00:00", 8.0, 3L),   // 14 days: 1/4
+      (2L, "2024-01-14 00:00:00", 5.0, 4L))   // 1 day old: week 0
+      .toDF("user_id", "s", "value", "event_id")
+      .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+    val m = Behavior.timeDecayScore(df, "user_id", "ts", "value",
+        "event_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m(1L) == ((3L, 8.0 + 4.0 + 2.0)))
+    assert(m(2L) == ((1L, 5.0)))
+  }
+
+  test("seasonalNaiveError: hand-computed MAE/RMSE; unmatched days drop") {
+    import spark.implicits._
+    // days 0..8 for one key; season 2 -> pairs (2,0),(3,1),...,(8,6)
+    val df = (0L to 8L).map(d => ("k", d, d.toDouble * d))
+      .toDF("g", "day", "v")
+    val r = Behavior.seasonalNaiveError(df, "g", "day", "v", 2).head()
+    val diffs = (2L to 8L).map(d => (d * d - (d - 2) * (d - 2)).toDouble)
+    assert(r.getAs[Long]("n_days") == 7L)
+    assert(r.getAs[Double]("mae") ==
+      math.rint(diffs.map(math.abs).sum / 7.0 * 1e6) / 1e6)
+    assert(math.abs(r.getAs[Double]("rmse") -
+      math.sqrt(diffs.map(x => x * x).sum / 7.0)) < 1e-6)
+  }
 }
