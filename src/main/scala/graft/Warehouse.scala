@@ -53,6 +53,15 @@ object Warehouse {
   final case class ViewDef(name: String, factTable: String,
       dimTable: String, joinKeys: Seq[String])
 
+  /** A persisted MINHASH NEAR-DUP INDEX maintained per sync batch: each
+    * new raw file's documents append O(batch) through the AppendCommit
+    * protocol ([[graft.operators.Dedup.appendToMinhashIndex]]), so the
+    * warehouse always holds a probe-ready reference corpus — incoming
+    * batches check for near-duplicates ([[Warehouse.nearDupsIn]])
+    * without ever re-shingling what's already indexed. */
+  final case class IndexDef(name: String, table: String,
+      idCol: String, textCol: String)
+
   final case class Config(
       warehouseDir: String,
       db: String = "canvasdata",
@@ -73,6 +82,9 @@ object Warehouse {
       /** enrichment views auto-refreshed per sync batch
         * (see [[Warehouse.view]]) */
       maintainedViews: Seq[ViewDef] = Nil,
+      /** MinHash near-dup indexes auto-appended per sync batch
+        * (see [[Warehouse.nearDupsIn]]) */
+      maintainedIndexes: Seq[IndexDef] = Nil,
       /** Summary notification hook — the reference publishes every sync
         * summary to an SNS email topic (`sync-canvas-data-files.py:141-145`,
         * topic `cloud_formation/canvas_data_aws.yaml:68-78`); plug a mailer/
@@ -117,7 +129,10 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
           graft.catalog.CatalogSync.registerCanonicalView(
             spark, cfg.db, t.tableName, path)
         }
-      if (!cfg.dryRun) { maintainStores(schema); maintainViews(schema) }
+      if (!cfg.dryRun) {
+        maintainStores(schema); maintainViews(schema)
+        maintainIndexes(schema)
+      }
     } finally cfg.onSummary(summary)
     summary
   }
@@ -190,6 +205,64 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
   def view(name: String): DataFrame =
     graft.pipeline.JoinView.read(spark,
       s"${cfg.warehouseDir}/_maintained/view_$name")
+
+  /** Per-sync-batch maintenance of the configured MinHash indexes —
+    * the dedup reference corpus kept probe-ready with O(new files)
+    * work. Same file-granular ledger convergence as views/rollups,
+    * with NAMESPACED ledger ids: the warehouse records a
+    * `rawfile-<name>` marker per folded file, while the append itself
+    * records its content id — a crash between the append and the
+    * marker retries the append, which no-ops on its content
+    * fingerprint, then lands the marker (effectively-once under
+    * at-least-once delivery). A marker whose file was stale-deleted
+    * triggers a rebuild over the current listing (signatures can't
+    * subtract — same premise as rollup partials). */
+  private def maintainIndexes(schema: Seq[CDTable]): Unit = {
+    import graft.pipeline.AppendCommit
+    val Tag = "rawfile-"
+    cfg.maintainedIndexes.foreach { d =>
+      schema.find(_.tableName == d.table).foreach { t =>
+        val files = rawListing(d.table)
+        if (files.nonEmpty) {
+          val store = s"${cfg.warehouseDir}/_maintained/index_${d.name}"
+          def docs(fnames: Seq[String]) = readRaw(t, fnames)
+            .select(org.apache.spark.sql.functions.col(d.idCol)
+              .as("doc_id"),
+              org.apache.spark.sql.functions.col(d.textCol).as("text"))
+          val applied = AppendCommit.appliedEntries(store).map(_._1)
+            .filter(_.startsWith(Tag)).map(_.stripPrefix(Tag))
+          if (applied.isEmpty)
+            graft.operators.Dedup.buildMinhashIndex(spark, docs(files),
+              store, ledger = files.map(f => (Tag + f, "")))
+          else if (!applied.forall(files.contains)) {
+            org.slf4j.LoggerFactory.getLogger(classOf[Warehouse]).warn(
+              s"index_${d.name}: indexed file(s) removed by stale-delete" +
+                " — rebuilding index from the current listing")
+            fsOf.delete(new org.apache.hadoop.fs.Path(store), true)
+            graft.operators.Dedup.buildMinhashIndex(spark, docs(files),
+              store, ledger = files.map(f => (Tag + f, "")))
+          } else {
+            files.filterNot(applied.contains).foreach { f =>
+              graft.operators.Dedup.appendToMinhashIndex(spark,
+                docs(Seq(f)), store)
+              AppendCommit.markApplied(store, Tag + f, "")
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Probe a maintained index: near-duplicate (indexed_id, batch_id)
+    * pairs for an incoming batch with (doc_id, text) columns — the
+    * admission check a curation pipeline runs BEFORE letting a batch
+    * into the corpus. O(batch): only bucket-colliding candidates rerank
+    * (see [[graft.operators.Dedup.incrementalNearDups]]). */
+  def nearDupsIn(indexName: String, incoming: DataFrame,
+      minEst: Double = 0.5): DataFrame =
+    graft.operators.Dedup.incrementalNearDups(spark,
+      s"${cfg.warehouseDir}/_maintained/index_$indexName", incoming,
+      minEst)
 
   /** Per-sync-batch refresh of the configured rollups and profiles —
     * data-quality observability (A13's operational summary grown into

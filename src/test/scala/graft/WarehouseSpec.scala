@@ -281,4 +281,70 @@ class WarehouseSpec extends SparkSpec {
       s"expected partition pruning through the catalog view:\n$plan")
     assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("maintained MinHash index: build on sync, O(batch) append, probe-ready") {
+    val src = Files.createTempDirectory("wh_idx_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    // three UNRELATED sentences (near-dup probes must collide with one
+    // doc only); the probe text tweaks a single word, keeping most
+    // 3-gram shingles shared with its source
+    val sentences = Map(
+      "alpha" -> ("the quick brown fox jumps over the lazy dog and runs " +
+        "far away into the deep green forest tonight"),
+      "beta" -> ("pack my box with five dozen liquor jugs while the band " +
+        "played waltzes on the crowded pier all evening"),
+      "gamma" -> ("sphinx of black quartz judge my vow under the bright " +
+        "morning sun beside the quiet harbor wall today"))
+    def sentence(tag: String) = sentences(tag)
+    val schema = Seq(
+      CDTable("docs", None, Seq(
+        CDColumn("doc_id", "bigint"),
+        CDColumn("text", "varchar", Some(500)))))
+    val m1 = Seq(put("docs", "d1.tsv",
+      s"1\t${sentence("alpha")}\n2\t${sentence("beta")}\n"))
+    val whDir = Files.createTempDirectory("wh_idx_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark,
+      Warehouse.Config(whDir, db = "cd_whi", parallelism = 2,
+        maintainedIndexes = Seq(
+          Warehouse.IndexDef("docs_nd", "docs", "doc_id", "text"))))
+    wh.sync(m1, schema)
+
+    import spark.implicits._
+    def probe(id: Long, text: String) =
+      wh.nearDupsIn("docs_nd", Seq((id, text)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a near-copy of doc 1 collides with it and only it
+    assert(probe(100L, sentence("alpha")) == Set((1L, 100L)))
+
+    def idxFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      val root = new java.io.File(new java.net.URI(
+        s"$whDir/_maintained/index_docs_nd"))
+      walk(root).filter { f =>
+        val n = f.getName
+        !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
+      }.map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = idxFiles()
+    // sync 2: one new raw file appends file-additively
+    val m2 = m1 :+ put("docs", "d2.tsv", s"3\t${sentence("gamma")}\n")
+    wh.sync(m2, schema)
+    assert(probe(200L, sentence("gamma")) == Set((3L, 200L)),
+      "the appended batch's doc must be probe-visible")
+    val after = idxFiles()
+    before.foreach { case (n, mt) =>
+      assert(after.get(n).contains(mt),
+        s"pre-existing index file $n must keep physical identity") }
+    assert(after.size > before.size, "the append must add files")
+    // sync 3: nothing new — the refresh is a ledger no-op
+    wh.sync(m2, schema)
+    assert(idxFiles() == after, "an unchanged listing must not rewrite")
+  }
+
 }
