@@ -1749,4 +1749,91 @@ object Curation {
       |  COUNT(*) AS n, MIN(u.id) AS min_id
       |FROM urls u LEFT JOIN hit h ON u.id = h.id AND h.rn = 1
       |GROUP BY u.domain, COALESCE(h.action, 'allow'), h.prefix""".stripMargin
+
+  /** DATASET CARD summary — the one-page "what is in this corpus"
+    * artifact a dataset release ships (Gebru et al., "Datasheets for
+    * Datasets"): size, source/language breadth, duplication rate,
+    * length distribution, all as one tall (metric, value) frame ready
+    * to land next to the data. Every number is one aggregate over the
+    * corpus scan or a |distinct-values| window (the p50 positional
+    * rule); nothing is estimated. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("total_chars"),
+      countDistinct(col("text")).as("n_distinct_texts"))
+    val topLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("top_lang_docs"))
+    val p50 = quantileThresholds(docs.select(lit(1).as("k"),
+        col("n_chars")), "k", "n_chars", 0.5)
+      .select(col("threshold").as("p50_chars"))
+    val j = base.crossJoin(broadcast(topLang)).crossJoin(broadcast(p50))
+    def metric(name: String, v: org.apache.spark.sql.Column) =
+      j.select(lit(name).as("metric"), round(v.cast("double"), 6)
+        .as("value"))
+    metric("n_docs", col("n_docs"))
+      .unionAll(metric("n_sources", col("n_sources")))
+      .unionAll(metric("n_langs", col("n_langs")))
+      .unionAll(metric("total_chars", col("total_chars")))
+      .unionAll(metric("mean_chars",
+        col("total_chars").cast("double") / col("n_docs").cast("double")))
+      .unionAll(metric("dup_rate",
+        lit(1.0) - col("n_distinct_texts").cast("double") /
+          col("n_docs").cast("double")))
+      .unionAll(metric("share_top_lang",
+        col("top_lang_docs").cast("double") / col("n_docs").cast("double")))
+      .unionAll(metric("p50_chars", col("p50_chars")))
+  }
+
+  // ---------------------------------------------------------------------
+  // q195_dataset_card — the release datasheet over the documents corpus:
+  // eight exact metrics in one tall frame. The oracle recomputes each
+  // from scratch; the positional p50 follows the q76 rule.
+  // ---------------------------------------------------------------------
+  def q195DatasetCard(s: SparkSession, dir: String): DataFrame =
+    datasetCard(t(s, dir, "documents"))
+
+  val q195DatasetCardSql: String =
+    """WITH base AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    COUNT(DISTINCT source) AS n_sources,
+      |    COUNT(DISTINCT lang) AS n_langs,
+      |    SUM(n_chars) AS total_chars,
+      |    COUNT(DISTINCT text) AS n_distinct FROM documents),
+      |tl AS (
+      |  SELECT MAX(c) AS top_lang_docs FROM (
+      |    SELECT COUNT(*) AS c FROM documents GROUP BY lang)),
+      |cum AS (
+      |  SELECT n_chars,
+      |    SUM(cnt) OVER (ORDER BY n_chars DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge,
+      |    SUM(cnt) OVER () AS n
+      |  FROM (SELECT n_chars, COUNT(*) AS cnt FROM documents
+      |        GROUP BY n_chars)),
+      |p50 AS (
+      |  SELECT MAX(n_chars) AS p50_chars FROM cum
+      |  WHERE cum_ge >= CEIL(n * 0.5))
+      |SELECT 'n_docs' AS metric, ROUND(CAST(n_docs AS DOUBLE), 6) AS value
+      |FROM base
+      |UNION ALL SELECT 'n_sources', ROUND(CAST(n_sources AS DOUBLE), 6)
+      |FROM base
+      |UNION ALL SELECT 'n_langs', ROUND(CAST(n_langs AS DOUBLE), 6)
+      |FROM base
+      |UNION ALL SELECT 'total_chars', ROUND(CAST(total_chars AS DOUBLE), 6)
+      |FROM base
+      |UNION ALL SELECT 'mean_chars',
+      |  ROUND(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+      |FROM base
+      |UNION ALL SELECT 'dup_rate',
+      |  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+      |FROM base
+      |UNION ALL SELECT 'share_top_lang',
+      |  ROUND(CAST(tl.top_lang_docs AS DOUBLE)
+      |    / CAST(base.n_docs AS DOUBLE), 6)
+      |FROM base CROSS JOIN tl
+      |UNION ALL SELECT 'p50_chars', ROUND(CAST(p50_chars AS DOUBLE), 6)
+      |FROM p50""".stripMargin
+
 }

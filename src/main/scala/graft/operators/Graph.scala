@@ -415,4 +415,95 @@ object Graph {
       |      ORDER BY n_members DESC, label ASC) AS rnk
       |  FROM sizes)
       |WHERE rnk <= 20""".stripMargin
+
+  /** DEGREE DISTRIBUTION + HILL tail-index estimate — the first
+    * diagnostic run on any production graph: how heavy is the degree
+    * tail (α̂ ≈ 2–3 for web/social graphs), which decides whether the
+    * pipeline needs skew guards at all. Hill (1975) over the top-k
+    * order statistics of the degree sequence:
+    * α̂ = k / Σ_{i=1..k} ln(dᵢ/d₍ₖ₊₁₎), using the (k+1)-th largest
+    * degree as the threshold. Degrees are two aggregations; the order
+    * statistics come from ONE TakeOrdered of k+1 rows (never a global
+    * sort); the ln fold is ordered (the q92 discipline). Emits the
+    * top-of-distribution rows (degree, n_nodes) plus (k, d_threshold,
+    * alpha) on each row for the one-result gate shape. */
+  def degreeTail(edges: DataFrame, k: Int): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val topK1 = deg.orderBy(col("d").desc, col("n").asc).limit(k + 1)
+      .select(col("d"), col("n"))
+    val ranked = Similarity.rankBounded(topK1, "rnk",
+      Seq(col("d").desc, col("n").asc))
+    val thr = ranked.filter(col("rnk") === k + 1)
+      .select(col("d").as("d_thr"))
+    val hill = ranked.filter(col("rnk") <= k)
+      .crossJoin(broadcast(thr))
+      .select(struct(col("rnk"),
+        log(col("d").cast("double") / col("d_thr").cast("double"))
+          .as("t")).as("st"), col("d_thr"))
+      .agg(array_sort(collect_list(col("st"))).as("__ts"),
+        max(col("d_thr")).as("d_threshold"))
+      .select(col("d_threshold"),
+        round(lit(k).cast("double") /
+          aggregate(col("__ts"), lit(0.0d),
+            (acc, x) => acc + x.getField("t")), 6).as("alpha"))
+    val dist = deg.groupBy(col("d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree").desc).limit(20)
+    Similarity.rankBounded(dist, "rnk",
+        Seq(col("degree").desc))
+      .select(col("rnk").cast("int").as("rnk"), col("degree"),
+        col("n_nodes"))
+      .crossJoin(broadcast(hill.select(lit(k).as("k"), col("d_threshold"),
+        col("alpha"))))
+  }
+
+  // ---------------------------------------------------------------------
+  // q196_degree_tail — top of the co-purchase degree distribution with
+  // the Hill tail index at k = 50. The oracle replays the order
+  // statistics and the rank-ordered ln fold.
+  // ---------------------------------------------------------------------
+  def q196DegreeTail(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val co = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey")
+          && col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    degreeTail(co, k = 50)
+  }
+
+  val q196DegreeTailSql: String =
+    """WITH und AS (
+      |  SELECT DISTINCT LEAST(x.l_partkey, y.l_partkey) AS a,
+      |    GREATEST(x.l_partkey, y.l_partkey) AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |deg AS (
+      |  SELECT n, COUNT(*) AS d FROM (
+      |    SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY n),
+      |ranked AS (
+      |  SELECT d, n, ROW_NUMBER() OVER (ORDER BY d DESC, n ASC) AS rnk
+      |  FROM deg),
+      |thr AS (SELECT d AS d_thr FROM ranked WHERE rnk = 51),
+      |hill AS (
+      |  SELECT MAX(t.d_thr) AS d_threshold,
+      |    ROUND(50.0 / list_reduce(list_prepend(0.0::DOUBLE,
+      |      list(ln(CAST(r.d AS DOUBLE) / CAST(t.d_thr AS DOUBLE))
+      |        ORDER BY r.rnk)), (a, b) -> a + b), 6) AS alpha
+      |  FROM ranked r CROSS JOIN thr t WHERE r.rnk <= 50),
+      |dist AS (
+      |  SELECT d AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY d),
+      |topd AS (
+      |  SELECT degree, n_nodes,
+      |    ROW_NUMBER() OVER (ORDER BY degree DESC) AS rnk
+      |  FROM dist)
+      |SELECT CAST(t.rnk AS INT) AS rnk, t.degree, t.n_nodes,
+      |  50 AS k, h.d_threshold, h.alpha
+      |FROM topd t CROSS JOIN hill h WHERE t.rnk <= 20""".stripMargin
+
 }

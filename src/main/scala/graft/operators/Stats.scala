@@ -1138,4 +1138,110 @@ object Stats {
       |    / (log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * CAST(n AS DOUBLE)),
       |    4) AS chi2_term
       |FROM t""".stripMargin
+
+  /** STRATIFIED treatment-effect estimate — the observational A/B
+    * readout (stratum-adjusted difference of means): within each
+    * stratum, compare treated vs control outcome means; the overall
+    * estimate weights per-stratum differences by stratum mass,
+    * removing confounding that correlates with the strata. Per-stratum
+    * means are exact decimal sums over exact counts; the overall ATE
+    * is an ordered fold over stratum-sorted terms. Strata missing a
+    * side surface NULL diff and drop from the ATE (standard common-
+    * support trimming), with their mass excluded from the weights. */
+  def strataAdjustedDiff(df: DataFrame, stratum: String,
+      treat: Column, outcome: String): DataFrame = {
+    val base = df.select(col(stratum).as("stratum"),
+      treat.cast("boolean").as("__t"), col(outcome).as("__y"))
+    val per = base.groupBy(col("stratum")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("n_treat"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("n_control"),
+      s1(when(col("__t"), col("__y"))).as("__sy_t"),
+      s1(when(!col("__t"), col("__y"))).as("__sy_c"))
+    val diff = when(col("n_treat") > 0 && col("n_control") > 0,
+      col("__sy_t") / col("n_treat").cast("double") -
+        col("__sy_c") / col("n_control").cast("double"))
+    val per2 = per.select(col("stratum"), col("n_treat"),
+      col("n_control"),
+      round(when(col("n_treat") > 0,
+        col("__sy_t") / col("n_treat").cast("double")), 6).as("mean_treat"),
+      round(when(col("n_control") > 0,
+        col("__sy_c") / col("n_control").cast("double")), 6)
+        .as("mean_control"),
+      round(diff, 6).as("diff"),
+      diff.as("__diff_raw"))
+    // ATE over supported strata: Σ w_s·diff_s, w_s = stratum mass over
+    // the SUPPORTED total — ordered fold, one-row broadcast back
+    val ate = per2.filter(col("__diff_raw").isNotNull)
+      .select(struct(col("stratum"),
+        ((col("n_treat") + col("n_control")).cast("double") *
+          col("__diff_raw")).as("wd")).as("st"),
+        (col("n_treat") + col("n_control")).as("m"))
+      .agg(array_sort(collect_list(col("st"))).as("__ts"),
+        sum(col("m")).as("__n"))
+      .select(round(aggregate(col("__ts"), lit(0.0d),
+        (acc, x) => acc + x.getField("wd")) /
+          col("__n").cast("double"), 6).as("ate"))
+    per2.drop("__diff_raw").crossJoin(broadcast(ate))
+  }
+
+  // ---------------------------------------------------------------------
+  // q194_strata_ate — outcome: per-user decimal value mass; treatment:
+  // "user has any purchase event"; strata: user cohort (user_id % 5).
+  // Planted confounding is irrelevant to the gate — it checks the
+  // per-stratum decimal means, the common-support NULL rule, and the
+  // stratum-ordered weighted fold.
+  // ---------------------------------------------------------------------
+  def q194StrataAte(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("treated"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("y"))
+      .select((col("user_id") % 5).as("cohort"), col("treated"),
+        col("y"))
+    strataAdjustedDiff(users, "cohort", col("treated") === 1L, "y")
+      .withColumnRenamed("stratum", "cohort")
+  }
+
+  val q194StrataAteSql: String =
+    """WITH users AS (
+      |  SELECT user_id % 5 AS cohort,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS t,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+      |  FROM events GROUP BY user_id),
+      |per AS (
+      |  SELECT cohort,
+      |    CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_treat,
+      |    CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_control,
+      |    CAST(SUM(CASE WHEN t = 1 THEN CAST(y AS DECIMAL(18,4)) END)
+      |      AS DOUBLE) AS sy_t,
+      |    CAST(SUM(CASE WHEN t = 0 THEN CAST(y AS DECIMAL(18,4)) END)
+      |      AS DOUBLE) AS sy_c
+      |  FROM users GROUP BY cohort),
+      |per2 AS (
+      |  SELECT cohort, n_treat, n_control,
+      |    CASE WHEN n_treat > 0
+      |      THEN sy_t / CAST(n_treat AS DOUBLE) END AS mt,
+      |    CASE WHEN n_control > 0
+      |      THEN sy_c / CAST(n_control AS DOUBLE) END AS mc,
+      |    CASE WHEN n_treat > 0 AND n_control > 0
+      |      THEN sy_t / CAST(n_treat AS DOUBLE)
+      |         - sy_c / CAST(n_control AS DOUBLE) END AS d
+      |  FROM per),
+      |a AS (
+      |  SELECT ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+      |      list(CAST(n_treat + n_control AS DOUBLE) * d ORDER BY cohort)
+      |        FILTER (WHERE d IS NOT NULL)),
+      |      (x, b) -> x + b)
+      |    / CAST(SUM(n_treat + n_control)
+      |        FILTER (WHERE d IS NOT NULL) AS DOUBLE), 6) AS ate
+      |  FROM per2)
+      |SELECT cohort, n_treat, n_control,
+      |  ROUND(mt, 6) AS mean_treat, ROUND(mc, 6) AS mean_control,
+      |  ROUND(d, 6) AS diff, a.ate
+      |FROM per2 CROSS JOIN a""".stripMargin
+
 }

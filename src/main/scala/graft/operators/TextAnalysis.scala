@@ -996,4 +996,112 @@ object TextAnalysis {
       |  END AS flesch
       |FROM documents""".stripMargin
 
+  /** UMASS TOPIC COHERENCE (Mimno et al., EMNLP 2011) — the intrinsic
+    * quality score for any "top terms per group" output (clusters,
+    * topics, per-source keyword lists): coherent term sets co-occur in
+    * documents. For each group's rank-ordered top-k terms, coherence =
+    * Σ_{i<j} ln((D(wᵢ,wⱼ)+1)/D(wⱼ)) with D() CORPUS document counts
+    * and wⱼ the lower-ranked term (+1 the standard smoothing so an
+    * unseen pair stays finite).
+    *
+    * Scale shape: term selection is a per-group window over the
+    * (group × word) doc-count table; the co-document join runs ONLY
+    * over postings of selected words — a broadcast semi-join prunes
+    * the corpus-sized postings list to ≤ |groups|·k words before the
+    * doc-key self-join, so pair counting costs the selected words'
+    * postings, never all words'. The per-group sum is an ordered fold
+    * over (i, j)-sorted terms (the q92 discipline). */
+  def umassCoherence(docs: DataFrame, group: String, textCol: String,
+      idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = docs.select(col(idCol).as("doc"), col(group).as("grp"),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    // per-group top-k terms by within-group doc frequency (ties alpha)
+    val byGrp = wd.groupBy(col("grp"), col("w"))
+      .agg(count(lit(1)).as("dfg"))
+    val pick = Window.partitionBy(col("grp"))
+      .orderBy(col("dfg").desc, col("w").asc)
+    val terms = byGrp.withColumn("rnk", row_number().over(pick))
+      .filter(col("rnk") <= k).select(col("grp"), col("rnk"), col("w"))
+    // corpus doc counts for selected words only
+    val selected = terms.select(col("w")).distinct()
+    val posts = wd.select(col("doc"), col("w"))
+      .join(broadcast(selected), Seq("w"), "left_semi").distinct()
+    val dCorpus = posts.groupBy(col("w")).agg(count(lit(1)).as("d"))
+    // co-document counts over selected-word postings
+    val co = posts.select(col("doc"), col("w").as("wa"))
+      .join(posts.select(col("doc"), col("w").as("wb")), "doc")
+      .filter(col("wa") < col("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("dab"))
+    val pairs = terms.as("ti")
+      .join(terms.as("tj"), col("ti.grp") === col("tj.grp")
+        && col("ti.rnk") < col("tj.rnk"))
+      .select(col("ti.grp").as("grp"), col("ti.rnk").as("i"),
+        col("tj.rnk").as("j"), col("ti.w").as("wi"), col("tj.w").as("wj"))
+      .join(broadcast(dCorpus.select(col("w").as("wj"),
+        col("d").as("d_j"))), "wj")
+      .join(co.select(least(col("wa"), col("wb")).as("__a"),
+          greatest(col("wa"), col("wb")).as("__b"), col("dab")),
+        least(col("wi"), col("wj")) === col("__a")
+          && greatest(col("wi"), col("wj")) === col("__b"), "left")
+      .select(col("grp"), col("i"), col("j"),
+        struct(col("i"), col("j"),
+          log((coalesce(col("dab"), lit(0L)) + lit(1)).cast("double") /
+            col("d_j").cast("double")).as("t")).as("st"))
+    pairs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_pairs"),
+        array_sort(collect_list(col("st"))).as("__ts"))
+      .select(col("grp").as(group), col("n_pairs"),
+        round(aggregate(col("__ts"), lit(0.0d),
+          (acc, x) => acc + x.getField("t")), 6).as("coherence"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q193_coherence — UMass coherence of each source's top-5 terms over
+  // the document corpus: the "are this group's characteristic terms
+  // actually about one thing" readout behind topic/cluster QA. The
+  // oracle replays term selection, selected-word postings, smoothed
+  // pair ratios, and the (i,j)-ordered ln fold.
+  // ---------------------------------------------------------------------
+  def q193Coherence(s: SparkSession, dir: String): DataFrame =
+    umassCoherence(t(s, dir, "documents"), "source", "text", "doc_id", 5)
+
+  val q193CoherenceSql: String =
+    """WITH wd AS (
+      |  SELECT DISTINCT doc_id AS doc, source AS grp, w
+      |  FROM (SELECT doc_id, source,
+      |          unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      |        FROM documents)
+      |  WHERE w <> ''),
+      |byg AS (
+      |  SELECT grp, w, COUNT(*) AS dfg FROM wd GROUP BY grp, w),
+      |terms AS (
+      |  SELECT grp, rnk, w FROM (
+      |    SELECT grp, w,
+      |      ROW_NUMBER() OVER (PARTITION BY grp
+      |        ORDER BY dfg DESC, w ASC) AS rnk
+      |    FROM byg) WHERE rnk <= 5),
+      |sel AS (SELECT DISTINCT w FROM terms),
+      |posts AS (
+      |  SELECT DISTINCT wd.doc, wd.w FROM wd JOIN sel ON wd.w = sel.w),
+      |dcorp AS (SELECT w, COUNT(*) AS d FROM posts GROUP BY w),
+      |co AS (
+      |  SELECT a.w AS wa, b.w AS wb, COUNT(*) AS dab
+      |  FROM posts a JOIN posts b ON a.doc = b.doc AND a.w < b.w
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT ti.grp, ti.rnk AS i, tj.rnk AS j,
+      |    ln(CAST(COALESCE(co.dab, 0) + 1 AS DOUBLE)
+      |      / CAST(dj.d AS DOUBLE)) AS t
+      |  FROM terms ti
+      |  JOIN terms tj ON ti.grp = tj.grp AND ti.rnk < tj.rnk
+      |  JOIN dcorp dj ON tj.w = dj.w
+      |  LEFT JOIN co ON co.wa = LEAST(ti.w, tj.w)
+      |    AND co.wb = GREATEST(ti.w, tj.w))
+      |SELECT grp AS source, COUNT(*) AS n_pairs,
+      |  ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list(t ORDER BY i, j)), (a, b) -> a + b), 6) AS coherence
+      |FROM pairs GROUP BY grp""".stripMargin
+
 }

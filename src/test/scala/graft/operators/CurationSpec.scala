@@ -621,4 +621,21 @@ class CurationSpec extends SparkSpec {
     assert(m("US") == ((3L, 1L, false)))
     assert(m("FR") == ((3L, 3L, true)))
   }
+
+  test("datasetCard: planted duplication and p50 are exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text", "en", "web", 10L),
+      (2L, "same text", "en", "web", 10L),
+      (3L, "other", "fr", "book", 30L),
+      (4L, "more", "en", "web", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = Curation.datasetCard(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("n_docs") == 4.0 && m("n_sources") == 2.0 && m("n_langs") == 2.0)
+    assert(m("dup_rate") == 0.25)           // 3 distinct of 4
+    assert(m("share_top_lang") == 0.75)     // en
+    assert(m("p50_chars") == 20.0)          // top-half rule: 30,20 cover 2/4
+    assert(m("total_chars") == 70.0 && m("mean_chars") == 17.5)
+  }
 }

@@ -122,4 +122,21 @@ class GraphSpec extends SparkSpec {
     val m = Graph.labelPropagation(e, 1).as[(Int, Int)].collect().toMap
     assert(m == Map(1 -> 2, 2 -> 1, 3 -> 2))
   }
+
+  test("degreeTail: hand-computed Hill alpha on a star-plus-chain graph") {
+    // hub 0 connects to 1..6 (deg 6); chain 1-2, 3-4 adds deg: nodes
+    // 1..4 deg 2, nodes 5,6 deg 1
+    val e = ((1 to 6).map(i => (0, i)) ++ Seq((1, 2), (3, 4)))
+      .toDF("src", "dst")
+    val r = Graph.degreeTail(e, k = 2).head()
+    // degree order: 6, 2, 2, ... -> d_(3) = 2 (ties broken by node id)
+    assert(r.getAs[Long]("d_threshold") == 2L)
+    val exp = 2.0 / (math.log(6.0 / 2.0) + math.log(2.0 / 2.0))
+    assert(math.abs(r.getAs[Double]("alpha")
+      - math.rint(exp * 1e6) / 1e6) < 1e-9)
+    // distribution rows carry (degree, n_nodes)
+    val dist = Graph.degreeTail(e, k = 2).collect()
+      .map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(dist == Map(6L -> 1L, 2L -> 4L, 1L -> 2L))
+  }
 }

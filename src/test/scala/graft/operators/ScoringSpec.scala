@@ -183,4 +183,40 @@ class ScoringSpec extends SparkSpec {
     assert(r.getAs[Long]("n_sentences") == 1L)
     assert(r.isNullAt(r.fieldIndex("flesch")))
   }
+
+  test("umassCoherence: always-co-occurring terms beat never-co-occurring") {
+    import spark.implicits._
+    // group A: docs always contain both top terms; group B: never
+    val docs = Seq(
+      (1L, "A", "alpha beta"), (2L, "A", "alpha beta"),
+      (3L, "A", "alpha beta"),
+      (4L, "B", "gamma x"), (5L, "B", "gamma y"),
+      (6L, "B", "delta z"), (7L, "B", "delta w"))
+      .toDF("doc_id", "grp", "text")
+    val m = TextAnalysis.umassCoherence(docs, "grp", "text", "doc_id", 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // A: pair (alpha,beta) co-occurs in all 3 docs: ln(4/3) > 0
+    assert(math.abs(m("A") - math.log(4.0 / 3.0)) < 1e-6)
+    // B: top terms delta,gamma never co-occur: ln(1/2) < 0
+    assert(m("B") < 0.0)
+    assert(m("A") > m("B"))
+  }
+
+  test("strataAdjustedDiff: hand means; one-sided strata drop from the ATE") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("s1", 1, 10.0), ("s1", 1, 14.0), ("s1", 0, 5.0), ("s1", 0, 7.0),
+      ("s2", 1, 20.0), ("s2", 0, 10.0), ("s2", 0, 14.0),
+      ("s3", 1, 99.0))                       // treated-only: no support
+      .toDF("st", "t", "y")
+    val rows = Stats.strataAdjustedDiff(df, "st", col("t") === 1, "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("s1").getAs[Double]("diff") == 6.0)   // 12 - 6
+    assert(rows("s2").getAs[Double]("diff") == 8.0)   // 20 - 12
+    assert(rows("s3").isNullAt(rows("s3").fieldIndex("diff")))
+    // ATE = (4*6 + 3*8) / 7 over the supported strata only
+    val ate = rows("s1").getAs[Double]("ate")
+    assert(ate == math.rint((4 * 6.0 + 3 * 8.0) / 7.0 * 1e6) / 1e6, ate)
+  }
 }
