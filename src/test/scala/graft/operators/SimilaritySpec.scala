@@ -262,4 +262,39 @@ class SimilaritySpec extends SparkSpec {
     assert(r(2L) == ((0.0, false)))
     assert(r(3L)._2 == false && math.abs(r(3L)._1 - 0.7071) < 0.001)
   }
+
+  test("IVF cells compact through Maintain.compactPartitions: probes unchanged") {
+    graft.functions.VectorFunctions.register(spark)
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("ivf_cmp").toString +
+      "/index"
+    // build + two appends -> each cell holds several small file sets
+    Similarity.buildIvfIndex(spark, e.filter(col("vec_id") % 3 === 0), idx)
+    Similarity.appendToIvfIndex(spark, e.filter(col("vec_id") % 3 === 1), idx)
+    Similarity.appendToIvfIndex(spark, e.filter(col("vec_id") % 3 === 2), idx)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def probe() = Similarity.probeIvfIndex(spark, idx, q, k = 5,
+        nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def nFiles() = {
+      val base = new java.io.File(s"$idx/cells")
+      base.listFiles().filter(_.getName.startsWith("cell=")).map(
+        _.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    }
+    val beforeProbe = probe()
+    val beforeFiles = nFiles()
+    val sum = graft.pipeline.Maintain.compactPartitions(spark,
+      s"$idx/cells", targetBytes = 64L * 1024 * 1024)
+    assert(sum.partitionsCompacted > 0,
+      "multi-append cells must have compactable dirs")
+    assert(nFiles() < beforeFiles, "compaction must reduce the file count")
+    assert(probe() == beforeProbe, "probe results must survive compaction")
+    // the append ledger (index root) is untouched: a replayed batch is
+    // still a no-op after compaction
+    val afterFiles = nFiles()
+    Similarity.appendToIvfIndex(spark, e.filter(col("vec_id") % 3 === 2), idx)
+    assert(nFiles() == afterFiles,
+      "replaying an applied batch after compaction must not re-append")
+  }
 }
