@@ -1836,4 +1836,134 @@ object Curation {
       |UNION ALL SELECT 'p50_chars', ROUND(CAST(p50_chars AS DOUBLE), 6)
       |FROM p50""".stripMargin
 
+  /** SPLIT-BALANCE audit — the QA gate after any train/val split: does
+    * each stratum land in the splits at the global proportions, or did
+    * the hash accidentally correlate with a stratum? Per (stratum,
+    * split) cell: observed count, expected count n_stratum·p_split,
+    * and the χ² term — the q135 per-cell shape (no global float fold).
+    * Two aggregations over the split assignment, a |strata|×|splits|
+    * output. */
+  def splitBalance(df: DataFrame, stratum: String, split: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(stratum), col(split))
+      .agg(count(lit(1)).as("n_obs"))
+    val byStratum = cells.groupBy(col(stratum))
+      .agg(sum(col("n_obs")).as("n_stratum"))
+    val bySplit = cells.groupBy(col(split))
+      .agg(sum(col("n_obs")).as("n_split"))
+    val total = cells.agg(sum(col("n_obs")).as("n_total"))
+    val e = cells
+      .join(broadcast(byStratum), Seq(stratum))
+      .join(broadcast(bySplit), Seq(split))
+      .crossJoin(broadcast(total))
+      .withColumn("__exp", col("n_stratum").cast("double") *
+        col("n_split").cast("double") / col("n_total").cast("double"))
+    e.select(col(stratum), col(split), col("n_obs"),
+      round(col("__exp"), 4).as("n_exp"),
+      round((col("n_obs").cast("double") - col("__exp")) *
+        (col("n_obs").cast("double") - col("__exp")) / col("__exp"), 4)
+        .as("chi2_term"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q199_split_balance — is the q63 hash split balanced within every
+  // source? Per (source, split) observed/expected/χ² cells over the
+  // same md5-bucket assignment; a biased hash (or a changed bucket
+  // boundary) moves the integers and hash-fails.
+  // ---------------------------------------------------------------------
+  def q199SplitBalance(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 2), 16, 10).cast("int")
+    val d = t(s, dir, "documents").withColumn("split",
+      when(bucket < 230, lit("train")).otherwise(lit("val")))
+    splitBalance(d, "source", "split")
+  }
+
+  val q199SplitBalanceSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+      |              1, 2) AS INT) < 230
+      |         THEN 'train' ELSE 'val' END AS split
+      |  FROM documents),
+      |cells AS (
+      |  SELECT source, split, COUNT(*) AS n_obs FROM d GROUP BY 1, 2),
+      |bs AS (SELECT source, SUM(n_obs) AS n_stratum FROM cells GROUP BY 1),
+      |bp AS (SELECT split, SUM(n_obs) AS n_split FROM cells GROUP BY 1),
+      |tot AS (SELECT SUM(n_obs) AS n_total FROM cells)
+      |SELECT c.source, c.split, c.n_obs,
+      |  ROUND(CAST(bs.n_stratum AS DOUBLE) * CAST(bp.n_split AS DOUBLE)
+      |    / CAST(tot.n_total AS DOUBLE), 4) AS n_exp,
+      |  ROUND((CAST(c.n_obs AS DOUBLE)
+      |      - CAST(bs.n_stratum AS DOUBLE) * CAST(bp.n_split AS DOUBLE)
+      |        / CAST(tot.n_total AS DOUBLE))
+      |    * (CAST(c.n_obs AS DOUBLE)
+      |      - CAST(bs.n_stratum AS DOUBLE) * CAST(bp.n_split AS DOUBLE)
+      |        / CAST(tot.n_total AS DOUBLE))
+      |    / (CAST(bs.n_stratum AS DOUBLE) * CAST(bp.n_split AS DOUBLE)
+      |      / CAST(tot.n_total AS DOUBLE)), 4) AS chi2_term
+      |FROM cells c
+      |JOIN bs ON c.source = bs.source
+      |JOIN bp ON c.split = bp.split
+      |CROSS JOIN tot""".stripMargin
+
+  /** MODE (hot-deck) IMPUTATION — fill NULLs in a categorical column
+    * with the group's most frequent non-NULL value (ties → smallest,
+    * the [[Labels.majorityVote]] total order): the standard repair
+    * before grouping/joining on a sparsely-populated column. One
+    * (group × value) count + a per-group argmax window (vocabulary-
+    * bounded), broadcast back, map-only fill. Rows preserved; a group
+    * with NO observed value keeps its NULLs (`imputed` stays false —
+    * visible, not invented). */
+  def imputeMode(df: DataFrame, group: String, target: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(target).isNotNull)
+      .groupBy(col(group), col(target)).agg(count(lit(1)).as("c"))
+    val pick = Window.partitionBy(col(group))
+      .orderBy(col("c").desc, col(target).asc)
+    val modes = counts.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col(group), col(target).as("__mode"))
+    df.join(broadcast(modes), Seq(group), "left")
+      .withColumn("imputed", col(target).isNull && col("__mode").isNotNull)
+      .withColumn(target, coalesce(col(target), col("__mode")))
+      .drop("__mode")
+  }
+
+  // ---------------------------------------------------------------------
+  // q200_impute_mode — planted NULL langs (every 7th doc) refilled with
+  // the source's modal language; the audit groups by (source, lang,
+  // imputed). Tie-break and the no-mode-keeps-NULL rule are what the
+  // hash checks.
+  // ---------------------------------------------------------------------
+  def q200ImputeMode(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").withColumn("lang",
+      when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")))
+    imputeMode(d, "source", "lang")
+      .groupBy(col("source"), col("lang"), col("imputed"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+  }
+
+  val q200ImputeModeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang
+      |  FROM documents),
+      |modes AS (
+      |  SELECT source, lang AS mode_lang FROM (
+      |    SELECT source, lang,
+      |      ROW_NUMBER() OVER (PARTITION BY source
+      |        ORDER BY COUNT(*) DESC, lang ASC) AS rn
+      |    FROM d WHERE lang IS NOT NULL GROUP BY source, lang)
+      |  WHERE rn = 1),
+      |filled AS (
+      |  SELECT d.doc_id, d.source,
+      |    COALESCE(d.lang, m.mode_lang) AS lang,
+      |    d.lang IS NULL AND m.mode_lang IS NOT NULL AS imputed
+      |  FROM d LEFT JOIN modes m ON d.source = m.source)
+      |SELECT source, lang, imputed, COUNT(*) AS n, MIN(doc_id) AS min_id
+      |FROM filled GROUP BY source, lang, imputed""".stripMargin
+
 }

@@ -32,4 +32,64 @@ object SkewJoin {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** JOIN-FANOUT diagnostic — the pre-flight check before any fact ⋈
+    * fact join at scale: per join key, the output multiplicity is
+    * |left rows| × |right rows|, and the top few keys routinely decide
+    * whether the join is feasible at all. One aggregation per side over
+    * the key (both map-side partial), an inner join of the two count
+    * tables (small — one row per shared key), TakeOrdered top-k by the
+    * product. This is the evidence that picks between a plain join,
+    * [[SkewJoin.saltedInnerJoin]], and AQE skew splitting. */
+  def joinFanout(lhs: org.apache.spark.sql.DataFrame,
+      rhs: org.apache.spark.sql.DataFrame, key: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lc = lhs.groupBy(col(key)).agg(count(lit(1)).as("n_left"))
+    val rc = rhs.groupBy(col(key)).agg(count(lit(1)).as("n_right"))
+    val prod = lc.join(rc, key)
+      .select(col(key), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("fanout"))
+    val top = prod.orderBy(col("fanout").desc, col(key).asc).limit(k)
+    graft.operators.Similarity.rankBounded(top, "rnk",
+        Seq(col("fanout").desc, col(key).asc))
+      .select(col("rnk").cast("int").as("rnk"), col(key),
+        col("n_left"), col("n_right"), col("fanout"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q197_join_fanout — the lineitem ⋈ orders-by-custkey hazard panel:
+  // top-20 customer keys by would-be join multiplicity between the two
+  // fact tables. Integer evidence only.
+  // ---------------------------------------------------------------------
+  def q197JoinFanout(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val liByCust = li.join(o.select(col("o_orderkey"), col("o_custkey")),
+        li("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"))
+    joinFanout(liByCust, o.select(col("o_custkey").as("custkey")),
+      "custkey", 20)
+  }
+
+  val q197JoinFanoutSql: String =
+    """WITH lc AS (
+      |  SELECT o_custkey AS custkey, COUNT(*) AS n_left
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY o_custkey),
+      |rc AS (SELECT o_custkey AS custkey, COUNT(*) AS n_right
+      |       FROM orders GROUP BY o_custkey),
+      |prod AS (
+      |  SELECT lc.custkey, lc.n_left, rc.n_right,
+      |    lc.n_left * rc.n_right AS fanout
+      |  FROM lc JOIN rc ON lc.custkey = rc.custkey)
+      |SELECT CAST(rnk AS INT) AS rnk, custkey, n_left, n_right, fanout
+      |FROM (
+      |  SELECT custkey, n_left, n_right, fanout,
+      |    ROW_NUMBER() OVER (ORDER BY fanout DESC, custkey ASC) AS rnk
+      |  FROM prod)
+      |WHERE rnk <= 20""".stripMargin
+
 }

@@ -1104,4 +1104,92 @@ object TextAnalysis {
       |    list(t ORDER BY i, j)), (a, b) -> a + b), 6) AS coherence
       |FROM pairs GROUP BY grp""".stripMargin
 
+  /** ZIPF FIT — corpus-health diagnostic: natural text follows
+    * freq(rank) ∝ rank^(−s) with s ≈ 1; machine-generated or
+    * boilerplate-heavy corpora bend the line. OLS of ln(freq) on
+    * ln(rank) over the top-N vocabulary: slope, intercept, and R² from
+    * exact power sums of the (ln rank, ln freq) pairs — rank and freq
+    * are integers, ln is the identical libm call on both engines, and
+    * the power-sum→moment arithmetic follows the q44/q134 shape with
+    * final rounding far above ulp. Top-N keeps the fit off the noisy
+    * hapax tail AND bounds the regression input to one TakeOrdered. */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val vocab = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val top = vocab.orderBy(col("freq").desc, col("w").asc).limit(topN)
+    val ranked = Similarity.rankBounded(top, "rnk",
+      Seq(col("freq").desc, col("w").asc))
+    val pts = ranked.select(
+      log(col("rnk").cast("double")).as("x"),
+      log(col("freq").cast("double")).as("y"))
+    val g = pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x").cast(DecimalType(30, 8))).cast(DoubleType).as("sx"),
+      sum(col("y").cast(DecimalType(30, 8))).cast(DoubleType).as("sy"),
+      sum((col("x") * col("x")).cast(DecimalType(30, 8)))
+        .cast(DoubleType).as("sxx"),
+      sum((col("y") * col("y")).cast(DecimalType(30, 8)))
+        .cast(DoubleType).as("syy"),
+      sum((col("x") * col("y")).cast(DecimalType(30, 8)))
+        .cast(DoubleType).as("sxy"))
+    // a degenerate vocabulary (≤1 distinct term, or all-equal
+    // frequencies) has no defined fit — NULL, guarded before the
+    // divisions (ANSI raises on /0)
+    val xvar = col("n") * col("sxx") - col("sx") * col("sx")
+    val yvar = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / xvar
+    val r2num = (col("n") * col("sxy") - col("sx") * col("sy")) *
+      (col("n") * col("sxy") - col("sx") * col("sy"))
+    g.select(col("n").cast("long").as("n_terms"),
+      when(xvar =!= 0.0, round(slope, 6)).as("slope"),
+      when(xvar =!= 0.0,
+        round((col("sy") - slope * col("sx")) / col("n"), 6))
+        .as("intercept"),
+      when(xvar =!= 0.0 && yvar =!= 0.0,
+        round(r2num / (xvar * yvar), 6)).as("r2"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q198_zipf — log-log rank/frequency fit over the corpus's top-200
+  // vocabulary: slope near -1 is the natural-language signature. The
+  // oracle replays rank assignment and the decimal power-sum OLS.
+  // ---------------------------------------------------------------------
+  def q198Zipf(s: SparkSession, dir: String): DataFrame =
+    zipfFit(t(s, dir, "documents"), "text", 200)
+
+  val q198ZipfSql: String =
+    """WITH vocab AS (
+      |  SELECT w, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      |    FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |ranked AS (
+      |  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, w ASC) AS rnk
+      |  FROM vocab QUALIFY rnk <= 200),
+      |pts AS (
+      |  SELECT ln(CAST(rnk AS DOUBLE)) AS x,
+      |    ln(CAST(freq AS DOUBLE)) AS y
+      |  FROM ranked),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(30,8))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(30,8))) AS DOUBLE) AS sxy
+      |  FROM pts)
+      |SELECT CAST(n AS BIGINT) AS n_terms,
+      |  CASE WHEN n * sxx - sx * sx <> 0.0 THEN
+      |    ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+      |  CASE WHEN n * sxx - sx * sx <> 0.0 THEN
+      |    ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+      |      6) END AS intercept,
+      |  CASE WHEN n * sxx - sx * sx <> 0.0 AND n * syy - sy * sy <> 0.0
+      |    THEN ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
+      |FROM g""".stripMargin
+
 }

@@ -638,4 +638,30 @@ class CurationSpec extends SparkSpec {
     assert(m("p50_chars") == 20.0)          // top-half rule: 30,20 cover 2/4
     assert(m("total_chars") == 70.0 && m("mean_chars") == 17.5)
   }
+
+  test("splitBalance: a perfectly proportional split has zero chi2 terms") {
+    import spark.implicits._
+    val df = (for { s <- Seq("a", "b"); sp <- Seq("t", "v");
+                    _ <- 1 to (if (sp == "t") 9 else 1) }
+      yield (s, sp)).toDF("src", "split")
+    val rows = Curation.splitBalance(df, "src", "split").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chi2_term") == 0.0, r.toString) }
+  }
+
+  test("imputeMode: modal fill with ties to smallest; no-mode keeps NULL") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", Some("en")), ("g1", Some("en")), ("g1", Some("fr")),
+      ("g1", None),
+      ("g2", Some("de")), ("g2", Some("es")), ("g2", None), // tie -> de
+      ("g3", None))                                         // no mode
+      .toDF("grp", "lang")
+    val out = Curation.imputeMode(df, "grp", "lang").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getBoolean(2)))
+    assert(out.count(_ == (("g1", Some("en"), true))) == 1)
+    assert(out.count(_ == (("g2", Some("de"), true))) == 1)
+    assert(out.count(_ == (("g3", None, false))) == 1)
+    assert(out.length == 8, "rows must be preserved")
+  }
 }

@@ -370,4 +370,31 @@ class SkewAndStatsSpec extends SparkSpec {
     val exp = rows.map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(math.abs(exp("1") - 900.0 * math.log10(2.0)) < 0.001)
   }
+
+  test("joinFanout: the product of per-side counts, top-k by fanout") {
+    import spark.implicits._
+    val l = Seq(1, 1, 1, 2, 3).map(k => (k, "x")).toDF("k", "v")
+    val r = Seq(1, 1, 2, 2, 2).map(k => (k, "y")).toDF("k", "v")
+    val rows = SkewJoin.joinFanout(l, r, "k", 10).collect()
+      .map(x => x.getInt(1) -> ((x.getLong(2), x.getLong(3),
+        x.getLong(4)))).toMap
+    assert(rows(1) == ((3L, 2L, 6L)))
+    assert(rows(2) == ((1L, 3L, 3L)))
+    assert(!rows.contains(3), "keys absent from one side cannot fan out")
+  }
+
+  test("zipfFit: an exact power law recovers its slope with r2 = 1") {
+    import spark.implicits._
+    // corpus where the r-th word appears floor(1000/r) times, r = 1..20
+    // — near-exact Zipf; slope must sit close to -1 with high r2.
+    // Letter-only words: the tokenizer splits on non-letters.
+    val words = (1 to 20).flatMap(r =>
+      Seq.fill(1000 / r)("w" + ('a' + r - 1).toChar.toString * 2))
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val row = TextAnalysis.zipfFit(docs, "text", 20).head()
+    assert(row.getAs[Long]("n_terms") == 20L)
+    assert(math.abs(row.getAs[Double]("slope") + 1.0) < 0.02,
+      row.getAs[Double]("slope"))
+    assert(row.getAs[Double]("r2") > 0.999)
+  }
 }
