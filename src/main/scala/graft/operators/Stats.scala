@@ -1244,4 +1244,151 @@ object Stats {
       |  ROUND(d, 6) AS diff, a.ate
       |FROM per2 CROSS JOIN a""".stripMargin
 
+  /** Q–Q COMPARISON table — side-by-side positional quantiles of one
+    * value column across two cohorts at a shared quantile grid: the
+    * table behind a quantile-quantile plot, and the distribution-shift
+    * readout that names WHERE two cohorts diverge (KS says "they
+    * differ", PSI says "how much"; this says "the p90s differ by X").
+    * Built from the discrete positional rule ([[graft.operators
+    * .Curation.quantileThresholds]] contract — thresholds are actual
+    * data values, hash-exact) applied per (cohort, q) from ONE
+    * cumulative window over the (cohort × distinct value) table. */
+  def qqTable(df: DataFrame, cohort: String, value: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    val counts = df.groupBy(col(cohort), col(value))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(cohort)).orderBy(col(value).desc)
+      .rowsBetween(Long.MinValue, 0)
+    val cum = counts
+      .withColumn("cum_ge", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col(cohort))))
+    val qAggs = qs.map(q =>
+      max(when(col("cum_ge") >= ceil(col("n") * q).cast("long"),
+        col(value))).as(f"p${math.round((1 - q) * 100)}%02d"))
+    cum.groupBy(col(cohort))
+      .agg(max(col("n")).as("n"), qAggs: _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // q201_qq_table — per-priority order-price quantile panel (top-rule at
+  // q = 0.5/0.25/0.1 → p50/p75/p90 columns): the positional Q–Q table.
+  // The oracle replays the same cumulative rule per quantile.
+  // ---------------------------------------------------------------------
+  def q201QqTable(s: SparkSession, dir: String): DataFrame =
+    qqTable(t(s, dir, "orders"), "o_orderpriority", "o_totalprice",
+      Seq(0.5, 0.25, 0.1))
+
+  val q201QqTableSql: String =
+    """WITH counts AS (
+      |  SELECT o_orderpriority AS cohort, o_totalprice AS v,
+      |    COUNT(*) AS cnt
+      |  FROM orders GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort, v,
+      |    SUM(cnt) OVER (PARTITION BY cohort ORDER BY v DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge,
+      |    SUM(cnt) OVER (PARTITION BY cohort) AS n
+      |  FROM counts)
+      |SELECT cohort AS o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+      |  MAX(CASE WHEN cum_ge >= CEIL(n * 0.5) THEN v END) AS p50,
+      |  MAX(CASE WHEN cum_ge >= CEIL(n * 0.25) THEN v END) AS p75,
+      |  MAX(CASE WHEN cum_ge >= CEIL(n * 0.1) THEN v END) AS p90
+      |FROM cum GROUP BY cohort""".stripMargin
+
+  /** GINI COEFFICIENT of a nonnegative quantity per group — the
+    * inequality/concentration readout ("how concentrated is token mass
+    * across this source's documents"): G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n
+    * over ascending-sorted values (i = 1..n). The rank-weighted sum
+    * keeps everything exact: i·xᵢ is decimal-cast per row and summed
+    * exactly, n is integer, and the two-term combining expression is
+    * fixed-shape. One window sort per group (the per-key state is the
+    * group's rows, never the corpus). Ties get deterministic ranks via
+    * a value-then-tiebreak total order, which leaves G unchanged
+    * (equal values commute in the weighted sum). */
+  def giniByGroup(df: DataFrame, group: String, value: String,
+      tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col(group))
+      .orderBy(col(value).asc, col(tiebreak).asc)
+    val ranked = df.withColumn("__i", row_number().over(w))
+    ranked.groupBy(col(group)).agg(
+      count(lit(1)).as("n"),
+      round(
+        (lit(2.0) * sum((col("__i") * col(value))
+          .cast(DecimalType(30, 4))).cast(DoubleType)) /
+          (count(lit(1)).cast("double") *
+            sum(col(value).cast(DecimalType(30, 4))).cast(DoubleType)) -
+          (count(lit(1)) + 1).cast("double") /
+            count(lit(1)).cast("double"), 6).as("gini"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q202_gini — character-mass concentration across each source's
+  // documents: the "is this source one mega-page plus stubs" signal
+  // behind mixture weighting. Exact rank-weighted decimal sums.
+  // ---------------------------------------------------------------------
+  def q202Gini(s: SparkSession, dir: String): DataFrame =
+    giniByGroup(t(s, dir, "documents"), "source", "n_chars", "doc_id")
+
+  val q202GiniSql: String =
+    """WITH ranked AS (
+      |  SELECT source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars ASC, doc_id ASC) AS i
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n,
+      |  ROUND(
+      |    (2.0 * CAST(SUM(CAST(i * n_chars AS DECIMAL(30,4))) AS DOUBLE))
+      |      / (CAST(COUNT(*) AS DOUBLE)
+      |        * CAST(SUM(CAST(n_chars AS DECIMAL(30,4))) AS DOUBLE))
+      |    - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+      |    6) AS gini
+      |FROM ranked GROUP BY source""".stripMargin
+
+  /** BURSTINESS (Fano factor) of per-key event arrivals: variance-to-
+    * mean ratio of the key's per-bucket counts — 1 for Poisson-like
+    * arrivals, ≫1 for bursty sessions, the behavioral signal bot
+    * detection and capacity planning read. Counts are integers, so the
+    * variance comes from exact integer power sums (Σc, Σc²) and one
+    * fixed-shape double expression. Buckets with zero events are NOT
+    * imputed (observed-bucket convention, stated; a calendar-complete
+    * variant composes with [[graft.operators.EventTime.resampleFfill]]). */
+  def fanoFactor(df: DataFrame, key: String, bucket: Column): DataFrame = {
+    val counts = df.groupBy(col(key), bucket.as("__b"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col(key)).agg(
+      count(lit(1)).as("n_buckets"),
+      sum(col("c")).as("n_events"),
+      round(((sum(col("c") * col("c")).cast("double") -
+        sum(col("c")).cast("double") * sum(col("c")).cast("double") /
+          count(lit(1)).cast("double")) /
+        (count(lit(1)).cast("double") - lit(1.0))) /
+        (sum(col("c")).cast("double") / count(lit(1)).cast("double")), 6)
+        .as("fano"))
+      .filter(col("n_buckets") >= 2)
+  }
+
+  // ---------------------------------------------------------------------
+  // q203_burstiness — per-user Fano factor of daily event counts: the
+  // burstiness profile over the stream. Integer evidence; users with a
+  // single active day drop (variance undefined).
+  // ---------------------------------------------------------------------
+  def q203Burstiness(s: SparkSession, dir: String): DataFrame =
+    fanoFactor(t(s, dir, "events"), "user_id", to_date(col("ts")))
+
+  val q203BurstinessSql: String =
+    """WITH counts AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS b, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT user_id, COUNT(*) AS n_buckets,
+      |    CAST(SUM(c) AS BIGINT) AS n_events,
+      |    CAST(SUM(c * c) AS DOUBLE) AS s2, CAST(SUM(c) AS DOUBLE) AS s1,
+      |    CAST(COUNT(*) AS DOUBLE) AS nb
+      |  FROM counts GROUP BY user_id)
+      |SELECT user_id, n_buckets, n_events,
+      |  ROUND(((s2 - s1 * s1 / nb) / (nb - 1.0)) / (s1 / nb), 6) AS fano
+      |FROM g WHERE n_buckets >= 2""".stripMargin
+
 }

@@ -1192,4 +1192,87 @@ object TextAnalysis {
       |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
       |FROM g""".stripMargin
 
+  /** Per-source VOCABULARY KL DIVERGENCE vs the corpus — the lexical
+    * distribution-shift readout behind mixture decisions ("which source
+    * talks least like the rest"): KL(p_source ‖ p_corpus) over the
+    * corpus's top-N word space with add-one smoothing on BOTH sides
+    * (every term finite, the q116 discipline). Token counts restrict
+    * to the selected words via a broadcast semi-join — per-source
+    * distributions are N-dimensional regardless of vocabulary size —
+    * and the Σ p·ln(p/q) sum is a word-ordered fold. */
+  def vocabKl(docs: DataFrame, group: String, textCol: String,
+      topN: Int): DataFrame = {
+    val toks = docs.select(col(group).as("grp"),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+    val corpus = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val top = corpus.orderBy(col("cw").desc, col("w").asc).limit(topN)
+    val sel = toks.join(broadcast(top.select(col("w"))), Seq("w"),
+      "left_semi")
+    val perGrp = sel.groupBy(col("grp"), col("w"))
+      .agg(count(lit(1)).as("cgw"))
+    // dense grid: every (group, top word) cell, zero-filled
+    val grid = sel.select(col("grp")).distinct()
+      .crossJoin(broadcast(top))
+      .join(perGrp, Seq("grp", "w"), "left")
+      .withColumn("cgw", coalesce(col("cgw"), lit(0L)))
+    val nG = grid.groupBy(col("grp")).agg(sum(col("cgw")).as("ng"))
+    val nTot = top.agg(sum(col("cw")).as("n")).head().getLong(0)
+    val terms = grid.join(broadcast(nG), "grp")
+      .select(col("grp"),
+        struct(col("w"),
+          (((col("cgw") + 1).cast("double") /
+            (col("ng") + topN).cast("double")) *
+            log(((col("cgw") + 1).cast("double") /
+              (col("ng") + topN).cast("double")) /
+              ((col("cw") + 1).cast("double") /
+                lit((nTot + topN).toDouble)))).as("t")).as("st"))
+    terms.groupBy(col("grp"))
+      .agg(array_sort(collect_list(col("st"))).as("__ts"))
+      .select(col("grp").as(group),
+        round(aggregate(col("__ts"), lit(0.0d),
+          (acc, x) => acc + x.getField("t")), 6).as("kl"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q204_vocab_kl — each source's smoothed top-100-word distribution vs
+  // the corpus's: the lexical outlier panel. The oracle replays word
+  // selection, the dense zero-filled grid, both smoothings, and the
+  // word-ordered fold.
+  // ---------------------------------------------------------------------
+  def q204VocabKl(s: SparkSession, dir: String): DataFrame =
+    vocabKl(t(s, dir, "documents"), "source", "text", 100)
+
+  val q204VocabKlSql: String =
+    """WITH toks AS (
+      |  SELECT source AS grp, w FROM (
+      |    SELECT source,
+      |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      |    FROM documents)
+      |  WHERE w <> ''),
+      |corpus AS (SELECT w, COUNT(*) AS cw FROM toks GROUP BY w),
+      |top_ AS (
+      |  SELECT w, cw FROM corpus
+      |  ORDER BY cw DESC, w ASC LIMIT 100),
+      |sel AS (SELECT t.grp, t.w FROM toks t JOIN top_ ON t.w = top_.w),
+      |pg AS (SELECT grp, w, COUNT(*) AS cgw FROM sel GROUP BY grp, w),
+      |grid AS (
+      |  SELECT g.grp, top_.w, top_.cw, COALESCE(pg.cgw, 0) AS cgw
+      |  FROM (SELECT DISTINCT grp FROM sel) g
+      |  CROSS JOIN top_
+      |  LEFT JOIN pg ON pg.grp = g.grp AND pg.w = top_.w),
+      |ng AS (SELECT grp, SUM(cgw) AS ng FROM grid GROUP BY grp),
+      |nt AS (SELECT SUM(cw) AS n FROM top_)
+      |SELECT grid.grp AS source,
+      |  ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list(
+      |      (CAST(grid.cgw + 1 AS DOUBLE) / CAST(ng.ng + 100 AS DOUBLE))
+      |      * ln((CAST(grid.cgw + 1 AS DOUBLE)
+      |          / CAST(ng.ng + 100 AS DOUBLE))
+      |        / (CAST(grid.cw + 1 AS DOUBLE) / CAST(nt.n + 100 AS DOUBLE)))
+      |      ORDER BY grid.w)),
+      |    (a, b) -> a + b), 6) AS kl
+      |FROM grid JOIN ng ON grid.grp = ng.grp CROSS JOIN nt
+      |GROUP BY grid.grp""".stripMargin
+
 }

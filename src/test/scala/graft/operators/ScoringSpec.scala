@@ -219,4 +219,19 @@ class ScoringSpec extends SparkSpec {
     val ate = rows("s1").getAs[Double]("ate")
     assert(ate == math.rint((4 * 6.0 + 3 * 8.0) / 7.0 * 1e6) / 1e6, ate)
   }
+
+  test("vocabKl: a lexical outlier source scores higher than a typical one") {
+    import spark.implicits._
+    val docs = (
+      Seq.fill(5)(("typ", "alpha beta gamma delta")) ++
+      Seq.fill(5)(("typ2", "alpha beta gamma delta")) ++
+      Seq.fill(5)(("odd", "zeta zeta zeta eta"))
+    ).zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "src", "text")
+    val m = TextAnalysis.vocabKl(docs, "src", "text", 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("odd") > m("typ"), m.toString)
+    assert(m("typ") == m("typ2"), "identical sources must tie exactly")
+    assert(m.values.forall(_ >= 0.0), "KL is nonnegative")
+  }
 }

@@ -397,4 +397,37 @@ class SkewAndStatsSpec extends SparkSpec {
       row.getAs[Double]("slope"))
     assert(row.getAs[Double]("r2") > 0.999)
   }
+
+  test("qqTable: positional quantiles per cohort follow the top-count rule") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("a", i.toDouble)).toDF("c", "v")
+    val r = Stats.qqTable(df, "c", "v", Seq(0.5, 0.1)).head()
+    // top-rule: max v with #(x >= v) >= ceil(10q): q=.5 -> 6, q=.1 -> 10
+    assert(r.getAs[Double]("p50") == 6.0)
+    assert(r.getAs[Double]("p90") == 10.0)
+    assert(r.getAs[Long]("n") == 10L)
+  }
+
+  test("giniByGroup: uniform values score 0; total concentration nears 1") {
+    import spark.implicits._
+    val uni = (1 to 8).map(i => ("u", 5.0, i)).toDF("g", "v", "id")
+    assert(Stats.giniByGroup(uni, "g", "v", "id").head()
+      .getAs[Double]("gini") == 0.0)
+    val conc = (("c", 1000.0, 0) +: (1 to 9).map(i => ("c", 0.0, i)))
+      .toDF("g", "v", "id")
+    // one holder of all mass among n=10: G = (n-1)/n = 0.9
+    assert(Stats.giniByGroup(conc, "g", "v", "id").head()
+      .getAs[Double]("gini") == 0.9)
+  }
+
+  test("fanoFactor: constant arrivals 0; planted burst raises it above 1") {
+    import spark.implicits._
+    val steady = (1 to 6).map(d => ("u1", d)).toDF("k", "b")
+    val f1 = Stats.fanoFactor(steady, "k", col("b") % 3).head()
+    assert(f1.getAs[Double]("fano") == 0.0)   // 2 events in each of 3 buckets
+    val bursty = (Seq.fill(9)(("u2", 1)) :+ (("u2", 2))).toDF("k", "b")
+    val f2 = Stats.fanoFactor(bursty, "k", col("b")).head()
+    // counts (9, 1): mean 5, var 32 -> fano 6.4
+    assert(f2.getAs[Double]("fano") == 6.4)
+  }
 }
