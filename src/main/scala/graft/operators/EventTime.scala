@@ -533,4 +533,127 @@ object EventTime {
       |  list_reduce(list(value ORDER BY ts, event_id),
       |    (a, b) -> a * 0.875 + b * 0.125) AS ewma
       |FROM events GROUP BY user_id""".stripMargin
+
+  /** INTER-ARRIVAL profile — per-key gaps between consecutive events
+    * (one lag window over the key-sorted stream, total order via the
+    * id tiebreak), reduced to integer-exact evidence: gap count,
+    * min/max gap, and the exact-ratio mean (micros are int64, so the
+    * sum is exact and the mean is one division). The companion of
+    * [[graft.operators.Stats.fanoFactor]]: Fano asks "bursty per
+    * bucket?", this asks "how long between touches?". */
+  def interArrival(events: DataFrame, key: String, tsUsCol: String,
+      tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsUsCol).asc, col(tiebreak).asc)
+    val gaps = events
+      .withColumn("__gap", col(tsUsCol) - lag(col(tsUsCol), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    // the mean is emitted in SECONDS: at micros magnitude (~1e10) the
+    // 6-dp ROUND itself diverges across engines (x·10⁶ leaves the
+    // exact-double range), while seconds keep the rounded product
+    // under 2^53 — the min/max stay exact int64 micros
+    gaps.groupBy(col(key)).agg(
+      count(lit(1)).as("n_gaps"),
+      min(col("__gap")).as("min_gap_us"),
+      max(col("__gap")).as("max_gap_us"),
+      round(sum(col("__gap")).cast("double") /
+        count(lit(1)).cast("double") / lit(1000000.0), 6)
+        .as("mean_gap_s"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q206_interarrival — per-user inter-event gap profile over the
+  // stream. Integer gap evidence plus the one-division mean.
+  // ---------------------------------------------------------------------
+  def q206InterArrival(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), tsUs(col("ts")).as("ts_us"))
+    interArrival(e, "user_id", "ts_us", "event_id")
+  }
+
+  val q206InterArrivalSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_gaps,
+      |  MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
+      |  ROUND(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    / 1000000.0, 6) AS mean_gap_s
+      |FROM g WHERE gap IS NOT NULL GROUP BY user_id""".stripMargin
+
+  /** FIRST-TOUCH vs LAST-TOUCH attribution — the marketing-credit
+    * comparison every funnel owner runs: within a lookback window
+    * before each conversion, which click gets the credit under each
+    * rule, per channel. The window join runs through
+    * [[RangeJoin.pointInInterval]] (bucketed equi-join — the 100 TB
+    * shape; a raw inequality join is the oracle's non-scalable
+    * formulation, which is the point), then one min/max per conversion
+    * with a (ts, id) total order. */
+  def attributionCompare(purchases: DataFrame, clicks: DataFrame,
+      lookbackUs: Long, bucketUs: Long,
+      channel: org.apache.spark.sql.Column): DataFrame = {
+    val intervals = purchases.select(col("user_id"),
+      col("event_id").as("p_id"),
+      (col("ts_us") - lookbackUs).as("lo"), col("ts_us").as("hi"))
+    val points = clicks.select(col("user_id"),
+      col("event_id").as("c_id"), col("ts_us").as("cts"),
+      channel.as("channel"))
+    val joined = RangeJoin.pointInInterval(points, intervals, "user_id",
+      "cts", "lo", "hi", bucketUs)
+    val perConv = joined.groupBy(col("p_id")).agg(
+      min_by(col("channel"), struct(col("cts"), col("c_id")))
+        .as("first_touch"),
+      max_by(col("channel"), struct(col("cts"), col("c_id")))
+        .as("last_touch"))
+    val f = perConv.groupBy(col("first_touch").as("channel"))
+      .agg(count(lit(1)).as("n_first_touch"))
+    val l = perConv.groupBy(col("last_touch").as("channel"))
+      .agg(count(lit(1)).as("n_last_touch"))
+    f.join(l, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("n_first_touch"), lit(0L)).as("n_first_touch"),
+        coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q207_attribution — per-channel first- vs last-touch credit for
+  // purchases with a 24h click lookback (channel = click id % 3, a
+  // deterministic stand-in). The oracle derives both credits with an
+  // inequality join + ROW_NUMBER — same semantics, the non-scalable
+  // plan.
+  // ---------------------------------------------------------------------
+  def q207Attribution(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(s, dir)
+    attributionCompare(purchases, clicks,
+      lookbackUs = 24L * 3600 * 1000000, bucketUs = 6L * 3600 * 1000000,
+      channel = concat(lit("ch"), (col("event_id") % 3).cast("string")))
+  }
+
+  val q207AttributionSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS pts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id AS c_id, user_id, epoch_us(ts) AS cts,
+      |    'ch' || CAST(event_id % 3 AS VARCHAR) AS channel
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.p_id, c.channel, c.cts, c.c_id,
+      |    ROW_NUMBER() OVER (PARTITION BY p.p_id
+      |      ORDER BY c.cts ASC, c.c_id ASC) AS rf,
+      |    ROW_NUMBER() OVER (PARTITION BY p.p_id
+      |      ORDER BY c.cts DESC, c.c_id DESC) AS rl
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND c.cts >= p.pts - 86400000000 AND c.cts <= p.pts),
+      |f AS (SELECT channel, COUNT(*) AS n_first_touch
+      |      FROM j WHERE rf = 1 GROUP BY channel),
+      |l AS (SELECT channel, COUNT(*) AS n_last_touch
+      |      FROM j WHERE rl = 1 GROUP BY channel)
+      |SELECT COALESCE(f.channel, l.channel) AS channel,
+      |  COALESCE(f.n_first_touch, 0) AS n_first_touch,
+      |  COALESCE(l.n_last_touch, 0) AS n_last_touch
+      |FROM f FULL OUTER JOIN l ON f.channel = l.channel""".stripMargin
+
 }

@@ -482,4 +482,55 @@ object Relational {
   val q21CrossJoinSql: String =
     """SELECT r_regionkey, r_name, n_nationkey, n_name
       |FROM region CROSS JOIN nation""".stripMargin
+
+  /** SCHEMA-EVOLUTION union — append frames whose schemas drifted
+    * (columns added/dropped over time, the shape of any long-lived
+    * extract): columns are matched BY NAME across all inputs and
+    * missing ones surface as NULL, never positional mis-binding (the
+    * classic silent corruption of positional UNION on evolved files).
+    * Thin composition over Spark's `unionByName(_, allowMissing)` —
+    * the operator is the CONTRACT (name-matched, null-filled, order-
+    * free), pinned by the q205 oracle against DuckDB's UNION BY NAME. */
+  def alignUnion(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "alignUnion needs at least one input")
+    dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  // ---------------------------------------------------------------------
+  // q205_union_evolve — two generations of the customer extract: the old
+  // files lack the segment column, the new ones lack the legacy comment
+  // field; the evolved union groups across both. A positional union
+  // would bind acctbal under nation and hash-fail loudly here.
+  // ---------------------------------------------------------------------
+  def q205UnionEvolve(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val oldGen = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal"), lit("legacy").as("note"))
+    val newGen = c.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment"), col("c_nationkey"))
+    alignUnion(Seq(oldGen, newGen))
+      .groupBy(col("c_nationkey"),
+        coalesce(col("c_mktsegment"), lit("<missing>")).as("segment"),
+        coalesce(col("note"), lit("<none>")).as("note"))
+      .agg(count(lit(1)).as("n"), sumDec(col("c_acctbal")).as("sum_bal"))
+  }
+
+  val q205UnionEvolveSql: String =
+    """WITH old_gen AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal, 'legacy' AS note
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |new_gen AS (
+      |  SELECT c_custkey, c_acctbal, c_mktsegment, c_nationkey
+      |  FROM customer WHERE c_custkey % 2 = 1),
+      |u AS (SELECT * FROM old_gen UNION ALL BY NAME
+      |      SELECT * FROM new_gen)
+      |SELECT c_nationkey,
+      |  COALESCE(c_mktsegment, '<missing>') AS segment,
+      |  COALESCE(note, '<none>') AS note,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal
+      |FROM u GROUP BY 1, 2, 3""".stripMargin
+
 }

@@ -400,4 +400,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("q205: evolved union binds columns by name, not position") {
+    val rows = Relational.q205UnionEvolve(spark, sfDir).collect()
+    // every legacy row must land with a real nation key and NULL segment
+    assert(rows.exists(r => r.getString(1) == "<missing>"
+      && r.getString(2) == "legacy"))
+    assert(rows.exists(r => r.getString(2) == "<none>"
+      && r.getString(1) != "<missing>"))
+  }
 }

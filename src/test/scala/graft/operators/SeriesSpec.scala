@@ -159,4 +159,43 @@ class SeriesSpec extends SparkSpec {
       .collect().map(x => x.getLong(1) -> x.getDouble(4)).toMap
     assert(r(5L) == 5.0 && r(9L) == 9.0)
   }
+
+  test("interArrival: hand-computed gaps; single-event keys drop") {
+    import spark.implicits._
+    val e = Seq(("u", 1L, 0L), ("u", 2L, 1000000L), ("u", 3L, 4000000L),
+      ("lone", 9L, 5L)).toDF("k", "id", "ts_us")
+    val m = EventTime.interArrival(e, "k", "ts_us", "id").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(m("u") == ((2L, 1000000L, 3000000L, 2.0)))
+    assert(!m.contains("lone"))
+  }
+
+  test("attributionCompare: first and last touch diverge on a planted path") {
+    import spark.implicits._
+    // user clicks ch0 at t=1, ch1 at t=5; buys at t=10 (lookback 100)
+    val purchases = Seq((100L, 1L, 10L)).toDF("event_id", "user_id", "ts_us")
+    val clicks = Seq((0L, 1L, 1L), (1L, 1L, 5L))
+      .toDF("event_id", "user_id", "ts_us")
+    val m = EventTime.attributionCompare(purchases, clicks,
+        lookbackUs = 100L, bucketUs = 10L,
+        channel = concat(lit("ch"), (col("event_id") % 3).cast("string")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(m("ch0") == ((1L, 0L)))   // first touch
+    assert(m("ch1") == ((0L, 1L)))   // last touch
+  }
+
+  test("attributionCompare: clicks outside the lookback get no credit") {
+    import spark.implicits._
+    val purchases = Seq((100L, 1L, 1000L)).toDF("event_id", "user_id", "ts_us")
+    val clicks = Seq((0L, 1L, 1L), (1L, 1L, 999L))
+      .toDF("event_id", "user_id", "ts_us")
+    val m = EventTime.attributionCompare(purchases, clicks,
+        lookbackUs = 50L, bucketUs = 10L,
+        channel = concat(lit("ch"), (col("event_id") % 3).cast("string")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(m == Map("ch1" -> ((1L, 1L))), m.toString)
+  }
 }
