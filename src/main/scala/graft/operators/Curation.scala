@@ -1766,8 +1766,11 @@ object Curation {
       countDistinct(col("text")).as("n_distinct_texts"))
     val topLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("top_lang_docs"))
-    val p50 = quantileThresholds(docs.select(lit(1).as("k"),
-        col("n_chars")), "k", "n_chars", 0.5)
+    // the "constant key" must be NON-foldable (n_chars*0, not lit) or
+    // the optimizer folds the window partition key away and replans the
+    // warning-spewing no-partition WindowExec
+    val p50 = quantileThresholds(docs.select(
+        (col("n_chars") * 0).as("k"), col("n_chars")), "k", "n_chars", 0.5)
       .select(col("threshold").as("p50_chars"))
     val j = base.crossJoin(broadcast(topLang)).crossJoin(broadcast(p50))
     def metric(name: String, v: org.apache.spark.sql.Column) =

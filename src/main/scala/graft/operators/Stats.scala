@@ -1095,14 +1095,15 @@ object Stats {
         .as("digit"))
       .filter(col("digit") =!= "")
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
-    val total = Window.partitionBy()
     // chi-square term per digit: (obs − n·p)² / (n·p); emitting per-digit
     // terms (not the global sum) keeps the float fold trivially ordered.
     // log10 (not ln-ratio) on BOTH engines — identical expression shape.
+    // The grand total joins back as a one-row broadcast (a global window
+    // would plan the no-partition WindowExec and its per-run warning).
     val expected = log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) *
       col("n").cast("double")
     val dev = col("n_obs").cast("double") - expected
-    d.withColumn("n", sum(col("n_obs")).over(total))
+    d.crossJoin(broadcast(d.agg(sum(col("n_obs")).as("n"))))
       .select(col("digit"), col("n_obs"),
         round(expected, 4).as("n_expected"),
         round(dev * dev / expected, 4).as("chi2_term"))
