@@ -656,4 +656,63 @@ object EventTime {
       |  COALESCE(l.n_last_touch, 0) AS n_last_touch
       |FROM f FULL OUTER JOIN l ON f.channel = l.channel""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q211_session_conversion — the sessionized funnel readout: per
+  // session-size bucket, how many sessions exist and what fraction
+  // convert (contain a purchase). Pure composition over q25's session
+  // machinery — one added flag aggregate; integer evidence plus one
+  // exact-ratio division.
+  // ---------------------------------------------------------------------
+  def q211SessionConversion(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsUs(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 1800L * 1000000L
+    val sess = e.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    sess.groupBy(least(col("n_events"), lit(10L)).as("size_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"),
+        round(sum(col("converted")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("conversion_rate"))
+  }
+
+  val q211SessionConversionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |x AS (
+      |  SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
+      |                   OR ts_us - LAG(ts_us) OVER w > 1800000000
+      |                 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC,
+      |    event_id ASC)),
+      |y AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM x),
+      |sess AS (
+      |  SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS converted
+      |  FROM y GROUP BY user_id, sess_id)
+      |SELECT LEAST(n_events, 10) AS size_bucket,
+      |  COUNT(*) AS n_sessions,
+      |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+      |  ROUND(CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+      |    6) AS conversion_rate
+      |FROM sess GROUP BY LEAST(n_events, 10)""".stripMargin
+
 }

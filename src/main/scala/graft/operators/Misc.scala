@@ -240,4 +240,50 @@ object Misc {
       |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+', 0) AS toks
       |  FROM documents)
       |GROUP BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q209_string_agg — ordered LISTAGG/string_agg surface: per nation,
+  // its market segments as one '|'-joined DETERMINISTICALLY ORDERED
+  // string. Spark spells it array_sort(collect_set) + array_join (the
+  // engine-portable form of the ORDER BY clause inside string_agg);
+  // the driver-facing string is identical byte-wise or the hash fails.
+  // ---------------------------------------------------------------------
+  def q209StringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        array_join(array_sort(collect_set(col("c_mktsegment"))), "|")
+          .as("segments"))
+
+  val q209StringAggSql: String =
+    """SELECT c_nationkey, COUNT(*) AS n,
+      |  string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+      |    AS segments
+      |FROM customer GROUP BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q210_extract_all — regexp_extract_all + explode surface: every
+  // dollar-amount-looking token in order comments, flattened to one row
+  // per match with its per-comment match index. The multi-match regex
+  // path q58's single-extract does not cover.
+  // ---------------------------------------------------------------------
+  def q210ExtractAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        posexplode(regexp_extract_all(col("o_orderpriority"),
+          lit("[A-Z]+"), lit(0))).as(Seq("match_idx", "token")))
+      .groupBy(col("token"), col("match_idx"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"))
+
+  val q210ExtractAllSql: String =
+    """WITH m AS (
+      |  SELECT o_orderkey,
+      |    unnest(regexp_extract_all(o_orderpriority, '[A-Z]+')) AS token,
+      |    CAST(generate_subscripts(
+      |      regexp_extract_all(o_orderpriority, '[A-Z]+'), 1) - 1
+      |      AS INT) AS match_idx
+      |  FROM orders)
+      |SELECT token, match_idx, COUNT(*) AS n, MIN(o_orderkey) AS min_key
+      |FROM m GROUP BY token, match_idx""".stripMargin
+
 }

@@ -533,4 +533,68 @@ object Relational {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal
       |FROM u GROUP BY 1, 2, 3""".stripMargin
 
+  /** 2-D SKYLINE (Pareto front) — rows not dominated in (maximize x,
+    * maximize y): the multi-objective shortlist ("no doc is both
+    * higher-quality AND longer") behind curation trade-off picks.
+    * Sort-based, not the quadratic dominance join: scan in (x desc,
+    * y desc, id) order keeping a running maximum of y over STRICTLY
+    * greater x — a row survives iff its y exceeds every y seen at
+    * higher x. One window per group; ties on x cannot dominate each
+    * other along x, which the strict-predecessor frame (RANGE-style
+    * via the x-change guard) preserves exactly. */
+  def skyline2D(df: DataFrame, group: String, x: String, y: String,
+      id: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // two-pass sort shape: per DISTINCT x the max y at that x, then a
+    // running max over strictly-greater x rows (distinct x + ordered
+    // frame ending at -1 makes "greater" strict). A row survives iff
+    //   (a) it carries its x's max y — an equal-x row with higher y
+    //       dominates it — and
+    //   (b) that max beats every y seen at strictly greater x.
+    // Equal (x, y) pairs tie on both axes, dominate nothing, both stay.
+    val perX = df.groupBy(col(group), col(x))
+      .agg(max(col(y)).as("__ymax_at_x"))
+    val wx = Window.partitionBy(col(group)).orderBy(col(x).desc)
+      .rowsBetween(Long.MinValue, -1)
+    val dom = perX.withColumn("__ymax_gt_x",
+      max(col("__ymax_at_x")).over(wx))
+    df.join(dom, Seq(group, x))
+      .filter(col(y) === col("__ymax_at_x") &&
+        (col("__ymax_gt_x").isNull || col(y) > col("__ymax_gt_x")))
+      .select(df.columns.map(col): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // q208_skyline — per-source Pareto front of documents over (quality
+  // proxy, length): the shortlist no other doc beats on both axes. The
+  // oracle states dominance directly (NOT EXISTS a strictly-better
+  // doc) — the quadratic formulation the sort-based plan must equal.
+  // ---------------------------------------------------------------------
+  def q208Skyline(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      (length(col("text")) % 97).cast("long").as("quality"),
+      col("n_chars"))
+    skyline2D(d, "source", "quality", "n_chars", "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_front"), min(col("doc_id")).as("min_id"),
+        max(col("quality")).as("max_quality"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
+  val q208SkylineSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, CAST(length(text) % 97 AS BIGINT)
+      |    AS quality, n_chars
+      |  FROM documents),
+      |front AS (
+      |  SELECT * FROM d a
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM d b
+      |    WHERE b.source = a.source
+      |      AND b.quality >= a.quality AND b.n_chars >= a.n_chars
+      |      AND (b.quality > a.quality OR b.n_chars > a.n_chars)))
+      |SELECT source, COUNT(*) AS n_front, MIN(doc_id) AS min_id,
+      |  MAX(quality) AS max_quality, MAX(n_chars) AS max_chars
+      |FROM front GROUP BY source""".stripMargin
+
 }

@@ -408,4 +408,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(rows.exists(r => r.getString(2) == "<none>"
       && r.getString(1) != "<missing>"))
   }
+
+  test("q208: skyline plans windows and joins, never a dominance cross join") {
+    val p = planOf(Relational.q208Skyline(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the sort-based skyline must not fall back to the quadratic " +
+        "dominance join")
+  }
 }

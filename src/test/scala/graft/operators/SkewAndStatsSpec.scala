@@ -430,4 +430,19 @@ class SkewAndStatsSpec extends SparkSpec {
     // counts (9, 1): mean 5, var 32 -> fano 6.4
     assert(f2.getAs[Double]("fano") == 6.4)
   }
+
+  test("skyline2D: dominance semantics on hand points, ties both kept") {
+    import spark.implicits._
+    val pts = Seq(
+      ("g", 5L, 10L, 1L),  // front
+      ("g", 5L, 7L, 2L),   // dominated by (5,10) at equal x
+      ("g", 7L, 6L, 3L),   // front (higher x, lower y)
+      ("g", 3L, 10L, 4L),  // dominated by (5,10)
+      ("g", 7L, 6L, 5L),   // exact tie of id 3: both stay
+      ("g", 1L, 12L, 6L))  // front (highest y)
+      .toDF("grp", "x", "y", "id")
+    val got = Relational.skyline2D(pts, "grp", "x", "y", "id")
+      .collect().map(_.getLong(3)).toSet
+    assert(got == Set(1L, 3L, 5L, 6L), got)
+  }
 }
