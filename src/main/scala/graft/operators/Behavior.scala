@@ -445,4 +445,168 @@ object Behavior {
       |    / CAST(COUNT(*) AS DOUBLE)), 6) AS rmse
       |FROM j GROUP BY event_type""".stripMargin
 
+  /** COHORT LTV curve — cumulative value per signup cohort over week
+    * offsets: the retention table (q121) upgraded from presence to
+    * MONEY, the panel every growth team reads. Exact decimal revenue
+    * per (cohort, offset) cell, then a running sum over offsets inside
+    * each cohort — the window is |offsets|-wide per cohort, never
+    * corpus-sized. Offsets with no activity are absent (observed-cell
+    * convention, same as q121). */
+  def cohortLtv(events: DataFrame, user: String, ts: String,
+      value: String): DataFrame = {
+    val wk = (c: Column) => date_trunc("week", c).cast("date")
+    val cohort = events.groupBy(col(user))
+      .agg(min(col(ts)).as("first_ts"))
+      .select(col(user), wk(col("first_ts")).as("cohort_week"))
+    val cells = events.join(cohort, user)
+      .groupBy(col("cohort_week"),
+        (datediff(wk(col(ts)), col("cohort_week")) / lit(7))
+          .cast("int").as("week_offset"))
+      .agg(sumDec(col(value)).as("revenue"),
+        countDistinct(col(user)).as("active_users"))
+    val w = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_offset").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_revenue",
+        round(sum(col("revenue").cast(org.apache.spark.sql.types
+          .DecimalType(30, 4))).over(w).cast("double"), 4))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd")
+          .as("cohort_week"),
+        col("week_offset"), col("active_users"),
+        round(col("revenue"), 4).as("revenue"), col("cum_revenue"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q212_cohort_ltv — weekly cohorts' cumulative event-value mass by
+  // offset. Decimal-exact cells and running sums; ISO week strings (the
+  // q47/q121 date convention).
+  // ---------------------------------------------------------------------
+  def q212CohortLtv(s: SparkSession, dir: String): DataFrame =
+    cohortLtv(t(s, dir, "events"), "user_id", "ts", "value")
+
+  val q212CohortLtvSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT c.cohort_week,
+      |    CAST(datediff('day', c.cohort_week,
+      |      CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+      |      AS week_offset,
+      |    CAST(SUM(CAST(e.value AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+      |    COUNT(DISTINCT e.user_id) AS active_users
+      |  FROM events e JOIN cohort c ON e.user_id = c.user_id
+      |  GROUP BY 1, 2)
+      |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+      |  week_offset, CAST(active_users AS BIGINT) AS active_users,
+      |  ROUND(revenue, 4) AS revenue,
+      |  ROUND(CAST(SUM(CAST(revenue AS DECIMAL(30,4))) OVER (
+      |    PARTITION BY cohort_week ORDER BY week_offset ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE),
+      |    4) AS cum_revenue
+      |FROM cells""".stripMargin
+
+  /** RFM SEGMENTATION — the classic customer triage (recency ×
+    * frequency × monetary, each cut at the tercile boundaries), built
+    * the scale-safe way: the three boundaries come from the POSITIONAL
+    * threshold machinery over (metric, distinct-value) tables
+    * ([[graft.operators.Curation.quantileThresholds]] with a
+    * non-foldable constant key — never an ntile over all users, which
+    * would serialize the corpus through one window task). Scores are
+    * then a map-only broadcast compare; ties at a boundary go to the
+    * higher score (>= threshold), deterministically. */
+  def rfmSegments(events: DataFrame, user: String, tsUsCol: String,
+      value: String): DataFrame = {
+    import graft.operators.Curation.quantileThresholds
+    val horizon = events.agg(max(col(tsUsCol)).as("__h"))
+    val perUser = events.crossJoin(broadcast(horizon))
+      .groupBy(col(user))
+      .agg(max(col("__h")).as("__hm"), max(col(tsUsCol)).as("__tm"),
+        count(lit(1)).as("frequency"),
+        sumDec(col(value)).as("monetary"))
+      // integer div, not double-divide-then-cast: a quotient that IEEE
+      // rounds UP to an integer would truncate differently than floor
+      // (the q190 lesson)
+      .withColumn("recency_days",
+        expr("(__hm - __tm) div 86400000000L"))
+      .drop("__hm", "__tm")
+    def thr(metric: String) = quantileThresholds(
+      perUser.select((col(metric) * 0).as("k"), col(metric)),
+      "k", metric, 1.0 / 3.0)
+      .select(col("threshold").as(s"__t_$metric"))
+    // top-tercile boundary per metric (recency is better LOW, so its
+    // score inverts)
+    val j = perUser
+      .crossJoin(broadcast(thr("recency_days")))
+      .crossJoin(broadcast(thr("frequency")))
+      .crossJoin(broadcast(thr("monetary")))
+      .select(col(user),
+        when(col("recency_days") < col("__t_recency_days"), 3)
+          .otherwise(1).as("r_score"),
+        when(col("frequency") >= col("__t_frequency"), 3)
+          .otherwise(1).as("f_score"),
+        when(col("monetary") >= col("__t_monetary"), 3)
+          .otherwise(1).as("m_score"))
+    j.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q213_rfm — user counts per (R,F,M) cell over the event stream,
+  // boundaries at the top-third positional rule. The oracle replays the
+  // cumulative threshold rule per metric and the same comparisons.
+  // ---------------------------------------------------------------------
+  def q213Rfm(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp"))
+        .as("ts_us"), col("value"))
+    rfmSegments(e, "user_id", "ts_us", "value")
+  }
+
+  val q213RfmSql: String =
+    """WITH h AS (SELECT MAX(epoch_us(ts)) AS h FROM events),
+      |per_user AS (
+      |  SELECT user_id,
+      |    CAST((h.h - MAX(epoch_us(ts))) // 86400000000 AS BIGINT)
+      |      AS recency_days,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS monetary
+      |  FROM events CROSS JOIN h GROUP BY user_id, h.h),
+      |tr AS (
+      |  SELECT MAX(v) AS t FROM (
+      |    SELECT recency_days AS v,
+      |      SUM(c) OVER (ORDER BY recency_days DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      SUM(c) OVER () AS n
+      |    FROM (SELECT recency_days, COUNT(*) AS c FROM per_user
+      |          GROUP BY recency_days))
+      |  WHERE cum >= CEIL(n / 3.0)),
+      |tf AS (
+      |  SELECT MAX(v) AS t FROM (
+      |    SELECT frequency AS v,
+      |      SUM(c) OVER (ORDER BY frequency DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      SUM(c) OVER () AS n
+      |    FROM (SELECT frequency, COUNT(*) AS c FROM per_user
+      |          GROUP BY frequency))
+      |  WHERE cum >= CEIL(n / 3.0)),
+      |tm AS (
+      |  SELECT MAX(v) AS t FROM (
+      |    SELECT monetary AS v,
+      |      SUM(c) OVER (ORDER BY monetary DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      SUM(c) OVER () AS n
+      |    FROM (SELECT monetary, COUNT(*) AS c FROM per_user
+      |          GROUP BY monetary))
+      |  WHERE cum >= CEIL(n / 3.0))
+      |SELECT
+      |  CASE WHEN p.recency_days < tr.t THEN 3 ELSE 1 END AS r_score,
+      |  CASE WHEN p.frequency >= tf.t THEN 3 ELSE 1 END AS f_score,
+      |  CASE WHEN p.monetary >= tm.t THEN 3 ELSE 1 END AS m_score,
+      |  COUNT(*) AS n_users
+      |FROM per_user p CROSS JOIN tr CROSS JOIN tf CROSS JOIN tm
+      |GROUP BY 1, 2, 3""".stripMargin
+
 }

@@ -1275,4 +1275,55 @@ object TextAnalysis {
       |FROM grid JOIN ng ON grid.grp = ng.grp CROSS JOIN nt
       |GROUP BY grid.grp""".stripMargin
 
+  /** LEXICAL RICHNESS — type/token ratio and hapax share per group:
+    * the vocabulary-health panel next to q198's Zipf slope (template-
+    * generated text has low TTR; OCR noise inflates hapaxes). All
+    * integer evidence (tokens, types, hapaxes) + two exact-ratio
+    * divisions; one token scan, two vocabulary-sized aggregations. */
+  def lexicalRichness(docs: DataFrame, group: String, textCol: String)
+      : DataFrame = {
+    val toks = docs.select(col(group).as("grp"),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = toks.groupBy(col("grp"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    vocab.groupBy(col("grp")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("grp").as(group), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        round(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") /
+          col("n_types").cast("double"), 6).as("hapax_share"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q214_lexical_richness — per-source TTR and hapax share. Integer
+  // evidence beside the two ratios.
+  // ---------------------------------------------------------------------
+  def q214LexicalRichness(s: SparkSession, dir: String): DataFrame =
+    lexicalRichness(t(s, dir, "documents"), "source", "text")
+
+  val q214LexicalRichnessSql: String =
+    """WITH toks AS (
+      |  SELECT source AS grp, w FROM (
+      |    SELECT source,
+      |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      |    FROM documents)
+      |  WHERE w <> ''),
+      |vocab AS (
+      |  SELECT grp, w, COUNT(*) AS c FROM toks GROUP BY grp, w)
+      |SELECT grp AS source,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_types,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hapax,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+      |    AS ttr,
+      |  ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
+      |FROM vocab GROUP BY grp""".stripMargin
+
 }

@@ -141,4 +141,42 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("rmse") -
       math.sqrt(diffs.map(x => x * x).sum / 7.0)) < 1e-6)
   }
+
+  test("cohortLtv: cumulative revenue accumulates within the cohort only") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0), (1L, "2024-01-09 10:00:00", 5.0),
+      (2L, "2024-01-09 10:00:00", 7.0))
+      .toDF("user_id", "s", "value")
+      .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+    val rows = Behavior.cohortLtv(e, "user_id", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // user 1: cohort week of Jan 1; offset 0 rev 10, offset 1 rev 5 cum 15
+    assert(rows(("2024-01-01", 0)) == ((1L, 10.0, 10.0)))
+    assert(rows(("2024-01-01", 1)) == ((1L, 5.0, 15.0)))
+    // user 2's own cohort week starts fresh
+    assert(rows(("2024-01-08", 0)) == ((1L, 7.0, 7.0)))
+  }
+
+  test("rfmSegments: planted heavy users land in the 3/3/3 cell") {
+    import spark.implicits._
+    // 3 users: u1 recent+frequent+big, u2 40 days stale + rare + small,
+    // u3 10 days stale, middling (gaps must span DAYS — recency is in
+    // whole days)
+    val day = 86400000000L
+    val h = 100L * day
+    val rows =
+      (1 to 9).map(i => (1L, h - 9 + i, 100.0)) ++
+      Seq((2L, h - 40L * day, 1.0)) ++
+      (1 to 3).map(i => (3L, h - 10L * day + i, 10.0))
+    val e = rows.toDF("user_id", "ts_us", "value")
+    val m = Behavior.rfmSegments(e, "user_id", "ts_us", "value")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    assert(m.values.sum == 3L)
+    // recency threshold 40 (top third), freq 9, monetary 900
+    assert(m == Map((3, 3, 3) -> 1L, (1, 1, 1) -> 1L, (3, 1, 1) -> 1L),
+      m.toString)
+  }
 }

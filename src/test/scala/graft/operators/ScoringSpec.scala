@@ -234,4 +234,16 @@ class ScoringSpec extends SparkSpec {
     assert(m("typ") == m("typ2"), "identical sources must tie exactly")
     assert(m.values.forall(_ >= 0.0), "KL is nonnegative")
   }
+
+  test("lexicalRichness: repeated text has low TTR, all-unique text high") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rep", "the the the the cat"),
+      (2L, "uniq", "alpha beta gamma delta")).toDF("doc_id", "src", "text")
+    val m = TextAnalysis.lexicalRichness(docs, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(m("rep") == ((5L, 2L, 1L, 0.4)))
+    assert(m("uniq") == ((4L, 4L, 4L, 1.0)))
+  }
 }
