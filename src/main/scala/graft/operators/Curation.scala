@@ -1969,4 +1969,131 @@ object Curation {
       |SELECT source, lang, imputed, COUNT(*) AS n, MIN(doc_id) AS min_id
       |FROM filled GROUP BY source, lang, imputed""".stripMargin
 
+  /** FUNCTIONAL-DEPENDENCY audit — does X → Y actually hold in the
+    * data? Per X value: the distinct-Y count, the majority Y and its
+    * support, flagged when the dependency is violated. The schema-
+    * quality check run before trusting a join key or declaring a
+    * column derivable. Two vocabulary-bounded aggregations + the
+    * majority-vote argmax window (per-X state = its distinct Y set). */
+  def fdCheck(df: DataFrame, x: String, y: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(x), col(y)).agg(count(lit(1)).as("c"))
+    val pick = Window.partitionBy(col(x))
+      .orderBy(col("c").desc, col(y).asc)
+    cells.withColumn("__rn", row_number().over(pick))
+      .withColumn("__ny", count(lit(1)).over(Window.partitionBy(col(x))))
+      .withColumn("__n", sum(col("c")).over(Window.partitionBy(col(x))))
+      .filter(col("__rn") === 1)
+      .select(col(x), col("__ny").as("n_distinct_y"),
+        col(y).as("majority_y"), col("c").as("majority_support"),
+        col("__n").as("n_rows"),
+        (col("__ny") > 1).as("violated"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q215_fd_check — planted FD violation: nation → region holds in the
+  // clean table; corrupting every 7th nation's region key must surface
+  // exactly those nations as violated with the right majority. (The
+  // corruption doubles rows so the clean value stays the majority.)
+  // ---------------------------------------------------------------------
+  def q215FdCheck(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation").select(col("n_nationkey"),
+      col("n_regionkey"))
+    val corrupted = n.unionByName(n).unionByName(
+      n.filter(col("n_nationkey") % 7 === 0)
+        .select(col("n_nationkey"),
+          ((col("n_regionkey") + 1) % 5).as("n_regionkey")))
+    fdCheck(corrupted, "n_nationkey", "n_regionkey")
+  }
+
+  val q215FdCheckSql: String =
+    """WITH corrupted AS (
+      |  SELECT n_nationkey, n_regionkey FROM nation
+      |  UNION ALL SELECT n_nationkey, n_regionkey FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey, (n_regionkey + 1) % 5 FROM nation
+      |  WHERE n_nationkey % 7 = 0),
+      |cells AS (
+      |  SELECT n_nationkey, n_regionkey, COUNT(*) AS c
+      |  FROM corrupted GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY n_nationkey
+      |      ORDER BY c DESC, n_regionkey ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY n_nationkey) AS ny,
+      |    SUM(c) OVER (PARTITION BY n_nationkey) AS n
+      |  FROM cells)
+      |SELECT n_nationkey, ny AS n_distinct_y,
+      |  n_regionkey AS majority_y, c AS majority_support,
+      |  CAST(n AS BIGINT) AS n_rows, ny > 1 AS violated
+      |FROM ranked WHERE rn = 1""".stripMargin
+
+  /** GOLDEN-RECORD survivorship — collapse each duplicate cluster to
+    * one record with FIELD-LEVEL rules (per field independently: the
+    * majority non-NULL value, ties to smallest — so the golden record
+    * may mix fields from different members, which is the point of
+    * survivorship vs keep-best-row). One (cluster, field, value) count
+    * per field + the majority argmax — never a pairwise comparison;
+    * cluster ids come from the existing dedup machinery
+    * ([[Components]] / [[graft.operators.Dedup]]). */
+  def goldenRecord(df: DataFrame, cluster: String, fields: Seq[String])
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val golden = fields.map { f =>
+      val cells = df.filter(col(f).isNotNull)
+        .groupBy(col(cluster), col(f).cast("string").as("__v"))
+        .agg(count(lit(1)).as("c"))
+      val pick = Window.partitionBy(col(cluster))
+        .orderBy(col("c").desc, col("__v").asc)
+      cells.withColumn("__rn", row_number().over(pick))
+        .filter(col("__rn") === 1)
+        .select(col(cluster), col("__v").as(s"golden_$f"))
+    }.reduce((a, b) => a.join(b, Seq(cluster), "full_outer"))
+    val sizes = df.groupBy(col(cluster)).agg(count(lit(1)).as("n_members"))
+    sizes.join(golden, Seq(cluster), "left")
+  }
+
+  // ---------------------------------------------------------------------
+  // q217_golden_record — survivorship over planted duplicate clusters
+  // (cluster = c_custkey div 100): per cluster the field-level majority
+  // segment and nation with deterministic ties. Field mixing is real
+  // here — a cluster's majority segment and majority nation can come
+  // from different members.
+  // ---------------------------------------------------------------------
+  def q217GoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select((col("c_custkey") / 100).cast("long").as("cluster"),
+        col("c_mktsegment"), col("c_nationkey"))
+    goldenRecord(c, "cluster", Seq("c_mktsegment", "c_nationkey"))
+  }
+
+  val q217GoldenRecordSql: String =
+    """WITH c AS (
+      |  SELECT CAST(FLOOR(c_custkey / 100.0) AS BIGINT) AS cluster,
+      |    c_mktsegment, c_nationkey
+      |  FROM customer),
+      |seg AS (
+      |  SELECT cluster, v AS golden_c_mktsegment FROM (
+      |    SELECT cluster, c_mktsegment AS v,
+      |      ROW_NUMBER() OVER (PARTITION BY cluster
+      |        ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
+      |    FROM c WHERE c_mktsegment IS NOT NULL
+      |    GROUP BY cluster, c_mktsegment)
+      |  WHERE rn = 1),
+      |nat AS (
+      |  SELECT cluster, v AS golden_c_nationkey FROM (
+      |    SELECT cluster, CAST(c_nationkey AS VARCHAR) AS v,
+      |      ROW_NUMBER() OVER (PARTITION BY cluster
+      |        ORDER BY COUNT(*) DESC, CAST(c_nationkey AS VARCHAR) ASC)
+      |        AS rn
+      |    FROM c WHERE c_nationkey IS NOT NULL
+      |    GROUP BY cluster, CAST(c_nationkey AS VARCHAR))
+      |  WHERE rn = 1),
+      |sizes AS (SELECT cluster, COUNT(*) AS n_members FROM c
+      |          GROUP BY cluster)
+      |SELECT s.cluster, s.n_members, seg.golden_c_mktsegment,
+      |  nat.golden_c_nationkey
+      |FROM sizes s
+      |LEFT JOIN seg ON s.cluster = seg.cluster
+      |LEFT JOIN nat ON s.cluster = nat.cluster""".stripMargin
+
 }

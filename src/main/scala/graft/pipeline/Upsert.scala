@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
 
 /** Record-level upsert (MERGE INTO semantics) over an immutable parquet
   * dataset — the record-grained extension of the reference's file-grained
@@ -274,4 +274,106 @@ object Upsert {
     }
     closedNow.unpersist(); nextOpen.unpersist()
   }
+
+  /** AS-OF dimension lookup against an SCD2 history: for each fact row
+    * carrying a version/time `v`, the dimension row whose validity
+    * interval covers it (`valid_from <= v` and `v < valid_to`, open
+    * rows covering everything from their start). The point-in-time
+    * join every SCD2 table exists to serve. One equi-join on the keys
+    * with the interval predicate as a residual filter — per key the
+    * history holds a handful of versions, so the fan-out is the
+    * version count, not a range cross-product; at billions of facts
+    * this is a plain shuffle-on-key join. Facts with no covering
+    * version (before the key existed) surface with NULL dimension
+    * columns — visible, not dropped. */
+  def asOfLookup(history: DataFrame, facts: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame = {
+    val dimCols = history.columns
+      .filterNot(c => keys.contains(c) || c == "valid_from" ||
+        c == "valid_to").toSeq
+    val h = history.select(
+      keys.map(col) ++ dimCols.map(c => col(c).as(s"dim_$c")) :+
+        col("valid_from") :+ col("valid_to"): _*)
+    facts.join(h, keys.map(k => facts(k) === h(k))
+        .reduce(_ && _) &&
+        col("valid_from") <= facts(versionCol) &&
+        (col("valid_to").isNull || facts(versionCol) < col("valid_to")),
+      "left")
+      .select(facts.columns.map(facts(_)) ++
+        dimCols.map(c => col(s"dim_$c")) :+ col("valid_from"): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // q216_scd2_lookup — the history q82 builds (v1 base, v2 mutation
+  // through the real scd2Merge), probed point-in-time: facts at
+  // versions 1 and 2 must see their era's balance — v1 facts the
+  // original, v2 facts the mutated — and facts for keys born at v2 get
+  // NULL at v1. The oracle rebuilds the same two-version history
+  // declaratively and applies the identical interval rule.
+  // ---------------------------------------------------------------------
+  def q216Scd2Lookup(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val c = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val history0 = c
+      .withColumn("valid_from", lit(1L))
+      .withColumn("valid_to", lit(null).cast("long"))
+    val snapshot = c.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"),
+        (col("c_acctbal") + when(col("c_custkey") % 7 === 0, 100.0d)
+          .otherwise(0.0d)).as("c_acctbal"))
+      .unionByName(c.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_acctbal")))
+    val history = scd2Merge(history0, snapshot, Seq("c_custkey"), 2L)
+    val facts = c.select(col("c_custkey"))
+      .unionByName(c.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey")))
+      .withColumn("v", (col("c_custkey") % 2 + 1).cast("long"))
+    asOfLookup(history, facts, Seq("c_custkey"), "v")
+      .groupBy(col("v"), col("valid_from"),
+        col("dim_c_acctbal").isNull.as("missing"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.sumDec(coalesce(col("dim_c_acctbal"), lit(0.0d)))
+          .as("sum_bal"))
+  }
+
+  val q216Scd2LookupSql: String =
+    """WITH c AS (SELECT c_custkey, c_acctbal FROM customer),
+      |snap AS (
+      |  SELECT c_custkey,
+      |    c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0
+      |                     ELSE 0.0 END AS c_acctbal
+      |  FROM c WHERE c_custkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_acctbal FROM c
+      |  WHERE c_custkey % 11 = 0),
+      |hist AS (
+      |  -- v1 rows: closed at 2 when changed-or-deleted, open otherwise
+      |  SELECT c.c_custkey, c.c_acctbal, 1 AS valid_from,
+      |    CASE WHEN s.c_custkey IS NULL OR s.c_acctbal <> c.c_acctbal
+      |         THEN 2 END AS valid_to
+      |  FROM c LEFT JOIN snap s ON c.c_custkey = s.c_custkey
+      |  UNION ALL
+      |  -- v2 rows: new keys and changed values open at 2
+      |  SELECT s.c_custkey, s.c_acctbal, 2, NULL
+      |  FROM snap s LEFT JOIN c ON s.c_custkey = c.c_custkey
+      |  WHERE c.c_custkey IS NULL OR c.c_acctbal <> s.c_acctbal),
+      |facts AS (
+      |  SELECT c_custkey, c_custkey % 2 + 1 AS v FROM c
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, (c_custkey + 1000000) % 2 + 1
+      |  FROM c WHERE c_custkey % 11 = 0),
+      |j AS (
+      |  SELECT f.c_custkey, f.v, h.c_acctbal AS dim_bal, h.valid_from
+      |  FROM facts f LEFT JOIN hist h ON f.c_custkey = h.c_custkey
+      |    AND h.valid_from <= f.v
+      |    AND (h.valid_to IS NULL OR f.v < h.valid_to))
+      |SELECT CAST(v AS BIGINT) AS v,
+      |  CAST(valid_from AS BIGINT) AS valid_from,
+      |  dim_bal IS NULL AS missing, COUNT(*) AS n,
+      |  CAST(SUM(CAST(COALESCE(dim_bal, 0.0) AS DECIMAL(30,4)))
+      |    AS DOUBLE) AS sum_bal
+      |FROM j GROUP BY 1, 2, 3""".stripMargin
+
 }

@@ -664,4 +664,29 @@ class CurationSpec extends SparkSpec {
     assert(out.count(_ == (("g3", None, false))) == 1)
     assert(out.length == 8, "rows must be preserved")
   }
+
+  test("fdCheck: clean FDs pass, planted violation names the majority") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (1, "a"), (1, "b"), (2, "c"), (2, "c"))
+      .toDF("x", "y")
+    val m = Curation.fdCheck(df, "x", "y").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getString(2),
+        r.getLong(3), r.getBoolean(5)))).toMap
+    assert(m(1) == ((2L, "a", 2L, true)))
+    assert(m(2) == ((1L, "c", 2L, false)))
+  }
+
+  test("goldenRecord: fields survive independently and may mix members") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("x"), Some("p")), (1L, Some("x"), Some("q")),
+      (1L, Some("y"), Some("q")),   // majority a=x (2), b=q (2)
+      (2L, None, Some("z")))        // a all-NULL -> golden NULL
+      .toDF("cl", "a", "b")
+    val m = Curation.goldenRecord(df, "cl", Seq("a", "b")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getString(2)),
+        Option(r.getString(3))))).toMap
+    assert(m(1L) == ((3L, Some("x"), Some("q"))))
+    assert(m(2L) == ((1L, None, Some("z"))))
+  }
 }

@@ -186,4 +186,23 @@ class UpsertSpec extends SparkSpec {
         Option(r.getAs[java.lang.Long]("valid_to")))).toSet
     assert(got == expected)
   }
+
+  test("asOfLookup: each fact sees its era; pre-birth facts surface NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val hist = Seq(
+      (1L, "v1", 1L, Some(3L)), (1L, "v3", 3L, None),
+      (2L, "w3", 3L, None))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val facts = Seq((1L, 2L), (1L, 3L), (1L, 5L), (2L, 1L), (3L, 4L))
+      .toDF("k", "v")
+    val m = Upsert.asOfLookup(hist, facts, Seq("k"), "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    assert(m((1L, 2L)) == Some("v1"))   // inside [1,3)
+    assert(m((1L, 3L)) == Some("v3"))   // boundary: new row opens at 3
+    assert(m((1L, 5L)) == Some("v3"))   // open row covers onward
+    assert(m((2L, 1L)) == None)         // before the key existed
+    assert(m((3L, 4L)) == None)         // unknown key
+  }
 }
