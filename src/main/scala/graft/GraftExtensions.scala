@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{CosineSimilarity, JaroWinklerSimilarity, RollingHashWindows, WinnowMin}
+import graft.functions.{CompressionRatio, CosineSimilarity, JaroWinklerSimilarity, RollingHashWindows, WinnowMin}
 
 /** Production entry point for the engine's custom Catalyst surface:
   *
@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_min"),
       new ExpressionInfo(classOf[WinnowMin].getName, "winnow_min"),
       (exprs: Seq[Expression]) => WinnowMin(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("compression_ratio"),
+      new ExpressionInfo(classOf[CompressionRatio].getName,
+        "compression_ratio"),
+      (exprs: Seq[Expression]) => CompressionRatio(exprs.head)))
     // bloom sketch pair (Catalyst's own expressions; see functions/Bloom)
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),

@@ -1392,4 +1392,150 @@ object Stats {
       |  ROUND(((s2 - s1 * s1 / nb) / (nb - 1.0)) / (s1 / nb), 6) AS fano
       |FROM g WHERE n_buckets >= 2""".stripMargin
 
+  /** TOP-SHARE concentration — what fraction of a group's total mass
+    * its top-q rows hold ("the top 1% of documents carry 38% of the
+    * tokens"): the tail-heaviness readout that decides sampling and
+    * cap policies, complementing [[giniByGroup]] with an
+    * interpretable number. The value cut comes from the positional
+    * threshold rule (actual data value); mass above the cut is one
+    * conditional decimal sum. Rows AT the threshold are included
+    * (>= cut — deterministic, stated). */
+  def topShare(df: DataFrame, group: String, value: String,
+      q: Double): DataFrame = {
+    val cut = graft.operators.Curation.quantileThresholds(
+        df.select(col(group), col(value)), group, value, q)
+      .select(col(group), col("threshold"))
+    df.join(broadcast(cut), group)
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(value) >= col("threshold"), 1L).otherwise(0L))
+          .as("n_top"),
+        round(sum(when(col(value) >= col("threshold"), col(value))
+            .cast(DecimalType(30, 4))).cast(DoubleType) /
+          sum(col(value).cast(DecimalType(30, 4))).cast(DoubleType), 6)
+          .as("top_share"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q218_top_share — per-source share of character mass held by the
+  // top-10% longest documents. Integer counts + one exact-decimal
+  // ratio.
+  // ---------------------------------------------------------------------
+  def q218TopShare(s: SparkSession, dir: String): DataFrame =
+    topShare(t(s, dir, "documents"), "source", "n_chars", 0.1)
+
+  val q218TopShareSql: String =
+    """WITH counts AS (
+      |  SELECT source, n_chars, COUNT(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, n_chars,
+      |    SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge,
+      |    SUM(cnt) OVER (PARTITION BY source) AS n
+      |  FROM counts),
+      |cut AS (
+      |  SELECT source, MAX(n_chars) AS threshold FROM cum
+      |  WHERE cum_ge >= CEIL(n * 0.1) GROUP BY source)
+      |SELECT d.source, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN d.n_chars >= c.threshold THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_top,
+      |  ROUND(CAST(SUM(CASE WHEN d.n_chars >= c.threshold
+      |        THEN CAST(d.n_chars AS DECIMAL(30,4)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(d.n_chars AS DECIMAL(30,4))) AS DOUBLE), 6)
+      |    AS top_share
+      |FROM documents d JOIN cut c ON d.source = c.source
+      |GROUP BY d.source""".stripMargin
+
+  /** NULL-PATTERN profile — missingness CO-OCCURRENCE across columns:
+    * per column pair, how often both are NULL together vs the product
+    * of their marginal null rates (MCAR data keeps the ratio near 1;
+    * structurally-linked gaps blow it up). One scan to per-row null
+    * flags, one aggregate over the bounded column-pair space. */
+  def nullPattern(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val flags = df.select(cols.map(c =>
+      col(c).isNull.cast("long").as(s"__n_$c")): _*)
+    val aggs = cols.map(c => sum(col(s"__n_$c")).as(s"null_$c")) ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        sum(col(s"__n_$a") * col(s"__n_$b")).as(s"both_${a}_$b") }.toSeq :+
+      count(lit(1)).as("n")
+    val g = flags.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.combinations(2).map { case Seq(a, b) =>
+      g.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"null_$a").as("n_null_a"), col(s"null_$b").as("n_null_b"),
+        col(s"both_${a}_$b").as("n_both"), col("n"),
+        when(col(s"null_$a") > 0 && col(s"null_$b") > 0,
+          round((col(s"both_${a}_$b").cast("double") *
+            col("n").cast("double")) /
+            (col(s"null_$a").cast("double") *
+              col(s"null_$b").cast("double")), 6)).as("lift"))
+    }.toSeq
+    rows.reduce(_ unionAll _)
+  }
+
+  // ---------------------------------------------------------------------
+  // q219_null_pattern — planted coupled missingness over customer:
+  // every 5th row NULLs BOTH segment and balance-band (linked), every
+  // 3rd NULLs the phone-ish comment column independently; the pair
+  // lifts must separate coupled from independent gaps.
+  // ---------------------------------------------------------------------
+  def q219NullPattern(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("seg"),
+      when(col("c_custkey") % 5 === 0, lit(null).cast("long"))
+        .otherwise(floor(col("c_acctbal") / 1000.0).cast("long"))
+        .as("band"),
+      when(col("c_custkey") % 3 === 0, lit(null).cast("long"))
+        .otherwise(col("c_nationkey").cast("long")).as("nat"))
+    nullPattern(c, Seq("seg", "band", "nat"))
+  }
+
+  val q219NullPatternSql: String =
+    """WITH c AS (
+      |  SELECT
+      |    CASE WHEN c_custkey % 5 = 0 THEN NULL
+      |         ELSE c_mktsegment END AS seg,
+      |    CASE WHEN c_custkey % 5 = 0 THEN NULL
+      |         ELSE CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) END AS band,
+      |    CASE WHEN c_custkey % 3 = 0 THEN NULL
+      |         ELSE CAST(c_nationkey AS BIGINT) END AS nat
+      |  FROM customer),
+      |g AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_seg,
+      |    CAST(SUM(CASE WHEN band IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_band,
+      |    CAST(SUM(CASE WHEN nat IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_nat,
+      |    CAST(SUM(CASE WHEN seg IS NULL AND band IS NULL THEN 1 ELSE 0
+      |      END) AS BIGINT) AS b_sb,
+      |    CAST(SUM(CASE WHEN seg IS NULL AND nat IS NULL THEN 1 ELSE 0
+      |      END) AS BIGINT) AS b_sn,
+      |    CAST(SUM(CASE WHEN band IS NULL AND nat IS NULL THEN 1 ELSE 0
+      |      END) AS BIGINT) AS b_bn,
+      |    COUNT(*) AS n
+      |  FROM c)
+      |SELECT 'seg' AS col_a, 'band' AS col_b, n_seg AS n_null_a,
+      |  n_band AS n_null_b, b_sb AS n_both, n,
+      |  CASE WHEN n_seg > 0 AND n_band > 0 THEN
+      |    ROUND((CAST(b_sb AS DOUBLE) * CAST(n AS DOUBLE))
+      |      / (CAST(n_seg AS DOUBLE) * CAST(n_band AS DOUBLE)), 6) END
+      |    AS lift
+      |FROM g
+      |UNION ALL
+      |SELECT 'seg', 'nat', n_seg, n_nat, b_sn, n,
+      |  CASE WHEN n_seg > 0 AND n_nat > 0 THEN
+      |    ROUND((CAST(b_sn AS DOUBLE) * CAST(n AS DOUBLE))
+      |      / (CAST(n_seg AS DOUBLE) * CAST(n_nat AS DOUBLE)), 6) END
+      |FROM g
+      |UNION ALL
+      |SELECT 'band', 'nat', n_band, n_nat, b_bn, n,
+      |  CASE WHEN n_band > 0 AND n_nat > 0 THEN
+      |    ROUND((CAST(b_bn AS DOUBLE) * CAST(n AS DOUBLE))
+      |      / (CAST(n_band AS DOUBLE) * CAST(n_nat AS DOUBLE)), 6) END
+      |FROM g""".stripMargin
+
 }

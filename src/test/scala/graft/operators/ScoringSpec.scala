@@ -246,4 +246,24 @@ class ScoringSpec extends SparkSpec {
     assert(m("rep") == ((5L, 2L, 1L, 0.4)))
     assert(m("uniq") == ((4L, 4L, 4L, 1.0)))
   }
+
+  test("compression_ratio: redundancy orders ratios; deterministic; codegen") {
+    import spark.implicits._
+    graft.functions.CompressionRatio.register(spark)
+    val df = Seq(
+      (1L, "spam " * 200),
+      (2L, (1 to 200).map(i => s"w${i * 7919}").mkString(" ")),
+      (3L, "")).toDF("id", "text")
+      .selectExpr("id", "compression_ratio(text) AS r")
+    val m = df.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(m(1L) < 0.1, s"boilerplate must compress hard: ${m(1L)}")
+    assert(m(2L) > m(1L) * 3, "varied text must compress far less")
+    assert(m(3L) == 1.0, "empty input is ratio 1 by convention")
+    // byte-deterministic across evaluations (thread-local deflater reuse)
+    val again = df.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(again == m)
+    // stays inside whole-stage codegen (no UDF boxing)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"))
+  }
 }
