@@ -506,4 +506,156 @@ object Graph {
       |  50 AS k, h.d_threshold, h.alpha
       |FROM topd t CROSS JOIN hill h WHERE t.rnk <= 20""".stripMargin
 
+  /** DEGREE ASSORTATIVITY — Pearson correlation of endpoint degrees
+    * over the undirected edge list (Newman 2002): positive = hubs link
+    * hubs (social), negative = hubs link leaves (web/biology); the
+    * one-number structure summary read next to [[degreeTail]]. Each
+    * undirected edge contributes BOTH orientations (the standard
+    * symmetrization), degrees are integers, and r comes from exact
+    * decimal power sums in the q44 shape. Degenerate (regular) graphs
+    * surface NULL. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val pairs = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("da").cast("double").as("x"),
+        col("db").cast("double").as("y"))
+    val sym = pairs.unionAll(pairs.select(col("y").as("x"),
+      col("x").as("y")))
+    val g = sym.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x").cast(DecimalType(30, 4))).cast(DoubleType).as("sx"),
+      sum(col("y").cast(DecimalType(30, 4))).cast(DoubleType).as("sy"),
+      sum((col("x") * col("x")).cast(DecimalType(30, 4)))
+        .cast(DoubleType).as("sxx"),
+      sum((col("y") * col("y")).cast(DecimalType(30, 4)))
+        .cast(DoubleType).as("syy"),
+      sum((col("x") * col("y")).cast(DecimalType(30, 4)))
+        .cast(DoubleType).as("sxy"))
+    val den = sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+      sqrt(col("n") * col("syy") - col("sy") * col("sy"))
+    g.select((col("n") / 2).cast("long").as("n_edges"),
+      when(den =!= 0.0,
+        round((col("n") * col("sxy") - col("sx") * col("sy")) / den, 6))
+        .as("assortativity"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q220_assortativity — degree-degree correlation of the co-purchase
+  // part graph. Exact decimal power sums; the oracle replays the
+  // symmetrized edge list and the identical r expression.
+  // ---------------------------------------------------------------------
+  def q220Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val co = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey")
+          && col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    assortativity(co)
+  }
+
+  val q220AssortativitySql: String =
+    """WITH und AS (
+      |  SELECT DISTINCT LEAST(x.l_partkey, y.l_partkey) AS a,
+      |    GREATEST(x.l_partkey, y.l_partkey) AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |deg AS (
+      |  SELECT n, COUNT(*) AS d FROM (
+      |    SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n),
+      |pairs AS (
+      |  SELECT CAST(da.d AS DOUBLE) AS x, CAST(db.d AS DOUBLE) AS y
+      |  FROM und JOIN deg da ON und.a = da.n JOIN deg db ON und.b = db.n),
+      |sym AS (SELECT x, y FROM pairs UNION ALL SELECT y, x FROM pairs),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(30,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(30,4))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+      |  FROM sym)
+      |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+      |  CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+      |        <> 0.0 THEN
+      |    ROUND((n * sxy - sx * sy)
+      |      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+      |  END AS assortativity
+      |FROM g""".stripMargin
+
+  /** K-HOP REACHABILITY from a seed set — "how much of the graph sits
+    * within k hops of these nodes": the blast-radius / influence-
+    * frontier readout. Fixed k joins (each hop one equi-join +
+    * distinct), frontier-only expansion (already-visited nodes are
+    * anti-joined away before the next hop, so a dense core is not
+    * re-expanded), per-hop first-reach counts. */
+  def kHopReach(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val e = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var visited = seeds.select(col("node"), lit(0).as("hop"))
+      .distinct().localCheckpoint()
+    var frontier = visited.select(col("node"))
+    for (h <- 1 to k) {
+      val next = e.join(frontier.select(col("node").as("a")), "a")
+        .select(col("b").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+      frontier = next.localCheckpoint()
+      visited = visited
+        .unionByName(frontier.select(col("node"), lit(h).as("hop")))
+        .localCheckpoint()
+    }
+    visited.groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_first_reached"),
+        min(col("node")).as("min_node"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q221_khop_reach — first-reach counts per hop (0..2) from the
+  // lowest-keyed 10 parts over the co-purchase graph. The oracle
+  // expands both hops declaratively with anti-joined frontiers.
+  // ---------------------------------------------------------------------
+  def q221KhopReach(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val co = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey")
+          && col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    val seeds = t(s, dir, "part").filter(col("p_partkey") <= 10)
+      .select(col("p_partkey").as("node"))
+    kHopReach(co, seeds, 2)
+  }
+
+  val q221KhopReachSql: String =
+    """WITH und AS (
+      |  SELECT DISTINCT LEAST(x.l_partkey, y.l_partkey) AS a,
+      |    GREATEST(x.l_partkey, y.l_partkey) AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |e AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+      |h0 AS (SELECT p_partkey AS node FROM part WHERE p_partkey <= 10),
+      |h1 AS (
+      |  SELECT DISTINCT e.b AS node FROM e JOIN h0 ON e.a = h0.node
+      |  WHERE e.b NOT IN (SELECT node FROM h0)),
+      |h2 AS (
+      |  SELECT DISTINCT e.b AS node FROM e JOIN h1 ON e.a = h1.node
+      |  WHERE e.b NOT IN (SELECT node FROM h0)
+      |    AND e.b NOT IN (SELECT node FROM h1))
+      |SELECT 0 AS hop, COUNT(*) AS n_first_reached,
+      |  MIN(node) AS min_node FROM h0
+      |UNION ALL
+      |SELECT 1, COUNT(*), MIN(node) FROM h1
+      |UNION ALL
+      |SELECT 2, COUNT(*), MIN(node) FROM h2""".stripMargin
+
 }

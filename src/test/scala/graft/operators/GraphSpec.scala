@@ -139,4 +139,25 @@ class GraphSpec extends SparkSpec {
       .map(x => x.getLong(1) -> x.getLong(2)).toMap
     assert(dist == Map(6L -> 1L, 2L -> 4L, 1L -> 2L))
   }
+
+  test("assortativity: a star is maximally disassortative; regular is NULL") {
+    // star: hub degree 5, leaves 1 -> every edge pairs (5,1): r = -1
+    val star = (1 to 5).map(i => (0, i)).toDF("src", "dst")
+    val r = Graph.assortativity(star).head()
+    assert(r.getAs[Long]("n_edges") == 5L)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+    // 4-cycle: all degrees 2 -> zero variance -> NULL
+    val cyc = Seq((1, 2), (2, 3), (3, 4), (4, 1)).toDF("src", "dst")
+    val c = Graph.assortativity(cyc).head()
+    assert(c.isNullAt(c.fieldIndex("assortativity")))
+  }
+
+  test("kHopReach: frontier counts on a path graph; visited never re-expands") {
+    // path 1-2-3-4-5, seed {1}: hop0={1}, hop1={2}, hop2={3}
+    val e = Seq((1, 2), (2, 3), (3, 4), (4, 5)).toDF("src", "dst")
+    val seeds = Seq(1).toDF("node")
+    val m = Graph.kHopReach(e, seeds, 2).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(m == Map(0 -> ((1L, 1)), 1 -> ((1L, 2)), 2 -> ((1L, 3))))
+  }
 }
