@@ -137,6 +137,59 @@ object Bpe {
       .drop("__words", "__syms")
   }
 
+  /** ENCODE at production vocabulary sizes — semantically identical to
+    * [[encode]] (sequential rank-order application of every merge,
+    * each greedy left-to-right), but the merge table travels as ONE
+    * broadcast map and each word is tokenized in a tight per-partition
+    * loop. The fold-based [[encode]] chains one Catalyst expression
+    * per merge — exact and codegen-friendly at tens of merges,
+    * impossible at a real tokenizer's 32k (the expression tree and
+    * generated method would explode); this is the documented
+    * last-resort escape hatch (a scalar function over the broadcast
+    * merge array — the mapPartitions class of shape): a 32k-iteration
+    * loop per word has no reasonable expression form, and nothing
+    * built-in fits. Per word, only merges whose
+    * pair is PRESENT are applied (a presence set makes the common case
+    * O(len·log) not O(|vocab|)). */
+  def encodeScalable(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val toks = udf { text: String =>
+      if (text == null) null
+      else {
+        val ms = bc.value
+        val words = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        words.flatMap { w =>
+          var syms = w.split("").toVector
+          var i = 0
+          while (i < ms.length) {
+            val (a, b) = ms(i)
+            // cheap presence probe before the merge scan
+            var j = 0; var present = false
+            while (j < syms.length - 1 && !present) {
+              if (syms(j) == a && syms(j + 1) == b) present = true
+              j += 1
+            }
+            if (present) {
+              val out = Vector.newBuilder[String]
+              var k = 0
+              while (k < syms.length) {
+                if (k < syms.length - 1 && syms(k) == a &&
+                    syms(k + 1) == b) { out += (a + b); k += 2 }
+                else { out += syms(k); k += 1 }
+              }
+              syms = out.result()
+            }
+            i += 1
+          }
+          syms
+        }.toSeq
+      }
+    }
+    docs.withColumn("tokens", toks(col(textCol)))
+  }
+
   // ---------------------------------------------------------------------
   // q179_bpe_pairs — the first BPE iteration's pair table over the
   // document corpus: top-20 adjacent character pairs by corpus-weighted

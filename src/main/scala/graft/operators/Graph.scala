@@ -447,10 +447,13 @@ object Graph {
           .as("t")).as("st"), col("d_thr"))
       .agg(array_sort(collect_list(col("st"))).as("__ts"),
         max(col("d_thr")).as("d_threshold"))
+      // a uniform top-k (every degree equal to the threshold) has a
+      // zero ln-sum — the tail index is undefined there, NULL not /0
+      .withColumn("__lnsum", aggregate(col("__ts"), lit(0.0d),
+        (acc, x) => acc + x.getField("t")))
       .select(col("d_threshold"),
-        round(lit(k).cast("double") /
-          aggregate(col("__ts"), lit(0.0d),
-            (acc, x) => acc + x.getField("t")), 6).as("alpha"))
+        when(col("__lnsum") =!= 0.0,
+          round(lit(k).cast("double") / col("__lnsum"), 6)).as("alpha"))
     val dist = deg.groupBy(col("d").as("degree"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("degree").desc).limit(20)

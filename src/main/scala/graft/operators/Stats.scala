@@ -1313,15 +1313,19 @@ object Stats {
     val w = Window.partitionBy(col(group))
       .orderBy(col(value).asc, col(tiebreak).asc)
     val ranked = df.withColumn("__i", row_number().over(w))
+    // a zero-mass group has no defined concentration — NULL, guarded
+    // before the division (ANSI raises on /0)
     ranked.groupBy(col(group)).agg(
       count(lit(1)).as("n"),
-      round(
-        (lit(2.0) * sum((col("__i") * col(value))
-          .cast(DecimalType(30, 4))).cast(DoubleType)) /
-          (count(lit(1)).cast("double") *
-            sum(col(value).cast(DecimalType(30, 4))).cast(DoubleType)) -
-          (count(lit(1)) + 1).cast("double") /
-            count(lit(1)).cast("double"), 6).as("gini"))
+      when(sum(col(value).cast(DecimalType(30, 4))).cast(DoubleType)
+          =!= 0.0,
+        round(
+          (lit(2.0) * sum((col("__i") * col(value))
+            .cast(DecimalType(30, 4))).cast(DoubleType)) /
+            (count(lit(1)).cast("double") *
+              sum(col(value).cast(DecimalType(30, 4))).cast(DoubleType)) -
+            (count(lit(1)) + 1).cast("double") /
+              count(lit(1)).cast("double"), 6)).as("gini"))
   }
 
   // ---------------------------------------------------------------------
@@ -1361,12 +1365,15 @@ object Stats {
     counts.groupBy(col(key)).agg(
       count(lit(1)).as("n_buckets"),
       sum(col("c")).as("n_events"),
-      round(((sum(col("c") * col("c")).cast("double") -
-        sum(col("c")).cast("double") * sum(col("c")).cast("double") /
-          count(lit(1)).cast("double")) /
-        (count(lit(1)).cast("double") - lit(1.0))) /
-        (sum(col("c")).cast("double") / count(lit(1)).cast("double")), 6)
-        .as("fano"))
+      // single-bucket keys have no variance — the guard runs BEFORE
+      // the (n-1) division (ANSI raises), and the filter then drops them
+      when(count(lit(1)) > 1,
+        round(((sum(col("c") * col("c")).cast("double") -
+          sum(col("c")).cast("double") * sum(col("c")).cast("double") /
+            count(lit(1)).cast("double")) /
+          (count(lit(1)).cast("double") - lit(1.0))) /
+          (sum(col("c")).cast("double") / count(lit(1)).cast("double")),
+          6)).as("fano"))
       .filter(col("n_buckets") >= 2)
   }
 
@@ -1410,9 +1417,11 @@ object Stats {
       .agg(count(lit(1)).as("n"),
         sum(when(col(value) >= col("threshold"), 1L).otherwise(0L))
           .as("n_top"),
-        round(sum(when(col(value) >= col("threshold"), col(value))
-            .cast(DecimalType(30, 4))).cast(DoubleType) /
-          sum(col(value).cast(DecimalType(30, 4))).cast(DoubleType), 6)
+        when(sum(col(value).cast(DecimalType(30, 4))).cast(DoubleType)
+            =!= 0.0,
+          round(sum(when(col(value) >= col("threshold"), col(value))
+              .cast(DecimalType(30, 4))).cast(DoubleType) /
+            sum(col(value).cast(DecimalType(30, 4))).cast(DoubleType), 6))
           .as("top_share"))
   }
 

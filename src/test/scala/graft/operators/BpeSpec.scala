@@ -71,4 +71,17 @@ class BpeSpec extends SparkSpec {
     val loaded = Bpe.loadMerges(spark, dir).map(m => (m._1, m._2))
     assert(loaded == merges)
   }
+
+  test("encodeScalable equals the fold-based encode on a mixed corpus") {
+    val docs = Seq((1L, "low lower lowest slow glow"),
+      (2L, "Hello, WORLD! flow below")).toDF("id", "text")
+    val merges = Bpe.train(Bpe.wordVocab(docs, "text"), 6)
+      .map(m => (m._1, m._2))
+    assert(merges.nonEmpty)
+    val a = Bpe.encode(docs, "text", merges)
+      .select("id", "tokens").as[(Long, Seq[String])].collect().toMap
+    val b = Bpe.encodeScalable(docs, "text", merges)
+      .select("id", "tokens").as[(Long, Seq[String])].collect().toMap
+    assert(a == b, s"fold vs scalable diverged: $a vs $b")
+  }
 }

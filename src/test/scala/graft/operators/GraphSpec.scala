@@ -160,4 +160,11 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getInt(2)))).toMap
     assert(m == Map(0 -> ((1L, 1)), 1 -> ((1L, 2)), 2 -> ((1L, 3))))
   }
+
+  test("degreeTail: a regular graph has no defined tail index (NULL alpha)") {
+    // 6-cycle: every degree 2 -> ln-sum over top-k is 0
+    val e = (0 until 6).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
+    val r = Graph.degreeTail(e, k = 2).head()
+    assert(r.isNullAt(r.fieldIndex("alpha")))
+  }
 }

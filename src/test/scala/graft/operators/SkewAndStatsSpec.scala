@@ -445,4 +445,18 @@ class SkewAndStatsSpec extends SparkSpec {
       .collect().map(_.getLong(3)).toSet
     assert(got == Set(1L, 3L, 5L, 6L), got)
   }
+
+  test("degenerate groups surface NULL, never an ANSI division error") {
+    import spark.implicits._
+    // single-bucket key: Fano drops it (and must not raise pre-filter)
+    val one = Seq(("solo", 1)).toDF("k", "b")
+    assert(Stats.fanoFactor(one, "k", col("b")).collect().isEmpty)
+    // all-zero mass: Gini and top-share are NULL
+    val zeros = Seq(("z", 0.0, 1), ("z", 0.0, 2)).toDF("g", "v", "id")
+    val gr = Stats.giniByGroup(zeros, "g", "v", "id").head()
+    assert(gr.isNullAt(gr.fieldIndex("gini")))
+    val ts = Stats.topShare(zeros.withColumnRenamed("v", "x"), "g", "x",
+      0.5).head()
+    assert(ts.isNullAt(ts.fieldIndex("top_share")))
+  }
 }
