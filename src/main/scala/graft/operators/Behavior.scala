@@ -532,8 +532,13 @@ object Behavior {
       .withColumn("recency_days",
         expr("(__hm - __tm) div 86400000000L"))
       .drop("__hm", "__tm")
+    // the constant partition key must be UNFOLDABLE: for a NON-NULLABLE
+    // metric (count(*)) the optimizer folds `x * 0` to a literal,
+    // strips the window partition, and replans the warning-spewing
+    // no-partition WindowExec; `x - x` is equally constant but has no
+    // simplification rule
     def thr(metric: String) = quantileThresholds(
-      perUser.select((col(metric) * 0).as("k"), col(metric)),
+      perUser.select((col(metric) - col(metric)).as("k"), col(metric)),
       "k", metric, 1.0 / 3.0)
       .select(col("threshold").as(s"__t_$metric"))
     // top-tercile boundary per metric (recency is better LOW, so its

@@ -1766,11 +1766,13 @@ object Curation {
       countDistinct(col("text")).as("n_distinct_texts"))
     val topLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("top_lang_docs"))
-    // the "constant key" must be NON-foldable (n_chars*0, not lit) or
-    // the optimizer folds the window partition key away and replans the
-    // warning-spewing no-partition WindowExec
+    // the "constant key" must be UNFOLDABLE: `x * 0` folds for a
+    // NON-NULLABLE x (stripping the window partition and replanning the
+    // warning-spewing no-partition WindowExec); `x - x` is equally
+    // constant but has no simplification rule
     val p50 = quantileThresholds(docs.select(
-        (col("n_chars") * 0).as("k"), col("n_chars")), "k", "n_chars", 0.5)
+        (col("n_chars") - col("n_chars")).as("k"), col("n_chars")),
+        "k", "n_chars", 0.5)
       .select(col("threshold").as("p50_chars"))
     val j = base.crossJoin(broadcast(topLang)).crossJoin(broadcast(p50))
     def metric(name: String, v: org.apache.spark.sql.Column) =

@@ -92,4 +92,54 @@ object SkewJoin {
       |  FROM prod)
       |WHERE rnk <= 20""".stripMargin
 
+  /** BUCKET-SKEW audit — before committing to a bucketed layout on a
+    * key, how evenly does the bucket assignment spread the rows? Emits
+    * the bucket-size distribution summary (max/mean ratio, non-empty
+    * count) — a skewed bucketing key silently serializes every
+    * co-bucketed join through its hot buckets. The caller supplies the
+    * bucket expression (audit the SAME rule the layout uses); one
+    * count aggregate over the bucket id. */
+  def bucketSkew(df: org.apache.spark.sql.DataFrame,
+      bucketExpr: org.apache.spark.sql.Column,
+      nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sizes = df.select(bucketExpr.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    sizes.agg(
+      count(lit(1)).as("n_nonempty"),
+      lit(nBuckets).as("n_buckets"),
+      sum(col("n")).as("n_rows"),
+      max(col("n")).as("max_bucket"),
+      round(max(col("n")).cast("double") /
+        (sum(col("n")).cast("double") / lit(nBuckets.toDouble)), 6)
+        .as("skew_ratio"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q224_bucket_skew — would bucketing lineitem by l_orderkey at 64
+  // buckets skew? The audited rule is the md5-prefix bucket (the q63
+  // cross-engine identity), so the summary is hash-exact, not
+  // rows-only.
+  // ---------------------------------------------------------------------
+  def q224BucketSkew(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    bucketSkew(t(s, dir, "lineitem"),
+      pmod(conv(substring(md5(col("l_orderkey").cast("string")
+        .cast("binary")), 1, 4), 16, 10).cast("long"), lit(64L)), 64)
+  }
+
+  val q224BucketSkewSql: String =
+    """WITH b AS (
+      |  SELECT CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)),
+      |      1, 4) AS BIGINT) % 64 AS bucket
+      |  FROM lineitem),
+      |sizes AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket)
+      |SELECT COUNT(*) AS n_nonempty, 64 AS n_buckets,
+      |  CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  CAST(MAX(n) AS BIGINT) AS max_bucket,
+      |  ROUND(CAST(MAX(n) AS DOUBLE)
+      |    / (CAST(SUM(n) AS DOUBLE) / 64.0), 6) AS skew_ratio
+      |FROM sizes""".stripMargin
+
 }

@@ -1547,4 +1547,154 @@ object Stats {
       |      / (CAST(n_band AS DOUBLE) * CAST(n_nat AS DOUBLE)), 6) END
       |FROM g""".stripMargin
 
+  /** TRAILING-WINDOW positional quantile — per (key, day) the median
+    * of the key's daily values over the last `window` days: the rolling
+    * robust baseline behind anomaly bands. Built on the DAILY AGGREGATE
+    * table (|keys|×|days| — corpus-independent), expanded by a bounded
+    * range self-join (each day sees ≤ `window` trailing rows) and cut
+    * by the positional top-rule per (key, day). Days with fewer than
+    * `window` prior observations use what exists (leading-edge
+    * convention, stated). */
+  def rollingQuantile(daily: DataFrame, key: String, day: String,
+      value: String, window: Int, q: Double): DataFrame = {
+    val base = daily.select(col(key), col(day).as("__d"),
+      col(value).as("__v"))
+    val trail = base.select(col(key), col("__d").as("__td"),
+      col("__v").as("__tv"))
+    val joined = base.join(trail, Seq(key))
+      .filter(col("__td") <= col("__d") &&
+        col("__td") > col("__d") - window)
+    val counts = joined.groupBy(col(key), col("__d"), col("__tv"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(key), col("__d"))
+      .orderBy(col("__tv").desc)
+      .rowsBetween(Long.MinValue, 0)
+    counts
+      .withColumn("cum_ge", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col(key), col("__d"))))
+      .filter(col("cum_ge") >= ceil(col("n") * q).cast("long"))
+      .groupBy(col(key), col("__d").as(day))
+      .agg(max(col("n")).as("n_window"),
+        max(col("__tv")).as("rolling_q"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q222_rolling_quantile — trailing-7-day median of daily event-value
+  // mass per event type. The oracle replays the bounded self-join and
+  // the positional rule.
+  // ---------------------------------------------------------------------
+  def q222RollingQuantile(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")
+          .as("day"))
+      .agg(graft.operators.sumDec(col("value")).as("v"))
+    rollingQuantile(daily, "event_type", "day", "v", window = 7, q = 0.5)
+  }
+
+  val q222RollingQuantileSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+      |      AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.event_type, a.day, b.v AS tv
+      |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+      |    AND b.day <= a.day AND b.day > a.day - 7),
+      |counts AS (
+      |  SELECT event_type, day, tv, COUNT(*) AS c
+      |  FROM j GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT event_type, day, tv,
+      |    SUM(c) OVER (PARTITION BY event_type, day ORDER BY tv DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge,
+      |    SUM(c) OVER (PARTITION BY event_type, day) AS n
+      |  FROM counts)
+      |SELECT event_type, day, CAST(MAX(n) AS BIGINT) AS n_window,
+      |  MAX(tv) AS rolling_q
+      |FROM cum WHERE cum_ge >= CEIL(n * 0.5)
+      |GROUP BY event_type, day""".stripMargin
+
+  /** SEASONALITY STRENGTH — how much of a daily series a weekday
+    * profile explains: 1 − SS_residual/SS_total around the key's
+    * per-weekday means (the variance-explained readout that decides
+    * whether a forecast needs a seasonal term at all, next to q191's
+    * seasonal-naive error). Exact decimal power sums per (key, weekday)
+    * and per key; one fixed-shape combining expression; keys with zero
+    * total variance surface NULL. */
+  def seasonalityStrength(daily: DataFrame, key: String, day: String,
+      value: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val base = daily.select(col(key), (col(day) % 7).as("__wd"),
+      col(value).as("__v"))
+    // per-weekday sums stay DECIMAL so the cross-weekday totals are
+    // exact; the per-weekday residual terms are doubles, so SS_res is
+    // an ORDERED fold over weekday-sorted terms (the q92 discipline —
+    // a plain sum() of 7 doubles is partition-order-dependent)
+    val byWd = base.groupBy(col(key), col("__wd"))
+      .agg(count(lit(1)).cast("double").as("nw"),
+        sum(col("__v").cast(DecimalType(30, 4))).as("swd"),
+        sum((col("__v") * col("__v")).cast(DecimalType(30, 8))).as("swwd"))
+    val term = col("swwd").cast(DoubleType) -
+      col("swd").cast(DoubleType) * col("swd").cast(DoubleType) / col("nw")
+    val g = byWd.groupBy(col(key)).agg(
+      sum(col("nw")).as("n"),
+      sum(col("swd")).cast(DoubleType).as("s"),
+      sum(col("swwd")).cast(DoubleType).as("ss"),
+      array_sort(collect_list(struct(col("__wd"), term.as("t"))))
+        .as("__ts"))
+    val ssRes = aggregate(col("__ts"), lit(0.0d),
+      (acc, x) => acc + x.getField("t"))
+    val ssTot = col("ss") - col("s") * col("s") / col("n")
+    g.select(col(key), col("n").cast("long").as("n_days"),
+      when(ssTot =!= 0.0,
+        round(lit(1.0) - ssRes / ssTot, 6))
+        .as("seasonality_strength"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q223_seasonality — weekday-profile variance-explained per event
+  // type over daily value mass. The oracle replays the per-weekday
+  // power-sum decomposition and the identical combining expression.
+  // ---------------------------------------------------------------------
+  def q223Seasonality(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")
+          .as("day"))
+      .agg(graft.operators.sumDec(col("value")).as("v"))
+    seasonalityStrength(daily, "event_type", "day", "v")
+  }
+
+  val q223SeasonalitySql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+      |      AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |by_wd AS (
+      |  SELECT event_type, day % 7 AS wd,
+      |    CAST(COUNT(*) AS DOUBLE) AS nw,
+      |    SUM(CAST(v AS DECIMAL(30,4))) AS swd,
+      |    SUM(CAST(v * v AS DECIMAL(30,8))) AS swwd
+      |  FROM daily GROUP BY 1, 2),
+      |g AS (
+      |  SELECT event_type, SUM(nw) AS n,
+      |    CAST(SUM(swd) AS DOUBLE) AS s,
+      |    CAST(SUM(swwd) AS DOUBLE) AS ss,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list(CAST(swwd AS DOUBLE)
+      |        - CAST(swd AS DOUBLE) * CAST(swd AS DOUBLE) / nw
+      |        ORDER BY wd)), (a, b) -> a + b) AS ss_res
+      |  FROM by_wd GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |  CASE WHEN ss - s * s / n <> 0.0 THEN
+      |    ROUND(1.0 - ss_res / (ss - s * s / n), 6) END
+      |    AS seasonality_strength
+      |FROM g""".stripMargin
+
 }

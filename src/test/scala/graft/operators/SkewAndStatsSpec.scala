@@ -459,4 +459,43 @@ class SkewAndStatsSpec extends SparkSpec {
       0.5).head()
     assert(ts.isNullAt(ts.fieldIndex("top_share")))
   }
+
+  test("rollingQuantile: trailing-window median follows the positional rule") {
+    import spark.implicits._
+    // days 0..5 values 10,20,30,40,50,60; window 3, q=0.5:
+    // day 2 sees {10,20,30} -> top-rule median 20; day 5 {40,50,60} -> 50
+    val daily = (0L to 5L).map(d => ("k", d, (d + 1) * 10.0))
+      .toDF("g", "day", "v")
+    val m = Stats.rollingQuantile(daily, "g", "day", "v", 3, 0.5)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(m(0L) == ((1L, 10.0)))   // leading edge: only itself
+    assert(m(2L) == ((3L, 20.0)))
+    assert(m(5L) == ((3L, 50.0)))
+  }
+
+  test("seasonalityStrength: a pure weekday pattern explains all variance") {
+    import spark.implicits._
+    // value depends only on day % 7 -> residual SS 0 -> strength 1
+    val daily = (0L to 27L).map(d => ("k", d, ((d % 7) + 1).toDouble))
+      .toDF("g", "day", "v")
+    val r = Stats.seasonalityStrength(daily, "g", "day", "v").head()
+    assert(r.getAs[Double]("seasonality_strength") == 1.0)
+    // constant series: zero total variance -> NULL
+    val const = (0L to 13L).map(d => ("c", d, 5.0)).toDF("g", "day", "v")
+    val c = Stats.seasonalityStrength(const, "g", "day", "v").head()
+    assert(c.isNullAt(c.fieldIndex("seasonality_strength")))
+  }
+
+  test("bucketSkew: uniform ids spread; a constant key collapses to 1 bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val df = (1 to 640).map(_.toLong).toDF("id")
+    val even = SkewJoin.bucketSkew(df, pmod(col("id"), lit(64L)), 64).head()
+    assert(even.getAs[Long]("n_nonempty") == 64L)
+    assert(even.getAs[Double]("skew_ratio") == 1.0)
+    val hot = SkewJoin.bucketSkew(df, (col("id") - col("id")), 64).head()
+    assert(hot.getAs[Long]("n_nonempty") == 1L)
+    assert(hot.getAs[Double]("skew_ratio") == 64.0)
+  }
 }
