@@ -283,4 +283,71 @@ object EventStreams {
           }
       }
   }
+
+  /** Spark's round() semantics (BigDecimal HALF_UP at scale 6) — the
+    * stream must round EXACTLY like the batch operator or the
+    * stream≡batch proof fails at .5-boundary means. */
+  private def roundHalfUp6(x: Double): Double =
+    BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  final case class GapState(lastUs: Long, lastId: Long, nGaps: Long,
+      sumGaps: Long, minGap: Long, maxGap: Long)
+  final case class GapUpdate(user_id: Long, n_gaps: Long,
+      min_gap_us: Long, max_gap_us: Long, mean_gap_s: Double)
+
+  /** Streaming twin of [[graft.operators.EventTime.interArrival]]:
+    * per-key inter-event gap statistics maintained with ONE
+    * fixed-size state row per active key (last event + four int64
+    * accumulators — no event list, no window). Gaps are exact int64
+    * micros, so the running sum is exact and the emitted mean is the
+    * same one-division-then-seconds expression as the batch operator —
+    * micro-batch boundaries cannot move a bit (spec-proved 1-batch ≡
+    * N-batch ≡ batch). Event-time TTL evicts idle keys. */
+  def statefulInterArrival(events: Dataset[VEv],
+      watermarkDelay: String = "30 minutes",
+      stateTtlMs: Long = 2L * 3600 * 1000): Dataset[GapUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[GapState, GapUpdate](
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[VEv], state: GroupState[GapState]) =>
+          if (state.hasTimedOut) {
+            val last = state.getOption
+            state.remove()
+            GapUpdate(user, last.map(_.nGaps).getOrElse(0L),
+              last.map(_.minGap).getOrElse(0L),
+              last.map(_.maxGap).getOrElse(0L),
+              last.filter(_.nGaps > 0).map(st =>
+                roundHalfUp6(st.sumGaps.toDouble / st.nGaps.toDouble /
+                  1e6)).getOrElse(Double.NaN))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(
+              GapState(Long.MinValue, Long.MinValue, 0L, 0L,
+                Long.MaxValue, Long.MinValue))
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000
+              if (st.lastUs != Long.MinValue) {
+                val gap = us - st.lastUs
+                st = GapState(us, e.event_id, st.nGaps + 1,
+                  st.sumGaps + gap, math.min(st.minGap, gap),
+                  math.max(st.maxGap, gap))
+              } else st = st.copy(lastUs = us, lastId = e.event_id)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastUs / 1000 + stateTtlMs,
+                state.getCurrentWatermarkMs() + 1))
+            GapUpdate(user, st.nGaps,
+              if (st.nGaps > 0) st.minGap else 0L,
+              if (st.nGaps > 0) st.maxGap else 0L,
+              if (st.nGaps > 0)
+                roundHalfUp6(st.sumGaps.toDouble / st.nGaps.toDouble / 1e6)
+              else Double.NaN)
+          }
+      }
+  }
 }

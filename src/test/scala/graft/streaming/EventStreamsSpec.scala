@@ -290,4 +290,48 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(one == batch, "stream must equal the batch operator bit-exactly")
   }
+
+  test("statefulInterArrival: 1-batch = N-batch = batch operator, bit-exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max, struct}
+    val t0 = 1700000000000L
+    val evs = Seq(
+      (1L, new java.sql.Timestamp(t0), 1L, 1.0),
+      (2L, new java.sql.Timestamp(t0 + 60000), 1L, 1.0),
+      (3L, new java.sql.Timestamp(t0 + 250000), 1L, 1.0),
+      (4L, new java.sql.Timestamp(t0 + 10000), 2L, 1.0),
+      (5L, new java.sql.Timestamp(t0 + 70000), 2L, 1.0))
+      .map(e => EventStreams.VEv(e._1, e._2, e._3, e._4))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def run(chunks: Seq[Seq[EventStreams.VEv]]): Map[Long, (Long, Long, Long, Double)] = {
+      val mem = MemoryStream[EventStreams.VEv]
+      val q = EventStreams.statefulInterArrival(mem.toDS())
+        .writeStream.format("memory")
+        .queryName(s"gaps_${chunks.size}_${System.nanoTime()}")
+        .outputMode("update").start()
+      val name = q.name
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name)
+        .filter(col("n_gaps") > 0)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_gaps"), col("min_gap_us"),
+          col("max_gap_us"), col("mean_gap_s"))).as("s"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getStruct(1).getLong(0),
+          r.getStruct(1).getLong(1), r.getStruct(1).getLong(2),
+          r.getStruct(1).getDouble(3)))).toMap
+    }
+    val one = run(Seq(evs))
+    val three = run(Seq(evs.take(1), evs.slice(1, 3), evs.drop(3)))
+    assert(one == three, "micro-batch boundaries must not move a bit")
+    val batch = graft.operators.EventTime.interArrival(
+        evs.toDF().selectExpr("user_id", "event_id",
+          "unix_micros(ts) AS ts_us"),
+        "user_id", "ts_us", "event_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(one == batch, "stream must equal the batch operator bit-exactly")
+  }
 }
