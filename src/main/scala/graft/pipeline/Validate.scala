@@ -142,4 +142,125 @@ object Validate {
       |WHERE l.l_orderkey IS NOT NULL
       |  AND NOT EXISTS (SELECT 1 FROM orders o
       |                  WHERE o.o_orderkey = l.l_orderkey)""".stripMargin
+
+  /** CALENDAR-GAP audit — which (key, day) cells are MISSING from an
+    * expected daily series: the completeness check a late-or-lost
+    * ingestion surfaces as silence, which no row-level rule can see.
+    * The expected grid is keys × the key's own [min, max] day span
+    * (engine-side sequence, never a driver loop); observed days
+    * anti-join away; emitted per key: span, observed, missing, and the
+    * first missing day. */
+  def calendarGaps(df: DataFrame, key: String, dayCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val observed = df.select(col(key), col(dayCol).cast("long").as("__d"))
+      .distinct()
+    val spans = observed.groupBy(col(key))
+      .agg(min(col("__d")).as("__d0"), max(col("__d")).as("__d1"),
+        count(lit(1)).as("n_observed"))
+    val grid = spans.select(col(key), col("n_observed"),
+      (col("__d1") - col("__d0") + 1).as("span_days"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    grid.join(observed, Seq(key, "__d"), "left_anti")
+      .groupBy(col(key))
+      .agg(max(col("span_days")).as("span_days"),
+        max(col("n_observed")).as("n_observed"),
+        count(lit(1)).as("n_missing"),
+        min(col("__d")).as("first_missing_day"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q225_calendar_gaps — per-event-type daily completeness with planted
+  // holes (drop every day ≡ 3 mod 7 for one type): the audit must name
+  // exactly the planted gaps and stay silent for complete types (they
+  // emit no row — absence of problems is absence of rows).
+  // ---------------------------------------------------------------------
+  def q225CalendarGaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")
+          .as("day"))
+      .distinct()
+      .filter(!(col("event_type") === "view" && col("day") % 7 === 3))
+    calendarGaps(daily, "event_type", "day")
+  }
+
+  val q225CalendarGapsSql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT event_type,
+      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+      |      AS day
+      |  FROM events),
+      |obs AS (
+      |  SELECT * FROM daily
+      |  WHERE NOT (event_type = 'view' AND day % 7 = 3)),
+      |spans AS (
+      |  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1,
+      |    COUNT(*) AS n_observed
+      |  FROM obs GROUP BY event_type),
+      |grid AS (
+      |  SELECT s.event_type, s.n_observed, s.d1 - s.d0 + 1 AS span_days,
+      |    g.d AS day
+      |  FROM spans s, LATERAL unnest(range(s.d0, s.d1 + 1)) AS g(d)),
+      |missing AS (
+      |  SELECT g.* FROM grid g
+      |  LEFT JOIN obs o ON g.event_type = o.event_type AND g.day = o.day
+      |  WHERE o.event_type IS NULL)
+      |SELECT event_type, CAST(MAX(span_days) AS BIGINT) AS span_days,
+      |  CAST(MAX(n_observed) AS BIGINT) AS n_observed,
+      |  COUNT(*) AS n_missing, MIN(day) AS first_missing_day
+      |FROM missing GROUP BY event_type""".stripMargin
+
+  /** MONOTONICITY audit — does a sequence column only move forward per
+    * key? Counts regressions (value < previous in the declared order)
+    * with the first offending position — the watermark/ordering
+    * assumption check behind every incremental consumer. One lag
+    * window per key. */
+  def monotonicCheck(df: DataFrame, key: String, order: String,
+      value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col(key)).orderBy(col(order).asc)
+    df.select(col(key), col(order), col(value))
+      .withColumn("__prev", lag(col(value), 1).over(w))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col(value) < col("__prev"), 1L).otherwise(0L))
+          .as("n_regressions"),
+        min(when(col(value) < col("__prev"), col(order)))
+          .as("first_regression_at"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q226_monotonic — per-user: is the event value's DAILY RUNNING MAX
+  // monotone when replayed in event order? Planted regressions via a
+  // scrambled order column for half the users; the clean half shows 0.
+  // ---------------------------------------------------------------------
+  def q226Monotonic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        when(col("user_id") % 2 === 0, col("event_id"))
+          .otherwise(-col("event_id")).as("seq"))
+    monotonicCheck(e, "user_id", "event_id", "seq")
+  }
+
+  val q226MonotonicSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN user_id % 2 = 0 THEN event_id
+      |         ELSE -event_id END AS seq
+      |  FROM events),
+      |x AS (
+      |  SELECT user_id, event_id, seq,
+      |    LAG(seq) OVER (PARTITION BY user_id ORDER BY event_id ASC)
+      |      AS prev
+      |  FROM e)
+      |SELECT user_id, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN seq < prev THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_regressions,
+      |  MIN(CASE WHEN seq < prev THEN event_id END)
+      |    AS first_regression_at
+      |FROM x GROUP BY user_id""".stripMargin
+
 }

@@ -47,4 +47,30 @@ class ValidateSpec extends SparkSpec {
     val r = Validate.fkCheck(child, "fk", parent, "pk", "fk.ok").collect()(0)
     assert(r.getLong(1) === 1L && !r.getBoolean(2)) // only the 99 orphan
   }
+
+  test("calendarGaps: planted holes named exactly; complete keys emit nothing") {
+    import spark.implicits._
+    val daily = Seq(
+      ("a", 10L), ("a", 11L), ("a", 13L), ("a", 15L),  // missing 12, 14
+      ("b", 5L), ("b", 6L), ("b", 7L))                 // complete
+      .toDF("k", "day")
+    val m = Validate.calendarGaps(daily, "k", "day").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(m("a") == ((6L, 4L, 2L, 12L)))
+    assert(!m.contains("b"), "complete series must emit no audit row")
+  }
+
+  test("monotonicCheck: counts regressions with the first offending position") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", 1L, 10L), ("u", 2L, 20L), ("u", 3L, 15L), ("u", 4L, 30L),
+      ("v", 1L, 1L), ("v", 2L, 2L))
+      .toDF("k", "ord", "v")
+    val m = Validate.monotonicCheck(df, "k", "ord", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3))))).toMap
+    assert(m("u") == ((4L, 1L, Some(3L))))
+    assert(m("v") == ((2L, 0L, None)))
+  }
 }
