@@ -180,8 +180,11 @@ object Baskets {
     * collapses from Σ k³ per basket to extensions of frequent pairs,
     * which is the entire reason A-priori scales. Pruning is an
     * OPTIMIZATION, not a semantics change: the result equals the naive
-    * three-way count (the oracle runs the naive form — equivalence is
-    * the gate). Same mega-basket cap as [[pairLift]]. */
+    * three-way count over capped baskets (the oracle runs the naive
+    * form with the SAME maxBasket cap — equivalence is the gate). The
+    * mega-basket cap is part of the operator's CONTRACT, as in
+    * [[pairLift]]: a basket with more than maxBasket distinct items is
+    * excluded from triple counting on both engines. */
   def tripleSupport(df: DataFrame, basket: String, item: String,
       minCount: Int, k: Int, maxBasket: Int = 1000): DataFrame = {
     val items = df.select(col(basket).as("bk"), col(item).as("it"))
@@ -231,8 +234,13 @@ object Baskets {
       minCount = 2, k = 20)
 
   val q192BasketTriplesSql: String =
-    """WITH items AS (
+    """WITH items0 AS (
       |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      |items AS (
+      |  SELECT bk, it FROM (
+      |    SELECT bk, it, COUNT(*) OVER (PARTITION BY bk) AS bsz
+      |    FROM items0)
+      |  WHERE bsz <= 1000),
       |tri AS (
       |  SELECT a.it AS pa, b.it AS pb, c.it AS pc, COUNT(*) AS c123
       |  FROM items a

@@ -351,12 +351,14 @@ object Labels {
         s"$maxRaters raters: "), col("__maxni").cast("string"))))
       .otherwise(col("do_raw"))
     // De = 0 (all usable ratings share one label) leaves α undefined —
-    // NULL, guarded before the division (ANSI raises on /0)
+    // NULL, guarded before the division (ANSI raises on /0). α is
+    // computed FROM the guarded expression so a consumer projecting
+    // alpha alone cannot let Catalyst prune the maxRaters check.
     j.select(col("n_items"), col("n_ratings"),
       doGuarded.as("do_scaled"),
       deNum.as("de_num"),
       when(deNum =!= 0,
-        round(lit(1.0) - col("do_raw").cast("double") * (n - lit(1.0)) /
+        round(lit(1.0) - doGuarded.cast("double") * (n - lit(1.0)) /
           (lit(L.toDouble) * deNum.cast("double")), 6)).as("alpha"))
   }
 

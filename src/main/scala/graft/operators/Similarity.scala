@@ -911,8 +911,9 @@ object Similarity {
   // identical double-accumulated elementwise fold (dot / sqrt(nx·ny) —
   // the cosine_sim shape, NOT DuckDB's list_cosine_similarity, whose
   // norm arrangement differs in ulp). max is order-independent;
-  // per-row rounding to 6dp puts both engines on the same grid before
-  // the decimal mean.
+  // per-row rounding to 4dp (both the operator's max_sim and the
+  // oracle's) puts both engines on the same grid before the decimal
+  // mean.
   // ---------------------------------------------------------------------
   def q178SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)

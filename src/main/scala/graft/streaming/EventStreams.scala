@@ -296,6 +296,13 @@ object EventStreams {
   final case class GapUpdate(user_id: Long, n_gaps: Long,
       min_gap_us: Long, max_gap_us: Long, mean_gap_s: Double)
 
+  /** Exact event-time micros for a Timestamp: floorDiv to whole seconds
+    * (getTime already folds the millis of the nano field in) plus the
+    * sub-second nanos — matches SQL unix_micros bit-for-bit, where
+    * `getTime * 1000` truncates sub-millisecond precision. */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   /** Streaming twin of [[graft.operators.EventTime.interArrival]]:
     * per-key inter-event gap statistics maintained with ONE
     * fixed-size state row per active key (last event + four int64
@@ -303,7 +310,18 @@ object EventStreams {
     * micros, so the running sum is exact and the emitted mean is the
     * same one-division-then-seconds expression as the batch operator —
     * micro-batch boundaries cannot move a bit (spec-proved 1-batch ≡
-    * N-batch ≡ batch). Event-time TTL evicts idle keys. */
+    * N-batch ≡ batch, for order-preserving splits). Event-time TTL
+    * evicts idle keys.
+    *
+    * ORDERING CONTRACT: a fixed-size state row can only fold gaps
+    * forward — an in-watermark event arriving in a LATER micro-batch
+    * with (ts, event_id) before the last folded event cannot be
+    * retro-inserted without keeping the full event list. Such
+    * regressive arrivals are DROPPED (never folded as a negative gap
+    * corrupting min/sum/mean); the stream therefore equals the batch
+    * operator exactly when delivery is per-key order-preserving across
+    * micro-batches, and degrades to "gaps over the admitted
+    * subsequence" otherwise — the standard bounded-state trade. */
   def statefulInterArrival(events: Dataset[VEv],
       watermarkDelay: String = "30 minutes",
       stateTtlMs: Long = 2L * 3600 * 1000): Dataset[GapUpdate] = {
@@ -324,17 +342,22 @@ object EventStreams {
                 roundHalfUp6(st.sumGaps.toDouble / st.nGaps.toDouble /
                   1e6)).getOrElse(Double.NaN))
           } else {
-            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
             var st = state.getOption.getOrElse(
               GapState(Long.MinValue, Long.MinValue, 0L, 0L,
                 Long.MaxValue, Long.MinValue))
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000
+              val us = tsMicros(e.ts)
               if (st.lastUs != Long.MinValue) {
-                val gap = us - st.lastUs
-                st = GapState(us, e.event_id, st.nGaps + 1,
-                  st.sumGaps + gap, math.min(st.minGap, gap),
-                  math.max(st.maxGap, gap))
+                // regressive arrival (before the last folded event in
+                // the (ts, event_id) total order): drop — see contract
+                if (us > st.lastUs ||
+                    (us == st.lastUs && e.event_id > st.lastId)) {
+                  val gap = us - st.lastUs
+                  st = GapState(us, e.event_id, st.nGaps + 1,
+                    st.sumGaps + gap, math.min(st.minGap, gap),
+                    math.max(st.maxGap, gap))
+                }
               } else st = st.copy(lastUs = us, lastId = e.event_id)
             }
             state.update(st)

@@ -83,4 +83,20 @@ class BasketsSpec extends SparkSpec {
         r.getLong(3))).toSet
     assert(pruned == naive && naive.nonEmpty)
   }
+
+  test("tripleSupport: maxBasket cap is a contract — mega-basket excluded") {
+    import spark.implicits._
+    // basket 1 has 4 distinct items (> cap 3) and would alone make
+    // (10,20,30) frequent; baskets 2 and 3 supply an in-cap triple
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (1L, 40L),
+      (2L, 10L), (2L, 20L), (2L, 50L),
+      (3L, 10L), (3L, 20L), (3L, 50L))
+    val got = Baskets.tripleSupport(rows.toDF("bk", "it"), "bk", "it",
+        minCount = 1, k = 100, maxBasket = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set((10L, 20L, 50L, 2L)),
+      "capped basket must contribute no triples on either engine")
+  }
 }

@@ -156,4 +156,27 @@ class LabelsSpec extends SparkSpec {
     assert(ex.getMessage.contains("krippendorffAlpha") ||
       ex.getCause != null)
   }
+
+  test("krippendorffAlpha: guard survives projecting alpha alone") {
+    import spark.implicits._
+    // the maxRaters guard must live in every emitted column that
+    // depends on D'o — selecting alpha without do_scaled must NOT let
+    // Catalyst prune the raise_error away
+    val df = Seq(
+      (1, "A", "x"), (1, "B", "x"), (1, "C", "x"),
+      (2, "A", "x"), (2, "B", "y")).toDF("item", "rater", "lab")
+    val ex = intercept[Exception] {
+      Labels.krippendorffAlpha(df, "item", "rater", "lab", 2)
+        .select("alpha").collect()
+    }
+    assert(ex.getMessage.contains("krippendorffAlpha") ||
+      ex.getCause != null)
+    // and the guarded alpha is numerically unchanged on valid input
+    val ok = Seq(
+      (1, "A", "x"), (1, "B", "x"),
+      (2, "A", "x"), (2, "B", "y"), (2, "C", "y"),
+      (3, "A", "y"), (3, "B", "y")).toDF("item", "rater", "lab")
+    val r = Labels.krippendorffAlpha(ok, "item", "rater", "lab", 3).head()
+    assert(r.getAs[Double]("alpha") == 0.5)
+  }
 }

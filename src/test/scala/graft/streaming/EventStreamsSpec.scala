@@ -334,4 +334,46 @@ class EventStreamsSpec extends SparkSpec {
         r.getLong(3), r.getDouble(4)))).toMap
     assert(one == batch, "stream must equal the batch operator bit-exactly")
   }
+
+  test("statefulInterArrival: regressive cross-batch arrival is dropped, " +
+      "never folded as a negative gap; sub-ms ts is exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max, struct}
+    val t0 = 1700000000000L
+    def ts(ms: Long, nanos: Int): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(ms)
+      t.setNanos(t.getNanos + nanos) // add sub-ms nanos on top
+      t
+    }
+    // batch 1 delivers t0 and t0+120s; batch 2 delivers an in-watermark
+    // event at t0+60s — retro-insertion is impossible with O(1) state,
+    // so it must be DROPPED (not folded as gap = -60s)
+    val b1 = Seq(
+      EventStreams.VEv(1L, ts(t0, 250000), 1L, 1.0), // +250 µs sub-ms
+      EventStreams.VEv(2L, ts(t0 + 120000, 0), 1L, 1.0))
+    val b2 = Seq(EventStreams.VEv(3L, ts(t0 + 60000, 0), 1L, 1.0))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[EventStreams.VEv]
+    val q = EventStreams.statefulInterArrival(mem.toDS())
+      .writeStream.format("memory")
+      .queryName(s"gaps_regress_${System.nanoTime()}")
+      .outputMode("update").start()
+    val name = q.name
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val r = spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_gaps"), col("min_gap_us"),
+        col("max_gap_us"), col("mean_gap_s"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val s = r(1L)
+    // one admitted gap: (t0+120s) − (t0 + 250 µs) = 120s − 250 µs exact
+    assert(s.getLong(0) == 1L, "regressive event must not add a gap")
+    assert(s.getLong(1) == 120000000L - 250L,
+      "sub-millisecond micros must be exact (unix_micros semantics)")
+    assert(s.getLong(2) == 120000000L - 250L)
+    assert(s.getDouble(3) > 0.0, "no negative-gap corruption")
+  }
 }
