@@ -58,6 +58,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "graft_might_contain"),
       graft.functions.Bloom.mightContainBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_any"),
+      new ExpressionInfo(
+        classOf[graft.functions.BloomMightContainAny].getName,
+        "graft_bloom_any"),
+      graft.functions.Bloom.bloomAnyBuilder))
     ext.injectOptimizerRule(_ => EmptyVectorCosineFold)
   }
 }

@@ -462,8 +462,11 @@ object Ingest {
   // strict subset of files (require'd; fresh stats required too) and
   // return exactly what a full-scan IN filter returns (the oracle). A
   // false NEGATIVE (wrongly pruned file) loses rows and hash-fails; the
-  // oversized sketch (100k capacity for ~sf·190k/8 rows) makes false
-  // positives measure-zero, so the subset require is deterministic.
+  // sketches are AUTO-SIZED from observed per-file row counts (the
+  // default — next-pow2 capacity at 8 bits/item keeps per-probe FPP
+  // under ~2%, and with 3 probes × ≤8 files the subset require is
+  // deterministic on this fixed data). The probe itself runs
+  // engine-side (`graft_bloom_any`) — only file names reach the driver.
   // ---------------------------------------------------------------------
   def q146BloomSkipping(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Skipping
@@ -473,8 +476,7 @@ object Ingest {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .repartition(8, col("o_custkey"))
         .write.parquet(tbl)
-      Skipping.buildBloom(s, tbl, "o_custkey",
-        expectedItemsPerFile = 100000L)
+      Skipping.buildBloom(s, tbl, "o_custkey")
       new java.io.File(s"$tbl.complete").createNewFile()
     }
     val keys = Seq(11L, 42L, 107L)

@@ -148,10 +148,20 @@ object AppendCommit {
       val Array(n0, h0, rest @ _*) = base.split('|')
       var n = n0.toLong
       var h = BigInt(h0)
+      // the ledger is heterogeneous: append batches carry additive
+      // `n|h` fingerprints, while maintenance covered-markers (the
+      // Warehouse's `rawbatch-*` file-list entries) carry file names —
+      // only fingerprint-shaped payloads sum; everything else is a
+      // replay marker, not corpus content
+      val FpShape = """\d+\|-?\d+""".r
       appliedEntries(root).foreach { case (_, payload) =>
-        val Array(nb, hb) = payload.trim.split('|')
-        n += nb.toLong
-        h += BigInt(hb)
+        payload.trim match {
+          case p @ FpShape() =>
+            val Array(nb, hb) = p.split('|')
+            n += nb.toLong
+            h += BigInt(hb)
+          case _ => ()
+        }
       }
       Some((Seq(n.toString, h.toString) ++ rest).mkString("|"))
     }

@@ -17,25 +17,48 @@ import org.apache.spark.sql.functions._
   * [[Layout.zorderWrite]], range-partitioned syncs) touches only the
   * files it must.
   *
+  * MAINTENANCE is incremental: the stats dir is an [[AppendCommit]]
+  * tree — each batch of newly-landed data files contributes its own
+  * stats rows as new files, with a ledger entry whose payload lists the
+  * data files covered. Every stat row is a pure function of ONE data
+  * file, so an append costs O(batch), untouched stats files keep their
+  * on-disk identity, and a replayed batch no-ops on its content id.
+  * [[refreshStats]]/[[refreshBloom]] diff the live listing against the
+  * ledger: fresh files append, a covered-but-deleted file (stale-delete,
+  * compaction) triggers a full rebuild — per-file rows cannot subtract,
+  * same premise as the rollup partials.
+  *
   * Contract:
   *  - stats rows describe the files they were built from; files that
   *    appeared SINCE (incremental appends) are unknown and always
   *    scanned — staleness degrades to correct-but-less-pruned, never to
   *    wrong answers (spec'd);
+  *  - stats rows for files that have DISAPPEARED are dropped at read
+  *    time (matched lists intersect the live listing) — a deleted file
+  *    cannot be scanned, and the next refresh rebuilds;
   *  - a file whose stats are NULL (all-null column) cannot satisfy a
   *    range predicate (SQL comparison with NULL is never true) and is
   *    skipped — correct for range reads, which is the only predicate
   *    shape this API offers (an IS NULL reader would need null counts);
   *  - the matched-file list is driver-side, like the file listing any
   *    scan already materializes — the point is it comes from one small
-  *    parquet read instead of a million footer opens.
+  *    parquet read instead of a million footer opens. Only file NAMES
+  *    ever reach the driver; the bloom probe itself runs engine-side
+  *    ([[graft.functions.BloomMightContainAny]]).
   */
 object Skipping {
 
   private val StatsDir = "_skip_stats"
+  private def bloomDir(c: String) = s"_skip_bloom_$c"
+
+  /** What a refresh did: full rebuild, an O(batch) append of `appended`
+    * data files' stats, or nothing (listing unchanged). */
+  final case class Refresh(rebuilt: Boolean, appended: Int)
 
   private def fsFor(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def canon(s: String) = new Path(s).toUri.getPath
 
   private def listDataFiles(spark: SparkSession, tableDir: String)
       : Seq[String] = {
@@ -50,31 +73,173 @@ object Skipping {
     walk(new Path(tableDir))
   }
 
-  /** Build (or rebuild) the per-file min/max stats table for `cols`.
-    * One scan of the table, grouped by `_metadata.file_path` — the
-    * amortized analog of collecting stats at write-commit time, run on
-    * the maintenance cadence (after a compaction, which invalidates
-    * file identities anyway). Stats live under `<table>/_skip_stats`
-    * (underscore-prefixed → invisible to every table reader). */
-  def buildStats(spark: SparkSession, tableDir: String,
-      cols: Seq[String]): Unit = {
-    require(cols.nonEmpty, "need at least one column to collect stats on")
-    val df = spark.read.parquet(tableDir)
+  // --- stats row computation ---------------------------------------------
+
+  private def readFiles(spark: SparkSession, tableDir: String,
+      files: Seq[String]): DataFrame =
+    spark.read.option("basePath", tableDir).parquet(files: _*)
+
+  /** Per-file min/max rows for exactly `files` — each row a pure
+    * function of one data file (the unit of incremental maintenance). */
+  private def statsRowsFor(spark: SparkSession, tableDir: String,
+      cols: Seq[String], files: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")
-    val stats = df
+    readFiles(spark, tableDir, files)
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(aggs.head, aggs.tail: _*)
-    SafeSwap.replace(s"$tableDir/$StatsDir") { tmp =>
-      stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+  }
+
+  private def nextPow2(n: Long): Long = {
+    var c = 1024L
+    while (c < n) c <<= 1
+    c
+  }
+
+  /** Per-file bloom rows for exactly `files`. `fixedCap > 0` sizes every
+    * sketch at that capacity; `fixedCap == 0` sizes from OBSERVED
+    * per-file row counts: a first column-pruned count pass buckets files
+    * by next-power-of-two row count (min 1024), then one aggregate per
+    * bucket builds sketches within 2× of the optimal capacity — a
+    * typical 100k-row file gets a ~128 KB sketch instead of the 1 MB a
+    * fixed 1M-item default would allocate, shrinking the stats table
+    * (and every planning read of it) ~10×. The count collect is one
+    * (name, long) pair per file — the same driver footprint as the file
+    * listing itself. */
+  private def bloomRowsFor(spark: SparkSession, tableDir: String,
+      c: String, files: Seq[String], fixedCap: Long): DataFrame = {
+    graft.functions.Bloom.register(spark)
+    def agg(fs: Seq[String], cap: Long) =
+      readFiles(spark, tableDir, fs)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(expr(s"graft_bloom_agg(xxhash64($c), ${cap}L)").as("bloom"),
+          count(lit(1)).as("n_rows"))
+    if (fixedCap > 0) agg(files, fixedCap)
+    else {
+      val counts = readFiles(spark, tableDir, files)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      counts.groupBy { case (_, n) => nextPow2(math.max(n, 1L)) }
+        .toSeq.sortBy(_._1)
+        .map { case (cap, fls) => agg(fls.map(_._1), cap) }
+        .reduce(_.unionByName(_))
     }
   }
 
+  // --- commit machinery ---------------------------------------------------
+
+  private def batchIdFor(files: Seq[String]): String =
+    "files-" + AppendCommit.contentId(files.map(canon).sorted.mkString("\n"))
+
+  private def payloadFor(files: Seq[String]): String =
+    files.map(canon).sorted.mkString("\n")
+
+  /** Data files covered by `statsDir`'s ledger (canonical paths). */
+  private def coveredBy(spark: SparkSession, statsDir: String)
+      : Set[String] =
+    AppendCommit.appliedEntries(statsDir).iterator
+      .flatMap(_._2.split("\n")).filter(_.nonEmpty).toSet
+
+  /** Full rebuild: the whole stats tree (rows + ledger) is staged and
+    * atomically swapped in — readers never see a missing or partial
+    * stats table, and the old ledger (now describing replaced content)
+    * is dropped with the old tree. */
+  private def rebuildAll(spark: SparkSession, statsDir: String,
+      files: Seq[String], rows: Seq[String] => DataFrame): Unit =
+    SafeSwap.replace(statsDir) { tmp =>
+      rows(files).coalesce(1).write.mode("overwrite").parquet(tmp)
+      AppendCommit.markApplied(tmp, batchIdFor(files), payloadFor(files))
+    }
+
+  /** O(batch) append: stats rows for `newFiles` only, landed
+    * file-additively under the [[AppendCommit]] protocol (staged write →
+    * tagged move → ledger entry LAST). Untouched stats files keep their
+    * on-disk identity; a replayed batch no-ops on its content id. */
+  private def appendBatchRows(spark: SparkSession, statsDir: String,
+      newFiles: Seq[String], rows: Seq[String] => DataFrame): Boolean =
+    AppendCommit.appendBatch(spark, statsDir, batchIdFor(newFiles),
+        payloadFor(newFiles)) { tmp =>
+      rows(newFiles).coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Diff-and-converge: append stats for files the ledger has never
+    * seen; a covered file missing from the live listing (stale-delete /
+    * compaction) rebuilds the whole stats table — per-file rows cannot
+    * subtract. A stats dir from before the ledger era (no `_applied/`)
+    * also rebuilds. */
+  private def refreshGeneric(spark: SparkSession, tableDir: String,
+      statsDir: String, rows: Seq[String] => DataFrame): Refresh = {
+    val fs = fsFor(spark, tableDir)
+    val live = listDataFiles(spark, tableDir)
+    if (live.isEmpty) {
+      // an emptied table (total stale-delete) drops its stats outright;
+      // an empty table that never had stats stays stats-less — both
+      // degrade readers to the all-unknown full-scan path
+      val had = fs.exists(new Path(statsDir))
+      if (had) fs.delete(new Path(statsDir), true)
+      return Refresh(rebuilt = had, appended = 0)
+    }
+    val hasLedger =
+      fs.exists(new Path(statsDir, "_applied"))
+    if (!fs.exists(new Path(statsDir)) || !hasLedger) {
+      rebuildAll(spark, statsDir, live, rows)
+      return Refresh(rebuilt = true, appended = 0)
+    }
+    val covered = coveredBy(spark, statsDir)
+    val liveCanon = live.map(canon).toSet
+    if (covered.exists(!liveCanon(_))) {
+      rebuildAll(spark, statsDir, live, rows)
+      Refresh(rebuilt = true, appended = 0)
+    } else {
+      val fresh = live.filterNot(f => covered(canon(f)))
+      if (fresh.isEmpty) Refresh(rebuilt = false, appended = 0)
+      else {
+        appendBatchRows(spark, statsDir, fresh, rows)
+        Refresh(rebuilt = false, appended = fresh.size)
+      }
+    }
+  }
+
+  // --- min/max stats -----------------------------------------------------
+
+  /** Build (or rebuild) the per-file min/max stats table for `cols` —
+    * one scan of the table, grouped by `_metadata.file_path`. Stats live
+    * under `<table>/_skip_stats` (underscore-prefixed → invisible to
+    * every table reader). For the incremental path use
+    * [[refreshStats]]. */
+  def buildStats(spark: SparkSession, tableDir: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "need at least one column to collect stats on")
+    rebuildAll(spark, s"$tableDir/$StatsDir",
+      listDataFiles(spark, tableDir),
+      statsRowsFor(spark, tableDir, cols, _))
+  }
+
+  /** O(batch) stats append for `newFiles` (full table paths/URIs). */
+  def appendStats(spark: SparkSession, tableDir: String,
+      cols: Seq[String], newFiles: Seq[String]): Boolean = {
+    require(cols.nonEmpty && newFiles.nonEmpty,
+      "need columns and at least one new file")
+    appendBatchRows(spark, s"$tableDir/$StatsDir", newFiles,
+      statsRowsFor(spark, tableDir, cols, _))
+  }
+
+  /** Converge the min/max stats with the live listing: O(new files) per
+    * call on an append-only table; rebuild on deletion. The maintenance
+    * cadence entry point ([[graft.Warehouse]] wires it per sync). */
+  def refreshStats(spark: SparkSession, tableDir: String,
+      cols: Seq[String]): Refresh = {
+    require(cols.nonEmpty, "need at least one column to collect stats on")
+    refreshGeneric(spark, tableDir, s"$tableDir/$StatsDir",
+      statsRowsFor(spark, tableDir, cols, _))
+  }
+
   /** The files a range predicate `lo <= c <= hi` may need: stats-known
-    * files whose [min,max] overlaps the range, plus every file unknown
-    * to the stats (appended since the last build — scanned
-    * unconditionally for correctness). */
+    * files whose [min,max] overlaps the range (and still exist), plus
+    * every file unknown to the stats (appended since the last refresh —
+    * scanned unconditionally for correctness). */
   def candidateFiles(spark: SparkSession, tableDir: String, c: String,
       lo: Any, hi: Any): (Seq[String], Seq[String]) = {
     val stats = spark.read.parquet(s"$tableDir/$StatsDir")
@@ -85,12 +250,12 @@ object Skipping {
     // canonicalize before comparing: `_metadata.file_path` renders
     // `file:///t/x` where the listing renders `file:/t/x` — a raw
     // string compare would call every known file unknown
-    def canon(s: String) = new Path(s).toUri.getPath
     val known = stats.select(col("file")).collect()
       .map(r => canon(r.getString(0))).toSet
-    val unknown = listDataFiles(spark, tableDir)
-      .filterNot(f => known(canon(f)))
-    (matched, unknown)
+    val live = listDataFiles(spark, tableDir)
+    val liveSet = live.map(canon).toSet
+    val unknown = live.filterNot(f => known(canon(f)))
+    (matched.filter(f => liveSet(canon(f))), unknown)
   }
 
   /** Range read through the stats table: scans matched + unknown files
@@ -118,66 +283,84 @@ object Skipping {
   // bloom-skipping idea on plain parquet dirs, reusing Catalyst's OWN
   // sketch (`BloomFilterAggregate`, the runtime-join-filter aggregate,
   // exposed as `graft_bloom_agg`) so build-side hashing, sizing, and the
-  // wire format are all Spark's. Probe side deserializes with the public
-  // `org.apache.spark.util.sketch.BloomFilter.readFrom` — the same class
-  // the aggregate serializes — and hashes the probe values with the same
-  // `xxhash64` expression the build used, evaluated BY Spark on a
-  // one-row plan so the two sides can never disagree.
+  // wire format are all Spark's. The probe side is engine-side too:
+  // `graft_bloom_any(bloom, array(<hashes>))` filters the stats table
+  // INSIDE the plan ([[graft.functions.BloomMightContainAny]] wraps the
+  // same `org.apache.spark.util.sketch.BloomFilter` the aggregate
+  // serializes), so only matched FILE NAMES are collected — never the
+  // sketches. At 100 TB ≈ 200k files × ~100 KB sketches, collecting the
+  // sketch column would be tens of GB into the driver per lookup; the
+  // name list is KBs. Probe values are hashed with the same `xxhash64`
+  // expression the build used, evaluated BY Spark on a one-row plan so
+  // the two sides can never disagree.
   //
   // Contract mirrors [[candidateFiles]]: files unknown to the stats are
   // always scanned (stale ⇒ less pruning, never wrong answers); a bloom
   // "yes" is a maybe (the exact predicate re-filters after the read);
   // a bloom "no" is definite — no false negatives, so pruning is safe.
-  // Scale: the stats table is one row + one ~(bits/8) sketch per file —
-  // planning reads THAT, not a million parquet footers.
 
-  private def bloomDir(c: String) = s"_skip_bloom_$c"
-
-  /** Build (or rebuild) the per-file bloom stats for equality lookups on
-    * `c`. `expectedItemsPerFile` sizes each sketch (Spark's default 8
-    * bits/item ≈ 2% FPP at capacity; oversize it and the FPP collapses
-    * toward zero — cheap insurance, sketches are per-FILE). */
+  /** Build (or rebuild) the per-file bloom stats for equality lookups
+    * on `c`. `expectedItemsPerFile > 0` fixes every sketch's capacity
+    * (Spark's default 8 bits/item ≈ 2% FPP at capacity); the default 0
+    * sizes each sketch from the file's OBSERVED row count (see
+    * [[bloomRowsFor]]) — within 2× of optimal, ~10× smaller stats on
+    * typical files. For the incremental path use [[refreshBloom]]. */
   def buildBloom(spark: SparkSession, tableDir: String, c: String,
-      expectedItemsPerFile: Long = 1000000L): Unit = {
+      expectedItemsPerFile: Long = 0L): Unit =
+    rebuildAll(spark, s"$tableDir/${bloomDir(c)}",
+      listDataFiles(spark, tableDir),
+      bloomRowsFor(spark, tableDir, c, _, expectedItemsPerFile))
+
+  /** O(batch) bloom append for `newFiles` (full table paths/URIs). */
+  def appendBloom(spark: SparkSession, tableDir: String, c: String,
+      newFiles: Seq[String], expectedItemsPerFile: Long = 0L): Boolean = {
+    require(newFiles.nonEmpty, "need at least one new file")
+    appendBatchRows(spark, s"$tableDir/${bloomDir(c)}", newFiles,
+      bloomRowsFor(spark, tableDir, c, _, expectedItemsPerFile))
+  }
+
+  /** Converge the bloom stats with the live listing — O(new files) on
+    * an append-only table; rebuild on deletion. */
+  def refreshBloom(spark: SparkSession, tableDir: String, c: String,
+      expectedItemsPerFile: Long = 0L): Refresh =
+    refreshGeneric(spark, tableDir, s"$tableDir/${bloomDir(c)}",
+      bloomRowsFor(spark, tableDir, c, _, expectedItemsPerFile))
+
+  /** The engine-side probe plan: stats rows whose sketch might contain
+    * any of `hashes` — exposed for plan-shape assertions. Output schema
+    * is the file name ONLY; the sketch column exists inside the filter
+    * and never in the collected projection. */
+  private[pipeline] def bloomMatchedDf(spark: SparkSession,
+      tableDir: String, c: String, hashes: Seq[Long]): DataFrame = {
     graft.functions.Bloom.register(spark)
-    val df = spark.read.parquet(tableDir)
-    val stats = df
-      .groupBy(col("_metadata.file_path").as("file"))
-      .agg(expr(s"graft_bloom_agg(xxhash64($c), " +
-        s"${expectedItemsPerFile}L)").as("bloom"),
-        count(lit(1)).as("n_rows"))
-    SafeSwap.replace(s"$tableDir/${bloomDir(c)}") { tmp =>
-      stats.coalesce(1).write.mode("overwrite").parquet(tmp)
-    }
+    val hashesSql = hashes.map(h => s"${h}L").mkString("array(", ",", ")")
+    spark.read.parquet(s"$tableDir/${bloomDir(c)}")
+      // NULL sketch (no rows reached the aggregate — an all-NULL column
+      // slice under a pre-filter) cannot match a non-null probe: the
+      // expression is null-propagating, COALESCE makes that a skip
+      .filter(expr(s"coalesce(graft_bloom_any(bloom, $hashesSql), false)"))
+      .select(col("file"))
   }
 
   /** The files an equality/IN predicate on `c` may need: bloom-matched
-    * known files plus every file unknown to the stats. A file whose
-    * sketch is NULL (no rows reached the aggregate — possible only for
-    * an all-NULL column slice under a pre-filter) cannot match a
-    * non-null probe and is skipped. */
+    * known files (probed ENGINE-SIDE — only names reach the driver)
+    * plus every file unknown to the stats. */
   def candidateFilesEq(spark: SparkSession, tableDir: String, c: String,
       values: Seq[Any]): (Seq[String], Seq[String]) = {
     require(values.nonEmpty, "need at least one lookup value")
-    val stats = spark.read.parquet(s"$tableDir/${bloomDir(c)}")
-      .select(col("file"), col("bloom")).collect()
     // hash the probe values with Spark's own xxhash64 expression — the
     // exact function the build-side aggregate hashed with
     val hashRow = spark.range(1)
       .select(values.map(v => xxhash64(lit(v))): _*).head()
     val hashes = values.indices.map(hashRow.getLong)
-    val matched = stats.toSeq.filter { r =>
-      !r.isNullAt(1) && {
-        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        hashes.exists(bf.mightContainLong)
-      }
-    }.map(_.getString(0))
-    def canon(s: String) = new Path(s).toUri.getPath
-    val known = stats.map(r => canon(r.getString(0))).toSet
-    val unknown = listDataFiles(spark, tableDir)
-      .filterNot(f => known(canon(f)))
-    (matched, unknown)
+    val matched = bloomMatchedDf(spark, tableDir, c, hashes)
+      .collect().map(_.getString(0)).toSeq
+    val known = spark.read.parquet(s"$tableDir/${bloomDir(c)}")
+      .select(col("file")).collect().map(r => canon(r.getString(0))).toSet
+    val live = listDataFiles(spark, tableDir)
+    val liveSet = live.map(canon).toSet
+    val unknown = live.filterNot(f => known(canon(f)))
+    (matched.filter(f => liveSet(canon(f))), unknown)
   }
 
   /** Point/IN lookup through the bloom stats: scans bloom-matched +
@@ -207,7 +390,6 @@ object Skipping {
   def readRangeAndPointLookup(spark: SparkSession, tableDir: String,
       rc: String, lo: Any, hi: Any,
       ec: String, values: Seq[Any]): DataFrame = {
-    def canon(s: String) = new Path(s).toUri.getPath
     val (rm, ru) = candidateFiles(spark, tableDir, rc, lo, hi)
     val (em, eu) = candidateFilesEq(spark, tableDir, ec, values)
     val unknown = (ru.map(canon) ++ eu.map(canon)).toSet

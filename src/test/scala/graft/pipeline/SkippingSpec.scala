@@ -165,4 +165,123 @@ class SkippingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(found == (5000L to 5010L).toSet)
   }
+
+  test("bloom probe is engine-side: plan carries graft_bloom_any, only file names project") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("skip_engine").toString + "/t"
+    (1L to 500L).map(k => (k, k % 3)).toDF("k", "v")
+      .repartition(4, col("k")).write.parquet(path)
+    Skipping.buildBloom(spark, path, "k")
+    val df = Skipping.bloomMatchedDf(spark, path, "k", Seq(123456789L))
+    // the probe's OUTPUT is file names only — sketch bytes stay in the
+    // executors; and the filter is the registered native expression
+    assert(df.schema.fieldNames.toSeq == Seq("file"),
+      "probe plan must project only the file name")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_any"),
+      s"probe must filter with the native expression, plan was:\n$plan")
+    // and the real probe still has zero false negatives
+    val (matched, unknown) = Skipping.candidateFilesEq(spark, path, "k",
+      Seq(250L))
+    assert(unknown.isEmpty && matched.nonEmpty && matched.size < 4)
+  }
+
+  test("appendStats is O(batch): untouched stats files keep their identity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("skip_append")
+    val path = dir.toString + "/t"
+    (1L to 400L).map(k => (k, k * 2)).toDF("k", "v")
+      .repartitionByRange(4, col("k")).write.parquet(path)
+    Skipping.buildStats(spark, path, Seq("k"))
+    def statFiles(): Map[String, Long] = {
+      val d = new java.io.File(path, "_skip_stats")
+      d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
+          && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = statFiles()
+    assert(before.nonEmpty)
+    // new data files land; append their stats only
+    (1000L to 1100L).map(k => (k, k * 2)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(path)
+    val r = Skipping.refreshStats(spark, path, Seq("k"))
+    assert(!r.rebuilt && r.appended == 1,
+      s"append-only growth must append, not rebuild: $r")
+    val after = statFiles()
+    assert(before.forall { case (n, m) => after.get(n).contains(m) },
+      "pre-existing stats files must keep name AND mtime across an append")
+    assert(after.size > before.size, "the batch's stats must be new files")
+    // the appended file is now stats-KNOWN and prunable
+    val (matched, unknown) = Skipping.candidateFiles(spark, path, "k",
+      1050L, 1060L)
+    assert(unknown.isEmpty, "refresh must cover the appended file")
+    assert(matched.size == 1, "only the appended file's range matches")
+    // replaying the same refresh is a no-op
+    val r2 = Skipping.refreshStats(spark, path, Seq("k"))
+    assert(!r2.rebuilt && r2.appended == 0)
+    assert(statFiles() == after)
+  }
+
+  test("refresh rebuilds on stale-delete; a dead file never reaches the matched list") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("skip_del").toString + "/t"
+    (1L to 300L).map(k => (k, k)).toDF("k", "v")
+      .repartitionByRange(3, col("k")).write.parquet(path)
+    Skipping.buildStats(spark, path, Seq("k"))
+    // delete the file holding [1,100] out from under the stats
+    val victim = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).minBy(_.getName)
+    assert(victim.delete())
+    // BEFORE any refresh: the dead file must not be offered for scanning
+    val (matched, _) = Skipping.candidateFiles(spark, path, "k", 1L, 300L)
+    assert(!matched.exists(_.contains(victim.getName)),
+      "a stats-known but deleted file must drop from the matched list")
+    assert(Skipping.readRange(spark, path, "k", 1L, 300L).count() == 200L)
+    // the refresh detects the deletion and rebuilds over survivors
+    val r = Skipping.refreshStats(spark, path, Seq("k"))
+    assert(r.rebuilt, "a covered-but-deleted file must trigger a rebuild")
+    val (m2, u2) = Skipping.candidateFiles(spark, path, "k", 1L, 300L)
+    assert(u2.isEmpty && m2.size == 2)
+  }
+
+  test("auto-sized blooms are ~10x smaller than the fixed-1M default and prune identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("skip_size").toString
+    def write(p: String): Unit =
+      (1L to 4000L).map(k => (k, k % 5)).toDF("k", "v")
+        .repartition(4, col("k")).write.parquet(p)
+    def bloomBytes(p: String): Long = {
+      val d = new java.io.File(p, "_skip_bloom_k")
+      d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")).map(_.length()).sum
+    }
+    val pAuto = s"$base/auto"; val pFixed = s"$base/fixed"
+    write(pAuto); write(pFixed)
+    Skipping.buildBloom(spark, pAuto, "k") // observed-count sizing
+    Skipping.buildBloom(spark, pFixed, "k",
+      expectedItemsPerFile = 1000000L)
+    assert(bloomBytes(pAuto) * 10 < bloomBytes(pFixed),
+      s"auto=${bloomBytes(pAuto)}B fixed=${bloomBytes(pFixed)}B")
+    // identical pruning semantics: present keys always found
+    for (p <- Seq(pAuto, pFixed)) {
+      val (m, u) = Skipping.candidateFilesEq(spark, p, "k",
+        Seq(1000L, 3000L))
+      assert(u.isEmpty && m.nonEmpty)
+      val got = Skipping.readPointLookup(spark, p, "k", Seq(1000L, 3000L))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1000L, 3000L))
+    }
+    // refreshBloom appends O(batch) too
+    (9001L to 9050L).map(k => (k, k % 5)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(pAuto)
+    val r = Skipping.refreshBloom(spark, pAuto, "k")
+    assert(!r.rebuilt && r.appended == 1)
+    val got = Skipping.readPointLookup(spark, pAuto, "k", Seq(9010L))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(9010L))
+  }
 }
