@@ -54,13 +54,31 @@ object Warehouse {
       dimTable: String, joinKeys: Seq[String])
 
   /** A persisted MINHASH NEAR-DUP INDEX maintained per sync batch: each
-    * new raw file's documents append O(batch) through the AppendCommit
-    * protocol ([[graft.operators.Dedup.appendToMinhashIndex]]), so the
-    * warehouse always holds a probe-ready reference corpus — incoming
-    * batches check for near-duplicates ([[Warehouse.nearDupsIn]])
-    * without ever re-shingling what's already indexed. */
+    * sync's fresh raw files append in ONE O(batch) fold through the
+    * AppendCommit protocol ([[graft.operators.Dedup.appendToMinhashIndex]]
+    * under [[graft.pipeline.FreshFold]]), so the warehouse always holds
+    * a probe-ready reference corpus — incoming batches check for
+    * near-duplicates ([[Warehouse.nearDupsIn]]) without ever
+    * re-shingling what's already indexed. */
   final case class IndexDef(name: String, table: String,
       idCol: String, textCol: String)
+
+  /** A persisted IVF ANN INDEX maintained per sync batch over an
+    * embedding-bearing table: fresh files' vectors are assigned under
+    * the index's frozen centroids and appended O(batch) into only the
+    * affected cells ([[graft.operators.Similarity.appendToIvfIndex]]);
+    * probes ([[Warehouse.annIn]]) partition-prune to the probed cells.
+    * The raw layer is TSV, so `parseEmbedding` turns the raw string
+    * column into `array<float>` (the engine-wide embedding type) —
+    * default: comma-joined floats.
+    * Periodic retrain = delete the store; the next sync rebuilds over
+    * the full listing (the IVF drift remedy this append defers). */
+  final case class VectorIndexDef(name: String, table: String,
+      idCol: String, embedCol: String, nlist: Int = 16, replicas: Int = 2,
+      parseEmbedding: org.apache.spark.sql.Column =>
+          org.apache.spark.sql.Column = c =>
+        org.apache.spark.sql.functions.split(c, ",")
+          .cast("array<float>"))
 
   final case class Config(
       warehouseDir: String,
@@ -85,6 +103,20 @@ object Warehouse {
       /** MinHash near-dup indexes auto-appended per sync batch
         * (see [[Warehouse.nearDupsIn]]) */
       maintainedIndexes: Seq[IndexDef] = Nil,
+      /** IVF ANN indexes auto-appended per sync batch
+        * (see [[Warehouse.annIn]]) */
+      maintainedVectorIndexes: Seq[VectorIndexDef] = Nil,
+      /** table → range-stat columns: per-file min/max skip stats kept
+        * over the CANONICAL parquet layer (requires `canonicalize`),
+        * refreshed per sync — O(new files) on file-additive tables
+        * (the streaming canonical sink); a batch canonical rewrite
+        * replaces the file set, so the stats rebuild with it (the
+        * rewrite already paid the O(table) scan). */
+      maintainedSkipStats: Map[String, Seq[String]] = Map.empty,
+      /** table → equality-lookup columns: per-file bloom skip stats
+        * over the canonical layer, one stats table per column, same
+        * cadence as `maintainedSkipStats` */
+      maintainedBloomStats: Map[String, Seq[String]] = Map.empty,
       /** Summary notification hook — the reference publishes every sync
         * summary to an SNS email topic (`sync-canvas-data-files.py:141-145`,
         * topic `cloud_formation/canvas_data_aws.yaml:68-78`); plug a mailer/
@@ -131,10 +163,51 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         }
       if (!cfg.dryRun) {
         maintainStores(schema); maintainViews(schema)
-        maintainIndexes(schema)
+        maintainIndexes(schema); maintainVectorIndexes(schema)
+        maintainSkipping()
       }
     } finally cfg.onSummary(summary)
     summary
+  }
+
+  private def log =
+    org.slf4j.LoggerFactory.getLogger(classOf[Warehouse])
+
+  private def canonicalDir(table: String): String =
+    s"${cfg.warehouseDir}/${Canonicalize.CanonicalPrefix}/$table"
+
+  /** Full-listing table snapshot for store INIT/REBUILD paths: when the
+    * canonical parquet layer is enabled AND current (its fingerprint
+    * marker matches the live raw listing, and it is not stream-owned —
+    * the sink may lag the listing), read THAT — splittable columnar
+    * scans instead of re-parsing every gzip TSV, the difference between
+    * minutes and hours on a 100 TB rebuild. Falls back to the raw TSV
+    * read otherwise. Only the table's lattice columns are selected
+    * (canonical may carry derived partition columns; the
+    * [[Warehouse.CanonicalSpec]] contract is that `derive` ADDS columns,
+    * never alters raw ones), so both paths produce identical rows.
+    *
+    * Incremental per-batch folds always read the fresh raw files
+    * directly: they ARE the batch (small), and a monolithic canonical
+    * rewrite does not keep batch rows file-addressable. */
+  private[graft] def readTableSnapshot(t: CDTable,
+      files: Seq[String]): (DataFrame, Boolean) = {
+    val out = canonicalDir(t.tableName)
+    val fs = fsOf
+    val marker = new org.apache.hadoop.fs.Path(out, "_raw_fingerprint")
+    val current = cfg.canonicalize && fs.exists(marker) && {
+      val in = fs.open(marker)
+      val m = try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      m == Canonicalize.rawFingerprint(spark, cfg.warehouseDir,
+        t.tableName)
+    } && !Canonicalize.isStreamSinkDir(out)
+    if (current) {
+      val cols = graft.model.TypeLattice.toStructType(t).fieldNames
+      (spark.read.parquet(out)
+        .select(cols.map(org.apache.spark.sql.functions.col).toSeq: _*),
+        true)
+    } else (readRaw(t, files), false)
   }
 
   private def fsOf = org.apache.hadoop.fs.FileSystem.get(
@@ -158,14 +231,46 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       fnames.map(f => s"$tableDir/$f"))
   }
 
-  /** Per-sync-batch refresh of the configured enrichment views — the
-    * same file-granular ledger convergence as [[maintainStores]]: fresh
+  /** Shared maintenance skeleton for the file-additive index/view
+    * stores: covered = ledger batch payloads (+ legacy per-file
+    * markers); a covered-or-pinned file missing from the live listing
+    * means a stale-delete rewrote history — the store rebuilds from the
+    * current listing (detected, logged, never silent); otherwise ALL
+    * fresh files fold in ONE intent-pinned batch
+    * ([[graft.pipeline.FreshFold]] — one job launch for a thousand-file
+    * backlog, not a thousand). */
+  private def maintainAdditive(store: String, files: Seq[String],
+      what: String)(rebuild: Seq[String] => Unit)
+      (fold: (Seq[String], String) => Unit): Unit = {
+    import graft.pipeline.FreshFold
+    val folded = FreshFold.covered(store) ++
+      FreshFold.pendingIntent(store).getOrElse(Nil)
+    if (folded.isEmpty) rebuild(files)
+    else if (!folded.forall(files.contains)) {
+      log.warn(s"$what: folded file(s) removed by stale-delete — " +
+        "rebuilding from the current listing")
+      fsOf.delete(new org.apache.hadoop.fs.Path(store), true)
+      rebuild(files)
+    } else {
+      FreshFold.foldFresh(store, files)(fold)
+      ()
+    }
+  }
+
+  /** One `rawbatch-` covered marker for a full rebuild over `files`. */
+  private def rebuildLedger(files: Seq[String]): Seq[(String, String)] = {
+    import graft.pipeline.{AppendCommit, FreshFold}
+    Seq((FreshFold.Tag +
+      AppendCommit.contentId(files.sorted.mkString("\n")),
+      files.sorted.mkString("\n")))
+  }
+
+  /** Per-sync-batch refresh of the configured enrichment views — fresh
     * fact files delta-join the CURRENT dimension (as-of-enrich
     * semantics, [[graft.pipeline.JoinView]]'s documented contract) and
-    * commit file-additively, one replay-safe unit per raw file. A
-    * ledger id with no surviving fact file means a stale-delete
-    * rewrote history — the view rebuilds from the current listing
-    * (detected, logged, never silent). */
+    * commit file-additively in one intent-pinned batch per sync.
+    * Init/rebuild reads the canonical layer when current
+    * ([[readTableSnapshot]]). */
   private def maintainViews(schema: Seq[CDTable]): Unit = {
     import graft.pipeline.{AppendCommit, JoinView}
     if (cfg.maintainedViews.isEmpty) return
@@ -177,22 +282,16 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
           val dimFiles = rawListing(v.dimTable)
           if (files.nonEmpty && dimFiles.nonEmpty) {
             val store = s"${cfg.warehouseDir}/_maintained/view_${v.name}"
-            val dim = readRaw(dt, dimFiles)
-            val applied = AppendCommit.appliedEntries(store).map(_._1)
-            if (applied.isEmpty)
-              JoinView.init(spark, store, readRaw(ft, files), dim,
-                v.joinKeys, files, broadcastDim = true)
-            else if (!applied.forall(files.contains)) {
-              org.slf4j.LoggerFactory.getLogger(classOf[Warehouse]).warn(
-                s"view_${v.name}: joined fact file(s) removed by " +
-                  "stale-delete — rebuilding view from the current listing")
-              fsOf.delete(new org.apache.hadoop.fs.Path(store), true)
-              JoinView.init(spark, store, readRaw(ft, files), dim,
-                v.joinKeys, files, broadcastDim = true)
-            } else {
-              val fresh = files.filterNot(applied.contains)
-              fresh.foreach(f => JoinView.merge(spark, store,
-                readRaw(ft, Seq(f)), dim, v.joinKeys, f))
+            val (dim, _) = readTableSnapshot(dt, dimFiles)
+            maintainAdditive(store, files, s"view_${v.name}") { all =>
+              JoinView.init(spark, store, readTableSnapshot(ft, all)._1,
+                dim, v.joinKeys, Nil, broadcastDim = true)
+              rebuildLedger(all).foreach { case (id, payload) =>
+                AppendCommit.markApplied(store, id, payload) }
+            } { (fresh, id) =>
+              JoinView.merge(spark, store, readRaw(ft, fresh), dim,
+                v.joinKeys, id)
+              ()
             }
           }
         case _ => ()
@@ -208,50 +307,131 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
 
   /** Per-sync-batch maintenance of the configured MinHash indexes —
     * the dedup reference corpus kept probe-ready with O(new files)
-    * work. Same file-granular ledger convergence as views/rollups,
-    * with NAMESPACED ledger ids: the warehouse records a
-    * `rawfile-<name>` marker per folded file, while the append itself
-    * records its content id — a crash between the append and the
-    * marker retries the append, which no-ops on its content
-    * fingerprint, then lands the marker (effectively-once under
-    * at-least-once delivery). A marker whose file was stale-deleted
-    * triggers a rebuild over the current listing (signatures can't
-    * subtract — same premise as rollup partials). */
+    * work. Ledger ids are NAMESPACED: the warehouse records a
+    * `rawbatch-` covered marker per fold (payload = the file list),
+    * while the append itself records its content id — a crash between
+    * the append and the marker retries the intent-pinned fold, which
+    * no-ops on its content fingerprint, then lands the marker
+    * (effectively-once under at-least-once delivery). A covered file
+    * that was stale-deleted triggers a rebuild over the current
+    * listing (signatures can't subtract — same premise as rollup
+    * partials); init/rebuild reads the canonical layer when current. */
   private def maintainIndexes(schema: Seq[CDTable]): Unit = {
-    import graft.pipeline.AppendCommit
-    val Tag = "rawfile-"
     cfg.maintainedIndexes.foreach { d =>
       schema.find(_.tableName == d.table).foreach { t =>
         val files = rawListing(d.table)
         if (files.nonEmpty) {
           val store = s"${cfg.warehouseDir}/_maintained/index_${d.name}"
-          def docs(fnames: Seq[String]) = readRaw(t, fnames)
+          def docsOf(df: DataFrame) = df
             .select(org.apache.spark.sql.functions.col(d.idCol)
               .as("doc_id"),
               org.apache.spark.sql.functions.col(d.textCol).as("text"))
-          val applied = AppendCommit.appliedEntries(store).map(_._1)
-            .filter(_.startsWith(Tag)).map(_.stripPrefix(Tag))
-          if (applied.isEmpty)
-            graft.operators.Dedup.buildMinhashIndex(spark, docs(files),
-              store, ledger = files.map(f => (Tag + f, "")))
-          else if (!applied.forall(files.contains)) {
-            org.slf4j.LoggerFactory.getLogger(classOf[Warehouse]).warn(
-              s"index_${d.name}: indexed file(s) removed by stale-delete" +
-                " — rebuilding index from the current listing")
-            fsOf.delete(new org.apache.hadoop.fs.Path(store), true)
-            graft.operators.Dedup.buildMinhashIndex(spark, docs(files),
-              store, ledger = files.map(f => (Tag + f, "")))
-          } else {
-            files.filterNot(applied.contains).foreach { f =>
-              graft.operators.Dedup.appendToMinhashIndex(spark,
-                docs(Seq(f)), store)
-              AppendCommit.markApplied(store, Tag + f, "")
-            }
+          maintainAdditive(store, files, s"index_${d.name}") { all =>
+            graft.operators.Dedup.buildMinhashIndex(spark,
+              docsOf(readTableSnapshot(t, all)._1), store,
+              ledger = rebuildLedger(all))
+          } { (fresh, _) =>
+            graft.operators.Dedup.appendToMinhashIndex(spark,
+              docsOf(readRaw(t, fresh)), store)
           }
         }
       }
     }
   }
+
+  /** Per-sync-batch maintenance of the configured IVF ANN indexes —
+    * the embedding corpus kept probe-ready with O(new files) work:
+    * fresh files' vectors assign under the index's FROZEN centroids
+    * and append into only the affected cells
+    * ([[graft.operators.Similarity.appendToIvfIndex]]'s additive
+    * fingerprint commit), one intent-pinned batch per sync. Same
+    * namespaced-ledger crash convergence as the MinHash indexes; a
+    * stale-delete rebuilds (and thereby RETRAINS — the drift remedy)
+    * over the current listing. */
+  private def maintainVectorIndexes(schema: Seq[CDTable]): Unit = {
+    cfg.maintainedVectorIndexes.foreach { d =>
+      schema.find(_.tableName == d.table).foreach { t =>
+        val files = rawListing(d.table)
+        if (files.nonEmpty) {
+          val store =
+            s"${cfg.warehouseDir}/_maintained/vindex_${d.name}"
+          def vecsOf(df: DataFrame) = df
+            .select(org.apache.spark.sql.functions.col(d.idCol)
+              .as("vec_id"),
+              d.parseEmbedding(org.apache.spark.sql.functions
+                .col(d.embedCol)).as("embedding"))
+          maintainAdditive(store, files, s"vindex_${d.name}") { all =>
+            graft.operators.Similarity.buildIvfIndex(spark,
+              vecsOf(readTableSnapshot(t, all)._1), store,
+              nlist = d.nlist, replicas = d.replicas,
+              ledger = rebuildLedger(all))
+          } { (fresh, _) =>
+            graft.operators.Similarity.appendToIvfIndex(spark,
+              vecsOf(readRaw(t, fresh)), store)
+          }
+        }
+      }
+    }
+  }
+
+  /** Approximate-nearest-neighbor probe of a maintained IVF index:
+    * top-k cosine matches per query row (needs `q_id`, `q_emb`
+    * columns), scanning only the probed cells' partitions. */
+  def annIn(indexName: String, queries: DataFrame, k: Int = 5,
+      nprobe: Int = 4): DataFrame =
+    graft.operators.Similarity.probeIvfIndex(spark,
+      s"${cfg.warehouseDir}/_maintained/vindex_$indexName", queries,
+      k, nprobe)
+
+  /** Per-sync refresh of the configured file-skipping stats over the
+    * canonical parquet layer ([[graft.pipeline.Skipping]]). On
+    * file-additive canonical tables (the streaming sink) this appends
+    * O(new files); after a batch canonical rewrite the file set is new,
+    * so the stats rebuild with it — bounded by the scan the rewrite
+    * itself already paid (and the rewrite's SafeSwap drops the old
+    * stats tree with the old files, which is exactly right: those
+    * stats described replaced content). */
+  private def maintainSkipping(): Unit = {
+    import graft.pipeline.Skipping
+    if (cfg.maintainedSkipStats.isEmpty &&
+      cfg.maintainedBloomStats.isEmpty) return
+    if (!cfg.canonicalize) {
+      log.warn("maintainedSkipStats/maintainedBloomStats need " +
+        "canonicalize = true (stats index the parquet layer) — skipped")
+      return
+    }
+    def ready(table: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(canonicalDir(table))
+      fsOf.exists(p)
+    }
+    cfg.maintainedSkipStats.foreach { case (table, cols) =>
+      if (ready(table)) {
+        val r = Skipping.refreshStats(spark, canonicalDir(table), cols)
+        if (r.rebuilt) log.info(s"skip stats for $table: rebuilt")
+        else if (r.appended > 0)
+          log.info(s"skip stats for $table: +${r.appended} files")
+      }
+    }
+    cfg.maintainedBloomStats.foreach { case (table, cols) =>
+      if (ready(table)) cols.foreach { c =>
+        val r = Skipping.refreshBloom(spark, canonicalDir(table), c)
+        if (r.rebuilt) log.info(s"bloom stats for $table.$c: rebuilt")
+      }
+    }
+  }
+
+  /** Range read of a canonical table through its maintained skip stats
+    * (see [[Warehouse.Config.maintainedSkipStats]]). */
+  def readRange(table: String, c: String, lo: Any, hi: Any): DataFrame =
+    graft.pipeline.Skipping.readRange(spark, canonicalDir(table), c,
+      lo, hi)
+
+  /** Point/IN lookup of a canonical table through its maintained bloom
+    * stats (see [[Warehouse.Config.maintainedBloomStats]]). */
+  def readPointLookup(table: String, c: String,
+      values: Seq[Any]): DataFrame =
+    graft.pipeline.Skipping.readPointLookup(spark, canonicalDir(table),
+      c, values)
 
   /** Probe a maintained index: near-duplicate (indexed_id, batch_id)
     * pairs for an incoming batch with (doc_id, text) columns — the
@@ -309,15 +489,21 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
           val applied =
             if (Rollup.exists(spark, store))
               Rollup.appliedIds(spark, store) else Nil
+          // init/rebuild scans the FULL listing — read the canonical
+          // parquet layer when current instead of re-parsing gzip TSV
+          // ([[readTableSnapshot]]); per-batch merges below read the
+          // fresh raw files directly (they are the batch)
           if (applied.isEmpty)
-            Rollup.init(spark, store, readFiles(files), spec, files)
+            Rollup.init(spark, store, readTableSnapshot(t, files)._1,
+              spec, files)
           else if (!applied.forall(files.contains)) {
             // a folded file was stale-deleted: partials can't subtract —
             // rebuild over the surviving files
             org.slf4j.LoggerFactory.getLogger(classOf[Warehouse]).warn(
               s"$storeName: folded file(s) removed by stale-delete — " +
                 "rebuilding store from the current listing")
-            Rollup.init(spark, store, readFiles(files), spec, files)
+            Rollup.init(spark, store, readTableSnapshot(t, files)._1,
+              spec, files)
           } else {
             val fresh = files.filterNot(applied.contains)
             if (fresh.nonEmpty)

@@ -92,6 +92,134 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Learned merge list at PRODUCTION vocabulary sizes (32k+ merges) —
+    * bit-identical to [[train]] (spec-proved: same greedy sequence,
+    * same (freq desc, pair asc) tie-break), with the per-merge Spark
+    * job replaced by driver-side incremental pair-count maintenance.
+    *
+    * Why not run [[train]] for 32k merges: each iteration is 2 Spark
+    * jobs (pair count + top-1 collect) — a real vocabulary is ~64k
+    * SEQUENTIAL driver round-trips of pure scheduling latency over a
+    * vocabulary-sized table. And why not batch top-k merges per
+    * recount: batched greedy is NOT order-equivalent — applying the
+    * top merge can CREATE a pair (x, a+b) whose count exceeds the
+    * precomputed #2 (every occurrence of the merged symbol can carry a
+    * new neighbor), so the true sequential trainer would pick the new
+    * pair first; symbol-disjointness does not close that hazard.
+    *
+    * The scalable shape is the one production trainers
+    * (SentencePiece, HF tokenizers) use: ONE corpus-sized shuffle
+    * builds the weighted distinct-word vocabulary (corpus-size-
+    * INDEPENDENT: heavy-tailed, ~10^6 rows · ~10 bytes regardless of
+    * corpus bytes — the same bounded-driver-load class as k-means
+    * centroids or PQ codebooks), then the merge loop runs in memory:
+    * a TreeSet keyed (freq desc, a asc, b asc) gives the arg-max in
+    * O(log); applying a merge touches ONLY the words containing the
+    * pair (inverted index) and re-derives their pair deltas — total
+    * cost nMerges × O(affected words), zero Spark jobs after the
+    * shuffle. `maxWords` is the loud-failure guard on the collect
+    * (never silently truncate a vocabulary). */
+  def trainScalable(vocab: DataFrame, nMerges: Int,
+      maxWords: Int = 5000000): Seq[(String, String, Long)] = {
+    val rows = vocab.select(col("word"), col("freq"))
+      .limit(maxWords + 1).collect()
+    require(rows.length <= maxWords,
+      s"vocabulary exceeds maxWords=$maxWords — raise the cap " +
+        "(the collect is vocabulary-bounded, not corpus-bounded)")
+    val words: Array[Array[String]] =
+      rows.map(_.getString(0).split(""))
+    val freqs: Array[Long] = rows.map(_.getLong(1))
+
+    type Pair = (String, String)
+    val counts = scala.collection.mutable.HashMap.empty[Pair, Long]
+    val where = scala.collection.mutable
+      .HashMap.empty[Pair, scala.collection.mutable.Set[Int]]
+    def pairsOf(syms: Array[String]): Iterator[Pair] =
+      if (syms.length < 2) Iterator.empty
+      else (0 until syms.length - 1).iterator
+        .map(i => (syms(i), syms(i + 1)))
+    // ordered view: highest freq first, then (a, b) ascending — the
+    // exact [[train]] orderBy
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String,
+        Ordering.String)
+    val heap = scala.collection.mutable.TreeSet.empty[(Long, String, String)]
+    // counts/heap only — membership (`where`) is maintained separately
+    // by before/after set diffs: a count passing through zero mid-update
+    // must NOT drop other words' membership
+    def bump(p: Pair, delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) heap.remove((old, p._1, p._2))
+      val next = old + delta
+      if (next > 0L) {
+        counts(p) = next
+        heap.add((next, p._1, p._2))
+      } else counts.remove(p)
+    }
+    var w = 0
+    while (w < words.length) {
+      pairsOf(words(w)).foreach { p =>
+        bump(p, freqs(w))
+        where.getOrElseUpdate(p,
+          scala.collection.mutable.Set.empty[Int]) += w
+      }
+      w += 1
+    }
+
+    def applyTo(syms: Array[String], a: String, b: String)
+        : Array[String] = {
+      // greedy left-to-right non-overlapping — applyMerge's contract
+      val out = Array.newBuilder[String]
+      var k = 0
+      while (k < syms.length) {
+        if (k < syms.length - 1 && syms(k) == a && syms(k + 1) == b) {
+          out += (a + b); k += 2
+        } else { out += syms(k); k += 1 }
+      }
+      out.result()
+    }
+
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    var iter = 0
+    while (iter < nMerges && !done) {
+      if (heap.isEmpty) done = true
+      else {
+        val (f, a, b) = heap.head
+        merges += ((a, b, f))
+        val pair = (a, b)
+        val touched = where.getOrElse(pair,
+          scala.collection.mutable.Set.empty[Int]).toArray
+        touched.foreach { wi =>
+          val before = words(wi)
+          val after = applyTo(before, a, b)
+          words(wi) = after
+          // multiset delta on counts ("aaa" holds (a,a) twice — per-
+          // occurrence bumps keep that exact), set delta on membership
+          val beforePairs = pairsOf(before).toVector
+          val afterPairs = pairsOf(after).toVector
+          beforePairs.foreach(p => bump(p, -freqs(wi)))
+          afterPairs.foreach(p => bump(p, freqs(wi)))
+          val beforeSet = beforePairs.toSet
+          val afterSet = afterPairs.toSet
+          beforeSet.diff(afterSet).foreach(p =>
+            where.get(p).foreach(_ -= wi))
+          afterSet.diff(beforeSet).foreach(p =>
+            where.getOrElseUpdate(p,
+              scala.collection.mutable.Set.empty[Int]) += wi)
+        }
+        // the merged pair itself is gone from every word that held it
+        counts.get(pair).foreach { c =>
+          heap.remove((c, a, b)); counts.remove(pair)
+        }
+        where.remove(pair)
+      }
+      iter += 1
+    }
+    merges.toSeq
+  }
+
   /** Persist a learned merge list as a tiny ordered parquet artifact
     * (rank, a, b, pair_freq) behind [[graft.pipeline.SafeSwap]] — the
     * tokenizer artifact the training pipeline content-addresses and

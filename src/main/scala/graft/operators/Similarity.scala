@@ -385,6 +385,7 @@ object Similarity {
     * scan touches exactly the probed directories. */
   def probeIvfIndex(spark: SparkSession, indexDir: String,
       queries: DataFrame, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    VectorFunctions.register(spark) // self-sufficient: rerank needs cosine_sim
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)

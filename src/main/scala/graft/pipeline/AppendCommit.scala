@@ -270,6 +270,24 @@ object AppendCommit {
       compactLedger(root)
   }
 
+  /** The data files a batch placed in the live tree (tag-named by
+    * [[appendBatch]]) — lets a replayed consumer read back EXACTLY the
+    * batch it committed earlier instead of recomputing it against state
+    * that has since moved (the streaming admission pipeline's pin). */
+  def filesOfBatch(root: String, batchId: String): Seq[String] = {
+    val fs = fsFor(root)
+    val tag = tagOf(batchId)
+    def walk(p: Path): Seq[String] = fs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) {
+        if (!n.startsWith(".") && n != "_applied") walk(st.getPath)
+        else Seq.empty
+      } else if (n.startsWith(tag)) Seq(st.getPath.toUri.toString)
+      else Seq.empty
+    }
+    if (!fs.exists(new Path(root))) Seq.empty else walk(new Path(root))
+  }
+
   /** Remove data files tagged with `batchId` anywhere under `root` —
     * leftovers of a crashed earlier attempt at the same batch. Hidden
     * entries and the ledger are skipped. */
@@ -320,6 +338,11 @@ object AppendCommit {
       (stage: String => Unit): Boolean = {
     require(batchId.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
       s"batch id must be path-safe and not hidden, got: $batchId")
+    // per-BATCH lock: appends of DIFFERENT batches interleave safely at
+    // the file level (the documented contract), but two concurrent
+    // attempts at the SAME batch id would race tag-delete against the
+    // other's in-flight moves — the loser now fails loudly instead
+    MaintenanceLock.withLock(root, tag = s"_$batchId") {
     val fs = fsFor(root)
     val staging = new Path(stagingPath(root, batchId))
     if (isApplied(root, batchId)) {
@@ -344,5 +367,6 @@ object AppendCommit {
     fs.delete(staging, true)
     markApplied(root, batchId, payload)
     true
+    }
   }
 }

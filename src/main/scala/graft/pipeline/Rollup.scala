@@ -38,9 +38,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * Two CONCURRENT [[merge]] calls with different batch ids would both
   * pass the ledger check and the later SafeSwap would silently discard
   * the earlier fold; plain rename gives no cross-process compare-and-
-  * swap to detect it. Serialize maintenance externally (the scheduler
-  * already does); replays of the SAME batch id at any later time are
-  * what the ledger protects against, and that protection is exact.
+  * swap to detect it. The contract is ENFORCED, not just documented:
+  * [[init]]/[[merge]] run under a [[MaintenanceLock]] lease — a second
+  * concurrent writer fails LOUDLY naming the holder instead of
+  * vanishing a fold (spec: RollupSpec "concurrent merge"). Replays of
+  * the SAME batch id at any later time are what the ledger protects
+  * against, and that protection is exact.
   *
   * Limitations (documented, not hidden): holistic aggregates (exact
   * median, exact distinct) are not mergeable — the HLL sketch is the
@@ -161,13 +164,14 @@ object Rollup {
     * units of replay (e.g. one id per source file) recorded atomically
     * with the partials. */
   def init(spark: SparkSession, storeDir: String, df: DataFrame,
-      spec: Spec, batchIds: Seq[String]): Unit = {
-    val p = partials(df, spec)
-    SafeSwap.replace(storeDir) { tmp =>
-      p.write.parquet(s"$tmp/partials")
-      writeApplied(spark, tmp, batchIds)
+      spec: Spec, batchIds: Seq[String]): Unit =
+    MaintenanceLock.withLock(storeDir) {
+      val p = partials(df, spec)
+      SafeSwap.replace(storeDir) { tmp =>
+        p.write.parquet(s"$tmp/partials")
+        writeApplied(spark, tmp, batchIds)
+      }
     }
-  }
 
   def init(spark: SparkSession, storeDir: String, df: DataFrame,
       spec: Spec, batchId: String): Unit =
@@ -181,27 +185,30 @@ object Rollup {
     * already counted. NOT safe under concurrent writers — see the
     * single-writer contract in the object doc. */
   def merge(spark: SparkSession, storeDir: String, batch: DataFrame,
-      spec: Spec, batchIds: Seq[String]): Boolean = {
-    SafeSwap.recover(storeDir)
-    val applied = readApplied(spark, storeDir)
-    val fresh = batchIds.filterNot(applied.contains)
-    if (fresh.isEmpty) return false
-    require(fresh.size == batchIds.size,
-      s"batch mixes applied and unapplied ids (${batchIds.size - fresh.size}" +
-        s" of ${batchIds.size} already applied) — filter the batch to" +
-        " unapplied units first")
-    val merged = mergePartials(
-      spark.read.parquet(s"$storeDir/partials")
-        .unionByName(partials(batch, spec)),
-      spec)
-    SafeSwap.replace(storeDir) { tmp =>
-      // the lazy read of the live partials executes inside this write,
-      // strictly before SafeSwap renames the old tree aside
-      merged.write.parquet(s"$tmp/partials")
-      writeApplied(spark, tmp, applied ++ batchIds)
+      spec: Spec, batchIds: Seq[String]): Boolean =
+    MaintenanceLock.withLock(storeDir) {
+      SafeSwap.recover(storeDir)
+      val applied = readApplied(spark, storeDir)
+      val fresh = batchIds.filterNot(applied.contains)
+      if (fresh.isEmpty) false
+      else {
+        require(fresh.size == batchIds.size,
+          s"batch mixes applied and unapplied ids " +
+            s"(${batchIds.size - fresh.size} of ${batchIds.size} " +
+            "already applied) — filter the batch to unapplied units first")
+        val merged = mergePartials(
+          spark.read.parquet(s"$storeDir/partials")
+            .unionByName(partials(batch, spec)),
+          spec)
+        SafeSwap.replace(storeDir) { tmp =>
+          // the lazy read of the live partials executes inside this
+          // write, strictly before SafeSwap renames the old tree aside
+          merged.write.parquet(s"$tmp/partials")
+          writeApplied(spark, tmp, applied ++ batchIds)
+        }
+        true
+      }
     }
-    true
-  }
 
   def merge(spark: SparkSession, storeDir: String, batch: DataFrame,
       spec: Spec, batchId: String): Boolean =

@@ -347,4 +347,203 @@ class WarehouseSpec extends SparkSpec {
     assert(idxFiles() == after, "an unchanged listing must not rewrite")
   }
 
+  test("a multi-file backlog folds in ONE batch, not one job per file") {
+    val src = Files.createTempDirectory("wh_bk_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(
+      CDTable("fact", None, Seq(
+        CDColumn("k", "bigint"), CDColumn("x", "double precision"))),
+      CDTable("dim", None, Seq(
+        CDColumn("k", "bigint"), CDColumn("attr", "varchar", Some(10)))))
+    val m1 = Seq(
+      put("fact", "f1.tsv", "1\t1.0\n"),
+      put("dim", "d1.tsv", "1\talpha\n2\tbeta\n"))
+    val whDir = Files.createTempDirectory("wh_bk_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark,
+      Warehouse.Config(whDir, db = "cd_whb", parallelism = 2,
+        maintainedViews = Seq(
+          Warehouse.ViewDef("enriched", "fact", "dim", Seq("k")))))
+    wh.sync(m1, schema)
+    def batchEntries(): Seq[(String, String)] =
+      pipeline.AppendCommit.appliedEntries(
+          s"$whDir/_maintained/view_enriched")
+        .filter(_._1.startsWith(pipeline.FreshFold.Tag))
+    val gen0 = batchEntries().size
+    // a 3-file backlog (outage recovery) arrives in one sync
+    val m2 = m1 ++ Seq(
+      put("fact", "f2.tsv", "2\t2.0\n"),
+      put("fact", "f3.tsv", "1\t3.0\n"),
+      put("fact", "f4.tsv", "2\t4.0\n"))
+    wh.sync(m2, schema)
+    val entries = batchEntries()
+    assert(entries.size == gen0 + 1,
+      s"3 fresh files must fold as ONE ledger batch, got ${entries.size - gen0}")
+    val payload = entries.map(_._2).find(p =>
+      p.contains("f2.tsv")).getOrElse("")
+    assert(Seq("f2.tsv", "f3.tsv", "f4.tsv").forall(payload.contains),
+      s"the batch payload must cover the whole backlog: $payload")
+    val rows = wh.view("enriched").select("k", "x", "attr").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(rows == Set((1L, 1.0, "alpha"), (2L, 2.0, "beta"),
+      (1L, 3.0, "alpha"), (2L, 4.0, "beta")))
+    // replayed sync: no new batch, content identical
+    wh.sync(m2, schema)
+    assert(batchEntries().size == gen0 + 1)
+  }
+
+  test("maintained IVF vector index: build on sync, O(batch) append, ANN probe, stale-delete retrain") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("wh_vx_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(
+      CDTable("vecs", None, Seq(
+        CDColumn("vec_id", "bigint"),
+        CDColumn("emb", "varchar", Some(200)))))
+    // two well-separated clusters so nlist=2 centroids are stable
+    def v(id: Long, a: Double, b: Double) = s"$id\t$a,$b,0.0,0.0"
+    val m1 = Seq(put("vecs", "v1.tsv",
+      Seq(v(1, 1.0, 0.1), v(2, 1.0, 0.2), v(3, 0.1, 1.0),
+        v(4, 0.2, 1.0)).mkString("", "\n", "\n")))
+    val whDir = Files.createTempDirectory("wh_vx_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark,
+      Warehouse.Config(whDir, db = "cd_whx", parallelism = 2,
+        maintainedVectorIndexes = Seq(
+          Warehouse.VectorIndexDef("emb_ann", "vecs", "vec_id", "emb",
+            nlist = 2, replicas = 1))))
+    wh.sync(m1, schema)
+    def nn(qid: Long, a: Double, b: Double): Seq[Long] =
+      wh.annIn("emb_ann",
+          Seq((qid, Seq(a.toFloat, b.toFloat, 0.0f, 0.0f)))
+            .toDF("q_id", "q_emb"),
+          k = 1, nprobe = 1)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(nn(100L, 1.0, 0.15) == Seq(1L) || nn(100L, 1.0, 0.15) == Seq(2L))
+    def idxFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(new java.net.URI(
+        s"$whDir/_maintained/vindex_emb_ann")))
+        .filter { f =>
+          val n = f.getName
+          !n.startsWith("_") && !n.startsWith(".") &&
+            n.endsWith(".parquet")
+        }.map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = idxFiles()
+    // sync 2: a new raw file appends under FROZEN centroids — O(batch)
+    val m2 = m1 :+ put("vecs", "v2.tsv",
+      Seq(v(5, 0.15, 1.0)).mkString("", "\n", "\n"))
+    wh.sync(m2, schema)
+    val after = idxFiles()
+    before.foreach { case (n, mt) =>
+      assert(after.get(n).contains(mt),
+        s"pre-existing index file $n must keep physical identity") }
+    assert(after.size > before.size, "the append must add cell files")
+    assert(nn(101L, 0.15, 0.99) == Seq(5L),
+      "the appended vector must be probe-visible")
+    // replayed sync: ledger no-op
+    wh.sync(m2, schema)
+    assert(idxFiles() == after, "an unchanged listing must not rewrite")
+    // stale-delete → rebuild (retrain) over survivors
+    val m3 = m2.filterNot(_.filename == "v1.tsv")
+    wh.sync(m3, schema)
+    assert(nn(102L, 0.15, 0.99) == Seq(5L))
+    assert(wh.annIn("emb_ann",
+        Seq((103L, Seq(1.0f, 0.1f, 0.0f, 0.0f))).toDF("q_id", "q_emb"),
+        k = 4, nprobe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet == Set(5L),
+      "rebuilt index must hold only the surviving corpus")
+  }
+
+  test("maintained skip stats over the canonical layer; pruned reads stay exact") {
+    val src = Files.createTempDirectory("wh_sk_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(
+      CDTable("fact", None, Seq(
+        CDColumn("k", "bigint"), CDColumn("c", "bigint"))))
+    val m1 = Seq(put("fact", "f1.tsv",
+      (1L to 50L).map(k => s"$k\t${k % 7}").mkString("", "\n", "\n")))
+    val whDir = Files.createTempDirectory("wh_sk_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark,
+      Warehouse.Config(whDir, db = "cd_whs", parallelism = 2,
+        canonicalize = true,
+        maintainedSkipStats = Map("fact" -> Seq("k")),
+        maintainedBloomStats = Map("fact" -> Seq("c"))))
+    wh.sync(m1, schema)
+    val canonical = new java.io.File(new java.net.URI(
+      s"$whDir/${pipeline.Canonicalize.CanonicalPrefix}/fact"))
+    assert(new java.io.File(canonical, "_skip_stats").exists(),
+      "sync must materialize the min/max stats beside the canonical data")
+    assert(new java.io.File(canonical, "_skip_bloom_c").exists(),
+      "sync must materialize the bloom stats beside the canonical data")
+    def rangeRows() = wh.readRange("fact", "k", 10L, 20L)
+      .collect().map(_.getLong(0)).toSet
+    assert(rangeRows() == (10L to 20L).toSet)
+    assert(wh.readPointLookup("fact", "c", Seq(3L))
+      .collect().map(_.getLong(0)).toSet ==
+      (1L to 50L).filter(_ % 7 == 3).toSet)
+    // a second sync lands more data; the canonical rewrite replaces the
+    // file set and the stats follow it — reads stay exact
+    val m2 = m1 :+ put("fact", "f2.tsv",
+      (100L to 120L).map(k => s"$k\t${k % 7}").mkString("", "\n", "\n"))
+    wh.sync(m2, schema)
+    assert(wh.readRange("fact", "k", 100L, 110L)
+      .collect().map(_.getLong(0)).toSet == (100L to 110L).toSet)
+    assert(wh.readPointLookup("fact", "c", Seq(2L))
+      .collect().map(_.getLong(0)).toSet ==
+      ((1L to 50L) ++ (100L to 120L)).filter(_ % 7 == 2).toSet)
+  }
+
+  test("store init reads the canonical parquet layer when current, raw TSV otherwise") {
+    val src = Files.createTempDirectory("wh_cb_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(
+      CDTable("fact", None, Seq(
+        CDColumn("grp", "varchar", Some(5)), CDColumn("x", "bigint"))))
+    val m1 = Seq(put("fact", "f1.tsv", "a\t1\na\t2\nb\t5\n"))
+    def mkWh(canonical: Boolean): (Warehouse, String) = {
+      val whDir = Files.createTempDirectory("wh_cb_root").toUri.toString
+        .stripSuffix("/")
+      (new Warehouse(spark, Warehouse.Config(whDir,
+        db = s"cd_whc_$canonical", parallelism = 2,
+        canonicalize = canonical,
+        maintainedRollups = Seq(Warehouse.RollupDef("g", "fact",
+          pipeline.Rollup.Spec(Seq("grp"), sumCols = Seq("x")))))),
+        whDir)
+    }
+    val (whC, _) = mkWh(canonical = true)
+    val (whR, _) = mkWh(canonical = false)
+    whC.sync(m1, schema); whR.sync(m1, schema)
+    // the snapshot source is canonical iff enabled and current
+    val t = schema.head
+    assert(whC.readTableSnapshot(t, Seq("f1.tsv"))._2,
+      "canonicalized warehouse must snapshot from parquet")
+    assert(!whR.readTableSnapshot(t, Seq("f1.tsv"))._2,
+      "raw warehouse must snapshot from TSV")
+    // and both paths produce the identical rollup store content
+    val spec = pipeline.Rollup.Spec(Seq("grp"), sumCols = Seq("x"))
+    def rows(wh: Warehouse) = wh.rollup("g", spec)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows(whC) == rows(whR) && rows(whC).nonEmpty,
+      "canonical-backed init must be value-identical to the raw init")
+  }
 }

@@ -84,4 +84,75 @@ class BpeSpec extends SparkSpec {
       .select("id", "tokens").as[(Long, Seq[String])].collect().toMap
     assert(a == b, s"fold vs scalable diverged: $a vs $b")
   }
+
+  test("trainScalable equals train on hand corpora (same greedy sequence)") {
+    val v = vocab("low" -> 5L, "lower" -> 2L, "lowest" -> 1L,
+      "slow" -> 3L, "glow" -> 1L)
+    for (n <- Seq(1, 2, 3, 5, 8, 20)) {
+      val seqSpark = Bpe.train(v, n)
+      val seqMem = Bpe.trainScalable(v, n)
+      assert(seqMem == seqSpark,
+        s"n=$n: scalable $seqMem vs spark $seqSpark")
+    }
+  }
+
+  test("trainScalable equals train on randomized corpora incl. repeat-heavy words") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val words = (1 to 12).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        // tiny alphabet forces heavy pair collisions, repeats, and the
+        // overlapping-run greedy edge ("aaaa")
+        (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString ->
+          (1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, vs) => w -> vs.map(_._2).sum }.toSeq
+      val v = vocab(words: _*)
+      val seqSpark = Bpe.train(v, 10)
+      val seqMem = Bpe.trainScalable(v, 10)
+      assert(seqMem == seqSpark,
+        s"trial $trial diverged:\n mem  $seqMem\n spark $seqSpark\n" +
+          s" vocab $words")
+    }
+  }
+
+  test("trainScalable handles a deep merge run without per-merge jobs") {
+    // a vocabulary whose merge chain is long (hundreds of merges) —
+    // the 32k-vocab path's shape at test scale; must complete fast and
+    // produce a consistent artifact that encode can apply
+    val words = (1 to 200).map(i =>
+      ("w" + ("ab" * (1 + i % 6)) + i.toString.map(c =>
+        ('a' + (c - '0')).toChar).mkString) -> (1L + i % 13))
+    val v = vocab(words: _*)
+    val merges = Bpe.trainScalable(v, 300)
+    assert(merges.nonEmpty && merges.size <= 300)
+    // well-formedness of the merge list: every merge's operands are
+    // single characters or products of EARLIER merges (the invariant a
+    // valid BPE artifact must satisfy for encode to be applicable)
+    val built = scala.collection.mutable.Set.empty[String]
+    merges.foreach { case (a, b, f) =>
+      assert(f > 0)
+      assert(a.length == 1 || built(a), s"operand $a not constructible")
+      assert(b.length == 1 || built(b), s"operand $b not constructible")
+      built += (a + b)
+    }
+    // and the artifact round-trips through encode on every word
+    val docs = words.zipWithIndex
+      .map { case ((w, _), i) => (i.toLong, w) }.toDF("id", "text")
+    val perWord = Bpe.encodeScalable(docs, "text",
+        merges.map(m => (m._1, m._2)))
+      .select("id", "tokens").as[(Long, Seq[String])].collect()
+    assert(perWord.length == words.length)
+    perWord.foreach { case (i, toks) =>
+      assert(toks.mkString == words(i.toInt)._1,
+        "tokens must concatenate back to the word")
+    }
+  }
+
+  test("trainScalable fails loudly when the vocabulary exceeds maxWords") {
+    val v = vocab("aa" -> 1L, "bb" -> 1L, "cc" -> 1L)
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.trainScalable(v, 2, maxWords = 2)
+    }
+    assert(ex.getMessage.contains("maxWords"))
+  }
 }

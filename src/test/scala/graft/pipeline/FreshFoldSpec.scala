@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class FreshFoldSpec extends SparkSpec {
+
+  private def store(): String =
+    Files.createTempDirectory("freshfold").toString + "/s"
+
+  test("all fresh files fold in one batch; replay is a no-op") {
+    val s = store()
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val n = FreshFold.foldFresh(s, Seq("a", "b", "c")) { (files, id) =>
+      calls += files
+      AppendCommit.markApplied(s, id, "") // what JoinView.merge does
+    }
+    assert(n == 3 && calls.toSeq == Seq(Seq("a", "b", "c")),
+      "three fresh files must be ONE fold call")
+    assert(FreshFold.covered(s) == Set("a", "b", "c"))
+    val n2 = FreshFold.foldFresh(s, Seq("a", "b", "c")) { (_, _) =>
+      fail("nothing fresh — fold must not run")
+    }
+    assert(n2 == 0)
+    // growth folds only the delta, as a second single batch
+    val n3 = FreshFold.foldFresh(s, Seq("a", "b", "c", "d", "e")) {
+      (files, _) => calls += files
+    }
+    assert(n3 == 2 && calls.last == Seq("d", "e"))
+    assert(FreshFold.covered(s) == Set("a", "b", "c", "d", "e"))
+  }
+
+  test("crash between fold-commit and covered-marker: the pinned set " +
+      "completes under its ORIGINAL id — listing growth cannot double-fold") {
+    val s = store()
+    // attempt 1 "crashes": the fold itself committed (content id in the
+    // ledger, as JoinView.merge/appendTo* do) but the covered marker
+    // never landed — simulated by throwing from inside foldFresh after
+    // the inner commit
+    intercept[RuntimeException] {
+      FreshFold.foldFresh(s, Seq("a", "b")) { (_, id) =>
+        AppendCommit.markApplied(s, id, "") // inner commit survived
+        throw new RuntimeException("crash before covered-marker")
+      }
+    }
+    assert(FreshFold.pendingIntent(s).contains(Seq("a", "b")),
+      "the intent must pin the crashed batch")
+    // retry arrives with a GROWN listing; the fold body must NOT re-run
+    // for the pinned set (its content id is applied) and must run once
+    // for the true delta
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val n = FreshFold.foldFresh(s, Seq("a", "b", "c")) { (files, id) =>
+      calls += files
+      AppendCommit.markApplied(s, id, "")
+    }
+    assert(calls.toSeq == Seq(Seq("c")),
+      s"pinned a,b must complete without re-folding; got $calls")
+    assert(n == 1)
+    assert(FreshFold.covered(s) == Set("a", "b", "c"))
+    assert(FreshFold.pendingIntent(s).isEmpty)
+  }
+
+  test("crash BEFORE the fold commits: retry re-runs the pinned set verbatim") {
+    val s = store()
+    intercept[RuntimeException] {
+      FreshFold.foldFresh(s, Seq("x", "y")) { (_, _) =>
+        throw new RuntimeException("crash before any commit")
+      }
+    }
+    assert(FreshFold.pendingIntent(s).contains(Seq("x", "y")))
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    // listing grew to x,y,z — the pinned batch must still fold as
+    // exactly {x,y} (deterministic id), then {z} separately
+    FreshFold.foldFresh(s, Seq("x", "y", "z")) { (files, id) =>
+      calls += files
+      AppendCommit.markApplied(s, id, "")
+    }
+    assert(calls.toSeq == Seq(Seq("x", "y"), Seq("z")),
+      s"got $calls")
+    assert(FreshFold.covered(s) == Set("x", "y", "z"))
+  }
+
+  test("legacy per-file rawfile- markers count as covered") {
+    val s = store()
+    AppendCommit.markApplied(s, "rawfile-old1.tsv", "")
+    AppendCommit.markApplied(s, "rawfile-old2.tsv", "")
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    FreshFold.foldFresh(s, Seq("old1.tsv", "old2.tsv", "new.tsv")) {
+      (files, _) => calls += files
+    }
+    assert(calls.toSeq == Seq(Seq("new.tsv")),
+      "files covered by the pre-batch protocol must not re-fold")
+  }
+}
