@@ -523,4 +523,55 @@ class DedupSpec extends SparkSpec {
         r.getAs[Long]("n_pairs_ge"))).toSet
     assert(got == Set((10, 1L, 1L), (3, 2L, 3L)))
   }
+
+  test("hot-gram span dedup SPILLS the window buffer to disk, result exact") {
+    import spark.implicits._
+    // The one per-key sort left in the dedup family is the per-gram
+    // count window: a site-wide boilerplate gram lands its whole
+    // occurrence list on ONE WindowExec task. The scale contract is
+    // sort-with-spill (UnsafeExternalSorter), never OOM — CONFIRM it by
+    // forcing the buffer thresholds down and metering disk spill, on a
+    // corpus where one boilerplate block occurs in 600 documents.
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          spilled.addAndGet(e.taskMetrics.diskBytesSpilled)
+    }
+    val inMemKey = "spark.sql.windowExec.buffer.in.memory.threshold"
+    val spillKey = "spark.sql.windowExec.buffer.spill.threshold"
+    val oldInMem = spark.conf.getOption(inMemKey)
+    val oldSpill = spark.conf.getOption(spillKey)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.conf.set(inMemKey, "4")
+      spark.conf.set(spillKey, "8")
+      val boiler = "all rights reserved contact us for terms of " +
+        "service details"
+      val docs = (1 to 600).map(i =>
+        (i.toLong, s"u${i}a u${i}b u${i}c $boiler")).toDF("doc_id", "text")
+      val spans = Dedup.duplicatedSpans(docs, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // every doc reports exactly the boilerplate span: words 3..12
+      assert(spans.length == 600)
+      assert(spans.forall { case (_, s, e) => s == 3L && e == 12L },
+        s"unexpected spans: ${spans.take(3).toSeq}")
+      // the forced thresholds made the hot partitions overflow the
+      // in-memory buffer — confirm bytes actually hit disk
+      var waited = 0
+      while (spilled.get() == 0L && waited < 50) {
+        Thread.sleep(100); waited += 1
+      }
+      assert(spilled.get() > 0L,
+        "hot-gram window must spill to disk under memory pressure, " +
+          "not buffer unboundedly")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      oldInMem.fold(spark.conf.unset(inMemKey))(
+        v => spark.conf.set(inMemKey, v))
+      oldSpill.fold(spark.conf.unset(spillKey))(
+        v => spark.conf.set(spillKey, v))
+    }
+  }
 }
