@@ -75,6 +75,9 @@ object Warehouse {
     * the full listing (the IVF drift remedy this append defers). */
   final case class VectorIndexDef(name: String, table: String,
       idCol: String, embedCol: String, nlist: Int = 16, replicas: Int = 2,
+      /** true → IVFADC (PQ codes in the cells, ~d·4/m smaller probes —
+        * [[graft.operators.Quantize]]); false → plain IVF. */
+      pq: Boolean = false, pqM: Int = 8, pqK: Int = 16,
       parseEmbedding: org.apache.spark.sql.Column =>
           org.apache.spark.sql.Column = c =>
         org.apache.spark.sql.functions.split(c, ",")
@@ -361,13 +364,23 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
               d.parseEmbedding(org.apache.spark.sql.functions
                 .col(d.embedCol)).as("embedding"))
           maintainAdditive(store, files, s"vindex_${d.name}") { all =>
-            graft.operators.Similarity.buildIvfIndex(spark,
-              vecsOf(readTableSnapshot(t, all)._1), store,
-              nlist = d.nlist, replicas = d.replicas,
-              ledger = rebuildLedger(all))
+            if (d.pq)
+              graft.operators.Quantize.buildIvfPqIndex(spark,
+                vecsOf(readTableSnapshot(t, all)._1), store,
+                nlist = d.nlist, replicas = d.replicas,
+                m = d.pqM, k = d.pqK, ledger = rebuildLedger(all))
+            else
+              graft.operators.Similarity.buildIvfIndex(spark,
+                vecsOf(readTableSnapshot(t, all)._1), store,
+                nlist = d.nlist, replicas = d.replicas,
+                ledger = rebuildLedger(all))
           } { (fresh, _) =>
-            graft.operators.Similarity.appendToIvfIndex(spark,
-              vecsOf(readRaw(t, fresh)), store)
+            if (d.pq)
+              graft.operators.Quantize.appendToIvfPqIndex(spark,
+                vecsOf(readRaw(t, fresh)), store)
+            else
+              graft.operators.Similarity.appendToIvfIndex(spark,
+                vecsOf(readRaw(t, fresh)), store)
           }
         }
       }
@@ -382,6 +395,17 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     graft.operators.Similarity.probeIvfIndex(spark,
       s"${cfg.warehouseDir}/_maintained/vindex_$indexName", queries,
       k, nprobe)
+
+  /** ANN probe of a maintained IVFADC (pq = true) index: ADC candidate
+    * generation over the codes-only cells, exact cosine rerank against
+    * `corpus` (vec_id, embedding) — the caller supplies the embedding
+    * source (the canonical table or a parsed raw read); the index
+    * itself stores no vectors, which is the point of PQ. */
+  def annAdcIn(indexName: String, queries: DataFrame, corpus: DataFrame,
+      k: Int = 5, nprobe: Int = 4, rerankN: Int = 64): DataFrame =
+    graft.operators.Quantize.probeIvfPqIndex(spark,
+      s"${cfg.warehouseDir}/_maintained/vindex_$indexName", queries,
+      corpus, k, nprobe, rerankN)
 
   /** Per-sync refresh of the configured file-skipping stats over the
     * canonical parquet layer ([[graft.pipeline.Skipping]]). On

@@ -545,6 +545,62 @@ object Ingest {
       |  AND o_custkey IN (11, 42)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q227_incremental_skipping — the MAINTAINED skip-stats path through
+  // the gate: stats are built over the table's first half, the second
+  // half lands as an incremental append, and refreshStats converges
+  // with an O(batch) append (require'd: no rebuild, untouched stats) —
+  // then a range read over the APPENDED half must prune through the
+  // appended stats rows and return exactly the full-scan answer (the
+  // oracle). This is the cadence a synced warehouse actually runs:
+  // stats follow the data file-additively, never by re-scan.
+  // ---------------------------------------------------------------------
+  def q227IncrementalSkipping(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Skipping
+    val tbl = s"$skipBase/orders_incr_${dir.hashCode.toHexString}"
+    // SF-independent split/probe points: half the key range lands
+    // first, the rest appends; the probe range [60%, 70%] of max sits
+    // strictly inside the appended half (the oracle derives the same
+    // bounds with integer arithmetic in a scalar subquery)
+    val maxKey = t(s, dir, "orders").agg(max(col("o_orderkey")))
+      .head().getLong(0)
+    val (lo, hi) = (maxKey * 6 / 10, maxKey * 7 / 10)
+    if (!new java.io.File(s"$tbl.complete").exists()) {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      o.filter(col("o_orderkey") < maxKey / 2)
+        .repartitionByRange(4, col("o_orderkey")).write.parquet(tbl)
+      Skipping.buildStats(s, tbl, Seq("o_orderkey"))
+      o.filter(col("o_orderkey") >= maxKey / 2)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.mode("append").parquet(tbl)
+      val r = Skipping.refreshStats(s, tbl, Seq("o_orderkey"))
+      require(!r.rebuilt && r.appended == 4,
+        s"append-only growth must refresh O(batch): $r")
+      new java.io.File(s"$tbl.complete").createNewFile()
+    }
+    val (matched, unknown) =
+      Skipping.candidateFiles(s, tbl, "o_orderkey", lo, hi)
+    require(unknown.isEmpty && matched.nonEmpty && matched.size < 8,
+      s"appended-half range must prune through the refreshed stats: " +
+        s"${matched.size} matched, ${unknown.size} unknown")
+    Skipping.readRange(s, tbl, "o_orderkey", lo, hi)
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sumDec(col("o_totalprice")).as("sum_price"))
+  }
+
+  val q227IncrementalSkippingSql: String =
+    """SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+      |  MAX(o_orderkey) AS max_key,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders
+      |WHERE o_orderkey
+      |    BETWEEN (SELECT MAX(o_orderkey) * 6 // 10 FROM orders)
+      |    AND (SELECT MAX(o_orderkey) * 7 // 10 FROM orders)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q170_shard_fingerprint — deterministic training-data sharding with
   // content fingerprints: every doc lands in a shard by a stable hash of
   // its id (md5 — engine-neutral, growth-stable like q63's split), and

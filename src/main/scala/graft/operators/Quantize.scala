@@ -384,6 +384,7 @@ object Quantize {
   def probeIvfPqIndex(spark: SparkSession, indexDir: String,
       queries: DataFrame, e: DataFrame, k: Int = 5, nprobe: Int = 4,
       rerankN: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(spark) // rerank needs cosine_sim
     val cells = spark.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)

@@ -465,6 +465,59 @@ class WarehouseSpec extends SparkSpec {
       "rebuilt index must hold only the surviving corpus")
   }
 
+  test("maintained IVFADC (pq) vector index: codes-only appends, ADC probe") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("wh_pq_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(
+      CDTable("vecs", None, Seq(
+        CDColumn("vec_id", "bigint"),
+        CDColumn("emb", "varchar", Some(200)))))
+    def v(id: Long, a: Double, b: Double) = s"$id\t$a,$b,0.0,0.0"
+    val m1 = Seq(put("vecs", "v1.tsv",
+      Seq(v(1, 1.0, 0.1), v(2, 1.0, 0.2), v(3, 0.1, 1.0),
+        v(4, 0.2, 1.0)).mkString("", "\n", "\n")))
+    val whDir = Files.createTempDirectory("wh_pq_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark,
+      Warehouse.Config(whDir, db = "cd_whpq", parallelism = 2,
+        maintainedVectorIndexes = Seq(
+          Warehouse.VectorIndexDef("emb_adc", "vecs", "vec_id", "emb",
+            nlist = 2, replicas = 1, pq = true, pqM = 2, pqK = 4))))
+    wh.sync(m1, schema)
+    val store = new java.io.File(new java.net.URI(
+      s"$whDir/_maintained/vindex_emb_adc"))
+    assert(new java.io.File(store, "codebook").exists(),
+      "pq index must carry its codebook")
+    def corpus() = {
+      val t = schema.head
+      graft.sources.TsvSource.read(spark,
+        graft.model.TypeLattice.toStructType(t),
+        new java.io.File(new java.net.URI(
+          s"$whDir/${pipeline.Sync.RawPrefix}/vecs")).listFiles()
+          .filter(_.getName.endsWith(".tsv")).map(_.toURI.toString).toSeq)
+        .select($"vec_id",
+          org.apache.spark.sql.functions.split($"emb", ",")
+            .cast("array<float>").as("embedding"))
+    }
+    def nn(qid: Long, a: Double, b: Double): Seq[Long] =
+      wh.annAdcIn("emb_adc",
+          Seq((qid, Seq(a.toFloat, b.toFloat, 0.0f, 0.0f)))
+            .toDF("q_id", "q_emb"), corpus(), k = 1, nprobe = 2)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(Seq(Seq(1L), Seq(2L)).contains(nn(100L, 1.0, 0.15)))
+    // sync 2: a new file appends codes under the FROZEN codebook
+    val m2 = m1 :+ put("vecs", "v2.tsv",
+      Seq(v(5, 0.15, 1.0)).mkString("", "\n", "\n"))
+    wh.sync(m2, schema)
+    assert(nn(101L, 0.15, 0.99) == Seq(5L),
+      "the appended vector must be ADC-probe-visible")
+  }
+
   test("maintained skip stats over the canonical layer; pruned reads stay exact") {
     val src = Files.createTempDirectory("wh_sk_src")
     def put(table: String, name: String, content: String): ManifestEntry = {
