@@ -396,6 +396,19 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       s"${cfg.warehouseDir}/_maintained/vindex_$indexName", queries,
       k, nprobe)
 
+  /** Periodic cell-file compaction of a maintained vector index — the
+    * small-files debt bound for the per-sync append path. Run on the
+    * retrain cadence, AFTER a sync has converged (the single-writer
+    * ordering caveat on [[graft.operators.Similarity.compactIvfIndex]]). */
+  def compactVectorIndex(indexName: String)
+      : graft.pipeline.Maintain.CompactSummary = {
+    val store = s"${cfg.warehouseDir}/_maintained/vindex_$indexName"
+    val isPq = fsOf.exists(
+      new org.apache.hadoop.fs.Path(s"$store/codebook"))
+    if (isPq) graft.operators.Quantize.compactIvfPqIndex(spark, store)
+    else graft.operators.Similarity.compactIvfIndex(spark, store)
+  }
+
   /** ANN probe of a maintained IVFADC (pq = true) index: ADC candidate
     * generation over the codes-only cells, exact cosine rerank against
     * `corpus` (vec_id, embedding) — the caller supplies the embedding

@@ -342,6 +342,15 @@ object Quantize {
     * codebook; files land only in the batch's affected `cells/cell=N/`
     * dirs (O(batch), crash-idempotent, replay-suppressed — the
     * [[appendToPqIndex]] contract on the partitioned layout). */
+  /** Cell-file compaction for the IVFADC append path — identical
+    * contract and caveat to [[Similarity.compactIvfIndex]] (converge
+    * crashed appends first; content/ledger/codebook untouched). */
+  def compactIvfPqIndex(spark: SparkSession, indexDir: String,
+      targetBytes: Long = 128L * 1024 * 1024, maxFiles: Int = 4)
+      : graft.pipeline.Maintain.CompactSummary =
+    graft.pipeline.Maintain.compactPartitions(spark, s"$indexDir/cells",
+      targetBytes, maxFiles)
+
   def appendToIvfPqIndex(spark: SparkSession, batch: DataFrame,
       indexDir: String): Unit = {
     graft.pipeline.SafeSwap.recover(indexDir)

@@ -402,6 +402,29 @@ object Similarity {
     rerank(cells.join(broadcast(q), Seq("cell")), k)
   }
 
+  /** Periodic maintenance for the O(batch) append path: every append
+    * lands one small file set per affected cell, so a year of daily
+    * batches leaves each `cells/cell=N/` with hundreds of small files —
+    * probe scans then pay per-file open overhead instead of streaming
+    * row groups. Compaction coalesces each over-fragmented cell behind
+    * its own per-partition SafeSwap ([[graft.pipeline.Maintain]]):
+    * content-identical, ledger and fingerprint marker untouched (they
+    * track CONTENT, which does not change), untouched cells keep
+    * physical file identity. Run on the retrain cadence.
+    *
+    * ORDERING CAVEAT (single-writer contract, same as
+    * [[graft.operators.Dedup.compactMinhashIndex]]): converge any
+    * crashed append FIRST (re-run the sync loop) — compacting while a
+    * crashed batch's tag-named partial files sit in the tree would fold
+    * them into the compacted output, and the batch's retry would then
+    * re-place them (tag-delete finds nothing after the rename),
+    * double-counting the partial portion. */
+  def compactIvfIndex(spark: SparkSession, indexDir: String,
+      targetBytes: Long = 128L * 1024 * 1024, maxFiles: Int = 4)
+      : graft.pipeline.Maintain.CompactSummary =
+    graft.pipeline.Maintain.compactPartitions(spark, s"$indexDir/cells",
+      targetBytes, maxFiles)
+
   /** Streaming IVF index maintenance (`foreachBatch`): first non-empty
     * micro-batch bootstraps (centroids trained on it; its content id
     * committed atomically inside the build swap), later batches run the

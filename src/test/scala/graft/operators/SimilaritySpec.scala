@@ -284,8 +284,8 @@ class SimilaritySpec extends SparkSpec {
     }
     val beforeProbe = probe()
     val beforeFiles = nFiles()
-    val sum = graft.pipeline.Maintain.compactPartitions(spark,
-      s"$idx/cells", targetBytes = 64L * 1024 * 1024)
+    val sum = Similarity.compactIvfIndex(spark, idx,
+      targetBytes = 64L * 1024 * 1024, maxFiles = 1)
     assert(sum.partitionsCompacted > 0,
       "multi-append cells must have compactable dirs")
     assert(nFiles() < beforeFiles, "compaction must reduce the file count")
