@@ -202,6 +202,34 @@ object Skipping {
     }
   }
 
+  /** Compact a stats tree: every O(batch) append lands one small
+    * parquet file, so years of daily syncs leave hundreds of tiny files
+    * that every planning read opens. Compaction rewrites the rows
+    * coalesced — from the STATS table itself, O(stats) not O(data) —
+    * and CARRIES the ledger across the swap (the covered-file record is
+    * replay suppression, not content; same carry as the MinHash index
+    * compaction). Run on the maintenance cadence; single writer. */
+  private def compactGeneric(spark: SparkSession, statsDir: String): Unit = {
+    val fs = fsFor(spark, statsDir)
+    if (!fs.exists(new Path(statsDir))) return
+    AppendCommit.compactLedger(statsDir)
+    val rows = spark.read.parquet(statsDir)
+    SafeSwap.replace(statsDir) { tmp =>
+      // the lazy read executes inside this write, before the rename
+      rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+      AppendCommit.copyLedger(statsDir, tmp)
+    }
+  }
+
+  /** Compact the min/max stats tree for `tableDir`. */
+  def compactStats(spark: SparkSession, tableDir: String): Unit =
+    compactGeneric(spark, s"$tableDir/$StatsDir")
+
+  /** Compact the bloom stats tree for column `c` of `tableDir`. */
+  def compactBloom(spark: SparkSession, tableDir: String,
+      c: String): Unit =
+    compactGeneric(spark, s"$tableDir/${bloomDir(c)}")
+
   // --- min/max stats -----------------------------------------------------
 
   /** Build (or rebuild) the per-file min/max stats table for `cols` —

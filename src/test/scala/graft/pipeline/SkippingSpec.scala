@@ -284,4 +284,37 @@ class SkippingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(9010L))
   }
+
+  test("stats compaction folds per-batch files to one, carries the ledger") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("skip_cmp").toString + "/t"
+    (1L to 100L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1).write.parquet(path)
+    Skipping.buildStats(spark, path, Seq("k"))
+    // three incremental appends → three more small stats files
+    for (base <- Seq(200L, 300L, 400L)) {
+      (base to base + 50L).map(k => (k, k)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(path)
+      val r = Skipping.refreshStats(spark, path, Seq("k"))
+      assert(!r.rebuilt && r.appended == 1)
+    }
+    def statFiles(): Int = new java.io.File(path, "_skip_stats")
+      .listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(statFiles() >= 4, "each batch must have landed its own file")
+    Skipping.compactStats(spark, path)
+    assert(statFiles() == 1, "compaction must coalesce the stats rows")
+    // verdicts unchanged; the carried ledger still suppresses replays
+    val (m, u) = Skipping.candidateFiles(spark, path, "k", 310L, 320L)
+    assert(u.isEmpty && m.size == 1)
+    val r2 = Skipping.refreshStats(spark, path, Seq("k"))
+    assert(!r2.rebuilt && r2.appended == 0,
+      "the compacted tree must still know every covered file")
+    // and a post-compaction append continues file-additively
+    (500L to 510L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(path)
+    val r3 = Skipping.refreshStats(spark, path, Seq("k"))
+    assert(!r3.rebuilt && r3.appended == 1)
+    assert(Skipping.readRange(spark, path, "k", 500L, 505L).count() == 6L)
+  }
 }
