@@ -465,6 +465,47 @@ class WarehouseSpec extends SparkSpec {
       "rebuilt index must hold only the surviving corpus")
   }
 
+  test("a pinned intent naming a deleted file triggers the rebuild path") {
+    val src = Files.createTempDirectory("wh_gi_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(
+      CDTable("fact", None, Seq(
+        CDColumn("k", "bigint"), CDColumn("x", "double precision"))),
+      CDTable("dim", None, Seq(
+        CDColumn("k", "bigint"), CDColumn("attr", "varchar", Some(10)))))
+    val m1 = Seq(
+      put("fact", "f1.tsv", "1\t1.0\n"),
+      put("dim", "d1.tsv", "1\talpha\n"))
+    val whDir = Files.createTempDirectory("wh_gi_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark,
+      Warehouse.Config(whDir, db = "cd_whg", parallelism = 2,
+        maintainedViews = Seq(
+          Warehouse.ViewDef("enriched", "fact", "dim", Seq("k")))))
+    wh.sync(m1, schema)
+    // double-fault: a crashed refresh pinned a file that a stale-delete
+    // then removed — the fold can neither run (file gone) nor be retried
+    // under a different id; the ONLY convergent move is a store rebuild
+    val store = new java.io.File(new java.net.URI(
+      s"$whDir/_maintained/view_enriched"))
+    Files.writeString(store.toPath.resolve("_fold_intent"), "ghost.tsv")
+    wh.sync(m1, schema) // folded ∪ intent ⊄ listing → rebuild
+    assert(!new java.io.File(store, "_fold_intent").exists(),
+      "the rebuild must clear the orphaned intent with the store")
+    val rows = wh.view("enriched").select("k", "x", "attr").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(rows == Set((1L, 1.0, "alpha")),
+      "the rebuilt view must serve the surviving listing exactly")
+    // and the next delta folds normally
+    val m2 = m1 :+ put("fact", "f2.tsv", "1\t2.0\n")
+    wh.sync(m2, schema)
+    assert(wh.view("enriched").count() == 2L)
+  }
+
   test("maintained IVFADC (pq) vector index: codes-only appends, ADC probe") {
     import spark.implicits._
     val src = Files.createTempDirectory("wh_pq_src")
