@@ -243,10 +243,11 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     * ([[graft.pipeline.FreshFold]] — one job launch for a thousand-file
     * backlog, not a thousand). */
   private def maintainAdditive(store: String, files: Seq[String],
-      what: String)(rebuild: Seq[String] => Unit)
+      what: String, legacyTag: String = "rawfile-")
+      (rebuild: Seq[String] => Unit)
       (fold: (Seq[String], String) => Unit): Unit = {
     import graft.pipeline.FreshFold
-    val folded = FreshFold.covered(store) ++
+    val folded = FreshFold.covered(store, legacyTag) ++
       FreshFold.pendingIntent(store).getOrElse(Nil)
     if (folded.isEmpty) rebuild(files)
     else if (!folded.forall(files.contains)) {
@@ -255,7 +256,7 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       fsOf.delete(new org.apache.hadoop.fs.Path(store), true)
       rebuild(files)
     } else {
-      FreshFold.foldFresh(store, files)(fold)
+      FreshFold.foldFresh(store, files, legacyTag)(fold)
       ()
     }
   }
@@ -286,7 +287,10 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
           if (files.nonEmpty && dimFiles.nonEmpty) {
             val store = s"${cfg.warehouseDir}/_maintained/view_${v.name}"
             val (dim, _) = readTableSnapshot(dt, dimFiles)
-            maintainAdditive(store, files, s"view_${v.name}") { all =>
+            // legacyTag = "": pre-batch view ledgers held BARE file
+            // names (JoinView.init/merge per-file ids) and nothing else
+            maintainAdditive(store, files, s"view_${v.name}",
+                legacyTag = "") { all =>
               JoinView.init(spark, store, readTableSnapshot(ft, all)._1,
                 dim, v.joinKeys, Nil, broadcastDim = true)
               rebuildLedger(all).foreach { case (id, payload) =>

@@ -51,7 +51,12 @@ object FreshFold {
 
   /** Files covered by previous folds: batch payloads plus legacy
     * per-file `<legacyTag><file>` markers (earlier Warehouse rounds
-    * wrote one marker per file — they stay honored). */
+    * wrote one marker per file — they stay honored). A store whose
+    * legacy ids were BARE file names (the pre-batch view protocol)
+    * passes `legacyTag = ""`: every non-batch id then reads as a
+    * covered file — only valid when the store's ledger holds nothing
+    * else (views qualify; index stores, whose ledgers also hold
+    * content-id append entries, must keep a real prefix). */
   def covered(store: String, legacyTag: String = "rawfile-"): Set[String] =
     AppendCommit.appliedEntries(store).iterator.flatMap {
       case (id, payload) =>

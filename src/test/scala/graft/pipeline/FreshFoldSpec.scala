@@ -81,6 +81,23 @@ class FreshFoldSpec extends SparkSpec {
     assert(FreshFold.covered(s) == Set("x", "y", "z"))
   }
 
+  test("legacyTag empty: bare file-name ids (pre-batch view ledgers) " +
+      "count as covered — an upgrade must not re-fold history") {
+    val s = store()
+    AppendCommit.markApplied(s, "f1.tsv", "")
+    AppendCommit.markApplied(s, "f2.tsv", "")
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    FreshFold.foldFresh(s, Seq("f1.tsv", "f2.tsv", "f3.tsv"),
+        legacyTag = "") { (files, id) =>
+      calls += files
+      AppendCommit.markApplied(s, id, "")
+    }
+    assert(calls.toSeq == Seq(Seq("f3.tsv")),
+      s"legacy-covered files must not re-fold, got $calls")
+    assert(FreshFold.covered(s, legacyTag = "")
+      .contains("f1.tsv"))
+  }
+
   test("legacy per-file rawfile- markers count as covered") {
     val s = store()
     AppendCommit.markApplied(s, "rawfile-old1.tsv", "")
