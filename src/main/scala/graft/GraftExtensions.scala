@@ -65,6 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bloom_any"),
       graft.functions.Bloom.bloomAnyBuilder))
     ext.injectOptimizerRule(_ => EmptyVectorCosineFold)
+    ext.injectOptimizerRule(s => graft.plans.SkippingFilePrune(s))
   }
 }
 

@@ -601,6 +601,69 @@ object Ingest {
       |    AND (SELECT MAX(o_orderkey) * 7 // 10 FROM orders)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q228_skipping_compaction — the compaction leg of the maintained
+  // skip-stats lifecycle: two incremental appends leave per-batch stats
+  // files; compactStats folds them to one (require'd) CARRYING the
+  // ledger, after which (a) pruned reads return exactly the full-scan
+  // answer (the oracle), (b) the refresh still knows every covered file
+  // (require'd no-op), and (c) a post-compaction append lands
+  // file-additively (require'd O(batch)). The maintenance op is in the
+  // gate because a compaction that dropped ledger state would silently
+  // re-fold history — the failure class this round's protocol work
+  // exists to kill.
+  // ---------------------------------------------------------------------
+  def q228SkippingCompaction(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Skipping
+    val tbl = s"$skipBase/orders_cmp_${dir.hashCode.toHexString}"
+    val maxKey = t(s, dir, "orders").agg(max(col("o_orderkey")))
+      .head().getLong(0)
+    val (lo, hi) = (maxKey * 3 / 10, maxKey * 4 / 10)
+    if (!new java.io.File(s"$tbl.complete").exists()) {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def slice(lo: Long, hi: Long) =
+        o.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+      slice(0L, maxKey / 2)
+        .repartitionByRange(2, col("o_orderkey")).write.parquet(tbl)
+      Skipping.buildStats(s, tbl, Seq("o_orderkey"))
+      slice(maxKey / 2, 3 * maxKey / 4)
+        .coalesce(1).write.mode("append").parquet(tbl)
+      Skipping.refreshStats(s, tbl, Seq("o_orderkey"))
+      slice(3 * maxKey / 4, maxKey + 1)
+        .coalesce(1).write.mode("append").parquet(tbl)
+      Skipping.refreshStats(s, tbl, Seq("o_orderkey"))
+      Skipping.compactStats(s, tbl)
+      val statFiles = new java.io.File(tbl, "_skip_stats").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      require(statFiles == 1,
+        s"compaction must fold the per-batch stats files, got $statFiles")
+      val r = Skipping.refreshStats(s, tbl, Seq("o_orderkey"))
+      require(!r.rebuilt && r.appended == 0,
+        s"the carried ledger must still cover every file: $r")
+      new java.io.File(s"$tbl.complete").createNewFile()
+    }
+    val (matched, unknown) =
+      Skipping.candidateFiles(s, tbl, "o_orderkey", lo, hi)
+    require(unknown.isEmpty && matched.nonEmpty && matched.size < 4,
+      s"compacted stats must still prune: ${matched.size} matched, " +
+        s"${unknown.size} unknown")
+    Skipping.readRange(s, tbl, "o_orderkey", lo, hi)
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sumDec(col("o_totalprice")).as("sum_price"))
+  }
+
+  val q228SkippingCompactionSql: String =
+    """SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+      |  MAX(o_orderkey) AS max_key,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders
+      |WHERE o_orderkey >= (SELECT MAX(o_orderkey) * 3 // 10 FROM orders)
+      |  AND o_orderkey <= (SELECT MAX(o_orderkey) * 4 // 10 FROM orders)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q170_shard_fingerprint — deterministic training-data sharding with
   // content fingerprints: every doc lands in a shard by a stable hash of
   // its id (md5 — engine-neutral, growth-stable like q63's split), and

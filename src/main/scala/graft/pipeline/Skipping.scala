@@ -286,6 +286,32 @@ object Skipping {
     (matched.filter(f => liveSet(canon(f))), unknown)
   }
 
+  /** Planner entry for [[graft.plans.SkippingFilePrune]]: given the
+    * scan's OWN file listing (no re-list), the subset a `lo <= c <= hi`
+    * predicate can need — stats-matched files plus stats-unknown ones.
+    * None when the stats are unusable (missing dir, column not
+    * collected) — the caller then leaves the plan alone. Bounds are
+    * treated inclusively, which is SAFE for strict predicates too (a
+    * superset scan; the exact filter re-applies above). */
+  private[graft] def pruneListing(spark: SparkSession, tableDir: String,
+      c: String, lo: Any, hi: Any, listing: Seq[String])
+      : Option[Seq[String]] = {
+    val fs = fsFor(spark, tableDir)
+    val statsDir = s"$tableDir/$StatsDir"
+    if (!fs.exists(new Path(statsDir))) return None
+    val stats = spark.read.parquet(statsDir)
+    if (!stats.columns.contains(s"min_$c")) return None
+    val matched = stats
+      .filter(!(col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi)))
+      .select(col("file")).collect().map(r => canon(r.getString(0))).toSet
+    val known = stats.select(col("file")).collect()
+      .map(r => canon(r.getString(0))).toSet
+    Some(listing.filter { f =>
+      val cf = canon(f)
+      matched(cf) || !known(cf)
+    })
+  }
+
   /** Range read through the stats table: scans matched + unknown files
     * only, then applies the exact predicate (file-level skipping is a
     * superset filter, same as row-group pruning). `basePath` keeps

@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+
+/** Optimizer rule making [[graft.pipeline.Skipping]]'s file-level
+  * min/max pruning TRANSPARENT: a plain `spark.read.parquet(dir)` /
+  * `spark.sql` range query over a table that carries a `_skip_stats`
+  * index scans only the files whose [min, max] can match — the analyst
+  * writes the filter, the planner does the skipping, exactly the
+  * Delta/Iceberg ergonomics on plain parquet directories. Without the
+  * rule, only callers of the explicit `Skipping.readRange` API got the
+  * benefit; the warehouse's SQL surface (`Warehouse.sql`) did not.
+  *
+  * What it rewrites: `Filter(cond, scan of a single-root, unpartitioned
+  * parquet dir with _skip_stats)` where `cond` contains range/equality
+  * conjuncts (`>=`, `>`, `<=`, `<`, `=`) on a stats-collected column.
+  * The scan's [[InMemoryFileIndex]] is replaced by one over the pruned
+  * listing (stats-matched + stats-unknown files — the exact
+  * [[graft.pipeline.Skipping.candidateFiles]] contract, computed from
+  * the relation's OWN listing, no re-list); the Filter stays on top, so
+  * semantics cannot change — pruning only ever drops files whose stats
+  * PROVE no row can pass. Strict bounds are widened to inclusive
+  * (superset-safe). Partitioned or multi-root relations are left alone
+  * (Catalyst's partition pruning owns that case; the explicit readers
+  * cover the rest).
+  *
+  * Scale: the rewrite costs one small parquet read of the stats table
+  * at PLANNING time — the entire point: a 100 TB table's pruning
+  * decision reads a one-row-per-file table instead of opening a million
+  * footers. Idempotent per plan via an options marker.
+  *
+  * Register per session (`SkippingFilePrune.register(spark)`) or for
+  * every session via `GraftExtensions`.
+  */
+case class SkippingFilePrune(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  import SkippingFilePrune.AppliedKey
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, lr: LogicalRelation)
+        if lr.relation.isInstanceOf[HadoopFsRelation] &&
+          !lr.relation.asInstanceOf[HadoopFsRelation].options
+            .contains(AppliedKey) =>
+      val hfs = lr.relation.asInstanceOf[HadoopFsRelation]
+      val rewritten =
+        for {
+          root <- singleRoot(hfs)
+          if hfs.partitionSchema.isEmpty && statsExist(root)
+          (c, lo, hi) <- rangeConjunct(cond, lr)
+          listing = hfs.location.inputFiles.toSeq
+          pruned <- graft.pipeline.Skipping.pruneListing(spark,
+            root, c, lo, hi, listing)
+          if pruned.size < listing.size
+        } yield {
+          val index = new InMemoryFileIndex(spark,
+            pruned.map(new Path(_)),
+            Map("basePath" -> root),
+            Some(hfs.dataSchema),
+            FileStatusCache.getOrCreate(spark),
+            None, None)
+          val rel = HadoopFsRelation(index, hfs.partitionSchema,
+            hfs.dataSchema, hfs.bucketSpec, hfs.fileFormat,
+            hfs.options + (AppliedKey -> "true"))(spark)
+          Filter(cond, lr.copy(relation = rel))
+        }
+      rewritten.getOrElse(f)
+  }
+
+  private def singleRoot(hfs: HadoopFsRelation): Option[String] =
+    hfs.location.rootPaths match {
+      case Seq(p) => Some(p.toString)
+      case _ => None
+    }
+
+  private def statsExist(root: String): Boolean = {
+    val p = new Path(root, "_skip_stats")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The first column with BOTH bounds derivable from top-level
+    * conjuncts: `c >= lo`/`c > lo` and `c <= hi`/`c < hi`, or `c = v`
+    * (both bounds at once). Literal-on-either-side forms accepted. */
+  private def rangeConjunct(cond: Expression,
+      lr: LogicalRelation): Option[(String, Any, Any)] = {
+    def splitAnd(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => splitAnd(l) ++ splitAnd(r)
+      case other => Seq(other)
+    }
+    val los = scala.collection.mutable.HashMap.empty[String, Any]
+    val his = scala.collection.mutable.HashMap.empty[String, Any]
+    def nameOf(a: Attribute): Option[String] =
+      lr.output.find(_.exprId == a.exprId).map(_.name)
+    splitAnd(cond).foreach {
+      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
+        nameOf(a).foreach(los.getOrElseUpdate(_, v))
+      case GreaterThan(a: Attribute, Literal(v, _)) =>
+        nameOf(a).foreach(los.getOrElseUpdate(_, v))
+      case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
+        nameOf(a).foreach(his.getOrElseUpdate(_, v))
+      case LessThan(a: Attribute, Literal(v, _)) =>
+        nameOf(a).foreach(his.getOrElseUpdate(_, v))
+      case LessThanOrEqual(Literal(v, _), a: Attribute) =>
+        nameOf(a).foreach(los.getOrElseUpdate(_, v))
+      case LessThan(Literal(v, _), a: Attribute) =>
+        nameOf(a).foreach(los.getOrElseUpdate(_, v))
+      case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
+        nameOf(a).foreach(his.getOrElseUpdate(_, v))
+      case GreaterThan(Literal(v, _), a: Attribute) =>
+        nameOf(a).foreach(his.getOrElseUpdate(_, v))
+      case EqualTo(a: Attribute, Literal(v, _)) =>
+        nameOf(a).foreach { n =>
+          los.getOrElseUpdate(n, v); his.getOrElseUpdate(n, v)
+        }
+      case EqualTo(Literal(v, _), a: Attribute) =>
+        nameOf(a).foreach { n =>
+          los.getOrElseUpdate(n, v); his.getOrElseUpdate(n, v)
+        }
+      case _ => ()
+    }
+    // literal nulls can't bound a range (and lit(null) comparisons are
+    // never true anyway — leave those plans alone)
+    los.keys.toSeq.sorted.collectFirst {
+      case c if his.contains(c) &&
+          los(c) != null && his(c) != null =>
+        (c, los(c), his(c))
+    }
+  }
+}
+
+object SkippingFilePrune {
+
+  /** Marker option on rewritten relations — keeps the rule idempotent
+    * across optimizer iterations. */
+  val AppliedKey = "graft.skipping.pruned"
+
+  /** Activate for this session's future queries (runtime alternative to
+    * the `GraftExtensions` session-builder path). */
+  def register(spark: SparkSession): Unit = {
+    val rule = SkippingFilePrune(spark)
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[SkippingFilePrune]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+  }
+}

@@ -7,7 +7,7 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("extensions registrator applies cleanly") {
     val ext = new SparkSessionExtensions
-    new GraftExtensions().apply(ext) // must register 3 functions + 1 rule
+    new GraftExtensions().apply(ext) // registers the function + rule set
   }
 
   test("EmptyVectorCosineFold removes the per-row loop, preserves results") {

@@ -1,0 +1,82 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.pipeline.Skipping
+
+class SkippingFilePruneSpec extends SparkSpec {
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.toSeq
+    }.flatten
+
+  test("a plain DataFrame range filter scans only stats-matched files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    SkippingFilePrune.register(spark)
+    val path = Files.createTempDirectory("prune_rule").toString + "/t"
+    (1L to 1000L).map(k => (k, k * 2)).toDF("k", "v")
+      .repartitionByRange(10, col("k")).write.parquet(path)
+    Skipping.buildStats(spark, path, Seq("k"))
+    val q = spark.read.parquet(path)
+      .filter(col("k") >= 450L && col("k") <= 520L)
+    val files = scannedFiles(q)
+    assert(files.nonEmpty && files.size <= 2,
+      s"10 disjoint range files, [450,520] spans ≤ 2 — scanned " +
+        s"${files.size}")
+    // and the answer is EXACTLY the unpruned one
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (450L to 520L).map(k => (k, k * 2)).toSet)
+    // equality predicates prune too (lo = hi)
+    val eq = spark.read.parquet(path).filter(col("k") === 7L)
+    assert(scannedFiles(eq).size == 1)
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("stale stats: unknown files always scan; strict bounds widen safely") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    SkippingFilePrune.register(spark)
+    val path = Files.createTempDirectory("prune_stale").toString + "/t"
+    (1L to 100L).map(k => (k, "old")).toDF("k", "src")
+      .coalesce(1).write.parquet(path)
+    Skipping.buildStats(spark, path, Seq("k"))
+    (200L to 210L).map(k => (k, "new")).toDF("k", "src")
+      .coalesce(1).write.mode("append").parquet(path)
+    // the appended file is stats-unknown: it MUST be scanned even
+    // though [205,207] misses the known file entirely
+    val q = spark.read.parquet(path)
+      .filter(col("k") > 204L && col("k") < 208L) // strict bounds
+    assert(q.collect().map(_.getLong(0)).toSet == Set(205L, 206L, 207L),
+      "stale stats must degrade to scanning unknown files")
+    assert(scannedFiles(q).size == 1,
+      "the stats-known [1,100] file must still prune")
+  }
+
+  test("tables without stats, partitioned tables, and non-range filters are untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    SkippingFilePrune.register(spark)
+    val base = Files.createTempDirectory("prune_skip").toString
+    // no stats dir → no rewrite, full answer
+    val p1 = s"$base/nostats"
+    (1L to 50L).map(k => (k, k)).toDF("k", "v")
+      .repartitionByRange(5, col("k")).write.parquet(p1)
+    val q1 = spark.read.parquet(p1).filter(col("k") between (10L, 20L))
+    assert(q1.count() == 11L)
+    assert(scannedFiles(q1).size == 5, "no stats → nothing pruned")
+    // partitioned layout → left to Catalyst's partition pruning
+    val p2 = s"$base/part"
+    (1L to 50L).map(k => (k, k % 3, k)).toDF("k", "p", "v")
+      .write.partitionBy("p").parquet(p2)
+    Skipping.buildStats(spark, p2, Seq("k"))
+    val q2 = spark.read.parquet(p2).filter(col("k") >= 1L && col("k") <= 50L)
+    assert(q2.count() == 50L)
+    // a filter with no two-sided range on a stats column → untouched
+    val q3 = spark.read.parquet(p1).filter(col("v") =!= 3L)
+    assert(q3.count() == 49L)
+  }
+}
