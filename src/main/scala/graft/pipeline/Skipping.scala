@@ -312,6 +312,29 @@ object Skipping {
     })
   }
 
+  /** Equality/IN twin of [[pruneListing]] over the bloom stats: the
+    * subset of `listing` a `c IN (values)` predicate can need —
+    * bloom-matched files (probed ENGINE-side) plus bloom-unknown ones.
+    * None when no bloom stats exist for `c`. */
+  private[graft] def pruneListingEq(spark: SparkSession, tableDir: String,
+      c: String, values: Seq[Any], listing: Seq[String])
+      : Option[Seq[String]] = {
+    val fs = fsFor(spark, tableDir)
+    if (values.isEmpty ||
+      !fs.exists(new Path(s"$tableDir/${bloomDir(c)}"))) return None
+    val hashRow = spark.range(1)
+      .select(values.map(v => xxhash64(lit(v))): _*).head()
+    val hashes = values.indices.map(hashRow.getLong)
+    val matched = bloomMatchedDf(spark, tableDir, c, hashes)
+      .collect().map(r => canon(r.getString(0))).toSet
+    val known = spark.read.parquet(s"$tableDir/${bloomDir(c)}")
+      .select(col("file")).collect().map(r => canon(r.getString(0))).toSet
+    Some(listing.filter { f =>
+      val cf = canon(f)
+      matched(cf) || !known(cf)
+    })
+  }
+
   /** Range read through the stats table: scans matched + unknown files
     * only, then applies the exact predicate (file-level skipping is a
     * superset filter, same as row-group pruning). `basePath` keeps

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -17,8 +17,12 @@ import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRela
   * benefit; the warehouse's SQL surface (`Warehouse.sql`) did not.
   *
   * What it rewrites: `Filter(cond, scan of a single-root, unpartitioned
-  * parquet dir with _skip_stats)` where `cond` contains range/equality
-  * conjuncts (`>=`, `>`, `<=`, `<`, `=`) on a stats-collected column.
+  * parquet dir with skip stats)` where `cond` contains range/equality
+  * conjuncts (`>=`, `>`, `<=`, `<`, `=`) on a `_skip_stats` column, or
+  * an `=`/`IN (literals)` conjunct on a `_skip_bloom_<c>` column (the
+  * bloom sketches are probed ENGINE-side through `graft_bloom_any` —
+  * only names reach the planner). When both indexes apply, pruning
+  * composes: each is a safe superset, so their intersection is too.
   * The scan's [[InMemoryFileIndex]] is replaced by one over the pruned
   * listing (stats-matched + stats-unknown files — the exact
   * [[graft.pipeline.Skipping.candidateFiles]] contract, computed from
@@ -51,11 +55,9 @@ case class SkippingFilePrune(spark: SparkSession)
       val rewritten =
         for {
           root <- singleRoot(hfs)
-          if hfs.partitionSchema.isEmpty && statsExist(root)
-          (c, lo, hi) <- rangeConjunct(cond, lr)
+          if hfs.partitionSchema.isEmpty
           listing = hfs.location.inputFiles.toSeq
-          pruned <- graft.pipeline.Skipping.pruneListing(spark,
-            root, c, lo, hi, listing)
+          pruned <- prunedListing(root, cond, lr, listing)
           if pruned.size < listing.size
         } yield {
           val index = new InMemoryFileIndex(spark,
@@ -70,6 +72,51 @@ case class SkippingFilePrune(spark: SparkSession)
           Filter(cond, lr.copy(relation = rel))
         }
       rewritten.getOrElse(f)
+  }
+
+  /** Compose min/max range pruning and bloom equality pruning — each a
+    * safe superset of the needed files, so the intersection (applying
+    * the second prune to the first's survivors) is as well. */
+  private def prunedListing(root: String, cond: Expression,
+      lr: LogicalRelation, listing: Seq[String]): Option[Seq[String]] = {
+    val afterRange =
+      if (!statsExist(root)) None
+      else rangeConjunct(cond, lr).flatMap { case (c, lo, hi) =>
+        graft.pipeline.Skipping.pruneListing(spark, root, c, lo, hi,
+          listing)
+      }
+    val base = afterRange.getOrElse(listing)
+    val afterBloom = inConjunct(cond, lr).flatMap { case (c, vs) =>
+      graft.pipeline.Skipping.pruneListingEq(spark, root, c, vs, base)
+    }
+    afterBloom.orElse(afterRange)
+  }
+
+  /** The first `c = v` / `c IN (v…)` conjunct with all-literal,
+    * non-null values (any non-literal element defeats static pruning). */
+  private def inConjunct(cond: Expression,
+      lr: LogicalRelation): Option[(String, Seq[Any])] = {
+    def splitAnd(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => splitAnd(l) ++ splitAnd(r)
+      case other => Seq(other)
+    }
+    def nameOf(a: Attribute): Option[String] =
+      lr.output.find(_.exprId == a.exprId).map(_.name)
+    splitAnd(cond).iterator.flatMap {
+      case In(a: Attribute, list)
+          if list.nonEmpty && list.forall {
+            case Literal(v, _) => v != null
+            case _ => false
+          } =>
+        nameOf(a).map(n => (n, list.map {
+          case Literal(v, _) => v
+        }))
+      case EqualTo(a: Attribute, Literal(v, _)) if v != null =>
+        nameOf(a).map(n => (n, Seq(v)))
+      case EqualTo(Literal(v, _), a: Attribute) if v != null =>
+        nameOf(a).map(n => (n, Seq(v)))
+      case _ => None
+    }.nextOption()
   }
 
   private def singleRoot(hfs: HadoopFsRelation): Option[String] =

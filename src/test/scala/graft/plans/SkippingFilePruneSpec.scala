@@ -56,6 +56,31 @@ class SkippingFilePruneSpec extends SparkSpec {
       "the stats-known [1,100] file must still prune")
   }
 
+  test("IN-list filters prune through the bloom stats engine-side") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    SkippingFilePrune.register(spark)
+    val path = Files.createTempDirectory("prune_bloom").toString + "/t"
+    // hash-clustered: min/max can't prune, bloom can
+    (1L to 2000L).map(k => (k, k % 7)).toDF("k", "v")
+      .repartition(8, col("k")).write.parquet(path)
+    Skipping.buildBloom(spark, path, "k")
+    val q = spark.read.parquet(path)
+      .filter(col("k").isin(500L, 1500L))
+    val files = scannedFiles(q)
+    assert(files.nonEmpty && files.size < 8,
+      s"bloom must prune below the 8-file full set, got ${files.size}")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((500L, 500L % 7), (1500L, 1500L % 7)))
+    // composition: add min/max stats on the same table — a conjunctive
+    // range+IN predicate prunes through BOTH (intersection of supersets)
+    Skipping.buildStats(spark, path, Seq("v"))
+    val q2 = spark.read.parquet(path)
+      .filter(col("v") >= 0L && col("v") <= 6L && col("k").isin(500L))
+    assert(scannedFiles(q2).size < 8)
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(500L))
+  }
+
   test("tables without stats, partitioned tables, and non-range filters are untouched") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
