@@ -140,6 +140,11 @@ object Warehouse {
 
 final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
 
+  // analyst SQL gets file-level skipping transparently: range/IN
+  // filters over canonical tables that carry maintained skip stats
+  // prune at planning time (idempotent registration)
+  graft.plans.SkippingFilePrune.register(spark)
+
   /** One sync run: diff → fetch → stale-delete → catalog upsert (+ optional
     * canonicalize) → summary notification. Idempotent; re-running
     * converges. */

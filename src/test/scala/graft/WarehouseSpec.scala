@@ -601,6 +601,19 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.readPointLookup("fact", "c", Seq(2L))
       .collect().map(_.getLong(0)).toSet ==
       ((1L to 50L) ++ (100L to 120L)).filter(_ % 7 == 2).toSet)
+    // and ANALYST SQL prunes transparently (SkippingFilePrune is
+    // session-registered by the Warehouse): a range filter over the
+    // canonical catalog view scans only the stats-matched files
+    val q = wh.sql(
+      "SELECT k FROM cd_whs.`fact_canonical` WHERE k >= 100 AND k <= 110")
+    assert(q.collect().map(_.getLong(0)).toSet == (100L to 110L).toSet)
+    val scanned = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.toSeq
+    }.flatten
+    val total = wh.canonicalTable("fact").inputFiles.length
+    assert(total > 1 && scanned.nonEmpty && scanned.size < total,
+      s"plain SQL must prune: scanned ${scanned.size} of $total files")
   }
 
   test("store init reads the canonical parquet layer when current, raw TSV otherwise") {
