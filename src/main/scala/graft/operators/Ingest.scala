@@ -664,6 +664,57 @@ object Ingest {
       |  AND o_orderkey <= (SELECT MAX(o_orderkey) * 4 // 10 FROM orders)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q229_delete_by_key — right-to-be-forgotten through the bloom index:
+  // orders is hash-clustered on o_custkey (8 files), three customers
+  // are hard-deleted via [[graft.pipeline.Maintain.deleteByKey]], which
+  // must rewrite ONLY the bloom-candidate files (require'd: candidates
+  // < 8, untouched files keep byte-identity), and the surviving table
+  // must equal the oracle's NOT IN filter exactly — any file wrongly
+  // rewritten or row wrongly surviving hash-fails. A second delete of
+  // the same keys must be a physical no-op (require'd).
+  // ---------------------------------------------------------------------
+  def q229DeleteByKey(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Maintain, Skipping}
+    val tbl = s"$skipBase/orders_del_${dir.hashCode.toHexString}"
+    val keys = Seq(11L, 42L, 107L)
+    if (!new java.io.File(s"$tbl.complete").exists()) {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(8, col("o_custkey"))
+        .write.parquet(tbl)
+      Skipping.buildBloom(s, tbl, "o_custkey")
+      def files() = new java.io.File(tbl).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+      val before = files()
+      val sum = Maintain.deleteByKey(s, tbl, "o_custkey", keys)
+      require(sum.rowsDeleted > 0 && sum.candidateFiles < 8,
+        s"bloom must confine the delete to candidate files: $sum")
+      val after = files()
+      val untouched = before.keySet.intersect(after.keySet)
+      require(untouched.forall(n => before(n) == after(n)) &&
+        untouched.size >= 8 - sum.candidateFiles,
+        "non-candidate files must keep byte identity")
+      val again = Maintain.deleteByKey(s, tbl, "o_custkey", keys)
+      require(again.rowsDeleted == 0 && again.rewritten == 0 &&
+        again.dropped == 0, s"re-delete must be a no-op: $again")
+      new java.io.File(s"$tbl.complete").createNewFile()
+    }
+    s.read.parquet(tbl)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        min(col("o_orderkey")).as("min_key"),
+        sumDec(col("o_totalprice")).as("sum_price"))
+  }
+
+  val q229DeleteByKeySql: String =
+    """SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+      |  MIN(o_orderkey) AS min_key,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders WHERE o_custkey NOT IN (11, 42, 107)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q170_shard_fingerprint — deterministic training-data sharding with
   // content fingerprints: every doc lands in a shard by a stable hash of
   // its id (md5 — engine-neutral, growth-stable like q63's split), and

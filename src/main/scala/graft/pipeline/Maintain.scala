@@ -89,4 +89,131 @@ object Maintain {
     if (compacted > 0) spark.catalog.refreshByPath(path)
     CompactSummary(targets.size, compacted, before, after)
   }
+
+  final case class DeleteSummary(candidateFiles: Int, rewritten: Int,
+      dropped: Int, rowsDeleted: Long)
+
+  private val DelAside = ".del_aside_"
+
+  private def delDest(orig: Path): Path =
+    new Path(orig.getParent, s"del_${orig.getName}")
+
+  /** Heal crashed [[deleteByKey]] attempts anywhere under `root`: an
+    * aside file whose replacement landed is a leftover (dropped); one
+    * whose replacement is missing is the last complete copy (restored).
+    * Run on entry by [[deleteByKey]] itself. */
+  private def recoverDeletes(fs: FileSystem, root: Path): Unit = {
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) {
+        if (n.startsWith(".del_tmp_")) fs.delete(st.getPath, true)
+        else if (!n.startsWith("_") && !n.startsWith(".")) walk(st.getPath)
+      }
+      else if (n.startsWith(DelAside)) {
+        val orig = new Path(st.getPath.getParent,
+          n.stripPrefix(DelAside))
+        if (fs.exists(delDest(orig))) fs.delete(st.getPath, false)
+        else if (!fs.rename(st.getPath, orig))
+          throw new java.io.IOException(
+            s"delete recovery: cannot restore $orig")
+      }
+    }
+    if (fs.exists(root)) walk(root)
+  }
+
+  /** Targeted hard delete — the right-to-be-forgotten operator: remove
+    * every row whose `c` is in `values`, rewriting ONLY the files that
+    * can contain them. At 100 TB a naive `filter + overwrite` rewrites
+    * the whole table to delete one user; this goes through the table's
+    * bloom skip stats ([[Skipping.candidateFilesEq]]) — candidate files
+    * (bloom-matched + stats-unknown) are the complete superset of files
+    * holding the keys (bloom has no false negatives), so every OTHER
+    * file keeps its physical identity untouched (mtime-spec'd). A file
+    * left empty by the delete is dropped outright.
+    *
+    * Per-file crash safety (SafeSwap's ordering at file granularity —
+    * a shared directory has no dir-level atomicity to lean on): the
+    * replacement is fully written HIDDEN, the original renames aside
+    * hidden, the replacement renames in under a name DERIVED from the
+    * original (`del_<orig>`), the aside drops. At every instant at
+    * most one complete copy of the file's rows is visible (the one
+    * rename-wide gap shows neither — same window SafeSwap has); a
+    * crash at any point heals on the next run via [[recoverDeletes]]
+    * (aside + replacement present → drop aside; aside only → restore).
+    * Idempotent: a re-run finds zero matching rows and rewrites
+    * nothing.
+    *
+    * The stats describing rewritten files are stale afterwards — the
+    * deletion is a stale-delete event by the maintained-stats contract,
+    * so [[Skipping.refreshStats]]/[[refreshBloom]] (or the next
+    * Warehouse sync) rebuild; readers stay correct in the window via
+    * the matched ∩ live-listing rule. Falls back to candidate = ALL
+    * files when no bloom stats exist for `c` (correct, just unpruned).
+    * Single maintenance writer, like every op here. */
+  def deleteByKey(spark: SparkSession, tableDir: String, c: String,
+      values: Seq[Any]): DeleteSummary = {
+    require(values.nonEmpty, "need at least one key to delete")
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val fs = fsFor(spark, tableDir)
+    recoverDeletes(fs, new Path(tableDir))
+    val hasBloom =
+      fs.exists(new Path(tableDir, s"_skip_bloom_$c"))
+    val candidates: Seq[String] =
+      if (hasBloom) {
+        val (m, u) = Skipping.candidateFilesEq(spark, tableDir, c, values)
+        m ++ u
+      } else {
+        def walk(p: Path): Seq[String] =
+          fs.listStatus(p).toSeq.flatMap { st =>
+            val n = st.getPath.getName
+            if (n.startsWith(".") || n.startsWith("_")) Seq.empty
+            else if (st.isDirectory) walk(st.getPath)
+            else Seq(st.getPath.toUri.toString)
+          }
+        walk(new Path(tableDir))
+      }
+    var rewritten = 0; var dropped = 0; var deleted = 0L
+    candidates.foreach { f =>
+      val df = spark.read.option("basePath", tableDir).parquet(f)
+      val r = df.agg(count(lit(1)).as("n"),
+        sum(when(col(c).isin(values: _*), 1L).otherwise(0L)).as("hits"))
+        .head()
+      val (total, hits) = (r.getLong(0), if (r.isNullAt(1)) 0L
+        else r.getLong(1))
+      if (hits > 0L) {
+        deleted += hits
+        val fp = new Path(f)
+        if (hits == total) {
+          fs.delete(fp, false) // nothing survives — drop the file
+          dropped += 1
+        } else {
+          val keep = spark.read.option("basePath", tableDir).parquet(f)
+            .filter(!col(c).isin(values: _*))
+          val tmpDir = new Path(fp.getParent,
+            s".del_tmp_${fp.getName}").toString
+          fs.delete(new Path(tmpDir), true) // crashed-attempt leftover
+          keep.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+          val part = fs.listStatus(new Path(tmpDir)).map(_.getPath)
+            .find(p => !p.getName.startsWith("_") &&
+              !p.getName.startsWith("."))
+            .getOrElse(throw new java.io.IOException(
+              s"delete rewrite produced no data file for $f"))
+          val aside = new Path(fp.getParent, s"$DelAside${fp.getName}")
+          val dest = delDest(fp)
+          fs.delete(dest, false) // leftover of a crashed attempt
+          if (!fs.rename(fp, aside))
+            throw new java.io.IOException(s"delete: cannot set $fp aside")
+          if (!fs.rename(part, dest)) {
+            fs.rename(aside, fp) // restore the last complete state
+            throw new java.io.IOException(s"delete: cannot place $dest")
+          }
+          fs.delete(aside, false)
+          fs.delete(new Path(tmpDir), true)
+          rewritten += 1
+        }
+      }
+    }
+    if (rewritten > 0 || dropped > 0) spark.catalog.refreshByPath(tableDir)
+    DeleteSummary(candidates.size, rewritten, dropped, deleted)
+  }
 }

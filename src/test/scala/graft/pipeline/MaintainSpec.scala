@@ -92,4 +92,67 @@ class MaintainSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 50)
     assert(snapshot(path).size == 1)
   }
+
+  test("deleteByKey rewrites only bloom-candidate files; others keep identity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("del_key").toString + "/t"
+    // hash-clustered on k: each key lives in exactly one of 8 files
+    (1L to 2000L).map(k => (k, k % 7)).toDF("k", "v")
+      .repartition(8, col("k")).write.parquet(path)
+    Skipping.buildBloom(spark, path, "k")
+    val before = snapshot(path)
+    val sum = Maintain.deleteByKey(spark, path, "k", Seq(500L, 1500L))
+    assert(sum.rowsDeleted == 2L, s"got $sum")
+    assert(sum.rewritten + sum.dropped <= sum.candidateFiles &&
+      sum.candidateFiles < 8,
+      s"bloom must confine the rewrite set: $sum")
+    val after = snapshot(path)
+    // untouched files keep name AND length (mtime granularity on local
+    // fs is seconds — length+name is the identity the sync layer uses)
+    val touched = before.keySet.diff(after.keySet)
+    assert(touched.size == sum.rewritten + sum.dropped)
+    before.filter { case (n, _) => after.contains(n) }.foreach {
+      case (n, v) => assert(after(n) == v, s"untouched file $n changed")
+    }
+    // content = the exact anti-filter
+    val got = spark.read.parquet(path).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 2000L).toSet -- Set(500L, 1500L))
+    // idempotent: a re-run deletes nothing and rewrites nothing
+    val again = Maintain.deleteByKey(spark, path, "k", Seq(500L, 1500L))
+    assert(again.rowsDeleted == 0L && again.rewritten == 0 &&
+      again.dropped == 0)
+    assert(snapshot(path) == after)
+    // a whole-class delete on a column with no bloom stats falls back
+    // to all-files candidates, still exact (k=500 was already deleted
+    // above, hence the filterNot)
+    val allOfOne = (1L to 2000L)
+      .filter(_ % 7 == 3).filterNot(Set(500L, 1500L))
+    val sum2 = Maintain.deleteByKey(spark, path, "v", Seq(3L))
+    assert(sum2.rowsDeleted == allOfOne.size.toLong)
+    assert(spark.read.parquet(path).filter(col("v") === 3L).count() == 0L)
+  }
+
+  test("deleteByKey crash recovery: aside-only restores, aside+dest drops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("del_crash").toString + "/t"
+    (1L to 100L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1).write.parquet(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val orig = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    // simulate a crash AFTER the aside rename, before the replacement
+    // landed: the next deleteByKey must restore the original first
+    val aside = new org.apache.hadoop.fs.Path(orig.getParent,
+      s".del_aside_${orig.getName}")
+    assert(fs.rename(orig, aside))
+    val sum = Maintain.deleteByKey(spark, path, "k", Seq(50L))
+    assert(sum.rowsDeleted == 1L)
+    assert(spark.read.parquet(path).count() == 99L,
+      "recovery must restore the aside copy before deleting")
+    assert(!fs.exists(aside))
+  }
 }
