@@ -173,14 +173,24 @@ object Maintain {
         walk(new Path(tableDir))
       }
     var rewritten = 0; var dropped = 0; var deleted = 0L
-    candidates.foreach { f =>
-      val df = spark.read.option("basePath", tableDir).parquet(f)
-      val r = df.agg(count(lit(1)).as("n"),
+    if (candidates.isEmpty)
+      return DeleteSummary(0, 0, 0, 0L)
+    // ONE batched discovery pass over the candidates (not one probe job
+    // per file): exact per-file hit/total counts — bloom false
+    // positives drop out here, and the rewrite loop below touches only
+    // files that truly hold the keys
+    val hitRows = spark.read.option("basePath", tableDir)
+      .parquet(candidates: _*)
+      .groupBy(org.apache.spark.sql.functions
+        .col("_metadata.file_path").as("file"))
+      .agg(count(lit(1)).as("n"),
         sum(when(col(c).isin(values: _*), 1L).otherwise(0L)).as("hits"))
-        .head()
-      val (total, hits) = (r.getLong(0), if (r.isNullAt(1)) 0L
-        else r.getLong(1))
-      if (hits > 0L) {
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .filter(_._3 > 0L)
+    hitRows.foreach { case (f, total, hits) =>
+      {
         deleted += hits
         val fp = new Path(f)
         if (hits == total) {
