@@ -264,15 +264,21 @@ object EventStreams {
             EwmaUpdate(user, last.map(_.n).getOrElse(0L),
               last.map(_.ewma).getOrElse(Double.NaN))
           } else {
-            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
             var st = state.getOption.getOrElse(
               EwmaState(Long.MinValue / 4, 0L, 0.0))
             sorted.foreach { e =>
-              st =
-                if (st.n == 0L)
-                  EwmaState(e.ts.getTime * 1000, 1L, e.value)
-                else
-                  EwmaState(e.ts.getTime * 1000, st.n + 1,
+              val us = tsMicros(e.ts)
+              // same ordering contract as statefulInterArrival: the
+              // EWMA is an ordered fold, so an in-watermark event
+              // arriving in a later micro-batch with ts BEFORE the last
+              // folded event cannot be retro-inserted with O(1) state —
+              // strictly-regressive arrivals drop (the stream equals
+              // the batch fold under order-preserving delivery)
+              if (st.n == 0L || us >= st.lastUs)
+                st =
+                  if (st.n == 0L) EwmaState(us, 1L, e.value)
+                  else EwmaState(us, st.n + 1,
                     st.ewma * (1.0 - alpha) + e.value * alpha)
             }
             state.update(st)
