@@ -273,19 +273,27 @@ object AppendCommit {
   /** The data files a batch placed in the live tree (tag-named by
     * [[appendBatch]]) — lets a replayed consumer read back EXACTLY the
     * batch it committed earlier instead of recomputing it against state
-    * that has since moved (the streaming admission pipeline's pin). */
+    * that has since moved (the streaming admission pipeline's pin).
+    *
+    * Resolved by NAME-PREFIX GLOB, not a tree walk: a long-lived
+    * streaming store holds one batch's files per micro-batch, and a
+    * per-batch full walk would be O(total batches) each call — O(n²)
+    * over the stream's lifetime. The batch tag is a filename prefix
+    * precisely so object stores can serve this as a prefix listing.
+    * Covers the flat root plus two partition-directory levels (the
+    * layouts [[appendBatch]]'s movers produce). */
   def filesOfBatch(root: String, batchId: String): Seq[String] = {
     val fs = fsFor(root)
+    if (!fs.exists(new Path(root))) return Seq.empty
     val tag = tagOf(batchId)
-    def walk(p: Path): Seq[String] = fs.listStatus(p).toSeq.flatMap { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory) {
-        if (!n.startsWith(".") && n != "_applied") walk(st.getPath)
-        else Seq.empty
-      } else if (n.startsWith(tag)) Seq(st.getPath.toUri.toString)
-      else Seq.empty
-    }
-    if (!fs.exists(new Path(root))) Seq.empty else walk(new Path(root))
+    Seq(s"$root/$tag*", s"$root/*/$tag*", s"$root/*/*/$tag*")
+      .flatMap(g => Option(fs.globStatus(new Path(g))).toSeq.flatten)
+      .filterNot(_.isDirectory)
+      // a glob level can descend into hidden/ledger dirs on exotic
+      // layouts — the tag prefix plus this guard keeps it data-only
+      .filterNot(st => st.getPath.getParent.getName.startsWith("_") ||
+        st.getPath.getParent.getName.startsWith("."))
+      .map(_.getPath.toUri.toString)
   }
 
   /** Remove data files tagged with `batchId` anywhere under `root` —
