@@ -197,10 +197,22 @@ object Skipping {
       if (fresh.isEmpty) Refresh(rebuilt = false, appended = 0)
       else {
         appendBatchRows(spark, statsDir, fresh, rows)
+        // amortized small-file bound: one stats file lands per batch;
+        // past the threshold, fold them (O(stats) rewrite, ledger
+        // carried) so planning reads never degrade to a file-open storm
+        val nFiles = fs.listStatus(new Path(statsDir)).count { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (nFiles >= AutoCompactFiles) compactGeneric(spark, statsDir)
         Refresh(rebuilt = false, appended = fresh.size)
       }
     }
   }
+
+  /** Auto-compaction threshold for the per-batch stats files — same
+    * amortized-O(1) idea as [[AppendCommit.AutoCompactAt]]. */
+  val AutoCompactFiles: Int = 64
 
   /** Compact a stats tree: every O(batch) append lands one small
     * parquet file, so years of daily syncs leave hundreds of tiny files
