@@ -98,6 +98,49 @@ class FreshFoldSpec extends SparkSpec {
       .contains("f1.tsv"))
   }
 
+  test("randomized crash injection: every file folds EXACTLY once under " +
+      "arbitrary crash points and listing growth") {
+    case object Crash extends RuntimeException("injected crash")
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 10) {
+      val s = store()
+      // a fold "commits" when markApplied lands (the JoinView.merge
+      // shape); `committed` records every commit that survived
+      val committed = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var all = Seq.empty[String]
+      var next = 0
+      for (_ <- 1 to 8) {
+        all = all ++ (0 until 1 + rnd.nextInt(3)).map { _ =>
+          next += 1; s"f$next"
+        }
+        val crashPre = rnd.nextInt(4) == 0  // before the data commit
+        val crashPost = rnd.nextInt(4) == 0 // after commit, pre-marker
+        try {
+          FreshFold.foldFresh(s, all) { (files, id) =>
+            if (crashPre) throw Crash
+            AppendCommit.markApplied(s, id, "")
+            committed += files
+            if (crashPost) throw Crash
+          }
+        } catch { case Crash => () }
+      }
+      // a final healthy refresh must converge whatever happened
+      FreshFold.foldFresh(s, all) { (files, id) =>
+        AppendCommit.markApplied(s, id, "")
+        committed += files
+      }
+      assert(FreshFold.covered(s) == all.toSet,
+        s"trial $trial: covered ${FreshFold.covered(s)} != $all")
+      val flat = committed.flatten
+      assert(flat.size == flat.distinct.size,
+        s"trial $trial: a file was folded twice: " +
+          flat.groupBy(identity).filter(_._2.size > 1).keys)
+      assert(flat.toSet == all.toSet,
+        s"trial $trial: missed files ${all.toSet -- flat.toSet}")
+      assert(FreshFold.pendingIntent(s).isEmpty)
+    }
+  }
+
   test("legacy per-file rawfile- markers count as covered") {
     val s = store()
     AppendCommit.markApplied(s, "rawfile-old1.tsv", "")
