@@ -285,6 +285,50 @@ class SkippingSpec extends SparkSpec {
     assert(got == Set(9010L))
   }
 
+  test("property: random append/delete/refresh/compact lifecycles never " +
+      "lose or invent rows in pruned reads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val path = Files.createTempDirectory(s"skip_prop$trial").toString + "/t"
+      var nextKey = 0L
+      def appendBatch(): Unit = {
+        val n = 20 + rnd.nextInt(60)
+        val rows = (1 to n).map { _ => nextKey += 1; (nextKey, nextKey * 3) }
+        rows.toDF("k", "v").coalesce(1 + rnd.nextInt(2))
+          .write.mode("append").parquet(path)
+      }
+      appendBatch()
+      Skipping.buildStats(spark, path, Seq("k"))
+      def check(): Unit = {
+        val hi = math.max(nextKey, 1L)
+        val lo = 1L + (if (hi > 1) rnd.nextLong(hi) else 0L)
+        val up = math.min(hi, lo + rnd.nextLong(hi) % math.max(hi / 2, 1L))
+        val pruned = Skipping.readRange(spark, path, "k", lo, up)
+          .select("k").collect().map(_.getLong(0)).toSet
+        val full = spark.read.parquet(path)
+          .filter(col("k") >= lo && col("k") <= up)
+          .select("k").collect().map(_.getLong(0)).toSet
+        assert(pruned == full,
+          s"trial $trial [$lo,$up]: pruned ${pruned.size} != full " +
+            s"${full.size}; missing ${full -- pruned}, extra ${pruned -- full}")
+      }
+      for (_ <- 1 to 6) {
+        rnd.nextInt(4) match {
+          case 0 => appendBatch()
+          case 1 => // stale-delete a random data file
+            val files = new java.io.File(path).listFiles()
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            if (files.length > 1) files(rnd.nextInt(files.length)).delete()
+          case 2 => Skipping.refreshStats(spark, path, Seq("k"))
+          case 3 => Skipping.compactStats(spark, path)
+        }
+        check()
+      }
+    }
+  }
+
   test("stats compaction folds per-batch files to one, carries the ledger") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
