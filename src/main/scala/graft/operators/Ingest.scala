@@ -715,6 +715,55 @@ object Ingest {
       |FROM orders WHERE o_custkey NOT IN (11, 42, 107)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q230_transparent_skipping — the optimizer-rule path through the
+  // gate: a PLAIN DataFrame range filter (no Skipping reader API) over
+  // a stats-carrying table must file-prune via
+  // [[graft.plans.SkippingFilePrune]] (require'd: the executed plan's
+  // scan holds a strict subset of the files) and still return exactly
+  // the full-scan answer (the oracle). This is the q114 semantics with
+  // the pruning moved from an explicit reader into the planner — the
+  // ergonomics a warehouse analyst actually gets.
+  // ---------------------------------------------------------------------
+  def q230TransparentSkipping(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Skipping
+    graft.plans.SkippingFilePrune.register(s)
+    val tbl = s"$skipBase/orders_rule_${dir.hashCode.toHexString}"
+    val maxKey = t(s, dir, "orders").agg(max(col("o_orderkey")))
+      .head().getLong(0)
+    val (lo, hi) = (maxKey * 2 / 10, maxKey * 3 / 10)
+    if (!new java.io.File(s"$tbl.complete").exists()) {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.parquet(tbl)
+      Skipping.buildStats(s, tbl, Seq("o_orderkey"))
+      new java.io.File(s"$tbl.complete").createNewFile()
+    }
+    val q = s.read.parquet(tbl)
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+    val scanned = q.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.relation.location.inputFiles.length
+    }.sum
+    require(scanned > 0 && scanned < 8,
+      s"the rule must prune the plain filter's scan: $scanned of 8 files")
+    q.agg(count(lit(1)).as("n"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      sumDec(col("o_totalprice")).as("sum_price"))
+  }
+
+  val q230TransparentSkippingSql: String =
+    """SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+      |  MAX(o_orderkey) AS max_key,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders
+      |WHERE o_orderkey
+      |    BETWEEN (SELECT MAX(o_orderkey) * 2 // 10 FROM orders)
+      |    AND (SELECT MAX(o_orderkey) * 3 // 10 FROM orders)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q170_shard_fingerprint — deterministic training-data sharding with
   // content fingerprints: every doc lands in a shard by a stable hash of
   // its id (md5 — engine-neutral, growth-stable like q63's split), and
