@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -92,6 +93,13 @@ case class SkippingFilePrune(spark: SparkSession)
     afterBloom.orElse(afterRange)
   }
 
+  /** Catalyst literals carry INTERNAL values (UTF8String, Decimal, day
+    * counts); the pruning helpers re-enter the public API via `lit`,
+    * which takes EXTERNAL Scala values — convert, or string/date/decimal
+    * columns would throw inside the optimizer. */
+  private def ext(l: Literal): Any =
+    CatalystTypeConverters.convertToScala(l.value, l.dataType)
+
   /** The first `c = v` / `c IN (v…)` conjunct with all-literal,
     * non-null values (any non-literal element defeats static pruning). */
   private def inConjunct(cond: Expression,
@@ -109,12 +117,12 @@ case class SkippingFilePrune(spark: SparkSession)
             case _ => false
           } =>
         nameOf(a).map(n => (n, list.map {
-          case Literal(v, _) => v
+          case l: Literal => ext(l)
         }))
-      case EqualTo(a: Attribute, Literal(v, _)) if v != null =>
-        nameOf(a).map(n => (n, Seq(v)))
-      case EqualTo(Literal(v, _), a: Attribute) if v != null =>
-        nameOf(a).map(n => (n, Seq(v)))
+      case EqualTo(a: Attribute, l @ Literal(v, _)) if v != null =>
+        nameOf(a).map(n => (n, Seq(ext(l))))
+      case EqualTo(l @ Literal(v, _), a: Attribute) if v != null =>
+        nameOf(a).map(n => (n, Seq(ext(l))))
       case _ => None
     }.nextOption()
   }
@@ -144,29 +152,29 @@ case class SkippingFilePrune(spark: SparkSession)
     def nameOf(a: Attribute): Option[String] =
       lr.output.find(_.exprId == a.exprId).map(_.name)
     splitAnd(cond).foreach {
-      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
-        nameOf(a).foreach(los.getOrElseUpdate(_, v))
-      case GreaterThan(a: Attribute, Literal(v, _)) =>
-        nameOf(a).foreach(los.getOrElseUpdate(_, v))
-      case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
-        nameOf(a).foreach(his.getOrElseUpdate(_, v))
-      case LessThan(a: Attribute, Literal(v, _)) =>
-        nameOf(a).foreach(his.getOrElseUpdate(_, v))
-      case LessThanOrEqual(Literal(v, _), a: Attribute) =>
-        nameOf(a).foreach(los.getOrElseUpdate(_, v))
-      case LessThan(Literal(v, _), a: Attribute) =>
-        nameOf(a).foreach(los.getOrElseUpdate(_, v))
-      case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
-        nameOf(a).foreach(his.getOrElseUpdate(_, v))
-      case GreaterThan(Literal(v, _), a: Attribute) =>
-        nameOf(a).foreach(his.getOrElseUpdate(_, v))
-      case EqualTo(a: Attribute, Literal(v, _)) =>
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        nameOf(a).foreach(los.getOrElseUpdate(_, ext(l)))
+      case GreaterThan(a: Attribute, l: Literal) =>
+        nameOf(a).foreach(los.getOrElseUpdate(_, ext(l)))
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        nameOf(a).foreach(his.getOrElseUpdate(_, ext(l)))
+      case LessThan(a: Attribute, l: Literal) =>
+        nameOf(a).foreach(his.getOrElseUpdate(_, ext(l)))
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        nameOf(a).foreach(los.getOrElseUpdate(_, ext(l)))
+      case LessThan(l: Literal, a: Attribute) =>
+        nameOf(a).foreach(los.getOrElseUpdate(_, ext(l)))
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        nameOf(a).foreach(his.getOrElseUpdate(_, ext(l)))
+      case GreaterThan(l: Literal, a: Attribute) =>
+        nameOf(a).foreach(his.getOrElseUpdate(_, ext(l)))
+      case EqualTo(a: Attribute, l: Literal) =>
         nameOf(a).foreach { n =>
-          los.getOrElseUpdate(n, v); his.getOrElseUpdate(n, v)
+          los.getOrElseUpdate(n, ext(l)); his.getOrElseUpdate(n, ext(l))
         }
-      case EqualTo(Literal(v, _), a: Attribute) =>
+      case EqualTo(l: Literal, a: Attribute) =>
         nameOf(a).foreach { n =>
-          los.getOrElseUpdate(n, v); his.getOrElseUpdate(n, v)
+          los.getOrElseUpdate(n, ext(l)); his.getOrElseUpdate(n, ext(l))
         }
       case _ => ()
     }

@@ -81,6 +81,26 @@ class SkippingFilePruneSpec extends SparkSpec {
     assert(q2.collect().map(_.getLong(0)).toSeq == Seq(500L))
   }
 
+  test("string columns prune too: internal literal values convert to external") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    SkippingFilePrune.register(spark)
+    val path = Files.createTempDirectory("prune_str").toString + "/t"
+    (1 to 900).map(i => (f"k$i%04d", i.toLong)).toDF("s", "v")
+      .repartitionByRange(9, col("s")).write.parquet(path)
+    Skipping.buildStats(spark, path, Seq("s"))
+    Skipping.buildBloom(spark, path, "s")
+    // a string RANGE filter (UTF8String literals inside Catalyst)
+    val q = spark.read.parquet(path)
+      .filter(col("s") >= "k0300" && col("s") <= "k0350")
+    assert(scannedFiles(q).size < 9, "string range must prune")
+    assert(q.collect().map(_.getString(0)).toSet ==
+      (300 to 350).map(i => f"k$i%04d").toSet)
+    // and a string IN filter through the bloom
+    val q2 = spark.read.parquet(path).filter(col("s").isin("k0042"))
+    assert(q2.collect().map(_.getLong(1)).toSeq == Seq(42L))
+  }
+
   test("tables without stats, partitioned tables, and non-range filters are untouched") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
