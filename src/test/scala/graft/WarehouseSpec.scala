@@ -616,6 +616,79 @@ class WarehouseSpec extends SparkSpec {
       s"plain SQL must prune: scanned ${scanned.size} of $total files")
   }
 
+  test("kitchen-sink sync: every maintenance family refreshes in one pass " +
+      "and again on the delta") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("wh_ks_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(
+      CDTable("fact", None, Seq(
+        CDColumn("k", "bigint"), CDColumn("x", "double precision"))),
+      CDTable("dim", None, Seq(
+        CDColumn("k", "bigint"), CDColumn("attr", "varchar", Some(10)))),
+      CDTable("docs", None, Seq(
+        CDColumn("doc_id", "bigint"), CDColumn("text", "varchar", Some(500)))),
+      CDTable("vecs", None, Seq(
+        CDColumn("vec_id", "bigint"), CDColumn("emb", "varchar", Some(100)))))
+    val sentence = "the quick brown fox jumps over the lazy dog and " +
+      "runs far away into the deep green forest tonight"
+    val other = "pack my box with five dozen liquor jugs while the band " +
+      "played waltzes on the crowded pier all evening"
+    val m1 = Seq(
+      put("fact", "f1.tsv",
+        (1L to 40L).map(k => s"$k\t${k * 1.5}").mkString("", "\n", "\n")),
+      put("dim", "d1.tsv", "1\talpha\n2\tbeta\n"),
+      put("docs", "doc1.tsv", s"1\t$sentence\n"),
+      put("vecs", "v1.tsv", "1\t1.0,0.0\n2\t0.9,0.1\n3\t0.0,1.0\n4\t0.1,0.9\n"))
+    val whDir = Files.createTempDirectory("wh_ks_root").toUri.toString
+      .stripSuffix("/")
+    val spec = pipeline.Rollup.Spec(Nil, sumCols = Seq("x"))
+    val wh = new Warehouse(spark, Warehouse.Config(whDir, db = "cd_whk",
+      parallelism = 2, canonicalize = true,
+      maintainedRollups = Seq(Warehouse.RollupDef("tot", "fact", spec)),
+      maintainedProfiles = Map("fact" -> Seq("k")),
+      maintainedViews = Seq(
+        Warehouse.ViewDef("enr", "fact", "dim", Seq("k"))),
+      maintainedIndexes = Seq(
+        Warehouse.IndexDef("nd", "docs", "doc_id", "text")),
+      maintainedVectorIndexes = Seq(
+        Warehouse.VectorIndexDef("ann", "vecs", "vec_id", "emb",
+          nlist = 2, replicas = 1)),
+      maintainedSkipStats = Map("fact" -> Seq("k")),
+      maintainedBloomStats = Map("fact" -> Seq("k"))))
+    wh.sync(m1, schema)
+    assert(wh.rollup("tot", spec).select("sum_x").head().getDouble(0) ==
+      (1L to 40L).map(_ * 1.5).sum)
+    assert(wh.view("enr").count() == 2L) // k=1,2 join the dim
+    assert(wh.nearDupsIn("nd",
+      Seq((9L, sentence)).toDF("doc_id", "text")).count() == 1L)
+    assert(wh.annIn("ann", Seq((9L, Seq(1.0f, 0.05f)))
+      .toDF("q_id", "q_emb"), k = 1, nprobe = 1).count() == 1L)
+    assert(wh.readRange("fact", "k", 10L, 12L).count() == 3L)
+    assert(wh.readPointLookup("fact", "k", Seq(7L)).count() == 1L)
+    // one delta sync refreshes EVERYTHING
+    val m2 = m1 ++ Seq(
+      put("fact", "f2.tsv", "2\t100.0\n50\t1.0\n"),
+      put("docs", "doc2.tsv", s"2\t$other\n"),
+      put("vecs", "v2.tsv", "5\t0.05,0.95\n"))
+    wh.sync(m2, schema)
+    assert(wh.rollup("tot", spec).select("sum_x").head().getDouble(0) ==
+      (1L to 40L).map(_ * 1.5).sum + 101.0)
+    assert(wh.view("enr").count() == 3L) // the new k=2 row joined
+    assert(wh.nearDupsIn("nd",
+      Seq((10L, other)).toDF("doc_id", "text")).count() == 1L)
+    assert(wh.annIn("ann", Seq((10L, Seq(0.06f, 0.94f)))
+        .toDF("q_id", "q_emb"), k = 1, nprobe = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq == Seq(5L))
+    assert(wh.readRange("fact", "k", 45L, 60L).count() == 1L)
+    assert(wh.profileOf("fact", Seq("k"))
+      .filter($"col_name" === "k").select("n_rows").head().getLong(0) == 42L)
+  }
+
   test("store init reads the canonical parquet layer when current, raw TSV otherwise") {
     val src = Files.createTempDirectory("wh_cb_src")
     def put(table: String, name: String, content: String): ManifestEntry = {
