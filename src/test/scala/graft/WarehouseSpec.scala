@@ -454,6 +454,14 @@ class WarehouseSpec extends SparkSpec {
     // replayed sync: ledger no-op
     wh.sync(m2, schema)
     assert(idxFiles() == after, "an unchanged listing must not rewrite")
+    // periodic cell-file compaction through the warehouse surface:
+    // fewer files, identical probes, later appends still converge
+    val preCompact = idxFiles()
+    val cs = wh.compactVectorIndex("emb_ann")
+    assert(cs.partitionsSeen > 0)
+    assert(idxFiles().size <= preCompact.size)
+    assert(nn(104L, 0.15, 0.99) == Seq(5L),
+      "probe results must survive compaction")
     // stale-delete → rebuild (retrain) over survivors
     val m3 = m2.filterNot(_.filename == "v1.tsv")
     wh.sync(m3, schema)
