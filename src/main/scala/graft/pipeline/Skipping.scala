@@ -123,7 +123,7 @@ object Skipping {
         .collect().map(r => (r.getString(0), r.getLong(1)))
       counts.groupBy { case (_, n) => nextPow2(math.max(n, 1L)) }
         .toSeq.sortBy(_._1)
-        .map { case (cap, fls) => agg(fls.map(_._1), cap) }
+        .map { case (cap, fls) => agg(fls.map(_._1).toSeq, cap) }
         .reduce(_.unionByName(_))
     }
   }
