@@ -83,6 +83,68 @@ object Similarity {
         col("col.id").as("vec_id"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most-SIMILAR corpus items with a DIFFERENT label — the
+    * near-miss examples a metric-learning / retrieval objective needs
+    * (easy negatives are information-free; the batch that matters is
+    * the one that almost fools the model). `corpus` needs (vec_id,
+    * embedding, label); `queries` (q_id, q_emb, q_label).
+    *
+    * Scale shape = q36b's: queries broadcast, ONE corpus scan, and the
+    * bounded partial-heap Aggregator ([[graft.functions.TopKByScore]])
+    * reduces every map partition to k rows before the shuffle — the
+    * shuffled volume is partitions×k, never |corpus|×|queries|. For
+    * corpus-sized query sets, mine through the IVF index
+    * ([[probeIvfIndex]]) and anti-filter labels after. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val scored = corpus
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id") &&
+        col("label") =!= col("q_label"))
+      .select(col("q_id"),
+        expr("cosine_sim(q_emb, embedding)").as("score"),
+        col("vec_id").as("id"))
+    val topk = udaf(new graft.functions.TopKByScore(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.ScoredId]())
+    scored.groupBy(col("q_id"))
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("vec_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q231_hard_negatives — top-3 different-label near-misses for the
+  // first 20 vectors, through the map-side-bounded aggregator. Integer
+  // outputs only (ranks + ids); the oracle replays the ranking with
+  // DuckDB's cosine — same contract as q36/q36b.
+  // ---------------------------------------------------------------------
+  def q231HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    hardNegatives(e,
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label")),
+      k = 3)
+  }
+
+  val q231HardNegativesSql: String =
+    """SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id FROM (
+      |  SELECT q.vec_id AS q_id, n.vec_id AS vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(
+      |        CAST(q.embedding AS DOUBLE[]),
+      |        CAST(n.embedding AS DOUBLE[])) DESC, n.vec_id ASC) AS rnk
+      |  FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+      |  JOIN embeddings n
+      |    ON n.vec_id <> q.vec_id AND n.label <> q.label)
+      |WHERE rnk <= 3""".stripMargin
+
   /** Spherical k-means centroids from a bounded deterministic corpus
     * sample. This is the IVF "train" phase: sample → local Lloyd
     * iterations on the driver → broadcast centroids as plan literals.
