@@ -9,29 +9,6 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, LongType}
 
-/** SQL surface over Catalyst's OWN bloom-filter expressions
-  * (`BloomFilterAggregate` / `BloomFilterMightContain`) — the exact pair
-  * the optimizer injects for runtime join filters
-  * (`InjectRuntimeFilter`), exposed as callable functions so an operator
-  * can build the same shape DECLARATIVELY where the optimizer's
-  * heuristics wouldn't fire (our case: the anti-join diff, which
-  * InjectRuntimeFilter skips — it only prunes probe sides of equi-joins
-  * it can prove selective).
-  *
-  * Nothing is reimplemented: sketch building, merge, serialization, and
-  * the `might_contain` codegen all come from Spark. We add only the
-  * registry entries (with a convenience cast of the item-count argument
-  * to the LONG the aggregate requires).
-  *
-  * `graft_bloom_agg(xxhash64(k), n)` aggregates to one BINARY sketch
-  * sized for n items at 8 bits/item (~2% FPP — Spark's own default
-  * ratio); `graft_might_contain(bloom, xxhash64(k))` is the probe.
-  * `might_contain` requires its sketch argument constant-foldable or a
-  * scalar subquery — pass the aggregate THROUGH a scalar subquery, which
-  * Spark plans as a one-row broadcast to every probe task (the runtime
-  * filter's distribution model: the sketch ships once per executor, the
-  * probe is map-side, zero shuffle on the probed table).
-  */
 /** `graft_bloom_any(bloom BINARY, hashes ARRAY<BIGINT>)` — true when the
   * sketch might contain ANY of the hashes. Spark's own
   * `BloomFilterMightContain` requires its sketch argument foldable or a
@@ -80,6 +57,31 @@ case class BloomMightContainAny(left: Expression, right: Expression)
   override def prettyName: String = "graft_bloom_any"
 }
 
+/** SQL surface over Catalyst's OWN bloom-filter expressions
+  * (`BloomFilterAggregate` / `BloomFilterMightContain`) — the exact pair
+  * the optimizer injects for runtime join filters
+  * (`InjectRuntimeFilter`), exposed as callable functions so an operator
+  * can build the same shape DECLARATIVELY where the optimizer's
+  * heuristics wouldn't fire (our case: the anti-join diff, which
+  * InjectRuntimeFilter skips — it only prunes probe sides of equi-joins
+  * it can prove selective).
+  *
+  * Nothing is reimplemented: sketch building, merge, serialization, and
+  * the `might_contain` codegen all come from Spark. We add the registry
+  * entries (with a convenience cast of the item-count argument to the
+  * LONG the aggregate requires) plus ONE custom expression —
+  * [[BloomMightContainAny]] — for the per-row-sketch shape Spark's
+  * probe cannot express.
+  *
+  * `graft_bloom_agg(xxhash64(k), n)` aggregates to one BINARY sketch
+  * sized for n items at 8 bits/item (~2% FPP — Spark's own default
+  * ratio); `graft_might_contain(bloom, xxhash64(k))` is the probe.
+  * `might_contain` requires its sketch argument constant-foldable or a
+  * scalar subquery — pass the aggregate THROUGH a scalar subquery, which
+  * Spark plans as a one-row broadcast to every probe task (the runtime
+  * filter's distribution model: the sketch ships once per executor, the
+  * probe is map-side, zero shuffle on the probed table).
+  */
 object Bloom {
 
   /** Called from generated code — keep the signature stable. */
@@ -113,6 +115,9 @@ object Bloom {
     exprs => BloomFilterMightContain(exprs(0), exprs(1))
 
   def register(spark: SparkSession): Unit = {
+    // idempotent: skip when already present (avoids re-register WARNs)
+    if (spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("graft_bloom_any"))) return
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName,

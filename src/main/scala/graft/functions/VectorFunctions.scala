@@ -83,6 +83,10 @@ object VectorFunctions {
   /** Register `cosine_sim` in the session's function registry so it is
     * usable from both SQL text and `expr("cosine_sim(a, b)")`. Idempotent. */
   def register(spark: SparkSession): Unit = {
+    // truly idempotent: re-registering spams "replaced a previously
+    // registered function" WARNs across every gate query
+    if (spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("cosine_sim"))) return
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
