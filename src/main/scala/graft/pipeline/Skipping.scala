@@ -60,6 +60,21 @@ object Skipping {
 
   private def canon(s: String) = new Path(s).toUri.getPath
 
+  /** Read a stats tree through its EXPLICIT data-file list: passing the
+    * `_`-prefixed dir itself works, but Spark's hidden-path filtering
+    * logs a spurious "All paths were ignored" WARN per read — one per
+    * planning decision adds up in the driver log. Throws the usual
+    * empty-path error if no stats files exist (callers guard
+    * existence). */
+  private def statsDf(spark: SparkSession, statsDir: String): DataFrame = {
+    val fs = fsFor(spark, statsDir)
+    val files = fs.listStatus(new Path(statsDir)).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath.toUri.toString)
+    spark.read.parquet(files: _*)
+  }
+
   private def listDataFiles(spark: SparkSession, tableDir: String)
       : Seq[String] = {
     val fs = fsFor(spark, tableDir)
@@ -225,7 +240,7 @@ object Skipping {
     val fs = fsFor(spark, statsDir)
     if (!fs.exists(new Path(statsDir))) return
     AppendCommit.compactLedger(statsDir)
-    val rows = spark.read.parquet(statsDir)
+    val rows = statsDf(spark, statsDir)
     SafeSwap.replace(statsDir) { tmp =>
       // the lazy read executes inside this write, before the rename
       rows.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -282,7 +297,7 @@ object Skipping {
     * scanned unconditionally for correctness). */
   def candidateFiles(spark: SparkSession, tableDir: String, c: String,
       lo: Any, hi: Any): (Seq[String], Seq[String]) = {
-    val stats = spark.read.parquet(s"$tableDir/$StatsDir")
+    val stats = statsDf(spark, s"$tableDir/$StatsDir")
     // NULL-stat files drop here too: NULL < lo is NULL → not kept
     val matched = stats
       .filter(!(col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi)))
@@ -311,7 +326,7 @@ object Skipping {
     val fs = fsFor(spark, tableDir)
     val statsDir = s"$tableDir/$StatsDir"
     if (!fs.exists(new Path(statsDir))) return None
-    val stats = spark.read.parquet(statsDir)
+    val stats = statsDf(spark, statsDir)
     if (!stats.columns.contains(s"min_$c")) return None
     val matched = stats
       .filter(!(col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi)))
@@ -339,7 +354,7 @@ object Skipping {
     val hashes = values.indices.map(hashRow.getLong)
     val matched = bloomMatchedDf(spark, tableDir, c, hashes)
       .collect().map(r => canon(r.getString(0))).toSet
-    val known = spark.read.parquet(s"$tableDir/${bloomDir(c)}")
+    val known = statsDf(spark, s"$tableDir/${bloomDir(c)}")
       .select(col("file")).collect().map(r => canon(r.getString(0))).toSet
     Some(listing.filter { f =>
       val cf = canon(f)
@@ -423,7 +438,7 @@ object Skipping {
       tableDir: String, c: String, hashes: Seq[Long]): DataFrame = {
     graft.functions.Bloom.register(spark)
     val hashesSql = hashes.map(h => s"${h}L").mkString("array(", ",", ")")
-    spark.read.parquet(s"$tableDir/${bloomDir(c)}")
+    statsDf(spark, s"$tableDir/${bloomDir(c)}")
       // NULL sketch (no rows reached the aggregate — an all-NULL column
       // slice under a pre-filter) cannot match a non-null probe: the
       // expression is null-propagating, COALESCE makes that a skip
@@ -444,7 +459,7 @@ object Skipping {
     val hashes = values.indices.map(hashRow.getLong)
     val matched = bloomMatchedDf(spark, tableDir, c, hashes)
       .collect().map(_.getString(0)).toSeq
-    val known = spark.read.parquet(s"$tableDir/${bloomDir(c)}")
+    val known = statsDf(spark, s"$tableDir/${bloomDir(c)}")
       .select(col("file")).collect().map(r => canon(r.getString(0))).toSet
     val live = listDataFiles(spark, tableDir)
     val liveSet = live.map(canon).toSet

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expre
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation, PartitioningAwareFileIndex}
 
 /** Optimizer rule making [[graft.pipeline.Skipping]]'s file-level
   * min/max pruning TRANSPARENT: a plain `spark.read.parquet(dir)` /
@@ -30,9 +30,11 @@ import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRela
   * the relation's OWN listing, no re-list); the Filter stays on top, so
   * semantics cannot change — pruning only ever drops files whose stats
   * PROVE no row can pass. Strict bounds are widened to inclusive
-  * (superset-safe). Partitioned or multi-root relations are left alone
-  * (Catalyst's partition pruning owns that case; the explicit readers
-  * cover the rest).
+  * (superset-safe). Partitioned relations prune too — the original
+  * partition-value spec is carried onto the pruned index (never
+  * re-inferred from a file subset), so within-partition file skipping
+  * COMPOSES with Catalyst's partition pruning; multi-root relations
+  * are left alone.
   *
   * Scale: the rewrite costs one small parquet read of the stats table
   * at PLANNING time — the entire point: a 100 TB table's pruning
@@ -56,7 +58,17 @@ case class SkippingFilePrune(spark: SparkSession)
       val rewritten =
         for {
           root <- singleRoot(hfs)
-          if hfs.partitionSchema.isEmpty
+          // PARTITIONED tables need the original partition-value spec
+          // carried over (re-inference from a leaf-file subset could
+          // drop or re-type values); non-partitioning-aware indexes
+          // (catalog file indexes) are left alone
+          spec <- hfs.location match {
+            case p: PartitioningAwareFileIndex
+                if hfs.partitionSchema.nonEmpty =>
+              Some(Some(p.partitionSpec()))
+            case _ if hfs.partitionSchema.isEmpty => Some(None)
+            case _ => None
+          }
           listing = hfs.location.inputFiles.toSeq
           pruned <- prunedListing(root, cond, lr, listing)
           if pruned.size < listing.size
@@ -66,7 +78,7 @@ case class SkippingFilePrune(spark: SparkSession)
             Map("basePath" -> root),
             Some(hfs.dataSchema),
             FileStatusCache.getOrCreate(spark),
-            None, None)
+            spec, None)
           val rel = HadoopFsRelation(index, hfs.partitionSchema,
             hfs.dataSchema, hfs.bucketSpec, hfs.fileFormat,
             hfs.options + (AppliedKey -> "true"))(spark)
