@@ -91,6 +91,90 @@ object Dedup {
   def q33NgramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(shingleRows(t(s, dir, "documents")))
 
+  /** Prefix-filtered exact Jaccard join (the PPJoin candidate-pruning
+    * idea — Xiao et al., WWW '08): identical OUTPUT to [[jaccardPairs]]
+    * (same columns, same τ-on-double semantics), but candidate
+    * generation joins only each set's PREFIX — its n − ⌈τn⌉ + 1
+    * rarest shingles under a global (frequency, shingle) order —
+    * instead of the full inverted index. Any pair with J ≥ τ must
+    * share a prefix shingle on BOTH sides (the prefix-filter theorem),
+    * so nothing is lost; what is saved is the collision list of the
+    * commonest shingles — exactly the inverted index's hot buckets,
+    * which at corpus scale dominate candidate volume the way stopwords
+    * dominate postings. A length filter (den·min ≥ num·max) drops
+    * size-incompatible survivors before verification.
+    *
+    * τ is taken as the rational num/den so the prefix length and the
+    * length filter run in INTEGER arithmetic (⌈τn⌉ = (num·n+den−1) div
+    * den) — no float boundary can mis-size a prefix. Verification
+    * recomputes exact intersections ONLY for candidate pairs (a
+    * candidate-driven join keyed (doc, shingle)), then applies the same
+    * double-compare threshold as q33 so the two operators are
+    * output-identical by construction.
+    *
+    * Scale: one shuffle on shingle for frequencies, one doc_id window
+    * for ranks (per-doc state = one set's shingles), the prefix-prefix
+    * self-join (the pruned inverted index), and a verification join
+    * bounded by the candidate list. Never n².
+    */
+  /** The prefix rows (doc_id, n, s) of [[prefixFilterJaccardPairs]] —
+    * each set's n − ⌈τn⌉ + 1 rarest shingles under the global
+    * (frequency, shingle) order. Exposed so specs can quantify the
+    * candidate pruning. */
+  private[operators] def jaccardPrefixRows(sh: DataFrame, num: Int,
+      den: Int): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("s").asc)
+    // ⌈τ·n⌉ in exact integer arithmetic: (num·n + den − 1) div den (the
+    // double intermediate is exact well past any real set size)
+    val ceilTauN =
+      floor((col("n") * num + lit(den - 1)) / lit(den)).cast("long")
+    sh.join(freq, Seq("s")).join(sizes, Seq("doc_id"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= col("n") - ceilTauN + lit(1L))
+      .select(col("doc_id"), col("n"), col("s"))
+  }
+
+  def prefixFilterJaccardPairs(sh: DataFrame, num: Int, den: Int)
+      : DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val prefix = jaccardPrefixRows(sh, num, den)
+    val pa = prefix.select(col("doc_id").as("a"), col("n").as("na"),
+      col("s"))
+    val pb = prefix.select(col("doc_id").as("b"), col("n").as("nb"),
+      col("s"))
+    val cand = pa.join(pb, Seq("s")).filter(col("a") < col("b"))
+      .filter(least(col("na"), col("nb")) * den >=
+        greatest(col("na"), col("nb")) * num)
+      .select(col("a"), col("b")).distinct()
+    val shA = sh.select(col("doc_id").as("a"), col("s"))
+    val shB = sh.select(col("doc_id").as("b"), col("s"))
+    val inter = cand.join(shA, Seq("a")).join(shB, Seq("b", "s"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")),
+        Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")),
+        Seq("b"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= lit(num.toDouble / den.toDouble))
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+        col("jac"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q237_ppjoin — the prefix-filtered join gated against q33's ORACLE:
+  // the oracle SQL is the full inverted-index formulation, so a hash
+  // match proves the prefix filter drops no qualifying pair (and the
+  // size filter no near-boundary one) — the lossless-pruning claim
+  // checked end-to-end, not just spec'd.
+  // ---------------------------------------------------------------------
+  def q237Ppjoin(s: SparkSession, dir: String): DataFrame =
+    prefixFilterJaccardPairs(shingleRows(t(s, dir, "documents")), 3, 5)
+
   /** Threshold-calibration sweep over the SAME candidate pairs q33
     * scores: pair counts per 0.1-wide Jaccard bucket plus the
     * cumulative count at-or-above each bucket — the "how much does the

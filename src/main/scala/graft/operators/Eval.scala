@@ -145,4 +145,80 @@ object Eval {
       |    AS frac_pos
       |FROM d
       |GROUP BY LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9)""".stripMargin
+
+  /** ROC-AUC per group via the tie-corrected rank statistic: with
+    * average ranks r_i over the pooled scores, AUC = (Σ_{i∈pos} r_i −
+    * n⁺(n⁺+1)/2) / (n⁺·n⁻). The whole statistic stays in INTEGER
+    * arithmetic until one final division — per distinct score s,
+    * 2·Σ ranks of its positives = pos(s)·(2·below(s) + cnt(s) + 1),
+    * so auc = (Σ_s pos(s)(2·below(s)+cnt(s)+1) − n⁺(n⁺+1)) / (2n⁺n⁻)
+    * with every term a long. The double appears only in the last
+    * correctly-rounded divide, so the value is bit-reproducible across
+    * engines and partitionings with no ordered-fold machinery at all.
+    *
+    * Scale: one groupBy(group, score) with map-side combine, a window
+    * over DISTINCT scores within each group (state = one running long),
+    * one |groups|-row final aggregate. Degenerate groups (no positives
+    * or no negatives) surface NULL — an undefined AUC is a verdict,
+    * not a number. */
+  def rocAuc(df: DataFrame, group: String, score: String,
+      label: String): DataFrame = {
+    val perScore = df.groupBy(col(group), col(score).as("__s"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(label).cast("long")).as("pos"))
+    val w = Window.partitionBy(col(group)).orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perScore.withColumn("below",
+      coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val g = ranked.groupBy(col(group)).agg(
+      sum(col("pos")).as("n_pos"),
+      sum(col("cnt") - col("pos")).as("n_neg"),
+      sum(col("pos") * (lit(2L) * col("below") + col("cnt") + lit(1L)))
+        .as("s2"))
+    g.select(col(group), col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round((col("s2") - col("n_pos") * (col("n_pos") + lit(1L)))
+          .cast("double")
+          / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6))
+        .as("auc"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q233_roc_auc — per-source AUC of the q187 planted pseudo-model
+  // (integer score = length(text) % 97, label = doc_id % 3 = 0). The
+  // oracle replays the rank algebra in SQL; any off-by-one in the
+  // below-count window, a mishandled tie block, or a float fold anywhere
+  // before the final divide moves the sixth decimal and hash-fails.
+  // ---------------------------------------------------------------------
+  def q233RocAuc(s: SparkSession, dir: String): DataFrame =
+    rocAuc(
+      t(s, dir, "documents").select(col("source"),
+        (length(col("text")) % 97).cast("long").as("score"),
+        when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("y")),
+      "source", "score", "y")
+
+  val q233RocAucSql: String =
+    """WITH d AS (
+      |  SELECT source, CAST(length(text) % 97 AS BIGINT) AS score,
+      |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |per_score AS (
+      |  SELECT source, score, COUNT(*) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+      |  FROM d GROUP BY source, score),
+      |ranked AS (
+      |  SELECT source, cnt, pos,
+      |    COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY score ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM per_score),
+      |g AS (
+      |  SELECT source, CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+      |    CAST(SUM(pos * (2 * below + cnt + 1)) AS BIGINT) AS s2
+      |  FROM ranked GROUP BY source)
+      |SELECT source, n_pos, n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    ROUND(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+      |      / CAST(2 * n_pos * n_neg AS DOUBLE), 6)
+      |  END AS auc
+      |FROM g""".stripMargin
 }

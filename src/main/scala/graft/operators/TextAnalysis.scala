@@ -585,6 +585,112 @@ object TextAnalysis {
       |  FROM per_doc)
       |WHERE rnk <= 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q236_kn_surprisal — the q115 bigram LM upgraded from add-one to
+  // absolute discounting with Kneser-Ney continuation backoff (Kneser &
+  // Ney, ICASSP 1995; Chen & Goodman, CSL 1999):
+  //   p(t2|t1) = max(c12 − D, 0)/c1 + (D·N1+(t1,·)/c1) · N1+(·,t2)/B
+  // where N1+(t1,·) counts distinct continuations of t1, N1+(·,t2)
+  // counts distinct contexts t2 follows (the "how novel is this word's
+  // placement" statistic add-k smoothing cannot express), and B is the
+  // distinct-bigram count. This is the smoothing real perplexity
+  // filters run; the relational core is three aggregates OVER THE SAME
+  // c12 table — context rollup, continuation rollup, one count — so KN
+  // costs one extra shuffle-on-t2 over add-one, nothing more.
+  //
+  // Determinism: the probability is a fixed tree of correctly-rounded
+  // IEEE ops over identical integer-derived doubles (D = 0.75 is
+  // binary-exact), mirrored token-for-token in the oracle SQL; the
+  // per-doc reduction is the q109/q115 ordered fold; output is
+  // integer-only (rnk, doc_id).
+  // ---------------------------------------------------------------------
+  /** The discounted-backoff bigram model table (t1, t2, logp) for
+    * [[knBigramSurprisal]] — separated so specs can pin the probability
+    * algebra directly. */
+  def knBigramModel(bg: DataFrame, discount: Double): DataFrame = {
+    val c12 = bg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c"))
+    val ctx = c12.groupBy(col("t1"))
+      .agg(sum(col("c")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = c12.groupBy(col("t2")).agg(count(lit(1)).as("n1m"))
+    val nb = c12.agg(count(lit(1)).cast("double").as("b"))
+    val dD = lit(discount)
+    c12.join(ctx, Seq("t1")).join(cont, Seq("t2"))
+      .crossJoin(broadcast(nb))
+      .select(col("t1"), col("t2"),
+        log(greatest(col("c").cast("double") - dD, lit(0.0))
+            / col("c1").cast("double")
+          + (dD * col("n1p").cast("double") / col("c1").cast("double"))
+            * (col("n1m").cast("double") / col("b"))).as("logp"))
+  }
+
+  /** (doc_id, t1, t2) bigram rows through the shared window-lead
+    * pipeline. */
+  def bigramRows(d: DataFrame): DataFrame =
+    NGrams.nGramRows(d, 2)(ws =>
+        struct(ws(0).as("t1"), ws(1).as("t2")))
+      .select(col("doc_id"), col("s.t1").as("t1"), col("s.t2").as("t2"))
+
+  def knBigramSurprisal(d: DataFrame, k: Int,
+      discount: Double = 0.75): DataFrame = {
+    val bg = bigramRows(d)
+    val logp = knBigramModel(bg, discount)
+    val pdt = bg.groupBy(col("doc_id"), col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n"))
+      .join(logp, Seq("t1", "t2"))
+      .select(col("doc_id"), col("n"),
+        struct(col("t1"), col("t2"),
+          (col("n").cast("double") * col("logp")).as("w")).as("tw"))
+    val perDoc = pdt.groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("double").as("n_bg"),
+        array_sort(collect_list(col("tw"))).as("tws"))
+      .select(col("doc_id"),
+        (aggregate(col("tws"), lit(0.0d),
+          (acc, x) => acc + x.getField("w")) / col("n_bg"))
+          .as("mean_logp"))
+    val top = perDoc.orderBy(col("mean_logp").asc, col("doc_id").asc)
+      .limit(k)
+    Similarity.rankBounded(top, "rnk",
+        Seq(col("mean_logp").asc, col("doc_id").asc))
+      .select(col("rnk").cast("int").as("rnk"), col("doc_id"))
+  }
+
+  def q236KnSurprisal(s: SparkSession, dir: String): DataFrame =
+    knBigramSurprisal(t(s, dir, "documents"), k = 20)
+
+  val q236KnSurprisalSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents),
+      |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS t1,
+      |         unnest(w[2:len(w)]) AS t2
+      |       FROM t WHERE len(w) >= 2),
+      |c12 AS (SELECT t1, t2, COUNT(*) AS c FROM bg GROUP BY t1, t2),
+      |ctx AS (SELECT t1, SUM(c) AS c1, COUNT(*) AS n1p
+      |        FROM c12 GROUP BY t1),
+      |cont AS (SELECT t2, COUNT(*) AS n1m FROM c12 GROUP BY t2),
+      |nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS b FROM c12),
+      |logp AS (
+      |  SELECT c12.t1, c12.t2,
+      |    ln(GREATEST(CAST(c12.c AS DOUBLE) - 0.75, 0.0)
+      |         / CAST(ctx.c1 AS DOUBLE)
+      |       + (0.75 * CAST(ctx.n1p AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+      |         * (CAST(cont.n1m AS DOUBLE) / nb.b)) AS logp
+      |  FROM c12 JOIN ctx USING (t1) JOIN cont USING (t2) CROSS JOIN nb),
+      |pdt AS (SELECT doc_id, t1, t2, COUNT(*) AS n
+      |        FROM bg GROUP BY doc_id, t1, t2),
+      |per_doc AS (
+      |  SELECT p.doc_id,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |        list(CAST(p.n AS DOUBLE) * l.logp ORDER BY p.t1, p.t2)),
+      |      (a, b) -> a + b)
+      |      / CAST(SUM(p.n) AS DOUBLE) AS mean_logp
+      |  FROM pdt p JOIN logp l ON p.t1 = l.t1 AND p.t2 = l.t2
+      |  GROUP BY p.doc_id)
+      |SELECT CAST(rnk AS INT) AS rnk, doc_id FROM (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY mean_logp ASC, doc_id ASC) AS rnk
+      |  FROM per_doc)
+      |WHERE rnk <= 20""".stripMargin
+
   def q109UnigramSurprisal(s: SparkSession, dir: String): DataFrame =
     unigramSurprisal(t(s, dir, "documents"), k = 20)
 

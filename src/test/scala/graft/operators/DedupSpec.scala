@@ -17,6 +17,27 @@ class DedupSpec extends SparkSpec {
     exactPairs.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("prefix-filtered Jaccard join equals the full inverted-index join") {
+    val sh = Dedup.shingleRows(graft.Tables.load(spark, sfDir, "documents"))
+    val full = Dedup.jaccardPairs(sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val pp = Dedup.prefixFilterJaccardPairs(sh, 3, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(pp == full, "prefix filter must be lossless AND add nothing")
+  }
+
+  test("prefix filter actually prunes: prefix rows ≈ (1−τ) of shingle rows") {
+    val sh = Dedup.shingleRows(graft.Tables.load(spark, sfDir, "documents"))
+    val total = sh.count()
+    val prefix = Dedup.jaccardPrefixRows(sh, 3, 5).count()
+    // τ = 0.6 → per-set prefix is n − ⌈0.6n⌉ + 1 ≤ 0.4n + 1; with the
+    // +1 slack over ~500 docs the global ratio stays clearly below 0.55
+    assert(prefix < (total * 0.55).toLong,
+      s"prefix rows $prefix of $total — the filter is not pruning")
+  }
+
   test("MinHash-LSH recalls every exact pair with no false positives") {
     val mh = Dedup.q32MinhashLsh(spark, sfDir)
       .select("a", "b").collect()

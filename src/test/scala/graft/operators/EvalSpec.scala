@@ -58,4 +58,45 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_score") == 0.95)
     assert(r.getAs[Double]("frac_pos") == 0.5)
   }
+
+  private def aucRows(rs: (String, Long, Long)*) =
+    rs.toDF("g", "score", "y")
+
+  test("rocAuc: perfect separation is 1, inverted is 0, constant score is 0.5") {
+    val r = Eval.rocAuc(aucRows(
+        ("up", 1L, 0L), ("up", 2L, 0L), ("up", 3L, 1L), ("up", 4L, 1L),
+        ("dn", 1L, 1L), ("dn", 2L, 1L), ("dn", 3L, 0L), ("dn", 4L, 0L),
+        ("tie", 7L, 0L), ("tie", 7L, 1L), ("tie", 7L, 0L), ("tie", 7L, 1L)),
+      "g", "score", "y").collect()
+      .map(x => x.getString(0) -> x.getAs[Double]("auc")).toMap
+    assert(r("up") == 1.0)
+    assert(r("dn") == 0.0)
+    assert(r("tie") == 0.5)
+  }
+
+  test("rocAuc: tie blocks take average ranks (hand-computed)") {
+    // scores [1,1,2,3], labels [1,0,0,1]: avg ranks 1.5/1.5/3/4,
+    // sum of positive ranks = 5.5, AUC = (5.5 - 3) / (2*2) = 0.625
+    val r = Eval.rocAuc(aucRows(
+        ("a", 1L, 1L), ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L)),
+      "g", "score", "y").head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getAs[Double]("auc") == 0.625)
+  }
+
+  test("rocAuc: a one-class group surfaces NULL, not a number") {
+    val r = Eval.rocAuc(aucRows(("a", 1L, 1L), ("a", 2L, 1L)),
+      "g", "score", "y").head()
+    assert(r.isNullAt(r.fieldIndex("auc")))
+  }
+
+  test("rocAuc: integer rank algebra is partitioning-invariant") {
+    val base = (1 to 500).map(i =>
+      ("g" + (i % 3), (i * 37 % 101).toLong, (i % 5 min 1).toLong))
+    def run(parts: Int) = Eval.rocAuc(
+        base.toDF("g", "score", "y").repartition(parts), "g", "score", "y")
+      .collect().map(x => x.getString(0) -> x.getAs[Double]("auc")).toMap
+    val a = run(1)
+    assert(a == run(8))
+  }
 }

@@ -109,4 +109,46 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
     assert(a == b)
   }
+
+  test("knBigramModel: hand-computed discounted-backoff probabilities") {
+    import spark.implicits._
+    // corpus "a b a b": c12 = {(a,b):2, (b,a):1}; c1(a)=2, c1(b)=1;
+    // N1+(a,·)=N1+(b,·)=1; N1+(·,a)=N1+(·,b)=1; B=2
+    val bg = TextAnalysis.bigramRows(Seq((1L, "a b a b")).toDF("doc_id", "text"))
+    val m = TextAnalysis.knBigramModel(bg, 0.75).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val pba = math.exp(m(("a", "b"))) // p(b|a) = (2-.75)/2 + (.75*1/2)*(1/2)
+    val pab = math.exp(m(("b", "a"))) // p(a|b) = (1-.75)/1 + (.75*1/1)*(1/2)
+    assert(math.abs(pba - 0.8125) < 1e-12, s"p(b|a)=$pba")
+    assert(math.abs(pab - 0.625) < 1e-12, s"p(a|b)=$pab")
+  }
+
+  test("knBigramSurprisal: continuation novelty separates what add-one cannot") {
+    import spark.implicits._
+    // 'f' and 'g' are equally frequent, but f follows ONE context while
+    // g follows many: under KN the backoff mass for f is smaller, so the
+    // equally-unseen-context transitions "x f" and "x g" (both c12=1,
+    // same c1(x), same discount term) differ ONLY via N1+(·,t2) — the
+    // doc stepping into f must rank more surprising than the one
+    // stepping into g.
+    val docs = Seq(
+      (1L, "s f s f s f"),
+      (2L, "a g b g c g"),
+      (5L, "x f"),
+      (6L, "x g")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.knBigramSurprisal(docs, 4)
+      .collect().map(r => (r.getLong(1), r.getInt(0))).toMap
+    assert(got(5L) < got(6L),
+      s"doc 'x f' must outrank doc 'x g' in surprisal, got $got")
+  }
+
+  test("knBigramSurprisal is partitioning-invariant (ordered fold)") {
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    val a = TextAnalysis.knBigramSurprisal(d.repartition(1), 20)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val b = TextAnalysis.knBigramSurprisal(d.repartition(13), 20)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(a == b)
+  }
 }
