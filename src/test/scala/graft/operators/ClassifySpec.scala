@@ -81,6 +81,59 @@ class ClassifySpec extends SparkSpec {
     assert(run(1) == run(9))
   }
 
+  test("naiveBayesScores property: bit-exact vs a local reference model") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d"))
+      .map(_.mkString(" "))
+    val trainGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("A", "B"), docGen)).map(_.take(6))
+    val predGen = Gen.nonEmptyListOf(docGen).map(_.take(4))
+    val prop = Prop.forAll(trainGen, predGen) { (tr, pr) =>
+      // local reference mirroring the operator's exact float recipe:
+      // add-one logp per sorted distinct token, left-to-right fold,
+      // prior added last. NB: Spark's Ln expression evaluates via
+      // StrictMath.log (FDLIBM), which differs from the Math.log
+      // intrinsic by 1 ulp on some arguments — a bit-exact local
+      // reference MUST call StrictMath.
+      val classTok = tr.flatMap { case (l, t) => t.split(" ").map(l -> _) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val classTot = classTok.groupBy(_._1._1).view
+        .mapValues(_.values.sum).toMap
+      val v = classTok.keySet.map(_._2).size.toDouble
+      val nAll = tr.size.toDouble
+      val prior = tr.groupBy(_._1).view
+        .mapValues(d => StrictMath.log(d.size.toDouble / nAll)).toMap
+      val labels = classTot.keySet.toList.sorted
+      val expect = (for {
+        (doc, i) <- pr.zipWithIndex
+        lbl <- labels
+      } yield {
+        val counts = doc.split(" ").groupBy(identity).view
+          .mapValues(_.length.toLong).toMap
+        val fold = counts.keys.toList.sorted.foldLeft(0.0) { (acc, tok) =>
+          val t = classTot(lbl).toDouble
+          val lp = classTok.get((lbl, tok)) match {
+            case Some(c) => StrictMath.log((c.toDouble + 1.0) / (t + v))
+            case None    => StrictMath.log(1.0 / (t + v))
+          }
+          acc + counts(tok).toDouble * lp
+        }
+        (i.toLong, lbl) -> (prior(lbl) + fold)
+      }).toMap
+      val got = Classify.naiveBayesScores(
+          tr.toDF("lbl", "text"),
+          pr.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("doc_id", "text"),
+          "lbl", "doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+      got == expect
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("naiveBayesScores: ordered fold makes scores partitioning-invariant") {
     val d = graft.Tables.load(spark, sfDir, "documents")
     def run(parts: Int) = Classify.naiveBayesScores(

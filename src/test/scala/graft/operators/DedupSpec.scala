@@ -28,6 +28,31 @@ class DedupSpec extends SparkSpec {
     assert(pp == full, "prefix filter must be lossless AND add nothing")
   }
 
+  test("prefix-filter property: lossless on random set families (incl. ties)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // random (doc, shingle) presence over a small vocab — adversarial
+    // for the prefix theorem: heavy frequency ties, singleton sets,
+    // identical sets, and pairs sitting exactly on the τ boundary
+    val corpusGen = Gen.listOfN(10,
+      Gen.nonEmptyListOf(Gen.choose(0, 11).map(i => s"s$i")))
+    val prop = Prop.forAll(corpusGen) { docs =>
+      val sh = docs.zipWithIndex
+        .flatMap { case (ss, i) => ss.distinct.map(s => (i.toLong, s)) }
+        .toDF("doc_id", "s")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      val full = Dedup.jaccardPairs(sh).collect().map(key).toMap
+      val pp = Dedup.prefixFilterJaccardPairs(sh, 3, 5)
+        .collect().map(key).toMap
+      pp == full
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("prefix filter actually prunes: prefix rows ≈ (1−τ) of shingle rows") {
     val sh = Dedup.shingleRows(graft.Tables.load(spark, sfDir, "documents"))
     val total = sh.count()

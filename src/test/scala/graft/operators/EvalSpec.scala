@@ -90,6 +90,36 @@ class EvalSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("auc")))
   }
 
+  test("rocAuc property: equals the brute-force pairwise definition") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 6L), Gen.oneOf(0L, 1L)))
+    val prop = Prop.forAll(rowGen) { rows =>
+      val nPos = rows.count(_._2 == 1L)
+      val nNeg = rows.size - nPos
+      (nPos == 0 || nNeg == 0) || {
+        // brute force: P(score_pos > score_neg) + 0.5·P(tie) — sums of
+        // halves are exact in double, and a/b == (2a)/(2b) in IEEE, so
+        // the operator's integer-rank form must match BIT-exactly
+        val pos = rows.filter(_._2 == 1L).map(_._1)
+        val neg = rows.filter(_._2 == 0L).map(_._1)
+        val raw = pos.map(p => neg.map(n =>
+          if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum).sum /
+          (nPos.toDouble * nNeg.toDouble)
+        val expect = new java.math.BigDecimal(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val got = Eval.rocAuc(
+            rows.map { case (s, y) => ("g", s, y) }.toDF("g", "score", "y"),
+            "g", "score", "y")
+          .head().getAs[Double]("auc")
+        got == expect
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("rocAuc: integer rank algebra is partitioning-invariant") {
     val base = (1 to 500).map(i =>
       ("g" + (i % 3), (i * 37 % 101).toLong, (i % 5 min 1).toLong))
