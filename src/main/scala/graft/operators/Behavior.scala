@@ -614,4 +614,229 @@ object Behavior {
       |FROM per_user p CROSS JOIN tr CROSS JOIN tf CROSS JOIN tm
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q238_markov_attribution — data-driven multi-touch attribution by
+  // Markov removal effect (Anderl et al., IJRM 2016): model each
+  // user-day journey (cut at the first conversion) as a first-order
+  // chain over channel states plus __START__/__CONV__/__NULL__, compute
+  // the chain's conversion probability, and credit each channel by how
+  // much that probability drops when the channel's inflow is removed
+  // (share = normalized removal effect). The principled alternative to
+  // the rule-based position attribution of q207.
+  //
+  // Two-tier computation, each tier in its honest place:
+  //  - the TRANSITION MODEL is relational (the q132 lag/count/normalize
+  //    shape over journey-cut streams) — the only part that touches
+  //    corpus-scale data; one (user, day) window + one (src, dst)
+  //    aggregate.
+  //  - the ABSORPTION SOLVE runs on the driver over the collected
+  //    |states|² matrix (model arity — a channel taxonomy, like NB's
+  //    class count; the centroid-load class of bounded collect), as
+  //    FINITE-HORIZON value iteration: v_k(s) = Σ_dst p(s→dst)·v_{k-1},
+  //    K fixed — no data-dependent convergence test, so the doubles are
+  //    replayable. Removing channel c zeroes the v-contribution of
+  //    every edge INTO c (mass that walked into c converts never).
+  //
+  // Determinism: every fold (value iteration per state, the share
+  // denominator) runs in dst-/channel-sorted order with plain IEEE
+  // adds; the oracle replays the SAME K iterations as K unrolled CTE
+  // stages with list folds ORDER BY dst — matrices, iterations, and
+  // final arithmetic agree term for term. Integer touch counts ride
+  // along as evidence.
+  // ---------------------------------------------------------------------
+  val AttrStart = "__START__"
+  val AttrConv = "__CONV__"
+  val AttrNull = "__NULL__"
+
+  /** Journey-cut transition rows (src, dst, n, p) + touch counts —
+    * the relational tier. Journeys are (user, day) streams cut at the
+    * first `convType` event (inclusive); every kept non-conversion row
+    * emits exactly one outgoing edge (to the next touch, to __CONV__,
+    * or to __NULL__ at an unconverted journey end), so touch counts
+    * equal outflow mass by construction. */
+  def attributionTransitions(events: DataFrame, user: String, ts: String,
+      typ: String, tiebreak: String, convType: String)
+      : (DataFrame, DataFrame) = {
+    val day = to_date(col(ts)).as("day")
+    val w = Window.partitionBy(col(user), col("day"))
+      .orderBy(col(ts).asc, col(tiebreak).asc)
+    val kept = events
+      .select(col(user), day, col(ts), col(tiebreak), col(typ))
+      .withColumn("conv_before",
+        coalesce(sum(when(col(typ) === convType, 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("conv_before") === 0L)
+      .withColumn("state",
+        when(col(typ) === convType, lit(AttrConv)).otherwise(col(typ)))
+    val steps = kept
+      .withColumn("src", coalesce(lag(col("state"), 1).over(w),
+        lit(AttrStart)))
+      .withColumn("rev", row_number().over(
+        Window.partitionBy(col(user), col("day"))
+          .orderBy(col(ts).desc, col(tiebreak).desc)))
+    val pairTrans = steps.select(col("src"), col("state").as("dst"))
+    val terminal = steps
+      .filter(col("rev") === 1 && col("state") =!= AttrConv)
+      .select(col("state").as("src"), lit(AttrNull).as("dst"))
+    val counts = pairTrans.unionByName(terminal)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("n")).as("t"))
+    val trans = counts.join(broadcast(totals), Seq("src"))
+      .select(col("src"), col("dst"), col("n"),
+        (col("n").cast("double") / col("t").cast("double")).as("p"))
+    val touches = kept.filter(col("state") =!= AttrConv)
+      .groupBy(col("state").as("channel"))
+      .agg(count(lit(1)).as("n_touches"))
+    (trans, touches)
+  }
+
+  /** Finite-horizon conversion probability from __START__ under the
+    * chain with every edge into `removed` zeroed ("" = no removal).
+    * Folds run in dst-sorted order — the oracle's list folds replay
+    * them exactly. */
+  private def absorb(trans: Seq[(String, String, Double)],
+      removed: String, horizon: Int): Double = {
+    val bySrc = trans.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2)).toMap
+    val transient = bySrc.keySet.toList.sorted
+    var v = transient.map(_ -> 0.0).toMap
+    var k = 0
+    while (k < horizon) {
+      v = transient.map { s =>
+        s -> bySrc(s).foldLeft(0.0) { case (acc, (_, dst, p)) =>
+          val vd =
+            if (dst == removed) 0.0
+            else if (dst == AttrConv) 1.0
+            else if (dst == AttrNull) 0.0
+            else v.getOrElse(dst, 0.0)
+          acc + p * vd
+        }
+      }.toMap
+      k += 1
+    }
+    v.getOrElse(AttrStart, 0.0)
+  }
+
+  /** One row per channel: integer touch count, removal effect
+    * (p_base − p_removed)/p_base, and the normalized attribution
+    * share. */
+  def markovRemovalAttribution(events: DataFrame, user: String,
+      ts: String, typ: String, tiebreak: String, convType: String,
+      horizon: Int): DataFrame = {
+    val (transDf, touches) = attributionTransitions(
+      events, user, ts, typ, tiebreak, convType)
+    val trans = transDf.select(col("src"), col("dst"), col("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    val channels = trans.map(_._1).distinct.filter(_ != AttrStart)
+      .sorted
+    val pBase = absorb(trans, "", horizon)
+    val res = channels.map { c =>
+      val re = if (pBase == 0.0) Double.NaN
+        else (pBase - absorb(trans, c, horizon)) / pBase
+      (c, re)
+    }
+    val den = res.foldLeft(0.0)((acc, r) => acc + r._2)
+    val sp = events.sparkSession
+    import sp.implicits._
+    val rows = res.map { case (c, re) => (c, re, re / den) }
+      .toDF("channel", "re_raw", "share_raw")
+    rows.join(touches, Seq("channel"))
+      .select(col("channel"), col("n_touches"),
+        round(col("re_raw"), 6).as("removal_effect"),
+        round(col("share_raw"), 6).as("share"))
+  }
+
+  def q238MarkovAttribution(s: SparkSession, dir: String): DataFrame =
+    markovRemovalAttribution(t(s, dir, "events"), "user_id", "ts",
+      "event_type", "event_id", "purchase", horizon = 24)
+
+  /** The oracle unrolls the K value-iteration steps as chained CTE
+    * stages (recursive CTEs cannot aggregate per iteration), each an
+    * exact replay of the driver fold: same CASE order, same dst-sorted
+    * list fold, same one-divide-per-ratio arithmetic. */
+  val q238MarkovAttributionSql: String = {
+    val horizon = 24
+    val base =
+      """WITH kept AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN '__CONV__'
+        |         ELSE event_type END AS state
+        |  FROM (
+        |    SELECT *,
+        |      COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |                        ELSE 0 END)
+        |        OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |              ORDER BY ts ASC, event_id ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0) AS conv_before
+        |    FROM events)
+        |  WHERE conv_before = 0),
+        |steps AS (
+        |  SELECT state,
+        |    COALESCE(LAG(state) OVER (PARTITION BY user_id, day
+        |      ORDER BY ts ASC, event_id ASC), '__START__') AS src,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts DESC, event_id DESC) AS rev
+        |  FROM kept),
+        |edges AS (
+        |  SELECT src, state AS dst FROM steps
+        |  UNION ALL
+        |  SELECT state AS src, '__NULL__' AS dst FROM steps
+        |  WHERE rev = 1 AND state <> '__CONV__'),
+        |counts AS (SELECT src, dst, COUNT(*) AS n FROM edges
+        |           GROUP BY src, dst),
+        |tot AS (SELECT src, SUM(n) AS t FROM counts GROUP BY src),
+        |trans AS (
+        |  SELECT c.src, c.dst,
+        |    CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+        |  FROM counts c JOIN tot t USING (src)),
+        |rem AS (
+        |  SELECT '' AS removed
+        |  UNION ALL
+        |  SELECT DISTINCT src FROM counts WHERE src <> '__START__'),
+        |v0 AS (
+        |  SELECT r.removed, s.src AS state, 0.0::DOUBLE AS v
+        |  FROM (SELECT DISTINCT src FROM trans) s CROSS JOIN rem r)""".stripMargin
+    // AS MATERIALIZED: without it DuckDB inlines each stage into the
+    // next and optimization cost grows superlinearly in the chain
+    // depth (measured: 3.5 s at K=8, minutes at K=24; materialized:
+    // 1.3 s at K=24). Oracle-only syntax — Spark never parses this.
+    val iters = (1 to horizon).map { k =>
+      s"""v$k AS MATERIALIZED (
+         |  SELECT r.removed, t.src AS state,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(t.p * (CASE WHEN t.dst = r.removed THEN 0.0
+         |                       WHEN t.dst = '__CONV__' THEN 1.0
+         |                       WHEN t.dst = '__NULL__' THEN 0.0
+         |                       ELSE COALESCE(pv.v, 0.0) END)
+         |        ORDER BY t.dst)),
+         |      (a, b) -> a + b) AS v
+         |  FROM trans t CROSS JOIN rem r
+         |  LEFT JOIN v${k - 1} pv
+         |    ON pv.removed = r.removed AND pv.state = t.dst
+         |  GROUP BY r.removed, t.src)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val tail =
+      s""",
+         |fin AS (SELECT removed, v FROM v$horizon
+         |        WHERE state = '__START__'),
+         |re AS (
+         |  SELECT f.removed AS channel,
+         |    (b.v - f.v) / b.v AS re
+         |  FROM fin f CROSS JOIN (SELECT v FROM fin WHERE removed = '') b
+         |  WHERE f.removed <> ''),
+         |den AS (
+         |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(re ORDER BY channel)), (a, b) -> a + b) AS d
+         |  FROM re),
+         |touches AS (
+         |  SELECT state AS channel, COUNT(*) AS n_touches FROM kept
+         |  WHERE state <> '__CONV__' GROUP BY state)
+         |SELECT r.channel, t.n_touches,
+         |  ROUND(r.re, 6) AS removal_effect,
+         |  ROUND(r.re / d.d, 6) AS share
+         |FROM re r JOIN touches t USING (channel) CROSS JOIN den d""".stripMargin
+    base + iters + tail
+  }
 }

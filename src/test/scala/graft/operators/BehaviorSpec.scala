@@ -11,6 +11,71 @@ class BehaviorSpec extends SparkSpec {
       .select(col("user_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
         col("event_type"))
 
+  private def evId(rows: (Long, Long, String, String)*) =
+    rows.toDF("event_id", "user_id", "ts_s", "event_type")
+      .select(col("event_id"), col("user_id"),
+        col("ts_s").cast("timestamp_ntz").as("ts"), col("event_type"))
+
+  test("markov attribution: hand-computed removal effects on an acyclic chain") {
+    // journeys (one day each): u1 click→purchase, u2 click→(null),
+    // u3 view→purchase. Chain: START→click 2/3, START→view 1/3;
+    // click→CONV 1/2, click→NULL 1/2; view→CONV 1.
+    // p_base = 2/3·1/2 + 1/3 = 2/3; removing either channel leaves 1/3
+    // → RE = 1/2 each, shares 1/2 each.
+    val e = evId(
+      (1L, 1L, "2024-01-01 10:00:00", "click"),
+      (2L, 1L, "2024-01-01 10:05:00", "purchase"),
+      (3L, 2L, "2024-01-01 11:00:00", "click"),
+      (4L, 3L, "2024-01-01 12:00:00", "view"),
+      (5L, 3L, "2024-01-01 12:30:00", "purchase"))
+    val got = Behavior.markovRemovalAttribution(e, "user_id", "ts",
+        "event_type", "event_id", "purchase", horizon = 24)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set("click", "view"))
+    assert(got("click")._1 == 2L && got("view")._1 == 1L)
+    assert(math.abs(got("click")._2 - 0.5) < 1e-9)
+    assert(math.abs(got("view")._2 - 0.5) < 1e-9)
+    assert(math.abs(got("click")._3 - 0.5) < 1e-9)
+    assert(math.abs(got("view")._3 - 0.5) < 1e-9)
+  }
+
+  test("markov attribution: journeys cut at the FIRST conversion; post-conv touches ignored") {
+    // u1's post-purchase error touch must appear nowhere (not a touch,
+    // not a transition); removing click still kills the only conversion
+    val e = evId(
+      (1L, 1L, "2024-01-01 10:00:00", "click"),
+      (2L, 1L, "2024-01-01 10:05:00", "purchase"),
+      (3L, 1L, "2024-01-01 10:10:00", "error"))
+    val got = Behavior.markovRemovalAttribution(e, "user_id", "ts",
+        "event_type", "event_id", "purchase", horizon = 24)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set("click"), s"got $got")
+    assert(got("click") == ((1L, 1.0)))
+  }
+
+  test("markov attribution: cyclic chains stay bounded; shares sum to 1") {
+    // click↔view loop with occasional conversion — value iteration over
+    // a cyclic chain must produce effects in [0, 1] and normalized shares
+    val e = evId(
+      (1L, 1L, "2024-01-01 10:00:00", "click"),
+      (2L, 1L, "2024-01-01 10:01:00", "view"),
+      (3L, 1L, "2024-01-01 10:02:00", "click"),
+      (4L, 1L, "2024-01-01 10:03:00", "view"),
+      (5L, 1L, "2024-01-01 10:04:00", "purchase"),
+      (6L, 2L, "2024-01-01 10:00:00", "view"),
+      (7L, 2L, "2024-01-01 10:01:00", "click"),
+      (8L, 3L, "2024-01-01 10:00:00", "click"),
+      (9L, 3L, "2024-01-01 10:01:00", "purchase"))
+    val rows = Behavior.markovRemovalAttribution(e, "user_id", "ts",
+        "event_type", "event_id", "purchase", horizon = 24)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    assert(rows.forall { case (_, re, _) => re >= 0.0 && re <= 1.0 },
+      rows.mkString(","))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-6)
+  }
+
   test("funnel: strict temporal order, per-step survivor counts") {
     // u1: full ordered chain; u2: purchase BEFORE click (only step 1);
     // u3: no view at all (counted nowhere); u4: click at the exact view
