@@ -146,6 +146,104 @@ object Eval {
       |FROM d
       |GROUP BY LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9)""".stripMargin
 
+  /** Isotonic calibration (pool-adjacent-violators) per group over
+    * binned scores, computed by PAV's MINIMAX characterization
+    * (Barlow et al. 1972, ch. 1): fitted(i) = max_{j≤i} min_{k≥i}
+    * mean(y over bins j..k). On binned data the bin count is MODEL
+    * arity, so the bins² segment table is bounded regardless of corpus
+    * rows — which turns the classically-sequential PAV stack into a
+    * pure relational plan: prefix sums per group, a (j ≤ k) self-join,
+    * one suffix-min window per (group, j), one max aggregate. The
+    * monotone fit replaces q189's raw reliability curve when the score
+    * needs CORRECTING, not just diagnosing.
+    *
+    * Determinism: every segment mean is one exact-integer division
+    * (pos/n), and the min/max lattice compares identical doubles — no
+    * float fold exists anywhere in the operator, so the fit is
+    * bit-reproducible across engines and partitionings with no
+    * ordering discipline needed at all. */
+  def isotonicCalibration(df: DataFrame, group: String, score: String,
+      label: String, bins: Int): DataFrame = {
+    val b = least(floor(col(score) * bins).cast("long"), lit(bins - 1L))
+    val binned = df
+      .select(col(group), b.as("bin"), col(label).cast("long").as("__y"))
+      .groupBy(col(group), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+    val wCum = Window.partitionBy(col(group)).orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = binned
+      .withColumn("cn", sum(col("n")).over(wCum))
+      .withColumn("cp", sum(col("pos")).over(wCum))
+    val lo = cum.select(col(group), col("bin").as("j"),
+      (col("cn") - col("n")).as("cn0"), (col("cp") - col("pos")).as("cp0"))
+    val hi = cum.select(col(group), col("bin").as("k"),
+      col("cn").as("cnk"), col("cp").as("cpk"))
+    val seg = lo.join(hi, Seq(group)).filter(col("k") >= col("j"))
+      .select(col(group), col("j"), col("k"),
+        ((col("cpk") - col("cp0")).cast("double")
+          / (col("cnk") - col("cn0")).cast("double")).as("mean"))
+    val wSuf = Window.partitionBy(col(group), col("j"))
+      .orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val m = seg.withColumn("mmin", min(col("mean")).over(wSuf))
+    val fitted = m.groupBy(col(group), col("k").as("bin"))
+      .agg(max(col("mmin")).as("fitted"))
+    binned.join(fitted, Seq(group, "bin"))
+      .select(col(group), col("bin"), col("n"), col("pos"),
+        col("fitted"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q239_isotonic — per-source isotonic calibration of the q189-style
+  // planted pseudo-probability (decile bins). The oracle replays the
+  // minimax lattice — prefix sums, the (j ≤ k) segment join, the
+  // suffix-min window, the closing max — and any pooling slip breaks
+  // monotonicity and the hash in one move.
+  // ---------------------------------------------------------------------
+  def q239Isotonic(s: SparkSession, dir: String): DataFrame =
+    isotonicCalibration(
+      t(s, dir, "documents").select(col("source"),
+        ((length(col("text")) % 101).cast("double") / 100.0).as("p"),
+        when((length(col("text")) + col("doc_id")) % 100 <
+          (length(col("text")) % 101), 1L).otherwise(0L).as("y")),
+      "source", "p", "y", bins = 10)
+
+  val q239IsotonicSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(length(text) % 101 AS DOUBLE) / 100.0 AS p,
+      |    CASE WHEN (length(text) + doc_id) % 100 < length(text) % 101
+      |         THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |binned AS (
+      |  SELECT source, LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin,
+      |    COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+      |  FROM d GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, bin, n, pos,
+      |    SUM(n) OVER (PARTITION BY source ORDER BY bin ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+      |    SUM(pos) OVER (PARTITION BY source ORDER BY bin ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+      |  FROM binned),
+      |seg AS (
+      |  SELECT l.source, l.j, h.bin AS k,
+      |    CAST(h.cp - l.cp0 AS DOUBLE) / CAST(h.cn - l.cn0 AS DOUBLE)
+      |      AS mean
+      |  FROM (SELECT source, bin AS j, cn - n AS cn0, cp - pos AS cp0
+      |        FROM cum) l
+      |  JOIN cum h ON h.source = l.source AND h.bin >= l.j),
+      |m AS (
+      |  SELECT source, j, k,
+      |    MIN(mean) OVER (PARTITION BY source, j ORDER BY k DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mmin
+      |  FROM seg),
+      |fitted AS (
+      |  SELECT source, k AS bin, MAX(mmin) AS fitted
+      |  FROM m GROUP BY source, k)
+      |SELECT b.source, b.bin, b.n, b.pos, f.fitted
+      |FROM binned b JOIN fitted f USING (source, bin)""".stripMargin
+
   /** ROC-AUC per group via the tie-corrected rank statistic: with
     * average ranks r_i over the pooled scores, AUC = (Σ_{i∈pos} r_i −
     * n⁺(n⁺+1)/2) / (n⁺·n⁻). The whole statistic stays in INTEGER

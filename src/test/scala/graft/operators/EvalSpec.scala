@@ -59,6 +59,62 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("frac_pos") == 0.5)
   }
 
+  /** Rows reproducing a per-bin (n, pos) profile for 10 bins: n rows at
+    * p = (bin + 0.5)/10, pos of them labeled 1. */
+  private def binsToRows(profile: Seq[(Int, Int, Int)]) =
+    profile.flatMap { case (bin, n, pos) =>
+      (0 until n).map(i => ((bin + 0.5) / 10.0, if (i < pos) 1L else 0L))
+    }.toDF("p", "y").withColumn("g", lit("g"))
+
+  /** Reference PAV: left-to-right pool-adjacent-violators stack with
+    * integer block sums (one exact division per final block). */
+  private def pavLocal(profile: Seq[(Int, Int, Int)]): Map[Int, Double] = {
+    case class Block(bins: List[Int], n: Long, pos: Long) {
+      def mean: Double = pos.toDouble / n.toDouble
+    }
+    var stack = List.empty[Block]
+    profile.sortBy(_._1).foreach { case (b, n, pos) =>
+      var cur = Block(List(b), n.toLong, pos.toLong)
+      while (stack.nonEmpty && stack.head.mean >= cur.mean) {
+        val prev = stack.head
+        stack = stack.tail
+        cur = Block(prev.bins ++ cur.bins, prev.n + cur.n, prev.pos + cur.pos)
+      }
+      stack = cur :: stack
+    }
+    stack.flatMap(blk => blk.bins.map(_ -> blk.mean)).toMap
+  }
+
+  test("isotonicCalibration: hand case pools the violating middle bins") {
+    // bin means 0.2, 0.8, 0.4, 1.0 → PAV pools bins 1-2 to (4+2)/10=0.6
+    val prof = Seq((0, 5, 1), (1, 5, 4), (2, 5, 2), (3, 5, 5))
+    val got = Eval.isotonicCalibration(binsToRows(prof), "g", "p", "y", 10)
+      .collect().map(r => r.getLong(1).toInt -> r.getDouble(4)).toMap
+    assert(got == Map(0 -> 0.2, 1 -> 0.6, 2 -> 0.6, 3 -> 1.0))
+  }
+
+  test("isotonicCalibration property: equals the sequential PAV stack bit-exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val profGen = Gen.chooseNum(2, 8).flatMap(nb =>
+      Gen.sequence[Seq[(Int, Int, Int)], (Int, Int, Int)](
+        (0 until nb).map(b => Gen.chooseNum(1, 5).flatMap(n =>
+          Gen.chooseNum(0, n).map(pos => (b, n, pos))))))
+    val prop = Prop.forAll(profGen) { prof =>
+      val got = Eval.isotonicCalibration(binsToRows(prof), "g", "p", "y", 10)
+        .collect().map(r => r.getLong(1).toInt -> r.getDouble(4)).toMap
+      val expect = pavLocal(prof)
+      val monotone = got.toList.sortBy(_._1).map(_._2)
+        .sliding(2).forall(w => w.size < 2 || w(0) <= w(1))
+      // pooled blocks preserve the total positive mass
+      val mass = prof.map { case (b, n, _) => got(b) * n }.sum
+      got == expect && monotone &&
+        math.abs(mass - prof.map(_._3).sum) < 1e-9
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   private def aucRows(rs: (String, Long, Long)*) =
     rs.toDF("g", "score", "y")
 
