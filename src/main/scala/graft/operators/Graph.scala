@@ -661,4 +661,104 @@ object Graph {
       |UNION ALL
       |SELECT 2, COUNT(*), MIN(node) FROM h2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q240_kcore — k-core decomposition by R rounds of synchronous peeling
+  // (Seidman, Social Networks 1983; Batagelj-Zaveršnik's distributed
+  // variant): repeatedly drop every node with degree < k and the edges
+  // it carries. FIXED round count — the semantic is "the R-round peel",
+  // deterministic and oracle-replicable; convergence is visible in the
+  // output itself (trailing rounds with equal counts), never assumed.
+  // Per round: one degree aggregate + two semi-joins — shuffle-on-node,
+  // state one row per node, lineage truncated per round (the q122
+  // localCheckpoint discipline) so the loop's plan does not grow.
+  //
+  // The gate emits the per-round (n_nodes, n_edges) TRAJECTORY — 8
+  // integer rows that pin every intermediate edge set (a missed cascade
+  // or an off-by-one round shifts some row), robust at every SF
+  // including the ones where the core collapses to empty.
+  // ---------------------------------------------------------------------
+  /** Final surviving (node, deg) after `rounds` peels at threshold k. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val deg = e.select(col("a").as("n"))
+        .unionByName(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      e = e.join(keep, e("a") === keep("n"), "left_semi")
+        .join(keep, e("b") === keep("n"), "left_semi")
+        .localCheckpoint()
+      r += 1
+    }
+    e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Per-round (round, n_nodes, n_edges) of the peel — the cascade
+    * trajectory. Counts are driver-collected per round (2R bounded
+    * scalar actions over the shrinking edge set). */
+  def kCoreTrajectory(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val traj = (1 to rounds).map { r =>
+      val deg = e.select(col("a").as("n"))
+        .unionByName(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      e = e.join(keep, e("a") === keep("n"), "left_semi")
+        .join(keep, e("b") === keep("n"), "left_semi")
+        .localCheckpoint()
+      val nEdges = e.count()
+      val nNodes = e.select(col("a").as("n"))
+        .unionByName(e.select(col("b").as("n"))).distinct().count()
+      (r, nNodes, nEdges)
+    }
+    val sp = edges.sparkSession
+    import sp.implicits._
+    traj.toDF("round", "n_nodes", "n_edges")
+  }
+
+  def q240Kcore(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val co = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey")
+          && col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+    kCoreTrajectory(co, k = 75, rounds = 8)
+  }
+
+  /** Unrolled-peel oracle: one MATERIALIZED stage pair (keep, edges)
+    * per round — the q238 pattern; without MATERIALIZED DuckDB inlines
+    * the chain and planning cost grows superlinearly in depth. */
+  val q240KcoreSql: String = {
+    val (k, rounds) = (75, 8)
+    val base =
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT LEAST(x.l_partkey, y.l_partkey) AS a,
+        |    GREATEST(x.l_partkey, y.l_partkey) AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey
+        |   AND x.l_partkey < y.l_partkey)""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      s"""k$r AS MATERIALIZED (
+         |  SELECT n FROM (
+         |    SELECT n, COUNT(*) AS d FROM (
+         |      SELECT a AS n FROM e${r - 1}
+         |      UNION ALL SELECT b FROM e${r - 1})
+         |    GROUP BY n)
+         |  WHERE d >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN k$r ka ON e.a = ka.n
+         |  JOIN k$r kb ON e.b = kb.n)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT $r AS round,
+         |  (SELECT COUNT(DISTINCT n) FROM (
+         |     SELECT a AS n FROM e$r UNION ALL SELECT b FROM e$r))
+         |    AS n_nodes,
+         |  (SELECT COUNT(*) FROM e$r) AS n_edges""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "")
+    base + stages + rows
+  }
 }

@@ -167,4 +167,30 @@ class GraphSpec extends SparkSpec {
     val r = Graph.degreeTail(e, k = 2).head()
     assert(r.isNullAt(r.fieldIndex("alpha")))
   }
+
+  private def und(es: (Long, Long)*) = es.toDF("a", "b")
+
+  test("kCore: a 2-core strips the tail but keeps the triangle") {
+    // triangle 1-2-3 plus pendant edge 3-4: the 2-core is the triangle
+    val e = und((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val got = Graph.kCore(e, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: cascading collapse — a path has no 2-core") {
+    // 1-2-3-4: round 1 drops the endpoints, round 2 drops the rest
+    val e = und((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(Graph.kCore(e, k = 2, rounds = 3).count() == 0L)
+    val traj = Graph.kCoreTrajectory(e, k = 2, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+    assert(traj == List((1, 2L, 1L), (2, 0L, 0L), (3, 0L, 0L)))
+  }
+
+  test("kCore: converged trajectory repeats its fixed point") {
+    val e = und((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val traj = Graph.kCoreTrajectory(e, k = 2, rounds = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+    assert(traj == List((1, 3L, 3L), (2, 3L, 3L), (3, 3L, 3L), (4, 3L, 3L)))
+  }
 }
