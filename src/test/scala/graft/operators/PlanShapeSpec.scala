@@ -416,4 +416,35 @@ class PlanShapeSpec extends SparkSpec {
       "the sort-based skyline must not fall back to the quadratic " +
         "dominance join")
   }
+
+  test("q232: NB model joins are hash/equi joins — no cartesian anywhere " +
+      "but the deliberate L-expansion broadcast") {
+    val p = planOf(Classify.q232NbConfusion(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the argmax window partitions by doc_id, never globally
+    assert(!p.contains("WindowExec: No Partition Defined"))
+  }
+
+  test("q234: covariance is ONE pass — partial+final aggregate, no self-join") {
+    val p = planOf(Pca.q234Covariance(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"),
+      "pair expansion must be a per-row HOF, never a row-to-row join")
+    // map-side combine: a partial aggregation phase must exist
+    assert(p.contains("partial_sum") || p.contains("Partial"), p.take(1200))
+  }
+
+  test("q239: the isotonic segment lattice is an equi-join on the group key") {
+    val p = planOf(Eval.q239Isotonic(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the (j <= k) lattice must ride the group equi-join, not a " +
+        "quadratic fallback")
+  }
+
+  test("q237: prefix-filter join verifies on equi-keys only") {
+    val p = planOf(Dedup.q237Ppjoin(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
 }
