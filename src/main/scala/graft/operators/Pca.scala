@@ -160,6 +160,118 @@ object Pca {
         lit(0.0d), (acc, x) => acc + x))
   }
 
+  /** Linear-time MMD² drift (Gretton et al., JMLR 2012 §6): compare
+    * each group's embedding distribution against `refValue`'s using the
+    * streaming estimator — pair consecutive samples (by id order)
+    * within each group, align pair i of the group with pair i of the
+    * reference, and average
+    *   h_i = k(x₀,x₁) + k(y₀,y₁) − k(x₀,y₁) − k(x₁,y₀).
+    * The kernel is the QUADRATIC polynomial k(u,v) = (1 + ⟨u,v⟩/d)² —
+    * chosen over the usual RBF deliberately: no transcendental, so
+    * every kernel value is a fixed tree of correctly-rounded IEEE ops
+    * over element-order dot folds (the q81 parity) and the statistic is
+    * bit-reproducible across engines. h values land on the scale-8
+    * decimal grid before the mean (the covariance discipline), so the
+    * corpus sum is associative.
+    *
+    * Scale: pairing is one row_number window per group + one equi-join
+    * on (i); each h is map-side. The window partitions by GROUP — a
+    * low-cardinality key, so at corpus scale run the estimator over a
+    * bounded per-group sample first (the statistic converges at ~10⁴
+    * pairs; `Sampling`'s stratified samplers compose upstream) rather
+    * than sorting a billion-row group. The estimator is O(n), which is
+    * the whole point vs the quadratic full MMD. */
+  def mmdDrift(emb: DataFrame, group: String, id: String, vec: String,
+      refValue: Any, d: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(col(id).asc)
+    val idx = emb.select(col(group), col(id), col(vec))
+      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("i", (col("rn") / 2).cast("long"))
+    val ev = idx.filter(col("rn") % 2 === 0)
+      .select(col(group), col("i"), col(vec).as("p0"))
+    val od = idx.filter(col("rn") % 2 === 1)
+      .select(col(group), col("i"), col(vec).as("p1"))
+    val pairs = ev.join(od, Seq(group, "i"))
+    val ref = pairs.filter(col(group) === lit(refValue))
+      .select(col("i"), col("p0").as("y0"), col("p1").as("y1"))
+    val oth = pairs.filter(col(group) =!= lit(refValue))
+      .select(col(group), col("i"), col("p0").as("x0"),
+        col("p1").as("x1"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0d), (acc, x) => acc + x)
+    val dD = lit(d.toDouble)
+    def kern(dc: Column): Column = {
+      val tA = lit(1.0) + dc / dD
+      tA * tA
+    }
+    val joined = oth.join(ref, Seq("i"))
+      .select(col(group), col("i"),
+        dot(col("x0"), col("x1")).as("dxx"),
+        dot(col("y0"), col("y1")).as("dyy"),
+        dot(col("x0"), col("y1")).as("dxy"),
+        dot(col("x1"), col("y0")).as("dyx"))
+    val h = (kern(col("dxx")) + kern(col("dyy"))) -
+      (kern(col("dxy")) + kern(col("dyx")))
+    joined.select(col(group), h.cast(ProdDec).as("h"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("h")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mmd2"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q241_mmd_drift — per-label embedding drift vs label 0 (9 rows).
+  // The oracle replays the pairing window, the i-aligned join, all four
+  // element-order dot folds, the kernel arithmetic tree, and the
+  // decimal-grid mean — a misaligned pair or a regrouped float fold
+  // moves the sixth decimal and hash-fails.
+  // ---------------------------------------------------------------------
+  def q241MmdDrift(s: SparkSession, dir: String): DataFrame =
+    mmdDrift(t(s, dir, "embeddings"), "label", "vec_id", "embedding",
+      refValue = 0, d = 64)
+
+  val q241MmdDriftSql: String = {
+    def dotSql(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+         |      [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+         |       FOR i IN range(1, len($a) + 1)]),
+         |      (a, x) -> a + x)""".stripMargin
+    def kernSql(dc: String): String =
+      s"((1.0 + $dc / 64.0) * (1.0 + $dc / 64.0))"
+    s"""WITH idx AS (
+       |  SELECT label, embedding,
+       |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id ASC) - 1
+       |      AS rn
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT e.label, e.i, e.embedding AS p0, o.embedding AS p1
+       |  FROM (SELECT label, rn // 2 AS i, embedding FROM idx
+       |        WHERE rn % 2 = 0) e
+       |  JOIN (SELECT label, rn // 2 AS i, embedding FROM idx
+       |        WHERE rn % 2 = 1) o
+       |    ON o.label = e.label AND o.i = e.i),
+       |dots AS (
+       |  SELECT x.label, x.i,
+       |    ${dotSql("x.p0", "x.p1")} AS dxx,
+       |    ${dotSql("y.p0", "y.p1")} AS dyy,
+       |    ${dotSql("x.p0", "y.p1")} AS dxy,
+       |    ${dotSql("x.p1", "y.p0")} AS dyx
+       |  FROM (SELECT * FROM pairs WHERE label <> 0) x
+       |  JOIN (SELECT * FROM pairs WHERE label = 0) y ON y.i = x.i),
+       |hs AS (
+       |  SELECT label,
+       |    CAST((${kernSql("dxx")} + ${kernSql("dyy")})
+       |       - (${kernSql("dxy")} + ${kernSql("dyx")})
+       |      AS DECIMAL(38,8)) AS h
+       |  FROM dots)
+       |SELECT label, COUNT(*) AS n_pairs,
+       |  ROUND(CAST(SUM(h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS mmd2
+       |FROM hs GROUP BY label""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // q234_covariance — the upper-triangle covariance gate over the
   // leading 16 embedding dims (136 cells). The oracle replays the pair

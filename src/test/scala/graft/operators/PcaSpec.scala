@@ -112,6 +112,39 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("mmdDrift: near zero for identical distributions, large under shift") {
+    val d = 8
+    val r = lcg(11L)
+    def vec() = (0 until d).map(_ => (r.next() * 2.0).toFloat)
+    // groups 0 (ref) and 1 from the SAME distribution; group 2 shifted
+    val rows =
+      (0 until 400).map(i => (i.toLong, 0, vec())) ++
+      (0 until 400).map(i => (i.toLong + 1000, 1, vec())) ++
+      (0 until 400).map(i => (i.toLong + 2000, 2,
+        vec().map(x => x + 0.8f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Pca.mmdDrift(df, "label", "vec_id", "embedding",
+        refValue = 0, d = d)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == Set(1, 2))
+    assert(got(1)._1 == 200L && got(2)._1 == 200L)
+    assert(math.abs(got(1)._2) < 0.1, s"same-dist mmd2 = ${got(1)._2}")
+    assert(got(2)._2 > 10 * math.abs(got(1)._2) && got(2)._2 > 0.3,
+      s"shifted mmd2 = ${got(2)._2}")
+  }
+
+  test("mmdDrift: decimal-grid mean is partitioning-invariant") {
+    val r = lcg(13L)
+    val rows = (0 until 300).map(i => (i.toLong, i % 3,
+      (0 until 6).map(_ => (r.next() * 2.0).toFloat)))
+    def run(parts: Int) = Pca.mmdDrift(
+        rows.toDF("vec_id", "label", "embedding").repartition(parts),
+        "label", "vec_id", "embedding", refValue = 0, d = 6)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(run(1) == run(7))
+  }
+
   test("project is map-only: no exchange in the physical plan") {
     val (rows, _) = planted(50, 4)
     val plan = Pca.project(rows.toDF("vec_id", "embedding"), "embedding",
