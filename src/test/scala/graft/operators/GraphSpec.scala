@@ -187,6 +187,33 @@ class GraphSpec extends SparkSpec {
     assert(traj == List((1, 2L, 1L), (2, 0L, 0L), (3, 0L, 0L)))
   }
 
+  test("kCore property: equals a local reference peel on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+      .map(_.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct)
+    val prop = Prop.forAll(edgeGen, Gen.choose(2, 4)) { (es, k) =>
+      es.isEmpty || {
+        // local peel: R synchronous rounds
+        var cur = es.toSet
+        for (_ <- 1 to 5) {
+          val deg = cur.toList.flatMap(e => List(e._1, e._2))
+            .groupBy(identity).view.mapValues(_.size).toMap
+          cur = cur.filter(e => deg(e._1) >= k && deg(e._2) >= k)
+        }
+        val expect = cur.toList.flatMap(e => List(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val got = Graph.kCore(es.toDF("a", "b"), k, rounds = 5)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expect
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("kCore: converged trajectory repeats its fixed point") {
     val e = und((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
     val traj = Graph.kCoreTrajectory(e, k = 2, rounds = 4)

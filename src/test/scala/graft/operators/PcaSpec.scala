@@ -134,6 +134,38 @@ class PcaSpec extends SparkSpec {
       s"shifted mmd2 = ${got(2)._2}")
   }
 
+  test("mmdDrift: bit-exact vs a local reference on the same pairing") {
+    // the statistic is a fixed IEEE tree (no transcendental, no
+    // unordered fold) — a plain local replay must match EXACTLY
+    val d = 4
+    val r = lcg(17L)
+    val rows = (0 until 100).map(i => (i.toLong, i % 2,
+      (0 until d).map(_ => (r.next() * 2.0).toFloat)))
+    val got = Pca.mmdDrift(rows.toDF("vec_id", "label", "embedding"),
+        "label", "vec_id", "embedding", refValue = 0, d = d)
+      .head()
+    def dot(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (u, v)) =>
+        acc + u.toDouble * v.toDouble }
+    def kern(s: Double) = { val t = 1.0 + s / d.toDouble; t * t }
+    val byLbl = rows.groupBy(_._2).view
+      .mapValues(_.sortBy(_._1).map(_._3)).toMap
+    val ys = byLbl(0).grouped(2).filter(_.size == 2).toList
+    val xs = byLbl(1).grouped(2).filter(_.size == 2).toList
+    val hs = xs.zip(ys).map { case (x, y) =>
+      val h = (kern(dot(x(0), x(1))) + kern(dot(y(0), y(1)))) -
+        (kern(dot(x(0), y(1))) + kern(dot(x(1), y(0))))
+      new java.math.BigDecimal(java.lang.Double.toString(h))
+        .setScale(8, java.math.RoundingMode.HALF_UP)
+    }
+    val mean = hs.reduce(_ add _).doubleValue() / hs.size.toDouble
+    val expect = new java.math.BigDecimal(java.lang.Double.toString(mean))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got.getLong(1) == hs.size.toLong)
+    assert(got.getDouble(2) == expect,
+      s"got ${got.getDouble(2)} expect $expect")
+  }
+
   test("mmdDrift: decimal-grid mean is partitioning-invariant") {
     val r = lcg(13L)
     val rows = (0 until 300).map(i => (i.toLong, i % 3,
