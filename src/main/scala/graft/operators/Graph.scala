@@ -696,22 +696,26 @@ object Graph {
   }
 
   /** Per-round (round, n_nodes, n_edges) of the peel — the cascade
-    * trajectory. Counts are driver-collected per round (2R bounded
-    * scalar actions over the shrinking edge set). */
+    * trajectory. Each round computes ONE degree aggregate that serves
+    * both that round's stats (n_nodes = |deg|, n_edges = Σd/2 — the
+    * handshake identity, so no separate distinct-count job) and the
+    * NEXT round's peel threshold; per round that is one checkpointed
+    * peel + one tiny stats head over the node table. */
   def kCoreTrajectory(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
-    val traj = (1 to rounds).map { r =>
-      val deg = e.select(col("a").as("n"))
-        .unionByName(e.select(col("b").as("n")))
+    def degreeOf(e: DataFrame): DataFrame =
+      e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    var deg = degreeOf(e).localCheckpoint()
+    val traj = (1 to rounds).map { r =>
       val keep = deg.filter(col("d") >= k).select(col("n"))
       e = e.join(keep, e("a") === keep("n"), "left_semi")
         .join(keep, e("b") === keep("n"), "left_semi")
         .localCheckpoint()
-      val nEdges = e.count()
-      val nNodes = e.select(col("a").as("n"))
-        .unionByName(e.select(col("b").as("n"))).distinct().count()
-      (r, nNodes, nEdges)
+      deg = degreeOf(e).localCheckpoint()
+      val stats = deg.agg(count(lit(1)).as("nn"),
+        coalesce(sum(col("d")), lit(0L)).as("sd")).head()
+      (r, stats.getLong(0), stats.getLong(1) / 2)
     }
     val sp = edges.sparkSession
     import sp.implicits._
