@@ -736,6 +736,9 @@ object Behavior {
         else (pBase - absorb(trans, c, horizon)) / pBase
       (c, re)
     }
+    // den = 0 (channels exist but none carries conversion mass — every
+    // conversion is a direct START→CONV journey) yields NaN shares in
+    // BOTH engines (0/0): a verdict, not a number, like q187's NULL ndcg.
     val den = res.foldLeft(0.0)((acc, r) => acc + r._2)
     val sp = events.sparkSession
     import sp.implicits._

@@ -104,9 +104,10 @@ object Dedup {
     * dominate postings. A length filter (den·min ≥ num·max) drops
     * size-incompatible survivors before verification.
     *
-    * τ is taken as the rational num/den so the prefix length and the
-    * length filter run in INTEGER arithmetic (⌈τn⌉ = (num·n+den−1) div
-    * den) — no float boundary can mis-size a prefix. Verification
+    * τ is taken as the rational num/den (0 < num ≤ den) so the prefix
+    * length and the length filter run in INTEGER arithmetic
+    * (⌈τn⌉ = (num·n+den−1) div den) — no float boundary can mis-size a
+    * prefix. Verification
     * recomputes exact intersections ONLY for candidate pairs (a
     * candidate-driven join keyed (doc, shingle)), then applies the same
     * double-compare threshold as q33 so the two operators are

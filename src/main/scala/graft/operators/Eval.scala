@@ -253,6 +253,7 @@ object Eval {
     * with every term a long. The double appears only in the last
     * correctly-rounded divide, so the value is bit-reproducible across
     * engines and partitionings with no ordered-fold machinery at all.
+    * `label` must be 0/1 (it is summed as the positive count).
     *
     * Scale: one groupBy(group, score) with map-side combine, a window
     * over DISTINCT scores within each group (state = one running long),

@@ -37,7 +37,10 @@ object Pca {
     * nothing is joined row-to-row), and the groupBy's partial
     * aggregation bounds per-task state at d(d+1)/2 decimal cells —
     * the knob that caps d is executor memory for d² cells, not corpus
-    * size. */
+    * size. Contract: d ≤ the vector length — an index past the end
+    * yields NULL products that aggregate sums silently skip
+    * (identically in both engines, but understated), so the bound is
+    * the caller's. */
   def covariance(df: DataFrame, vecCol: String, d: Int): DataFrame = {
     val pairs = flatten(transform(sequence(lit(0), lit(d - 1)), i =>
       transform(sequence(i, lit(d - 1)), j =>
@@ -181,6 +184,27 @@ object Pca {
     * pairs; `Sampling`'s stratified samplers compose upstream) rather
     * than sorting a billion-row group. The estimator is O(n), which is
     * the whole point vs the quadratic full MMD. */
+  /** Element-order dot product of two float vectors — the q81-parity
+    * reproducible fold, shared by the batch and streaming MMD paths. */
+  def mmdDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (u, v) => u.cast("double") * v.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** The linear-MMD h term over the four dot columns (dxx, dyy, dxy,
+    * dyx): quadratic-kernel arithmetic in a FIXED IEEE tree. */
+  def mmdH(d: Int): Column = {
+    val dD = lit(d.toDouble)
+    def kern(dc: Column): Column = {
+      val tA = lit(1.0) + dc / dD
+      tA * tA
+    }
+    (kern(col("dxx")) + kern(col("dyy"))) -
+      (kern(col("dxy")) + kern(col("dyx")))
+  }
+
+  /** The decimal grid type shared by the covariance and MMD sums. */
+  val MmdDec: DecimalType = ProdDec
+
   def mmdDrift(emb: DataFrame, group: String, id: String, vec: String,
       refValue: Any, d: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -198,23 +222,13 @@ object Pca {
     val oth = pairs.filter(col(group) =!= lit(refValue))
       .select(col(group), col("i"), col("p0").as("x0"),
         col("p1").as("x1"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (u, v) => u.cast("double") * v.cast("double")),
-        lit(0.0d), (acc, x) => acc + x)
-    val dD = lit(d.toDouble)
-    def kern(dc: Column): Column = {
-      val tA = lit(1.0) + dc / dD
-      tA * tA
-    }
     val joined = oth.join(ref, Seq("i"))
       .select(col(group), col("i"),
-        dot(col("x0"), col("x1")).as("dxx"),
-        dot(col("y0"), col("y1")).as("dyy"),
-        dot(col("x0"), col("y1")).as("dxy"),
-        dot(col("x1"), col("y0")).as("dyx"))
-    val h = (kern(col("dxx")) + kern(col("dyy"))) -
-      (kern(col("dxy")) + kern(col("dyx")))
-    joined.select(col(group), h.cast(ProdDec).as("h"))
+        mmdDot(col("x0"), col("x1")).as("dxx"),
+        mmdDot(col("y0"), col("y1")).as("dyy"),
+        mmdDot(col("x0"), col("y1")).as("dxy"),
+        mmdDot(col("x1"), col("y0")).as("dyx"))
+    joined.select(col(group), mmdH(d).cast(ProdDec).as("h"))
       .groupBy(col(group))
       .agg(count(lit(1)).as("n_pairs"),
         round(sum(col("h")).cast("double")
