@@ -84,6 +84,12 @@ object DriftMonitor {
     val sid = s"stream$bid"
     val root = evidenceRoot(storeDir)
     if (!batch.isEmpty && !AppendCommit.isApplied(root, sid)) {
+      // a crashed earlier attempt of THIS batch may have half-placed
+      // tagged evidence files: clear them BEFORE planning the prior
+      // read, or they (a) corrupt the offset/carry derivation and
+      // (b) vanish mid-plan when appendBatch deletes them (the
+      // documented AppendCommit live-read hazard)
+      AppendCommit.clearCrashedAttempt(root, sid)
       val refDf = spark.read.parquet(s"$storeDir/ref")
       val m = refDf.count()
       require(m > 0, s"drift monitor at $storeDir has an empty reference")

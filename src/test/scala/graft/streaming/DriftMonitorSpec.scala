@@ -99,6 +99,31 @@ class DriftMonitorSpec extends SparkSpec {
     assert(readMap(store) == before)
   }
 
+  test("crash between placement and ledger mark converges on redelivery") {
+    val df = fixture(nRef = 40, nGrp = 21)
+    val stream = df.filter(col("label") =!= 0)
+    val c1 = stream.filter(col("vec_id") % 1000 < 11) // odd: leaves a carry
+    val c2 = stream.filter(col("vec_id") % 1000 >= 11)
+    val clean = newStore()
+    fold(clean, df, Seq(c1, c2))
+    val crashed = newStore()
+    DriftMonitor.buildReference(df.filter(col("label") === 0),
+      "vec_id", "embedding", crashed)
+    val sink = DriftMonitor.foreachBatchSink(crashed, "label", "vec_id",
+      "embedding", d)
+    sink(c1, 0L)
+    sink(c2, 1L)
+    // simulate a crash AFTER batch 1's files landed but BEFORE its
+    // ledger mark: delete the marker, leaving orphaned tagged evidence
+    val marker = new java.io.File(s"$crashed/evidence/_applied/stream1")
+    assert(marker.exists(), "ledger marker expected")
+    assert(marker.delete())
+    // redelivery must clear the orphaned placement BEFORE deriving
+    // offsets (else batch 1's own evidence double-counts into them)
+    sink(c2, 1L)
+    assert(readMap(crashed) == readMap(clean))
+  }
+
   test("the shifted group drifts; the same-distribution group does not") {
     val df = fixture(nRef = 200, nGrp = 100, shift2 = 0.8f)
     val store = newStore()
