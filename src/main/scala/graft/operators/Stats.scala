@@ -606,6 +606,110 @@ object Stats {
       |WHERE rn = 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q243_breakpoint — two-segment least-squares break FITTING per key:
+  // where q136's CUSUM scores how strongly a series deviates, this
+  // finds the split b minimizing SSE_left + SSE_right — the fitted
+  // structural break (the one-knot segmented regression / binary
+  // segmentation step, Bai & Perron 1998 reduced to its relational
+  // core). Everything data-dependent is integer (prefix Σy, Σy² over an
+  // INTEGER series); each candidate's SSE is a FIXED double expression
+  // over those integers — Q_p − S_p²/b plus the right-side mirror — so
+  // the argmin compares identical doubles in both engines (the q135
+  // integer-evidence-through-double pattern) and ties break to the
+  // earliest tick.
+  //
+  // Scale shape: one shuffle on the key (the window sort), per-key
+  // state = running integer sums; every tick is a candidate scored in
+  // O(1) from the prefixes; the argmin is a per-key window. Overflow:
+  // S_p² ≤ (n·max_y)² — a 10⁶-tick series of 10³ counts stays inside
+  // int64 as long as n·max_y < 3·10⁹; beyond that, pre-aggregate ticks.
+  // ---------------------------------------------------------------------
+  def segmentedBreak(df: DataFrame, key: String, tick: String,
+      value: String): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col(tick).asc)
+    val whole = Window.partitionBy(col(key))
+    val scored = df
+      .withColumn("__y2", col(value) * col(value))
+      .withColumn("__sp", sum(col(value))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__qp", sum(col("__y2"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__b", row_number().over(ord))
+      .withColumn("__s", sum(col(value)).over(whole))
+      .withColumn("__q", sum(col("__y2")).over(whole))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .filter(col("__b") < col("__n")) // both segments non-empty
+    val bD = col("__b").cast("double")
+    val nD = col("__n").cast("double")
+    val spD = col("__sp").cast("double")
+    val qpD = col("__qp").cast("double")
+    val sD = col("__s").cast("double")
+    val qD = col("__q").cast("double")
+    val sse = (qpD - spD * spD / bD) +
+      ((qD - qpD) - (sD - spD) * (sD - spD) / (nD - bD))
+    val cand = scored.withColumn("__sse", sse)
+    val pick = Window.partitionBy(col(key))
+      .orderBy(col("__sse").asc, col(tick).asc)
+    cand.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col(key), col("__n").as("n_ticks"),
+        col(tick).as("break_tick"),
+        round(col("__sse"), 6).as("sse"),
+        round(spD / bD, 6).as("mean_left"),
+        round((sD - spD) / (nD - bD), 6).as("mean_right"))
+  }
+
+  def q243Breakpoint(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01"))
+          .cast("long").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_ev"))
+    segmentedBreak(obs, "event_type", "day", "n_ev")
+  }
+
+  val q243BreakpointSql: String =
+    """WITH obs AS (
+      |  SELECT event_type,
+      |    datediff('day', DATE '2024-01-01',
+      |             CAST(ts AS DATE))::BIGINT AS day,
+      |    COUNT(*) AS n_ev
+      |  FROM events GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT event_type, day, n_ev,
+      |    SUM(n_ev) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp,
+      |    SUM(n_ev * n_ev) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qp,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS b,
+      |    SUM(n_ev) OVER (PARTITION BY event_type) AS s,
+      |    SUM(n_ev * n_ev) OVER (PARTITION BY event_type) AS q,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM obs),
+      |cand AS (
+      |  SELECT event_type, day, n,
+      |    (CAST(qp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+      |       / CAST(b AS DOUBLE))
+      |    + ((CAST(q AS DOUBLE) - CAST(qp AS DOUBLE))
+      |       - (CAST(s AS DOUBLE) - CAST(sp AS DOUBLE))
+      |         * (CAST(s AS DOUBLE) - CAST(sp AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) - CAST(b AS DOUBLE))) AS sse,
+      |    CAST(sp AS DOUBLE) / CAST(b AS DOUBLE) AS mean_left,
+      |    (CAST(s AS DOUBLE) - CAST(sp AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) - CAST(b AS DOUBLE)) AS mean_right
+      |  FROM scored WHERE b < n)
+      |SELECT event_type, n AS n_ticks, day AS break_tick,
+      |  ROUND(sse, 6) AS sse,
+      |  ROUND(mean_left, 6) AS mean_left,
+      |  ROUND(mean_right, 6) AS mean_right
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY sse ASC, day ASC) AS rn
+      |  FROM cand)
+      |WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q150_welch_ttest — per-stratum two-sample Welch t-test (unequal
   // variances): the A/B readout an experimentation pipeline computes per
   // segment (Welch 1947; df by Welch–Satterthwaite). Built from the SAME

@@ -93,6 +93,55 @@ class SeriesSpec extends SparkSpec {
     assert(out(0).getLong(2) == 0L) // tie → earliest tick
   }
 
+  test("segmentedBreak fits a clean level shift with zero SSE") {
+    // [1,1,1,9,9,9]: the b=3 split is exact — SSE 0, means 1 and 9
+    val rows = (0L until 3L).map(d => (1, d, 1L)) ++
+      (3L until 6L).map(d => (1, d, 9L))
+    val r = Stats.segmentedBreak(rows.toDF("k", "tick", "v"),
+      "k", "tick", "v").head()
+    assert(r.getLong(1) == 6L)          // n_ticks
+    assert(r.getLong(2) == 2L)          // break AT the last left tick
+    assert(r.getDouble(3) == 0.0)       // sse
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 9.0)
+  }
+
+  test("segmentedBreak: constant series ties break to the earliest tick") {
+    val rows = (0L until 6L).map(d => (1, d, 7L))
+    val r = Stats.segmentedBreak(rows.toDF("k", "tick", "v"),
+      "k", "tick", "v").head()
+    assert(r.getLong(2) == 0L)
+    assert(r.getDouble(3) == 0.0)
+  }
+
+  test("segmentedBreak property: equals the brute-force argmin bit-exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val seriesGen = Gen.listOfN(9, Gen.choose(0L, 20L))
+    val prop = Prop.forAll(seriesGen) { ys =>
+      val n = ys.size
+      // local replay of the exact double expression tree
+      val cands = (1 until n).map { b =>
+        val sp = ys.take(b).sum.toDouble
+        val qp = ys.take(b).map(y => y * y).sum.toDouble
+        val s = ys.sum.toDouble
+        val q = ys.map(y => y * y).sum.toDouble
+        val sse = (qp - sp * sp / b.toDouble) +
+          ((q - qp) - (s - sp) * (s - sp) / (n.toDouble - b.toDouble))
+        (b, sse)
+      }
+      val (bBest, sseBest) = cands.minBy { case (b, sse) => (sse, b) }
+      val rows = ys.zipWithIndex.map { case (y, i) => (1, i.toLong, y) }
+      val r = Stats.segmentedBreak(rows.toDF("k", "tick", "v"),
+        "k", "tick", "v").head()
+      r.getLong(2) == (bBest - 1).toLong &&
+        r.getDouble(3) == (new java.math.BigDecimal(
+          java.lang.Double.toString(sseBest))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cusumChangepoint is input-order invariant") {
     val rows = ((0L until 5L).map(d => (1, d, 10L)) ++
       (5L until 10L).map(d => (1, d, 50L)))
