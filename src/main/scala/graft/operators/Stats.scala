@@ -448,6 +448,101 @@ object Stats {
           / denom) * col("sx")) / n), 6).as("intercept"))
   }
 
+  /** Two-feature least squares per group — y = a + b·x + c·z fit by the
+    * 3×3 normal equations solved in closed form (Cramer), the smallest
+    * genuinely MULTIPLE regression: partial slopes b and c are each
+    * adjusted for the other regressor, which q134's simple slope cannot
+    * express (omitted-variable bias is exactly the difference). Built
+    * from the same exact decimal power sums as q134/q150 — nine sums
+    * per group (n, Σx, Σz, Σy, Σx², Σz², Σxz, Σxy, Σzy), so the corpus
+    * contributes one map-side-combined aggregate and every determinant
+    * is a FIXED double tree over identical sums in both engines.
+    * Groups with a singular system (collinear x, z — D = 0) are
+    * filtered: no fit is a verdict, not a division. */
+  def groupOls2(df: DataFrame, group: String, x: String, z: String,
+      y: String): DataFrame = {
+    val sums = df.groupBy(col(group)).agg(
+      count(lit(1)).as("n_rows"),
+      s1(col(x)).as("sx"), s1(col(z)).as("sz"), s1(col(y)).as("sy"),
+      s2(col(x), col(x)).as("sxx"), s2(col(z), col(z)).as("szz"),
+      s2(col(x), col(z)).as("sxz"),
+      s2(col(x), col(y)).as("sxy"), s2(col(z), col(y)).as("szy"))
+    val n = col("n_rows").cast("double")
+    val dets = sums
+      .withColumn("d",
+        n * (col("sxx") * col("szz") - col("sxz") * col("sxz"))
+          - col("sx") * (col("sx") * col("szz") - col("sxz") * col("sz"))
+          + col("sz") * (col("sx") * col("sxz") - col("sxx") * col("sz")))
+      .withColumn("da",
+        col("sy") * (col("sxx") * col("szz") - col("sxz") * col("sxz"))
+          - col("sx") * (col("sxy") * col("szz") - col("sxz") * col("szy"))
+          + col("sz") * (col("sxy") * col("sxz") - col("sxx") * col("szy")))
+      .withColumn("db",
+        n * (col("sxy") * col("szz") - col("sxz") * col("szy"))
+          - col("sy") * (col("sx") * col("szz") - col("sxz") * col("sz"))
+          + col("sz") * (col("sx") * col("szy") - col("sxy") * col("sz")))
+      .withColumn("dc",
+        n * (col("sxx") * col("szy") - col("sxy") * col("sxz"))
+          - col("sx") * (col("sx") * col("szy") - col("sxy") * col("sz"))
+          + col("sy") * (col("sx") * col("sxz") - col("sxx") * col("sz")))
+    dets.filter(col("d") =!= 0.0)
+      .select(col(group), col("n_rows"),
+        round(col("da") / col("d"), 6).as("intercept"),
+        round(col("db") / col("d"), 6).as("b_x"),
+        round(col("dc") / col("d"), 6).as("c_z"))
+  }
+
+  def q244Ols2(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val joined = li.join(broadcast(sup),
+        li("l_suppkey") === sup("s_suppkey"))
+    groupOls2(joined, "s_nationkey", "l_quantity", "l_discount",
+      "l_extendedprice")
+  }
+
+  val q244Ols2Sql: String =
+    """WITH sums AS (
+      |  SELECT s.s_nationkey,
+      |    COUNT(*) AS n_rows,
+      |    CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sz,
+      |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |      AS sy,
+      |    CAST(SUM(CAST(l.l_quantity * l.l_quantity AS DECIMAL(30,8)))
+      |      AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l.l_discount * l.l_discount AS DECIMAL(30,8)))
+      |      AS DOUBLE) AS szz,
+      |    CAST(SUM(CAST(l.l_quantity * l.l_discount AS DECIMAL(30,8)))
+      |      AS DOUBLE) AS sxz,
+      |    CAST(SUM(CAST(l.l_quantity * l.l_extendedprice
+      |      AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l.l_discount * l.l_extendedprice
+      |      AS DECIMAL(30,8))) AS DOUBLE) AS szy
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY s.s_nationkey),
+      |dets AS (
+      |  SELECT s_nationkey, n_rows,
+      |    CAST(n_rows AS DOUBLE) * (sxx * szz - sxz * sxz)
+      |      - sx * (sx * szz - sxz * sz)
+      |      + sz * (sx * sxz - sxx * sz) AS d,
+      |    sy * (sxx * szz - sxz * sxz)
+      |      - sx * (sxy * szz - sxz * szy)
+      |      + sz * (sxy * sxz - sxx * szy) AS da,
+      |    CAST(n_rows AS DOUBLE) * (sxy * szz - sxz * szy)
+      |      - sy * (sx * szz - sxz * sz)
+      |      + sz * (sx * szy - sxy * sz) AS db,
+      |    CAST(n_rows AS DOUBLE) * (sxx * szy - sxy * sxz)
+      |      - sx * (sx * szy - sxy * sz)
+      |      + sy * (sx * sxz - sxx * sz) AS dc
+      |  FROM sums)
+      |SELECT s_nationkey, n_rows,
+      |  ROUND(da / d, 6) AS intercept,
+      |  ROUND(db / d, 6) AS b_x,
+      |  ROUND(dc / d, 6) AS c_z
+      |FROM dets WHERE d <> 0.0""".stripMargin
+
   def q134GroupOls(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val sup = t(s, dir, "supplier")

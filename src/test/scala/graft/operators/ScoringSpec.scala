@@ -43,6 +43,35 @@ class ScoringSpec extends SparkSpec {
     assert(out(2) == ((-1.0, 10.0)))
   }
 
+  test("groupOls2 recovers an exact plane; the simple slope is biased") {
+    // y = x + z exactly on correlated (x, z): the SIMPLE y~x slope
+    // absorbs z's effect (5.0/2.8 = 1.785714...), the partial slopes
+    // recover the true coefficients — the omitted-variable bias q134
+    // cannot see, made visible
+    val pts = Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (1.0, 0.0),
+      (2.0, 1.0))
+    val rows = pts.map { case (x, z) => (1, x, z, x + z) }
+    val df = rows.toDF("g", "x", "z", "y")
+    val m = Stats.groupOls2(df, "g", "x", "z", "y").head()
+    assert(m.getDouble(2) == 0.0) // intercept
+    assert(m.getDouble(3) == 1.0) // b_x
+    assert(m.getDouble(4) == 1.0) // c_z
+    val simple = Stats.groupOls(df, "g", "x", "y").head()
+    assert(simple.getDouble(2) == 1.785714, "simple slope absorbs z")
+  }
+
+  test("groupOls2 drops collinear (singular) groups instead of dividing") {
+    // group 1: z = 2x exactly (singular); group 2: well-posed
+    val rows = Seq((1, 1.0, 2.0, 5.0), (1, 2.0, 4.0, 8.0),
+      (1, 3.0, 6.0, 11.0),
+      (2, 0.0, 0.0, 1.0), (2, 1.0, 0.0, 2.0), (2, 0.0, 1.0, 4.0),
+      (2, 1.0, 1.0, 5.0))
+    val out = Stats.groupOls2(rows.toDF("g", "x", "z", "y"),
+      "g", "x", "z", "y")
+      .collect().map(r => r.getInt(0)).toSet
+    assert(out == Set(2))
+  }
+
   test("groupOls drops zero-variance-x groups instead of dividing by zero") {
     val rows = Seq((1, 5.0, 1.0), (1, 5.0, 2.0), (2, 1.0, 1.0),
       (2, 2.0, 2.0))
