@@ -1234,6 +1234,88 @@ object Stats {
         .as("acf"))
   }
 
+  /** Cross-correlation between two aligned series: Pearson r of
+    * (a(t), b(t+lag)) for lag ∈ [−maxLag, maxLag] — the lead–lag
+    * detector q175's ACF cannot express (ACF correlates a series with
+    * ITSELF; CCF asks which of two series leads the other, the
+    * "do clicks predict tomorrow's purchases" question). `a` carries
+    * (t, x), `b` carries (t, y) on the same integer tick grid; only
+    * ticks present on both sides at the shifted alignment pair up.
+    *
+    * Determinism: the power sums ride the s1/s2 exact decimal grid, so
+    * each lag's r is one fixed double tree over identical sums — no
+    * fold order anywhere. Scale: the lag expansion is ×(2L+1) on the
+    * SERIES table (ticks ≪ corpus — the corpus was reduced to the
+    * series by the caller's aggregate), joined on the shifted tick. */
+  def crossCorrelation(a: DataFrame, b: DataFrame, maxLag: Int)
+      : DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val lags = (-maxLag to maxLag).map(l => lit(l))
+    val bShift = b.select(col("t"), col("y"))
+      .withColumn("lag", explode(array(lags: _*)))
+      .select((col("t") - col("lag")).as("t"), col("lag"), col("y"))
+    val pairs = a.select(col("t"), col("x")).join(bShift, Seq("t"))
+    val g = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).cast("double").as("n"),
+      s1(col("x")).as("sx"), s1(col("y")).as("sy"),
+      s2(col("x"), col("x")).as("sxx"),
+      s2(col("y"), col("y")).as("syy"),
+      s2(col("x"), col("y")).as("sxy"))
+    val den = sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+      sqrt(col("n") * col("syy") - col("sy") * col("sy"))
+    g.select(col("lag"), col("n").cast("long").as("n_pairs"),
+      when(den =!= 0.0,
+        round((col("n") * col("sxy") - col("sx") * col("sy")) / den, 8))
+        .as("ccf"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q245_ccf — daily click counts vs purchase counts at lags −3..+3:
+  // positive lags ask whether clicks LEAD purchases. The oracle replays
+  // the shifted-tick join and the power-sum Pearson expression per lag.
+  // ---------------------------------------------------------------------
+  def q245Ccf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    def daily(kind: String, as: String) = e
+      .filter(col("event_type") === kind)
+      .select(datediff(to_date(col("ts")), lit("2024-01-01"))
+        .cast("long").as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).cast("double").as(as))
+    crossCorrelation(daily("click", "x"), daily("purchase", "y"), 3)
+  }
+
+  val q245CcfSql: String =
+    """WITH a AS (
+      |  SELECT datediff('day', DATE '2024-01-01',
+      |           CAST(ts AS DATE))::BIGINT AS t,
+      |    CAST(COUNT(*) AS DOUBLE) AS x
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |b AS (
+      |  SELECT datediff('day', DATE '2024-01-01',
+      |           CAST(ts AS DATE))::BIGINT AS t,
+      |    CAST(COUNT(*) AS DOUBLE) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |p AS (
+      |  SELECT l.lag, a.x, b.y
+      |  FROM a
+      |  JOIN (SELECT UNNEST(range(-3, 4)) AS lag) l ON TRUE
+      |  JOIN b ON b.t - l.lag = a.t),
+      |g AS (
+      |  SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(30,8))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(30,8))) AS DOUBLE) AS sxy
+      |  FROM p GROUP BY lag)
+      |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+      |  CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+      |            <> 0.0
+      |       THEN ROUND((n * sxy - sx * sy)
+      |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8)
+      |  END AS ccf
+      |FROM g""".stripMargin
+
   // ---------------------------------------------------------------------
   // q175_acf — serial correlation of event values at lags 1..3 per event
   // type (series ordered by (ts, event_id) — event_id makes the order

@@ -93,6 +93,41 @@ class SeriesSpec extends SparkSpec {
     assert(out(0).getLong(2) == 0L) // tie → earliest tick
   }
 
+  test("crossCorrelation: a shifted copy peaks at exactly its lead") {
+    // b(t) = a(t-1): pairing a(t) with b(t+1) reproduces a perfectly
+    val av = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0)
+    val a = av.zipWithIndex.map { case (v, t) => (t.toLong, v) }
+      .toDF("t", "x")
+    val b = av.zipWithIndex.map { case (v, t) => (t.toLong + 1, v) }
+      .toDF("t", "y")
+    val got = Stats.crossCorrelation(a, b, 3).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), Option(r.get(2))
+        .map(_.asInstanceOf[Double])))).toMap
+    assert(got(1)._2.contains(1.0), s"lag 1 must be exact: ${got(1)}")
+    assert(got(1)._1 == 10L)
+    // other lags pair fewer, imperfect points
+    assert(got(0)._1 == 9L && got(0)._2.exists(_ < 1.0))
+  }
+
+  test("crossCorrelation symmetry: ccf(a,b)(l) == ccf(b,a)(-l) bit-exactly") {
+    val r = new scala.util.Random(5)
+    val av = Seq.fill(12)(r.nextInt(50).toDouble)
+    val bv = Seq.fill(12)(r.nextInt(50).toDouble)
+    val a = av.zipWithIndex.map { case (v, t) => (t.toLong, v) }
+      .toDF("t", "x")
+    val bAsY = bv.zipWithIndex.map { case (v, t) => (t.toLong, v) }
+      .toDF("t", "y")
+    val bAsX = bv.zipWithIndex.map { case (v, t) => (t.toLong, v) }
+      .toDF("t", "x")
+    val aAsY = av.zipWithIndex.map { case (v, t) => (t.toLong, v) }
+      .toDF("t", "y")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    val ab = m(Stats.crossCorrelation(a, bAsY, 3))
+    val ba = m(Stats.crossCorrelation(bAsX, aAsY, 3))
+    assert((-3 to 3).forall(l => ab(l) == ba(-l)), s"$ab vs $ba")
+  }
+
   test("segmentedBreak fits a clean level shift with zero SSE") {
     // [1,1,1,9,9,9]: the b=3 split is exact — SSE 0, means 1 and 9
     val rows = (0L until 3L).map(d => (1, d, 1L)) ++
