@@ -1269,6 +1269,73 @@ object Stats {
         .as("ccf"))
   }
 
+  /** Theil–Sen robust trend per key: the MEDIAN of all pairwise slopes
+    * (y_j − y_i)/(t_j − t_i), i < j — a single wild tick shifts OLS
+    * arbitrarily but moves a median by one rank (29.3% breakdown
+    * point; Sen 1968). The all-pairs expansion runs on the SERIES
+    * table — ticks² per key where the caller already reduced the
+    * corpus to ticks (the q245 argument), so "quadratic" is bounded by
+    * the series length, not the data. Median selection is the exact
+    * order statistic: rank pairs by (slope, t_i, t_j) — a total order
+    * over identical doubles in both engines — and average the one or
+    * two middle ranks. */
+  def theilSen(df: DataFrame, key: String, tick: String, value: String)
+      : DataFrame = {
+    val a = df.select(col(key), col(tick).as("t1"), col(value).as("v1"))
+    val b = df.select(col(key), col(tick).as("t2"), col(value).as("v2"))
+    val slopes = a.join(b, Seq(key)).filter(col("t1") < col("t2"))
+      .select(col(key), col("t1"), col("t2"),
+        ((col("v2") - col("v1")).cast("double")
+          / (col("t2") - col("t1")).cast("double")).as("slope"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("slope").asc, col("t1").asc, col("t2").asc)
+    val ranked = slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col(key))))
+    ranked
+      .filter(col("rn") === floor((col("np") + 1) / 2).cast("long") ||
+        col("rn") === floor((col("np") + 2) / 2).cast("long"))
+      .groupBy(col(key))
+      .agg(max(col("np")).as("n_pairs"),
+        round((sum(col("slope")) / count(lit(1)).cast("double")), 6)
+          .as("median_slope"))
+  }
+
+  def q246TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01"))
+          .cast("long").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_ev"))
+    theilSen(obs, "event_type", "day", "n_ev")
+  }
+
+  val q246TheilSenSql: String =
+    """WITH obs AS (
+      |  SELECT event_type,
+      |    datediff('day', DATE '2024-01-01',
+      |             CAST(ts AS DATE))::BIGINT AS day,
+      |    COUNT(*) AS n_ev
+      |  FROM events GROUP BY 1, 2),
+      |slopes AS (
+      |  SELECT a.event_type, a.day AS t1, b.day AS t2,
+      |    CAST(b.n_ev - a.n_ev AS DOUBLE)
+      |      / CAST(b.day - a.day AS DOUBLE) AS slope
+      |  FROM obs a JOIN obs b
+      |    ON b.event_type = a.event_type AND a.day < b.day),
+      |ranked AS (
+      |  SELECT event_type, slope,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY slope ASC, t1 ASC, t2 ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS np
+      |  FROM slopes)
+      |SELECT event_type, MAX(np) AS n_pairs,
+      |  ROUND(SUM(slope) / CAST(COUNT(*) AS DOUBLE), 6) AS median_slope
+      |FROM ranked
+      |WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+      |GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------------------------
   // q245_ccf — daily click counts vs purchase counts at lags −3..+3:
   // positive lags ask whether clicks LEAD purchases. The oracle replays

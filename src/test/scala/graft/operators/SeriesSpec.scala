@@ -93,6 +93,29 @@ class SeriesSpec extends SparkSpec {
     assert(out(0).getLong(2) == 0L) // tie → earliest tick
   }
 
+  test("theilSen: robust to a wild outlier that wrecks the OLS slope") {
+    // clean line y = 2t with ONE corrupted tick: the median slope stays
+    // 2.0 while OLS is dragged far off
+    val rows = (0L until 9L).map(t => (1, t, 2.0 * t)) :+ ((1, 9L, 500.0))
+    val df = rows.toDF("k", "t", "v")
+    val ts = Stats.theilSen(df, "k", "t", "v").head()
+    assert(ts.getLong(1) == 45L) // 10 choose 2
+    assert(ts.getDouble(2) == 2.0, s"median slope ${ts.getDouble(2)}")
+    val ols = Stats.groupOls(df, "k", "t", "v").head()
+    assert(ols.getDouble(2) > 10.0, "OLS must be wrecked for contrast")
+  }
+
+  test("theilSen: even pair count averages the two middle slopes") {
+    // 4 points → 6 slopes; values chosen so the middle two differ
+    val rows = Seq((1, 0L, 0.0), (1, 1L, 1.0), (1, 2L, 4.0), (1, 3L, 5.0))
+    // slopes: (0,1)=1, (0,2)=2, (0,3)=5/3, (1,2)=3, (1,3)=2, (2,3)=1
+    // sorted: 1, 1, 5/3, 2, 2, 3 → middle pair (5/3, 2) → 11/6,
+    // emitted on the 6dp output grid
+    val ts = Stats.theilSen(rows.toDF("k", "t", "v"), "k", "t", "v").head()
+    assert(ts.getLong(1) == 6L)
+    assert(ts.getDouble(2) == 1.833333)
+  }
+
   test("crossCorrelation: a shifted copy peaks at exactly its lead") {
     // b(t) = a(t-1): pairing a(t) with b(t+1) reproduces a perfectly
     val av = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0)
