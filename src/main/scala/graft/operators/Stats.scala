@@ -1336,6 +1336,90 @@ object Stats {
       |WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
       |GROUP BY event_type""".stripMargin
 
+  /** Mann–Kendall trend test per key (Mann 1945; Kendall 1975) —
+    * Theil–Sen's classic hypothesis-test companion: S = Σ_{i<j}
+    * sign(y_j − y_i) is a pure INTEGER statistic, and the tie-corrected
+    * normal approximation Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)
+    * (2t_g+5)]/18 with the ±1 continuity correction gives the z-score
+    * as one fixed double tree over integer sums — the fully
+    * distribution-free "is there ANY monotone trend" answer, immune to
+    * the outliers and nonlinearity that break OLS slopes. Degenerate
+    * keys (all values tied → Var = 0) surface NULL z. Same ticks²
+    * series-table expansion as [[theilSen]]. */
+  def mannKendall(df: DataFrame, key: String, tick: String,
+      value: String): DataFrame = {
+    val a = df.select(col(key), col(tick).as("t1"), col(value).as("v1"))
+    val b = df.select(col(key), col(tick).as("t2"), col(value).as("v2"))
+    val s = a.join(b, Seq(key)).filter(col("t1") < col("t2"))
+      .select(col(key),
+        when(col("v2") > col("v1"), 1L)
+          .when(col("v2") < col("v1"), -1L).otherwise(0L).as("sgn"))
+      .groupBy(col(key)).agg(sum(col("sgn")).as("s_stat"))
+    val ties = df.groupBy(col(key), col(value)).agg(count(lit(1)).as("t"))
+      .groupBy(col(key)).agg(
+        sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_term"))
+    val nD = col("n").cast("double")
+    val varS = (nD * (nD - 1.0) * (nD * 2.0 + 5.0)
+      - col("tie_term").cast("double")) / 18.0
+    val sD = col("s_stat").cast("double")
+    s.join(ties, Seq(key))
+      .select(col(key), col("n").as("n_ticks"), col("s_stat"),
+        when(varS > 0.0,
+          round(
+            when(col("s_stat") > 0, (sD - 1.0) / sqrt(varS))
+              .when(col("s_stat") < 0, (sD + 1.0) / sqrt(varS))
+              .otherwise(lit(0.0)), 6)).as("z"))
+  }
+
+  def q247MannKendall(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01"))
+          .cast("long").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_ev"))
+    mannKendall(obs, "event_type", "day", "n_ev")
+  }
+
+  val q247MannKendallSql: String =
+    """WITH obs AS (
+      |  SELECT event_type,
+      |    datediff('day', DATE '2024-01-01',
+      |             CAST(ts AS DATE))::BIGINT AS day,
+      |    COUNT(*) AS n_ev
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT a.event_type,
+      |    CAST(SUM(CASE WHEN b.n_ev > a.n_ev THEN 1
+      |                  WHEN b.n_ev < a.n_ev THEN -1 ELSE 0 END)
+      |      AS BIGINT) AS s_stat
+      |  FROM obs a JOIN obs b
+      |    ON b.event_type = a.event_type AND a.day < b.day
+      |  GROUP BY a.event_type),
+      |ties AS (
+      |  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+      |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT event_type, n_ev, COUNT(*) AS t
+      |        FROM obs GROUP BY event_type, n_ev)
+      |  GROUP BY event_type)
+      |SELECT s.event_type, t.n AS n_ticks, s.s_stat,
+      |  CASE WHEN (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) - 1.0)
+      |          * (2.0 * CAST(t.n AS DOUBLE) + 5.0)
+      |          - CAST(t.tie_term AS DOUBLE)) / 18.0 > 0.0 THEN
+      |    ROUND(CASE
+      |      WHEN s.s_stat > 0 THEN (CAST(s.s_stat AS DOUBLE) - 1.0)
+      |        / sqrt((CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) - 1.0)
+      |            * (2.0 * CAST(t.n AS DOUBLE) + 5.0)
+      |            - CAST(t.tie_term AS DOUBLE)) / 18.0)
+      |      WHEN s.s_stat < 0 THEN (CAST(s.s_stat AS DOUBLE) + 1.0)
+      |        / sqrt((CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) - 1.0)
+      |            * (2.0 * CAST(t.n AS DOUBLE) + 5.0)
+      |            - CAST(t.tie_term AS DOUBLE)) / 18.0)
+      |      ELSE 0.0 END, 6)
+      |  END AS z
+      |FROM s JOIN ties t USING (event_type)""".stripMargin
+
   // ---------------------------------------------------------------------
   // q245_ccf — daily click counts vs purchase counts at lags −3..+3:
   // positive lags ask whether clicks LEAD purchases. The oracle replays

@@ -93,6 +93,24 @@ class SeriesSpec extends SparkSpec {
     assert(out(0).getLong(2) == 0L) // tie → earliest tick
   }
 
+  test("mannKendall: monotone series scores S = n(n-1)/2; ties kill the test") {
+    val up = (0L until 10L).map(t => (1, t, t.toDouble + 1.0))
+    val down = (0L until 10L).map(t => (2, t, 100.0 - t.toDouble))
+    val flat = (0L until 10L).map(t => (3, t, 7.0))
+    val out = Stats.mannKendall((up ++ down ++ flat).toDF("k", "t", "v"),
+        "k", "t", "v")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(1)._1 == 45L && out(2)._1 == -45L && out(3)._1 == 0L)
+    // Var(S) = 10*9*25/18 = 125; z_up = 44/sqrt(125) ≈ 3.935588
+    assert(out(1)._2.exists(z => math.abs(z - 44.0 / math.sqrt(125.0)) < 1e-5))
+    // exact antisymmetry: (-44)/σ is the IEEE negation of 44/σ
+    assert(out(2)._2.get == -out(1)._2.get)
+    // all-tied series: Var = 0 → NULL verdict
+    assert(out(3)._2.isEmpty)
+  }
+
   test("theilSen: robust to a wild outlier that wrecks the OLS slope") {
     // clean line y = 2t with ONE corrupted tick: the median slope stays
     // 2.0 while OLS is dragged far off
