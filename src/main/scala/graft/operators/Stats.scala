@@ -1372,6 +1372,100 @@ object Stats {
               .otherwise(lit(0.0)), 6)).as("z"))
   }
 
+  /** Spearman rank correlation of value against TIME per key — the
+    * trend EFFECT SIZE to q247's significance test: ρ ∈ [−1, 1] says
+    * how close the series is to monotone, robust to any monotone
+    * transform of the values. The whole statistic is INTEGER: time
+    * ranks are 1..n (ticks unique per key), and tied value ranks enter
+    * as 2·avgrank = 2·below + ties + 1 (the q233 rank algebra —
+    * Pearson is scale-invariant, so the doubled ranks change nothing),
+    * giving five integer power sums per key and one fixed double tree.
+    * All-tied keys (zero rank variance) surface NULL. Int64 headroom:
+    * sums grow like n³ — fine to million-tick series. */
+  def spearmanTrend(df: DataFrame, key: String, tick: String,
+      value: String): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col(tick).asc)
+    val rt = df.select(col(key), col(tick), col(value))
+      .withColumn("rt", row_number().over(ord).cast("long"))
+    val grp = df.groupBy(col(key), col(value)).agg(count(lit(1)).as("t"))
+      .withColumn("below", coalesce(sum(col("t")).over(
+        Window.partitionBy(col(key)).orderBy(col(value).asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(key), col(value),
+        (col("below") * 2 + col("t") + 1).as("y2"))
+    val rows = rt.join(grp, Seq(key, value))
+    val g = rows.groupBy(col(key)).agg(
+      count(lit(1)).as("n"),
+      sum(col("rt")).as("sx"), sum(col("y2")).as("sy"),
+      sum(col("rt") * col("rt")).as("sxx"),
+      sum(col("y2") * col("y2")).as("syy"),
+      sum(col("rt") * col("y2")).as("sxy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double")
+    val den = sqrt(nD * col("sxx").cast("double") - sxD * sxD) *
+      sqrt(nD * col("syy").cast("double") - syD * syD)
+    g.select(col(key), col("n").as("n_ticks"),
+      when(den =!= 0.0,
+        round((nD * col("sxy").cast("double") - sxD * syD) / den, 6))
+        .as("rho"))
+  }
+
+  def q248Spearman(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01"))
+          .cast("long").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_ev"))
+    spearmanTrend(obs, "event_type", "day", "n_ev")
+  }
+
+  val q248SpearmanSql: String =
+    """WITH obs AS (
+      |  SELECT event_type,
+      |    datediff('day', DATE '2024-01-01',
+      |             CAST(ts AS DATE))::BIGINT AS day,
+      |    COUNT(*) AS n_ev
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (
+      |  SELECT event_type, day, n_ev,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY day ASC) AS BIGINT) AS rt
+      |  FROM obs),
+      |grp AS (
+      |  SELECT event_type, n_ev,
+      |    COALESCE(SUM(t) OVER (PARTITION BY event_type
+      |      ORDER BY n_ev ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+      |      + t + 1 AS y2
+      |  FROM (SELECT event_type, n_ev, COUNT(*) AS t
+      |        FROM obs GROUP BY event_type, n_ev)),
+      |rows_ AS (
+      |  SELECT rt.event_type, rt.rt, g.y2
+      |  FROM rt JOIN grp g
+      |    ON g.event_type = rt.event_type AND g.n_ev = rt.n_ev),
+      |s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(rt) AS BIGINT) AS sx, CAST(SUM(y2) AS BIGINT) AS sy,
+      |    CAST(SUM(rt * rt) AS BIGINT) AS sxx,
+      |    CAST(SUM(y2 * y2) AS BIGINT) AS syy,
+      |    CAST(SUM(rt * y2) AS BIGINT) AS sxy
+      |  FROM rows_ GROUP BY event_type)
+      |SELECT event_type, n AS n_ticks,
+      |  CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <> 0.0
+      |       THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |  END AS rho
+      |FROM s""".stripMargin
+
   def q247MannKendall(s: SparkSession, dir: String): DataFrame = {
     val obs = t(s, dir, "events")
       .select(col("event_type"),

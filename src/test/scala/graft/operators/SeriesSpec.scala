@@ -93,6 +93,52 @@ class SeriesSpec extends SparkSpec {
     assert(out(0).getLong(2) == 0L) // tie → earliest tick
   }
 
+  test("spearmanTrend: monotone ±1, constant NULL, monotone-transform invariant") {
+    val up = (0L until 8L).map(t => (1, t, math.exp(t.toDouble))) // convex
+    val upLin = (0L until 8L).map(t => (2, t, t.toDouble))        // linear
+    val down = (0L until 8L).map(t => (3, t, -t.toDouble))
+    val flat = (0L until 8L).map(t => (4, t, 5.0))
+    val out = Stats.spearmanTrend(
+        (up ++ upLin ++ down ++ flat).toDF("k", "t", "v"), "k", "t", "v")
+      .collect().map(r => r.getInt(0) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // rank correlation sees only the ordering: exp and linear both 1.0
+    assert(out(1).contains(1.0) && out(2).contains(1.0))
+    assert(out(3).contains(-1.0))
+    assert(out(4).isEmpty)
+  }
+
+  test("spearmanTrend property: equals a local reference with tied ranks") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val seriesGen = Gen.listOfN(10, Gen.choose(0L, 5L)) // heavy ties
+    val prop = Prop.forAll(seriesGen) { ys =>
+      val n = ys.size
+      val xs = (1 to n).map(_.toLong)
+      val y2 = ys.map(v =>
+        2L * ys.count(_ < v) + ys.count(_ == v) + 1L)
+      val (sx, sy) = (xs.sum, y2.sum)
+      val sxx = xs.map(x => x * x).sum
+      val syy = y2.map(y => y * y).sum
+      val sxy = xs.zip(y2).map { case (x, y) => x * y }.sum
+      val nD = n.toDouble
+      val den = math.sqrt(nD * sxx - sx.toDouble * sx.toDouble) *
+        math.sqrt(nD * syy - sy.toDouble * sy.toDouble)
+      val expect =
+        if (den == 0.0) None
+        else Some(new java.math.BigDecimal(java.lang.Double.toString(
+            (nD * sxy - sx.toDouble * sy.toDouble) / den))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      val rows = ys.zipWithIndex.map { case (v, i) =>
+        (1, i.toLong, v.toDouble) }
+      val r = Stats.spearmanTrend(rows.toDF("k", "t", "v"),
+        "k", "t", "v").head()
+      Option(r.get(2)).map(_.asInstanceOf[Double]) == expect
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("mannKendall: monotone series scores S = n(n-1)/2; ties kill the test") {
     val up = (0L until 10L).map(t => (1, t, t.toDouble + 1.0))
     val down = (0L until 10L).map(t => (2, t, 100.0 - t.toDouble))
