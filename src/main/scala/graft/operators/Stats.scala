@@ -466,7 +466,8 @@ object Stats {
       s1(col(x)).as("sx"), s1(col(z)).as("sz"), s1(col(y)).as("sy"),
       s2(col(x), col(x)).as("sxx"), s2(col(z), col(z)).as("szz"),
       s2(col(x), col(z)).as("sxz"),
-      s2(col(x), col(y)).as("sxy"), s2(col(z), col(y)).as("szy"))
+      s2(col(x), col(y)).as("sxy"), s2(col(z), col(y)).as("szy"),
+      s2(col(y), col(y)).as("syy"))
     val n = col("n_rows").cast("double")
     val dets = sums
       .withColumn("d",
@@ -485,11 +486,20 @@ object Stats {
         n * (col("sxx") * col("szy") - col("sxy") * col("sxz"))
           - col("sx") * (col("sx") * col("szy") - col("sxy") * col("sz"))
           + col("sy") * (col("sx") * col("sxz") - col("sxx") * col("sz")))
+    // fit quality from the same sums: SSres = Σy² − a·Σy − b·Σxy − c·Σzy
+    // (the least-squares orthogonality identity), SStot = Σy² − (Σy)²/n;
+    // zero y-variance → NULL R² (a verdict, not a 0/0)
+    val ssRes = col("syy") - (col("da") / col("d")) * col("sy") -
+      (col("db") / col("d")) * col("sxy") -
+      (col("dc") / col("d")) * col("szy")
+    val ssTot = col("syy") - col("sy") * col("sy") / n
     dets.filter(col("d") =!= 0.0)
       .select(col(group), col("n_rows"),
         round(col("da") / col("d"), 6).as("intercept"),
         round(col("db") / col("d"), 6).as("b_x"),
-        round(col("dc") / col("d"), 6).as("c_z"))
+        round(col("dc") / col("d"), 6).as("c_z"),
+        when(ssTot =!= 0.0, round(lit(1.0) - ssRes / ssTot, 6))
+          .as("r2"))
   }
 
   def q244Ols2(s: SparkSession, dir: String): DataFrame = {
@@ -519,11 +529,13 @@ object Stats {
       |    CAST(SUM(CAST(l.l_quantity * l.l_extendedprice
       |      AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
       |    CAST(SUM(CAST(l.l_discount * l.l_extendedprice
-      |      AS DECIMAL(30,8))) AS DOUBLE) AS szy
+      |      AS DECIMAL(30,8))) AS DOUBLE) AS szy,
+      |    CAST(SUM(CAST(l.l_extendedprice * l.l_extendedprice
+      |      AS DECIMAL(30,8))) AS DOUBLE) AS syy
       |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |  GROUP BY s.s_nationkey),
       |dets AS (
-      |  SELECT s_nationkey, n_rows,
+      |  SELECT s_nationkey, n_rows, sy, sxy, szy, syy,
       |    CAST(n_rows AS DOUBLE) * (sxx * szz - sxz * sxz)
       |      - sx * (sx * szz - sxz * sz)
       |      + sz * (sx * sxz - sxx * sz) AS d,
@@ -540,7 +552,12 @@ object Stats {
       |SELECT s_nationkey, n_rows,
       |  ROUND(da / d, 6) AS intercept,
       |  ROUND(db / d, 6) AS b_x,
-      |  ROUND(dc / d, 6) AS c_z
+      |  ROUND(dc / d, 6) AS c_z,
+      |  CASE WHEN syy - sy * sy / CAST(n_rows AS DOUBLE) <> 0.0 THEN
+      |    ROUND(1.0 - (syy - (da / d) * sy - (db / d) * sxy
+      |        - (dc / d) * szy)
+      |      / (syy - sy * sy / CAST(n_rows AS DOUBLE)), 6)
+      |  END AS r2
       |FROM dets WHERE d <> 0.0""".stripMargin
 
   def q134GroupOls(s: SparkSession, dir: String): DataFrame = {

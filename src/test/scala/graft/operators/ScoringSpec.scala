@@ -56,6 +56,7 @@ class ScoringSpec extends SparkSpec {
     assert(m.getDouble(2) == 0.0) // intercept
     assert(m.getDouble(3) == 1.0) // b_x
     assert(m.getDouble(4) == 1.0) // c_z
+    assert(m.getDouble(5) == 1.0) // exact plane → R² = 1
     val simple = Stats.groupOls(df, "g", "x", "y").head()
     assert(simple.getDouble(2) == 1.785714, "simple slope absorbs z")
   }
