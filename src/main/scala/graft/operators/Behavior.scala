@@ -750,16 +750,19 @@ object Behavior {
         round(col("share_raw"), 6).as("share"))
   }
 
+  // shared by the gate AND its oracle generator — one definition only
+  private val AttrHorizon = 24
+
   def q238MarkovAttribution(s: SparkSession, dir: String): DataFrame =
     markovRemovalAttribution(t(s, dir, "events"), "user_id", "ts",
-      "event_type", "event_id", "purchase", horizon = 24)
+      "event_type", "event_id", "purchase", horizon = AttrHorizon)
 
   /** The oracle unrolls the K value-iteration steps as chained CTE
     * stages (recursive CTEs cannot aggregate per iteration), each an
     * exact replay of the driver fold: same CASE order, same dst-sorted
     * list fold, same one-divide-per-ratio arithmetic. */
   val q238MarkovAttributionSql: String = {
-    val horizon = 24
+    val horizon = AttrHorizon
     val base =
       """WITH kept AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,

@@ -722,20 +722,25 @@ object Graph {
     traj.toDF("round", "n_nodes", "n_edges")
   }
 
+  // shared by the gate AND its oracle generator — a desync would be a
+  // silent gate failure, so there is exactly one definition
+  private val KcoreK = 75
+  private val KcoreRounds = 8
+
   def q240Kcore(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val co = li.as("x").join(li.as("y"),
         col("x.l_orderkey") === col("y.l_orderkey")
           && col("x.l_partkey") < col("y.l_partkey"))
       .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-    kCoreTrajectory(co, k = 75, rounds = 8)
+    kCoreTrajectory(co, k = KcoreK, rounds = KcoreRounds)
   }
 
   /** Unrolled-peel oracle: one MATERIALIZED stage pair (keep, edges)
     * per round — the q238 pattern; without MATERIALIZED DuckDB inlines
     * the chain and planning cost grows superlinearly in depth. */
   val q240KcoreSql: String = {
-    val (k, rounds) = (75, 8)
+    val (k, rounds) = (KcoreK, KcoreRounds)
     val base =
       """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT LEAST(x.l_partkey, y.l_partkey) AS a,

@@ -149,7 +149,7 @@ class SeriesSpec extends SparkSpec {
         ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
       .toMap
     assert(out(1)._1 == 45L && out(2)._1 == -45L && out(3)._1 == 0L)
-    // Var(S) = 10*9*25/18 = 125; z_up = 44/sqrt(125) ≈ 3.935588
+    // Var(S) = 10*9*25/18 = 125; z_up = 44/sqrt(125) ≈ 3.935480
     assert(out(1)._2.exists(z => math.abs(z - 44.0 / math.sqrt(125.0)) < 1e-5))
     // exact antisymmetry: (-44)/σ is the IEEE negation of 44/σ
     assert(out(2)._2.get == -out(1)._2.get)
