@@ -20,63 +20,88 @@ import org.apache.spark.sql.types._
   *
   * Determinism: every per-row product of two float32 components is
   * EXACT in double (24-bit × 24-bit = 48 < 53 mantissa bits); each
-  * product is then quantized onto a fixed decimal grid (scale 8) so the
-  * corpus sums are exact decimal folds — associative, order-independent,
-  * engine-reproducible (the `sumDec` discipline, scale chosen so the
-  * quantization step is deep inside the double's reliable digits and
-  * the unscaled sum stays under 2^53 for the final exact cast).
+  * product is then quantized onto a fixed 1e-8 grid by a FIXED IEEE
+  * TREE — `floor(p * 1e8)` into int64 (the double multiply and floor
+  * are correctly rounded identically in every IEEE-754 engine; |p·1e8|
+  * stays far under 2^53) — and the corpus sums run over exact integers
+  * (decimal(38,0) accumulators), so they are associative,
+  * order-independent, and engine-reproducible. The gate emits the
+  * INTEGER evidence (n, Σq(xᵢxⱼ), Σq(xᵢ), Σq(xⱼ)) rather than any
+  * derived double: round 7 proved that `CAST(double AS DECIMAL)` of a
+  * COMPUTED product is an engines'-choice rounding boundary (DuckDB and
+  * Spark disagreed on ~1 cast in 1e10 — and with ~1.4M casts/run the
+  * driver host eventually hit one). The rule is now stated in NOTES:
+  * never cast a computed double to decimal in a gate; quantize with
+  * floor/int64 instead.
   */
 object Pca {
 
-  private val ProdDec = DecimalType(38, 8)
+  /** The 1e-8 quantization grid (exactly representable in double). */
+  private val Grid = 1e8
+  private val SumDec = DecimalType(38, 0)
 
-  /** Upper-triangle covariance of the leading `d` dims of `vecCol`:
-    * one row per (i ≤ j) with n, the raw product sum Σxᵢxⱼ, and the
-    * population covariance (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n. Pair expansion happens
-    * INSIDE a per-row higher-order transform (map-only, codegen'd;
-    * nothing is joined row-to-row), and the groupBy's partial
-    * aggregation bounds per-task state at d(d+1)/2 decimal cells —
-    * the knob that caps d is executor memory for d² cells, not corpus
-    * size. Contract: d ≤ the vector length — an index past the end
-    * yields NULL products that aggregate sums silently skip
-    * (identically in both engines, but understated), so the bound is
-    * the caller's. */
+  /** Upper-triangle covariance EVIDENCE for the leading `d` dims of
+    * `vecCol`: one row per (i ≤ j) with integer columns only —
+    * n, sxy_q = Σ floor(xᵢxⱼ·1e8), si_q = Σ floor(xᵢ·1e8),
+    * sj_q = Σ floor(xⱼ·1e8). The population covariance is the fixed
+    * double tree (sxy_q/1e8 − (si_q/1e8)(sj_q/1e8)/n)/n, materialized
+    * driver-side by [[covMatrix]] — the gate itself carries no doubles
+    * at all, so no engine rounding choice can ever move it. Pair
+    * expansion happens INSIDE a per-row higher-order transform
+    * (map-only, codegen'd; nothing is joined row-to-row), and the
+    * groupBy's partial aggregation bounds per-task state at d(d+1)/2
+    * cells — the knob that caps d is executor memory for d² cells, not
+    * corpus size. Accumulation runs in decimal(38,0) (exact, overflow-
+    * proof at any corpus size); the emitted evidence casts to int64,
+    * which holds to ~9e18 — ANSI mode makes a cast past that fail
+    * loudly rather than wrap. Contract: d ≤ the vector length — an
+    * index past the end yields NULL products that aggregate sums
+    * silently skip (identically in both engines, but understated), so
+    * the bound is the caller's. */
   def covariance(df: DataFrame, vecCol: String, d: Int): DataFrame = {
     val pairs = flatten(transform(sequence(lit(0), lit(d - 1)), i =>
       transform(sequence(i, lit(d - 1)), j =>
         struct(i.as("i"), j.as("j"),
-          (element_at(col(vecCol), i + 1).cast("double")
-            * element_at(col(vecCol), j + 1).cast("double"))
-            .cast(ProdDec).as("p")))))
+          floor((element_at(col(vecCol), i + 1).cast("double")
+            * element_at(col(vecCol), j + 1).cast("double")) * lit(Grid))
+            .as("q")))))
     val sxy = df.select(explode(pairs).as("pr"))
       .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
-      .agg(sum(col("pr.p")).as("sxy_dec"))
+      .agg(sum(col("pr.q").cast(SumDec)).as("sxy_dec"))
     val dims = df.select(posexplode(slice(col(vecCol), 1, d))
         .as(Seq("i", "x")))
       .groupBy(col("i"))
-      .agg(sum(col("x").cast("double").cast(ProdDec)).as("sx_dec"))
+      .agg(sum(floor(col("x").cast("double") * lit(Grid)).cast(SumDec))
+        .as("sx_dec"))
     val n = df.agg(count(lit(1)).as("n"))
-    val joined = sxy
+    sxy
       .join(broadcast(dims.select(col("i"), col("sx_dec").as("si"))),
         Seq("i"))
       .join(broadcast(dims.select(col("i").as("j"),
         col("sx_dec").as("sj"))), Seq("j"))
       .crossJoin(broadcast(n))
-    val nD = col("n").cast("double")
-    val sxyD = col("sxy_dec").cast("double")
-    val siD = col("si").cast("double")
-    val sjD = col("sj").cast("double")
-    joined.select(col("i"), col("j"), col("n"),
-      round(sxyD, 6).as("sxy"),
-      round((sxyD - siD * sjD / nD) / nD, 6).as("cov"))
+      .select(col("i"), col("j"), col("n"),
+        col("sxy_dec").cast("long").as("sxy_q"),
+        col("si").cast("long").as("si_q"),
+        col("sj").cast("long").as("sj_q"))
   }
 
-  /** Driver-side dense symmetric matrix from [[covariance]] output —
-    * a d² bounded collect (the centroid-load class, cited above). */
+  /** Driver-side dense symmetric matrix from [[covariance]] evidence —
+    * a d² bounded collect (the centroid-load class, cited above). Each
+    * cell is the fixed IEEE tree over the integer evidence: int64 →
+    * double conversion is exact below 2^53 and correctly rounded above,
+    * identically everywhere, so the doubles here are bit-reproducible
+    * (the q249 oracle replays this exact tree in DuckDB). */
   def covMatrix(cov: DataFrame, d: Int): Array[Array[Double]] = {
     val m = Array.fill(d, d)(0.0)
-    cov.select(col("i"), col("j"), col("cov")).collect().foreach { r =>
-      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+    cov.select(col("i"), col("j"), col("n"), col("sxy_q"), col("si_q"),
+        col("sj_q")).collect().foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val nD = r.getLong(2).toDouble
+      val sxy = r.getLong(3).toDouble / Grid
+      val si = r.getLong(4).toDouble / Grid
+      val sj = r.getLong(5).toDouble / Grid
+      val v = (sxy - si * sj / nD) / nD
       m(i)(j) = v; m(j)(i) = v
     }
     m
@@ -173,9 +198,10 @@ object Pca {
     * chosen over the usual RBF deliberately: no transcendental, so
     * every kernel value is a fixed tree of correctly-rounded IEEE ops
     * over element-order dot folds (the q81 parity) and the statistic is
-    * bit-reproducible across engines. h values land on the scale-8
-    * decimal grid before the mean (the covariance discipline), so the
-    * corpus sum is associative.
+    * bit-reproducible across engines. h values quantize onto the 1e-8
+    * grid as int64 via [[mmdHq]] (the covariance floor discipline —
+    * never a double→decimal cast), so the corpus sum is an exact
+    * associative integer fold.
     *
     * Scale: pairing is one row_number window per group + one equi-join
     * on (i); each h is map-side. The window partitions by GROUP — a
@@ -202,8 +228,20 @@ object Pca {
       (kern(col("dxy")) + kern(col("dyx")))
   }
 
-  /** The decimal grid type shared by the covariance and MMD sums. */
-  val MmdDec: DecimalType = ProdDec
+  /** The h term quantized onto the 1e-8 grid as int64 — the same
+    * fixed-IEEE-tree discipline as [[covariance]] (floor of a correctly
+    * rounded double is identical in every engine; a double→decimal CAST
+    * is not — the round-7 q234 lesson). Shared by the batch and
+    * streaming MMD paths so their evidence stays bit-compatible. */
+  def mmdHq(d: Int): Column = floor(mmdH(d) * lit(Grid))
+
+  /** Exact integer accumulator type shared by the covariance and MMD
+    * evidence sums (overflow-proof decimal(38,0) over int64 cells). */
+  val QSumDec: DecimalType = SumDec
+
+  /** The quantization grid shared with consumers that fold the integer
+    * evidence back to a double statistic (mean = (Σq/1e8)/n). */
+  val GridScale: Double = Grid
 
   def mmdDrift(emb: DataFrame, group: String, id: String, vec: String,
       refValue: Any, d: Int): DataFrame = {
@@ -228,10 +266,10 @@ object Pca {
         mmdDot(col("y0"), col("y1")).as("dyy"),
         mmdDot(col("x0"), col("y1")).as("dxy"),
         mmdDot(col("x1"), col("y0")).as("dyx"))
-    joined.select(col(group), mmdH(d).cast(ProdDec).as("h"))
+    joined.select(col(group), mmdHq(d).as("hq"))
       .groupBy(col(group))
       .agg(count(lit(1)).as("n_pairs"),
-        round(sum(col("h")).cast("double")
+        round((sum(col("hq").cast(SumDec)).cast("double") / lit(Grid))
           / count(lit(1)).cast("double"), 6).as("mmd2"))
   }
 
@@ -276,23 +314,26 @@ object Pca {
        |  JOIN (SELECT * FROM pairs WHERE label = 0) y ON y.i = x.i),
        |hs AS (
        |  SELECT label,
-       |    CAST((${kernSql("dxx")} + ${kernSql("dyy")})
-       |       - (${kernSql("dxy")} + ${kernSql("dyx")})
-       |      AS DECIMAL(38,8)) AS h
+       |    CAST(FLOOR(((${kernSql("dxx")} + ${kernSql("dyy")})
+       |       - (${kernSql("dxy")} + ${kernSql("dyx")}))
+       |      * 100000000.0) AS BIGINT) AS hq
        |  FROM dots)
        |SELECT label, COUNT(*) AS n_pairs,
-       |  ROUND(CAST(SUM(h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |  ROUND(CAST(SUM(CAST(hq AS DECIMAL(38,0))) AS DOUBLE)
+       |      / 100000000.0 / CAST(COUNT(*) AS DOUBLE), 6)
        |    AS mmd2
        |FROM hs GROUP BY label""".stripMargin
   }
 
   // ---------------------------------------------------------------------
   // q234_covariance — the upper-triangle covariance gate over the
-  // leading 16 embedding dims (136 cells). The oracle replays the pair
-  // expansion, the per-product decimal quantization, the exact decimal
-  // sums, and the final double arithmetic cell for cell — a regrouped
-  // float fold, a 0/1-based indexing slip, or a dropped tie in the
-  // triangle enumeration all hash-fail.
+  // leading 16 embedding dims (136 cells), INTEGER EVIDENCE ONLY: the
+  // oracle replays the pair expansion, the floor(p·1e8) quantization
+  // tree, and the exact integer sums cell for cell — a regrouped fold,
+  // a 0/1-based indexing slip, or a dropped tie in the triangle
+  // enumeration all hash-fail, and no engine rounding choice exists
+  // anywhere in the output (the round-7 hash-fail was a
+  // CAST(double AS DECIMAL) boundary; floor/int64 has no boundary).
   // ---------------------------------------------------------------------
   def q234Covariance(s: SparkSession, dir: String): DataFrame =
     covariance(t(s, dir, "embeddings"), "embedding", d = 16)
@@ -300,24 +341,113 @@ object Pca {
   val q234CovarianceSql: String =
     """WITH pr AS (
       |  SELECT i.i AS i, j.j AS j,
-      |    CAST(CAST(e.embedding[i.i + 1] AS DOUBLE)
-      |       * CAST(e.embedding[j.j + 1] AS DOUBLE) AS DECIMAL(38,8)) AS p
+      |    CAST(FLOOR((CAST(e.embedding[i.i + 1] AS DOUBLE)
+      |       * CAST(e.embedding[j.j + 1] AS DOUBLE))
+      |       * 100000000.0) AS BIGINT) AS q
       |  FROM embeddings e, range(16) i(i), range(16) j(j)
       |  WHERE j.j >= i.i),
-      |sxy AS (SELECT i, j, SUM(p) AS sxy_dec FROM pr GROUP BY i, j),
+      |sxy AS (SELECT i, j, SUM(CAST(q AS DECIMAL(38,0))) AS sxy_dec
+      |        FROM pr GROUP BY i, j),
       |sx AS (
       |  SELECT i.i AS i,
-      |    SUM(CAST(CAST(e.embedding[i.i + 1] AS DOUBLE)
-      |        AS DECIMAL(38,8))) AS sx_dec
+      |    SUM(CAST(CAST(FLOOR(CAST(e.embedding[i.i + 1] AS DOUBLE)
+      |        * 100000000.0) AS BIGINT) AS DECIMAL(38,0))) AS sx_dec
       |  FROM embeddings e, range(16) i(i) GROUP BY i.i),
       |nn AS (SELECT COUNT(*) AS n FROM embeddings)
       |SELECT CAST(s.i AS INT) AS i, CAST(s.j AS INT) AS j, nn.n,
-      |  ROUND(CAST(s.sxy_dec AS DOUBLE), 6) AS sxy,
-      |  ROUND((CAST(s.sxy_dec AS DOUBLE)
-      |    - CAST(a.sx_dec AS DOUBLE) * CAST(b.sx_dec AS DOUBLE)
-      |      / CAST(nn.n AS DOUBLE)) / CAST(nn.n AS DOUBLE), 6) AS cov
+      |  CAST(s.sxy_dec AS BIGINT) AS sxy_q,
+      |  CAST(a.sx_dec AS BIGINT) AS si_q,
+      |  CAST(b.sx_dec AS BIGINT) AS sj_q
       |FROM sxy s
       |JOIN sx a ON a.i = s.i
       |JOIN sx b ON b.i = s.j
       |CROSS JOIN nn""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q249_eigen — the top eigenpair of the q234 covariance matrix,
+  // oracle-pinned: the DuckDB twin replays the integer covariance
+  // evidence, the fixed (Σq/1e8 − …)/n double tree, the deterministic
+  // ramp start, and ALL 100 power iterations as unrolled MATERIALIZED
+  // CTE stages (the q238 Markov precedent) with j-ordered list folds —
+  // every step is correctly-rounded IEEE arithmetic over identical
+  // inputs, so the emitted loadings and eigenvalue match BIT-FOR-BIT.
+  // This externally pins the driver-side solve projectK/whitening (and
+  // SemDeDup-style thresholds) depend on.
+  // ---------------------------------------------------------------------
+  def q249Eigen(s: SparkSession, dir: String): DataFrame = {
+    val d = 16
+    val m = covMatrix(covariance(t(s, dir, "embeddings"), "embedding", d), d)
+    val (v, lambda) = topEigen(m)
+    import s.implicits._
+    v.toIndexedSeq.zipWithIndex
+      .map { case (x, i) => (i, x, lambda) }
+      .toDF("i", "loading", "eigenvalue")
+  }
+
+  val q249EigenSql: String = {
+    val d = 16
+    // ordered fold with an explicit 0.0 seed — the Array.sum /
+    // foldLeft(0.0) twin (q241's list_reduce discipline)
+    def fold(expr: String, ord: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list($expr ORDER BY $ord)), (a, x) -> a + x)""".stripMargin
+    val header =
+      s"""WITH pr AS (
+         |  SELECT i.i AS i, j.j AS j,
+         |    CAST(FLOOR((CAST(e.embedding[i.i + 1] AS DOUBLE)
+         |       * CAST(e.embedding[j.j + 1] AS DOUBLE))
+         |       * 100000000.0) AS BIGINT) AS q
+         |  FROM embeddings e, range($d) i(i), range($d) j(j)
+         |  WHERE j.j >= i.i),
+         |sxy AS (SELECT i, j, SUM(CAST(q AS DECIMAL(38,0))) AS sxy_dec
+         |        FROM pr GROUP BY i, j),
+         |sx AS (
+         |  SELECT i.i AS i,
+         |    SUM(CAST(CAST(FLOOR(CAST(e.embedding[i.i + 1] AS DOUBLE)
+         |        * 100000000.0) AS BIGINT) AS DECIMAL(38,0))) AS sx_dec
+         |  FROM embeddings e, range($d) i(i) GROUP BY i.i),
+         |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |mtri AS (
+         |  -- covMatrix's exact double tree over the integer evidence
+         |  SELECT CAST(s.i AS INT) AS i, CAST(s.j AS INT) AS j,
+         |    (CAST(CAST(s.sxy_dec AS BIGINT) AS DOUBLE) / 100000000.0
+         |     - (CAST(CAST(a.sx_dec AS BIGINT) AS DOUBLE) / 100000000.0)
+         |       * (CAST(CAST(b.sx_dec AS BIGINT) AS DOUBLE) / 100000000.0)
+         |       / CAST(nn.n AS DOUBLE)) / CAST(nn.n AS DOUBLE) AS val
+         |  FROM sxy s
+         |  JOIN sx a ON a.i = s.i
+         |  JOIN sx b ON b.i = s.j
+         |  CROSS JOIN nn),
+         |m AS MATERIALIZED (
+         |  SELECT i, j, val FROM mtri
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, val FROM mtri WHERE i <> j),
+         |v0r AS (
+         |  SELECT CAST(t.i AS INT) AS i,
+         |    1.0 + CAST(t.i AS DOUBLE) / $d.0 AS val
+         |  FROM range($d) t(i)),
+         |v0 AS MATERIALIZED (
+         |  SELECT i, val / (SELECT SQRT(${fold("val * val", "i")})
+         |                   FROM v0r) AS val
+         |  FROM v0r)""".stripMargin
+    val iters = (1 to 100).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT m.i AS i, ${fold("m.val * v.val", "m.j")} AS val
+         |  FROM m JOIN v${k - 1} v ON v.i = m.j GROUP BY m.i),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, val / (SELECT SQRT(${fold("val * val", "i")})
+         |                   FROM w$k) AS val
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""mv AS MATERIALIZED (
+         |  SELECT m.i AS i, ${fold("m.val * v.val", "m.j")} AS val
+         |  FROM m JOIN v100 v ON v.i = m.j GROUP BY m.i),
+         |lam AS (
+         |  SELECT ${fold("v.val * mv.val", "v.i")} AS eigenvalue
+         |  FROM v100 v JOIN mv ON mv.i = v.i)
+         |SELECT v.i, v.val AS loading, lam.eigenvalue
+         |FROM v100 v CROSS JOIN lam""".stripMargin
+    s"$header,\n$iters,\n$tail"
+  }
 }

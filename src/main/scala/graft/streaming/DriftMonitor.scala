@@ -20,9 +20,11 @@ import graft.pipeline.AppendCommit
   * cumulative statistic is a pure function of the arrived sequence, NOT
   * of how the stream was chopped into micro-batches (spec-proved
   * 1-batch ≡ N-batch, and gate-proved against an engine that never saw
-  * batches at all). Evidence is (Σh on the scale-8 decimal grid,
-  * n_pairs) per (group, batch) — decimal sums are associative, so the
-  * cumulative read is exact regardless of fold order.
+  * batches at all). Evidence is (Σ floor(h·1e8) as exact integers,
+  * n_pairs) per (group, batch) — integer sums are associative, so the
+  * cumulative read is exact regardless of fold order (and the floor
+  * quantization is a fixed IEEE tree, never an engine's-choice
+  * double→decimal cast — the round-7 q234 lesson).
   *
   * Exactly-once: each micro-batch's evidence appends under the
   * [[AppendCommit]] ledger keyed by the micro-batch id — Structured
@@ -134,9 +136,10 @@ object DriftMonitor {
           Pca.mmdDot(col("y0"), col("y1")).as("dyy"),
           Pca.mmdDot(col("x0"), col("y1")).as("dxy"),
           Pca.mmdDot(col("x1"), col("y0")).as("dyx"))
-        .select(col("g"), Pca.mmdH(d).cast(Pca.MmdDec).as("h"))
+        .select(col("g"), Pca.mmdHq(d).as("hq"))
       val hAgg = hRows.groupBy(col("g"))
-        .agg(count(lit(1)).as("n_pairs"), sum(col("h")).as("sum_h"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("hq").cast(Pca.QSumDec)).as("sum_h"))
       val nRows = rows.groupBy(col("g"))
         .agg(count(lit(1)).as("n_rows"), max(col("off")).as("off"))
       // the new leftover: the batch row sitting at the (now odd) end
@@ -149,7 +152,7 @@ object DriftMonitor {
         .join(leftovers, Seq("g"), "left")
         .select(col("g"), lit(bid).as("seq"), col("n_rows"),
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-          coalesce(col("sum_h"), lit(0).cast(Pca.MmdDec)).as("sum_h"),
+          coalesce(col("sum_h"), lit(0).cast(Pca.QSumDec)).as("sum_h"),
           col("leftover"))
       AppendCommit.appendBatch(spark, root, sid) { tmp =>
         evidence.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -171,7 +174,7 @@ object DriftMonitor {
             sum(col("sum_h")).as("__sh"))
           .select(col("g"), col("n_pairs"),
             when(col("n_pairs") > 0,
-              round(col("__sh").cast("double")
+              round((col("__sh").cast("double") / lit(Pca.GridScale))
                 / col("n_pairs").cast("double"), 6)).as("mmd2"))
     }
 
@@ -252,12 +255,13 @@ object DriftMonitor {
        |  JOIN ref y ON y.i = x.i % (SELECT m FROM mm)),
        |hs AS (
        |  SELECT label,
-       |    CAST((${kernSql("dxx")} + ${kernSql("dyy")})
-       |       - (${kernSql("dxy")} + ${kernSql("dyx")})
-       |      AS DECIMAL(38,8)) AS h
+       |    CAST(FLOOR(((${kernSql("dxx")} + ${kernSql("dyy")})
+       |       - (${kernSql("dxy")} + ${kernSql("dyx")}))
+       |      * 100000000.0) AS BIGINT) AS hq
        |  FROM dots)
        |SELECT label, COUNT(*) AS n_pairs,
-       |  ROUND(CAST(SUM(h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |  ROUND(CAST(SUM(CAST(hq AS DECIMAL(38,0))) AS DOUBLE)
+       |      / 100000000.0 / CAST(COUNT(*) AS DOUBLE), 6)
        |    AS mmd2
        |FROM hs GROUP BY label""".stripMargin
   }

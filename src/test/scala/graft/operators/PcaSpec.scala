@@ -24,32 +24,40 @@ class PcaSpec extends SparkSpec {
     (rows, u)
   }
 
-  test("covariance: matches a brute-force local computation") {
+  test("covariance evidence: bit-equal to a local floor-quantized replay; " +
+      "covMatrix matches brute-force covariance") {
     val (rows, _) = planted(200, 5)
     val df = rows.toDF("vec_id", "embedding")
-    val got = Pca.covariance(df, "embedding", 5).collect()
+    val cov = Pca.covariance(df, "embedding", 5)
+    val got = cov.collect()
       .map(r => (r.getInt(0), r.getInt(1)) ->
-        ((r.getLong(2), r.getDouble(4)))).toMap
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     assert(got.size == 15) // upper triangle of 5x5
     val xs = rows.map(_._2.map(_.toDouble).toArray)
-    val n = xs.length.toDouble
-    for (((i, j), (cnt, cov)) <- got) {
+    def q(p: Double): Long = math.floor(p * 1e8).toLong
+    for (((i, j), (cnt, sxy, si, sj)) <- got) {
       assert(cnt == 200L)
+      // the evidence is EXACT integers — equality, not tolerance
+      assert(sxy == xs.map(x => q(x(i) * x(j))).sum, s"sxy_q ($i,$j)")
+      assert(si == xs.map(x => q(x(i))).sum, s"si_q ($i,$j)")
+      assert(sj == xs.map(x => q(x(j))).sum, s"sj_q ($i,$j)")
+    }
+    val m = Pca.covMatrix(cov, 5)
+    val n = xs.length.toDouble
+    for (i <- 0 until 5; j <- 0 until 5) {
       val sxy = xs.map(x => x(i) * x(j)).sum
-      val si = xs.map(_(i)).sum
-      val sj = xs.map(_(j)).sum
-      val expect = (sxy - si * sj / n) / n
-      assert(math.abs(cov - expect) < 1e-5, s"cell ($i,$j)")
+      val expect = (sxy - xs.map(_(i)).sum * xs.map(_(j)).sum / n) / n
+      assert(math.abs(m(i)(j) - expect) < 1e-5, s"cell ($i,$j)")
     }
   }
 
-  test("covariance: exact decimal sums are partitioning-invariant") {
+  test("covariance: exact integer sums are partitioning-invariant") {
     val (rows, _) = planted(300, 4)
     def run(parts: Int) =
       Pca.covariance(rows.toDF("vec_id", "embedding").repartition(parts),
           "embedding", 4)
         .collect().map(r => (r.getInt(0), r.getInt(1)) ->
-          ((r.getDouble(3), r.getDouble(4)))).toMap
+          ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     val a = run(1)
     val b = run(7)
     assert(a.size == 10 && a.forall { case (k, v) => b(k) == v })
@@ -155,10 +163,9 @@ class PcaSpec extends SparkSpec {
     val hs = xs.zip(ys).map { case (x, y) =>
       val h = (kern(dot(x(0), x(1))) + kern(dot(y(0), y(1)))) -
         (kern(dot(x(0), y(1))) + kern(dot(x(1), y(0))))
-      new java.math.BigDecimal(java.lang.Double.toString(h))
-        .setScale(8, java.math.RoundingMode.HALF_UP)
+      math.floor(h * 1e8).toLong // the mmdHq fixed IEEE tree
     }
-    val mean = hs.reduce(_ add _).doubleValue() / hs.size.toDouble
+    val mean = (hs.sum.toDouble / 1e8) / hs.size.toDouble
     val expect = new java.math.BigDecimal(java.lang.Double.toString(mean))
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     assert(got.getLong(1) == hs.size.toLong)
