@@ -148,19 +148,29 @@ object AppendCommit {
       val Array(n0, h0, rest @ _*) = base.split('|')
       var n = n0.toLong
       var h = BigInt(h0)
-      // the ledger is heterogeneous: append batches carry additive
-      // `n|h` fingerprints, while maintenance covered-markers (the
-      // Warehouse's `rawbatch-*` file-list entries) carry file names —
-      // only fingerprint-shaped payloads sum; everything else is a
-      // replay marker, not corpus content
-      val FpShape = """\d+\|-?\d+""".r
-      appliedEntries(root).foreach { case (_, payload) =>
-        payload.trim match {
-          case p @ FpShape() =>
-            val Array(nb, hb) = p.split('|')
-            n += nb.toLong
-            h += BigInt(hb)
-          case _ => ()
+      // The ledger is heterogeneous: content appends carry additive
+      // `n|h` fingerprints, while maintenance covered-markers carry
+      // file lists. Discriminate by LEDGER-ID NAMESPACE, not payload
+      // shape: every covered-marker id lives in a known prefix
+      // namespace (FreshFold batches, legacy per-file markers,
+      // Skipping's file batches, streaming replay markers), and every
+      // OTHER entry in a fingerprinted store is corpus content whose
+      // payload MUST parse — a malformed fingerprint fails loudly here
+      // instead of silently skipping into a wrong cumulative count
+      // (and a future marker type whose payload happens to look like
+      // `n|h` can no longer be summed by accident: new marker
+      // namespaces must be registered below).
+      val markerPrefixes =
+        Seq(FreshFold.Tag, "rawfile-", "files-", "stream-")
+      appliedEntries(root).foreach { case (id, payload) =>
+        if (!markerPrefixes.exists(id.startsWith)) {
+          val parts = payload.trim.split('|')
+          require(parts.length == 2,
+            s"ledger entry '$id' in fingerprinted store $root has a " +
+              s"non-fingerprint payload '${payload.trim.take(80)}' — " +
+              "covered markers must use a registered id namespace")
+          n += parts(0).toLong
+          h += BigInt(parts(1))
         }
       }
       Some((Seq(n.toString, h.toString) ++ rest).mkString("|"))

@@ -91,9 +91,21 @@ object FreshFold {
   private def writeIntent(store: String, files: Seq[String]): Unit = {
     val fs = fsFor(store)
     fs.mkdirs(new Path(store))
-    val os = fs.create(intentPath(store), true)
+    // temp + rename, never a plain overwrite create: a crash mid-write
+    // would otherwise leave a TRUNCATED intent whose last line is a
+    // garbage path — the next refresh would pin that corrupt set and
+    // every completeOne retry would fail reading a nonexistent file,
+    // wedging the store until manual intent removal. A rename either
+    // lands the whole intent or leaves none (the crashed temp is
+    // harmless and overwritten by the next refresh).
+    val tmp = new Path(store, s".$IntentName.tmp")
+    val os = fs.create(tmp, true)
     try os.write(files.mkString("\n").getBytes("UTF-8"))
     finally os.close()
+    fs.delete(intentPath(store), false) // rename won't overwrite on all FS
+    if (!fs.rename(tmp, intentPath(store)))
+      throw new java.io.IOException(
+        s"cannot place fold intent at ${intentPath(store)}")
   }
 
   private def batchId(files: Seq[String]): String =

@@ -43,25 +43,46 @@ object MaintenanceLock {
     val fs = fsFor(dir)
     val lock = lockPath(dir, tag)
     fs.mkdirs(lock.getParent)
-    // break an orphaned lease (holder died mid-merge)
+    // Break an orphaned lease (holder died mid-merge) by RENAMING it to
+    // a unique tombstone, not delete-then-create: rename is the atomic
+    // primitive, so of two contenders that both observe the expired
+    // lock exactly ONE wins the rename (the loser's rename fails on the
+    // now-missing source) — a delete here could instead remove the
+    // OTHER contender's freshly-created lock, letting both proceed as
+    // maintenance writers (the silent-lost-fold failure this lock
+    // exists to make loud). The loser simply falls through to the
+    // create attempt below and loses there too if the winner got in.
     if (fs.exists(lock)) {
       val age = System.currentTimeMillis() -
         fs.getFileStatus(lock).getModificationTime
       if (age > leaseMs) {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"breaking orphaned maintenance lock $lock (age ${age}ms > " +
-            s"lease ${leaseMs}ms)")
-        fs.delete(lock, false)
+        val tomb = new Path(lock.getParent,
+          s"${lock.getName}.broken_${java.util.UUID.randomUUID()}")
+        if (fs.rename(lock, tomb)) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"broke orphaned maintenance lock $lock (age ${age}ms > " +
+              s"lease ${leaseMs}ms)")
+          fs.delete(tomb, false)
+        }
       }
     }
     val holder =
       s"${java.net.InetAddress.getLocalHost.getHostName}:" +
-        s"${ProcessHandle.current().pid()}:${Thread.currentThread().getId}"
+        s"${ProcessHandle.current().pid()}:${Thread.currentThread().getId}:" +
+        s"${java.util.UUID.randomUUID()}"
     val acquired =
       try {
         val os = fs.create(lock, /* overwrite = */ false)
         try os.write(holder.getBytes("UTF-8")) finally os.close()
-        true
+        // create(overwrite=false) is check-then-create on a local FS —
+        // two racers can interleave past the check. Re-read and verify
+        // the lock carries THIS holder's identity (UUID-unique); on a
+        // torn/foreign read, at most one contender sees its own bytes
+        // and everyone else fails loudly — fail-safe, never two writers
+        val in = fs.open(lock)
+        val back = try new String(in.readAllBytes(), "UTF-8")
+          finally in.close()
+        back == holder
       } catch { case _: java.io.IOException => false }
     if (!acquired) {
       val held = try {

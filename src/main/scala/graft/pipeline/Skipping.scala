@@ -339,19 +339,58 @@ object Skipping {
     })
   }
 
+  /** Probe hashes TYPED like the build side, or None when they cannot
+    * be trusted. Spark's `xxhash64` is type-sensitive (Int, Long, and
+    * Decimal encodings of the same number hash differently), and the
+    * bloom sketches were built hashing the COLUMN's type — a literal
+    * probe carrying its own runtime type (e.g. `Seq(11)` against a
+    * BIGINT column) would hash into nothing, report zero candidates,
+    * and silently break the "bloom has no false negatives" premise the
+    * delete path leans on. So: resolve the column's data type from the
+    * table schema (one footer read — planning-cost class), cast every
+    * probe literal to it, and REFUSE to prune (None → caller scans
+    * everything) when the column is missing or any non-null probe casts
+    * to NULL (an incompatible type can't be hashed faithfully). The
+    * exact `isin` predicate above the scan uses the same cast
+    * semantics, so the two sides can no longer disagree. */
+  private def typedProbeHashes(spark: SparkSession, tableDir: String,
+      c: String, values: Seq[Any]): Option[Seq[Long]] = {
+    val dt = spark.read.parquet(tableDir).schema
+      .find(_.name == c).map(_.dataType)
+    dt.flatMap { t =>
+      // ANSI mode makes an unconvertible cast THROW on this one-row
+      // local plan — same verdict as a lossy null cast: can't prune
+      try {
+        val probe = spark.range(1).select(
+          values.map(v => lit(v).cast(t).isNull) ++
+            values.map(v => xxhash64(lit(v).cast(t))): _*).head()
+        val lossy = values.indices.exists(i =>
+          probe.getBoolean(i) && values(i) != null)
+        if (lossy) None
+        else Some(values.indices.map(i => probe.getLong(values.size + i)))
+      } catch { case _: org.apache.spark.SparkException |
+          _: org.apache.spark.sql.AnalysisException |
+          _: java.lang.ArithmeticException |
+          _: java.time.DateTimeException |
+          _: java.lang.NumberFormatException => None }
+    }
+  }
+
   /** Equality/IN twin of [[pruneListing]] over the bloom stats: the
     * subset of `listing` a `c IN (values)` predicate can need —
     * bloom-matched files (probed ENGINE-side) plus bloom-unknown ones.
-    * None when no bloom stats exist for `c`. */
+    * None when no bloom stats exist for `c` or the probe types cannot
+    * be hashed faithfully ([[typedProbeHashes]]). */
   private[graft] def pruneListingEq(spark: SparkSession, tableDir: String,
       c: String, values: Seq[Any], listing: Seq[String])
       : Option[Seq[String]] = {
     val fs = fsFor(spark, tableDir)
     if (values.isEmpty ||
       !fs.exists(new Path(s"$tableDir/${bloomDir(c)}"))) return None
-    val hashRow = spark.range(1)
-      .select(values.map(v => xxhash64(lit(v))): _*).head()
-    val hashes = values.indices.map(hashRow.getLong)
+    val hashes = typedProbeHashes(spark, tableDir, c, values) match {
+      case None => return None
+      case Some(hs) => hs
+    }
     val matched = bloomMatchedDf(spark, tableDir, c, hashes)
       .collect().map(r => canon(r.getString(0))).toSet
     val known = statsDf(spark, s"$tableDir/${bloomDir(c)}")
@@ -448,20 +487,24 @@ object Skipping {
 
   /** The files an equality/IN predicate on `c` may need: bloom-matched
     * known files (probed ENGINE-SIDE — only names reach the driver)
-    * plus every file unknown to the stats. */
+    * plus every file unknown to the stats. Probe values are hashed with
+    * Spark's own `xxhash64` expression CAST TO THE COLUMN's TYPE — the
+    * exact (function, type) pair the build-side aggregate hashed with
+    * ([[typedProbeHashes]]); a probe whose type cannot be reconciled
+    * degrades to candidate = ALL live files (correct, just unpruned)
+    * rather than a silent zero-match. */
   def candidateFilesEq(spark: SparkSession, tableDir: String, c: String,
       values: Seq[Any]): (Seq[String], Seq[String]) = {
     require(values.nonEmpty, "need at least one lookup value")
-    // hash the probe values with Spark's own xxhash64 expression — the
-    // exact function the build-side aggregate hashed with
-    val hashRow = spark.range(1)
-      .select(values.map(v => xxhash64(lit(v))): _*).head()
-    val hashes = values.indices.map(hashRow.getLong)
+    val live = listDataFiles(spark, tableDir)
+    val hashes = typedProbeHashes(spark, tableDir, c, values) match {
+      case None => return (Seq.empty, live) // everything scans
+      case Some(hs) => hs
+    }
     val matched = bloomMatchedDf(spark, tableDir, c, hashes)
       .collect().map(_.getString(0)).toSeq
     val known = statsDf(spark, s"$tableDir/${bloomDir(c)}")
       .select(col("file")).collect().map(r => canon(r.getString(0))).toSet
-    val live = listDataFiles(spark, tableDir)
     val liveSet = live.map(canon).toSet
     val unknown = live.filterNot(f => known(canon(f)))
     (matched.filter(f => liveSet(canon(f))), unknown)

@@ -231,7 +231,8 @@ object EventStreams {
   final case class VEv(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, value: Double)
 
-  final case class EwmaState(lastUs: Long, n: Long, ewma: Double)
+  final case class EwmaState(lastUs: Long, lastId: Long, n: Long,
+      ewma: Double)
 
   final case class EwmaUpdate(user_id: Long, n_events: Long, ewma: Double)
 
@@ -266,19 +267,23 @@ object EventStreams {
           } else {
             val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
             var st = state.getOption.getOrElse(
-              EwmaState(Long.MinValue / 4, 0L, 0.0))
+              EwmaState(Long.MinValue / 4, Long.MinValue, 0L, 0.0))
             sorted.foreach { e =>
               val us = tsMicros(e.ts)
-              // same ordering contract as statefulInterArrival: the
-              // EWMA is an ordered fold, so an in-watermark event
-              // arriving in a later micro-batch with ts BEFORE the last
-              // folded event cannot be retro-inserted with O(1) state —
-              // strictly-regressive arrivals drop (the stream equals
-              // the batch fold under order-preserving delivery)
-              if (st.n == 0L || us >= st.lastUs)
+              // same ordering contract as statefulInterArrival — the
+              // FULL (ts, event_id) order, not ts alone: the EWMA is an
+              // ordered fold, so an in-watermark event arriving in a
+              // later micro-batch at-or-before the last folded
+              // (ts, event_id) cannot be retro-inserted with O(1)
+              // state — regressive arrivals drop, and so does a
+              // redelivered equal-(ts,id) duplicate (which a ts-only
+              // `>=` guard would double-fold). The stream equals the
+              // batch fold under order-preserving delivery.
+              if (st.n == 0L || us > st.lastUs ||
+                  (us == st.lastUs && e.event_id > st.lastId))
                 st =
-                  if (st.n == 0L) EwmaState(us, 1L, e.value)
-                  else EwmaState(us, st.n + 1,
+                  if (st.n == 0L) EwmaState(us, e.event_id, 1L, e.value)
+                  else EwmaState(us, e.event_id, st.n + 1,
                     st.ewma * (1.0 - alpha) + e.value * alpha)
             }
             state.update(st)

@@ -74,6 +74,29 @@ class AppendCommitSpec extends AnyFunSuite {
       AppendCommit.isApplied(root, s"s$i")))
   }
 
+  test("cumulativeFingerprint classifies by id NAMESPACE: covered " +
+      "markers skip whatever their payload looks like; a malformed " +
+      "content entry throws instead of silently dropping") {
+    val root = tmpRoot()
+    new java.io.File(root).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(root, "_corpus_fingerprint"),
+      "10|100|k=1")
+    AppendCommit.markApplied(root, "ab12cd34", "5|7")
+    // a FreshFold covered marker whose FILE-LIST payload happens to
+    // match the n|h shape — by-namespace classification must skip it
+    // (the old payload-shape sniffing would have summed it)
+    AppendCommit.markApplied(root, s"${FreshFold.Tag}deadbeef", "3|9")
+    AppendCommit.markApplied(root, "files-feed1234", "f1\nf2")
+    AppendCommit.markApplied(root, "rawfile-x.gz", "")
+    AppendCommit.markApplied(root, "stream-7")
+    assert(AppendCommit.cumulativeFingerprint(root)
+      == Some("15|107|k=1"))
+    // an unregistered-namespace entry with a non-fingerprint payload is
+    // a contract violation — loud, never a wrong cumulative count
+    AppendCommit.markApplied(root, "mystery99", "not-a-fingerprint")
+    intercept[Exception] { AppendCommit.cumulativeFingerprint(root) }
+  }
+
   test("hidden or path-hostile batch ids are rejected") {
     val root = tmpRoot()
     intercept[IllegalArgumentException](AppendCommit.markApplied(root, "_x"))

@@ -141,6 +141,29 @@ class FreshFoldSpec extends SparkSpec {
     }
   }
 
+  test("intent writes land via temp+rename: a stale crashed temp never " +
+      "wedges the next refresh, and no temp survives a clean fold") {
+    val s = store()
+    // a crashed earlier writeIntent left a garbage temp — the next
+    // refresh must ignore it (it is NOT the intent) and overwrite it
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s), new org.apache.hadoop.conf.Configuration())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s))
+    val tmp = new org.apache.hadoop.fs.Path(s, "._fold_intent.tmp")
+    val os = fs.create(tmp, true)
+    os.write("garbage/truncated/pa".getBytes("UTF-8")); os.close()
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val n = FreshFold.foldFresh(s, Seq("a", "b")) { (files, id) =>
+      calls += files
+      AppendCommit.markApplied(s, id, "")
+    }
+    assert(n == 2 && calls.toSeq == Seq(Seq("a", "b")),
+      "the garbage temp must not be mistaken for a pinned intent")
+    assert(!fs.exists(tmp), "a clean fold leaves no temp behind")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s, "_fold_intent")),
+      "a completed fold leaves no pinned intent")
+  }
+
   test("legacy per-file rawfile- markers count as covered") {
     val s = store()
     AppendCommit.markApplied(s, "rawfile-old1.tsv", "")

@@ -134,6 +134,24 @@ class MaintainSpec extends SparkSpec {
     assert(spark.read.parquet(path).filter(col("v") === 3L).count() == 0L)
   }
 
+  test("deleteByKey with Int-typed keys against a BIGINT column still " +
+      "deletes (the probe hashes with the column's type)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("del_ptype").toString + "/t"
+    (1L to 400L).map(k => (k, k % 5)).toDF("k", "v")
+      .repartition(4, col("k")).write.parquet(path)
+    Skipping.buildBloom(spark, path, "k")
+    // Seq(11) carries Int literals; the bloom was built on BIGINT —
+    // before the typed probe this silently deleted NOTHING
+    val sum = Maintain.deleteByKey(spark, path, "k",
+      Seq(11: java.lang.Integer, 222: java.lang.Integer))
+    assert(sum.rowsDeleted == 2L, s"typed probe must find the rows: $sum")
+    val got = spark.read.parquet(path).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 400L).toSet -- Set(11L, 222L))
+  }
+
   test("deleteByKey crash recovery: aside-only restores, aside+dest drops") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

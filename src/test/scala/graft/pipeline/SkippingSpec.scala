@@ -361,4 +361,31 @@ class SkippingSpec extends SparkSpec {
     assert(!r3.rebuilt && r3.appended == 1)
     assert(Skipping.readRange(spark, path, "k", 500L, 505L).count() == 6L)
   }
+
+  test("bloom probe hashes with the COLUMN's type: an Int probe against a " +
+      "BIGINT column still finds its file; an incompatible probe scans all") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("skip_ptype").toString + "/t"
+    // two hash-disjoint files over a BIGINT key
+    (1L to 100L).map(k => (k, s"a$k")).toDF("k", "v")
+      .coalesce(1).write.parquet(path)
+    (1000L to 1100L).map(k => (k, s"b$k")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(path)
+    Skipping.buildBloom(spark, path, "k")
+    // xxhash64(11: Int) != xxhash64(11L): an untyped probe would match
+    // NOTHING and silently report "no file can hold key 11" — the typed
+    // probe must land on exactly the file that does
+    val (m, u) = Skipping.candidateFilesEq(spark, path, "k",
+      Seq(11: java.lang.Integer))
+    assert(u.isEmpty, "bloom was just built — nothing unknown")
+    assert(m.size == 1, s"expected the one file holding k=11, got $m")
+    assert(Skipping.readPointLookup(spark, path, "k",
+      Seq(11: java.lang.Integer)).count() == 1L)
+    // a probe that cannot cast to the column type cannot be hashed
+    // faithfully → candidate = ALL files (unpruned, never zero-match)
+    val (m2, u2) = Skipping.candidateFilesEq(spark, path, "k",
+      Seq("not-a-number"))
+    assert(m2.isEmpty && u2.size == 2,
+      "incompatible probe types must degrade to scanning everything")
+  }
 }

@@ -291,6 +291,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(one == batch, "stream must equal the batch operator bit-exactly")
   }
 
+  test("stateful EWMA drops on the full (ts, event_id) order: an " +
+      "equal-ts lower-id late arrival and a redelivered duplicate both " +
+      "no-op (the statefulInterArrival contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.VEv
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
+    // batch 1 folds (5, id=4); batch 2 carries an equal-ts LOWER-id
+    // event (id=3 — regressive in the total order), an exact duplicate
+    // of (5, id=4) (at-least-once redelivery), and one genuine arrival
+    val b1 = Seq(VEv(1, ts(0), 1, 10.0), VEv(4, ts(5), 1, 20.0))
+    val b2 = Seq(VEv(3, ts(5), 1, 99.0), VEv(4, ts(5), 1, 20.0),
+      VEv(7, ts(9), 1, 8.0))
+    def run(chunks: Seq[Seq[VEv]], nm: String): (Long, Double) = {
+      val mem = MemoryStream[VEv]
+      val q = EventStreams.statefulEwma(mem.toDS(), alpha = 0.125)
+        .writeStream.format("memory").queryName(nm)
+        .outputMode("update").start()
+      try chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      finally q.stop()
+      import org.apache.spark.sql.functions.{col, max, struct}
+      spark.table(nm).groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("ewma"))).as("s"))
+        .head().getStruct(1) match {
+        case s => (s.getLong(0), s.getDouble(1))
+      }
+    }
+    val got = run(Seq(b1, b2), "ewma_regr")
+    // the admitted fold is exactly ids 1, 4, 7
+    val expect = Seq(10.0, 20.0, 8.0).reduceLeft((a, x) =>
+      a * (1.0 - 0.125) + x * 0.125)
+    assert(got == ((3L, expect)),
+      s"regressive/duplicate arrivals must not fold: $got")
+  }
+
   test("statefulInterArrival: 1-batch = N-batch = batch operator, bit-exact") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, max, struct}
