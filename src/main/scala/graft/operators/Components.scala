@@ -56,20 +56,22 @@ object Components {
     * component = min node id reachable. Nodes not in any edge are absent —
     * a singleton is its own component by definition, so callers union
     * them in if needed. */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
     // materialize the edge list once: the undirected union below references
     // it twice, and an expensive upstream (e.g. the whole near-dup pair
-    // pipeline) would otherwise run per reference
-    val e = edges.select(col("a").cast("long"), col("b").cast("long"))
-      .filter(col("a") =!= col("b"))
-      .localCheckpoint()
+    // pipeline) would otherwise run per reference. checkpointDir selects
+    // RELIABLE per-round truncation (Graph.truncate — survives executor
+    // loss at cluster scale; same results bit-for-bit)
+    val e = Graph.truncate(
+      edges.select(col("a").cast("long"), col("b").cast("long"))
+        .filter(col("a") =!= col("b")), checkpointDir)
     // undirected: propagate both ways
-    val adj = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = adj.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
+    val adj = Graph.truncate(
+      e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        .distinct(), checkpointDir)
+    var labels = Graph.truncate(adj.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")), checkpointDir)
     var iters = 0
     var converged = false
     var sig = checksum(labels, "id", "comp")
@@ -78,9 +80,9 @@ object Components {
       // (own label, best offer)
       val offers = adj.join(labels.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("comp"))
-      val next = labels.unionByName(offers)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+      val next = Graph.truncate(labels.unionByName(offers)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp")),
+        checkpointDir)
       val nextSig = checksum(next, "id", "comp")
       labels = next
       converged = nextSig == sig

@@ -171,7 +171,7 @@ object Curation {
   }
 
   val q65StratifiedSampleSql: String =
-    """SELECT lang, rnk, doc_id FROM (
+    """SELECT lang, CAST(rnk AS INT) AS rnk, doc_id FROM (
       |  SELECT lang, doc_id,
       |    ROW_NUMBER() OVER (PARTITION BY lang
       |      ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
@@ -1019,7 +1019,7 @@ object Curation {
       |            FROM documents),
       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM wd GROUP BY 1, 2),
       |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1)
-      |SELECT doc_id, rnk, w AS keyword, tf, df FROM (
+      |SELECT doc_id, CAST(rnk AS INT) AS rnk, w AS keyword, tf, df FROM (
       |  SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
       |      ORDER BY tf.tf DESC, dfq.df ASC, tf.w ASC) AS rnk

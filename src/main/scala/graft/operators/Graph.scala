@@ -24,16 +24,38 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Per-iteration lineage truncation for the loops below. `None` →
+    * `localCheckpoint`: blocks live on EXECUTORS — fast (no FS
+    * round-trip), but truncated lineage cannot recompute, so at
+    * cluster scale one lost executor kills the whole iterative job.
+    * `Some(dir)` → RELIABLE checkpoint under `dir` on the cluster FS:
+    * each round's state survives executor loss and recomputes from
+    * the checkpoint, at one FS write per truncation — the
+    * 1000-executor setting's choice (SCALING.md §graphs). The two
+    * modes are semantically identical (bit-identical output — spec'd
+    * on kCore); pick by failure budget, not by result. */
+  private[operators] def truncate(df: DataFrame,
+      checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case None => df.localCheckpoint()
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+    }
+
   /** Ranks after `iters` iterations at damping `d`, over the directed
     * edge set (cols `src`, `dst`; parallel edges collapse). Nodes =
     * endpoint union; dangling nodes keep the teleport term only (mass
     * leaks, standard simplified PageRank — the gate graph is symmetric,
-    * so nothing dangles there). */
-  def pageRank(edges: DataFrame, iters: Int, d: Double): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    * so nothing dangles there). `checkpointDir` selects reliable
+    * per-iteration checkpointing ([[truncate]]). */
+  def pageRank(edges: DataFrame, iters: Int, d: Double,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val e = truncate(edges.select(col("src"), col("dst")).distinct(),
+      checkpointDir)
     val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().localCheckpoint()
+    val nodes = truncate(e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct(), checkpointDir)
     val n = nodes.count()
     // all float arithmetic stays engine-side in one expression shape per
     // term, mirrored verbatim by the SQL oracle
@@ -50,9 +72,9 @@ object Graph {
         .select(col("dst").as("node"),
           (teleport + lit(d) * aggregate(col("ws"), lit(0.0d),
             (acc, x) => acc + x.getField("w"))).as("rank"))
-      ranks = nodes.join(folded, Seq("node"), "left")
-        .select(col("node"), coalesce(col("rank"), teleport).as("rank"))
-        .localCheckpoint()
+      ranks = truncate(nodes.join(folded, Seq("node"), "left")
+        .select(col("node"), coalesce(col("rank"), teleport).as("rank")),
+        checkpointDir)
     }
     ranks
   }
@@ -254,8 +276,10 @@ object Graph {
     * per node. Int64 headroom: scores grow like (mean degree)^k — at
     * k = 2 that is deg² ≲ 10⁹ for million-degree hubs, far under 2⁶³;
     * deeper runs should renormalize (and accept float discipline). */
-  def hits(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+  def hits(edges: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val e = truncate(edges.select(col("src"), col("dst")).distinct(),
+      checkpointDir)
     // auth¹ = in-degree (hub⁰ = 1)
     val auth1 = e.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("a1"))
@@ -322,15 +346,19 @@ object Graph {
     * neighbor labels, never a global sort) — the Pregel step as
     * dataframes. Lineage is truncated per round (localCheckpoint, the
     * PageRank/Components discipline). */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val e = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint() // both directions: neighbor lists are symmetric
-    val nodes = e.select(col("a").as("node")).distinct().localCheckpoint()
+    // both directions: neighbor lists are symmetric
+    val e = truncate(
+      und.unionAll(und.select(col("b").as("a"), col("a").as("b"))),
+      checkpointDir)
+    val nodes = truncate(e.select(col("a").as("node")).distinct(),
+      checkpointDir)
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
       val counts = e
@@ -341,9 +369,9 @@ object Graph {
         .orderBy(col("c").desc, col("label").asc)
       val next = counts.withColumn("__rn", row_number().over(pick))
         .filter(col("__rn") === 1).select(col("node"), col("label"))
-      labels = nodes.join(next, Seq("node"), "left")
-        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-        .localCheckpoint()
+      labels = truncate(nodes.join(next, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("label"), col("node")).as("label")), checkpointDir)
     }
     labels
   }
@@ -599,24 +627,26 @@ object Graph {
     * distinct), frontier-only expansion (already-visited nodes are
     * anti-joined away before the next hop, so a dense core is not
     * re-expanded), per-hop first-reach counts. */
-  def kHopReach(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+  def kHopReach(edges: DataFrame, seeds: DataFrame, k: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val e = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var visited = seeds.select(col("node"), lit(0).as("hop"))
-      .distinct().localCheckpoint()
+    val e = truncate(
+      und.unionAll(und.select(col("b").as("a"), col("a").as("b"))),
+      checkpointDir)
+    var visited = truncate(
+      seeds.select(col("node"), lit(0).as("hop")).distinct(), checkpointDir)
     var frontier = visited.select(col("node"))
     for (h <- 1 to k) {
       val next = e.join(frontier.select(col("node").as("a")), "a")
         .select(col("b").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
-      frontier = next.localCheckpoint()
-      visited = visited
-        .unionByName(frontier.select(col("node"), lit(h).as("hop")))
-        .localCheckpoint()
+      frontier = truncate(next, checkpointDir)
+      visited = truncate(visited
+        .unionByName(frontier.select(col("node"), lit(h).as("hop"))),
+        checkpointDir)
     }
     visited.groupBy(col("hop"))
       .agg(count(lit(1)).as("n_first_reached"),
@@ -678,17 +708,18 @@ object Graph {
   // including the ones where the core collapses to empty.
   // ---------------------------------------------------------------------
   /** Final surviving (node, deg) after `rounds` peels at threshold k. */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    var e = truncate(edges.select(col("a"), col("b")).distinct(),
+      checkpointDir)
     var r = 0
     while (r < rounds) {
       val deg = e.select(col("a").as("n"))
         .unionByName(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("n"))
-      e = e.join(keep, e("a") === keep("n"), "left_semi")
-        .join(keep, e("b") === keep("n"), "left_semi")
-        .localCheckpoint()
+      e = truncate(e.join(keep, e("a") === keep("n"), "left_semi")
+        .join(keep, e("b") === keep("n"), "left_semi"), checkpointDir)
       r += 1
     }
     e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
@@ -701,18 +732,19 @@ object Graph {
     * handshake identity, so no separate distinct-count job) and the
     * NEXT round's peel threshold; per round that is one checkpointed
     * peel + one tiny stats head over the node table. */
-  def kCoreTrajectory(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCoreTrajectory(edges: DataFrame, k: Int, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     def degreeOf(e: DataFrame): DataFrame =
       e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
-    var deg = degreeOf(e).localCheckpoint()
+    var e = truncate(edges.select(col("a"), col("b")).distinct(),
+      checkpointDir)
+    var deg = truncate(degreeOf(e), checkpointDir)
     val traj = (1 to rounds).map { r =>
       val keep = deg.filter(col("d") >= k).select(col("n"))
-      e = e.join(keep, e("a") === keep("n"), "left_semi")
-        .join(keep, e("b") === keep("n"), "left_semi")
-        .localCheckpoint()
-      deg = degreeOf(e).localCheckpoint()
+      e = truncate(e.join(keep, e("a") === keep("n"), "left_semi")
+        .join(keep, e("b") === keep("n"), "left_semi"), checkpointDir)
+      deg = truncate(degreeOf(e), checkpointDir)
       val stats = deg.agg(count(lit(1)).as("nn"),
         coalesce(sum(col("d")), lit(0L)).as("sd")).head()
       (r, stats.getLong(0), stats.getLong(1) / 2)

@@ -94,7 +94,8 @@ object Ingest {
   }
 
   val q51CanonicalizeSql: String =
-    """SELECT EXTRACT(year FROM o_orderdate) AS o_year, o_orderstatus,
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+      |  o_orderstatus,
       |  COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS spend
       |FROM orders GROUP BY 1, 2""".stripMargin
@@ -869,7 +870,8 @@ object Ingest {
       |  UNION ALL
       |  SELECT k, n_bal, 2, CAST(NULL AS BIGINT) FROM m
       |  WHERE in_s AND (NOT in_o OR chg))
-      |SELECT valid_from, COALESCE(valid_to, -1) AS valid_to,
+      |SELECT CAST(valid_from AS BIGINT) AS valid_from,
+      |  COALESCE(valid_to, -1) AS valid_to,
       |  COUNT(*) AS n_rows,
       |  CAST(SUM(CAST(bal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal
       |FROM rows_ GROUP BY 1, 2""".stripMargin

@@ -44,7 +44,9 @@ object Similarity {
   }
 
   val q36CosineTopKSql: String =
-    """SELECT q_id, rnk, vec_id FROM (
+    // CAST rnk to INT: Spark row_number is int32, DuckDB's is int64 —
+    // values hash equal either way, but the dtype check should be clean
+    """SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id FROM (
       |  SELECT q.vec_id AS q_id, n.vec_id AS vec_id,
       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
       |      ORDER BY list_cosine_similarity(
@@ -595,7 +597,7 @@ object Similarity {
   }
 
   val q61HybridSearchSql: String =
-    """SELECT rnk, doc_id FROM (
+    """SELECT CAST(rnk AS INT) AS rnk, doc_id FROM (
       |  SELECT d.doc_id,
       |    ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(
       |        CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
@@ -809,7 +811,7 @@ object Similarity {
   }
 
   val q81VectorResizeSql: String =
-    """SELECT vec_id, len(s) AS n_dims,
+    """SELECT vec_id, CAST(len(s) AS INT) AS n_dims,
       |  sqrt(list_sum(list_transform(s, x -> x * x))) AS norm,
       |  CASE WHEN list_sum(list_transform(s, x -> x * x)) > 0
       |       THEN list_sum(s) / sqrt(list_sum(list_transform(s, x -> x * x)))

@@ -26,8 +26,8 @@ object SqlSurface {
   val q17GroupingSetsSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  COUNT(*) AS n_rows,
-      |  GROUPING(l_returnflag) AS g_rf,
-      |  GROUPING(l_linestatus) AS g_ls
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
 

@@ -334,8 +334,8 @@ object TextAnalysis {
       |      ELSE substr(text, 1, 40) END AS raw
       |  FROM documents WHERE doc_id < 500)
       |SELECT doc_id, nfc_normalize(raw) AS norm_text,
-      |  length(raw) AS len_raw,
-      |  length(nfc_normalize(raw)) AS len_norm
+      |  CAST(length(raw) AS INT) AS len_raw,
+      |  CAST(length(nfc_normalize(raw)) AS INT) AS len_norm
       |FROM r""".stripMargin
 
   // ---------------------------------------------------------------------

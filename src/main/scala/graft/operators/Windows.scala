@@ -36,7 +36,10 @@ object Windows {
   }
 
   val q9WindowRankSql: String =
-    """SELECT * FROM (
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(rn AS INT) AS rn, CAST(rk AS INT) AS rk,
+      |  CAST(drk AS INT) AS drk, CAST(half AS INT) AS half
+      |FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    ROW_NUMBER() OVER w AS rn,
       |    RANK() OVER w AS rk,

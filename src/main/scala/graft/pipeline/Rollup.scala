@@ -553,9 +553,9 @@ object Rollup {
       |    SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n
       |  FROM b)
       |SELECT o_orderstatus, CAST(MAX(n) AS BIGINT) AS n_scored,
-      |  MIN(CASE WHEN cum >= CEIL(n * 0.5) THEN (bin + 1) * 1000.0 END)
-      |    AS p50_ub,
-      |  MIN(CASE WHEN cum >= CEIL(n * 0.9) THEN (bin + 1) * 1000.0 END)
-      |    AS p90_ub
+      |  CAST(MIN(CASE WHEN cum >= CEIL(n * 0.5)
+      |    THEN (bin + 1) * 1000.0 END) AS DOUBLE) AS p50_ub,
+      |  CAST(MIN(CASE WHEN cum >= CEIL(n * 0.9)
+      |    THEN (bin + 1) * 1000.0 END) AS DOUBLE) AS p90_ub
       |FROM c GROUP BY o_orderstatus""".stripMargin
 }

@@ -220,4 +220,36 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
     assert(traj == List((1, 3L, 3L), (2, 3L, 3L), (3, 3L, 3L), (4, 3L, 3L)))
   }
+
+  test("reliable checkpointing (checkpointDir) is BIT-IDENTICAL to the " +
+      "localCheckpoint path and actually lands checkpoint files") {
+    // the cluster-scale variant: per-round state on the (shared) FS
+    // survives executor loss; semantics must not move at all
+    val dir = java.nio.file.Files.createTempDirectory("graph_ckpt")
+      .toString
+    val e = und((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (4L, 6L), (2L, 4L))
+    val trajL = Graph.kCoreTrajectory(e, k = 2, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+    val trajR = Graph.kCoreTrajectory(e, k = 2, rounds = 3, Some(dir))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+    assert(trajL == trajR, "kCore trajectory moved under reliable mode")
+    val pr = edges(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+    val rL = Graph.pageRank(pr, 3, 0.85)
+      .as[(String, Double)].collect().toMap
+    val rR = Graph.pageRank(pr, 3, 0.85, Some(dir))
+      .as[(String, Double)].collect().toMap
+    assert(rL == rR, "pageRank must be bit-identical under reliable mode")
+    val cc = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"),
+      checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L))
+    // reliable mode really wrote to the FS (the whole point)
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)),
+      "no checkpoint files landed under checkpointDir")
+  }
 }
