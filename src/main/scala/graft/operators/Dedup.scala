@@ -224,6 +224,98 @@ object Dedup {
       |GROUP BY x.bucket, x.n_pairs""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Evidence-based near-dup strategy selection. [[jaccardPairs]] (plain
+  // inverted index) and [[prefixFilterJaccardPairs]] are output-identical
+  // (q237's oracle IS q33's), but their costs cross over on POSTING-LIST
+  // SKEW: the plain join's candidate volume is Σ df·(df−1)/2 over
+  // shingle frequencies, so a few stopword-hot lists dominate it
+  // quadratically — exactly what the prefix filter prunes. On a FLAT
+  // frequency profile (the TPC-H trigram corpus: sparse lists, no hot
+  // buckets) the prefix filter's freq+rank plumbing costs more than the
+  // pruning saves (measured r7: 4.2 s vs 1.8 s at sf0.1). So: decide
+  // from evidence, not taste — one cheap aggregate over the posting-list
+  // frequency table (the q224 bucketSkew statistic applied to shingle
+  // df), then run the winner. The threshold compares max_df against the
+  // mean df: a corpus whose hottest list is ≥ `skewThreshold`× the mean
+  // is stopword-skewed (a true stopword appears in EVERY doc, so its df
+  // is corpus-sized while the mean stays near 1–2).
+  // ---------------------------------------------------------------------
+
+  /** One-aggregate posting-list skew evidence + the verdict. */
+  final case class JaccardStrategy(nLists: Long, nRows: Long,
+      maxDf: Long, skewRatio: Double, usePrefixFilter: Boolean)
+
+  /** Read the evidence: distinct posting lists, total postings, hottest
+    * list, and skew = max_df / mean_df — one shuffle on shingle, the
+    * df table the prefix filter would build anyway. */
+  def chooseJaccardStrategy(sh: DataFrame,
+      skewThreshold: Double = 16.0): JaccardStrategy = {
+    val r = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("df")).as("n_rows"),
+        max(col("df")).as("max_df")).head()
+    val (nLists, nRows, maxDf) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val skew = maxDf.toDouble / (nRows.toDouble / nLists.toDouble)
+    JaccardStrategy(nLists, nRows, maxDf, skew,
+      usePrefixFilter = skew >= skewThreshold)
+  }
+
+  /** [[jaccardPairs]] at an arbitrary rational threshold num/den —
+    * the plain-inverted-index half of the auto path (τ = 3/5 gives
+    * exactly q33's 0.6 double). */
+  def jaccardPairsAt(sh: DataFrame, num: Int, den: Int): DataFrame =
+    sharedShingleCounts(sh)
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= lit(num.toDouble / den.toDouble))
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+        col("jac"))
+
+  /** Auto near-dup join: read the skew evidence, run the winning plan.
+    * Output is identical either way (the q237 gate proves the prefix
+    * path lossless); only the cost differs. */
+  def jaccardPairsAuto(sh: DataFrame, num: Int, den: Int,
+      skewThreshold: Double = 16.0): DataFrame =
+    if (chooseJaccardStrategy(sh, skewThreshold).usePrefixFilter)
+      prefixFilterJaccardPairs(sh, num, den)
+    else jaccardPairsAt(sh, num, den)
+
+  // ---------------------------------------------------------------------
+  // q250_jaccard_strategy — the selector's evidence and verdict on the
+  // gate corpus, oracle-replayed: posting-list stats over the same
+  // distinct trigram stream, the same max/mean skew tree, the same
+  // threshold compare. Pins that the auto path picks the PLAIN join on
+  // this corpus (flat lists — the measured-cheaper plan).
+  // ---------------------------------------------------------------------
+  def q250JaccardStrategy(s: SparkSession, dir: String): DataFrame = {
+    val st = chooseJaccardStrategy(shingleRows(t(s, dir, "documents")))
+    import s.implicits._
+    Seq((st.nLists, st.nRows, st.maxDf,
+        BigDecimal(st.skewRatio).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        st.usePrefixFilter))
+      .toDF("n_lists", "n_rows", "max_df", "skew_ratio",
+        "use_prefix_filter")
+  }
+
+  val q250JaccardStrategySql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         list_aggregate(w[i:i+2], 'string_agg', '_') AS s
+      |       FROM t, UNNEST(range(1, len(w) - 1)) AS g(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+      |SELECT COUNT(*) AS n_lists, CAST(SUM(df) AS BIGINT) AS n_rows,
+      |  CAST(MAX(df) AS BIGINT) AS max_df,
+      |  ROUND(CAST(MAX(df) AS DOUBLE)
+      |    / (CAST(SUM(df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6)
+      |    AS skew_ratio,
+      |  CAST(MAX(df) AS DOUBLE)
+      |    / (CAST(SUM(df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) >= 16.0
+      |    AS use_prefix_filter
+      |FROM df""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q112_containment — asymmetric near-dup detection by shingle-set
   // CONTAINMENT: inter / min(|A|, |B|) ≥ 0.9. Catches what Jaccard
   // structurally cannot: a short doc quoted whole inside a long one has

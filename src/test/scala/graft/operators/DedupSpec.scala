@@ -620,4 +620,40 @@ class DedupSpec extends SparkSpec {
         v => spark.conf.set(spillKey, v))
     }
   }
+
+  test("strategy selector: flat posting lists pick the plain inverted " +
+      "index; a stopword-skewed corpus picks the prefix filter; the auto " +
+      "path is output-identical either way") {
+    import spark.implicits._
+    // flat profile: every trigram unique to its doc → skew ≈ 1
+    val flat = (1 to 60).map(i => (i.toLong,
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+      .toDF("doc_id", "text")
+    val shFlat = Dedup.shingleRows(flat).localCheckpoint()
+    val stFlat = Dedup.chooseJaccardStrategy(shFlat)
+    assert(!stFlat.usePrefixFilter,
+      s"flat lists must pick the plain join: $stFlat")
+    // stopword-skewed: a 10-word spine shared by EVERY doc (its interior
+    // trigrams have df = n_docs) + a unique tail → skew far above mean
+    val skewed = (1 to 60).map(i => (i.toLong,
+      s"the of and to in a is that it was u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val shSkew = Dedup.shingleRows(skewed).localCheckpoint()
+    val stSkew = Dedup.chooseJaccardStrategy(shSkew)
+    assert(stSkew.usePrefixFilter,
+      s"stopword-hot lists must pick the prefix filter: $stSkew")
+    assert(stSkew.maxDf == 60L, "a spine trigram appears in every doc")
+    // the selector only moves COST — results are identical on both paths
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b", "inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (sh <- Seq(shFlat, shSkew)) {
+      assert(pairs(Dedup.jaccardPairsAuto(sh, 3, 5)) ==
+        pairs(Dedup.jaccardPairsAt(sh, 3, 5)))
+    }
+    // and the q33 threshold is exactly jaccardPairsAt(3, 5)
+    assert(pairs(Dedup.jaccardPairsAt(
+        Dedup.shingleRows(flat.limit(20)), 3, 5)) ==
+      pairs(Dedup.jaccardPairs(Dedup.shingleRows(flat.limit(20)))))
+  }
 }
