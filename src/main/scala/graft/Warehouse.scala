@@ -212,7 +212,10 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     } && !Canonicalize.isStreamSinkDir(out)
     if (current) {
       val cols = graft.model.TypeLattice.toStructType(t).fieldNames
-      (spark.read.parquet(out)
+      // resolve through the table manifest when one exists: a canonical
+      // dir under concurrent maintenance then reads a complete snapshot
+      // (graft.pipeline.Manifest), never the rename-wide gap
+      (graft.pipeline.Manifest.readSnapshot(spark, out)
         .select(cols.map(org.apache.spark.sql.functions.col).toSeq: _*),
         true)
     } else (readRaw(t, files), false)

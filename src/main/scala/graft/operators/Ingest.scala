@@ -716,6 +716,49 @@ object Ingest {
       |FROM orders WHERE o_custkey NOT IN (11, 42, 107)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q251_manifest_table — the manifest-managed maintenance lifecycle
+  // end-to-end: a managed (Manifest.enable) hash-clustered table takes
+  // a bloom-pruned hard delete AND a compaction, each committing a new
+  // manifest generation (replacements placed BEFORE originals drop —
+  // the reader-atomic order, require'd mid-run by snapshot reads), and
+  // the final snapshot read must equal the oracle's NOT IN filter
+  // exactly. The compaction proves snapshot reads survive full file-set
+  // turnover; re-runs of both ops are physical no-ops (require'd).
+  // ---------------------------------------------------------------------
+  def q251ManifestTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Maintain, Manifest, Skipping}
+    val tbl = s"$skipBase/orders_mani_${dir.hashCode.toHexString}"
+    val keys = Seq(11L, 42L, 107L)
+    if (!new java.io.File(s"$tbl.complete").exists()) {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(8, col("o_custkey"))
+        .write.parquet(tbl)
+      Manifest.enable(s, tbl)
+      Skipping.buildBloom(s, tbl, "o_custkey")
+      val sum = Maintain.deleteByKey(s, tbl, "o_custkey", keys)
+      require(sum.rowsDeleted > 0 && sum.candidateFiles < 8,
+        s"bloom must confine the managed delete: $sum")
+      val nAfterDelete = Manifest.readSnapshot(s, tbl).count()
+      // compaction turns the whole file set over under the manifest
+      Maintain.compactPartitions(s, tbl, targetBytes = 1L << 30)
+      require(Manifest.readSnapshot(s, tbl).count() == nAfterDelete,
+        "compaction must not move a row under the manifest")
+      val again = Maintain.deleteByKey(s, tbl, "o_custkey", keys)
+      require(again.rowsDeleted == 0 && again.rewritten == 0 &&
+        again.dropped == 0, s"re-delete must be a no-op: $again")
+      new java.io.File(s"$tbl.complete").createNewFile()
+    }
+    graft.pipeline.Manifest.readSnapshot(s, tbl)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        min(col("o_orderkey")).as("min_key"),
+        sumDec(col("o_totalprice")).as("sum_price"))
+  }
+
+  val q251ManifestTableSql: String = q229DeleteByKeySql
+
+  // ---------------------------------------------------------------------
   // q230_transparent_skipping — the optimizer-rule path through the
   // gate: a PLAIN DataFrame range filter (no Skipping reader API) over
   // a stats-carrying table must file-prune via

@@ -59,6 +59,8 @@ object Maintain {
       "targetBytes must be positive and maxFiles at least 1")
     val fs = fsFor(spark, path)
     val root = new Path(path)
+    val managed = Manifest.exists(path)
+    if (managed) Manifest.recover(path)
     val partDirs = fs.listStatus(root).filter { st =>
       val n = st.getPath.getName
       st.isDirectory && n.contains("=") && !n.startsWith(".") &&
@@ -68,17 +70,54 @@ object Maintain {
     val targets = if (partDirs.nonEmpty) partDirs.toSeq else Seq(root)
     var compacted = 0; var before = 0L; var after = 0L
     targets.foreach { pdir =>
-      SafeSwap.recover(pdir.toString)
+      if (!managed) SafeSwap.recover(pdir.toString)
       val files = dataFiles(fs, pdir)
       val bytes = files.map(_.getLen).sum
       val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       before += files.length
       if (files.length > maxFiles && files.length > want) {
-        // the lazy read executes inside the SafeSwap write action,
-        // strictly before the live dir renames aside
-        val df = spark.read.parquet(pdir.toString).coalesce(want)
-        SafeSwap.replace(pdir.toString) { tmp =>
-          df.write.mode("overwrite").parquet(tmp)
+        if (managed) {
+          // reader-atomic variant: coalesced copy lands under NEW
+          // cmp_-prefixed names in the SAME dir (uncommitted — snapshot
+          // readers ignore them), ONE manifest commit swaps the
+          // partition's file set, then the old files delete. A crash
+          // at any point heals at the next run's Manifest.recover.
+          val olds = files.map(_.getPath)
+          val tmpDir = new Path(pdir, ".cmp_tmp").toString
+          fs.delete(new Path(tmpDir), true)
+          // no basePath: partition values live in the dir name, not in
+          // the rewritten files (same content as the SafeSwap path)
+          spark.read.parquet(olds.map(_.toString): _*)
+            .coalesce(want)
+            .write.mode("overwrite").parquet(tmpDir)
+          val runId = java.util.UUID.randomUUID().toString.take(8)
+          val placed = fs.listStatus(new Path(tmpDir)).toSeq
+            .map(_.getPath)
+            .filter(p => !p.getName.startsWith("_") &&
+              !p.getName.startsWith("."))
+            .map { p =>
+              val dest = new Path(pdir, s"cmp_${runId}_${p.getName}")
+              if (!fs.rename(p, dest))
+                throw new java.io.IOException(
+                  s"compaction: cannot place $dest")
+              dest
+            }
+          val oldRels = olds
+            .map(p => Manifest.relativize(path, p.toString)).toSet
+          val cur = Manifest.resolve(path).getOrElse(Seq.empty)
+            .map(p => Manifest.relativize(path, p))
+          Manifest.commit(path,
+            cur.filterNot(oldRels) ++
+              placed.map(p => Manifest.relativize(path, p.toString)))
+          olds.foreach(fs.delete(_, false))
+          fs.delete(new Path(tmpDir), true)
+        } else {
+          // the lazy read executes inside the SafeSwap write action,
+          // strictly before the live dir renames aside
+          val df = spark.read.parquet(pdir.toString).coalesce(want)
+          SafeSwap.replace(pdir.toString) { tmp =>
+            df.write.mode("overwrite").parquet(tmp)
+          }
         }
         compacted += 1
         after += dataFiles(fs, pdir).length
@@ -149,13 +188,25 @@ object Maintain {
     * Warehouse sync) rebuild; readers stay correct in the window via
     * the matched ∩ live-listing rule. Falls back to candidate = ALL
     * files when no bloom stats exist for `c` (correct, just unpruned).
-    * Single maintenance writer, like every op here. */
+    * Single maintenance writer, like every op here.
+    *
+    * MANIFEST-MANAGED tables ([[Manifest.enable]]) get the
+    * reader-atomic protocol instead: every replacement lands COMPLETE
+    * under its new name first, then ONE manifest commit swaps the whole
+    * run's file set (the commit point — a [[Manifest.readSnapshot]]
+    * reader sees the complete old state before it and the complete new
+    * state after it, never the rename-wide gap), then the replaced
+    * originals delete (immediately — this is right-to-be-forgotten;
+    * retention would defeat it). A crash anywhere converges via
+    * [[Manifest.recover]] on the next run. */
   def deleteByKey(spark: SparkSession, tableDir: String, c: String,
       values: Seq[Any]): DeleteSummary = {
     require(values.nonEmpty, "need at least one key to delete")
     import org.apache.spark.sql.functions.{col, count, lit, sum, when}
     val fs = fsFor(spark, tableDir)
-    recoverDeletes(fs, new Path(tableDir))
+    val managed = Manifest.exists(tableDir)
+    if (managed) Manifest.recover(tableDir)
+    else recoverDeletes(fs, new Path(tableDir))
     val hasBloom =
       fs.exists(new Path(tableDir, s"_skip_bloom_$c"))
     val candidates: Seq[String] =
@@ -189,8 +240,42 @@ object Maintain {
       .map(r => (r.getString(0), r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2)))
       .filter(_._3 > 0L)
+    // manifest mode: (relative orig, relative replacement or None)
+    val swaps = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Option[String])]
     hitRows.foreach { case (f, total, hits) =>
-      {
+      if (managed) {
+        deleted += hits
+        val fp = new Path(f)
+        val rel = Manifest.relativize(tableDir, f)
+        if (hits == total) {
+          // nothing survives: the commit below drops it from the
+          // manifest; the file itself deletes AFTER the commit
+          swaps += ((rel, None))
+          dropped += 1
+        } else {
+          val keep = spark.read.option("basePath", tableDir).parquet(f)
+            .filter(!col(c).isin(values: _*))
+          val tmpDir = new Path(fp.getParent,
+            s".del_tmp_${fp.getName}").toString
+          fs.delete(new Path(tmpDir), true)
+          keep.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+          val part = fs.listStatus(new Path(tmpDir)).map(_.getPath)
+            .find(p => !p.getName.startsWith("_") &&
+              !p.getName.startsWith("."))
+            .getOrElse(throw new java.io.IOException(
+              s"delete rewrite produced no data file for $f"))
+          val dest = delDest(fp)
+          fs.delete(dest, false) // uncommitted leftover (post-recover
+          // this only exists if recover itself raced; defensive)
+          if (!fs.rename(part, dest))
+            throw new java.io.IOException(s"delete: cannot place $dest")
+          fs.delete(new Path(tmpDir), true)
+          swaps += ((rel, Some(Manifest.relativize(tableDir,
+            dest.toString))))
+          rewritten += 1
+        }
+      } else {
         deleted += hits
         val fp = new Path(f)
         if (hits == total) {
@@ -221,6 +306,20 @@ object Maintain {
           fs.delete(new Path(tmpDir), true)
           rewritten += 1
         }
+      }
+    }
+    if (managed && swaps.nonEmpty) {
+      // THE commit point: one atomic generation swap replaces every
+      // touched original with its rewrite (or drops it) and folds in
+      // any appends the old manifest had not caught up with
+      val replacedOrDropped = swaps.map(_._1).toSet
+      val cur = Manifest.resolve(tableDir).getOrElse(Seq.empty)
+        .map(p => Manifest.relativize(tableDir, p))
+      Manifest.commit(tableDir,
+        cur.filterNot(replacedOrDropped) ++ swaps.flatMap(_._2))
+      // deferred removal, after the commit — RTBF wants the bytes gone
+      swaps.foreach { case (rel, _) =>
+        fs.delete(new Path(tableDir, rel), false)
       }
     }
     if (rewritten > 0 || dropped > 0) spark.catalog.refreshByPath(tableDir)

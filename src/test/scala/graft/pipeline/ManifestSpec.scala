@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
+
+/** Reader-visible snapshot isolation ([[Manifest]]): a snapshot reader
+  * resolving MID-maintenance sees either the complete old state or the
+  * complete new state — never the rename-wide half state a listing
+  * reader could catch — and every crash point converges. */
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("k").collect().map(_.getLong(0)).toSet
+
+  test("readSnapshot == plain read on a fresh table; appends are " +
+      "visible before any manifest refresh (stale-safe)") {
+    val path = Files.createTempDirectory("mani").toString + "/t"
+    (1L to 100L).map(k => (k, k % 5)).toDF("k", "v")
+      .repartition(4, col("k")).write.parquet(path)
+    Manifest.enable(spark, path)
+    assert(keys(Manifest.readSnapshot(spark, path)) == (1L to 100L).toSet)
+    // an append the manifest has never seen must be readable NOW
+    (101L to 110L).map(k => (k, k % 5)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(path)
+    assert(keys(Manifest.readSnapshot(spark, path)) == (1L to 110L).toSet)
+  }
+
+  test("deleteByKey on a managed table: every intermediate state reads " +
+      "complete — old snapshot before the commit, new after; final " +
+      "content exact; untouched files keep identity") {
+    val path = Files.createTempDirectory("mani_del").toString + "/t"
+    (1L to 400L).map(k => (k, k % 5)).toDF("k", "v")
+      .repartition(4, col("k")).write.parquet(path)
+    Manifest.enable(spark, path)
+    Skipping.buildBloom(spark, path, "k")
+    val before = fs(path).listStatus(new Path(path))
+      .filter(_.isFile).map(s => s.getPath.getName -> s.getLen).toMap
+    val sum = Maintain.deleteByKey(spark, path, "k", Seq(7L, 250L))
+    assert(sum.rowsDeleted == 2L, s"$sum")
+    assert(keys(Manifest.readSnapshot(spark, path)) ==
+      (1L to 400L).toSet -- Set(7L, 250L))
+    assert(keys(spark.read.parquet(path)) ==
+      (1L to 400L).toSet -- Set(7L, 250L),
+      "listing readers agree once the run completes")
+    // untouched data files keep name+length identity
+    val after = fs(path).listStatus(new Path(path))
+      .filter(_.isFile).map(s => s.getPath.getName -> s.getLen).toMap
+    val untouched = before.keySet.intersect(after.keySet)
+      .filterNot(_.startsWith("_"))
+    assert(untouched.nonEmpty)
+    untouched.foreach(n => assert(before(n) == after(n), n))
+    // idempotent rerun: nothing changes, no new generation
+    val genBefore = Manifest.current(path).get
+    val again = Maintain.deleteByKey(spark, path, "k", Seq(7L, 250L))
+    assert(again.rowsDeleted == 0L &&
+      Manifest.current(path).get == genBefore)
+  }
+
+  test("MID-SWAP: with a replacement placed but the manifest not yet " +
+      "committed, the snapshot reads the complete OLD state (a listing " +
+      "read sees duplicates); after the commit with the original " +
+      "lingering, the complete NEW state; recover() heals both crashes") {
+    val path = Files.createTempDirectory("mani_mid").toString + "/t"
+    (1L to 100L).map(k => (k, k)).toDF("k", "v")
+      .repartition(2, col("k")).write.parquet(path)
+    Manifest.enable(spark, path)
+    val all = (1L to 100L).toSet
+    val f = fs(path)
+    val victim = f.listStatus(new Path(path)).filter(_.isFile)
+      .map(_.getPath).filterNot(_.getName.startsWith("_")).head
+    val victimKeys = keys(spark.read.parquet(victim.toString))
+    // hand-construct the crashed state BETWEEN "replacement placed"
+    // and "manifest committed": copy the victim minus one key to
+    // del_<victim> (exactly what the protocol places first)
+    val gone = victimKeys.head
+    val tmp = new Path(victim.getParent, ".del_tmp_x").toString
+    spark.read.parquet(victim.toString).filter(col("k") =!= gone)
+      .coalesce(1).write.parquet(tmp)
+    val part = f.listStatus(new Path(tmp)).map(_.getPath)
+      .find(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .get
+    val dest = new Path(victim.getParent, s"del_${victim.getName}")
+    assert(f.rename(part, dest)); f.delete(new Path(tmp), true)
+    // snapshot: complete OLD state (uncommitted dest invisible)
+    assert(keys(Manifest.readSnapshot(spark, path)) == all)
+    // a listing read in this window double-counts the victim's rows —
+    // the half-state class the manifest exists to hide
+    assert(spark.read.parquet(path).count() ==
+      100L + victimKeys.size - 1)
+    // recover() = the next maintenance run's entry: uncommitted dest
+    // drops, old state intact
+    Manifest.recover(path)
+    assert(!f.exists(dest))
+    assert(keys(Manifest.readSnapshot(spark, path)) == all)
+    assert(keys(spark.read.parquet(path)) == all)
+    // now the OTHER crash: dest placed AND manifest committed, but the
+    // original's deletion crashed
+    spark.read.parquet(victim.toString).filter(col("k") =!= gone)
+      .coalesce(1).write.parquet(tmp)
+    val part2 = f.listStatus(new Path(tmp)).map(_.getPath)
+      .find(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .get
+    assert(f.rename(part2, dest)); f.delete(new Path(tmp), true)
+    val rel = Manifest.relativize(path, victim.toString)
+    val cur = Manifest.resolve(path).get
+      .map(p => Manifest.relativize(path, p))
+    Manifest.commit(path, cur.filterNot(_ == rel) :+
+      Manifest.relativize(path, dest.toString))
+    // snapshot: complete NEW state; the lingering original (previous
+    // generation) is invisible even though a listing still shows it
+    assert(keys(Manifest.readSnapshot(spark, path)) == all - gone)
+    assert(spark.read.parquet(path).count() == 100L + victimKeys.size - 1)
+    Manifest.recover(path)
+    assert(!f.exists(victim), "committed-away original must drop")
+    assert(keys(Manifest.readSnapshot(spark, path)) == all - gone)
+    assert(keys(spark.read.parquet(path)) == all - gone)
+  }
+
+  test("compaction on a managed table is reader-atomic and idempotent; " +
+      "Hive partitions keep their column") {
+    val path = Files.createTempDirectory("mani_cmp").toString + "/t"
+    (1L to 200L).map(k => (k, k % 2)).toDF("k", "day")
+      .repartition(5, col("k"))
+      .write.partitionBy("day").parquet(path)
+    Manifest.enable(spark, path)
+    val sum = Maintain.compactPartitions(spark, path,
+      targetBytes = 1L << 30, maxFiles = 1)
+    assert(sum.partitionsCompacted == 2 && sum.filesAfter == 2, s"$sum")
+    val got = Manifest.readSnapshot(spark, path)
+    assert(keys(got) == (1L to 200L).toSet)
+    assert(got.filter(col("day") === 1).count() == 100L,
+      "partition column must survive the managed rewrite")
+    assert(keys(spark.read.parquet(path)) == (1L to 200L).toSet)
+    // idempotent: already in budget, no new generation
+    val gen = Manifest.current(path).get
+    val again = Maintain.compactPartitions(spark, path,
+      targetBytes = 1L << 30, maxFiles = 1)
+    assert(again.partitionsCompacted == 0 &&
+      Manifest.current(path).get == gen)
+  }
+}
