@@ -132,6 +132,12 @@ object Maintain {
   final case class DeleteSummary(candidateFiles: Int, rewritten: Int,
       dropped: Int, rowsDeleted: Long)
 
+  /** Above this many distinct keys, [[deleteByKey]] switches from
+    * isin/literal expressions to a broadcast key frame for discovery
+    * and rewrite filters (plans stay constant-size however many keys a
+    * purge carries). */
+  val LargeKeyThreshold: Int = 1000
+
   private val DelAside = ".del_aside_"
 
   private def delDest(orig: Path): Path =
@@ -226,17 +232,50 @@ object Maintain {
     var rewritten = 0; var dropped = 0; var deleted = 0L
     if (candidates.isEmpty)
       return DeleteSummary(0, 0, 0, 0L)
+    // Above the threshold, keys travel as a BROADCAST one-column frame
+    // instead of isin/literal expressions: a 50k-key purge would
+    // otherwise inflate every plan with 50k literals (analysis +
+    // codegen blowup) and the bloom probe with a 50k-element array.
+    // Keys round-trip through strings and cast to the column's actual
+    // type, so join equality matches the typed-probe/isin semantics.
+    val distinctVals = values.distinct
+    val keysDf: Option[org.apache.spark.sql.DataFrame] =
+      if (distinctVals.size <= LargeKeyThreshold) None
+      else spark.read.parquet(tableDir).schema.find(_.name == c)
+        .map { f =>
+          import spark.implicits._
+          distinctVals.map(v => if (v == null) null else v.toString)
+            .toDF("__ks")
+            .select(col("__ks").cast(f.dataType).as("__k"))
+            .filter(col("__k").isNotNull).distinct()
+        }
+    def dropKeys(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = keysDf match {
+      case Some(k) => df.join(org.apache.spark.sql.functions.broadcast(k),
+        df(c) === k("__k"), "left_anti")
+      case None => df.filter(!col(c).isin(values: _*))
+    }
     // ONE batched discovery pass over the candidates (not one probe job
     // per file): exact per-file hit/total counts — bloom false
     // positives drop out here, and the rewrite loop below touches only
     // files that truly hold the keys
-    val hitRows = spark.read.option("basePath", tableDir)
+    val scanned = spark.read.option("basePath", tableDir)
       .parquet(candidates: _*)
-      .groupBy(org.apache.spark.sql.functions
-        .col("_metadata.file_path").as("file"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col(c).isin(values: _*), 1L).otherwise(0L)).as("hits"))
-      .collect()
+      .select(org.apache.spark.sql.functions
+        .col("_metadata.file_path").as("file"), col(c))
+    val hitRows = (keysDf match {
+      case Some(k) =>
+        scanned.join(org.apache.spark.sql.functions.broadcast(k),
+            scanned(c) === k("__k"), "left")
+          .groupBy(col("file"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("__k").isNotNull, 1L).otherwise(0L)).as("hits"))
+      case None =>
+        scanned.groupBy(col("file"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col(c).isin(values: _*), 1L).otherwise(0L))
+              .as("hits"))
+    }).collect()
       .map(r => (r.getString(0), r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2)))
       .filter(_._3 > 0L)
@@ -254,8 +293,8 @@ object Maintain {
           swaps += ((rel, None))
           dropped += 1
         } else {
-          val keep = spark.read.option("basePath", tableDir).parquet(f)
-            .filter(!col(c).isin(values: _*))
+          val keep = dropKeys(
+            spark.read.option("basePath", tableDir).parquet(f))
           val tmpDir = new Path(fp.getParent,
             s".del_tmp_${fp.getName}").toString
           fs.delete(new Path(tmpDir), true)
@@ -282,8 +321,8 @@ object Maintain {
           fs.delete(fp, false) // nothing survives — drop the file
           dropped += 1
         } else {
-          val keep = spark.read.option("basePath", tableDir).parquet(f)
-            .filter(!col(c).isin(values: _*))
+          val keep = dropKeys(
+            spark.read.option("basePath", tableDir).parquet(f))
           val tmpDir = new Path(fp.getParent,
             s".del_tmp_${fp.getName}").toString
           fs.delete(new Path(tmpDir), true) // crashed-attempt leftover

@@ -353,6 +353,14 @@ object Skipping {
     * to NULL (an incompatible type can't be hashed faithfully). The
     * exact `isin` predicate above the scan uses the same cast
     * semantics, so the two sides can no longer disagree. */
+  /** Probe-batching unit: hashing and bloom-probing run in chunks of
+    * this many values, so a 50k-key purge neither builds a one-row plan
+    * with 100k expressions nor inlines a 50k-literal array into the
+    * probe filter — plans stay constant-size, work scales by chunk
+    * count (each chunk is a sub-second pass over the small stats
+    * table). */
+  private val ProbeChunk = 1024
+
   private def typedProbeHashes(spark: SparkSession, tableDir: String,
       c: String, values: Seq[Any]): Option[Seq[Long]] = {
     val dt = spark.read.parquet(tableDir).schema
@@ -361,13 +369,17 @@ object Skipping {
       // ANSI mode makes an unconvertible cast THROW on this one-row
       // local plan — same verdict as a lossy null cast: can't prune
       try {
-        val probe = spark.range(1).select(
-          values.map(v => lit(v).cast(t).isNull) ++
-            values.map(v => xxhash64(lit(v).cast(t))): _*).head()
-        val lossy = values.indices.exists(i =>
-          probe.getBoolean(i) && values(i) != null)
-        if (lossy) None
-        else Some(values.indices.map(i => probe.getLong(values.size + i)))
+        val out = Seq.newBuilder[Long]
+        for (chunk <- values.grouped(ProbeChunk)) {
+          val probe = spark.range(1).select(
+            chunk.map(v => lit(v).cast(t).isNull) ++
+              chunk.map(v => xxhash64(lit(v).cast(t))): _*).head()
+          val lossy = chunk.indices.exists(i =>
+            probe.getBoolean(i) && chunk(i) != null)
+          if (lossy) return None
+          out ++= chunk.indices.map(i => probe.getLong(chunk.size + i))
+        }
+        Some(out.result())
       } catch { case _: org.apache.spark.SparkException |
           _: org.apache.spark.sql.AnalysisException |
           _: java.lang.ArithmeticException |
@@ -375,6 +387,16 @@ object Skipping {
           _: java.lang.NumberFormatException => None }
     }
   }
+
+  /** Bloom-matched file names for `hashes`, probed in [[ProbeChunk]]
+    * batches (a file matches if ANY chunk matches — the union is the
+    * same superset the one-shot probe computes). */
+  private def bloomMatchedChunked(spark: SparkSession, tableDir: String,
+      c: String, hashes: Seq[Long]): Seq[String] =
+    hashes.grouped(ProbeChunk).flatMap { hs =>
+      bloomMatchedDf(spark, tableDir, c, hs)
+        .collect().map(_.getString(0))
+    }.toSeq.distinct
 
   /** Equality/IN twin of [[pruneListing]] over the bloom stats: the
     * subset of `listing` a `c IN (values)` predicate can need —
@@ -391,8 +413,8 @@ object Skipping {
       case None => return None
       case Some(hs) => hs
     }
-    val matched = bloomMatchedDf(spark, tableDir, c, hashes)
-      .collect().map(r => canon(r.getString(0))).toSet
+    val matched = bloomMatchedChunked(spark, tableDir, c, hashes)
+      .map(canon).toSet
     val known = statsDf(spark, s"$tableDir/${bloomDir(c)}")
       .select(col("file")).collect().map(r => canon(r.getString(0))).toSet
     Some(listing.filter { f =>
@@ -501,8 +523,7 @@ object Skipping {
       case None => return (Seq.empty, live) // everything scans
       case Some(hs) => hs
     }
-    val matched = bloomMatchedDf(spark, tableDir, c, hashes)
-      .collect().map(_.getString(0)).toSeq
+    val matched = bloomMatchedChunked(spark, tableDir, c, hashes)
     val known = statsDf(spark, s"$tableDir/${bloomDir(c)}")
       .select(col("file")).collect().map(r => canon(r.getString(0))).toSet
     val liveSet = live.map(canon).toSet

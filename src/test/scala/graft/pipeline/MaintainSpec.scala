@@ -152,6 +152,33 @@ class MaintainSpec extends SparkSpec {
     assert(got == (1L to 400L).toSet -- Set(11L, 222L))
   }
 
+  test("deleteByKey with 50k keys: broadcast-frame path deletes exactly, " +
+      "no literal-inflated plans, untouched files keep identity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("del_large").toString + "/t"
+    // keys 1..200000 hash-clustered over 8 files; purge 50k of them
+    (1L to 200000L).map(k => (k, k % 3)).toDF("k", "v")
+      .repartition(8, col("k")).write.parquet(path)
+    Skipping.buildBloom(spark, path, "k")
+    val purge: Seq[Any] = (1L to 50000L).map(k => k * 4): Seq[Any]
+    assert(purge.size > Maintain.LargeKeyThreshold)
+    val before = snapshot(path)
+    val sum = Maintain.deleteByKey(spark, path, "k", purge)
+    assert(sum.rowsDeleted == 50000L, s"$sum")
+    val after = snapshot(path)
+    before.filter { case (n, _) => after.contains(n) }.foreach {
+      case (n, v) => assert(after(n) == v, s"untouched file $n changed")
+    }
+    val got = spark.read.parquet(path).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 200000L).toSet -- purge.map(_.asInstanceOf[Long]))
+    // idempotent rerun through the same large-key path
+    val again = Maintain.deleteByKey(spark, path, "k", purge)
+    assert(again.rowsDeleted == 0L && again.rewritten == 0 &&
+      again.dropped == 0)
+  }
+
   test("deleteByKey crash recovery: aside-only restores, aside+dest drops") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
