@@ -1231,16 +1231,21 @@ object TextAnalysis {
     val pts = ranked.select(
       log(col("rnk").cast("double")).as("x"),
       log(col("freq").cast("double")).as("y"))
+    // ln values are COMPUTED doubles — quantize them onto the 1e-8 grid
+    // with the fixed floor/int64 tree (the q234 discipline), never a
+    // double→decimal CAST (an engine's-choice rounding boundary);
+    // magnitudes (|ln·ln| ≤ ~10³) keep every scaled value and sum far
+    // under 2^53, so the decimal→double casts back are exact
+    def qsum(e: Column): Column =
+      sum(floor(e * lit(1e8)).cast(DecimalType(38, 0)))
+        .cast(DoubleType) / lit(1e8)
     val g = pts.agg(
       count(lit(1)).cast("double").as("n"),
-      sum(col("x").cast(DecimalType(30, 8))).cast(DoubleType).as("sx"),
-      sum(col("y").cast(DecimalType(30, 8))).cast(DoubleType).as("sy"),
-      sum((col("x") * col("x")).cast(DecimalType(30, 8)))
-        .cast(DoubleType).as("sxx"),
-      sum((col("y") * col("y")).cast(DecimalType(30, 8)))
-        .cast(DoubleType).as("syy"),
-      sum((col("x") * col("y")).cast(DecimalType(30, 8)))
-        .cast(DoubleType).as("sxy"))
+      qsum(col("x")).as("sx"),
+      qsum(col("y")).as("sy"),
+      qsum(col("x") * col("x")).as("sxx"),
+      qsum(col("y") * col("y")).as("syy"),
+      qsum(col("x") * col("y")).as("sxy"))
     // a degenerate vocabulary (≤1 distinct term, or all-equal
     // frequencies) has no defined fit — NULL, guarded before the
     // divisions (ANSI raises on /0)
@@ -1281,11 +1286,16 @@ object TextAnalysis {
       |  FROM ranked),
       |g AS (
       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-      |    CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(y AS DECIMAL(30,8))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(x * x AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(y * y AS DECIMAL(30,8))) AS DOUBLE) AS syy,
-      |    CAST(SUM(CAST(x * y AS DECIMAL(30,8))) AS DOUBLE) AS sxy
+      |    CAST(SUM(CAST(CAST(FLOOR(x * 100000000.0) AS BIGINT)
+      |      AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS sx,
+      |    CAST(SUM(CAST(CAST(FLOOR(y * 100000000.0) AS BIGINT)
+      |      AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS sy,
+      |    CAST(SUM(CAST(CAST(FLOOR((x * x) * 100000000.0) AS BIGINT)
+      |      AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS sxx,
+      |    CAST(SUM(CAST(CAST(FLOOR((y * y) * 100000000.0) AS BIGINT)
+      |      AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS syy,
+      |    CAST(SUM(CAST(CAST(FLOOR((x * y) * 100000000.0) AS BIGINT)
+      |      AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS sxy
       |  FROM pts)
       |SELECT CAST(n AS BIGINT) AS n_terms,
       |  CASE WHEN n * sxx - sx * sx <> 0.0 THEN

@@ -77,40 +77,15 @@ object Maintain {
       before += files.length
       if (files.length > maxFiles && files.length > want) {
         if (managed) {
-          // reader-atomic variant: coalesced copy lands under NEW
-          // cmp_-prefixed names in the SAME dir (uncommitted — snapshot
-          // readers ignore them), ONE manifest commit swaps the
-          // partition's file set, then the old files delete. A crash
-          // at any point heals at the next run's Manifest.recover.
-          val olds = files.map(_.getPath)
-          val tmpDir = new Path(pdir, ".cmp_tmp").toString
-          fs.delete(new Path(tmpDir), true)
-          // no basePath: partition values live in the dir name, not in
-          // the rewritten files (same content as the SafeSwap path)
-          spark.read.parquet(olds.map(_.toString): _*)
-            .coalesce(want)
-            .write.mode("overwrite").parquet(tmpDir)
-          val runId = java.util.UUID.randomUUID().toString.take(8)
-          val placed = fs.listStatus(new Path(tmpDir)).toSeq
-            .map(_.getPath)
-            .filter(p => !p.getName.startsWith("_") &&
-              !p.getName.startsWith("."))
-            .map { p =>
-              val dest = new Path(pdir, s"cmp_${runId}_${p.getName}")
-              if (!fs.rename(p, dest))
-                throw new java.io.IOException(
-                  s"compaction: cannot place $dest")
-              dest
-            }
-          val oldRels = olds
-            .map(p => Manifest.relativize(path, p.toString)).toSet
-          val cur = Manifest.resolve(path).getOrElse(Seq.empty)
-            .map(p => Manifest.relativize(path, p))
-          Manifest.commit(path,
-            cur.filterNot(oldRels) ++
-              placed.map(p => Manifest.relativize(path, p.toString)))
-          olds.foreach(fs.delete(_, false))
-          fs.delete(new Path(tmpDir), true)
+          // reader-atomic variant ([[Manifest.replaceFiles]]): the
+          // coalesced copy lands under NEW cmp_-prefixed names in the
+          // SAME dir, ONE manifest commit swaps the partition's file
+          // set, then the old files delete. No basePath on the read:
+          // partition values live in the dir name, not in the rewritten
+          // files (same content as the SafeSwap path).
+          val olds = files.map(_.getPath.toString).toSeq
+          Manifest.replaceFiles(spark, path, pdir.toString,
+            spark.read.parquet(olds: _*).coalesce(want), "cmp_", olds)
         } else {
           // the lazy read executes inside the SafeSwap write action,
           // strictly before the live dir renames aside

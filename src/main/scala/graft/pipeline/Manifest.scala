@@ -50,10 +50,10 @@ object Manifest {
   private val GenPrefix = "_manifest_g"
 
   /** Name prefixes that mark MAINTENANCE OUTPUT files (delete rewrites,
-    * compaction outputs). An uncommitted file with one of these
-    * prefixes is a crashed run's leftover; anything else unknown to the
-    * manifest is treated as a fresh append. */
-  private[pipeline] val MaintPrefixes = Seq("del_", "cmp_")
+    * compaction outputs, partition merges). An uncommitted file with
+    * one of these prefixes is a crashed run's leftover; anything else
+    * unknown to the manifest is treated as a fresh append. */
+  private[pipeline] val MaintPrefixes = Seq("del_", "cmp_", "ups_")
 
   private def fsFor(path: String): FileSystem =
     new Path(path).getFileSystem(new Configuration())
@@ -172,6 +172,41 @@ object Manifest {
       }
       (cur ++ appends).map(f => new Path(tableDir, f).toString)
     }
+
+  /** Reader-atomic replacement of `olds` (absolute paths under
+    * `tableDir`) by `df`'s rows, materialized under `destDir` with
+    * `prefix`-tagged names: write hidden → move in (complete files,
+    * uncommitted — snapshot readers ignore them) → ONE manifest commit
+    * (the atomicity point) → delete `olds`. The shared building block
+    * of manifest-managed compaction and partition merges; a crash at
+    * any step heals at the next run's [[recover]]. */
+  private[pipeline] def replaceFiles(spark: SparkSession,
+      tableDir: String, destDir: String, df: DataFrame, prefix: String,
+      olds: Seq[String]): Unit = {
+    require(MaintPrefixes.contains(prefix),
+      s"unregistered maintenance prefix $prefix")
+    val fs = fsFor(tableDir)
+    val tmpDir = new Path(destDir, s".${prefix}tmp").toString
+    fs.delete(new Path(tmpDir), true)
+    df.write.mode("overwrite").parquet(tmpDir)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val placed = fs.listStatus(new Path(tmpDir)).toSeq.map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") &&
+        !p.getName.startsWith("."))
+      .map { p =>
+        val dest = new Path(destDir, s"$prefix${runId}_${p.getName}")
+        if (!fs.rename(p, dest))
+          throw new java.io.IOException(s"manifest: cannot place $dest")
+        dest
+      }
+    val oldRels = olds.map(p => relativize(tableDir, p)).toSet
+    val cur = resolve(tableDir).getOrElse(Seq.empty)
+      .map(p => relativize(tableDir, p))
+    commit(tableDir, cur.filterNot(oldRels) ++
+      placed.map(p => relativize(tableDir, p.toString)))
+    olds.foreach(p => fs.delete(new Path(p), false))
+    fs.delete(new Path(tmpDir), true)
+  }
 
   /** Table-relative form of an absolute child path (URI-scheme and
     * slash-form differences canonicalized) — the representation

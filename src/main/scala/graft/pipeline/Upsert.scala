@@ -112,6 +112,13 @@ object Upsert {
     val affected = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0))
     val restKeys = keys.filterNot(_ == partitionCol)
+    // manifest-managed tables get the reader-atomic protocol
+    // (Manifest.replaceFiles): merged rows land complete under new
+    // ups_-prefixed names, one manifest commit swaps the partition's
+    // file set, then the old files drop — a readSnapshot reader never
+    // sees the SafeSwap rename-wide gap
+    val managed = Manifest.exists(path)
+    if (managed) Manifest.recover(path)
     var updated = 0L; var inserted = 0L; var total = 0L
     affected.foreach { pv =>
       // Hive partition-path escaping (the write.partitionBy convention):
@@ -121,14 +128,21 @@ object Upsert {
       val pdir = s"$path/$partitionCol=" +
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .escapePathName(String.valueOf(pv))
-      SafeSwap.recover(pdir)
+      if (!managed) SafeSwap.recover(pdir)
       val slice = updates.filter(col(partitionCol) === lit(pv))
         .drop(partitionCol)
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(pdir),
         spark.sparkContext.hadoopConfiguration)
       if (fs.exists(new org.apache.hadoop.fs.Path(pdir))) {
         // partitionBy layout: files under pc=v/ do not carry the column
-        val target = spark.read.parquet(pdir)
+        val olds = fs.listStatus(new org.apache.hadoop.fs.Path(pdir))
+          .filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }.map(_.getPath.toString).toSeq
+        val target =
+          if (managed) spark.read.parquet(olds: _*)
+          else spark.read.parquet(pdir)
         updated += target.join(
           slice.selectExpr(restKeys: _*).distinct(), restKeys, "left_semi")
           .count()
@@ -137,20 +151,28 @@ object Upsert {
         val merged = target.join(slice, restKeys, "left_anti")
           .unionByName(slice)
           .observe(obs, count(lit(1)).as("total"))
-        SafeSwap.replace(pdir) { tmp =>
-          merged.write.mode("overwrite").parquet(tmp)
-        }
+        if (managed)
+          Manifest.replaceFiles(spark, path, pdir, merged, "ups_", olds)
+        else
+          SafeSwap.replace(pdir) { tmp =>
+            merged.write.mode("overwrite").parquet(tmp)
+          }
         total += obs.get("total").asInstanceOf[Long]
       } else {
         // brand-new partition: every update row is an insert — still
-        // behind SafeSwap, so a crash mid-write leaves only the hidden
-        // tmp dir (overwritten by the next run), never a half-written
-        // live partition that wedges subsequent merges
+        // behind SafeSwap (or a manifest commit), so a crash mid-write
+        // leaves only hidden/uncommitted files (overwritten or swept by
+        // the next run), never a half-written live partition that
+        // wedges subsequent merges
         val n = slice.count()
         inserted += n; total += n
-        SafeSwap.replace(pdir) { tmp =>
-          slice.write.mode("overwrite").parquet(tmp)
-        }
+        if (managed)
+          Manifest.replaceFiles(spark, path, pdir, slice, "ups_",
+            Seq.empty)
+        else
+          SafeSwap.replace(pdir) { tmp =>
+            slice.write.mode("overwrite").parquet(tmp)
+          }
       }
     }
     // the rewritten partitions invalidated any file listing Spark's

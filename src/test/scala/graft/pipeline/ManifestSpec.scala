@@ -123,6 +123,40 @@ class ManifestSpec extends SparkSpec {
     assert(keys(spark.read.parquet(path)) == all - gone)
   }
 
+  test("partitioned merge on a managed table: updates, inserts, a " +
+      "brand-new partition, and an uncommitted ups_ leftover all " +
+      "resolve; snapshot equals the merged truth") {
+    val path = Files.createTempDirectory("mani_ups").toString + "/t"
+    (1L to 100L).map(k => (k, k % 2, s"v$k")).toDF("k", "day", "p")
+      .write.partitionBy("day").parquet(path)
+    Manifest.enable(spark, path)
+    val updates = Seq(
+      (7L, 1L, "NEW7"), (8L, 0L, "NEW8"),     // update existing rows
+      (101L, 1L, "INS101"),                   // insert into existing part
+      (200L, 5L, "INS200"))                   // brand-new partition
+      .toDF("k", "day", "p")
+    val sum = Upsert.mergeIntoPartitioned(spark, path, updates,
+      Seq("k", "day"), "day")
+    assert(sum.updated == 2L && sum.inserted == 2L, s"$sum")
+    val got = Manifest.readSnapshot(spark, path)
+      .select("k", "p").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(got.size == 102)
+    assert(got(7L) == "NEW7" && got(8L) == "NEW8" &&
+      got(101L) == "INS101" && got(200L) == "INS200" && got(9L) == "v9")
+    assert(Manifest.readSnapshot(spark, path)
+      .filter(col("day") === 5L).count() == 1L,
+      "new partition's column value must resolve through the snapshot")
+    // an uncommitted ups_ leftover (crash before commit) is invisible
+    // to snapshots and swept by the next maintenance entry
+    val f = fs(path)
+    val stray = new Path(s"$path/day=0/ups_deadbeef_part-0.parquet")
+    val os = f.create(stray, true); os.write(Array[Byte](1, 2)); os.close()
+    assert(Manifest.readSnapshot(spark, path).count() == 102L)
+    Manifest.recover(path)
+    assert(!f.exists(stray))
+  }
+
   test("compaction on a managed table is reader-atomic and idempotent; " +
       "Hive partitions keep their column") {
     val path = Files.createTempDirectory("mani_cmp").toString + "/t"
