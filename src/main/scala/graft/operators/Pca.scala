@@ -384,13 +384,18 @@ object Pca {
       .toDF("i", "loading", "eigenvalue")
   }
 
-  val q249EigenSql: String = {
+  // ordered fold with an explicit 0.0 seed — the Array.sum /
+  // foldLeft(0.0) twin (q241's list_reduce discipline)
+  private def fold(expr: String, ord: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list($expr ORDER BY $ord)), (a, x) -> a + x)""".stripMargin
+
+  /** The shared q249 CTE chain: integer covariance evidence →
+    * covMatrix's double tree → 100 unrolled power iterations → `v100`
+    * (the top eigenvector, bit-identical to the driver's). Reused as
+    * the prefix of every oracle that consumes the eigen solve. */
+  private val eigenCteChain: String = {
     val d = 16
-    // ordered fold with an explicit 0.0 seed — the Array.sum /
-    // foldLeft(0.0) twin (q241's list_reduce discipline)
-    def fold(expr: String, ord: String): String =
-      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list($expr ORDER BY $ord)), (a, x) -> a + x)""".stripMargin
     val header =
       s"""WITH pr AS (
          |  SELECT i.i AS i, j.j AS j,
@@ -439,6 +444,10 @@ object Pca {
          |                   FROM w$k) AS val
          |  FROM w$k)""".stripMargin
     }.mkString(",\n")
+    s"$header,\n$iters"
+  }
+
+  val q249EigenSql: String = {
     val tail =
       s"""mv AS MATERIALIZED (
          |  SELECT m.i AS i, ${fold("m.val * v.val", "m.j")} AS val
@@ -448,6 +457,46 @@ object Pca {
          |  FROM v100 v JOIN mv ON mv.i = v.i)
          |SELECT v.i, v.val AS loading, lam.eigenvalue
          |FROM v100 v CROSS JOIN lam""".stripMargin
-    s"$header,\n$iters,\n$tail"
+    s"$eigenCteChain,\n$tail"
+  }
+
+  // ---------------------------------------------------------------------
+  // q252_pca_projection — the whole decomposition pipeline END-TO-END:
+  // covariance evidence → driver eigen solve → map-only projection of
+  // every embedding onto the top component → per-label quantized mean
+  // coordinate. The oracle replays the ENTIRE chain (the q249 CTEs,
+  // then per-row element-order projection folds against the replayed
+  // eigenvector, then the floor/int64 mean) — this is the external
+  // pin on Pca.project (and thereby the projectK/whitening machinery)
+  // the r7 verdict asked to exist beyond planted-direction specs.
+  // ---------------------------------------------------------------------
+  def q252PcaProjection(s: SparkSession, dir: String): DataFrame = {
+    val d = 16
+    val e = t(s, dir, "embeddings")
+    val m = covMatrix(covariance(e, "embedding", d), d)
+    val (v, _) = topEigen(m)
+    project(e, "embedding", v, "t")
+      .select(col("label"), floor(col("t") * lit(Grid)).as("tq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round((sum(col("tq").cast(SumDec)).cast("double") / lit(Grid))
+          / count(lit(1)).cast("double"), 6).as("mean_proj"))
+  }
+
+  val q252PcaProjectionSql: String = {
+    val tail =
+      s"""vlist AS (SELECT list(val ORDER BY i) AS v FROM v100),
+         |proj AS (
+         |  SELECT e.label,
+         |    CAST(FLOOR(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        [CAST(e.embedding[i] AS DOUBLE) * vl.v[i]
+         |         FOR i IN range(1, 17)]),
+         |        (a, x) -> a + x) * 100000000.0) AS BIGINT) AS tq
+         |  FROM embeddings e CROSS JOIN vlist vl)
+         |SELECT label, COUNT(*) AS n,
+         |  ROUND(CAST(SUM(CAST(tq AS DECIMAL(38,0))) AS DOUBLE)
+         |      / 100000000.0 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_proj
+         |FROM proj GROUP BY label""".stripMargin
+    s"$eigenCteChain,\n$tail"
   }
 }
