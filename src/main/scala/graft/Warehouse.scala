@@ -120,6 +120,14 @@ object Warehouse {
         * over the canonical layer, one stats table per column, same
         * cadence as `maintainedSkipStats` */
       maintainedBloomStats: Map[String, Seq[String]] = Map.empty,
+      /** tables whose CANONICAL dirs are kept manifest-managed
+        * ([[graft.pipeline.Manifest]]): every sync re-commits a
+        * generation naming the current canonical files, so snapshot
+        * readers get reader-atomic maintenance (delete/compact/merge)
+        * over those dirs. Requires `canonicalize`; a batch canonical
+        * rewrite (SafeSwap) replaces the dir wholesale, so the manifest
+        * re-commits right after it — same cadence as the skip stats. */
+      manifestTables: Seq[String] = Nil,
       /** Summary notification hook — the reference publishes every sync
         * summary to an SNS email topic (`sync-canvas-data-files.py:141-145`,
         * topic `cloud_formation/canvas_data_aws.yaml:68-78`); plug a mailer/
@@ -172,7 +180,7 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       if (!cfg.dryRun) {
         maintainStores(schema); maintainViews(schema)
         maintainIndexes(schema); maintainVectorIndexes(schema)
-        maintainSkipping()
+        maintainSkipping(); maintainManifests()
       }
     } finally cfg.onSummary(summary)
     summary
@@ -465,6 +473,29 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       if (ready(table)) cols.foreach { c =>
         val r = Skipping.refreshBloom(spark, canonicalDir(table), c)
         if (r.rebuilt) log.info(s"bloom stats for $table.$c: rebuilt")
+      }
+    }
+  }
+
+  /** Keep the configured canonical dirs manifest-managed: one
+    * [[graft.pipeline.Manifest.refresh]] per sync — O(listing) when
+    * nothing moved, one generation commit when files landed or a batch
+    * canonical rewrite replaced the dir (taking the old manifest with
+    * it). Snapshot readers over these dirs then survive concurrent
+    * maintenance (delete/compact/merge) without ever seeing a half
+    * state. */
+  private def maintainManifests(): Unit = {
+    if (cfg.manifestTables.isEmpty) return
+    if (!cfg.canonicalize) {
+      log.warn("manifestTables need canonicalize = true (manifests " +
+        "manage the parquet canonical layer) — skipped")
+      return
+    }
+    cfg.manifestTables.foreach { table =>
+      val dir = canonicalDir(table)
+      if (fsOf.exists(new org.apache.hadoop.fs.Path(dir))) {
+        if (graft.pipeline.Manifest.refresh(spark, dir))
+          log.info(s"manifest for $table: new generation committed")
       }
     }
   }

@@ -138,6 +138,21 @@ object Manifest {
     commit(tableDir, listDataFiles(fs, new Path(tableDir)))
   }
 
+  /** Converge the manifest with the live listing: heal crashed
+    * maintenance ([[recover]]), then commit a new generation ONLY if
+    * the listing moved (appends since the last commit, or a wholesale
+    * canonical rewrite that replaced the dir — and with it any previous
+    * manifest). An unchanged table costs one listing + one manifest
+    * read. The maintenance-cadence entry point ([[graft.Warehouse]]
+    * wires it per sync). Returns whether a generation was committed. */
+  def refresh(spark: SparkSession, tableDir: String): Boolean = {
+    val fs = fsFor(tableDir)
+    if (exists(tableDir)) recover(tableDir)
+    val listing = listDataFiles(fs, new Path(tableDir)).sorted
+    if (current(tableDir).map(_.sorted).contains(listing)) false
+    else { commit(tableDir, listing); true }
+  }
+
   /** Entry healing for maintenance ops (single writer): delete
     * previous-generation files whose post-commit removal crashed, and
     * uncommitted maintenance-output files from a crashed run. Fresh

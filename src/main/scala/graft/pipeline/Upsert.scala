@@ -43,8 +43,16 @@ object Upsert {
       path: String,
       updates: DataFrame,
       keys: Seq[String]): MergeSummary = {
-    SafeSwap.recover(path)
-    val target = spark.read.parquet(path)
+    // manifest-managed tables must NOT whole-dir swap: SafeSwap would
+    // replace the dir wholesale and take the manifest (and snapshot
+    // isolation) with it — they go through Manifest.replaceFiles, which
+    // lands the merged copy under new names, commits one generation,
+    // and never makes the directory vanish
+    val managed = Manifest.exists(path)
+    if (managed) Manifest.recover(path) else SafeSwap.recover(path)
+    val target =
+      if (managed) Manifest.readSnapshot(spark, path)
+      else spark.read.parquet(path)
     require(target.columns.toSet == updates.columns.toSet,
       s"schema mismatch (by name): ${target.columns.sorted.toSeq} vs " +
         s"${updates.columns.sorted.toSeq}")
@@ -64,9 +72,13 @@ object Upsert {
       .unionByName(updates)
       .observe(obs, count(lit(1)).as("total"))
 
-    SafeSwap.replace(path) { tmp =>
-      merged.write.mode("overwrite").parquet(tmp)
-    }
+    if (managed) {
+      val olds = Manifest.resolve(path).getOrElse(Seq.empty)
+      Manifest.replaceFiles(spark, path, path, merged, "ups_", olds)
+    } else
+      SafeSwap.replace(path) { tmp =>
+        merged.write.mode("overwrite").parquet(tmp)
+      }
     MergeSummary(updated, inserted, obs.get("total").asInstanceOf[Long])
   }
 

@@ -624,6 +624,56 @@ class WarehouseSpec extends SparkSpec {
       s"plain SQL must prune: scanned ${scanned.size} of $total files")
   }
 
+  test("sync keeps canonical manifests current; maintenance over the " +
+      "canonical dir is then reader-atomic") {
+    import graft.pipeline.Manifest
+    val src = Files.createTempDirectory("wh_mani_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(
+      CDTable("fact", None, Seq(
+        CDColumn("k", "bigint"), CDColumn("c", "bigint"))))
+    val m1 = Seq(put("fact", "f1.tsv",
+      (1L to 50L).map(k => s"$k\t${k % 7}").mkString("", "\n", "\n")))
+    val whDir = Files.createTempDirectory("wh_mani_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark,
+      Warehouse.Config(whDir, db = "cd_whm", parallelism = 2,
+        canonicalize = true,
+        maintainedBloomStats = Map("fact" -> Seq("k")),
+        manifestTables = Seq("fact")))
+    wh.sync(m1, schema)
+    val cdir =
+      s"$whDir/${pipeline.Canonicalize.CanonicalPrefix}/fact"
+    assert(Manifest.exists(cdir),
+      "sync must leave the canonical dir manifest-managed")
+    assert(Manifest.readSnapshot(spark, cdir)
+      .select("k").collect().map(_.getLong(0)).toSet == (1L to 50L).toSet)
+    // an unchanged second sync commits no new generation
+    val g1 = Manifest.current(cdir).get
+    wh.sync(m1, schema)
+    assert(Manifest.current(cdir).get == g1,
+      "no data moved — the manifest must not churn generations")
+    // a canonical rewrite (new sync data) re-commits; snapshot follows
+    val m2 = m1 :+ put("fact", "f2.tsv",
+      (100L to 110L).map(k => s"$k\t${k % 7}").mkString("", "\n", "\n"))
+    wh.sync(m2, schema)
+    assert(Manifest.readSnapshot(spark, cdir)
+      .select("k").collect().map(_.getLong(0)).toSet ==
+      ((1L to 50L) ++ (100L to 110L)).toSet)
+    // and manifest-managed maintenance composes: a keyed hard delete
+    // over the canonical dir commits reader-atomically
+    val sum = graft.pipeline.Maintain.deleteByKey(spark, cdir, "k",
+      Seq(5L, 105L))
+    assert(sum.rowsDeleted == 2L, s"$sum")
+    assert(Manifest.readSnapshot(spark, cdir)
+      .select("k").collect().map(_.getLong(0)).toSet ==
+      (((1L to 50L) ++ (100L to 110L)).toSet -- Set(5L, 105L)))
+  }
+
   test("kitchen-sink sync: every maintenance family refreshes in one pass " +
       "and again on the delta") {
     import spark.implicits._
