@@ -435,30 +435,40 @@ object Pca {
          |  SELECT i, val / (SELECT SQRT(${fold("val * val", "i")})
          |                   FROM v0r) AS val
          |  FROM v0r)""".stripMargin
-    val iters = (1 to 100).map { k =>
-      s"""w$k AS MATERIALIZED (
-         |  SELECT m.i AS i, ${fold("m.val * v.val", "m.j")} AS val
-         |  FROM m JOIN v${k - 1} v ON v.i = m.j GROUP BY m.i),
-         |v$k AS MATERIALIZED (
-         |  SELECT i, val / (SELECT SQRT(${fold("val * val", "i")})
-         |                   FROM w$k) AS val
-         |  FROM w$k)""".stripMargin
-    }.mkString(",\n")
-    s"$header,\n$iters"
+    s"$header,\n${iterChain("m", "v", "v0")}"
   }
 
-  val q249EigenSql: String = {
-    val tail =
-      s"""mv AS MATERIALIZED (
+  /** 100 unrolled power iterations over matrix CTE `mat`, vectors named
+    * `<vp>1..<vp>100`, starting from CTE `v0name` — the driver loop's
+    * exact fold shapes. Shared by the top-1 (q249) and deflated top-2
+    * (q253) oracles. */
+  private def iterChain(mat: String, vp: String, v0name: String): String =
+    (1 to 100).map { k =>
+      val prev = if (k == 1) v0name else s"$vp${k - 1}"
+      s"""${vp}w$k AS MATERIALIZED (
          |  SELECT m.i AS i, ${fold("m.val * v.val", "m.j")} AS val
-         |  FROM m JOIN v100 v ON v.i = m.j GROUP BY m.i),
-         |lam AS (
-         |  SELECT ${fold("v.val * mv.val", "v.i")} AS eigenvalue
-         |  FROM v100 v JOIN mv ON mv.i = v.i)
-         |SELECT v.i, v.val AS loading, lam.eigenvalue
-         |FROM v100 v CROSS JOIN lam""".stripMargin
-    s"$eigenCteChain,\n$tail"
-  }
+         |  FROM $mat m JOIN $prev v ON v.i = m.j GROUP BY m.i),
+         |$vp$k AS MATERIALIZED (
+         |  SELECT i, val / (SELECT SQRT(${fold("val * val", "i")})
+         |                   FROM ${vp}w$k) AS val
+         |  FROM ${vp}w$k)""".stripMargin
+    }.mkString(",\n")
+
+  /** Rayleigh-quotient CTEs for `<vp>100` over `mat`: `<vp>mv` (the
+    * matrix-vector product) and `<vp>lam` (the eigenvalue). */
+  private def rayleigh(mat: String, vp: String): String =
+    s"""${vp}mv AS MATERIALIZED (
+       |  SELECT m.i AS i, ${fold("m.val * v.val", "m.j")} AS val
+       |  FROM $mat m JOIN ${vp}100 v ON v.i = m.j GROUP BY m.i),
+       |${vp}lam AS (
+       |  SELECT ${fold("v.val * mv.val", "v.i")} AS eigenvalue
+       |  FROM ${vp}100 v JOIN ${vp}mv mv ON mv.i = v.i)""".stripMargin
+
+  val q249EigenSql: String =
+    s"""$eigenCteChain,
+       |${rayleigh("m", "v")}
+       |SELECT v.i, v.val AS loading, vlam.eigenvalue
+       |FROM v100 v CROSS JOIN vlam""".stripMargin
 
   // ---------------------------------------------------------------------
   // q252_pca_projection — the whole decomposition pipeline END-TO-END:
@@ -482,6 +492,44 @@ object Pca {
         round((sum(col("tq").cast(SumDec)).cast("double") / lit(Grid))
           / count(lit(1)).cast("double"), 6).as("mean_proj"))
   }
+
+  // ---------------------------------------------------------------------
+  // q253_eigen2 — topKEigen's HOTELLING DEFLATION oracle-pinned: the
+  // DuckDB twin replays the full top-1 solve (the q249 chain + Rayleigh
+  // quotient), deflates m ← m − λ·v·vᵀ with the driver's exact
+  // (λ·vᵢ)·vⱼ tree, and runs 100 MORE unrolled iterations from the same
+  // ramp start — both eigenpairs match bit-for-bit, so the whole
+  // multi-component machinery projectK/whitening composes from is
+  // externally verified, not just planted-direction spec'd.
+  // ---------------------------------------------------------------------
+  def q253Eigen2(s: SparkSession, dir: String): DataFrame = {
+    val d = 16
+    val m = covMatrix(covariance(t(s, dir, "embeddings"), "embedding", d), d)
+    val comps = topKEigen(m, 2)
+    import s.implicits._
+    comps.zipWithIndex.flatMap { case ((v, lam), c) =>
+      v.toIndexedSeq.zipWithIndex.map { case (x, i) => (c, i, x, lam) }
+    }.toDF("comp", "i", "loading", "eigenvalue")
+  }
+
+  val q253Eigen2Sql: String =
+    s"""$eigenCteChain,
+       |${rayleigh("m", "v")},
+       |m2 AS MATERIALIZED (
+       |  -- Hotelling deflation, the driver's exact tree:
+       |  -- work(i)(j) -= (lambda * v(i)) * v(j)
+       |  SELECT m.i AS i, m.j AS j,
+       |    m.val - vlam.eigenvalue * va.val * vb.val AS val
+       |  FROM m CROSS JOIN vlam
+       |  JOIN v100 va ON va.i = m.i
+       |  JOIN v100 vb ON vb.i = m.j),
+       |${iterChain("m2", "u", "v0")},
+       |${rayleigh("m2", "u")}
+       |SELECT 0 AS comp, v.i, v.val AS loading, vlam.eigenvalue
+       |FROM v100 v CROSS JOIN vlam
+       |UNION ALL
+       |SELECT 1 AS comp, u.i, u.val AS loading, ulam.eigenvalue
+       |FROM u100 u CROSS JOIN ulam""".stripMargin
 
   val q252PcaProjectionSql: String = {
     val tail =

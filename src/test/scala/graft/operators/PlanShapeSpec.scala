@@ -434,6 +434,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("Partial"), p.take(1200))
   }
 
+  test("q252: the PCA projection is map-side against literal components " +
+      "— no joins, no windows in the emitted plan") {
+    val p = planOf(Pca.q252PcaProjection(spark, sfDir))
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("CartesianProduct"),
+      "projection must be per-row math + one label aggregate\n" +
+        p.take(800))
+  }
+
   test("q239: the isotonic segment lattice is an equi-join on the group key") {
     val p = planOf(Eval.q239Isotonic(spark, sfDir))
     assert(!p.contains("CartesianProduct") &&
