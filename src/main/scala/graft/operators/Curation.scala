@@ -103,6 +103,50 @@ object Curation {
       |FROM documents
       |GROUP BY 1, 2""".stripMargin
 
+  /** GROUP-HOLDOUT split: every document of a GROUP (site/source/author)
+    * lands in the SAME split, decided by a hash of the group key — the
+    * leakage guard doc-level splitting (q63) cannot give: near-duplicate
+    * pages from one site straddling train/val silently inflate eval
+    * (the contamination class span-decontamination exists to catch
+    * after the fact; this prevents it structurally). Same md5-prefix
+    * bucket rule as q63 — deterministic, engine-reproducible, stable
+    * under corpus growth (a group's split never changes as other groups
+    * arrive, so incremental syncs extend splits consistently). Map-only
+    * per row; no shuffle beyond the caller's aggregation. */
+  def groupHoldoutSplit(docs: DataFrame, groupCol: String,
+      trainCut: Int = 230): DataFrame = {
+    val bucket = conv(substring(md5(col(groupCol).cast("string")
+      .cast("binary")), 1, 2), 16, 10).cast("int")
+    docs.withColumn("split",
+      when(bucket < trainCut, lit("train")).otherwise(lit("val")))
+  }
+
+  // ---------------------------------------------------------------------
+  // q254_group_split — the holdout keyed on `source`: the gate proves
+  // split purity structurally (n_splits_per_group = 1 for every group)
+  // and pins the assignment hash; the oracle replays the md5 bucket on
+  // the group key. Integer-only output.
+  // ---------------------------------------------------------------------
+  def q254GroupSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val split = groupHoldoutSplit(d, "source")
+    // one row per (source, split) proves purity: a source appearing
+    // under both splits would add rows and hash-fail
+    split.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
+  val q254GroupSplitSql: String =
+    """SELECT source,
+      |  CASE WHEN CAST('0x' || substring(md5(CAST(source AS VARCHAR)),
+      |            1, 2) AS INT) < 230
+      |       THEN 'train' ELSE 'val' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT lang) AS n_langs
+      |FROM documents
+      |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------------
   // q64_repetition — intra-document repetition filter: a doc whose most
   // frequent word-trigram repeats is boilerplate-suspect (the Gopher-style

@@ -689,4 +689,30 @@ class CurationSpec extends SparkSpec {
     assert(m(1L) == ((3L, Some("x"), Some("q"))))
     assert(m(2L) == ((1L, None, Some("z"))))
   }
+
+  test("groupHoldoutSplit: every group is split-pure, and a group's " +
+      "assignment never moves as the corpus grows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val docs = (1 to 300).map(i => (i.toLong, s"site${i % 37}", s"d$i"))
+      .toDF("doc_id", "source", "text")
+    val s1 = Curation.groupHoldoutSplit(docs, "source")
+    // purity: no group straddles splits
+    assert(s1.groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count() == 0L)
+    // both splits are populated at the default cut
+    assert(s1.select("split").distinct().count() == 2L)
+    // growth stability: doubling the corpus cannot move any group
+    val grown = docs.unionByName(
+      (301 to 600).map(i => (i.toLong, s"site${i % 61}", s"d$i"))
+        .toDF("doc_id", "source", "text"))
+    val a1 = s1.select("source", "split").distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val a2 = Curation.groupHoldoutSplit(grown, "source")
+      .select("source", "split").distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a1.forall { case (g, sp) => a2(g) == sp },
+      "a group's split must be a pure function of its key")
+  }
 }
