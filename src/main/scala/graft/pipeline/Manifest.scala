@@ -77,25 +77,43 @@ object Manifest {
     txt.split("\n").toSeq.filter(_.nonEmpty)
   }
 
-  /** The current generation's relative file list, if a manifest exists. */
-  def current(tableDir: String): Option[Seq[String]] = {
-    val fs = fsFor(tableDir)
-    genFiles(fs, new Path(tableDir)).lastOption
-      .map { case (_, p) => readGen(fs, p) }
+  /** Lock-free readers race the writer's generation prune: between a
+    * reader's gen LISTING and its OPEN, a commit can delete the older
+    * generation file — re-list and retry (bounded; each retry observes
+    * a strictly newer, complete state, so two suffice in practice). */
+  private def retryingGenRead[T](body: => Option[T]): Option[T] = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case _: java.io.FileNotFoundException if attempt < 3 =>
+          attempt += 1
+      }
+    }
+    None // unreachable
   }
+
+  /** The current generation's relative file list, if a manifest exists. */
+  def current(tableDir: String): Option[Seq[String]] =
+    retryingGenRead {
+      val fs = fsFor(tableDir)
+      genFiles(fs, new Path(tableDir)).lastOption
+        .map { case (_, p) => readGen(fs, p) }
+    }
 
   /** Current and previous generations' names (previous empty when only
     * one generation exists). */
   private def lastTwo(tableDir: String)
-      : Option[(Seq[String], Seq[String])] = {
-    val fs = fsFor(tableDir)
-    val gens = genFiles(fs, new Path(tableDir))
-    gens.lastOption.map { case (_, cur) =>
-      (readGen(fs, cur),
-        if (gens.size >= 2) readGen(fs, gens(gens.size - 2)._2)
-        else Seq.empty)
+      : Option[(Seq[String], Seq[String])] =
+    retryingGenRead {
+      val fs = fsFor(tableDir)
+      val gens = genFiles(fs, new Path(tableDir))
+      gens.lastOption.map { case (_, cur) =>
+        (readGen(fs, cur),
+          if (gens.size >= 2) readGen(fs, gens(gens.size - 2)._2)
+          else Seq.empty)
+      }
     }
-  }
 
   private def listDataFiles(fs: FileSystem, root: Path): Seq[String] = {
     def walk(p: Path, rel: String): Seq[String] =
