@@ -157,6 +157,44 @@ class ManifestSpec extends SparkSpec {
     assert(!f.exists(stray))
   }
 
+  test("property: random append/delete/compact/refresh lifecycles keep " +
+      "the snapshot exactly equal to a reference key set") {
+    val path = Files.createTempDirectory("mani_prop").toString + "/t"
+    var nextKey = 1L
+    def appendBatch(n: Int): Set[Long] = {
+      val ks = (nextKey until nextKey + n).toSet
+      nextKey += n
+      ks.toSeq.map(k => (k, k % 3)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(path)
+      ks
+    }
+    var expect = appendBatch(40)
+    Manifest.enable(spark, path)
+    Skipping.buildBloom(spark, path, "k")
+    val rnd = new scala.util.Random(4242L)
+    for (step <- 1 to 24) {
+      rnd.nextInt(4) match {
+        case 0 => expect ++= appendBatch(1 + rnd.nextInt(10))
+        case 1 if expect.nonEmpty =>
+          val victims = rnd.shuffle(expect.toSeq)
+            .take(1 + rnd.nextInt(5))
+          val sum = Maintain.deleteByKey(spark, path, "k", victims)
+          assert(sum.rowsDeleted == victims.size.toLong,
+            s"step $step: $sum for ${victims.size} keys")
+          expect --= victims
+        case 2 =>
+          Maintain.compactPartitions(spark, path,
+            targetBytes = 1L << 30, maxFiles = 2)
+        case _ => Manifest.refresh(spark, path)
+      }
+      val got = keys(Manifest.readSnapshot(spark, path))
+      assert(got == expect,
+        s"step $step: snapshot diverged (${got.size} vs ${expect.size})")
+      // at rest (no writer mid-protocol) the listing agrees too
+      assert(keys(spark.read.parquet(path)) == expect, s"step $step")
+    }
+  }
+
   test("compaction on a managed table is reader-atomic and idempotent; " +
       "Hive partitions keep their column") {
     val path = Files.createTempDirectory("mani_cmp").toString + "/t"
