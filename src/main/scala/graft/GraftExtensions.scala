@@ -65,6 +65,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bloom_any"),
       graft.functions.Bloom.bloomAnyBuilder))
     ext.injectOptimizerRule(_ => EmptyVectorCosineFold)
+    // manifest resolution BEFORE stats pruning: pruning then operates
+    // on the snapshot-resolved listing (plans/ManifestResolve)
+    ext.injectOptimizerRule(s => graft.plans.ManifestResolve(s))
     ext.injectOptimizerRule(s => graft.plans.SkippingFilePrune(s))
   }
 }

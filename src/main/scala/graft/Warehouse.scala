@@ -150,8 +150,12 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
 
   // analyst SQL gets file-level skipping transparently: range/IN
   // filters over canonical tables that carry maintained skip stats
-  // prune at planning time (idempotent registration)
+  // prune at planning time (idempotent registration); scans of
+  // manifest-managed dirs resolve through the manifest first
+  // (ManifestResolve PREPENDS itself, so it runs before the pruning
+  // rule regardless of registration order)
   graft.plans.SkippingFilePrune.register(spark)
+  graft.plans.ManifestResolve.register(spark)
 
   /** One sync run: diff → fetch → stale-delete → catalog upsert (+ optional
     * canonicalize) → summary notification. Idempotent; re-running

@@ -157,6 +157,55 @@ class ManifestSpec extends SparkSpec {
     assert(!f.exists(stray))
   }
 
+  test("ManifestResolve rule: a PLAIN read of a managed table resolves " +
+      "through the manifest — uncommitted replacements invisible, " +
+      "steady-state plans untouched, unmanaged tables untouched") {
+    graft.plans.ManifestResolve.register(spark)
+    val path = Files.createTempDirectory("mani_rule").toString + "/t"
+    (1L to 100L).map(k => (k, k)).toDF("k", "v")
+      .repartition(2, col("k")).write.parquet(path)
+    Manifest.enable(spark, path)
+    val f = fs(path)
+    // steady state: the rule must leave the plan alone (no divergence)
+    val atRest = spark.read.parquet(path)
+    assert(!atRest.queryExecution.optimizedPlan.toString
+      .contains("graft"), "no rewrite marker expected at rest")
+    assert(keys(atRest) == (1L to 100L).toSet)
+    // construct the mid-maintenance state: a complete but UNCOMMITTED
+    // replacement next to its original (the window where a raw listing
+    // double-counts)
+    val victim = f.listStatus(new Path(path)).filter(_.isFile)
+      .map(_.getPath).filterNot(_.getName.startsWith("_")).head
+    val tmp = new Path(victim.getParent, ".del_tmp_x").toString
+    val gone = keys(spark.read.parquet(victim.toString)).head
+    spark.read.parquet(victim.toString).filter(col("k") =!= gone)
+      .coalesce(1).write.parquet(tmp)
+    val part = f.listStatus(new Path(tmp)).map(_.getPath)
+      .find(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .get
+    assert(f.rename(part,
+      new Path(victim.getParent, s"del_${victim.getName}")))
+    f.delete(new Path(tmp), true)
+    spark.catalog.refreshByPath(path)
+    // the PLAIN read now resolves through the manifest: complete OLD
+    // state, no duplicates — without the rule it would double-count
+    assert(keys(spark.read.parquet(path)) == (1L to 100L).toSet,
+      "plain reads must get snapshot semantics on managed tables")
+    assert(spark.read.parquet(path).count() == 100L)
+    // an unmanaged sibling dir with the same mid-state keeps raw
+    // listing semantics (the rule must not touch it)
+    val um = Files.createTempDirectory("mani_rule_um").toString + "/t"
+    (1L to 10L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1).write.parquet(um)
+    val uf = fs(um)
+    val uvictim = uf.listStatus(new Path(um)).filter(_.isFile)
+      .map(_.getPath).filterNot(_.getName.startsWith("_")).head
+    uf.rename(uvictim,
+      new Path(uvictim.getParent, s"del_copy_${uvictim.getName}"))
+    assert(spark.read.parquet(um).count() == 10L,
+      "unmanaged dirs keep plain listing semantics")
+  }
+
   test("property: random append/delete/compact/refresh lifecycles keep " +
       "the snapshot exactly equal to a reference key set") {
     val path = Files.createTempDirectory("mani_prop").toString + "/t"
