@@ -759,6 +759,60 @@ object Ingest {
   val q251ManifestTableSql: String = q229DeleteByKeySql
 
   // ---------------------------------------------------------------------
+  // q255_transparent_manifest — the ManifestResolve optimizer rule
+  // through the gate: a PLAIN spark.read of a managed table frozen in
+  // the mid-maintenance state (a complete-but-UNCOMMITTED del_
+  // replacement sitting next to its original) must resolve through the
+  // manifest and aggregate the committed state exactly — the oracle is
+  // the full untouched table, so a raw-listing read (which would
+  // double-count the replacement's rows) hash-fails.
+  // ---------------------------------------------------------------------
+  def q255TransparentManifest(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Manifest
+    import org.apache.hadoop.fs.Path
+    val tbl = s"$skipBase/orders_tm_${dir.hashCode.toHexString}"
+    if (!new java.io.File(s"$tbl.complete").exists()) {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(4, col("o_custkey"))
+        .write.parquet(tbl)
+      Manifest.enable(s, tbl)
+      // freeze the window BETWEEN "replacement placed" and "manifest
+      // committed": a filtered copy of one file under its del_ name
+      val fs = new Path(tbl).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val victim = fs.listStatus(new Path(tbl)).filter(_.isFile)
+        .map(_.getPath).filterNot(_.getName.startsWith("_")).head
+      val tmp = new Path(tbl, ".del_tmp_gate").toString
+      s.read.parquet(victim.toString)
+        .filter(col("o_custkey") =!= 11L)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .find(p => !p.getName.startsWith("_") &&
+          !p.getName.startsWith(".")).get
+      require(fs.rename(part,
+        new Path(tbl, s"del_${victim.getName}")),
+        "cannot stage the uncommitted replacement")
+      fs.delete(new Path(tmp), true)
+      new java.io.File(s"$tbl.complete").createNewFile()
+    }
+    graft.plans.ManifestResolve.register(s)
+    s.catalog.refreshByPath(tbl)
+    s.read.parquet(tbl)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        min(col("o_orderkey")).as("min_key"),
+        sumDec(col("o_totalprice")).as("sum_price"))
+  }
+
+  val q255TransparentManifestSql: String =
+    """SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+      |  MIN(o_orderkey) AS min_key,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q230_transparent_skipping — the optimizer-rule path through the
   // gate: a PLAIN DataFrame range filter (no Skipping reader API) over
   // a stats-carrying table must file-prune via
