@@ -44,6 +44,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * existing listing semantics and code paths untouched. Single
   * maintenance writer, like every protocol in this package; readers are
   * unlimited and lock-free.
+  *
+  * CONTRACT for whole-dir rewriters: an op that intentionally REBUILDS
+  * a table wholesale through [[SafeSwap]] (a batch canonical rewrite,
+  * an SCD2 history fold) replaces the directory — manifest included —
+  * and must re-commit afterwards ([[refresh]]; the Warehouse does this
+  * per sync for its `manifestTables`). The manifest-aware ops here
+  * (deleteByKey, compactPartitions, mergeInto, mergeIntoPartitioned)
+  * never whole-dir swap a managed table.
   */
 object Manifest {
 
