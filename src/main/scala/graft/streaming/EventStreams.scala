@@ -189,7 +189,11 @@ object EventStreams {
     * the emitted steps. Within a batch events sort on (ts, event_id) —
     * the batch operator's exact tie order — and the stream≡batch spec
     * holds whenever micro-batch cuts respect event-time order (the
-    * replay-unit convention of the foreachBatch index sinks).
+    * replay-unit convention of the foreachBatch index sinks). Arrivals
+    * at-or-before the carried (ts, event_id) DROP — the
+    * statefulInterArrival/statefulEwma ordering contract: a one-row
+    * state cannot retro-insert a step, and a redelivered duplicate
+    * must not emit (or corrupt the chain with) a second step.
     *
     * State is event-time-TTL'd like [[statefulSessionCount]]: a user
     * silent past the TTL is evicted (their next event starts a fresh
@@ -213,9 +217,17 @@ object EventStreams {
             var last = state.getOption
             val out = Seq.newBuilder[Step]
             sorted.foreach { e =>
-              last.foreach(l => out += Step(user, l.typ, e.event_type))
-              last = Some(LastEv(e.ts.getTime * 1000, e.event_id,
-                e.event_type))
+              val us = e.ts.getTime * 1000
+              // drop on the full (ts, event_id) order vs the carried
+              // state: a cross-batch regressive arrival or redelivered
+              // duplicate folds in NO path (within a batch the sort
+              // already orders, so only leading events can regress)
+              val regressive = last.exists(l =>
+                us < l.us || (us == l.us && e.event_id <= l.eventId))
+              if (!regressive) {
+                last.foreach(l => out += Step(user, l.typ, e.event_type))
+                last = Some(LastEv(us, e.event_id, e.event_type))
+              }
             }
             last.foreach { l =>
               state.update(l)

@@ -291,6 +291,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(one == batch, "stream must equal the batch operator bit-exactly")
   }
 
+  test("statefulTransitions drops cross-batch regressive arrivals and " +
+      "redelivered duplicates — no phantom steps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.TEv
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
+    val b1 = Seq(TEv(1, ts(0), 1, "view"), TEv(4, ts(5), 1, "click"))
+    // batch 2: an equal-ts LOWER-id late event, an exact duplicate of
+    // (ts(5), id=4), then one genuine arrival
+    val b2 = Seq(TEv(3, ts(5), 1, "spurious"),
+      TEv(4, ts(5), 1, "click"), TEv(7, ts(9), 1, "purchase"))
+    val mem = MemoryStream[TEv]
+    val q = EventStreams.statefulTransitions(mem.toDS())
+      .writeStream.format("memory").queryName("steps_regr")
+      .outputMode("append").start()
+    try Seq(b1, b2).foreach { c => mem.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("steps_regr")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq.sorted
+    assert(got == Seq(("click", "purchase"), ("view", "click")),
+      s"only the true chain may emit steps: $got")
+  }
+
   test("stateful EWMA drops on the full (ts, event_id) order: an " +
       "equal-ts lower-id late arrival and a redelivered duplicate both " +
       "no-op (the statefulInterArrival contract)") {
