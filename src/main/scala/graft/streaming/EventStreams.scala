@@ -101,7 +101,8 @@ object EventStreams {
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
 
   final case class UserSessionState(
-      sessionStartUs: Long, lastUs: Long, nEvents: Long, nSessions: Long)
+      sessionStartUs: Long, lastUs: Long, lastId: Long, nEvents: Long,
+      nSessions: Long)
 
   final case class UserSessionUpdate(
       user_id: Long, n_sessions: Long, current_session_events: Long)
@@ -150,14 +151,24 @@ object EventStreams {
           } else {
             val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var st = state.getOption.getOrElse(
-              UserSessionState(-1L, Long.MinValue / 4, 0L, 0L))
+              UserSessionState(-1L, Long.MinValue / 4, Long.MinValue,
+                0L, 0L))
             sorted.foreach { e =>
               val us = e.ts.getTime * 1000
-              st =
-                if (us - st.lastUs > GapUs)
-                  UserSessionState(us, us, 1L, st.nSessions + 1)
-                else
-                  st.copy(lastUs = us, nEvents = st.nEvents + 1)
+              // the shared stateful ordering contract: a cross-batch
+              // arrival at-or-before the carried (ts, event_id) drops —
+              // folding it would REGRESS lastUs (mis-splitting the next
+              // gap) and a redelivered duplicate would double-count
+              if (us > st.lastUs ||
+                  (us == st.lastUs && e.event_id > st.lastId)) {
+                st =
+                  if (us - st.lastUs > GapUs)
+                    UserSessionState(us, us, e.event_id, 1L,
+                      st.nSessions + 1)
+                  else
+                    st.copy(lastUs = us, lastId = e.event_id,
+                      nEvents = st.nEvents + 1)
+              }
             }
             state.update(st)
             // the engine rejects timeouts at/before the current watermark

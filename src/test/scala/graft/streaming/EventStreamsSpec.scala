@@ -291,6 +291,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(one == batch, "stream must equal the batch operator bit-exactly")
   }
 
+  test("statefulSessionCount drops regressive and redelivered arrivals " +
+      "— counters cannot double and gaps cannot mis-split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.Ev
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
+    val b1 = Seq(Ev(1, ts(0), 1), Ev(4, ts(5), 1))
+    // a regressive equal-ts lower-id event + a duplicate of (ts(5), 4)
+    // + one genuine arrival 10 minutes later (same session)
+    val b2 = Seq(Ev(3, ts(5), 1), Ev(4, ts(5), 1), Ev(7, ts(15), 1))
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.statefulSessionCount(mem.toDS())
+      .writeStream.format("memory").queryName("sess_regr")
+      .outputMode("update").start()
+    try Seq(b1, b2).foreach { c => mem.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    import org.apache.spark.sql.functions.{col, max, struct}
+    val last = spark.table("sess_regr").groupBy(col("user_id"))
+      .agg(max(struct(col("n_sessions"),
+        col("current_session_events"))).as("s"))
+      .head().getStruct(1)
+    assert((last.getLong(0), last.getLong(1)) == ((1L, 3L)),
+      s"admitted events are exactly ids 1,4,7 in one session: $last")
+  }
+
   test("statefulTransitions drops cross-batch regressive arrivals and " +
       "redelivered duplicates — no phantom steps") {
     import spark.implicits._
