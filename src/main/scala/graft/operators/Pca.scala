@@ -531,6 +531,74 @@ object Pca {
        |SELECT 1 AS comp, u.i, u.val AS loading, ulam.eigenvalue
        |FROM u100 u CROSS JOIN ulam""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q256_whitened_projection — projectK(whiten = true) END-TO-END: both
+  // pinned eigenpairs (the q253 chain), per-row 2-component projection,
+  // each coordinate scaled by 1/√λ, per-label quantized means. The
+  // oracle replays the full chain, the element-order folds against BOTH
+  // replayed eigenvectors, the engine-side √λ division (λ doubles are
+  // bit-identical per q253; SQRT and division are correctly rounded, so
+  // the quotients are too), and the floor/int64 means — the whitening
+  // path SemDeDup-style cosine thresholds rely on, externally verified.
+  // ---------------------------------------------------------------------
+  def q256WhitenedProjection(s: SparkSession, dir: String): DataFrame = {
+    val d = 16
+    val e = t(s, dir, "embeddings")
+    val m = covMatrix(covariance(e, "embedding", d), d)
+    val comps = topKEigen(m, 2)
+    projectK(e, "embedding", comps, "pc", whiten = true)
+      .select(col("label"),
+        floor(element_at(col("pc"), 1) * lit(Grid)).as("q0"),
+        floor(element_at(col("pc"), 2) * lit(Grid)).as("q1"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round((sum(col("q0").cast(SumDec)).cast("double") / lit(Grid))
+          / count(lit(1)).cast("double"), 6).as("mean_pc0"),
+        round((sum(col("q1").cast(SumDec)).cast("double") / lit(Grid))
+          / count(lit(1)).cast("double"), 6).as("mean_pc1"))
+  }
+
+  val q256WhitenedProjectionSql: String = {
+    def projQ(vl: String, lam: String): String =
+      s"""CAST(FLOOR((CASE WHEN $lam.eigenvalue > 0.0
+         |    THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        [CAST(e.embedding[i] AS DOUBLE) * $vl.v[i]
+         |         FOR i IN range(1, 17)]),
+         |        (a, x) -> a + x) / SQRT($lam.eigenvalue)
+         |    ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        [CAST(e.embedding[i] AS DOUBLE) * $vl.v[i]
+         |         FOR i IN range(1, 17)]),
+         |        (a, x) -> a + x) END)
+         |  * 100000000.0) AS BIGINT)""".stripMargin
+    val tail =
+      s"""vl0 AS (SELECT list(val ORDER BY i) AS v FROM v100),
+         |vl1 AS (SELECT list(val ORDER BY i) AS v FROM u100),
+         |proj AS (
+         |  SELECT e.label,
+         |    ${projQ("vl0", "vlam")} AS q0,
+         |    ${projQ("vl1", "ulam")} AS q1
+         |  FROM embeddings e
+         |  CROSS JOIN vl0 CROSS JOIN vl1
+         |  CROSS JOIN vlam CROSS JOIN ulam)
+         |SELECT label, COUNT(*) AS n,
+         |  ROUND(CAST(SUM(CAST(q0 AS DECIMAL(38,0))) AS DOUBLE)
+         |      / 100000000.0 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_pc0,
+         |  ROUND(CAST(SUM(CAST(q1 AS DECIMAL(38,0))) AS DOUBLE)
+         |      / 100000000.0 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_pc1
+         |FROM proj GROUP BY label""".stripMargin
+    s"""$eigenCteChain,
+       |${rayleigh("m", "v")},
+       |m2 AS MATERIALIZED (
+       |  SELECT m.i AS i, m.j AS j,
+       |    m.val - vlam.eigenvalue * va.val * vb.val AS val
+       |  FROM m CROSS JOIN vlam
+       |  JOIN v100 va ON va.i = m.i
+       |  JOIN v100 vb ON vb.i = m.j),
+       |${iterChain("m2", "u", "v0")},
+       |${rayleigh("m2", "u")},
+       |$tail""".stripMargin
+  }
+
   val q252PcaProjectionSql: String = {
     val tail =
       s"""vlist AS (SELECT list(val ORDER BY i) AS v FROM v100),
