@@ -63,15 +63,16 @@ object Components {
     // pipeline) would otherwise run per reference. checkpointDir selects
     // RELIABLE per-round truncation (Graph.truncate — survives executor
     // loss at cluster scale; same results bit-for-bit)
-    val e = Graph.truncate(
+    val tr = new Graph.Truncator(edges.sparkSession, checkpointDir)
+    val e = tr.pin(
       edges.select(col("a").cast("long"), col("b").cast("long"))
-        .filter(col("a") =!= col("b")), checkpointDir)
+        .filter(col("a") =!= col("b")))
     // undirected: propagate both ways
-    val adj = Graph.truncate(
+    val adj = tr.pin(
       e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-        .distinct(), checkpointDir)
-    var labels = Graph.truncate(adj.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")), checkpointDir)
+        .distinct())
+    var labels = tr.roll("labels", adj.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
     var iters = 0
     var converged = false
     var sig = checksum(labels, "id", "comp")
@@ -80,9 +81,8 @@ object Components {
       // (own label, best offer)
       val offers = adj.join(labels.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("comp"))
-      val next = Graph.truncate(labels.unionByName(offers)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp")),
-        checkpointDir)
+      val next = tr.roll("labels", labels.unionByName(offers)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp")))
       val nextSig = checksum(next, "id", "comp")
       labels = next
       converged = nextSig == sig

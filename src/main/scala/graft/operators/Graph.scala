@@ -33,15 +33,63 @@ object Graph {
     * the checkpoint, at one FS write per truncation — the
     * 1000-executor setting's choice (SCALING.md §graphs). The two
     * modes are semantically identical (bit-identical output — spec'd
-    * on kCore); pick by failure budget, not by result. */
-  private[operators] def truncate(df: DataFrame,
-      checkpointDir: Option[String]): DataFrame =
-    checkpointDir match {
+    * on kCore); pick by failure budget, not by result.
+    *
+    * LIFECYCLE (one Truncator per op invocation): the checkpoint dir
+    * is set ONCE at construction — `setCheckpointDir` creates a fresh
+    * UUID subdir per call, so the previous per-truncation call pattern
+    * both leaked one directory per round and raced the session-GLOBAL
+    * setting across concurrent ops (that global remains Spark's
+    * contract: two concurrent ops with different dirs may interleave
+    * whose dir a checkpoint lands in — harmless for correctness, each
+    * RDD records its actual path). [[pin]] is for loop-invariant state
+    * (edges, nodes — referenced by every later round, never deleted
+    * here). [[roll]] is for per-round state: once round i+1's
+    * checkpoint has materialized (eager), round i's is unreachable by
+    * construction and its files are DELETED — a long iterative run
+    * holds at most one superseded state copy per slot on the cluster
+    * FS instead of one per round. */
+  private[operators] final class Truncator(
+      spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: Option[String]) {
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    private val prevBySlot =
+      scala.collection.mutable.Map.empty[String, String]
+
+    private def reliableFileOf(df: DataFrame): Option[String] =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.getCheckpointFile
+        case _ => None
+      }
+
+    private def cut(df: DataFrame): DataFrame = checkpointDir match {
       case None => df.localCheckpoint()
-      case Some(dir) =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
-        df.checkpoint()
+      case Some(_) => df.checkpoint() // eager: materialized on return
     }
+
+    /** Loop-invariant truncation: never deleted by this Truncator. */
+    def pin(df: DataFrame): DataFrame = cut(df)
+
+    /** Per-round truncation of the named state slot; deletes the
+      * slot's SUPERSEDED checkpoint after the new one materializes. */
+    def roll(slot: String, df: DataFrame): DataFrame = {
+      val out = cut(df)
+      if (checkpointDir.isDefined) {
+        prevBySlot.get(slot).foreach { old =>
+          val p = new org.apache.hadoop.fs.Path(old)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+        reliableFileOf(out) match {
+          case Some(f) => prevBySlot(slot) = f
+          case None => prevBySlot.remove(slot)
+        }
+      }
+      out
+    }
+  }
 
   /** Ranks after `iters` iterations at damping `d`, over the directed
     * edge set (cols `src`, `dst`; parallel edges collapse). Nodes =
@@ -51,11 +99,11 @@ object Graph {
     * per-iteration checkpointing ([[truncate]]). */
   def pageRank(edges: DataFrame, iters: Int, d: Double,
       checkpointDir: Option[String] = None): DataFrame = {
-    val e = truncate(edges.select(col("src"), col("dst")).distinct(),
-      checkpointDir)
+    val tr = new Truncator(edges.sparkSession, checkpointDir)
+    val e = tr.pin(edges.select(col("src"), col("dst")).distinct())
     val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nodes = truncate(e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct(), checkpointDir)
+    val nodes = tr.pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct())
     val n = nodes.count()
     // all float arithmetic stays engine-side in one expression shape per
     // term, mirrored verbatim by the SQL oracle
@@ -72,9 +120,8 @@ object Graph {
         .select(col("dst").as("node"),
           (teleport + lit(d) * aggregate(col("ws"), lit(0.0d),
             (acc, x) => acc + x.getField("w"))).as("rank"))
-      ranks = truncate(nodes.join(folded, Seq("node"), "left")
-        .select(col("node"), coalesce(col("rank"), teleport).as("rank")),
-        checkpointDir)
+      ranks = tr.roll("ranks", nodes.join(folded, Seq("node"), "left")
+        .select(col("node"), coalesce(col("rank"), teleport).as("rank")))
     }
     ranks
   }
@@ -278,8 +325,8 @@ object Graph {
     * deeper runs should renormalize (and accept float discipline). */
   def hits(edges: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
-    val e = truncate(edges.select(col("src"), col("dst")).distinct(),
-      checkpointDir)
+    val e = new Truncator(edges.sparkSession, checkpointDir)
+      .pin(edges.select(col("src"), col("dst")).distinct())
     // auth¹ = in-degree (hub⁰ = 1)
     val auth1 = e.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("a1"))
@@ -354,11 +401,10 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
     // both directions: neighbor lists are symmetric
-    val e = truncate(
-      und.unionAll(und.select(col("b").as("a"), col("a").as("b"))),
-      checkpointDir)
-    val nodes = truncate(e.select(col("a").as("node")).distinct(),
-      checkpointDir)
+    val tr = new Truncator(edges.sparkSession, checkpointDir)
+    val e = tr.pin(
+      und.unionAll(und.select(col("b").as("a"), col("a").as("b"))))
+    val nodes = tr.pin(e.select(col("a").as("node")).distinct())
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
       val counts = e
@@ -369,9 +415,9 @@ object Graph {
         .orderBy(col("c").desc, col("label").asc)
       val next = counts.withColumn("__rn", row_number().over(pick))
         .filter(col("__rn") === 1).select(col("node"), col("label"))
-      labels = truncate(nodes.join(next, Seq("node"), "left")
+      labels = tr.roll("labels", nodes.join(next, Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("label"), col("node")).as("label")), checkpointDir)
+          coalesce(col("label"), col("node")).as("label")))
     }
     labels
   }
@@ -633,24 +679,35 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val e = truncate(
-      und.unionAll(und.select(col("b").as("a"), col("a").as("b"))),
-      checkpointDir)
-    var visited = truncate(
-      seeds.select(col("node"), lit(0).as("hop")).distinct(), checkpointDir)
+    val tr = new Truncator(edges.sparkSession, checkpointDir)
+    val e = tr.pin(
+      und.unionAll(und.select(col("b").as("a"), col("a").as("b"))))
+    var visited = tr.roll("visited",
+      seeds.select(col("node"), lit(0).as("hop")).distinct())
     var frontier = visited.select(col("node"))
     for (h <- 1 to k) {
       val next = e.join(frontier.select(col("node").as("a")), "a")
         .select(col("b").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
-      frontier = truncate(next, checkpointDir)
-      visited = truncate(visited
-        .unionByName(frontier.select(col("node"), lit(h).as("hop"))),
-        checkpointDir)
+      frontier = tr.roll("frontier", next)
+      visited = tr.roll("visited", visited
+        .unionByName(frontier.select(col("node"), lit(h).as("hop"))))
     }
+    // every hop 0..k gets a row, EXHAUSTED FRONTIERS INCLUDED (count 0,
+    // NULL min): an absent row and a zero row mean different things to
+    // the blast-radius reader, and the declarative oracle's per-hop
+    // aggregates emit the zero row — groupBy over visited alone would
+    // drop it whenever the graph runs out before hop k (an SF-dependent
+    // row-presence mismatch, caught at sf0.001)
+    val hops = edges.sparkSession.range(0, k + 1L)
+      .select(col("id").cast("int").as("hop"))
     visited.groupBy(col("hop"))
       .agg(count(lit(1)).as("n_first_reached"),
         min(col("node")).as("min_node"))
+      .join(hops, Seq("hop"), "right")
+      .select(col("hop"),
+        coalesce(col("n_first_reached"), lit(0L)).as("n_first_reached"),
+        col("min_node"))
   }
 
   // ---------------------------------------------------------------------
@@ -710,16 +767,16 @@ object Graph {
   /** Final surviving (node, deg) after `rounds` peels at threshold k. */
   def kCore(edges: DataFrame, k: Int, rounds: Int,
       checkpointDir: Option[String] = None): DataFrame = {
-    var e = truncate(edges.select(col("a"), col("b")).distinct(),
-      checkpointDir)
+    val tr = new Truncator(edges.sparkSession, checkpointDir)
+    var e = tr.roll("e", edges.select(col("a"), col("b")).distinct())
     var r = 0
     while (r < rounds) {
       val deg = e.select(col("a").as("n"))
         .unionByName(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("n"))
-      e = truncate(e.join(keep, e("a") === keep("n"), "left_semi")
-        .join(keep, e("b") === keep("n"), "left_semi"), checkpointDir)
+      e = tr.roll("e", e.join(keep, e("a") === keep("n"), "left_semi")
+        .join(keep, e("b") === keep("n"), "left_semi"))
       r += 1
     }
     e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
@@ -737,14 +794,14 @@ object Graph {
     def degreeOf(e: DataFrame): DataFrame =
       e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    var e = truncate(edges.select(col("a"), col("b")).distinct(),
-      checkpointDir)
-    var deg = truncate(degreeOf(e), checkpointDir)
+    val tr = new Truncator(edges.sparkSession, checkpointDir)
+    var e = tr.roll("e", edges.select(col("a"), col("b")).distinct())
+    var deg = tr.roll("deg", degreeOf(e))
     val traj = (1 to rounds).map { r =>
       val keep = deg.filter(col("d") >= k).select(col("n"))
-      e = truncate(e.join(keep, e("a") === keep("n"), "left_semi")
-        .join(keep, e("b") === keep("n"), "left_semi"), checkpointDir)
-      deg = truncate(degreeOf(e), checkpointDir)
+      e = tr.roll("e", e.join(keep, e("a") === keep("n"), "left_semi")
+        .join(keep, e("b") === keep("n"), "left_semi"))
+      deg = tr.roll("deg", degreeOf(e))
       val stats = deg.agg(count(lit(1)).as("nn"),
         coalesce(sum(col("d")), lit(0L)).as("sd")).head()
       (r, stats.getLong(0), stats.getLong(1) / 2)

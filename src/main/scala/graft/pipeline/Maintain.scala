@@ -61,6 +61,14 @@ object Maintain {
     val root = new Path(path)
     val managed = Manifest.exists(path)
     if (managed) Manifest.recover(path)
+    // pin the input file set to the SNAPSHOT: the raw listing of a
+    // managed table also shows the retention window's tombed originals
+    // (deferred deletes) — folding those into a compaction would
+    // resurrect replaced rows
+    val resolvedSet: Option[Set[String]] =
+      if (managed) Manifest.resolve(path)
+        .map(_.map(p => new Path(p).toUri.getPath).toSet)
+      else None
     val partDirs = fs.listStatus(root).filter { st =>
       val n = st.getPath.getName
       st.isDirectory && n.contains("=") && !n.startsWith(".") &&
@@ -69,22 +77,25 @@ object Maintain {
     // unpartitioned table → the root is the one "partition"
     val targets = if (partDirs.nonEmpty) partDirs.toSeq else Seq(root)
     var compacted = 0; var before = 0L; var after = 0L
+    val repls = scala.collection.mutable.ArrayBuffer
+      .empty[Manifest.Replacement]
     targets.foreach { pdir =>
       if (!managed) SafeSwap.recover(pdir.toString)
-      val files = dataFiles(fs, pdir)
+      val files = dataFiles(fs, pdir).filter(st => resolvedSet.forall(
+        _.contains(st.getPath.toUri.getPath)))
       val bytes = files.map(_.getLen).sum
       val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       before += files.length
       if (files.length > maxFiles && files.length > want) {
         if (managed) {
-          // reader-atomic variant ([[Manifest.replaceFiles]]): the
+          // reader-atomic variant ([[Manifest.replaceFilesBatch]]): the
           // coalesced copy lands under NEW cmp_-prefixed names in the
-          // SAME dir, ONE manifest commit swaps the partition's file
-          // set, then the old files delete. No basePath on the read:
+          // SAME dir; ONE commit below swaps every compacted
+          // partition's file set together. No basePath on the read:
           // partition values live in the dir name, not in the rewritten
           // files (same content as the SafeSwap path).
           val olds = files.map(_.getPath.toString).toSeq
-          Manifest.replaceFiles(spark, path, pdir.toString,
+          repls += Manifest.Replacement(pdir.toString,
             spark.read.parquet(olds: _*).coalesce(want), "cmp_", olds)
         } else {
           // the lazy read executes inside the SafeSwap write action,
@@ -93,11 +104,16 @@ object Maintain {
           SafeSwap.replace(pdir.toString) { tmp =>
             df.write.mode("overwrite").parquet(tmp)
           }
+          after += dataFiles(fs, pdir).length
         }
         compacted += 1
-        after += dataFiles(fs, pdir).length
       } else after += files.length
     }
+    if (repls.nonEmpty)
+      // one generation for the whole op: a single atomicity point, and
+      // earlier partitions' deferred-delete tombs cannot age out while
+      // later partitions are still compacting
+      after += Manifest.replaceFilesBatch(spark, path, repls.toSeq).sum
     // rewritten partitions invalidated any cached file listing for the
     // tree (same hazard as Upsert.mergeIntoPartitioned)
     if (compacted > 0) spark.catalog.refreshByPath(path)
@@ -186,8 +202,14 @@ object Maintain {
     import org.apache.spark.sql.functions.{col, count, lit, sum, when}
     val fs = fsFor(spark, tableDir)
     val managed = Manifest.exists(tableDir)
-    if (managed) Manifest.recover(tableDir)
-    else recoverDeletes(fs, new Path(tableDir))
+    if (managed) {
+      Manifest.recover(tableDir)
+      // RTBF collapses the retention window: replaced originals parked
+      // in the deferred-delete tomb may hold the keys' bytes too, and
+      // the raw candidate listing below would otherwise feed them back
+      // into a rewrite (resurrecting replaced rows as live del_ files)
+      Manifest.purgeAllTombs(tableDir)
+    } else recoverDeletes(fs, new Path(tableDir))
     val hasBloom =
       fs.exists(new Path(tableDir, s"_skip_bloom_$c"))
     val candidates: Seq[String] =
@@ -214,14 +236,34 @@ object Maintain {
     // Keys round-trip through strings and cast to the column's actual
     // type, so join equality matches the typed-probe/isin semantics.
     val distinctVals = values.distinct
+    val colType = spark.read.parquet(tableDir).schema.find(_.name == c)
+      .map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"deleteByKey: no column $c in $tableDir"))
+    // LOUD lossy-cast rule (the typed-probe refuse-to-prune discipline):
+    // a non-null key whose string form cannot cast to the column's type
+    // would silently vanish from the purge — for an RTBF primitive the
+    // caller must hear about a key it cannot delete, not get a summary
+    // for the castable subset. try_cast keeps the check ANSI-agnostic
+    // (a plain cast THROWS mid-job under ANSI instead of flagging).
+    locally {
+      import spark.implicits._
+      val bad = distinctVals.filter(_ != null).map(_.toString)
+        .toDF("__ks")
+        .filter(org.apache.spark.sql.functions
+          .expr(s"try_cast(__ks AS ${colType.sql})").isNull)
+        .limit(20).collect().map(_.getString(0))
+      require(bad.isEmpty,
+        s"deleteByKey: key(s) [${bad.mkString(", ")}] do not cast to " +
+          s"$c's type ${colType.sql} — refusing a partial purge")
+    }
     val keysDf: Option[org.apache.spark.sql.DataFrame] =
       if (distinctVals.size <= LargeKeyThreshold) None
-      else spark.read.parquet(tableDir).schema.find(_.name == c)
-        .map { f =>
+      else Some {
           import spark.implicits._
           distinctVals.map(v => if (v == null) null else v.toString)
             .toDF("__ks")
-            .select(col("__ks").cast(f.dataType).as("__k"))
+            .select(col("__ks").cast(colType).as("__k"))
             .filter(col("__k").isNotNull).distinct()
         }
     def dropKeys(df: org.apache.spark.sql.DataFrame)

@@ -50,9 +50,21 @@ object Upsert {
     // and never makes the directory vanish
     val managed = Manifest.exists(path)
     if (managed) Manifest.recover(path) else SafeSwap.recover(path)
-    val target =
-      if (managed) Manifest.readSnapshot(spark, path)
-      else spark.read.parquet(path)
+    // ONE pinned resolution drives both the target read and the
+    // replaced-file list: resolving twice (read snapshot, then list
+    // olds at commit time) opens a window where a file appended
+    // between the two resolutions is deleted by the commit while its
+    // rows were never in `merged` — silent row loss. With one pinned
+    // list, a concurrent append stays a live file the commit carries
+    // forward (stale-safe: its rows union with the merged output).
+    val pinned: Option[Seq[String]] =
+      if (managed) Manifest.resolve(path) else None
+    val target = pinned match {
+      case None => spark.read.parquet(path)
+      case Some(files) =>
+        if (files.isEmpty) spark.read.parquet(path).limit(0)
+        else spark.read.option("basePath", path).parquet(files: _*)
+    }
     require(target.columns.toSet == updates.columns.toSet,
       s"schema mismatch (by name): ${target.columns.sorted.toSeq} vs " +
         s"${updates.columns.sorted.toSeq}")
@@ -73,8 +85,8 @@ object Upsert {
       .observe(obs, count(lit(1)).as("total"))
 
     if (managed) {
-      val olds = Manifest.resolve(path).getOrElse(Seq.empty)
-      Manifest.replaceFiles(spark, path, path, merged, "ups_", olds)
+      Manifest.replaceFiles(spark, path, path, merged, "ups_",
+        pinned.getOrElse(Seq.empty))
     } else
       SafeSwap.replace(path) { tmp =>
         merged.write.mode("overwrite").parquet(tmp)
@@ -131,7 +143,20 @@ object Upsert {
     // sees the SafeSwap rename-wide gap
     val managed = Manifest.exists(path)
     if (managed) Manifest.recover(path)
+    // ONE pinned resolution for the whole op (the mergeInto rule): the
+    // raw per-partition listing of a managed table also shows the
+    // retention window's tombed originals — merging those would
+    // resurrect replaced rows. All partitions then commit as ONE
+    // generation (replaceFilesBatch) — a single atomicity point.
+    val resolvedSet: Option[Set[String]] =
+      if (managed) Manifest.resolve(path)
+        .map(_.map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath)
+          .toSet)
+      else None
+    val repls = scala.collection.mutable.ArrayBuffer
+      .empty[Manifest.Replacement]
     var updated = 0L; var inserted = 0L; var total = 0L
+    val obsHandles = scala.collection.mutable.ArrayBuffer.empty[Observation]
     affected.foreach { pv =>
       // Hive partition-path escaping (the write.partitionBy convention):
       // a raw interpolation of e.g. 'a:b' would miss the on-disk
@@ -151,7 +176,10 @@ object Upsert {
           .filter { st =>
             val n = st.getPath.getName
             st.isFile && !n.startsWith("_") && !n.startsWith(".")
-          }.map(_.getPath.toString).toSeq
+          }.map(_.getPath.toString)
+          .filter(p => resolvedSet.forall(
+            _.contains(new org.apache.hadoop.fs.Path(p).toUri.getPath)))
+          .toSeq
         val target =
           if (managed) spark.read.parquet(olds: _*)
           else spark.read.parquet(pdir)
@@ -163,13 +191,15 @@ object Upsert {
         val merged = target.join(slice, restKeys, "left_anti")
           .unionByName(slice)
           .observe(obs, count(lit(1)).as("total"))
-        if (managed)
-          Manifest.replaceFiles(spark, path, pdir, merged, "ups_", olds)
-        else
+        if (managed) {
+          repls += Manifest.Replacement(pdir, merged, "ups_", olds)
+          obsHandles += obs // the write runs in the batch commit below
+        } else {
           SafeSwap.replace(pdir) { tmp =>
             merged.write.mode("overwrite").parquet(tmp)
           }
-        total += obs.get("total").asInstanceOf[Long]
+          total += obs.get("total").asInstanceOf[Long]
+        }
       } else {
         // brand-new partition: every update row is an insert — still
         // behind SafeSwap (or a manifest commit), so a crash mid-write
@@ -179,13 +209,16 @@ object Upsert {
         val n = slice.count()
         inserted += n; total += n
         if (managed)
-          Manifest.replaceFiles(spark, path, pdir, slice, "ups_",
-            Seq.empty)
+          repls += Manifest.Replacement(pdir, slice, "ups_", Seq.empty)
         else
           SafeSwap.replace(pdir) { tmp =>
             slice.write.mode("overwrite").parquet(tmp)
           }
       }
+    }
+    if (repls.nonEmpty) {
+      Manifest.replaceFilesBatch(spark, path, repls.toSeq)
+      total += obsHandles.map(_.get("total").asInstanceOf[Long]).sum
     }
     // the rewritten partitions invalidated any file listing Spark's
     // shared FileStatusCache holds for this tree — without the refresh,

@@ -28,10 +28,11 @@ import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRela
   * fighting it: this rule is registered FIRST, so stats pruning then
   * operates on the snapshot-resolved listing.
   *
-  * Planning cost: one root-dir listStatus per scan to detect the
-  * manifest (the statsExist class), plus one tiny manifest read when
-  * present — nothing at all for unmanaged tables beyond the existence
-  * probe. */
+  * Planning cost: ONE `fs.exists` on the fixed-name
+  * `_manifest_CURRENT` marker per scanned relation (never a root
+  * listStatus — [[graft.pipeline.Manifest.exists]]'s contract, spec'd
+  * by counting root listings during planning of unmanaged queries),
+  * plus one tiny manifest read when present. */
 case class ManifestResolve(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
@@ -62,6 +63,27 @@ case class ManifestResolve(spark: SparkSession)
             case _ => None
           }
           resolved <- graft.pipeline.Manifest.resolve(root)
+          // the carried partitionSpec is authoritative for the rewritten
+          // index (never re-inferred) — so a resolved file in a BRAND-NEW
+          // partition directory (a fresh append that created the dir
+          // after this scan's listing) would be silently dropped from
+          // the rewritten listing. Skip the rewrite instead: the scan's
+          // own listing predates the append (a listing that caught the
+          // new files would have caught the new directory in its spec),
+          // so the fallback is the complete pre-append state — stale,
+          // never row-losing. The one theoretical exception (listing
+          // taken between a maintenance placement and a same-window
+          // new-partition append shows uncommitted duplicates for one
+          // plan) trades against the old behavior's silent row DROP,
+          // and heals at the next planning pass, whose spec includes
+          // the directory.
+          if spec.forall { ps =>
+            val dirs = ps.partitions.map(p => canon(p.path.toString))
+            resolved.forall { f =>
+              val cf = canon(f)
+              dirs.exists(d => cf.startsWith(d + "/"))
+            }
+          }
           listing = hfs.location.inputFiles.toSeq
           // rewrite only when maintenance state diverges the two views
           if resolved.map(canon).toSet != listing.map(canon).toSet

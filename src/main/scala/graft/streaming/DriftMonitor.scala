@@ -74,7 +74,20 @@ object DriftMonitor {
         .map(_.getPath.toString)
         .filterNot(_.contains("/_"))
       if (files.isEmpty) None
-      else Some(spark.read.parquet(files.toIndexedSeq: _*))
+      else {
+        val df = spark.read.parquet(files.toIndexedSeq: _*)
+        // FORMAT GUARD: the h-term sum changed scale when the float
+        // discipline moved to floor(h·1e8) int64 quantization — the
+        // new column name (`sum_hq`) IS the format version. A store
+        // written before the change carries `sum_h` (raw-double-era
+        // sums, 1e8× smaller); silently folding it into the cumulative
+        // read would mix scales. Refuse and ask for a rebuild instead.
+        require(!df.columns.contains("sum_h"),
+          s"drift evidence at $root uses the pre-quantization format " +
+            "(column sum_h) — incompatible with the fixed-point " +
+            "sum_hq scale; rebuild the store from the source stream")
+        Some(df)
+      }
     }
   }
 
@@ -139,7 +152,7 @@ object DriftMonitor {
         .select(col("g"), Pca.mmdHq(d).as("hq"))
       val hAgg = hRows.groupBy(col("g"))
         .agg(count(lit(1)).as("n_pairs"),
-          sum(col("hq").cast(Pca.QSumDec)).as("sum_h"))
+          sum(col("hq").cast(Pca.QSumDec)).as("sum_hq"))
       val nRows = rows.groupBy(col("g"))
         .agg(count(lit(1)).as("n_rows"), max(col("off")).as("off"))
       // the new leftover: the batch row sitting at the (now odd) end
@@ -152,7 +165,7 @@ object DriftMonitor {
         .join(leftovers, Seq("g"), "left")
         .select(col("g"), lit(bid).as("seq"), col("n_rows"),
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-          coalesce(col("sum_h"), lit(0).cast(Pca.QSumDec)).as("sum_h"),
+          coalesce(col("sum_hq"), lit(0).cast(Pca.QSumDec)).as("sum_hq"),
           col("leftover"))
       AppendCommit.appendBatch(spark, root, sid) { tmp =>
         evidence.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -171,7 +184,7 @@ object DriftMonitor {
       case Some(p) =>
         p.groupBy(col("g"))
           .agg(sum(col("n_pairs")).as("n_pairs"),
-            sum(col("sum_h")).as("__sh"))
+            sum(col("sum_hq")).as("__sh"))
           .select(col("g"), col("n_pairs"),
             when(col("n_pairs") > 0,
               round((col("__sh").cast("double") / lit(Pca.GridScale))

@@ -252,4 +252,27 @@ class GraphSpec extends SparkSpec {
     assert(anyFile(new java.io.File(dir)),
       "no checkpoint files landed under checkpointDir")
   }
+
+  test("reliable checkpoint lifecycle is bounded: superseded per-round " +
+      "state is deleted; a long run holds pins + last state, not one " +
+      "copy per round") {
+    val dir = java.nio.file.Files.createTempDirectory("graph_ckpt_gc")
+      .toString
+    val pr = edges(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "a"))
+    val ranks = Graph.pageRank(pr, iters = 8, 0.85, Some(dir))
+    assert(ranks.count() == 3L)
+    def rddDirs(f: java.io.File): Seq[String] =
+      if (f.isDirectory) {
+        val here = if (f.getName.startsWith("rdd-")) Seq(f.getPath)
+          else Seq.empty
+        here ++ Option(f.listFiles).toSeq.flatten.flatMap(rddDirs)
+      } else Seq.empty
+    val kept = rddDirs(new java.io.File(dir))
+    // pins (edges, nodes) + the final ranks state = 3; one-per-round
+    // leakage would leave 10
+    assert(kept.size <= 3,
+      s"superseded checkpoints leaked: ${kept.size} rdd dirs ($kept)")
+    assert(kept.nonEmpty, "reliable mode must keep the live state")
+  }
 }

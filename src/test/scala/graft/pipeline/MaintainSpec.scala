@@ -200,4 +200,26 @@ class MaintainSpec extends SparkSpec {
       "recovery must restore the aside copy before deleting")
     assert(!fs.exists(aside))
   }
+
+  test("deleteByKey refuses keys that cannot cast to the column's " +
+      "type — loudly, naming them, before any rewrite (no silent " +
+      "partial purge)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("del_badkey").toString + "/t"
+    (1L to 100L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(2).write.parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      Maintain.deleteByKey(spark, path, "k",
+        Seq(5L, "not-a-number", 7L))
+    }
+    assert(e.getMessage.contains("not-a-number"),
+      s"the offending key must be named: ${e.getMessage}")
+    assert(spark.read.parquet(path).count() == 100L,
+      "a refused purge must leave the table untouched")
+    // the castable form still deletes (the loud check is about
+    // uncastable keys, not about string round-trips)
+    val ok = Maintain.deleteByKey(spark, path, "k", Seq("5", 7L))
+    assert(ok.rowsDeleted == 2L)
+  }
 }

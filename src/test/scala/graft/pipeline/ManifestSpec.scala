@@ -266,4 +266,100 @@ class ManifestSpec extends SparkSpec {
     assert(again.partitionsCompacted == 0 &&
       Manifest.current(path).get == gen)
   }
+
+  test("retention: a file list resolved BEFORE a maintenance commit " +
+      "still opens in full after it; the window ages out after two " +
+      "more generations (bounded, not a leak)") {
+    val path = Files.createTempDirectory("mani_ret").toString + "/t"
+    (1L to 200L).map(k => (k, k % 5)).toDF("k", "v")
+      .repartition(4, col("k")).write.parquet(path)
+    Manifest.enable(spark, path) // gen 1
+    val pinned = Manifest.resolve(path).get
+    // content-changing managed maintenance commits gen 2 and defers the
+    // originals' deletion
+    Upsert.mergeInto(spark, path,
+      (1L to 50L).map(k => (k, 99L)).toDF("k", "v"), Seq("k"))
+    // the reader that resolved BEFORE the commit still opens every file
+    assert(spark.read.parquet(pinned: _*).count() == 200L,
+      "pre-commit resolution must stay openable for a full cycle")
+    // while current snapshot readers see the merged truth
+    val snap = Manifest.readSnapshot(spark, path)
+    assert(snap.filter(col("k") <= 50 && col("v") === 99L).count() == 50L)
+    // two more generations age the window out: the replaced originals'
+    // bytes leave disk (retention is bounded)
+    Upsert.mergeInto(spark, path, Seq((1L, 100L)).toDF("k", "v"),
+      Seq("k")) // gen 3
+    Upsert.mergeInto(spark, path, Seq((2L, 101L)).toDF("k", "v"),
+      Seq("k")) // gen 4 — purges tomb g2
+    assert(pinned.exists(f => !fs(path).exists(new Path(f))),
+      "replaced originals must not leak past the retention window")
+    assert(keys(Manifest.readSnapshot(spark, path)) == (1L to 200L).toSet)
+  }
+
+  test("time travel: readSnapshot(generation) reads the previous " +
+      "generation exactly; unretained generations and RTBF-destroyed " +
+      "snapshots fail loudly") {
+    val path = Files.createTempDirectory("mani_tt").toString + "/t"
+    (1L to 100L).map(k => (k, k % 5)).toDF("k", "v")
+      .repartition(4, col("k")).write.parquet(path)
+    Manifest.enable(spark, path) // gen 1
+    Upsert.mergeInto(spark, path,
+      (1L to 10L).map(k => (k, 77L)).toDF("k", "v"), Seq("k")) // gen 2
+    assert(Manifest.generations(path) == Seq(1L, 2L))
+    val old = Manifest.readSnapshot(spark, path, 1L)
+    assert(old.filter(col("v") === 77L).count() == 0L &&
+      keys(old) == (1L to 100L).toSet,
+      "generation 1 must read as committed, before the merge")
+    assert(Manifest.readSnapshot(spark, path, 2L)
+      .filter(col("v") === 77L).count() == 10L)
+    intercept[IllegalArgumentException] {
+      Manifest.readSnapshot(spark, path, 99L)
+    }
+    // an RTBF key delete destroys bytes immediately — a generation that
+    // referenced them must refuse to read, never silently resurrect a
+    // partial snapshot
+    Maintain.deleteByKey(spark, path, "k", Seq(5L)) // gen 3
+    intercept[IllegalArgumentException] {
+      Manifest.readSnapshot(spark, path, 2L).count()
+    }
+  }
+
+  test("replaceFiles carries a concurrent append forward: a file " +
+      "landing between the pinned resolve and the commit keeps its " +
+      "rows (the mergeInto pin contract)") {
+    val path = Files.createTempDirectory("mani_pin").toString + "/t"
+    (1L to 100L).map(k => (k, k % 5)).toDF("k", "v")
+      .repartition(4, col("k")).write.parquet(path)
+    Manifest.enable(spark, path)
+    val pinned = Manifest.resolve(path).get
+    // a concurrent append lands AFTER the maintenance op pinned its set
+    (101L to 105L).map(k => (k, 0L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(path)
+    Manifest.replaceFiles(spark, path, path,
+      spark.read.parquet(pinned: _*).filter(col("k") =!= 50L),
+      "cmp_", pinned)
+    assert(keys(Manifest.readSnapshot(spark, path)) ==
+      ((1L to 105L).toSet - 50L),
+      "the appended rows must survive a maintenance op that never saw them")
+  }
+
+  test("existence probe is one fixed-marker exists(): planning " +
+      "unmanaged-table queries performs zero manifest root listings") {
+    graft.plans.ManifestResolve.register(spark)
+    val dir = Files.createTempDirectory("mani_probe").toString + "/t"
+    (1L to 50L).map(k => (k, k % 5)).toDF("k", "v")
+      .coalesce(2).write.parquet(dir)
+    val before = Manifest.rootListings.get()
+    assert(!Manifest.exists(dir))
+    val plan = spark.read.parquet(dir).filter(col("k") > 5L)
+      .queryExecution.optimizedPlan
+    assert(plan != null)
+    assert(Manifest.rootListings.get() == before,
+      "unmanaged tables must cost one marker exists(), never a listing")
+    // and a managed table's marker answers without a listing too
+    Manifest.enable(spark, dir)
+    val mid = Manifest.rootListings.get()
+    assert(Manifest.exists(dir))
+    assert(Manifest.rootListings.get() == mid)
+  }
 }

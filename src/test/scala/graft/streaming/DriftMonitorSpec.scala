@@ -124,6 +124,28 @@ class DriftMonitorSpec extends SparkSpec {
     assert(readMap(crashed) == readMap(clean))
   }
 
+  test("pre-quantization evidence format (column sum_h) is refused, " +
+      "never silently folded at the wrong scale") {
+    val store = newStore()
+    val df = fixture(nRef = 20, nGrp = 10)
+    DriftMonitor.buildReference(df.filter(col("label") === 0),
+      "vec_id", "embedding", store)
+    // an old-format store: raw-double-era sums under the superseded name
+    Seq((1, 0L, 10L, 5L, 0.123d))
+      .toDF("g", "seq", "n_rows", "n_pairs", "sum_h")
+      .coalesce(1).write.parquet(s"$store/evidence")
+    val e = intercept[IllegalArgumentException] {
+      DriftMonitor.read(spark, store).collect()
+    }
+    assert(e.getMessage.contains("sum_h"), e.getMessage)
+    // the resume path refuses too (a batch folding onto mixed scales)
+    val sink = DriftMonitor.foreachBatchSink(store, "label", "vec_id",
+      "embedding", d)
+    intercept[IllegalArgumentException] {
+      sink(df.filter(col("label") =!= 0), 7L)
+    }
+  }
+
   test("the shifted group drifts; the same-distribution group does not") {
     val df = fixture(nRef = 200, nGrp = 100, shift2 = 0.8f)
     val store = newStore()
