@@ -1024,6 +1024,55 @@ object Dedup {
     }
   }
 
+  /** RTBF cascade hook: physically remove `docIds` from the persisted
+    * index — their signature rows, their band rows, AND their
+    * contribution to the bucket-size delta log (a NEGATIVE delta batch,
+    * so a bucket the deleted docs had pushed over the cap re-exposes
+    * its surviving rows exactly as a fresh build over the filtered
+    * corpus would hide/show them). The negative deltas are derived from
+    * the stored signatures BEFORE the rows leave, committed as an
+    * idempotent content-keyed [[graft.pipeline.AppendCommit]] batch
+    * (crash-retry converges; replay no-ops); the row removal itself is
+    * unconditional and idempotent
+    * ([[graft.pipeline.Maintain.deleteByKey]] — rewrites only files
+    * holding the docs, never O(index)). Returns signature rows removed
+    * (= docs actually present).
+    *
+    * Honest cap-window caveat (same class as the append contract): a
+    * band row that was never STORED because its bucket was over the cap
+    * at its append time cannot be resurrected by a purge that later
+    * drops the bucket below the cap — a fresh rebuild stores it. The
+    * compaction cadence erases the difference. */
+  def purgeMinhashIndex(spark: SparkSession, indexDir: String,
+      docIds: Seq[Any]): Long = {
+    require(docIds.nonEmpty, "purge needs at least one doc id")
+    graft.pipeline.SafeSwap.recover(indexDir)
+    val id = "purge-" + graft.pipeline.AppendCommit.contentId(
+      docIds.map(String.valueOf).sorted.mkString("\n"))
+    if (!graft.pipeline.AppendCommit.isApplied(indexDir, id)) {
+      graft.pipeline.AppendCommit.clearCrashedAttempt(indexDir, id)
+      val sigDel = spark.read.parquet(s"$indexDir/signatures")
+        .filter(col("doc_id").isInCollection(docIds))
+      val neg = bandRows(sigDel).groupBy(col("band"), col("bh"))
+        .agg((count(lit(1)) * lit(-1L)).as("sz"))
+      // legacy tree without a size table: fold the derived base sizes
+      // (which still include the docs) into this first delta, exactly
+      // like the append path's one-time migration
+      val delta =
+        if (hasSizesTable(spark, indexDir)) neg
+        else minhashBucketSizes(spark, indexDir).unionByName(neg)
+          .groupBy(col("band"), col("bh")).agg(sum(col("sz")).as("sz"))
+      graft.pipeline.AppendCommit.appendBatch(spark, indexDir, id) {
+        tmp => delta.write.parquet(s"$tmp/bucket_sizes")
+      }
+    }
+    val sigs = graft.pipeline.Maintain.deleteByKey(spark,
+      s"$indexDir/signatures", "doc_id", docIds).rowsDeleted
+    graft.pipeline.Maintain.deleteByKey(spark,
+      s"$indexDir/bands", "doc_id", docIds)
+    sigs
+  }
+
   /** Near-dup pairs (corpus doc `a`, incoming doc `b`) between a persisted
     * index and an incoming batch: banding collision against the stored
     * bucket table, then signature-estimate rerank ≥ `minEst`. The corpus

@@ -214,6 +214,51 @@ object Quantize {
     }
   }
 
+  /** RTBF cascade hook for the codes-only PQ store: remove `vecIds`'
+    * code rows and subtract their corpus-fingerprint contribution. The
+    * store persists CODES, not embeddings, so the negative `-n|-h`
+    * fingerprint cannot be derived from the index itself — `deleted`
+    * must supply the ids' (vec_id, embedding) rows, captured from the
+    * corpus BEFORE its own purge (the [[graft.pipeline.Cascade]]
+    * ordering). On a crash-retry the intent's staged payload wins, so
+    * `deleted` may legitimately be empty then. Returns code rows
+    * removed. Codebook stays frozen (the IVF centroid model). */
+  def purgePqIndex(spark: SparkSession, indexDir: String,
+      vecIds: Seq[Any], deleted: DataFrame): Long = {
+    require(vecIds.nonEmpty, "purge needs at least one vec id")
+    graft.pipeline.SafeSwap.recover(indexDir)
+    purgeCodeRows(spark, indexDir, s"$indexDir/codes", vecIds, deleted)
+  }
+
+  /** [[purgePqIndex]] for the cell-partitioned IVFADC store. */
+  def purgeIvfPqIndex(spark: SparkSession, indexDir: String,
+      vecIds: Seq[Any], deleted: DataFrame): Long = {
+    require(vecIds.nonEmpty, "purge needs at least one vec id")
+    graft.pipeline.SafeSwap.recover(indexDir)
+    purgeCodeRows(spark, indexDir, s"$indexDir/cells", vecIds, deleted)
+  }
+
+  private def purgeCodeRows(spark: SparkSession, indexDir: String,
+      rowsDir: String, vecIds: Seq[Any], deleted: DataFrame): Long = {
+    val id = "purge-" + graft.pipeline.AppendCommit.contentId(
+      vecIds.map(String.valueOf).sorted.mkString("\n"))
+    var removed = 0L
+    graft.pipeline.AppendCommit.runWithIntent(indexDir, id) {
+      val r = deleted.select(col("vec_id"), col("embedding")).distinct()
+        .agg(count(lit(1)).as("n"),
+          sum(xxhash64(col("vec_id"), col("embedding"))
+            .cast("decimal(38,0)")).as("h")).head()
+      val n = r.getLong(0)
+      val h = if (r.isNullAt(1)) BigInt(0)
+        else BigInt(r.getDecimal(1).toBigInteger)
+      s"${-n}|${-h}"
+    } { _ =>
+      removed = graft.pipeline.Maintain.deleteByKey(spark,
+        rowsDir, "vec_id", vecIds).rowsDeleted
+    }
+    removed
+  }
+
   /** ADC probe of a persisted PQ index. `queries` (q_id, q_emb) is a
     * BOUNDED batch (collected to build the per-query lookup tables —
     * nQueries × m × k doubles, KBs; same driver-side contract as the

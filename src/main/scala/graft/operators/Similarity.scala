@@ -435,6 +435,44 @@ object Similarity {
     }
   }
 
+  /** RTBF cascade hook: physically remove `vecIds`' rows — which carry
+    * the ORIGINAL embeddings, actual content — from the cell files, and
+    * SUBTRACT their contribution from the cumulative corpus fingerprint
+    * via a negative `-n|-h` ledger entry, so a subsequent
+    * [[ensureIvfIndex]] over the filtered corpus still fingerprint-
+    * matches (no spurious rebuild) and a probe can never reach a purged
+    * vector. The negative fingerprint is computed from the stored rows
+    * (replicas collapsed to one per vec) BEFORE they leave, staged as
+    * an intent ([[graft.pipeline.AppendCommit.runWithIntent]]) so a
+    * crash-retry reuses the pre-purge numbers. Row removal rewrites
+    * only the files holding the ids. Returns cell rows removed
+    * (≈ replicas × vecs present). Centroids stay frozen — the standard
+    * IVF deletion model; the retrain cadence re-balances. */
+  def purgeIvfIndex(spark: SparkSession, indexDir: String,
+      vecIds: Seq[Any]): Long = {
+    require(vecIds.nonEmpty, "purge needs at least one vec id")
+    graft.pipeline.SafeSwap.recover(indexDir)
+    val id = "purge-" + graft.pipeline.AppendCommit.contentId(
+      vecIds.map(String.valueOf).sorted.mkString("\n"))
+    var removed = 0L
+    graft.pipeline.AppendCommit.runWithIntent(indexDir, id) {
+      val r = spark.read.parquet(s"$indexDir/cells")
+        .filter(col("vec_id").isInCollection(vecIds))
+        .select(col("vec_id"), col("embedding")).distinct()
+        .agg(count(lit(1)).as("n"),
+          sum(xxhash64(col("vec_id"), col("embedding"))
+            .cast("decimal(38,0)")).as("h")).head()
+      val n = r.getLong(0)
+      val h = if (r.isNullAt(1)) BigInt(0)
+        else BigInt(r.getDecimal(1).toBigInteger)
+      s"${-n}|${-h}"
+    } { _ =>
+      removed = graft.pipeline.Maintain.deleteByKey(spark,
+        s"$indexDir/cells", "vec_id", vecIds).rowsDeleted
+    }
+    removed
+  }
+
   /** Probe a persisted index: assign each query to its `nprobe` best
     * cells (centroids collected — nlist × dim doubles, KBs), join the
     * cell-partitioned corpus on the partition column, exact cosine

@@ -85,6 +85,38 @@ object TermIndex {
     }
   }
 
+  /** RTBF cascade hook: physically remove `docIds`' postings from the
+    * index files and SUBTRACT their corpus-stats contribution (n_docs,
+    * Σdl) via a negative ledger entry — so a post-purge probe scores
+    * BM25 exactly as a from-scratch build over the filtered corpus
+    * would. The negative stats are computed from the stored postings
+    * BEFORE the rows leave and staged as an intent
+    * ([[graft.pipeline.AppendCommit.runWithIntent]]): a crash-retry
+    * reuses the staged numbers instead of recomputing zeros over the
+    * already-purged store. Rewrites touch only files holding the docs
+    * ([[graft.pipeline.Maintain.deleteByKey]] — O(hit files), never
+    * O(index)). Returns posting rows removed. */
+  def purgeDocs(spark: SparkSession, indexDir: String,
+      docIds: Seq[Any]): Long = {
+    require(docIds.nonEmpty, "purge needs at least one doc id")
+    val id = "purge-" + graft.pipeline.AppendCommit.contentId(
+      docIds.map(String.valueOf).sorted.mkString("\n"))
+    var removed = 0L
+    graft.pipeline.AppendCommit.runWithIntent(indexDir, id) {
+      val r = spark.read.parquet(s"$indexDir/postings")
+        .filter(col("doc_id").isInCollection(docIds))
+        .select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)), sum(col("dl"))).head()
+      val n = r.getLong(0)
+      val dl = if (r.isNullAt(1)) 0L else r.getLong(1)
+      s"${-n}:${-dl}"
+    } { _ =>
+      removed = graft.pipeline.Maintain.deleteByKey(spark,
+        s"$indexDir/postings", "doc_id", docIds).rowsDeleted
+    }
+    removed
+  }
+
   /** BM25 top-k through the index: postings pruned to the query terms'
     * buckets, stats from the ledger. Matches [[TextAnalysis.bm25TopK]]
     * over the same corpus bit-exactly. */

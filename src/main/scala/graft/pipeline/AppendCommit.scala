@@ -259,6 +259,50 @@ object AppendCommit {
     (compacted ++ plain).toSeq
   }
 
+  /** Compute-once ledger payload staging for maintenance ops whose
+    * payload must reflect PRE-op state — a purge's negative
+    * fingerprint, computed from rows the op is about to destroy. The
+    * naive orders both lose a crash: payload-after-work recomputes
+    * over already-purged rows (zeros — the store's cumulative count
+    * silently overcounts forever), payload-before-work with an eager
+    * ledger mark makes the retry skip the unfinished work. Protocol:
+    *
+    *   1. the payload is computed ONCE and staged as a hidden INTENT
+    *      file (`_applied/.intent_<id>`, temp+rename) — a retry that
+    *      finds the intent reuses its payload instead of recomputing
+    *      over mutated state;
+    *   2. `work(payload)` runs (it must itself be idempotent/convergent
+    *      — the deleteByKey/AppendCommit ops here are);
+    *   3. the intent RENAMES to the ledger entry — one atomic promotion
+    *      marks "applied" with the pre-op payload.
+    *
+    * Returns false (no-op) when `id` is already applied. */
+  def runWithIntent(root: String, id: String)(compute: => String)(
+      work: String => Unit): Boolean = {
+    if (isApplied(root, id)) return false
+    val fs = fsFor(root)
+    val lp = ledgerPath(root, id)
+    fs.mkdirs(lp.getParent)
+    val intent = new Path(lp.getParent, s".intent_$id")
+    val payload =
+      if (fs.exists(intent)) {
+        val in = fs.open(intent)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } else {
+        val p = compute
+        val tmp = new Path(lp.getParent, s"..intent_$id.tmp")
+        val os = fs.create(tmp, true)
+        try os.write(p.getBytes("UTF-8")) finally os.close()
+        if (!fs.rename(tmp, intent))
+          throw new java.io.IOException(s"cannot stage intent for $id")
+        p
+      }
+    work(payload)
+    if (!fs.rename(intent, lp))
+      throw new java.io.IOException(s"cannot promote intent for $id")
+    true
+  }
+
   /** Record `batchId` as applied WITHOUT the staging/move machinery —
     * for maintenance ops whose data path is already idempotent under
     * re-run (e.g. the component-store label merge, whose min-label

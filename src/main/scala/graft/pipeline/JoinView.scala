@@ -78,6 +78,16 @@ object JoinView {
   def read(spark: SparkSession, store: String): DataFrame =
     spark.read.parquet(viewDir(store))
 
+  /** RTBF cascade hook: a row-level delete on the FACT table must also
+    * leave the view — its rows are enriched COPIES of the facts. Keyed
+    * physical removal, rewriting only the files holding the keys
+    * (delete-propagation for the IVM view; the ledger is untouched —
+    * replay suppression tracks batches, which still happened). Returns
+    * view rows removed. */
+  def purgeByKey(spark: SparkSession, store: String, keyCol: String,
+      keys: Seq[Any]): Long =
+    Maintain.deleteByKey(spark, viewDir(store), keyCol, keys).rowsDeleted
+
   /** Streaming maintenance: a `foreachBatch` sink whose micro-batch id
     * is the replay unit — Structured Streaming redelivers a batch id on
     * recovery, and the ledger makes the redelivery a no-op, so the view

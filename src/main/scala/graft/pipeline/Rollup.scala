@@ -214,6 +214,20 @@ object Rollup {
       spec: Spec, batchId: String): Boolean =
     merge(spark, storeDir, batch, spec, Seq(batchId))
 
+  /** RTBF cascade hook: partials are NOT row-subtractable (min/max and
+    * distinct sketches cannot un-see a row), so a row-level delete on
+    * the fact table invalidates the store wholesale — drop it; the next
+    * maintenance pass re-inits from the (now filtered) facts, exactly
+    * the absent-store path [[graft.Warehouse]] already takes. Loud and
+    * structural beats silently-stale aggregates. */
+  def invalidate(spark: SparkSession, storeDir: String): Unit =
+    MaintenanceLock.withLock(storeDir) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
+      ()
+    }
+
   /** Does a store live at `storeDir` (healing a crashed swap first)? */
   def exists(spark: SparkSession, storeDir: String): Boolean = {
     SafeSwap.recover(storeDir)
