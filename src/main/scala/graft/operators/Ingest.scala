@@ -759,6 +759,67 @@ object Ingest {
   val q251ManifestTableSql: String = q229DeleteByKeySql
 
   // ---------------------------------------------------------------------
+  // q259_time_travel — manifest generations as snapshots: a managed
+  // orders table takes a record-level MERGE (every custkey ≡ 0 mod 10
+  // re-keyed +1,000,000), committing generation 2; the gate reads BOTH
+  // retained generations through readSnapshot(dir, gen) and emits their
+  // aggregates side by side. The oracle computes the pre-merge state
+  // from the source table and the post-merge state declaratively — a
+  // time-travel read that leaks merged rows into the old snapshot (or
+  // vice versa) moves a count/sum and hash-fails. The previous
+  // generation costs nothing extra to keep: its replaced files ARE the
+  // deferred-delete retention window's contents.
+  // ---------------------------------------------------------------------
+  def q259TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Manifest, Upsert}
+    val tbl = s"$skipBase/orders_tt2_${dir.hashCode.toHexString}"
+    if (!new java.io.File(s"$tbl.complete").exists()) {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .repartition(4, col("o_custkey"))
+        .write.parquet(tbl)
+      Manifest.enable(s, tbl) // generation 1
+      val updates = Manifest.readSnapshot(s, tbl)
+        .filter(col("o_custkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          (col("o_custkey") + 1000000L).as("o_custkey"))
+      Upsert.mergeInto(s, tbl, updates, Seq("o_orderkey")) // generation 2
+      new java.io.File(s"$tbl.complete").createNewFile()
+    }
+    val gens = Manifest.generations(tbl)
+    require(gens.size == 2, s"expected two retained generations: $gens")
+    def agg(df: DataFrame, tag: String) = df.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_custkey")).as("n_cust"),
+      sum(col("o_custkey")).as("sum_cust"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"))
+      .select(lit(tag).as("gen"), col("n"), col("n_cust"),
+        col("sum_cust"), col("min_key"), col("max_key"))
+    agg(Manifest.readSnapshot(s, tbl, gens.head), "previous")
+      .unionByName(agg(Manifest.readSnapshot(s, tbl, gens.last),
+        "current"))
+  }
+
+  val q259TimeTravelSql: String =
+    """WITH cur AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 1000000
+      |         ELSE o_custkey END AS o_custkey
+      |  FROM orders)
+      |SELECT 'previous' AS gen, COUNT(*) AS n,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders
+      |UNION ALL
+      |SELECT 'current', COUNT(*),
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+      |  CAST(SUM(o_custkey) AS BIGINT),
+      |  MIN(o_orderkey), MAX(o_orderkey)
+      |FROM cur""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q255_transparent_manifest — the ManifestResolve optimizer rule
   // through the gate: a PLAIN spark.read of a managed table frozen in
   // the mid-maintenance state (a complete-but-UNCOMMITTED del_

@@ -33,6 +33,92 @@ object SkewJoin {
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
 
+  final case class SkewStrategy(nKeys: Long, nRows: Long, maxN: Long,
+      skewRatio: Double, useSalting: Boolean)
+
+  /** Evidence-driven strategy selection for equi-joins — the
+    * measured-not-guessed discipline [[graft.operators.Dedup
+    * .chooseJaccardStrategy]] set for near-dup joins, applied here: ONE
+    * map-side-combined aggregate over the probe side's key counts gives
+    * max/mean key skew; a key holding `skewThreshold`× the mean row
+    * share serializes a plain shuffle join through a single task, so
+    * [[saltedInnerJoin]] wins — on anything flatter the salt explode
+    * (×saltFactor on the build side) costs more than it saves. AQE's
+    * runtime skew split remains the backstop; this is the deterministic
+    * pre-commit choice when the evidence is one aggregate away. */
+  def chooseSkewStrategy(left: DataFrame, key: String,
+      skewThreshold: Double = 16.0): SkewStrategy = {
+    val r = left.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_n")).head()
+    val (nKeys, nRows, maxN) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val skew = maxN.toDouble / (nRows.toDouble / nKeys.toDouble)
+    SkewStrategy(nKeys, nRows, maxN, skew,
+      useSalting = skew >= skewThreshold)
+  }
+
+  /** Auto inner equi-join: read the skew evidence, run the winning
+    * plan. Output is identical either way (spec'd); only the cost
+    * shape differs. `right` must be the smaller side (replicated
+    * `saltFactor`× when salting wins). */
+  def innerJoinAuto(left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int = 8, skewThreshold: Double = 16.0): DataFrame =
+    if (chooseSkewStrategy(left, key, skewThreshold).useSalting)
+      saltedInnerJoin(left, right, key, saltFactor)
+    else left.join(right, Seq(key))
+
+  // ---------------------------------------------------------------------
+  // q260_skew_strategy — the join selector's evidence and verdict,
+  // oracle-replayed (the q250 pattern for joins): lineitem keyed by a
+  // deliberately skewed derived key (30% of rows collapse onto one hot
+  // key) must measure the skew, pick SALTING, and still produce the
+  // exact join aggregates a plain declarative join yields — pinning
+  // both the evidence arithmetic and the salted path's output identity
+  // inside one gate.
+  // ---------------------------------------------------------------------
+  def q260SkewStrategy(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = t(s, dir, "lineitem")
+      .select(when(col("l_orderkey") % 10 < 3, lit(-1L))
+        .otherwise(col("l_orderkey")).as("k"))
+    val dim = li.select(col("k")).distinct()
+      .select(col("k"), pmod(col("k"), lit(97L)).as("w"))
+    val st = chooseSkewStrategy(li, "k")
+    val joined = innerJoinAuto(li, dim, "k")
+      .agg(count(lit(1)).as("jn"), sum(col("w")).as("jw")).head()
+    val sqlCtx = s
+    import sqlCtx.implicits._
+    Seq((st.nKeys, st.nRows, st.maxN,
+        BigDecimal(st.skewRatio).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        st.useSalting, joined.getLong(0),
+        if (joined.isNullAt(1)) 0L else joined.getLong(1)))
+      .toDF("n_keys", "n_rows", "max_n", "skew_ratio", "use_salting",
+        "join_rows", "join_w_sum")
+  }
+
+  val q260SkewStrategySql: String =
+    """WITH k AS (
+      |  SELECT CASE WHEN l_orderkey % 10 < 3 THEN -1
+      |              ELSE l_orderkey END AS k
+      |  FROM lineitem),
+      |cnt AS (SELECT k, COUNT(*) AS n FROM k GROUP BY k),
+      |ev AS (
+      |  SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+      |    CAST(MAX(n) AS BIGINT) AS max_n,
+      |    CAST(MAX(n) AS DOUBLE)
+      |      / (CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |      AS skew
+      |  FROM cnt),
+      |j AS (
+      |  SELECT COUNT(*) AS join_rows,
+      |    CAST(SUM(((k % 97) + 97) % 97) AS BIGINT) AS join_w_sum
+      |  FROM k)
+      |SELECT n_keys, n_rows, max_n, ROUND(skew, 6) AS skew_ratio,
+      |  skew >= 16.0 AS use_salting, join_rows, join_w_sum
+      |FROM ev CROSS JOIN j""".stripMargin
+
   /** JOIN-FANOUT diagnostic — the pre-flight check before any fact ⋈
     * fact join at scale: per join key, the output multiplicity is
     * |left rows| × |right rows|, and the top few keys routinely decide

@@ -498,4 +498,24 @@ class SkewAndStatsSpec extends SparkSpec {
     assert(hot.getAs[Long]("n_nonempty") == 1L)
     assert(hot.getAs[Double]("skew_ratio") == 64.0)
   }
+
+  test("innerJoinAuto: uniform keys pick the plain join, a planted hot " +
+      "key picks salting, and both paths produce identical output") {
+    import spark.implicits._
+    val uniform = (1L to 2000L).map(k => (k % 100, k)).toDF("k", "v")
+    assert(!SkewJoin.chooseSkewStrategy(uniform, "k").useSalting,
+      "flat keys must not pay the salt explode")
+    // one key carries half the rows: 50x the mean share
+    val hotLeft = ((1L to 1000L).map(_ => (0L, 1L)) ++
+      (1L to 1000L).map(k => (k % 100 + 1, k))).toDF("k", "v")
+    val st = SkewJoin.chooseSkewStrategy(hotLeft, "k")
+    assert(st.useSalting && st.maxN == 1000L, s"$st")
+    val dim = hotLeft.select(col("k")).distinct()
+      .select(col("k"), (col("k") * 3).as("w"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(col("w")), sum(col("v"))).head().toSeq
+    assert(agg(SkewJoin.innerJoinAuto(hotLeft, dim, "k")) ==
+      agg(hotLeft.join(dim, Seq("k"))),
+      "the salted path must be output-identical to the plain join")
+  }
 }
