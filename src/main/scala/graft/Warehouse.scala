@@ -593,6 +593,22 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
             if (fresh.nonEmpty)
               Rollup.merge(spark, store, readFiles(fresh), spec, fresh)
           }
+          // profile numbers flow into the session catalog so Catalyst's
+          // size-based join selection / CBO plan from maintained truth
+          // instead of the lazytsv default (Long.Max = never broadcast).
+          // Best-effort: a catalog hiccup must not fail the sync.
+          if (storeName.startsWith("profile_"))
+            try {
+              val bytes = fs
+                .listStatus(new org.apache.hadoop.fs.Path(tableDir))
+                .filter(_.isFile).map(_.getLen).sum
+              graft.catalog.CatalogStats.pushFromProfileStore(spark,
+                cfg.db, tableName, store,
+                cfg.maintainedProfiles(tableName), bytes)
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                log.warn(s"catalog stats push failed for $tableName: $e")
+            }
         }
       }
     }

@@ -1,0 +1,95 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Maintained statistics → session catalog → Catalyst planning
+  * ([[CatalogStats]]): the broadcast side of a star query must follow
+  * what the MAINTAINED numbers say, not disk-size guesswork. */
+class CatalogStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val db = "statsdb"
+
+  private def register(name: String, df: org.apache.spark.sql.DataFrame)
+      : Unit = {
+    val dir = Files.createTempDirectory(s"cst_$name").toString + "/t"
+    df.write.parquet(dir)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $db.$name")
+    spark.sql(s"CREATE TABLE $db.$name USING PARQUET LOCATION '$dir'")
+  }
+
+  /** Tables whose scans sit on the BUILD side of a BroadcastHashJoin
+    * in the query's (pre-AQE) physical plan. */
+  private def broadcastTables(sql: String): Set[String] = {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    spark.sql(sql).queryExecution.sparkPlan.collect {
+      case b: BroadcastHashJoinExec =>
+        val side = if (b.buildSide.toString == "BuildRight") b.right
+          else b.left
+        side.collectLeaves().map(_.toString).mkString
+    }.flatMap(dump => Seq("fact", "dim1", "dim2")
+      .filter(t => dump.contains(s"$db.$t"))).toSet
+  }
+
+  test("a 3-table star query's broadcast side flips when the " +
+      "maintained stats say the small table grew past the threshold") {
+    val cboBefore = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      register("fact", (1L to 5000L)
+        .map(k => (k, k % 50, k % 40)).toDF("k", "d1", "d2"))
+      register("dim1", (0L to 49L).map(k => (k, s"a$k")).toDF("d1", "n1"))
+      register("dim2", (0L to 39L).map(k => (k, s"b$k")).toDF("d2", "n2"))
+      val q =
+        s"""SELECT n1, n2, COUNT(*) FROM $db.fact
+           |JOIN $db.dim1 USING (d1) JOIN $db.dim2 USING (d2)
+           |GROUP BY n1, n2""".stripMargin
+      // maintained truth: fact is huge, dim1 tiny, dim2 past threshold
+      CatalogStats.push(spark, db, "fact", 500000000L, 50L << 30)
+      CatalogStats.push(spark, db, "dim1", 50L, 1024L,
+        Map("d1" -> CatalogStats.ColStat(50L, 0L, Some("0"), Some("49"))))
+      CatalogStats.push(spark, db, "dim2", 100000000L, 20L << 30,
+        Map("d2" -> CatalogStats.ColStat(40L, 0L, Some("0"), Some("39"))))
+      val b1 = broadcastTables(q)
+      assert(b1 == Set("dim1"),
+        s"dim1 must broadcast, dim2 must not; broadcast set was $b1")
+      // the profile store now says dim1 GREW past the threshold and
+      // dim2 shrank — the broadcast side must flip with no config or
+      // query change
+      CatalogStats.push(spark, db, "dim1", 200000000L, 20L << 30,
+        Map("d1" -> CatalogStats.ColStat(50L, 0L, Some("0"), Some("49"))))
+      CatalogStats.push(spark, db, "dim2", 40L, 1024L,
+        Map("d2" -> CatalogStats.ColStat(40L, 0L, Some("0"), Some("39"))))
+      val b2 = broadcastTables(q)
+      assert(b2 == Set("dim2"),
+        s"the broadcast side must follow the maintained stats; got $b2")
+    } finally spark.conf.set("spark.sql.cbo.enabled", cboBefore)
+  }
+
+  test("pushFromProfileStore copies the maintained profile's numbers " +
+      "(rowCount, NDV, nulls, min/max) into the catalog without a " +
+      "table rescan") {
+    register("orders_p", (1L to 300L)
+      .map(k => (k, if (k % 9 == 0) None else Some(k % 30)))
+      .toDF("ok", "ck"))
+    val store = Files.createTempDirectory("cst_store").toString + "/s"
+    graft.operators.Stats.initProfileStore(spark,
+      store, spark.table(s"$db.orders_p"), Seq("ok", "ck"), "b0")
+    CatalogStats.pushFromProfileStore(spark, db, "orders_p", store,
+      Seq("ok", "ck"), sizeInBytes = 12345L)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("orders_p", Some(db)))
+    val st = meta.stats.get
+    assert(st.rowCount.contains(BigInt(300)) &&
+      st.sizeInBytes == BigInt(12345L), s"$st")
+    val ck = st.colStats("ck")
+    assert(ck.nullCount.contains(BigInt(300 / 9)), s"$ck")
+    assert(ck.min.contains("0") && ck.max.contains("29"), s"$ck")
+    assert(ck.distinctCount.exists(d => d >= 28 && d <= 32),
+      s"HLL estimate off: $ck")
+  }
+}
