@@ -50,8 +50,12 @@ object Cascade {
     final case class IvfPq(dir: String) extends Target
     /** Maintained join view whose rows copy the fact key. */
     final case class View(store: String, keyCol: String) extends Target
-    /** Non-subtractable rollup store: invalidated for rebuild. */
-    final case class RollupStore(dir: String) extends Target
+    /** Rollup store: delta-SUBTRACTED in place when the spec's algebra
+      * allows (counts/sums/nulls/histograms — [[Rollup.retract]] folds
+      * the deleted rows' negated partials, no rebuild scan), otherwise
+      * invalidated for rebuild (min/max/HLL cannot un-see a row). */
+    final case class RollupStore(dir: String, spec: Rollup.Spec)
+        extends Target
   }
 
   final case class Summary(
@@ -80,6 +84,16 @@ object Cascade {
       else Manifest.readSnapshot(spark, tableDir)
         .filter(col(c).isInCollection(keys))
         .select(col(c).as("vec_id"), col(embeddingCol).as("embedding"))
+    val needFull = targets.exists {
+      case RollupStore(_, spec) => Rollup.subtractable(spec)
+      case _ => false
+    }
+    val deletedFull =
+      if (!needFull) spark.emptyDataFrame
+      else Manifest.readSnapshot(spark, tableDir)
+        .filter(col(c).isInCollection(keys))
+    val retractId = "purge-" + AppendCommit.contentId(
+      keys.map(String.valueOf).sorted.mkString("\n"))
     val purged = scala.collection.mutable.Map.empty[String, Long]
     val invalidated = scala.collection.mutable.ArrayBuffer.empty[String]
     targets.foreach {
@@ -98,13 +112,17 @@ object Cascade {
       case IvfPq(dir) =>
         purged(dir) = graft.operators.Quantize
           .purgeIvfPqIndex(spark, dir, keys, deletedRows)
-      case View(_, _) | RollupStore(_) => () // after the table delete
+      case RollupStore(dir, spec) if Rollup.subtractable(spec) =>
+        // BEFORE the table delete (the rows must still exist to stage);
+        // the retraction's in-store stage makes the retry convergent
+        Rollup.retract(spark, dir, deletedFull, spec, retractId)
+      case View(_, _) | RollupStore(_, _) => () // after the table delete
     }
     val table = Maintain.deleteByKey(spark, tableDir, c, keys)
     targets.foreach {
       case View(store, keyCol) =>
         purged(store) = JoinView.purgeByKey(spark, store, keyCol, keys)
-      case RollupStore(dir) =>
+      case RollupStore(dir, spec) if !Rollup.subtractable(spec) =>
         Rollup.invalidate(spark, dir)
         invalidated += dir
       case _ => ()

@@ -458,13 +458,27 @@ object Manifest {
     * `basePath` keeps Hive partition columns alive on leaf-file
     * reads. */
   def readSnapshot(spark: SparkSession, tableDir: String): DataFrame =
+    readSnapshot(spark, tableDir, "parquet")
+
+  /** [[readSnapshot]] for any file-based format: the manifest protocol
+    * is format-agnostic (generations are file LISTS; commits are
+    * renames), so ORC or JSON table dirs get the same snapshot
+    * isolation. Only the maintenance REWRITE ops (deleteByKey,
+    * compaction, merges) are parquet-coupled — a managed non-parquet
+    * dir supports enable/refresh/resolve/time-travel and transparent
+    * plain-read resolution ([[graft.plans.ManifestResolve]] rewrites
+    * whatever HadoopFsRelation the scan carries), not keyed
+    * rewrites. */
+  def readSnapshot(spark: SparkSession, tableDir: String,
+      format: String): DataFrame =
     resolve(tableDir) match {
-      case None => spark.read.parquet(tableDir)
+      case None => spark.read.format(format).load(tableDir)
       case Some(files) =>
         if (files.isEmpty)
-          spark.read.parquet(tableDir).limit(0)
+          spark.read.format(format).load(tableDir).limit(0)
         else
-          spark.read.option("basePath", tableDir).parquet(files: _*)
+          spark.read.format(format).option("basePath", tableDir)
+            .load(files: _*)
     }
 
   /** TIME TRAVEL: read a retained generation (current or previous) as
@@ -474,12 +488,19 @@ object Manifest {
     * the generation is pruned or an RTBF delete destroyed its files. */
   def readSnapshot(spark: SparkSession, tableDir: String,
       generation: Long): DataFrame =
+    readSnapshot(spark, tableDir, generation, "parquet")
+
+  /** [[readSnapshot]](generation) for any file-based format. */
+  def readSnapshot(spark: SparkSession, tableDir: String,
+      generation: Long, format: String): DataFrame =
     resolveAt(tableDir, generation) match {
       case None => throw new IllegalArgumentException(
         s"generation $generation of $tableDir is not retained " +
           s"(retained: ${generations(tableDir).mkString(", ")})")
       case Some(files) =>
-        if (files.isEmpty) spark.read.parquet(tableDir).limit(0)
-        else spark.read.option("basePath", tableDir).parquet(files: _*)
+        if (files.isEmpty)
+          spark.read.format(format).load(tableDir).limit(0)
+        else spark.read.format(format).option("basePath", tableDir)
+          .load(files: _*)
     }
 }

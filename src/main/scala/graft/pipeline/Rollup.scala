@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -214,12 +214,101 @@ object Rollup {
       spec: Spec, batchId: String): Boolean =
     merge(spark, storeDir, batch, spec, Seq(batchId))
 
+  /** Is every aggregate in `spec` row-SUBTRACTABLE? Counts, sums, null
+    * counts, and histogram bin counts form a group (deletion = merging
+    * negated partials); min/max and HLL sketches do not — they cannot
+    * un-see a row. */
+  def subtractable(spec: Spec): Boolean =
+    spec.minCols.isEmpty && spec.maxCols.isEmpty &&
+      spec.distinctSketchCols.isEmpty
+
+  private[pipeline] def retractIntentDir(storeDir: String,
+      batchId: String): String = s"$storeDir/.retract_$batchId"
+
+  /** Stage the deletion batch's partials (compute-once, temp+rename) —
+    * a no-op when the stage already exists. Split out so the
+    * crash-retry contract is directly testable. */
+  private[pipeline] def stageRetraction(spark: SparkSession,
+      storeDir: String, deleted: DataFrame, spec: Spec,
+      batchId: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeDir),
+      spark.sparkContext.hadoopConfiguration)
+    val intent = new org.apache.hadoop.fs.Path(
+      retractIntentDir(storeDir, batchId))
+    if (!fs.exists(intent)) {
+      val tmp = new org.apache.hadoop.fs.Path(intent.toString + ".tmp")
+      fs.delete(tmp, true)
+      partials(deleted, spec).write.parquet(tmp.toString)
+      if (!fs.rename(tmp, intent))
+        throw new java.io.IOException(
+          s"cannot stage retraction $batchId for $storeDir")
+    }
+  }
+
+  /** Delete-propagation for [[subtractable]] specs: fold the DELETED
+    * rows' partials in with NEGATED counts — the store then equals a
+    * from-scratch init over the filtered facts (spec'd), no rebuild
+    * scan. The deleted rows' partials are STAGED inside the store
+    * (hidden `.retract_<id>` parquet, temp+rename) before the merge:
+    * the caller captures the rows from the fact table BEFORE its own
+    * purge, and a crash-retry that can no longer reproduce them (the
+    * table rows are gone) replays from the stage instead of silently
+    * subtracting nothing — the same compute-once discipline as
+    * [[AppendCommit.runWithIntent]]. The stage travels atomically with
+    * the applied-id ledger: both live in the store tree SafeSwap
+    * replaces, so "merged" and "applied" commit together. Replay of an
+    * applied id is a no-op (returns false). */
+  def retract(spark: SparkSession, storeDir: String, deleted: DataFrame,
+      spec: Spec, batchId: String): Boolean = {
+    require(subtractable(spec),
+      "only count/sum/nullCount/histogram partials are subtractable — " +
+        "use invalidate() and rebuild for min/max/distinct specs")
+    MaintenanceLock.withLock(storeDir) {
+      SafeSwap.recover(storeDir)
+      val applied = readApplied(spark, storeDir)
+      if (applied.contains(batchId)) false
+      else {
+        stageRetraction(spark, storeDir, deleted, spec, batchId)
+        val intent = new org.apache.hadoop.fs.Path(
+          retractIntentDir(storeDir, batchId))
+        val negCols: Seq[Column] =
+          spec.groupCols.map(col) ++
+            Seq((col("__cnt") * -1L).as("__cnt")) ++
+            spec.sumCols.map(c =>
+              (col(s"__sum_$c") * -1).as(s"__sum_$c")) ++
+            spec.nullCountCols.map(c =>
+              (col(s"__nulls_$c") * -1L).as(s"__nulls_$c")) ++
+            spec.histCols.map(h =>
+              transform_values(col(s"__hist_${h.col}"),
+                (_, v) => v * -1L).as(s"__hist_${h.col}"))
+        val neg = spark.read.parquet(intent.toString).select(negCols: _*)
+        val merged0 = mergePartials(
+          spark.read.parquet(s"$storeDir/partials").unionByName(neg),
+          spec)
+        // normalize to fresh-build form: emptied groups leave, emptied
+        // histogram bins leave their maps
+        val merged = spec.histCols.foldLeft(
+            merged0.filter(col("__cnt") > 0L)) { (acc, h) =>
+          acc.withColumn(s"__hist_${h.col}",
+            map_filter(col(s"__hist_${h.col}"), (_, v) => v =!= 0L))
+        }
+        SafeSwap.replace(storeDir) { tmp =>
+          merged.write.parquet(s"$tmp/partials")
+          writeApplied(spark, tmp, applied :+ batchId)
+        }
+        true
+      }
+    }
+  }
+
   /** RTBF cascade hook: partials are NOT row-subtractable (min/max and
     * distinct sketches cannot un-see a row), so a row-level delete on
     * the fact table invalidates the store wholesale — drop it; the next
     * maintenance pass re-inits from the (now filtered) facts, exactly
     * the absent-store path [[graft.Warehouse]] already takes. Loud and
-    * structural beats silently-stale aggregates. */
+    * structural beats silently-stale aggregates. Delete-propagation
+    * WITHOUT the rebuild exists for subtractable specs — [[retract]]. */
   def invalidate(spark: SparkSession, storeDir: String): Unit =
     MaintenanceLock.withLock(storeDir) {
       val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -145,13 +145,15 @@ class CascadeSpec extends SparkSpec {
     JoinView.init(spark, view,
       emb.withColumn("par", col("vec_id") % 2), dim, Seq("par"), "b0")
     val roll = s"$root/roll"
-    Rollup.init(spark, roll, emb.select(col("vec_id")),
-      Rollup.Spec(groupCols = Nil, sumCols = Seq("vec_id")), "b0")
+    // min/max partials cannot un-see rows → this store must invalidate
+    val rollSpec = Rollup.Spec(groupCols = Nil,
+      sumCols = Seq("vec_id"), minCols = Seq("vec_id"))
+    Rollup.init(spark, roll, emb.select(col("vec_id")), rollSpec, "b0")
     val keys: Seq[Any] = delDocs
     val sum = Cascade.deleteByKey(spark, table, "vec_id", keys,
       Seq(Cascade.Target.Ivf(ivf), Cascade.Target.Pq(pq),
         Cascade.Target.View(view, "vec_id"),
-        Cascade.Target.RollupStore(roll)))
+        Cascade.Target.RollupStore(roll, rollSpec)))
     assert(sum.tableRowsDeleted == delDocs.size.toLong, s"$sum")
     assert(spark.read.parquet(table)
       .filter(col("vec_id").isInCollection(keys)).count() == 0L)
@@ -168,9 +170,55 @@ class CascadeSpec extends SparkSpec {
     val again = Cascade.deleteByKey(spark, table, "vec_id", keys,
       Seq(Cascade.Target.Ivf(ivf), Cascade.Target.Pq(pq),
         Cascade.Target.View(view, "vec_id"),
-        Cascade.Target.RollupStore(roll)))
+        Cascade.Target.RollupStore(roll, rollSpec)))
     assert(again.tableRowsDeleted == 0L &&
       again.purged.values.forall(_ == 0L), s"$again")
+  }
+
+  test("rollup retraction: a subtractable store delta-subtracts the " +
+      "deleted rows and equals a from-scratch init over the filtered " +
+      "facts; the staged intent survives the table's own purge; " +
+      "min/max specs refuse") {
+    val spec = Rollup.Spec(groupCols = Seq("g"),
+      sumCols = Seq("v"), nullCountCols = Seq("v"),
+      histCols = Seq(Rollup.Hist("v", 10.0)))
+    def facts = (1L to 400L).map(k =>
+      (k, k % 3, if (k % 11 == 0) None else Some(k % 50))).toSeq
+      .toDF("k", "g", "v")
+    val store = tmp("casc_ret") + "/s"
+    Rollup.init(spark, store, facts, spec, "b0")
+    val deleted = facts.filter(col("k") % 7 === 3)
+    assert(Rollup.retract(spark, store, deleted, spec, "purge-1"))
+    val freshStore = tmp("casc_ret_fresh") + "/s"
+    Rollup.init(spark, freshStore, facts.filter(col("k") % 7 =!= 3),
+      spec, "b0")
+    def readBack(d: String) = Rollup.read(spark, d, spec)
+      .collect().map(_.toSeq.map {
+        case m: Map[_, _] => m.toSeq.sortBy(_._1.toString).toString
+        case x => String.valueOf(x)
+      }).toSet
+    assert(readBack(store) == readBack(freshStore),
+      "retraction must equal the from-scratch filtered build")
+    assert(!Rollup.retract(spark, store, deleted, spec, "purge-1"),
+      "replay must no-op")
+    // crash-retry contract: the first attempt STAGED the deleted rows'
+    // partials and died before the merge; the fact table has since
+    // been purged, so the retry can only supply an EMPTY frame — the
+    // staged intent must win over the empty recompute
+    val deleted2 = facts.filter(col("k") % 5 === 0 && col("k") % 7 =!= 3)
+    Rollup.stageRetraction(spark, store, deleted2, spec, "purge-2")
+    assert(Rollup.retract(spark, store, deleted2.limit(0), spec,
+      "purge-2"))
+    val fresh2 = tmp("casc_ret_fresh2") + "/s"
+    Rollup.init(spark, fresh2,
+      facts.filter(col("k") % 7 =!= 3)
+        .filter(!(col("k") % 5 === 0)), spec, "b0")
+    assert(readBack(store) == readBack(fresh2),
+      "the staged intent must drive the retry, never the recompute")
+    intercept[IllegalArgumentException] {
+      Rollup.retract(spark, store, deleted, Rollup.Spec(
+        groupCols = Seq("g"), minCols = Seq("v")), "purge-3")
+    }
   }
 
   test("runWithIntent: the payload is computed ONCE, pre-op; a crash " +

@@ -343,6 +343,35 @@ class ManifestSpec extends SparkSpec {
       "the appended rows must survive a maintenance op that never saw them")
   }
 
+  test("manifest reads are format-agnostic: a managed ORC table gets " +
+      "snapshot isolation, stale-safe appends, and transparent " +
+      "plain-read resolution") {
+    graft.plans.ManifestResolve.register(spark)
+    val path = Files.createTempDirectory("mani_orc").toString + "/t"
+    (1L to 50L).map(k => (k, k % 5)).toDF("k", "v")
+      .repartition(2, col("k")).write.orc(path)
+    Manifest.enable(spark, path)
+    (51L to 60L).map(k => (k, 0L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").orc(path)
+    assert(keys(Manifest.readSnapshot(spark, path, "orc")) ==
+      (1L to 60L).toSet, "appends visible before any refresh")
+    Manifest.refresh(spark, path)
+    // freeze the mid-maintenance window: a complete-but-UNCOMMITTED
+    // cmp_ replacement next to its original
+    val f = fs(path).listStatus(new Path(path)).filter(_.isFile)
+      .map(_.getPath).filterNot(p => p.getName.startsWith("_") ||
+        p.getName.startsWith(".")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs(path), f, fs(path),
+      new Path(path, s"cmp_dup_${f.getName}"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(keys(Manifest.readSnapshot(spark, path, "orc")) ==
+      (1L to 60L).toSet, "uncommitted replacements invisible")
+    spark.catalog.refreshByPath(path)
+    assert(spark.read.orc(path).count() == 60L,
+      "a PLAIN orc read must resolve through the manifest " +
+        "(a raw listing would double-count the cmp_ copy)")
+  }
+
   test("existence probe is one fixed-marker exists(): planning " +
       "unmanaged-table queries performs zero manifest root listings") {
     graft.plans.ManifestResolve.register(spark)
