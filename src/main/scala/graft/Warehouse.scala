@@ -193,6 +193,180 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
   private def log =
     org.slf4j.LoggerFactory.getLogger(classOf[Warehouse])
 
+  /** What [[forget]] did, per layer. */
+  final case class ForgetSummary(canonicalRows: Long, rawRows: Long,
+      purged: Map[String, Long], invalidated: Seq[String])
+
+  /** RIGHT-TO-BE-FORGOTTEN across the whole warehouse: delete `keys`
+    * of column `c` in `table` EVERYWHERE the sync loop put them —
+    *
+    *  - the raw gzip-TSV archive: files holding the keys rewrite IN
+    *    PLACE under their original names, so the reference's
+    *    name-keyed sync diff (`sync-canvas-data-files.py:58-67`) keeps
+    *    skipping them — no re-fetch, no resurrection;
+    *  - the canonical parquet layer ([[graft.pipeline.Maintain
+    *    .deleteByKey]] — bloom-confined where stats exist,
+    *    manifest-committed where managed);
+    *  - every maintained index built FROM the table: MinHash
+    *    (signatures/bands + negative size deltas), IVF cells, IVFADC
+    *    codes (negative fingerprints from embeddings captured before
+    *    the table purge) — [[graft.pipeline.Cascade]]'s hooks;
+    *  - enrichment views (enriched row copies leave) and
+    *    rollup/profile stores (delta-subtracted when the partials
+    *    form a group, invalidated for rebuild otherwise).
+    *
+    * Convergent under re-run: every hook is content-keyed idempotent,
+    * captures are intent-staged, and the destructive steps run LAST.
+    * Two honest caveats: maintained indexes must be keyed by the
+    * delete column (`idCol == c` — refused loudly otherwise; a
+    * cross-column forget needs a pre-captured key mapping), and an
+    * upstream manifest that re-delivers the content under a NEW file
+    * name re-ingests it — the upstream source must forget too. */
+  def forget(schema: Seq[CDTable], tableName: String, c: String,
+      keys: Seq[Any]): ForgetSummary = {
+    require(keys.nonEmpty, "need at least one key to forget")
+    val t = schema.find(_.tableName == tableName).getOrElse(
+      throw new IllegalArgumentException(s"unknown table $tableName"))
+    val idxDefs = cfg.maintainedIndexes.filter(_.table == tableName)
+    val vDefs = cfg.maintainedVectorIndexes.filter(_.table == tableName)
+    (idxDefs.map(d => d.name -> d.idCol) ++
+      vDefs.map(d => d.name -> d.idCol)).foreach { case (n, ic) =>
+      require(ic == c,
+        s"maintained index $n is keyed by $ic — a forget keyed by $c " +
+          "cannot cascade to it; forget by the index id column")
+    }
+    import org.apache.spark.sql.functions.col
+    val files = rawListing(tableName)
+    // captured from the still-intact table (canonical when current,
+    // raw otherwise); consumed by the purge hooks BEFORE any
+    // destructive step below — their intent staging carries retries
+    val deletedFull = readTableSnapshot(t, files)._1
+      .filter(col(c).isInCollection(keys))
+    val purged = scala.collection.mutable.Map.empty[String, Long]
+    val invalidated = scala.collection.mutable.ArrayBuffer.empty[String]
+    idxDefs.foreach { d =>
+      val store = s"${cfg.warehouseDir}/_maintained/index_${d.name}"
+      purged(s"index_${d.name}") =
+        graft.operators.Dedup.purgeMinhashIndex(spark, store, keys)
+    }
+    vDefs.foreach { d =>
+      val store = s"${cfg.warehouseDir}/_maintained/vindex_${d.name}"
+      def vecs = deletedFull.select(col(d.idCol).as("vec_id"),
+        d.parseEmbedding(col(d.embedCol)).as("embedding"))
+      purged(s"vindex_${d.name}") =
+        if (d.pq) graft.operators.Quantize.purgeIvfPqIndex(spark, store,
+          keys, vecs)
+        else graft.operators.Similarity.purgeIvfIndex(spark, store, keys)
+    }
+    val retractId = "purge-" + graft.pipeline.AppendCommit.contentId(
+      keys.map(String.valueOf).sorted.mkString("\n"))
+    cfg.maintainedRollups.filter(_.table == tableName).foreach { r =>
+      val store = s"${cfg.warehouseDir}/_maintained/rollup_${r.name}"
+      if (graft.pipeline.Rollup.exists(spark, store)) {
+        if (graft.pipeline.Rollup.subtractable(r.spec))
+          graft.pipeline.Rollup.retract(spark, store, deletedFull,
+            r.spec, retractId)
+        else {
+          graft.pipeline.Rollup.invalidate(spark, store)
+          invalidated += s"rollup_${r.name}"
+        }
+      }
+    }
+    if (cfg.maintainedProfiles.contains(tableName)) {
+      val store = s"${cfg.warehouseDir}/_maintained/profile_$tableName"
+      if (graft.pipeline.Rollup.exists(spark, store)) {
+        // min/max/HLL — not subtractable; next sync re-inits over the
+        // purged files
+        graft.pipeline.Rollup.invalidate(spark, store)
+        invalidated += s"profile_$tableName"
+      }
+    }
+    // destructive steps LAST (the captures above replay from their
+    // stages if we die between here and the end)
+    val canonDir = canonicalDir(tableName)
+    val canonicalRows =
+      if (cfg.canonicalize &&
+          fsOf.exists(new org.apache.hadoop.fs.Path(canonDir)))
+        graft.pipeline.Maintain.deleteByKey(spark, canonDir, c, keys)
+          .rowsDeleted
+      else 0L
+    val rawRows = purgeRawTsv(t, c, keys)
+    cfg.maintainedViews.filter(_.factTable == tableName).foreach { v =>
+      val store = s"${cfg.warehouseDir}/_maintained/view_${v.name}"
+      if (fsOf.exists(new org.apache.hadoop.fs.Path(s"$store/view")))
+        purged(s"view_${v.name}") =
+          graft.pipeline.JoinView.purgeByKey(spark, store, c, keys)
+    }
+    spark.catalog.refreshByPath(
+      s"${cfg.warehouseDir}/${Sync.RawPrefix}/$tableName")
+    if (cfg.canonicalize) spark.catalog.refreshByPath(canonDir)
+    ForgetSummary(canonicalRows, rawRows, purged.toMap,
+      invalidated.toSeq)
+  }
+
+  private val ForgetAside = ".forget_aside_"
+
+  /** Rewrite every raw TSV file holding the keys, IN PLACE under its
+    * original name (gzip, SerDe-exact — [[graft.sources.TsvSource]]):
+    * the sync diff is name-keyed, so a rewritten file stays "already
+    * fetched" forever. Aside/rename per file (at every step a complete
+    * copy exists); crashed attempts heal at the next call's entry
+    * sweep. */
+  private def purgeRawTsv(t: CDTable, c: String,
+      keys: Seq[Any]): Long = {
+    import org.apache.spark.sql.functions.col
+    val tableDir = s"${cfg.warehouseDir}/${Sync.RawPrefix}/${t.tableName}"
+    val fs = fsOf
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(root)) return 0L
+    // heal crashed earlier rewrites: aside + live original → leftover;
+    // aside alone → the last complete copy, restore it
+    fs.listStatus(root).filter(_.isFile).map(_.getPath)
+      .filter(_.getName.startsWith(ForgetAside)).foreach { aside =>
+        val orig = new org.apache.hadoop.fs.Path(tableDir,
+          aside.getName.stripPrefix(ForgetAside))
+        if (fs.exists(orig)) fs.delete(aside, false)
+        else if (!fs.rename(aside, orig))
+          throw new java.io.IOException(s"cannot restore $orig")
+      }
+    val st = graft.model.TypeLattice.toStructType(t)
+    var removed = 0L
+    rawListing(t.tableName).foreach { fname =>
+      val f = s"$tableDir/$fname"
+      val df = graft.sources.TsvSource.read(spark, st, f)
+      val hits = df.filter(col(c).isInCollection(keys)).count()
+      if (hits > 0) {
+        removed += hits
+        // NULL-keyed rows survive (the deleteByKey three-valued rule)
+        val keep = df.filter(col(c).isNull || !col(c).isin(keys: _*))
+        val tmpDir = new org.apache.hadoop.fs.Path(tableDir,
+          s".forget_tmp_$fname")
+        fs.delete(tmpDir, true)
+        // codec must follow the original NAME: the text reader infers
+        // compression from the extension
+        graft.sources.TsvSource.write(keep.coalesce(1), tmpDir.toString,
+          compression = if (fname.endsWith(".gz")) "gzip" else "none")
+        val part = fs.listStatus(tmpDir).map(_.getPath)
+          .find(p => !p.getName.startsWith("_") &&
+            !p.getName.startsWith("."))
+          .getOrElse(throw new java.io.IOException(
+            s"raw purge produced no output for $f"))
+        val aside = new org.apache.hadoop.fs.Path(tableDir,
+          s"$ForgetAside$fname")
+        val orig = new org.apache.hadoop.fs.Path(f)
+        if (!fs.rename(orig, aside))
+          throw new java.io.IOException(s"cannot set $f aside")
+        if (!fs.rename(part, orig)) {
+          fs.rename(aside, orig)
+          throw new java.io.IOException(s"cannot place purged $f")
+        }
+        fs.delete(aside, false)
+        fs.delete(tmpDir, true)
+      }
+    }
+    removed
+  }
+
   private def canonicalDir(table: String): String =
     s"${cfg.warehouseDir}/${Canonicalize.CanonicalPrefix}/$table"
 

@@ -270,7 +270,12 @@ object Maintain {
         : org.apache.spark.sql.DataFrame = keysDf match {
       case Some(k) => df.join(org.apache.spark.sql.functions.broadcast(k),
         df(c) === k("__k"), "left_anti")
-      case None => df.filter(!col(c).isin(values: _*))
+      // NULL-keyed rows survive: `!isin` evaluates NULL for them (three-
+      // valued logic) and a bare filter would silently DROP them — a
+      // row whose key is unknown is not a row that was asked to die.
+      // The broadcast path's anti-join already keeps them (null never
+      // equals), so the two paths agree.
+      case None => df.filter(col(c).isNull || !col(c).isin(values: _*))
     }
     // ONE batched discovery pass over the candidates (not one probe job
     // per file): exact per-file hit/total counts — bloom false

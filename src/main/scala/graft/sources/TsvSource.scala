@@ -68,8 +68,13 @@ object TsvSource {
     parse(spark.read.text(paths: _*), schema)
 
   /** Write a DataFrame as reference-layout gzip TSV (for fixtures and the
-    * round-trip correctness gate). */
-  def write(df: DataFrame, path: String): Unit =
+    * round-trip correctness gate). `compression` is a knob because the
+    * raw-layer RTBF rewrite ([[graft.Warehouse]].forget) must preserve
+    * the ORIGINAL file's codec — Spark's text reader infers the codec
+    * from the file EXTENSION, so gzip bytes under a `.tsv` name read as
+    * garbage. */
+  def write(df: DataFrame, path: String,
+      compression: String = "gzip"): Unit =
     df.write
       .options(Map(
         "sep" -> "\t",
@@ -77,7 +82,7 @@ object TsvSource {
         "quote" -> "\u0000",
         "escape" -> "\u0000",
         "emptyValue" -> "",
-        "compression" -> "gzip",
+        "compression" -> compression,
         "header" -> "false"))
       .mode("overwrite")
       .csv(path)

@@ -784,4 +784,97 @@ class WarehouseSpec extends SparkSpec {
     assert(rows(whC) == rows(whR) && rows(whC).nonEmpty,
       "canonical-backed init must be value-identical to the raw init")
   }
+
+  test("forget: an RTBF delete leaves every layer — raw TSV (in place, " +
+      "same names), canonical, minhash + vector indexes, view, " +
+      "rollup (retracted) and profile (invalidated) — and neither a " +
+      "re-run nor the next sync resurrects anything") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("wh_forget_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(
+      CDTable("docs", None, Seq(
+        CDColumn("doc_id", "bigint"),
+        CDColumn("g", "varchar", Some(10)),
+        CDColumn("text", "varchar", Some(200)),
+        CDColumn("emb", "varchar", Some(100)))),
+      CDTable("grp_dim", None, Seq(
+        CDColumn("g", "varchar", Some(10)),
+        CDColumn("label", "varchar", Some(20)))))
+    def doc(id: Long, g: String, seed: Int): String =
+      s"$id\t$g\tword$seed alpha beta gamma tail$id extra$seed\t" +
+        s"0.$seed,0.${seed + 1},0.${seed + 2},0.${seed + 3}"
+    val m = Seq(
+      put("docs", "d1.tsv",
+        (1L to 6L).map(i => doc(i, if (i % 2 == 0) "a" else "b",
+          (i % 4).toInt)).mkString("", "\n", "\n") + "\\N\tb\tnull " +
+          "keyed row stays here\t0.9,0.9,0.9,0.9\n"),
+      put("docs", "d2.tsv",
+        (7L to 12L).map(i => doc(i, if (i % 2 == 0) "a" else "b",
+          (i % 4).toInt)).mkString("", "\n", "\n")),
+      put("grp_dim", "g1.tsv", "a\tgroup A\nb\tgroup B\n"))
+    val whDir = Files.createTempDirectory("wh_forget_root").toUri.toString
+      .stripSuffix("/")
+    val rollSpec = pipeline.Rollup.Spec(Seq("g"), sumCols = Seq("doc_id"))
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whf", parallelism = 2, canonicalize = true,
+      maintainedRollups = Seq(Warehouse.RollupDef("by_g", "docs",
+        rollSpec)),
+      maintainedProfiles = Map("docs" -> Seq("doc_id", "g")),
+      maintainedViews = Seq(Warehouse.ViewDef("v1", "docs", "grp_dim",
+        Seq("g"))),
+      maintainedIndexes = Seq(Warehouse.IndexDef("mh", "docs",
+        "doc_id", "text")),
+      maintainedVectorIndexes = Seq(Warehouse.VectorIndexDef("vx",
+        "docs", "doc_id", "emb", nlist = 2, replicas = 1))))
+    wh.sync(m, schema)
+    val keys: Seq[Any] = Seq(3L, 7L)
+
+    val sum = wh.forget(schema, "docs", "doc_id", keys)
+    assert(sum.rawRows == 2L && sum.canonicalRows == 2L, s"$sum")
+    // raw layer: same file names (the sync diff must keep skipping
+    // them), keys gone, the NULL-keyed row alive
+    val st = graft.model.TypeLattice.toStructType(schema.head)
+    val raw = graft.sources.TsvSource.read(spark, st,
+      Seq(s"$whDir/raw_files/docs/d1.tsv", s"$whDir/raw_files/docs/d2.tsv"))
+    assert(raw.filter(col("doc_id").isInCollection(keys)).count() == 0L)
+    assert(raw.filter(col("doc_id").isNull).count() == 1L &&
+      raw.count() == 11L)
+    // canonical layer
+    assert(wh.canonicalTable("docs")
+      .filter(col("doc_id").isInCollection(keys)).count() == 0L)
+    // maintained indexes: no trace of the ids in the stored files
+    assert(spark.read
+      .parquet(s"$whDir/_maintained/index_mh/signatures")
+      .filter(col("doc_id").isInCollection(keys)).count() == 0L)
+    assert(spark.read.parquet(s"$whDir/_maintained/vindex_vx/cells")
+      .filter(col("vec_id").isInCollection(keys)).count() == 0L)
+    // view copies leave with the facts
+    assert(pipeline.JoinView.read(spark, s"$whDir/_maintained/view_v1")
+      .filter(col("doc_id").isInCollection(keys)).count() == 0L)
+    // subtractable rollup RETRACTED in place: equals the filtered truth
+    def rollupRows() = wh.rollup("by_g", rollSpec)
+      .select("g", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rollupRows() == Set(("a", 6L), ("b", 5L)), s"${rollupRows()}")
+    // profile invalidated, then REBUILT by the next sync over the
+    // purged files — never stale, never resurrecting
+    assert(!pipeline.Rollup.exists(spark,
+      s"$whDir/_maintained/profile_docs"))
+    wh.sync(m, schema)
+    assert(wh.profileOf("docs", Seq("doc_id", "g"))
+      .filter(col("col_name") === "doc_id").head().getLong(1) == 11L,
+      "the rebuilt profile must count the post-forget rows")
+    assert(raw.filter(col("doc_id").isInCollection(keys)).count() == 0L &&
+      wh.canonicalTable("docs")
+        .filter(col("doc_id").isInCollection(keys)).count() == 0L,
+      "the next sync must not resurrect forgotten rows")
+    // convergent re-run
+    val again = wh.forget(schema, "docs", "doc_id", keys)
+    assert(again.rawRows == 0L && again.canonicalRows == 0L, s"$again")
+  }
 }

@@ -201,6 +201,22 @@ class MaintainSpec extends SparkSpec {
     assert(!fs.exists(aside))
   }
 
+  test("deleteByKey keeps NULL-keyed rows: three-valued !isin must not " +
+      "silently drop rows whose key is unknown") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("del_null").toString + "/t"
+    (1L to 100L).map(k =>
+      (if (k % 10 == 0) None else Some(k), k)).toDF("k", "v")
+      .coalesce(1).write.parquet(path)
+    val sum = Maintain.deleteByKey(spark, path, "k", Seq(5L, 7L))
+    assert(sum.rowsDeleted == 2L, s"$sum")
+    val left = spark.read.parquet(path)
+    assert(left.count() == 98L)
+    assert(left.filter(col("k").isNull).count() == 10L,
+      "null-keyed rows must survive a keyed delete")
+  }
+
   test("deleteByKey refuses keys that cannot cast to the column's " +
       "type — loudly, naming them, before any rewrite (no silent " +
       "partial purge)") {
