@@ -330,13 +330,33 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
           throw new java.io.IOException(s"cannot restore $orig")
       }
     val st = graft.model.TypeLattice.toStructType(t)
+    val files = rawListing(t.tableName)
+    if (files.isEmpty) return 0L
+    // ONE batched discovery pass over the whole raw layer (the
+    // deleteByKey discipline — never one probe job per file): only the
+    // key column is extracted from each line, and only files that truly
+    // hold the keys enter the rewrite loop below. O(table scan) once +
+    // O(hit files) rewrites, not O(files) jobs.
+    val ci = st.fieldNames.indexOf(c)
+    require(ci >= 0, s"no column $c in ${t.tableName}")
+    val keyExpr = org.apache.spark.sql.functions.expr(
+      s"try_cast(nullif(element_at(split(value, '\\t', -1), ${ci + 1})," +
+        s" '\\\\N') AS ${st.fields(ci).dataType.sql})")
+    val hitFiles = spark.read.text(files.map(f => s"$tableDir/$f"): _*)
+      .select(org.apache.spark.sql.functions.input_file_name().as("__f"),
+        keyExpr.as("__k"))
+      .filter(col("__k").isInCollection(keys))
+      .groupBy(col("__f"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__hits"))
+      .collect().map(r => (new org.apache.hadoop.fs.Path(r.getString(0))
+        .getName, r.getLong(1))).toMap
     var removed = 0L
-    rawListing(t.tableName).foreach { fname =>
+    files.filter(hitFiles.contains).foreach { fname =>
       val f = s"$tableDir/$fname"
       val df = graft.sources.TsvSource.read(spark, st, f)
-      val hits = df.filter(col(c).isInCollection(keys)).count()
-      if (hits > 0) {
-        removed += hits
+      locally {
+        removed += hitFiles(fname)
         // NULL-keyed rows survive (the deleteByKey three-valued rule)
         val keep = df.filter(col(c).isNull || !col(c).isin(keys: _*))
         val tmpDir = new org.apache.hadoop.fs.Path(tableDir,
