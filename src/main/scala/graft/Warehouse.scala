@@ -240,8 +240,8 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     // captured from the still-intact table (canonical when current,
     // raw otherwise); consumed by the purge hooks BEFORE any
     // destructive step below — their intent staging carries retries
-    val deletedFull = readTableSnapshot(t, files)._1
-      .filter(col(c).isInCollection(keys))
+    val deletedFull = graft.pipeline.Maintain.matchingKeys(
+      readTableSnapshot(t, files)._1, c, keys)
     val purged = scala.collection.mutable.Map.empty[String, Long]
     val invalidated = scala.collection.mutable.ArrayBuffer.empty[String]
     idxDefs.foreach { d =>
@@ -342,10 +342,10 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     val keyExpr = org.apache.spark.sql.functions.expr(
       s"try_cast(nullif(element_at(split(value, '\\t', -1), ${ci + 1})," +
         s" '\\\\N') AS ${st.fields(ci).dataType.sql})")
-    val hitFiles = spark.read.text(files.map(f => s"$tableDir/$f"): _*)
-      .select(org.apache.spark.sql.functions.input_file_name().as("__f"),
-        keyExpr.as("__k"))
-      .filter(col("__k").isInCollection(keys))
+    val hitFiles = graft.pipeline.Maintain.matchingKeys(
+        spark.read.text(files.map(f => s"$tableDir/$f"): _*)
+          .select(org.apache.spark.sql.functions.input_file_name()
+            .as("__f"), keyExpr.as("__k")), "__k", keys)
       .groupBy(col("__f"))
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("__hits"))
@@ -358,7 +358,7 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       locally {
         removed += hitFiles(fname)
         // NULL-keyed rows survive (the deleteByKey three-valued rule)
-        val keep = df.filter(col(c).isNull || !col(c).isin(keys: _*))
+        val keep = graft.pipeline.Maintain.droppingKeys(df, c, keys)
         val tmpDir = new org.apache.hadoop.fs.Path(tableDir,
           s".forget_tmp_$fname")
         fs.delete(tmpDir, true)

@@ -1051,8 +1051,8 @@ object Dedup {
       docIds.map(String.valueOf).sorted.mkString("\n"))
     if (!graft.pipeline.AppendCommit.isApplied(indexDir, id)) {
       graft.pipeline.AppendCommit.clearCrashedAttempt(indexDir, id)
-      val sigDel = spark.read.parquet(s"$indexDir/signatures")
-        .filter(col("doc_id").isInCollection(docIds))
+      val sigDel = graft.pipeline.Maintain.matchingKeys(
+        spark.read.parquet(s"$indexDir/signatures"), "doc_id", docIds)
       val neg = bandRows(sigDel).groupBy(col("band"), col("bh"))
         .agg((count(lit(1)) * lit(-1L)).as("sz"))
       // legacy tree without a size table: fold the derived base sizes

@@ -456,8 +456,8 @@ object Similarity {
       vecIds.map(String.valueOf).sorted.mkString("\n"))
     var removed = 0L
     graft.pipeline.AppendCommit.runWithIntent(indexDir, id) {
-      val r = spark.read.parquet(s"$indexDir/cells")
-        .filter(col("vec_id").isInCollection(vecIds))
+      val r = graft.pipeline.Maintain.matchingKeys(
+          spark.read.parquet(s"$indexDir/cells"), "vec_id", vecIds)
         .select(col("vec_id"), col("embedding")).distinct()
         .agg(count(lit(1)).as("n"),
           sum(xxhash64(col("vec_id"), col("embedding"))

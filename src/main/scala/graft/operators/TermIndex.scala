@@ -103,8 +103,8 @@ object TermIndex {
       docIds.map(String.valueOf).sorted.mkString("\n"))
     var removed = 0L
     graft.pipeline.AppendCommit.runWithIntent(indexDir, id) {
-      val r = spark.read.parquet(s"$indexDir/postings")
-        .filter(col("doc_id").isInCollection(docIds))
+      val r = graft.pipeline.Maintain.matchingKeys(
+          spark.read.parquet(s"$indexDir/postings"), "doc_id", docIds)
         .select(col("doc_id"), col("dl")).distinct()
         .agg(count(lit(1)), sum(col("dl"))).head()
       val n = r.getLong(0)

@@ -81,8 +81,8 @@ object Cascade {
     // intents carry the first run's numbers
     val deletedRows =
       if (!needEmb) spark.emptyDataFrame
-      else Manifest.readSnapshot(spark, tableDir)
-        .filter(col(c).isInCollection(keys))
+      else Maintain.matchingKeys(
+          Manifest.readSnapshot(spark, tableDir), c, keys)
         .select(col(c).as("vec_id"), col(embeddingCol).as("embedding"))
     val needFull = targets.exists {
       case RollupStore(_, spec) => Rollup.subtractable(spec)
@@ -90,8 +90,8 @@ object Cascade {
     }
     val deletedFull =
       if (!needFull) spark.emptyDataFrame
-      else Manifest.readSnapshot(spark, tableDir)
-        .filter(col(c).isInCollection(keys))
+      else Maintain.matchingKeys(
+        Manifest.readSnapshot(spark, tableDir), c, keys)
     val retractId = "purge-" + AppendCommit.contentId(
       keys.map(String.valueOf).sorted.mkString("\n"))
     val purged = scala.collection.mutable.Map.empty[String, Long]

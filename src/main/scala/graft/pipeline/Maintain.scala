@@ -129,6 +129,49 @@ object Maintain {
     * purge carries). */
   val LargeKeyThreshold: Int = 1000
 
+  /** Broadcast key frame for the large-key paths: keys round-trip
+    * through strings and cast to `dt`, matching the typed-probe/isin
+    * equality semantics. */
+  private def keyFrame(spark: SparkSession, keys: Seq[Any],
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    keys.distinct.map(v => if (v == null) null else v.toString)
+      .toDF("__graft_ks")
+      .select(col("__graft_ks").cast(dt).as("__graft_k"))
+      .filter(col("__graft_k").isNotNull).distinct()
+  }
+
+  /** Rows of `df` whose `c` matches one of `keys` — literal
+    * isInCollection below [[LargeKeyThreshold]], broadcast semi-join
+    * above (constant-size plans however many keys an RTBF purge
+    * carries). The restriction every cascade purge hook goes through. */
+  def matchingKeys(df: org.apache.spark.sql.DataFrame, c: String,
+      keys: Seq[Any]): org.apache.spark.sql.DataFrame =
+    if (keys.distinct.size <= LargeKeyThreshold)
+      df.filter(org.apache.spark.sql.functions.col(c)
+        .isInCollection(keys))
+    else df.join(
+      org.apache.spark.sql.functions.broadcast(
+        keyFrame(df.sparkSession, keys, df.schema(c).dataType)),
+      df(c) === org.apache.spark.sql.functions.col("__graft_k"),
+      "left_semi")
+
+  /** Complement of [[matchingKeys]]; NULL-keyed rows are KEPT on both
+    * paths (a row whose key is unknown was not asked to die — the
+    * three-valued-isin rule). */
+  def droppingKeys(df: org.apache.spark.sql.DataFrame, c: String,
+      keys: Seq[Any]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (keys.distinct.size <= LargeKeyThreshold)
+      df.filter(col(c).isNull || !col(c).isin(keys: _*))
+    else df.join(
+      org.apache.spark.sql.functions.broadcast(
+        keyFrame(df.sparkSession, keys, df.schema(c).dataType)),
+      df(c) === col("__graft_k"), "left_anti")
+  }
+
   private val DelAside = ".del_aside_"
 
   private def delDest(orig: Path): Path =

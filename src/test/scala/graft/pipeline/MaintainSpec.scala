@@ -201,6 +201,31 @@ class MaintainSpec extends SparkSpec {
     assert(!fs.exists(aside))
   }
 
+  test("matchingKeys/droppingKeys: the broadcast-frame large-key path " +
+      "agrees with the literal path exactly; nulls kept by dropping, " +
+      "excluded by matching") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 5000L).map(k =>
+      (if (k % 50 == 0) None else Some(k), k)).toDF("k", "v")
+    val bigKeys: Seq[Any] = (1L to 4000L).filter(_ % 3 == 0)
+    assert(bigKeys.size > Maintain.LargeKeyThreshold)
+    val smallKeys: Seq[Any] = bigKeys.take(500)
+    def vs(d: org.apache.spark.sql.DataFrame) =
+      d.select("v").as[Long].collect().toSet
+    // reference semantics from the literal path on a small set
+    assert(vs(Maintain.matchingKeys(df, "k", smallKeys)) ==
+      vs(df.filter(col("k").isInCollection(smallKeys))))
+    // large path ≡ what the literal path WOULD produce
+    val expMatch = (1L to 5000L).filter(k => k % 50 != 0 &&
+      k <= 4000 && k % 3 == 0).toSet
+    assert(vs(Maintain.matchingKeys(df, "k", bigKeys)) == expMatch)
+    val dropped = Maintain.droppingKeys(df, "k", bigKeys)
+    assert(vs(dropped) == (1L to 5000L).toSet -- expMatch)
+    assert(dropped.filter(col("k").isNull).count() == 100L,
+      "null-keyed rows must survive the large-key drop")
+  }
+
   test("deleteByKey keeps NULL-keyed rows: three-valued !isin must not " +
       "silently drop rows whose key is unknown") {
     import spark.implicits._
