@@ -82,6 +82,80 @@ object CatalogStats {
     spark.sessionState.catalog.invalidateCachedTable(ident)
   }
 
+  // ---------------------------------------------------------------------
+  // q261_catalog_stats — the maintained-stats → catalog round-trip as a
+  // driver gate: a registered table gets a profile store
+  // (init only — the q97b machinery), the store's numbers push into
+  // CatalogStatistics, and the gate emits what the CATALOG now says —
+  // rowCount, per-column null counts and min/max external strings —
+  // against a DuckDB oracle computing the same from the source table.
+  // The HLL NDV estimate is not oracle-exact; it surfaces as a VERDICT
+  // column (within ±5% of the exact count — the q97b sketch-gate
+  // pattern) that the oracle asserts TRUE.
+  // ---------------------------------------------------------------------
+  private lazy val gateBase: String =
+    java.nio.file.Files.createTempDirectory("graft_cstat_").toString
+
+  def q261CatalogStats(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    val db = "graftstats"
+    val tbl = s"orders_cs_${dir.hashCode.toHexString}"
+    val cols = Seq("o_orderkey", "o_custkey")
+    val root = s"$gateBase/$tbl"
+    if (!new java.io.File(s"$root.complete").exists()) {
+      graft.operators.t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 9 =!= 0, col("o_custkey"))
+            .as("o_custkey"))
+        .write.mode("overwrite").parquet(s"$root/t")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"DROP TABLE IF EXISTS $db.$tbl")
+      s.sql(s"CREATE TABLE $db.$tbl USING PARQUET LOCATION '$root/t'")
+      graft.operators.Stats.initProfileStore(s, s"$root/prof",
+        s.table(s"$db.$tbl"), cols, "b0")
+      pushFromProfileStore(s, db, tbl, s"$root/prof", cols,
+        sizeInBytes = 12345L)
+      new java.io.File(s"$root.complete").createNewFile()
+    }
+    val st = s.sessionState.catalog.getTableMetadata(
+      TableIdentifier(tbl, Some(db))).stats.get
+    val exact = s.table(s"$db.$tbl").agg(
+      org.apache.spark.sql.functions
+        .countDistinct(col("o_orderkey")).as("d1"),
+      org.apache.spark.sql.functions
+        .countDistinct(col("o_custkey")).as("d2")).head()
+    val rows = cols.zip(Seq(exact.getLong(0), exact.getLong(1)))
+      .map { case (c, ex) =>
+        val cs = st.colStats(c)
+        val ndv = cs.distinctCount.get.toLong
+        (c, st.rowCount.get.toLong, cs.nullCount.get.toLong,
+          cs.min.orNull, cs.max.orNull,
+          math.abs(ndv - ex).toDouble <= 0.05 * ex)
+      }
+    val sqlCtx = s
+    import sqlCtx.implicits._
+    rows.toDF("col_name", "n_rows", "n_null", "min_val", "max_val",
+      "ndv_ok")
+  }
+
+  val q261CatalogStatsSql: String =
+    """WITH t AS (SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 9 <> 0 THEN o_custkey END AS o_custkey
+      |  FROM orders)
+      |SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+      |  CAST(0 AS BIGINT) AS n_null,
+      |  CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+      |  CAST(MAX(o_orderkey) AS VARCHAR) AS max_val, TRUE AS ndv_ok
+      |FROM t
+      |UNION ALL
+      |SELECT 'o_custkey', COUNT(*),
+      |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT),
+      |  CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR),
+      |  TRUE
+      |FROM t""".stripMargin
+
   /** Copy a maintained profile store's numbers into the catalog — the
     * per-sync refresh path ([[graft.Warehouse]] wires it after each
     * profile merge). `sizeInBytes` comes from the caller's file listing
