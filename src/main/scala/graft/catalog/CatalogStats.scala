@@ -103,20 +103,27 @@ object CatalogStats {
     val tbl = s"orders_cs_${dir.hashCode.toHexString}"
     val cols = Seq("o_orderkey", "o_custkey")
     val root = s"$gateBase/$tbl"
+    // DISK state (the parquet copy + the profile store) builds once per
+    // process; CATALOG state is per-SESSION (the bench harness runs
+    // query groups in fresh sessions whose in-memory catalog starts
+    // empty), so registration + the stats push re-run whenever this
+    // session hasn't seen the table — the push just re-reads the
+    // store's one partial row
     if (!new java.io.File(s"$root.complete").exists()) {
       graft.operators.t(s, dir, "orders")
         .select(col("o_orderkey"),
           when(col("o_orderkey") % 9 =!= 0, col("o_custkey"))
             .as("o_custkey"))
         .write.mode("overwrite").parquet(s"$root/t")
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-      s.sql(s"DROP TABLE IF EXISTS $db.$tbl")
-      s.sql(s"CREATE TABLE $db.$tbl USING PARQUET LOCATION '$root/t'")
       graft.operators.Stats.initProfileStore(s, s"$root/prof",
-        s.table(s"$db.$tbl"), cols, "b0")
+        s.read.parquet(s"$root/t"), cols, "b0")
+      new java.io.File(s"$root.complete").createNewFile()
+    }
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    if (!s.catalog.tableExists(s"$db.$tbl")) {
+      s.sql(s"CREATE TABLE $db.$tbl USING PARQUET LOCATION '$root/t'")
       pushFromProfileStore(s, db, tbl, s"$root/prof", cols,
         sizeInBytes = 12345L)
-      new java.io.File(s"$root.complete").createNewFile()
     }
     val st = s.sessionState.catalog.getTableMetadata(
       TableIdentifier(tbl, Some(db))).stats.get
