@@ -227,6 +227,18 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     require(keys.nonEmpty, "need at least one key to forget")
     val t = schema.find(_.tableName == tableName).getOrElse(
       throw new IllegalArgumentException(s"unknown table $tableName"))
+    // the loud uncastable-key rule must hold REGARDLESS of which layers
+    // exist: when canonicalize=false (or the canonical dir is absent)
+    // deleteByKey — which owns the check — never runs, and the raw
+    // purge's try_cast extraction would silently skip the bad key
+    locally {
+      val st = graft.model.TypeLattice.toStructType(t)
+      val f = st.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column $c in ${t.tableName}"))
+      graft.pipeline.Maintain.requireKeysCastable(spark, f.dataType, c,
+        keys)
+    }
     val idxDefs = cfg.maintainedIndexes.filter(_.table == tableName)
     val vDefs = cfg.maintainedVectorIndexes.filter(_.table == tableName)
     (idxDefs.map(d => d.name -> d.idCol) ++
@@ -264,8 +276,9 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       val store = s"${cfg.warehouseDir}/_maintained/rollup_${r.name}"
       if (graft.pipeline.Rollup.exists(spark, store)) {
         if (graft.pipeline.Rollup.subtractable(r.spec))
-          graft.pipeline.Rollup.retract(spark, store, deletedFull,
-            r.spec, retractId)
+          purged(s"rollup_${r.name}") =
+            graft.pipeline.Rollup.retract(spark, store, deletedFull,
+              r.spec, retractId)
         else {
           graft.pipeline.Rollup.invalidate(spark, store)
           invalidated += s"rollup_${r.name}"
@@ -694,6 +707,9 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       if (fsOf.exists(new org.apache.hadoop.fs.Path(dir))) {
         if (graft.pipeline.Manifest.refresh(spark, dir))
           log.info(s"manifest for $table: new generation committed")
+        // SQL-reachable snapshots, refreshed alongside the canonical
+        // views: <table>__at_g<N> per retained generation
+        graft.catalog.CatalogSync.registerSnapshotViews(spark, table, dir)
       }
     }
   }

@@ -46,6 +46,38 @@ object CatalogStats {
     case _ => false
   }
 
+  /** Canonicalize a profile-store min/max (a cast-to-string rendering)
+    * into the catalog's CURRENT external stat form, by round-tripping
+    * through the exact parser the planner will use:
+    * [[CatalogColumnStat.fromExternalString]] at `CatalogColumnStat
+    * .VERSION`, re-serialized with `toExternalString`. A value the
+    * planner could not parse back DROPS the bound instead of poisoning
+    * the catalog — a poisoned min/max surfaces as an exception in
+    * `toPlanStat` on EVERY later CBO-enabled plan over the table, far
+    * from the push that caused it. Robust by construction: whatever
+    * lands in the catalog has, by definition, already survived the
+    * plan-time parser. */
+  private def toCatalogExternal(dt: DataType, name: String,
+      v: Option[String]): Option[String] =
+    v.flatMap { s =>
+      // lenient in: the current-version parser first, then the v1 form
+      // (java.sql `Timestamp.valueOf`/`Date.valueOf`) — the profile
+      // store's cast-to-string rendering drops the fractional seconds
+      // the v2 timestamp pattern REQUIRES, so the display form only
+      // parses as v1. Canonical out: re-serialized with
+      // toExternalString, so what lands in the catalog is by
+      // construction the form the planner parses back.
+      Seq(CatalogColumnStat.VERSION, 1).view
+        .flatMap { ver =>
+          scala.util.Try(CatalogColumnStat
+            .fromExternalString(s, name, dt, ver)).toOption
+        }.headOption
+        .flatMap { internal =>
+          scala.util.Try(CatalogColumnStat
+            .toExternalString(internal, name, dt)).toOption
+        }
+    }
+
   /** Default length estimate per type (the ANALYZE fallback shape). */
   private def defaultLen(dt: DataType): Long = dt match {
     case t: NumericType => math.max(1, t.defaultSize).toLong
@@ -67,8 +99,10 @@ object CatalogStats {
         val mmOk = minMaxParseable(f.dataType)
         name -> CatalogColumnStat(
           distinctCount = Some(BigInt(cs.nDistinct)),
-          min = if (mmOk) cs.min else None,
-          max = if (mmOk) cs.max else None,
+          min = if (mmOk) toCatalogExternal(f.dataType, name, cs.min)
+            else None,
+          max = if (mmOk) toCatalogExternal(f.dataType, name, cs.max)
+            else None,
           nullCount = Some(BigInt(cs.nNull)),
           avgLen = cs.avgLen.orElse(Some(defaultLen(f.dataType))),
           maxLen = cs.maxLen.orElse(Some(defaultLen(f.dataType))))

@@ -114,6 +114,37 @@ object CatalogSync {
       s"SELECT * FROM parquet.`${qi(location)}`")
   }
 
+  /** SQL-REACHABLE TIME TRAVEL: one view per RETAINED generation of a
+    * manifest-managed table — `<table>__at_g<N>` — so an analyst reads
+    * the previous snapshot mid-maintenance from SQL text, no Scala API
+    * in hand ([[graft.pipeline.Manifest.readSnapshot]] is the engine
+    * underneath; the retention window's tomb files make the previous
+    * generation readable for free). Views are SESSION-scoped and
+    * re-registered per sync (the q261 lesson: catalog objects are
+    * per-session, disk state is the truth) — and deliberately so: a
+    * PERSISTENT view would need the file list as O(files) SQL text,
+    * while the temp view's plan carries the resolved file index
+    * directly. Views of generations that fell out of retention drop.
+    * Returns the retained generation numbers (empty when unmanaged). */
+  def registerSnapshotViews(spark: SparkSession, table: String,
+      location: String): Seq[Long] = {
+    import graft.pipeline.Manifest
+    if (!Manifest.exists(location)) return Seq.empty
+    val gens = Manifest.generations(location)
+    val prefix = s"${table}__at_g"
+    spark.catalog.listTables().collect()
+      .filter(t => t.isTemporary && t.name.startsWith(prefix))
+      .map(_.name)
+      .filter(n => n.stripPrefix(prefix).toLongOption
+        .exists(g => !gens.contains(g)))
+      .foreach(v => spark.catalog.dropTempView(v))
+    gens.foreach { g =>
+      Manifest.readSnapshot(spark, location, g)
+        .createOrReplaceTempView(s"$prefix$g")
+    }
+    gens
+  }
+
   /** Create-or-update, returning "created" | "updated" exactly like the
     * reference (`:227,234`). */
   def createOrUpdateTable(

@@ -216,7 +216,10 @@ object Components {
     * of wedging the store. */
   def buildComponentStore(spark: SparkSession, storeDir: String,
       edges: DataFrame, nParts: Int = 32): Unit = {
-    val labels = connectedComponents(edges)
+    val e = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint() // consumed by the closure AND the edge archive
+    val labels = connectedComponents(e)
       .withColumn("part", pmod(xxhash64(col("id")), lit(nParts)))
       .localCheckpoint() // consumed by the emptiness guard + the write
     require(!labels.isEmpty,
@@ -224,11 +227,20 @@ object Components {
         "(all rows were null-endpoint or self-loop)")
     graft.pipeline.SafeSwap.replace(storeDir) { tmp =>
       labels.write.partitionBy("part").parquet(s"$tmp/labels")
+      // the RAW effective edge set persists beside the labels: labels
+      // alone cannot serve a record-grained DELETE (removing a cut
+      // vertex SPLITS its component — only the surviving edges know
+      // into what), so [[purgeNodes]] needs the ground truth the
+      // closure was computed from. Flat dir; appends are file-additive.
+      e.write.parquet(s"$tmp/edges")
       // marker swaps in WITH the labels — no window where a store
       // exists without its partition-count contract
       npartsMarker(spark, tmp, Some(nParts))
     }
   }
+
+  private def readEdges(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/edges")
 
   /** (id, comp) for every node the store has seen. */
   def readComponents(spark: SparkSession, storeDir: String): DataFrame = {
@@ -304,10 +316,112 @@ object Components {
     val updates = changed.unionByName(newNodes)
       .withColumn("part", pmod(xxhash64(col("id")), lit(nParts)))
       .localCheckpoint()
+    // archive the batch's raw edges FIRST (file-additive append; a
+    // crash between this write and the ledger mark re-appends the batch
+    // on retry — duplicate edge rows, which min-label closure and the
+    // purge's key delete are both indifferent to: edge SETS are
+    // idempotent). The archive is what makes [[purgeNodes]] able to
+    // recompute split components without the original pair pipeline.
+    e.write.mode("append").parquet(s"$storeDir/edges")
     graft.pipeline.Upsert.mergeIntoPartitioned(spark,
       s"$storeDir/labels", updates, Seq("part", "id"), "part")
     graft.pipeline.AppendCommit.markApplied(storeDir, id, fp)
     true
+  }
+
+  /** RTBF cascade hook: delete `ids` (documents, typically — the node
+    * identity of the near-dup graph) from the component store so reads
+    * equal a from-scratch closure over the FILTERED edge set. Label
+    * rows cannot simply be dropped: a deleted cut vertex SPLITS its
+    * component, a deleted minimum-id node RENAMES it, and a member
+    * whose every edge died must LEAVE (a rebuild would never see it).
+    * So the purge re-runs the closure — but only over the AFFECTED
+    * components' surviving edges, never the whole graph:
+    *
+    *   1. affected components = stored labels of the deleted ids
+    *      (bounded by the key count);
+    *   2. their members and intra-component edges come from one
+    *      semi-probed scan each of the label/edge trees;
+    *   3. the filtered sub-closure is STAGED to disk
+    *      (compute-once-pre-destruction — the
+    *      [[graft.pipeline.AppendCommit.runWithIntent]] discipline:
+    *      a crash-retry replays the staged plan over the already-
+    *      mutated store instead of recomputing from half-purged
+    *      edges);
+    *   4. destructive, each idempotent: edge rows touching the ids
+    *      leave ([[graft.pipeline.Maintain.deleteByKey]] per endpoint,
+    *      O(hit files)); member label rows absent from the new closure
+    *      leave; relabeled members merge back partition-scoped.
+    *
+    * Returns label rows removed (deleted ids + members isolated by the
+    * delete). Replay of an applied purge no-ops on the ledger. */
+  def purgeNodes(spark: SparkSession, storeDir: String,
+      ids: Seq[Any]): Long = {
+    require(ids.nonEmpty, "purge needs at least one id")
+    import graft.pipeline.{AppendCommit, Maintain, MaintenanceLock, Upsert}
+    graft.pipeline.SafeSwap.recover(storeDir)
+    val id = "purge-" + AppendCommit.contentId(
+      ids.map(String.valueOf).sorted.mkString("\n"))
+    if (AppendCommit.isApplied(storeDir, id)) return 0L
+    MaintenanceLock.withLock(storeDir, "purge") {
+      val nParts = npartsMarker(spark, storeDir, None)
+      val stage = s"$storeDir/_purge_stage/$id"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(storeDir),
+        spark.sparkContext.hadoopConfiguration)
+      var unknownIds = false
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stage/_staged"))) {
+        // compute the post-delete truth from the still-intact store
+        val labels = spark.read.parquet(s"$storeDir/labels")
+          .select(col("id"), col("comp"))
+        val comps: Seq[Any] = Maintain.matchingKeys(labels, "id", ids)
+          .select(col("comp")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        if (comps.isEmpty) unknownIds = true // nothing to purge
+        else {
+          // edges live inside one component, so membership of endpoint
+          // `a` selects exactly the affected components' edges
+          val members = Maintain.matchingKeys(labels, "comp", comps)
+          val memberIds = members.select(col("id"))
+          val affected = readEdges(spark, storeDir)
+            .select(col("a"), col("b"))
+            .join(broadcast(memberIds.withColumnRenamed("id", "a")),
+              Seq("a"), "left_semi")
+          val filtered = Maintain.droppingKeys(
+            Maintain.droppingKeys(affected, "a", ids), "b", ids)
+          val relabeled = connectedComponents(filtered)
+            .withColumn("part", pmod(xxhash64(col("id")), lit(nParts)))
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+          members.select(col("id"), col("comp"))
+            .write.parquet(s"$stage/members")
+          relabeled.write.parquet(s"$stage/relabeled")
+          fs.create(new org.apache.hadoop.fs.Path(s"$stage/_staged"),
+            true).close()
+        }
+      }
+      if (unknownIds) {
+        AppendCommit.markApplied(storeDir, id)
+        0L
+      } else {
+        // destructive from here — every step idempotent, driven by the
+        // staged pre-delete plan
+        val members = spark.read.parquet(s"$stage/members")
+        val relabeled = spark.read.parquet(s"$stage/relabeled")
+        Maintain.deleteByKey(spark, s"$storeDir/edges", "a", ids)
+        Maintain.deleteByKey(spark, s"$storeDir/edges", "b", ids)
+        val leaving = members.select(col("id"))
+          .join(relabeled.select(col("id")), Seq("id"), "left_anti")
+          .collect().map(_.getLong(0).asInstanceOf[Any]).toSeq
+        if (leaving.nonEmpty)
+          Maintain.deleteByKey(spark, s"$storeDir/labels", "id", leaving)
+        if (!relabeled.isEmpty)
+          Upsert.mergeIntoPartitioned(spark, s"$storeDir/labels",
+            relabeled, Seq("part", "id"), "part")
+        AppendCommit.markApplied(storeDir, id)
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        leaving.size.toLong
+      }
+    }
   }
 
   /** Streaming maintenance: a `foreachBatch` sink that folds each

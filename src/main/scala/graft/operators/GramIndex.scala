@@ -11,17 +11,26 @@ import org.apache.spark.sql.functions._
   * [[graft.pipeline.AppendCommit]] protocol, same crash/replay story.
   *
   * Layout at `indexDir`:
-  *   - `grams/gb=<0..63>/` — distinct gram strings, hash-partitioned by
-  *     gram bucket (file-additive appends land in their buckets);
+  *   - `grams/gb=<0..63>/` — DOC-ATTRIBUTED gram rows `(doc_id, g)`,
+  *     per-doc distinct, hash-partitioned by gram bucket (file-additive
+  *     appends land in their buckets);
   *   - `_applied/` ledger — replay suppression per batch.
   *
   * PRESENCE semantics make appends embarrassingly simple: a gram
-  * appearing in several batches lands several times, and the probe uses
-  * a LEFT SEMI join — each probe gram matches at most once no matter
-  * how many index files carry it, so cross-batch duplicates cost bytes,
+  * appearing in several docs/batches lands several times, and the probe
+  * uses a LEFT SEMI join — each probe gram matches at most once no
+  * matter how many index rows carry it, so duplicates cost bytes,
   * never correctness (compact with [[graft.pipeline.Maintain]] on the
   * maintenance cadence). No read-before-write diff, no cap rebalance —
   * the append is one distinct-shuffle of the batch plus file moves.
+  *
+  * The rows carry `doc_id` for exactly one reason: RIGHT TO BE
+  * FORGOTTEN. A presence SET cannot subtract a contributor (a gram may
+  * be held by many docs, and "is any SURVIVING doc holding it?" is a
+  * full-corpus question), but doc-attributed rows delete by key in
+  * O(files-holding-the-ids) ([[purgeDocs]]) — the same reason the term
+  * index stores postings per doc. The semi-join probe makes the extra
+  * multiplicity semantically invisible.
   */
 object GramIndex {
 
@@ -29,7 +38,7 @@ object GramIndex {
 
   private def gramsOf(docs: DataFrame, n: Int): DataFrame =
     NGrams.nGramRows(docs, n)(ws => concat_ws("|", ws: _*))
-      .select(col("s").as("g")).distinct()
+      .select(col("doc_id"), col("s").as("g")).distinct()
       .withColumn("gb", pmod(xxhash64(col("g")), lit(NBuckets.toLong))
         .cast("int"))
 
@@ -61,6 +70,26 @@ object GramIndex {
       gramsOf(batch, n).repartition(col("gb"))
         .write.partitionBy("gb").parquet(s"$tmp/grams")
     }
+  }
+
+  /** RTBF cascade hook: physically remove `docIds`' gram rows from the
+    * index files — after which a [[noveltyProbe]] is indistinguishable
+    * from a rebuild over the filtered corpus (a gram survives iff some
+    * SURVIVING doc holds it; the doc attribution makes that local to
+    * the deleted rows instead of a corpus rescan). Rewrites touch only
+    * files holding the ids ([[graft.pipeline.Maintain.deleteByKey]] —
+    * O(hit files), never O(index)); a replayed purge no-ops on the
+    * ledger. Returns gram rows removed. */
+  def purgeDocs(spark: SparkSession, indexDir: String,
+      docIds: Seq[Any]): Long = {
+    require(docIds.nonEmpty, "purge needs at least one doc id")
+    val id = "purge-" + graft.pipeline.AppendCommit.contentId(
+      docIds.map(String.valueOf).sorted.mkString("\n"))
+    if (graft.pipeline.AppendCommit.isApplied(indexDir, id)) return 0L
+    val removed = graft.pipeline.Maintain.deleteByKey(spark,
+      s"$indexDir/grams", "doc_id", docIds).rowsDeleted
+    graft.pipeline.AppendCommit.markApplied(indexDir, id)
+    removed
   }
 
   /** Streaming maintenance: a `foreachBatch` sink appending each

@@ -770,7 +770,10 @@ object Ingest {
   // generation costs nothing extra to keep: its replaced files ARE the
   // deferred-delete retention window's contents.
   // ---------------------------------------------------------------------
-  def q259TimeTravel(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q259/q263 fixture: a managed orders copy with two retained
+    * generations (enable → merge). */
+  private def ensureTimeTravelTable(s: SparkSession, dir: String)
+      : String = {
     import graft.pipeline.{Manifest, Upsert}
     val tbl = s"$skipBase/orders_tt2_${dir.hashCode.toHexString}"
     if (!new java.io.File(s"$tbl.complete").exists()) {
@@ -786,6 +789,12 @@ object Ingest {
       Upsert.mergeInto(s, tbl, updates, Seq("o_orderkey")) // generation 2
       new java.io.File(s"$tbl.complete").createNewFile()
     }
+    tbl
+  }
+
+  def q259TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Manifest
+    val tbl = ensureTimeTravelTable(s, dir)
     val gens = Manifest.generations(tbl)
     require(gens.size == 2, s"expected two retained generations: $gens")
     def agg(df: DataFrame, tag: String) = df.agg(
@@ -818,6 +827,32 @@ object Ingest {
       |  CAST(SUM(o_custkey) AS BIGINT),
       |  MIN(o_orderkey), MAX(o_orderkey)
       |FROM cur""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q263_sql_time_travel — q259's semantics through SQL TEXT: the
+  // per-sync-registered `<table>__at_g<N>` snapshot views
+  // ([[graft.catalog.CatalogSync.registerSnapshotViews]]) must let an
+  // analyst read the PREVIOUS generation mid-maintenance with
+  // spark.sql alone — same aggregates, same oracle. Registration is
+  // session-scoped and re-runs per session (the q261 lesson); only the
+  // table fixture sits behind the sentinel.
+  // ---------------------------------------------------------------------
+  def q263SqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureTimeTravelTable(s, dir)
+    val vt = s"ott3_${dir.hashCode.toHexString}"
+    val gens = graft.catalog.CatalogSync.registerSnapshotViews(s, vt, tbl)
+    require(gens.size == 2, s"expected two retained generations: $gens")
+    def arm(tag: String, g: Long) =
+      s"""SELECT '$tag' AS gen, COUNT(*) AS n,
+         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+         |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM ${vt}__at_g$g""".stripMargin
+    s.sql(arm("previous", gens.head) + "\nUNION ALL\n" +
+      arm("current", gens.last))
+  }
+
+  val q263SqlTimeTravelSql: String = q259TimeTravelSql
 
   // ---------------------------------------------------------------------
   // q255_transparent_manifest — the ManifestResolve optimizer rule

@@ -44,6 +44,80 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  // ---------------------------------------------------------------------
+  // Persisted, sync-maintained CM sketch store — built ON the Rollup
+  // partial-store machinery rather than new code: the counter table IS a
+  // grouped count partial over the exploded (j, bucket) rows, so
+  // [[graft.pipeline.Rollup.init]]/[[graft.pipeline.Rollup.merge]] give
+  // O(batch) appends with replay suppression for free, and — the RTBF
+  // point — CM is a LINEAR sketch, so [[graft.pipeline.Rollup.retract]]
+  // delta-subtracts a deleted row set exactly (stage-carried against
+  // crash-retries), leaving the store bit-equal to a rebuild over the
+  // filtered corpus. Contrast KMV/HLL/min-max evidence, which cannot
+  // un-see a row: those maintained stores purge by INVALIDATION
+  // ([[graft.pipeline.Rollup.invalidate]] → next sync re-inits), the
+  // [[graft.pipeline.Cascade.Target.RollupStore]] path.
+  // ---------------------------------------------------------------------
+
+  /** One (j, bucket) row per input row per hash — the exploded form
+    * whose grouped count IS the CM counter table. */
+  def cmsRows(df: DataFrame, key: Column, w: Int): DataFrame = {
+    val rows = (0 until Depth).map(j =>
+      struct(lit(j).as("j"), bucket(j, key, w).as("bucket")))
+    df.select(explode(array(rows: _*)).as("jb"))
+      .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+  }
+
+  /** The CM counter table as a Rollup spec: group by (j, bucket), count. */
+  val cmsStoreSpec: graft.pipeline.Rollup.Spec =
+    graft.pipeline.Rollup.Spec(groupCols = Seq("j", "bucket"))
+
+  def initCmsStore(spark: SparkSession, storeDir: String, df: DataFrame,
+      key: Column, w: Int, batchId: String): Unit =
+    graft.pipeline.Rollup.init(spark, storeDir, cmsRows(df, key, w),
+      cmsStoreSpec, batchId)
+
+  /** O(batch) append; a replayed batch id no-ops on the ledger. */
+  def mergeCmsStore(spark: SparkSession, storeDir: String,
+      batch: DataFrame, key: Column, w: Int, batchId: String): Boolean =
+    graft.pipeline.Rollup.merge(spark, storeDir, cmsRows(batch, key, w),
+      cmsStoreSpec, batchId)
+
+  /** The live (j, bucket, cnt) counter table, [[cmsEstimate]]-ready. */
+  def readCmsStore(spark: SparkSession, storeDir: String): DataFrame =
+    graft.pipeline.Rollup.read(spark, storeDir, cmsStoreSpec)
+      .select(col("j"), col("bucket"), col("n").as("cnt"))
+
+  /** RTBF cascade hook: subtract the deleted rows' counter
+    * contributions (linear-sketch retraction — exact, no rebuild).
+    * `deleted` must be captured from the corpus BEFORE its own purge;
+    * on a crash-retry the staged intent wins and `deleted` may be
+    * empty. Returns the fact rows retracted (0 on replay). */
+  def purgeCmsStore(spark: SparkSession, storeDir: String,
+      deleted: DataFrame, key: Column, w: Int, purgeId: String): Long =
+    // retract counts the exploded (j, bucket) rows — Depth per fact row
+    graft.pipeline.Rollup.retract(spark, storeDir,
+      cmsRows(deleted, key, w), cmsStoreSpec, purgeId) / Depth
+
+  /** SQL twin of [[cmsRows]]' hash arms for a DuckDB oracle: one UNION
+    * ALL arm per depth, emitting (j, bucket) from `fromSql` rows keyed
+    * by the SQL expression `keySql`. Integer arithmetic only — the
+    * oracle replays the counters bit-exactly. */
+  def cmsBuildArmsSql(fromSql: String, keySql: String, w: Int): String =
+    (0 until Depth).map { j =>
+      s"SELECT $j AS j, ((($keySql) * ${A(j)} + ${B(j)}) % $P) % $w " +
+        s"AS bucket FROM $fromSql"
+    }.mkString("\n  UNION ALL ")
+
+  /** SQL twin of [[cmsEstimate]]'s probe-side hash arms: (key, j,
+    * bucket) rows from relation `probesRel` whose key column is
+    * `keyCol`. */
+  def cmsProbeArmsSql(probesRel: String, keyCol: String, w: Int): String =
+    (0 until Depth).map { j =>
+      s"SELECT $keyCol, $j AS j, (($keyCol * ${A(j)} + ${B(j)}) % $P) " +
+        s"% $w AS bucket FROM $probesRel"
+    }.mkString("\n  UNION ALL ")
+
   /** Point-estimate counts for probe keys: min over the d counters.
     * Guaranteed ≥ the true count; = for keys whose d buckets are all
     * collision-free. Probe keys absent from every stream row estimate

@@ -48,10 +48,18 @@ object SkewJoin {
     * pre-commit choice when the evidence is one aggregate away. */
   def chooseSkewStrategy(left: DataFrame, key: String,
       skewThreshold: Double = 16.0): SkewStrategy = {
-    val r = left.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    // NULL keys can't match in an inner equi-join, so they're cost-free
+    // for the plain plan — counting them in the evidence lets a
+    // mostly-NULL probe side read as "one hot key" and flip to salting,
+    // replicating the build side saltFactor× for rows that never match.
+    val r = left.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
         max(col("n")).as("max_n")).head()
-    val (nKeys, nRows, maxN) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val nKeys = r.getLong(0)
+    if (nKeys == 0L) return SkewStrategy(0L, 0L, 0L, 0.0,
+      useSalting = false)
+    val (nRows, maxN) = (r.getLong(1), r.getLong(2))
     val skew = maxN.toDouble / (nRows.toDouble / nKeys.toDouble)
     SkewStrategy(nKeys, nRows, maxN, skew,
       useSalting = skew >= skewThreshold)

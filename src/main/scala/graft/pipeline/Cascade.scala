@@ -53,15 +53,55 @@ object Cascade {
     /** Rollup store: delta-SUBTRACTED in place when the spec's algebra
       * allows (counts/sums/nulls/histograms — [[Rollup.retract]] folds
       * the deleted rows' negated partials, no rebuild scan), otherwise
-      * invalidated for rebuild (min/max/HLL cannot un-see a row). */
+      * invalidated for rebuild (min/max/HLL cannot un-see a row).
+      * Non-linear SKETCH evidence (KMV, HLL distinct) maintained as a
+      * rollup store purges through this invalidation path too. */
     final case class RollupStore(dir: String, spec: Rollup.Spec)
+        extends Target
+    /** Gram-presence index ([[graft.operators.GramIndex]]): the
+      * forgotten docs' content-fingerprint rows (doc-attributed grams)
+      * leave the index files. Doc-id keyed. */
+    final case class Gram(dir: String) extends Target
+    /** Incremental connected-components store ([[graft.operators
+      * .Components]]): the ids' identity rows AND their graph edges
+      * leave, with affected components re-closed over the surviving
+      * edges (splits/renames/isolations — rebuild-equivalent). */
+    final case class Comp(dir: String) extends Target
+    /** Maintained Count–Min frequency store ([[graft.operators
+      * .Sketches]]): CM is a LINEAR sketch, so the deleted rows'
+      * counter contributions subtract exactly ([[Rollup.retract]]
+      * underneath — stage-carried, crash-convergent). `keyExpr` is the
+      * SQL expression the store sketches (over the fact table's
+      * columns), `w` its width. */
+    final case class Cms(dir: String, keyExpr: String, w: Int)
         extends Target
   }
 
+  /** The audit receipt an RTBF primitive owes its caller: EVERY target
+    * appears exactly once, under a kind-qualified label (`minhash:<dir>`
+    * — two targets sharing a directory cannot silently collapse into
+    * one entry), in exactly one of `purged` (index/view rows removed),
+    * `retracted` (fact rows delta-subtracted from a subtractable rollup
+    * store), or `invalidated` (non-subtractable stores dropped for
+    * rebuild). */
   final case class Summary(
       tableRowsDeleted: Long,
       purged: Map[String, Long],
+      retracted: Map[String, Long],
       invalidated: Seq[String])
+
+  private def label(t: Target): String = t match {
+    case Target.Minhash(d) => s"minhash:$d"
+    case Target.Term(d) => s"term:$d"
+    case Target.Ivf(d) => s"ivf:$d"
+    case Target.Pq(d) => s"pq:$d"
+    case Target.IvfPq(d) => s"ivfpq:$d"
+    case Target.View(s, _) => s"view:$s"
+    case Target.RollupStore(d, _) => s"rollup:$d"
+    case Target.Gram(d) => s"gram:$d"
+    case Target.Comp(d) => s"components:$d"
+    case Target.Cms(d, _, _) => s"cms:$d"
+  }
 
   /** Cascade-delete `keys` of column `c` from the corpus at `tableDir`
     * and from every maintained store in `targets`. `embeddingCol` is
@@ -86,6 +126,7 @@ object Cascade {
         .select(col(c).as("vec_id"), col(embeddingCol).as("embedding"))
     val needFull = targets.exists {
       case RollupStore(_, spec) => Rollup.subtractable(spec)
+      case Cms(_, _, _) => true
       case _ => false
     }
     val deletedFull =
@@ -95,39 +136,60 @@ object Cascade {
     val retractId = "purge-" + AppendCommit.contentId(
       keys.map(String.valueOf).sorted.mkString("\n"))
     val purged = scala.collection.mutable.Map.empty[String, Long]
+    val retracted = scala.collection.mutable.Map.empty[String, Long]
     val invalidated = scala.collection.mutable.ArrayBuffer.empty[String]
-    targets.foreach {
-      case Minhash(dir) =>
-        purged(dir) = graft.operators.Dedup
-          .purgeMinhashIndex(spark, dir, keys)
-      case Term(dir) =>
-        purged(dir) = graft.operators.TermIndex
-          .purgeDocs(spark, dir, keys)
-      case Ivf(dir) =>
-        purged(dir) = graft.operators.Similarity
-          .purgeIvfIndex(spark, dir, keys)
-      case Pq(dir) =>
-        purged(dir) = graft.operators.Quantize
-          .purgePqIndex(spark, dir, keys, deletedRows)
-      case IvfPq(dir) =>
-        purged(dir) = graft.operators.Quantize
-          .purgeIvfPqIndex(spark, dir, keys, deletedRows)
-      case RollupStore(dir, spec) if Rollup.subtractable(spec) =>
-        // BEFORE the table delete (the rows must still exist to stage);
-        // the retraction's in-store stage makes the retry convergent
-        Rollup.retract(spark, dir, deletedFull, spec, retractId)
-      case View(_, _) | RollupStore(_, _) => () // after the table delete
+    targets.foreach { tg =>
+      tg match {
+        case Minhash(dir) =>
+          purged(label(tg)) = graft.operators.Dedup
+            .purgeMinhashIndex(spark, dir, keys)
+        case Term(dir) =>
+          purged(label(tg)) = graft.operators.TermIndex
+            .purgeDocs(spark, dir, keys)
+        case Ivf(dir) =>
+          purged(label(tg)) = graft.operators.Similarity
+            .purgeIvfIndex(spark, dir, keys)
+        case Pq(dir) =>
+          purged(label(tg)) = graft.operators.Quantize
+            .purgePqIndex(spark, dir, keys, deletedRows)
+        case IvfPq(dir) =>
+          purged(label(tg)) = graft.operators.Quantize
+            .purgeIvfPqIndex(spark, dir, keys, deletedRows)
+        case Gram(dir) =>
+          purged(label(tg)) = graft.operators.GramIndex
+            .purgeDocs(spark, dir, keys)
+        case Comp(dir) =>
+          purged(label(tg)) = graft.operators.Components
+            .purgeNodes(spark, dir, keys)
+        case Cms(dir, keyExpr, w) =>
+          // BEFORE the table delete (linear-sketch retraction needs the
+          // doomed rows; the in-store stage carries crash-retries)
+          retracted(label(tg)) = graft.operators.Sketches.purgeCmsStore(
+            spark, dir, deletedFull,
+            org.apache.spark.sql.functions.expr(keyExpr), w, retractId)
+        case RollupStore(dir, spec) if Rollup.subtractable(spec) =>
+          // BEFORE the table delete (the rows must still exist to
+          // stage); the retraction's in-store stage makes the retry
+          // convergent
+          retracted(label(tg)) =
+            Rollup.retract(spark, dir, deletedFull, spec, retractId)
+        case View(_, _) | RollupStore(_, _) => () // after the table delete
+      }
     }
     val table = Maintain.deleteByKey(spark, tableDir, c, keys)
-    targets.foreach {
-      case View(store, keyCol) =>
-        purged(store) = JoinView.purgeByKey(spark, store, keyCol, keys)
-      case RollupStore(dir, spec) if !Rollup.subtractable(spec) =>
-        Rollup.invalidate(spark, dir)
-        invalidated += dir
-      case _ => ()
+    targets.foreach { tg =>
+      tg match {
+        case View(store, keyCol) =>
+          purged(label(tg)) =
+            JoinView.purgeByKey(spark, store, keyCol, keys)
+        case RollupStore(dir, spec) if !Rollup.subtractable(spec) =>
+          Rollup.invalidate(spark, dir)
+          invalidated += label(tg)
+        case _ => ()
+      }
     }
-    Summary(table.rowsDeleted, purged.toMap, invalidated.toSeq)
+    Summary(table.rowsDeleted, purged.toMap, retracted.toMap,
+      invalidated.toSeq)
   }
 
   // ---------------------------------------------------------------------
@@ -283,5 +345,191 @@ object Cascade {
       "q107 oracle shape moved; update the q258 filter rewrite")
     base.replace("FROM documents)",
       "FROM documents WHERE doc_id % 7 <> 3)")
+  }
+
+  // ---------------------------------------------------------------------
+  // q262_purged_stores — the cascade extended to the three store
+  // families round 9 left uncovered (a forgotten doc's content
+  // fingerprints, graph identity, and frequency contributions must ALL
+  // leave): the gram-presence index (q171's lifecycle), the incremental
+  // component store (q101's lifecycle over a deterministic derived
+  // graph), and a maintained Count–Min store (q125's counters, here
+  // sync-maintained through Rollup). Each builds through build+append,
+  // then every doc_id ≡ 3 (mod 7) cascade-deletes through
+  // Cascade.deleteByKey with the new Gram/Comp/Cms targets. The oracle
+  // is the FILTERED corpus, from scratch: novelty THROUGH the purged
+  // gram index, the component membership checksum THROUGH the purged
+  // store (splits, renames, isolations included — the edge formula
+  // plants cut vertices among the deleted ids), and the CM estimates
+  // THROUGH the retracted counters must each equal what DuckDB computes
+  // over `WHERE doc_id % 7 <> 3`.
+  // ---------------------------------------------------------------------
+  private val CmsW = 128
+  private val CmsKeyExpr = "pmod(doc_id, 211)"
+
+  /** Derived deterministic graph over the doc-id space: star edges
+    * (id → its multiple-of-5 hub) plus chain links joining adjacent
+    * hubs at id % 20 == 4 — so deleting ids % 7 == 3 hits hubs (cut
+    * vertices → stars shatter, members isolate) and links (components
+    * split) as well as leaves. */
+  private def derivedEdges(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val stars = d.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      .select(col("doc_id").as("a"),
+        (col("doc_id") - pmod(col("doc_id"), lit(5L))).as("b"))
+    val links = d.filter(pmod(col("doc_id"), lit(20L)) === 4L)
+      .select(col("doc_id").as("a"), (col("doc_id") + 1L).as("b"))
+    stars.unionByName(links)
+  }
+
+  private def ensureFixture262(s: SparkSession, dir: String)
+      : (String, String, String, String) = {
+    import org.apache.spark.sql.functions._
+    val root = s"$gateBase/c262_${dir.hashCode.toHexString}"
+    val docsT = s"$root/docs"; val gram = s"$root/gram"
+    val comp = s"$root/comp"; val cms = s"$root/cms"
+    if (!new java.io.File(s"$root.complete").exists()) {
+      val d = graft.operators.t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      d.write.mode("overwrite").parquet(docsT)
+      graft.operators.GramIndex.buildGramIndex(s,
+        d.filter(col("doc_id") % 2 === 0), 5, gram)
+      graft.operators.GramIndex.appendToGramIndex(s,
+        d.filter(col("doc_id") % 2 === 1), 5, gram)
+      val edges = derivedEdges(d)
+      val base = edges.filter((col("a") + col("b")) % 2 === 0)
+      val batch = edges.filter((col("a") + col("b")) % 2 =!= 0)
+      graft.operators.Components.buildComponentStore(s, comp, base)
+      graft.operators.Components.appendEdges(s, comp, batch)
+      graft.operators.Components.appendEdges(s, comp, batch) // replay
+      graft.operators.Sketches.initCmsStore(s, cms,
+        d.filter(col("doc_id") % 2 === 0), expr(CmsKeyExpr), CmsW, "b0")
+      graft.operators.Sketches.mergeCmsStore(s, cms,
+        d.filter(col("doc_id") % 2 === 1), expr(CmsKeyExpr), CmsW, "b1")
+      val keys: Seq[Any] = d.filter(col("doc_id") % 7 === 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      deleteByKey(s, docsT, "doc_id", keys,
+        Seq(Target.Gram(gram), Target.Comp(comp),
+          Target.Cms(cms, CmsKeyExpr, CmsW)))
+      new java.io.File(s"$root.complete").createNewFile()
+    }
+    (docsT, gram, comp, cms)
+  }
+
+  def q262PurgedStores(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (_, gram, comp, cms) = ensureFixture262(s, dir)
+    val del7 = col("doc_id") % 7 === 3
+    // gram: probe the %4==3 docs (from the untouched source — q171's
+    // probe set) through the PURGED index
+    val probeDocs = graft.operators.t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") % 4 === 3)
+    val nov = graft.operators.GramIndex
+      .noveltyProbe(s, probeDocs, 5, gram)
+      .agg(sum(col("n_grams")).as("g"), sum(col("n_novel")).as("n"))
+      .head()
+    // comp: identity rows and membership checksum through the store
+    val labels = graft.operators.Components.readComponents(s, comp)
+    val compRow = labels.agg(count(lit(1)).as("n"),
+      sum(col("id") * lit(100003L) + col("comp")).as("ck")).head()
+    val edgeLeaks = s.read.parquet(s"$comp/edges")
+      .filter((col("a") % 7 === 3) || (col("b") % 7 === 3)).count()
+    // cms: estimates for probe keys 0..49 through the retracted store
+    val probes = s.range(0, 50).select(col("id").as("key"))
+    val cmsStore = graft.operators.Sketches.readCmsStore(s, cms)
+    val estSum = graft.operators.Sketches
+      .cmsEstimate(cmsStore, probes, "key", CmsW)
+      .agg(sum(col("est"))).head().getLong(0)
+    val cmsAgg = cmsStore.agg(count(lit(1)).as("cells"),
+      sum(col("cnt")).as("total")).head()
+    val rows = Seq(
+      ("cms", "cells", cmsAgg.getLong(0)),
+      ("cms", "est_sum", estSum),
+      ("cms", "total", cmsAgg.getLong(1)),
+      ("comp", "checksum", compRow.getLong(1)),
+      ("comp", "edge_rows_deleted_ids", edgeLeaks),
+      ("comp", "label_rows_deleted_ids",
+        labels.filter(col("id") % 7 === 3).count()),
+      ("comp", "n_nodes", compRow.getLong(0)),
+      ("gram", "grams_sum", nov.getLong(0)),
+      ("gram", "novel_sum", nov.getLong(1)),
+      ("gram", "rows_deleted_ids",
+        s.read.parquet(s"$gram/grams").filter(del7).count()))
+    val sqlCtx = s
+    import sqlCtx.implicits._
+    rows.toDF("store", "metric", "value")
+  }
+
+  val q262PurgedStoresSql: String = {
+    val cmsArms = graft.operators.Sketches
+      .cmsBuildArmsSql("kept", "doc_id % 211", CmsW)
+    val probeArms = graft.operators.Sketches
+      .cmsProbeArmsSql("probes", "key", CmsW)
+    s"""WITH RECURSIVE kept AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+       |cms AS (
+       |  SELECT j, bucket, COUNT(*) AS cnt FROM (
+       |  $cmsArms)
+       |  GROUP BY j, bucket),
+       |probes AS (SELECT CAST(i AS BIGINT) AS key
+       |           FROM UNNEST(range(0, 50)) AS gg(i)),
+       |pb AS (
+       |  $probeArms),
+       |est AS (
+       |  SELECT pb.key, MIN(COALESCE(cms.cnt, 0)) AS est
+       |  FROM pb LEFT JOIN cms ON pb.j = cms.j AND pb.bucket = cms.bucket
+       |  GROUP BY pb.key),
+       |alledges AS (
+       |  SELECT doc_id AS a, doc_id - (doc_id % 5) AS b
+       |  FROM documents WHERE doc_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT doc_id AS a, doc_id + 1 AS b
+       |  FROM documents WHERE doc_id % 20 = 4),
+       |fedges0 AS (
+       |  SELECT a, b FROM alledges WHERE a % 7 <> 3 AND b % 7 <> 3),
+       |fedges AS (SELECT a, b FROM fedges0
+       |           UNION SELECT b, a FROM fedges0),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT a, a FROM fedges
+       |  UNION
+       |  SELECT x.id, e.b FROM reach x JOIN fedges e ON e.a = x.r),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |      FROM documents),
+       |wd AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
+       |       FROM w, UNNEST(range(1, len(ws) + 1)) AS gg(i)),
+       |gr AS (SELECT doc_id,
+       |         word || '|' || lead(word, 1) OVER dw || '|' ||
+       |         lead(word, 2) OVER dw || '|' || lead(word, 3) OVER dw ||
+       |         '|' || lead(word, 4) OVER dw AS g
+       |       FROM wd WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |refg AS (SELECT DISTINCT g FROM gr
+       |         WHERE doc_id % 7 <> 3 AND g IS NOT NULL),
+       |dg AS (SELECT doc_id, g FROM gr
+       |       WHERE doc_id % 4 = 3 AND g IS NOT NULL),
+       |nov AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS grams_sum,
+       |    CAST(SUM(CASE WHEN refg.g IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS novel_sum
+       |  FROM dg LEFT JOIN refg ON dg.g = refg.g)
+       |SELECT 'cms' AS store, 'cells' AS metric,
+       |  (SELECT COUNT(*) FROM cms) AS value
+       |UNION ALL SELECT 'cms', 'est_sum',
+       |  (SELECT CAST(SUM(est) AS BIGINT) FROM est)
+       |UNION ALL SELECT 'cms', 'total',
+       |  (SELECT CAST(SUM(cnt) AS BIGINT) FROM cms)
+       |UNION ALL SELECT 'comp', 'checksum',
+       |  (SELECT CAST(SUM(id * 100003 + component) AS BIGINT) FROM comp)
+       |UNION ALL SELECT 'comp', 'edge_rows_deleted_ids',
+       |  CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'comp', 'label_rows_deleted_ids',
+       |  CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'comp', 'n_nodes', (SELECT COUNT(*) FROM comp)
+       |UNION ALL SELECT 'gram', 'grams_sum',
+       |  (SELECT grams_sum FROM nov)
+       |UNION ALL SELECT 'gram', 'novel_sum',
+       |  (SELECT novel_sum FROM nov)
+       |UNION ALL SELECT 'gram', 'rows_deleted_ids',
+       |  CAST(0 AS BIGINT)""".stripMargin
   }
 }

@@ -158,6 +158,27 @@ object Maintain {
       df(c) === org.apache.spark.sql.functions.col("__graft_k"),
       "left_semi")
 
+  /** LOUD lossy-cast rule, shared by every RTBF entry point: a non-null
+    * key whose string form cannot cast to the column's type would
+    * silently vanish from a purge (try_cast → NULL → no match) — the
+    * caller must hear about a key it cannot delete, not get a summary
+    * for the castable subset. try_cast keeps the check ANSI-agnostic (a
+    * plain cast THROWS mid-job under ANSI instead of flagging). Names
+    * ≤20 offending keys in the error. */
+  def requireKeysCastable(spark: SparkSession,
+      colType: org.apache.spark.sql.types.DataType, c: String,
+      values: Seq[Any]): Unit = {
+    import spark.implicits._
+    val bad = values.distinct.filter(_ != null).map(_.toString)
+      .toDF("__ks")
+      .filter(org.apache.spark.sql.functions
+        .expr(s"try_cast(__ks AS ${colType.sql})").isNull)
+      .limit(20).collect().map(_.getString(0))
+    require(bad.isEmpty,
+      s"key(s) [${bad.mkString(", ")}] do not cast to " +
+        s"$c's type ${colType.sql} — refusing a partial purge")
+  }
+
   /** Complement of [[matchingKeys]]; NULL-keyed rows are KEPT on both
     * paths (a row whose key is unknown was not asked to die — the
     * three-valued-isin rule). */
@@ -170,6 +191,25 @@ object Maintain {
       org.apache.spark.sql.functions.broadcast(
         keyFrame(df.sparkSession, keys, df.schema(c).dataType)),
       df(c) === col("__graft_k"), "left_anti")
+  }
+
+  /** The surviving rows of one file, in the file's OWN physical schema.
+    * The filter must see hive-partition columns (the delete key may be
+    * one, and `dropKeys` resolves by name over the basePath read), but
+    * the REWRITE must not embed them: a rewritten file carrying the
+    * partition column as data while its siblings encode it only in the
+    * directory name splits the tree's schema — partition-scoped
+    * unions/merges over it start failing, and every reader now depends
+    * on Spark's data-over-partition column preference. One footer read
+    * recovers the physical column list. */
+  private def rewriteKeep(spark: SparkSession, tableDir: String,
+      f: String,
+      dropKeys: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val physCols = spark.read.parquet(f).schema.fieldNames
+    dropKeys(spark.read.option("basePath", tableDir).parquet(f))
+      .select(physCols.map(col).toIndexedSeq: _*)
   }
 
   private val DelAside = ".del_aside_"
@@ -283,23 +323,7 @@ object Maintain {
       .map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(
         s"deleteByKey: no column $c in $tableDir"))
-    // LOUD lossy-cast rule (the typed-probe refuse-to-prune discipline):
-    // a non-null key whose string form cannot cast to the column's type
-    // would silently vanish from the purge — for an RTBF primitive the
-    // caller must hear about a key it cannot delete, not get a summary
-    // for the castable subset. try_cast keeps the check ANSI-agnostic
-    // (a plain cast THROWS mid-job under ANSI instead of flagging).
-    locally {
-      import spark.implicits._
-      val bad = distinctVals.filter(_ != null).map(_.toString)
-        .toDF("__ks")
-        .filter(org.apache.spark.sql.functions
-          .expr(s"try_cast(__ks AS ${colType.sql})").isNull)
-        .limit(20).collect().map(_.getString(0))
-      require(bad.isEmpty,
-        s"deleteByKey: key(s) [${bad.mkString(", ")}] do not cast to " +
-          s"$c's type ${colType.sql} — refusing a partial purge")
-    }
+    requireKeysCastable(spark, colType, c, distinctVals)
     val keysDf: Option[org.apache.spark.sql.DataFrame] =
       if (distinctVals.size <= LargeKeyThreshold) None
       else Some {
@@ -358,8 +382,7 @@ object Maintain {
           swaps += ((rel, None))
           dropped += 1
         } else {
-          val keep = dropKeys(
-            spark.read.option("basePath", tableDir).parquet(f))
+          val keep = rewriteKeep(spark, tableDir, f, dropKeys)
           val tmpDir = new Path(fp.getParent,
             s".del_tmp_${fp.getName}").toString
           fs.delete(new Path(tmpDir), true)
@@ -386,8 +409,7 @@ object Maintain {
           fs.delete(fp, false) // nothing survives — drop the file
           dropped += 1
         } else {
-          val keep = dropKeys(
-            spark.read.option("basePath", tableDir).parquet(f))
+          val keep = rewriteKeep(spark, tableDir, f, dropKeys)
           val tmpDir = new Path(fp.getParent,
             s".del_tmp_${fp.getName}").toString
           fs.delete(new Path(tmpDir), true) // crashed-attempt leftover
@@ -426,7 +448,14 @@ object Maintain {
         fs.delete(new Path(tableDir, rel), false)
       }
     }
-    if (rewritten > 0 || dropped > 0) spark.catalog.refreshByPath(tableDir)
+    if (rewritten > 0 || dropped > 0) {
+      spark.catalog.refreshByPath(tableDir)
+      // skip-tree hygiene (stats + blooms converge with the rewrite):
+      // dead files' rows — and the bloom hashes of the purged keys they
+      // carried — leave now, and the fresh del_ files get stats so
+      // point lookups prune them immediately
+      Skipping.refreshAllTrees(spark, tableDir)
+    }
     DeleteSummary(candidates.size, rewritten, dropped, deleted)
   }
 }

@@ -311,6 +311,19 @@ object Manifest {
     val fs = fsFor(tableDir)
     val root = new Path(tableDir)
     lastTwo(tableDir).foreach { case (curGen, cur, prev) =>
+      // Heal a crash between a commit's generation write and its marker
+      // write: a generation exists but exists()=false, so the optimizer
+      // and maintenance route this table down unmanaged paths while
+      // resolve()/readSnapshot still honor the generation — a permanent
+      // split brain, because refresh()'s unchanged-listing path commits
+      // nothing (and so never rewrites the marker). Every recovery entry
+      // converges it.
+      val marker = new Path(root, MarkerName)
+      if (!fs.exists(marker)) {
+        val mos = fs.create(marker, true)
+        try mos.write(curGen.toString.getBytes("UTF-8"))
+        finally mos.close()
+      }
       tombLists(fs, root).foreach { case (g, p) =>
         if (g > curGen) fs.delete(p, false) // orphan future list
         else if (g < curGen - 1) purgeTomb(fs, root, p) // crashed purge

@@ -257,21 +257,30 @@ object Rollup {
     * subtracting nothing — the same compute-once discipline as
     * [[AppendCommit.runWithIntent]]. The stage travels atomically with
     * the applied-id ledger: both live in the store tree SafeSwap
-    * replaces, so "merged" and "applied" commit together. Replay of an
-    * applied id is a no-op (returns false). */
+    * replaces, so "merged" and "applied" commit together. Returns the
+    * number of FACT rows retracted (the staged partials' Σ count — the
+    * audit receipt [[graft.pipeline.Cascade.Summary]] reports); replay
+    * of an applied id is a no-op returning 0 (indistinguishable from an
+    * applied-but-empty retraction, which is equally a no-op). */
   def retract(spark: SparkSession, storeDir: String, deleted: DataFrame,
-      spec: Spec, batchId: String): Boolean = {
+      spec: Spec, batchId: String): Long = {
     require(subtractable(spec),
       "only count/sum/nullCount/histogram partials are subtractable — " +
         "use invalidate() and rebuild for min/max/distinct specs")
     MaintenanceLock.withLock(storeDir) {
       SafeSwap.recover(storeDir)
       val applied = readApplied(spark, storeDir)
-      if (applied.contains(batchId)) false
+      if (applied.contains(batchId)) 0L
       else {
         stageRetraction(spark, storeDir, deleted, spec, batchId)
         val intent = new org.apache.hadoop.fs.Path(
           retractIntentDir(storeDir, batchId))
+        val nRetracted = {
+          val r = spark.read.parquet(intent.toString)
+            .agg(org.apache.spark.sql.functions
+              .sum(col("__cnt"))).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
         val negCols: Seq[Column] =
           spec.groupCols.map(col) ++
             Seq((col("__cnt") * -1L).as("__cnt")) ++
@@ -297,7 +306,7 @@ object Rollup {
           merged.write.parquet(s"$tmp/partials")
           writeApplied(spark, tmp, applied :+ batchId)
         }
-        true
+        nRetracted
       }
     }
   }

@@ -179,11 +179,46 @@ object Skipping {
       rows(newFiles).coalesce(1).write.mode("overwrite").parquet(tmp)
     }
 
+  /** Drop stats rows naming files no longer in the live listing, and
+    * prune those files from the ledger payloads (SafeSwap'd together —
+    * "covered" and "described" stay consistent). Per-file stats rows
+    * are pure functions of ONE file, so dropping a dead file's row is
+    * exact — no rebuild needed. This is both a pruning-quality fix
+    * (without it, post-delete reads treat every rewritten file as
+    * unknown until the next full rebuild) and RTBF hygiene (a bloom
+    * row retains the purged keys' HASHES; the sketch of a dead or
+    * rewritten file must leave with it). O(stats) — one row per data
+    * file — never O(data). */
+  private def pruneDead(spark: SparkSession, statsDir: String,
+      liveCanon: Set[String]): Int = {
+    val rows = statsDf(spark, statsDir)
+    val fileVals = rows.select(col("file")).collect()
+      .map(_.getString(0))
+    val dead = fileVals.filterNot(f => liveCanon(canon(f)))
+    if (dead.isEmpty) return 0
+    val deadSet = dead.toSet
+    val kept = rows.filter(!col("file").isInCollection(deadSet))
+    val entries = AppendCommit.appliedEntries(statsDir)
+      .map { case (id, pl) =>
+        (id, pl.split("\n").filter(p => p.nonEmpty && liveCanon(p))
+          .mkString("\n"))
+      }
+    SafeSwap.replace(statsDir) { tmp =>
+      // the lazy read executes inside this write, before the rename
+      kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+      entries.foreach { case (id, pl) =>
+        AppendCommit.markApplied(tmp, id, pl)
+      }
+    }
+    dead.size
+  }
+
   /** Diff-and-converge: append stats for files the ledger has never
-    * seen; a covered file missing from the live listing (stale-delete /
-    * compaction) rebuilds the whole stats table — per-file rows cannot
-    * subtract. A stats dir from before the ledger era (no `_applied/`)
-    * also rebuilds. */
+    * seen; covered files missing from the live listing (key-delete /
+    * compaction rewrites) PRUNE incrementally ([[pruneDead]] — per-file
+    * rows subtract exactly, one O(stats) rewrite), never a full
+    * rebuild. A stats dir from before the ledger era (no `_applied/`)
+    * still rebuilds. */
   private def refreshGeneric(spark: SparkSession, tableDir: String,
       statsDir: String, rows: Seq[String] => DataFrame): Refresh = {
     val fs = fsFor(spark, tableDir)
@@ -202,26 +237,23 @@ object Skipping {
       rebuildAll(spark, statsDir, live, rows)
       return Refresh(rebuilt = true, appended = 0)
     }
-    val covered = coveredBy(spark, statsDir)
     val liveCanon = live.map(canon).toSet
-    if (covered.exists(!liveCanon(_))) {
-      rebuildAll(spark, statsDir, live, rows)
-      Refresh(rebuilt = true, appended = 0)
-    } else {
-      val fresh = live.filterNot(f => covered(canon(f)))
-      if (fresh.isEmpty) Refresh(rebuilt = false, appended = 0)
-      else {
-        appendBatchRows(spark, statsDir, fresh, rows)
-        // amortized small-file bound: one stats file lands per batch;
-        // past the threshold, fold them (O(stats) rewrite, ledger
-        // carried) so planning reads never degrade to a file-open storm
-        val nFiles = fs.listStatus(new Path(statsDir)).count { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }
-        if (nFiles >= AutoCompactFiles) compactGeneric(spark, statsDir)
-        Refresh(rebuilt = false, appended = fresh.size)
+    if (coveredBy(spark, statsDir).exists(!liveCanon(_)))
+      pruneDead(spark, statsDir, liveCanon)
+    val covered = coveredBy(spark, statsDir)
+    val fresh = live.filterNot(f => covered(canon(f)))
+    if (fresh.isEmpty) Refresh(rebuilt = false, appended = 0)
+    else {
+      appendBatchRows(spark, statsDir, fresh, rows)
+      // amortized small-file bound: one stats file lands per batch;
+      // past the threshold, fold them (O(stats) rewrite, ledger
+      // carried) so planning reads never degrade to a file-open storm
+      val nFiles = fs.listStatus(new Path(statsDir)).count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
+      if (nFiles >= AutoCompactFiles) compactGeneric(spark, statsDir)
+      Refresh(rebuilt = false, appended = fresh.size)
     }
   }
 
@@ -490,6 +522,32 @@ object Skipping {
       expectedItemsPerFile: Long = 0L): Refresh =
     refreshGeneric(spark, tableDir, s"$tableDir/${bloomDir(c)}",
       bloomRowsFor(spark, tableDir, c, _, expectedItemsPerFile))
+
+  /** DELETE HYGIENE, run inside [[Maintain.deleteByKey]]'s commit:
+    * converge EVERY skip tree present under `tableDir` — the min/max
+    * stats and each per-column bloom — with the post-delete listing.
+    * Dead files' rows leave ([[pruneDead]]: a dropped bloom row is also
+    * the last place a purged key's hashes survived), and the delete's
+    * fresh `del_` rewrites get stats appended so point lookups prune
+    * them immediately instead of "unknown → always scan" until the next
+    * sync. Column sets are recovered from the trees' OWN schemas (the
+    * `min_<c>` fields / the bloom dir name) — no caller wiring. Each
+    * tree costs O(its stats) + O(new files); absent trees cost one
+    * exists(). */
+  def refreshAllTrees(spark: SparkSession, tableDir: String): Unit = {
+    val fs = fsFor(spark, tableDir)
+    val statsDir = s"$tableDir/$StatsDir"
+    if (fs.exists(new Path(statsDir))) {
+      val cols = statsDf(spark, statsDir).columns.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      if (cols.nonEmpty) refreshStats(spark, tableDir, cols)
+    }
+    fs.listStatus(new Path(tableDir)).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("_skip_bloom_"))
+      .map(_.getPath.getName.stripPrefix("_skip_bloom_"))
+      .foreach(c => refreshBloom(spark, tableDir, c))
+  }
 
   /** The engine-side probe plan: stats rows whose sketch might contain
     * any of `hashes` — exposed for plan-shape assertions. Output schema

@@ -877,4 +877,32 @@ class WarehouseSpec extends SparkSpec {
     val again = wh.forget(schema, "docs", "doc_id", keys)
     assert(again.rawRows == 0L && again.canonicalRows == 0L, s"$again")
   }
+
+  test("forget refuses an uncastable key LOUDLY even when the canonical " +
+      "layer is absent (canonicalize=false): the raw-only path must not " +
+      "silently skip the key deleteByKey would have refused") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("wh_forget_bad")
+    val d = src.resolve("docs"); Files.createDirectories(d)
+    val f = d.resolve("d1.tsv")
+    Files.writeString(f, "1\tone\n2\ttwo\n")
+    val schema = Seq(CDTable("docs", None, Seq(
+      CDColumn("doc_id", "bigint"),
+      CDColumn("text", "varchar", Some(50)))))
+    val m = Seq(ManifestEntry("docs", "d1.tsv", f.toUri.toString))
+    val whDir = Files.createTempDirectory("wh_forget_bad_root").toUri
+      .toString.stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whfb", parallelism = 1, canonicalize = false))
+    wh.sync(m, schema)
+    val ex = intercept[IllegalArgumentException] {
+      wh.forget(schema, "docs", "doc_id", Seq(1L, "not-a-number"))
+    }
+    assert(ex.getMessage.contains("not-a-number"),
+      s"the refusal must name the offending key: ${ex.getMessage}")
+    val st = graft.model.TypeLattice.toStructType(schema.head)
+    assert(graft.sources.TsvSource.read(spark, st,
+      s"$whDir/raw_files/docs/d1.tsv").count() == 2L,
+      "a refused forget must purge NOTHING — no partial delete")
+  }
 }

@@ -92,4 +92,48 @@ class CatalogStatsSpec extends SparkSpec {
     assert(ck.distinctCount.exists(d => d >= 28 && d <= 32),
       s"HLL estimate off: $ck")
   }
+
+  test("a profiled timestamp/date column pushes min/max in the " +
+      "catalog's external stat form (plan-time-parseable by " +
+      "construction) and a CBO-enabled plan over the table survives " +
+      "toPlanStat") {
+    register("events_ts", (1L to 200L).map { k =>
+      (k, java.sql.Timestamp.valueOf(s"2020-01-${k % 28 + 1} 03:04:05"),
+        java.sql.Date.valueOf(s"2021-02-${k % 28 + 1}"))
+    }.toDF("k", "ts", "d"))
+    val store = Files.createTempDirectory("cst_ts").toString + "/s"
+    graft.operators.Stats.initProfileStore(spark, store,
+      spark.table(s"$db.events_ts"), Seq("ts", "d"), "b0")
+    CatalogStats.pushFromProfileStore(spark, db, "events_ts", store,
+      Seq("ts", "d"), sizeInBytes = 999L)
+    val st = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("events_ts",
+        Some(db))).stats.get
+    // every stored bound must survive the EXACT parser the planner
+    // runs (fromExternalString at the current stats VERSION) — an
+    // unparseable bound stored verbatim poisons every later CBO plan
+    // at toPlanStat, far from the push that caused it
+    import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
+    for ((c, dt) <- Seq("ts" -> org.apache.spark.sql.types.TimestampType,
+        "d" -> org.apache.spark.sql.types.DateType)) {
+      val cs = st.colStats(c)
+      assert(cs.min.isDefined && cs.max.isDefined, s"$c: $cs")
+      Seq(cs.min.get, cs.max.get).foreach { s =>
+        CatalogColumnStat.fromExternalString(s, c, dt,
+          CatalogColumnStat.VERSION) // must not throw
+      }
+    }
+    val cboBefore = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // planning reads the column stats through toPlanStat — this THREW
+      // when the display strings were stored verbatim
+      val planStats = spark.table(s"$db.events_ts")
+        .where(col("ts") > lit(java.sql.Timestamp.valueOf(
+          "2020-01-10 00:00:00")) && col("d") < lit(
+          java.sql.Date.valueOf("2021-02-20")))
+        .queryExecution.optimizedPlan.stats
+      assert(planStats.rowCount.exists(_ > BigInt(0)), s"$planStats")
+    } finally spark.conf.set("spark.sql.cbo.enabled", cboBefore)
+  }
 }

@@ -109,6 +109,82 @@ class ComponentsSpec extends SparkSpec {
     assert(after == fullClosure(base ++ batch))
   }
 
+  test("purgeNodes ≡ rebuild over the filtered edges: a cut-vertex " +
+      "delete SPLITS its component, a min-id delete RENAMES it, an " +
+      "isolated survivor LEAVES; unaffected components untouched; " +
+      "replay and unknown ids no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccpurge")
+      .toString + "/s"
+    // {1,2,3,4}: 2 is a cut vertex (1-2, 2-3, 3-4) → deleting 2 splits
+    //   into {1} (isolated → leaves) and {3,4}
+    // {10,11,12}: chain 10-11-12; deleting 10 (the MIN) renames to 11
+    // {20,21}: untouched component
+    // {30,31}: both endpoints die → everything leaves
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (30L, 31L))
+    val batch = Seq((3L, 4L), (11L, 12L))
+    Components.buildComponentStore(spark, dir, base.toDF("a", "b"),
+      nParts = 4)
+    assert(Components.appendEdges(spark, dir, batch.toDF("a", "b")))
+    val doomed: Seq[Any] = Seq(2L, 10L, 30L, 31L)
+    val removed = Components.purgeNodes(spark, dir, doomed)
+    // leaving rows: 2, 30, 31 (deleted), 1 (isolated), 10 (deleted min)
+    assert(removed == 5L, s"removed=$removed")
+    val filtered = (base ++ batch).filter { case (a, b) =>
+      !doomed.contains(a) && !doomed.contains(b) }
+    assert(storeLabels(dir) == fullClosure(filtered),
+      "the purged store must equal a from-scratch closure over the " +
+        "filtered edge set")
+    assert(storeLabels(dir) == Map(3L -> 3L, 4L -> 3L, 11L -> 11L,
+      12L -> 11L, 20L -> 20L, 21L -> 20L))
+    // no edge row references a deleted id
+    val edges = spark.read.parquet(s"$dir/edges")
+    assert(edges.filter(col("a").isInCollection(doomed) ||
+      col("b").isInCollection(doomed)).count() == 0L)
+    // replay no-ops on the ledger; unknown ids no-op loudly-not-at-all
+    assert(Components.purgeNodes(spark, dir, doomed) == 0L)
+    assert(Components.purgeNodes(spark, dir, Seq(999L)) == 0L)
+    assert(storeLabels(dir) == fullClosure(filtered))
+    // the store keeps working: a batch reconnecting the split halves
+    assert(Components.appendEdges(spark, dir,
+      Seq((4L, 12L)).toDF("a", "b")))
+    assert(storeLabels(dir) == fullClosure(filtered :+ (4L, 12L)))
+  }
+
+  test("purgeNodes crash-retry: with the stage present and the edges " +
+      "already purged, the retry finishes from the STAGED plan (it " +
+      "cannot recompute the split from half-purged edges)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccpurge_crash")
+      .toString + "/s"
+    // 2 is a cut vertex: deleting it splits {1,2,3,4} into {1}
+    // (isolated → leaves) and {3,4}
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (20L, 21L))
+    Components.buildComponentStore(spark, dir, base.toDF("a", "b"),
+      nParts = 4)
+    val doomed: Seq[Any] = Seq(2L)
+    // hand-build the exact crash state a first run leaves after its
+    // stage write + edge purge but BEFORE the label rewrite/ledger mark
+    val id = "purge-" + graft.pipeline.AppendCommit.contentId("2")
+    val stage = s"$dir/_purge_stage/$id"
+    Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)).toDF("id", "comp")
+      .write.parquet(s"$stage/members")
+    // relabeled = closure over the filtered sub-edges {3-4}
+    Seq((3L, 3L), (4L, 3L)).toDF("id", "comp")
+      .withColumn("part", pmod(xxhash64(col("id")), lit(4L)))
+      .write.parquet(s"$stage/relabeled")
+    new java.io.File(stage, "_staged").createNewFile()
+    graft.pipeline.Maintain.deleteByKey(spark, s"$dir/edges", "a", doomed)
+    graft.pipeline.Maintain.deleteByKey(spark, s"$dir/edges", "b", doomed)
+    // the retry must converge from the stage: 1 and 2 leave, 3/4 keep
+    // comp 3, component {20,21} untouched
+    val removed = Components.purgeNodes(spark, dir, doomed)
+    assert(removed == 2L, s"removed=$removed")
+    assert(storeLabels(dir) == Map(3L -> 3L, 4L -> 3L, 20L -> 20L,
+      21L -> 20L))
+    assert(Components.purgeNodes(spark, dir, doomed) == 0L)
+  }
+
   test("component store: append rewrites only label partitions holding changed/new ids") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ccstore").toString + "/s"

@@ -78,6 +78,38 @@ class GramIndexSpec extends SparkSpec {
     assert(res(idx1) == Set((9L, 6L, 5L), (10L, 6L, 5L)))
   }
 
+  test("purgeDocs: a forgotten doc's grams leave the index files; the " +
+      "probe equals a from-scratch rebuild over the filtered corpus; " +
+      "replay no-ops; shared grams survive via their surviving holder") {
+    val idx = Files.createTempDirectory("gidx_purge").toString + "/i"
+    val d1 = 1L -> "a b c d e f g"          // doomed
+    val d2 = 2L -> "h i j k l m n"          // doomed (appended)
+    val d3 = 3L -> "a b c d e zz ww"        // survivor SHARING d1's gram
+    val d4 = 4L -> "o p q r s t u"          // survivor
+    GramIndex.buildGramIndex(spark, docs(d1, d3), 5, idx)
+    GramIndex.appendToGramIndex(spark, docs(d2, d4), 5, idx)
+    val removed = GramIndex.purgeDocs(spark, idx, Seq(1L, 2L))
+    assert(removed > 0L)
+    assert(spark.read.parquet(s"$idx/grams")
+      .filter(col("doc_id").isin(1L, 2L)).count() == 0L,
+      "zero index rows may reference a deleted id")
+    val fresh = Files.createTempDirectory("gidx_purge_f").toString + "/i"
+    GramIndex.buildGramIndex(spark, docs(d3, d4), 5, fresh)
+    // "a b c d e" is shared with the SURVIVING d3 — still seen; d1's
+    // "b c d e f" etc. and all of d2's grams are novel again
+    val probe = docs(10L -> "a b c d e f g", 11L -> "h i j k l m n",
+      12L -> "o p q r s t u")
+    def res(i: String) = GramIndex.noveltyProbe(spark, probe, 5, i)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(res(idx) == res(fresh),
+      "the purged index must be indistinguishable from the filtered " +
+        "rebuild")
+    assert(res(idx) == Set((10L, 3L, 2L), (11L, 3L, 3L), (12L, 3L, 0L)))
+    assert(GramIndex.purgeDocs(spark, idx, Seq(1L, 2L)) == 0L,
+      "a replayed purge must be a ledger no-op")
+  }
+
   test("cross-batch duplicate grams never multiply probe rows") {
     val idx = Files.createTempDirectory("gidx_dup").toString + "/i"
     val d = docs(1L -> "a b c d e f")

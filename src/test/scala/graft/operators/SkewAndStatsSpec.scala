@@ -32,6 +32,39 @@ class SkewAndStatsSpec extends SparkSpec {
     assert(SkewJoin.saltedInnerJoin(left, right, "k", 8).count() == 10000L)
   }
 
+  test("skew evidence is NULL-aware: a mostly-NULL probe side with " +
+      "flat non-null keys selects the plain join; empty / all-null " +
+      "sides don't crash and never salt") {
+    import spark.implicits._
+    // 60% NULL-keyed, non-null keys perfectly flat (10 rows each):
+    // counting the NULL group as a key would read max_n=6000 vs mean
+    // ~545 → "skew 11×"; with 150 flat keys at threshold 16 it stays
+    // plain either way, so make the null mass extreme enough that the
+    // null-counting bug WOULD flip it: 6000 nulls vs 100 keys × 10.
+    val probe = ((1 to 6000).map(_ => (None: Option[Long], 1)) ++
+      (1 to 1000).map(i => (Some((i % 100).toLong), 1))).toDF("k", "v")
+    val st = SkewJoin.chooseSkewStrategy(probe, "k")
+    assert(!st.useSalting && st.nKeys == 100L && st.nRows == 1000L &&
+      st.maxN == 10L,
+      s"NULL keys must not count as skew evidence: $st")
+    // inner-join output identity is unaffected either way (nulls never
+    // match), so the selector's only job here is cost — and the plain
+    // plan is the cheap one
+    val dim = (0L to 99L).map(k => (k, k * 2)).toDF("k", "w")
+    assert(SkewJoin.innerJoinAuto(probe, dim, "k").count() == 1000L)
+    // empty left: evidence is all-zero, no NPE, plain join, empty out
+    val empty = Seq.empty[(Option[Long], Int)].toDF("k", "v")
+    val stE = SkewJoin.chooseSkewStrategy(empty, "k")
+    assert(stE == SkewJoin.SkewStrategy(0L, 0L, 0L, 0.0,
+      useSalting = false))
+    assert(SkewJoin.innerJoinAuto(empty, dim, "k").count() == 0L)
+    // all-NULL left behaves like empty
+    val allNull = (1 to 50).map(_ => (None: Option[Long], 1)).toDF("k", "v")
+    assert(SkewJoin.chooseSkewStrategy(allNull, "k") ==
+      SkewJoin.SkewStrategy(0L, 0L, 0L, 0.0, useSalting = false))
+    assert(SkewJoin.innerJoinAuto(allNull, dim, "k").count() == 0L)
+  }
+
   test("rolling_hash windows match a direct per-window recompute") {
     RollingHash.register(spark)
     import spark.implicits._

@@ -155,6 +155,14 @@ class CascadeSpec extends SparkSpec {
         Cascade.Target.View(view, "vec_id"),
         Cascade.Target.RollupStore(roll, rollSpec)))
     assert(sum.tableRowsDeleted == delDocs.size.toLong, s"$sum")
+    // the receipt is complete: every target appears exactly once, under
+    // its kind-qualified label, in exactly one of purged / retracted /
+    // invalidated
+    val labels = sum.purged.keySet ++ sum.retracted.keySet ++
+      sum.invalidated.toSet
+    assert(sum.purged.size + sum.retracted.size +
+      sum.invalidated.size == 4 && labels == Set(
+        s"ivf:$ivf", s"pq:$pq", s"view:$view", s"rollup:$roll"), s"$sum")
     assert(spark.read.parquet(table)
       .filter(col("vec_id").isInCollection(keys)).count() == 0L)
     assert(spark.read.parquet(s"$ivf/cells")
@@ -172,7 +180,8 @@ class CascadeSpec extends SparkSpec {
         Cascade.Target.View(view, "vec_id"),
         Cascade.Target.RollupStore(roll, rollSpec)))
     assert(again.tableRowsDeleted == 0L &&
-      again.purged.values.forall(_ == 0L), s"$again")
+      again.purged.values.forall(_ == 0L) &&
+      again.retracted.values.forall(_ == 0L), s"$again")
   }
 
   test("rollup retraction: a subtractable store delta-subtracts the " +
@@ -188,7 +197,8 @@ class CascadeSpec extends SparkSpec {
     val store = tmp("casc_ret") + "/s"
     Rollup.init(spark, store, facts, spec, "b0")
     val deleted = facts.filter(col("k") % 7 === 3)
-    assert(Rollup.retract(spark, store, deleted, spec, "purge-1"))
+    assert(Rollup.retract(spark, store, deleted, spec, "purge-1") ==
+      deleted.count(), "retract must receipt the fact rows retracted")
     val freshStore = tmp("casc_ret_fresh") + "/s"
     Rollup.init(spark, freshStore, facts.filter(col("k") % 7 =!= 3),
       spec, "b0")
@@ -199,7 +209,7 @@ class CascadeSpec extends SparkSpec {
       }).toSet
     assert(readBack(store) == readBack(freshStore),
       "retraction must equal the from-scratch filtered build")
-    assert(!Rollup.retract(spark, store, deleted, spec, "purge-1"),
+    assert(Rollup.retract(spark, store, deleted, spec, "purge-1") == 0L,
       "replay must no-op")
     // crash-retry contract: the first attempt STAGED the deleted rows'
     // partials and died before the merge; the fact table has since
@@ -208,7 +218,9 @@ class CascadeSpec extends SparkSpec {
     val deleted2 = facts.filter(col("k") % 5 === 0 && col("k") % 7 =!= 3)
     Rollup.stageRetraction(spark, store, deleted2, spec, "purge-2")
     assert(Rollup.retract(spark, store, deleted2.limit(0), spec,
-      "purge-2"))
+      "purge-2") == deleted2.count(),
+      "the retry's receipt must carry the STAGED rows, not the empty " +
+        "recompute")
     val fresh2 = tmp("casc_ret_fresh2") + "/s"
     Rollup.init(spark, fresh2,
       facts.filter(col("k") % 7 =!= 3)

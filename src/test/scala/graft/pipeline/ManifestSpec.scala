@@ -391,4 +391,32 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.exists(dir))
     assert(Manifest.rootListings.get() == mid)
   }
+
+  test("a crash between a commit's generation write and its marker " +
+      "write heals at the next refresh/recover — no permanent " +
+      "exists()=false / resolve()=Some split brain") {
+    val dir = Files.createTempDirectory("mani_marker").toString + "/t"
+    (1L to 20L).map(k => (k, k % 3)).toDF("k", "v")
+      .coalesce(2).write.parquet(dir)
+    Manifest.enable(spark, dir)
+    assert(Manifest.exists(dir))
+    // simulate the crash: generation present, marker gone
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      new org.apache.hadoop.conf.Configuration())
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_manifest_CURRENT"),
+      false)
+    assert(!Manifest.exists(dir) && Manifest.resolve(dir).isDefined,
+      "precondition: the split-brain state")
+    // the UNCHANGED-listing refresh path must still heal the marker —
+    // it commits no generation, so commit()'s marker rewrite never runs
+    assert(!Manifest.refresh(spark, dir),
+      "listing unchanged: no new generation")
+    assert(Manifest.exists(dir),
+      "refresh must converge the marker with the generation state")
+    // and so must a bare maintenance-entry recover()
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_manifest_CURRENT"),
+      false)
+    Manifest.recover(dir)
+    assert(Manifest.exists(dir))
+  }
 }

@@ -224,7 +224,10 @@ class SkippingSpec extends SparkSpec {
     assert(statFiles() == after)
   }
 
-  test("refresh rebuilds on stale-delete; a dead file never reaches the matched list") {
+  test("refresh prunes dead files INCREMENTALLY on stale-delete (no " +
+      "full rebuild): the dead row and its ledger cover leave, " +
+      "survivors' stats keep physical identity, no dead file is ever " +
+      "matched") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val path = Files.createTempDirectory("skip_del").toString + "/t"
@@ -240,11 +243,79 @@ class SkippingSpec extends SparkSpec {
     assert(!matched.exists(_.contains(victim.getName)),
       "a stats-known but deleted file must drop from the matched list")
     assert(Skipping.readRange(spark, path, "k", 1L, 300L).count() == 200L)
-    // the refresh detects the deletion and rebuilds over survivors
+    // the refresh detects the deletion and PRUNES — per-file stats rows
+    // are pure functions of one file, so dropping the dead row is
+    // exact; a full O(data) rebuild would be waste
     val r = Skipping.refreshStats(spark, path, Seq("k"))
-    assert(r.rebuilt, "a covered-but-deleted file must trigger a rebuild")
+    assert(!r.rebuilt && r.appended == 0,
+      s"stale-delete must prune incrementally, not rebuild: $r")
     val (m2, u2) = Skipping.candidateFiles(spark, path, "k", 1L, 300L)
     assert(u2.isEmpty && m2.size == 2)
+    assert(!m2.exists(_.contains(victim.getName)))
+    // the stats table itself no longer names the dead file, and the
+    // ledger no longer covers it (else every later refresh re-prunes)
+    val stats = spark.read.parquet(
+      new java.io.File(s"$path/_skip_stats").listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(_.getPath).toIndexedSeq: _*)
+    assert(stats.count() == 2L)
+    assert(!AppendCommit.appliedEntries(s"$path/_skip_stats")
+      .flatMap(_._2.split("\n")).exists(_.contains(victim.getName)))
+  }
+
+  test("deleteByKey converges the skip trees in its own commit: no " +
+      "stats row names a dead file, no bloom row covers a purged key's " +
+      "file, the fresh del_ rewrites are stats-known (pruned, not " +
+      "unknown-scanned), and a surviving-key point lookup still prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("skip_delkey").toString + "/t"
+    (1L to 400L).map(k => (k, k % 7)).toDF("k", "v")
+      .repartitionByRange(4, col("k")).write.parquet(path)
+    Skipping.buildStats(spark, path, Seq("k"))
+    Skipping.buildBloom(spark, path, "k")
+    val liveBefore = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // purge keys confined to one file's range → one rewrite, three
+    // untouched files
+    val sum = Maintain.deleteByKey(spark, path, "k", (1L to 50L))
+    assert(sum.rewritten == 1 && sum.rowsDeleted == 50L, s"$sum")
+    val live = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val dead = liveBefore -- live
+    assert(dead.size == 1)
+    def treeRows(d: String) = spark.read.parquet(
+      new java.io.File(d).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(_.getPath).toIndexedSeq: _*)
+    for (tree <- Seq(s"$path/_skip_stats", s"$path/_skip_bloom_k")) {
+      // compare BASENAMES exactly: the del_ rewrite's name contains the
+      // dead original's name as a substring
+      val names = treeRows(tree).select("file").collect()
+        .map(_.getString(0).split('/').last)
+      assert(!names.exists(dead), s"$tree still names dead file(s): " +
+        names.mkString(", "))
+      assert(names.length == live.size && names.toSet == live,
+        s"$tree must cover every live file (del_ rewrite included): " +
+          names.mkString(", "))
+    }
+    // the purged keys' point lookup: their only true bloom cover left
+    // with the dead file (the del_ rewrite's fresh sketch doesn't
+    // contain them) — no unknown files remain, and any residual match
+    // is a generic bloom false positive, not the dead file
+    val (m0, u0) = Skipping.candidateFilesEq(spark, path, "k", Seq(25L))
+    assert(u0.isEmpty && !m0.map(_.split('/').last).exists(dead),
+      s"matched=$m0 unknown=$u0")
+    // ...while a surviving key still prunes (its holder — the fresh
+    // del_ rewrite — is bloom-known; at most FP noise beyond it) and
+    // the read is exact
+    val (m1, u1) = Skipping.candidateFilesEq(spark, path, "k", Seq(60L))
+    assert(m1.exists(_.contains("del_")) && u1.isEmpty && m1.size < 4,
+      s"matched=$m1 unknown=$u1")
+    assert(Skipping.readPointLookup(spark, path, "k", Seq(60L))
+      .count() == 1L)
+    assert(Skipping.readPointLookup(spark, path, "k", Seq(25L))
+      .count() == 0L)
   }
 
   test("auto-sized blooms are ~10x smaller than the fixed-1M default and prune identically") {
