@@ -100,6 +100,16 @@ object Warehouse {
         * fresh per sync batch without table re-scans
         * (see [[Warehouse.profileOf]]) */
       maintainedProfiles: Map[String, Seq[String]] = Map.empty,
+      /** table → histogram specs maintained ALONGSIDE the profile
+        * partials (requires the table in `maintainedProfiles`): the
+        * equi-width `map<bin,count>` evidence
+        * [[graft.catalog.CatalogStats.equiHeightHistogram]] resamples
+        * into the CBO's equi-height histograms at push time, so filter
+        * selectivity on skewed columns plans from measured mass instead
+        * of uniform-NDV guesswork — at no extra scan (the hist partial
+        * folds in the same per-batch pass as the profile) */
+      maintainedProfileHists:
+        Map[String, Seq[graft.pipeline.Rollup.Hist]] = Map.empty,
       /** enrichment views auto-refreshed per sync batch
         * (see [[Warehouse.view]]) */
       maintainedViews: Seq[ViewDef] = Nil,
@@ -144,6 +154,106 @@ object Warehouse {
         s"dryRun=${s.dryRun}" +
         (if (s.failedKeys.nonEmpty)
            s" failedKeys=${s.failedKeys.mkString(",")}" else ""))
+
+  // ---------------------------------------------------------------------
+  // q264_forget_ledger — RTBF DURABILITY end-to-end, the two failure
+  // modes a one-shot cascade cannot survive: (1) the upstream manifest
+  // re-delivers forgotten content under a NEW file name (the
+  // reference's sync diff is name-keyed — `sync-canvas-data-files
+  // .py:58-67` — so a fresh name always fetches); (2) the cascade
+  // crashes after journaling, before completing, and the caller's key
+  // list dies with it. The gate syncs two of three TSV extract files,
+  // forgets every doc_id ≡ 5 (mod 11), hand-plants a crashed journal
+  // for doc_id ≡ 6 (mod 13), then syncs again with the third file —
+  // which carries rows under BOTH key sets. The per-sync sweep must
+  // purge the fresh file before anything ingests it AND finish the
+  // crashed cascade from its journal alone. The oracle is the source
+  // corpus filtered by both key sets: any resurrected or surviving row
+  // shifts a count or the id-sum and hash-fails.
+  // ---------------------------------------------------------------------
+  private lazy val gateBase: String =
+    java.nio.file.Files.createTempDirectory("graft_fledger_").toString
+
+  def q264ForgetLedger(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = s"$gateBase/f_${dir.hashCode.toHexString}"
+    val whDir = s"$root/wh"
+    val schema = Seq(graft.model.CDTable("documents", None, Seq(
+      graft.model.CDColumn("doc_id", "bigint"),
+      graft.model.CDColumn("lang", "varchar", Some(20)),
+      graft.model.CDColumn("n_chars", "bigint"))))
+    val st = graft.model.TypeLattice.toStructType(schema.head)
+    if (!new java.io.File(s"$root.complete").exists()) {
+      val d = graft.operators.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      // three uncompressed TSV extract files, split by doc_id mod 3 —
+      // the raw format the sync fetches (LazySimpleSerDe conventions:
+      // tab-separated, \N nulls, no quoting)
+      def tsv(i: Int): graft.pipeline.Sync.ManifestEntry = {
+        val out = s"$root/src_$i"
+        d.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").option("sep", "\t")
+          .option("nullValue", "\\N").option("quote", "").csv(out)
+        val f = new java.io.File(out).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        graft.pipeline.Sync.ManifestEntry("documents", s"d$i.tsv",
+          f.toURI.toString)
+      }
+      val (f0, f1, f2) = (tsv(0), tsv(1), tsv(2))
+      val wh = new Warehouse(s, Config(whDir, db = "graft_fledger",
+        canonicalize = true))
+      wh.sync(Seq(f0, f1), schema)
+      val keysA: Seq[Any] = d.filter(col("doc_id") % 11 === 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      wh.forget(schema, "documents", "doc_id", keysA)
+      // a CRASHED cascade: journal present, completion marker missing —
+      // only the on-disk journal knows these keys now
+      val keysB = d.filter(col("doc_id") % 13 === 6)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val fdir = java.nio.file.Paths.get(s"$whDir/_forget/documents")
+      java.nio.file.Files.createDirectories(fdir)
+      java.nio.file.Files.writeString(fdir.resolve("req_crashed1"),
+        ("doc_id" +: keysB.map(_.toString)).mkString("\n"))
+      // the next sync delivers f2 — rows under BOTH forgotten key sets
+      // arriving under a never-seen name
+      wh.sync(Seq(f0, f1, f2), schema)
+      new java.io.File(s"$root.complete").createNewFile()
+    }
+    val forbidden = col("doc_id") % 11 === 5 || col("doc_id") % 13 === 6
+    val canon = new Warehouse(s, Config(whDir, db = "graft_fledger",
+      canonicalize = true)).canonicalTable("documents")
+    val rawFiles = new java.io.File(s"$whDir/raw_files/documents")
+      .listFiles().toSeq
+      .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+      .map(_.getPath)
+    val raw = graft.sources.TsvSource.read(s, st, rawFiles)
+    val doneMarkers = new java.io.File(s"$whDir/_forget/documents")
+      .listFiles().count(_.getName.startsWith("done_")).toLong
+    val rows = Seq(
+      ("canon_forgotten", canon.filter(forbidden).count()),
+      ("canon_sum_id",
+        canon.agg(sum(col("doc_id"))).head().getLong(0)),
+      ("canon_total", canon.count()),
+      ("done_markers", doneMarkers),
+      ("raw_forgotten", raw.filter(forbidden).count()),
+      ("raw_total", raw.count()))
+    val sqlCtx = s
+    import sqlCtx.implicits._
+    rows.toDF("metric", "value")
+  }
+
+  val q264ForgetLedgerSql: String =
+    """WITH kept AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE doc_id % 11 <> 5 AND doc_id % 13 <> 6)
+      |SELECT 'canon_forgotten' AS metric, CAST(0 AS BIGINT) AS value
+      |UNION ALL SELECT 'canon_sum_id',
+      |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM kept)
+      |UNION ALL SELECT 'canon_total', (SELECT COUNT(*) FROM kept)
+      |UNION ALL SELECT 'done_markers', CAST(2 AS BIGINT)
+      |UNION ALL SELECT 'raw_forgotten', CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'raw_total', (SELECT COUNT(*) FROM kept)""".stripMargin
 }
 
 final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
@@ -168,6 +278,10 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     // reference publishes to SNS before anything else can fail), even if
     // the optional canonical refresh below throws
     try {
+      // forget enforcement FIRST: a freshly fetched file re-delivering
+      // forgotten content must purge before the canonical layer or any
+      // maintained store reads it; crashed cascades complete here too
+      if (!cfg.dryRun) sweepForgets(schema)
       if (cfg.canonicalize && !cfg.dryRun)
         // incremental: unchanged tables cost one file listing, no rewrite
         schema.foreach { t =>
@@ -217,11 +331,20 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     *
     * Convergent under re-run: every hook is content-keyed idempotent,
     * captures are intent-staged, and the destructive steps run LAST.
-    * Two honest caveats: maintained indexes must be keyed by the
-    * delete column (`idCol == c` — refused loudly otherwise; a
-    * cross-column forget needs a pre-captured key mapping), and an
-    * upstream manifest that re-delivers the content under a NEW file
-    * name re-ingests it — the upstream source must forget too. */
+    *
+    * DURABLE: the request journals to `_forget/<table>/req_<id>` BEFORE
+    * any destructive step, and [[sweepForgets]] (run by every sync,
+    * ahead of canonicalization and store maintenance) (a) finishes any
+    * journaled request whose completion marker is missing — a crashed
+    * cascade no longer depends on the caller re-invoking with the same
+    * keys — and (b) re-applies every active forget to raw files the
+    * sync newly fetched, so an upstream manifest re-delivering the
+    * forgotten content under a NEW file name cannot resurrect it: the
+    * fresh file purges before the canonical layer or any maintained
+    * store reads it. One honest caveat remains: maintained indexes must
+    * be keyed by the delete column (`idCol == c` — refused loudly
+    * otherwise; a cross-column forget needs a pre-captured key
+    * mapping). */
   def forget(schema: Seq[CDTable], tableName: String, c: String,
       keys: Seq[Any]): ForgetSummary = {
     require(keys.nonEmpty, "need at least one key to forget")
@@ -239,6 +362,22 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       graft.pipeline.Maintain.requireKeysCastable(spark, f.dataType, c,
         keys)
     }
+    // journal FIRST: the request must survive a crash at any later step
+    val keyStrs = keys.filter(_ != null).map(String.valueOf)
+    val reqId = graft.pipeline.AppendCommit.contentId(
+      s"$tableName|$c|" + keyStrs.sorted.mkString("\n"))
+    journalForget(tableName, reqId, c, keyStrs)
+    val sum = forgetInternal(schema, t, c, keys)
+    // the cascade just purged the WHOLE raw layer — cover its current
+    // files so the per-sync sweep only ever touches later arrivals
+    markSwept(tableName, reqId, rawListing(tableName))
+    writeForgetDone(tableName, reqId)
+    sum
+  }
+
+  private def forgetInternal(schema: Seq[CDTable], t: CDTable, c: String,
+      keys: Seq[Any]): ForgetSummary = {
+    val tableName = t.tableName
     val idxDefs = cfg.maintainedIndexes.filter(_.table == tableName)
     val vDefs = cfg.maintainedVectorIndexes.filter(_.table == tableName)
     (idxDefs.map(d => d.name -> d.idCol) ++
@@ -317,6 +456,123 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       invalidated.toSeq)
   }
 
+  // --- the persisted forget ledger --------------------------------------
+
+  private def forgetDir(table: String) =
+    s"${cfg.warehouseDir}/_forget/$table"
+
+  /** Journal a forget request: `req_<id>`, first line the key column,
+    * one key per following line. Temp+rename; identical requests share
+    * an id (content-keyed), so a re-journal is an overwrite-equal. */
+  private def journalForget(table: String, reqId: String, c: String,
+      keyStrs: Seq[String]): Unit = {
+    val fs = fsOf
+    val dir = new org.apache.hadoop.fs.Path(forgetDir(table))
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".req_$reqId.tmp")
+    val os = fs.create(tmp, true)
+    try os.write((c +: keyStrs).mkString("\n").getBytes("UTF-8"))
+    finally os.close()
+    val dest = new org.apache.hadoop.fs.Path(dir, s"req_$reqId")
+    if (fs.exists(dest)) { fs.delete(tmp, false) }
+    else if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"cannot journal forget $reqId")
+  }
+
+  private def writeForgetDone(table: String, reqId: String): Unit = {
+    val os = fsOf.create(new org.apache.hadoop.fs.Path(
+      forgetDir(table), s"done_$reqId"), true)
+    os.close()
+  }
+
+  /** Raw files a given sweep covered — the Skipping coveredBy shape:
+    * union of ledger payload lines under `_forget/<table>/swept`. */
+  private def markSwept(table: String, reqId: String,
+      files: Seq[String]): Unit =
+    graft.pipeline.AppendCommit.markApplied(s"${forgetDir(table)}/swept",
+      s"fg_${reqId}_${graft.pipeline.AppendCommit.contentId(
+        files.sorted.mkString("\n"))}",
+      files.mkString("\n"))
+
+  private def sweptFiles(table: String): Set[String] =
+    graft.pipeline.AppendCommit
+      .appliedEntries(s"${forgetDir(table)}/swept")
+      .flatMap(_._2.split("\n")).filter(_.nonEmpty).toSet
+
+  /** Journal-string keys back to the engine's typed values, through the
+    * engine's OWN cast (identical semantics to every purge filter). */
+  private def typedKeys(t: CDTable, c: String,
+      keyStrs: Seq[String]): Seq[Any] = {
+    import spark.implicits._
+    val dt = graft.model.TypeLattice.toStructType(t)
+      .fields.find(_.name == c).get.dataType
+    keyStrs.toDF("__ks")
+      .select(org.apache.spark.sql.functions.col("__ks").cast(dt))
+      .collect().map(_.get(0)).toSeq
+  }
+
+  /** Per-sync forget enforcement, run BEFORE canonicalization and store
+    * maintenance see any newly fetched file:
+    *
+    *   1. a journaled request with no completion marker is a CRASHED
+    *      cascade — finish it (every hook is idempotent/intent-staged,
+    *      so replay converges) without the original caller;
+    *   2. raw files the swept ledger has never covered (the sync's
+    *      fresh fetches — including an upstream RE-DELIVERY of
+    *      forgotten content under a new name) are purged of every
+    *      active request's keys, so nothing downstream ever ingests a
+    *      resurrected row.
+    *
+    * Costs one listing per table with active forgets; the fresh-file
+    * purge scans only the fresh files. */
+  private[graft] def sweepForgets(schema: Seq[CDTable]): Unit = {
+    val fs = fsOf
+    schema.foreach { t =>
+      val dir = new org.apache.hadoop.fs.Path(forgetDir(t.tableName))
+      if (fs.exists(dir)) {
+        val names = fs.listStatus(dir).filter(_.isFile)
+          .map(_.getPath.getName)
+        val dones = names.filter(_.startsWith("done_"))
+          .map(_.stripPrefix("done_")).toSet
+        val reqs: Seq[(String, String, Seq[String])] =
+          names.filter(_.startsWith("req_")).toSeq.sorted.map { n =>
+            val id = n.stripPrefix("req_")
+            val in = fs.open(new org.apache.hadoop.fs.Path(dir, n))
+            val txt = try new String(in.readAllBytes(), "UTF-8")
+              finally in.close()
+            val lines = txt.split("\n").toSeq
+            (id, lines.head, lines.tail.filter(_.nonEmpty))
+          }
+        // 1) purge fresh raw files of EVERY journaled request's keys —
+        // before any crashed-cascade completion marks the listing
+        // swept on behalf of its one request
+        val fresh = rawListing(t.tableName)
+          .filterNot(sweptFiles(t.tableName))
+        if (fresh.nonEmpty && reqs.nonEmpty) {
+          reqs.groupBy(_._2).foreach { case (c, rs) =>
+            val ks = rs.flatMap(_._3).distinct
+            val removed = purgeRawTsv(t, c, typedKeys(t, c, ks),
+              onlyFiles = Some(fresh))
+            if (removed > 0)
+              log.info(s"forget sweep: ${t.tableName}.$c — $removed " +
+                s"re-delivered row(s) purged from ${fresh.size} fresh " +
+                "file(s)")
+          }
+          markSwept(t.tableName, "sweep", fresh)
+        }
+        // 2) finish crashed cascades (idempotent hooks; replay
+        // converges without the original caller)
+        reqs.filterNot(r => dones(r._1)).foreach { case (id, c, ks) =>
+          log.info(s"forget sweep: completing crashed cascade $id " +
+            s"on ${t.tableName}.$c (${ks.size} keys)")
+          forgetInternal(schema, t, c, typedKeys(t, c, ks))
+          markSwept(t.tableName, id, rawListing(t.tableName))
+          writeForgetDone(t.tableName, id)
+        }
+      }
+    }
+  }
+
   private val ForgetAside = ".forget_aside_"
 
   /** Rewrite every raw TSV file holding the keys, IN PLACE under its
@@ -326,7 +582,7 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     * copy exists); crashed attempts heal at the next call's entry
     * sweep. */
   private def purgeRawTsv(t: CDTable, c: String,
-      keys: Seq[Any]): Long = {
+      keys: Seq[Any], onlyFiles: Option[Seq[String]] = None): Long = {
     import org.apache.spark.sql.functions.col
     val tableDir = s"${cfg.warehouseDir}/${Sync.RawPrefix}/${t.tableName}"
     val fs = fsOf
@@ -343,7 +599,9 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
           throw new java.io.IOException(s"cannot restore $orig")
       }
     val st = graft.model.TypeLattice.toStructType(t)
-    val files = rawListing(t.tableName)
+    // the sweep restricts the discovery scan to the sync's FRESH files
+    // — O(fresh), not a full raw-layer pass per sync
+    val files = onlyFiles.getOrElse(rawListing(t.tableName))
     if (files.isEmpty) return 0L
     // ONE batched discovery pass over the whole raw layer (the
     // deleteByKey discipline — never one probe job per file): only the
@@ -761,7 +1019,8 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       cfg.maintainedRollups.map(r =>
         (s"rollup_${r.name}", r.table, r.spec)) ++
         cfg.maintainedProfiles.toSeq.map { case (t, cols) =>
-          (s"profile_$t", t, graft.operators.Stats.profileSpec(cols)) }
+          (s"profile_$t", t, graft.operators.Stats.profileSpec(cols,
+            cfg.maintainedProfileHists.getOrElse(t, Nil))) }
     if (stores.isEmpty) return
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(cfg.warehouseDir),
@@ -814,7 +1073,8 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
                 .filter(_.isFile).map(_.getLen).sum
               graft.catalog.CatalogStats.pushFromProfileStore(spark,
                 cfg.db, tableName, store,
-                cfg.maintainedProfiles(tableName), bytes)
+                cfg.maintainedProfiles(tableName), bytes,
+                cfg.maintainedProfileHists.getOrElse(tableName, Nil))
             } catch {
               case scala.util.control.NonFatal(e) =>
                 log.warn(s"catalog stats push failed for $tableName: $e")

@@ -38,7 +38,60 @@ object CatalogStats {
       min: Option[String] = None,
       max: Option[String] = None,
       avgLen: Option[Long] = None,
-      maxLen: Option[Long] = None)
+      maxLen: Option[Long] = None,
+      hist: Option[org.apache.spark.sql.catalyst.plans.logical.Histogram] =
+        None)
+
+  /** Maintained equi-WIDTH bin counts (`map<bin, count>`, the
+    * [[graft.pipeline.Rollup.Hist]] partial) → the CBO's equi-HEIGHT
+    * [[org.apache.spark.sql.catalyst.plans.logical.Histogram]].
+    *
+    * Bounds come from a cumulative walk that STEPS on width-bin lower
+    * edges (never interpolates inside a bin): the equal-mass bound at
+    * row position r is the lower edge of the width bin holding r. A
+    * heavy bin therefore REPEATS its edge across many equal-mass
+    * bounds, producing zero-width bins — exactly the shape ANALYZE's
+    * percentile-based histograms give heavy hitters, and the shape
+    * `FilterEstimation`'s equality path reads: a filter on the hot
+    * value counts the zero-width bins holding it and estimates its
+    * true mass instead of rows/NDV. (Interpolating inside the width
+    * bin instead would smear the hot value's mass across (v, v+w) and
+    * a point query on v would see almost none of it.) Granularity
+    * error is bounded by one binWidth — the histQuantiles contract.
+    * The top bound is the last bin's UPPER edge so the histogram
+    * covers the full value range. Per-bin NDV is the bin's value span
+    * (ceil) capped by its row count — exact per-bin distinct counts
+    * are not maintained; for zero-width (single-value) bins it is 1 by
+    * construction. */
+  def equiHeightHistogram(binCounts: Map[Long, Long], binWidth: Double,
+      numBins: Int = 64)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.Histogram] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Histogram,
+      HistogramBin}
+    val bins = binCounts.toSeq.filter(_._2 > 0L).sortBy(_._1)
+    val total = bins.map(_._2).sum
+    if (total <= 0L) return None
+    val n = math.min(numBins, math.max(1, total.toInt))
+    val height = total.toDouble / n
+    val cumBefore = bins.scanLeft(0L)(_ + _._2).init
+    // lower edge of the width bin holding cumulative row position r;
+    // monotone in r, so the walk pointer only ever advances
+    var wi = 0
+    def valueAt(r: Double): Double = {
+      while (wi < bins.size - 1 && cumBefore(wi) + bins(wi)._2 < r)
+        wi += 1
+      bins(wi)._1 * binWidth
+    }
+    val bounds = (0 until n).map(j => valueAt(j * height)) :+
+      ((bins.last._1 + 1L) * binWidth)
+    val out = (0 until n).map { j =>
+      val (lo, hi) = (bounds(j), bounds(j + 1))
+      HistogramBin(lo, hi,
+        math.max(1L, math.min(math.ceil(height).toLong,
+          math.max(1L, math.ceil(hi - lo).toLong))))
+    }
+    Some(Histogram(height, out.toArray))
+  }
 
   private def minMaxParseable(dt: DataType): Boolean = dt match {
     case _: NumericType | DateType | TimestampType | TimestampNTZType |
@@ -105,7 +158,9 @@ object CatalogStats {
             else None,
           nullCount = Some(BigInt(cs.nNull)),
           avgLen = cs.avgLen.orElse(Some(defaultLen(f.dataType))),
-          maxLen = cs.maxLen.orElse(Some(defaultLen(f.dataType))))
+          maxLen = cs.maxLen.orElse(Some(defaultLen(f.dataType))),
+          // only meaningful for types FilterEstimation reads ranges on
+          histogram = if (mmOk) cs.hist else None)
       }
     }
     spark.sessionState.catalog.alterTableStats(ident,
@@ -197,23 +252,112 @@ object CatalogStats {
       |  TRUE
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q265_cbo_histogram — the maintained-histogram → CBO round-trip as a
+  // driver gate: a profile store over orders.o_custkey carries an
+  // equi-width map<bin,count> partial (binWidth 10), the push resamples
+  // it into the catalog's 64-bin equi-height Histogram, and the gate
+  // emits what the CATALOG now says — every bin's quantized bounds,
+  // per-bin NDV, and the bin height — against a DuckDB oracle replaying
+  // the identical resample from the source table: same binning
+  // (floor(v/10.0)), same cumulative walk (first bin whose cumulative
+  // count reaches j·height, value = its lower edge), same fixed IEEE
+  // double tree, quantized floor(x·1e8) per the float-discipline rule.
+  // Any drift in the maintained partials, the resample, or the catalog
+  // round-trip hash-fails.
+  // ---------------------------------------------------------------------
+  def q265CboHistogram(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val db = "graftstats"
+    val tbl = s"orders_h_${dir.hashCode.toHexString}"
+    val root = s"$gateBase/$tbl"
+    val hist = graft.pipeline.Rollup.Hist("o_custkey", 10.0)
+    if (!new java.io.File(s"$root.complete").exists()) {
+      graft.operators.t(s, dir, "orders").select(col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$root/t")
+      graft.operators.Stats.initProfileStore(s, s"$root/prof",
+        s.read.parquet(s"$root/t"), Seq("o_custkey"), "b0",
+        hists = Seq(hist))
+      new java.io.File(s"$root.complete").createNewFile()
+    }
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    if (!s.catalog.tableExists(s"$db.$tbl")) {
+      s.sql(s"CREATE TABLE $db.$tbl USING PARQUET LOCATION '$root/t'")
+      pushFromProfileStore(s, db, tbl, s"$root/prof", Seq("o_custkey"),
+        sizeInBytes = 4096L, hists = Seq(hist))
+    }
+    val h = s.sessionState.catalog.getTableMetadata(
+      TableIdentifier(tbl, Some(db))).stats.get
+      .colStats("o_custkey").histogram.get
+    val rows = h.bins.toSeq.zipWithIndex.map { case (b, j) =>
+      (j.toLong, math.floor(b.lo * 1e8).toLong,
+        math.floor(b.hi * 1e8).toLong, b.ndv,
+        math.floor(h.height * 1e8).toLong)
+    }
+    val sqlCtx = s
+    import sqlCtx.implicits._
+    rows.toDF("bin_idx", "lo_q", "hi_q", "bin_ndv", "height_q")
+  }
+
+  val q265CboHistogramSql: String =
+    """WITH bins AS (
+      |  SELECT CAST(FLOOR(o_custkey / 10.0) AS BIGINT) AS bin,
+      |    COUNT(*) AS cnt
+      |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+      |o AS (
+      |  SELECT bin, cnt, COALESCE(SUM(cnt) OVER (ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM bins),
+      |p AS (SELECT CAST(SUM(cnt) AS DOUBLE) / 64 AS height,
+      |             MAX(bin) AS maxbin FROM bins),
+      |bounds AS (
+      |  SELECT g.j AS j, COALESCE(
+      |    (SELECT CAST(o.bin AS DOUBLE) * 10.0 FROM o
+      |     WHERE CAST(o.cumb + o.cnt AS DOUBLE) >=
+      |       CAST(g.j AS DOUBLE) * p.height
+      |     ORDER BY o.bin LIMIT 1),
+      |    CAST(p.maxbin AS DOUBLE) * 10.0) AS v
+      |  FROM generate_series(0, 63) AS g(j), p
+      |  UNION ALL
+      |  SELECT 64, CAST(p.maxbin + 1 AS DOUBLE) * 10.0 FROM p)
+      |SELECT lo.j AS bin_idx,
+      |  CAST(FLOOR(lo.v * 1e8) AS BIGINT) AS lo_q,
+      |  CAST(FLOOR(hi.v * 1e8) AS BIGINT) AS hi_q,
+      |  GREATEST(1, LEAST(CAST(CEIL(p.height) AS BIGINT),
+      |    GREATEST(1, CAST(CEIL(hi.v - lo.v) AS BIGINT)))) AS bin_ndv,
+      |  CAST(FLOOR(p.height * 1e8) AS BIGINT) AS height_q
+      |FROM bounds lo, bounds hi, p WHERE hi.j = lo.j + 1""".stripMargin
+
   /** Copy a maintained profile store's numbers into the catalog — the
     * per-sync refresh path ([[graft.Warehouse]] wires it after each
     * profile merge). `sizeInBytes` comes from the caller's file listing
     * (the sync already holds it); everything else reads from the
     * store's ONE partial row, never from the table. */
   def pushFromProfileStore(spark: SparkSession, db: String, table: String,
-      storeDir: String, cols: Seq[String], sizeInBytes: Long): Unit = {
+      storeDir: String, cols: Seq[String], sizeInBytes: Long,
+      hists: Seq[graft.pipeline.Rollup.Hist] = Nil): Unit = {
     val rows = graft.operators.Stats
       .readProfileStore(spark, storeDir, cols).collect()
     if (rows.isEmpty) return
     val rowCount = rows.head.getAs[Long]("n_rows")
+    // maintained equi-width partials → CBO equi-height histograms; one
+    // bounded map read per hist column, no table scan
+    val histByCol: Map[String,
+        org.apache.spark.sql.catalyst.plans.logical.Histogram] =
+      hists.flatMap { h =>
+        equiHeightHistogram(
+          graft.pipeline.Rollup.histBins(spark, storeDir, h.col),
+          h.binWidth).map(h.col -> _)
+      }.toMap
     val colStats = rows.map { r =>
-      r.getAs[String]("col_name") -> ColStat(
+      val name = r.getAs[String]("col_name")
+      name -> ColStat(
         nDistinct = r.getAs[Long]("n_distinct"),
         nNull = r.getAs[Long]("n_null"),
         min = Option(r.getAs[String]("min_val")),
-        max = Option(r.getAs[String]("max_val")))
+        max = Option(r.getAs[String]("max_val")),
+        hist = histByCol.get(name))
     }.toMap
     push(spark, db, table, rowCount, sizeInBytes, colStats)
   }

@@ -281,19 +281,30 @@ object Stats {
     * Public so the warehouse maintenance loop can feed the same store
     * ([[graft.Warehouse]]). */
   def profileSpec(cols: Seq[String]): graft.pipeline.Rollup.Spec =
+    profileSpec(cols, Nil)
+
+  /** Profile spec with equi-width HISTOGRAM partials alongside — the
+    * per-sync-maintained evidence [[graft.catalog.CatalogStats]]
+    * converts into the CBO's equi-height histograms, so selectivity on
+    * skewed columns stops being uniform-NDV guesswork. */
+  def profileSpec(cols: Seq[String],
+      hists: Seq[graft.pipeline.Rollup.Hist])
+      : graft.pipeline.Rollup.Spec =
     graft.pipeline.Rollup.Spec(
       groupCols = Nil, minCols = cols, maxCols = cols,
-      nullCountCols = cols, distinctSketchCols = cols)
+      nullCountCols = cols, distinctSketchCols = cols, histCols = hists)
 
   def initProfileStore(spark: SparkSession, storeDir: String,
-      df: DataFrame, cols: Seq[String], batchId: String): Unit =
-    graft.pipeline.Rollup.init(spark, storeDir, df, profileSpec(cols),
-      batchId)
+      df: DataFrame, cols: Seq[String], batchId: String,
+      hists: Seq[graft.pipeline.Rollup.Hist] = Nil): Unit =
+    graft.pipeline.Rollup.init(spark, storeDir, df,
+      profileSpec(cols, hists), batchId)
 
   def mergeProfileStore(spark: SparkSession, storeDir: String,
-      batch: DataFrame, cols: Seq[String], batchId: String): Boolean =
-    graft.pipeline.Rollup.merge(spark, storeDir, batch, profileSpec(cols),
-      batchId)
+      batch: DataFrame, cols: Seq[String], batchId: String,
+      hists: Seq[graft.pipeline.Rollup.Hist] = Nil): Boolean =
+    graft.pipeline.Rollup.merge(spark, storeDir, batch,
+      profileSpec(cols, hists), batchId)
 
   /** The store's one partial row, reshaped to [[profile]]'s per-column
     * rows. `n_distinct` is the HLL estimate (the production default of

@@ -379,6 +379,20 @@ object Rollup {
           hll_sketch_estimate(col(s"__hll_$c")).as(s"nd_$c")): _*)
   }
 
+  /** The raw `map<bin,count>` partial of one histogram column from a
+    * GLOBAL-spec store (the profile shape: one row). The collect is
+    * bounded by |bins| ≤ value-range/binWidth — never corpus-sized.
+    * Absent column or empty store → empty map. */
+  def histBins(spark: SparkSession, storeDir: String,
+      histCol: String): Map[Long, Long] = {
+    SafeSwap.recover(storeDir)
+    val p = spark.read.parquet(s"$storeDir/partials")
+    if (!p.columns.contains(s"__hist_$histCol")) return Map.empty
+    val rows = p.select(col(s"__hist_$histCol")).collect()
+    if (rows.isEmpty || rows.head.isNullAt(0)) Map.empty
+    else rows.head.getMap[Long, Long](0).toMap
+  }
+
   /** Histogram-derived quantile UPPER BOUNDS per group, from the stored
     * `map<bin,count>` partials of `histCol`: for each requested quantile
     * q, the smallest bin upper edge `(bin+1)·binWidth` whose cumulative

@@ -876,6 +876,55 @@ class WarehouseSpec extends SparkSpec {
     // convergent re-run
     val again = wh.forget(schema, "docs", "doc_id", keys)
     assert(again.rawRows == 0L && again.canonicalRows == 0L, s"$again")
+
+    // ---- durability: upstream RE-DELIVERY under a NEW file name ----
+    // the name-keyed diff can't skip d3.tsv (never seen), so without
+    // the journal sweep the forgotten doc 3 would re-ingest into raw,
+    // canonical, AND the indexes maintained this sync
+    val m2 = m :+ put("docs", "d3.tsv",
+      doc(3L, "b", 1) + "\n" + doc(13L, "b", 2) + "\n")
+    wh.sync(m2, schema)
+    val raw3 = graft.sources.TsvSource.read(spark, st,
+      s"$whDir/raw_files/docs/d3.tsv")
+    assert(raw3.select("doc_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(13L),
+      "the sweep must purge the re-delivered forgotten row from the " +
+        "fresh file before anything ingests it")
+    assert(wh.canonicalTable("docs")
+      .filter(col("doc_id") === 3L).count() == 0L)
+    assert(wh.canonicalTable("docs")
+      .filter(col("doc_id") === 13L).count() == 1L,
+      "the fresh file's OTHER rows must still ingest")
+    assert(spark.read
+      .parquet(s"$whDir/_maintained/index_mh/signatures")
+      .filter(col("doc_id") === 3L).count() == 0L,
+      "a maintained index fed from the fresh file must never see the " +
+        "forgotten id")
+    assert(spark.read
+      .parquet(s"$whDir/_maintained/index_mh/signatures")
+      .filter(col("doc_id") === 13L).count() == 1L)
+
+    // ---- durability: a CRASHED cascade (journal present, completion
+    // marker missing) finishes at the next sync without the caller ----
+    val reqId5 = pipeline.AppendCommit.contentId("docs|doc_id|5")
+    val fdir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/_forget/docs"))
+    java.nio.file.Files.writeString(fdir.resolve(s"req_$reqId5"),
+      "doc_id\n5")
+    wh.sync(m2, schema)
+    assert(java.nio.file.Files.exists(fdir.resolve(s"done_$reqId5")),
+      "the sweep must complete and mark the crashed request")
+    val rawAll = graft.sources.TsvSource.read(spark, st,
+      Seq(s"$whDir/raw_files/docs/d1.tsv", s"$whDir/raw_files/docs/d2.tsv",
+        s"$whDir/raw_files/docs/d3.tsv"))
+    assert(rawAll.filter(col("doc_id") === 5L).count() == 0L)
+    assert(wh.canonicalTable("docs")
+      .filter(col("doc_id") === 5L).count() == 0L)
+    assert(spark.read
+      .parquet(s"$whDir/_maintained/index_mh/signatures")
+      .filter(col("doc_id") === 5L).count() == 0L)
+    assert(pipeline.JoinView.read(spark, s"$whDir/_maintained/view_v1")
+      .filter(col("doc_id") === 5L).count() == 0L)
   }
 
   test("forget refuses an uncastable key LOUDLY even when the canonical " +

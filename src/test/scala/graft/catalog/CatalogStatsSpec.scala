@@ -136,4 +136,57 @@ class CatalogStatsSpec extends SparkSpec {
       assert(planStats.rowCount.exists(_ > BigInt(0)), s"$planStats")
     } finally spark.conf.set("spark.sql.cbo.enabled", cboBefore)
   }
+
+  test("equiHeightHistogram resamples the maintained equi-width map " +
+      "into monotone equal-mass bins; a hot value spans many bins") {
+    // 900 rows of value 7, 100 rows spread over 0..99
+    val bins = (0L to 99L).map(v => v -> 1L).toMap + (7L -> 901L)
+    val h = CatalogStats.equiHeightHistogram(bins, 1.0, 64).get
+    assert(h.height == 1000.0 / 64)
+    assert(h.bins.length == 64)
+    // bounds are monotone non-decreasing and cover the value range
+    h.bins.foreach(b => assert(b.lo <= b.hi, s"$b"))
+    h.bins.sliding(2).foreach { w =>
+      assert(w(0).hi <= w(1).lo + 1e-9, s"${w(0)} ${w(1)}") }
+    assert(math.abs(h.bins.head.lo - 0.0) < 1e-9)
+    assert(math.abs(h.bins.last.hi - 100.0) < 1e-9)
+    // the hot value's mass (90% of rows) must surface as ~90% of the
+    // equal-mass bins sitting inside [7, 8)
+    val hot = h.bins.count(b => b.lo >= 7.0 - 1e-9 && b.hi <= 8.0 + 1e-9)
+    assert(hot >= 55 && hot <= 59, s"hot-value bins: $hot")
+  }
+
+  test("a pushed histogram makes the CBO estimate a hot-value filter's " +
+      "true mass instead of rows/NDV") {
+    register("skewed", ((1L to 900L).map(_ => 7L) ++ (0L until 100L))
+      .map(v => (v, v * 2)).toDF("v", "p"))
+    val store = Files.createTempDirectory("cst_hist").toString + "/s"
+    graft.operators.Stats.initProfileStore(spark, store,
+      spark.table(s"$db.skewed"), Seq("v"), "b0",
+      hists = Seq(graft.pipeline.Rollup.Hist("v", 1.0)))
+    val cboBefore = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      def estimate(): BigInt = spark.table(s"$db.skewed")
+        .where(col("v") === 7L)
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      // without the histogram: uniform-NDV guesswork (~1000/101 ≈ 10)
+      CatalogStats.pushFromProfileStore(spark, db, "skewed", store,
+        Seq("v"), sizeInBytes = 4096L)
+      val uniform = estimate()
+      assert(uniform < BigInt(100), s"uniform estimate: $uniform")
+      // with it: the hot value's measured mass (~900)
+      CatalogStats.pushFromProfileStore(spark, db, "skewed", store,
+        Seq("v"), sizeInBytes = 4096L,
+        hists = Seq(graft.pipeline.Rollup.Hist("v", 1.0)))
+      val st = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("skewed", Some(db)))
+        .stats.get
+      assert(st.colStats("v").histogram.isDefined, s"$st")
+      val hist = estimate()
+      assert(hist > BigInt(500) && hist <= BigInt(1000),
+        s"histogram estimate must be the hot value's mass, got $hist " +
+          s"(uniform was $uniform)")
+    } finally spark.conf.set("spark.sql.cbo.enabled", cboBefore)
+  }
 }
