@@ -127,6 +127,134 @@ object SkewJoin {
       |  skew >= 16.0 AS use_salting, join_rows, join_w_sum
       |FROM ev CROSS JOIN j""".stripMargin
 
+  /** Skew strategy from MAINTAINED CATALOG STATISTICS — zero scan.
+    * [[chooseSkewStrategy]] pays one aggregate over the probe side per
+    * join; when the table's stats are maintained per sync
+    * ([[graft.catalog.CatalogStats]], pushed from the incremental
+    * profile store with histogram partials), the same evidence is
+    * already in the catalog: rowCount − nullCount bounds the matchable
+    * rows, the NDV sketch gives the key count, and the equi-height
+    * histogram's ZERO-WIDTH bins mark mass concentrated on one bin
+    * edge — the longest run of an identical zero-width bound, times
+    * the bin height, estimates the hottest bin's mass. Resolution is
+    * the profile's binWidth: a hot BIN of many keys reads as one hot
+    * key, which errs toward salting — correct output, merely broader
+    * replication than strictly needed. Use this on the 100 TB probe
+    * side where even one evidence aggregate is a full scan; fall back
+    * to [[chooseSkewStrategy]] when no stats are maintained. */
+  def chooseSkewStrategyFromCatalog(
+      spark: org.apache.spark.sql.SparkSession, db: String, table: String,
+      key: String, skewThreshold: Double = 16.0): SkewStrategy = {
+    val st = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+      .stats.getOrElse(throw new IllegalStateException(
+        s"$db.$table has no catalog statistics — push them " +
+          "(CatalogStats) or use chooseSkewStrategy"))
+    val cs = st.colStats.getOrElse(key, throw new IllegalStateException(
+      s"$db.$table.$key has no column statistics"))
+    val nRows = st.rowCount.map(_.toLong).getOrElse(0L) -
+      cs.nullCount.map(_.toLong).getOrElse(0L)
+    val nKeys = cs.distinctCount.map(_.toLong).getOrElse(0L)
+    if (nRows <= 0L || nKeys <= 0L)
+      return SkewStrategy(nKeys, math.max(0L, nRows), 0L, 0.0,
+        useSalting = false)
+    val maxN = cs.histogram match {
+      case Some(h) =>
+        val runs = h.bins.toSeq.filter(b => b.lo == b.hi)
+          .groupBy(_.lo).map(_._2.size)
+        math.ceil(h.height * (if (runs.isEmpty) 1 else runs.max)).toLong
+      case None => (nRows + nKeys - 1L) / nKeys // uniform: the mean
+    }
+    val skew = maxN.toDouble / (nRows.toDouble / nKeys.toDouble)
+    SkewStrategy(nKeys, nRows, maxN, skew,
+      useSalting = skew >= skewThreshold)
+  }
+
+  // ---------------------------------------------------------------------
+  // q266_skew_from_stats — the zero-scan strategy selection, oracle-
+  // replayed: the q260 skewed key (30% of lineitem collapses onto one
+  // hot key) lands in a profile store with a binWidth-1000 histogram
+  // partial, pushes into the catalog, and the strategy derives from the
+  // CATALOG ALONE. The histogram-borne evidence (bin height × longest
+  // zero-width-bound run) is deterministic, so the oracle replays it
+  // from the source table through the identical resample (the q265
+  // derivation); the HLL-borne parts surface as verdict columns
+  // (±5% NDV; the salting verdict, and its agreement with the scan-
+  // based selector, are robustly TRUE at this skew).
+  // ---------------------------------------------------------------------
+  private lazy val gateBase: String =
+    java.nio.file.Files.createTempDirectory("graft_skstat_").toString
+
+  def q266SkewFromStats(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val db = "graftstats"
+    val tbl = s"li_sk_${dir.hashCode.toHexString}"
+    val root = s"$gateBase/$tbl"
+    val hist = graft.pipeline.Rollup.Hist("k", 1000.0)
+    if (!new java.io.File(s"$root.complete").exists()) {
+      t(s, dir, "lineitem")
+        .select(when(col("l_orderkey") % 10 < 3, lit(-1L))
+          .otherwise(col("l_orderkey")).as("k"))
+        .write.mode("overwrite").parquet(s"$root/t")
+      graft.operators.Stats.initProfileStore(s, s"$root/prof",
+        s.read.parquet(s"$root/t"), Seq("k"), "b0", hists = Seq(hist))
+      new java.io.File(s"$root.complete").createNewFile()
+    }
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    if (!s.catalog.tableExists(s"$db.$tbl")) {
+      s.sql(s"CREATE TABLE $db.$tbl USING PARQUET LOCATION '$root/t'")
+      graft.catalog.CatalogStats.pushFromProfileStore(s, db, tbl,
+        s"$root/prof", Seq("k"), sizeInBytes = 4096L, hists = Seq(hist))
+    }
+    val fromStats = chooseSkewStrategyFromCatalog(s, db, tbl, "k")
+    val fromScan = chooseSkewStrategy(s.read.parquet(s"$root/t"), "k")
+    val exactKeys = s.read.parquet(s"$root/t")
+      .agg(countDistinct(col("k"))).head().getLong(0)
+    val sqlCtx = s
+    import sqlCtx.implicits._
+    Seq((fromStats.nRows, fromStats.maxN,
+        math.abs(fromStats.nKeys - exactKeys).toDouble <= 0.05 * exactKeys,
+        fromStats.useSalting,
+        fromStats.useSalting == fromScan.useSalting))
+      .toDF("n_rows", "max_n_est", "ndv_ok", "use_salting", "agrees_scan")
+  }
+
+  val q266SkewFromStatsSql: String =
+    """WITH k AS (
+      |  SELECT CASE WHEN l_orderkey % 10 < 3 THEN CAST(-1 AS BIGINT)
+      |              ELSE l_orderkey END AS k
+      |  FROM lineitem),
+      |bins AS (
+      |  SELECT CAST(FLOOR(k / 1000.0) AS BIGINT) AS bin, COUNT(*) AS cnt
+      |  FROM k GROUP BY 1),
+      |o AS (
+      |  SELECT bin, cnt, COALESCE(SUM(cnt) OVER (ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM bins),
+      |p AS (SELECT CAST(SUM(cnt) AS DOUBLE) / 64 AS height,
+      |             MAX(bin) AS maxbin FROM bins),
+      |bounds AS (
+      |  SELECT g.j AS j, COALESCE(
+      |    (SELECT CAST(o.bin AS DOUBLE) * 1000.0 FROM o
+      |     WHERE CAST(o.cumb + o.cnt AS DOUBLE) >=
+      |       CAST(g.j AS DOUBLE) * p.height
+      |     ORDER BY o.bin LIMIT 1),
+      |    CAST(p.maxbin AS DOUBLE) * 1000.0) AS v
+      |  FROM generate_series(0, 63) AS g(j), p
+      |  UNION ALL
+      |  SELECT 64, CAST(p.maxbin + 1 AS DOUBLE) * 1000.0 FROM p),
+      |zw AS (
+      |  SELECT lo.v AS edge, COUNT(*) AS run
+      |  FROM bounds lo, bounds hi
+      |  WHERE hi.j = lo.j + 1 AND lo.v = hi.v
+      |  GROUP BY lo.v),
+      |mr AS (SELECT COALESCE(MAX(run), 1) AS max_run FROM zw)
+      |SELECT (SELECT COUNT(*) FROM k) AS n_rows,
+      |  CAST(CEIL(p.height * mr.max_run) AS BIGINT) AS max_n_est,
+      |  TRUE AS ndv_ok, TRUE AS use_salting, TRUE AS agrees_scan
+      |FROM p, mr""".stripMargin
+
   /** JOIN-FANOUT diagnostic — the pre-flight check before any fact ⋈
     * fact join at scale: per join key, the output multiplicity is
     * |left rows| × |right rows|, and the top few keys routinely decide

@@ -551,4 +551,51 @@ class SkewAndStatsSpec extends SparkSpec {
       agg(hotLeft.join(dim, Seq("k"))),
       "the salted path must be output-identical to the plain join")
   }
+
+  test("chooseSkewStrategyFromCatalog reads the maintained histogram — " +
+      "zero scan — and agrees with the scan-based selector on both a " +
+      "hot-keyed and a flat table") {
+    import spark.implicits._
+    val db = "skstatdb"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    def registered(name: String,
+        df: org.apache.spark.sql.DataFrame): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"sks_$name").toString
+      df.write.mode("overwrite").parquet(s"$dir/t")
+      graft.operators.Stats.initProfileStore(spark, s"$dir/prof",
+        spark.read.parquet(s"$dir/t"), Seq("k"), "b0",
+        hists = Seq(graft.pipeline.Rollup.Hist("k", 1.0)))
+      spark.sql(s"DROP TABLE IF EXISTS $db.$name")
+      spark.sql(s"CREATE TABLE $db.$name USING PARQUET LOCATION '$dir/t'")
+      graft.catalog.CatalogStats.pushFromProfileStore(spark, db, name,
+        s"$dir/prof", Seq("k"), sizeInBytes = 4096L,
+        hists = Seq(graft.pipeline.Rollup.Hist("k", 1.0)))
+      s"$dir/t"
+    }
+    // half the rows on one key → salting
+    val hotPath = registered("hot", ((1L to 1000L).map(_ => 0L) ++
+      (1L to 1000L).map(_ % 100 + 1)).toDF("k"))
+    val hot = SkewJoin.chooseSkewStrategyFromCatalog(spark, db, "hot", "k")
+    assert(hot.useSalting, s"$hot")
+    // the histogram-borne mass estimate is within a bin height of truth
+    assert(math.abs(hot.maxN - 1000L) <= math.ceil(2000.0 / 64).toLong,
+      s"$hot")
+    assert(hot.useSalting == SkewJoin
+      .chooseSkewStrategy(spark.read.parquet(hotPath), "k").useSalting)
+    // flat keys → plain join, no scan either
+    val flatPath = registered("flat",
+      (1L to 2000L).map(_ % 100).toDF("k"))
+    val flat =
+      SkewJoin.chooseSkewStrategyFromCatalog(spark, db, "flat", "k")
+    assert(!flat.useSalting, s"$flat")
+    assert(flat.useSalting == SkewJoin
+      .chooseSkewStrategy(spark.read.parquet(flatPath), "k").useSalting)
+    // no stats → loud refusal, not a silent default
+    spark.sql(s"DROP TABLE IF EXISTS $db.bare")
+    spark.sql(s"CREATE TABLE $db.bare (k BIGINT) USING PARQUET")
+    intercept[IllegalStateException] {
+      SkewJoin.chooseSkewStrategyFromCatalog(spark, db, "bare", "k")
+    }
+  }
 }
