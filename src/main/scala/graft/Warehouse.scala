@@ -348,6 +348,10 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
   def forget(schema: Seq[CDTable], tableName: String, c: String,
       keys: Seq[Any]): ForgetSummary = {
     require(keys.nonEmpty, "need at least one key to forget")
+    // a NULL forget key identifies nothing and cannot journal — refuse
+    // loudly (the uncastable-key discipline), never silently drop it
+    require(keys.forall(_ != null),
+      "forget keys must be non-null — NULL identifies no row")
     val t = schema.find(_.tableName == tableName).getOrElse(
       throw new IllegalArgumentException(s"unknown table $tableName"))
     // the loud uncastable-key rule must hold REGARDLESS of which layers
@@ -363,7 +367,7 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         keys)
     }
     // journal FIRST: the request must survive a crash at any later step
-    val keyStrs = keys.filter(_ != null).map(String.valueOf)
+    val keyStrs = keys.map(String.valueOf)
     val reqId = graft.pipeline.AppendCommit.contentId(
       s"$tableName|$c|" + keyStrs.sorted.mkString("\n"))
     journalForget(tableName, reqId, c, keyStrs)

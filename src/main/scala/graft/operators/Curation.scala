@@ -253,7 +253,7 @@ object Curation {
     * bucketWidth must stay driver-friendly (it never touches the driver
     * here, but the bucket-offset window is single-partition). */
   def packSequences(docs: DataFrame, budget: Long,
-      bucketWidth: Long = 1000L): DataFrame = {
+      bucketWidth: Long = 1000L, baseOffset: Long = 0L): DataFrame = {
     val toks = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
       floor(col("doc_id") / bucketWidth).cast("long").as("bkt"))
@@ -270,7 +270,8 @@ object Curation {
     toks
       .withColumn("in_off", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
       .join(broadcast(bktOff), Seq("bkt"))
-      .withColumn("off", (col("bkt_off") + col("in_off")).cast("long"))
+      .withColumn("off",
+        (lit(baseOffset) + col("bkt_off") + col("in_off")).cast("long"))
       .withColumn("bin", expr(s"off DIV $budget"))
       .withColumn("straddle",
         when((col("off") % budget) + col("n_tokens") > budget, 1L)
@@ -283,6 +284,108 @@ object Curation {
 
   def q67PackSequences(s: SparkSession, dir: String): DataFrame =
     packSequences(t(s, dir, "documents"), PackBudget)
+
+  // ---------------------------------------------------------------------
+  // q267_incremental_pack — sequence packing as a MAINTAINED STORE: the
+  // last mile of the training pipeline (docs → fixed-budget context
+  // windows) running per sync batch instead of as a corpus-wide job.
+  // Each batch packs at the store's token FRONTIER — the sum of applied
+  // batches' token totals, read from the AppendCommit ledger payloads
+  // (O(#batches), no store scan) — so placements already written never
+  // move: training shards stay stable as the corpus grows, which is the
+  // property that makes incremental packing usable at all (a re-pack
+  // re-shuffles every downstream shard). Semantics are ARRIVAL-ORDER
+  // packing (within a batch: doc_id order via the q67 distributed
+  // prefix sum); the oracle replays it as one global cumulative sum in
+  // (batch, doc_id) order. Replay of an applied batch is a ledger no-op
+  // (the q70/q96 discipline); a crashed append heals on retry via the
+  // tagged-file protocol.
+  // ---------------------------------------------------------------------
+
+  /** Token frontier of a pack store = Σ applied batches' token totals
+    * (each append records its batch total as the ledger payload). */
+  private def packFrontier(storeDir: String): Long =
+    graft.pipeline.AppendCommit.appliedEntries(storeDir)
+      .map(_._2.trim).filter(_.nonEmpty).map(_.toLong).sum
+
+  /** Create a pack store from the initial corpus batch. */
+  def initPackStore(spark: SparkSession, storeDir: String,
+      docs: DataFrame, budget: Long, batchId: String): Unit = {
+    val total = docs.agg(coalesce(sum(
+        size(split(col("text"), " ")).cast("long")), lit(0L)))
+      .head().getLong(0)
+    graft.pipeline.SafeSwap.replace(storeDir) { tmp =>
+      packSequences(docs, budget).write.parquet(s"$tmp/docs")
+      graft.pipeline.AppendCommit.markApplied(tmp, batchId,
+        total.toString)
+    }
+  }
+
+  /** O(batch) append at the frontier. Appends are ORDER-DEPENDENT
+    * (every batch's offsets build on the frontier before it), so the
+    * store lock serializes them — the sync loop's per-table maintenance
+    * is already sequential; concurrent callers queue here. */
+  def appendToPackStore(spark: SparkSession, storeDir: String,
+      batch: DataFrame, budget: Long, batchId: String): Unit =
+    graft.pipeline.MaintenanceLock.withLock(storeDir, tag = "_frontier") {
+      val base = packFrontier(storeDir)
+      val total = batch.agg(coalesce(sum(
+          size(split(col("text"), " ")).cast("long")), lit(0L)))
+        .head().getLong(0)
+      graft.pipeline.AppendCommit.appendBatch(spark, storeDir, batchId,
+          total.toString) { tmp =>
+        packSequences(batch, budget, baseOffset = base)
+          .write.parquet(s"$tmp/docs")
+      }
+      ()
+    }
+
+  /** All placements (doc_id, n_tokens, off, bin, straddle). Offsets are
+    * immutable once written — see the q267 note. A row-level delete
+    * cannot retract a placement without shifting every later offset, so
+    * the RTBF stance is INVALIDATE (drop the store; re-pack from the
+    * filtered corpus) — packing is derived data with no state beyond
+    * what a rebuild recomputes. */
+  def readPackStore(spark: SparkSession, storeDir: String): DataFrame = {
+    graft.pipeline.SafeSwap.recover(storeDir)
+    spark.read.parquet(s"$storeDir/docs")
+  }
+
+  private lazy val packGateBase: String =
+    java.nio.file.Files.createTempDirectory("graft_ipack_").toString
+
+  def q267IncrementalPack(s: SparkSession, dir: String): DataFrame = {
+    val store = s"$packGateBase/ps_${dir.hashCode.toHexString}"
+    if (!new java.io.File(s"$store.complete").exists()) {
+      val d = t(s, dir, "documents")
+      initPackStore(s, store,
+        d.filter(col("doc_id") % 3 === 0), PackBudget, "b0")
+      appendToPackStore(s, store,
+        d.filter(col("doc_id") % 3 === 1), PackBudget, "b1")
+      // replay of an applied batch must be a no-op before the next
+      // batch's frontier is read
+      appendToPackStore(s, store,
+        d.filter(col("doc_id") % 3 === 1), PackBudget, "b1")
+      appendToPackStore(s, store,
+        d.filter(col("doc_id") % 3 === 2), PackBudget, "b2")
+      new java.io.File(s"$store.complete").createNewFile()
+    }
+    readPackStore(s, store)
+  }
+
+  val q267IncrementalPackSql: String =
+    """WITH tk AS (SELECT doc_id, doc_id % 3 AS b,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT doc_id, n_tokens,
+      |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY b, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS off
+      |  FROM tk)
+      |SELECT doc_id, n_tokens, off, off // 8192 AS bin,
+      |  CAST(CASE WHEN (off % 8192) + n_tokens > 8192 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS straddle
+      |FROM o""".stripMargin
 
   val q67PackSequencesSql: String =
     """WITH tk AS (SELECT doc_id,

@@ -715,4 +715,46 @@ class CurationSpec extends SparkSpec {
     assert(a1.forall { case (g, sp) => a2(g) == sp },
       "a group's split must be a pure function of its key")
   }
+
+  test("incremental pack store: batches pack at the frontier, equal to " +
+      "one arrival-order scan; applied batches replay as no-ops; " +
+      "placements never move") {
+    import spark.implicits._
+    val docs = (1L to 90L)
+      .map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("pack_store").toString + "/s"
+    val budget = 16L
+    Curation.initPackStore(spark, store,
+      docs.filter(col("doc_id") % 3 === 0), budget, "b0")
+    Curation.appendToPackStore(spark, store,
+      docs.filter(col("doc_id") % 3 === 1), budget, "b1")
+    val afterB1 = Curation.readPackStore(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // replay: no-op, frontier unchanged
+    Curation.appendToPackStore(spark, store,
+      docs.filter(col("doc_id") % 3 === 1), budget, "b1")
+    Curation.appendToPackStore(spark, store,
+      docs.filter(col("doc_id") % 3 === 2), budget, "b2")
+    val got = Curation.readPackStore(spark, store)
+      .select("doc_id", "n_tokens", "off", "bin", "straddle").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // expected: one sequential scan in arrival order (batch, doc_id)
+    val arrival = (1L to 90L).sortBy(i => (i % 3, i))
+    var off = 0L
+    val expected = arrival.map { i =>
+      val n = i % 7 + 1
+      val row = (n, off, off / budget,
+        if (off % budget + n > budget) 1L else 0L)
+      off += n
+      i -> row
+    }.toMap
+    assert(got == expected, s"${got.toSeq.sorted.take(5)} vs " +
+      s"${expected.toSeq.sorted.take(5)}")
+    // earlier placements did not move when later batches landed
+    afterB1.foreach { case (id, o) =>
+      assert(got(id)._2 == o, s"doc $id moved: $o -> ${got(id)._2}") }
+  }
 }
