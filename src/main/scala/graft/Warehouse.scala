@@ -83,6 +83,17 @@ object Warehouse {
         org.apache.spark.sql.functions.split(c, ",")
           .cast("array<float>"))
 
+  /** A maintained TRAINING-SEQUENCE PACK STORE: each sync's fresh raw
+    * files pack at the store's token frontier
+    * ([[graft.operators.Curation.appendToPackStore]]) — O(batch) work,
+    * and placements already written never move, so downstream training
+    * shards stay stable as the corpus grows. RTBF: placements are
+    * offset-chained (not row-subtractable) — a forget on the table
+    * invalidates the store and the next sync re-packs the filtered
+    * corpus. */
+  final case class PackDef(name: String, table: String,
+      idCol: String, textCol: String, budget: Long = 8192L)
+
   final case class Config(
       warehouseDir: String,
       db: String = "canvasdata",
@@ -119,6 +130,9 @@ object Warehouse {
       /** IVF ANN indexes auto-appended per sync batch
         * (see [[Warehouse.annIn]]) */
       maintainedVectorIndexes: Seq[VectorIndexDef] = Nil,
+      /** training-sequence pack stores auto-appended per sync batch
+        * (see [[Warehouse.PackDef]] and [[Warehouse.packOf]]) */
+      maintainedPacks: Seq[PackDef] = Nil,
       /** table → range-stat columns: per-file min/max skip stats kept
         * over the CANONICAL parquet layer (requires `canonicalize`),
         * refreshed per sync — O(new files) on file-additive tables
@@ -298,6 +312,7 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       if (!cfg.dryRun) {
         maintainStores(schema); maintainViews(schema)
         maintainIndexes(schema); maintainVectorIndexes(schema)
+        maintainPacks(schema)
         maintainSkipping(); maintainManifests()
       }
     } finally cfg.onSummary(summary)
@@ -435,6 +450,15 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         // purged files
         graft.pipeline.Rollup.invalidate(spark, store)
         invalidated += s"profile_$tableName"
+      }
+    }
+    cfg.maintainedPacks.filter(_.table == tableName).foreach { d =>
+      val store = s"${cfg.warehouseDir}/_maintained/pack_${d.name}"
+      if (fsOf.exists(new org.apache.hadoop.fs.Path(store))) {
+        // placements are offset-chained — not row-subtractable; drop
+        // the store, the next sync re-packs the filtered corpus
+        fsOf.delete(new org.apache.hadoop.fs.Path(store), true)
+        invalidated += s"pack_${d.name}"
       }
     }
     // destructive steps LAST (the captures above replay from their
@@ -812,6 +836,39 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     * that was stale-deleted triggers a rebuild over the current
     * listing (signatures can't subtract — same premise as rollup
     * partials); init/rebuild reads the canonical layer when current. */
+  /** Per-sync-batch refresh of the configured pack stores (see
+    * [[Warehouse.PackDef]]): fresh raw files pack at the frontier in
+    * one intent-pinned fold; init/rebuild packs the full snapshot. */
+  private def maintainPacks(schema: Seq[CDTable]): Unit = {
+    cfg.maintainedPacks.foreach { d =>
+      schema.find(_.tableName == d.table).foreach { t =>
+        val files = rawListing(d.table)
+        if (files.nonEmpty) {
+          val store = s"${cfg.warehouseDir}/_maintained/pack_${d.name}"
+          def docsOf(df: DataFrame) = df
+            .select(org.apache.spark.sql.functions.col(d.idCol)
+              .as("doc_id"),
+              org.apache.spark.sql.functions.col(d.textCol).as("text"))
+          maintainAdditive(store, files, s"pack_${d.name}") { all =>
+            graft.operators.Curation.initPackStore(spark, store,
+              docsOf(readTableSnapshot(t, all)._1), d.budget,
+              graft.pipeline.AppendCommit.contentId(
+                all.sorted.mkString("\n")),
+              ledger = rebuildLedger(all))
+          } { (fresh, foldId) =>
+            graft.operators.Curation.appendToPackStore(spark, store,
+              docsOf(readRaw(t, fresh)), d.budget, foldId)
+          }
+        }
+      }
+    }
+  }
+
+  /** Read a maintained pack store (see [[Warehouse.Config.maintainedPacks]]). */
+  def packOf(name: String): DataFrame =
+    graft.operators.Curation.readPackStore(spark,
+      s"${cfg.warehouseDir}/_maintained/pack_$name")
+
   private def maintainIndexes(schema: Seq[CDTable]): Unit = {
     cfg.maintainedIndexes.foreach { d =>
       schema.find(_.tableName == d.table).foreach { t =>

@@ -303,20 +303,32 @@ object Curation {
   // ---------------------------------------------------------------------
 
   /** Token frontier of a pack store = Σ applied batches' token totals
-    * (each append records its batch total as the ledger payload). */
+    * (each append records its batch total as a `pk_`-prefixed ledger
+    * payload; the prefix keeps frontier entries distinct from the
+    * warehouse loop's FreshFold covered markers sharing the ledger). */
   private def packFrontier(storeDir: String): Long =
     graft.pipeline.AppendCommit.appliedEntries(storeDir)
+      .filter(_._1.startsWith("pk_"))
       .map(_._2.trim).filter(_.nonEmpty).map(_.toLong).sum
 
-  /** Create a pack store from the initial corpus batch. */
-  def initPackStore(spark: SparkSession, storeDir: String,
-      docs: DataFrame, budget: Long, batchId: String): Unit = {
-    val total = docs.agg(coalesce(sum(
+  private def tokenTotal(docs: DataFrame): Long =
+    docs.agg(coalesce(sum(
         size(split(col("text"), " ")).cast("long")), lit(0L)))
       .head().getLong(0)
+
+  /** Create a pack store from the initial corpus batch. `ledger` lets
+    * the warehouse rebuild path record its covered-file markers in the
+    * same atomic swap (the [[graft.operators.Dedup.buildMinhashIndex]]
+    * shape). */
+  def initPackStore(spark: SparkSession, storeDir: String,
+      docs: DataFrame, budget: Long, batchId: String,
+      ledger: Seq[(String, String)] = Nil): Unit = {
+    val total = tokenTotal(docs)
     graft.pipeline.SafeSwap.replace(storeDir) { tmp =>
+      ledger.foreach { case (id, p) =>
+        graft.pipeline.AppendCommit.markApplied(tmp, id, p) }
       packSequences(docs, budget).write.parquet(s"$tmp/docs")
-      graft.pipeline.AppendCommit.markApplied(tmp, batchId,
+      graft.pipeline.AppendCommit.markApplied(tmp, s"pk_$batchId",
         total.toString)
     }
   }
@@ -329,11 +341,9 @@ object Curation {
       batch: DataFrame, budget: Long, batchId: String): Unit =
     graft.pipeline.MaintenanceLock.withLock(storeDir, tag = "_frontier") {
       val base = packFrontier(storeDir)
-      val total = batch.agg(coalesce(sum(
-          size(split(col("text"), " ")).cast("long")), lit(0L)))
-        .head().getLong(0)
-      graft.pipeline.AppendCommit.appendBatch(spark, storeDir, batchId,
-          total.toString) { tmp =>
+      val total = tokenTotal(batch)
+      graft.pipeline.AppendCommit.appendBatch(spark, storeDir,
+          s"pk_$batchId", total.toString) { tmp =>
         packSequences(batch, budget, baseOffset = base)
           .write.parquet(s"$tmp/docs")
       }

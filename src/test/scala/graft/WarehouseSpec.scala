@@ -155,6 +155,51 @@ class WarehouseSpec extends SparkSpec {
       Seq("f2.tsv", "f3.tsv"))
   }
 
+  test("maintained pack store: syncs append at the frontier, placements " +
+      "never move, and a forget invalidates so the next sync re-packs " +
+      "the filtered corpus") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("wh_pack_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("docs", None, Seq(
+      CDColumn("doc_id", "bigint"),
+      CDColumn("body", "text"))))
+    def doc(id: Long, words: Int) =
+      s"$id\t${Seq.fill(words)("w").mkString(" ")}"
+    val m1 = Seq(
+      put("docs", "d1.tsv", s"${doc(1, 3)}\n${doc(2, 5)}\n"),
+      put("docs", "d2.tsv", s"${doc(3, 4)}\n"))
+    val whDir = Files.createTempDirectory("wh_pack_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir, db = "cd_whp",
+      parallelism = 2, canonicalize = true,
+      maintainedPacks =
+        Seq(Warehouse.PackDef("train", "docs", "doc_id", "body",
+          budget = 8L))))
+    wh.sync(m1, schema)
+    def placements() = wh.packOf("train")
+      .select("doc_id", "off", "bin").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // init packs the full snapshot in doc_id order: 3,5,4 tokens
+    assert(placements() ==
+      Map(1L -> (0L, 0L), 2L -> (3L, 0L), 3L -> (8L, 1L)))
+    // a later file appends at the frontier (12); earlier rows unmoved
+    wh.sync(m1 :+ put("docs", "d3.tsv", s"${doc(4, 6)}\n"), schema)
+    assert(placements() == Map(1L -> (0L, 0L), 2L -> (3L, 0L),
+      3L -> (8L, 1L), 4L -> (12L, 1L)))
+    // forget doc 2 → store invalidated, next sync re-packs WITHOUT it
+    val sum = wh.forget(schema, "docs", "doc_id", Seq(2L))
+    assert(sum.invalidated.contains("pack_train"), s"$sum")
+    wh.sync(m1 :+ put("docs", "d3.tsv", s"${doc(4, 6)}\n"), schema)
+    assert(placements() ==
+      Map(1L -> (0L, 0L), 3L -> (3L, 0L), 4L -> (7L, 0L)),
+      "the rebuild must pack the filtered corpus from offset zero")
+  }
+
   test("sync auto-refreshes a maintained enrichment view file-additively") {
     val src = Files.createTempDirectory("wh_view_src")
     def put(table: String, name: String, content: String): ManifestEntry = {
