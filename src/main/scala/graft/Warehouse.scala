@@ -579,7 +579,8 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         if (fresh.nonEmpty && reqs.nonEmpty) {
           reqs.groupBy(_._2).foreach { case (c, rs) =>
             val ks = rs.flatMap(_._3).distinct
-            val removed = purgeRawTsv(t, c, typedKeys(t, c, ks),
+            val removed = if (ks.isEmpty) 0L
+            else purgeRawTsv(t, c, typedKeys(t, c, ks),
               onlyFiles = Some(fresh))
             if (removed > 0)
               log.info(s"forget sweep: ${t.tableName}.$c — $removed " +

@@ -71,7 +71,9 @@ object CatalogStats {
     val bins = binCounts.toSeq.filter(_._2 > 0L).sortBy(_._1)
     val total = bins.map(_._2).sum
     if (total <= 0L) return None
-    val n = math.min(numBins, math.max(1, total.toInt))
+    // min-then-toInt: total alone can exceed Int.Max at scale, and a
+    // raw total.toInt would wrap negative and collapse n to 1
+    val n = math.min(numBins.toLong, math.max(1L, total)).toInt
     val height = total.toDouble / n
     val cumBefore = bins.scanLeft(0L)(_ + _._2).init
     // lower edge of the width bin holding cumulative row position r;

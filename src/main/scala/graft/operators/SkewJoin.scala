@@ -158,12 +158,24 @@ object SkewJoin {
     if (nRows <= 0L || nKeys <= 0L)
       return SkewStrategy(nKeys, math.max(0L, nRows), 0L, 0.0,
         useSalting = false)
+    // the uniform estimate — the histogram-less fallback AND the
+    // no-concentration-signal case below
+    val mean = (nRows + nKeys - 1L) / nKeys
     val maxN = cs.histogram match {
       case Some(h) =>
         val runs = h.bins.toSeq.filter(b => b.lo == b.hi)
           .groupBy(_.lo).map(_._2.size)
-        math.ceil(h.height * (if (runs.isEmpty) 1 else runs.max)).toLong
-      case None => (nRows + nKeys - 1L) / nKeys // uniform: the mean
+        // no zero-width bins = no mass concentration the histogram can
+        // see (every bin < ~2×height). Estimating the hot key at bin
+        // height here would be total/numBins — for a flat table with
+        // many keys that is >> mean and would salt a join that needs
+        // no salting. No signal → the uniform estimate; a hot key
+        // below bin resolution is genuinely undetectable from these
+        // stats (bounded by ~2·height), which AQE's runtime skew split
+        // still backstops.
+        if (runs.isEmpty) mean
+        else math.ceil(h.height * runs.max).toLong
+      case None => mean
     }
     val skew = maxN.toDouble / (nRows.toDouble / nKeys.toDouble)
     SkewStrategy(nKeys, nRows, maxN, skew,

@@ -591,6 +591,14 @@ class SkewAndStatsSpec extends SparkSpec {
     assert(!flat.useSalting, s"$flat")
     assert(flat.useSalting == SkewJoin
       .chooseSkewStrategy(spark.read.parquet(flatPath), "k").useSalting)
+    // MANY flat keys: no zero-width bins = no concentration signal —
+    // the estimate must fall back to the mean, not the bin height
+    // (height here is total/64 = 62 >> mean 2, which would falsely
+    // salt a perfectly flat join)
+    registered("flatwide", (1L to 4000L).map(_ % 2000).toDF("k"))
+    val wide =
+      SkewJoin.chooseSkewStrategyFromCatalog(spark, db, "flatwide", "k")
+    assert(!wide.useSalting && wide.maxN <= 3L, s"$wide")
     // no stats → loud refusal, not a silent default
     spark.sql(s"DROP TABLE IF EXISTS $db.bare")
     spark.sql(s"CREATE TABLE $db.bare (k BIGINT) USING PARQUET")
