@@ -385,7 +385,12 @@ object Components {
           val memberIds = members.select(col("id"))
           val affected = readEdges(spark, storeDir)
             .select(col("a"), col("b"))
-            .join(broadcast(memberIds.withColumnRenamed("id", "a")),
+            // no broadcast HINT: membership is bounded by the affected
+            // components, but a near-dup graph's hot component can hold
+            // millions of members (spam clusters) — let Spark pick from
+            // the parquet sizes instead of forcing driver-side
+            // replication of an unbounded set
+            .join(memberIds.withColumnRenamed("id", "a"),
               Seq("a"), "left_semi")
           val filtered = Maintain.droppingKeys(
             Maintain.droppingKeys(affected, "a", ids), "b", ids)
