@@ -570,6 +570,101 @@ object Quantize {
   // floor vs exact on a clustered fixture, ADC ≡ reconstructed-dot
   // identity) in QuantizeSpec.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // INT8 SCALAR QUANTIZATION (SQ8) — production vector stores' first-line
+  // embedding compression (FAISS ScalarQuantizer / the common "SQ8"
+  // index): per-DIMENSION affine codes
+  //   scale_d = (max_d − min_d) / 255 ;  code = clamp(⌊(x − min_d)/scale_d
+  //   + 0.5⌋, 0, 255) ;  x̂ = min_d + scale_d·code
+  // — float32 → 1 byte/dim (4×) with error ≤ scale_d/2 per component,
+  // complementing PQ above (SQ8 keeps per-dimension structure — exact
+  // distance arithmetic on decoded values, trivial to train — where PQ
+  // trades more compression for codebook lookups). Spark-first shape:
+  // params are one posexplode + 64-group aggregate (map-side partials;
+  // shuffle is d rows), encode/decode is a broadcast of the d-row param
+  // table (bounded by DIMENSIONALITY, never corpus) + map-only
+  // higher-order expressions. At 100 TB the param pass either samples or
+  // reads maintained per-dim min/max from the profile store; the full
+  // pass here is the exact baseline. A constant dimension (max == min)
+  // gets scale 0, code 0, and reconstructs min exactly.
+  // ---------------------------------------------------------------------
+
+  /** Per-dimension (0-based) quantization params over `embedding`
+    * columns: (dim, mn, mx, scale). One aggregate, d output rows. */
+  def sqTrain(embs: DataFrame): DataFrame =
+    embs.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0d))
+
+  /** (vec_id, dim, x, code) — exploded codes under `params`. Kept in
+    * exploded long form for auditability; production packing to
+    * `binary` is a byte-cast away and changes no code value. */
+  def sqEncode(embs: DataFrame, params: DataFrame): DataFrame =
+    embs.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"),
+        col("xf").cast("double").as("x"))
+      .join(broadcast(params), Seq("dim")) // d rows — dimensionality
+      .withColumn("code",
+        when(col("scale") === 0.0d, lit(0L)).otherwise(
+          least(lit(255L), greatest(lit(0L),
+            floor((col("x") - col("mn")) / col("scale") + lit(0.5d))))))
+      .select(col("vec_id"), col("dim"), col("x"), col("mn"),
+        col("scale"), col("code"))
+
+  // ---------------------------------------------------------------------
+  // q268_scalar_quant — SQ8 end-to-end, oracle-replayed: per dimension,
+  // the quantized param bounds, the exact code sum (pins every code —
+  // a single off-by-one on any element shifts it), and the exact
+  // reconstruction-error mass Σ ⌊(x − x̂)²·1e12⌋ (int64-quantized per
+  // ELEMENT before the sum — the float-discipline rule; the fixed IEEE
+  // tree (x − (mn + scale·code))² is identical in both engines given
+  // identical doubles, and ⌊·+0.5⌋ rounding avoids the one
+  // engine-divergent op, round-half ties). 64 rows.
+  // ---------------------------------------------------------------------
+  def q268ScalarQuant(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val enc = sqEncode(e, sqTrain(e))
+    val err = col("x") - (col("mn") + col("scale") * col("code"))
+    enc.groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        floor(min(col("x")) * lit(1e8d)).cast("long").as("min_q"),
+        floor(max(col("x")) * lit(1e8d)).cast("long").as("max_q"),
+        sum(col("code")).as("sum_codes"),
+        sum(floor(err * err * lit(1e12d)).cast("long")).as("sum_sqerr_q"))
+  }
+
+  val q268ScalarQuantSql: String =
+    """WITH x AS (
+      |  SELECT vec_id,
+      |    unnest(range(0, len(embedding))) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT dim, MIN(x) AS mn, MAX(x) AS mx,
+      |    (MAX(x) - MIN(x)) / 255.0 AS scale
+      |  FROM x GROUP BY dim),
+      |c AS (
+      |  SELECT x.dim, x.x, p.mn, p.scale,
+      |    CASE WHEN p.scale = 0 THEN 0
+      |         ELSE CAST(LEAST(255, GREATEST(0,
+      |           FLOOR((x.x - p.mn) / p.scale + 0.5))) AS BIGINT)
+      |    END AS code
+      |  FROM x JOIN p USING (dim)),
+      |e AS (
+      |  SELECT dim, x, code,
+      |    x - (mn + scale * code) AS err
+      |  FROM c)
+      |SELECT dim, COUNT(*) AS n,
+      |  CAST(FLOOR(MIN(x) * 1e8) AS BIGINT) AS min_q,
+      |  CAST(FLOOR(MAX(x) * 1e8) AS BIGINT) AS max_q,
+      |  CAST(SUM(code) AS BIGINT) AS sum_codes,
+      |  CAST(SUM(CAST(FLOOR(err * err * 1e12) AS BIGINT)) AS BIGINT)
+      |    AS sum_sqerr_q
+      |FROM e GROUP BY dim""".stripMargin
+
   def q102PqAdc(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = t(s, dir, "embeddings")

@@ -301,4 +301,33 @@ class QuantizeSpec extends SparkSpec {
       rerankN = 0).collect()
     assert(res.length == 5, "probe through the appended index must work")
   }
+
+  test("SQ8 scalar quantization: codes in [0,255], per-component error " +
+      "bounded by scale/2 (+1 ulp headroom), constant dims exact, " +
+      "extremes map to the end codes") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(-2.0f, 10.0f, 7.5f)),
+      (2L, Array(0.5f, 10.0f, -1.25f)),
+      (3L, Array(4.0f, 10.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val params = Quantize.sqTrain(vecs).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(params(0) == ((-2.0, 4.0, 6.0 / 255)))
+    assert(params(1)._3 == 0.0, "constant dim must get scale 0")
+    val enc = Quantize.sqEncode(vecs, Quantize.sqTrain(vecs)).collect()
+    enc.foreach { r =>
+      val (x, mn, scale, code) = (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))
+      assert(code >= 0L && code <= 255L, s"$r")
+      val recon = mn + scale * code
+      if (scale == 0.0) assert(recon == x, s"constant dim must be exact")
+      else assert(math.abs(x - recon) <= scale / 2 * 1.0000001, s"$r")
+    }
+    // extremes hit the end codes
+    val byKey = enc.map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(5))
+      .toMap
+    assert(byKey((1L, 0)) == 0L && byKey((3L, 0)) == 255L)
+  }
 }
