@@ -665,6 +665,117 @@ object Quantize {
       |    AS sum_sqerr_q
       |FROM e GROUP BY dim""".stripMargin
 
+  /** Per-dim SQ8 params collected to driver arrays, ordered by dim —
+    * bounded by DIMENSIONALITY (the PQ-codebook discipline), never by
+    * the corpus. */
+  def sqParams(embs: DataFrame): (Array[Double], Array[Double]) = {
+    val rows = sqTrain(embs).orderBy("dim").collect()
+    (rows.map(_.getAs[Double]("mn")).toArray,
+      rows.map(_.getAs[Double]("scale")).toArray)
+  }
+
+  /** (vec_id, codes: array<long>) — the packed form an SQ8 corpus
+    * actually stores (params as plan literals, map-only, codegen'd;
+    * byte-packing to `binary` is a cast away and changes no value). */
+  def sqEncodeArray(embs: DataFrame, mns: Array[Double],
+      scales: Array[Double]): DataFrame = {
+    val mnA = typedLit(mns.toSeq)
+    val scA = typedLit(scales.toSeq)
+    embs.select(col("vec_id"),
+      transform(col("embedding"), (x, i) => {
+        val mn = element_at(mnA, i + 1)
+        val sc = element_at(scA, i + 1)
+        when(sc === 0.0d, lit(0L)).otherwise(
+          least(lit(255L), greatest(lit(0L),
+            floor((x.cast("double") - mn) / sc + lit(0.5d)))))
+      }).as("codes"))
+  }
+
+  /** Decode an SQ8 `codes` array back to doubles (x̂ = mn + scale·code),
+    * element order preserved. */
+  def sqDecode(codes: Column, mns: Array[Double],
+      scales: Array[Double]): Column = {
+    val mnA = typedLit(mns.toSeq)
+    val scA = typedLit(scales.toSeq)
+    transform(codes, (c, i) =>
+      element_at(mnA, i + 1) + element_at(scA, i + 1) * c.cast("double"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q269_sq_scan — cosine top-k THROUGH the SQ8 codes (the asymmetric
+  // scan production SQ indexes run: the query stays full-precision, the
+  // corpus is one byte per dimension): decode-on-the-fly inside the
+  // scoring expression, exact cosine arithmetic on the reconstructed
+  // values — the q36 scan shape (queries broadcast, one corpus pass)
+  // over a 4× smaller working set. Integer-only output (q_id, rnk,
+  // vec_id), ties by vec_id; the oracle replays encode → decode →
+  // cosine with the identical left-fold element order (list_reduce =
+  // the aggregate() twin), so the ranks are pinned bit-for-bit, not
+  // approximately.
+  // ---------------------------------------------------------------------
+  def q269SqScan(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val (mns, scales) = sqParams(e)
+    val corpus = sqEncodeArray(e, mns, scales)
+      .select(col("vec_id"), sqDecode(col("codes"), mns, scales).as("r"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding"), x => x.cast("double")).as("q"))
+    val dot = aggregate(
+      zip_with(col("q"), col("r"), (a, b) => a * b),
+      lit(0.0d), (acc, v) => acc + v)
+    val qn = aggregate(col("q"), lit(0.0d), (a, x) => a + x * x)
+    val nn = aggregate(col("r"), lit(0.0d), (a, x) => a + x * x)
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot / (sqrt(qn) * sqrt(nn))).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+  }
+
+  val q269SqScanSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |p AS (SELECT dim, MIN(x) AS mn, (MAX(x) - MIN(x)) / 255.0 AS scale
+      |      FROM x GROUP BY dim),
+      |pa AS (SELECT list(mn ORDER BY dim) AS mns,
+      |              list(scale ORDER BY dim) AS scales FROM p),
+      |r AS (
+      |  SELECT e.vec_id,
+      |    list_transform(range(1, len(e.embedding) + 1), i ->
+      |      pa.mns[i] + pa.scales[i] *
+      |      (CASE WHEN pa.scales[i] = 0 THEN 0
+      |            ELSE LEAST(255, GREATEST(0,
+      |              FLOOR((CAST(e.embedding[i] AS DOUBLE) - pa.mns[i])
+      |                / pa.scales[i] + 0.5))) END)) AS recon
+      |  FROM embeddings e, pa),
+      |qv AS (
+      |  SELECT vec_id AS q_id,
+      |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS q
+      |  FROM embeddings WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT qv.q_id, r.vec_id,
+      |    list_reduce(list_prepend(0.0,
+      |      list_transform(range(1, len(r.recon) + 1),
+      |        i -> qv.q[i] * r.recon[i])), (a, b) -> a + b)
+      |    / (sqrt(list_reduce(list_prepend(0.0,
+      |         list_transform(qv.q, v -> v * v)), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_prepend(0.0,
+      |         list_transform(r.recon, v -> v * v)), (a, b) -> a + b)))
+      |      AS sim
+      |  FROM qv JOIN r ON r.vec_id <> qv.q_id)
+      |SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id FROM (
+      |  SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY sim DESC, vec_id ASC) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 5""".stripMargin
+
   def q102PqAdc(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = t(s, dir, "embeddings")

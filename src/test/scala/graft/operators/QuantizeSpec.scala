@@ -330,4 +330,56 @@ class QuantizeSpec extends SparkSpec {
       .toMap
     assert(byKey((1L, 0)) == 0L && byKey((3L, 0)) == 255L)
   }
+
+  test("SQ8 array encode agrees with the exploded encode code-for-code, " +
+      "and the asymmetric scan retrieves a planted near-pair through " +
+      "the codes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 5 well-separated directions; each vector and its +100 twin share
+    // one, with noise far below the separation AND above the SQ8 step
+    val base = Array.tabulate(5)(k =>
+      Array.tabulate(8)(d => if (d == k) 10.0f else 0.0f))
+    val vecs = (0 until 10).map { i =>
+      val b = base(i % 5)
+      (i.toLong + (if (i < 5) 0L else 100L - 5L),
+        b.map(_ + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val (mns, scales) = Quantize.sqParams(vecs)
+    val arr = Quantize.sqEncodeArray(vecs, mns, scales)
+      .select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").cast("int").as("dim"),
+        col("col").as("code"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val exploded = Quantize.sqEncode(vecs, Quantize.sqTrain(vecs))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(5))
+      .toMap
+    assert(arr == exploded,
+      "array and exploded encodes must agree code-for-code")
+    // asymmetric scan: each vector's nearest non-self through the CODES
+    // must be its twin (vec_id ± 95 by construction)
+    val corpus = Quantize.sqEncodeArray(vecs, mns, scales)
+      .select(col("vec_id"),
+        Quantize.sqDecode(col("codes"), mns, scales).as("r"))
+    val q = vecs.select(col("vec_id").as("q_id"),
+      transform(col("embedding"), x => x.cast("double")).as("q"))
+    val dot = aggregate(zip_with(col("q"), col("r"), (a, b) => a * b),
+      lit(0.0d), (acc, v) => acc + v)
+    val qn = aggregate(col("q"), lit(0.0d), (a, x) => a + x * x)
+    val nn = aggregate(col("r"), lit(0.0d), (a, x) => a + x * x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val top1 = corpus.crossJoin(q).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot / (sqrt(qn) * sqrt(nn))).as("sim"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select("q_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    top1.foreach { case (qid, nn1) =>
+      val twin = if (qid < 5) qid + 100 else qid - 100
+      assert(nn1 == twin, s"query $qid: nearest through SQ8 codes was " +
+        s"$nn1, expected twin $twin")
+    }
+  }
 }
