@@ -239,13 +239,21 @@ object Components {
     }
   }
 
+  // explicit schemas on every store read: a purge that evacuates the
+  // whole store (a forgotten star hub isolating every spoke) leaves
+  // valid-but-fileless trees, and schema inference would fail where an
+  // empty result is the correct answer
+  private val EdgesSchema = "a LONG, b LONG"
+  private val LabelsSchema = "id LONG, comp LONG, part LONG"
+
   private def readEdges(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/edges")
+    spark.read.schema(EdgesSchema).parquet(s"$storeDir/edges")
 
   /** (id, comp) for every node the store has seen. */
   def readComponents(spark: SparkSession, storeDir: String): DataFrame = {
     graft.pipeline.SafeSwap.recover(storeDir)
-    spark.read.parquet(s"$storeDir/labels").select(col("id"), col("comp"))
+    spark.read.schema(LabelsSchema).parquet(s"$storeDir/labels")
+      .select(col("id"), col("comp"))
   }
 
   /** Does a label store live at `storeDir` (healing a crashed swap)? */
@@ -273,7 +281,8 @@ object Components {
     if (graft.pipeline.AppendCommit.isApplied(storeDir, id))
       return false
     val nParts = npartsMarker(spark, storeDir, None)
-    val labels = spark.read.parquet(s"$storeDir/labels")
+    val labels = spark.read.schema(LabelsSchema)
+      .parquet(s"$storeDir/labels")
       .select(col("id"), col("comp"))
     val nodes = e.select(explode(array(col("a"), col("b"))).as("id"))
       .distinct()
@@ -372,7 +381,8 @@ object Components {
       var unknownIds = false
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$stage/_staged"))) {
         // compute the post-delete truth from the still-intact store
-        val labels = spark.read.parquet(s"$storeDir/labels")
+        val labels = spark.read.schema(LabelsSchema)
+          .parquet(s"$storeDir/labels")
           .select(col("id"), col("comp"))
         val comps: Seq[Any] = Maintain.matchingKeys(labels, "id", ids)
           .select(col("comp")).distinct()
@@ -411,20 +421,36 @@ object Components {
         // destructive from here — every step idempotent, driven by the
         // staged pre-delete plan
         val members = spark.read.parquet(s"$stage/members")
-        val relabeled = spark.read.parquet(s"$stage/relabeled")
+        // explicit schema: when EVERY affected member leaves (a star's
+        // forgotten hub isolates all spokes), the staged closure is
+        // empty and its parquet dir may hold no data files — a
+        // schema-inferring read would fail on the _SUCCESS-only dir
+        val relabeled = spark.read
+          .schema("id LONG, comp LONG, part LONG")
+          .parquet(s"$stage/relabeled")
         Maintain.deleteByKey(spark, s"$storeDir/edges", "a", ids)
         Maintain.deleteByKey(spark, s"$storeDir/edges", "b", ids)
+        // `leaving` stays a DATAFRAME end-to-end: it is bounded by the
+        // affected components' membership, NOT the request's key count —
+        // forgetting the hub of a star component (a template document
+        // whose variants all pair with it but not each other) isolates
+        // every spoke, so a driver collect here would materialize
+        // millions of ids for one key (the same hazard that kept
+        // `members` un-broadcast above). Pinned once: consumed by the
+        // count and by the delete's discovery + rewrites.
         val leaving = members.select(col("id"))
           .join(relabeled.select(col("id")), Seq("id"), "left_anti")
-          .collect().map(_.getLong(0).asInstanceOf[Any]).toSeq
-        if (leaving.nonEmpty)
-          Maintain.deleteByKey(spark, s"$storeDir/labels", "id", leaving)
+          .localCheckpoint()
+        val nLeaving = leaving.count()
+        if (nLeaving > 0)
+          Maintain.deleteByKeyFrame(spark, s"$storeDir/labels", "id",
+            leaving)
         if (!relabeled.isEmpty)
           Upsert.mergeIntoPartitioned(spark, s"$storeDir/labels",
             relabeled, Seq("part", "id"), "part")
         AppendCommit.markApplied(storeDir, id)
         fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-        leaving.size.toLong
+        nLeaving
       }
     }
   }

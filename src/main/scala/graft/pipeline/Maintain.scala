@@ -179,6 +179,23 @@ object Maintain {
         s"$c's type ${colType.sql} — refusing a partial purge")
   }
 
+  /** The loud lossy-cast rule for a DISTRIBUTED key frame
+    * ([[deleteByKeyFrame]]): same contract as [[requireKeysCastable]] —
+    * a non-null key that cannot cast to the column's type must fail the
+    * purge loudly, never silently survive — checked without collecting
+    * the keys (only ≤20 offending samples come back). */
+  private def requireFrameCastable(raw: org.apache.spark.sql.DataFrame,
+      colType: org.apache.spark.sql.types.DataType, c: String): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val bad = raw
+      .filter(col("__raw").isNotNull &&
+        expr(s"try_cast(__raw AS ${colType.sql})").isNull)
+      .limit(20).collect().map(r => String.valueOf(r.get(0)))
+    require(bad.isEmpty,
+      s"key(s) [${bad.mkString(", ")}] do not cast to " +
+        s"$c's type ${colType.sql} — refusing a partial purge")
+  }
+
   /** Complement of [[matchingKeys]]; NULL-keyed rows are KEPT on both
     * paths (a row whose key is unknown was not asked to die — the
     * three-valued-isin rule). */
@@ -309,7 +326,6 @@ object Maintain {
           }
         walk(new Path(tableDir))
       }
-    var rewritten = 0; var dropped = 0; var deleted = 0L
     if (candidates.isEmpty)
       return DeleteSummary(0, 0, 0, 0L)
     // Above the threshold, keys travel as a BROADCAST one-column frame
@@ -368,6 +384,23 @@ object Maintain {
       .map(r => (r.getString(0), r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2)))
       .filter(_._3 > 0L)
+      .toSeq
+    rewriteAndCommit(spark, tableDir, fs, managed, candidates.size,
+      hitRows, dropKeys)
+  }
+
+  /** The shared per-file rewrite machinery behind [[deleteByKey]] and
+    * [[deleteByKeyFrame]]: given the discovery pass's exact per-file
+    * (file, total, hits) counts and the surviving-rows filter, rewrite
+    * each hit file under the per-file crash protocol (or drop it when
+    * nothing survives), commit managed tables' swaps in one manifest
+    * generation, and converge the skip trees. */
+  private def rewriteAndCommit(spark: SparkSession, tableDir: String,
+      fs: FileSystem, managed: Boolean, nCandidates: Int,
+      hitRows: Seq[(String, Long, Long)],
+      dropKeys: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): DeleteSummary = {
+    var rewritten = 0; var dropped = 0; var deleted = 0L
     // manifest mode: (relative orig, relative replacement or None)
     val swaps = scala.collection.mutable.ArrayBuffer
       .empty[(String, Option[String])]
@@ -456,6 +489,81 @@ object Maintain {
       // point lookups prune them immediately
       Skipping.refreshAllTrees(spark, tableDir)
     }
-    DeleteSummary(candidates.size, rewritten, dropped, deleted)
+    DeleteSummary(nCandidates, rewritten, dropped, deleted)
+  }
+
+  /** [[deleteByKey]] for a DISTRIBUTED key set: remove every row whose
+    * `c` matches the single-column `keys` frame, without the keys ever
+    * materializing on the driver. This is the RTBF path for
+    * CORPUS-PROPORTIONAL key sets — e.g. a component purge isolating
+    * every spoke of a forgotten hub document, where the members of one
+    * hot near-dup component can run to millions (the spam-cluster
+    * shape): a `Seq[Any]` there is a driver OOM, not an API choice.
+    *
+    * Differences from the Seq path, both deliberate:
+    *  - candidate discovery is the full live listing, not the bloom
+    *    probe — the per-key driver-side bloom probes are themselves the
+    *    scale hazard at this cardinality, and a key set this large
+    *    touches most files anyway; discovery stays ONE batched scan
+    *    either way, so only the file pruning is given up;
+    *  - the key frame is pinned once (`localCheckpoint`) and joined —
+    *    Spark broadcasts it when its measured size allows, shuffles
+    *    otherwise; plans stay constant-size at any key count.
+    *
+    * Same loud lossy-cast rule, same NULL-keyed-rows-survive semantics
+    * (anti-join equality — null never matches), same per-file crash
+    * protocol and manifest handling as [[deleteByKey]]. Idempotent. */
+  def deleteByKeyFrame(spark: SparkSession, tableDir: String, c: String,
+      keys: org.apache.spark.sql.DataFrame): DeleteSummary = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    require(keys.columns.length == 1,
+      s"key frame must have exactly one column, got " +
+        s"[${keys.columns.mkString(", ")}]")
+    val fs = fsFor(spark, tableDir)
+    val managed = Manifest.exists(tableDir)
+    if (managed) {
+      Manifest.recover(tableDir)
+      Manifest.purgeAllTombs(tableDir) // RTBF collapses retention
+    } else recoverDeletes(fs, new Path(tableDir))
+    val colType = spark.read.parquet(tableDir).schema.find(_.name == c)
+      .map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"deleteByKeyFrame: no column $c in $tableDir"))
+    val raw = keys.select(keys.col(keys.columns.head).as("__raw"))
+    requireFrameCastable(raw, colType, c)
+    // pinned: consumed by the emptiness probe, the discovery join, and
+    // every per-file rewrite — and it may derive from the very tree this
+    // delete rewrites (the purgeNodes staging), so it must not re-read
+    val keysDf = raw.select(col("__raw").cast(colType).as("__k"))
+      .filter(col("__k").isNotNull).distinct().localCheckpoint()
+    if (keysDf.isEmpty) return DeleteSummary(0, 0, 0, 0L)
+    def walk(p: Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".") || n.startsWith("_")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st.getPath.toUri.toString)
+      }
+    val candidates = walk(new Path(tableDir))
+    if (candidates.isEmpty) return DeleteSummary(0, 0, 0, 0L)
+    def dropKeys(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      df.join(keysDf, df(c) === keysDf("__k"), "left_anti")
+    val scanned = spark.read.option("basePath", tableDir)
+      .parquet(candidates: _*)
+      .select(org.apache.spark.sql.functions
+        .col("_metadata.file_path").as("file"), col(c))
+    val hitRows = scanned
+      .join(keysDf, scanned(c) === keysDf("__k"), "left")
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__k").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .filter(_._3 > 0L)
+      .toSeq
+    rewriteAndCommit(spark, tableDir, fs, managed, candidates.size,
+      hitRows, dropKeys)
   }
 }

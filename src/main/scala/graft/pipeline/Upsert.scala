@@ -180,8 +180,12 @@ object Upsert {
           .filter(p => resolvedSet.forall(
             _.contains(new org.apache.hadoop.fs.Path(p).toUri.getPath)))
           .toSeq
+        // an existing but FILELESS partition dir (a keyed delete can
+        // evacuate every file — e.g. an RTBF purge of a whole component)
+        // has no schema to infer; it merges like a brand-new partition
         val target =
-          if (managed) spark.read.parquet(olds: _*)
+          if (olds.isEmpty) slice.limit(0)
+          else if (managed) spark.read.parquet(olds: _*)
           else spark.read.parquet(pdir)
         updated += target.join(
           slice.selectExpr(restKeys: _*).distinct(), restKeys, "left_semi")

@@ -263,6 +263,60 @@ class ComponentsSpec extends SparkSpec {
     assert(comp.values.forall(_ == 1L), "single component rooted at the min")
   }
 
+  test("purgeNodes on a star topology: forgetting the hub isolates " +
+      "every spoke with NO corpus-proportional driver materialization " +
+      "(the leaving set stays distributed end-to-end)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccstar")
+      .toString + "/s"
+    val nSpokes = 120000
+    // hub 0 pairs with every spoke; spokes never pair with each other —
+    // the template-document shape. Deleting the hub isolates ALL spokes.
+    val edges = spark.range(1, nSpokes + 1)
+      .select(lit(0L).as("a"), col("id").as("b"))
+    Components.buildComponentStore(spark, dir, edges, nParts = 8)
+    assert(storeLabels(dir).size == nSpokes + 1)
+    // guard: during the purge, no single task may ship a result sized
+    // like the spoke set back to the driver (the old .collect() path
+    // returned ~nSpokes×16B per partition; aggregates/file-count
+    // collects are orders of magnitude below the bound)
+    val maxResult = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          maxResult.getAndAccumulate(e.taskMetrics.resultSize, math.max)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // auto-broadcast off for the guard: Spark may legitimately choose to
+    // broadcast the (threshold-bounded) key frame — that driver hop is
+    // capped by spark.sql.autoBroadcastJoinThreshold, unlike the
+    // unbounded .collect() this spec exists to forbid. With broadcasts
+    // disabled, ONLY an explicit collect can ship the spoke set.
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val removed = Components.purgeNodes(spark, dir, Seq(0L))
+      assert(removed == nSpokes + 1L,
+        s"hub + every isolated spoke must leave, got $removed")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      Thread.sleep(2000) // listener bus drains asynchronously
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(storeLabels(dir).isEmpty, "no member survives a hub forget")
+    assert(spark.read.schema("a LONG, b LONG")
+      .parquet(s"$dir/edges").count() == 0L)
+    assert(maxResult.get() < 256 * 1024,
+      s"a task shipped ${maxResult.get()} bytes to the driver — " +
+        "corpus-proportional collect in the purge path")
+    // replay no-ops; the store keeps working after total evacuation
+    assert(Components.purgeNodes(spark, dir, Seq(0L)) == 0L)
+    assert(Components.appendEdges(spark, dir,
+      Seq((1L, 2L)).toDF("a", "b")))
+    assert(storeLabels(dir) == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("streaming sink: a degenerate first micro-batch cannot wedge the store") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cc_dgn").toString +
