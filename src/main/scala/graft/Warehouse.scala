@@ -92,7 +92,16 @@ object Warehouse {
     * invalidates the store and the next sync re-packs the filtered
     * corpus. */
   final case class PackDef(name: String, table: String,
-      idCol: String, textCol: String, budget: Long = 8192L)
+      idCol: String, textCol: String, budget: Long = 8192L,
+      /** RTBF stance: false (default) = PLACEMENT-PRESERVING purge —
+        * the deleted docs' placement rows leave, their bins keep holes,
+        * every surviving placement stays byte-identical, and appends
+        * continue at the unchanged frontier
+        * ([[graft.operators.Curation.purgePackStore]]); true = the
+        * conservative invalidate-and-re-pack (drop the store, next sync
+        * re-packs the filtered corpus — a corpus-scale job, but bins
+        * re-fill densely). */
+      invalidateOnForget: Boolean = false)
 
   final case class Config(
       warehouseDir: String,
@@ -152,6 +161,14 @@ object Warehouse {
         * rewrite (SafeSwap) replaces the dir wholesale, so the manifest
         * re-commits right after it — same cadence as the skip stats. */
       manifestTables: Seq[String] = Nil,
+      /** Fold this many COMPLETED forget requests into one
+        * generation-numbered suppression file per (table, column) —
+        * the journal-compaction cadence that keeps [[Warehouse.forget]]
+        * history from growing the per-sync sweep without bound (the
+        * sweep reads O(columns) suppression files plus the in-flight
+        * requests, instead of every request ever journaled). ≤ 0
+        * disables compaction. */
+      forgetCompactEvery: Int = 8,
       /** Summary notification hook — the reference publishes every sync
         * summary to an SNS email topic (`sync-canvas-data-files.py:141-145`,
         * topic `cloud_formation/canvas_data_aws.yaml:68-78`); plug a mailer/
@@ -356,10 +373,19 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     * sync newly fetched, so an upstream manifest re-delivering the
     * forgotten content under a NEW file name cannot resurrect it: the
     * fresh file purges before the canonical layer or any maintained
-    * store reads it. One honest caveat remains: maintained indexes must
-    * be keyed by the delete column (`idCol == c` — refused loudly
-    * otherwise; a cross-column forget needs a pre-captured key
-    * mapping). */
+    * store reads it.
+    *
+    * CROSS-COLUMN: the request may be keyed by ANY table column (the
+    * realistic RTBF shape — requests arrive keyed by user identifiers,
+    * not by the engine's doc ids). Maintained stores keyed by a
+    * different `idCol` get their key set from a PRE-CAPTURED mapping:
+    * the matching rows' distinct id values, read from the still-intact
+    * table and STAGED under the request's journal entry before any
+    * destructive step — so a crash-retry (whose table may already be
+    * half-purged) replays the exact original id set and every hook's
+    * content-keyed purge ids stay identical across replays. A store
+    * whose `idCol` is not a column of the table is refused loudly,
+    * BEFORE the journal write. */
   def forget(schema: Seq[CDTable], tableName: String, c: String,
       keys: Seq[Any]): ForgetSummary = {
     require(keys.nonEmpty, "need at least one key to forget")
@@ -369,24 +395,18 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       "forget keys must be non-null — NULL identifies no row")
     val t = schema.find(_.tableName == tableName).getOrElse(
       throw new IllegalArgumentException(s"unknown table $tableName"))
-    // the loud uncastable-key rule must hold REGARDLESS of which layers
-    // exist: when canonicalize=false (or the canonical dir is absent)
-    // deleteByKey — which owns the check — never runs, and the raw
-    // purge's try_cast extraction would silently skip the bad key
-    locally {
-      val st = graft.model.TypeLattice.toStructType(t)
-      val f = st.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"no column $c in ${t.tableName}"))
-      graft.pipeline.Maintain.requireKeysCastable(spark, f.dataType, c,
-        keys)
-    }
-    // journal FIRST: the request must survive a crash at any later step
     val keyStrs = keys.map(String.valueOf)
+    // EVERY deterministic validation runs BEFORE the journal write: a
+    // journaled request replays on every sync (sweepForgets), so a
+    // request that can only ever fail must be refused up front — a
+    // journaled refusal would otherwise wedge every future sync until
+    // the file is hand-deleted (the ADVICE r10 hazard)
+    validateForgetRequest(t, c, keyStrs)
+    // journal FIRST: the request must survive a crash at any later step
     val reqId = graft.pipeline.AppendCommit.contentId(
       s"$tableName|$c|" + keyStrs.sorted.mkString("\n"))
     journalForget(tableName, reqId, c, keyStrs)
-    val sum = forgetInternal(schema, t, c, keys)
+    val sum = forgetInternal(schema, t, c, keys, reqId)
     // the cascade just purged the WHOLE raw layer — cover its current
     // files so the per-sync sweep only ever touches later arrivals
     markSwept(tableName, reqId, rawListing(tableName))
@@ -394,17 +414,45 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     sum
   }
 
+  /** The deterministic validations of a forget request, shared by
+    * [[forget]] (throws, pre-journal) and [[sweepForgets]] (quarantines
+    * a journal that fails them — a hand-planted or corrupted request
+    * file must not wedge every future sync): the column must exist,
+    * every key must cast to its type losslessly (the loud lossy-cast
+    * rule, which must hold regardless of which layers exist: with
+    * canonicalize=false, deleteByKey — which owns the check — never
+    * runs, and the raw purge's try_cast extraction would silently skip
+    * the bad key), and every maintained store on the table must be
+    * keyed by `c` or by another TABLE column the cascade can map
+    * through. */
+  private def validateForgetRequest(t: CDTable, c: String,
+      keyStrs: Seq[String]): Unit = {
+    val st = graft.model.TypeLattice.toStructType(t)
+    val f = st.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column $c in ${t.tableName}"))
+    graft.pipeline.Maintain.requireKeysCastable(spark, f.dataType, c,
+      keyStrs)
+    val tn = t.tableName
+    (cfg.maintainedIndexes.filter(_.table == tn)
+        .map(d => s"index ${d.name}" -> d.idCol) ++
+      cfg.maintainedVectorIndexes.filter(_.table == tn)
+        .map(d => s"vector index ${d.name}" -> d.idCol) ++
+      cfg.maintainedPacks.filter(_.table == tn)
+        .filterNot(_.invalidateOnForget)
+        .map(d => s"pack store ${d.name}" -> d.idCol))
+      .foreach { case (n, ic) =>
+        require(ic == c || st.fieldNames.contains(ic),
+          s"maintained $n is keyed by $ic, which is not a column of " +
+            s"$tn — a forget keyed by $c cannot map to it")
+      }
+  }
+
   private def forgetInternal(schema: Seq[CDTable], t: CDTable, c: String,
-      keys: Seq[Any]): ForgetSummary = {
+      keys: Seq[Any], reqId: String): ForgetSummary = {
     val tableName = t.tableName
     val idxDefs = cfg.maintainedIndexes.filter(_.table == tableName)
     val vDefs = cfg.maintainedVectorIndexes.filter(_.table == tableName)
-    (idxDefs.map(d => d.name -> d.idCol) ++
-      vDefs.map(d => d.name -> d.idCol)).foreach { case (n, ic) =>
-      require(ic == c,
-        s"maintained index $n is keyed by $ic — a forget keyed by $c " +
-          "cannot cascade to it; forget by the index id column")
-    }
     import org.apache.spark.sql.functions.col
     val files = rawListing(tableName)
     // captured from the still-intact table (canonical when current,
@@ -412,21 +460,44 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     // destructive step below — their intent staging carries retries
     val deletedFull = graft.pipeline.Maintain.matchingKeys(
       readTableSnapshot(t, files)._1, c, keys)
+    // cross-column mapping: delete column → a maintained store's id
+    // column, captured ONCE from the still-intact table and staged
+    // under the journal (map_<reqId>_<idCol>) — a crash-retry reads the
+    // staged set instead of re-deriving it from a half-purged table, so
+    // the hooks' content-keyed purge ids stay identical across replays
+    // and their negative-fingerprint intents can never double-apply.
+    // Bounded by the matching rows' distinct ids (the per-identity RTBF
+    // contract: one user's documents, not a corpus slice).
+    val idKeyCache =
+      scala.collection.mutable.Map.empty[String, Seq[Any]]
+    def idKeysFor(ic: String): Seq[Any] =
+      if (ic == c) keys
+      else idKeyCache.getOrElseUpdate(ic, {
+        val strs = stagedIdKeys(tableName, reqId, ic,
+          deletedFull.select(col(ic)).filter(col(ic).isNotNull)
+            .distinct().collect()
+            .map(r => String.valueOf(r.get(0))).toSeq)
+        typedKeys(t, ic, strs)
+      })
     val purged = scala.collection.mutable.Map.empty[String, Long]
     val invalidated = scala.collection.mutable.ArrayBuffer.empty[String]
     idxDefs.foreach { d =>
       val store = s"${cfg.warehouseDir}/_maintained/index_${d.name}"
+      val ik = idKeysFor(d.idCol)
       purged(s"index_${d.name}") =
-        graft.operators.Dedup.purgeMinhashIndex(spark, store, keys)
+        if (ik.isEmpty) 0L
+        else graft.operators.Dedup.purgeMinhashIndex(spark, store, ik)
     }
     vDefs.foreach { d =>
       val store = s"${cfg.warehouseDir}/_maintained/vindex_${d.name}"
+      val ik = idKeysFor(d.idCol)
       def vecs = deletedFull.select(col(d.idCol).as("vec_id"),
         d.parseEmbedding(col(d.embedCol)).as("embedding"))
       purged(s"vindex_${d.name}") =
-        if (d.pq) graft.operators.Quantize.purgeIvfPqIndex(spark, store,
-          keys, vecs)
-        else graft.operators.Similarity.purgeIvfIndex(spark, store, keys)
+        if (ik.isEmpty) 0L
+        else if (d.pq) graft.operators.Quantize.purgeIvfPqIndex(spark,
+          store, ik, vecs)
+        else graft.operators.Similarity.purgeIvfIndex(spark, store, ik)
     }
     val retractId = "purge-" + graft.pipeline.AppendCommit.contentId(
       keys.map(String.valueOf).sorted.mkString("\n"))
@@ -455,10 +526,22 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     cfg.maintainedPacks.filter(_.table == tableName).foreach { d =>
       val store = s"${cfg.warehouseDir}/_maintained/pack_${d.name}"
       if (fsOf.exists(new org.apache.hadoop.fs.Path(store))) {
-        // placements are offset-chained — not row-subtractable; drop
-        // the store, the next sync re-packs the filtered corpus
-        fsOf.delete(new org.apache.hadoop.fs.Path(store), true)
-        invalidated += s"pack_${d.name}"
+        if (d.invalidateOnForget) {
+          // conservative stance (opt-in flag): drop the store, the next
+          // sync re-packs the filtered corpus — a corpus-scale job
+          fsOf.delete(new org.apache.hadoop.fs.Path(store), true)
+          invalidated += s"pack_${d.name}"
+        } else {
+          // placement-preserving purge (default): the deleted docs'
+          // placement rows leave, their bins keep holes, surviving
+          // placements stay byte-identical and the frontier is
+          // untouched — O(hit rows), never a corpus re-pack
+          val ik = idKeysFor(d.idCol)
+          purged(s"pack_${d.name}") =
+            if (ik.isEmpty) 0L
+            else graft.operators.Curation.purgePackStore(spark, store,
+              ik)
+        }
       }
     }
     // destructive steps LAST (the captures above replay from their
@@ -507,6 +590,37 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       throw new java.io.IOException(s"cannot journal forget $reqId")
   }
 
+  /** Stage (or read back) a request's cross-column id mapping:
+    * `_forget/<table>/map_<reqId>_<idCol>`, one id string per line —
+    * compute-once-pre-destruction, the intent-staging discipline
+    * applied to the key mapping itself. Temp+rename; an existing stage
+    * wins (the first capture saw the intact table). */
+  private def stagedIdKeys(table: String, reqId: String, ic: String,
+      compute: => Seq[String]): Seq[String] = {
+    val fs = fsOf
+    val dir = new org.apache.hadoop.fs.Path(forgetDir(table))
+    val dest = new org.apache.hadoop.fs.Path(dir, s"map_${reqId}_$ic")
+    if (fs.exists(dest)) {
+      val in = fs.open(dest)
+      try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
+        .filter(_.nonEmpty)
+      finally in.close()
+    } else {
+      val ks = compute
+      fs.mkdirs(dir)
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s".map_${reqId}_$ic.tmp")
+      val os = fs.create(tmp, true)
+      try os.write(ks.mkString("\n").getBytes("UTF-8"))
+      finally os.close()
+      if (fs.exists(dest)) fs.delete(tmp, false)
+      else if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(
+          s"cannot stage forget id mapping $reqId/$ic")
+      ks
+    }
+  }
+
   private def writeForgetDone(table: String, reqId: String): Unit = {
     val os = fsOf.create(new org.apache.hadoop.fs.Path(
       forgetDir(table), s"done_$reqId"), true)
@@ -548,8 +662,13 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     *   2. raw files the swept ledger has never covered (the sync's
     *      fresh fetches — including an upstream RE-DELIVERY of
     *      forgotten content under a new name) are purged of every
-    *      active request's keys, so nothing downstream ever ingests a
-    *      resurrected row.
+    *      active request's keys — journaled requests plus the
+    *      compacted suppression files — so nothing downstream ever
+    *      ingests a resurrected row;
+    *   3. once `forgetCompactEvery` completed requests accumulate,
+    *      they fold into one suppression file per column
+    *      ([[compactForgets]]), so this sweep's read cost stays
+    *      O(columns + in-flight requests) over any forget history.
     *
     * Costs one listing per table with active forgets; the fresh-file
     * purge scans only the fresh files. */
@@ -562,22 +681,65 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
           .map(_.getPath.getName)
         val dones = names.filter(_.startsWith("done_"))
           .map(_.stripPrefix("done_")).toSet
-        val reqs: Seq[(String, String, Seq[String])] =
+        def readLines(n: String): Seq[String] = {
+          val in = fs.open(new org.apache.hadoop.fs.Path(dir, n))
+          try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
+          finally in.close()
+        }
+        val allReqs: Seq[(String, String, Seq[String])] =
           names.filter(_.startsWith("req_")).toSeq.sorted.map { n =>
-            val id = n.stripPrefix("req_")
-            val in = fs.open(new org.apache.hadoop.fs.Path(dir, n))
-            val txt = try new String(in.readAllBytes(), "UTF-8")
-              finally in.close()
-            val lines = txt.split("\n").toSeq
-            (id, lines.head, lines.tail.filter(_.nonEmpty))
+            val lines = readLines(n)
+            (n.stripPrefix("req_"), lines.head,
+              lines.tail.filter(_.nonEmpty))
           }
+        // compacted history: per column, the HIGHEST-generation
+        // suppression file (sup_<col>_g<N>) — generations are strict
+        // supersets by construction, so lower gens (a crashed
+        // compaction's leftovers) are redundant and ignored
+        val sups: Seq[(String, String, Seq[String])] =
+          names.filter(_.startsWith("sup_")).toSeq
+            .flatMap { n =>
+              val stem = n.stripPrefix("sup_")
+              val cut = stem.lastIndexOf("_g")
+              if (cut <= 0) None
+              else stem.drop(cut + 2).toLongOption.map(g =>
+                (stem.take(cut), g, n))
+            }
+            .groupBy(_._1).values.map(_.maxBy(_._2)).toSeq
+            .map { case (c, _, n) =>
+              (n, c, readLines(n).filter(_.nonEmpty)) }
+        val fresh = rawListing(t.tableName)
+          .filterNot(sweptFiles(t.tableName))
+        // quarantine, don't throw: a journal that fails DETERMINISTIC
+        // validation (hand-planted with a bad column, corrupted keys
+        // that no longer cast — [[forget]] refuses these pre-journal,
+        // so only out-of-band files can get here) would otherwise
+        // replay and fail on every future sync; renamed failed_<id>,
+        // it stays on disk for the operator, out of the sweep's way.
+        // Validation is skipped entirely on the idle path (nothing
+        // fresh, nothing crashed) — zero per-sync cost at rest.
+        val needWork = fresh.nonEmpty || allReqs.exists(r => !dones(r._1))
+        def validOrQuarantine(file: String, c: String,
+            ks: Seq[String]): Boolean =
+          try { validateForgetRequest(t, c, ks); true }
+          catch {
+            case e: IllegalArgumentException =>
+              log.error(s"forget sweep: $file on ${t.tableName} fails " +
+                s"deterministic validation (${e.getMessage}) — " +
+                s"quarantined as failed_$file")
+              fs.rename(new org.apache.hadoop.fs.Path(dir, file),
+                new org.apache.hadoop.fs.Path(dir, s"failed_$file"))
+              false
+          }
+        val reqs = if (!needWork) allReqs else allReqs.filter {
+          case (id, c, ks) => validOrQuarantine(s"req_$id", c, ks) }
+        val validSups = if (!needWork) sups else sups.filter {
+          case (n, c, ks) => validOrQuarantine(n, c, ks) }
         // 1) purge fresh raw files of EVERY journaled request's keys —
         // before any crashed-cascade completion marks the listing
         // swept on behalf of its one request
-        val fresh = rawListing(t.tableName)
-          .filterNot(sweptFiles(t.tableName))
-        if (fresh.nonEmpty && reqs.nonEmpty) {
-          reqs.groupBy(_._2).foreach { case (c, rs) =>
+        if (fresh.nonEmpty && (reqs.nonEmpty || validSups.nonEmpty)) {
+          (reqs ++ validSups).groupBy(_._2).foreach { case (c, rs) =>
             val ks = rs.flatMap(_._3).distinct
             val removed = if (ks.isEmpty) 0L
             else purgeRawTsv(t, c, typedKeys(t, c, ks),
@@ -594,12 +756,94 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         reqs.filterNot(r => dones(r._1)).foreach { case (id, c, ks) =>
           log.info(s"forget sweep: completing crashed cascade $id " +
             s"on ${t.tableName}.$c (${ks.size} keys)")
-          forgetInternal(schema, t, c, typedKeys(t, c, ks))
+          forgetInternal(schema, t, c, typedKeys(t, c, ks), id)
           markSwept(t.tableName, id, rawListing(t.tableName))
           writeForgetDone(t.tableName, id)
         }
+        // 3) journal compaction: fold completed requests into the
+        // per-column suppression files once enough accumulate, so the
+        // sweep's read cost is O(columns with forgets), not O(every
+        // request ever journaled)
+        if (cfg.forgetCompactEvery > 0) {
+          val doneNow = reqs.filter(r => fs.exists(
+            new org.apache.hadoop.fs.Path(dir, s"done_${r._1}")))
+          if (doneNow.size >= cfg.forgetCompactEvery)
+            compactForgets(t.tableName, doneNow, validSups)
+        }
       }
     }
+  }
+
+  /** Fold `doneReqs` (journaled requests whose cascades completed) into
+    * one NEW-GENERATION suppression file per delete column:
+    * `sup_<col>_g<N+1>` = previous generation's keys ∪ the folded
+    * requests' keys — written temp+rename FIRST, then the folded
+    * request/done/mapping files and superseded generations delete.
+    * Crash-convergent at every point: generations are strict supersets,
+    * readers take the max generation per column, and a crash between
+    * the write and the deletes leaves redundant files the next
+    * compaction removes. Suppression semantics are exactly the
+    * journal's (the sweep purges fresh files with the union either
+    * way); only the storage shape changes. */
+  private def compactForgets(table: String,
+      doneReqs: Seq[(String, String, Seq[String])],
+      sups: Seq[(String, String, Seq[String])]): Unit = {
+    val fs = fsOf
+    val dir = new org.apache.hadoop.fs.Path(forgetDir(table))
+    val supGen: Map[String, Long] = sups.map { case (n, c, _) =>
+      c -> n.drop(n.lastIndexOf("_g") + 2).toLong
+    }.toMap
+    doneReqs.groupBy(_._2).foreach { case (c, rs) =>
+      val prev = sups.filter(_._2 == c).flatMap(_._3)
+      val merged = (prev ++ rs.flatMap(_._3)).distinct.sorted
+      val newGen = supGen.getOrElse(c, 0L) + 1L
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s".sup_${c}_g$newGen.tmp")
+      val os = fs.create(tmp, true)
+      try os.write(merged.mkString("\n").getBytes("UTF-8"))
+      finally os.close()
+      val dest = new org.apache.hadoop.fs.Path(dir, s"sup_${c}_g$newGen")
+      if (fs.exists(dest)) fs.delete(tmp, false)
+      else if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(
+          s"cannot write suppression file $dest")
+      log.info(s"forget compaction: $table.$c — ${rs.size} request(s) " +
+        s"folded into generation $newGen (${merged.size} keys)")
+    }
+    // destructive LAST, each idempotent: folded journals, their done
+    // markers and staged mappings, then every superseded generation
+    doneReqs.foreach { case (id, _, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"req_$id"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"done_$id"), false)
+      fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith(s"map_${id}_"))
+        .foreach(p => fs.delete(p, false))
+    }
+    val maxGen: Map[String, Long] = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("sup_")).toSeq
+      .flatMap { n =>
+        val stem = n.stripPrefix("sup_")
+        val cut = stem.lastIndexOf("_g")
+        if (cut <= 0) None
+        else stem.drop(cut + 2).toLongOption.map(g => (stem.take(cut), g))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    fs.listStatus(dir).map(_.getPath).filter { p =>
+      val n = p.getName
+      n.startsWith("sup_") && {
+        val stem = n.stripPrefix("sup_")
+        val cut = stem.lastIndexOf("_g")
+        cut > 0 && stem.drop(cut + 2).toLongOption
+          .exists(g => g < maxGen.getOrElse(stem.take(cut), Long.MaxValue))
+      }
+    }.foreach(p => fs.delete(p, false))
+    // a done marker whose request is gone is a crashed compaction's
+    // leftover — clear it so it cannot linger forever
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("done_")).map(_.stripPrefix("done_"))
+      .filterNot(id => fs.exists(
+        new org.apache.hadoop.fs.Path(dir, s"req_$id")))
+      .foreach(id => fs.delete(
+        new org.apache.hadoop.fs.Path(dir, s"done_$id"), false))
   }
 
   private val ForgetAside = ".forget_aside_"

@@ -132,10 +132,16 @@ object CatalogSync {
     if (!Manifest.exists(location)) return Seq.empty
     val gens = Manifest.generations(location)
     val prefix = s"${table}__at_g"
+    // Spark lower-cases registered temp-view names, so the stale-view
+    // match must compare case-insensitively: a mixed-case table name
+    // would otherwise never match its own views, leaving __at_g<N>
+    // views of out-of-retention generations resolving purged files
+    val prefixLc = prefix.toLowerCase(java.util.Locale.ROOT)
     spark.catalog.listTables().collect()
-      .filter(t => t.isTemporary && t.name.startsWith(prefix))
+      .filter(t => t.isTemporary &&
+        t.name.toLowerCase(java.util.Locale.ROOT).startsWith(prefixLc))
       .map(_.name)
-      .filter(n => n.stripPrefix(prefix).toLongOption
+      .filter(n => n.substring(prefixLc.length).toLongOption
         .exists(g => !gens.contains(g)))
       .foreach(v => spark.catalog.dropTempView(v))
     gens.foreach { g =>

@@ -246,8 +246,56 @@ object Components {
   private val EdgesSchema = "a LONG, b LONG"
   private val LabelsSchema = "id LONG, comp LONG, part LONG"
 
-  private def readEdges(spark: SparkSession, storeDir: String): DataFrame =
+  private def readEdges(spark: SparkSession, storeDir: String): DataFrame = {
+    // heal a crashed archive compaction (nested SafeSwap on edges/)
+    graft.pipeline.SafeSwap.recover(s"$storeDir/edges")
     spark.read.schema(EdgesSchema).parquet(s"$storeDir/edges")
+  }
+
+  /** Maintenance for the edge archive's append path — the two debts
+    * [[appendEdges]] accrues by design: (1) one small file set lands per
+    * batch, so years of daily folds leave a tree whose every purge pays
+    * per-file open cost; (2) a crash between the archive write and the
+    * ledger mark re-appends the batch on retry — duplicate edge rows
+    * that min-label closure and the key delete are indifferent to, but
+    * that nothing previously removed. Past `maxFiles` data files the
+    * archive rewrites as its DISTINCT row set, coalesced to
+    * max(1, ceil(bytes/targetBytes)) files, behind the dir's own
+    * [[graft.pipeline.SafeSwap]] — crash-confined (every reader/writer
+    * of the archive heals the swap on entry), idempotent, and
+    * content-shrinking only. Auto-triggered by [[appendEdges]]; the
+    * single-maintenance-writer contract and the converge-crashed-
+    * appends-first ordering caveat of
+    * [[graft.operators.Similarity.compactIvfIndex]] apply. Returns
+    * true when a rewrite ran. */
+  def compactEdgeArchive(spark: SparkSession, storeDir: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      maxFiles: Int = 64): Boolean = {
+    val edir = s"$storeDir/edges"
+    graft.pipeline.SafeSwap.recover(edir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeDir),
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(edir)
+    if (!fs.exists(p)) return false
+    val files = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (files.length <= maxFiles) return false
+    val bytes = files.map(_.getLen).sum
+    val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    // the lazy read executes inside the swap's write action, strictly
+    // before the live dir renames aside; distinct() is where the
+    // crash-retry duplicate rows leave
+    val df = spark.read.schema(EdgesSchema).parquet(edir)
+      .distinct().coalesce(want)
+    graft.pipeline.SafeSwap.replace(edir) { tmp =>
+      df.write.parquet(tmp)
+    }
+    spark.catalog.refreshByPath(edir)
+    true
+  }
 
   /** (id, comp) for every node the store has seen. */
   def readComponents(spark: SparkSession, storeDir: String): DataFrame = {
@@ -329,12 +377,19 @@ object Components {
     // crash between this write and the ledger mark re-appends the batch
     // on retry — duplicate edge rows, which min-label closure and the
     // purge's key delete are both indifferent to: edge SETS are
-    // idempotent). The archive is what makes [[purgeNodes]] able to
+    // idempotent, and [[compactEdgeArchive]] eventually removes the
+    // duplicates). The archive is what makes [[purgeNodes]] able to
     // recompute split components without the original pair pipeline.
+    // Heal a crashed compaction first: appending into a half-swapped
+    // dir would strand the full archive under the hidden aside name.
+    graft.pipeline.SafeSwap.recover(s"$storeDir/edges")
     e.write.mode("append").parquet(s"$storeDir/edges")
     graft.pipeline.Upsert.mergeIntoPartitioned(spark,
       s"$storeDir/labels", updates, Seq("part", "id"), "part")
     graft.pipeline.AppendCommit.markApplied(storeDir, id, fp)
+    // debt bound for the file-additive append path (no-op below the
+    // file-count threshold)
+    compactEdgeArchive(spark, storeDir)
     true
   }
 
@@ -373,6 +428,8 @@ object Components {
       ids.map(String.valueOf).sorted.mkString("\n"))
     if (AppendCommit.isApplied(storeDir, id)) return 0L
     MaintenanceLock.withLock(storeDir, "purge") {
+      // heal a crashed archive compaction before touching edges/
+      graft.pipeline.SafeSwap.recover(s"$storeDir/edges")
       val nParts = npartsMarker(spark, storeDir, None)
       val stage = s"$storeDir/_purge_stage/$id"
       val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -351,14 +351,35 @@ object Curation {
     }
 
   /** All placements (doc_id, n_tokens, off, bin, straddle). Offsets are
-    * immutable once written — see the q267 note. A row-level delete
-    * cannot retract a placement without shifting every later offset, so
-    * the RTBF stance is INVALIDATE (drop the store; re-pack from the
-    * filtered corpus) — packing is derived data with no state beyond
-    * what a rebuild recomputes. */
+    * immutable once written — see the q267 note. */
   def readPackStore(spark: SparkSession, storeDir: String): DataFrame = {
     graft.pipeline.SafeSwap.recover(storeDir)
     spark.read.parquet(s"$storeDir/docs")
+  }
+
+  /** RTBF cascade hook, PLACEMENT-PRESERVING: drop the deleted docs'
+    * placement rows and nothing else. Their bins keep HOLES — the
+    * deleted spans are simply absent, surviving placements are
+    * byte-identical (only files holding deleted rows rewrite —
+    * [[graft.pipeline.Maintain.deleteByKey]]), and the token frontier
+    * is UNTOUCHED (it is the sum of the ledger's `pk_` payloads, which
+    * record what was PLACED, not what survives), so every later append
+    * lands exactly where it would have — training shards stay stable
+    * through a forget. O(hit files), never a corpus re-pack.
+    *
+    * Loader contract for the holes: a bin's occupancy is the sum of its
+    * surviving `n_tokens`, NOT the budget — consumers that assumed
+    * dense bins must pad or skip the gap (the standard tombstone
+    * semantics of any offset-chained store). The conservative
+    * alternative — drop the store, re-pack the filtered corpus densely
+    * — stays available via [[graft.Warehouse.PackDef]]'s
+    * `invalidateOnForget` flag. Idempotent: a replay finds no rows. */
+  def purgePackStore(spark: SparkSession, storeDir: String,
+      docIds: Seq[Any]): Long = {
+    require(docIds.nonEmpty, "purge needs at least one doc id")
+    graft.pipeline.SafeSwap.recover(storeDir)
+    graft.pipeline.Maintain.deleteByKey(spark, s"$storeDir/docs",
+      "doc_id", docIds).rowsDeleted
   }
 
   private lazy val packGateBase: String =

@@ -156,8 +156,8 @@ class WarehouseSpec extends SparkSpec {
   }
 
   test("maintained pack store: syncs append at the frontier, placements " +
-      "never move, and a forget invalidates so the next sync re-packs " +
-      "the filtered corpus") {
+      "never move, and with invalidateOnForget=true a forget drops the " +
+      "store so the next sync re-packs the filtered corpus") {
     import org.apache.spark.sql.functions._
     val src = Files.createTempDirectory("wh_pack_src")
     def put(table: String, name: String, content: String): ManifestEntry = {
@@ -179,7 +179,7 @@ class WarehouseSpec extends SparkSpec {
       parallelism = 2, canonicalize = true,
       maintainedPacks =
         Seq(Warehouse.PackDef("train", "docs", "doc_id", "body",
-          budget = 8L))))
+          budget = 8L, invalidateOnForget = true))))
     wh.sync(m1, schema)
     def placements() = wh.packOf("train")
       .select("doc_id", "off", "bin").collect()
@@ -998,5 +998,327 @@ class WarehouseSpec extends SparkSpec {
     assert(graft.sources.TsvSource.read(spark, st,
       s"$whDir/raw_files/docs/d1.tsv").count() == 2L,
       "a refused forget must purge NOTHING — no partial delete")
+  }
+
+  test("cross-column forget: a request keyed by a non-id column cascades " +
+      "to id-keyed maintained indexes and the pack store through a " +
+      "staged key mapping") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("wh_xcol_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("docs", None, Seq(
+      CDColumn("doc_id", "bigint"),
+      CDColumn("lang", "varchar", Some(8)),
+      CDColumn("text", "varchar", Some(200)),
+      CDColumn("emb", "varchar", Some(100)))))
+    def doc(id: Long, lang: String): String =
+      s"$id\t$lang\tword$id alpha beta gamma tail$id\t" +
+        s"0.$id,0.${id + 1},0.${id + 2},0.${id + 3}"
+    val langOf = (id: Long) => if (id == 3L || id == 7L) "xx" else "en"
+    val m = Seq(
+      put("docs", "d1.tsv",
+        (1L to 4L).map(i => doc(i, langOf(i))).mkString("", "\n", "\n")),
+      put("docs", "d2.tsv",
+        (5L to 8L).map(i => doc(i, langOf(i))).mkString("", "\n", "\n")))
+    val whDir = Files.createTempDirectory("wh_xcol_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whx", parallelism = 2, canonicalize = true,
+      maintainedIndexes = Seq(Warehouse.IndexDef("mh", "docs",
+        "doc_id", "text")),
+      maintainedVectorIndexes = Seq(Warehouse.VectorIndexDef("vx",
+        "docs", "doc_id", "emb", nlist = 2, replicas = 1)),
+      maintainedPacks = Seq(Warehouse.PackDef("pk", "docs",
+        "doc_id", "text", budget = 16L))))
+    wh.sync(m, schema)
+    val before = wh.packOf("pk").select("doc_id", "off", "bin")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+    // the request arrives keyed by the USER-FACING column, not the ids
+    val sum = wh.forget(schema, "docs", "lang", Seq("xx"))
+    assert(sum.rawRows == 2L && sum.canonicalRows == 2L, s"$sum")
+    assert(sum.purged("index_mh") > 0L, s"$sum")
+    assert(sum.purged("vindex_vx") > 0L, s"$sum")
+    assert(sum.purged("pack_pk") == 2L, s"$sum")
+    val gone = Seq[Any](3L, 7L)
+    assert(spark.read
+      .parquet(s"$whDir/_maintained/index_mh/signatures")
+      .filter(col("doc_id").isInCollection(gone)).count() == 0L,
+      "the id-keyed MinHash index must purge the MAPPED doc ids")
+    assert(spark.read.parquet(s"$whDir/_maintained/vindex_vx/cells")
+      .filter(col("vec_id").isInCollection(gone)).count() == 0L)
+    val after = wh.packOf("pk").select("doc_id", "off", "bin")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(after == before.removedAll(Seq(3L, 7L)),
+      "surviving placements must be exactly the pre-forget ones " +
+        s"(holes, no re-pack): $after vs $before")
+    assert(wh.canonicalTable("docs")
+      .filter(col("lang") === "xx").count() == 0L)
+    // the mapping is STAGED under the journal — a crash-retry replays
+    // the exact original id set from it
+    val fdir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/_forget/docs"))
+    val mapFiles = java.nio.file.Files.list(fdir).iterator()
+    val mapped = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(mapFiles).asScala
+      .filter(_.getFileName.toString.startsWith("map_")).toSeq
+    assert(mapped.size == 1, s"one staged mapping expected: $mapped")
+    assert(java.nio.file.Files.readString(mapped.head)
+      .split("\n").toSet == Set("3", "7"))
+    // convergent re-run, and the next sync resurrects nothing
+    val again = wh.forget(schema, "docs", "lang", Seq("xx"))
+    assert(again.rawRows == 0L && again.canonicalRows == 0L)
+    wh.sync(m, schema)
+    assert(wh.canonicalTable("docs")
+      .filter(col("lang") === "xx").count() == 0L)
+    assert(spark.read
+      .parquet(s"$whDir/_maintained/index_mh/signatures")
+      .filter(col("doc_id").isInCollection(gone)).count() == 0L)
+  }
+
+  test("a refused forget never journals: unknown column, uncastable " +
+      "key, and an unmappable maintained-index key column all fail " +
+      "BEFORE the journal write, so no later sync can replay them") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("wh_refuse_src")
+    val d = src.resolve("docs"); Files.createDirectories(d)
+    val f = d.resolve("d1.tsv")
+    Files.writeString(f, "1\tone two three\n2\ttwo three four\n")
+    val schema = Seq(CDTable("docs", None, Seq(
+      CDColumn("doc_id", "bigint"),
+      CDColumn("text", "varchar", Some(50)))))
+    val m = Seq(ManifestEntry("docs", "d1.tsv", f.toUri.toString))
+    val whDir = Files.createTempDirectory("wh_refuse_root").toUri
+      .toString.stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whr", parallelism = 1, canonicalize = false))
+    wh.sync(m, schema)
+    val fdir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/_forget/docs"))
+    def reqFiles(): Seq[String] =
+      if (!java.nio.file.Files.exists(fdir)) Nil
+      else scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.list(fdir).iterator()).asScala
+        .map(_.getFileName.toString).filter(_.startsWith("req_")).toSeq
+    intercept[IllegalArgumentException] {
+      wh.forget(schema, "docs", "nope", Seq(1L))
+    }
+    intercept[IllegalArgumentException] {
+      wh.forget(schema, "docs", "doc_id", Seq("not-a-number"))
+    }
+    // an index keyed by a column the table does not have: unmappable —
+    // refused loudly, before journaling
+    val whBad = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whr", parallelism = 1, canonicalize = false,
+      maintainedIndexes = Seq(Warehouse.IndexDef("mh", "docs",
+        "ghost", "text"))))
+    val ex = intercept[IllegalArgumentException] {
+      whBad.forget(schema, "docs", "doc_id", Seq(1L))
+    }
+    assert(ex.getMessage.contains("ghost"), ex.getMessage)
+    assert(reqFiles().isEmpty,
+      s"refused requests must never journal: ${reqFiles()}")
+    // and the warehouse is not wedged: the next sync succeeds
+    wh.sync(m, schema)
+  }
+
+  test("sweepForgets QUARANTINES a deterministically-invalid journal " +
+      "(renamed failed_) instead of wedging every future sync; valid " +
+      "crashed requests still complete") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("wh_quar_src")
+    val d = src.resolve("docs"); Files.createDirectories(d)
+    val f = d.resolve("d1.tsv")
+    Files.writeString(f, "1\tone\n2\ttwo\n3\tthree\n")
+    val schema = Seq(CDTable("docs", None, Seq(
+      CDColumn("doc_id", "bigint"),
+      CDColumn("text", "varchar", Some(50)))))
+    val m = Seq(ManifestEntry("docs", "d1.tsv", f.toUri.toString))
+    val whDir = Files.createTempDirectory("wh_quar_root").toUri
+      .toString.stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whq", parallelism = 1, canonicalize = true))
+    wh.sync(m, schema)
+    // hand-planted journals, the only way an invalid request can exist
+    // (forget() refuses pre-journal): a bad column and an uncastable key
+    val fdir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/_forget/docs"))
+    java.nio.file.Files.createDirectories(fdir)
+    java.nio.file.Files.writeString(fdir.resolve("req_badcol"),
+      "nope\n5")
+    java.nio.file.Files.writeString(fdir.resolve("req_badkey"),
+      "doc_id\nxyz")
+    // plus a VALID crashed cascade that must still complete
+    java.nio.file.Files.writeString(fdir.resolve("req_ok2"),
+      "doc_id\n2")
+    wh.sync(m, schema) // must not throw
+    def names(): Set[String] = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(java.nio.file.Files.list(fdir).iterator())
+      .asScala.map(_.getFileName.toString).toSet
+    assert(names().contains("failed_req_badcol") &&
+      names().contains("failed_req_badkey"), names().toString)
+    assert(!names().contains("req_badcol") &&
+      !names().contains("req_badkey"), names().toString)
+    assert(names().contains("done_ok2"),
+      "the valid crashed cascade must still complete: " + names())
+    assert(wh.canonicalTable("docs")
+      .filter(col("doc_id") === 2L).count() == 0L)
+    // stable under further syncs: quarantined files stay out of the way
+    wh.sync(m, schema)
+    assert(names().contains("failed_req_badcol"))
+  }
+
+  test("pack-store forget (default, placement-preserving): deleted " +
+      "placements leave as HOLES, untouched files keep physical " +
+      "identity, and appends continue at the unchanged frontier") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("wh_pkf_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("docs", None, Seq(
+      CDColumn("doc_id", "bigint"),
+      CDColumn("body", "text"))))
+    def doc(id: Long, words: Int) =
+      s"$id\t${Seq.fill(words)("w").mkString(" ")}"
+    val m1 = Seq(put("docs", "d1.tsv", s"${doc(1, 3)}\n${doc(2, 5)}\n"))
+    val whDir = Files.createTempDirectory("wh_pkf_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir, db = "cd_whpf",
+      parallelism = 2, canonicalize = true,
+      maintainedPacks =
+        Seq(Warehouse.PackDef("train", "docs", "doc_id", "body",
+          budget = 8L))))
+    wh.sync(m1, schema)
+    // a second sync appends doc 3 as its own file set (frontier 8)
+    val m2 = m1 :+ put("docs", "d2.tsv", s"${doc(3, 4)}\n")
+    wh.sync(m2, schema)
+    def placements() = wh.packOf("train")
+      .select("doc_id", "off", "bin").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(placements() ==
+      Map(1L -> (0L, 0L), 2L -> (3L, 0L), 3L -> (8L, 1L)))
+    val docsDir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/_maintained/pack_train/docs"))
+    def fileState(): Map[String, (Long, Long)] = scala.jdk
+      .CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.list(docsDir).iterator()).asScala
+      .filter(p => !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(p => p.getFileName.toString ->
+        (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+    val beforeFiles = fileState()
+    val sum = wh.forget(schema, "docs", "doc_id", Seq(2L))
+    assert(sum.purged("pack_train") == 1L, s"$sum")
+    assert(sum.invalidated.isEmpty, s"placement-preserving, not " +
+      s"invalidate: $sum")
+    // doc 2's span [3, 8) is now a HOLE in bin 0; survivors unmoved
+    assert(placements() == Map(1L -> (0L, 0L), 3L -> (8L, 1L)))
+    // files that never held doc 2 keep byte + mtime identity
+    val afterFiles = fileState()
+    val untouched = afterFiles.keySet.intersect(beforeFiles.keySet)
+    assert(untouched.nonEmpty,
+      "the append's files must survive the purge untouched")
+    untouched.foreach { n =>
+      assert(afterFiles(n) == beforeFiles(n),
+        s"$n changed across a purge that did not touch it")
+    }
+    // the frontier is UNCHANGED by the purge: the next append lands at
+    // 12 (sum of PLACED tokens), not at 7 (sum of surviving tokens)
+    wh.sync(m2 :+ put("docs", "d3.tsv", s"${doc(4, 6)}\n"), schema)
+    assert(placements() == Map(1L -> (0L, 0L), 3L -> (8L, 1L),
+      4L -> (12L, 1L)),
+      "a post-forget append must land at the unchanged frontier")
+    // replay converges
+    assert(wh.forget(schema, "docs", "doc_id", Seq(2L))
+      .purged("pack_train") == 0L)
+  }
+
+  test("forget-journal compaction: completed requests fold into one " +
+      "generation-numbered suppression file per column; re-delivery " +
+      "purging is unchanged; a crashed compaction heals") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("wh_jc_src")
+    def put(table: String, name: String, content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("docs", None, Seq(
+      CDColumn("doc_id", "bigint"),
+      CDColumn("text", "varchar", Some(50)))))
+    val m1 = Seq(put("docs", "d1.tsv",
+      (1L to 9L).map(i => s"$i\tdoc number $i").mkString("", "\n", "\n")))
+    val whDir = Files.createTempDirectory("wh_jc_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir, db = "cd_whjc",
+      parallelism = 1, canonicalize = true, forgetCompactEvery = 2))
+    wh.sync(m1, schema)
+    val fdir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/_forget/docs"))
+    def names(): Set[String] =
+      if (!java.nio.file.Files.exists(fdir)) Set.empty
+      else scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.list(fdir).iterator()).asScala
+        .map(_.getFileName.toString).toSet
+    wh.forget(schema, "docs", "doc_id", Seq(1L))
+    wh.forget(schema, "docs", "doc_id", Seq(2L))
+    assert(names().count(_.startsWith("req_")) == 2)
+    // the sync's sweep folds the two DONE requests into generation 1
+    wh.sync(m1, schema)
+    assert(names().contains("sup_doc_id_g1"), names().toString)
+    assert(names().count(_.startsWith("req_")) == 0 &&
+      names().count(_.startsWith("done_")) == 0, names().toString)
+    assert(java.nio.file.Files.readString(fdir.resolve("sup_doc_id_g1"))
+      .split("\n").toSet == Set("1", "2"))
+    // below the threshold: the next request coexists with the sup file
+    wh.forget(schema, "docs", "doc_id", Seq(3L))
+    wh.sync(m1, schema)
+    assert(names().count(_.startsWith("req_")) == 1)
+    // re-delivery under a NEW name: keys from BOTH the suppression file
+    // (1) and the live journal (3) purge; unrelated rows ingest
+    val m2 = m1 :+ put("docs", "d2.tsv", "1\tagain\n3\tagain\n7\tagain\n")
+    wh.sync(m2, schema)
+    val st = graft.model.TypeLattice.toStructType(schema.head)
+    assert(graft.sources.TsvSource.read(spark, st,
+      s"$whDir/raw_files/docs/d2.tsv").select("doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L),
+      "sup- and journal-borne keys must BOTH purge the fresh file")
+    // crashed compaction: the sup of generation 2 landed but the folded
+    // request files did not delete — plus one more forget to cross the
+    // threshold; the next sweep must converge (fold everything into a
+    // fresh generation, drop the superseded one and the leftovers)
+    val req3 = names().find(_.startsWith("req_")).get
+    val sup1 = java.nio.file.Files
+      .readString(fdir.resolve("sup_doc_id_g1")).split("\n").toSet
+    java.nio.file.Files.writeString(fdir.resolve("sup_doc_id_g2"),
+      (sup1 + "3").toSeq.sorted.mkString("\n"))
+    wh.forget(schema, "docs", "doc_id", Seq(4L))
+    wh.sync(m2, schema)
+    val sups = names().filter(_.startsWith("sup_"))
+    assert(sups.size == 1, s"one live generation expected: $sups")
+    val liveSup = sups.head
+    assert(java.nio.file.Files.readString(fdir.resolve(liveSup))
+      .split("\n").toSet == Set("1", "2", "3", "4"),
+      "the new generation must be the union of everything folded")
+    assert(!names().exists(_.startsWith("req_")) &&
+      !names().exists(_.startsWith("done_")),
+      s"folded journals must clear: ${names()}")
+    assert(!names().contains(req3))
+    // and the compacted history still suppresses re-delivery
+    val m3 = m2 :+ put("docs", "d3.tsv", "2\tzombie\n4\tzombie\n9\tok\n")
+    wh.sync(m3, schema)
+    assert(graft.sources.TsvSource.read(spark, st,
+      s"$whDir/raw_files/docs/d3.tsv").select("doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
   }
 }

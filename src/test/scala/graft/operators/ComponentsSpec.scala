@@ -317,6 +317,50 @@ class ComponentsSpec extends SparkSpec {
     assert(storeLabels(dir) == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("edge-archive maintenance: crash-retry duplicate rows collapse, " +
+      "file count bounds, and purge/read/append results are unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccarch")
+      .toString + "/s"
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val b1 = Seq((3L, 4L), (11L, 12L), (20L, 21L))
+    Components.buildComponentStore(spark, dir, base.toDF("a", "b"),
+      nParts = 4)
+    assert(Components.appendEdges(spark, dir, b1.toDF("a", "b")))
+    // crash injection: the batch's archive write landed but the ledger
+    // mark did not, and the retry re-appended — duplicate rows
+    b1.toDF("a", "b").write.mode("append").parquet(s"$dir/edges")
+    def edgeRows() = spark.read.schema("a LONG, b LONG")
+      .parquet(s"$dir/edges").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (base ++ b1).toSet
+    assert(edgeRows().toSet == want && edgeRows().size > want.size,
+      "the injection must have produced duplicate rows")
+    def dataFiles() = new java.io.File(s"$dir/edges").listFiles()
+      .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(Components.compactEdgeArchive(spark, dir, maxFiles = 1))
+    assert(edgeRows().sorted == want.toSeq.sorted,
+      "compaction must collapse to the exact distinct edge SET")
+    assert(edgeRows().size == want.size, "duplicates must be gone")
+    assert(dataFiles() <= 2, s"file count must bound: ${dataFiles()}")
+    // idempotent: a second run under the same bound rewrites nothing
+    assert(!Components.compactEdgeArchive(spark, dir, maxFiles = 1))
+    // a crashed compaction SWAP heals on the next touch (archive was
+    // renamed aside, live dir missing)
+    val edir = new java.io.File(s"$dir/edges")
+    val aside = new java.io.File(edir.getParent, ".edges.__old")
+    assert(edir.renameTo(aside))
+    assert(Components.appendEdges(spark, dir,
+      Seq((30L, 31L)).toDF("a", "b")))
+    assert(edgeRows().toSet == want + ((30L, 31L)),
+      "the healed archive must keep its full history")
+    // purge over the compacted+healed archive equals the filtered truth
+    Components.purgeNodes(spark, dir, Seq(3L))
+    val filtered = (base ++ b1 :+ (30L, 31L)).filter {
+      case (a, b) => a != 3L && b != 3L }
+    assert(storeLabels(dir) == fullClosure(filtered))
+  }
+
   test("streaming sink: a degenerate first micro-batch cannot wedge the store") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cc_dgn").toString +
