@@ -78,6 +78,11 @@ object Warehouse {
       /** true → IVFADC (PQ codes in the cells, ~d·4/m smaller probes —
         * [[graft.operators.Quantize]]); false → plain IVF. */
       pq: Boolean = false, pqM: Int = 8, pqK: Int = 16,
+      /** true → IVF-SQ8 (1-byte-per-dimension scalar-quantized codes in
+        * the cells, 4× smaller probed scans with decode-on-the-fly
+        * asymmetric cosine — [[graft.operators.Quantize.probeIvfSqIndex]]).
+        * Mutually exclusive with `pq`. */
+      sq: Boolean = false,
       parseEmbedding: org.apache.spark.sql.Column =>
           org.apache.spark.sql.Column = c =>
         org.apache.spark.sql.functions.split(c, ",")
@@ -496,6 +501,8 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       purged(s"vindex_${d.name}") =
         if (ik.isEmpty) 0L
         else if (d.pq) graft.operators.Quantize.purgeIvfPqIndex(spark,
+          store, ik, vecs)
+        else if (d.sq) graft.operators.Quantize.purgeIvfSqIndex(spark,
           store, ik, vecs)
         else graft.operators.Similarity.purgeIvfIndex(spark, store, ik)
     }
@@ -1158,12 +1165,19 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
               .as("vec_id"),
               d.parseEmbedding(org.apache.spark.sql.functions
                 .col(d.embedCol)).as("embedding"))
+          require(!(d.pq && d.sq),
+            s"vector index ${d.name}: pq and sq are mutually exclusive")
           maintainAdditive(store, files, s"vindex_${d.name}") { all =>
             if (d.pq)
               graft.operators.Quantize.buildIvfPqIndex(spark,
                 vecsOf(readTableSnapshot(t, all)._1), store,
                 nlist = d.nlist, replicas = d.replicas,
                 m = d.pqM, k = d.pqK, ledger = rebuildLedger(all))
+            else if (d.sq)
+              graft.operators.Quantize.buildIvfSqIndex(spark,
+                vecsOf(readTableSnapshot(t, all)._1), store,
+                nlist = d.nlist, replicas = d.replicas,
+                ledger = rebuildLedger(all))
             else
               graft.operators.Similarity.buildIvfIndex(spark,
                 vecsOf(readTableSnapshot(t, all)._1), store,
@@ -1172,6 +1186,9 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
           } { (fresh, _) =>
             if (d.pq)
               graft.operators.Quantize.appendToIvfPqIndex(spark,
+                vecsOf(readRaw(t, fresh)), store)
+            else if (d.sq)
+              graft.operators.Quantize.appendToIvfSqIndex(spark,
                 vecsOf(readRaw(t, fresh)), store)
             else
               graft.operators.Similarity.appendToIvfIndex(spark,
@@ -1198,9 +1215,11 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
   def compactVectorIndex(indexName: String)
       : graft.pipeline.Maintain.CompactSummary = {
     val store = s"${cfg.warehouseDir}/_maintained/vindex_$indexName"
-    val isPq = fsOf.exists(
-      new org.apache.hadoop.fs.Path(s"$store/codebook"))
-    if (isPq) graft.operators.Quantize.compactIvfPqIndex(spark, store)
+    if (fsOf.exists(new org.apache.hadoop.fs.Path(s"$store/codebook")))
+      graft.operators.Quantize.compactIvfPqIndex(spark, store)
+    else if (fsOf.exists(
+        new org.apache.hadoop.fs.Path(s"$store/sqparams")))
+      graft.operators.Quantize.compactIvfSqIndex(spark, store)
     else graft.operators.Similarity.compactIvfIndex(spark, store)
   }
 
@@ -1212,6 +1231,17 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
   def annAdcIn(indexName: String, queries: DataFrame, corpus: DataFrame,
       k: Int = 5, nprobe: Int = 4, rerankN: Int = 64): DataFrame =
     graft.operators.Quantize.probeIvfPqIndex(spark,
+      s"${cfg.warehouseDir}/_maintained/vindex_$indexName", queries,
+      corpus, k, nprobe, rerankN)
+
+  /** ANN probe of a maintained IVF-SQ8 (sq = true) index: cell-pruned
+    * scan over the 1-byte/dim codes, decode-on-the-fly asymmetric
+    * cosine candidate selection, exact rerank against `corpus` — the
+    * [[annAdcIn]] shape with per-dimension scalar codes instead of PQ
+    * codebook lookups. */
+  def annSqIn(indexName: String, queries: DataFrame, corpus: DataFrame,
+      k: Int = 5, nprobe: Int = 4, rerankN: Int = 64): DataFrame =
+    graft.operators.Quantize.probeIvfSqIndex(spark,
       s"${cfg.warehouseDir}/_maintained/vindex_$indexName", queries,
       corpus, k, nprobe, rerankN)
 
@@ -1411,6 +1441,18 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
   def profileOf(table: String, cols: Seq[String]): DataFrame =
     graft.operators.Stats.readProfileStore(spark,
       s"${cfg.warehouseDir}/_maintained/profile_$table", cols)
+
+  /** Skew-aware auto inner join for warehouse tables: the strategy
+    * reads the MAINTAINED catalog statistics (zero probe-side scan —
+    * pushed per sync from the profile store when the table is in
+    * `maintainedProfiles` with a histogram) and falls back to the
+    * one-aggregate scan evidence when none are pushed
+    * ([[graft.operators.SkewJoin.innerJoinAutoCatalog]]). */
+  def innerJoinAuto(table: String, left: DataFrame, right: DataFrame,
+      key: String, saltFactor: Int = 8,
+      skewThreshold: Double = 16.0): DataFrame =
+    graft.operators.SkewJoin.innerJoinAutoCatalog(spark, cfg.db, table,
+      left, right, key, saltFactor, skewThreshold)
 
   /** Analyst SQL over the synced catalog — the Athena replacement. */
   def sql(query: String): DataFrame = spark.sql(query)

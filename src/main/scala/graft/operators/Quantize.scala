@@ -674,22 +674,28 @@ object Quantize {
       rows.map(_.getAs[Double]("scale")).toArray)
   }
 
-  /** (vec_id, codes: array<long>) — the packed form an SQ8 corpus
-    * actually stores (params as plan literals, map-only, codegen'd;
-    * byte-packing to `binary` is a cast away and changes no value). */
-  def sqEncodeArray(embs: DataFrame, mns: Array[Double],
-      scales: Array[Double]): DataFrame = {
+  /** SQ8 encode as a map-only column (params as plan literals,
+    * codegen'd; byte-packing to `binary` is a cast away and changes no
+    * value). */
+  def sqEncodeCol(embCol: Column, mns: Array[Double],
+      scales: Array[Double]): Column = {
     val mnA = typedLit(mns.toSeq)
     val scA = typedLit(scales.toSeq)
-    embs.select(col("vec_id"),
-      transform(col("embedding"), (x, i) => {
-        val mn = element_at(mnA, i + 1)
-        val sc = element_at(scA, i + 1)
-        when(sc === 0.0d, lit(0L)).otherwise(
-          least(lit(255L), greatest(lit(0L),
-            floor((x.cast("double") - mn) / sc + lit(0.5d)))))
-      }).as("codes"))
+    transform(embCol, (x, i) => {
+      val mn = element_at(mnA, i + 1)
+      val sc = element_at(scA, i + 1)
+      when(sc === 0.0d, lit(0L)).otherwise(
+        least(lit(255L), greatest(lit(0L),
+          floor((x.cast("double") - mn) / sc + lit(0.5d)))))
+    })
   }
+
+  /** (vec_id, codes: array<long>) — the packed form an SQ8 corpus
+    * actually stores. */
+  def sqEncodeArray(embs: DataFrame, mns: Array[Double],
+      scales: Array[Double]): DataFrame =
+    embs.select(col("vec_id"),
+      sqEncodeCol(col("embedding"), mns, scales).as("codes"))
 
   /** Decode an SQ8 `codes` array back to doubles (x̂ = mn + scale·code),
     * element order preserved. */
@@ -839,6 +845,260 @@ object Quantize {
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     probeIvfPqIndex(s, gateIvfPqDir(dir), queries, e, k = 5, nprobe = 16,
+      rerankN = 0)
+  }
+
+  // ---------------------------------------------------------------------
+  // IVF-SQ8 — the composed index for the SQ8 codes (FAISS's
+  // IndexIVFScalarQuantizer): IVF prunes WHICH cells a probe reads,
+  // and inside each cell rows carry 1-byte-per-dimension SQ8 codes
+  // instead of float vectors — 4× smaller probed scans with
+  // per-dimension structure intact, so scoring DECODES ON THE FLY
+  // (x̂ = mn + scale·code, plan-literal params, whole-stage codegen)
+  // and runs exact cosine arithmetic on the reconstructed values — the
+  // asymmetric scan production SQ stores run (query full-precision).
+  // Same persisted lifecycle as IVF/IVFADC: SafeSwap build,
+  // frozen-centroid frozen-param O(batch) appends through AppendCommit,
+  // static partition-pruned probes, exact rerank on the original
+  // embeddings, RTBF purge with negative fingerprints, cell compaction.
+  // Layout under `indexDir`:
+  //   centroids/            (cell, centroid: array<double>)
+  //   sqparams/             (dim, mn, scale) — d rows
+  //   cells/cell=N/         (vec_id, codes: array<long>)
+  //   _corpus_fingerprint   `fp|nlist=..|replicas=..|sq=8`
+  // ---------------------------------------------------------------------
+
+  def buildIvfSqIndex(spark: SparkSession, e: DataFrame, indexDir: String,
+      nlist: Int = 16, replicas: Int = 2,
+      ledger: Seq[(String, String)] = Nil): Unit = {
+    val cells = Similarity.trainCentroids(e, nlist)
+    val (mns, scales) = sqParams(e)
+    val fp = Similarity.corpusFingerprint(e)
+    graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
+      val sqlCtx = spark
+      import sqlCtx.implicits._
+      ledger.foreach { case (id, payload) =>
+        graft.pipeline.AppendCommit.markApplied(tmp, id, payload) }
+      cells.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid").coalesce(1)
+        .write.parquet(s"$tmp/centroids")
+      mns.indices.map(i => (i, mns(i), scales(i))).toSeq
+        .toDF("dim", "mn", "scale").coalesce(1)
+        .write.parquet(s"$tmp/sqparams")
+      // one projection: cell assignment + SQ8 encode; vectors are NOT
+      // stored — the cell files hold (vec_id, codes) only
+      e.select(col("vec_id"),
+          sqEncodeCol(col("embedding"), mns, scales).as("codes"),
+          explode(Similarity.bestCells(cells, col("embedding"), replicas))
+            .as("cell"))
+        .write.partitionBy("cell").parquet(s"$tmp/cells")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+      val os = fs.create(
+        new org.apache.hadoop.fs.Path(tmp, "_corpus_fingerprint"), true)
+      try os.write(
+        s"$fp|nlist=$nlist|replicas=$replicas|sq=8".getBytes("UTF-8"))
+      finally os.close()
+    }
+  }
+
+  /** Build-if-stale (the additive-fingerprint contract of the IVF/PQ
+    * family). Returns true when a rebuild ran. */
+  def ensureIvfSqIndex(spark: SparkSession, e: DataFrame,
+      indexDir: String, nlist: Int = 16, replicas: Int = 2): Boolean = {
+    graft.pipeline.SafeSwap.recover(indexDir)
+    val expected = s"${Similarity.corpusFingerprint(e)}" +
+      s"|nlist=$nlist|replicas=$replicas|sq=8"
+    if (pqCurrentFingerprint(spark, indexDir).contains(expected)) false
+    else { buildIvfSqIndex(spark, e, indexDir, nlist, replicas); true }
+  }
+
+  /** The index's persisted quantization params, driver-collected —
+    * bounded by DIMENSIONALITY, the PQ-codebook discipline. */
+  private def readSqParams(spark: SparkSession,
+      indexDir: String): (Array[Double], Array[Double]) = {
+    val rows = spark.read.parquet(s"$indexDir/sqparams")
+      .orderBy("dim").collect()
+    (rows.map(_.getAs[Double]("mn")).toArray,
+      rows.map(_.getAs[Double]("scale")).toArray)
+  }
+
+  /** Assign + encode a batch under the index's FROZEN centroids and
+    * FROZEN quantization params; files land only in the batch's
+    * affected cells — O(batch), crash-idempotent, replay-suppressed
+    * (the [[appendToIvfPqIndex]] contract). The drift caveat is
+    * doubled here: appended vectors both route under original
+    * centroids AND clamp to the original per-dim ranges (out-of-range
+    * components saturate at code 0/255) — the periodic retrain-rebuild
+    * refreshes both. */
+  def appendToIvfSqIndex(spark: SparkSession, batch: DataFrame,
+      indexDir: String): Unit = {
+    graft.pipeline.SafeSwap.recover(indexDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val markerPath =
+      new org.apache.hadoop.fs.Path(indexDir, "_corpus_fingerprint")
+    require(fs.exists(markerPath),
+      s"no IVF-SQ8 index at $indexDir (missing fingerprint marker)")
+    val in = fs.open(markerPath)
+    val marker = try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+    require(marker.endsWith("|sq=8"),
+      s"$indexDir is not an IVF-SQ8 index: $marker")
+    val replicas = marker.split('|').find(_.startsWith("replicas="))
+      .get.stripPrefix("replicas=").toInt
+    val fpBatch = Similarity.corpusFingerprint(batch)
+    val batchId = graft.pipeline.AppendCommit.contentId(fpBatch)
+    if (graft.pipeline.AppendCommit.isApplied(indexDir, batchId)) return
+    val cells = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val (mns, scales) = readSqParams(spark, indexDir)
+    graft.pipeline.AppendCommit.appendBatch(spark, indexDir, batchId,
+        fpBatch) { tmp =>
+      batch.select(col("vec_id"),
+          sqEncodeCol(col("embedding"), mns, scales).as("codes"),
+          explode(Similarity.bestCells(cells, col("embedding"), replicas))
+            .as("cell"))
+        .write.partitionBy("cell").parquet(s"$tmp/cells")
+    }
+  }
+
+  /** RTBF cascade hook ([[purgeIvfPqIndex]]'s contract: the store holds
+    * codes, not content-bearing embeddings in float form — but codes
+    * ARE decodable content, so they leave physically; the negative
+    * fingerprint comes from `deleted`, captured pre-purge). */
+  def purgeIvfSqIndex(spark: SparkSession, indexDir: String,
+      vecIds: Seq[Any], deleted: DataFrame): Long = {
+    require(vecIds.nonEmpty, "purge needs at least one vec id")
+    graft.pipeline.SafeSwap.recover(indexDir)
+    purgeCodeRows(spark, indexDir, s"$indexDir/cells", vecIds, deleted)
+  }
+
+  /** Cell-file compaction for the append path — identical contract and
+    * caveat to [[compactIvfPqIndex]]. */
+  def compactIvfSqIndex(spark: SparkSession, indexDir: String,
+      targetBytes: Long = 128L * 1024 * 1024, maxFiles: Int = 4)
+      : graft.pipeline.Maintain.CompactSummary =
+    graft.pipeline.Maintain.compactPartitions(spark, s"$indexDir/cells",
+      targetBytes, maxFiles)
+
+  /** IVF-SQ8 probe: queries route to their `nprobe` best cells (static
+    * partition IN-filter, the [[Similarity.probeIvfIndex]] contract);
+    * inside the probed cells the scoring expression DECODES each row's
+    * codes on the fly and computes exact cosine against the
+    * full-precision query (the asymmetric scan) — map-only,
+    * whole-stage-codegen, d-element literal param arrays, no UDF. The
+    * bounded-heap top-`rerankN` per query then reranks exactly on the
+    * ORIGINAL embeddings from `e` (the caller supplies the embedding
+    * source — the index stores none, which is the point). Replica
+    * multi-assignment dedups before rerank. `rerankN <= 0` with
+    * `nprobe = nlist` turns BOTH approximations off: every indexed id
+    * becomes a candidate and the exact rerank must reproduce brute
+    * force — the q270b derived-oracle knob. */
+  def probeIvfSqIndex(spark: SparkSession, indexDir: String,
+      queries: DataFrame, e: DataFrame, k: Int = 5, nprobe: Int = 4,
+      rerankN: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val cells = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val (mns, scales) = readSqParams(spark, indexDir)
+    val q = queries.select(col("q_id"),
+      transform(col("q_emb"), x => x.cast("double")).as("q"),
+      explode(Similarity.bestCells(cells, col("q_emb"), nprobe))
+        .as("cell"))
+    val probed = q.select(col("cell")).distinct().collect().map(_.get(0))
+    val scan = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probed.toSeq: _*))
+    val scored = scan.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val candidates =
+      if (rerankN <= 0)
+        scored.select(col("q_id"), col("vec_id")).distinct()
+      else {
+        val r = sqDecode(col("codes"), mns, scales)
+        val dot = aggregate(zip_with(col("q"), r, (a, b) => a * b),
+          lit(0.0d), (acc, v) => acc + v)
+        val qn = aggregate(col("q"), lit(0.0d), (a, x) => a + x * x)
+        val nn = aggregate(r, lit(0.0d), (a, x) => a + x * x)
+        val approx = scored.select(col("q_id"), col("vec_id"),
+            (dot / (sqrt(qn) * sqrt(nn))).as("approx"))
+          .distinct() // replica duplicates carry identical codes/scores
+        val topk = udaf(new graft.functions.TopKByScore(rerankN),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[graft.functions.ScoredId]())
+        approx.groupBy(col("q_id"))
+          .agg(topk(col("approx"), col("vec_id")).as("cand"))
+          .select(col("q_id"), explode(col("cand")).as("c"))
+          .select(col("q_id"), col("c.id").as("vec_id"))
+      }
+    val withEmb = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candidates), Seq("vec_id"))
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))),
+        Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("cosine_sim(q_emb, embedding)").as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    withEmb.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+  }
+
+  /** Streaming IVF-SQ8 maintenance — [[foreachBatchIvfPqSink]]'s shape
+    * (centroids + params frozen after the bootstrap batch). */
+  def foreachBatchIvfSqSink(indexDir: String, nlist: Int = 16,
+      replicas: Int = 2): (DataFrame, Long) => Unit = { (batch, _) =>
+    val spark = batch.sparkSession
+    if (!batch.isEmpty) {
+      if (!indexExists(spark, indexDir)) {
+        val b = batch.localCheckpoint()
+        buildIvfSqIndex(spark, b, indexDir, nlist, replicas, Seq(
+          graft.pipeline.AppendCommit.contentId(
+            Similarity.corpusFingerprint(b)) -> "0|0"))
+      } else appendToIvfSqIndex(spark, batch, indexDir)
+    }
+    ()
+  }
+
+  private def gateIvfSqDir(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"$gateIndexBase/ivfsq_$h"
+  }
+
+  // ---------------------------------------------------------------------
+  // q270_ivfsq — the persisted IVF-SQ8 index end-to-end: ensure-built,
+  // cell-pruned scan over SQ8 codes, decode-on-the-fly asymmetric
+  // cosine candidate selection, exact rerank. Centroid routing (hence
+  // candidate order) is engine-specific → rows-only; ranking quality is
+  // spec-tested (recall floor on the clustered fixture) in QuantizeSpec.
+  // ---------------------------------------------------------------------
+  def q270IvfSq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    ensureIvfSqIndex(s, e, gateIvfSqDir(dir))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    probeIvfSqIndex(s, gateIvfSqDir(dir), queries, e, k = 5, nprobe = 4,
+      rerankN = 64)
+  }
+
+  // ---------------------------------------------------------------------
+  // q270b_ivfsq_exhaustive — DERIVED ORACLE (the q104b pattern): with
+  // nprobe = nlist AND rerankN ≤ 0 both approximations are off (every
+  // cell probed, every indexed id a candidate), so SQ8 encoding, cell
+  // assignment, code persistence, the cell-pruned scan, replica dedup,
+  // the embedding join-back and the exact rerank must together
+  // reproduce brute force vs q36's DuckDB oracle. The two quality
+  // knobs are then spec-tested separately.
+  // ---------------------------------------------------------------------
+  def q270bIvfSqExhaustive(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    ensureIvfSqIndex(s, e, gateIvfSqDir(dir))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    probeIvfSqIndex(s, gateIvfSqDir(dir), queries, e, k = 5, nprobe = 16,
       rerankN = 0)
   }
 }

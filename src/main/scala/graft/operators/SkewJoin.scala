@@ -75,6 +75,32 @@ object SkewJoin {
       saltedInnerJoin(left, right, key, saltFactor)
     else left.join(right, Seq(key))
 
+  /** CATALOG-FIRST auto inner equi-join: the strategy comes from the
+    * maintained catalog statistics when `db.table` (the catalog entry
+    * describing `left`) carries them — ZERO probe-side jobs, pure
+    * metadata ([[chooseSkewStrategyFromCatalog]]) — and falls back to
+    * the one-aggregate scan evidence otherwise. On a 100 TB probe side
+    * the scan evidence is itself a full pass; a warehouse that pushes
+    * profile stats per sync ([[graft.catalog.CatalogStats]]) gets the
+    * same decision for free. Output is identical on every path
+    * (spec'd); only the evidence cost differs. */
+  def innerJoinAutoCatalog(spark: org.apache.spark.sql.SparkSession,
+      db: String, table: String, left: DataFrame, right: DataFrame,
+      key: String, saltFactor: Int = 8,
+      skewThreshold: Double = 16.0): DataFrame = {
+    val fromStats =
+      try Some(chooseSkewStrategyFromCatalog(spark, db, table, key,
+        skewThreshold))
+      catch {
+        case _: IllegalStateException => None // no stats pushed
+        case _: org.apache.spark.sql.AnalysisException => None // no table
+      }
+    val useSalting = fromStats.map(_.useSalting).getOrElse(
+      chooseSkewStrategy(left, key, skewThreshold).useSalting)
+    if (useSalting) saltedInnerJoin(left, right, key, saltFactor)
+    else left.join(right, Seq(key))
+  }
+
   // ---------------------------------------------------------------------
   // q260_skew_strategy — the join selector's evidence and verdict,
   // oracle-replayed (the q250 pattern for joins): lineitem keyed by a

@@ -65,6 +65,23 @@ object Rollup {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
   }
 
+  /** The numeric projection a histogram bins over: TEMPORAL columns bin
+    * on their catalog-internal scale — timestamps as epoch MICROS
+    * (`binWidth` in micros: one hour = 3.6e9), dates as epoch DAYS —
+    * exactly the units Catalyst's `FilterEstimation` compares plan
+    * literals in, so a pushed CBO histogram over an event-time column
+    * estimates range selectivity from measured mass instead of the
+    * uniform min/max spread (the commonest skewed filter in an event
+    * warehouse is a time column). Numerics bin as-is; the derived
+    * quantile bounds ([[histQuantiles]]) come back on the same scale. */
+  private def histInput(df: DataFrame, c: String)
+      : org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case org.apache.spark.sql.types.DateType => unix_date(col(c))
+      case _ => col(c)
+    }
+
   /** Which mergeable aggregates the store maintains, per group. Empty
     * `groupCols` = one global row (the profile shape). */
   final case class Spec(
@@ -113,7 +130,8 @@ object Rollup {
         .filter(col(h.col).isNotNull)
         .withColumn("__gk", lit(0))
         .groupBy((keyCols.map(col) :+
-          floor(col(h.col) / h.binWidth).cast("long").as("__bin")): _*)
+          floor(histInput(df, h.col) / h.binWidth).cast("long")
+            .as("__bin")): _*)
         .agg(count(lit(1)).as("__bc"))
       val m = binned.groupBy(keyCols.map(col): _*)
         .agg(map_from_entries(collect_list(

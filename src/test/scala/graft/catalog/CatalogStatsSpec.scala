@@ -189,4 +189,82 @@ class CatalogStatsSpec extends SparkSpec {
           s"(uniform was $uniform)")
     } finally spark.conf.set("spark.sql.cbo.enabled", cboBefore)
   }
+
+  test("a pushed TIMESTAMP histogram (epoch-micro bins) makes the CBO " +
+      "estimate a hot day's time-range filter from measured mass " +
+      "instead of uniform min/max spread") {
+    // 900 events on 2024-03-05, 100 spread over 100 other days
+    val hot = java.sql.Timestamp.valueOf("2024-03-05 12:00:00")
+    val rows = (1L to 900L).map(i => (i, hot)) ++
+      (0L until 100L).map(d => (900L + d,
+        java.sql.Timestamp.valueOf(s"2024-0${d % 9 + 1}-0${d % 27 / 9 + 1} " +
+          s"0${d % 10}:15:00")))
+    register("events_h", rows.toDF("k", "ts"))
+    val dayMicros = 86400e6
+    val hist = graft.pipeline.Rollup.Hist("ts", dayMicros)
+    val store = Files.createTempDirectory("cst_tsh").toString + "/s"
+    graft.operators.Stats.initProfileStore(spark, store,
+      spark.table(s"$db.events_h"), Seq("ts"), "b0", hists = Seq(hist))
+    val cboBefore = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      def estimate(): BigInt = spark.table(s"$db.events_h")
+        .where(col("ts") >= lit(java.sql.Timestamp.valueOf(
+          "2024-03-05 00:00:00")) && col("ts") < lit(
+          java.sql.Timestamp.valueOf("2024-03-06 00:00:00")))
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      CatalogStats.pushFromProfileStore(spark, db, "events_h", store,
+        Seq("ts"), sizeInBytes = 4096L)
+      val uniform = estimate()
+      assert(uniform < BigInt(100),
+        s"min/max-only estimate should read the day as a thin range " +
+          s"slice: $uniform")
+      CatalogStats.pushFromProfileStore(spark, db, "events_h", store,
+        Seq("ts"), sizeInBytes = 4096L, hists = Seq(hist))
+      val st = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("events_h",
+          Some(db))).stats.get
+      val h = st.colStats("ts").histogram
+      assert(h.isDefined, s"$st")
+      // the bounds are on the catalog-internal micro scale — the units
+      // FilterEstimation converts timestamp literals to
+      val loMicros = h.get.bins.head.lo
+      assert(loMicros > 1.5e15 && loMicros < 2.0e15,
+        s"bounds must be epoch micros, got $loMicros")
+      val measured = estimate()
+      assert(measured > BigInt(500) && measured <= BigInt(1000),
+        s"the histogram estimate must be the hot day's mass, got " +
+          s"$measured (uniform was $uniform)")
+    } finally spark.conf.set("spark.sql.cbo.enabled", cboBefore)
+  }
+
+  test("a pushed DATE histogram (epoch-day bins) moves a skewed " +
+      "date-range filter's estimate to measured mass") {
+    val hot = java.sql.Date.valueOf("2023-06-01")
+    val rows = (1L to 450L).map(i => (i, hot)) ++
+      (0L until 50L).map(d => (450L + d,
+        java.sql.Date.valueOf(s"2023-0${d % 9 + 1}-${10 + d % 18}")))
+    register("dates_h", rows.toDF("k", "d"))
+    val hist = graft.pipeline.Rollup.Hist("d", 1.0) // one bin per day
+    val store = Files.createTempDirectory("cst_dh").toString + "/s"
+    graft.operators.Stats.initProfileStore(spark, store,
+      spark.table(s"$db.dates_h"), Seq("d"), "b0", hists = Seq(hist))
+    val cboBefore = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      def estimate(): BigInt = spark.table(s"$db.dates_h")
+        .where(col("d") >= lit(java.sql.Date.valueOf("2023-06-01")) &&
+          col("d") <= lit(java.sql.Date.valueOf("2023-06-01")))
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      CatalogStats.pushFromProfileStore(spark, db, "dates_h", store,
+        Seq("d"), sizeInBytes = 4096L)
+      val uniform = estimate()
+      CatalogStats.pushFromProfileStore(spark, db, "dates_h", store,
+        Seq("d"), sizeInBytes = 4096L, hists = Seq(hist))
+      val measured = estimate()
+      assert(measured > uniform && measured > BigInt(250) &&
+        measured <= BigInt(500),
+        s"date histogram estimate: $measured (uniform $uniform)")
+    } finally spark.conf.set("spark.sql.cbo.enabled", cboBefore)
+  }
 }

@@ -382,4 +382,108 @@ class QuantizeSpec extends SparkSpec {
         s"$nn1, expected twin $twin")
     }
   }
+
+  test("IVF-SQ8: recall ≥ 0.9 clustered at nprobe=4; both-knobs-off == " +
+      "brute force; cells hold codes only") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val vecs = clusteredVecs()
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfsq").toString +
+      "/index"
+    assert(Quantize.ensureIvfSqIndex(spark, df, idx))
+    assert(!Quantize.ensureIvfSqIndex(spark, df, idx))
+    val queries = df.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val truth = (0 until 20).flatMap { q =>
+      vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q)._2, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+        .map { case (id, _) => (q.toLong, id) }
+    }.toSet
+    val ann = Quantize.probeIvfSqIndex(spark, idx, queries, df, k = 5,
+        nprobe = 4, rerankN = 64).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (ann & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"IVF-SQ8 clustered recall $recall < 0.9")
+    val exhaustive = Quantize.probeIvfSqIndex(spark, idx, queries, df,
+        k = 5, nprobe = 16, rerankN = 0).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(exhaustive == truth,
+      "IVF-SQ8 with both knobs off must equal brute force")
+    val cellSchema = spark.read.parquet(s"$idx/cells").schema
+    assert(!cellSchema.fieldNames.contains("embedding"),
+      "IVF-SQ8 cells must store codes only, never the raw vectors")
+  }
+
+  test("IVF-SQ8 append: frozen centroids AND frozen params, file-additive " +
+      "into affected cells, replay no-op, fingerprint advances to the " +
+      "union; purge removes code rows with a negative fingerprint") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val vecs = clusteredVecs(400)
+    val df = vecs.toDF("vec_id", "embedding")
+    val even = df.filter(col("vec_id") % 2 === 0)
+    val odd = df.filter(col("vec_id") % 2 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("ivfsq_ap")
+      .toString + "/index"
+    Quantize.buildIvfSqIndex(spark, even, idx)
+    val paramsBefore = spark.read.parquet(s"$idx/sqparams")
+      .orderBy("dim").collect().map(r => (r.getInt(0), r.getDouble(1),
+        r.getDouble(2))).toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    def cellFiles() = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$idx/cells"), true)
+      val buf = scala.collection.mutable.Map[String, Long]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.getPath.getName.startsWith("_"))
+          buf(st.getPath.toString) = st.getModificationTime
+      }
+      buf.toMap
+    }
+    val before = cellFiles()
+    Quantize.appendToIvfSqIndex(spark, odd, idx)
+    val after = cellFiles()
+    before.foreach { case (p, mtime) =>
+      assert(after.contains(p) && after(p) == mtime,
+        s"pre-append cell file $p was touched")
+    }
+    assert(after.size > before.size)
+    Quantize.appendToIvfSqIndex(spark, odd, idx)
+    assert(cellFiles() == after, "replayed append must be a no-op")
+    assert(!Quantize.ensureIvfSqIndex(spark, df, idx),
+      "append must advance the fingerprint to the union's")
+    assert(spark.read.parquet(s"$idx/sqparams").orderBy("dim").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+      paramsBefore, "append must never retrain the quantization params")
+    // an appended id is findable through the exhaustive probe
+    val q1 = df.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    assert(Quantize.probeIvfSqIndex(spark, idx, q1, df, k = 5,
+      nprobe = 16, rerankN = 0).count() == 5)
+    // RTBF purge: code rows leave; fingerprint subtracts so ensure over
+    // the filtered corpus does NOT rebuild; the probe can't reach them
+    val doomed: Seq[Any] = Seq(2L, 3L)
+    val removed = Quantize.purgeIvfSqIndex(spark, idx, doomed,
+      df.filter(col("vec_id").isInCollection(doomed)))
+    assert(removed > 0L)
+    assert(spark.read.parquet(s"$idx/cells")
+      .filter(col("vec_id").isInCollection(doomed)).count() == 0L)
+    assert(!Quantize.ensureIvfSqIndex(spark,
+      df.filter(!col("vec_id").isInCollection(doomed)), idx),
+      "the negative fingerprint must match the filtered corpus")
+    val res = Quantize.probeIvfSqIndex(spark, idx,
+      q1, df, k = 400, nprobe = 16, rerankN = 0).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(!res.contains(2L) && !res.contains(3L))
+  }
 }

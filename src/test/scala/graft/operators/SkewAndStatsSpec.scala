@@ -606,4 +606,77 @@ class SkewAndStatsSpec extends SparkSpec {
       SkewJoin.chooseSkewStrategyFromCatalog(spark, db, "bare", "k")
     }
   }
+
+  test("innerJoinAutoCatalog: pushed stats decide the strategy with " +
+      "ZERO probe-side jobs, output is identical to the scan-based " +
+      "auto join, and a stats-less table falls back to the scan") {
+    import spark.implicits._
+    val db = "skstatdb"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    def registered(name: String, df: org.apache.spark.sql.DataFrame,
+        push: Boolean): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"sksj_$name").toString
+      df.write.mode("overwrite").parquet(s"$dir/t")
+      spark.sql(s"DROP TABLE IF EXISTS $db.$name")
+      spark.sql(s"CREATE TABLE $db.$name USING PARQUET LOCATION '$dir/t'")
+      if (push) {
+        graft.operators.Stats.initProfileStore(spark, s"$dir/prof",
+          spark.read.parquet(s"$dir/t"), Seq("k"), "b0",
+          hists = Seq(graft.pipeline.Rollup.Hist("k", 1.0)))
+        graft.catalog.CatalogStats.pushFromProfileStore(spark, db, name,
+          s"$dir/prof", Seq("k"), sizeInBytes = 4096L,
+          hists = Seq(graft.pipeline.Rollup.Hist("k", 1.0)))
+      }
+      s"$dir/t"
+    }
+    val hotRows = (1L to 1000L).map(_ => 0L) ++ (1L to 1000L).map(_ % 97)
+    val hotPath = registered("hot_j", hotRows.toDF("k"), push = true)
+    val left = spark.read.parquet(hotPath)
+    val dim = (0L to 97L).map(k => (k, k % 7)).toDF("k", "w")
+    // strategy + plan construction must launch NO jobs when the stats
+    // are in the catalog (the scan-based selector pays one aggregate)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val joined =
+      try {
+        val j = SkewJoin.innerJoinAutoCatalog(spark, db, "hot_j",
+          left, dim, "k")
+        Thread.sleep(1500) // listener bus drains asynchronously
+        j
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0,
+      s"catalog-backed strategy selection launched ${jobs.get()} job(s)")
+    // identical output to the scan-based auto join AND the plain join
+    def canon(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.groupBy(col("k"), col("w")).count().collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaScan = SkewJoin.innerJoinAuto(left, dim, "k")
+    assert(canon(joined) == canon(viaScan))
+    assert(canon(joined) == canon(left.join(dim, Seq("k"))))
+    // no pushed stats → falls back to the scan-based evidence (jobs
+    // run), same output
+    registered("hot_j_ns", hotRows.toDF("k"), push = false)
+    val jobs2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener2 = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs2.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener2)
+    val fallback =
+      try {
+        val j = SkewJoin.innerJoinAutoCatalog(spark, db, "hot_j_ns",
+          left, dim, "k")
+        Thread.sleep(1500)
+        j
+      } finally spark.sparkContext.removeSparkListener(listener2)
+    assert(jobs2.get() > 0, "the fallback must have paid the scan")
+    assert(canon(fallback) == canon(joined))
+  }
 }
