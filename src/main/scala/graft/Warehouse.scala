@@ -174,6 +174,15 @@ object Warehouse {
         * requests, instead of every request ever journaled). ≤ 0
         * disables compaction. */
       forgetCompactEvery: Int = 8,
+      /** Loud ceiling on a CROSS-COLUMN forget's id mapping (distinct
+        * maintained-store ids matched by the request). The mapping is
+        * captured driver-side and journaled, so it must stay
+        * request-shaped (one identity's documents), never
+        * corpus-shaped — a forget keyed by `lang = 'en'` would
+        * otherwise materialize half the corpus's ids on an 8 GB
+        * driver. Above the ceiling the cascade refuses loudly; split
+        * the request or forget by the store's id column directly. */
+      forgetMaxMappedIds: Int = 1 << 20,
       /** Summary notification hook — the reference publishes every sync
         * summary to an SNS email topic (`sync-canvas-data-files.py:141-145`,
         * topic `cloud_formation/canvas_data_aws.yaml:68-78`); plug a mailer/
@@ -479,9 +488,7 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       if (ic == c) keys
       else idKeyCache.getOrElseUpdate(ic, {
         val strs = stagedIdKeys(tableName, reqId, ic,
-          deletedFull.select(col(ic)).filter(col(ic).isNotNull)
-            .distinct().collect()
-            .map(r => String.valueOf(r.get(0))).toSeq)
+          captureMapping(deletedFull, tableName, c, ic))
         typedKeys(t, ic, strs)
       })
     val purged = scala.collection.mutable.Map.empty[String, Long]
@@ -595,6 +602,54 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     if (fs.exists(dest)) { fs.delete(tmp, false) }
     else if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"cannot journal forget $reqId")
+  }
+
+  /** Maintained-store id columns a forget keyed by `c` must map
+    * through (cross-column cascade). */
+  private def mappedIdCols(tn: String, c: String): Seq[String] =
+    (cfg.maintainedIndexes.filter(_.table == tn).map(_.idCol) ++
+      cfg.maintainedVectorIndexes.filter(_.table == tn).map(_.idCol) ++
+      cfg.maintainedPacks.filter(_.table == tn)
+        .filterNot(_.invalidateOnForget).map(_.idCol))
+      .distinct.filterNot(_ == c)
+
+  /** The mapping capture itself: matching rows' distinct `ic` values,
+    * under the [[Warehouse.Config.forgetMaxMappedIds]] ceiling — the
+    * loud guard that keeps the journaled mapping request-shaped (one
+    * identity's documents), never corpus-shaped. */
+  private def captureMapping(deletedFull: org.apache.spark.sql.DataFrame,
+      tableName: String, c: String, ic: String): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val lim = cfg.forgetMaxMappedIds
+    val got = deletedFull.select(col(ic))
+      .filter(col(ic).isNotNull).distinct()
+      .limit(lim + 1).collect()
+    require(got.length <= lim,
+      s"forget on $tableName.$c maps to more than $lim distinct $ic " +
+        "values (forgetMaxMappedIds) — a corpus-shaped request; " +
+        s"split it or forget by $ic directly")
+    got.map(r => String.valueOf(r.get(0))).toSeq
+  }
+
+  /** Pre-stage EVERY cross-column mapping a request will need, from
+    * the still-intact table — called by [[sweepForgets]] for crashed
+    * requests BEFORE the fresh-file purge (which destroys the mapping
+    * source) and implicitly by [[forgetInternal]]'s hooks (which run
+    * before any destructive step). Idempotent: an existing stage
+    * wins. */
+  private def stageMappings(t: CDTable, reqId: String, c: String,
+      keys: Seq[Any]): Unit = {
+    val ics = mappedIdCols(t.tableName, c)
+    if (ics.nonEmpty) {
+      val files = rawListing(t.tableName)
+      val deletedFull = graft.pipeline.Maintain.matchingKeys(
+        readTableSnapshot(t, files)._1, c, keys)
+      ics.foreach { ic =>
+        stagedIdKeys(t.tableName, reqId, ic,
+          captureMapping(deletedFull, t.tableName, c, ic))
+        ()
+      }
+    }
   }
 
   /** Stage (or read back) a request's cross-column id mapping:
@@ -738,10 +793,30 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
                 new org.apache.hadoop.fs.Path(dir, s"failed_$file"))
               false
           }
-        val reqs = if (!needWork) allReqs else allReqs.filter {
+        val reqs0 = if (!needWork) allReqs else allReqs.filter {
           case (id, c, ks) => validOrQuarantine(s"req_$id", c, ks) }
         val validSups = if (!needWork) sups else sups.filter {
           case (n, c, ks) => validOrQuarantine(n, c, ks) }
+        // 0) pre-stage crashed requests' cross-column mappings from the
+        // STILL-INTACT table — the fresh-file purge below rewrites the
+        // raw layer with the requests' own keys, which destroys the
+        // only source the mapping can be captured from. A deterministic
+        // refusal here (the forgetMaxMappedIds ceiling) quarantines the
+        // request pre-destruction, leaving every layer untouched.
+        val reqs = reqs0.filter { case (id, c, ks) =>
+          dones(id) || {
+            try { stageMappings(t, id, c, typedKeys(t, c, ks)); true }
+            catch {
+              case e: IllegalArgumentException =>
+                log.error(s"forget sweep: cascade $id on " +
+                  s"${t.tableName}.$c refused pre-destruction " +
+                  s"(${e.getMessage}) — quarantined as failed_req_$id")
+                fs.rename(new org.apache.hadoop.fs.Path(dir, s"req_$id"),
+                  new org.apache.hadoop.fs.Path(dir, s"failed_req_$id"))
+                false
+            }
+          }
+        }
         // 1) purge fresh raw files of EVERY journaled request's keys —
         // before any crashed-cascade completion marks the listing
         // swept on behalf of its one request
@@ -763,9 +838,24 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         reqs.filterNot(r => dones(r._1)).foreach { case (id, c, ks) =>
           log.info(s"forget sweep: completing crashed cascade $id " +
             s"on ${t.tableName}.$c (${ks.size} keys)")
-          forgetInternal(schema, t, c, typedKeys(t, c, ks), id)
-          markSwept(t.tableName, id, rawListing(t.tableName))
-          writeForgetDone(t.tableName, id)
+          try {
+            forgetInternal(schema, t, c, typedKeys(t, c, ks), id)
+            markSwept(t.tableName, id, rawListing(t.tableName))
+            writeForgetDone(t.tableName, id)
+          } catch {
+            // a DETERMINISTIC refusal deep in the cascade (e.g. the
+            // forgetMaxMappedIds ceiling) would otherwise replay and
+            // throw on every future sync — quarantine like any other
+            // deterministically-invalid journal; transient failures
+            // (IO, executor loss) propagate and retry next sync
+            case e: IllegalArgumentException =>
+              log.error(s"forget sweep: cascade $id on " +
+                s"${t.tableName}.$c fails deterministically " +
+                s"(${e.getMessage}) — quarantined as failed_req_$id; " +
+                "layers touched before the failure stay purged")
+              fs.rename(new org.apache.hadoop.fs.Path(dir, s"req_$id"),
+                new org.apache.hadoop.fs.Path(dir, s"failed_req_$id"))
+          }
         }
         // 3) journal compaction: fold completed requests into the
         // per-column suppression files once enough accumulate, so the

@@ -1321,4 +1321,58 @@ class WarehouseSpec extends SparkSpec {
       s"$whDir/raw_files/docs/d3.tsv").select("doc_id").collect()
       .map(_.getLong(0)).toSeq == Seq(9L))
   }
+
+  test("cross-column forget refuses a corpus-shaped request LOUDLY at " +
+      "the forgetMaxMappedIds ceiling, and a journaled replay of one " +
+      "quarantines instead of wedging the sync") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("wh_cap_src")
+    val d = src.resolve("docs"); Files.createDirectories(d)
+    val f = d.resolve("d1.tsv")
+    Files.writeString(f,
+      (1L to 6L).map(i => s"$i\ten\tword$i alpha beta gamma")
+        .mkString("", "\n", "\n"))
+    val schema = Seq(CDTable("docs", None, Seq(
+      CDColumn("doc_id", "bigint"),
+      CDColumn("lang", "varchar", Some(8)),
+      CDColumn("text", "varchar", Some(80)))))
+    val m = Seq(ManifestEntry("docs", "d1.tsv", f.toUri.toString))
+    val whDir = Files.createTempDirectory("wh_cap_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whcap", parallelism = 1, canonicalize = true,
+      forgetMaxMappedIds = 3,
+      maintainedIndexes = Seq(Warehouse.IndexDef("mh", "docs",
+        "doc_id", "text"))))
+    wh.sync(m, schema)
+    // every doc is lang=en → the mapping (6 ids) exceeds the ceiling (3)
+    val ex = intercept[IllegalArgumentException] {
+      wh.forget(schema, "docs", "lang", Seq("en"))
+    }
+    assert(ex.getMessage.contains("forgetMaxMappedIds"), ex.getMessage)
+    // the refused request WAS journaled (the guard is data-dependent,
+    // not pre-journal-deterministic) — the sweep must quarantine it
+    // PRE-DESTRUCTION rather than fail every future sync: no layer may
+    // change under a refused cascade
+    wh.sync(m, schema) // must not throw
+    val fdir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/_forget/docs"))
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      java.nio.file.Files.list(fdir).iterator()).asScala
+      .map(_.getFileName.toString).toSet
+    assert(names.exists(_.startsWith("failed_req_")), names.toString)
+    assert(!names.exists(_.startsWith("req_")), names.toString)
+    val st = graft.model.TypeLattice.toStructType(schema.head)
+    assert(graft.sources.TsvSource.read(spark, st,
+      s"$whDir/raw_files/docs/d1.tsv").count() == 6L,
+      "a quarantined request must not have purged the raw layer")
+    assert(spark.read
+      .parquet(s"$whDir/_maintained/index_mh/signatures")
+      .select("doc_id").distinct().count() == 6L,
+      "a quarantined request must not have touched the index")
+    wh.sync(m, schema) // stable thereafter
+    // an in-ceiling request still cascades normally
+    val ok = wh.forget(schema, "docs", "doc_id", Seq(1L))
+    assert(ok.rawRows == 1L)
+  }
 }
