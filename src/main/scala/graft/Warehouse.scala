@@ -288,6 +288,96 @@ object Warehouse {
     rows.toDF("metric", "value")
   }
 
+  // ---------------------------------------------------------------------
+  // q272_forget_compaction — the suppression-file fold end-to-end at
+  // the driver gate: with forgetCompactEvery = 1, two completed
+  // requests (doc_id ≡ 5 mod 11, ≡ 6 mod 13) compact into one
+  // generation at the next sync, a THIRD request (≡ 2 mod 17) folds
+  // into generation 2, and two re-deliveries under never-seen names —
+  // one between the folds, one after — carry rows under ALL key sets.
+  // The sweep must purge them from the suppression files and the live
+  // journal alike. Final evidence: filtered-corpus counts and id-sum
+  // (any resurrected or surviving row shifts them), plus the exact
+  // journal shape — one suppression file, zero request files.
+  // ---------------------------------------------------------------------
+  def q272ForgetCompaction(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = s"$gateBase/c_${dir.hashCode.toHexString}"
+    val whDir = s"$root/wh"
+    val schema = Seq(graft.model.CDTable("documents", None, Seq(
+      graft.model.CDColumn("doc_id", "bigint"),
+      graft.model.CDColumn("lang", "varchar", Some(20)),
+      graft.model.CDColumn("n_chars", "bigint"))))
+    val st = graft.model.TypeLattice.toStructType(schema.head)
+    def cfg = Config(whDir, db = "graft_fcomp", canonicalize = true,
+      forgetCompactEvery = 1)
+    if (!new java.io.File(s"$root.complete").exists()) {
+      val d = graft.operators.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      def tsv(i: Int): graft.pipeline.Sync.ManifestEntry = {
+        val out = s"$root/src_$i"
+        d.filter(col("doc_id") % 4 === i).coalesce(1)
+          .write.mode("overwrite").option("sep", "\t")
+          .option("nullValue", "\\N").option("quote", "").csv(out)
+        val f = new java.io.File(out).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        graft.pipeline.Sync.ManifestEntry("documents", s"d$i.tsv",
+          f.toURI.toString)
+      }
+      val (f0, f1, f2, f3) = (tsv(0), tsv(1), tsv(2), tsv(3))
+      val wh = new Warehouse(s, cfg)
+      wh.sync(Seq(f0, f1), schema)
+      def keysOf(m: Long, r: Long): Seq[Any] =
+        d.filter(col("doc_id") % m === r).select("doc_id")
+          .collect().map(_.getLong(0)).toSeq
+      wh.forget(schema, "documents", "doc_id", keysOf(11L, 5L))
+      wh.forget(schema, "documents", "doc_id", keysOf(13L, 6L))
+      // sync 2: re-delivery f2 + the fold of both done requests
+      wh.sync(Seq(f0, f1, f2), schema)
+      // a third request rides the compacted state, then folds too
+      wh.forget(schema, "documents", "doc_id", keysOf(17L, 2L))
+      wh.sync(Seq(f0, f1, f2, f3), schema)
+      new java.io.File(s"$root.complete").createNewFile()
+    }
+    val forbidden = col("doc_id") % 11 === 5 ||
+      col("doc_id") % 13 === 6 || col("doc_id") % 17 === 2
+    val canon = new Warehouse(s, cfg).canonicalTable("documents")
+    val rawFiles = new java.io.File(s"$whDir/raw_files/documents")
+      .listFiles().toSeq
+      .filterNot(f => f.getName.startsWith(".") ||
+        f.getName.startsWith("_"))
+      .map(_.getPath)
+    val raw = graft.sources.TsvSource.read(s, st, rawFiles)
+    val jnames = new java.io.File(s"$whDir/_forget/documents")
+      .listFiles().toSeq.map(_.getName)
+    val rows = Seq(
+      ("canon_forgotten", canon.filter(forbidden).count()),
+      ("canon_sum_id", canon.agg(sum(col("doc_id"))).head().getLong(0)),
+      ("canon_total", canon.count()),
+      ("raw_forgotten", raw.filter(forbidden).count()),
+      ("raw_total", raw.count()),
+      ("sup_files", jnames.count(_.startsWith("sup_")).toLong),
+      ("req_files", jnames.count(_.startsWith("req_")).toLong))
+    val sqlCtx = s
+    import sqlCtx.implicits._
+    rows.toDF("metric", "value")
+  }
+
+  val q272ForgetCompactionSql: String =
+    """WITH kept AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE doc_id % 11 <> 5 AND doc_id % 13 <> 6
+      |    AND doc_id % 17 <> 2)
+      |SELECT 'canon_forgotten' AS metric, CAST(0 AS BIGINT) AS value
+      |UNION ALL SELECT 'canon_sum_id',
+      |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM kept)
+      |UNION ALL SELECT 'canon_total', (SELECT COUNT(*) FROM kept)
+      |UNION ALL SELECT 'raw_forgotten', CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'raw_total', (SELECT COUNT(*) FROM kept)
+      |UNION ALL SELECT 'sup_files', CAST(1 AS BIGINT)
+      |UNION ALL SELECT 'req_files', CAST(0 AS BIGINT)""".stripMargin
+
   val q264ForgetLedgerSql: String =
     """WITH kept AS (
       |  SELECT doc_id FROM documents

@@ -404,6 +404,57 @@ object Curation {
     readPackStore(s, store)
   }
 
+  // ---------------------------------------------------------------------
+  // q271_pack_holes — the PLACEMENT-PRESERVING pack-store forget,
+  // oracle-replayed end-to-end: the q267 three-batch store purges every
+  // doc_id ≡ 3 (mod 7) (replay must no-op), then reports per-bin
+  // survivor occupancy — doc count, live tokens, and the exact OFFSET
+  // SUM, which pins that every surviving placement kept its original
+  // offset (a re-pack, a shifted offset, or a survivor lost to the
+  // purge all move sum_off and hash-fail). DuckDB replays the packing
+  // cumulative sum, filters the doomed ids, and aggregates identically
+  // — the bin HOLES are exactly the deleted spans' absence.
+  // ---------------------------------------------------------------------
+  def q271PackHoles(s: SparkSession, dir: String): DataFrame = {
+    val store = s"$packGateBase/ph_${dir.hashCode.toHexString}"
+    if (!new java.io.File(s"$store.complete").exists()) {
+      val d = t(s, dir, "documents")
+      initPackStore(s, store,
+        d.filter(col("doc_id") % 3 === 0), PackBudget, "b0")
+      appendToPackStore(s, store,
+        d.filter(col("doc_id") % 3 === 1), PackBudget, "b1")
+      appendToPackStore(s, store,
+        d.filter(col("doc_id") % 3 === 2), PackBudget, "b2")
+      val doomed: Seq[Any] = d.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      purgePackStore(s, store, doomed)
+      purgePackStore(s, store, doomed) // idempotent replay
+      new java.io.File(s"$store.complete").createNewFile()
+    }
+    readPackStore(s, store)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("live_tokens"),
+        sum(col("off")).as("sum_off"))
+      .select(col("bin"), col("n_docs"), col("live_tokens"),
+        col("sum_off"))
+  }
+
+  val q271PackHolesSql: String =
+    """WITH tk AS (SELECT doc_id, doc_id % 3 AS b,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT doc_id, n_tokens,
+      |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY b, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS off
+      |  FROM tk),
+      |f AS (SELECT * FROM o WHERE doc_id % 7 <> 3)
+      |SELECT off // 8192 AS bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS live_tokens,
+      |  CAST(SUM(off) AS BIGINT) AS sum_off
+      |FROM f GROUP BY 1""".stripMargin
+
   val q267IncrementalPackSql: String =
     """WITH tk AS (SELECT doc_id, doc_id % 3 AS b,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
