@@ -760,7 +760,9 @@ class WarehouseSpec extends SparkSpec {
         Warehouse.IndexDef("nd", "docs", "doc_id", "text")),
       maintainedVectorIndexes = Seq(
         Warehouse.VectorIndexDef("ann", "vecs", "vec_id", "emb",
-          nlist = 2, replicas = 1)),
+          nlist = 2, replicas = 1),
+        Warehouse.VectorIndexDef("sqx", "vecs", "vec_id", "emb",
+          nlist = 2, replicas = 1, sq = true)),
       maintainedSkipStats = Map("fact" -> Seq("k")),
       maintainedBloomStats = Map("fact" -> Seq("k"))))
     wh.sync(m1, schema)
@@ -771,6 +773,17 @@ class WarehouseSpec extends SparkSpec {
       Seq((9L, sentence)).toDF("doc_id", "text")).count() == 1L)
     assert(wh.annIn("ann", Seq((9L, Seq(1.0f, 0.05f)))
       .toDF("q_id", "q_emb"), k = 1, nprobe = 1).count() == 1L)
+    def vecCorpus() = graft.sources.TsvSource.read(spark,
+        graft.model.TypeLattice.toStructType(schema.find(
+          _.tableName == "vecs").get),
+        new java.io.File(new java.net.URI(s"$whDir/raw_files/vecs"))
+          .listFiles().filterNot(f => f.getName.startsWith(".") ||
+            f.getName.startsWith("_")).map(_.getPath).toSeq)
+      .select($"vec_id", org.apache.spark.sql.functions.split($"emb", ",").cast("array<float>")
+        .as("embedding"))
+    assert(wh.annSqIn("sqx", Seq((9L, Seq(1.0f, 0.05f)))
+      .toDF("q_id", "q_emb"), vecCorpus(), k = 1, nprobe = 1)
+      .count() == 1L)
     assert(wh.readRange("fact", "k", 10L, 12L).count() == 3L)
     assert(wh.readPointLookup("fact", "k", Seq(7L)).count() == 1L)
     // one delta sync refreshes EVERYTHING
@@ -787,6 +800,10 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.annIn("ann", Seq((10L, Seq(0.06f, 0.94f)))
         .toDF("q_id", "q_emb"), k = 1, nprobe = 1)
       .collect().map(_.getAs[Long]("vec_id")).toSeq == Seq(5L))
+    assert(wh.annSqIn("sqx", Seq((10L, Seq(0.06f, 0.94f)))
+        .toDF("q_id", "q_emb"), vecCorpus(), k = 1, nprobe = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq == Seq(5L),
+      "the SQ8 index must fold the delta sync's vectors too")
     assert(wh.readRange("fact", "k", 45L, 60L).count() == 1L)
     assert(wh.profileOf("fact", Seq("k"))
       .filter($"col_name" === "k").select("n_rows").head().getLong(0) == 42L)

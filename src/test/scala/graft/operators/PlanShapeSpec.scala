@@ -159,6 +159,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(probe.count() > 0)
   }
 
+  test("IVF-SQ8 probe: the codes scan partition-prunes to the probed " +
+      "cells and the decode-score expression stays codegen (no UDF)") {
+    graft.functions.VectorFunctions.register(spark)
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("ivfsq_prune")
+      .toString + "/idx"
+    Quantize.buildIvfSqIndex(spark, e, idx, nlist = 16, replicas = 2)
+    val queries = e.filter(
+      org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("q_id"),
+        org.apache.spark.sql.functions.col("embedding").as("q_emb"))
+    val probe = Quantize.probeIvfSqIndex(spark, idx, queries, e,
+      k = 5, nprobe = 4, rerankN = 16)
+    val p = planOf(probe)
+    val scanLine = p.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("/cells"))
+      .getOrElse(fail(s"no cells FileScan in plan:\n${p.take(2000)}"))
+    val inList = raw"cell#\d+ IN \(([^)]*)\)".r.findFirstMatchIn(scanLine)
+    assert(inList.isDefined,
+      s"cells scan must carry a literal partition IN-filter:\n$scanLine")
+    val nCells = inList.get.group(1).split(",").length
+    assert(nCells <= 4, s"probe of nprobe=4 selected $nCells cells")
+    // the pruned scan reads codes, never embeddings; the asymmetric
+    // decode-score is higher-order expressions, not a Scala UDF
+    assert(!scanLine.contains("embedding"),
+      s"IVF-SQ8 cell scan must read codes only:\n$scanLine")
+    assert(!p.contains("BatchEvalPython") &&
+      !p.toLowerCase.contains("scalaudf"),
+      "SQ8 decode-score must stay in codegen expressions")
+    assert(probe.count() > 0)
+  }
+
   test("q72: mixture spec broadcasts; sampling itself adds no shuffle") {
     val p = planOf(Curation.q72DomainMix(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
