@@ -1392,4 +1392,43 @@ class WarehouseSpec extends SparkSpec {
     val ok = wh.forget(schema, "docs", "doc_id", Seq(1L))
     assert(ok.rawRows == 1L)
   }
+
+  test("sweepForgets quarantines a CORRUPTED suppression file (keys " +
+      "that no longer cast) instead of wedging the sync; journal-borne " +
+      "suppression keeps working") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("wh_supq_src")
+    def put(name: String, content: String): ManifestEntry = {
+      val d = src.resolve("docs"); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry("docs", name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("docs", None, Seq(
+      CDColumn("doc_id", "bigint"),
+      CDColumn("text", "varchar", Some(50)))))
+    val m1 = Seq(put("d1.tsv", "1\tone\n2\ttwo\n3\tthree\n"))
+    val whDir = Files.createTempDirectory("wh_supq_root").toUri
+      .toString.stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whsq", parallelism = 1, canonicalize = true))
+    wh.sync(m1, schema)
+    wh.forget(schema, "docs", "doc_id", Seq(2L))
+    // corruption: a sup file whose keys cannot cast to doc_id's type
+    val fdir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/_forget/docs"))
+    java.nio.file.Files.writeString(fdir.resolve("sup_doc_id_g1"),
+      "corrupted-key")
+    // re-delivery carrying the journaled key (2) under a new name
+    wh.sync(m1 :+ put("d2.tsv", "2\tagain\n9\tok\n"), schema)
+    def names(): Set[String] = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(java.nio.file.Files.list(fdir).iterator())
+      .asScala.map(_.getFileName.toString).toSet
+    assert(names().contains("failed_sup_doc_id_g1"), names().toString)
+    assert(!names().contains("sup_doc_id_g1"), names().toString)
+    val st = graft.model.TypeLattice.toStructType(schema.head)
+    assert(graft.sources.TsvSource.read(spark, st,
+      s"$whDir/raw_files/docs/d2.tsv").select("doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L),
+      "the journal-borne key must still purge the fresh file")
+  }
 }

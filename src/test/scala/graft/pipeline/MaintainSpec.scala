@@ -134,6 +134,59 @@ class MaintainSpec extends SparkSpec {
     assert(spark.read.parquet(path).filter(col("v") === 3L).count() == 0L)
   }
 
+
+  test("deleteByKeyFrame: a distributed key frame deletes exactly on a " +
+      "plain tree AND through a manifest-managed table's reader-atomic " +
+      "protocol; NULL frame keys drop, NULL-keyed rows survive, " +
+      "uncastable frame keys refuse loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // plain tree
+    val path = Files.createTempDirectory("del_frame").toString + "/t"
+    (1L to 5000L).map(k => (k, k % 7)).toDF("k", "v")
+      .unionByName(Seq((Option.empty[Long], 99L)).toDF("k", "v"))
+      .repartition(8, col("k")).write.parquet(path)
+    val doomed = spark.range(1, 5001).filter(col("id") % 3 === 0)
+      .select(col("id"))
+      .unionByName(Seq(Option.empty[Long]).toDF("id")) // NULL key: no-op
+    val sum = Maintain.deleteByKeyFrame(spark, path, "k", doomed)
+    assert(sum.rowsDeleted == (1L to 5000L).count(_ % 3 == 0).toLong,
+      s"$sum")
+    val got = spark.read.parquet(path).select("k")
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet
+    assert(got == ((1L to 5000L).filterNot(_ % 3 == 0).toSet + -1L),
+      "non-matching and NULL-keyed rows must survive")
+    // idempotent
+    val again = Maintain.deleteByKeyFrame(spark, path, "k", doomed)
+    assert(again.rowsDeleted == 0L && again.rewritten == 0 &&
+      again.dropped == 0)
+    // uncastable frame key → loud refusal, nothing deleted
+    val before = spark.read.parquet(path).count()
+    val ex = intercept[IllegalArgumentException] {
+      Maintain.deleteByKeyFrame(spark, path, "k",
+        Seq("7", "not-a-number").toDF("k"))
+    }
+    assert(ex.getMessage.contains("not-a-number"), ex.getMessage)
+    assert(spark.read.parquet(path).count() == before)
+
+    // manifest-managed: one generation swap, originals gone (RTBF),
+    // snapshot readers never see a half state
+    val mpath = Files.createTempDirectory("del_frame_m").toString + "/t"
+    (1L to 2000L).map(k => (k, k % 5)).toDF("k", "v")
+      .repartition(4, col("k")).write.parquet(mpath)
+    Manifest.enable(spark, mpath)
+    val gen0 = Manifest.generations(mpath).max
+    val mdoomed = spark.range(1, 2001).filter(col("id") % 10 === 7)
+      .select(col("id"))
+    val msum = Maintain.deleteByKeyFrame(spark, mpath, "k", mdoomed)
+    assert(msum.rowsDeleted == 200L, s"$msum")
+    assert(Manifest.generations(mpath).max > gen0,
+      "the frame delete must commit a new manifest generation")
+    val mGot = Manifest.readSnapshot(spark, mpath).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(mGot == (1L to 2000L).filterNot(_ % 10 == 7).toSet)
+  }
+
   test("deleteByKey with Int-typed keys against a BIGINT column still " +
       "deletes (the probe hashes with the column's type)") {
     import spark.implicits._
