@@ -486,4 +486,45 @@ class QuantizeSpec extends SparkSpec {
       .map(_.getAs[Long]("vec_id")).toSet
     assert(!res.contains(2L) && !res.contains(3L))
   }
+
+  test("streaming IVF-SQ8 sink: exhaustive probe sees every streamed " +
+      "id regardless of micro-batch chopping; founding replay no-ops") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = clusteredVecs(300)
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfsq_s")
+      .toString + "/idx"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream.foreachBatch(Quantize.foreachBatchIvfSqSink(idx))
+      .start()
+    try Seq(vecs.take(100), vecs.slice(100, 250), vecs.drop(250))
+      .foreach { c => mem.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    // params + centroids froze at the founding batch (documented);
+    // result equivalence is asserted where it is EXACT: both knobs off
+    // ≡ brute force over everything the stream delivered
+    val queries = df.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val got = Quantize.probeIvfSqIndex(spark, idx, queries, df, k = 5,
+        nprobe = 16, rerankN = 0).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val truth = (0 until 10).flatMap { qi =>
+      vecs.filter(_._1 != qi)
+        .map { case (id, v) => (id, cos(vecs(qi)._2, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+        .map { case (id, _) => (qi.toLong, id) }
+    }.toSet
+    assert(got == truth,
+      "exhaustive probe through the streamed SQ8 index must equal " +
+        "brute force")
+  }
 }
