@@ -1004,26 +1004,38 @@ object Quantize {
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
     val (mns, scales) = readSqParams(spark, indexDir)
+    val qn0 = aggregate(
+      transform(col("q_emb"), x => x.cast("double")),
+      lit(0.0d), (a, x) => a + x * x)
     val q = queries.select(col("q_id"),
       transform(col("q_emb"), x => x.cast("double")).as("q"),
+      qn0.as("__qn"),
       explode(Similarity.bestCells(cells, col("q_emb"), nprobe))
         .as("cell"))
     val probed = q.select(col("cell")).distinct().collect().map(_.get(0))
     val scan = spark.read.parquet(s"$indexDir/cells")
       .filter(col("cell").isin(probed.toSeq: _*))
-    val scored = scan.join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
     val candidates =
       if (rerankN <= 0)
-        scored.select(col("q_id"), col("vec_id")).distinct()
+        scan.join(broadcast(q), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id")).distinct()
       else {
-        val r = sqDecode(col("codes"), mns, scales)
-        val dot = aggregate(zip_with(col("q"), r, (a, b) => a * b),
+        // decode + corpus norm hoist to ONE projection per ROW, before
+        // the row×query join — only the dot product is per-pair work
+        // (the score tree is unchanged expression-for-expression, so
+        // candidate order is bitwise identical to the unhoisted form)
+        val r0 = sqDecode(col("codes"), mns, scales)
+        val decoded = scan.select(col("cell"), col("vec_id"),
+          r0.as("__r"),
+          aggregate(r0, lit(0.0d), (a, x) => a + x * x).as("__nn"))
+        val scored = decoded.join(broadcast(q), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+        val dot = aggregate(
+          zip_with(col("q"), col("__r"), (a, b) => a * b),
           lit(0.0d), (acc, v) => acc + v)
-        val qn = aggregate(col("q"), lit(0.0d), (a, x) => a + x * x)
-        val nn = aggregate(r, lit(0.0d), (a, x) => a + x * x)
         val approx = scored.select(col("q_id"), col("vec_id"),
-            (dot / (sqrt(qn) * sqrt(nn))).as("approx"))
+            (dot / (sqrt(col("__qn")) * sqrt(col("__nn")))).as("approx"))
           .distinct() // replica duplicates carry identical codes/scores
         val topk = udaf(new graft.functions.TopKByScore(rerankN),
           org.apache.spark.sql.catalyst.encoders
