@@ -722,20 +722,24 @@ object Quantize {
   def q269SqScan(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val (mns, scales) = sqParams(e)
+    // decode + per-side norms hoist to one projection per ROW/QUERY —
+    // only the dot is per-pair work (identical IEEE trees, so the
+    // oracle-pinned ranks are unchanged bit-for-bit)
+    val r0 = sqDecode(col("codes"), mns, scales)
     val corpus = sqEncodeArray(e, mns, scales)
-      .select(col("vec_id"), sqDecode(col("codes"), mns, scales).as("r"))
+      .select(col("vec_id"), r0.as("r"),
+        aggregate(r0, lit(0.0d), (a, x) => a + x * x).as("nn"))
+    val q0 = transform(col("embedding"), x => x.cast("double"))
     val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"),
-        transform(col("embedding"), x => x.cast("double")).as("q"))
+      .select(col("vec_id").as("q_id"), q0.as("q"),
+        aggregate(q0, lit(0.0d), (a, x) => a + x * x).as("qn"))
     val dot = aggregate(
       zip_with(col("q"), col("r"), (a, b) => a * b),
       lit(0.0d), (acc, v) => acc + v)
-    val qn = aggregate(col("q"), lit(0.0d), (a, x) => a + x * x)
-    val nn = aggregate(col("r"), lit(0.0d), (a, x) => a + x * x)
     val scored = corpus.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        (dot / (sqrt(qn) * sqrt(nn))).as("sim"))
+        (dot / (sqrt(col("qn")) * sqrt(col("nn")))).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w))
