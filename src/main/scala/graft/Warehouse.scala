@@ -86,7 +86,23 @@ object Warehouse {
       parseEmbedding: org.apache.spark.sql.Column =>
           org.apache.spark.sql.Column = c =>
         org.apache.spark.sql.functions.split(c, ",")
-          .cast("array<float>"))
+          .cast("array<float>"),
+      /** Auto-retrain knob: > 0 enables DRIFT-TRIGGERED RETRAIN — every
+        * per-sync append records one cheap drift aggregate (SQ8: the
+        * batch's CLAMP RATE, the fraction of code values saturating the
+        * frozen per-dimension [min,max] — rising clamp means the params
+        * no longer cover the data; IVF/PQ: the batch's mean top-1
+        * assignment cosine vs the build-time baseline — falling
+        * assignment quality means the frozen centroids no longer fit),
+        * and when the evidence breaches this threshold the maintenance
+        * loop rebuilds the index over the full listing at that sync
+        * (fresh centroids/params/codebook). ≤ 0 (default) keeps the
+        * manual story: delete the store, the next sync rebuilds. */
+      retrainDriftThreshold: Double = 0.0) {
+    require(!(pq && sq),
+      s"vector index $name: pq and sq are mutually exclusive — " +
+        "pick IVFADC (pq) or IVF-SQ8 (sq), not both")
+  }
 
   /** A maintained TRAINING-SEQUENCE PACK STORE: each sync's fresh raw
     * files pack at the store's token frontier
@@ -106,7 +122,19 @@ object Warehouse {
         * conservative invalidate-and-re-pack (drop the store, next sync
         * re-packs the filtered corpus — a corpus-scale job, but bins
         * re-fill densely). */
-      invalidateOnForget: Boolean = false)
+      invalidateOnForget: Boolean = false,
+      /** Hole-reclamation bound for the placement-preserving stance:
+        * > 0 → after each sync's append, if forget holes exceed this
+        * fraction of the store's token span, the maintenance loop runs
+        * the EPOCH RE-PACK ([[graft.operators.Curation
+        * .compactPackStore]]) — survivors rewrite densely, the pack
+        * epoch bumps, downstream shard consumers re-cut against the
+        * new epoch. ≤ 0 (default) = never auto-compact: holes
+        * accumulate until [[Warehouse.compactPackStore]] is called
+        * manually. The check costs one sum over the placement table
+        * per sync; the rewrite is O(store) and fires at most once per
+        * 1/ratio of forgotten token volume. */
+      compactHoleRatio: Double = 0.0)
 
   final case class Config(
       warehouseDir: String,
@@ -531,12 +559,34 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     * through. */
   private def validateForgetRequest(t: CDTable, c: String,
       keyStrs: Seq[String]): Unit = {
+    validateJournalIntrinsic(t, c, keyStrs)
+    validateStoreMappings(t, c)
+  }
+
+  /** The JOURNAL-INTRINSIC half of the validation — column exists, every
+    * key casts losslessly. This is ALL that suppression files and
+    * already-completed requests need (they feed only the fresh-file
+    * purge, which never maps through a store); judging them by the
+    * store-mapping rule would let a misconfigured store def quarantine
+    * years of perfectly valid suppression history — permanently dropping
+    * re-delivery protection for completed forgets (the RTBF-resurrection
+    * hazard), with no way back after the config is fixed. */
+  private def validateJournalIntrinsic(t: CDTable, c: String,
+      keyStrs: Seq[String]): Unit = {
     val st = graft.model.TypeLattice.toStructType(t)
     val f = st.fields.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(
         s"no column $c in ${t.tableName}"))
     graft.pipeline.Maintain.requireKeysCastable(spark, f.dataType, c,
       keyStrs)
+  }
+
+  /** The CASCADE half: every maintained store on the table must be
+    * keyed by `c` or by another table column the cascade can map
+    * through — only meaningful for a request whose cascade has yet to
+    * run ([[forget]] pre-journal, and the sweep's crashed requests). */
+  private def validateStoreMappings(t: CDTable, c: String): Unit = {
+    val st = graft.model.TypeLattice.toStructType(t)
     val tn = t.tableName
     (cfg.maintainedIndexes.filter(_.table == tn)
         .map(d => s"index ${d.name}" -> d.idCol) ++
@@ -773,10 +823,22 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     }
   }
 
+  /** Completion marker, then the request's staged cross-column mappings
+    * delete — they exist only so a CRASHED cascade replays the exact
+    * original id set; once `done_` lands, no path reads them again
+    * (sweep completion filters on the marker; the fresh-file purge uses
+    * request keys only), and they hold forgotten-content metadata that
+    * must not outlive its purpose. A crash between the marker and the
+    * deletes leaves orphans the sweep's map-file GC clears. */
   private def writeForgetDone(table: String, reqId: String): Unit = {
-    val os = fsOf.create(new org.apache.hadoop.fs.Path(
-      forgetDir(table), s"done_$reqId"), true)
+    val fs = fsOf
+    val dir = new org.apache.hadoop.fs.Path(forgetDir(table))
+    val os = fs.create(new org.apache.hadoop.fs.Path(dir,
+      s"done_$reqId"), true)
     os.close()
+    fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith(s"map_${reqId}_"))
+      .foreach(p => fs.delete(p, false))
   }
 
   /** Raw files a given sweep covered — the Skipping coveredBy shape:
@@ -829,8 +891,28 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     schema.foreach { t =>
       val dir = new org.apache.hadoop.fs.Path(forgetDir(t.tableName))
       if (fs.exists(dir)) {
-        val names = fs.listStatus(dir).filter(_.isFile)
+        val names0 = fs.listStatus(dir).filter(_.isFile)
           .map(_.getPath.getName)
+        // GC orphaned mapping stages: a map_<reqId>_<idCol> whose
+        // request file is gone (a crash between writeForgetDone's
+        // marker and its map deletes, or between compactForgets' req
+        // and map deletes) is dead weight holding forgotten-content
+        // metadata — no path ever reads a mapping without its req_
+        val reqIds = names0.filter(_.startsWith("req_"))
+          .map(_.stripPrefix("req_")).toSet
+        names0.filter(_.startsWith("map_")).filter { n =>
+          // map_<reqId>_<idCol>: reqId is 16 hex chars (contentId —
+          // never an underscore), idCol may contain them, so split at
+          // the FIRST underscore after the prefix
+          val stem = n.stripPrefix("map_")
+          val cut = stem.indexOf('_')
+          cut <= 0 || !reqIds.contains(stem.take(cut))
+        }.foreach { n =>
+          log.info(s"forget sweep: GC orphaned mapping stage $n " +
+            s"on ${t.tableName}")
+          fs.delete(new org.apache.hadoop.fs.Path(dir, n), false)
+        }
+        val names = names0.filterNot(_.startsWith("map_"))
         val dones = names.filter(_.startsWith("done_"))
           .map(_.stripPrefix("done_")).toSet
         def readLines(n: String): Seq[String] = {
@@ -847,8 +929,13 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         // compacted history: per column, the HIGHEST-generation
         // suppression file (sup_<col>_g<N>) — generations are strict
         // supersets by construction, so lower gens (a crashed
-        // compaction's leftovers) are redundant and ignored
-        val sups: Seq[(String, String, Seq[String])] =
+        // compaction's leftovers) are redundant and ignored. The KEYS
+        // are never read onto the driver: a suppression file grows
+        // monotonically with forget history (each request is
+        // ceiling-bounded, their union across years is not), so it is
+        // only ever consumed as a DataFrame ([[supFrame]]) — the purge
+        // below joins against it distributed end-to-end.
+        val sups: Seq[(String, String)] =
           names.filter(_.startsWith("sup_")).toSeq
             .flatMap { n =>
               val stem = n.stripPrefix("sup_")
@@ -858,8 +945,13 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
                 (stem.take(cut), g, n))
             }
             .groupBy(_._1).values.map(_.maxBy(_._2)).toSeq
-            .map { case (c, _, n) =>
-              (n, c, readLines(n).filter(_.nonEmpty)) }
+            .map { case (c, _, n) => (n, c) }
+        def supFrame(n: String): org.apache.spark.sql.DataFrame =
+          spark.read.text(new org.apache.hadoop.fs.Path(dir, n).toString)
+            .filter(org.apache.spark.sql.functions
+              .length(org.apache.spark.sql.functions.col("value")) > 0)
+            .select(org.apache.spark.sql.functions.col("value")
+              .as("__raw"))
         val fresh = rawListing(t.tableName)
           .filterNot(sweptFiles(t.tableName))
         // quarantine, don't throw: a journal that fails DETERMINISTIC
@@ -871,9 +963,19 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         // Validation is skipped entirely on the idle path (nothing
         // fresh, nothing crashed) — zero per-sync cost at rest.
         val needWork = fresh.nonEmpty || allReqs.exists(r => !dones(r._1))
+        // `full` adds the store-mapping check — applied ONLY to crashed
+        // requests whose cascades must still complete; suppression files
+        // and done requests feed only the fresh-file purge, so they are
+        // judged journal-intrinsically (column + castability) and a
+        // misconfigured store def can never quarantine completed-forget
+        // suppression history (the RTBF-resurrection hazard)
         def validOrQuarantine(file: String, c: String,
-            ks: Seq[String]): Boolean =
-          try { validateForgetRequest(t, c, ks); true }
+            ks: Seq[String], full: Boolean): Boolean =
+          try {
+            if (full) validateForgetRequest(t, c, ks)
+            else validateJournalIntrinsic(t, c, ks)
+            true
+          }
           catch {
             case e: IllegalArgumentException =>
               log.error(s"forget sweep: $file on ${t.tableName} fails " +
@@ -884,9 +986,32 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
               false
           }
         val reqs0 = if (!needWork) allReqs else allReqs.filter {
-          case (id, c, ks) => validOrQuarantine(s"req_$id", c, ks) }
+          case (id, c, ks) =>
+            validOrQuarantine(s"req_$id", c, ks, full = !dones(id)) }
+        // suppression files get the same journal-intrinsic judgment,
+        // DISTRIBUTED: the column must exist and every key must cast —
+        // probed with a limit-20 sample job over the file, never by
+        // materializing the (history-proportional) key set
         val validSups = if (!needWork) sups else sups.filter {
-          case (n, c, ks) => validOrQuarantine(n, c, ks) }
+          case (n, c) =>
+            try {
+              val st = graft.model.TypeLattice.toStructType(t)
+              val f = st.fields.find(_.name == c).getOrElse(
+                throw new IllegalArgumentException(
+                  s"no column $c in ${t.tableName}"))
+              graft.pipeline.Maintain.requireFrameCastable(
+                supFrame(n), f.dataType, c)
+              true
+            } catch {
+              case e: IllegalArgumentException =>
+                log.error(s"forget sweep: $n on ${t.tableName} fails " +
+                  s"deterministic validation (${e.getMessage}) — " +
+                  s"quarantined as failed_$n")
+                fs.rename(new org.apache.hadoop.fs.Path(dir, n),
+                  new org.apache.hadoop.fs.Path(dir, s"failed_$n"))
+                false
+            }
+        }
         // 0) pre-stage crashed requests' cross-column mappings from the
         // STILL-INTACT table — the fresh-file purge below rewrites the
         // raw layer with the requests' own keys, which destroys the
@@ -907,15 +1032,27 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
             }
           }
         }
-        // 1) purge fresh raw files of EVERY journaled request's keys —
+        // 1) purge fresh raw files of EVERY active request's keys —
         // before any crashed-cascade completion marks the listing
-        // swept on behalf of its one request
+        // swept on behalf of its one request. The key set per column is
+        // a DATAFRAME: the in-flight requests' keys (each
+        // ceiling-bounded) parallelize from the journal lines, the
+        // compacted suppression files union in as distributed text
+        // reads — the union NEVER materializes on the driver, however
+        // many years of forget history the suppression files carry
+        // (the purgeNodes discipline applied to the sweep itself).
         if (fresh.nonEmpty && (reqs.nonEmpty || validSups.nonEmpty)) {
-          (reqs ++ validSups).groupBy(_._2).foreach { case (c, rs) =>
-            val ks = rs.flatMap(_._3).distinct
-            val removed = if (ks.isEmpty) 0L
-            else purgeRawTsv(t, c, typedKeys(t, c, ks),
-              onlyFiles = Some(fresh))
+          import spark.implicits._
+          val cols =
+            (reqs.map(_._2) ++ validSups.map(_._2)).distinct
+          cols.foreach { c =>
+            val reqKeys = reqs.filter(_._2 == c).flatMap(_._3).distinct
+            val parts =
+              (if (reqKeys.nonEmpty)
+                 Seq(reqKeys.toDF("__raw")) else Nil) ++
+                validSups.filter(_._2 == c).map(s => supFrame(s._1))
+            val removed = purgeRawTsvFrame(t, c,
+              parts.reduce(_ unionByName _), onlyFiles = Some(fresh))
             if (removed > 0)
               log.info(s"forget sweep: ${t.tableName}.$c — $removed " +
                 s"re-delivered row(s) purged from ${fresh.size} fresh " +
@@ -971,31 +1108,54 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     * the write and the deletes leaves redundant files the next
     * compaction removes. Suppression semantics are exactly the
     * journal's (the sweep purges fresh files with the union either
-    * way); only the storage shape changes. */
+    * way); only the storage shape changes.
+    *
+    * The merge itself is DISTRIBUTED: the previous generation (which
+    * grows with the full forget history) streams through a text read,
+    * unions with the folded requests' keys (each ceiling-bounded),
+    * dedups and sorts as one Spark job, and lands as a single sorted
+    * part file renamed under the generation name — the driver never
+    * holds more than one request's keys, at any history size. */
   private def compactForgets(table: String,
       doneReqs: Seq[(String, String, Seq[String])],
-      sups: Seq[(String, String, Seq[String])]): Unit = {
+      sups: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
     val fs = fsOf
     val dir = new org.apache.hadoop.fs.Path(forgetDir(table))
-    val supGen: Map[String, Long] = sups.map { case (n, c, _) =>
+    val supGen: Map[String, Long] = sups.map { case (n, c) =>
       c -> n.drop(n.lastIndexOf("_g") + 2).toLong
     }.toMap
     doneReqs.groupBy(_._2).foreach { case (c, rs) =>
-      val prev = sups.filter(_._2 == c).flatMap(_._3)
-      val merged = (prev ++ rs.flatMap(_._3)).distinct.sorted
+      val prev = sups.filter(_._2 == c).map { case (n, _) =>
+        spark.read.text(new org.apache.hadoop.fs.Path(dir, n).toString)
+          .filter(length(col("value")) > 0)
+          .select(col("value").as("__raw"))
+      }
+      val merged =
+        (prev :+ rs.flatMap(_._3).distinct.toDF("__raw"))
+          .reduce(_ unionByName _).distinct()
+          .repartition(1).sortWithinPartitions(col("__raw"))
       val newGen = supGen.getOrElse(c, 0L) + 1L
-      val tmp = new org.apache.hadoop.fs.Path(dir,
-        s".sup_${c}_g$newGen.tmp")
-      val os = fs.create(tmp, true)
-      try os.write(merged.mkString("\n").getBytes("UTF-8"))
-      finally os.close()
+      val tmpDir = new org.apache.hadoop.fs.Path(dir,
+        s".sup_${c}_g$newGen.tmpdir")
+      fs.delete(tmpDir, true)
+      merged.write.text(tmpDir.toString)
+      val part = fs.listStatus(tmpDir).map(_.getPath)
+        .find(p => !p.getName.startsWith("_") &&
+          !p.getName.startsWith("."))
+        .getOrElse(throw new java.io.IOException(
+          s"suppression fold produced no output for $table.$c"))
       val dest = new org.apache.hadoop.fs.Path(dir, s"sup_${c}_g$newGen")
-      if (fs.exists(dest)) fs.delete(tmp, false)
-      else if (!fs.rename(tmp, dest))
-        throw new java.io.IOException(
-          s"cannot write suppression file $dest")
+      if (fs.exists(dest)) fs.delete(tmpDir, true)
+      else {
+        if (!fs.rename(part, dest))
+          throw new java.io.IOException(
+            s"cannot write suppression file $dest")
+        fs.delete(tmpDir, true)
+      }
       log.info(s"forget compaction: $table.$c — ${rs.size} request(s) " +
-        s"folded into generation $newGen (${merged.size} keys)")
+        s"folded into generation $newGen")
     }
     // destructive LAST, each idempotent: folded journals, their done
     // markers and staged mappings, then every superseded generation
@@ -1042,7 +1202,54 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     * copy exists); crashed attempts heal at the next call's entry
     * sweep. */
   private def purgeRawTsv(t: CDTable, c: String,
-      keys: Seq[Any], onlyFiles: Option[Seq[String]] = None): Long = {
+      keys: Seq[Any], onlyFiles: Option[Seq[String]] = None): Long =
+    purgeRawTsvImpl(t, c, onlyFiles,
+      extracted => graft.pipeline.Maintain.matchingKeys(
+        extracted, "__k", keys),
+      df => graft.pipeline.Maintain.droppingKeys(df, c, keys))
+
+  /** [[purgeRawTsv]] for a DISTRIBUTED key set: `raw` is a one-column
+    * string frame (journal/suppression lines); it casts to the column's
+    * type, pins once, and drives both the discovery scan and every
+    * per-file rewrite through joins — the keys never materialize on the
+    * driver. This is the sweep's suppression path: the per-(table,
+    * column) suppression file unions every completed forget ever
+    * journaled, so at heavy RTBF traffic its key volume is
+    * history-proportional — exactly the shape [[graft.pipeline.Maintain
+    * .deleteByKeyFrame]] exists for on the parquet side. Same loud
+    * lossy-cast rule (the caller probes castability first — sweep
+    * quarantines on failure), same NULL-keyed-rows-survive semantics
+    * (join equality — null never matches). */
+  private def purgeRawTsvFrame(t: CDTable, c: String,
+      raw: org.apache.spark.sql.DataFrame,
+      onlyFiles: Option[Seq[String]] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    val st = graft.model.TypeLattice.toStructType(t)
+    val dt = st.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column $c in ${t.tableName}")).dataType
+    graft.pipeline.Maintain.requireFrameCastable(raw, dt, c)
+    // pinned: consumed by the discovery scan and every per-file rewrite
+    val keysDf = raw.select(col("__raw").cast(dt).as("__gk"))
+      .filter(col("__gk").isNotNull).distinct().localCheckpoint()
+    if (keysDf.isEmpty) return 0L
+    purgeRawTsvImpl(t, c, onlyFiles,
+      extracted => extracted.join(keysDf,
+        extracted("__k") === keysDf("__gk"), "left_semi"),
+      df => df.join(keysDf, df(c) === keysDf("__gk"), "left_anti"))
+  }
+
+  /** Shared machinery of the two purge entry points: one batched
+    * discovery pass (only the key column extracted per line, only files
+    * truly holding keys enter the rewrite loop — O(scan) once +
+    * O(hit files) rewrites, never O(files) jobs), then the per-file
+    * aside/rename rewrite protocol. */
+  private def purgeRawTsvImpl(t: CDTable, c: String,
+      onlyFiles: Option[Seq[String]],
+      restrict: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame,
+      keep: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Long = {
     import org.apache.spark.sql.functions.col
     val tableDir = s"${cfg.warehouseDir}/${Sync.RawPrefix}/${t.tableName}"
     val fs = fsOf
@@ -1063,20 +1270,15 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     // — O(fresh), not a full raw-layer pass per sync
     val files = onlyFiles.getOrElse(rawListing(t.tableName))
     if (files.isEmpty) return 0L
-    // ONE batched discovery pass over the whole raw layer (the
-    // deleteByKey discipline — never one probe job per file): only the
-    // key column is extracted from each line, and only files that truly
-    // hold the keys enter the rewrite loop below. O(table scan) once +
-    // O(hit files) rewrites, not O(files) jobs.
     val ci = st.fieldNames.indexOf(c)
     require(ci >= 0, s"no column $c in ${t.tableName}")
     val keyExpr = org.apache.spark.sql.functions.expr(
       s"try_cast(nullif(element_at(split(value, '\\t', -1), ${ci + 1})," +
         s" '\\\\N') AS ${st.fields(ci).dataType.sql})")
-    val hitFiles = graft.pipeline.Maintain.matchingKeys(
+    val hitFiles = restrict(
         spark.read.text(files.map(f => s"$tableDir/$f"): _*)
           .select(org.apache.spark.sql.functions.input_file_name()
-            .as("__f"), keyExpr.as("__k")), "__k", keys)
+            .as("__f"), keyExpr.as("__k")))
       .groupBy(col("__f"))
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("__hits"))
@@ -1089,13 +1291,13 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       locally {
         removed += hitFiles(fname)
         // NULL-keyed rows survive (the deleteByKey three-valued rule)
-        val keep = graft.pipeline.Maintain.droppingKeys(df, c, keys)
+        val kept = keep(df)
         val tmpDir = new org.apache.hadoop.fs.Path(tableDir,
           s".forget_tmp_$fname")
         fs.delete(tmpDir, true)
         // codec must follow the original NAME: the text reader infers
         // compression from the extension
-        graft.sources.TsvSource.write(keep.coalesce(1), tmpDir.toString,
+        graft.sources.TsvSource.write(kept.coalesce(1), tmpDir.toString,
           compression = if (fname.endsWith(".gz")) "gzip" else "none")
         val part = fs.listStatus(tmpDir).map(_.getPath)
           .find(p => !p.getName.startsWith("_") &&
@@ -1291,10 +1493,41 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
             graft.operators.Curation.appendToPackStore(spark, store,
               docsOf(readRaw(t, fresh)), d.budget, foldId)
           }
+          // hole-reclamation debt bound (opt-in): forget holes past the
+          // configured fraction of the token span trigger the epoch
+          // re-pack — after the fold, inside the same single-writer
+          // maintenance pass
+          if (d.compactHoleRatio > 0)
+            graft.operators.Curation.compactPackStore(spark, store,
+              d.budget, d.compactHoleRatio).foreach { ep =>
+              log.info(s"pack_${d.name}: hole ratio exceeded " +
+                s"${d.compactHoleRatio} — compacted to epoch $ep")
+            }
         }
       }
     }
   }
+
+  /** Manual epoch re-pack of a maintained pack store (see
+    * [[Warehouse.PackDef.compactHoleRatio]] for the auto-triggered
+    * form). Returns the new epoch if the hole ratio cleared
+    * `minHoleRatio` and the store rewrote. Run AFTER a sync has
+    * converged (single-writer, like [[compactVectorIndex]]). */
+  def compactPackStore(name: String, minHoleRatio: Double = 0.25)
+      : Option[Long] = {
+    val d = cfg.maintainedPacks.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown pack store $name"))
+    graft.operators.Curation.compactPackStore(spark,
+      s"${cfg.warehouseDir}/_maintained/pack_$name", d.budget,
+      minHoleRatio)
+  }
+
+  /** Current pack epoch of a maintained pack store — the placement
+    * version downstream shard consumers pin
+    * ([[graft.operators.Curation.packEpoch]]). */
+  def packEpochOf(name: String): Long =
+    graft.operators.Curation.packEpoch(
+      s"${cfg.warehouseDir}/_maintained/pack_$name")
 
   /** Read a maintained pack store (see [[Warehouse.Config.maintainedPacks]]). */
   def packOf(name: String): DataFrame =
@@ -1345,8 +1578,6 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
               .as("vec_id"),
               d.parseEmbedding(org.apache.spark.sql.functions
                 .col(d.embedCol)).as("embedding"))
-          require(!(d.pq && d.sq),
-            s"vector index ${d.name}: pq and sq are mutually exclusive")
           maintainAdditive(store, files, s"vindex_${d.name}") { all =>
             if (d.pq)
               graft.operators.Quantize.buildIvfPqIndex(spark,
@@ -1571,6 +1802,15 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
             org.slf4j.LoggerFactory.getLogger(classOf[Warehouse]).warn(
               s"$storeName: folded file(s) removed by stale-delete — " +
                 "rebuilding store from the current listing")
+            Rollup.init(spark, store, readTableSnapshot(t, files)._1,
+              spec, files)
+          } else if (!Rollup.histScaleCurrent(spark, store, spec, st)) {
+            // a pre-scale-change store holds temporal-histogram bins in
+            // a different unit system — folding would corrupt the map
+            // (Rollup.merge refuses); rebuild on first touch instead
+            log.warn(s"$storeName: temporal-histogram partials carry a " +
+              "legacy bin scale — rebuilding store from the current " +
+              "listing")
             Rollup.init(spark, store, readTableSnapshot(t, files)._1,
               spec, files)
           } else {

@@ -382,6 +382,121 @@ object Curation {
       "doc_id", docIds).rowsDeleted
   }
 
+  /** Pack EPOCH of a store: bumped by every [[compactPackStore]]
+    * rewrite. Placements are stable WITHIN an epoch (the q267
+    * contract); a compaction moves every surviving placement, so the
+    * epoch is the version a downstream training consumer must pin —
+    * shards cut under epoch N are invalid against epoch N+1's offsets.
+    * 0 = never compacted (the store as [[initPackStore]] and appends
+    * built it). */
+  def packEpoch(storeDir: String): Long =
+    graft.pipeline.AppendCommit.appliedEntries(storeDir)
+      .filter(_._1.startsWith("ep_"))
+      .map(_._2.trim).filter(_.nonEmpty).map(_.toLong)
+      .maxOption.getOrElse(0L)
+
+  /** Fraction of the store's token span that is DEAD (forget holes):
+    * (frontier − live tokens) / frontier. The frontier counts what was
+    * PLACED (Σ `pk_` ledger payloads); live counts what survives. */
+  def packHoleRatio(spark: SparkSession, storeDir: String): Double = {
+    graft.pipeline.SafeSwap.recover(storeDir)
+    val frontier = packFrontier(storeDir)
+    if (frontier <= 0L) 0.0
+    else {
+      val live = spark.read.parquet(s"$storeDir/docs")
+        .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+      (frontier - live).toDouble / frontier.toDouble
+    }
+  }
+
+  /** Dense re-pack of surviving placements in their ORIGINAL offset
+    * order — the q67 two-level prefix sum keyed by the old bin (never
+    * a corpus-wide single-partition sort): per-old-bin totals cumulate
+    * over the small bin table, within-bin offsets window per bin. */
+  private def repackPlacements(docs: DataFrame, budget: Long)
+      : DataFrame = {
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin")).rowsBetween(Long.MinValue, -1)
+    val binOff = docs.groupBy(col("bin"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("bin_off", coalesce(sum(col("tot")).over(wB), lit(0L)))
+      .select(col("bin"), col("bin_off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin")).orderBy(col("off"))
+      .rowsBetween(Long.MinValue, -1)
+    docs
+      .withColumn("in_off",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(binOff), Seq("bin"))
+      .withColumn("new_off",
+        (col("bin_off") + col("in_off")).cast("long"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("new_off").as("off"),
+        expr(s"new_off DIV $budget").as("bin"),
+        when((col("new_off") % budget) + col("n_tokens") > budget, 1L)
+          .otherwise(0L).as("straddle"))
+  }
+
+  /** EPOCH RE-PACK — the hole-reclamation counterpart of
+    * [[purgePackStore]]: when forget traffic has turned enough of a
+    * store's token span into dead holes (`minHoleRatio`), rewrite the
+    * survivors DENSELY in their original arrival order and reset the
+    * frontier to the live total, so training epochs stop paying I/O
+    * for space no document occupies.
+    *
+    * The stability contract is explicitly VERSIONED: placements never
+    * move within an epoch; a compaction moves all of them and bumps
+    * [[packEpoch]] — consumers pin the epoch their shards were cut
+    * under, and the atomic [[graft.pipeline.SafeSwap]] swap means a
+    * concurrent loader sees the old epoch or the new one, never a mix.
+    * The replay ledger survives the rewrite: every applied batch id
+    * stays applied (its `pk_` token payload re-marks as 0 — those
+    * tokens now live inside the compacted base, counted by the one new
+    * `pk_epoch<N>` entry), so a crashed upstream append retried after
+    * a compaction is still a no-op, and the warehouse loop's
+    * covered-file markers ride along unchanged. Appends after the
+    * compaction land at the new dense frontier.
+    *
+    * Returns the new epoch, or None when the hole ratio is below the
+    * threshold (no rewrite — the common case; checking costs one sum
+    * over the placement table). O(store) when it fires — by
+    * construction it fires at most once per 1/minHoleRatio of forget
+    * volume, the same debt-bound shape as cell/stats/ledger
+    * compaction elsewhere in the engine. */
+  def compactPackStore(spark: SparkSession, storeDir: String,
+      budget: Long, minHoleRatio: Double = 0.25): Option[Long] =
+    graft.pipeline.MaintenanceLock.withLock(storeDir,
+        tag = "_frontier") {
+      graft.pipeline.SafeSwap.recover(storeDir)
+      val frontier = packFrontier(storeDir)
+      val live = spark.read.parquet(s"$storeDir/docs")
+        .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+      val holes = frontier - live
+      if (frontier <= 0L || holes <= 0L ||
+          holes.toDouble / frontier.toDouble < minHoleRatio) None
+      else {
+        val entries = graft.pipeline.AppendCommit
+          .appliedEntries(storeDir)
+        val epoch = packEpoch(storeDir) + 1L
+        val repacked =
+          repackPlacements(spark.read.parquet(s"$storeDir/docs"), budget)
+        graft.pipeline.SafeSwap.replace(storeDir) { tmp =>
+          // the lazy read of the live placements executes inside this
+          // write, strictly before SafeSwap renames the old tree aside
+          repacked.write.parquet(s"$tmp/docs")
+          entries.foreach { case (id, p) =>
+            graft.pipeline.AppendCommit.markApplied(tmp, id,
+              if (id.startsWith("pk_")) "0" else p)
+          }
+          graft.pipeline.AppendCommit.markApplied(tmp,
+            s"pk_epoch$epoch", live.toString)
+          graft.pipeline.AppendCommit.markApplied(tmp,
+            s"ep_$epoch", epoch.toString)
+        }
+        Some(epoch)
+      }
+    }
+
   private lazy val packGateBase: String =
     java.nio.file.Files.createTempDirectory("graft_ipack_").toString
 
@@ -439,6 +554,84 @@ object Curation {
       .select(col("bin"), col("n_docs"), col("live_tokens"),
         col("sum_off"))
   }
+
+  // ---------------------------------------------------------------------
+  // q273_pack_compact — the EPOCH RE-PACK end-to-end: a three-batch
+  // store (doc_id % 4 ∈ {0,1,2}) purges every doc_id ≡ 3 (mod 7),
+  // compacts (survivors rewrite densely in original arrival order,
+  // epoch 0 → 1, frontier collapses to the live total), a REPLAY of
+  // the compaction must no-op (holes are now zero), and a FOURTH batch
+  // (doc_id % 4 = 3) appends AFTER the compaction — landing at the
+  // dense frontier, which pins that the pk_ ledger rewrite (old
+  // payloads zeroed, one pk_epoch1 entry carrying the live total) is
+  // exactly right: any surviving hole, any double-counted frontier
+  // token, or a moved batch-4 placement shifts sum_off and
+  // hash-fails. DuckDB replays: pack b<3 in (b, doc_id) order → filter
+  // the doomed → dense re-pack in the same order → append b=3 at the
+  // live-total base. The epoch rides as a bin = −1 sentinel row
+  // (n_docs = epoch): a compaction that silently never ran reports
+  // epoch 0 and hash-fails.
+  // ---------------------------------------------------------------------
+  def q273PackCompact(s: SparkSession, dir: String): DataFrame = {
+    val store = s"$packGateBase/pc_${dir.hashCode.toHexString}"
+    if (!new java.io.File(s"$store.complete").exists()) {
+      val d = t(s, dir, "documents")
+      initPackStore(s, store,
+        d.filter(col("doc_id") % 4 === 0), PackBudget, "b0")
+      appendToPackStore(s, store,
+        d.filter(col("doc_id") % 4 === 1), PackBudget, "b1")
+      appendToPackStore(s, store,
+        d.filter(col("doc_id") % 4 === 2), PackBudget, "b2")
+      val doomed: Seq[Any] = d
+        .filter(col("doc_id") % 7 === 3 && col("doc_id") % 4 < 3)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      purgePackStore(s, store, doomed)
+      compactPackStore(s, store, PackBudget, minHoleRatio = 1e-9)
+      // replay must no-op: the holes are gone, the ratio is 0
+      compactPackStore(s, store, PackBudget, minHoleRatio = 1e-9)
+      appendToPackStore(s, store,
+        d.filter(col("doc_id") % 4 === 3), PackBudget, "b3")
+      new java.io.File(s"$store.complete").createNewFile()
+    }
+    val epoch = packEpoch(store)
+    readPackStore(s, store)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("live_tokens"),
+        sum(col("off")).as("sum_off"))
+      .select(col("bin"), col("n_docs"), col("live_tokens"),
+        col("sum_off"))
+      .unionByName(s.range(1).select(lit(-1L).as("bin"),
+        lit(epoch).as("n_docs"), lit(0L).as("live_tokens"),
+        lit(0L).as("sum_off")))
+  }
+
+  val q273PackCompactSql: String =
+    """WITH tk AS (SELECT doc_id, doc_id % 4 AS b,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |surv AS (SELECT * FROM tk WHERE b < 3 AND doc_id % 7 <> 3),
+      |s2 AS (SELECT doc_id, n_tokens,
+      |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY b, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS off
+      |  FROM surv),
+      |base AS (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tot
+      |  FROM surv),
+      |b3 AS (SELECT doc_id, n_tokens,
+      |  (SELECT tot FROM base) +
+      |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS off
+      |  FROM tk WHERE b = 3),
+      |f AS (SELECT doc_id, n_tokens, off FROM s2
+      |  UNION ALL SELECT doc_id, n_tokens, off FROM b3)
+      |SELECT off // 8192 AS bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS live_tokens,
+      |  CAST(SUM(off) AS BIGINT) AS sum_off
+      |FROM f GROUP BY 1
+      |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT),
+      |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin
 
   val q271PackHolesSql: String =
     """WITH tk AS (SELECT doc_id, doc_id % 3 AS b,

@@ -184,7 +184,8 @@ object Maintain {
     * a non-null key that cannot cast to the column's type must fail the
     * purge loudly, never silently survive — checked without collecting
     * the keys (only ≤20 offending samples come back). */
-  private def requireFrameCastable(raw: org.apache.spark.sql.DataFrame,
+  private[graft] def requireFrameCastable(
+      raw: org.apache.spark.sql.DataFrame,
       colType: org.apache.spark.sql.types.DataType, c: String): Unit = {
     import org.apache.spark.sql.functions.{col, expr}
     val bad = raw

@@ -178,6 +178,68 @@ object Rollup {
     }
   }
 
+  /** Version of the HISTOGRAM BIN SCALE a persisted store's partials
+    * were computed under. "2" = temporal columns bin on their
+    * catalog-internal units (timestamps: epoch MICROS; dates: epoch
+    * DAYS — [[histInput]]); stores written before that change binned
+    * the raw value under the previous implicit scale, so merging a
+    * new-scale batch into an old-scale store would mix bin ids from
+    * two unit systems into one map — a silently corrupt histogram
+    * pushed straight to the CBO. Stores carry the version in a
+    * `_hist_scale` marker; [[merge]]/[[retract]] REFUSE a
+    * temporal-histogram store whose marker mismatches (absent =
+    * legacy), and [[graft.Warehouse]]'s maintenance rebuilds such a
+    * store on first touch instead of folding into it. */
+  val HistScaleVersion: String = "2"
+
+  /** The spec's histogram columns that are temporal in `schema` — the
+    * only ones whose bin ids changed with the scale version. */
+  private def temporalHists(schema: org.apache.spark.sql.types.StructType,
+      spec: Spec): Seq[String] =
+    spec.histCols.map(_.col).filter(c =>
+      schema.fields.find(_.name == c).map(_.dataType).exists(dt =>
+        dt == org.apache.spark.sql.types.TimestampType ||
+          dt == org.apache.spark.sql.types.DateType))
+
+  private def writeHistScale(spark: SparkSession, dir: String,
+      spec: Spec): Unit =
+    if (spec.histCols.nonEmpty) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      val os = fs.create(
+        new org.apache.hadoop.fs.Path(dir, "_hist_scale"), true)
+      try os.write(HistScaleVersion.getBytes("UTF-8"))
+      finally os.close()
+    }
+
+  /** Is `storeDir`'s histogram bin scale the current one for a fold of
+    * `schema`-shaped rows? Vacuously true when the spec has no
+    * TEMPORAL histogram column (numeric bins never changed scale). */
+  def histScaleCurrent(spark: SparkSession, storeDir: String,
+      spec: Spec, schema: org.apache.spark.sql.types.StructType)
+      : Boolean =
+    temporalHists(schema, spec).isEmpty || {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(storeDir),
+        spark.sparkContext.hadoopConfiguration)
+      val m = new org.apache.hadoop.fs.Path(storeDir, "_hist_scale")
+      fs.exists(m) && {
+        val in = fs.open(m)
+        try new String(in.readAllBytes(), "UTF-8").trim ==
+          HistScaleVersion
+        finally in.close()
+      }
+    }
+
+  private def requireHistScale(spark: SparkSession, storeDir: String,
+      spec: Spec, schema: org.apache.spark.sql.types.StructType): Unit =
+    require(histScaleCurrent(spark, storeDir, spec, schema),
+      s"store $storeDir holds temporal-histogram partials under a " +
+        s"LEGACY bin scale (marker != $HistScaleVersion) — folding " +
+        "would mix bin-id unit systems into one map; invalidate the " +
+        "store and rebuild (the Warehouse maintenance loop does this " +
+        "automatically)")
+
   /** Create the store from the initial fact snapshot. `batchIds` are the
     * units of replay (e.g. one id per source file) recorded atomically
     * with the partials. */
@@ -188,6 +250,7 @@ object Rollup {
       SafeSwap.replace(storeDir) { tmp =>
         p.write.parquet(s"$tmp/partials")
         writeApplied(spark, tmp, batchIds)
+        writeHistScale(spark, tmp, spec)
       }
     }
 
@@ -206,6 +269,7 @@ object Rollup {
       spec: Spec, batchIds: Seq[String]): Boolean =
     MaintenanceLock.withLock(storeDir) {
       SafeSwap.recover(storeDir)
+      requireHistScale(spark, storeDir, spec, batch.schema)
       val applied = readApplied(spark, storeDir)
       val fresh = batchIds.filterNot(applied.contains)
       if (fresh.isEmpty) false
@@ -223,6 +287,7 @@ object Rollup {
           // write, strictly before SafeSwap renames the old tree aside
           merged.write.parquet(s"$tmp/partials")
           writeApplied(spark, tmp, applied ++ batchIds)
+          writeHistScale(spark, tmp, spec)
         }
         true
       }
@@ -287,6 +352,7 @@ object Rollup {
         "use invalidate() and rebuild for min/max/distinct specs")
     MaintenanceLock.withLock(storeDir) {
       SafeSwap.recover(storeDir)
+      requireHistScale(spark, storeDir, spec, deleted.schema)
       val applied = readApplied(spark, storeDir)
       if (applied.contains(batchId)) 0L
       else {
@@ -323,6 +389,7 @@ object Rollup {
         SafeSwap.replace(storeDir) { tmp =>
           merged.write.parquet(s"$tmp/partials")
           writeApplied(spark, tmp, applied :+ batchId)
+          writeHistScale(spark, tmp, spec)
         }
         nRetracted
       }

@@ -1077,17 +1077,19 @@ class WarehouseSpec extends SparkSpec {
         s"(holes, no re-pack): $after vs $before")
     assert(wh.canonicalTable("docs")
       .filter(col("lang") === "xx").count() == 0L)
-    // the mapping is STAGED under the journal — a crash-retry replays
-    // the exact original id set from it
+    // the mapping was STAGED under the journal pre-destruction (a
+    // crash-retry would replay the exact original id set from it) and
+    // DELETED with the completion marker — once done_ lands no path
+    // reads it again, and it holds forgotten-content metadata that
+    // must not outlive its purpose
     val fdir = java.nio.file.Paths.get(
       new java.net.URI(s"$whDir/_forget/docs"))
     val mapFiles = java.nio.file.Files.list(fdir).iterator()
     val mapped = scala.jdk.CollectionConverters
       .IteratorHasAsScala(mapFiles).asScala
       .filter(_.getFileName.toString.startsWith("map_")).toSeq
-    assert(mapped.size == 1, s"one staged mapping expected: $mapped")
-    assert(java.nio.file.Files.readString(mapped.head)
-      .split("\n").toSet == Set("3", "7"))
+    assert(mapped.isEmpty,
+      s"mapping stages must clear at completion: $mapped")
     // convergent re-run, and the next sync resurrects nothing
     val again = wh.forget(schema, "docs", "lang", Seq("xx"))
     assert(again.rawRows == 0L && again.canonicalRows == 0L)
@@ -1430,5 +1432,161 @@ class WarehouseSpec extends SparkSpec {
       s"$whDir/raw_files/docs/d2.tsv").select("doc_id").collect()
       .map(_.getLong(0)).toSeq == Seq(9L),
       "the journal-borne key must still purge the fresh file")
+  }
+
+  test("suppression files and done requests are judged JOURNAL-" +
+      "INTRINSICALLY: a store def whose idCol is not a table column " +
+      "quarantines the CRASHED request (whose cascade needs the " +
+      "mapping) but never the suppression history (which feeds only " +
+      "the fresh-file purge) — no RTBF resurrection after a config " +
+      "mistake") {
+    val src = Files.createTempDirectory("wh_scope_src")
+    def put(name: String, content: String): ManifestEntry = {
+      val d = src.resolve("docs"); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry("docs", name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("docs", None, Seq(
+      CDColumn("doc_id", "bigint"),
+      CDColumn("text", "varchar", Some(50)))))
+    val m1 = Seq(put("d1.tsv", "1\tone\n2\ttwo\n3\tthree\n4\tfour\n"))
+    val whDir = Files.createTempDirectory("wh_scope_root").toUri
+      .toString.stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whscope", parallelism = 1, canonicalize = true,
+      forgetCompactEvery = 1))
+    wh.sync(m1, schema)
+    wh.forget(schema, "docs", "doc_id", Seq(2L))
+    wh.sync(m1, schema) // folds the done request into sup_doc_id_g1
+    val fdir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/_forget/docs"))
+    def names(): Set[String] = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(java.nio.file.Files.list(fdir).iterator())
+      .asScala.map(_.getFileName.toString).toSet
+    assert(names().contains("sup_doc_id_g1"), names().toString)
+    // the misconfiguration: a maintained index keyed by a column docs
+    // does not have — new forgets refuse pre-journal; the question is
+    // what the sweep does to EXISTING history
+    val bad = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whscope", parallelism = 1, canonicalize = true,
+      forgetCompactEvery = 1,
+      maintainedIndexes = Seq(Warehouse.IndexDef("mh", "docs",
+        "ghost_col", "text"))))
+    // a crashed request (journal present, no completion marker) keyed
+    // by doc_id: its cascade would need the store mapping, which the
+    // bad def cannot provide — quarantine it
+    java.nio.file.Files.writeString(fdir.resolve("req_deadbeef00000001"),
+      "doc_id\n3")
+    // a re-delivery of the SUPPRESSED key under a new name, planted
+    // directly in the raw layer (sweep-visible, maintenance untouched)
+    val rawDir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/raw_files/docs"))
+    java.nio.file.Files.writeString(rawDir.resolve("d2.tsv"),
+      "2\tzombie\n9\tok\n")
+    bad.sweepForgets(schema)
+    assert(names().contains("sup_doc_id_g1"),
+      s"suppression history must survive a bad store def: ${names()}")
+    assert(names().contains("failed_req_deadbeef00000001") &&
+      !names().contains("req_deadbeef00000001"),
+      s"the crashed cascade must quarantine: ${names()}")
+    val st = graft.model.TypeLattice.toStructType(schema.head)
+    assert(graft.sources.TsvSource.read(spark, st,
+      s"$whDir/raw_files/docs/d2.tsv").select("doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L),
+      "the suppressed key must still purge the fresh file")
+  }
+
+  test("fresh-file suppression purge is DISTRIBUTED end-to-end: a " +
+      "suppression file far past the isin threshold purges a " +
+      "re-delivery through the key-frame join path, exactly") {
+    val src = Files.createTempDirectory("wh_supbig_src")
+    def put(name: String, content: String): ManifestEntry = {
+      val d = src.resolve("docs"); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry("docs", name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("docs", None, Seq(
+      CDColumn("doc_id", "bigint"),
+      CDColumn("text", "varchar", Some(50)))))
+    val n = 4000L
+    val m1 = Seq(put("d1.tsv",
+      (1L to n).map(i => s"$i\tdoc $i").mkString("", "\n", "\n")))
+    val whDir = Files.createTempDirectory("wh_supbig_root").toUri
+      .toString.stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whsupbig", parallelism = 1, canonicalize = true,
+      forgetCompactEvery = 1))
+    wh.sync(m1, schema)
+    // one big forget (3× the isin threshold), folded into a sup file
+    wh.forget(schema, "docs", "doc_id",
+      (1L to n).filter(_ % 4 != 0).map(i => i: Any))
+    wh.sync(m1, schema)
+    val fdir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/_forget/docs"))
+    assert(java.nio.file.Files.exists(fdir.resolve("sup_doc_id_g1")))
+    // re-delivery mixing suppressed and fresh keys under a new name
+    val m2 = m1 :+ put("d2.tsv",
+      (1L to 40L).map(i => s"$i\tagain $i").mkString("", "\n", "\n"))
+    wh.sync(m2, schema)
+    val st = graft.model.TypeLattice.toStructType(schema.head)
+    assert(graft.sources.TsvSource.read(spark, st,
+      s"$whDir/raw_files/docs/d2.tsv").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq ==
+      (1L to 40L).filter(_ % 4 == 0).toSeq,
+      "exactly the non-suppressed quarter survives the fresh file")
+    // and the canonical layer agrees end-to-end: the purged original
+    // (n/4 survivors) plus the purged re-delivery (10 survivors)
+    assert(wh.canonicalTable("docs").count() ==
+      (1L to n).count(_ % 4 == 0) + (1L to 40L).count(_ % 4 == 0))
+  }
+
+  test("cross-column mapping stages delete at completion and the " +
+      "sweep GCs orphaned map_ files — forgotten-content metadata " +
+      "does not outlive its purpose") {
+    val src = Files.createTempDirectory("wh_mapgc_src")
+    val d = src.resolve("docs"); Files.createDirectories(d)
+    val f = d.resolve("d1.tsv")
+    Files.writeString(f,
+      (1L to 6L).map(i => s"$i\tu${i % 2}\tword$i alpha beta gamma")
+        .mkString("", "\n", "\n"))
+    val schema = Seq(CDTable("docs", None, Seq(
+      CDColumn("doc_id", "bigint"),
+      CDColumn("user", "varchar", Some(8)),
+      CDColumn("text", "varchar", Some(80)))))
+    val m = Seq(ManifestEntry("docs", "d1.tsv", f.toUri.toString))
+    val whDir = Files.createTempDirectory("wh_mapgc_root").toUri
+      .toString.stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whmapgc", parallelism = 1, canonicalize = true,
+      forgetCompactEvery = 0, // compaction disabled — the ADVICE leak
+      maintainedIndexes = Seq(Warehouse.IndexDef("mh", "docs",
+        "doc_id", "text"))))
+    wh.sync(m, schema)
+    val fdir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/_forget/docs"))
+    def names(): Set[String] = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(java.nio.file.Files.list(fdir).iterator())
+      .asScala.map(_.getFileName.toString).toSet
+    // a cross-column forget stages map_<req>_doc_id pre-destruction,
+    // then deletes it when the completion marker lands
+    wh.forget(schema, "docs", "user", Seq("u1"))
+    assert(names().exists(_.startsWith("done_")), names().toString)
+    assert(!names().exists(_.startsWith("map_")),
+      s"mapping stages must clear at completion: ${names()}")
+    // an orphaned stage (no req_ for its id): the next sweep GCs it
+    java.nio.file.Files.writeString(
+      fdir.resolve("map_cafebabe00000001_doc_id"), "1\n3")
+    wh.sync(m, schema)
+    assert(!names().exists(_.startsWith("map_")),
+      s"orphaned mapping stages must GC: ${names()}")
+  }
+
+  test("VectorIndexDef refuses pq+sq at construction — every dispatch " +
+      "site sees the refusal, not just sync maintenance") {
+    val ex = intercept[IllegalArgumentException] {
+      Warehouse.VectorIndexDef("v", "docs", "doc_id", "emb",
+        pq = true, sq = true)
+    }
+    assert(ex.getMessage.contains("mutually exclusive"))
   }
 }

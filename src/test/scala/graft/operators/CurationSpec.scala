@@ -757,4 +757,73 @@ class CurationSpec extends SparkSpec {
     afterB1.foreach { case (id, o) =>
       assert(got(id)._2 == o, s"doc $id moved: $o -> ${got(id)._2}") }
   }
+
+  test("pack-store epoch re-pack: below-threshold no-ops; firing " +
+      "rewrites survivors densely in arrival order, bumps the epoch, " +
+      "resets the frontier (later appends land at the dense end) and " +
+      "keeps the replay ledger (old batch ids still no-op)") {
+    import spark.implicits._
+    def text(i: Long) = Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")
+    val docs = (1L to 90L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("pack_compact").toString + "/s"
+    val budget = 16L
+    Curation.initPackStore(spark, store,
+      docs.filter(col("doc_id") % 3 === 0), budget, "b0")
+    Curation.appendToPackStore(spark, store,
+      docs.filter(col("doc_id") % 3 === 1), budget, "b1")
+    Curation.appendToPackStore(spark, store,
+      docs.filter(col("doc_id") % 3 === 2), budget, "b2")
+    val doomed: Seq[Any] = (1L to 90L).filter(_ % 5 == 2)
+    Curation.purgePackStore(spark, store, doomed)
+    val total = (1L to 90L).map(i => i % 7 + 1).sum
+    val live = (1L to 90L).filterNot(_ % 5 == 2).map(i => i % 7 + 1).sum
+    val expectRatio = (total - live).toDouble / total
+    assert(math.abs(
+      Curation.packHoleRatio(spark, store) - expectRatio) < 1e-12)
+    // threshold above the actual ratio: no rewrite, epoch stays 0,
+    // placements untouched
+    val before = Curation.readPackStore(spark, store)
+      .select("doc_id", "off").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Curation.compactPackStore(spark, store, budget,
+      minHoleRatio = expectRatio + 0.01).isEmpty)
+    assert(Curation.packEpoch(store) == 0L)
+    val after = Curation.readPackStore(spark, store)
+      .select("doc_id", "off").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before)
+    // firing: dense re-pack in survivor arrival order, epoch 1
+    assert(Curation.compactPackStore(spark, store, budget,
+      minHoleRatio = 0.01).contains(1L))
+    assert(Curation.packEpoch(store) == 1L)
+    assert(Curation.packHoleRatio(spark, store) == 0.0)
+    // replay: no holes left, no rewrite, epoch unchanged
+    assert(Curation.compactPackStore(spark, store, budget,
+      minHoleRatio = 0.01).isEmpty)
+    assert(Curation.packEpoch(store) == 1L)
+    // an ALREADY-APPLIED batch id replayed after the compaction is
+    // still a ledger no-op (the pk_ rewrite kept every id applied)
+    Curation.appendToPackStore(spark, store,
+      docs.filter(col("doc_id") % 3 === 1), budget, "b1")
+    // a NEW batch lands at the dense frontier
+    val extra = (91L to 100L).map(i => (i, text(i))).toDF("doc_id", "text")
+    Curation.appendToPackStore(spark, store, extra, budget, "b3")
+    val got = Curation.readPackStore(spark, store)
+      .select("doc_id", "n_tokens", "off", "bin", "straddle").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val arrival = (1L to 90L).sortBy(i => (i % 3, i))
+      .filterNot(_ % 5 == 2) ++ (91L to 100L)
+    var off = 0L
+    val expected = arrival.map { i =>
+      val n = i % 7 + 1
+      val row = (n, off, off / budget,
+        if (off % budget + n > budget) 1L else 0L)
+      off += n
+      i -> row
+    }.toMap
+    assert(got == expected,
+      s"${got.toSeq.sorted.take(5)} vs ${expected.toSeq.sorted.take(5)}")
+  }
 }

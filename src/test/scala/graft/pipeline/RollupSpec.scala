@@ -241,4 +241,47 @@ class RollupSpec extends SparkSpec {
     assert(!Rollup.merge(spark, store, facts(0, 40),
       Seq("grp"), Seq("x"), "b0"))
   }
+
+  test("histogram bin-scale versioning: a temporal-hist store carries " +
+      "the marker; a legacy store (no marker) refuses merge and " +
+      "retract instead of mixing bin-id unit systems; numeric-only " +
+      "hists are unaffected") {
+    import spark.implicits._
+    val rows = (0L until 50L).map(i =>
+      ("g", java.sql.Timestamp.valueOf(
+        s"2024-01-0${i % 9 + 1} 00:00:0${i % 10}"), i % 7 + 0.25))
+      .toDF("grp", "ts", "score")
+    val spec = Rollup.Spec(Seq("grp"),
+      histCols = Seq(Rollup.Hist("ts", 3.6e9), // hourly, micros scale
+        Rollup.Hist("score", 10.0)))
+    val store = Files.createTempDirectory("ru_scale").toString + "/s"
+    Rollup.init(spark, store, rows, spec, Seq("b0"))
+    assert(Rollup.histScaleCurrent(spark, store, spec, rows.schema))
+    assert(Rollup.merge(spark, store, rows.limit(5), spec, Seq("b1")))
+    // simulate a pre-scale-change store: drop the marker
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(store), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store, "_hist_scale"), false)
+    assert(!Rollup.histScaleCurrent(spark, store, spec, rows.schema))
+    val exM = intercept[IllegalArgumentException] {
+      Rollup.merge(spark, store, rows.limit(5), spec, Seq("b2"))
+    }
+    assert(exM.getMessage.contains("LEGACY bin scale"), exM.getMessage)
+    val exR = intercept[IllegalArgumentException] {
+      Rollup.retract(spark, store, rows.limit(3), spec, "r1")
+    }
+    assert(exR.getMessage.contains("LEGACY bin scale"), exR.getMessage)
+    // a NUMERIC-only hist spec never changed scale: no marker needed
+    val numSpec = Rollup.Spec(Seq("grp"),
+      histCols = Seq(Rollup.Hist("score", 10.0)))
+    val numStore = Files.createTempDirectory("ru_num").toString + "/s"
+    Rollup.init(spark, numStore,
+      rows.select("grp", "score"), numSpec, Seq("b0"))
+    fs.delete(
+      new org.apache.hadoop.fs.Path(numStore, "_hist_scale"), false)
+    assert(Rollup.histScaleCurrent(spark, numStore, numSpec,
+      rows.select("grp", "score").schema))
+    assert(Rollup.merge(spark, numStore,
+      rows.select("grp", "score").limit(5), numSpec, Seq("b1")))
+  }
 }
