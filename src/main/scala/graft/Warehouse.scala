@@ -392,6 +392,103 @@ object Warehouse {
     rows.toDF("metric", "value")
   }
 
+  // ---------------------------------------------------------------------
+  // q274_drift_retrain — the DRIFT-TRIGGERED RETRAIN loop end-to-end on
+  // a maintained IVF-SQ8 index: sync 1 builds over batch A (vec_id ≡ 0
+  // mod 3, params = A's per-dim ranges); sync 2 appends a CALM batch
+  // (≡ 1, same distribution — clamp rate ~1%, far under the 0.2
+  // threshold) and must NOT retrain; sync 3 appends a DRIFTED batch
+  // (≡ 2, every component scaled ×10 — most values saturate the frozen
+  // ranges) and MUST retrain: the maintenance loop rebuilds the index
+  // over the full listing with fresh params. The oracle recomputes the
+  // expected post-retrain per-dim [mn, mn+255·scale] from the union
+  // corpus (A ∪ calm ∪ 10×drifted) — a loop that never fires leaves
+  // A-only params and fails in ~every dim; one that fires on the calm
+  // batch is caught by the dim = −1 sentinel (non-rebuild ledger
+  // entries after sync 2 = 1 append, after sync 3 = 0 — a rebuilt
+  // store carries only its rawbatch covered marker).
+  // ---------------------------------------------------------------------
+  def q274DriftRetrain(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = s"$gateBase/dr_${dir.hashCode.toHexString}"
+    val whDir = s"$root/wh"
+    val schema = Seq(graft.model.CDTable("vecs", None, Seq(
+      graft.model.CDColumn("vec_id", "bigint"),
+      graft.model.CDColumn("emb", "varchar", Some(4000)))))
+    val store = s"$whDir/_maintained/vindex_vx"
+    val evFile = java.nio.file.Paths.get(s"$root.evidence")
+    if (!new java.io.File(s"$root.complete").exists()) {
+      val e = graft.operators.t(s, dir, "embeddings")
+      def tsv(i: Int, scale: Float): graft.pipeline.Sync.ManifestEntry = {
+        val out = s"$root/src_$i"
+        val embStr =
+          if (scale == 1.0f)
+            concat_ws(",", transform(col("embedding"),
+              x => x.cast("string")))
+          else
+            concat_ws(",", transform(col("embedding"),
+              x => (x * lit(scale)).cast("string")))
+        e.filter(col("vec_id") % 3 === i)
+          .select(col("vec_id"), embStr.as("emb"))
+          .coalesce(1).write.mode("overwrite").option("sep", "\t")
+          .option("nullValue", "\\N").option("quote", "").csv(out)
+        val f = new java.io.File(out).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        graft.pipeline.Sync.ManifestEntry("vecs", s"v$i.tsv",
+          f.toURI.toString)
+      }
+      val (f0, f1, f2) = (tsv(0, 1.0f), tsv(1, 1.0f), tsv(2, 10.0f))
+      val wh = new Warehouse(s, Config(whDir, db = "graft_drift",
+        maintainedVectorIndexes = Seq(VectorIndexDef("vx", "vecs",
+          "vec_id", "emb", nlist = 4, replicas = 2, sq = true,
+          retrainDriftThreshold = 0.2))))
+      def nonRebuild(): Long = graft.pipeline.AppendCommit
+        .appliedEntries(store)
+        .count(!_._1.startsWith(graft.pipeline.FreshFold.Tag)).toLong
+      wh.sync(Seq(f0), schema)
+      wh.sync(Seq(f0, f1), schema) // calm — must NOT retrain
+      val calmAppends = nonRebuild()
+      wh.sync(Seq(f0, f1, f2), schema) // drifted — MUST retrain
+      val afterDrift = nonRebuild()
+      java.nio.file.Files.writeString(evFile,
+        s"$calmAppends|$afterDrift")
+      new java.io.File(s"$root.complete").createNewFile()
+    }
+    val Array(calm, after) = java.nio.file.Files.readString(evFile)
+      .split("\\|")
+    s.read.parquet(s"$store/sqparams")
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("mn") * 1e8).cast("long").as("min_q"),
+        floor((col("mn") + lit(255.0) * col("scale")) * 1e8)
+          .cast("long").as("maxr_q"))
+      .unionByName(s.range(1).select(lit(-1L).as("dim"),
+        lit(calm.toLong).as("min_q"), lit(after.toLong).as("maxr_q")))
+  }
+
+  val q274DriftRetrainSql: String =
+    """WITH u AS (
+      |  SELECT CASE WHEN vec_id % 3 = 2 THEN 1 ELSE 0 END AS sc,
+      |    embedding
+      |  FROM embeddings),
+      |x0 AS (
+      |  SELECT sc, unnest(range(0, len(embedding))) AS dim,
+      |    unnest(embedding) AS v0
+      |  FROM u),
+      |x AS (
+      |  SELECT dim,
+      |    CAST(CASE WHEN sc = 1 THEN CAST(v0 * 10.0 AS REAL)
+      |              ELSE v0 END AS DOUBLE) AS v
+      |  FROM x0),
+      |p AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY dim)
+      |SELECT CAST(dim AS BIGINT) AS dim,
+      |  CAST(FLOOR(mn * 1e8) AS BIGINT) AS min_q,
+      |  CAST(FLOOR((mn + 255.0 * ((mx - mn) / 255.0)) * 1e8) AS BIGINT)
+      |    AS maxr_q
+      |FROM p
+      |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT),
+      |  CAST(0 AS BIGINT)""".stripMargin
+
   val q272ForgetCompactionSql: String =
     """WITH kept AS (
       |  SELECT doc_id FROM documents
@@ -1578,7 +1675,7 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
               .as("vec_id"),
               d.parseEmbedding(org.apache.spark.sql.functions
                 .col(d.embedCol)).as("embedding"))
-          maintainAdditive(store, files, s"vindex_${d.name}") { all =>
+          def rebuild(all: Seq[String]): Unit = {
             if (d.pq)
               graft.operators.Quantize.buildIvfPqIndex(spark,
                 vecsOf(readTableSnapshot(t, all)._1), store,
@@ -1594,16 +1691,55 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
                 vecsOf(readTableSnapshot(t, all)._1), store,
                 nlist = d.nlist, replicas = d.replicas,
                 ledger = rebuildLedger(all))
-          } { (fresh, _) =>
-            if (d.pq)
-              graft.operators.Quantize.appendToIvfPqIndex(spark,
-                vecsOf(readRaw(t, fresh)), store)
-            else if (d.sq)
-              graft.operators.Quantize.appendToIvfSqIndex(spark,
-                vecsOf(readRaw(t, fresh)), store)
-            else
-              graft.operators.Similarity.appendToIvfIndex(spark,
-                vecsOf(readRaw(t, fresh)), store)
+          }
+          // drift-triggered retrain (opt-in): one cheap evidence
+          // aggregate per append batch — SQ8: the clamp rate against
+          // the frozen per-dim ranges; IVF/PQ: the angular top-1
+          // affinity drop against the build-time baseline. A breach
+          // marks the index for a full rebuild AFTER the fold (fresh
+          // centroids/params over the whole listing) — closing the
+          // loop the frozen-param append model otherwise leaves to a
+          // manual "delete the store" retrain.
+          var driftMsg: Option[String] = None
+          def checkDrift(batch: DataFrame): Unit =
+            if (d.retrainDriftThreshold > 0 && driftMsg.isEmpty)
+              driftMsg =
+                if (d.sq) {
+                  val r = graft.operators.Quantize.sqClampRate(spark,
+                    store, batch)
+                  if (r > d.retrainDriftThreshold)
+                    Some(f"SQ8 clamp rate $r%.4f > " +
+                      f"${d.retrainDriftThreshold}%.4f")
+                  else None
+                } else graft.operators.Similarity.driftBase(spark, store)
+                  .flatMap { base =>
+                    val a = graft.operators.Similarity.batchAffinity(
+                      spark, store, batch)
+                    if (base - a > d.retrainDriftThreshold)
+                      Some(f"top-1 affinity drop ${base - a}%.4f " +
+                        f"(base $base%.4f, batch $a%.4f) > " +
+                        f"${d.retrainDriftThreshold}%.4f")
+                    else None
+                  }
+          maintainAdditive(store, files, s"vindex_${d.name}")(rebuild) {
+            (fresh, _) =>
+              val batch = vecsOf(readRaw(t, fresh))
+              checkDrift(batch)
+              if (d.pq)
+                graft.operators.Quantize.appendToIvfPqIndex(spark,
+                  batch, store)
+              else if (d.sq)
+                graft.operators.Quantize.appendToIvfSqIndex(spark,
+                  batch, store)
+              else
+                graft.operators.Similarity.appendToIvfIndex(spark,
+                  batch, store)
+          }
+          driftMsg.foreach { msg =>
+            log.warn(s"vindex_${d.name}: drift evidence breached " +
+              s"($msg) — retraining over the full listing")
+            fsOf.delete(new org.apache.hadoop.fs.Path(store), true)
+            rebuild(files)
           }
         }
       }

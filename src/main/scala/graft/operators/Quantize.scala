@@ -342,6 +342,7 @@ object Quantize {
     val cells = Similarity.trainCentroids(e, nlist)
     val cb = trainPqCodebook(e, m, k)
     val fp = Similarity.corpusFingerprint(e)
+    val driftBase = Similarity.meanTopAffinity(e, cells)
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
       val sqlCtx = spark
       import sqlCtx.implicits._
@@ -361,6 +362,7 @@ object Quantize {
           explode(Similarity.bestCells(cells, col("embedding"), replicas))
             .as("cell"))
         .write.partitionBy("cell").parquet(s"$tmp/cells")
+      Similarity.writeDriftBase(spark, tmp, driftBase)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
       val os = fs.create(
@@ -878,6 +880,7 @@ object Quantize {
     val cells = Similarity.trainCentroids(e, nlist)
     val (mns, scales) = sqParams(e)
     val fp = Similarity.corpusFingerprint(e)
+    val driftBase = Similarity.meanTopAffinity(e, cells)
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
       val sqlCtx = spark
       import sqlCtx.implicits._
@@ -896,6 +899,7 @@ object Quantize {
           explode(Similarity.bestCells(cells, col("embedding"), replicas))
             .as("cell"))
         .write.partitionBy("cell").parquet(s"$tmp/cells")
+      Similarity.writeDriftBase(spark, tmp, driftBase)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
       val os = fs.create(
@@ -925,6 +929,34 @@ object Quantize {
       .orderBy("dim").collect()
     (rows.map(_.getAs[Double]("mn")).toArray,
       rows.map(_.getAs[Double]("scale")).toArray)
+  }
+
+  /** Drift evidence for the SQ8 append path — the CLAMP RATE: the
+    * fraction of `batch`'s (row, dimension) components falling outside
+    * the index's FROZEN per-dimension [mn, mn + 255·scale] training
+    * ranges. Out-of-range components saturate at code 0/255 (their
+    * structure is lost to every probe), so a rising clamp rate is the
+    * cheapest possible signal that the frozen params no longer cover
+    * the data — one aggregate over the batch, d-element literal param
+    * arrays, no store scan. The retrain signal [[graft.Warehouse]]
+    * acts on for `sq = true` indexes when
+    * `VectorIndexDef.retrainDriftThreshold` is set. */
+  def sqClampRate(spark: SparkSession, indexDir: String,
+      batch: DataFrame): Double = {
+    val (mns, scales) = readSqParams(spark, indexDir)
+    val lo = typedLit(mns.toSeq)
+    val hi = typedLit(mns.indices.map(i => mns(i) + 255.0 * scales(i)))
+    val embD = col("embedding").cast("array<double>")
+    val clampedPerRow = size(filter(
+      zip_with(embD, sequence(lit(1), lit(mns.length)), (x, i) =>
+        x < element_at(lo, i.cast("int")) ||
+          x > element_at(hi, i.cast("int"))),
+      b => b))
+    val r = batch.agg(
+      sum(clampedPerRow).cast("double").as("c"),
+      sum(size(embD)).cast("double").as("n")).head()
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
   }
 
   /** Assign + encode a batch under the index's FROZEN centroids and

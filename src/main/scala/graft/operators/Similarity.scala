@@ -243,6 +243,68 @@ object Similarity {
     transform(slice(reverse(array_sort(cellScores(centroids, embCol))), 1, n),
       s => s.getField("cell"))
 
+  // --- drift evidence for the IVF-family append paths -------------------
+
+  /** Mean top-1 ANGULAR affinity of `df`'s vectors against `centroids`
+    * (best-cell cosine — dot with the unit-norm centroid over the
+    * row's own norm, so a pure scale change does not mask an angular
+    * drift): the one cheap aggregate that says how well a batch fits
+    * the frozen centroids. Computed over the TRAINING corpus at build
+    * time ([[buildIvfIndex]] stores it as `_drift_base`) and per
+    * append batch ([[batchAffinity]]); a falling batch mean means the
+    * centroids no longer describe the data — the retrain signal
+    * [[graft.Warehouse]] acts on when
+    * `VectorIndexDef.retrainDriftThreshold` is set. Zero-norm rows are
+    * excluded (they have no direction to drift). */
+  private[operators] def meanTopAffinity(df: DataFrame,
+      centroids: Array[Array[Double]]): Double = {
+    val embD = col("embedding").cast("array<double>")
+    val norm = sqrt(aggregate(embD, lit(0.0d), (a, x) => a + x * x))
+    val top = array_max(transform(cellScores(centroids, col("embedding")),
+      s => s.getField("score")))
+    val r = df.filter(norm > 0.0)
+      .agg(avg(top / norm)).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  private[operators] val DriftBaseFile = "_drift_base"
+
+  private[operators] def writeDriftBase(spark: SparkSession,
+      dir: String, v: Double): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(
+      new org.apache.hadoop.fs.Path(dir, DriftBaseFile), true)
+    try os.write(v.toString.getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** The build-time mean top-1 affinity of an IVF-family index — None
+    * for stores built before the drift instrument existed (the
+    * maintenance loop then skips the check rather than guessing). */
+  def driftBase(spark: SparkSession, indexDir: String): Option[Double] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(indexDir, DriftBaseFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toDouble)
+      finally in.close()
+    }
+  }
+
+  /** Mean top-1 affinity of an append batch under the index's FROZEN
+    * centroids — one aggregate over the batch (the centroids are
+    * nlist-bounded plan literals). */
+  def batchAffinity(spark: SparkSession, indexDir: String,
+      batch: DataFrame): Double = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    meanTopAffinity(batch, centroids)
+  }
+
   /** One-shot IVF (train + assign + probe in a single plan) — the spec
     * harness's shape for small fixtures. Production uses the build/probe
     * split below ([[ensureIvfIndex]] / [[probeIvfIndex]]) so the corpus
@@ -327,6 +389,7 @@ object Similarity {
       ledger: Seq[(String, String)] = Nil): Unit = {
     val centroids = trainCentroids(e, nlist)
     val fp = corpusFingerprint(e)
+    val base = meanTopAffinity(e, centroids)
     val corpus = e.select(col("vec_id"), col("embedding"),
       explode(bestCells(centroids, col("embedding"), replicas)).as("cell"))
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
@@ -341,6 +404,7 @@ object Similarity {
       // cell-partitioned: a probe of p cells reads p/nlist of the corpus
       // via partition pruning, the IVF promise made physical
       corpus.write.partitionBy("cell").parquet(s"$tmp/cells")
+      writeDriftBase(spark, tmp, base)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
       val os = fs.create(

@@ -1581,6 +1581,64 @@ class WarehouseSpec extends SparkSpec {
       s"orphaned mapping stages must GC: ${names()}")
   }
 
+  test("drift-triggered retrain, IVF affinity path: a calm append " +
+      "keeps the frozen index; an ANGULAR-drift batch (new direction " +
+      "the centroids never saw) rebuilds it over the full listing") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("wh_drift_src")
+    def put(name: String, content: String): ManifestEntry = {
+      val d = src.resolve("vecs"); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry("vecs", name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("vecs", None, Seq(
+      CDColumn("vec_id", "bigint"),
+      CDColumn("emb", "varchar", Some(100)))))
+    def v(id: Long, x: Double, y: Double, z: Double) =
+      s"$id\t$x,$y,$z,0.0"
+    // two clusters on e1/e2 — the training distribution
+    val f0 = put("v0.tsv", (1L to 8L).map(i =>
+      if (i % 2 == 0) v(i, 1.0, 0.05 * i, 0.0)
+      else v(i, 0.05 * i, 1.0, 0.0)).mkString("", "\n", "\n"))
+    // calm: more of the same directions
+    val f1 = put("v1.tsv", (9L to 12L).map(i =>
+      if (i % 2 == 0) v(i, 1.0, 0.03 * i, 0.0)
+      else v(i, 0.03 * i, 1.0, 0.0)).mkString("", "\n", "\n"))
+    // drift: a brand-new direction (e3) the centroids never saw
+    val f2 = put("v2.tsv", (13L to 16L).map(i =>
+      v(i, 0.0, 0.0, 1.0)).mkString("", "\n", "\n"))
+    val whDir = Files.createTempDirectory("wh_drift_root").toUri
+      .toString.stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whdrift", parallelism = 1,
+      maintainedVectorIndexes = Seq(Warehouse.VectorIndexDef("vx",
+        "vecs", "vec_id", "emb", nlist = 2, replicas = 1,
+        retrainDriftThreshold = 0.3))))
+    val store = s"$whDir/_maintained/vindex_vx"
+    def nonRebuild(): Long = pipeline.AppendCommit.appliedEntries(store)
+      .count(!_._1.startsWith(pipeline.FreshFold.Tag)).toLong
+    wh.sync(Seq(f0), schema)
+    val base = operators.Similarity.driftBase(spark, store)
+    assert(base.exists(_ > 0.9), s"two tight clusters: $base")
+    wh.sync(Seq(f0, f1), schema)
+    assert(nonRebuild() == 1L,
+      "the calm batch must APPEND (no retrain): one batch ledger entry")
+    wh.sync(Seq(f0, f1, f2), schema)
+    assert(nonRebuild() == 0L,
+      "the drifted batch must trigger a full rebuild: only the " +
+        "rawbatch covered marker survives")
+    // the rebuilt index routes the new direction: nprobe=1 finds the
+    // e3 vectors for an e3 query (pre-retrain centroids could not)
+    import spark.implicits._
+    val q = Seq((99L, Seq(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("q_id", "q_emb")
+    val got = wh.annIn("vx", q, k = 3, nprobe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(13L, 14L, 15L) || got == Set(14L, 15L, 16L) ||
+      got.subsetOf(Set(13L, 14L, 15L, 16L)),
+      s"e3 neighbors expected, got $got")
+  }
+
   test("VectorIndexDef refuses pq+sq at construction — every dispatch " +
       "site sees the refusal, not just sync maintenance") {
     val ex = intercept[IllegalArgumentException] {
