@@ -393,6 +393,102 @@ object Warehouse {
   }
 
   // ---------------------------------------------------------------------
+  // q275_forget_identity — WAREHOUSE-WIDE RTBF in one request: the
+  // identity (a document id) lives in two tables under two DIFFERENT
+  // column names (posts.doc_id, ratings.ref_id); forgetIdentity fans
+  // one request across both, each table keeping its own durable
+  // journal. The gate then RE-DELIVERS never-seen files for BOTH
+  // tables carrying rows under the forgotten keys — both sweeps must
+  // suppress them. Oracle: the source corpus filtered by the key set,
+  // per table (ratings = the even-id subset); the done-marker counts
+  // pin that each table completed its own cascade.
+  // ---------------------------------------------------------------------
+  def q275ForgetIdentity(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = s"$gateBase/fi_${dir.hashCode.toHexString}"
+    val whDir = s"$root/wh"
+    val schema = Seq(
+      graft.model.CDTable("posts", None, Seq(
+        graft.model.CDColumn("doc_id", "bigint"),
+        graft.model.CDColumn("lang", "varchar", Some(20)),
+        graft.model.CDColumn("n_chars", "bigint"))),
+      graft.model.CDTable("ratings", None, Seq(
+        graft.model.CDColumn("ref_id", "bigint"),
+        graft.model.CDColumn("nch", "bigint"))))
+    def cfg = Config(whDir, db = "graft_fid", canonicalize = true)
+    if (!new java.io.File(s"$root.complete").exists()) {
+      val d = graft.operators.t(s, dir, "documents")
+      def tsv(table: String, name: String,
+          df: org.apache.spark.sql.DataFrame)
+          : graft.pipeline.Sync.ManifestEntry = {
+        val out = s"$root/src_${table}_$name"
+        df.coalesce(1).write.mode("overwrite").option("sep", "\t")
+          .option("nullValue", "\\N").option("quote", "").csv(out)
+        val f = new java.io.File(out).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        graft.pipeline.Sync.ManifestEntry(table, s"$name.tsv",
+          f.toURI.toString)
+      }
+      val posts = d.select(col("doc_id"), col("lang"), col("n_chars"))
+      val ratings = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("ref_id"), col("n_chars").as("nch"))
+      val p1 = tsv("posts", "p1", posts.filter(col("doc_id") % 3 =!= 1))
+      val r1 = tsv("ratings", "r1", ratings.filter(col("ref_id") % 4 === 0))
+      val p2 = tsv("posts", "p2", posts.filter(col("doc_id") % 3 === 1))
+      val r2 = tsv("ratings", "r2", ratings.filter(col("ref_id") % 4 === 2))
+      val wh = new Warehouse(s, cfg)
+      wh.sync(Seq(p1, r1), schema)
+      val doomed: Seq[Any] = d.filter(col("doc_id") % 9 === 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val receipts = wh.forgetIdentity(schema,
+        Seq(("posts", "doc_id"), ("ratings", "ref_id")), doomed)
+      require(receipts.size == 2, s"two receipts expected: $receipts")
+      // re-delivery under never-seen names, BOTH tables
+      wh.sync(Seq(p1, r1, p2, r2), schema)
+      new java.io.File(s"$root.complete").createNewFile()
+    }
+    val wh = new Warehouse(s, cfg)
+    val forbidden = col("doc_id") % 9 === 4
+    val posts = wh.canonicalTable("posts")
+    val ratings = wh.canonicalTable("ratings")
+      .withColumnRenamed("ref_id", "doc_id")
+    def dones(table: String): Long =
+      new java.io.File(s"$whDir/_forget/$table")
+        .listFiles().count(_.getName.startsWith("done_")).toLong
+    val rows = Seq(
+      ("posts_forbidden", posts.filter(forbidden).count()),
+      ("posts_sum_id", posts.agg(sum(col("doc_id"))).head().getLong(0)),
+      ("posts_total", posts.count()),
+      ("posts_done", dones("posts")),
+      ("ratings_forbidden", ratings.filter(forbidden).count()),
+      ("ratings_sum_id",
+        ratings.agg(sum(col("doc_id"))).head().getLong(0)),
+      ("ratings_total", ratings.count()),
+      ("ratings_done", dones("ratings")))
+    val sqlCtx = s
+    import sqlCtx.implicits._
+    rows.toDF("metric", "value")
+  }
+
+  val q275ForgetIdentitySql: String =
+    """WITH kp AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 9 <> 4),
+      |kr AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE doc_id % 2 = 0 AND doc_id % 9 <> 4)
+      |SELECT 'posts_forbidden' AS metric, CAST(0 AS BIGINT) AS value
+      |UNION ALL SELECT 'posts_sum_id',
+      |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM kp)
+      |UNION ALL SELECT 'posts_total', (SELECT COUNT(*) FROM kp)
+      |UNION ALL SELECT 'posts_done', CAST(1 AS BIGINT)
+      |UNION ALL SELECT 'ratings_forbidden', CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'ratings_sum_id',
+      |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM kr)
+      |UNION ALL SELECT 'ratings_total', (SELECT COUNT(*) FROM kr)
+      |UNION ALL SELECT 'ratings_done', CAST(1 AS BIGINT)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q274_drift_retrain — the DRIFT-TRIGGERED RETRAIN loop end-to-end on
   // a maintained IVF-SQ8 index: sync 1 builds over batch A (vec_id ≡ 0
   // mod 3, params = A's per-dim ranges); sync 2 appends a CALM batch
@@ -641,6 +737,60 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     markSwept(tableName, reqId, rawListing(tableName))
     writeForgetDone(tableName, reqId)
     sum
+  }
+
+  /** One RTBF request, WAREHOUSE-WIDE: forget an IDENTITY everywhere
+    * it appears — the shape real GDPR requests arrive in ("forget user
+    * X across the warehouse"), not per table. `mappings` declares
+    * where the identity lives: one (table, column) pair per
+    * occurrence, the same declarative shape [[graft.pipeline.Validate]]
+    * uses for FK rules. Composed from the per-(table, column) cascade
+    * [[forget]], so every table keeps its own durable journal, sweep
+    * re-delivery suppression, compaction, and cross-column store
+    * mapping underneath — one caller-visible request, N per-table
+    * receipts.
+    *
+    * All-or-nothing ADMISSION, per-table durability: every mapping's
+    * deterministic validations run FIRST (a request naming one bad
+    * column changes nothing anywhere — no journal, no purge), then
+    * every per-table request JOURNALS before any cascade runs — a
+    * crash mid-fan-out leaves the untouched tables' requests on disk
+    * and the next sync's sweep completes them without the caller
+    * (the [[forget]] durability contract, extended across the
+    * fan-out). Tables where the identity matches no row still journal:
+    * a later re-delivery of those keys must suppress there too. */
+  def forgetIdentity(schema: Seq[CDTable],
+      mappings: Seq[(String, String)], keys: Seq[Any])
+      : Map[(String, String), ForgetSummary] = {
+    require(mappings.nonEmpty, "need at least one (table, column)")
+    require(keys.nonEmpty, "need at least one key to forget")
+    require(keys.forall(_ != null),
+      "forget keys must be non-null — NULL identifies no row")
+    require(mappings.distinct.size == mappings.size,
+      s"duplicate (table, column) mapping in $mappings")
+    val keyStrs = keys.map(String.valueOf)
+    // 1) admission: EVERY mapping validates before ANYTHING journals
+    val resolved = mappings.map { case (tn, c) =>
+      val t = schema.find(_.tableName == tn).getOrElse(
+        throw new IllegalArgumentException(s"unknown table $tn"))
+      validateForgetRequest(t, c, keyStrs)
+      (t, c)
+    }
+    // 2) journal everything: from here the request survives any crash
+    // (the sweep completes journaled cascades without the caller)
+    val journaled = resolved.map { case (t, c) =>
+      val reqId = graft.pipeline.AppendCommit.contentId(
+        s"${t.tableName}|$c|" + keyStrs.sorted.mkString("\n"))
+      journalForget(t.tableName, reqId, c, keyStrs)
+      (t, c, reqId)
+    }
+    // 3) cascade table by table (each step idempotent/intent-staged)
+    journaled.map { case (t, c, reqId) =>
+      val sum = forgetInternal(schema, t, c, keys, reqId)
+      markSwept(t.tableName, reqId, rawListing(t.tableName))
+      writeForgetDone(t.tableName, reqId)
+      (t.tableName, c) -> sum
+    }.toMap
   }
 
   /** The deterministic validations of a forget request, shared by

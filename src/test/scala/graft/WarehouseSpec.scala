@@ -1639,6 +1639,76 @@ class WarehouseSpec extends SparkSpec {
       s"e3 neighbors expected, got $got")
   }
 
+  test("forgetIdentity: all-or-nothing admission (one bad mapping " +
+      "changes NOTHING anywhere), then per-table journals + cascades; " +
+      "a crash after journaling completes at the next sync") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("wh_fid_src")
+    def put(table: String, name: String,
+        content: String): ManifestEntry = {
+      val d = src.resolve(table); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry(table, name, f.toUri.toString)
+    }
+    val schema = Seq(
+      CDTable("posts", None, Seq(
+        CDColumn("doc_id", "bigint"),
+        CDColumn("text", "varchar", Some(50)))),
+      CDTable("ratings", None, Seq(
+        CDColumn("ref_id", "bigint"),
+        CDColumn("score", "bigint"))))
+    val m = Seq(
+      put("posts", "p1.tsv", (1L to 6L).map(i => s"$i\tpost $i")
+        .mkString("", "\n", "\n")),
+      put("ratings", "r1.tsv", (1L to 6L).map(i => s"$i\t${i % 5}")
+        .mkString("", "\n", "\n")))
+    val whDir = Files.createTempDirectory("wh_fid_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whfid", parallelism = 1, canonicalize = true))
+    wh.sync(m, schema)
+    // admission: the SECOND mapping names a bad column — nothing may
+    // journal or purge for the first either
+    val ex = intercept[IllegalArgumentException] {
+      wh.forgetIdentity(schema,
+        Seq(("posts", "doc_id"), ("ratings", "nope")), Seq(2L))
+    }
+    assert(ex.getMessage.contains("nope"), ex.getMessage)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/_forget/posts"))),
+      "a refused identity request must not journal anywhere")
+    assert(wh.canonicalTable("posts").count() == 6L)
+    // the valid request: both tables cascade, both journal durably
+    val receipts = wh.forgetIdentity(schema,
+      Seq(("posts", "doc_id"), ("ratings", "ref_id")), Seq(2L, 5L))
+    assert(receipts(("posts", "doc_id")).rawRows == 2L)
+    assert(receipts(("ratings", "ref_id")).rawRows == 2L)
+    assert(wh.canonicalTable("posts").count() == 4L)
+    assert(wh.canonicalTable("ratings").count() == 4L)
+    // crash-after-journal durability across the fan-out: plant both
+    // per-table journals exactly as forgetIdentity writes them (the
+    // state after a crash in the cascade step), then sync
+    Seq("posts" -> "doc_id", "ratings" -> "ref_id").foreach {
+      case (tn, c) =>
+        val fdir = java.nio.file.Paths.get(
+          new java.net.URI(s"$whDir/_forget/$tn"))
+        java.nio.file.Files.writeString(
+          fdir.resolve("req_feedf00d00000001"), s"$c\n3")
+    }
+    wh.sync(m, schema)
+    Seq("posts", "ratings").foreach { tn =>
+      val fdir = java.nio.file.Paths.get(
+        new java.net.URI(s"$whDir/_forget/$tn"))
+      assert(java.nio.file.Files.exists(
+        fdir.resolve("done_feedf00d00000001")),
+        s"$tn's crashed identity cascade must complete at the sweep")
+    }
+    assert(wh.canonicalTable("posts")
+      .filter(col("doc_id") === 3L).count() == 0L)
+    assert(wh.canonicalTable("ratings")
+      .filter(col("ref_id") === 3L).count() == 0L)
+  }
+
   test("VectorIndexDef refuses pq+sq at construction — every dispatch " +
       "site sees the refusal, not just sync maintenance") {
     val ex = intercept[IllegalArgumentException] {
