@@ -393,6 +393,94 @@ object Warehouse {
   }
 
   // ---------------------------------------------------------------------
+  // q276_retention — AGE-BASED RETENTION end-to-end: a date-partitioned,
+  // manifest-managed canonical events table retires every partition
+  // older than min(date)+7 as a MANIFEST-COMMITTED partition drop
+  // (O(metadata), zero rewrite); time travel to the pre-retire
+  // generation still sees the full corpus (pinned via prevgen_rows,
+  // captured through Manifest.readSnapshot(gen)); and the persisted
+  // WATERMARK re-applies per sync: a second sync delivers LATE-ARRIVING
+  // rows spanning old dates under a never-seen file name — the rows at
+  // or after the cutoff ingest, the expired ones retire the moment
+  // they land. Oracle: DuckDB recomputes the cutoff and filters the
+  // source events identically.
+  // ---------------------------------------------------------------------
+  def q276Retention(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = s"$gateBase/rt_${dir.hashCode.toHexString}"
+    val whDir = s"$root/wh"
+    val schema = Seq(graft.model.CDTable("ev", None, Seq(
+      graft.model.CDColumn("event_id", "bigint"),
+      graft.model.CDColumn("d", "date"),
+      graft.model.CDColumn("user_id", "bigint"))))
+    def cfg = Config(whDir, db = "graft_ret", canonicalize = true,
+      canonicalSpecs = Map("ev" -> CanonicalSpec(Seq("d"))),
+      manifestTables = Seq("ev"))
+    val evFile = java.nio.file.Paths.get(s"$root.evidence")
+    if (!new java.io.File(s"$root.complete").exists()) {
+      val e = graft.operators.t(s, dir, "events")
+        .select(col("event_id"), to_date(col("ts")).as("d"),
+          col("user_id"))
+      def tsv(name: String, df: org.apache.spark.sql.DataFrame)
+          : graft.pipeline.Sync.ManifestEntry = {
+        val out = s"$root/src_$name"
+        df.coalesce(1).write.mode("overwrite").option("sep", "\t")
+          .option("nullValue", "\\N").option("quote", "").csv(out)
+        val f = new java.io.File(out).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        graft.pipeline.Sync.ManifestEntry("ev", s"$name.tsv",
+          f.toURI.toString)
+      }
+      val e1 = tsv("e1", e.filter(col("event_id") % 3 =!= 2))
+      val e2 = tsv("e2", e.filter(col("event_id") % 3 === 2))
+      val cutoff = e.agg(date_add(min(col("d")), 7)).head()
+        .getDate(0).toString
+      val wh = new Warehouse(s, cfg)
+      wh.sync(Seq(e1), schema)
+      val ret = wh.retireOlderThan("ev", "d", cutoff)
+      require(ret.filesRetired > 0, "retention must drop something")
+      // time travel: the pre-retire generation still reads in full
+      val canonDir = s"$whDir/canonical/ev"
+      val gens = graft.pipeline.Manifest.generations(canonDir)
+      val prevRows = graft.pipeline.Manifest.readSnapshot(s, canonDir,
+        gens.dropRight(1).last).count()
+      // LATE ARRIVALS spanning old dates under a never-seen name: the
+      // watermark must retire the expired ones the moment they land
+      wh.sync(Seq(e1, e2), schema)
+      java.nio.file.Files.writeString(evFile, prevRows.toString)
+      new java.io.File(s"$root.complete").createNewFile()
+    }
+    val prevRows = java.nio.file.Files.readString(evFile).trim.toLong
+    val canon = new Warehouse(s, cfg).canonicalTable("ev")
+    val e = graft.operators.t(s, dir, "events")
+      .select(col("event_id"), to_date(col("ts")).as("d"))
+    val cut = e.agg(date_add(min(col("d")), 7)).head().getDate(0)
+    val rows = Seq(
+      ("cur_sum_id",
+        canon.agg(sum(col("event_id"))).head().getLong(0)),
+      ("cur_total", canon.count()),
+      ("old_current",
+        canon.filter(col("d") < lit(cut)).count()),
+      ("prevgen_rows", prevRows))
+    val sqlCtx = s
+    import sqlCtx.implicits._
+    rows.toDF("metric", "value")
+  }
+
+  val q276RetentionSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT MIN(d) + 7 AS cut FROM e),
+      |cur AS (SELECT * FROM e WHERE d >= (SELECT cut FROM c))
+      |SELECT 'cur_sum_id' AS metric,
+      |  (SELECT CAST(SUM(event_id) AS BIGINT) FROM cur) AS value
+      |UNION ALL SELECT 'cur_total', (SELECT COUNT(*) FROM cur)
+      |UNION ALL SELECT 'old_current', CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'prevgen_rows',
+      |  (SELECT COUNT(*) FROM e WHERE event_id % 3 <> 2)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q275_forget_identity — WAREHOUSE-WIDE RTBF in one request: the
   // identity (a document id) lives in two tables under two DIFFERENT
   // column names (posts.doc_id, ratings.ref_id); forgetIdentity fans
@@ -656,6 +744,11 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         maintainIndexes(schema); maintainVectorIndexes(schema)
         maintainPacks(schema)
         maintainSkipping(); maintainManifests()
+        // retention watermarks re-apply LAST (manifests are current):
+        // late-arriving old rows the canonicalize step just appended,
+        // and partitions a full canonical rebuild resurrected, retire
+        // again here — O(manifest) when nothing is stale
+        enforceRetention()
       }
     } finally cfg.onSummary(summary)
     summary
@@ -1775,6 +1868,123 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
   def packEpochOf(name: String): Long =
     graft.operators.Curation.packEpoch(
       s"${cfg.warehouseDir}/_maintained/pack_$name")
+
+  // --- age-based retention ----------------------------------------------
+
+  /** AGE-BASED RETENTION on a date-partitioned canonical table — the
+    * lifecycle counterpart of [[forget]] and the commonest compliance
+    * requirement after it: retire every `dateCol` partition strictly
+    * OLDER than `cutoffIso` (ISO `yyyy-MM-dd`), as a manifest-committed
+    * partition drop ([[graft.pipeline.Maintain.retirePartitions]]) —
+    * O(metadata), zero rewrite, reader-atomic, time-travel to the
+    * pre-retire generation intact for the tomb retention window.
+    *
+    * DURABLE like a forget, not one-shot: the cutoff persists as a
+    * per-(table, dateCol) WATERMARK (monotone — a lower later cutoff
+    * never resurrects anything) that EVERY sync re-applies after its
+    * canonical/manifest maintenance, so late-arriving rows older than
+    * the watermark retire the moment they land, and a full canonical
+    * rebuild (e.g. forget-triggered) cannot resurrect expired
+    * partitions. Requires `canonicalize` + the table in
+    * `manifestTables` (partition drops must be reader-atomic) and the
+    * canonical spec partitioned by `dateCol`. The raw TSV archive is
+    * NOT touched — it is the reference's immutable fetch layer; purge
+    * it with [[forget]] semantics if bytes must go. */
+  def retireOlderThan(table: String, dateCol: String,
+      cutoffIso: String): graft.pipeline.Maintain.RetireSummary = {
+    require(cfg.canonicalize,
+      "retention retires CANONICAL partitions — set canonicalize=true")
+    require(cfg.manifestTables.contains(table),
+      s"retention needs $table in manifestTables (reader-atomic drops)")
+    require(cfg.canonicalSpecs.get(table)
+        .exists(_.partitionBy.contains(dateCol)),
+      s"retention needs the canonical spec of $table partitioned by " +
+        s"$dateCol")
+    val cut = java.time.LocalDate.parse(cutoffIso)
+    writeRetentionWatermark(table, dateCol, cut)
+    enforceRetentionFor(table, dateCol, cut)
+  }
+
+  private def retentionDir = s"${cfg.warehouseDir}/_retention"
+
+  /** Monotone watermark: `_retention/<table>` = "dateCol\ncutoffIso",
+    * temp+rename; a new cutoff only ever moves forward. One policy
+    * column per table (a second dateCol is refused loudly). */
+  private def writeRetentionWatermark(table: String, dateCol: String,
+      cut: java.time.LocalDate): Unit = {
+    val fs = fsOf
+    val dir = new org.apache.hadoop.fs.Path(retentionDir)
+    fs.mkdirs(dir)
+    val dest = new org.apache.hadoop.fs.Path(dir, table)
+    val eff = readRetentionWatermark(table) match {
+      case Some((c0, cut0)) =>
+        require(c0 == dateCol,
+          s"$table already has a retention policy on $c0 — one " +
+            "retention column per table")
+        if (cut0.isAfter(cut)) cut0 else cut
+      case None => cut
+    }
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$table.tmp")
+    val os = fs.create(tmp, true)
+    try os.write(s"$dateCol\n$eff".getBytes("UTF-8"))
+    finally os.close()
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(
+        s"cannot persist retention watermark for $table")
+  }
+
+  private def readRetentionWatermark(table: String)
+      : Option[(String, java.time.LocalDate)] = {
+    val fs = fsOf
+    val p = new org.apache.hadoop.fs.Path(retentionDir, table)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines = try new String(in.readAllBytes(), "UTF-8").split("\n")
+        finally in.close()
+      Some((lines(0).trim, java.time.LocalDate.parse(lines(1).trim)))
+    }
+  }
+
+  private def enforceRetentionFor(table: String, dateCol: String,
+      cut: java.time.LocalDate)
+      : graft.pipeline.Maintain.RetireSummary = {
+    val dir = canonicalDir(table)
+    if (!graft.pipeline.Manifest.exists(dir)) {
+      log.warn(s"retention on $table: canonical dir is not " +
+        "manifest-managed yet — skipped this pass")
+      graft.pipeline.Maintain.RetireSummary(0L, 0L)
+    } else {
+      val res = graft.pipeline.Maintain.retirePartitions(spark, dir,
+        dateCol, v =>
+          scala.util.Try(java.time.LocalDate.parse(v)).toOption
+            .exists(_.isBefore(cut)))
+      if (res.filesRetired > 0) {
+        spark.catalog.refreshByPath(dir)
+        log.info(s"retention on $table.$dateCol < $cut: " +
+          s"${res.partitionsRetired} partition(s), " +
+          s"${res.filesRetired} file(s) retired")
+      }
+      res
+    }
+  }
+
+  /** Per-sync re-application of every persisted retention watermark
+    * (see [[retireOlderThan]]) — O(manifest read) per policed table
+    * when nothing is stale. */
+  private def enforceRetention(): Unit = {
+    val fs = fsOf
+    val dir = new org.apache.hadoop.fs.Path(retentionDir)
+    if (cfg.canonicalize && fs.exists(dir))
+      fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
+        .filterNot(_.startsWith("."))
+        .foreach { table =>
+          readRetentionWatermark(table).foreach { case (c, cut) =>
+            enforceRetentionFor(table, c, cut)
+          }
+        }
+  }
 
   /** Read a maintained pack store (see [[Warehouse.Config.maintainedPacks]]). */
   def packOf(name: String): DataFrame =

@@ -514,6 +514,55 @@ object Maintain {
     * Same loud lossy-cast rule, same NULL-keyed-rows-survive semantics
     * (anti-join equality — null never matches), same per-file crash
     * protocol and manifest handling as [[deleteByKey]]. Idempotent. */
+  /** What [[retirePartitions]] did: whole hive partitions dropped from
+    * the current manifest generation — O(metadata), zero rewrite. */
+  final case class RetireSummary(partitionsRetired: Long,
+      filesRetired: Long)
+
+  /** AGE-BASED RETENTION — the lifecycle counterpart of the RTBF
+    * deletes: retire every hive partition of `partitionCol` whose
+    * value satisfies `drop`, by committing a NEW MANIFEST GENERATION
+    * that simply omits those partitions' files. No data file is read
+    * or rewritten — the operation is O(manifest), however many
+    * terabytes the retired partitions hold — and the dropped files
+    * ride the tomb list, so the standard manifest semantics apply
+    * unchanged: concurrent readers that resolved the previous
+    * generation still open every file they planned, time travel to
+    * the previous generation still sees the retired data for the
+    * retention window, and the bytes physically reclaim when the
+    * window expires (the next commits' tomb purge).
+    *
+    * Requires a manifest-managed dir (reader-atomicity is the point —
+    * an unmanaged directory drop yanks files out from under running
+    * scans); rows in partitions the predicate keeps are NEVER touched
+    * (partition-granular by contract: with the table partitioned BY
+    * the retention column, partition-exact IS row-exact). The NULL
+    * partition (`__HIVE_DEFAULT_PARTITION__`) is always kept — a row
+    * with no date was not asked to expire (the deleteByKey
+    * three-valued rule). Idempotent: retired partitions are no longer
+    * in the manifest, so a replay drops nothing. */
+  def retirePartitions(spark: SparkSession, tableDir: String,
+      partitionCol: String, drop: String => Boolean): RetireSummary = {
+    require(Manifest.exists(tableDir),
+      s"retirePartitions needs a manifest-managed table dir " +
+        s"($tableDir) — an unmanaged directory drop is not " +
+        "reader-atomic; enable a manifest first")
+    Manifest.recover(tableDir)
+    val rels = Manifest.resolve(tableDir).getOrElse(Seq.empty)
+      .map(p => Manifest.relativize(tableDir, p))
+    val prefix = s"$partitionCol="
+    def partVal(rel: String): Option[String] = rel.split('/')
+      .find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+    val (dead, live) = rels.partition(r => partVal(r).exists(v =>
+      v != "__HIVE_DEFAULT_PARTITION__" && drop(v)))
+    if (dead.isEmpty) RetireSummary(0L, 0L)
+    else {
+      Manifest.commit(tableDir, live, tombRels = dead)
+      RetireSummary(dead.flatMap(partVal).distinct.size.toLong,
+        dead.size.toLong)
+    }
+  }
+
   def deleteByKeyFrame(spark: SparkSession, tableDir: String, c: String,
       keys: org.apache.spark.sql.DataFrame): DeleteSummary = {
     import org.apache.spark.sql.functions.{col, count, lit, sum, when}

@@ -316,4 +316,43 @@ class MaintainSpec extends SparkSpec {
     val ok = Maintain.deleteByKey(spark, path, "k", Seq("5", 7L))
     assert(ok.rowsDeleted == 2L)
   }
+
+  test("retirePartitions: manifest-committed partition drop — O(meta), " +
+      "time travel intact, NULL partition kept, unmanaged dir refused, " +
+      "replay a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("retire").toString + "/t"
+    (1L to 40L).map(i => (i,
+        if (i % 10 == 0) null
+        else java.sql.Date.valueOf(s"2024-01-0${i % 4 + 1}"),
+        i * 2))
+      .toDF("k", "d", "v").write.partitionBy("d").parquet(path)
+    // unmanaged: refused loudly (the drop would not be reader-atomic)
+    val e = intercept[IllegalArgumentException] {
+      Maintain.retirePartitions(spark, path, "d", _ < "2024-01-03")
+    }
+    assert(e.getMessage.contains("manifest-managed"), e.getMessage)
+    Manifest.enable(spark, path)
+    val before = Manifest.readSnapshot(spark, path).count()
+    assert(before == 40L)
+    val r = Maintain.retirePartitions(spark, path, "d",
+      v => java.time.LocalDate.parse(v)
+        .isBefore(java.time.LocalDate.parse("2024-01-03")))
+    assert(r.partitionsRetired == 2L, r.toString)
+    val now = Manifest.readSnapshot(spark, path)
+    // kept: dates >= 01-03 and every NULL-dated row
+    assert(now.count() ==
+      (1L to 40L).count(i => i % 10 == 0 || i % 4 + 1 >= 3))
+    assert(now.filter(col("d").isNull).count() == 4L,
+      "the NULL partition was not asked to expire")
+    // time travel: the pre-retire generation reads in full
+    val gens = Manifest.generations(path)
+    assert(Manifest.readSnapshot(spark, path, gens.head).count() == 40L)
+    // replay: retired partitions are gone from the manifest — no-op
+    assert(Maintain.retirePartitions(spark, path, "d",
+      v => java.time.LocalDate.parse(v)
+        .isBefore(java.time.LocalDate.parse("2024-01-03")))
+      == Maintain.RetireSummary(0L, 0L))
+  }
 }
