@@ -943,9 +943,23 @@ object Quantize {
     * `VectorIndexDef.retrainDriftThreshold` is set. */
   def sqClampRate(spark: SparkSession, indexDir: String,
       batch: DataFrame): Double = {
+    // heal a crashed build swap before reading store files — the drift
+    // check runs ahead of the append's own recover, and wedging every
+    // future sync on a half-swapped store would be the exact failure
+    // mode the sweep-quarantine work exists to prevent
+    graft.pipeline.SafeSwap.recover(indexDir)
     val (mns, scales) = readSqParams(spark, indexDir)
-    val lo = typedLit(mns.toSeq)
-    val hi = typedLit(mns.indices.map(i => mns(i) + 255.0 * scales(i)))
+    // clamped = the ENCODE saturates (round((x-mn)/scale) outside
+    // [0,255]) — the exact semantics of [[sqEncodeCol]], so a
+    // training-range value can never count as clamped through float
+    // rounding of the reconstructed upper bound. Constant dims
+    // (scale = 0) encode everything as code 0: never clamped.
+    val lo = typedLit(mns.indices.map(i =>
+      if (scales(i) > 0) mns(i) - scales(i) / 2.0
+      else Double.NegativeInfinity))
+    val hi = typedLit(mns.indices.map(i =>
+      if (scales(i) > 0) mns(i) + 255.5 * scales(i)
+      else Double.PositiveInfinity))
     val embD = col("embedding").cast("array<double>")
     val clampedPerRow = size(filter(
       zip_with(embD, sequence(lit(1), lit(mns.length)), (x, i) =>
@@ -1095,9 +1109,20 @@ object Quantize {
   }
 
   /** Streaming IVF-SQ8 maintenance — [[foreachBatchIvfPqSink]]'s shape
-    * (centroids + params frozen after the bootstrap batch). */
+    * (centroids + params frozen after the bootstrap batch).
+    *
+    * `onDrift` surfaces the same per-batch clamp-rate evidence the
+    * warehouse append path measures ([[sqClampRate]]) whenever it
+    * exceeds `clampThreshold` — the streaming sink cannot safely
+    * rebuild mid-stream (the index is single-writer and a stream
+    * restart would race the swap), so the loop is: the callback alerts
+    * (or flips a flag your orchestration reads), the operator stops
+    * the stream, rebuilds, restarts. ≤ 0 disables the measurement
+    * entirely (the default adds zero work per micro-batch). */
   def foreachBatchIvfSqSink(indexDir: String, nlist: Int = 16,
-      replicas: Int = 2): (DataFrame, Long) => Unit = { (batch, _) =>
+      replicas: Int = 2, clampThreshold: Double = 0.0,
+      onDrift: (Long, Double) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     if (!batch.isEmpty) {
       if (!indexExists(spark, indexDir)) {
@@ -1105,7 +1130,13 @@ object Quantize {
         buildIvfSqIndex(spark, b, indexDir, nlist, replicas, Seq(
           graft.pipeline.AppendCommit.contentId(
             Similarity.corpusFingerprint(b)) -> "0|0"))
-      } else appendToIvfSqIndex(spark, batch, indexDir)
+      } else {
+        if (clampThreshold > 0) {
+          val r = sqClampRate(spark, indexDir, batch)
+          if (r > clampThreshold) onDrift(batchId, r)
+        }
+        appendToIvfSqIndex(spark, batch, indexDir)
+      }
     }
     ()
   }

@@ -283,6 +283,7 @@ object Similarity {
     * for stores built before the drift instrument existed (the
     * maintenance loop then skips the check rather than guessing). */
   def driftBase(spark: SparkSession, indexDir: String): Option[Double] = {
+    graft.pipeline.SafeSwap.recover(indexDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(indexDir, DriftBaseFile)
@@ -299,6 +300,7 @@ object Similarity {
     * nlist-bounded plan literals). */
   def batchAffinity(spark: SparkSession, indexDir: String,
       batch: DataFrame): Double = {
+    graft.pipeline.SafeSwap.recover(indexDir)
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)

@@ -558,6 +558,15 @@ object Maintain {
     if (dead.isEmpty) RetireSummary(0L, 0L)
     else {
       Manifest.commit(tableDir, live, tombRels = dead)
+      // skip-tree hygiene (the deleteByKey discipline): the commit
+      // above physically purges any PRIOR generation's tombed files —
+      // converge the per-file stats/bloom trees with what actually
+      // left. Entries for files tombed by THIS retire stay until their
+      // window expires (a later commit/refresh purges them and the
+      // per-sync maintainSkipping converges then); stale rows are
+      // correctness-safe either way — pruning is driven by the scan's
+      // own manifest-resolved file list, never by the stats listing.
+      Skipping.refreshAllTrees(spark, tableDir)
       RetireSummary(dead.flatMap(partVal).distinct.size.toLong,
         dead.size.toLong)
     }

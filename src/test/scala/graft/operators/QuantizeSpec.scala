@@ -487,6 +487,43 @@ class QuantizeSpec extends SparkSpec {
     assert(!res.contains(2L) && !res.contains(3L))
   }
 
+  test("sqClampRate: zero for in-range batches, exact fraction for " +
+      "out-of-range components; the streaming sink surfaces it " +
+      "through onDrift without ever rebuilding mid-stream") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val base = (1L to 50L).map(i =>
+      (i, Seq(((i % 10) / 10.0).toFloat, ((i % 7) / 7.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("sq_clamp")
+      .toString + "/index"
+    Quantize.buildIvfSqIndex(spark, base, idx, nlist = 2, replicas = 1)
+    // the training batch itself: nothing clamps
+    assert(Quantize.sqClampRate(spark, idx, base) == 0.0)
+    // a batch where exactly one of two components per row saturates
+    // (first dim 10x the trained max, second dim in range) → rate 0.5
+    val half = (100L to 119L).map(i =>
+      (i, Seq(9.0f, ((i % 7) / 7.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Quantize.sqClampRate(spark, idx, half) == 0.5)
+    // streaming sink: the calm batch stays silent, the drifted batch
+    // fires the callback with its batch id + measured rate — and the
+    // index params stay frozen either way (no mid-stream rebuild)
+    val paramsBefore = spark.read.parquet(s"$idx/sqparams")
+      .orderBy("dim").collect().toSeq
+    val fired = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val sink = Quantize.foreachBatchIvfSqSink(idx, nlist = 2,
+      replicas = 1, clampThreshold = 0.2,
+      onDrift = (id, r) => fired += ((id, r)))
+    sink(base.filter(col("vec_id") > 40), 7L) // calm
+    assert(fired.isEmpty)
+    sink(half, 8L) // drifted
+    assert(fired.toList == List((8L, 0.5)))
+    assert(spark.read.parquet(s"$idx/sqparams").orderBy("dim")
+      .collect().toSeq == paramsBefore,
+      "the sink must never retrain mid-stream")
+  }
+
   test("streaming IVF-SQ8 sink: exhaustive probe sees every streamed " +
       "id regardless of micro-batch chopping; founding replay no-ops") {
     VectorFunctions.register(spark)
