@@ -1869,6 +1869,85 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     graft.operators.Curation.packEpoch(
       s"${cfg.warehouseDir}/_maintained/pack_$name")
 
+  /** What [[vacuum]] found and did. `quarantined` counts `failed_*`
+    * journal files left for the operator — vacuum never deletes those
+    * (they are the audit trail of refused forgets). */
+  final case class VacuumSummary(recovered: Long, tmpDirsRemoved: Long,
+      asidesRemoved: Long, bytesReclaimed: Long, quarantined: Long)
+
+  /** Warehouse-wide DEBRIS COLLECTION — the ops counterpart of the
+    * per-store heal-on-entry protocols: every crash-window artifact the
+    * individual entry points heal lazily (the next touch of THAT store)
+    * is swept in one pass, so a store that is never touched again stops
+    * holding disk forever.
+    *
+    *  - `.X.__old` SafeSwap asides: restored when the live dir is
+    *    missing (the crash left the aside as the only complete copy),
+    *    deleted when the live dir exists (completed-swap leftover);
+    *  - `.X.__swap_tmp` dirs: a crashed mid-write or mid-swap — the
+    *    operation never committed; recover the live dir first, then
+    *    drop the tmp (the writer's retry recreates it);
+    *  - `.forget_aside_F` raw-purge asides: same restore-or-drop rule;
+    *  - `.forget_tmp_*` / `.sup_*.tmpdir` / dot-`.tmp` forget-journal
+    *    staging: protocol-recreated, dropped;
+    *  - `failed_*` quarantined journals: COUNTED, never deleted — they
+    *    are the operator's audit trail of refused forgets.
+    *
+    * Safe under the single-writer maintenance contract (run it when no
+    * sync/forget is in flight — the same caveat as every compaction
+    * entry point). Idempotent. */
+  def vacuum(): VacuumSummary = {
+    val fs = fsOf
+    var recovered = 0L; var tmps = 0L; var asides = 0L
+    var bytes = 0L; var quarantined = 0L
+    def sizeOf(p: org.apache.hadoop.fs.Path): Long =
+      try fs.getContentSummary(p).getLength catch { case _: Exception => 0L }
+    def walk(p: org.apache.hadoop.fs.Path): Unit = {
+      val entries =
+        try fs.listStatus(p) catch { case _: Exception => Array.empty }
+      entries.foreach { st =>
+        val n = st.getPath.getName
+        val parent = st.getPath.getParent
+        if (n.startsWith(".") && n.endsWith(".__old")) {
+          val live = new org.apache.hadoop.fs.Path(parent,
+            n.stripPrefix(".").stripSuffix(".__old"))
+          if (fs.exists(live)) {
+            bytes += sizeOf(st.getPath)
+            fs.delete(st.getPath, true); asides += 1
+          } else { fs.rename(st.getPath, live); recovered += 1 }
+        } else if (n.startsWith(".") && n.endsWith(".__swap_tmp")) {
+          // recover the live dir from its aside first (if any), then
+          // drop the uncommitted tmp — the writer's retry recreates it
+          graft.pipeline.SafeSwap.recover(new org.apache.hadoop.fs.Path(
+            parent, n.stripPrefix(".").stripSuffix(".__swap_tmp"))
+            .toString)
+          bytes += sizeOf(st.getPath)
+          fs.delete(st.getPath, true); tmps += 1
+        } else if (n.startsWith(".forget_aside_")) {
+          val live = new org.apache.hadoop.fs.Path(parent,
+            n.stripPrefix(".forget_aside_"))
+          if (fs.exists(live)) {
+            bytes += st.getLen
+            fs.delete(st.getPath, false); asides += 1
+          } else { fs.rename(st.getPath, live); recovered += 1 }
+        } else if (n.startsWith(".forget_tmp_") ||
+            (n.startsWith(".sup_") && n.endsWith(".tmpdir")) ||
+            (n.startsWith(".") && n.endsWith(".tmp") &&
+              Option(parent.getParent).exists(_.getName == "_forget"))) {
+          // journal staging lives at _forget/<table>/.req|map|sup_*.tmp
+          bytes += sizeOf(st.getPath)
+          fs.delete(st.getPath, true); tmps += 1
+        } else if (n.startsWith("failed_")) {
+          quarantined += 1
+        } else if (st.isDirectory) walk(st.getPath)
+      }
+    }
+    // _forget trees live under per-table dirs whose parent is _forget;
+    // make the dot-tmp rule above see them by walking everything
+    walk(new org.apache.hadoop.fs.Path(cfg.warehouseDir))
+    VacuumSummary(recovered, tmps, asides, bytes, quarantined)
+  }
+
   // --- age-based retention ----------------------------------------------
 
   /** AGE-BASED RETENTION on a date-partitioned canonical table — the

@@ -327,7 +327,8 @@ object Curation {
     graft.pipeline.SafeSwap.replace(storeDir) { tmp =>
       ledger.foreach { case (id, p) =>
         graft.pipeline.AppendCommit.markApplied(tmp, id, p) }
-      packSequences(docs, budget).write.parquet(s"$tmp/docs")
+      packSequences(docs, budget).sortWithinPartitions(col("bin"))
+        .write.parquet(s"$tmp/docs")
       graft.pipeline.AppendCommit.markApplied(tmp, s"pk_$batchId",
         total.toString)
     }
@@ -345,7 +346,7 @@ object Curation {
       graft.pipeline.AppendCommit.appendBatch(spark, storeDir,
           s"pk_$batchId", total.toString) { tmp =>
         packSequences(batch, budget, baseOffset = base)
-          .write.parquet(s"$tmp/docs")
+          .sortWithinPartitions(col("bin")).write.parquet(s"$tmp/docs")
       }
       ()
     }
@@ -355,6 +356,23 @@ object Curation {
   def readPackStore(spark: SparkSession, storeDir: String): DataFrame = {
     graft.pipeline.SafeSwap.recover(storeDir)
     spark.read.parquet(s"$storeDir/docs")
+  }
+
+  /** Bin-window read — the TRAINING-LOADER entry point: a shard
+    * consumer reads its contiguous bin range, not the whole placement
+    * table. Every placement write lands BIN-SORTED within its files
+    * (init/append/compact all `sortWithinPartitions(bin)`), so the
+    * range predicate prunes at parquet ROW-GROUP granularity via
+    * min/max stats — at 100 TB a loader reading 1/1000th of the bins
+    * touches ~1/1000th of the row groups, not a full placement scan.
+    * The predicate is pushed (`PushedFilters` — plan-asserted in
+    * CurationSpec); bins are stable within a pack epoch
+    * ([[packEpoch]]). */
+  def readPackBins(spark: SparkSession, storeDir: String,
+      loBin: Long, hiBin: Long): DataFrame = {
+    require(loBin <= hiBin, s"empty bin range [$loBin, $hiBin]")
+    readPackStore(spark, storeDir)
+      .filter(col("bin") >= loBin && col("bin") <= hiBin)
   }
 
   /** RTBF cascade hook, PLACEMENT-PRESERVING: drop the deleted docs'
@@ -447,8 +465,11 @@ object Curation {
     * The stability contract is explicitly VERSIONED: placements never
     * move within an epoch; a compaction moves all of them and bumps
     * [[packEpoch]] — consumers pin the epoch their shards were cut
-    * under, and the atomic [[graft.pipeline.SafeSwap]] swap means a
-    * concurrent loader sees the old epoch or the new one, never a mix.
+    * under, and the [[graft.pipeline.SafeSwap]] replacement means a
+    * concurrent loader reads a complete old tree or a complete new one,
+    * never a mix (rename-window reads can FAIL transiently and retry —
+    * SafeSwap's documented plain-rename contract — but cannot observe
+    * torn state).
     * The replay ledger survives the rewrite: every applied batch id
     * stays applied (its `pk_` token payload re-marks as 0 — those
     * tokens now live inside the compacted base, counted by the one new
@@ -483,7 +504,8 @@ object Curation {
         graft.pipeline.SafeSwap.replace(storeDir) { tmp =>
           // the lazy read of the live placements executes inside this
           // write, strictly before SafeSwap renames the old tree aside
-          repacked.write.parquet(s"$tmp/docs")
+          repacked.sortWithinPartitions(col("bin"))
+            .write.parquet(s"$tmp/docs")
           entries.foreach { case (id, p) =>
             graft.pipeline.AppendCommit.markApplied(tmp, id,
               if (id.startsWith("pk_")) "0" else p)
@@ -554,6 +576,34 @@ object Curation {
       .select(col("bin"), col("n_docs"), col("live_tokens"),
         col("sum_off"))
   }
+
+  // ---------------------------------------------------------------------
+  // q277_pack_bins — the bin-window loader read: the q267 three-batch
+  // store read through readPackBins([1, 2]) must equal the full
+  // placement replay filtered to those bins — and the scan must PRUNE,
+  // not post-filter (bin-sorted files + pushed predicate; the plan
+  // shape is asserted in CurationSpec).
+  // ---------------------------------------------------------------------
+  def q277PackBins(s: SparkSession, dir: String): DataFrame = {
+    // ensure the q267 store exists (idempotent; .complete-cached)
+    q267IncrementalPack(s, dir)
+    val store = s"$packGateBase/ps_${dir.hashCode.toHexString}"
+    readPackBins(s, store, 1L, 2L)
+  }
+
+  val q277PackBinsSql: String =
+    """WITH tk AS (SELECT doc_id, doc_id % 3 AS b,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT doc_id, n_tokens,
+      |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY b, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS off
+      |  FROM tk)
+      |SELECT doc_id, n_tokens, off, off // 8192 AS bin,
+      |  CAST(CASE WHEN (off % 8192) + n_tokens > 8192 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS straddle
+      |FROM o WHERE off // 8192 BETWEEN 1 AND 2""".stripMargin
 
   // ---------------------------------------------------------------------
   // q273_pack_compact — the EPOCH RE-PACK end-to-end: a three-batch

@@ -1709,6 +1709,71 @@ class WarehouseSpec extends SparkSpec {
       .filter(col("ref_id") === 3L).count() == 0L)
   }
 
+  test("vacuum: crash debris GCs in one pass — completed-swap asides " +
+      "and uncommitted tmps drop, orphaned asides RESTORE, journal " +
+      "staging clears, quarantined journals are counted never deleted") {
+    val src = Files.createTempDirectory("wh_vac_src")
+    val d = src.resolve("docs"); Files.createDirectories(d)
+    val f = d.resolve("d1.tsv"); Files.writeString(f, "1\tone\n2\ttwo\n")
+    val schema = Seq(CDTable("docs", None, Seq(
+      CDColumn("doc_id", "bigint"),
+      CDColumn("text", "varchar", Some(50)))))
+    val m = Seq(ManifestEntry("docs", "d1.tsv", f.toUri.toString))
+    val whDir = Files.createTempDirectory("wh_vac_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whvac", parallelism = 1, canonicalize = true))
+    wh.sync(m, schema)
+    wh.forget(schema, "docs", "doc_id", Seq(2L))
+    val root = java.nio.file.Paths.get(new java.net.URI(whDir))
+    def mk(rel: String, dir: Boolean): Unit = {
+      val p = root.resolve(rel)
+      if (dir) { java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.writeString(p.resolve("part-0"), "x") }
+      else {
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, "x")
+      }
+    }
+    // completed-swap leftover: live store + its aside
+    mk("_maintained/.rollup_r.__old", dir = true)
+    mk("_maintained/rollup_r/part-live", dir = false)
+    // orphaned aside: NO live dir — the aside is the last complete copy
+    mk("_maintained/.lost_store.__old", dir = true)
+    // uncommitted swap tmp
+    mk("_maintained/.rollup_r.__swap_tmp", dir = true)
+    // raw-purge aside whose original is live
+    mk("raw_files/docs/.forget_aside_d1.tsv", dir = false)
+    // forget-journal staging + a quarantined journal
+    mk("_forget/docs/.req_deadbeef.tmp", dir = false)
+    mk("_forget/docs/.sup_doc_id_g9.tmpdir", dir = true)
+    mk("_forget/docs/failed_req_bad", dir = false)
+    val sum = wh.vacuum()
+    assert(sum.recovered == 1L, sum.toString)   // .lost_store restored
+    assert(sum.asidesRemoved == 2L, sum.toString)
+    assert(sum.tmpDirsRemoved == 3L, sum.toString)
+    assert(sum.quarantined == 1L, sum.toString)
+    assert(java.nio.file.Files.exists(
+      root.resolve("_maintained/lost_store/part-0")),
+      "an aside without a live dir is the last complete copy — restore")
+    assert(!java.nio.file.Files.exists(
+      root.resolve("_maintained/.rollup_r.__old")))
+    assert(!java.nio.file.Files.exists(
+      root.resolve("_maintained/.rollup_r.__swap_tmp")))
+    assert(!java.nio.file.Files.exists(
+      root.resolve("raw_files/docs/.forget_aside_d1.tsv")))
+    assert(!java.nio.file.Files.exists(
+      root.resolve("_forget/docs/.req_deadbeef.tmp")))
+    assert(java.nio.file.Files.exists(
+      root.resolve("_forget/docs/failed_req_bad")),
+      "quarantined journals are the audit trail — never deleted")
+    // idempotent; the warehouse still works end-to-end
+    val again = wh.vacuum()
+    assert(again.recovered == 0L && again.tmpDirsRemoved == 0L &&
+      again.asidesRemoved == 0L && again.quarantined == 1L)
+    assert(wh.canonicalTable("docs").count() == 1L)
+  }
+
   test("VectorIndexDef refuses pq+sq at construction — every dispatch " +
       "site sees the refusal, not just sync maintenance") {
     val ex = intercept[IllegalArgumentException] {

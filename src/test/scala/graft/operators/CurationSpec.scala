@@ -826,4 +826,28 @@ class CurationSpec extends SparkSpec {
     assert(got == expected,
       s"${got.toSeq.sorted.take(5)} vs ${expected.toSeq.sorted.take(5)}")
   }
+
+  test("readPackBins: the bin-window read equals the full-store filter " +
+      "and the range predicate is PUSHED to the parquet scan " +
+      "(bin-sorted files → row-group pruning)") {
+    import spark.implicits._
+    val docs = (1L to 90L)
+      .map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("pack_bins").toString + "/s"
+    Curation.initPackStore(spark, store, docs, 16L, "b0")
+    val all = Curation.readPackStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toSet
+    val win = Curation.readPackBins(spark, store, 3L, 7L)
+    val got = win.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got == all.filter(t => t._3 >= 3L && t._3 <= 7L))
+    assert(got.nonEmpty)
+    val plan = win.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("GreaterThanOrEqual(bin,3)"),
+      s"bin range must reach the scan as a pushed filter:\n$plan")
+  }
 }
