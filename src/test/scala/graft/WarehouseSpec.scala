@@ -736,7 +736,9 @@ class WarehouseSpec extends SparkSpec {
       CDTable("docs", None, Seq(
         CDColumn("doc_id", "bigint"), CDColumn("text", "varchar", Some(500)))),
       CDTable("vecs", None, Seq(
-        CDColumn("vec_id", "bigint"), CDColumn("emb", "varchar", Some(100)))))
+        CDColumn("vec_id", "bigint"), CDColumn("emb", "varchar", Some(100)))),
+      CDTable("ev", None, Seq(
+        CDColumn("event_id", "bigint"), CDColumn("d", "date"))))
     val sentence = "the quick brown fox jumps over the lazy dog and " +
       "runs far away into the deep green forest tonight"
     val other = "pack my box with five dozen liquor jugs while the band " +
@@ -746,7 +748,9 @@ class WarehouseSpec extends SparkSpec {
         (1L to 40L).map(k => s"$k\t${k * 1.5}").mkString("", "\n", "\n")),
       put("dim", "d1.tsv", "1\talpha\n2\tbeta\n"),
       put("docs", "doc1.tsv", s"1\t$sentence\n"),
-      put("vecs", "v1.tsv", "1\t1.0,0.0\n2\t0.9,0.1\n3\t0.0,1.0\n4\t0.1,0.9\n"))
+      put("vecs", "v1.tsv", "1\t1.0,0.0\n2\t0.9,0.1\n3\t0.0,1.0\n4\t0.1,0.9\n"),
+      put("ev", "e1.tsv",
+        "1\t2024-01-01\n2\t2024-01-05\n3\t2024-01-20\n4\t2024-01-25\n"))
     val whDir = Files.createTempDirectory("wh_ks_root").toUri.toString
       .stripSuffix("/")
     val spec = pipeline.Rollup.Spec(Nil, sumCols = Seq("x"))
@@ -764,7 +768,11 @@ class WarehouseSpec extends SparkSpec {
         Warehouse.VectorIndexDef("sqx", "vecs", "vec_id", "emb",
           nlist = 2, replicas = 1, sq = true)),
       maintainedSkipStats = Map("fact" -> Seq("k")),
-      maintainedBloomStats = Map("fact" -> Seq("k"))))
+      maintainedBloomStats = Map("fact" -> Seq("k")),
+      maintainedPacks = Seq(Warehouse.PackDef("pk", "docs", "doc_id",
+        "text", budget = 16L, compactHoleRatio = 0.05)),
+      canonicalSpecs = Map("ev" -> Warehouse.CanonicalSpec(Seq("d"))),
+      manifestTables = Seq("ev")))
     wh.sync(m1, schema)
     assert(wh.rollup("tot", spec).select("sum_x").head().getDouble(0) ==
       (1L to 40L).map(_ * 1.5).sum)
@@ -807,6 +815,37 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.readRange("fact", "k", 45L, 60L).count() == 1L)
     assert(wh.profileOf("fact", Seq("k"))
       .filter($"col_name" === "k").select("n_rows").head().getLong(0) == 42L)
+    // --- the round-12 families, in the SAME warehouse pass ------------
+    // retention: retire ev partitions older than Jan 10 (manifest drop)
+    assert(wh.canonicalTable("ev").count() == 4L)
+    val ret = wh.retireOlderThan("ev", "d", "2024-01-10")
+    assert(ret.partitionsRetired == 2L, ret.toString)
+    assert(wh.canonicalTable("ev").count() == 2L)
+    // forget one doc: the placement-preserving pack purge leaves a hole
+    // whose ratio (~half the tokens) exceeds compactHoleRatio — the
+    // NEXT sync's maintenance auto-compacts to epoch 1
+    assert(wh.packEpochOf("pk") == 0L)
+    wh.forget(schema, "docs", "doc_id", Seq(1L))
+    assert(wh.nearDupsIn("nd",
+      Seq((11L, sentence)).toDF("doc_id", "text")).count() == 0L,
+      "the forgotten doc must leave the MinHash index")
+    // delta 3: a LATE ev row older than the watermark rides in — the
+    // per-sync re-enforcement must retire it on arrival
+    val m3 = m2 ++ Seq(put("ev", "e2.tsv",
+      "5\t2024-01-02\n6\t2024-01-21\n"))
+    wh.sync(m3, schema)
+    assert(wh.canonicalTable("ev").count() == 3L,
+      "late row >= watermark ingests; the expired one retires on landing")
+    assert(wh.packEpochOf("pk") == 1L,
+      "the hole ratio must have triggered the epoch re-pack")
+    val placements = wh.packOf("pk").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(placements.keySet == Set(2L) && placements(2L) == 0L,
+      s"dense re-pack expected: $placements")
+    // vacuum leaves a healthy warehouse
+    wh.vacuum()
+    assert(wh.rollup("tot", spec).select("sum_x").head().getDouble(0) ==
+      (1L to 40L).map(_ * 1.5).sum + 101.0)
   }
 
   test("store init reads the canonical parquet layer when current, raw TSV otherwise") {
