@@ -1869,6 +1869,62 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     graft.operators.Curation.packEpoch(
       s"${cfg.warehouseDir}/_maintained/pack_$name")
 
+  /** COMPLIANCE AUDIT SURFACE for the forget machinery: one row per
+    * journal artifact of `table` — in-flight requests (`req`),
+    * completed ones not yet folded (`done`), quarantined failures
+    * (`failed` — the operator's queue), live suppression generations
+    * (`sup`), and staged cross-column mappings (`map`). `keys` counts
+    * each artifact's key lines WITHOUT driver materialization (one
+    * distributed text count; -1 for marker files that carry none).
+    * This is what an RTBF audit asks: what requests exist, what state
+    * is each in, how much suppression history is live. */
+  def forgetStatus(table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, length}
+    val fs = fsOf
+    val dir = new org.apache.hadoop.fs.Path(
+      s"${cfg.warehouseDir}/_forget/$table")
+    val rows: Seq[(String, String, Long)] =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).filter(_.isFile).toSeq
+        .map(_.getPath.getName).sorted.flatMap { n =>
+          def keyed(kind: String, skipHeader: Boolean) = {
+            val df = spark.read.text(
+              new org.apache.hadoop.fs.Path(dir, n).toString)
+              .filter(length(col("value")) > 0)
+            val c = df.count() - (if (skipHeader) 1L else 0L)
+            Some((kind, n, c))
+          }
+          if (n.startsWith("req_")) keyed("req", skipHeader = true)
+          else if (n.startsWith("failed_sup_"))
+            keyed("failed", skipHeader = false)
+          else if (n.startsWith("failed_"))
+            keyed("failed", skipHeader = true)
+          else if (n.startsWith("sup_")) keyed("sup", skipHeader = false)
+          else if (n.startsWith("map_")) keyed("map", skipHeader = false)
+          else if (n.startsWith("done_")) Some(("done", n, -1L))
+          else None
+        }
+    val sqlCtx = spark
+    import sqlCtx.implicits._
+    rows.toDF("state", "artifact", "keys")
+  }
+
+  /** The active retention policies ([[retireOlderThan]] watermarks):
+    * one row per policed table — (table, date_col, cutoff). */
+  def retentionStatus(): DataFrame = {
+    val fs = fsOf
+    val dir = new org.apache.hadoop.fs.Path(retentionDir)
+    val rows: Seq[(String, String, String)] =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).filter(_.isFile)
+        .map(_.getPath.getName).filterNot(_.startsWith(".")).toSeq.sorted
+        .flatMap(t => readRetentionWatermark(t).map { case (c, cut) =>
+          (t, c, cut.toString) })
+    val sqlCtx = spark
+    import sqlCtx.implicits._
+    rows.toDF("table", "date_col", "cutoff")
+  }
+
   /** What [[vacuum]] found and did. `quarantined` counts `failed_*`
     * journal files left for the operator — vacuum never deletes those
     * (they are the audit trail of refused forgets). */

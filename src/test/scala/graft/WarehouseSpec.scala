@@ -846,6 +846,14 @@ class WarehouseSpec extends SparkSpec {
     wh.vacuum()
     assert(wh.rollup("tot", spec).select("sum_x").head().getDouble(0) ==
       (1L to 40L).map(_ * 1.5).sum + 101.0)
+    // audit surfaces: the forget shows as one completed request with
+    // its one key; the retention watermark is queryable
+    val fst = wh.forgetStatus("docs").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq.sorted
+    assert(fst == Seq(("done", -1L), ("req", 1L)), fst.toString)
+    val rst = wh.retentionStatus().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rst == Seq(("ev", "d", "2024-01-10")), rst.toString)
   }
 
   test("store init reads the canonical parquet layer when current, raw TSV otherwise") {
