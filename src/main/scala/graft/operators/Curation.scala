@@ -519,6 +519,34 @@ object Curation {
       }
     }
 
+  /** Streaming pack maintenance — the [[graft.pipeline.Rollup
+    * .foreachBatchSink]] shape for the training-sequence store: each
+    * micro-batch of (doc_id, text) packs at the store's frontier with
+    * the MICRO-BATCH ID as the replay unit, so Structured Streaming's
+    * at-least-once `foreachBatch` redelivery (same id on restart)
+    * becomes exactly-once placement through the AppendCommit ledger —
+    * and because every batch packs strictly at the frontier the
+    * previous batch committed, how the stream is chopped cannot move
+    * any placement (chop-invariance spec'd in CurationSpec). Ordering
+    * note: `foreachBatch` serializes micro-batches per query, which is
+    * exactly the single-writer contract [[appendToPackStore]]'s
+    * frontier lock enforces. */
+  def foreachBatchPackSink(storeDir: String,
+      budget: Long): (DataFrame, Long) => Unit = { (batch, id) =>
+    val spark = batch.sparkSession
+    if (!batch.isEmpty) {
+      graft.pipeline.SafeSwap.recover(storeDir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(storeDir),
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/docs")))
+        initPackStore(spark, storeDir, batch, budget, s"stream-$id")
+      else appendToPackStore(spark, storeDir, batch, budget,
+        s"stream-$id")
+    }
+    ()
+  }
+
   private lazy val packGateBase: String =
     java.nio.file.Files.createTempDirectory("graft_ipack_").toString
 

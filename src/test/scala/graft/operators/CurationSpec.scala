@@ -827,6 +827,45 @@ class CurationSpec extends SparkSpec {
       s"${got.toSeq.sorted.take(5)} vs ${expected.toSeq.sorted.take(5)}")
   }
 
+  test("streaming pack sink: micro-batch BOUNDARIES cannot move a " +
+      "placement (same stream order, 1-chop ≡ 3-chop bit-for-bit); a " +
+      "redelivered batch id is a ledger no-op; out-of-order arrival " +
+      "packs at the frontier, never re-sorts history") {
+    import spark.implicits._
+    def text(i: Long) = Seq.fill((i % 5 + 1).toInt)("w").mkString(" ")
+    def df(r: Range) = r.map(i => (i.toLong, text(i.toLong)))
+      .toDF("doc_id", "text")
+    val budget = 16L
+    // chop-invariance: the SAME stream order under different
+    // micro-batch boundaries
+    val oneShot = java.nio.file.Files
+      .createTempDirectory("pack_stream1").toString + "/s"
+    val chopped = java.nio.file.Files
+      .createTempDirectory("pack_stream3").toString + "/s"
+    Curation.foreachBatchPackSink(oneShot, budget)(df(1 to 80), 0L)
+    val sink3 = Curation.foreachBatchPackSink(chopped, budget)
+    sink3(df(1 to 30), 0L); sink3(df(31 to 60), 1L)
+    sink3(df(61 to 80), 2L)
+    // replay of an applied micro-batch id: no-op
+    sink3(df(31 to 60), 1L)
+    def placements(store: String) =
+      Curation.readPackStore(spark, store)
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(placements(chopped) == placements(oneShot),
+      "micro-batch boundaries must not move any placement")
+    // out-of-order arrival: a LATER batch of LOWER ids packs at the
+    // frontier — earlier placements byte-identical, no global re-sort
+    val before = placements(chopped)
+    sink3(df(101 to 110), 3L)
+    val withLate = placements(chopped)
+    before.foreach { case (id, row) =>
+      assert(withLate(id) == row, s"doc $id moved on a later batch") }
+    val frontier = before.values.map(v => v._2 + v._1).max
+    assert(withLate(101L)._2 == frontier,
+      "the late batch must land exactly at the frontier")
+  }
+
   test("readPackBins: the bin-window read equals the full-store filter " +
       "and the range predicate is PUSHED to the parquet scan " +
       "(bin-sorted files → row-group pruning)") {
