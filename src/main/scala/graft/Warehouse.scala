@@ -202,6 +202,17 @@ object Warehouse {
         * requests, instead of every request ever journaled). ≤ 0
         * disables compaction. */
       forgetCompactEvery: Int = 8,
+      /** SIZE-ADAPTIVE purge switch for the forget sweep: a compacted
+        * suppression file at or under this many bytes (one stat —
+        * provably ceiling-bounded) purges re-deliveries via the
+        * LITERAL key path (driver-resident keys, isin/broadcast-semi
+        * discovery, minimal job count); a larger one runs as a
+        * distributed text frame end-to-end, never materializing its
+        * history-proportional key set on the driver. The default keeps
+        * years of ordinary forget traffic on the cheap path while any
+        * genuinely large history pays only the machinery built for
+        * it. */
+      sweepLiteralMaxBytes: Long = 4L * 1024 * 1024,
       /** Loud ceiling on a CROSS-COLUMN forget's id mapping (distinct
         * maintained-store ids matched by the request). The mapping is
         * captured driver-side and journaled, so it must stay
@@ -1328,10 +1339,17 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         val reqs0 = if (!needWork) allReqs else allReqs.filter {
           case (id, c, ks) =>
             validOrQuarantine(s"req_$id", c, ks, full = !dones(id)) }
-        // suppression files get the same journal-intrinsic judgment,
-        // DISTRIBUTED: the column must exist and every key must cast —
-        // probed with a limit-20 sample job over the file, never by
-        // materializing the (history-proportional) key set
+        // suppression files get the same journal-intrinsic judgment —
+        // SIZE-ADAPTIVELY: a file under the literal-path byte bound is
+        // provably ceiling-bounded by its stat, so its lines load once
+        // on the driver (reused below by the literal purge) and
+        // validate there; a larger one stays distributed (limit-20
+        // sample probe over the text frame — the key set itself is
+        // history-proportional and never materializes). One probe per
+        // COLUMN either way: `sups` holds at most one file per column
+        // by construction (highest generation wins).
+        val supSmall = scala.collection.mutable.Map
+          .empty[String, Seq[String]]
         val validSups = if (!needWork) sups else sups.filter {
           case (n, c) =>
             try {
@@ -1339,11 +1357,19 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
               val f = st.fields.find(_.name == c).getOrElse(
                 throw new IllegalArgumentException(
                   s"no column $c in ${t.tableName}"))
-              graft.pipeline.Maintain.requireFrameCastable(
-                supFrame(n), f.dataType, c)
+              if (fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, n))
+                  .getLen <= SweepLiteralBytes) {
+                val lines = readLines(n).filter(_.nonEmpty)
+                graft.pipeline.Maintain.requireKeysCastable(spark,
+                  f.dataType, c, lines)
+                supSmall(c) = lines
+              } else
+                graft.pipeline.Maintain.requireFrameCastable(
+                  supFrame(n), f.dataType, c)
               true
             } catch {
               case e: IllegalArgumentException =>
+                supSmall.remove(c)
                 log.error(s"forget sweep: $n on ${t.tableName} fails " +
                   s"deterministic validation (${e.getMessage}) — " +
                   s"quarantined as failed_$n")
@@ -1374,25 +1400,43 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         }
         // 1) purge fresh raw files of EVERY active request's keys —
         // before any crashed-cascade completion marks the listing
-        // swept on behalf of its one request. The key set per column is
-        // a DATAFRAME: the in-flight requests' keys (each
-        // ceiling-bounded) parallelize from the journal lines, the
-        // compacted suppression files union in as distributed text
-        // reads — the union NEVER materializes on the driver, however
-        // many years of forget history the suppression files carry
-        // (the purgeNodes discipline applied to the sweep itself).
+        // swept on behalf of its one request. The key set per column
+        // never materializes UNBOUNDED on the driver: in-flight
+        // requests' keys are each ceiling-bounded, a small suppression
+        // file (≤ SweepLiteralBytes, proven by one stat) loads once
+        // and purges literally, and anything larger runs as a
+        // distributed text-frame join end-to-end (the purgeNodes
+        // discipline applied to the sweep itself).
         if (fresh.nonEmpty && (reqs.nonEmpty || validSups.nonEmpty)) {
           import spark.implicits._
           val cols =
             (reqs.map(_._2) ++ validSups.map(_._2)).distinct
           cols.foreach { c =>
             val reqKeys = reqs.filter(_._2 == c).flatMap(_._3).distinct
-            val parts =
-              (if (reqKeys.nonEmpty)
-                 Seq(reqKeys.toDF("__raw")) else Nil) ++
-                validSups.filter(_._2 == c).map(s => supFrame(s._1))
-            val removed = purgeRawTsvFrame(t, c,
-              parts.reduce(_ unionByName _), onlyFiles = Some(fresh))
+            val colSups = validSups.filter(_._2 == c)
+            // SIZE-ADAPTIVE purge: in-flight request keys are
+            // ceiling-bounded and already driver-resident; when the
+            // column's suppression history is too (supSmall, gated by
+            // one stat) the LITERAL path runs — a single
+            // isin/broadcast-semi discovery scan, none of the frame
+            // path's probe/checkpoint/join jobs, whose fixed multi-job
+            // overhead dominates at small scale. Only a suppression
+            // file past the byte bound pays the distributed-frame
+            // machinery it exists for — the keys then never touch the
+            // driver, however many years of forgets they carry.
+            val removed =
+              if (colSups.isEmpty || supSmall.contains(c))
+                purgeRawTsv(t, c, typedKeys(t, c,
+                    (reqKeys ++ supSmall.getOrElse(c, Nil)).distinct),
+                  onlyFiles = Some(fresh))
+              else {
+                val parts =
+                  (if (reqKeys.nonEmpty)
+                     Seq(reqKeys.toDF("__raw")) else Nil) ++
+                    colSups.map(s => supFrame(s._1))
+                purgeRawTsvFrame(t, c, parts.reduce(_ unionByName _),
+                  onlyFiles = Some(fresh), preValidated = true)
+              }
             if (removed > 0)
               log.info(s"forget sweep: ${t.tableName}.$c — $removed " +
                 s"re-delivered row(s) purged from ${fresh.size} fresh " +
@@ -1535,6 +1579,9 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
 
   private val ForgetAside = ".forget_aside_"
 
+  /** See [[Warehouse.Config.sweepLiteralMaxBytes]]. */
+  private def SweepLiteralBytes = cfg.sweepLiteralMaxBytes
+
   /** Rewrite every raw TSV file holding the keys, IN PLACE under its
     * original name (gzip, SerDe-exact — [[graft.sources.TsvSource]]):
     * the sync diff is name-keyed, so a rewritten file stays "already
@@ -1562,13 +1609,18 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     * (join equality — null never matches). */
   private def purgeRawTsvFrame(t: CDTable, c: String,
       raw: org.apache.spark.sql.DataFrame,
-      onlyFiles: Option[Seq[String]] = None): Long = {
+      onlyFiles: Option[Seq[String]] = None,
+      preValidated: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
     val st = graft.model.TypeLattice.toStructType(t)
     val dt = st.fields.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(
         s"no column $c in ${t.tableName}")).dataType
-    graft.pipeline.Maintain.requireFrameCastable(raw, dt, c)
+    // the sweep probes castability once per column up front
+    // (quarantining on failure) — re-probing here would double the
+    // per-column job count for nothing
+    if (!preValidated)
+      graft.pipeline.Maintain.requireFrameCastable(raw, dt, c)
     // pinned: consumed by the discovery scan and every per-file rewrite
     val keysDf = raw.select(col("__raw").cast(dt).as("__gk"))
       .filter(col("__gk").isNotNull).distinct().localCheckpoint()
@@ -1917,7 +1969,8 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     val rows: Seq[(String, String, String)] =
       if (!fs.exists(dir)) Nil
       else fs.listStatus(dir).filter(_.isFile)
-        .map(_.getPath.getName).filterNot(_.startsWith(".")).toSeq.sorted
+        .map(_.getPath.getName).filterNot(_.startsWith(".")).toSeq
+        .map(retentionTableOf).distinct.sorted
         .flatMap(t => readRetentionWatermark(t).map { case (c, cut) =>
           (t, c, cut.toString) })
     val sqlCtx = spark
@@ -1945,7 +1998,9 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     *    drop the tmp (the writer's retry recreates it);
     *  - `.forget_aside_F` raw-purge asides: same restore-or-drop rule;
     *  - `.forget_tmp_*` / `.sup_*.tmpdir` / dot-`.tmp` forget-journal
-    *    staging: protocol-recreated, dropped;
+    *    and retention-watermark staging: protocol-recreated, dropped
+    *    (a crashed watermark write leaves the prior generation live —
+    *    the tmp is never the only copy);
     *  - `failed_*` quarantined journals: COUNTED, never deleted — they
     *    are the operator's audit trail of refused forgets.
     *
@@ -1959,12 +2014,23 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     def sizeOf(p: org.apache.hadoop.fs.Path): Long =
       try fs.getContentSummary(p).getLength catch { case _: Exception => 0L }
     def walk(p: org.apache.hadoop.fs.Path): Unit = {
-      val entries =
+      val entries0 =
         try fs.listStatus(p) catch { case _: Exception => Array.empty }
+      // `.__old` asides strictly before `.__swap_tmp` tmps within a
+      // directory: when BOTH exist for a store whose live dir is
+      // missing, the aside must be restored (recovered += 1) before the
+      // tmp's recover path can see it — listing-order processing could
+      // let the tmp's SafeSwap.recover consume the aside and leave the
+      // stale `.__old` entry mis-counted as a completed-swap leftover
+      val entries = entries0.sortBy(st =>
+        if (st.getPath.getName.endsWith(".__old")) 0 else 1)
       entries.foreach { st =>
         val n = st.getPath.getName
         val parent = st.getPath.getParent
-        if (n.startsWith(".") && n.endsWith(".__old")) {
+        // re-stat: an earlier entry's recover/restore may have renamed
+        // this path away — the listing snapshot is stale by design
+        if (!fs.exists(st.getPath)) ()
+        else if (n.startsWith(".") && n.endsWith(".__old")) {
           val live = new org.apache.hadoop.fs.Path(parent,
             n.stripPrefix(".").stripSuffix(".__old"))
           if (fs.exists(live)) {
@@ -1989,7 +2055,8 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         } else if (n.startsWith(".forget_tmp_") ||
             (n.startsWith(".sup_") && n.endsWith(".tmpdir")) ||
             (n.startsWith(".") && n.endsWith(".tmp") &&
-              Option(parent.getParent).exists(_.getName == "_forget"))) {
+              (Option(parent.getParent).exists(_.getName == "_forget") ||
+                parent.getName == "_retention"))) {
           // journal staging lives at _forget/<table>/.req|map|sup_*.tmp
           bytes += sizeOf(st.getPath)
           fs.delete(st.getPath, true); tmps += 1
@@ -2042,15 +2109,38 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
 
   private def retentionDir = s"${cfg.warehouseDir}/_retention"
 
-  /** Monotone watermark: `_retention/<table>` = "dateCol\ncutoffIso",
-    * temp+rename; a new cutoff only ever moves forward. One policy
-    * column per table (a second dateCol is refused loudly). */
+  /** The compliance watermark is GENERATION-SUFFIXED
+    * (`_retention/<table>.g<N>`, highest generation wins — the
+    * `sup_<col>_g<N>` pattern): a new cutoff lands as a NEW file via
+    * tmp+rename, so no moment ever deletes the only copy. The previous
+    * delete-then-rename single-file scheme had a crash window that
+    * silently LOST the watermark — enforceRetention would stop
+    * re-applying it and late-arriving expired partitions would
+    * re-materialize forever. Older generations (and the legacy
+    * un-suffixed file) are garbage-collected only AFTER the new
+    * generation is durably in place. */
+  private def retentionGen(table: String, name: String): Option[Long] = {
+    val cut = name.lastIndexOf(".g")
+    if (cut <= 0 || name.take(cut) != table) None
+    else name.drop(cut + 2).toLongOption
+  }
+
+  /** Watermark file name → table (the `.g<N>` suffix stripped; a
+    * legacy un-suffixed file names the table directly). */
+  private def retentionTableOf(name: String): String = {
+    val cut = name.lastIndexOf(".g")
+    if (cut > 0 && name.drop(cut + 2).toLongOption.isDefined)
+      name.take(cut)
+    else name
+  }
+
+  /** Monotone watermark: a new cutoff only ever moves forward. One
+    * policy column per table (a second dateCol is refused loudly). */
   private def writeRetentionWatermark(table: String, dateCol: String,
       cut: java.time.LocalDate): Unit = {
     val fs = fsOf
     val dir = new org.apache.hadoop.fs.Path(retentionDir)
     fs.mkdirs(dir)
-    val dest = new org.apache.hadoop.fs.Path(dir, table)
     val eff = readRetentionWatermark(table) match {
       case Some((c0, cut0)) =>
         require(c0 == dateCol,
@@ -2059,26 +2149,39 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         if (cut0.isAfter(cut)) cut0 else cut
       case None => cut
     }
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".$table.tmp")
+    val prior = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+      .filter(p => p.getName == table ||
+        retentionGen(table, p.getName).isDefined)
+    val nextGen = prior.flatMap(p => retentionGen(table, p.getName))
+      .foldLeft(0L)(math.max) + 1
+    val dest = new org.apache.hadoop.fs.Path(dir, s"$table.g$nextGen")
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$table.g$nextGen.tmp")
     val os = fs.create(tmp, true)
     try os.write(s"$dateCol\n$eff".getBytes("UTF-8"))
     finally os.close()
-    fs.delete(dest, false)
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(
         s"cannot persist retention watermark for $table")
+    // superseded generations are redundant (monotone fold above) —
+    // GC best-effort, never load-bearing
+    prior.foreach(p => fs.delete(p, false))
   }
 
   private def readRetentionWatermark(table: String)
       : Option[(String, java.time.LocalDate)] = {
     val fs = fsOf
-    val p = new org.apache.hadoop.fs.Path(retentionDir, table)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
+    val dir = new org.apache.hadoop.fs.Path(retentionDir)
+    if (!fs.exists(dir)) return None
+    val files = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+    // highest generation wins; the legacy un-suffixed file is gen 0
+    val p = files.flatMap(p => retentionGen(table, p.getName).map(_ -> p))
+      .sortBy(_._1).lastOption.map(_._2)
+      .orElse(files.find(_.getName == table))
+    p.map { path =>
+      val in = fs.open(path)
       val lines = try new String(in.readAllBytes(), "UTF-8").split("\n")
         finally in.close()
-      Some((lines(0).trim, java.time.LocalDate.parse(lines(1).trim)))
+      (lines(0).trim, java.time.LocalDate.parse(lines(1).trim))
     }
   }
 
@@ -2114,6 +2217,7 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     if (cfg.canonicalize && fs.exists(dir))
       fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
         .filterNot(_.startsWith("."))
+        .map(retentionTableOf).distinct
         .foreach { table =>
           readRetentionWatermark(table).foreach { case (c, cut) =>
             enforceRetentionFor(table, c, cut)
@@ -2233,7 +2337,10 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
           driftMsg.foreach { msg =>
             log.warn(s"vindex_${d.name}: drift evidence breached " +
               s"($msg) — retraining over the full listing")
-            fsOf.delete(new org.apache.hadoop.fs.Path(store), true)
+            // no pre-delete: every build* path commits via
+            // SafeSwap.replace, which atomically supersedes the stale
+            // index — a crash (or a concurrent annIn reader) mid-retrain
+            // always sees a complete old or complete new store
             rebuild(files)
           }
         }

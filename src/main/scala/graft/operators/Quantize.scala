@@ -342,7 +342,8 @@ object Quantize {
     val cells = Similarity.trainCentroids(e, nlist)
     val cb = trainPqCodebook(e, m, k)
     val fp = Similarity.corpusFingerprint(e)
-    val driftBase = Similarity.meanTopAffinity(e, cells)
+    // drift baseline observed on the cells-write scan — no extra pass
+    val (observed, obs) = Similarity.observeTopAffinity(e, cells)
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
       val sqlCtx = spark
       import sqlCtx.implicits._
@@ -357,12 +358,13 @@ object Quantize {
         .write.parquet(s"$tmp/codebook")
       // one projection: cell assignment + PQ encode; vectors are NOT
       // stored — the cell files hold (vec_id, codes) only
-      e.select(col("vec_id"),
+      observed.select(col("vec_id"),
           pqEncodeCol(cb, col("embedding")).as("codes"),
           explode(Similarity.bestCells(cells, col("embedding"), replicas))
             .as("cell"))
         .write.partitionBy("cell").parquet(s"$tmp/cells")
-      Similarity.writeDriftBase(spark, tmp, driftBase)
+      Similarity.writeDriftBase(spark, tmp,
+        Similarity.observedAffinity(obs))
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
       val os = fs.create(
@@ -880,7 +882,8 @@ object Quantize {
     val cells = Similarity.trainCentroids(e, nlist)
     val (mns, scales) = sqParams(e)
     val fp = Similarity.corpusFingerprint(e)
-    val driftBase = Similarity.meanTopAffinity(e, cells)
+    // drift baseline observed on the cells-write scan — no extra pass
+    val (observed, obs) = Similarity.observeTopAffinity(e, cells)
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
       val sqlCtx = spark
       import sqlCtx.implicits._
@@ -894,12 +897,13 @@ object Quantize {
         .write.parquet(s"$tmp/sqparams")
       // one projection: cell assignment + SQ8 encode; vectors are NOT
       // stored — the cell files hold (vec_id, codes) only
-      e.select(col("vec_id"),
+      observed.select(col("vec_id"),
           sqEncodeCol(col("embedding"), mns, scales).as("codes"),
           explode(Similarity.bestCells(cells, col("embedding"), replicas))
             .as("cell"))
         .write.partitionBy("cell").parquet(s"$tmp/cells")
-      Similarity.writeDriftBase(spark, tmp, driftBase)
+      Similarity.writeDriftBase(spark, tmp,
+        Similarity.observedAffinity(obs))
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
       val os = fs.create(
@@ -949,22 +953,23 @@ object Quantize {
     // mode the sweep-quarantine work exists to prevent
     graft.pipeline.SafeSwap.recover(indexDir)
     val (mns, scales) = readSqParams(spark, indexDir)
-    // clamped = the ENCODE saturates (round((x-mn)/scale) outside
-    // [0,255]) — the exact semantics of [[sqEncodeCol]], so a
-    // training-range value can never count as clamped through float
-    // rounding of the reconstructed upper bound. Constant dims
-    // (scale = 0) encode everything as code 0: never clamped.
-    val lo = typedLit(mns.indices.map(i =>
-      if (scales(i) > 0) mns(i) - scales(i) / 2.0
-      else Double.NegativeInfinity))
-    val hi = typedLit(mns.indices.map(i =>
-      if (scales(i) > 0) mns(i) + 255.5 * scales(i)
-      else Double.PositiveInfinity))
+    // clamped = the ENCODE saturates: the test runs the IDENTICAL
+    // arithmetic as [[sqEncodeCol]] — floor((x-mn)/scale + 0.5)
+    // outside [0,255], same operand order, same doubles — so the rate
+    // matches the encoder bit-for-bit even at exact boundary values
+    // (a pre-reduced `mn + 255.5·scale` threshold can disagree with
+    // the encoder's own rounding at the saturation edge). Constant
+    // dims (scale = 0) encode everything as code 0: never clamped.
+    val mnA = typedLit(mns.toSeq)
+    val scA = typedLit(scales.toSeq)
     val embD = col("embedding").cast("array<double>")
     val clampedPerRow = size(filter(
-      zip_with(embD, sequence(lit(1), lit(mns.length)), (x, i) =>
-        x < element_at(lo, i.cast("int")) ||
-          x > element_at(hi, i.cast("int"))),
+      zip_with(embD, sequence(lit(1), lit(mns.length)), (x, i) => {
+        val mn = element_at(mnA, i.cast("int"))
+        val sc = element_at(scA, i.cast("int"))
+        val q = floor((x - mn) / sc + lit(0.5d))
+        sc > 0.0d && (q < 0L || q > 255L)
+      }),
       b => b))
     val r = batch.agg(
       sum(clampedPerRow).cast("double").as("c"),

@@ -267,6 +267,36 @@ object Similarity {
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 
+  /** The BUILD-time drift baseline as an OBSERVED metric riding the
+    * caller's corpus projection instead of its own corpus pass: the
+    * cells write already scores every row against every centroid for
+    * [[bestCells]], so the mean top-1 affinity (the [[meanTopAffinity]]
+    * statistic — zero-norm rows excluded via the null-ignoring `avg`)
+    * is a sidecar aggregate of that same scan. An unconditional second
+    * full pass would double every index build at any corpus size —
+    * this keeps the baseline always-written at zero extra scans, so
+    * [[driftBase]] stays available without a build-time flag. */
+  private[operators] def observeTopAffinity(e: DataFrame,
+      centroids: Array[Array[Double]])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation()
+    val embD = col("embedding").cast("array<double>")
+    val norm = sqrt(aggregate(embD, lit(0.0d), (a, x) => a + x * x))
+    val top = array_max(transform(cellScores(centroids, col("embedding")),
+      s => s.getField("score")))
+    (e.observe(obs, avg(when(norm > 0.0d, top / norm)).as("aff")), obs)
+  }
+
+  /** Read back the observed baseline after the observed plan's action
+    * completed (empty corpus → null avg → 0.0, matching
+    * [[meanTopAffinity]]'s convention). */
+  private[operators] def observedAffinity(
+      obs: org.apache.spark.sql.Observation): Double =
+    obs.get.getOrElse("aff", null) match {
+      case d: java.lang.Double => d.doubleValue
+      case _ => 0.0
+    }
+
   private[operators] val DriftBaseFile = "_drift_base"
 
   private[operators] def writeDriftBase(spark: SparkSession,
@@ -391,8 +421,11 @@ object Similarity {
       ledger: Seq[(String, String)] = Nil): Unit = {
     val centroids = trainCentroids(e, nlist)
     val fp = corpusFingerprint(e)
-    val base = meanTopAffinity(e, centroids)
-    val corpus = e.select(col("vec_id"), col("embedding"),
+    // drift baseline rides the cells-write scan (observe node sits
+    // BELOW the explode, so each corpus row is aggregated once, not
+    // `replicas` times) — no dedicated corpus pass
+    val (observed, obs) = observeTopAffinity(e, centroids)
+    val corpus = observed.select(col("vec_id"), col("embedding"),
       explode(bestCells(centroids, col("embedding"), replicas)).as("cell"))
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
       val sqlCtx = spark
@@ -406,7 +439,7 @@ object Similarity {
       // cell-partitioned: a probe of p cells reads p/nlist of the corpus
       // via partition pruning, the IVF promise made physical
       corpus.write.partitionBy("cell").parquet(s"$tmp/cells")
-      writeDriftBase(spark, tmp, base)
+      writeDriftBase(spark, tmp, observedAffinity(obs))
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
       val os = fs.create(

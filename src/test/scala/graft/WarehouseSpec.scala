@@ -854,6 +854,28 @@ class WarehouseSpec extends SparkSpec {
     val rst = wh.retentionStatus().collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
     assert(rst == Seq(("ev", "d", "2024-01-10")), rst.toString)
+    // watermark durability: each cutoff lands as a NEW generation file
+    // (no delete-then-rename window that could lose the only copy);
+    // superseded generations GC after the new one is in place
+    val retDir = java.nio.file.Paths.get(new java.net.URI(whDir))
+      .resolve("_retention")
+    def wmFiles() = java.nio.file.Files.list(retDir).iterator()
+    locally {
+      import scala.jdk.CollectionConverters._
+      val names0 = wmFiles().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith(".")).toSeq
+      assert(names0 == Seq("ev.g1"), names0.toString)
+      wh.retireOlderThan("ev", "d", "2024-01-12")
+      val names1 = wmFiles().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith(".")).toSeq
+      assert(names1 == Seq("ev.g2"), names1.toString)
+      // a crashed NEXT write (orphaned staging tmp) never obscures the
+      // live generation
+      java.nio.file.Files.writeString(retDir.resolve(".ev.g3.tmp"), "x")
+      val rst2 = wh.retentionStatus().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      assert(rst2 == Seq(("ev", "d", "2024-01-12")), rst2.toString)
+    }
   }
 
   test("store init reads the canonical parquet layer when current, raw TSV otherwise") {
@@ -1543,9 +1565,14 @@ class WarehouseSpec extends SparkSpec {
       "the suppressed key must still purge the fresh file")
   }
 
-  test("fresh-file suppression purge is DISTRIBUTED end-to-end: a " +
-      "suppression file far past the isin threshold purges a " +
-      "re-delivery through the key-frame join path, exactly") {
+  /** The suppression-purge scenario, run through BOTH size-adaptive
+    * paths: `literalPath = false` forces the distributed key-frame
+    * join (bound 0 — every file counts as large), `literalPath = true`
+    * uses the default bound, under which this history is provably
+    * small and purges via driver-resident literal keys. Same end
+    * state either way — the bound is a cost switch, not a semantics
+    * switch. */
+  private def supPurgeScenario(literalPath: Boolean): Unit = {
     val src = Files.createTempDirectory("wh_supbig_src")
     def put(name: String, content: String): ManifestEntry = {
       val d = src.resolve("docs"); Files.createDirectories(d)
@@ -1561,8 +1588,11 @@ class WarehouseSpec extends SparkSpec {
     val whDir = Files.createTempDirectory("wh_supbig_root").toUri
       .toString.stripSuffix("/")
     val wh = new Warehouse(spark, Warehouse.Config(whDir,
-      db = "cd_whsupbig", parallelism = 1, canonicalize = true,
-      forgetCompactEvery = 1))
+      db = if (literalPath) "cd_whsuplit" else "cd_whsupbig",
+      parallelism = 1, canonicalize = true,
+      forgetCompactEvery = 1,
+      sweepLiteralMaxBytes =
+        if (literalPath) 4L * 1024 * 1024 else 0L))
     wh.sync(m1, schema)
     // one big forget (3× the isin threshold), folded into a sup file
     wh.forget(schema, "docs", "doc_id",
@@ -1585,6 +1615,18 @@ class WarehouseSpec extends SparkSpec {
     // (n/4 survivors) plus the purged re-delivery (10 survivors)
     assert(wh.canonicalTable("docs").count() ==
       (1L to n).count(_ % 4 == 0) + (1L to 40L).count(_ % 4 == 0))
+  }
+
+  test("fresh-file suppression purge is DISTRIBUTED end-to-end: a " +
+      "suppression file past the size-adaptive bound purges a " +
+      "re-delivery through the key-frame join path, exactly") {
+    supPurgeScenario(literalPath = false)
+  }
+
+  test("fresh-file suppression purge, LITERAL path: the same history " +
+      "under the default byte bound purges via driver-resident keys " +
+      "— identical end state, minimal job count") {
+    supPurgeScenario(literalPath = true)
   }
 
   test("cross-column mapping stages delete at completion and the " +
@@ -1795,11 +1837,32 @@ class WarehouseSpec extends SparkSpec {
     mk("_forget/docs/.req_deadbeef.tmp", dir = false)
     mk("_forget/docs/.sup_doc_id_g9.tmpdir", dir = true)
     mk("_forget/docs/failed_req_bad", dir = false)
+    // BOTH debris kinds for one store, live dir MISSING: the aside is
+    // the only complete copy — it must RESTORE (recovered), the tmp
+    // must drop, and the counters must say so regardless of listing
+    // order (the tmp's SafeSwap.recover would otherwise consume the
+    // aside first and the stale __old entry would miscount as a
+    // completed-swap leftover)
+    mk("_maintained/.both_store.__old", dir = true)
+    mk("_maintained/.both_store.__swap_tmp", dir = true)
+    // a crashed retention-watermark write: the orphaned staging tmp
+    // drops (the prior watermark generation is still the live copy)
+    mk("_retention/.docs.g2.tmp", dir = false)
     val sum = wh.vacuum()
-    assert(sum.recovered == 1L, sum.toString)   // .lost_store restored
+    assert(sum.recovered == 2L, sum.toString)   // .lost_store + .both_store
     assert(sum.asidesRemoved == 2L, sum.toString)
-    assert(sum.tmpDirsRemoved == 3L, sum.toString)
+    assert(sum.tmpDirsRemoved == 5L, sum.toString)
     assert(sum.quarantined == 1L, sum.toString)
+    assert(java.nio.file.Files.exists(
+      root.resolve("_maintained/both_store/part-0")),
+      "with both __old and __swap_tmp and no live dir, the aside is " +
+        "the last complete copy — restore it, count it recovered")
+    assert(!java.nio.file.Files.exists(
+      root.resolve("_maintained/.both_store.__old")))
+    assert(!java.nio.file.Files.exists(
+      root.resolve("_maintained/.both_store.__swap_tmp")))
+    assert(!java.nio.file.Files.exists(
+      root.resolve("_retention/.docs.g2.tmp")))
     assert(java.nio.file.Files.exists(
       root.resolve("_maintained/lost_store/part-0")),
       "an aside without a live dir is the last complete copy — restore")

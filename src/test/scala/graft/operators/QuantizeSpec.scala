@@ -506,6 +506,36 @@ class QuantizeSpec extends SparkSpec {
       (i, Seq(9.0f, ((i % 7) / 7.0).toFloat)))
       .toDF("vec_id", "embedding")
     assert(Quantize.sqClampRate(spark, idx, half) == 0.5)
+    // ENCODER-EXACT at the saturation boundary: the rate runs the
+    // identical floor((x-mn)/scale + 0.5) arithmetic as sqEncodeCol,
+    // so a component that ENCODES clamped COUNTS clamped — including
+    // the exact edge x = mn + 255.5·scale, which the encoder saturates
+    // (floor = 256) but a strict > threshold test would miss
+    locally {
+      val (mns, scales) = {
+        val rows = spark.read.parquet(s"$idx/sqparams")
+          .orderBy("dim").collect()
+        (rows.map(_.getAs[Double]("mn")), rows.map(_.getAs[Double]("scale")))
+      }
+      val probes = Seq(
+        mns(0) + 255.5 * scales(0),  // exact upper saturation edge
+        mns(0) + 255.0 * scales(0),  // trained max: in range
+        mns(0) - 0.5 * scales(0),    // exact lower edge: floor → 0
+        mns(0) - 0.51 * scales(0))   // below: clamps to code 0
+      val batch = probes.zipWithIndex.map { case (x, i) =>
+        (500L + i, Seq(x.toFloat, mns(1).toFloat)) }
+        .toDF("vec_id", "embedding")
+      // reference = the ENCODER's own arithmetic on the float-rounded
+      // inputs (second dim sits at its mn: never clamps)
+      val expected = probes.map(_.toFloat.toDouble).count { x =>
+        val q = math.floor((x - mns(0)) / scales(0) + 0.5)
+        q < 0.0 || q > 255.0
+      }.toDouble / (probes.size * 2)
+      assert(expected > 0.0, "fixture must include clamping probes")
+      assert(Quantize.sqClampRate(spark, idx, batch) == expected,
+        s"rate must match the encoder's own floor arithmetic exactly " +
+          s"(expected $expected)")
+    }
     // streaming sink: the calm batch stays silent, the drifted batch
     // fires the callback with its batch id + measured rate — and the
     // index params stay frozen either way (no mid-stream rebuild)

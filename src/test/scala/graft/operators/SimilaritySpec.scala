@@ -297,4 +297,62 @@ class SimilaritySpec extends SparkSpec {
     assert(nFiles() == afterFiles,
       "replaying an applied batch after compaction must not re-append")
   }
+
+  test("index build pays NO dedicated drift-baseline pass: exactly " +
+      "three corpus-wide jobs (centroid sample, fingerprint, cells " +
+      "write), and the observed baseline matches the direct aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_jobs").toString
+    val src = s"$dir/corpus"
+    graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .write.parquet(src)
+    val e = spark.read.parquet(src)
+    val corpusRows = e.count()
+    assert(corpusRows > 0L)
+    // attribute each task's input records to its job; a job reading
+    // ≥ the full corpus row count is a corpus-wide pass
+    val stageToJob = new java.util.concurrent.ConcurrentHashMap[
+      Integer, Integer]()
+    val bytesByJob = new java.util.concurrent.ConcurrentHashMap[
+      Integer, java.util.concurrent.atomic.AtomicLong]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        js.stageIds.foreach(s => stageToJob.put(s, js.jobId))
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          val j = stageToJob.getOrDefault(te.stageId, -1)
+          bytesByJob.computeIfAbsent(j,
+              _ => new java.util.concurrent.atomic.AtomicLong(0L))
+            .addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+        }
+    }
+    val idx = s"$dir/index"
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.buildIvfIndex(spark, e, idx, nlist = 8, replicas = 2)
+      Thread.sleep(1500) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    val fullScans = bytesByJob.values.asScala.map(_.get())
+      .count(_ >= corpusRows)
+    // the three passes a build cannot avoid: the centroid training
+    // sample (TakeOrdered reads every row), the corpus fingerprint,
+    // and the cells write. The drift baseline must ride the cells
+    // write as an observed metric — a FOURTH corpus-wide job means a
+    // dedicated baseline pass crept back in (it doubles every index
+    // build at any corpus size).
+    assert(fullScans == 3,
+      s"expected exactly 3 corpus-wide jobs in buildIvfIndex, saw " +
+        s"$fullScans (records/job: " +
+        s"${bytesByJob.values.asScala.map(_.get()).toSeq.sorted}, " +
+        s"corpus $corpusRows rows)")
+    // the observed sidecar aggregate equals the direct computation
+    val base = Similarity.driftBase(spark, idx)
+    assert(base.isDefined, "build must still persist the drift baseline")
+    val direct = Similarity.batchAffinity(spark, idx, e)
+    assert(math.abs(base.get - direct) < 1e-9,
+      s"observed baseline ${base.get} != direct aggregate $direct")
+  }
 }
