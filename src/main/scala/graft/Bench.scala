@@ -30,9 +30,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
+    // 3 passes by default: the min filters one-time fixture builds and
+    // co-tenant stalls, the MEDIAN separates structural regressions
+    // from ambient noise (two r12 watch items were unjudgeable from
+    // min-of-2 on a host with ±2× swings)
     val runs = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption)
-        .getOrElse(2))
+        .getOrElse(3))
     // BENCH_ONLY adjudication runs select the heaviest queries by
     // construction; packing them into one 16-slot session concentrates
     // GC/codegen pressure that the full run dilutes across groups (r5:
@@ -120,6 +124,14 @@ object Bench {
     val timed = selected.keys.toSeq.sorted.filter(samples.contains)
     val results = timed.map(n => n -> samples(n).min)
     val total = results.map(_._2).sum
+    // median per query (lower-middle for even sample counts): the
+    // noise-robust statistic regressions are adjudicated against
+    def medianOf(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s((s.size - 1) / 2)
+    }
+    val medians = timed.map(n => n -> medianOf(samples(n)))
+    val totalMedian = medians.map(_._2).sum
     // spread = max/min across passes; > 1.5 means the number is
     // interference-suspect, not a code regression
     val spreads = timed.map(n =>
@@ -172,13 +184,19 @@ object Bench {
     val fullFails = failures.toSeq.sortBy(_._1).map { case (n, e) =>
       "\"" + n + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
+    val fullMedians = medians.map { case (n, v) =>
+      "\"" + n + "\":" + v }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","samples":$fullQs,"failed":$fullFails,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMedian,"samples":$fullQs,"medians":$fullMedians,"failed":$fullFails,"sf":"$sfDir","runs":$runs}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedArr,"spread_max":$suspect,"sf":"$sfDir","runs":$runs}""")
+    // compact line: "value" stays the min-total (comparable to every
+    // prior round); "value_median" is the noise-robust total. Per-query
+    // medians live in bench_full.json (the ~2KB stdout tail cannot
+    // carry two full per-query maps).
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_median":${fmt(totalMedian)},"queries":$qs,"failed":$failedArr,"spread_max":$suspect,"sf":"$sfDir","runs":$runs}""")
     if (failures.nonEmpty) {
       failures.toSeq.sortBy(_._1).foreach { case (n, e) =>
         System.err.println(s"BENCH FAILURE $n: $e") }

@@ -927,7 +927,7 @@ object Quantize {
 
   /** The index's persisted quantization params, driver-collected —
     * bounded by DIMENSIONALITY, the PQ-codebook discipline. */
-  private def readSqParams(spark: SparkSession,
+  private[operators] def readSqParams(spark: SparkSession,
       indexDir: String): (Array[Double], Array[Double]) = {
     val rows = spark.read.parquet(s"$indexDir/sqparams")
       .orderBy("dim").collect()

@@ -1072,6 +1072,71 @@ object Similarity {
     vsCorpus.unionByName(vsBatch).distinct()
   }
 
+  /** [[semDedupProbe]] against an IVF-SQ8 index — the incremental-dedup
+    * scan is the hottest RECURRING read of a daily admission pipeline,
+    * and the engine already stores the corpus at 1 byte/dimension: the
+    * candidate pass scans CODES-ONLY cell files (the same 4×
+    * working-set cut every SQ8 ANN probe gets), decoding inside the
+    * codegen cosine, at the LOOSENED threshold `tau - candidateMargin`;
+    * surviving (corpus, batch) pairs then re-check EXACTLY on original
+    * embeddings from `corpus` at `tau`. Quantization can therefore only
+    * cost candidate recall INSIDE the margin (a true pair whose
+    * quantized cosine sits within `candidateMargin` of `tau` still
+    * surfaces; a false candidate dies at the exact check) — verdict
+    * precision is never quantized. The batch-internal half runs full
+    * precision (the batch carries its own embeddings). Precedence,
+    * replica-recall, and disjoint-id semantics are [[semDedupProbe]]'s. */
+  def semDedupProbeSq(spark: SparkSession, batch: DataFrame,
+      indexDir: String, corpus: DataFrame, tau: Double,
+      candidateMargin: Double = 0.05): DataFrame = {
+    VectorFunctions.register(spark)
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val (mns, scales) = Quantize.readSqParams(spark, indexDir)
+    val b = batch.select(col("vec_id"), col("embedding"),
+      bestCells(centroids, col("embedding"), 1).getItem(0).as("cell"))
+      .localCheckpoint()
+    val probed = b.select(col("cell")).distinct().collect().map(_.get(0))
+    val bq = b.select(col("cell"), col("vec_id").as("b"),
+      transform(col("embedding"), x => x.cast("double")).as("qb"))
+    // codes-only candidate scan: the probed cell files hold
+    // (vec_id, codes) — no embedding column exists in them at all
+    val r0 = Quantize.sqDecode(col("codes"), mns, scales)
+    val decoded = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col("cell"), col("vec_id").as("a"), r0.as("__r"),
+        aggregate(r0, lit(0.0d), (acc, x) => acc + x * x).as("__nn"))
+    val qn = aggregate(col("qb"), lit(0.0d), (acc, x) => acc + x * x)
+    val dot = aggregate(zip_with(col("qb"), col("__r"), (x, y) => x * y),
+      lit(0.0d), (acc, v) => acc + v)
+    // zero-norm rows divide to NaN, which Spark orders above every
+    // double — they pass as candidates and die at the exact check
+    // (cosine_sim's zero-vector guard), never silently vanish
+    val candidates = decoded.join(broadcast(bq), Seq("cell"))
+      .filter(dot / (sqrt(col("__nn")) * sqrt(qn)) >
+        tau - candidateMargin)
+      .select(col("a"), col("b")).distinct()
+    // exact verdict on the ORIGINAL embeddings (the index stores none);
+    // candidate pairs are probe-bounded, so both joins broadcast them
+    val vsCorpus = corpus
+      .select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(broadcast(candidates), Seq("a"))
+      .join(broadcast(b.select(col("vec_id").as("b"),
+        col("embedding").as("eb"))), Seq("b"))
+      .filter(expr("cosine_sim(ea, eb)") > tau)
+      .select(col("b").as("vec_id"))
+    val lhs = b.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("ea"))
+    val rhs = b.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("eb"))
+    val vsBatch = lhs.join(rhs, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(expr("cosine_sim(ea, eb)") > tau)
+      .select(col("b").as("vec_id"))
+    vsCorpus.unionByName(vsBatch).distinct()
+  }
+
   // ---------------------------------------------------------------------
   // q110_semdedup_incremental — the incremental probe under the q106b
   // planted construction, with the index assembled through BOTH write
@@ -1083,21 +1148,28 @@ object Similarity {
   // copy's single assignment IS that cell (the exponent-shift
   // argument), so removal is structural; copies of distinct originals
   // stay in the natural ≤0.6 range and never remove each other.
+  // The index is SQ8-BACKED (round 13): the candidate pass reads
+  // 1-byte/dim codes, the verdict re-checks exactly on the original
+  // embeddings — so the gate pins the production shape of the daily
+  // admission scan (codes-only candidates + exact verify), not just
+  // the float fallback. The planted construction's margins make the
+  // candidate loosening invisible: copy-vs-original true cosine is
+  // 1.0, natural pairs sit ≤ 0.6, both far from tau = 0.9 ± margin.
   // ---------------------------------------------------------------------
   def q110SemDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val idx = gateIndexDir(dir, nlist = 8, replicas = 2) + "_sem"
+    val idx = gateIndexDir(dir, nlist = 8, replicas = 2) + "_semsq8"
     if (!new java.io.File(s"$idx.complete").exists()) {
-      buildIvfIndex(s, e.filter(col("vec_id") % 2 === 0), idx,
+      Quantize.buildIvfSqIndex(s, e.filter(col("vec_id") % 2 === 0), idx,
         nlist = 8, replicas = 2)
-      appendToIvfIndex(s, e.filter(col("vec_id") % 2 === 1), idx)
+      Quantize.appendToIvfSqIndex(s, e.filter(col("vec_id") % 2 === 1), idx)
       new java.io.File(s"$idx.complete").createNewFile()
     }
     val batch = e.filter(col("vec_id") % 20 === 0)
       .select((col("vec_id") + Dedup.PlantOffset).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-    semDedupProbe(s, batch, idx, tau = 0.9)
+    semDedupProbeSq(s, batch, idx, e, tau = 0.9)
   }
 
   val q110SemDedupIncrementalSql: String =

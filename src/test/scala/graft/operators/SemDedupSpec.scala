@@ -86,4 +86,54 @@ class SemDedupSpec extends SparkSpec {
       assert(got == expected, s"nlist=$nlist must remove exactly the copies")
     }
   }
+
+  test("semDedupProbeSq: SQ8-backed probe equals the float probe, and " +
+      "its candidate scan reads CODES ONLY (no embedding column)") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("semsq").toString
+    val fIdx = s"$dir/fidx"; val sIdx = s"$dir/sidx"
+    Similarity.buildIvfIndex(spark, e, fIdx, nlist = 8, replicas = 2)
+    Quantize.buildIvfSqIndex(spark, e, sIdx, nlist = 8, replicas = 2)
+    // the q110 batch shape: ×2 copies of every 20th corpus vector plus
+    // the probe-spec trio (corpus copy / negation / negated copy)
+    val e0 = e.filter(col("vec_id") === 0)
+    val batch = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + Dedup.PlantOffset).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      .unionByName(e0.select(lit(20000001L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding")))
+      .unionByName(e0.select(lit(20000002L).as("vec_id"),
+        transform(col("embedding"), x => -x * lit(2.0f)).as("embedding")))
+    val viaFloat = removed(
+      Similarity.semDedupProbe(spark, batch, fIdx, tau = 0.9))
+    val sq = Similarity.semDedupProbeSq(spark, batch, sIdx, e, tau = 0.9)
+    assert(removed(sq) == viaFloat,
+      "SQ8 candidates + exact verify must reproduce the float probe")
+    // plan shape: every scan of the SQ8 index's cell files carries a
+    // codes-only read schema — the 4× working-set cut is physical,
+    // not aspirational
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match { // descend through AQE wrappers, whose stages are not children
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => scans(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans) ++
+          other.subqueries.flatMap(scans)
+      }
+    val cellScans = scans(sq.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("sidx/cells")))
+      .map(_.requiredSchema.fieldNames.toSeq)
+    assert(cellScans.nonEmpty, "the candidate pass must scan the index")
+    cellScans.foreach { fields =>
+      assert(fields.contains("codes") && !fields.contains("embedding"),
+        s"candidate scan must read codes only, saw $fields")
+    }
+  }
 }
