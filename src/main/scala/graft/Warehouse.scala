@@ -213,6 +213,14 @@ object Warehouse {
         * genuinely large history pays only the machinery built for
         * it. */
       sweepLiteralMaxBytes: Long = 4L * 1024 * 1024,
+      /** Named identity registries for [[Warehouse.forgetIdentity]]:
+        * identity kind → every (table, column) where that identity's
+        * keys appear. Lets compliance tooling say "forget user X
+        * everywhere" without knowing the schema at the call site —
+        * the registry is reviewed once, with the schema, by whoever
+        * owns it (the FK-rules discipline). The per-call mappings
+        * variant stays for ad-hoc requests. */
+      identityMap: Map[String, Seq[(String, String)]] = Map.empty,
       /** Loud ceiling on a CROSS-COLUMN forget's id mapping (distinct
         * maintained-store ids matched by the request). The mapping is
         * captured driver-side and journaled, so it must stay
@@ -492,6 +500,110 @@ object Warehouse {
       |  (SELECT COUNT(*) FROM e WHERE event_id % 3 <> 2)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q279_raw_retirement — AGE-BASED RAW-LAYER retirement end-to-end
+  // (the byte-reclaim layer q276's metadata-only retention leaves):
+  // three source files partition events into wholly-old (every row
+  // before min(date)+7), current, and late-arriving current. After the
+  // first sync + retention, retireRawOlderThan must reclaim EXACTLY
+  // the wholly-old file's bytes and ledger its name; the second sync
+  // runs against the FULL upstream manifest — which still lists the
+  // retired file by name — and must fetch ONLY the late file (the
+  // suppression ledger feeds the A4 anti-join; without it the diff
+  // would resurrect the retired bytes forever); a third identical sync
+  // fetches nothing. Canonical content stays exactly the
+  // watermark-filtered corpus throughout (the fingerprint rebase means
+  // retirement itself triggers no canonical rewrite). Oracle: DuckDB
+  // recomputes the cutoff and filters the source events; the
+  // fetch/retire counters are structural constants of the protocol.
+  // ---------------------------------------------------------------------
+  def q279RawRetirement(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = s"$gateBase/rr_${dir.hashCode.toHexString}"
+    val whDir = s"$root/wh"
+    val schema = Seq(graft.model.CDTable("ev", None, Seq(
+      graft.model.CDColumn("event_id", "bigint"),
+      graft.model.CDColumn("d", "date"),
+      graft.model.CDColumn("user_id", "bigint"))))
+    val st = graft.model.TypeLattice.toStructType(schema.head)
+    def cfg = Config(whDir, db = "graft_rraw", canonicalize = true,
+      canonicalSpecs = Map("ev" -> CanonicalSpec(Seq("d"))),
+      manifestTables = Seq("ev"))
+    val evFile = java.nio.file.Paths.get(s"$root.evidence")
+    if (!new java.io.File(s"$root.complete").exists()) {
+      val e = graft.operators.t(s, dir, "events")
+        .select(col("event_id"), to_date(col("ts")).as("d"),
+          col("user_id"))
+      val cut = e.agg(date_add(min(col("d")), 7)).head().getDate(0)
+      def tsv(name: String, df: org.apache.spark.sql.DataFrame)
+          : graft.pipeline.Sync.ManifestEntry = {
+        val out = s"$root/src_$name"
+        df.coalesce(1).write.mode("overwrite").option("sep", "\t")
+          .option("nullValue", "\\N").option("quote", "").csv(out)
+        val f = new java.io.File(out).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        graft.pipeline.Sync.ManifestEntry("ev", s"$name.tsv",
+          f.toURI.toString)
+      }
+      val fOld = tsv("old", e.filter(col("d") < lit(cut)))
+      val fNew = tsv("new", e.filter(col("d") >= lit(cut) &&
+        col("event_id") % 2 === 0))
+      val fLate = tsv("late", e.filter(col("d") >= lit(cut) &&
+        col("event_id") % 2 === 1))
+      val wh = new Warehouse(s, cfg)
+      wh.sync(Seq(fOld, fNew), schema)
+      wh.retireOlderThan("ev", "d", cut.toString)
+      val rr = wh.retireRawOlderThan(schema, "ev", "d")
+      require(rr.filesRetired == 1L && rr.bytesReclaimed > 0L,
+        s"exactly the wholly-old file must retire, got $rr")
+      // idempotent: a re-run finds nothing left to retire
+      val rr2 = wh.retireRawOlderThan(schema, "ev", "d")
+      require(rr2.filesRetired == 0L, rr2.toString)
+      val sum2 = wh.sync(Seq(fOld, fNew, fLate), schema)
+      val sum3 = wh.sync(Seq(fOld, fNew, fLate), schema)
+      java.nio.file.Files.writeString(evFile,
+        s"${rr.filesRetired}|${sum2.fetched}|${sum3.fetched}")
+      new java.io.File(s"$root.complete").createNewFile()
+    }
+    val ev = java.nio.file.Files.readString(evFile).trim.split('|')
+    val canon = new Warehouse(s, cfg).canonicalTable("ev")
+    val rawFiles = new java.io.File(s"$whDir/raw_files/ev")
+      .listFiles().toSeq
+      .filterNot(f => f.getName.startsWith(".") ||
+        f.getName.startsWith("_"))
+      .map(_.getPath)
+    val raw = graft.sources.TsvSource.read(s, st, rawFiles)
+    val e = graft.operators.t(s, dir, "events")
+      .select(col("event_id"), to_date(col("ts")).as("d"))
+    val cut = e.agg(date_add(min(col("d")), 7)).head().getDate(0)
+    val rows = Seq(
+      ("cur_sum_id", canon.agg(sum(col("event_id"))).head().getLong(0)),
+      ("cur_total", canon.count()),
+      ("raw_rows", raw.count()),
+      ("raw_old_rows", raw.filter(col("d") < lit(cut)).count()),
+      ("files_retired", ev(0).toLong),
+      ("second_sync_fetched", ev(1).toLong),
+      ("third_sync_fetched", ev(2).toLong))
+    val sqlCtx = s
+    import sqlCtx.implicits._
+    rows.toDF("metric", "value")
+  }
+
+  val q279RawRetirementSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT MIN(d) + 7 AS cut FROM e),
+      |cur AS (SELECT * FROM e WHERE d >= (SELECT cut FROM c))
+      |SELECT 'cur_sum_id' AS metric,
+      |  (SELECT CAST(SUM(event_id) AS BIGINT) FROM cur) AS value
+      |UNION ALL SELECT 'cur_total', (SELECT COUNT(*) FROM cur)
+      |UNION ALL SELECT 'raw_rows', (SELECT COUNT(*) FROM cur)
+      |UNION ALL SELECT 'raw_old_rows', CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'files_retired', CAST(1 AS BIGINT)
+      |UNION ALL SELECT 'second_sync_fetched', CAST(1 AS BIGINT)
+      |UNION ALL SELECT 'third_sync_fetched', CAST(0 AS BIGINT)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q275_forget_identity — WAREHOUSE-WIDE RTBF in one request: the
   // identity (a document id) lives in two tables under two DIFFERENT
   // column names (posts.doc_id, ratings.ref_id); forgetIdentity fans
@@ -727,8 +839,13 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     * converges. */
   def sync(manifest: Seq[Sync.ManifestEntry],
       schema: Seq[CDTable]): Sync.SyncSummary = {
+    // age-retired raw files the upstream manifest still lists must
+    // read as "skip", never "fetch" (see [[retireRawOlderThan]])
+    val retired = schema.flatMap(t =>
+      retiredRawFiles(t.tableName)
+        .map(n => s"${Sync.RawPrefix}/${t.tableName}/$n")).toSet
     val summary = Sync.run(spark, cfg.warehouseDir, manifest, schema,
-      cfg.db, cfg.dryRun, cfg.parallelism)
+      cfg.db, cfg.dryRun, cfg.parallelism, retired)
     // the summary describes the sync — notify unconditionally (the
     // reference publishes to SNS before anything else can fail), even if
     // the optional canonical refresh below throws
@@ -895,6 +1012,20 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       writeForgetDone(t.tableName, reqId)
       (t.tableName, c) -> sum
     }.toMap
+  }
+
+  /** [[forgetIdentity]] through the CONFIG-REGISTERED identity map
+    * ([[Warehouse.Config.identityMap]]): "forget these `identity` keys
+    * everywhere" with zero schema knowledge at the call site — the
+    * registry, reviewed once by its owner, supplies the (table, column)
+    * fan-out. Same all-or-nothing admission and per-table durability. */
+  def forgetIdentity(schema: Seq[CDTable], identity: String,
+      keys: Seq[Any]): Map[(String, String), ForgetSummary] = {
+    val mappings = cfg.identityMap.getOrElse(identity,
+      throw new IllegalArgumentException(
+        s"no identity '$identity' in Config.identityMap (known: " +
+          s"${cfg.identityMap.keys.toSeq.sorted.mkString(", ")})"))
+    forgetIdentity(schema, mappings, keys)
   }
 
   /** The deterministic validations of a forget request, shared by
@@ -2206,6 +2337,111 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       }
       res
     }
+  }
+
+  // --- age-based RAW-layer retirement -------------------------------
+
+  /** What [[retireRawOlderThan]] reclaimed. */
+  final case class RawRetireSummary(filesRetired: Long,
+      bytesReclaimed: Long)
+
+  private def retiredRawDir(table: String) =
+    s"$retentionDir/retired_$table"
+
+  /** Raw file names retired by age — the suppression set the sync diff
+    * consults (the `sweptFiles` pattern) so an upstream manifest that
+    * still lists a retired file never re-fetches it. Bounded by FILE
+    * COUNT, the cardinality the sync's own listing already handles. */
+  private[graft] def retiredRawFiles(table: String): Set[String] =
+    graft.pipeline.AppendCommit.appliedEntries(retiredRawDir(table))
+      .flatMap(_._2.split("\n")).filter(_.nonEmpty).toSet
+
+  private def markRetiredRaw(table: String, files: Seq[String]): Unit =
+    graft.pipeline.AppendCommit.markApplied(retiredRawDir(table),
+      s"rt_${graft.pipeline.AppendCommit.contentId(
+        files.sorted.mkString("\n"))}",
+      files.mkString("\n"))
+
+  /** AGE-BASED RAW-LAYER RETIREMENT — the byte-reclaim counterpart of
+    * [[retireOlderThan]], which retires CANONICAL partitions as
+    * metadata and deliberately leaves the immutable fetch archive.
+    * Deletes every raw TSV file of `table` whose rows sit WHOLLY
+    * before the persisted retention watermark (per-file max(dateCol)
+    * < cutoff AND zero NULL dates — a NULL-dated row has unknown age
+    * and pins its file, the same conservatism as canonical
+    * retention's null partition), recording the names in a
+    * retired-file suppression ledger the sync diff consults: the
+    * upstream manifest still lists these files (the reference diffs
+    * by name, `sync-canvas-data-files.py:58-67`), so without the
+    * ledger the A4 anti-join would re-fetch every retired file on the
+    * next sync, forever.
+    *
+    * Crash order: ledger FIRST, bytes second — a crash between the
+    * two leaves the file present-but-suppressed and the next sync's
+    * stale delete (A9: on-disk keys absent from the live manifest)
+    * completes the reclaim; the reverse order would resurrect the
+    * file. Cost: ONE batched discovery scan over the not-yet-retired
+    * candidates (per-file max + null count), O(hit files) deletes.
+    * The canonical `_raw_fingerprint` marker is REBASED afterwards
+    * ([[graft.pipeline.Canonicalize.rebaseFingerprint]]): the deleted
+    * rows live only in partitions the watermark already drops, so
+    * retirement must not trigger the full canonical rewrite it exists
+    * to avoid. Mixed files (any row at or past the cutoff, or of
+    * unknown age) are untouched — their expired rows are already
+    * invisible downstream and leave the raw layer when their whole
+    * file ages out. Time travel to pre-retire canonical generations
+    * is unaffected (manifest generations never reference raw files). */
+  def retireRawOlderThan(schema: Seq[CDTable], table: String,
+      dateCol: String): RawRetireSummary = {
+    import org.apache.spark.sql.functions._
+    val (c0, cut) = readRetentionWatermark(table).getOrElse(
+      throw new IllegalArgumentException(s"no retention watermark " +
+        s"for $table — call retireOlderThan first"))
+    require(c0 == dateCol,
+      s"$table's retention watermark is on $c0, not $dateCol")
+    val t = schema.find(_.tableName == table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table $table"))
+    val candidates = rawListing(table).filterNot(retiredRawFiles(table))
+    if (candidates.isEmpty) return RawRetireSummary(0L, 0L)
+    val st = graft.model.TypeLattice.toStructType(t)
+    val ci = st.fieldNames.indexOf(dateCol)
+    require(ci >= 0, s"no column $dateCol in $table")
+    val tableDir = s"${cfg.warehouseDir}/${Sync.RawPrefix}/$table"
+    val dExpr = expr(
+      s"try_cast(nullif(element_at(split(value, '\\t', -1), " +
+        s"${ci + 1}), '\\\\N') AS ${st.fields(ci).dataType.sql})")
+    val stats = spark.read
+      .text(candidates.map(f => s"$tableDir/$f"): _*)
+      .select(input_file_name().as("__f"), dExpr.as("__d"))
+      .groupBy(col("__f"))
+      .agg(max(col("__d").cast("string")).as("__max"),
+        sum(when(col("__d").isNull, 1L).otherwise(0L)).as("__nulls"))
+      .collect()
+    // ISO-formatted temporal strings compare lexicographically =
+    // chronologically, so "wholly before" is one string compare/file
+    val cutIso = cut.toString
+    val retire = stats.filter(r => !r.isNullAt(1) &&
+        r.getString(1) < cutIso && r.getLong(2) == 0L)
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
+      .toSeq.sorted
+    if (retire.isEmpty) return RawRetireSummary(0L, 0L)
+    val fpBefore = graft.pipeline.Canonicalize.rawFingerprint(spark,
+      cfg.warehouseDir, table)
+    markRetiredRaw(table, retire)
+    val fs = fsOf
+    var bytes = 0L
+    retire.foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(tableDir, n)
+      if (fs.exists(p)) {
+        bytes += fs.getFileStatus(p).getLen
+        fs.delete(p, false)
+      }
+    }
+    graft.pipeline.Canonicalize.rebaseFingerprint(spark,
+      cfg.warehouseDir, table, fpBefore)
+    this.log.info(s"raw retirement on $table.$dateCol < $cutIso: " +
+      s"${retire.size} file(s), $bytes byte(s) reclaimed")
+    RawRetireSummary(retire.size.toLong, bytes)
   }
 
   /** Per-sync re-application of every persisted retention watermark

@@ -138,6 +138,34 @@ object Canonicalize {
     * exactly the not-yet-processed raw files), and a batch SafeSwap here
     * would corrupt the sink log ([[canonicalize]] doc). Skipping keeps
     * `Warehouse.sync(canonicalize = true)` safe over a mixed warehouse. */
+  /** Rebase the canonical layer's raw-fingerprint marker after an
+    * out-of-band raw-layer change that provably does NOT change what
+    * the canonical layer should hold (age-based raw retirement: the
+    * deleted files' rows live only in partitions the retention
+    * watermark already dropped and keeps dropping). Rewrites the
+    * marker ONLY when it matched `before` — a canonical layer that was
+    * already stale stays stale and rebuilds as it would have. Without
+    * the rebase, every raw retirement would trigger a FULL canonical
+    * rewrite at the next sync — an O(table) rewrite to delete bytes a
+    * manifest drop already handled, exactly the cost class retention
+    * exists to avoid. */
+  def rebaseFingerprint(spark: SparkSession, warehouseDir: String,
+      table: String, before: String): Unit = {
+    val out = s"$warehouseDir/$CanonicalPrefix/$table"
+    val fs = fsFor(warehouseDir)
+    val marker = new org.apache.hadoop.fs.Path(out, "_raw_fingerprint")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val cur = try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      if (cur == before) {
+        val fp = rawFingerprint(spark, warehouseDir, table)
+        val os = fs.create(marker, true)
+        try os.write(fp.getBytes("UTF-8")) finally os.close()
+      }
+    }
+  }
+
   def canonicalizeIncremental(
       spark: SparkSession,
       warehouseDir: String,

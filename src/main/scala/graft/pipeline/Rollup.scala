@@ -78,6 +78,11 @@ object Rollup {
       : org.apache.spark.sql.Column =
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      // NTZ (the events-table shape): cast to instant under the session
+      // zone — every graft session pins UTC, so this IS the epoch-micros
+      // identity and bins agree with an oracle's epoch_us()
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
       case org.apache.spark.sql.types.DateType => unix_date(col(c))
       case _ => col(c)
     }
@@ -199,6 +204,7 @@ object Rollup {
     spec.histCols.map(_.col).filter(c =>
       schema.fields.find(_.name == c).map(_.dataType).exists(dt =>
         dt == org.apache.spark.sql.types.TimestampType ||
+          dt == org.apache.spark.sql.types.TimestampNTZType ||
           dt == org.apache.spark.sql.types.DateType))
 
   private def writeHistScale(spark: SparkSession, dir: String,
@@ -737,6 +743,106 @@ object Rollup {
       |      ORDER BY bin) AS bins
       |  FROM both_ GROUP BY o_orderstatus)
       |SELECT o_orderstatus, CAST(n_ref AS BIGINT) AS n_ref,
+      |  CAST(n_cur AS BIGINT) AS n_cur, CAST(n_bins AS BIGINT) AS n_bins,
+      |  list_reduce(list_prepend(0.0::DOUBLE,
+      |    [((CAST(b.rc AS DOUBLE) + 1.0)
+      |        / (CAST(n_ref AS DOUBLE) + CAST(n_bins AS DOUBLE))
+      |      - (CAST(b.cc AS DOUBLE) + 1.0)
+      |        / (CAST(n_cur AS DOUBLE) + CAST(n_bins AS DOUBLE)))
+      |     * ln(((CAST(b.rc AS DOUBLE) + 1.0)
+      |        / (CAST(n_ref AS DOUBLE) + CAST(n_bins AS DOUBLE)))
+      |       / ((CAST(b.cc AS DOUBLE) + 1.0)
+      |        / (CAST(n_cur AS DOUBLE) + CAST(n_bins AS DOUBLE))))
+      |     FOR b IN bins]),
+      |    (a, x) -> a + x) AS psi
+      |FROM k""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q278_temporal_psi — q116's drift gate with the DRIFTING COLUMN a
+  // TIMESTAMP under the epoch-scaled bins (scale version 2): timestamps
+  // are the commonest drifting column class in an event warehouse, and
+  // the r12 scale-version migration specifically touched their bin
+  // units, so the PSI fold must be pinned over epoch-micro bins, not
+  // just numerics. The planted shift moves ONE group ('error') +48 h.
+  // The fixture ALSO pins rebuild-not-fold: after the incremental
+  // build, the current store's `_hist_scale` marker is rewritten to a
+  // legacy version and the maintenance contract replays — the store
+  // REBUILDS from the full snapshot (what [[graft.Warehouse]] does on
+  // first touch); had the code folded into the legacy-scale store
+  // instead, the merged map would mix bin-id unit systems and every
+  // PSI double would move against the oracle.
+  // ---------------------------------------------------------------------
+  def q278TemporalPsi(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600.0 * 1e6
+    val events = graft.Tables.load(s, dir, "events")
+    val refStore = s"$gateBase/tp_ref_${dir.hashCode.toHexString}"
+    val curStore = s"$gateBase/tp_cur_${dir.hashCode.toHexString}"
+    val spec = Spec(groupCols = Seq("event_type"),
+      histCols = Seq(Hist("ts", hourUs)))
+    if (!new java.io.File(s"$refStore.complete").exists()) {
+      init(s, refStore, events.filter(col("event_id") % 2 === 0), spec,
+        Seq("r0"))
+      val cur = events.filter(col("event_id") % 2 === 1)
+        .withColumn("ts",
+          when(col("event_type") === "error",
+            col("ts") + expr("INTERVAL 48 HOURS"))
+            .otherwise(col("ts")))
+      init(s, curStore, cur.filter(col("event_id") % 3 === 0), spec,
+        Seq("c0"))
+      merge(s, curStore, cur.filter(col("event_id") % 3 =!= 0), spec,
+        Seq("c1"))
+      // legacy-scale store in the maintenance path: folding must be
+      // REFUSED and the store rebuilt whole (the Warehouse first-touch
+      // contract) — emulated exactly: plant the legacy marker, observe
+      // the refusal, rebuild from the full snapshot
+      locally {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(curStore),
+          s.sparkContext.hadoopConfiguration)
+        val os = fs.create(
+          new org.apache.hadoop.fs.Path(curStore, "_hist_scale"), true)
+        try os.write("1".getBytes("UTF-8")) finally os.close()
+        val refused =
+          try { merge(s, curStore, cur, spec, Seq("c2")); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused,
+          "a legacy-scale temporal store must refuse the fold")
+        fs.delete(new org.apache.hadoop.fs.Path(curStore), true)
+        init(s, curStore, cur, spec, Seq("c0", "c1"))
+      }
+      new java.io.File(s"$refStore.complete").createNewFile()
+    }
+    histDrift(s, refStore, curStore, spec, "ts")
+  }
+
+  val q278TemporalPsiSql: String =
+    """WITH ref AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bin,
+      |    COUNT(*) AS c
+      |  FROM events WHERE event_id % 2 = 0 AND ts IS NOT NULL
+      |  GROUP BY 1, 2),
+      |cur AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(epoch_us(
+      |      CASE WHEN event_type = 'error' THEN ts + INTERVAL 48 HOUR
+      |           ELSE ts END) / 3600000000.0) AS BIGINT) AS bin,
+      |    COUNT(*) AS c
+      |  FROM events WHERE event_id % 2 = 1 AND ts IS NOT NULL
+      |  GROUP BY 1, 2),
+      |both_ AS (
+      |  SELECT COALESCE(r.event_type, c.event_type) AS event_type,
+      |    COALESCE(r.bin, c.bin) AS bin,
+      |    COALESCE(r.c, 0) AS rc, COALESCE(c.c, 0) AS cc
+      |  FROM ref r FULL OUTER JOIN cur c
+      |    ON r.event_type = c.event_type AND r.bin = c.bin),
+      |k AS (
+      |  SELECT event_type, SUM(rc) AS n_ref, SUM(cc) AS n_cur,
+      |    COUNT(*) AS n_bins,
+      |    list(struct_pack(bin := bin, rc := rc, cc := cc)
+      |      ORDER BY bin) AS bins
+      |  FROM both_ GROUP BY event_type)
+      |SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref,
       |  CAST(n_cur AS BIGINT) AS n_cur, CAST(n_bins AS BIGINT) AS n_bins,
       |  list_reduce(list_prepend(0.0::DOUBLE,
       |    [((CAST(b.rc AS DOUBLE) + 1.0)

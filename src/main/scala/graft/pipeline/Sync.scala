@@ -218,14 +218,25 @@ object Sync {
       schema: Seq[CDTable],
       db: String = "canvasdata",
       dryRun: Boolean = false,
-      parallelism: Int = 32): SyncSummary = {
+      parallelism: Int = 32,
+      suppressedKeys: Set[String] = Set.empty): SyncSummary = {
     import spark.implicits._
-    val manifestDs = manifest.toDS()
+    // suppressed keys (age-RETIRED raw files the upstream manifest
+    // still lists — [[graft.Warehouse.retireRawOlderThan]]'s ledger)
+    // leave the manifest BEFORE the diff: their bytes were reclaimed
+    // deliberately, so their absence from state must read as "skip",
+    // never "fetch" — the anti-join would otherwise resurrect every
+    // retired file on the next sync forever. Bounded by file COUNT
+    // (the same cardinality as the manifest itself, already a driver
+    // Seq), not rows.
+    val live = manifest.filterNot(e => suppressedKeys(keyOf(e)))
+    val suppressed = (manifest.size - live.size).toLong
+    val manifestDs = live.toDS()
     val state = listState(spark, warehouseDir)
     val p = plan(spark, manifestDs, state)
 
     val toFetchCount = p.toFetch.count()
-    val skipped = p.toSkip.count()
+    val skipped = p.toSkip.count() + suppressed
 
     val fetch = fetchAll(spark, warehouseDir, p.toFetch, parallelism, dryRun)
     val removed = deleteStale(spark, warehouseDir, p.toDelete, dryRun)

@@ -1754,7 +1754,9 @@ class WarehouseSpec extends SparkSpec {
     val whDir = Files.createTempDirectory("wh_fid_root").toUri.toString
       .stripSuffix("/")
     val wh = new Warehouse(spark, Warehouse.Config(whDir,
-      db = "cd_whfid", parallelism = 1, canonicalize = true))
+      db = "cd_whfid", parallelism = 1, canonicalize = true,
+      identityMap = Map(
+        "author" -> Seq(("posts", "doc_id"), ("ratings", "ref_id")))))
     wh.sync(m, schema)
     // admission: the SECOND mapping names a bad column — nothing may
     // journal or purge for the first either
@@ -1767,9 +1769,16 @@ class WarehouseSpec extends SparkSpec {
       new java.net.URI(s"$whDir/_forget/posts"))),
       "a refused identity request must not journal anywhere")
     assert(wh.canonicalTable("posts").count() == 6L)
-    // the valid request: both tables cascade, both journal durably
-    val receipts = wh.forgetIdentity(schema,
-      Seq(("posts", "doc_id"), ("ratings", "ref_id")), Seq(2L, 5L))
+    // an unregistered identity refuses loudly, naming the known ones
+    val exId = intercept[IllegalArgumentException] {
+      wh.forgetIdentity(schema, "reviewer", Seq(2L))
+    }
+    assert(exId.getMessage.contains("reviewer") &&
+      exId.getMessage.contains("author"), exId.getMessage)
+    // the valid request, through the CONFIG REGISTRY: the call site
+    // names the identity kind and the keys, nothing else — the
+    // registered map fans out over both tables
+    val receipts = wh.forgetIdentity(schema, "author", Seq(2L, 5L))
     assert(receipts(("posts", "doc_id")).rawRows == 2L)
     assert(receipts(("ratings", "ref_id")).rawRows == 2L)
     assert(wh.canonicalTable("posts").count() == 4L)
@@ -1796,6 +1805,71 @@ class WarehouseSpec extends SparkSpec {
       .filter(col("doc_id") === 3L).count() == 0L)
     assert(wh.canonicalTable("ratings")
       .filter(col("ref_id") === 3L).count() == 0L)
+  }
+
+  test("raw-layer retirement: wholly-old files reclaim, mixed files " +
+      "survive, the suppression ledger defeats re-fetch, retirement " +
+      "alone triggers no canonical rewrite, and a crash between " +
+      "ledger and delete converges via the stale delete") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("wh_rr_src")
+    def put(name: String, content: String): ManifestEntry = {
+      val d = src.resolve("ev"); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry("ev", name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("ev", None, Seq(
+      CDColumn("event_id", "bigint"),
+      CDColumn("d", "date"))))
+    val oldContent = "1\t2024-01-01\n2\t2024-01-02\n3\t2024-01-03\n"
+    val fOld = put("old.tsv", oldContent)
+    val fMix = put("mix.tsv", "4\t2024-01-02\n5\t2024-01-20\n")
+    val whDir = Files.createTempDirectory("wh_rr_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whrr", parallelism = 1, canonicalize = true,
+      canonicalSpecs = Map("ev" -> Warehouse.CanonicalSpec(Seq("d"))),
+      manifestTables = Seq("ev")))
+    wh.sync(Seq(fOld, fMix), schema)
+    wh.retireOlderThan("ev", "d", "2024-01-10")
+    def canonFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(java.nio.file.Paths.get(
+        new java.net.URI(s"$whDir/canonical/ev")).toFile)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val canonBefore = canonFiles()
+    val rr = wh.retireRawOlderThan(schema, "ev", "d")
+    assert(rr.filesRetired == 1L && rr.bytesReclaimed ==
+      oldContent.length.toLong, rr.toString)
+    val rawDir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/raw_files/ev"))
+    assert(!java.nio.file.Files.exists(rawDir.resolve("old.tsv")))
+    assert(java.nio.file.Files.exists(rawDir.resolve("mix.tsv")),
+      "a file with any current row must survive")
+    // full upstream manifest still lists the retired name: no re-fetch
+    val s2 = wh.sync(Seq(fOld, fMix), schema)
+    assert(s2.fetched == 0L && s2.skipped == 2L, s2.toString)
+    assert(!java.nio.file.Files.exists(rawDir.resolve("old.tsv")),
+      "the suppression ledger must defeat the A4 anti-join")
+    // retirement + the no-op sync rewrote NO canonical data file (the
+    // fingerprint rebase — a full rewrite to delete already-dropped
+    // partitions is the cost class retention exists to avoid)
+    assert(canonFiles() == canonBefore,
+      "raw retirement must not trigger a canonical rewrite")
+    assert(wh.canonicalTable("ev").collect()
+      .map(_.getLong(0)).toSet == Set(5L))
+    // crash between ledger and delete: the file is back on disk while
+    // the ledger already names it — the next sync's stale delete (A9)
+    // completes the reclaim instead of resurrecting it
+    java.nio.file.Files.writeString(rawDir.resolve("old.tsv"),
+      oldContent)
+    val s3 = wh.sync(Seq(fOld, fMix), schema)
+    assert(s3.removed == 1L && s3.fetched == 0L, s3.toString)
+    assert(!java.nio.file.Files.exists(rawDir.resolve("old.tsv")),
+      "a crashed retirement must converge, not resurrect")
   }
 
   test("vacuum: crash debris GCs in one pass — completed-swap asides " +
