@@ -604,6 +604,110 @@ object Warehouse {
       |UNION ALL SELECT 'third_sync_fetched', CAST(0 AS BIGINT)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q280_schema_evolution — SCHEMA-VERSION WIDENING end-to-end: the
+  // reference's schema is versioned and append-only (new columns land
+  // at the END of a table across versions), and its incremental tables
+  // accumulate raw files ACROSS versions — so after a bump the raw dir
+  // permanently mixes row widths, and Athena's LazySimpleSerDe reads
+  // the old (narrower) files under the new DDL with the missing
+  // trailing columns as NULL. This gate replays that lifecycle: sync
+  // #1 lands a v1-width file (no event_type column yet), sync #2
+  // pushes the WIDENED v2 schema plus a v2-width file — it must fetch
+  // only the new file (name diff, unchanged), upsert the catalog DDL
+  // ("updated", the reference's `:227` path), and full-rewrite the
+  // canonical layer under v2 with the old rows' event_type NULL. Both
+  // layers (raw re-read under v2, canonical parquet) must agree with
+  // the oracle's recomputation. Before round 13 this CRASHED: ANSI
+  // element_at threw out-of-bounds on every short row.
+  // ---------------------------------------------------------------------
+  def q280SchemaEvolution(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = s"$gateBase/se_${dir.hashCode.toHexString}"
+    val whDir = s"$root/wh"
+    val v1 = Seq(graft.model.CDTable("ev", None, Seq(
+      graft.model.CDColumn("event_id", "bigint"),
+      graft.model.CDColumn("user_id", "bigint"))))
+    val v2 = Seq(graft.model.CDTable("ev", None, Seq(
+      graft.model.CDColumn("event_id", "bigint"),
+      graft.model.CDColumn("user_id", "bigint"),
+      graft.model.CDColumn("event_type", "varchar"))))
+    def cfg = Config(whDir, db = "graft_sevo", canonicalize = true)
+    val evFile = java.nio.file.Paths.get(s"$root.evidence")
+    if (!new java.io.File(s"$root.complete").exists()) {
+      val e = graft.operators.t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      def tsv(name: String, df: org.apache.spark.sql.DataFrame)
+          : graft.pipeline.Sync.ManifestEntry = {
+        val out = s"$root/src_$name"
+        df.coalesce(1).write.mode("overwrite").option("sep", "\t")
+          .option("nullValue", "\\N").option("quote", "").csv(out)
+        val f = new java.io.File(out).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        graft.pipeline.Sync.ManifestEntry("ev", s"$name.tsv",
+          f.toURI.toString)
+      }
+      // v1-width file: written BEFORE event_type existed
+      val fOld = tsv("v1", e.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id")))
+      val fNew = tsv("v2", e.filter(col("event_id") % 2 === 1))
+      val wh = new Warehouse(s, cfg)
+      val s1 = wh.sync(Seq(fOld), v1)
+      val s2 = wh.sync(Seq(fOld, fNew), v2)
+      java.nio.file.Files.writeString(evFile,
+        s"${s1.fetched}|${s2.fetched}|${s2.tablesUpdated}")
+      new java.io.File(s"$root.complete").createNewFile()
+    }
+    val ev = java.nio.file.Files.readString(evFile).trim.split('|')
+    val canon = new Warehouse(s, cfg).canonicalTable("ev")
+    val rawFiles = new java.io.File(s"$whDir/raw_files/ev")
+      .listFiles().toSeq
+      .filterNot(f => f.getName.startsWith(".") ||
+        f.getName.startsWith("_"))
+      .map(_.getPath)
+    val raw = graft.sources.TsvSource.read(s,
+      graft.model.TypeLattice.toStructType(v2.head), rawFiles)
+    val rows = Seq(
+      ("canon_null_type",
+        canon.filter(col("event_type").isNull).count()),
+      ("canon_typed",
+        canon.filter(col("event_type").isNotNull).count()),
+      ("raw_null_type", raw.filter(col("event_type").isNull).count()),
+      ("raw_typed", raw.filter(col("event_type").isNotNull).count()),
+      ("sum_uid", canon.agg(sum(col("user_id"))).head().getLong(0)),
+      ("n_types", canon.filter(col("event_type").isNotNull)
+        .select(col("event_type")).distinct().count()),
+      ("first_fetched", ev(0).toLong),
+      ("second_fetched", ev(1).toLong),
+      ("ddl_updated", ev(2).toLong))
+    val sqlCtx = s
+    import sqlCtx.implicits._
+    rows.toDF("metric", "value")
+  }
+
+  val q280SchemaEvolutionSql: String =
+    """WITH oldr AS (SELECT * FROM events WHERE event_id % 2 = 0),
+      |newr AS (SELECT * FROM events WHERE event_id % 2 = 1),
+      |nn AS (SELECT
+      |  (SELECT COUNT(*) FROM oldr)
+      |    + (SELECT COUNT(*) FROM newr WHERE event_type IS NULL)
+      |    AS null_type,
+      |  (SELECT COUNT(*) FROM newr WHERE event_type IS NOT NULL)
+      |    AS typed)
+      |SELECT 'canon_null_type' AS metric,
+      |  (SELECT null_type FROM nn) AS value
+      |UNION ALL SELECT 'canon_typed', (SELECT typed FROM nn)
+      |UNION ALL SELECT 'raw_null_type', (SELECT null_type FROM nn)
+      |UNION ALL SELECT 'raw_typed', (SELECT typed FROM nn)
+      |UNION ALL SELECT 'sum_uid',
+      |  (SELECT CAST(SUM(user_id) AS BIGINT) FROM events)
+      |UNION ALL SELECT 'n_types',
+      |  (SELECT COUNT(DISTINCT event_type) FROM newr)
+      |UNION ALL SELECT 'first_fetched', CAST(1 AS BIGINT)
+      |UNION ALL SELECT 'second_fetched', CAST(1 AS BIGINT)
+      |UNION ALL SELECT 'ddl_updated', CAST(1 AS BIGINT)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q275_forget_identity — WAREHOUSE-WIDE RTBF in one request: the
   // identity (a document id) lives in two tables under two DIFFERENT
   // column names (posts.doc_id, ratings.ref_id); forgetIdentity fans
@@ -1795,9 +1899,13 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     if (files.isEmpty) return 0L
     val ci = st.fieldNames.indexOf(c)
     require(ci >= 0, s"no column $c in ${t.tableName}")
+    // try_element_at: a raw file written under an OLDER, NARROWER
+    // schema version has short rows — the key column, if appended
+    // later, reads NULL there (can't match any key), never an
+    // out-of-bounds error (ANSI element_at throws)
     val keyExpr = org.apache.spark.sql.functions.expr(
-      s"try_cast(nullif(element_at(split(value, '\\t', -1), ${ci + 1})," +
-        s" '\\\\N') AS ${st.fields(ci).dataType.sql})")
+      s"try_cast(nullif(try_element_at(split(value, '\\t', -1), " +
+        s"${ci + 1}), '\\\\N') AS ${st.fields(ci).dataType.sql})")
     val hitFiles = restrict(
         spark.read.text(files.map(f => s"$tableDir/$f"): _*)
           .select(org.apache.spark.sql.functions.input_file_name()
@@ -2407,8 +2515,11 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     val ci = st.fieldNames.indexOf(dateCol)
     require(ci >= 0, s"no column $dateCol in $table")
     val tableDir = s"${cfg.warehouseDir}/${Sync.RawPrefix}/$table"
+    // try_element_at: short rows from older schema versions read NULL
+    // (unknown age pins the file — the NULL-date conservatism below),
+    // never an ANSI out-of-bounds error
     val dExpr = expr(
-      s"try_cast(nullif(element_at(split(value, '\\t', -1), " +
+      s"try_cast(nullif(try_element_at(split(value, '\\t', -1), " +
         s"${ci + 1}), '\\\\N') AS ${st.fields(ci).dataType.sql})")
     val stats = spark.read
       .text(candidates.map(f => s"$tableDir/$f"): _*)

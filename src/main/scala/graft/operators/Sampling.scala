@@ -99,4 +99,120 @@ object Sampling {
       |  FROM s)
       |SELECT * FROM g WHERE rnk <= 50
       |UNION ALL SELECT * FROM st WHERE rnk <= 5""".stripMargin
+
+  /** DETERMINISTIC GLOBAL SHUFFLE for training-data ordering: every
+    * epoch writer needs the corpus in a pseudo-random order that is (a)
+    * reproducible run-to-run and engine-to-engine (resume a crashed
+    * write, audit which examples a checkpoint saw), (b) independent of
+    * input partitioning (a re-compacted corpus must shuffle
+    * identically), and (c) seedable (epoch 2 ≠ epoch 1). `rand()` gives
+    * none of these. The key is md5(id|seed) — a uniform, engine-neutral
+    * hex string — and the result is the frame ordered by (key, id):
+    * one range-partitioned sort, Spark's native TOTAL-order shape (AQE
+    * sizes the ranges; the writer follows with maxRecordsPerFile), no
+    * driver state, no windows. The leading hex chars of the key also
+    * serve as a parallel bucket id: global order ≡ (bucket, order
+    * within bucket), so downstream position assignment can window
+    * PER-BUCKET (256-way parallel) instead of one global window. */
+  def deterministicShuffle(df: DataFrame, id: String,
+      seed: Long): DataFrame = {
+    val key = md5(concat_ws("|", col(id).cast("string"),
+      lit(seed.toString)).cast("binary"))
+    df.withColumn("__shuffle_key", key)
+      .orderBy(col("__shuffle_key"), col(id))
+  }
+
+  /** LEAKAGE-FREE HOLDOUT SPLIT: assign every row of a GROUP (a
+    * source, a domain, a near-dup cluster id) to the same split, so
+    * correlated content never straddles train/validation — the
+    * contamination mode row-level `sampleBy` cannot prevent. The
+    * assignment is the group key's md5 prefix (4 hex chars = 65536
+    * uniform buckets, fraction resolution 1/65536) compared against
+    * precomputed hex cutoffs — fixed-width lowercase hex compares
+    * lexicographically = numerically in every engine, so the split is
+    * deterministic, seedable, partitioning-independent, and
+    * recomputable by any auditor from (key, seed, fractions) alone.
+    * Map-only: no shuffle, no state; 100 TB cost is one projection. */
+  def groupHoldoutSplit(df: DataFrame, group: Column, seed: Long,
+      fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val bucket = substring(md5(concat_ws("|", group.cast("string"),
+      lit(seed.toString)).cast("binary")), 1, 4)
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(f => f"${math.floor(f * 65536).toLong}%04x")
+    fractions.init.map(_._1).zip(cuts).foldRight(
+      lit(fractions.last._1)) { case ((lbl, cut), rest) =>
+      when(bucket < lit(cut), lit(lbl)).otherwise(rest)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // q281_det_shuffle — the deterministic shuffle's FULL ordering pinned
+  // against an independent recomputation: positions are assigned
+  // per-bucket (first 2 key chars, window 256-way parallel — the scale
+  // path; global order ≡ (bucket, pos)), and the oracle replays
+  // md5(doc_id|7)'s order in DuckDB. Any partitioning sensitivity,
+  // seed drift, or engine hash disagreement moves every row.
+  // ---------------------------------------------------------------------
+  def q281DetShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = deterministicShuffle(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id", seed = 7L)
+    d.select(substring(col("__shuffle_key"), 1, 2).as("bucket"),
+        col("__shuffle_key"), col("doc_id"))
+      .withColumn("pos", row_number().over(Window.partitionBy("bucket")
+        .orderBy(col("__shuffle_key"), col("doc_id"))).cast("long"))
+      .select(col("bucket"), col("pos"), col("doc_id"))
+  }
+
+  val q281DetShuffleSql: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    md5(CAST(doc_id AS VARCHAR) || '|' || '7') AS key
+      |  FROM documents)
+      |SELECT substring(key, 1, 2) AS bucket,
+      |  ROW_NUMBER() OVER (PARTITION BY substring(key, 1, 2)
+      |    ORDER BY key, doc_id) AS pos,
+      |  doc_id
+      |FROM k""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q282_group_split — leakage-free 80/10/10 by document SOURCE: split
+  // sizes and group counts against the oracle's recomputation, plus a
+  // structural leak counter (groups straddling >1 split) that must be
+  // ZERO by construction — a row-level split would make it the number
+  // of multi-split sources.
+  // ---------------------------------------------------------------------
+  def q282GroupSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val split = groupHoldoutSplit(d, col("source"), seed = 42L,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val tagged = d.select(col("doc_id"), col("source"), split.as("split"))
+    val leaked = tagged.groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_groups"))
+      .withColumn("leaked_groups", lit(leaked))
+  }
+
+  val q282GroupSplitSql: String =
+    """WITH tagged AS (
+      |  SELECT doc_id, source,
+      |    CASE
+      |      WHEN substring(md5(source || '|' || '42'), 1, 4) < 'cccc'
+      |        THEN 'train'
+      |      WHEN substring(md5(source || '|' || '42'), 1, 4) < 'e666'
+      |        THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT source) AS n_groups,
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT source FROM tagged GROUP BY source
+      |     HAVING COUNT(DISTINCT split) > 1)) AS leaked_groups
+      |FROM tagged GROUP BY split""".stripMargin
 }

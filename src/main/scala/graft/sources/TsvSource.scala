@@ -35,13 +35,22 @@ object TsvSource {
     *  - `\N` → NULL (any type);
     *  - empty field → empty string, NOT null;
     *  - malformed numeric/timestamp → NULL via try_cast;
-    *  - split limit -1 keeps trailing empty fields.
+    *  - split limit -1 keeps trailing empty fields;
+    *  - a row SHORTER than the schema pads missing trailing columns
+    *    with NULL, a LONGER one ignores its extras — LazySimpleSerDe's
+    *    positional schema-evolution contract. The reference's
+    *    incremental tables (requests) accumulate raw files across
+    *    schema versions, so after a version appends a column the table
+    *    dir permanently mixes row widths; Athena reads old files under
+    *    the new DDL without error and so must this scan
+    *    (`try_element_at`: out-of-bounds → NULL even under ANSI mode,
+    *    where plain `element_at` throws).
     */
   def parse(raw: DataFrame, schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions._
     val parts = split(col("value"), "\t", -1)
     val tmp = raw.select(schema.fields.indices.map(i =>
-      element_at(parts, i + 1).as(s"_c$i")): _*)
+      try_element_at(parts, lit(i + 1)).as(s"_c$i")): _*)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       val c = f.dataType match {
         case org.apache.spark.sql.types.StringType =>

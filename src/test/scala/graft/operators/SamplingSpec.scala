@@ -45,4 +45,47 @@ class SamplingSpec extends SparkSpec {
       .collect().toSeq
     assert(a === b)
   }
+
+  test("deterministic shuffle: host-md5 order, partition-invariant, " +
+      "seed-sensitive") {
+    val ids = (1L to 300L).toDF("id")
+    def hostKey(i: Long, seed: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i|$seed".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val got = Sampling.deterministicShuffle(ids, "id", 7L)
+      .select("id").as[Long].collect().toList
+    val want = (1L to 300L).sortBy(i => (hostKey(i, 7L), i)).toList
+    assert(got === want)
+    val repart = Sampling.deterministicShuffle(ids.repartition(11), "id", 7L)
+      .select("id").as[Long].collect().toList
+    assert(repart === want, "order must not depend on input partitioning")
+    val other = Sampling.deterministicShuffle(ids, "id", 8L)
+      .select("id").as[Long].collect().toList
+    assert(other !== want, "a different seed must reorder")
+  }
+
+  test("group holdout split: whole groups, host-exact cutoffs, fractions") {
+    val sdf = (1L to 2000L).map(i => (i, s"src${i % 97}"))
+      .toDF("id", "g")
+    val split = Sampling.groupHoldoutSplit(sdf, col("g"), 42L,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val tagged = sdf.select(col("g"), split.as("s"))
+      .as[(String, String)].collect()
+    // leakage-free: one split per group
+    val byGroup = tagged.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byGroup.values.forall(_.size == 1))
+    // host-exact assignment from the same md5 prefix
+    def hostSplit(g: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$g|42".getBytes("UTF-8"))
+      val b4 = d.take(2).map("%02x".format(_)).mkString
+      if (b4 < "cccc") "train" else if (b4 < "e666") "val" else "test"
+    }
+    byGroup.foreach { case (g, ss) => assert(ss.head == hostSplit(g)) }
+    // all three splits populated at 97 groups (probabilistic bound:
+    // P(empty val) = (1 - 0.1)^97 ≈ 4e-5 — deterministic given the seed)
+    assert(tagged.map(_._2).toSet == Set("train", "val", "test"))
+  }
 }

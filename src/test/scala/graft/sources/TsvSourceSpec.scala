@@ -51,6 +51,25 @@ class TsvSourceSpec extends SparkSpec {
     assert(back(2).getString(1) == "" && back(2).getDouble(2) == -0.5)
   }
 
+  test("schema evolution: short rows pad NULL, long rows drop extras") {
+    // LazySimpleSerDe's positional contract — the reference's requests
+    // table accumulates raw files ACROSS schema versions, so a widened
+    // schema must read old (narrower) files exactly as Athena does:
+    // missing trailing columns are NULL, never an error (ANSI
+    // element_at would throw out-of-bounds), and a file with MORE
+    // columns than the schema ignores the extras.
+    val dir = Files.createTempDirectory("tsv_evo")
+    Files.writeString(dir.resolve("part-0.tsv"),
+      "1\talice\n" +                  // v1 row: no score column yet
+      "2\tbob\t2.5\n" +               // v2 row: full width
+      "3\tcara\t3.5\textra\tmore\n")  // wider than schema: extras ignored
+    val rows = TsvSource.read(spark, schema, dir.toString)
+      .orderBy("id").collect()
+    assert(rows(0) == Row(1L, "alice", null))
+    assert(rows(1) == Row(2L, "bob", 2.5))
+    assert(rows(2) == Row(3L, "cara", 3.5))
+  }
+
   test("gzip output is whole-file compressed (reference layout)") {
     import spark.implicits._
     val out = Files.createTempDirectory("tsv_gz").toString + "/t"
