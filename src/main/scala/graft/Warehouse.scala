@@ -213,6 +213,16 @@ object Warehouse {
         * genuinely large history pays only the machinery built for
         * it. */
       sweepLiteralMaxBytes: Long = 4L * 1024 * 1024,
+      /** Opt-in: every sync also runs [[Warehouse.retireRawOlderThan]]
+        * for each policed table (the retention watermark file already
+        * carries the date column), so setting a retention policy
+        * reclaims RAW bytes continuously — not only canonical
+        * partitions — without a second manual call per sync. Off by
+        * default: raw deletion is the one retention action that
+        * destroys bytes a rebuild cannot recover, so it is an explicit
+        * operator decision (the reference never deletes fetched
+        * files). */
+      retireRawWithRetention: Boolean = false,
       /** Named identity registries for [[Warehouse.forgetIdentity]]:
         * identity kind → every (table, column) where that identity's
         * keys appear. Lets compliance tooling say "forget user X
@@ -981,6 +991,13 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         // and partitions a full canonical rebuild resurrected, retire
         // again here — O(manifest) when nothing is stale
         enforceRetention()
+        // opt-in raw-layer byte reclaim rides the same watermark (the
+        // file carries its date column); runs after the canonical
+        // refresh so the fingerprint rebase keeps the NEXT sync quiet
+        if (cfg.retireRawWithRetention)
+          schema.foreach { t =>
+            readRetentionWatermark(t.tableName).foreach { case (c, _) =>
+              retireRawOlderThan(schema, t.tableName, c) } }
       }
     } finally cfg.onSummary(summary)
     summary

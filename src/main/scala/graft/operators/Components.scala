@@ -687,4 +687,55 @@ object Components {
     """SELECT component, COUNT(*) AS n_docs,
       |  STRING_AGG(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
       |FROM comp GROUP BY component""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q283_cluster_split — the decontamination-correct holdout split: a
+  // row-level (or even source-level) split leaks when two NEAR-DUPLICATE
+  // documents land in different splits, so the split unit must be the
+  // near-dup CLUSTER. Composes q66's closure with the md5-cutoff group
+  // split: every document's split key is its component id (its own
+  // doc_id when unclustered — a LEFT join, so singletons are first-class
+  // split members, not dropped), and the planted copies make the stake
+  // concrete: every original+copy pair shares a cluster and therefore a
+  // split. Split sizes, cluster counts, and a structural leak counter
+  // (clusters straddling >1 split — must be ZERO) against the oracle's
+  // full recomputation (closure AND md5 assignment, both engine-neutral).
+  // ---------------------------------------------------------------------
+  def q283ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val aug = augmentedCorpus(s, dir)
+    val comp = connectedComponents(plantedPairs(aug))
+    val rep = aug.select(col("doc_id").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("rep"))
+    val split = Sampling.groupHoldoutSplit(col("rep"), 13L,
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val tagged = rep.select(col("id"), col("rep"), split.as("split"))
+    val leaked = tagged.groupBy(col("rep"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"))
+      .withColumn("leaked_clusters", lit(leaked))
+  }
+
+  val q283ClusterSplitSql: String = plantedClosureSqlPrefix + ",\n" +
+    """all_ AS (
+      |  SELECT b.doc_id AS id, COALESCE(c.component, b.doc_id) AS rep
+      |  FROM base b LEFT JOIN comp c ON c.id = b.doc_id),
+      |tagged AS (
+      |  SELECT id, rep,
+      |    CASE
+      |      WHEN substring(md5(CAST(rep AS VARCHAR) || '|' || '13'),
+      |        1, 4) < 'e666' THEN 'train'
+      |      WHEN substring(md5(CAST(rep AS VARCHAR) || '|' || '13'),
+      |        1, 4) < 'f333' THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM all_)
+      |SELECT split, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT rep) AS n_clusters,
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT rep FROM tagged GROUP BY rep
+      |     HAVING COUNT(DISTINCT split) > 1)) AS leaked_clusters
+      |FROM tagged GROUP BY split""".stripMargin
 }

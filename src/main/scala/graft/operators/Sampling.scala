@@ -133,7 +133,7 @@ object Sampling {
     * deterministic, seedable, partitioning-independent, and
     * recomputable by any auditor from (key, seed, fractions) alone.
     * Map-only: no shuffle, no state; 100 TB cost is one projection. */
-  def groupHoldoutSplit(df: DataFrame, group: Column, seed: Long,
+  def groupHoldoutSplit(group: Column, seed: Long,
       fractions: Seq[(String, Double)]): Column = {
     require(fractions.nonEmpty &&
       math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
@@ -187,7 +187,7 @@ object Sampling {
   // ---------------------------------------------------------------------
   def q282GroupSplit(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val split = groupHoldoutSplit(d, col("source"), seed = 42L,
+    val split = groupHoldoutSplit(col("source"), seed = 42L,
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     val tagged = d.select(col("doc_id"), col("source"), split.as("split"))
     val leaked = tagged.groupBy(col("source"))

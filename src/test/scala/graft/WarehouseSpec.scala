@@ -1058,6 +1058,46 @@ class WarehouseSpec extends SparkSpec {
       .filter(col("doc_id") === 5L).count() == 0L)
   }
 
+  test("forget on a schema-APPENDED column over version-mixed raw " +
+      "files: pre-widening short rows read NULL — never match, never " +
+      "crash — and the purge completes across both layers") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("wh_evo_src")
+    def put(name: String, content: String): ManifestEntry = {
+      val f = src.resolve(name); Files.writeString(f, content)
+      ManifestEntry("mx", name, f.toUri.toString)
+    }
+    val v1 = Seq(CDTable("mx", None, Seq(
+      CDColumn("id", "bigint"), CDColumn("txt", "varchar", Some(50)))))
+    val v2 = Seq(CDTable("mx", None, Seq(
+      CDColumn("id", "bigint"), CDColumn("txt", "varchar", Some(50)),
+      CDColumn("owner", "bigint"))))
+    val whDir = Files.createTempDirectory("wh_evo_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_evo", parallelism = 2, canonicalize = true))
+    val fA = put("a.tsv", "1\tone\n2\ttwo\n") // v1 width: no owner yet
+    wh.sync(Seq(fA), v1)
+    val fB = put("b.tsv", "3\tthree\t77\n4\tfour\t88\n")
+    wh.sync(Seq(fA, fB), v2)
+    val sum = wh.forget(v2, "mx", "owner", Seq(77L))
+    assert(sum.rawRows == 1L && sum.canonicalRows == 1L, s"$sum")
+    val st = graft.model.TypeLattice.toStructType(v2.head)
+    val raw = graft.sources.TsvSource.read(spark, st, Seq(
+      s"$whDir/raw_files/mx/a.tsv", s"$whDir/raw_files/mx/b.tsv"))
+    assert(raw.count() == 3L)
+    assert(raw.filter(col("owner") === 77L).count() == 0L)
+    // the v1 rows survive with NULL owner (NULL never matches a key)
+    assert(raw.filter(col("owner").isNull).count() == 2L)
+    assert(wh.canonicalTable("mx")
+      .filter(col("owner") === 77L).count() == 0L)
+    assert(wh.canonicalTable("mx").count() == 3L)
+    // idempotent: the next sync resurrects nothing
+    wh.sync(Seq(fA, fB), v2)
+    assert(wh.canonicalTable("mx")
+      .filter(col("owner") === 77L).count() == 0L)
+  }
+
   test("forget refuses an uncastable key LOUDLY even when the canonical " +
       "layer is absent (canonicalize=false): the raw-only path must not " +
       "silently skip the key deleteByKey would have refused") {
@@ -1870,6 +1910,47 @@ class WarehouseSpec extends SparkSpec {
     assert(s3.removed == 1L && s3.fetched == 0L, s3.toString)
     assert(!java.nio.file.Files.exists(rawDir.resolve("old.tsv")),
       "a crashed retirement must converge, not resurrect")
+  }
+
+  test("retireRawWithRetention: setting a retention policy reclaims " +
+      "raw bytes on the NEXT sync, no second manual call") {
+    val src = Files.createTempDirectory("wh_arr_src")
+    def put(name: String, content: String): ManifestEntry = {
+      val d = src.resolve("ev"); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry("ev", name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("ev", None, Seq(
+      CDColumn("event_id", "bigint"),
+      CDColumn("d", "date"))))
+    val fOld = put("old.tsv", "1\t2024-01-01\n2\t2024-01-02\n")
+    val fCur = put("cur.tsv", "3\t2024-01-20\n")
+    val whDir = Files.createTempDirectory("wh_arr_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_wharr", parallelism = 1, canonicalize = true,
+      canonicalSpecs = Map("ev" -> Warehouse.CanonicalSpec(Seq("d"))),
+      manifestTables = Seq("ev"),
+      retireRawWithRetention = true))
+    wh.sync(Seq(fOld, fCur), schema)
+    wh.retireOlderThan("ev", "d", "2024-01-10")
+    val rawDir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/raw_files/ev"))
+    assert(java.nio.file.Files.exists(rawDir.resolve("old.tsv")),
+      "retireOlderThan alone is metadata-only")
+    // the next routine sync reclaims the raw bytes through the same
+    // watermark (its file carries the date column) and the ledger
+    // keeps the still-listed name from re-fetching
+    val s2 = wh.sync(Seq(fOld, fCur), schema)
+    assert(!java.nio.file.Files.exists(rawDir.resolve("old.tsv")),
+      "the sync must auto-retire wholly-old raw files")
+    assert(java.nio.file.Files.exists(rawDir.resolve("cur.tsv")))
+    assert(s2.fetched == 0L, s2.toString)
+    val s3 = wh.sync(Seq(fOld, fCur), schema)
+    assert(s3.fetched == 0L && !java.nio.file.Files.exists(
+      rawDir.resolve("old.tsv")), "no resurrection, no re-retire loop")
+    assert(wh.canonicalTable("ev").collect()
+      .map(_.getLong(0)).toSet == Set(3L))
   }
 
   test("vacuum: crash debris GCs in one pass — completed-swap asides " +

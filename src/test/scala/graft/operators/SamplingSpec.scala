@@ -69,7 +69,7 @@ class SamplingSpec extends SparkSpec {
   test("group holdout split: whole groups, host-exact cutoffs, fractions") {
     val sdf = (1L to 2000L).map(i => (i, s"src${i % 97}"))
       .toDF("id", "g")
-    val split = Sampling.groupHoldoutSplit(sdf, col("g"), 42L,
+    val split = Sampling.groupHoldoutSplit(col("g"), 42L,
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     val tagged = sdf.select(col("g"), split.as("s"))
       .as[(String, String)].collect()

@@ -166,6 +166,31 @@ class CanonicalizeSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/canonical/ev_guard").count() == 1)
   }
 
+  test("streaming canonicalize pads schema-evolved short rows with NULL") {
+    // the streaming sink reuses TsvSource.parse, so a raw dir mixing
+    // row widths (files landed across schema versions) must stream
+    // through with missing trailing columns NULL — not crash the query
+    // on ANSI element_at out-of-bounds
+    val wh = Files.createTempDirectory("canon_evo").toString
+    val cp = Files.createTempDirectory("canon_evo_cp").toString
+    val rawDir = java.nio.file.Paths.get(s"$wh/raw_files/ev_evo")
+    java.nio.file.Files.createDirectories(rawDir)
+    java.nio.file.Files.write(rawDir.resolve("v1.tsv"),
+      "1\talice\n2\tbob\n".getBytes("UTF-8"))       // pre-widening width
+    java.nio.file.Files.write(rawDir.resolve("v2.tsv"),
+      "3\tcara\t9.5\n".getBytes("UTF-8"))           // current width
+    val cd = CDTable("ev_evo", None, Seq(
+      CDColumn("id", "bigint"), CDColumn("name", "varchar", Some(32)),
+      CDColumn("score", "double precision")))
+    Canonicalize.canonicalizeStream(spark, wh, cd, cp).awaitTermination()
+    val rows = spark.read.parquet(s"$wh/canonical/ev_evo")
+      .orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2),
+      "v1 rows must carry NULL in the appended column")
+    assert(rows(2).getDouble(2) == 9.5)
+  }
+
   test("compaction preserves a partitioned layout (per-leaf rewrite)") {
     val wh = Files.createTempDirectory("canon_part_cmp").toString
     val out = s"$wh/canonical/orders_pc"
