@@ -29,7 +29,14 @@ object Warehouse {
   final case class CanonicalSpec(
       partitionBy: Seq[String] = Nil,
       derive: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
-        = identity)
+        = identity,
+      /** Allow the O(delta) append-only canonicalize fast path
+        * ([[graft.pipeline.Canonicalize.canonicalizeIncremental]]) when
+        * a sync only ADDS raw files. Requires `derive` to be ROW-LOCAL
+        * (a per-row projection — the documented contract above): a
+        * derive that aggregates across the corpus must set this false
+        * to keep the full-rewrite semantics. */
+      appendable: Boolean = true)
 
   /** The standard spec for event/fact tables with a timestamp column:
     * derive `dateCol` = to_date(tsCol) and partition by it. */
@@ -718,6 +725,95 @@ object Warehouse {
       |UNION ALL SELECT 'ddl_updated', CAST(1 AS BIGINT)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q284_incremental_canonical — the O(delta) canonical append path
+  // end-to-end through sync: the reference's incremental tables
+  // (requests — THE 100 TB table) only ever ADD raw files, and before
+  // round 13 every daily sync full-rewrote the whole canonical table to
+  // land one day's delta. Sync #1 lands two files (full write); sync #2
+  // adds ONE file — it must fetch only that file, leave every
+  // pre-existing canonical parquet file untouched (paths + mtimes — the
+  // O(delta) promise, asserted on the FS), land the delta as tagged
+  // append files, and read back exactly the oracle's union. Sync #3 is
+  // a no-op. Content is recomputed by DuckDB; the fetch/untouched/
+  // tagged counters are structural constants of the protocol.
+  // ---------------------------------------------------------------------
+  def q284IncrementalCanonical(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = s"$gateBase/ic_${dir.hashCode.toHexString}"
+    val whDir = s"$root/wh"
+    val schema = Seq(graft.model.CDTable("ev", None, Seq(
+      graft.model.CDColumn("event_id", "bigint"),
+      graft.model.CDColumn("user_id", "bigint"),
+      graft.model.CDColumn("etype", "varchar"))))
+    def cfg = Config(whDir, db = "graft_ic", canonicalize = true)
+    val evFile = java.nio.file.Paths.get(s"$root.evidence")
+    if (!new java.io.File(s"$root.complete").exists()) {
+      val e = graft.operators.t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          col("event_type").as("etype"))
+      def tsv(name: String, df: org.apache.spark.sql.DataFrame)
+          : graft.pipeline.Sync.ManifestEntry = {
+        val out = s"$root/src_$name"
+        df.coalesce(1).write.mode("overwrite").option("sep", "\t")
+          .option("nullValue", "\\N").option("quote", "").csv(out)
+        val f = new java.io.File(out).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        graft.pipeline.Sync.ManifestEntry("ev", s"$name.tsv",
+          f.toURI.toString)
+      }
+      val f1 = tsv("d1", e.filter(col("event_id") % 3 === 0))
+      val f2 = tsv("d2", e.filter(col("event_id") % 3 === 1))
+      val f3 = tsv("d3", e.filter(col("event_id") % 3 === 2))
+      val wh = new Warehouse(s, cfg)
+      wh.sync(Seq(f1, f2), schema)
+      def dataFiles(): Map[String, Long] =
+        new java.io.File(s"$whDir/canonical/ev").listFiles().toSeq
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .map(f => f.getName -> f.lastModified()).toMap
+      val gen1 = dataFiles()
+      val s2 = wh.sync(Seq(f1, f2, f3), schema)
+      val gen2 = dataFiles()
+      val untouched =
+        if (gen1.forall { case (n, m) => gen2.get(n).contains(m) }) 1L
+        else 0L
+      val tagged =
+        if (gen2.keys.exists(_.startsWith("a_canon-"))) 1L else 0L
+      val s3 = wh.sync(Seq(f1, f2, f3), schema)
+      java.nio.file.Files.writeString(evFile,
+        s"${s2.fetched}|$untouched|$tagged|${s3.fetched}")
+      new java.io.File(s"$root.complete").createNewFile()
+    }
+    val ev = java.nio.file.Files.readString(evFile).trim.split('|')
+    val canon = new Warehouse(s, cfg).canonicalTable("ev")
+    val rows = Seq(
+      ("total", canon.count()),
+      ("sum_id", canon.agg(sum(col("event_id"))).head().getLong(0)),
+      ("n_types", canon.filter(col("etype").isNotNull)
+        .select(col("etype")).distinct().count()),
+      ("second_sync_fetched", ev(0).toLong),
+      ("gen1_untouched", ev(1).toLong),
+      ("delta_tagged", ev(2).toLong),
+      ("third_sync_fetched", ev(3).toLong))
+    val sqlCtx = s
+    import sqlCtx.implicits._
+    rows.toDF("metric", "value")
+  }
+
+  val q284IncrementalCanonicalSql: String =
+    """SELECT 'total' AS metric,
+      |  (SELECT COUNT(*) FROM events) AS value
+      |UNION ALL SELECT 'sum_id',
+      |  (SELECT CAST(SUM(event_id) AS BIGINT) FROM events)
+      |UNION ALL SELECT 'n_types',
+      |  (SELECT COUNT(DISTINCT event_type) FROM events)
+      |UNION ALL SELECT 'second_sync_fetched', CAST(1 AS BIGINT)
+      |UNION ALL SELECT 'gen1_untouched', CAST(1 AS BIGINT)
+      |UNION ALL SELECT 'delta_tagged', CAST(1 AS BIGINT)
+      |UNION ALL SELECT 'third_sync_fetched', CAST(0 AS BIGINT)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q275_forget_identity — WAREHOUSE-WIDE RTBF in one request: the
   // identity (a document id) lives in two tables under two DIFFERENT
   // column names (posts.doc_id, ratings.ref_id); forgetIdentity fans
@@ -975,7 +1071,8 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
             .getOrElse(t.tableName, Warehouse.CanonicalSpec())
           val (path, _) = Canonicalize.canonicalizeIncremental(
             spark, cfg.warehouseDir, t,
-            partitionBy = spec.partitionBy, derive = spec.derive)
+            partitionBy = spec.partitionBy, derive = spec.derive,
+            appendable = spec.appendable)
           // catalog-resolve the canonical layer too — otherwise analyst
           // SQL defaults to the slow raw TSV scan (VERDICT r2 missing #1)
           graft.catalog.CatalogSync.registerCanonicalView(

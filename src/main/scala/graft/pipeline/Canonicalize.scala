@@ -102,12 +102,15 @@ object Canonicalize {
     * canonical table ONCE — schedule that sync accordingly at large scale.
     * mtime in the key also means a byte-identical re-copy of a raw file
     * triggers a rewrite; that is the tripwire working as intended. */
-  def rawFingerprint(spark: SparkSession, warehouseDir: String,
-      table: String): String = {
+  /** The raw table's sorted listing entries (`relpath|len|mtime`) — the
+    * units the fingerprint hashes AND the delta the append-only fast
+    * path diffs ([[canonicalizeIncremental]]). */
+  private[pipeline] def rawListingEntries(spark: SparkSession,
+      warehouseDir: String, table: String): Seq[String] = {
     val root = s"$warehouseDir/${Sync.RawPrefix}/$table"
     val fs = fsFor(warehouseDir)
     val p = new org.apache.hadoop.fs.Path(root)
-    if (!fs.exists(p)) "empty"
+    if (!fs.exists(p)) Seq.empty
     else {
       val rootPath = fs.makeQualified(p).toUri.getPath
       val it = fs.listFiles(p, true)
@@ -119,10 +122,55 @@ object Canonicalize {
           entries += s"$rel|${st.getLen}|${st.getModificationTime}"
         }
       }
+      entries.sorted.toSeq
+    }
+  }
+
+  private def fingerprintOf(entries: Seq[String]): String =
+    if (entries.isEmpty) "empty"
+    else {
       val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      md.update(entries.mkString("\n").getBytes("UTF-8"))
       md.digest().map("%02x".format(_)).mkString
     }
+
+  def rawFingerprint(spark: SparkSession, warehouseDir: String,
+      table: String): String =
+    fingerprintOf(rawListingEntries(spark, warehouseDir, table))
+
+  /** Marker twin storing the fingerprint's underlying LISTING, so the
+    * next sync can diff file sets instead of only detecting "changed".
+    * Absent on pre-upgrade tables — they take one full rewrite and gain
+    * the listing then. */
+  private val ListingFile = "_raw_listing"
+
+  private def readStoredListing(fs: org.apache.hadoop.fs.FileSystem,
+      out: String): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(out, ListingFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      Some(txt.split("\n").toSeq.filter(_.nonEmpty))
+    }
+  }
+
+  private def writeMarkerAndListing(fs: org.apache.hadoop.fs.FileSystem,
+      out: String, fp: String, entries: Seq[String]): Unit = {
+    // listing first, marker second: the marker is the commit point (a
+    // stale marker with a fresh listing just recomputes an empty delta)
+    val lp = new org.apache.hadoop.fs.Path(out, ListingFile)
+    val ltmp = new org.apache.hadoop.fs.Path(out, s".$ListingFile.tmp")
+    val os = fs.create(ltmp, true)
+    try os.write(entries.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally os.close()
+    fs.delete(lp, false)
+    if (!fs.rename(ltmp, lp))
+      throw new java.io.IOException(s"cannot place $lp")
+    val mos = fs.create(
+      new org.apache.hadoop.fs.Path(out, "_raw_fingerprint"), true)
+    try mos.write(fp.getBytes("UTF-8")) finally mos.close()
   }
 
   /** Incremental canonicalize: rewrite only when the raw file set changed
@@ -159,22 +207,43 @@ object Canonicalize {
       val cur = try new String(in.readAllBytes(), "UTF-8").trim
         finally in.close()
       if (cur == before) {
-        val fp = rawFingerprint(spark, warehouseDir, table)
-        val os = fs.create(marker, true)
-        try os.write(fp.getBytes("UTF-8")) finally os.close()
+        val entries = rawListingEntries(spark, warehouseDir, table)
+        writeMarkerAndListing(fs, out, fingerprintOf(entries), entries)
       }
     }
   }
 
+  /** Incremental canonicalize with an APPEND-ONLY fast path. Unchanged
+    * raw listing → one metadata read, no work. Pure file ADDITIONS —
+    * the daily shape of the reference's accumulate-forever tables
+    * (requests), where a full rewrite per sync would be O(table) to
+    * land an O(day) delta — parse ONLY the new files and move their
+    * parquet into the live tree under the [[AppendCommit]] protocol
+    * (exactly-once under crash/retry: the delta's content id is the
+    * ledger key, so a replay after a crash between data-move and
+    * marker write is a no-op). Any other change (a deleted/stale file,
+    * an in-place purge rewrite, a pre-upgrade table with no stored
+    * listing) falls back to the full SafeSwap rewrite — which also
+    * resets the ledger, correctly: the rewritten content includes
+    * every applied delta.
+    *
+    * `appendable = false` forces the full-rewrite path — required when
+    * `derive` is not ROW-LOCAL (the append path derives over the delta
+    * rows alone, so a derive that aggregates across the corpus would
+    * diverge from the rewrite it replaces). Losing `_raw_listing` (or
+    * a crash mid-write) degrades to one full rewrite, never to wrong
+    * data. */
   def canonicalizeIncremental(
       spark: SparkSession,
       warehouseDir: String,
       table: CDTable,
       partitionBy: Seq[String] = Nil,
-      derive: DataFrame => DataFrame = identity): (String, Boolean) = {
+      derive: DataFrame => DataFrame = identity,
+      appendable: Boolean = true): (String, Boolean) = {
     val out = s"$warehouseDir/$CanonicalPrefix/${table.tableName}"
     if (isStreamSinkDir(out)) return (out, false)
-    val fp = rawFingerprint(spark, warehouseDir, table.tableName)
+    val entries = rawListingEntries(spark, warehouseDir, table.tableName)
+    val fp = fingerprintOf(entries)
     val fs = fsFor(warehouseDir)
     val marker = new org.apache.hadoop.fs.Path(out, "_raw_fingerprint")
     val current =
@@ -184,12 +253,53 @@ object Canonicalize {
         try Some(new String(in.readAllBytes(), "UTF-8").trim)
         finally in.close()
       }
-    if (current.contains(fp)) (out, false)
-    else {
-      canonicalize(spark, warehouseDir, table, partitionBy, derive = derive)
-      val os = fs.create(marker, true)
-      try os.write(fp.getBytes("UTF-8")) finally os.close()
-      (out, true)
+    if (current.contains(fp)) return (out, false)
+    val prev = if (appendable && current.isDefined)
+      readStoredListing(fs, out) else None
+    val curSet = entries.toSet
+    val appendPlan = prev.filter(p => p.nonEmpty && p.forall(curSet))
+      .flatMap { p =>
+        val delta = entries.filterNot(p.toSet)
+        if (delta.isEmpty) Some((delta, None))
+        else {
+          val rawRoot =
+            s"$warehouseDir/${Sync.RawPrefix}/${table.tableName}"
+          val files = delta.map(e => rawRoot + e.take(e.indexOf('|')))
+          val df = derive(TsvSource.read(spark,
+            TypeLattice.toStructType(table), files))
+          // SCHEMA GUARD: appending under a schema that differs from
+          // the live parquet (a version widened the table — q280's
+          // lifecycle) would mix footer schemas in one directory and a
+          // plain read silently resolves an arbitrary one. Field
+          // (name, type) SETS compare — the write relocates partition
+          // columns to directory names, so read order differs.
+          def key(s: org.apache.spark.sql.types.StructType) =
+            s.fields.map(f => (f.name, f.dataType)).toSet
+          val same =
+            try key(spark.read.parquet(out).schema) == key(df.schema)
+            catch { case _: Exception => false }
+          if (same) Some((delta, Some(df))) else None
+        }
+      }
+    appendPlan match {
+      case Some((delta, dfOpt)) =>
+        dfOpt.foreach { df =>
+          val batchId = "canon-" + AppendCommit.contentId(
+            delta.mkString("\n"))
+          AppendCommit.appendBatch(spark, out, batchId) { tmp =>
+            val w = df.write.mode("overwrite")
+              .option("compression", DefaultCodec)
+            (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*)
+             else w).parquet(tmp)
+          }
+        }
+        writeMarkerAndListing(fs, out, fp, entries)
+        (out, true)
+      case None =>
+        canonicalize(spark, warehouseDir, table, partitionBy,
+          derive = derive)
+        writeMarkerAndListing(fs, out, fp, entries)
+        (out, true)
     }
   }
 
@@ -264,9 +374,13 @@ object Canonicalize {
       if (subdirs.isEmpty) Seq(p)
       else subdirs.toSeq.flatMap(st => leaves(st.getPath))
     }
+    // ALL data files, not only `part-` names: the append-only
+    // incremental path tags its files `a_<batch>_N_part-...`, and a
+    // name filter would undercount them out of the compaction decision
     def partFiles(p: org.apache.hadoop.fs.Path) =
       fs.listStatus(p).filter(st =>
-        st.isFile && st.getPath.getName.startsWith("part-"))
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
     var before = 0
     var after = 0
     leaves(dir).foreach { leaf =>
@@ -276,24 +390,36 @@ object Canonicalize {
       val nFiles =
         math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
       if (parts.length > nFiles) {
-        // preserve the incremental-canonicalize marker when the leaf IS
-        // the table root (unpartitioned layout; the marker lives there)
-        val marker = new org.apache.hadoop.fs.Path(leaf, "_raw_fingerprint")
-        val fp =
-          if (!fs.exists(marker)) None
+        // preserve the incremental-canonicalize markers when the leaf
+        // IS the table root (unpartitioned layout): fingerprint,
+        // listing, and the append-commit ledger — replay suppression
+        // must survive the rewrite (the compacted content already
+        // includes every applied delta)
+        def readOpt(name: String): Option[String] = {
+          val p = new org.apache.hadoop.fs.Path(leaf, name)
+          if (!fs.exists(p)) None
           else {
-            val in = fs.open(marker)
-            try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+            val in = fs.open(p)
+            try Some(new String(in.readAllBytes(), "UTF-8"))
+            finally in.close()
           }
+        }
+        val fp = readOpt("_raw_fingerprint")
+        val listing = readOpt("_raw_listing")
+        val hadLedger = fs.exists(
+          new org.apache.hadoop.fs.Path(leaf, "_applied"))
         val df = spark.read.parquet(leaf.toString).repartition(nFiles)
         SafeSwap.replace(leaf.toString) { tmp =>
           df.write.mode("overwrite").option("compression", DefaultCodec)
             .parquet(tmp)
-          fp.foreach { v =>
+          def put(name: String, v: String): Unit = {
             val os = fs.create(
-              new org.apache.hadoop.fs.Path(tmp, "_raw_fingerprint"), true)
+              new org.apache.hadoop.fs.Path(tmp, name), true)
             try os.write(v.getBytes("UTF-8")) finally os.close()
           }
+          fp.foreach(put("_raw_fingerprint", _))
+          listing.foreach(put("_raw_listing", _))
+          if (hadLedger) AppendCommit.copyLedger(leaf.toString, tmp)
         }
       }
       after += partFiles(leaf).length

@@ -99,6 +99,128 @@ class CanonicalizeSpec extends SparkSpec {
       s"expected zstd in parquet file name: $part")
   }
 
+  test("append-only incremental canonicalize: O(delta) — pre-existing " +
+      "parquet untouched, content exact, crash replay suppressed, " +
+      "in-place raw change falls back to full rewrite") {
+    val wh = Files.createTempDirectory("canon_app").toString
+    val raw = java.nio.file.Paths.get(s"$wh/raw_files/t_app")
+    java.nio.file.Files.createDirectories(raw)
+    java.nio.file.Files.writeString(raw.resolve("f1.tsv"),
+      "1\tone\n2\ttwo\n")
+    val cd = CDTable("t_app", None, Seq(
+      CDColumn("id", "bigint"), CDColumn("name", "varchar", Some(32))))
+    val out = s"$wh/canonical/t_app"
+    Canonicalize.canonicalizeIncremental(spark, wh, cd)
+    def dataFiles(): Map[String, Long] =
+      new java.io.File(out).listFiles().toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+    def ids(): Set[Long] = spark.read.parquet(out)
+      .collect().map(_.getLong(0)).toSet
+    val gen1 = dataFiles()
+    assert(ids() == Set(1L, 2L))
+    // pure addition: the delta appends, the original files do not move
+    val marker = java.nio.file.Paths.get(out, "_raw_fingerprint")
+    val listing = java.nio.file.Paths.get(out, "_raw_listing")
+    val preMarker = java.nio.file.Files.readString(marker)
+    val preListing = java.nio.file.Files.readString(listing)
+    java.nio.file.Files.writeString(raw.resolve("f2.tsv"), "3\tthree\n")
+    val (_, rewrote) = Canonicalize.canonicalizeIncremental(spark, wh, cd)
+    assert(rewrote)
+    val gen2 = dataFiles()
+    assert(gen1.forall { case (n, m) => gen2.get(n).contains(m) },
+      s"original parquet files must be untouched: $gen1 vs $gen2")
+    assert(gen2.keys.exists(_.startsWith("a_canon-")),
+      s"the delta must land as tagged append files: ${gen2.keys}")
+    assert(ids() == Set(1L, 2L, 3L))
+    // crash between data move and marker write — emulated by rolling
+    // marker AND listing back to their pre-delta state: the retry
+    // recomputes the SAME delta and the append-commit ledger suppresses
+    // the re-append instead of duplicating every delta row
+    val goodFp = java.nio.file.Files.readString(marker)
+    // direct java.nio writes bypass Hadoop's LocalFS checksum sidecars —
+    // drop them or the next Hadoop read fails its CRC
+    def plant(p: java.nio.file.Path, v: String): Unit = {
+      java.nio.file.Files.writeString(p, v)
+      java.nio.file.Files.deleteIfExists(
+        p.getParent.resolve(s".${p.getFileName}.crc"))
+    }
+    plant(marker, preMarker)
+    plant(listing, preListing)
+    val (_, again) = Canonicalize.canonicalizeIncremental(spark, wh, cd)
+    assert(again)
+    assert(ids() == Set(1L, 2L, 3L), "replay must not duplicate rows")
+    assert(spark.read.parquet(out).count() == 3L)
+    assert(java.nio.file.Files.readString(marker) == goodFp)
+    // an IN-PLACE raw change (purge rewrite) is not a superset: full
+    // rewrite, ledger reset with the replaced tree
+    java.nio.file.Files.writeString(raw.resolve("f1.tsv"),
+      "1\tone\n9\tnine\tpadding-change\n")
+    Canonicalize.canonicalizeIncremental(spark, wh, cd)
+    assert(ids() == Set(1L, 9L, 3L))
+    assert(!dataFiles().keys.exists(_.startsWith("a_canon-")),
+      "a full rewrite must replace the appended tree")
+  }
+
+  test("append path refuses a schema change: widening full-rewrites " +
+      "instead of mixing footer schemas") {
+    val wh = Files.createTempDirectory("canon_appw").toString
+    val raw = java.nio.file.Paths.get(s"$wh/raw_files/t_w")
+    java.nio.file.Files.createDirectories(raw)
+    java.nio.file.Files.writeString(raw.resolve("v1.tsv"), "1\ta\n2\tb\n")
+    val v1 = CDTable("t_w", None, Seq(
+      CDColumn("id", "bigint"), CDColumn("name", "varchar", Some(32))))
+    val v2 = CDTable("t_w", None, Seq(
+      CDColumn("id", "bigint"), CDColumn("name", "varchar", Some(32)),
+      CDColumn("score", "double precision")))
+    val out = s"$wh/canonical/t_w"
+    Canonicalize.canonicalizeIncremental(spark, wh, v1)
+    val before = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(_.getName).toSet
+    java.nio.file.Files.writeString(raw.resolve("v2.tsv"), "3\tc\t9.5\n")
+    Canonicalize.canonicalizeIncremental(spark, wh, v2)
+    val rows = spark.read.parquet(out).orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2) &&
+      rows(2).getDouble(2) == 9.5,
+      "every row must carry the widened column")
+    val after = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(_.getName).toSet
+    assert(after.intersect(before).isEmpty &&
+      !after.exists(_.startsWith("a_canon-")),
+      "a widened schema must full-rewrite, never append mixed footers")
+  }
+
+  test("append path lands delta rows in their partition directories") {
+    val wh = Files.createTempDirectory("canon_appp").toString
+    val raw = java.nio.file.Paths.get(s"$wh/raw_files/t_p")
+    java.nio.file.Files.createDirectories(raw)
+    java.nio.file.Files.writeString(raw.resolve("f1.tsv"),
+      "1\t2024-01-01\n2\t2024-02-01\n")
+    val cd = CDTable("t_p", None, Seq(
+      CDColumn("id", "bigint"), CDColumn("d", "date")))
+    val out = s"$wh/canonical/t_p"
+    Canonicalize.canonicalizeIncremental(spark, wh, cd,
+      partitionBy = Seq("d"))
+    java.nio.file.Files.writeString(raw.resolve("f2.tsv"),
+      "3\t2024-02-01\n4\t2024-03-01\n")
+    Canonicalize.canonicalizeIncremental(spark, wh, cd,
+      partitionBy = Seq("d"))
+    val got = spark.read.parquet(out)
+      .select(col("id"), col("d").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "2024-01-01"), (2L, "2024-02-01"),
+      (3L, "2024-02-01"), (4L, "2024-03-01")))
+    // the existing feb partition gained a tagged file; march is new
+    val feb = new java.io.File(s"$out/d=2024-02-01").listFiles()
+      .map(_.getName).filter(!_.startsWith("."))
+    assert(feb.exists(_.startsWith("a_canon-")), feb.mkString(","))
+    assert(new java.io.File(s"$out/d=2024-03-01").exists())
+  }
+
   test("compaction collapses small files, keeps rows, survives the next sync") {
     val wh = Files.createTempDirectory("canon_cmp").toString
     val cust = graft.Tables.load(spark, sfDir, "customer")
