@@ -156,10 +156,35 @@ object Canonicalize {
     }
   }
 
+  /** Marker storing the canonical layer's LOGICAL schema (the pre-write
+    * dataframe shape — partition columns in their natural positions),
+    * so the append path's schema guard costs one tiny file read instead
+    * of a parquet footer resolution whose file-index LISTING is O(all
+    * canonical files) at every delta sync. */
+  private val SchemaFile = "_canon_schema"
+
+  private def schemaKeyOf(s: org.apache.spark.sql.types.StructType)
+      : String =
+    s.fields.map(f => s"${f.name}\t${f.dataType.catalogString}")
+      .sorted.mkString("\n")
+
+  private def readStoredSchemaKey(fs: org.apache.hadoop.fs.FileSystem,
+      out: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(out, SchemaFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
   private def writeMarkerAndListing(fs: org.apache.hadoop.fs.FileSystem,
-      out: String, fp: String, entries: Seq[String]): Unit = {
-    // listing first, marker second: the marker is the commit point (a
-    // stale marker with a fresh listing just recomputes an empty delta)
+      out: String, fp: String, entries: Seq[String],
+      schemaKey: Option[String] = None): Unit = {
+    // listing + schema first, marker second: the marker is the commit
+    // point (a stale marker with a fresh listing just recomputes an
+    // empty delta)
     val lp = new org.apache.hadoop.fs.Path(out, ListingFile)
     val ltmp = new org.apache.hadoop.fs.Path(out, s".$ListingFile.tmp")
     val os = fs.create(ltmp, true)
@@ -168,6 +193,11 @@ object Canonicalize {
     fs.delete(lp, false)
     if (!fs.rename(ltmp, lp))
       throw new java.io.IOException(s"cannot place $lp")
+    schemaKey.foreach { k =>
+      val sos = fs.create(
+        new org.apache.hadoop.fs.Path(out, SchemaFile), true)
+      try sos.write(k.getBytes("UTF-8")) finally sos.close()
+    }
     val mos = fs.create(
       new org.apache.hadoop.fs.Path(out, "_raw_fingerprint"), true)
     try mos.write(fp.getBytes("UTF-8")) finally mos.close()
@@ -254,6 +284,15 @@ object Canonicalize {
         finally in.close()
       }
     if (current.contains(fp)) return (out, false)
+    // the LOGICAL canonical schema — plan-only analysis over the raw
+    // dir (no job, no file-listing of the canonical tree); written as
+    // a marker so the guard below never pays a parquet footer
+    // resolution (whose file index lists EVERY canonical file)
+    val rawRoot = s"$warehouseDir/${Sync.RawPrefix}/${table.tableName}"
+    val schemaKey =
+      if (entries.isEmpty) None
+      else Some(schemaKeyOf(derive(TsvSource.read(spark,
+        TypeLattice.toStructType(table), rawRoot)).schema))
     val prev = if (appendable && current.isDefined)
       readStoredListing(fs, out) else None
     val curSet = entries.toSet
@@ -262,22 +301,25 @@ object Canonicalize {
         val delta = entries.filterNot(p.toSet)
         if (delta.isEmpty) Some((delta, None))
         else {
-          val rawRoot =
-            s"$warehouseDir/${Sync.RawPrefix}/${table.tableName}"
           val files = delta.map(e => rawRoot + e.take(e.indexOf('|')))
           val df = derive(TsvSource.read(spark,
             TypeLattice.toStructType(table), files))
           // SCHEMA GUARD: appending under a schema that differs from
           // the live parquet (a version widened the table — q280's
           // lifecycle) would mix footer schemas in one directory and a
-          // plain read silently resolves an arbitrary one. Field
-          // (name, type) SETS compare — the write relocates partition
-          // columns to directory names, so read order differs.
-          def key(s: org.apache.spark.sql.types.StructType) =
-            s.fields.map(f => (f.name, f.dataType)).toSet
-          val same =
-            try key(spark.read.parquet(out).schema) == key(df.schema)
-            catch { case _: Exception => false }
+          // plain read silently resolves an arbitrary one. The stored
+          // schema marker decides at one tiny read; a pre-upgrade
+          // table without the marker falls back to the live footer
+          // (field (name, type) SETS — the write relocates partition
+          // columns, so read order differs).
+          val same = readStoredSchemaKey(fs, out) match {
+            case Some(k) => k == schemaKeyOf(df.schema)
+            case None =>
+              try spark.read.parquet(out).schema.fields
+                .map(f => (f.name, f.dataType)).toSet ==
+                df.schema.fields.map(f => (f.name, f.dataType)).toSet
+              catch { case _: Exception => false }
+          }
           if (same) Some((delta, Some(df))) else None
         }
       }
@@ -293,12 +335,12 @@ object Canonicalize {
              else w).parquet(tmp)
           }
         }
-        writeMarkerAndListing(fs, out, fp, entries)
+        writeMarkerAndListing(fs, out, fp, entries, schemaKey)
         (out, true)
       case None =>
         canonicalize(spark, warehouseDir, table, partitionBy,
           derive = derive)
-        writeMarkerAndListing(fs, out, fp, entries)
+        writeMarkerAndListing(fs, out, fp, entries, schemaKey)
         (out, true)
     }
   }
@@ -406,6 +448,7 @@ object Canonicalize {
         }
         val fp = readOpt("_raw_fingerprint")
         val listing = readOpt("_raw_listing")
+        val schemaK = readOpt(SchemaFile)
         val hadLedger = fs.exists(
           new org.apache.hadoop.fs.Path(leaf, "_applied"))
         val df = spark.read.parquet(leaf.toString).repartition(nFiles)
@@ -419,6 +462,7 @@ object Canonicalize {
           }
           fp.foreach(put("_raw_fingerprint", _))
           listing.foreach(put("_raw_listing", _))
+          schemaK.foreach(put(SchemaFile, _))
           if (hadLedger) AppendCommit.copyLedger(leaf.toString, tmp)
         }
       }
