@@ -36,7 +36,25 @@ object Warehouse {
         * (a per-row projection — the documented contract above): a
         * derive that aggregates across the corpus must set this false
         * to keep the full-rewrite semantics. */
-      appendable: Boolean = true)
+      appendable: Boolean = true,
+      /** AUTO-COMPACTION bound for the canonical tree: after the
+        * canonical refresh, any leaf (partition dir, or the table root
+        * when unpartitioned) holding MORE than this many data files
+        * rewrites into ~[[compactTargetBytes]] files. The append-only
+        * fast path lands a few tagged files per sync on exactly the
+        * engine's hottest tables — a year of daily appends is ~365
+        * small files per partition, each costing a task + footer read
+        * on every scan. The decision is LISTING-only (zero data reads
+        * when every leaf is in shape), in-shape leaves keep file
+        * identity (mtime) byte-for-byte, the incremental-canonicalize
+        * markers and append ledger survive the rewrite, and
+        * manifest-managed tables compact reader-atomically through
+        * [[graft.pipeline.Maintain.compactPartitions]]. ≤ 0 (default)
+        * = never auto-compact (the [[graft.pipeline.Canonicalize
+        * .compact]] manual call remains available). */
+      compactAtFiles: Int = 0,
+      /** Output sizing for auto-compaction (see [[compactAtFiles]]). */
+      compactTargetBytes: Long = 512L * 1024 * 1024)
 
   /** The standard spec for event/fact tables with a timestamp column:
     * derive `dateCol` = to_date(tsCol) and partition by it. */
@@ -1073,6 +1091,27 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
             spark, cfg.warehouseDir, t,
             partitionBy = spec.partitionBy, derive = spec.derive,
             appendable = spec.appendable)
+          // auto-compaction rides the refresh: the append fast path
+          // accretes a few tagged files per sync on the hottest tables
+          // — past the policy bound, out-of-shape leaves rewrite (the
+          // decision is one listing; in-shape leaves keep file
+          // identity). BEFORE skip-stats/manifest maintenance, which
+          // then follow the compacted file set in this same sync.
+          if (spec.compactAtFiles > 0 &&
+              !Canonicalize.isStreamSinkDir(path) &&
+              fsOf.exists(new org.apache.hadoop.fs.Path(path))) {
+            if (graft.pipeline.Manifest.exists(path))
+              // reader-atomic for manifest-managed tables: one
+              // manifest generation swaps every compacted partition's
+              // file set together; root markers are untouched
+              graft.pipeline.Maintain.compactPartitions(spark, path,
+                spec.compactTargetBytes, spec.compactAtFiles)
+            else
+              // marker-preserving per-leaf rewrite (fingerprint,
+              // listing, schema key, append ledger all survive)
+              Canonicalize.compact(spark, cfg.warehouseDir, t.tableName,
+                spec.compactTargetBytes, spec.compactAtFiles)
+          }
           // catalog-resolve the canonical layer too — otherwise analyst
           // SQL defaults to the slow raw TSV scan (VERDICT r2 missing #1)
           graft.catalog.CatalogSync.registerCanonicalView(
@@ -2584,6 +2623,60 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         files.sorted.mkString("\n"))}",
       files.mkString("\n"))
 
+  // --- per-file retirement stats ledger ------------------------------
+  //
+  // Raw files are IMMUTABLE by the reference's own contract
+  // (`fetch-canvas-data-file.py:25-31`: the fetch guard never
+  // overwrites; change = a NEW name), so a file's max(dateCol) and
+  // NULL-date count are write-once facts. Persisting them once per
+  // fresh file makes retirement discovery O(new files) instead of
+  // re-reading the whole live retention window — years × TBs on an
+  // accumulate-forever table — every sync once retireRawWithRetention
+  // is on (the same recurring cost class the O(delta) canonical
+  // refresh eliminated). Entries are keyed by (name, len, mtime), so
+  // the ONE sanctioned in-place mutation — an RTBF forget rewriting a
+  // file under its original name — changes the key and the file simply
+  // rescans as unknown (stale entries are unreachable by key, never
+  // wrong). The ledger rides [[graft.pipeline.AppendCommit]]: appends
+  // are idempotent under crash-retry (content-derived batch ids) and
+  // the per-batch file count auto-folds at 256.
+
+  private def rawStatsDir(table: String) =
+    s"$retentionDir/rawstats_$table"
+
+  private type RawStatKey = (String, Long, Long) // name, len, mtime
+
+  /** maxIso = None when the file is empty or its dates are all NULL —
+    * both pin the file (unknown age), matching the pre-ledger scan. */
+  private def readRawStats(table: String)
+      : Map[RawStatKey, (Option[String], Long)] =
+    graft.pipeline.AppendCommit.appliedEntries(rawStatsDir(table))
+      .iterator.flatMap(_._2.split("\n")).filter(_.nonEmpty)
+      .map { line =>
+        // name may itself contain the delimiter — parse from the RIGHT
+        // (the listing-entry lesson): the last 4 fields are digits/ISO
+        val parts = new Array[Int](4)
+        var i = line.length
+        (0 until 4).foreach { j => i = line.lastIndexOf('\t', i - 1)
+          parts(j) = i }
+        val name = line.substring(0, parts(3))
+        val len = line.substring(parts(3) + 1, parts(2)).toLong
+        val mtime = line.substring(parts(2) + 1, parts(1)).toLong
+        val mx = line.substring(parts(1) + 1, parts(0))
+        val nulls = line.substring(parts(0) + 1).toLong
+        ((name, len, mtime),
+          (if (mx.isEmpty) None else Some(mx), nulls))
+      }.toMap
+
+  private def markRawStats(table: String,
+      entries: Seq[(RawStatKey, (Option[String], Long))]): Unit = {
+    val payload = entries.sortBy(_._1).map { case ((n, l, m), (mx, nu)) =>
+      s"$n\t$l\t$m\t${mx.getOrElse("")}\t$nu"
+    }.mkString("\n")
+    graft.pipeline.AppendCommit.markApplied(rawStatsDir(table),
+      s"st_${graft.pipeline.AppendCommit.contentId(payload)}", payload)
+  }
+
   /** AGE-BASED RAW-LAYER RETIREMENT — the byte-reclaim counterpart of
     * [[retireOlderThan]], which retires CANONICAL partitions as
     * metadata and deliberately leaves the immutable fetch archive.
@@ -2602,8 +2695,11 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     * two leaves the file present-but-suppressed and the next sync's
     * stale delete (A9: on-disk keys absent from the live manifest)
     * completes the reclaim; the reverse order would resurrect the
-    * file. Cost: ONE batched discovery scan over the not-yet-retired
-    * candidates (per-file max + null count), O(hit files) deletes.
+    * file. Cost: O(NEW files) — per-file max + NULL count are
+    * write-once facts of immutable raw files, persisted in a stats
+    * ledger on first sight ([[readRawStats]]); discovery scans only
+    * files the ledger doesn't know, so a no-new-files sync issues
+    * zero raw-data reads. O(hit files) deletes.
     * The canonical `_raw_fingerprint` marker is REBASED afterwards
     * ([[graft.pipeline.Canonicalize.rebaseFingerprint]]): the deleted
     * rows live only in partitions the watermark already drops, so
@@ -2623,37 +2719,64 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       s"$table's retention watermark is on $c0, not $dateCol")
     val t = schema.find(_.tableName == table).getOrElse(
       throw new IllegalArgumentException(s"unknown table $table"))
-    val candidates = rawListing(table).filterNot(retiredRawFiles(table))
-    if (candidates.isEmpty) return RawRetireSummary(0L, 0L)
     val st = graft.model.TypeLattice.toStructType(t)
     val ci = st.fieldNames.indexOf(dateCol)
     require(ci >= 0, s"no column $dateCol in $table")
     val tableDir = s"${cfg.warehouseDir}/${Sync.RawPrefix}/$table"
-    // try_element_at: short rows from older schema versions read NULL
-    // (unknown age pins the file — the NULL-date conservatism below),
-    // never an ANSI out-of-bounds error
-    val dExpr = expr(
-      s"try_cast(nullif(try_element_at(split(value, '\\t', -1), " +
-        s"${ci + 1}), '\\\\N') AS ${st.fields(ci).dataType.sql})")
-    val stats = spark.read
-      .text(candidates.map(f => s"$tableDir/$f"): _*)
-      .select(input_file_name().as("__f"), dExpr.as("__d"))
-      .groupBy(col("__f"))
-      .agg(max(col("__d").cast("string")).as("__max"),
-        sum(when(col("__d").isNull, 1L).otherwise(0L)).as("__nulls"))
-      .collect()
+    val retiredSet = retiredRawFiles(table)
+    val fs = fsOf
+    val dirPath = new org.apache.hadoop.fs.Path(tableDir)
+    // one directory listing — the same metadata call the sync itself
+    // pays — carrying (len, mtime), the ledger key's mutation tripwire
+    val candidates: Seq[RawStatKey] =
+      if (!fs.exists(dirPath)) Nil
+      else fs.listStatus(dirPath).toSeq.filter(_.isFile)
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+        .filterNot(k => k._1.startsWith(".") || k._1.startsWith("_") ||
+          retiredSet(k._1))
+    if (candidates.isEmpty) return RawRetireSummary(0L, 0L)
+    // O(new files) discovery: per-file stats are write-once facts of
+    // immutable raw files — read the ledger, scan ONLY files it does
+    // not know. A no-new-files sync issues ZERO raw-data reads here.
+    val known = readRawStats(table)
+    val unknown = candidates.filterNot(known.contains)
+    val fresh: Map[String, (Option[String], Long)] =
+      if (unknown.isEmpty) Map.empty
+      else {
+        // try_element_at: short rows from older schema versions read
+        // NULL (unknown age pins the file — the NULL-date conservatism
+        // below), never an ANSI out-of-bounds error
+        val dExpr = expr(
+          s"try_cast(nullif(try_element_at(split(value, '\\t', -1), " +
+            s"${ci + 1}), '\\\\N') AS ${st.fields(ci).dataType.sql})")
+        val scanned = spark.read
+          .text(unknown.map(k => s"$tableDir/${k._1}"): _*)
+          .select(input_file_name().as("__f"), dExpr.as("__d"))
+          .groupBy(col("__f"))
+          .agg(max(col("__d").cast("string")).as("__max"),
+            sum(when(col("__d").isNull, 1L).otherwise(0L)).as("__nulls"))
+          .collect()
+          .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName
+            -> (Option(r.getString(1)), r.getLong(2))).toMap
+        // a zero-row file yields no group: record it as unknown-age
+        // (None pins, same as the pre-ledger behavior of having no
+        // stats row) so it never rescans either
+        val entries = unknown.map(k =>
+          k -> scanned.getOrElse(k._1, (Option.empty[String], 0L)))
+        markRawStats(table, entries)
+        entries.map { case (k, v) => k._1 -> v }.toMap
+      }
     // ISO-formatted temporal strings compare lexicographically =
     // chronologically, so "wholly before" is one string compare/file
     val cutIso = cut.toString
-    val retire = stats.filter(r => !r.isNullAt(1) &&
-        r.getString(1) < cutIso && r.getLong(2) == 0L)
-      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
-      .toSeq.sorted
+    val retire = candidates.filter { k =>
+      val (mx, nu) = known.getOrElse(k, fresh(k._1))
+      mx.exists(_ < cutIso) && nu == 0L
+    }.map(_._1).sorted
     if (retire.isEmpty) return RawRetireSummary(0L, 0L)
     val fpBefore = graft.pipeline.Canonicalize.rawFingerprint(spark,
       cfg.warehouseDir, table)
     markRetiredRaw(table, retire)
-    val fs = fsOf
     var bytes = 0L
     retire.foreach { n =>
       val p = new org.apache.hadoop.fs.Path(tableDir, n)

@@ -132,13 +132,22 @@ object Sampling {
     * lexicographically = numerically in every engine, so the split is
     * deterministic, seedable, partitioning-independent, and
     * recomputable by any auditor from (key, seed, fractions) alone.
+    * A NULL group key coalesces to the sentinel `__null__` BEFORE
+    * hashing — without it, Spark's concat_ws silently skips the NULL
+    * (bucket = md5(seed), a real split) while a SQL auditor's
+    * `key || '|' || seed` is NULL and falls to the last label: the
+    * same row lands in different splits depending on who computes,
+    * breaking the recomputable-by-any-auditor contract. The sentinel
+    * makes NULL one ordinary (auditable) group; mirror it in SQL as
+    * `coalesce(key, '__null__')`.
     * Map-only: no shuffle, no state; 100 TB cost is one projection. */
   def groupHoldoutSplit(group: Column, seed: Long,
       fractions: Seq[(String, Double)]): Column = {
     require(fractions.nonEmpty &&
       math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       "fractions must sum to 1")
-    val bucket = substring(md5(concat_ws("|", group.cast("string"),
+    val bucket = substring(md5(concat_ws("|",
+      coalesce(group.cast("string"), lit("__null__")),
       lit(seed.toString)).cast("binary")), 1, 4)
     val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail.init
       .map(f => f"${math.floor(f * 65536).toLong}%04x")
@@ -203,9 +212,11 @@ object Sampling {
     """WITH tagged AS (
       |  SELECT doc_id, source,
       |    CASE
-      |      WHEN substring(md5(source || '|' || '42'), 1, 4) < 'cccc'
+      |      WHEN substring(md5(coalesce(source, '__null__')
+      |          || '|' || '42'), 1, 4) < 'cccc'
       |        THEN 'train'
-      |      WHEN substring(md5(source || '|' || '42'), 1, 4) < 'e666'
+      |      WHEN substring(md5(coalesce(source, '__null__')
+      |          || '|' || '42'), 1, 4) < 'e666'
       |        THEN 'val'
       |      ELSE 'test' END AS split
       |  FROM documents)

@@ -163,10 +163,23 @@ object Canonicalize {
     * canonical files) at every delta sync. */
   private val SchemaFile = "_canon_schema"
 
-  private def schemaKeyOf(s: org.apache.spark.sql.types.StructType)
-      : String =
-    s.fields.map(f => s"${f.name}\t${f.dataType.catalogString}")
-      .sorted.mkString("\n")
+  /** The schema key covers the LOGICAL field set AND the partition
+    * spec: two trees with identical columns but different
+    * `partitionBy` have incompatible directory layouts, so an append
+    * under a changed partition spec would mix flat and partitioned
+    * leaves (or conflicting partition columns) in one directory —
+    * `spark.read.parquet` then fails with conflicting-directory-
+    * structure errors, and with the fingerprint already advanced the
+    * damage would be permanent. Folding the spec into the key routes
+    * any partition-spec change to the full SafeSwap rewrite.
+    * Pre-upgrade markers lack the header line and therefore mismatch
+    * once — one extra full rewrite per table, never wrong data (the
+    * `_raw_listing` upgrade-note precedent). */
+  private def schemaKeyOf(s: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[String]): String =
+    s"partitionBy=${partitionBy.mkString(",")}\n" +
+      s.fields.map(f => s"${f.name}\t${f.dataType.catalogString}")
+        .sorted.mkString("\n")
 
   private def readStoredSchemaKey(fs: org.apache.hadoop.fs.FileSystem,
       out: String): Option[String] = {
@@ -292,7 +305,7 @@ object Canonicalize {
     val schemaKey =
       if (entries.isEmpty) None
       else Some(schemaKeyOf(derive(TsvSource.read(spark,
-        TypeLattice.toStructType(table), rawRoot)).schema))
+        TypeLattice.toStructType(table), rawRoot)).schema, partitionBy))
     val prev = if (appendable && current.isDefined)
       readStoredListing(fs, out) else None
     val curSet = entries.toSet
@@ -301,7 +314,16 @@ object Canonicalize {
         val delta = entries.filterNot(p.toSet)
         if (delta.isEmpty) Some((delta, None))
         else {
-          val files = delta.map(e => rawRoot + e.take(e.indexOf('|')))
+          // entries are `relpath|len|mtime` where len/mtime are known
+          // digit-only — parse the relpath from the RIGHT, so a raw
+          // filename that itself contains '|' (legal on POSIX and in
+          // upstream manifests) survives intact instead of truncating
+          // at its first pipe and targeting a nonexistent path
+          val files = delta.map { e =>
+            val i2 = e.lastIndexOf('|')
+            val i1 = e.lastIndexOf('|', i2 - 1)
+            rawRoot + e.substring(0, i1)
+          }
           val df = derive(TsvSource.read(spark,
             TypeLattice.toStructType(table), files))
           // SCHEMA GUARD: appending under a schema that differs from
@@ -313,9 +335,24 @@ object Canonicalize {
           // (field (name, type) SETS — the write relocates partition
           // columns, so read order differs).
           val same = readStoredSchemaKey(fs, out) match {
-            case Some(k) => k == schemaKeyOf(df.schema)
+            case Some(k) => k == schemaKeyOf(df.schema, partitionBy)
             case None =>
-              try spark.read.parquet(out).schema.fields
+              // pre-upgrade fallback: the footer field SET cannot see
+              // a partition-spec change (the partition column appears
+              // in both schemas either way), so additionally require
+              // the live directory's partition-column chain — one
+              // listStatus per partition level, never O(files) — to
+              // equal this call's partitionBy
+              def liveChain(p: org.apache.hadoop.fs.Path): Seq[String] = {
+                val sub = fs.listStatus(p).filter(st =>
+                  st.isDirectory && st.getPath.getName.contains("="))
+                if (sub.isEmpty) Nil
+                else sub.head.getPath.getName.takeWhile(_ != '=') +:
+                  liveChain(sub.head.getPath)
+              }
+              try liveChain(new org.apache.hadoop.fs.Path(out)) ==
+                partitionBy &&
+                spark.read.parquet(out).schema.fields
                 .map(f => (f.name, f.dataType)).toSet ==
                 df.schema.fields.map(f => (f.name, f.dataType)).toSet
               catch { case _: Exception => false }
@@ -391,11 +428,17 @@ object Canonicalize {
     * resumes. Compacting such a table needs a sink-log-aware rewrite
     * (stop the stream, rewrite data + log, fresh checkpoint), so this
     * refuses rather than corrupt. */
+  /** `maxFiles`: rewrite a leaf only when it holds MORE than this many
+    * data files (and more than the byte-derived target count) — the
+    * sync-wired auto-compaction trigger. The default 1 keeps the
+    * manual-call behavior: any leaf reducible under `targetBytes`
+    * compacts. */
   def compact(
       spark: SparkSession,
       warehouseDir: String,
       table: String,
-      targetBytes: Long = 512L * 1024 * 1024): (Int, Int) = {
+      targetBytes: Long = 512L * 1024 * 1024,
+      maxFiles: Int = 1): (Int, Int) = {
     val out = s"$warehouseDir/$CanonicalPrefix/$table"
     val fs = fsFor(warehouseDir)
     val dir = new org.apache.hadoop.fs.Path(out)
@@ -431,7 +474,7 @@ object Canonicalize {
       val totalBytes = parts.map(_.getLen).sum
       val nFiles =
         math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-      if (parts.length > nFiles) {
+      if (parts.length > maxFiles && parts.length > nFiles) {
         // preserve the incremental-canonicalize markers when the leaf
         // IS the table root (unpartitioned layout): fingerprint,
         // listing, and the append-commit ledger — replay suppression

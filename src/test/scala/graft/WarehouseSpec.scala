@@ -1953,6 +1953,186 @@ class WarehouseSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("sync-wired canonical auto-compaction: append syncs accrete " +
+      "small files until the policy bound, the hot leaf collapses, " +
+      "in-shape leaves keep file identity, markers and the append " +
+      "ledger survive, and later appends still append") {
+    val src = Files.createTempDirectory("wh_cmp_src")
+    def put(name: String, content: String): ManifestEntry = {
+      val d = src.resolve("ev"); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry("ev", name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("ev", None, Seq(
+      CDColumn("event_id", "bigint"),
+      CDColumn("d", "date"))))
+    val whDir = Files.createTempDirectory("wh_cmp_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whcmp", parallelism = 1, canonicalize = true,
+      canonicalSpecs = Map("ev" -> Warehouse.CanonicalSpec(Seq("d"),
+        compactAtFiles = 2))))
+    val canonRoot = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/canonical/ev"))
+    def leafFiles(leaf: String): Map[String, Long] = {
+      val d = canonRoot.resolve(leaf).toFile
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    // sync 1: one row in each of two partitions (full canonicalize)
+    val f1 = put("f1.tsv", "1\t2024-01-01\n2\t2024-02-01\n")
+    wh.sync(Seq(f1), schema)
+    // sync 2: append into the same leaf — 2 files there, AT the bound
+    val f2 = put("f2.tsv", "3\t2024-01-01\n")
+    wh.sync(Seq(f1, f2), schema)
+    assert(leafFiles("d=2024-01-01").size == 2)
+    val febBefore = leafFiles("d=2024-02-01")
+    assert(febBefore.size == 1)
+    // sync 3: a third january-range file crosses the bound — the hot
+    // leaf auto-compacts; february is in shape and keeps its file
+    // identity byte-for-byte (mtime-pinned)
+    val f3 = put("f3.tsv", "4\t2024-01-01\n")
+    wh.sync(Seq(f1, f2, f3), schema)
+    assert(leafFiles("d=2024-01-01").size == 1,
+      s"the over-bound leaf must compact: ${leafFiles("d=2024-01-01")}")
+    assert(leafFiles("d=2024-02-01") == febBefore,
+      "an in-shape leaf must keep file identity (mtime)")
+    assert(wh.canonicalTable("ev").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    // the compaction preserved the fingerprint: an unchanged re-sync
+    // is a metadata no-op (no rewrite undoing the compaction)
+    val janAfter = leafFiles("d=2024-01-01")
+    wh.sync(Seq(f1, f2, f3), schema)
+    assert(leafFiles("d=2024-01-01") == janAfter,
+      "an unchanged sync must not rewrite a compacted leaf")
+    // the append ledger survived: the NEXT delta still takes the
+    // append fast path (tagged file) instead of a full rewrite
+    val f4 = put("f4.tsv", "5\t2024-01-01\n")
+    wh.sync(Seq(f1, f2, f3, f4), schema)
+    val janNames = leafFiles("d=2024-01-01").keys
+    assert(janNames.exists(_.startsWith("a_canon-")),
+      s"post-compaction deltas must still append: $janNames")
+    assert(wh.canonicalTable("ev").count() == 5L)
+  }
+
+  test("sync-wired auto-compaction on a MANIFEST-MANAGED table is " +
+      "reader-atomic and keeps reads exact") {
+    val src = Files.createTempDirectory("wh_cmpm_src")
+    def put(name: String, content: String): ManifestEntry = {
+      val d = src.resolve("ev"); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry("ev", name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("ev", None, Seq(
+      CDColumn("event_id", "bigint"),
+      CDColumn("d", "date"))))
+    val whDir = Files.createTempDirectory("wh_cmpm_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whcmpm", parallelism = 1, canonicalize = true,
+      manifestTables = Seq("ev"),
+      canonicalSpecs = Map("ev" -> Warehouse.CanonicalSpec(Seq("d"),
+        compactAtFiles = 2))))
+    var ms = Seq(put("f1.tsv", "1\t2024-01-01\n"))
+    wh.sync(ms, schema)
+    (2 to 4).foreach { i =>
+      ms = ms :+ put(s"f$i.tsv", s"$i\t2024-01-01\n")
+      wh.sync(ms, schema)
+    }
+    // the manifest resolves to the compacted file set; content exact
+    assert(wh.canonicalTable("ev").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    val leaf = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/canonical/ev/d=2024-01-01")).toFile
+    val live = graft.pipeline.Manifest.resolve(
+      s"$whDir/canonical/ev").get
+    assert(live.count(_.contains("d=2024-01-01")) <= 2,
+      s"the managed leaf must have compacted: ${live.mkString(",")}")
+    assert(leaf.exists())
+  }
+
+  test("raw-retirement discovery is O(new files): a no-new-files call " +
+      "issues ZERO Spark jobs, a new file scans ONLY itself, and an " +
+      "in-place forget rewrite re-keys and rescans") {
+    val src = Files.createTempDirectory("wh_rrl_src")
+    def put(name: String, content: String): ManifestEntry = {
+      val d = src.resolve("ev"); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry("ev", name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("ev", None, Seq(
+      CDColumn("event_id", "bigint"),
+      CDColumn("d", "date"))))
+    val fOld = put("old.tsv", "1\t2024-01-01\n2\t2024-01-02\n")
+    val fMix = put("mix.tsv", "4\t2024-01-02\n5\t2024-01-20\n")
+    val whDir = Files.createTempDirectory("wh_rrl_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whrrl", parallelism = 1, canonicalize = true,
+      canonicalSpecs = Map("ev" -> Warehouse.CanonicalSpec(Seq("d"))),
+      manifestTables = Seq("ev")))
+    wh.sync(Seq(fOld, fMix), schema)
+    wh.retireOlderThan("ev", "d", "2024-01-10")
+    // first call: both files are unknown — discovery scans them once
+    // and persists their write-once stats
+    assert(wh.retireRawOlderThan(schema, "ev", "d").filesRetired == 1L)
+    // count jobs + data records read during a window
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          records.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    def measured[A](f: => A): (A, Int, Long) = {
+      jobs.set(0); records.set(0L)
+      spark.sparkContext.addSparkListener(listener)
+      val r = try { val x = f; Thread.sleep(1200); x }
+        finally spark.sparkContext.removeSparkListener(listener)
+      (r, jobs.get(), records.get())
+    }
+    // no new files: the ledger answers everything — ZERO jobs, zero
+    // raw-data reads (the recurring daily shape at 100 TB)
+    val (rr2, j2, _) = measured(wh.retireRawOlderThan(schema, "ev", "d"))
+    assert(rr2.filesRetired == 0L)
+    assert(j2 == 0,
+      s"a no-new-files retirement must launch no Spark job, saw $j2")
+    // one new 3-row file: discovery reads exactly those 3 lines —
+    // mix.tsv (2 known rows) is never re-read
+    val fNew = put("new.tsv",
+      "6\t2024-01-03\n7\t2024-01-04\n8\t2024-01-05\n")
+    wh.sync(Seq(fOld, fMix, fNew), schema)
+    val (rr3, _, rec3) = measured(
+      wh.retireRawOlderThan(schema, "ev", "d"))
+    assert(rr3.filesRetired == 1L, rr3.toString)
+    assert(rec3 == 3L,
+      s"discovery must scan ONLY the new file's 3 rows, read $rec3")
+    // an in-place RTBF rewrite (the one sanctioned raw mutation)
+    // changes (len, mtime): the stale ledger entry is unreachable by
+    // key and the file rescans — dropping its current row makes it
+    // wholly-old and it retires instead of being pinned forever
+    val rawDir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/raw_files/ev"))
+    java.nio.file.Files.writeString(rawDir.resolve("mix.tsv"),
+      "4\t2024-01-02\n")
+    // java.nio bypasses Hadoop's LocalFS checksum sidecar — drop it or
+    // the rescan read fails its CRC
+    java.nio.file.Files.deleteIfExists(rawDir.resolve(".mix.tsv.crc"))
+    val (rr4, _, rec4) = measured(
+      wh.retireRawOlderThan(schema, "ev", "d"))
+    assert(rr4.filesRetired == 1L,
+      s"the rewritten wholly-old file must retire: $rr4")
+    assert(rec4 == 1L,
+      s"the rescan must read only the rewritten file's 1 row, read $rec4")
+    assert(!java.nio.file.Files.exists(rawDir.resolve("mix.tsv")))
+  }
+
   test("vacuum: crash debris GCs in one pass — completed-swap asides " +
       "and uncommitted tmps drop, orphaned asides RESTORE, journal " +
       "staging clears, quarantined journals are counted never deleted") {

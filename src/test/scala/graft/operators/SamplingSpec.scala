@@ -88,4 +88,29 @@ class SamplingSpec extends SparkSpec {
     // P(empty val) = (1 - 0.1)^97 ≈ 4e-5 — deterministic given the seed)
     assert(tagged.map(_._2).toSet == Set("train", "val", "test"))
   }
+
+  test("group holdout split: a NULL group key hashes the __null__ " +
+      "sentinel — identical to what a SQL auditor recomputes") {
+    // without the sentinel, Spark's concat_ws SKIPS the null (bucket =
+    // md5(seed) → a real split) while SQL's key || '|' || seed is NULL
+    // and falls to the LAST label — the same row splits differently
+    // depending on who computes. The sentinel makes NULL one ordinary
+    // auditable group.
+    val sdf = Seq((1L, Option("a")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("id", "g")
+    val split = Sampling.groupHoldoutSplit(col("g"), 42L,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val got = sdf.select(col("id"), split.as("s"))
+      .as[(Long, String)].collect().toMap
+    def hostSplit(g: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$g|42".getBytes("UTF-8"))
+      val b4 = d.take(2).map("%02x".format(_)).mkString
+      if (b4 < "cccc") "train" else if (b4 < "e666") "val" else "test"
+    }
+    assert(got(2L) == hostSplit("__null__"))
+    assert(got(2L) == got(3L), "all NULL-group rows share one split")
+    assert(got(1L) == hostSplit("a"),
+      "non-null groups are unaffected by the sentinel")
+  }
 }

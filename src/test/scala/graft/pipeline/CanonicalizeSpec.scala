@@ -221,6 +221,73 @@ class CanonicalizeSpec extends SparkSpec {
     assert(new java.io.File(s"$out/d=2024-03-01").exists())
   }
 
+  test("append path refuses a partition-spec change: full rewrite, " +
+      "never a mixed flat/partitioned tree") {
+    // same columns, different partitionBy: the field-set schema guard
+    // alone cannot see this (the partition column exists either way),
+    // but an append under the new spec would land col=val subdirs in a
+    // flat tree — spark.read.parquet then fails with conflicting
+    // directory structures AND the advanced fingerprint would make the
+    // damage permanent. The partition spec is part of the schema key.
+    val wh = Files.createTempDirectory("canon_pspec").toString
+    val raw = java.nio.file.Paths.get(s"$wh/raw_files/t_ps")
+    java.nio.file.Files.createDirectories(raw)
+    java.nio.file.Files.writeString(raw.resolve("f1.tsv"),
+      "1\t2024-01-01\n2\t2024-02-01\n")
+    val cd = CDTable("t_ps", None, Seq(
+      CDColumn("id", "bigint"), CDColumn("d", "date")))
+    val out = s"$wh/canonical/t_ps"
+    // generation 1: UNPARTITIONED
+    Canonicalize.canonicalizeIncremental(spark, wh, cd)
+    // pure addition, but under a CHANGED partition spec
+    java.nio.file.Files.writeString(raw.resolve("f2.tsv"),
+      "3\t2024-02-01\n")
+    Canonicalize.canonicalizeIncremental(spark, wh, cd,
+      partitionBy = Seq("d"))
+    val names = new java.io.File(out).listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith("a_canon-")),
+      s"a partition-spec change must full-rewrite, saw: ${names.toSeq}")
+    assert(names.exists(_.startsWith("d=")),
+      "the rewrite must carry the new partitioned layout")
+    val got = spark.read.parquet(out)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L))
+    // and back: partitioned → flat also full-rewrites
+    java.nio.file.Files.writeString(raw.resolve("f3.tsv"),
+      "4\t2024-03-01\n")
+    Canonicalize.canonicalizeIncremental(spark, wh, cd)
+    val names2 = new java.io.File(out).listFiles().map(_.getName)
+    assert(!names2.exists(_.startsWith("d=")) &&
+      !names2.exists(_.startsWith("a_canon-")),
+      s"spec change back to flat must full-rewrite: ${names2.toSeq}")
+    assert(spark.read.parquet(out).count() == 4L)
+  }
+
+  test("append path survives a raw filename containing '|' — the " +
+      "listing delimiter parses from the right") {
+    val wh = Files.createTempDirectory("canon_pipe").toString
+    val raw = java.nio.file.Paths.get(s"$wh/raw_files/t_pipe")
+    java.nio.file.Files.createDirectories(raw)
+    java.nio.file.Files.writeString(raw.resolve("f1.tsv"), "1\ta\n")
+    val cd = CDTable("t_pipe", None, Seq(
+      CDColumn("id", "bigint"), CDColumn("name", "varchar", Some(32))))
+    val out = s"$wh/canonical/t_pipe"
+    Canonicalize.canonicalizeIncremental(spark, wh, cd)
+    // the delta file's name contains the listing delimiter — a
+    // left-anchored e.take(e.indexOf('|')) parse would truncate it to
+    // a nonexistent path and fail the sync
+    java.nio.file.Files.writeString(raw.resolve("batch|2.tsv"),
+      "2\tb\n")
+    val (_, rewrote) = Canonicalize.canonicalizeIncremental(spark, wh, cd)
+    assert(rewrote)
+    val got = spark.read.parquet(out)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+    assert(new java.io.File(out).listFiles().map(_.getName)
+      .exists(_.startsWith("a_canon-")),
+      "the pipe-named delta must take the APPEND path, not a rewrite")
+  }
+
   test("compaction collapses small files, keeps rows, survives the next sync") {
     val wh = Files.createTempDirectory("canon_cmp").toString
     val cust = graft.Tables.load(spark, sfDir, "customer")
