@@ -1043,24 +1043,48 @@ object Similarity {
     * far side of a Voronoi edge still meets it. Batch vec_ids are
     * assumed disjoint from the corpus (sync-layer contract, as for
     * [[appendToIvfIndex]]). */
+  /** Broadcast budget for the probe-side frames of the incremental
+    * SemDeDup scans ([[semDedupProbe]]/[[semDedupProbeSq]]): a frame
+    * whose estimated bytes fit under it broadcasts (the daily-admission
+    * shape — tiny batch, minimal shuffles); a larger one — a
+    * backfill-sized batch, or an adversarial hot cell exploding the
+    * candidate set — takes the shuffle join instead of pressuring the
+    * driver with an unbounded `broadcast()` hint (the
+    * [[graft.Warehouse.Config.sweepLiteralMaxBytes]] discipline). */
+  val ProbeBroadcastMaxBytes: Long = 64L * 1024 * 1024
+
+  /** `df` hinted for broadcast only when its estimated size fits the
+    * probe budget; the estimate is rows × bytesPerRow from a count the
+    * caller already has (checkpointed or counted frames — no extra
+    * scan). */
+  private def adaptiveBroadcast(df: DataFrame, rows: Long,
+      bytesPerRow: Long, maxBytes: Long): DataFrame =
+    if (rows * bytesPerRow <= maxBytes) broadcast(df) else df
+
   def semDedupProbe(spark: SparkSession, batch: DataFrame,
-      indexDir: String, tau: Double): DataFrame = {
+      indexDir: String, tau: Double,
+      broadcastMaxBytes: Long = ProbeBroadcastMaxBytes): DataFrame = {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
+    val dim = if (centroids.nonEmpty) centroids(0).length else 0
     val b = batch.select(col("vec_id"), col("embedding"),
       bestCells(centroids, col("embedding"), 1).getItem(0).as("cell"))
       // consumed three times (probed-cell collect, corpus join side,
       // batch-internal join side) — materialize the nlist×dim scoring
       // once, the appendEdges/appendToMinhashIndex pattern
       .localCheckpoint()
+    val bRows = b.count()
+    // (cell, id, float embedding) ≈ 4 B/component + row overhead
+    def adaptB(df: DataFrame) = adaptiveBroadcast(df, bRows,
+      dim * 4L + 64L, broadcastMaxBytes)
     val probed = b.select(col("cell")).distinct().collect().map(_.get(0))
     val bq = b.select(col("cell"), col("vec_id").as("b"),
       col("embedding").as("eb"))
     val cells = spark.read.parquet(s"$indexDir/cells")
       .filter(col("cell").isin(probed.toSeq: _*))
       .select(col("cell"), col("embedding").as("ea"))
-    val vsCorpus = cells.join(broadcast(bq), Seq("cell"))
+    val vsCorpus = cells.join(adaptB(bq), Seq("cell"))
       .filter(expr("cosine_sim(ea, eb)") > tau)
       .select(col("b").as("vec_id"))
     val lhs = b.select(col("cell"), col("vec_id").as("a"),
@@ -1086,17 +1110,27 @@ object Similarity {
     * precision is never quantized. The batch-internal half runs full
     * precision (the batch carries its own embeddings). Precedence,
     * replica-recall, and disjoint-id semantics are [[semDedupProbe]]'s. */
-  def semDedupProbeSq(spark: SparkSession, batch: DataFrame,
-      indexDir: String, corpus: DataFrame, tau: Double,
-      candidateMargin: Double = 0.05): DataFrame = {
+  /** The SQ8 candidate stage: (checkpointed assigned batch, batch row
+    * count, dimension, candidate pair frame PRE-checkpoint). Package-
+    * private so plan tests can assert the codes-only read schema on
+    * exactly the plan [[semDedupProbeSq]] materializes. */
+  private[operators] def semDedupCandidatesSq(spark: SparkSession,
+      batch: DataFrame, indexDir: String, tau: Double,
+      candidateMargin: Double, broadcastMaxBytes: Long)
+      : (DataFrame, Long, Int, DataFrame) = {
     VectorFunctions.register(spark)
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
     val (mns, scales) = Quantize.readSqParams(spark, indexDir)
+    val dim = mns.length
     val b = batch.select(col("vec_id"), col("embedding"),
       bestCells(centroids, col("embedding"), 1).getItem(0).as("cell"))
       .localCheckpoint()
+    val bRows = b.count()
+    // qb is array<double>: 8 B/component + row overhead
+    def adaptB(df: DataFrame) = adaptiveBroadcast(df, bRows,
+      dim * 8L + 64L, broadcastMaxBytes)
     val probed = b.select(col("cell")).distinct().collect().map(_.get(0))
     val bq = b.select(col("cell"), col("vec_id").as("b"),
       transform(col("embedding"), x => x.cast("double")).as("qb"))
@@ -1113,16 +1147,37 @@ object Similarity {
     // zero-norm rows divide to NaN, which Spark orders above every
     // double — they pass as candidates and die at the exact check
     // (cosine_sim's zero-vector guard), never silently vanish
-    val candidates = decoded.join(broadcast(bq), Seq("cell"))
+    val candidates = decoded.join(adaptB(bq), Seq("cell"))
       .filter(dot / (sqrt(col("__nn")) * sqrt(qn)) >
         tau - candidateMargin)
       .select(col("a"), col("b")).distinct()
-    // exact verdict on the ORIGINAL embeddings (the index stores none);
-    // candidate pairs are probe-bounded, so both joins broadcast them
+    (b, bRows, dim, candidates)
+  }
+
+  def semDedupProbeSq(spark: SparkSession, batch: DataFrame,
+      indexDir: String, corpus: DataFrame, tau: Double,
+      candidateMargin: Double = 0.05,
+      broadcastMaxBytes: Long = ProbeBroadcastMaxBytes): DataFrame = {
+    val (b, bRows, dim, candidates0) = semDedupCandidatesSq(spark,
+      batch, indexDir, tau, candidateMargin, broadcastMaxBytes)
+    def adaptB(df: DataFrame) = adaptiveBroadcast(df, bRows,
+      dim * 8L + 64L, broadcastMaxBytes)
+    // consumed twice (the size count + the verdict join) — the
+    // checkpoint also pins the codes scan to ONE pass
+    val candidates = candidates0.localCheckpoint()
+    // exact verdict on the ORIGINAL embeddings (the index stores
+    // none). The candidate pair set is probe-bounded in the daily
+    // shape, but an adversarial hot batch can exceed any driver
+    // budget — SIZE the broadcast decision instead of forcing it:
+    // under the budget the pairs broadcast; over it, the corpus
+    // shuffles on `a` (the plan built for that volume).
+    val candRows = candidates.count()
+    val adaptC = adaptiveBroadcast(candidates, candRows, 48L,
+      broadcastMaxBytes)
     val vsCorpus = corpus
       .select(col("vec_id").as("a"), col("embedding").as("ea"))
-      .join(broadcast(candidates), Seq("a"))
-      .join(broadcast(b.select(col("vec_id").as("b"),
+      .join(adaptC, Seq("a"))
+      .join(adaptB(b.select(col("vec_id").as("b"),
         col("embedding").as("eb"))), Seq("b"))
       .filter(expr("cosine_sim(ea, eb)") > tau)
       .select(col("b").as("vec_id"))

@@ -114,7 +114,10 @@ class SemDedupSpec extends SparkSpec {
       "SQ8 candidates + exact verify must reproduce the float probe")
     // plan shape: every scan of the SQ8 index's cell files carries a
     // codes-only read schema — the 4× working-set cut is physical,
-    // not aspirational
+    // not aspirational. The probe materializes the candidate stage
+    // behind a localCheckpoint (one codes pass for count + join), so
+    // the assertion targets the candidate frame itself — exactly the
+    // plan the checkpoint executes.
     def scans(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
       p match { // descend through AQE wrappers, whose stages are not children
@@ -126,7 +129,10 @@ class SemDedupSpec extends SparkSpec {
         case other => other.children.flatMap(scans) ++
           other.subqueries.flatMap(scans)
       }
-    val cellScans = scans(sq.queryExecution.executedPlan)
+    val candStage = Similarity.semDedupCandidatesSq(spark, batch, sIdx,
+      tau = 0.9, candidateMargin = 0.05,
+      broadcastMaxBytes = Similarity.ProbeBroadcastMaxBytes)._4
+    val cellScans = scans(candStage.queryExecution.executedPlan)
       .filter(_.relation.location.rootPaths.exists(
         _.toString.contains("sidx/cells")))
       .map(_.requiredSchema.fieldNames.toSeq)
@@ -134,6 +140,58 @@ class SemDedupSpec extends SparkSpec {
     cellScans.foreach { fields =>
       assert(fields.contains("codes") && !fields.contains("embedding"),
         s"candidate scan must read codes only, saw $fields")
+    }
+  }
+
+  test("semDedupProbeSq sizes its broadcasts: over the budget the " +
+      "probe runs entirely on shuffle joins — same verdicts, zero " +
+      "driver-side broadcast pressure (the backfill shape)") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("semsqbf").toString
+    val sIdx = s"$dir/sidx"
+    Quantize.buildIvfSqIndex(spark, e, sIdx, nlist = 8, replicas = 2)
+    val batch = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + Dedup.PlantOffset).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val want = removed(
+      Similarity.semDedupProbeSq(spark, batch, sIdx, e, tau = 0.9))
+    // disable Catalyst's own size-based broadcasts (plan-time AND
+    // AQE's runtime re-plan) so the only possible broadcast is the
+    // probe's explicit hint — which the 1-byte budget must withhold
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.getOption(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sq = Similarity.semDedupProbeSq(spark, batch, sIdx, e,
+        tau = 0.9, broadcastMaxBytes = 1L)
+      assert(removed(sq) == want,
+        "the shuffle-join path must produce identical verdicts")
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => p +: nodes(q.plan)
+        case other => p +: (other.children.flatMap(nodes) ++
+          other.subqueries.flatMap(nodes))
+      }
+      val broadcasts = nodes(sq.queryExecution.executedPlan).filter(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.exchange
+          .BroadcastExchangeExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.adaptive
+          .BroadcastQueryStageExec])
+      assert(broadcasts.isEmpty,
+        s"an over-budget probe must not broadcast anything, saw: " +
+          s"${broadcasts.map(_.nodeName).mkString(", ")}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevA.foreach(v => spark.conf.set(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", v))
     }
   }
 }
