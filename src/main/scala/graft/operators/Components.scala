@@ -738,4 +738,105 @@ object Components {
       |     SELECT rep FROM tagged GROUP BY rep
       |     HAVING COUNT(DISTINCT split) > 1)) AS leaked_clusters
       |FROM tagged GROUP BY split""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q283b_split_under_merge — the cluster-keyed split's STABILITY
+  // CONTRACT under cluster growth, pinned through the INCREMENTAL store:
+  // when a later batch MERGES two clusters (q101's append path), the
+  // surviving min-label renames the component and every document of the
+  // renamed cluster migrates to the new label's split. That migration is
+  // the CONTRACT, not a bug: the merged halves are near-duplicates of
+  // each other, so persisting their first-assignment splits would leave
+  // train and validation holding near-dups of one another — permanent
+  // leakage, the exact contamination the cluster split exists to
+  // prevent. The operational consequence (re-export affected splits
+  // after merge-bearing appends) is pinned here as a first-class,
+  // oracle-counted number: the gate builds the store on the even-sum
+  // half of the planted pairs, appends the odd-sum half (real
+  // cross-component contractions — q101's construction), and reports
+  // per-split sizes/cluster counts of the POST-merge assignment plus
+  // `migrated_docs` (documents whose split differs from the pre-merge
+  // assignment) and the structural leak counter (must be ZERO
+  // post-merge). DuckDB recomputes BOTH closures (even-only and full)
+  // and both md5 assignments from scratch — a store that misses a
+  // merge relabel, double-applies the batch, or freezes first
+  // assignments changes migrated_docs or a membership and hash-fails.
+  // ---------------------------------------------------------------------
+  def q283bSplitUnderMerge(s: SparkSession, dir: String): DataFrame = {
+    val aug = augmentedCorpus(s, dir)
+    val pairs = plantedPairs(aug)
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .localCheckpoint()
+    val base = pairs.filter((col("a") + col("b")) % 2 === 0)
+    val batch = pairs.filter((col("a") + col("b")) % 2 === 1)
+    val store = s"$storeGateBase/ccsplit_${dir.hashCode.toHexString}"
+    if (!new java.io.File(s"$store.complete").exists()) {
+      buildComponentStore(s, store, base)
+      appendEdges(s, store, batch)
+      new java.io.File(s"$store.complete").createNewFile()
+    }
+    val fractions = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val ids = aug.select(col("doc_id").as("id"))
+    // post-merge labels from the STORE; pre-merge labels from the
+    // even-half closure (≡ the store's state after build — q101's own
+    // build/readback equivalence)
+    val rep = ids.join(readComponents(s, store), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("rep"))
+    val rep0 = ids.join(
+      connectedComponents(base).withColumnRenamed("comp", "comp0"),
+      Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp0"), col("id")).as("rep0"))
+    val tagged = rep.join(rep0, Seq("id")).select(col("id"), col("rep"),
+      Sampling.groupHoldoutSplit(col("rep"), 13L, fractions).as("split"),
+      Sampling.groupHoldoutSplit(col("rep0"), 13L, fractions)
+        .as("split0"))
+    val migrated = tagged.filter(col("split") =!= col("split0")).count()
+    val leaked = tagged.groupBy(col("rep"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"))
+      .withColumn("migrated_docs", lit(migrated))
+      .withColumn("leaked_clusters", lit(leaked))
+  }
+
+  val q283bSplitUnderMergeSql: String = plantedClosureSqlPrefix + ",\n" +
+    """edges0 AS (SELECT a, b FROM p WHERE (a + b) % 2 = 0
+      |  UNION SELECT b, a FROM p WHERE (a + b) % 2 = 0),
+      |reach0(id, r) AS (
+      |  SELECT DISTINCT a, a FROM edges0
+      |  UNION
+      |  SELECT x.id, e.b FROM reach0 x JOIN edges0 e ON e.a = x.r),
+      |comp0 AS (SELECT id, MIN(r) AS component FROM reach0 GROUP BY id),
+      |all_ AS (
+      |  SELECT b.doc_id AS id,
+      |    COALESCE(c.component, b.doc_id) AS rep,
+      |    COALESCE(c0.component, b.doc_id) AS rep0
+      |  FROM base b
+      |  LEFT JOIN comp c ON c.id = b.doc_id
+      |  LEFT JOIN comp0 c0 ON c0.id = b.doc_id),
+      |tagged AS (
+      |  SELECT id, rep,
+      |    CASE
+      |      WHEN substring(md5(CAST(rep AS VARCHAR) || '|' || '13'),
+      |        1, 4) < 'e666' THEN 'train'
+      |      WHEN substring(md5(CAST(rep AS VARCHAR) || '|' || '13'),
+      |        1, 4) < 'f333' THEN 'val'
+      |      ELSE 'test' END AS split,
+      |    CASE
+      |      WHEN substring(md5(CAST(rep0 AS VARCHAR) || '|' || '13'),
+      |        1, 4) < 'e666' THEN 'train'
+      |      WHEN substring(md5(CAST(rep0 AS VARCHAR) || '|' || '13'),
+      |        1, 4) < 'f333' THEN 'val'
+      |      ELSE 'test' END AS split0
+      |  FROM all_)
+      |SELECT split, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT rep) AS n_clusters,
+      |  (SELECT COUNT(*) FROM tagged WHERE split <> split0)
+      |    AS migrated_docs,
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT rep FROM tagged GROUP BY rep
+      |     HAVING COUNT(DISTINCT split) > 1)) AS leaked_clusters
+      |FROM tagged GROUP BY split""".stripMargin
 }
