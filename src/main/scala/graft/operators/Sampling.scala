@@ -157,6 +157,113 @@ object Sampling {
     }
   }
 
+  /** GLOBAL EPOCH POSITIONS without a global window: the epoch order is
+    * (md5(id|seed), id) — [[deterministicShuffle]]'s key — and the
+    * leading 2 hex chars partition it into 256 contiguous buckets, so
+    * global position = bucket offset + position within bucket. Bucket
+    * counts aggregate to ≤256 rows, prefix-sum on the driver, and
+    * broadcast back as a map literal; position-within-bucket is a
+    * 256-way-parallel window. No global sort state, no driver data
+    * path beyond 256 counters — the q281 scale shape made addressable.
+    * Returns `df`'s columns plus `pos` (1-based global position). */
+  def epochPositions(df: DataFrame, id: String, seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .withColumn("__k", md5(concat_ws("|", col(id).cast("string"),
+        lit(seed.toString)).cast("binary")))
+      .withColumn("__b", substring(col("__k"), 1, 2))
+    val counts = keyed.groupBy(col("__b"))
+      .agg(count(lit(1)).as("n")).orderBy(col("__b")).collect()
+    var acc = 0L
+    val offsets = counts.map { r =>
+      val o = acc; acc += r.getLong(1); (r.getString(0), o)
+    }.toMap
+    // the bucket key always exists in the map (built from the same
+    // rows); try_element_at keeps the expression ANSI-proof anyway
+    keyed
+      .withColumn("__p", row_number().over(
+        Window.partitionBy(col("__b"))
+          .orderBy(col("__k"), col(id))).cast("long"))
+      .withColumn("pos",
+        try_element_at(typedLit(offsets), col("__b")) + col("__p"))
+      .drop("__k", "__b", "__p")
+  }
+
+  /** [[epochPositions]] plus the CLOSED-FORM shard assignment: shard =
+    * (pos − 1) div recordsPerShard — shard s holds exactly global
+    * positions [s·L+1, (s+1)·L], so shard membership and intra-shard
+    * order are both pure functions of (id, seed, L), recomputable by
+    * any auditor or resumed loader. */
+  def epochShards(df: DataFrame, id: String, seed: Long,
+      recordsPerShard: Long): DataFrame = {
+    require(recordsPerShard > 0, "recordsPerShard must be positive")
+    epochPositions(df, id, seed).withColumn("shard",
+      expr(s"cast((pos - 1) div $recordsPerShard as int)"))
+  }
+
+  /** Per-shard ordered receipt — the [[graft.operators.Ingest
+    * .shardFingerprint]] shape over the EPOCH order: counts, position
+    * range, boundary ids, and an md5 over the shard's id sequence IN
+    * ORDER. A loader (or auditor) replays the closed form and verifies
+    * each shard before training on it. */
+  def epochShardReceipts(df: DataFrame, id: String, seed: Long,
+      recordsPerShard: Long): DataFrame =
+    epochShards(df, id, seed, recordsPerShard)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"),
+        sort_array(collect_list(struct(col("pos").as("p"),
+          col(id).cast("string").as("i")))).as("xs"))
+      .select(col("shard"), col("n_docs"), col("first_pos"),
+        col("last_pos"),
+        md5(array_join(expr("transform(xs, x -> x.i)"), ",")
+          .cast("binary")).as("ids_md5"))
+
+  /** ORDER-PRESERVING SHARD WRITER — the artifact a training loader
+    * consumes: `outDir/shard=N/` holds shard N's rows in epoch order.
+    * One shuffle on the shard id; `sortWithinPartitions(shard, pos)`
+    * keeps each shard contiguous and ordered inside its task, and the
+    * partitionBy write splits tasks into per-shard directories whose
+    * file row order IS the epoch order (parquet preserves row order
+    * within a file). Shards are ~recordsPerShard·rowbytes — size L so
+    * a shard fits a write task comfortably. Returns the shard count. */
+  def writeEpochShards(df: DataFrame, id: String, seed: Long,
+      recordsPerShard: Long, outDir: String): Long = {
+    val sh = epochShards(df, id, seed, recordsPerShard)
+    sh.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+    sh.select(col("shard")).distinct().count()
+  }
+
+  // ---------------------------------------------------------------------
+  // q285_epoch_shards — the epoch-shard export's receipts pinned
+  // end-to-end: shard membership (the closed-form (pos−1) div L), the
+  // position ranges, AND intra-shard order (an md5 over each shard's id
+  // sequence in order) against DuckDB's replay of the same epoch order
+  // (one ROW_NUMBER over (md5(id|seed), id)). A partitioning
+  // sensitivity, a bucket-offset error, an off-by-one in the shard
+  // form, or any reordering moves some shard's ids_md5 and hash-fails.
+  // ---------------------------------------------------------------------
+  def q285EpochShards(s: SparkSession, dir: String): DataFrame =
+    epochShardReceipts(
+      t(s, dir, "documents").select(col("doc_id")),
+      "doc_id", seed = 7L, recordsPerShard = 64L)
+
+  val q285EpochShardsSql: String =
+    """WITH o AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '7'),
+      |        doc_id) AS pos
+      |  FROM documents)
+      |SELECT CAST((pos - 1) // 64 AS INT) AS shard,
+      |  COUNT(*) AS n_docs,
+      |  MIN(pos) AS first_pos, MAX(pos) AS last_pos,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos))
+      |    AS ids_md5
+      |FROM o GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------------
   // q281_det_shuffle — the deterministic shuffle's FULL ordering pinned
   // against an independent recomputation: positions are assigned

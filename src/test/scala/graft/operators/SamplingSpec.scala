@@ -113,4 +113,60 @@ class SamplingSpec extends SparkSpec {
     assert(got(1L) == hostSplit("a"),
       "non-null groups are unaffected by the sentinel")
   }
+
+  test("epoch positions are the host-md5 global order, partition-" +
+      "invariant; shards are the closed form") {
+    val ids = (1L to 500L).toDF("id")
+    def hostKey(i: Long, seed: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i|$seed".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val wantOrder = (1L to 500L).sortBy(i => (hostKey(i, 7L), i)).toList
+    val got = Sampling.epochPositions(ids, "id", 7L)
+      .select("pos", "id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toList == (1L to 500L).toList,
+      "positions must be exactly 1..N")
+    assert(got.map(_._2).toList == wantOrder,
+      "position order must equal the global (md5, id) order")
+    val repart = Sampling.epochPositions(ids.repartition(13), "id", 7L)
+      .select("pos", "id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(repart.toList == got.toList,
+      "positions must not depend on input partitioning")
+    val sh = Sampling.epochShards(ids, "id", 7L, 64L)
+      .select("shard", "pos").as[(Int, Long)].collect()
+    assert(sh.forall { case (s, p) => s == ((p - 1) / 64).toInt },
+      "shard must be the closed form (pos-1) div L")
+  }
+
+  test("writeEpochShards: shard directories hold the epoch order — " +
+      "membership AND intra-shard row order replay from (id, seed, L)") {
+    val ids = (1L to 300L).toDF("id")
+    val out = java.nio.file.Files.createTempDirectory("epochsh").toString
+    val nShards = Sampling.writeEpochShards(ids, "id", 7L, 64L, out)
+    assert(nShards == 5L, s"300 rows / 64 per shard = 5 shards, $nShards")
+    def hostKey(i: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i|7".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val order = (1L to 300L).sortBy(i => (hostKey(i), i)).toList
+    (0 until 5).foreach { s =>
+      val dir = new java.io.File(s"$out/shard=$s")
+      assert(dir.isDirectory, s"missing shard dir $s")
+      val files = dir.listFiles().filter(f =>
+        f.getName.endsWith(".parquet")).sortBy(_.getName)
+      // each shard lands as ONE task's contiguous, sorted slice
+      val rows = files.toSeq.flatMap { f =>
+        spark.read.parquet(f.toString).select("pos", "id")
+          .as[(Long, Long)].collect().toSeq
+      }
+      assert(rows.map(_._1) == rows.map(_._1).sorted,
+        s"shard $s file rows must be in position order")
+      val want = order.slice(s * 64, math.min((s + 1) * 64, 300))
+      assert(rows.map(_._2).toList == want,
+        s"shard $s must hold epoch positions ${s * 64 + 1}.." +
+          s"${math.min((s + 1) * 64, 300)} in order")
+    }
+  }
 }
