@@ -147,7 +147,8 @@ object Quantize {
       m: Int = 8, k: Int = 16,
       ledger: Seq[(String, String)] = Nil): Unit = {
     val cb = trainPqCodebook(e, m, k)
-    val fp = Similarity.corpusFingerprint(e)
+    // fingerprint observed on the codes-write scan — no dedicated pass
+    val (withFp, obsFp) = Similarity.observeFingerprint(e)
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
       val sqlCtx = spark
       import sqlCtx.implicits._
@@ -157,8 +158,10 @@ object Quantize {
         cents.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
       }.toSeq.toDF("sub", "code", "centroid").coalesce(1)
         .write.parquet(s"$tmp/codebook")
-      e.select(col("vec_id"), pqEncodeCol(cb, col("embedding")).as("codes"))
+      withFp.select(col("vec_id"),
+          pqEncodeCol(cb, col("embedding")).as("codes"))
         .write.parquet(s"$tmp/codes")
+      val fp = Similarity.observedFingerprint(obsFp)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
       val os = fs.create(
@@ -341,9 +344,10 @@ object Quantize {
       ledger: Seq[(String, String)] = Nil): Unit = {
     val cells = Similarity.trainCentroids(e, nlist)
     val cb = trainPqCodebook(e, m, k)
-    val fp = Similarity.corpusFingerprint(e)
-    // drift baseline observed on the cells-write scan — no extra pass
-    val (observed, obs) = Similarity.observeTopAffinity(e, cells)
+    // drift baseline AND fingerprint observed on the cells-write scan
+    // — no extra pass for either
+    val (withFp, obsFp) = Similarity.observeFingerprint(e)
+    val (observed, obs) = Similarity.observeTopAffinity(withFp, cells)
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
       val sqlCtx = spark
       import sqlCtx.implicits._
@@ -365,6 +369,7 @@ object Quantize {
         .write.partitionBy("cell").parquet(s"$tmp/cells")
       Similarity.writeDriftBase(spark, tmp,
         Similarity.observedAffinity(obs))
+      val fp = Similarity.observedFingerprint(obsFp)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
       val os = fs.create(
@@ -881,9 +886,10 @@ object Quantize {
       ledger: Seq[(String, String)] = Nil): Unit = {
     val cells = Similarity.trainCentroids(e, nlist)
     val (mns, scales) = sqParams(e)
-    val fp = Similarity.corpusFingerprint(e)
-    // drift baseline observed on the cells-write scan — no extra pass
-    val (observed, obs) = Similarity.observeTopAffinity(e, cells)
+    // drift baseline AND fingerprint observed on the cells-write scan
+    // — no extra pass for either
+    val (withFp, obsFp) = Similarity.observeFingerprint(e)
+    val (observed, obs) = Similarity.observeTopAffinity(withFp, cells)
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
       val sqlCtx = spark
       import sqlCtx.implicits._
@@ -904,6 +910,7 @@ object Quantize {
         .write.partitionBy("cell").parquet(s"$tmp/cells")
       Similarity.writeDriftBase(spark, tmp,
         Similarity.observedAffinity(obs))
+      val fp = Similarity.observedFingerprint(obsFp)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
       val os = fs.create(

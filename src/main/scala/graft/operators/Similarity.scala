@@ -413,6 +413,39 @@ object Similarity {
     s"${r.getLong(0)}|${if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString}"
   }
 
+  /** The corpus fingerprint as an OBSERVED sidecar of the caller's
+    * corpus write — the [[observeTopAffinity]] trick applied once more,
+    * cutting every index build's dedicated fingerprint pass: the fold
+    * (count + decimal sum of per-row xxhash64) is order-insensitive and
+    * exact, so the observed value is BIT-IDENTICAL to what
+    * [[corpusFingerprint]] computes in its own pass (spec-pinned).
+    * Observe sits on the pre-explode projection, so each corpus row
+    * hashes once, not `replicas` times. */
+  private[operators] def observeFingerprint(e: DataFrame)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation()
+    (e.observe(obs, count(lit(1)).as("n"),
+      sum(xxhash64(col("vec_id"), col("embedding"))
+        .cast("decimal(38,0)")).as("h")), obs)
+  }
+
+  /** Read back the observed fingerprint after the observed plan's
+    * action completed — same `n|h` form as [[corpusFingerprint]]
+    * (empty corpus → "0|0"). */
+  private[operators] def observedFingerprint(
+      obs: org.apache.spark.sql.Observation): String = {
+    val m = obs.get
+    val n = m.getOrElse("n", 0L) match {
+      case l: java.lang.Long => l.longValue
+      case _ => 0L
+    }
+    val h = m.getOrElse("h", null) match {
+      case d: java.math.BigDecimal => d.toBigInteger.toString
+      case _ => "0"
+    }
+    s"$n|$h"
+  }
+
   /** `ledger` entries commit atomically inside the build swap (payload
     * "0|0" — the base marker already covers the founding batch), the
     * streaming bootstrap's crash-safety hinge ([[foreachBatchIvfSink]]). */
@@ -420,11 +453,12 @@ object Similarity {
       nlist: Int = 16, replicas: Int = 2,
       ledger: Seq[(String, String)] = Nil): Unit = {
     val centroids = trainCentroids(e, nlist)
-    val fp = corpusFingerprint(e)
-    // drift baseline rides the cells-write scan (observe node sits
-    // BELOW the explode, so each corpus row is aggregated once, not
-    // `replicas` times) — no dedicated corpus pass
-    val (observed, obs) = observeTopAffinity(e, centroids)
+    // drift baseline AND corpus fingerprint ride the cells-write scan
+    // (both observe nodes sit BELOW the explode, so each corpus row is
+    // aggregated once, not `replicas` times) — a build pays exactly
+    // TWO corpus-wide jobs: the centroid sample and the cells write
+    val (withFp, obsFp) = observeFingerprint(e)
+    val (observed, obs) = observeTopAffinity(withFp, centroids)
     val corpus = observed.select(col("vec_id"), col("embedding"),
       explode(bestCells(centroids, col("embedding"), replicas)).as("cell"))
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
@@ -440,6 +474,7 @@ object Similarity {
       // via partition pruning, the IVF promise made physical
       corpus.write.partitionBy("cell").parquet(s"$tmp/cells")
       writeDriftBase(spark, tmp, observedAffinity(obs))
+      val fp = observedFingerprint(obsFp)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
       val os = fs.create(

@@ -298,9 +298,10 @@ class SimilaritySpec extends SparkSpec {
       "replaying an applied batch after compaction must not re-append")
   }
 
-  test("index build pays NO dedicated drift-baseline pass: exactly " +
-      "three corpus-wide jobs (centroid sample, fingerprint, cells " +
-      "write), and the observed baseline matches the direct aggregate") {
+  test("index build pays NO dedicated drift-baseline or fingerprint " +
+      "pass: exactly two corpus-wide jobs (centroid sample, cells " +
+      "write), and both observed sidecars match their direct " +
+      "aggregates") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_jobs").toString
     val src = s"$dir/corpus"
     graft.Tables.load(spark, sfDir, "embeddings")
@@ -337,22 +338,37 @@ class SimilaritySpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     val fullScans = bytesByJob.values.asScala.map(_.get())
       .count(_ >= corpusRows)
-    // the three passes a build cannot avoid: the centroid training
-    // sample (TakeOrdered reads every row), the corpus fingerprint,
-    // and the cells write. The drift baseline must ride the cells
-    // write as an observed metric — a FOURTH corpus-wide job means a
-    // dedicated baseline pass crept back in (it doubles every index
-    // build at any corpus size).
-    assert(fullScans == 3,
-      s"expected exactly 3 corpus-wide jobs in buildIvfIndex, saw " +
+    // the two passes a build cannot avoid: the centroid training
+    // sample (TakeOrdered reads every row) and the cells write. The
+    // drift baseline AND the corpus fingerprint must both ride the
+    // cells write as observed metrics — a THIRD corpus-wide job means
+    // a dedicated pass crept back in (it grows every index build by
+    // half at any corpus size).
+    assert(fullScans == 2,
+      s"expected exactly 2 corpus-wide jobs in buildIvfIndex, saw " +
         s"$fullScans (records/job: " +
         s"${bytesByJob.values.asScala.map(_.get()).toSeq.sorted}, " +
         s"corpus $corpusRows rows)")
-    // the observed sidecar aggregate equals the direct computation
+    // the observed sidecar aggregates equal their direct computations
     val base = Similarity.driftBase(spark, idx)
     assert(base.isDefined, "build must still persist the drift baseline")
     val direct = Similarity.batchAffinity(spark, idx, e)
     assert(math.abs(base.get - direct) < 1e-9,
       s"observed baseline ${base.get} != direct aggregate $direct")
+    // the observed fingerprint is BIT-identical to the dedicated-pass
+    // fold (count + order-insensitive exact decimal hash sum): the
+    // rebuild trigger (ensureIvfIndex compares a fresh direct fold to
+    // this marker) must not see a spurious mismatch
+    val fs2 = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    val in = fs2.open(
+      new org.apache.hadoop.fs.Path(idx, "_corpus_fingerprint"))
+    val marker = try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+    assert(marker.startsWith(Similarity.corpusFingerprint(e) + "|"),
+      s"observed fingerprint in '$marker' != direct fold")
+    // and therefore an unchanged corpus never rebuilds
+    assert(!Similarity.ensureIvfIndex(spark, e, idx, nlist = 8,
+      replicas = 2), "ensure must be a no-op on an unchanged corpus")
   }
 }
