@@ -31,6 +31,26 @@ class GramIndexSpec extends SparkSpec {
     assert(viaIndex == Set((10L, 6L, 5L), (11L, 6L, 5L)))
   }
 
+  test("probe is ANSI-proof on data-driven misses: all-unseen grams " +
+      "count fully novel, gram-less docs vanish, neither throws") {
+    // the q280 ANSI audit applied to the index probe surface: every
+    // probe gram that misses the index is a data-driven absent key —
+    // the probe must resolve misses relationally (left_semi +
+    // coalesce), never through a throwing positional/map access
+    val idx = Files.createTempDirectory("gidx_ansi").toString + "/i"
+    GramIndex.buildGramIndex(spark, docs(1L -> "a b c d e f g"), 5, idx)
+    val probe = docs(
+      20L -> "zz yy xx ww vv uu tt",  // every gram unseen
+      21L -> "a b",                   // too short for ANY 5-gram
+      22L -> "")                      // empty text
+    val got = GramIndex.noveltyProbe(spark, probe, 5, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // 7 words → 3 grams, all novel; gram-less docs produce no rows
+    // (absent, not an error — the caller's left join reinstates them)
+    assert(got == Set((20L, 3L, 3L)), got.toString)
+  }
+
   test("append is file-additive: untouched bucket files keep physical identity") {
     val idx = Files.createTempDirectory("gidx_mtime").toString + "/i"
     GramIndex.buildGramIndex(spark,

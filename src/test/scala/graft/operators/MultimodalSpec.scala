@@ -52,7 +52,14 @@ class MultimodalSpec extends SparkSpec {
       (1L, header(640, 480) ++ "body".getBytes("UTF-8")), // valid + body
       (2L, header(1, 16777216)),                          // valid, no body
       (3L, "PNG0".getBytes("UTF-8") ++ new Array[Byte](20)), // wrong magic
-      (4L, "tiny".getBytes("UTF-8"))                      // shorter than hdr
+      (4L, "tiny".getBytes("UTF-8")),                     // shorter than hdr
+      // ANSI audit (the q280 discipline applied to header offsets):
+      // the empty payload and the 11-byte boundary are the shapes
+      // where the height field's hex substring is EMPTY — an
+      // unguarded CAST(conv('') AS BIGINT) throws under ANSI; the
+      // is_valid `when` guard must keep both rows NULL, not fatal
+      (5L, Array.empty[Byte]),                            // empty payload
+      (6L, header(9, 9).take(11))                         // 1 byte short
     ).toDF("doc_id", "payload")
     val r = Multimodal.parseHeaders(media).collect()
       .map(x => x.getLong(0) -> x).toMap
@@ -60,7 +67,7 @@ class MultimodalSpec extends SparkSpec {
       r(1L).getLong(4) == 480 && r(1L).getLong(5) == 4)
     assert(r(2L).getBoolean(1) && r(2L).getLong(3) == 1 &&
       r(2L).getLong(4) == 16777216 && r(2L).getLong(5) == 0)
-    Seq(3L, 4L).foreach { id =>
+    Seq(3L, 4L, 5L, 6L).foreach { id =>
       assert(!r(id).getBoolean(1))
       (2 to 5).foreach(i => assert(r(id).isNullAt(i), s"doc $id col $i"))
     }
