@@ -2017,6 +2017,48 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.canonicalTable("ev").count() == 5L)
   }
 
+  test("auto-compaction composes with maintained skip stats: the same " +
+      "sync compacts then rebuilds stats over the compacted file set, " +
+      "and pruned reads stay exact") {
+    val src = Files.createTempDirectory("wh_cmps_src")
+    def put(name: String, content: String): ManifestEntry = {
+      val d = src.resolve("fact"); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry("fact", name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("fact", None, Seq(
+      CDColumn("k", "bigint"), CDColumn("v", "bigint"))))
+    val whDir = Files.createTempDirectory("wh_cmps_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whcmps", parallelism = 1, canonicalize = true,
+      canonicalSpecs = Map("fact" -> Warehouse.CanonicalSpec(
+        compactAtFiles = 2)),
+      maintainedSkipStats = Map("fact" -> Seq("k"))))
+    var ms = Seq(put("f1.tsv",
+      (1L to 30L).map(k => s"$k\t${k * 2}").mkString("", "\n", "\n")))
+    wh.sync(ms, schema)
+    // two appends cross the bound on the third sync
+    ms = ms :+ put("f2.tsv",
+      (31L to 60L).map(k => s"$k\t${k * 2}").mkString("", "\n", "\n"))
+    wh.sync(ms, schema)
+    ms = ms :+ put("f3.tsv",
+      (61L to 90L).map(k => s"$k\t${k * 2}").mkString("", "\n", "\n"))
+    wh.sync(ms, schema)
+    val canon = new java.io.File(new java.net.URI(
+      s"$whDir/canonical/fact"))
+    val dataFiles = canon.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(dataFiles.length == 1,
+      s"3 accreted files must compact to 1: ${dataFiles.map(_.getName).toSeq}")
+    // the skip stats were rebuilt AFTER compaction in that same sync:
+    // a pruned range read over the compacted file set stays exact
+    assert(new java.io.File(canon, "_skip_stats").exists())
+    assert(wh.readRange("fact", "k", 40L, 70L)
+      .collect().map(_.getLong(0)).toSet == (40L to 70L).toSet,
+      "stats-pruned reads must follow the compacted file set")
+  }
+
   test("sync-wired auto-compaction on a MANIFEST-MANAGED table is " +
       "reader-atomic and keeps reads exact") {
     val src = Files.createTempDirectory("wh_cmpm_src")
