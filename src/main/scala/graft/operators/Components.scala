@@ -801,6 +801,53 @@ object Components {
       .withColumn("leaked_clusters", lit(leaked))
   }
 
+  // ---------------------------------------------------------------------
+  // q286_train_export — the END-TO-END training-export composition a
+  // real run executes: near-dup clusters (q66's closure) → cluster-keyed
+  // holdout split (q283's decontamination-correct unit) → the TRAIN
+  // split alone → deterministic epoch-shard receipts (q285's closed
+  // form, its own seed). One gate pins the whole artifact chain: a
+  // single leaked near-dup, one migrated split assignment, or one
+  // out-of-order shard row changes some shard's ids_md5 and
+  // hash-fails. DuckDB replays the full chain from scratch — closure,
+  // md5 split, md5 epoch order, receipts.
+  // ---------------------------------------------------------------------
+  def q286TrainExport(s: SparkSession, dir: String): DataFrame = {
+    val aug = augmentedCorpus(s, dir)
+    val comp = connectedComponents(plantedPairs(aug))
+    val rep = aug.select(col("doc_id").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("rep"))
+    val split = Sampling.groupHoldoutSplit(col("rep"), 13L,
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val train = rep.select(col("id"), split.as("split"))
+      .filter(col("split") === "train")
+      .select(col("id").as("doc_id"))
+    Sampling.epochShardReceipts(train, "doc_id", seed = 11L,
+      recordsPerShard = 128L)
+  }
+
+  val q286TrainExportSql: String = plantedClosureSqlPrefix + ",\n" +
+    """all_ AS (
+      |  SELECT b.doc_id AS id, COALESCE(c.component, b.doc_id) AS rep
+      |  FROM base b LEFT JOIN comp c ON c.id = b.doc_id),
+      |train AS (
+      |  SELECT id FROM all_
+      |  WHERE substring(md5(CAST(rep AS VARCHAR) || '|' || '13'),
+      |    1, 4) < 'e666'),
+      |o AS (
+      |  SELECT id,
+      |    ROW_NUMBER() OVER (
+      |      ORDER BY md5(CAST(id AS VARCHAR) || '|' || '11'), id)
+      |      AS pos
+      |  FROM train)
+      |SELECT CAST((pos - 1) // 128 AS INT) AS shard,
+      |  COUNT(*) AS n_docs,
+      |  MIN(pos) AS first_pos, MAX(pos) AS last_pos,
+      |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos))
+      |    AS ids_md5
+      |FROM o GROUP BY 1""".stripMargin
+
   val q283bSplitUnderMergeSql: String = plantedClosureSqlPrefix + ",\n" +
     """edges0 AS (SELECT a, b FROM p WHERE (a + b) % 2 = 0
       |  UNION SELECT b, a FROM p WHERE (a + b) % 2 = 0),

@@ -161,17 +161,26 @@ object Sampling {
     * (md5(id|seed), id) — [[deterministicShuffle]]'s key — and the
     * leading 2 hex chars partition it into 256 contiguous buckets, so
     * global position = bucket offset + position within bucket. Bucket
-    * counts aggregate to ≤256 rows, prefix-sum on the driver, and
-    * broadcast back as a map literal; position-within-bucket is a
-    * 256-way-parallel window. No global sort state, no driver data
-    * path beyond 256 counters — the q281 scale shape made addressable.
+    * counts aggregate to ≤16^bucketHexChars rows, prefix-sum on the
+    * driver, and broadcast back as a map literal; position-within-
+    * bucket is a bucket-parallel window. No global sort state, no
+    * driver data path beyond the counters — the q281 scale shape made
+    * addressable. `bucketHexChars` sizes the per-bucket window input:
+    * 2 (default, 256 buckets) suits up to ~TB corpora; at 100 TB pass
+    * 3–4 (4096/65536 buckets) so each window partition sorts
+    * corpus/buckets rows — the driver side stays a trivial prefix-sum
+    * either way, and the positions are IDENTICAL for any width
+    * (bucketing only parallelizes the same (md5, id) total order).
     * Returns `df`'s columns plus `pos` (1-based global position). */
-  def epochPositions(df: DataFrame, id: String, seed: Long): DataFrame = {
+  def epochPositions(df: DataFrame, id: String, seed: Long,
+      bucketHexChars: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(bucketHexChars >= 1 && bucketHexChars <= 8,
+      "bucketHexChars must be in [1, 8]")
     val keyed = df
       .withColumn("__k", md5(concat_ws("|", col(id).cast("string"),
         lit(seed.toString)).cast("binary")))
-      .withColumn("__b", substring(col("__k"), 1, 2))
+      .withColumn("__b", substring(col("__k"), 1, bucketHexChars))
     val counts = keyed.groupBy(col("__b"))
       .agg(count(lit(1)).as("n")).orderBy(col("__b")).collect()
     var acc = 0L

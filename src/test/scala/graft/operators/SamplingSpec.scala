@@ -137,6 +137,12 @@ class SamplingSpec extends SparkSpec {
       .select("shard", "pos").as[(Int, Long)].collect()
     assert(sh.forall { case (s, p) => s == ((p - 1) / 64).toInt },
       "shard must be the closed form (pos-1) div L")
+    // bucket width only parallelizes — positions are width-invariant
+    // (the 100 TB knob: more buckets, same total order)
+    val wide = Sampling.epochPositions(ids, "id", 7L, bucketHexChars = 3)
+      .select("pos", "id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(wide.toList == got.toList,
+      "a different bucket width must yield identical positions")
   }
 
   test("writeEpochShards: shard directories hold the epoch order — " +
