@@ -764,26 +764,28 @@ object Components {
   // ---------------------------------------------------------------------
   def q283bSplitUnderMerge(s: SparkSession, dir: String): DataFrame = {
     val aug = augmentedCorpus(s, dir)
-    val pairs = plantedPairs(aug)
-      .select(col("a").cast("long"), col("b").cast("long"))
-      .localCheckpoint()
-    val base = pairs.filter((col("a") + col("b")) % 2 === 0)
-    val batch = pairs.filter((col("a") + col("b")) % 2 === 1)
     val store = s"$storeGateBase/ccsplit_${dir.hashCode.toHexString}"
+    val pre = s"${store}_pre"
     if (!new java.io.File(s"$store.complete").exists()) {
-      buildComponentStore(s, store, base)
-      appendEdges(s, store, batch)
+      val pairs = plantedPairs(aug)
+        .select(col("a").cast("long"), col("b").cast("long"))
+        .localCheckpoint()
+      buildComponentStore(s, store,
+        pairs.filter((col("a") + col("b")) % 2 === 0))
+      // the PRE-merge assignment is the store's own post-build state,
+      // snapshotted before the merging append — so the gate pins the
+      // build→read→append→read lifecycle, not a parallel recomputation
+      readComponents(s, store).write.mode("overwrite").parquet(pre)
+      appendEdges(s, store,
+        pairs.filter((col("a") + col("b")) % 2 === 1))
       new java.io.File(s"$store.complete").createNewFile()
     }
     val fractions = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
     val ids = aug.select(col("doc_id").as("id"))
-    // post-merge labels from the STORE; pre-merge labels from the
-    // even-half closure (≡ the store's state after build — q101's own
-    // build/readback equivalence)
     val rep = ids.join(readComponents(s, store), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("rep"))
     val rep0 = ids.join(
-      connectedComponents(base).withColumnRenamed("comp", "comp0"),
+      s.read.parquet(pre).withColumnRenamed("comp", "comp0"),
       Seq("id"), "left")
       .select(col("id"), coalesce(col("comp0"), col("id")).as("rep0"))
     val tagged = rep.join(rep0, Seq("id")).select(col("id"), col("rep"),
