@@ -2095,6 +2095,58 @@ class WarehouseSpec extends SparkSpec {
     assert(leaf.exists())
   }
 
+  test("raw retirement composes with the O(delta) append path: the " +
+      "rebased listing keeps the NEXT pure addition on the append " +
+      "fast path, not a full rewrite") {
+    val src = Files.createTempDirectory("wh_rra_src")
+    def put(name: String, content: String): ManifestEntry = {
+      val d = src.resolve("ev"); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry("ev", name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("ev", None, Seq(
+      CDColumn("event_id", "bigint"),
+      CDColumn("d", "date"))))
+    val fOld = put("old.tsv", "1\t2024-01-01\n")
+    val fCur = put("cur.tsv", "5\t2024-01-20\n")
+    val whDir = Files.createTempDirectory("wh_rra_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whrra", parallelism = 1, canonicalize = true,
+      canonicalSpecs = Map("ev" -> Warehouse.CanonicalSpec(Seq("d"))),
+      manifestTables = Seq("ev"), retireRawWithRetention = true))
+    wh.sync(Seq(fOld, fCur), schema)
+    wh.retireOlderThan("ev", "d", "2024-01-10")
+    wh.sync(Seq(fOld, fCur), schema) // auto-retires old.tsv, rebases
+    val rawDir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/raw_files/ev"))
+    assert(!java.nio.file.Files.exists(rawDir.resolve("old.tsv")))
+    val canon = new java.io.File(new java.net.URI(
+      s"$whDir/canonical/ev"))
+    def dataFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(canon).filter(f => !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = dataFiles()
+    // a pure addition AFTER retirement: the rebased listing must diff
+    // as a superset → append path (tagged file, originals untouched)
+    val fNew = put("new.tsv", "6\t2024-01-21\n")
+    wh.sync(Seq(fOld, fCur, fNew), schema)
+    val after = dataFiles()
+    assert(before.forall { case (n, m) => after.get(n).contains(m) },
+      s"retirement must not force the next delta onto the rewrite " +
+        s"path: $before vs $after")
+    assert(after.keys.exists(p =>
+      new java.io.File(p).getName.startsWith("a_canon-")),
+      s"the post-retirement delta must land as an append: ${after.keys}")
+    // retention keeps filtering the canonical read; the new row shows
+    assert(wh.canonicalTable("ev").collect()
+      .map(_.getLong(0)).toSet == Set(5L, 6L))
+  }
+
   test("raw-retirement discovery is O(new files): a no-new-files call " +
       "issues ZERO Spark jobs, a new file scans ONLY itself, and an " +
       "in-place forget rewrite re-keys and rescans") {
