@@ -2641,39 +2641,65 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
   // are idempotent under crash-retry (content-derived batch ids) and
   // the per-batch file count auto-folds at 256.
 
-  private def rawStatsDir(table: String) =
-    s"$retentionDir/rawstats_$table"
+  /** The ledger is keyed by (table, dateCol): a cached max is only a
+    * fact about the COLUMN it was computed over, and the retention
+    * watermark can legally be re-pointed to another partition column —
+    * reusing the old column's maxes against the new cutoff would
+    * delete raw files whose rows the canonical watermark does not
+    * drop. A re-pointed column reads an empty ledger and rescans once
+    * (degrade-to-rescan, never wrong data). */
+  private def rawStatsDir(table: String, dateCol: String) =
+    s"$retentionDir/rawstats_${table}__$dateCol"
 
   private type RawStatKey = (String, Long, Long) // name, len, mtime
 
+  // Raw filenames are user-controlled and may contain the payload's
+  // own delimiters (tab, newline — both legal on POSIX): encode them
+  // (plus '%') on write, decode on read, so one exotic name can never
+  // corrupt neighboring entries or crash the parser.
+  private def encName(n: String): String =
+    n.replace("%", "%25").replace("\t", "%09")
+      .replace("\n", "%0A").replace("\r", "%0D")
+
+  private def decName(n: String): String =
+    n.replace("%0D", "\r").replace("%0A", "\n")
+      .replace("%09", "\t").replace("%25", "%")
+
   /** maxIso = None when the file is empty or its dates are all NULL —
     * both pin the file (unknown age), matching the pre-ledger scan. */
-  private def readRawStats(table: String)
+  private def readRawStats(table: String, dateCol: String)
       : Map[RawStatKey, (Option[String], Long)] =
-    graft.pipeline.AppendCommit.appliedEntries(rawStatsDir(table))
+    graft.pipeline.AppendCommit
+      .appliedEntries(rawStatsDir(table, dateCol))
       .iterator.flatMap(_._2.split("\n")).filter(_.nonEmpty)
-      .map { line =>
-        // name may itself contain the delimiter — parse from the RIGHT
-        // (the listing-entry lesson): the last 4 fields are digits/ISO
+      .flatMap { line =>
+        // the last 4 fields are digits/ISO; parse from the RIGHT (the
+        // listing-entry lesson). A malformed line — corruption, a
+        // future format — degrades to "unknown file, rescan", never a
+        // parser crash that bricks retirement for the table.
         val parts = new Array[Int](4)
         var i = line.length
         (0 until 4).foreach { j => i = line.lastIndexOf('\t', i - 1)
           parts(j) = i }
-        val name = line.substring(0, parts(3))
-        val len = line.substring(parts(3) + 1, parts(2)).toLong
-        val mtime = line.substring(parts(2) + 1, parts(1)).toLong
-        val mx = line.substring(parts(1) + 1, parts(0))
-        val nulls = line.substring(parts(0) + 1).toLong
-        ((name, len, mtime),
-          (if (mx.isEmpty) None else Some(mx), nulls))
+        if (parts(3) <= 0) None
+        else scala.util.Try {
+          val name = decName(line.substring(0, parts(3)))
+          val len = line.substring(parts(3) + 1, parts(2)).toLong
+          val mtime = line.substring(parts(2) + 1, parts(1)).toLong
+          val mx = line.substring(parts(1) + 1, parts(0))
+          val nulls = line.substring(parts(0) + 1).toLong
+          ((name, len, mtime),
+            (if (mx.isEmpty) None else Some(mx), nulls))
+        }.toOption
       }.toMap
 
-  private def markRawStats(table: String,
+  private def markRawStats(table: String, dateCol: String,
       entries: Seq[(RawStatKey, (Option[String], Long))]): Unit = {
     val payload = entries.sortBy(_._1).map { case ((n, l, m), (mx, nu)) =>
-      s"$n\t$l\t$m\t${mx.getOrElse("")}\t$nu"
+      s"${encName(n)}\t$l\t$m\t${mx.getOrElse("")}\t$nu"
     }.mkString("\n")
-    graft.pipeline.AppendCommit.markApplied(rawStatsDir(table),
+    graft.pipeline.AppendCommit.markApplied(
+      rawStatsDir(table, dateCol),
       s"st_${graft.pipeline.AppendCommit.contentId(payload)}", payload)
   }
 
@@ -2738,7 +2764,7 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     // O(new files) discovery: per-file stats are write-once facts of
     // immutable raw files — read the ledger, scan ONLY files it does
     // not know. A no-new-files sync issues ZERO raw-data reads here.
-    val known = readRawStats(table)
+    val known = readRawStats(table, dateCol)
     val unknown = candidates.filterNot(known.contains)
     val fresh: Map[String, (Option[String], Long)] =
       if (unknown.isEmpty) Map.empty
@@ -2749,6 +2775,14 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         val dExpr = expr(
           s"try_cast(nullif(try_element_at(split(value, '\\t', -1), " +
             s"${ci + 1}), '\\\\N') AS ${st.fields(ci).dataType.sql})")
+        // input_file_name returns URI-ENCODED paths — decode before
+        // matching back to listing names, or any file whose name
+        // carries a percent-encodable character ('|', space, '#')
+        // would silently miss its scan result and pin forever
+        def fileNameOf(uri: String): String =
+          scala.util.Try(new org.apache.hadoop.fs.Path(
+              new java.net.URI(uri)).getName)
+            .getOrElse(new org.apache.hadoop.fs.Path(uri).getName)
         val scanned = spark.read
           .text(unknown.map(k => s"$tableDir/${k._1}"): _*)
           .select(input_file_name().as("__f"), dExpr.as("__d"))
@@ -2756,14 +2790,14 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
           .agg(max(col("__d").cast("string")).as("__max"),
             sum(when(col("__d").isNull, 1L).otherwise(0L)).as("__nulls"))
           .collect()
-          .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName
+          .map(r => fileNameOf(r.getString(0))
             -> (Option(r.getString(1)), r.getLong(2))).toMap
         // a zero-row file yields no group: record it as unknown-age
         // (None pins, same as the pre-ledger behavior of having no
         // stats row) so it never rescans either
         val entries = unknown.map(k =>
           k -> scanned.getOrElse(k._1, (Option.empty[String], 0L)))
-        markRawStats(table, entries)
+        markRawStats(table, dateCol, entries)
         entries.map { case (k, v) => k._1 -> v }.toMap
       }
     // ISO-formatted temporal strings compare lexicographically =

@@ -792,6 +792,8 @@ object Components {
       Sampling.groupHoldoutSplit(col("rep"), 13L, fractions).as("split"),
       Sampling.groupHoldoutSplit(col("rep0"), 13L, fractions)
         .as("split0"))
+      // consumed three times (migrated count, leak count, final agg)
+      .localCheckpoint()
     val migrated = tagged.filter(col("split") =!= col("split0")).count()
     val leaked = tagged.groupBy(col("rep"))
       .agg(countDistinct(col("split")).as("ns"))

@@ -181,6 +181,12 @@ object Sampling {
       .withColumn("__k", md5(concat_ws("|", col(id).cast("string"),
         lit(seed.toString)).cast("binary")))
       .withColumn("__b", substring(col("__k"), 1, bucketHexChars))
+      // consumed twice (bucket counts + the position pass) — pin the
+      // lineage so a nondeterministic or concurrently-growing input
+      // cannot diverge between the two (a bucket missing from the
+      // collected counts would silently NULL its positions), and an
+      // expensive upstream (q286's closure) is computed once
+      .localCheckpoint()
     val counts = keyed.groupBy(col("__b"))
       .agg(count(lit(1)).as("n")).orderBy(col("__b")).collect()
     var acc = 0L
@@ -242,7 +248,13 @@ object Sampling {
     sh.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.partitionBy("shard").mode("overwrite").parquet(outDir)
-    sh.select(col("shard")).distinct().count()
+    // shard count from the written layout — one directory listing,
+    // not a second run of the epoch pipeline
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir),
+      sh.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+      .toLong
   }
 
   // ---------------------------------------------------------------------

@@ -2227,6 +2227,67 @@ class WarehouseSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(rawDir.resolve("mix.tsv")))
   }
 
+  test("retirement stats ledger: re-pointing the watermark column is " +
+      "refused (stale-max reuse unreachable; ledger column-keyed as " +
+      "defense-in-depth), exotic filenames retire instead of pinning, " +
+      "malformed ledger lines degrade to rescan") {
+    val src = Files.createTempDirectory("wh_rrc_src")
+    def put(name: String, content: String): ManifestEntry = {
+      val d = src.resolve("ev"); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry("ev", name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("ev", None, Seq(
+      CDColumn("event_id", "bigint"),
+      CDColumn("d1", "date"), CDColumn("d2", "date"))))
+    // file A: d1 all OLD-ish (max 2024-02-01), d2 all NEW — retirable
+    // under a d1 watermark cut before Feb, NOT under a d2 watermark
+    val fA = put("a.tsv", "1\t2024-02-01\t2024-12-01\n")
+    val whDir = Files.createTempDirectory("wh_rrc_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whrrc", parallelism = 1, canonicalize = true,
+      canonicalSpecs = Map("ev" ->
+        Warehouse.CanonicalSpec(Seq("d1", "d2"))),
+      manifestTables = Seq("ev")))
+    wh.sync(Seq(fA), schema)
+    // watermark on d1, cut BEFORE a's d1 max: survives, and the d1
+    // ledger caches max(d1) = 2024-02-01
+    wh.retireOlderThan("ev", "d1", "2024-01-15")
+    assert(wh.retireRawOlderThan(schema, "ev", "d1").filesRetired == 0L)
+    val rawDir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/raw_files/ev"))
+    assert(java.nio.file.Files.exists(rawDir.resolve("a.tsv")))
+    // RE-POINTING the watermark to another column is REFUSED loudly
+    // (one retention column per table) — the stale-max data-loss
+    // scenario (cached max(d1)=2024-02-01 < a d2 cutoff deleting a
+    // file whose d2 rows are all current) is unreachable through the
+    // public API, and the ledger is additionally keyed by (table,
+    // column) as defense-in-depth should multi-column retention ever
+    // arrive
+    val ex = intercept[IllegalArgumentException] {
+      wh.retireOlderThan("ev", "d2", "2024-03-01")
+    }
+    assert(ex.getMessage.contains("d1"), ex.getMessage)
+    assert(java.nio.file.Files.exists(rawDir.resolve("a.tsv")))
+    // exotic filename: '|' and space are URI-percent-encoded by
+    // input_file_name — the decoded match must find the scan result,
+    // so the wholly-old file RETIRES instead of pinning forever
+    java.nio.file.Files.writeString(
+      rawDir.resolve("we ird|f.tsv"),
+      "2\t2023-01-01\t2023-01-01\n")
+    val rr = wh.retireRawOlderThan(schema, "ev", "d1")
+    assert(rr.filesRetired == 1L,
+      s"the exotic-named wholly-old file must retire: $rr")
+    assert(!java.nio.file.Files.exists(rawDir.resolve("we ird|f.tsv")))
+    // a malformed ledger line (corruption / future format) must not
+    // brick retirement — the parser skips it and the file rescans
+    graft.pipeline.AppendCommit.markApplied(
+      s"$whDir/_retention/rawstats_ev__d1", "st_garbage",
+      "not-a-valid-entry\nneither\tis\tthis")
+    assert(wh.retireRawOlderThan(schema, "ev", "d1").filesRetired == 0L)
+  }
+
   test("vacuum: crash debris GCs in one pass — completed-swap asides " +
       "and uncommitted tmps drop, orphaned asides RESTORE, journal " +
       "staging clears, quarantined journals are counted never deleted") {

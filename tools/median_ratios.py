@@ -30,13 +30,19 @@ def main() -> None:
         rows.append((nm[q] / om[q], q, om[q], nm[q],
                      os_.get(q, float("nan")), ns.get(q, float("nan"))))
     rows.sort(reverse=True)
-    tot_old = sum(om[q] for _, q, *_ in rows)
-    tot_new = sum(nm[q] for _, q, *_ in rows)
-    med_ratio = sorted(r for r, *_ in rows)[len(rows) // 2]
-    print(f"common queries: {len(rows)}   "
-          f"median-total {tot_old:.1f}s -> {tot_new:.1f}s "
-          f"({tot_new / tot_old:.3f}x)   per-query median ratio "
-          f"{med_ratio:.3f}x")
+    if rows:
+        tot_old = sum(om[q] for _, q, *_ in rows)
+        tot_new = sum(nm[q] for _, q, *_ in rows)
+        rs = sorted(r for r, *_ in rows)
+        n = len(rs)
+        med_ratio = (rs[n // 2] if n % 2 else
+                     (rs[n // 2 - 1] + rs[n // 2]) / 2)
+        print(f"common queries: {len(rows)}   "
+              f"median-total {tot_old:.1f}s -> {tot_new:.1f}s "
+              f"({tot_new / tot_old:.3f}x)   per-query median ratio "
+              f"{med_ratio:.3f}x")
+    else:
+        print("no common queries between the two artifacts")
     print(f"{'query':<34} {'med_old':>8} {'med_new':>8} {'ratio':>6} "
           f"{'min_old':>8} {'min_new':>8}")
     for r, q, mo, mn_, so, sn in rows[:top_n]:
