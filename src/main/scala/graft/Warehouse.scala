@@ -2060,18 +2060,23 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       s"try_cast(nullif(try_element_at(split(value, '\\t', -1), " +
         s"${ci + 1}), '\\\\N') AS ${st.fields(ci).dataType.sql})")
     val hitFiles = restrict(
-        spark.read.text(files.map(f => s"$tableDir/$f"): _*)
+        spark.read.text(files.map(f => s"$tableDir/${
+          graft.sources.TsvSource.globEscape(f)}"): _*)
           .select(org.apache.spark.sql.functions.input_file_name()
             .as("__f"), keyExpr.as("__k")))
       .groupBy(col("__f"))
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("__hits"))
-      .collect().map(r => (new org.apache.hadoop.fs.Path(r.getString(0))
-        .getName, r.getLong(1))).toMap
+      // rawFileName decodes input_file_name's URI escaping — a raw
+      // decode-less match would silently SKIP every hit inside a
+      // percent-encodable-named file, leaving forget-keyed rows alive
+      .collect().map(r => (rawFileName(r.getString(0)), r.getLong(1)))
+      .toMap
     var removed = 0L
     files.filter(hitFiles.contains).foreach { fname =>
       val f = s"$tableDir/$fname"
-      val df = graft.sources.TsvSource.read(spark, st, f)
+      val df = graft.sources.TsvSource.read(spark, st,
+        s"$tableDir/${graft.sources.TsvSource.globEscape(fname)}")
       locally {
         removed += hitFiles(fname)
         // NULL-keyed rows survive (the deleteByKey three-valued rule)
@@ -2162,7 +2167,8 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     val tableDir = s"${cfg.warehouseDir}/${Sync.RawPrefix}/${t.tableName}"
     graft.sources.TsvSource.read(spark,
       graft.model.TypeLattice.toStructType(t),
-      fnames.map(f => s"$tableDir/$f"))
+      fnames.map(f => s"$tableDir/${
+        graft.sources.TsvSource.globEscape(f)}"))
   }
 
   /** Shared maintenance skeleton for the file-additive index/view
@@ -2615,13 +2621,29 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     * COUNT, the cardinality the sync's own listing already handles. */
   private[graft] def retiredRawFiles(table: String): Set[String] =
     graft.pipeline.AppendCommit.appliedEntries(retiredRawDir(table))
-      .flatMap(_._2.split("\n")).filter(_.nonEmpty).toSet
+      .flatMap(_._2.split("\n")).filter(_.nonEmpty).map(decName).toSet
 
-  private def markRetiredRaw(table: String, files: Seq[String]): Unit =
+  // names ride [[encName]] like the stats ledger below: this ledger is
+  // newline-delimited, and a retired file literally named
+  // "evil\nold.tsv" written raw would split into two entries — one
+  // suppressing an innocent live "old.tsv" from every future sync
+  // (silent missing data), the other never matching the real file
+  // (re-fetch + re-delete forever)
+  private def markRetiredRaw(table: String, files: Seq[String]): Unit = {
+    val payload = files.sorted.map(encName).mkString("\n")
     graft.pipeline.AppendCommit.markApplied(retiredRawDir(table),
-      s"rt_${graft.pipeline.AppendCommit.contentId(
-        files.sorted.mkString("\n"))}",
-      files.mkString("\n"))
+      s"rt_${graft.pipeline.AppendCommit.contentId(payload)}", payload)
+  }
+
+  /** `input_file_name()` returns URI-ENCODED paths — decode before
+    * matching back to listing names, or any file whose name carries a
+    * percent-encodable character ('|', space, '#') silently misses its
+    * scan result: pinned forever in retirement discovery, SKIPPED by a
+    * forget rewrite (a right-to-be-forgotten compliance failure). */
+  private def rawFileName(uri: String): String =
+    scala.util.Try(new org.apache.hadoop.fs.Path(
+        new java.net.URI(uri)).getName)
+      .getOrElse(new org.apache.hadoop.fs.Path(uri).getName)
 
   // --- per-file retirement stats ledger ------------------------------
   //
@@ -2761,6 +2783,13 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         .filterNot(k => k._1.startsWith(".") || k._1.startsWith("_") ||
           retiredSet(k._1))
     if (candidates.isEmpty) return RawRetireSummary(0L, 0L)
+    // GC the pre-(table,dateCol)-keyed ledger location (one rename ago)
+    // — unreachable debris after the re-keying. Worst case of a name
+    // collision (a table literally named "x__d" aliasing table x's
+    // column-d ledger) is a one-time rescan, never wrong data.
+    val legacyStats = new org.apache.hadoop.fs.Path(
+      s"$retentionDir/rawstats_$table")
+    if (fs.exists(legacyStats)) fs.delete(legacyStats, true)
     // O(new files) discovery: per-file stats are write-once facts of
     // immutable raw files — read the ledger, scan ONLY files it does
     // not know. A no-new-files sync issues ZERO raw-data reads here.
@@ -2775,22 +2804,15 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         val dExpr = expr(
           s"try_cast(nullif(try_element_at(split(value, '\\t', -1), " +
             s"${ci + 1}), '\\\\N') AS ${st.fields(ci).dataType.sql})")
-        // input_file_name returns URI-ENCODED paths — decode before
-        // matching back to listing names, or any file whose name
-        // carries a percent-encodable character ('|', space, '#')
-        // would silently miss its scan result and pin forever
-        def fileNameOf(uri: String): String =
-          scala.util.Try(new org.apache.hadoop.fs.Path(
-              new java.net.URI(uri)).getName)
-            .getOrElse(new org.apache.hadoop.fs.Path(uri).getName)
         val scanned = spark.read
-          .text(unknown.map(k => s"$tableDir/${k._1}"): _*)
+          .text(unknown.map(k => s"$tableDir/${
+            graft.sources.TsvSource.globEscape(k._1)}"): _*)
           .select(input_file_name().as("__f"), dExpr.as("__d"))
           .groupBy(col("__f"))
           .agg(max(col("__d").cast("string")).as("__max"),
             sum(when(col("__d").isNull, 1L).otherwise(0L)).as("__nulls"))
           .collect()
-          .map(r => fileNameOf(r.getString(0))
+          .map(r => rawFileName(r.getString(0))
             -> (Option(r.getString(1)), r.getLong(2))).toMap
         // a zero-row file yields no group: record it as unknown-age
         // (None pins, same as the pre-ledger behavior of having no
@@ -3141,7 +3163,8 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
           val store = s"${cfg.warehouseDir}/_maintained/$storeName"
           val st = graft.model.TypeLattice.toStructType(t)
           def readFiles(fnames: Seq[String]) = graft.sources.TsvSource
-            .read(spark, st, fnames.map(f => s"$tableDir/$f"))
+            .read(spark, st, fnames.map(f => s"$tableDir/${
+              graft.sources.TsvSource.globEscape(f)}"))
           val applied =
             if (Rollup.exists(spark, store))
               Rollup.appliedIds(spark, store) else Nil

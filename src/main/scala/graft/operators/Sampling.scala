@@ -174,18 +174,39 @@ object Sampling {
     * Returns `df`'s columns plus `pos` (1-based global position). */
   def epochPositions(df: DataFrame, id: String, seed: Long,
       bucketHexChars: Int = 2): DataFrame = {
+    val pos = epochPosById(df, id, seed, bucketHexChars)
+    // join-back by id: positions are a pure function of the id set, so
+    // only the ID PROJECTION rides the determinism checkpoint inside
+    // [[epochPosById]] — O(ids) local-disk bytes, not O(corpus
+    // payload) — and the full rows are re-attached here with one hash
+    // join (the same full-data shuffle the old full-row window paid).
+    // `id` must be UNIQUE and NON-NULL: it is the epoch identity the
+    // closed form replays from (duplicates would tie the total order).
+    df.join(pos, df(id) === pos("__eid")).drop("__eid")
+  }
+
+  /** The narrow position frame: (`__eid`, pos) over `df`'s id column
+    * only. Receipts consume this directly — the receipt pass never
+    * touches payload columns. */
+  private def epochPosById(df: DataFrame, id: String, seed: Long,
+      bucketHexChars: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketHexChars >= 1 && bucketHexChars <= 8,
       "bucketHexChars must be in [1, 8]")
-    val keyed = df
-      .withColumn("__k", md5(concat_ws("|", col(id).cast("string"),
+    val keyed = df.select(col(id).as("__eid"))
+      .withColumn("__k", md5(concat_ws("|", col("__eid").cast("string"),
         lit(seed.toString)).cast("binary")))
       .withColumn("__b", substring(col("__k"), 1, bucketHexChars))
       // consumed twice (bucket counts + the position pass) — pin the
       // lineage so a nondeterministic or concurrently-growing input
       // cannot diverge between the two (a bucket missing from the
-      // collected counts would silently NULL its positions), and an
-      // expensive upstream (q286's closure) is computed once
+      // collected counts would silently NULL its positions). Only the
+      // id projection is checkpointed: at 100 TB the full rows never
+      // hit executor-local disk, and lineage for the payload is
+      // preserved (recoverable on executor loss). An expensive
+      // upstream (q286's closure) computes once here; callers that
+      // also re-read it through [[epochPositions]]'s join-back should
+      // persist it themselves if re-evaluation matters.
       .localCheckpoint()
     val counts = keyed.groupBy(col("__b"))
       .agg(count(lit(1)).as("n")).orderBy(col("__b")).collect()
@@ -198,10 +219,10 @@ object Sampling {
     keyed
       .withColumn("__p", row_number().over(
         Window.partitionBy(col("__b"))
-          .orderBy(col("__k"), col(id))).cast("long"))
+          .orderBy(col("__k"), col("__eid"))).cast("long"))
       .withColumn("pos",
         try_element_at(typedLit(offsets), col("__b")) + col("__p"))
-      .drop("__k", "__b", "__p")
+      .select(col("__eid"), col("pos"))
   }
 
   /** [[epochPositions]] plus the CLOSED-FORM shard assignment: shard =
@@ -222,17 +243,23 @@ object Sampling {
     * ORDER. A loader (or auditor) replays the closed form and verifies
     * each shard before training on it. */
   def epochShardReceipts(df: DataFrame, id: String, seed: Long,
-      recordsPerShard: Long): DataFrame =
-    epochShards(df, id, seed, recordsPerShard)
+      recordsPerShard: Long): DataFrame = {
+    require(recordsPerShard > 0, "recordsPerShard must be positive")
+    // narrow end-to-end: receipts are a function of (id, pos) alone, so
+    // they ride [[epochPosById]] directly — no payload join-back
+    epochPosById(df, id, seed, bucketHexChars = 2)
+      .withColumn("shard",
+        expr(s"cast((pos - 1) div $recordsPerShard as int)"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"),
         sort_array(collect_list(struct(col("pos").as("p"),
-          col(id).cast("string").as("i")))).as("xs"))
+          col("__eid").cast("string").as("i")))).as("xs"))
       .select(col("shard"), col("n_docs"), col("first_pos"),
         col("last_pos"),
         md5(array_join(expr("transform(xs, x -> x.i)"), ",")
           .cast("binary")).as("ids_md5"))
+  }
 
   /** ORDER-PRESERVING SHARD WRITER — the artifact a training loader
     * consumes: `outDir/shard=N/` holds shard N's rows in epoch order.
@@ -247,7 +274,13 @@ object Sampling {
     val sh = epochShards(df, id, seed, recordsPerShard)
     sh.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
-      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+      // STATIC overwrite regardless of the session conf: under
+      // `partitionOverwriteMode=dynamic` a re-export with fewer shards
+      // would leave the previous run's higher-numbered shard dirs in
+      // place, and the listing-derived count below (and any loader
+      // listing the directory) would train on stale shards
+      .write.option("partitionOverwriteMode", "static")
+      .partitionBy("shard").mode("overwrite").parquet(outDir)
     // shard count from the written layout — one directory listing,
     // not a second run of the epoch pipeline
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir),

@@ -322,7 +322,10 @@ object Canonicalize {
           val files = delta.map { e =>
             val i2 = e.lastIndexOf('|')
             val i1 = e.lastIndexOf('|', i2 - 1)
-            rawRoot + e.substring(0, i1)
+            // globEscape: the delta read targets explicit FILES whose
+            // names are manifest-controlled — a glob metacharacter in
+            // a raw filename must read that file, not a sibling
+            rawRoot + TsvSource.globEscape(e.substring(0, i1))
           }
           val df = derive(TsvSource.read(spark,
             TypeLattice.toStructType(table), files))

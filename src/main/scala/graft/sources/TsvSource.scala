@@ -63,6 +63,17 @@ object TsvSource {
     tmp.select(cols: _*)
   }
 
+  /** Escape Hadoop glob metacharacters in a path: `DataFrameReader`
+    * paths are GLOBS, so a raw file literally named `data[1].tsv`
+    * passed verbatim silently reads a sibling (`data1.tsv`) or throws
+    * path-not-exist — and raw filenames come from upstream manifests,
+    * i.e. are user-controlled. Apply to every explicit-FILE read path
+    * (directory-rooted reads built from config-controlled names don't
+    * need it). Hadoop's glob grammar honors backslash escapes. */
+  def globEscape(path: String): String =
+    path.flatMap(c =>
+      if ("\\*?[]{}".indexOf(c.toInt) >= 0) s"\\$c" else c.toString)
+
   /** Read with exact LazySimpleSerDe semantics. Spark's CSV reader can't
     * express them (it collapses unquoted empty strings to NULL), so this is
     * a text scan + `split` + `try_cast` projection — pure built-in,

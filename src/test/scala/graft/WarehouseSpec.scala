@@ -2288,6 +2288,70 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.retireRawOlderThan(schema, "ev", "d1").filesRetired == 0L)
   }
 
+  test("hostile raw filenames: glob metacharacters survive sync → " +
+      "forget → retirement; a newline name round-trips the " +
+      "suppression ledger without suppressing an innocent neighbor") {
+    val src = Files.createTempDirectory("wh_hn_src")
+    def put(name: String, content: String): ManifestEntry = {
+      val d = src.resolve("ev"); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry("ev", name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("ev", None, Seq(
+      CDColumn("event_id", "bigint"),
+      CDColumn("d", "date"))))
+    // glob chars in the name: `ev[1].tsv` is ALSO a glob matching the
+    // innocent sibling `ev1.tsv` — an unescaped read path would
+    // silently process the wrong file
+    val fGlob = put("ev[1].tsv", "1\t2024-06-01\n2\t2024-06-02\n")
+    val fSib = put("ev1.tsv", "9\t2024-06-03\n")
+    val whDir = Files.createTempDirectory("wh_hn_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whhn", parallelism = 1, canonicalize = true,
+      canonicalSpecs = Map("ev" -> Warehouse.CanonicalSpec(Seq("d"))),
+      manifestTables = Seq("ev")))
+    wh.sync(Seq(fGlob, fSib), schema)
+    assert(wh.canonicalTable("ev").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 9L))
+    // forget a key that lives ONLY in the bracket-named file: the raw
+    // sweep must find the hit (URI-decoded match), rewrite THAT file
+    // (glob-escaped read), and leave the sibling untouched
+    val fs = wh.forget(schema, "ev", "event_id", Seq(2L))
+    assert(fs.rawRows == 1L, s"raw sweep must hit the glob-named file: $fs")
+    assert(wh.canonicalTable("ev").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 9L))
+    val rawDir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/raw_files/ev"))
+    assert(java.nio.file.Files.readString(rawDir.resolve("ev1.tsv")) ==
+      "9\t2024-06-03\n", "the innocent glob-matching sibling must " +
+      "never be rewritten")
+    assert(!java.nio.file.Files.readString(rawDir.resolve("ev[1].tsv"))
+      .contains("2\t2024-06-02"), "the forgotten row must leave the " +
+      "bracket-named raw file")
+    // newline in a retired name: written RAW into the newline-delimited
+    // suppression ledger, "evil\nold.tsv" splits into two entries — one
+    // suppressing the innocent live "old.tsv" forever (silent missing
+    // data), one never matching the real file. The encoded ledger must
+    // retire the newline file AND still fetch the innocent one.
+    val fEvil = put("evil\nold.tsv", "3\t2020-01-01\n")
+    wh.sync(Seq(fGlob, fSib, fEvil), schema)
+    wh.retireOlderThan("ev", "d", "2024-01-01")
+    val rr = wh.retireRawOlderThan(schema, "ev", "d")
+    assert(rr.filesRetired == 1L, s"the newline-named wholly-old file " +
+      s"must retire: $rr")
+    assert(!java.nio.file.Files.exists(rawDir.resolve("evil\nold.tsv")))
+    val fInnocent = put("old.tsv", "4\t2024-07-01\n")
+    val s2 = wh.sync(Seq(fGlob, fSib, fEvil, fInnocent), schema)
+    assert(s2.fetched == 1L, s"the innocent old.tsv must FETCH — a raw " +
+      s"ledger write would suppress it as a phantom retiree: $s2")
+    assert(s2.skipped == 3L, s"the retired newline name must stay " +
+      s"suppressed (no re-fetch): $s2")
+    assert(java.nio.file.Files.exists(rawDir.resolve("old.tsv")))
+    assert(wh.canonicalTable("ev").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 4L, 9L))
+  }
+
   test("vacuum: crash debris GCs in one pass — completed-swap asides " +
       "and uncommitted tmps drop, orphaned asides RESTORE, journal " +
       "staging clears, quarantined journals are counted never deleted") {

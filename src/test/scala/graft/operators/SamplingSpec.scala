@@ -157,6 +157,29 @@ class SamplingSpec extends SparkSpec {
       d.map("%02x".format(_)).mkString
     }
     val order = (1L to 300L).sortBy(i => (hostKey(i), i)).toList
+    // re-export with FEWER rows must remove the stale higher-numbered
+    // shard dirs even under a dynamic-overwrite session conf — a
+    // loader listing the directory would otherwise train on the
+    // previous epoch's leftovers
+    val dyn = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val n2 = Sampling.writeEpochShards(
+        (1L to 100L).toDF("id"), "id", 7L, 64L, out)
+      assert(n2 == 2L, s"100 rows / 64 = 2 shards, got $n2")
+      assert(!new java.io.File(s"$out/shard=2").exists(),
+        "stale shard dirs from the larger previous export must be gone")
+    } finally {
+      dyn match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    // re-export the full set for the order assertions below
+    assert(Sampling.writeEpochShards(ids, "id", 7L, 64L, out) == 5L)
     (0 until 5).foreach { s =>
       val dir = new java.io.File(s"$out/shard=$s")
       assert(dir.isDirectory, s"missing shard dir $s")

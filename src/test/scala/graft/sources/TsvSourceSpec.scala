@@ -70,6 +70,24 @@ class TsvSourceSpec extends SparkSpec {
     assert(rows(2) == Row(3L, "cara", 3.5))
   }
 
+  test("globEscape: a file named with glob metacharacters reads " +
+      "exactly — not a sibling the glob would silently match") {
+    val dir = Files.createTempDirectory("tsv_glob")
+    // the glob `data[1].tsv` matches THIS sibling, so an unescaped
+    // read of the bracket-named file silently returns wrong data
+    Files.writeString(dir.resolve("data1.tsv"), "99\tsibling\t0.0\n")
+    Files.writeString(dir.resolve("data[1].tsv"), "1\treal\t1.5\n")
+    val escaped = s"${dir.toString}/${TsvSource.globEscape("data[1].tsv")}"
+    val rows = TsvSource.read(spark, schema, Seq(escaped)).collect()
+    assert(rows.toSeq == Seq(Row(1L, "real", 1.5)),
+      s"escaped read must hit the literal file: ${rows.toSeq}")
+    // and the escape is a no-op on ordinary names
+    assert(TsvSource.globEscape("2024-01-02/events-0001.tsv.gz") ==
+      "2024-01-02/events-0001.tsv.gz")
+    assert(TsvSource.globEscape("a[b]{c}*?\\.tsv") ==
+      "a\\[b\\]\\{c\\}\\*\\?\\\\.tsv")
+  }
+
   test("gzip output is whole-file compressed (reference layout)") {
     import spark.implicits._
     val out = Files.createTempDirectory("tsv_gz").toString + "/t"
