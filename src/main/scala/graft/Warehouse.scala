@@ -832,6 +832,109 @@ object Warehouse {
       |UNION ALL SELECT 'third_sync_fetched', CAST(0 AS BIGINT)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q287_ledger_hygiene — HOSTILE-NAME/HOSTILE-KEY ledger integrity
+  // end-to-end: raw filenames come from upstream manifests and forget
+  // keys from RTBF callers, and both may legally contain the control
+  // files' own delimiters (newline, glob metacharacters — POSIX allows
+  // all of them in names). This gate runs the full lifecycle with a
+  // raw file literally named "evil\nold [v1].tsv" alive throughout,
+  // plus a forget key carrying an embedded newline:
+  //   1. the newline FORGET KEY identifies no row and must never
+  //      replay as its innocent fragments ("purchase", "X") — written
+  //      raw into the journal it would purge every fresh purchase row;
+  //   2. a real forget ("error") marks the current listing swept —
+  //      written raw, the evil name's fragment would mark the FUTURE
+  //      innocent file "old [v1].tsv" as already swept, so its
+  //      re-delivered error rows would skip the purge (resurrection);
+  //   3. both later syncs are pure additions with the evil file alive:
+  //      a fragmented `_raw_listing` entry would re-enter the delta
+  //      every sync and append the evil file's rows AGAIN (silent
+  //      duplication), and the bracket-glob fresh names must be read
+  //      as literal files, not glob patterns;
+  //   4. the second fresh file is purged via the COMPACTED suppression
+  //      file (forgetCompactEvery = 1), proving the encode-on-fold /
+  //      decode-on-purge round trip.
+  // Oracle: DuckDB recomputes the surviving corpus (everything except
+  // 'error'); the counters are structural constants of the protocol.
+  // ---------------------------------------------------------------------
+  def q287LedgerHygiene(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = s"$gateBase/lh_${dir.hashCode.toHexString}"
+    val whDir = s"$root/wh"
+    val schema = Seq(graft.model.CDTable("ev", None, Seq(
+      graft.model.CDColumn("event_id", "bigint"),
+      graft.model.CDColumn("etype", "text"))))
+    val st = graft.model.TypeLattice.toStructType(schema.head)
+    def cfg = Config(whDir, db = "graft_lh", canonicalize = true,
+      forgetCompactEvery = 1)
+    val evFile = java.nio.file.Paths.get(s"$root.evidence")
+    if (!new java.io.File(s"$root.complete").exists()) {
+      val e = graft.operators.t(s, dir, "events")
+        .select(col("event_id"), col("event_type").as("etype"))
+      def tsv(name: String, df: org.apache.spark.sql.DataFrame)
+          : graft.pipeline.Sync.ManifestEntry = {
+        val out = s"$root/src_${name.hashCode.toHexString}"
+        df.coalesce(1).write.mode("overwrite").option("sep", "\t")
+          .option("nullValue", "\\N").option("quote", "").csv(out)
+        val f = new java.io.File(out).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        graft.pipeline.Sync.ManifestEntry("ev", name, f.toURI.toString)
+      }
+      val m = col("event_id") % 8
+      val fBase = tsv("base.tsv", e.filter(m.isin(0, 1, 2)))
+      val fEvil = tsv("evil\nold [v1].tsv", e.filter(m === 3))
+      val fFresh1 = tsv("old [v1].tsv", e.filter(m.isin(4, 5)))
+      val fFresh2 = tsv("late.tsv", e.filter(m.isin(6, 7)))
+      val wh = new Warehouse(s, cfg)
+      wh.sync(Seq(fBase, fEvil), schema)
+      val nl = wh.forget(schema, "ev", "etype", Seq("purchase\nX"))
+      wh.forget(schema, "ev", "etype", Seq("error"))
+      val s2 = wh.sync(Seq(fBase, fEvil, fFresh1), schema)
+      val s3 = wh.sync(Seq(fBase, fEvil, fFresh1, fFresh2), schema)
+      java.nio.file.Files.writeString(evFile,
+        s"${nl.rawRows + nl.canonicalRows}|${s2.fetched}|${s3.fetched}")
+      new java.io.File(s"$root.complete").createNewFile()
+    }
+    val ev = java.nio.file.Files.readString(evFile).trim.split('|')
+    val canon = new Warehouse(s, cfg).canonicalTable("ev")
+    val rawFiles = new java.io.File(s"$whDir/raw_files/ev")
+      .listFiles().toSeq
+      .filterNot(f => f.getName.startsWith(".") ||
+        f.getName.startsWith("_"))
+      .map(f => graft.sources.TsvSource.globEscape(f.getPath))
+    val raw = graft.sources.TsvSource.read(s, st, rawFiles)
+    val rows = Seq(
+      ("total", canon.count()),
+      ("sum_id", canon.agg(sum(col("event_id"))).head().getLong(0)),
+      ("n_error", canon.filter(col("etype") === "error").count()),
+      ("n_purchase",
+        canon.filter(col("etype") === "purchase").count()),
+      ("raw_total", raw.count()),
+      ("nl_forget_rows", ev(0).toLong),
+      ("second_sync_fetched", ev(1).toLong),
+      ("third_sync_fetched", ev(2).toLong))
+    val sqlCtx = s
+    import sqlCtx.implicits._
+    rows.toDF("metric", "value")
+  }
+
+  val q287LedgerHygieneSql: String =
+    """WITH keep AS (
+      |  SELECT * FROM events WHERE event_type <> 'error')
+      |SELECT 'total' AS metric,
+      |  (SELECT COUNT(*) FROM keep) AS value
+      |UNION ALL SELECT 'sum_id',
+      |  (SELECT CAST(SUM(event_id) AS BIGINT) FROM keep)
+      |UNION ALL SELECT 'n_error', CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'n_purchase',
+      |  (SELECT COUNT(*) FROM events WHERE event_type = 'purchase')
+      |UNION ALL SELECT 'raw_total', (SELECT COUNT(*) FROM keep)
+      |UNION ALL SELECT 'nl_forget_rows', CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'second_sync_fetched', CAST(1 AS BIGINT)
+      |UNION ALL SELECT 'third_sync_fetched', CAST(1 AS BIGINT)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q275_forget_identity — WAREHOUSE-WIDE RTBF in one request: the
   // identity (a document id) lives in two tables under two DIFFERENT
   // column names (posts.doc_id, ratings.ref_id); forgetIdentity fans
@@ -1475,7 +1578,12 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".req_$reqId.tmp")
     val os = fs.create(tmp, true)
-    try os.write((c +: keyStrs).mkString("\n").getBytes("UTF-8"))
+    // keys ride encLine'd (the sweep decodes): journaled raw, a key
+    // "a\nb" would REPLAY as forgets of the innocent keys "a" and "b"
+    // — deleting rows the caller never named
+    try os.write((c +: keyStrs.map(
+        graft.pipeline.AppendCommit.encLine)).mkString("\n")
+      .getBytes("UTF-8"))
     finally os.close()
     val dest = new org.apache.hadoop.fs.Path(dir, s"req_$reqId")
     if (fs.exists(dest)) { fs.delete(tmp, false) }
@@ -1544,7 +1652,7 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     if (fs.exists(dest)) {
       val in = fs.open(dest)
       try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
-        .filter(_.nonEmpty)
+        .filter(_.nonEmpty).map(graft.pipeline.AppendCommit.decLine)
       finally in.close()
     } else {
       val ks = compute
@@ -1552,7 +1660,10 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       val tmp = new org.apache.hadoop.fs.Path(dir,
         s".map_${reqId}_$ic.tmp")
       val os = fs.create(tmp, true)
-      try os.write(ks.mkString("\n").getBytes("UTF-8"))
+      // mapped ids are COLUMN VALUES (user data) — same encLine
+      // discipline as the journal keys they stand in for
+      try os.write(ks.map(graft.pipeline.AppendCommit.encLine)
+        .mkString("\n").getBytes("UTF-8"))
       finally os.close()
       if (fs.exists(dest)) fs.delete(tmp, false)
       else if (!fs.rename(tmp, dest))
@@ -1584,15 +1695,21 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     * union of ledger payload lines under `_forget/<table>/swept`. */
   private def markSwept(table: String, reqId: String,
       files: Seq[String]): Unit =
+    // encLine'd names: written raw, a swept file named "evil\nold.tsv"
+    // would fragment — and the "old.tsv" fragment marks an innocent
+    // FUTURE fresh file as already swept, so its re-delivered
+    // forgotten rows skip the purge (RTBF resurrection)
     graft.pipeline.AppendCommit.markApplied(s"${forgetDir(table)}/swept",
       s"fg_${reqId}_${graft.pipeline.AppendCommit.contentId(
         files.sorted.mkString("\n"))}",
-      files.mkString("\n"))
+      files.sorted.map(graft.pipeline.AppendCommit.encLine)
+        .mkString("\n"))
 
   private def sweptFiles(table: String): Set[String] =
     graft.pipeline.AppendCommit
       .appliedEntries(s"${forgetDir(table)}/swept")
-      .flatMap(_._2.split("\n")).filter(_.nonEmpty).toSet
+      .flatMap(_._2.split("\n")).filter(_.nonEmpty)
+      .map(graft.pipeline.AppendCommit.decLine).toSet
 
   /** Journal-string keys back to the engine's typed values, through the
     * engine's OWN cast (identical semantics to every purge filter). */
@@ -1663,7 +1780,8 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
           names.filter(_.startsWith("req_")).toSeq.sorted.map { n =>
             val lines = readLines(n)
             (n.stripPrefix("req_"), lines.head,
-              lines.tail.filter(_.nonEmpty))
+              lines.tail.filter(_.nonEmpty)
+                .map(graft.pipeline.AppendCommit.decLine))
           }
         // compacted history: per column, the HIGHEST-generation
         // suppression file (sup_<col>_g<N>) — generations are strict
@@ -1685,12 +1803,15 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
             }
             .groupBy(_._1).values.map(_.maxBy(_._2)).toSeq
             .map { case (c, _, n) => (n, c) }
+        // decLineCol: suppression lines are stored encLine'd (see
+        // [[compactForgets]]) — decode distributed, in the scan
+        // projection, so the purge joins against the TRUE key strings
         def supFrame(n: String): org.apache.spark.sql.DataFrame =
           spark.read.text(new org.apache.hadoop.fs.Path(dir, n).toString)
             .filter(org.apache.spark.sql.functions
               .length(org.apache.spark.sql.functions.col("value")) > 0)
-            .select(org.apache.spark.sql.functions.col("value")
-              .as("__raw"))
+            .select(graft.pipeline.AppendCommit.decLineCol(
+              org.apache.spark.sql.functions.col("value")).as("__raw"))
         val fresh = rawListing(t.tableName)
           .filterNot(sweptFiles(t.tableName))
         // quarantine, don't throw: a journal that fails DETERMINISTIC
@@ -1748,6 +1869,7 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
               if (fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, n))
                   .getLen <= SweepLiteralBytes) {
                 val lines = readLines(n).filter(_.nonEmpty)
+                  .map(graft.pipeline.AppendCommit.decLine)
                 graft.pipeline.Maintain.requireKeysCastable(spark,
                   f.dataType, c, lines)
                 supSmall(c) = lines
@@ -1905,7 +2027,12 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
           .select(col("value").as("__raw"))
       }
       val merged =
-        (prev :+ rs.flatMap(_._3).distinct.toDF("__raw"))
+        // new keys land encLine'd; `prev` generations pass through
+        // UNDECODED (already in encoded space — legacy raw lines are
+        // identical under identity encoding), so distinct() dedups in
+        // one consistent space and readers decode exactly once
+        (prev :+ rs.flatMap(_._3).distinct
+            .map(graft.pipeline.AppendCommit.encLine).toDF("__raw"))
           .reduce(_ unionByName _).distinct()
           .repartition(1).sortWithinPartitions(col("__raw"))
       val newGen = supGen.getOrElse(c, 0L) + 1L
@@ -2198,12 +2325,13 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     }
   }
 
-  /** One `rawbatch-` covered marker for a full rebuild over `files`. */
+  /** One `rawbatch-` covered marker for a full rebuild over `files`
+    * (payload encLine'd — [[FreshFold.covered]] decodes). */
   private def rebuildLedger(files: Seq[String]): Seq[(String, String)] = {
     import graft.pipeline.{AppendCommit, FreshFold}
     Seq((FreshFold.Tag +
       AppendCommit.contentId(files.sorted.mkString("\n")),
-      files.sorted.mkString("\n")))
+      files.sorted.map(AppendCommit.encLine).mkString("\n")))
   }
 
   /** Per-sync-batch refresh of the configured enrichment views — fresh
@@ -2678,14 +2806,15 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
   // Raw filenames are user-controlled and may contain the payload's
   // own delimiters (tab, newline — both legal on POSIX): encode them
   // (plus '%') on write, decode on read, so one exotic name can never
-  // corrupt neighboring entries or crash the parser.
+  // corrupt neighboring entries or crash the parser. ONE codec
+  // engine-wide ([[graft.pipeline.AppendCommit.encLine]]) — the forget
+  // journal, swept ledger, suppression files, fold intents, and the
+  // canonical listing all share it.
   private def encName(n: String): String =
-    n.replace("%", "%25").replace("\t", "%09")
-      .replace("\n", "%0A").replace("\r", "%0D")
+    graft.pipeline.AppendCommit.encLine(n)
 
   private def decName(n: String): String =
-    n.replace("%0D", "\r").replace("%0A", "\n")
-      .replace("%09", "\t").replace("%25", "%")
+    graft.pipeline.AppendCommit.decLine(n)
 
   /** maxIso = None when the file is empty or its dates are all NULL —
     * both pin the file (unknown age), matching the pre-ledger scan. */

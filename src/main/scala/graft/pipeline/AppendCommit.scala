@@ -130,6 +130,37 @@ object AppendCommit {
       .digest(fingerprint.getBytes("UTF-8")).map("%02x".format(_))
       .mkString.take(16)
 
+  /** Percent-codec for USER-CONTROLLED strings riding newline-delimited
+    * control files (ledger payloads, intents, journals, listings).
+    * Raw filenames come from upstream manifests and forget keys from
+    * RTBF callers — both may legally contain the payload's own
+    * delimiters (tab, newline; POSIX allows them in names). Written
+    * raw, one exotic string splits into several entries: a retired
+    * file named "evil\nold.tsv" would suppress an innocent live
+    * "old.tsv" from every future sync, a forget key "a\nb" would
+    * replay as forgets of the innocent keys "a" AND "b" (data loss),
+    * and a covered-set fragment would mark a never-folded file as
+    * folded (silent missing data). ONE codec everywhere on purpose —
+    * a write site encoding with a divergent local copy would corrupt
+    * the shared read path. Identity on ordinary strings, so existing
+    * raw-format files keep decoding unchanged. Decode '%25' LAST. */
+  def encLine(s: String): String =
+    s.replace("%", "%25").replace("\t", "%09")
+      .replace("\n", "%0A").replace("\r", "%0D")
+
+  def decLine(s: String): String =
+    s.replace("%0D", "\r").replace("%0A", "\n")
+      .replace("%09", "\t").replace("%25", "%")
+
+  /** [[decLine]] as a Spark column (for ledgers consumed distributed —
+    * the suppression-file text frames): same order, '%25' last. */
+  def decLineCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, replace}
+    replace(replace(replace(replace(c,
+      lit("%0D"), lit("\r")), lit("%0A"), lit("\n")),
+      lit("%09"), lit("\t")), lit("%25"), lit("%"))
+  }
+
   /** Cumulative content fingerprint of a build-once/append-additively
     * store: the immutable build-time `_corpus_fingerprint` marker's
     * `count|hashsum|params...` base plus the sum of every applied

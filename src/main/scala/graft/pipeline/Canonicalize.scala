@@ -119,7 +119,17 @@ object Canonicalize {
         val st = it.next()
         if (st.isFile && !st.getPath.getName.startsWith(".")) {
           val rel = st.getPath.toUri.getPath.stripPrefix(rootPath)
-          entries += s"$rel|${st.getLen}|${st.getModificationTime}"
+          // encLine: entries are stored newline-joined (`_raw_listing`)
+          // and split back — a raw filename carrying a newline would
+          // otherwise fragment its stored entry, so the intact current
+          // entry re-enters the delta on EVERY sync and its rows
+          // append again each time (silent duplication). Identity for
+          // ordinary names; an exotic-named table's fingerprint shifts
+          // once and takes one full rewrite (the upgrade-note
+          // precedent).
+          entries +=
+            s"${AppendCommit.encLine(rel)}|${st.getLen}|" +
+              s"${st.getModificationTime}"
         }
       }
       entries.sorted.toSeq
@@ -322,10 +332,12 @@ object Canonicalize {
           val files = delta.map { e =>
             val i2 = e.lastIndexOf('|')
             val i1 = e.lastIndexOf('|', i2 - 1)
+            // decLine first (entries store the relpath encLine'd), then
             // globEscape: the delta read targets explicit FILES whose
             // names are manifest-controlled — a glob metacharacter in
             // a raw filename must read that file, not a sibling
-            rawRoot + TsvSource.globEscape(e.substring(0, i1))
+            rawRoot + TsvSource.globEscape(
+              AppendCommit.decLine(e.substring(0, i1)))
           }
           val df = derive(TsvSource.read(spark,
             TypeLattice.toStructType(table), files))

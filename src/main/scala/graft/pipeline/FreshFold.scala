@@ -61,7 +61,12 @@ object FreshFold {
     AppendCommit.appliedEntries(store).iterator.flatMap {
       case (id, payload) =>
         if (id.startsWith(Tag))
+          // decLine: names ride the payload percent-encoded — written
+          // raw, a newline-carrying filename would split into
+          // fragments, one of which marks an innocent same-named file
+          // as already folded (silent missing data in the store)
           payload.split("\n").iterator.filter(_.nonEmpty)
+            .map(AppendCommit.decLine)
         else if (id.startsWith(legacyTag))
           Iterator.single(id.stripPrefix(legacyTag))
         else Iterator.empty
@@ -84,7 +89,8 @@ object FreshFold {
       val in = fs.open(p)
       val txt = try new String(in.readAllBytes(), "UTF-8")
         finally in.close()
-      Some(txt.split("\n").toSeq.filter(_.nonEmpty))
+      Some(txt.split("\n").toSeq.filter(_.nonEmpty)
+        .map(AppendCommit.decLine))
     }
   }
 
@@ -100,7 +106,8 @@ object FreshFold {
     // harmless and overwritten by the next refresh).
     val tmp = new Path(store, s".$IntentName.tmp")
     val os = fs.create(tmp, true)
-    try os.write(files.mkString("\n").getBytes("UTF-8"))
+    try os.write(files.map(AppendCommit.encLine).mkString("\n")
+      .getBytes("UTF-8"))
     finally os.close()
     fs.delete(intentPath(store), false) // rename won't overwrite on all FS
     if (!fs.rename(tmp, intentPath(store)))
@@ -117,8 +124,10 @@ object FreshFold {
     if (!AppendCommit.isApplied(store, id)) fold(files, id)
     // (re-)write the marker WITH its payload: the fold may have marked
     // the id itself (JoinView.merge's appendBatch does) with an empty
-    // payload — the covered set needs the file list
-    AppendCommit.markApplied(store, id, files.sorted.mkString("\n"))
+    // payload — the covered set needs the file list (encLine'd names;
+    // [[covered]] decodes)
+    AppendCommit.markApplied(store, id,
+      files.sorted.map(AppendCommit.encLine).mkString("\n"))
     fsFor(store).delete(intentPath(store), false)
   }
 

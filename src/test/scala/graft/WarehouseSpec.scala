@@ -2352,6 +2352,66 @@ class WarehouseSpec extends SparkSpec {
       Set(1L, 4L, 9L))
   }
 
+  test("newline-hostile ledger payloads: a forget key with an embedded " +
+      "newline never replays as its innocent fragments, a newline-named " +
+      "file cannot shadow a future file in the swept ledger, and its " +
+      "listing entry does not re-append rows on later syncs") {
+    val src = Files.createTempDirectory("wh_nl_src")
+    def put(name: String, content: String): ManifestEntry = {
+      val d = src.resolve("ev"); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry("ev", name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("ev", None, Seq(
+      CDColumn("k", "text"), CDColumn("d", "date"))))
+    val fBase = put("base.tsv",
+      "a\t2024-06-01\nb\t2024-06-02\nc\t2024-06-03\n")
+    val fEvil = put("evil\nold.tsv", "z\t2024-06-04\n")
+    val whDir = Files.createTempDirectory("wh_nl_root").toUri.toString
+      .stripSuffix("/")
+    // forgetCompactEvery = 1: the suppression-file path (encode on
+    // compaction, decode on purge) is exercised too, not just the
+    // journal round-trip
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whnl", parallelism = 1, canonicalize = true,
+      canonicalSpecs = Map("ev" -> Warehouse.CanonicalSpec(Seq("d"))),
+      manifestTables = Seq("ev"), forgetCompactEvery = 1))
+    def canonKeys(): Seq[String] = wh.canonicalTable("ev").collect()
+      .map(_.getString(0)).toSeq.sorted
+    wh.sync(Seq(fBase, fEvil), schema)
+    assert(canonKeys() == Seq("a", "b", "c", "z"))
+    // a key carrying a newline identifies NO row (TSV rows cannot) —
+    // journaled raw it would replay as forgets of the INNOCENT keys
+    // "a" and "b"
+    val f1 = wh.forget(schema, "ev", "k", Seq("a\nb"))
+    assert(f1.rawRows == 0L && canonKeys() == Seq("a", "b", "c", "z"),
+      s"a newline key must delete nothing: $f1")
+    wh.forget(schema, "ev", "k", Seq("c"))
+    assert(canonKeys() == Seq("a", "b", "z"))
+    // re-delivery under the newline name's FRAGMENT: "old.tsv" must be
+    // treated as fresh (a raw swept ledger would list the fragment and
+    // skip its purge — resurrecting the forgotten key), purged of "c",
+    // and its innocent "a" row must survive the journal replay
+    put("old.tsv", "c\t2024-06-10\na\t2024-06-11\nd\t2024-06-12\n")
+    wh.sync(Seq(fBase, fEvil,
+      ManifestEntry("ev", "old.tsv",
+        src.resolve("ev").resolve("old.tsv").toUri.toString)), schema)
+    assert(canonKeys() == Seq("a", "a", "b", "d", "z"),
+      "forgotten c purged; innocent fragment keys a/b and file old.tsv " +
+        "intact; no duplicate z from a fragmented listing entry")
+    // the two requests compacted into a suppression file — a later
+    // fresh file must purge "c" from IT (decoded), keep fragment "b",
+    // and the still-present newline-named raw file must not re-append
+    put("next.tsv", "b\t2024-06-20\nc\t2024-06-21\ne\t2024-06-22\n")
+    wh.sync(Seq(fBase, fEvil,
+      ManifestEntry("ev", "old.tsv",
+        src.resolve("ev").resolve("old.tsv").toUri.toString),
+      ManifestEntry("ev", "next.tsv",
+        src.resolve("ev").resolve("next.tsv").toUri.toString)), schema)
+    assert(canonKeys() == Seq("a", "a", "b", "b", "d", "e", "z"),
+      "suppression purge must drop only the true forgotten key")
+  }
+
   test("vacuum: crash debris GCs in one pass — completed-swap asides " +
       "and uncommitted tmps drop, orphaned asides RESTORE, journal " +
       "staging clears, quarantined journals are counted never deleted") {

@@ -164,6 +164,37 @@ class FreshFoldSpec extends SparkSpec {
       "a completed fold leaves no pinned intent")
   }
 
+  test("newline-hostile filenames round-trip the covered set and the " +
+      "intent — a fragment never marks an innocent file as folded") {
+    val s = store()
+    val evil = "evil\nold.tsv" // legal on POSIX; manifest-controlled
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    def fold(files: Seq[String], id: String): Unit = {
+      calls += files
+      AppendCommit.markApplied(s, id, "")
+    }
+    FreshFold.foldFresh(s, Seq(evil))(fold)
+    assert(FreshFold.covered(s) == Set(evil),
+      "the covered set must hold the exact name, not its fragments")
+    // written raw, the payload fragment "old.tsv" would mark THIS
+    // innocent file as already folded — silent missing data
+    FreshFold.foldFresh(s, Seq(evil, "old.tsv"))(fold)
+    assert(calls.toSeq == Seq(Seq(evil), Seq("old.tsv")),
+      s"the innocent fragment-named file must fold: $calls")
+    // a crashed intent pinning a newline name must replay verbatim
+    intercept[RuntimeException] {
+      FreshFold.foldFresh(s, Seq(evil, "old.tsv", "evil2\nx.tsv")) {
+        (_, _) => throw new RuntimeException("crash pre-commit")
+      }
+    }
+    assert(FreshFold.pendingIntent(s).contains(Seq("evil2\nx.tsv")),
+      "the pinned intent must decode back to the exact name")
+    FreshFold.foldFresh(s, Seq(evil, "old.tsv", "evil2\nx.tsv"))(fold)
+    assert(calls.last == Seq("evil2\nx.tsv"))
+    assert(FreshFold.covered(s) ==
+      Set(evil, "old.tsv", "evil2\nx.tsv"))
+  }
+
   test("legacy per-file rawfile- markers count as covered") {
     val s = store()
     AppendCommit.markApplied(s, "rawfile-old1.tsv", "")
