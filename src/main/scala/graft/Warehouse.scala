@@ -1578,12 +1578,14 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".req_$reqId.tmp")
     val os = fs.create(tmp, true)
-    // keys ride encLine'd (the sweep decodes): journaled raw, a key
-    // "a\nb" would REPLAY as forgets of the innocent keys "a" and "b"
-    // — deleting rows the caller never named
-    try os.write((c +: keyStrs.map(
-        graft.pipeline.AppendCommit.encLine)).mkString("\n")
-      .getBytes("UTF-8"))
+    // header + column + encLine'd keys (the sweep decodes behind the
+    // header): journaled raw, a key "a\nb" would REPLAY as forgets of
+    // the innocent keys "a" and "b" — deleting rows the caller never
+    // named. A LEGACY headerless journal reads verbatim: a legacy key
+    // containing a literal '%0A' must stay itself.
+    try os.write((graft.pipeline.AppendCommit.EncHeader +: c +:
+        keyStrs.map(graft.pipeline.AppendCommit.encLine))
+      .mkString("\n").getBytes("UTF-8"))
     finally os.close()
     val dest = new org.apache.hadoop.fs.Path(dir, s"req_$reqId")
     if (fs.exists(dest)) { fs.delete(tmp, false) }
@@ -1651,8 +1653,8 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     val dest = new org.apache.hadoop.fs.Path(dir, s"map_${reqId}_$ic")
     if (fs.exists(dest)) {
       val in = fs.open(dest)
-      try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
-        .filter(_.nonEmpty).map(graft.pipeline.AppendCommit.decLine)
+      try graft.pipeline.AppendCommit.decPayload(
+        new String(in.readAllBytes(), "UTF-8"))
       finally in.close()
     } else {
       val ks = compute
@@ -1660,10 +1662,11 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
       val tmp = new org.apache.hadoop.fs.Path(dir,
         s".map_${reqId}_$ic.tmp")
       val os = fs.create(tmp, true)
-      // mapped ids are COLUMN VALUES (user data) — same encLine
-      // discipline as the journal keys they stand in for
-      try os.write(ks.map(graft.pipeline.AppendCommit.encLine)
-        .mkString("\n").getBytes("UTF-8"))
+      // mapped ids are COLUMN VALUES (user data) — the same
+      // header-versioned payload codec as the journal keys they stand
+      // in for (legacy headerless stages read verbatim)
+      try os.write(graft.pipeline.AppendCommit.encPayload(ks)
+        .getBytes("UTF-8"))
       finally os.close()
       if (fs.exists(dest)) fs.delete(tmp, false)
       else if (!fs.rename(tmp, dest))
@@ -1695,21 +1698,43 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     * union of ledger payload lines under `_forget/<table>/swept`. */
   private def markSwept(table: String, reqId: String,
       files: Seq[String]): Unit =
-    // encLine'd names: written raw, a swept file named "evil\nold.tsv"
-    // would fragment — and the "old.tsv" fragment marks an innocent
-    // FUTURE fresh file as already swept, so its re-delivered
-    // forgotten rows skip the purge (RTBF resurrection)
+    // header-versioned encLine'd names: written raw, a swept file
+    // named "evil\nold.tsv" would fragment — and the "old.tsv"
+    // fragment marks an innocent FUTURE fresh file as already swept,
+    // so its re-delivered forgotten rows skip the purge (RTBF
+    // resurrection). Legacy headerless entries read verbatim.
     graft.pipeline.AppendCommit.markApplied(s"${forgetDir(table)}/swept",
       s"fg_${reqId}_${graft.pipeline.AppendCommit.contentId(
         files.sorted.mkString("\n"))}",
-      files.sorted.map(graft.pipeline.AppendCommit.encLine)
-        .mkString("\n"))
+      graft.pipeline.AppendCommit.encPayload(files.sorted))
 
   private def sweptFiles(table: String): Set[String] =
     graft.pipeline.AppendCommit
       .appliedEntries(s"${forgetDir(table)}/swept")
-      .flatMap(_._2.split("\n")).filter(_.nonEmpty)
-      .map(graft.pipeline.AppendCommit.decLine).toSet
+      .flatMap(e => graft.pipeline.AppendCommit.decPayload(e._2)).toSet
+
+  /** `sup_<col>_g<N>[e]` → (col, generation, filename, encoded).
+    * The trailing 'e' marks an encLine-ENCODED generation — the
+    * version signal lives in the NAME because the content is a sorted
+    * distributed text write (no room for a header line). Legacy
+    * unsuffixed generations hold raw keys and must read verbatim.
+    * Generations compare numerically across both formats (the first
+    * post-upgrade compaction folds a legacy generation into an
+    * encoded one and deletes it). */
+  private def parseSupName(n: String)
+      : Option[(String, Long, String, Boolean)] =
+    if (!n.startsWith("sup_")) None
+    else {
+      val stem = n.stripPrefix("sup_")
+      val cut = stem.lastIndexOf("_g")
+      if (cut <= 0) None
+      else {
+        val gs = stem.drop(cut + 2)
+        val enc = gs.endsWith("e")
+        (if (enc) gs.dropRight(1) else gs).toLongOption
+          .map(g => (stem.take(cut), g, n, enc))
+      }
+    }
 
   /** Journal-string keys back to the engine's typed values, through the
     * engine's OWN cast (identical semantics to every purge filter). */
@@ -1779,9 +1804,14 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         val allReqs: Seq[(String, String, Seq[String])] =
           names.filter(_.startsWith("req_")).toSeq.sorted.map { n =>
             val lines = readLines(n)
-            (n.stripPrefix("req_"), lines.head,
-              lines.tail.filter(_.nonEmpty)
-                .map(graft.pipeline.AppendCommit.decLine))
+            if (lines.headOption.contains(
+                graft.pipeline.AppendCommit.EncHeader))
+              (n.stripPrefix("req_"), lines(1),
+                lines.drop(2).filter(_.nonEmpty)
+                  .map(graft.pipeline.AppendCommit.decLine))
+            else // legacy headerless journal: keys verbatim
+              (n.stripPrefix("req_"), lines.head,
+                lines.tail.filter(_.nonEmpty))
           }
         // compacted history: per column, the HIGHEST-generation
         // suppression file (sup_<col>_g<N>) — generations are strict
@@ -1793,25 +1823,24 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         // only ever consumed as a DataFrame ([[supFrame]]) — the purge
         // below joins against it distributed end-to-end.
         val sups: Seq[(String, String)] =
-          names.filter(_.startsWith("sup_")).toSeq
-            .flatMap { n =>
-              val stem = n.stripPrefix("sup_")
-              val cut = stem.lastIndexOf("_g")
-              if (cut <= 0) None
-              else stem.drop(cut + 2).toLongOption.map(g =>
-                (stem.take(cut), g, n))
-            }
+          names.flatMap(parseSupName).toSeq
             .groupBy(_._1).values.map(_.maxBy(_._2)).toSeq
-            .map { case (c, _, n) => (n, c) }
-        // decLineCol: suppression lines are stored encLine'd (see
-        // [[compactForgets]]) — decode distributed, in the scan
-        // projection, so the purge joins against the TRUE key strings
-        def supFrame(n: String): org.apache.spark.sql.DataFrame =
+            .map { case (c, _, n, _) => (n, c) }
+        // new ('e'-suffixed) generations store encLine'd keys — decode
+        // distributed, in the scan projection, so the purge joins
+        // against the TRUE key strings; LEGACY generations hold raw
+        // keys and read verbatim (a legacy key containing a literal
+        // '%0A' must stay itself — decoding it would purge rows the
+        // caller never named and stop purging the real ones)
+        def supFrame(n: String): org.apache.spark.sql.DataFrame = {
+          val v = org.apache.spark.sql.functions.col("value")
+          val enc = parseSupName(n).exists(_._4)
           spark.read.text(new org.apache.hadoop.fs.Path(dir, n).toString)
-            .filter(org.apache.spark.sql.functions
-              .length(org.apache.spark.sql.functions.col("value")) > 0)
-            .select(graft.pipeline.AppendCommit.decLineCol(
-              org.apache.spark.sql.functions.col("value")).as("__raw"))
+            .filter(org.apache.spark.sql.functions.length(v) > 0)
+            .select((if (enc)
+                graft.pipeline.AppendCommit.decLineCol(v)
+              else v).as("__raw"))
+        }
         val fresh = rawListing(t.tableName)
           .filterNot(sweptFiles(t.tableName))
         // quarantine, don't throw: a journal that fails DETERMINISTIC
@@ -1868,8 +1897,9 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
                   s"no column $c in ${t.tableName}"))
               if (fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, n))
                   .getLen <= SweepLiteralBytes) {
-                val lines = readLines(n).filter(_.nonEmpty)
-                  .map(graft.pipeline.AppendCommit.decLine)
+                val raw = readLines(n).filter(_.nonEmpty)
+                val lines = if (parseSupName(n).exists(_._4))
+                  raw.map(graft.pipeline.AppendCommit.decLine) else raw
                 graft.pipeline.Maintain.requireKeysCastable(spark,
                   f.dataType, c, lines)
                 supSmall(c) = lines
@@ -2017,27 +2047,31 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     import org.apache.spark.sql.functions.{col, length}
     val fs = fsOf
     val dir = new org.apache.hadoop.fs.Path(forgetDir(table))
-    val supGen: Map[String, Long] = sups.map { case (n, c) =>
-      c -> n.drop(n.lastIndexOf("_g") + 2).toLong
+    val supGen: Map[String, Long] = sups.flatMap { case (n, c) =>
+      parseSupName(n).map { case (_, g, _, _) => c -> g }
     }.toMap
     doneReqs.groupBy(_._2).foreach { case (c, rs) =>
       val prev = sups.filter(_._2 == c).map { case (n, _) =>
+        val v = col("value")
+        // the merge runs in ENCODED space: a legacy raw generation is
+        // re-encoded here (encLineCol — its lines are the TRUE keys),
+        // new request keys encode driver-side, and an encoded
+        // generation passes through — so distinct() dedups one
+        // consistent space and the new generation is always 'e'
+        val enc = parseSupName(n).exists(_._4)
         spark.read.text(new org.apache.hadoop.fs.Path(dir, n).toString)
-          .filter(length(col("value")) > 0)
-          .select(col("value").as("__raw"))
+          .filter(length(v) > 0)
+          .select((if (enc) v
+            else graft.pipeline.AppendCommit.encLineCol(v)).as("__raw"))
       }
       val merged =
-        // new keys land encLine'd; `prev` generations pass through
-        // UNDECODED (already in encoded space — legacy raw lines are
-        // identical under identity encoding), so distinct() dedups in
-        // one consistent space and readers decode exactly once
         (prev :+ rs.flatMap(_._3).distinct
             .map(graft.pipeline.AppendCommit.encLine).toDF("__raw"))
           .reduce(_ unionByName _).distinct()
           .repartition(1).sortWithinPartitions(col("__raw"))
       val newGen = supGen.getOrElse(c, 0L) + 1L
       val tmpDir = new org.apache.hadoop.fs.Path(dir,
-        s".sup_${c}_g$newGen.tmpdir")
+        s".sup_${c}_g${newGen}e.tmpdir")
       fs.delete(tmpDir, true)
       merged.write.text(tmpDir.toString)
       val part = fs.listStatus(tmpDir).map(_.getPath)
@@ -2045,7 +2079,8 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
           !p.getName.startsWith("."))
         .getOrElse(throw new java.io.IOException(
           s"suppression fold produced no output for $table.$c"))
-      val dest = new org.apache.hadoop.fs.Path(dir, s"sup_${c}_g$newGen")
+      val dest = new org.apache.hadoop.fs.Path(dir,
+        s"sup_${c}_g${newGen}e")
       if (fs.exists(dest)) fs.delete(tmpDir, true)
       else {
         if (!fs.rename(part, dest))
@@ -2065,22 +2100,13 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
         .filter(_.getName.startsWith(s"map_${id}_"))
         .foreach(p => fs.delete(p, false))
     }
-    val maxGen: Map[String, Long] = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.startsWith("sup_")).toSeq
-      .flatMap { n =>
-        val stem = n.stripPrefix("sup_")
-        val cut = stem.lastIndexOf("_g")
-        if (cut <= 0) None
-        else stem.drop(cut + 2).toLongOption.map(g => (stem.take(cut), g))
-      }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val maxGen: Map[String, Long] = fs.listStatus(dir)
+      .map(_.getPath.getName).toSeq.flatMap(parseSupName)
+      .map { case (c, g, _, _) => (c, g) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
     fs.listStatus(dir).map(_.getPath).filter { p =>
-      val n = p.getName
-      n.startsWith("sup_") && {
-        val stem = n.stripPrefix("sup_")
-        val cut = stem.lastIndexOf("_g")
-        cut > 0 && stem.drop(cut + 2).toLongOption
-          .exists(g => g < maxGen.getOrElse(stem.take(cut), Long.MaxValue))
-      }
+      parseSupName(p.getName).exists { case (c, g, _, _) =>
+        g < maxGen.getOrElse(c, Long.MaxValue) }
     }.foreach(p => fs.delete(p, false))
     // a done marker whose request is gone is a crashed compaction's
     // leftover — clear it so it cannot linger forever
@@ -2326,12 +2352,12 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
   }
 
   /** One `rawbatch-` covered marker for a full rebuild over `files`
-    * (payload encLine'd — [[FreshFold.covered]] decodes). */
+    * (header-versioned payload — [[FreshFold.covered]] decodes). */
   private def rebuildLedger(files: Seq[String]): Seq[(String, String)] = {
     import graft.pipeline.{AppendCommit, FreshFold}
     Seq((FreshFold.Tag +
       AppendCommit.contentId(files.sorted.mkString("\n")),
-      files.sorted.map(AppendCommit.encLine).mkString("\n")))
+      AppendCommit.encPayload(files.sorted)))
   }
 
   /** Per-sync-batch refresh of the configured enrichment views — fresh
@@ -2469,7 +2495,23 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
             val df = spark.read.text(
               new org.apache.hadoop.fs.Path(dir, n).toString)
               .filter(length(col("value")) > 0)
-            val c = df.count() - (if (skipHeader) 1L else 0L)
+            // the codec version header is metadata, not a key — read
+            // the FIRST line alone (one tiny driver read, never the
+            // key set) to know whether to discount it; a legit key
+            // encLine'd to "#e1" deeper in the file still counts
+            val hasEnc = {
+              val in = fs.open(new org.apache.hadoop.fs.Path(dir, n))
+              val h = graft.pipeline.AppendCommit.EncHeader
+                .getBytes("UTF-8")
+              val buf = new Array[Byte](h.length + 1)
+              val got = try in.readNBytes(buf, 0, buf.length)
+                finally in.close()
+              got >= h.length + 1 &&
+                buf.take(h.length).sameElements(h) &&
+                buf(h.length) == '\n'.toByte
+            }
+            val c = df.count() - (if (skipHeader) 1L else 0L) -
+              (if (hasEnc) 1L else 0L)
             Some((kind, n, c))
           }
           if (n.startsWith("req_")) keyed("req", skipHeader = true)
@@ -2749,16 +2791,16 @@ final class Warehouse(spark: SparkSession, cfg: Warehouse.Config) {
     * COUNT, the cardinality the sync's own listing already handles. */
   private[graft] def retiredRawFiles(table: String): Set[String] =
     graft.pipeline.AppendCommit.appliedEntries(retiredRawDir(table))
-      .flatMap(_._2.split("\n")).filter(_.nonEmpty).map(decName).toSet
+      .flatMap(e => graft.pipeline.AppendCommit.decPayload(e._2)).toSet
 
-  // names ride [[encName]] like the stats ledger below: this ledger is
+  // names ride the header-versioned payload codec: this ledger is
   // newline-delimited, and a retired file literally named
   // "evil\nold.tsv" written raw would split into two entries — one
   // suppressing an innocent live "old.tsv" from every future sync
   // (silent missing data), the other never matching the real file
   // (re-fetch + re-delete forever)
   private def markRetiredRaw(table: String, files: Seq[String]): Unit = {
-    val payload = files.sorted.map(encName).mkString("\n")
+    val payload = graft.pipeline.AppendCommit.encPayload(files.sorted)
     graft.pipeline.AppendCommit.markApplied(retiredRawDir(table),
       s"rt_${graft.pipeline.AppendCommit.contentId(payload)}", payload)
   }

@@ -208,8 +208,26 @@ object Sampling {
       // also re-read it through [[epochPositions]]'s join-back should
       // persist it themselves if re-evaluation matters.
       .localCheckpoint()
+    // the bucket-count pass doubles as the ID-CONTRACT enforcement
+    // (zero extra jobs — same aggregation): `id` must be UNIQUE and
+    // NON-NULL or the join-back in [[epochPositions]] silently DROPS
+    // null-id rows and MULTIPLIES duplicate-id rows, while the
+    // receipt path (no join) still counts them — a receipt certifying
+    // a shard layout the writer never produced. An id lands in
+    // exactly one bucket (the bucket is a function of md5(id|seed)),
+    // so per-bucket distinct counts sum to the global distinct count.
     val counts = keyed.groupBy(col("__b"))
-      .agg(count(lit(1)).as("n")).orderBy(col("__b")).collect()
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("__eid")).as("nd"),
+        sum(when(col("__eid").isNull, 1L).otherwise(0L)).as("nn"))
+      .orderBy(col("__b")).collect()
+    require(counts.map(_.getLong(3)).sum == 0L,
+      s"epoch id column '$id' holds NULLs — the epoch identity must " +
+        "be non-null (a null row would get a position but never " +
+        "join back to its payload)")
+    require(counts.map(_.getLong(1)).sum == counts.map(_.getLong(2)).sum,
+      s"epoch id column '$id' holds duplicates — positions replay " +
+        "from the id, so the epoch identity must be unique")
     var acc = 0L
     val offsets = counts.map { r =>
       val o = acc; acc += r.getLong(1); (r.getString(0), o)

@@ -161,6 +161,42 @@ object AppendCommit {
       lit("%09"), lit("\t")), lit("%25"), lit("%"))
   }
 
+  /** [[encLine]] as a Spark column ('%25' FIRST — the write order):
+    * for re-encoding a legacy raw suppression generation into encoded
+    * space during a distributed compaction merge. */
+  def encLineCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, replace}
+    replace(replace(replace(replace(c,
+      lit("%"), lit("%25")), lit("\t"), lit("%09")),
+      lit("\n"), lit("%0A")), lit("\r"), lit("%0D"))
+  }
+
+  /** Version header marking a newline-joined payload/file as
+    * encLine-ENCODED. Decoding must be opt-in per artifact: a LEGACY
+    * payload written raw may legally contain literal codec triplets
+    * ('%0A' in a key from URL-encoded upstream data) — decoded
+    * unconditionally it would silently become a different string, and
+    * in the forget path that deletes rows the caller never named.
+    * Writers emit the header; readers decode ONLY behind it and
+    * return legacy payloads verbatim. */
+  val EncHeader = "#e1"
+
+  /** The one write shape for user-string lists riding newline-joined
+    * payloads/files: header + encLine'd entries. Pair with
+    * [[decPayload]] — a site using one without the other is the bug
+    * class this codec exists to kill. */
+  def encPayload(xs: Seq[String]): String =
+    (EncHeader +: xs.map(encLine)).mkString("\n")
+
+  /** Inverse of [[encPayload]]; legacy (headerless) payloads return
+    * their lines verbatim. */
+  def decPayload(s: String): Seq[String] = {
+    val lines = s.split("\n").toSeq
+    if (lines.headOption.contains(EncHeader))
+      lines.tail.filter(_.nonEmpty).map(decLine)
+    else lines.filter(_.nonEmpty)
+  }
+
   /** Cumulative content fingerprint of a build-once/append-additively
     * store: the immutable build-time `_corpus_fingerprint` marker's
     * `count|hashsum|params...` base plus the sum of every applied

@@ -61,12 +61,14 @@ object FreshFold {
     AppendCommit.appliedEntries(store).iterator.flatMap {
       case (id, payload) =>
         if (id.startsWith(Tag))
-          // decLine: names ride the payload percent-encoded — written
-          // raw, a newline-carrying filename would split into
-          // fragments, one of which marks an innocent same-named file
-          // as already folded (silent missing data in the store)
-          payload.split("\n").iterator.filter(_.nonEmpty)
-            .map(AppendCommit.decLine)
+          // decPayload: names ride the payload percent-encoded behind
+          // a version header — written raw, a newline-carrying
+          // filename would split into fragments, one of which marks an
+          // innocent same-named file as already folded (silent missing
+          // data in the store). Headerless legacy payloads read
+          // VERBATIM: a legacy name containing a literal '%0A' must
+          // stay itself, not decode into a different name.
+          AppendCommit.decPayload(payload).iterator
         else if (id.startsWith(legacyTag))
           Iterator.single(id.stripPrefix(legacyTag))
         else Iterator.empty
@@ -89,8 +91,7 @@ object FreshFold {
       val in = fs.open(p)
       val txt = try new String(in.readAllBytes(), "UTF-8")
         finally in.close()
-      Some(txt.split("\n").toSeq.filter(_.nonEmpty)
-        .map(AppendCommit.decLine))
+      Some(AppendCommit.decPayload(txt))
     }
   }
 
@@ -106,8 +107,7 @@ object FreshFold {
     // harmless and overwritten by the next refresh).
     val tmp = new Path(store, s".$IntentName.tmp")
     val os = fs.create(tmp, true)
-    try os.write(files.map(AppendCommit.encLine).mkString("\n")
-      .getBytes("UTF-8"))
+    try os.write(AppendCommit.encPayload(files).getBytes("UTF-8"))
     finally os.close()
     fs.delete(intentPath(store), false) // rename won't overwrite on all FS
     if (!fs.rename(tmp, intentPath(store)))
@@ -124,10 +124,10 @@ object FreshFold {
     if (!AppendCommit.isApplied(store, id)) fold(files, id)
     // (re-)write the marker WITH its payload: the fold may have marked
     // the id itself (JoinView.merge's appendBatch does) with an empty
-    // payload — the covered set needs the file list (encLine'd names;
-    // [[covered]] decodes)
+    // payload — the covered set needs the file list (header-versioned
+    // encLine'd names; [[covered]] decodes behind the header)
     AppendCommit.markApplied(store, id,
-      files.sorted.map(AppendCommit.encLine).mkString("\n"))
+      AppendCommit.encPayload(files.sorted))
     fsFor(store).delete(intentPath(store), false)
   }
 

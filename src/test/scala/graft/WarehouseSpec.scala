@@ -1403,10 +1403,10 @@ class WarehouseSpec extends SparkSpec {
     assert(names().count(_.startsWith("req_")) == 2)
     // the sync's sweep folds the two DONE requests into generation 1
     wh.sync(m1, schema)
-    assert(names().contains("sup_doc_id_g1"), names().toString)
+    assert(names().contains("sup_doc_id_g1e"), names().toString)
     assert(names().count(_.startsWith("req_")) == 0 &&
       names().count(_.startsWith("done_")) == 0, names().toString)
-    assert(java.nio.file.Files.readString(fdir.resolve("sup_doc_id_g1"))
+    assert(java.nio.file.Files.readString(fdir.resolve("sup_doc_id_g1e"))
       .split("\n").toSet == Set("1", "2"))
     // below the threshold: the next request coexists with the sup file
     wh.forget(schema, "docs", "doc_id", Seq(3L))
@@ -1427,7 +1427,7 @@ class WarehouseSpec extends SparkSpec {
     // fresh generation, drop the superseded one and the leftovers)
     val req3 = names().find(_.startsWith("req_")).get
     val sup1 = java.nio.file.Files
-      .readString(fdir.resolve("sup_doc_id_g1")).split("\n").toSet
+      .readString(fdir.resolve("sup_doc_id_g1e")).split("\n").toSet
     java.nio.file.Files.writeString(fdir.resolve("sup_doc_id_g2"),
       (sup1 + "3").toSeq.sorted.mkString("\n"))
     wh.forget(schema, "docs", "doc_id", Seq(4L))
@@ -1572,7 +1572,7 @@ class WarehouseSpec extends SparkSpec {
     def names(): Set[String] = scala.jdk.CollectionConverters
       .IteratorHasAsScala(java.nio.file.Files.list(fdir).iterator())
       .asScala.map(_.getFileName.toString).toSet
-    assert(names().contains("sup_doc_id_g1"), names().toString)
+    assert(names().contains("sup_doc_id_g1e"), names().toString)
     // the misconfiguration: a maintained index keyed by a column docs
     // does not have — new forgets refuse pre-journal; the question is
     // what the sweep does to EXISTING history
@@ -1593,7 +1593,7 @@ class WarehouseSpec extends SparkSpec {
     java.nio.file.Files.writeString(rawDir.resolve("d2.tsv"),
       "2\tzombie\n9\tok\n")
     bad.sweepForgets(schema)
-    assert(names().contains("sup_doc_id_g1"),
+    assert(names().contains("sup_doc_id_g1e"),
       s"suppression history must survive a bad store def: ${names()}")
     assert(names().contains("failed_req_deadbeef00000001") &&
       !names().contains("req_deadbeef00000001"),
@@ -1640,7 +1640,7 @@ class WarehouseSpec extends SparkSpec {
     wh.sync(m1, schema)
     val fdir = java.nio.file.Paths.get(
       new java.net.URI(s"$whDir/_forget/docs"))
-    assert(java.nio.file.Files.exists(fdir.resolve("sup_doc_id_g1")))
+    assert(java.nio.file.Files.exists(fdir.resolve("sup_doc_id_g1e")))
     // re-delivery mixing suppressed and fresh keys under a new name
     val m2 = m1 :+ put("d2.tsv",
       (1L to 40L).map(i => s"$i\tagain $i").mkString("", "\n", "\n"))
@@ -2410,6 +2410,63 @@ class WarehouseSpec extends SparkSpec {
         src.resolve("ev").resolve("next.tsv").toUri.toString)), schema)
     assert(canonKeys() == Seq("a", "a", "b", "b", "d", "e", "z"),
       "suppression purge must drop only the true forgotten key")
+  }
+
+  test("legacy raw suppression generations read VERBATIM: a legacy " +
+      "key containing a literal codec triplet still purges its true " +
+      "rows, and the first compaction folds it into an encoded 'e' " +
+      "generation") {
+    val src = Files.createTempDirectory("wh_ls_src")
+    def put(name: String, content: String): ManifestEntry = {
+      val d = src.resolve("ev"); Files.createDirectories(d)
+      val f = d.resolve(name); Files.writeString(f, content)
+      ManifestEntry("ev", name, f.toUri.toString)
+    }
+    val schema = Seq(CDTable("ev", None, Seq(
+      CDColumn("k", "text"), CDColumn("d", "date"))))
+    val fBase = put("base.tsv", "a\t2024-06-01\n")
+    val whDir = Files.createTempDirectory("wh_ls_root").toUri.toString
+      .stripSuffix("/")
+    val wh = new Warehouse(spark, Warehouse.Config(whDir,
+      db = "cd_whls", parallelism = 1, canonicalize = true,
+      canonicalSpecs = Map("ev" -> Warehouse.CanonicalSpec(Seq("d"))),
+      manifestTables = Seq("ev"), forgetCompactEvery = 1))
+    wh.sync(Seq(fBase), schema)
+    // a PRE-CODEC compaction left this generation: keys stored raw,
+    // one legally containing the literal three characters '%0A'.
+    // Decoded unconditionally it would become the key "x\ny" — the
+    // real "x%0Ay" rows would never purge again (RTBF resurrection)
+    val fdir = java.nio.file.Paths.get(
+      new java.net.URI(s"$whDir/_forget/ev"))
+    java.nio.file.Files.createDirectories(fdir)
+    java.nio.file.Files.writeString(fdir.resolve("sup_k_g1"),
+      "gone\nx%0Ay\n")
+    val fFresh = put("fresh.tsv",
+      "x%0Ay\t2024-06-10\nkeep\t2024-06-11\ngone\t2024-06-12\n")
+    wh.sync(Seq(fBase, fFresh), schema)
+    val keys = wh.canonicalTable("ev").collect()
+      .map(_.getString(0)).toSeq.sorted
+    assert(keys == Seq("a", "keep"),
+      s"the literal-%0A key and 'gone' must purge from the fresh " +
+        s"file under the RAW (legacy) interpretation: $keys")
+    // a new forget triggers compaction (forgetCompactEvery = 1): the
+    // legacy generation folds into an encoded one and is superseded
+    wh.forget(schema, "ev", "k", Seq("a"))
+    wh.sync(Seq(fBase, fFresh), schema)
+    val supNames = new java.io.File(fdir.toString).listFiles()
+      .map(_.getName).filter(_.startsWith("sup_")).toSeq
+    assert(supNames == Seq("sup_k_g2e"),
+      s"compaction must supersede the legacy generation with an " +
+        s"encoded one: $supNames")
+    // the folded generation still carries the legacy key in its TRUE
+    // form: a re-delivery of the literal-%0A row purges again
+    val fAgain = put("again.tsv", "x%0Ay\t2024-07-01\nb\t2024-07-02\n")
+    wh.sync(Seq(fBase, fFresh, fAgain), schema)
+    val keys2 = wh.canonicalTable("ev").collect()
+      .map(_.getString(0)).toSeq.sorted
+    assert(keys2 == Seq("b", "keep"),
+      s"the encoded generation must keep purging the literal-%0A " +
+        s"key (and 'a' from the new request): $keys2")
   }
 
   test("vacuum: crash debris GCs in one pass — completed-swap asides " +

@@ -145,6 +145,24 @@ class SamplingSpec extends SparkSpec {
       "a different bucket width must yield identical positions")
   }
 
+  test("epoch id contract is ENFORCED: duplicates and NULLs refuse " +
+      "loudly instead of silently skewing the written shards") {
+    // the join-back would multiply duplicate-id rows and drop null-id
+    // rows while the receipt path still counts them — a receipt
+    // certifying a layout the writer never produced; both refuse at
+    // the bucket-count pass (zero extra jobs)
+    val dup = (Seq(1L, 2L, 2L, 3L)).toDF("id")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.epochPositions(dup, "id", 7L).count()
+    }
+    assert(e1.getMessage.contains("duplicates"), e1.getMessage)
+    val withNull = Seq(Some(1L), None, Some(3L)).toDF("id")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.epochShardReceipts(withNull, "id", 7L, 64L).count()
+    }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+  }
+
   test("writeEpochShards: shard directories hold the epoch order — " +
       "membership AND intra-shard row order replay from (id, seed, L)") {
     val ids = (1L to 300L).toDF("id")

@@ -195,6 +195,32 @@ class FreshFoldSpec extends SparkSpec {
       Set(evil, "old.tsv", "evil2\nx.tsv"))
   }
 
+  test("legacy RAW covered payloads read VERBATIM — a legacy name " +
+      "containing a literal codec triplet must not decode into a " +
+      "different name") {
+    val s = store()
+    // a pre-codec writer stored this payload raw; the name legally
+    // contains the literal three characters '%0A' (URL-encoded
+    // upstream data) — decoding it would yield "weird\nname.tsv",
+    // un-covering the real file (re-fold = double-count) and covering
+    // a phantom
+    AppendCommit.markApplied(s, FreshFold.Tag + "legacy1",
+      "weird%0Aname.tsv\nplain.tsv")
+    assert(FreshFold.covered(s) == Set("weird%0Aname.tsv", "plain.tsv"),
+      "headerless payloads are legacy-raw: lines verbatim")
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    FreshFold.foldFresh(s,
+        Seq("weird%0Aname.tsv", "plain.tsv", "new.tsv")) { (files, id) =>
+      calls += files
+      AppendCommit.markApplied(s, id, "")
+    }
+    assert(calls.toSeq == Seq(Seq("new.tsv")),
+      s"legacy-covered names must not re-fold: $calls")
+    // and a NEW payload written for a literal-'%0A' name round-trips
+    // through the header format
+    assert(FreshFold.covered(s).contains("weird%0Aname.tsv"))
+  }
+
   test("legacy per-file rawfile- markers count as covered") {
     val s = store()
     AppendCommit.markApplied(s, "rawfile-old1.tsv", "")
