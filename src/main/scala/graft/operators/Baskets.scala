@@ -36,12 +36,19 @@ object Baskets {
       minCount: Int, k: Int, maxBasket: Int = 1000): DataFrame = {
     val items = df.select(col(basket).as("bk"), col(item).as("it"))
       .distinct()
+    // localCheckpoint: four consumers (both pair-join sides, marginals,
+    // basket total) would otherwise each re-run the scan + dedup + cap
+    // window; the held state is the two-int-column deduped basket-item
+    // projection — already far smaller than the corpus — and it stays
+    // partitioned by bk, so the pair self-join needs no further exchange
+    // (guide §2.4/§5)
     val sized = items
       .withColumn("bsz", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("bk"))))
       .filter(col("bsz") <= maxBasket)
       .drop("bsz")
+      .localCheckpoint()
     val a = sized.select(col("bk"), col("it").as("pa"))
     val b = sized.select(col("bk"), col("it").as("pb"))
     val c12 = a.join(b, Seq("bk"))
@@ -189,12 +196,15 @@ object Baskets {
       minCount: Int, k: Int, maxBasket: Int = 1000): DataFrame = {
     val items = df.select(col(basket).as("bk"), col(item).as("it"))
       .distinct()
+    // same five-consumer pin as pairLift (a, b, c legs + the f2 leg's
+    // reuse of a/b)
     val sized = items
       .withColumn("bsz", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("bk"))))
       .filter(col("bsz") <= maxBasket)
       .drop("bsz")
+      .localCheckpoint()
     val a = sized.select(col("bk"), col("it").as("pa"))
     val b = sized.select(col("bk"), col("it").as("pb"))
     val c = sized.select(col("bk"), col("it").as("pc"))

@@ -67,7 +67,11 @@ object Components {
     val e = tr.pin(
       edges.select(col("a").cast("long"), col("b").cast("long"))
         .filter(col("a") =!= col("b")))
-    // undirected: propagate both ways
+    // undirected: propagate both ways. (r14 note: pre-partitioning adj by
+    // the join key was tried and measured SLOWER — the per-round label
+    // side is small enough that the join broadcasts it, so the adjacency
+    // list is never shuffled in the loop anyway and the repartition was a
+    // pure extra exchange.)
     val adj = tr.pin(
       e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
         .distinct())

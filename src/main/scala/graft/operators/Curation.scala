@@ -779,7 +779,11 @@ object Curation {
       q: Double): DataFrame = {
     val counts = df.groupBy(col(key), col(value))
       .agg(count(lit(1)).as("cnt"))
-    val totals = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    // per-key totals fold the (key, value) aggregate — NOT a second
+    // corpus scan (guide §2.3: aggregate before you shuffle; the counts
+    // exchange is canonically identical on both references, so the scan
+    // and partial aggregation run once and are reused)
+    val totals = counts.groupBy(col(key)).agg(sum(col("cnt")).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(col(value).desc)
       .rowsBetween(Long.MinValue, 0)
@@ -833,9 +837,12 @@ object Curation {
       when(col(value).isNull, lit(-1L))
         .otherwise(least(floor((col(value) - lit(lo)) / lit(width)),
           lit(numBuckets - 1L)).cast("long")).as("bkt"))
-    val totals = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
     val bktCounts = bucketed.groupBy(col(key), col("bkt"))
       .agg(count(lit(1)).as("cnt"))
+    // totals fold the keys×buckets table (every row lands in exactly one
+    // bucket, NULLs included via bkt −1) — one corpus aggregation, not
+    // two (guide §2.3); the duplicated bktCounts exchange is reused
+    val totals = bktCounts.groupBy(col(key)).agg(sum(col("cnt")).as("n"))
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(col("bkt").desc)
       .rowsBetween(Long.MinValue, 0)
@@ -883,9 +890,10 @@ object Curation {
       when(col(value).isNull, lit(-1L))
         .otherwise(least(floor((col(value) - lit(lo)) / lit(width)),
           lit(numBuckets - 1L)).cast("long")).as("bkt"))
-    val totals = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
     val bktCounts = bucketed.groupBy(col(key), col("bkt"))
       .agg(count(lit(1)).as("cnt"))
+    // same one-pass totals as the single-q path (see there)
+    val totals = bktCounts.groupBy(col(key)).agg(sum(col("cnt")).as("n"))
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(col("bkt").desc)
       .rowsBetween(Long.MinValue, 0)

@@ -424,12 +424,16 @@ object Dedup {
         xxhash64(bnd, concat_ws(",",
           slice(col("sig"), bnd * RowsPerBand + 1, lit(RowsPerBand)))))))
       .toDF("doc_id", "band", "bh")
-    // skew guard: drop pathologically hot buckets before pair expansion
-    val smallBuckets = banded.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("sz"))
-      .filter(col("sz").between(2, MaxBucketSize))
-      .select(col("band"), col("bh"))
-    val bounded = banded.join(smallBuckets, Seq("band", "bh"), "left_semi")
+    // skew guard: drop pathologically hot buckets before pair expansion.
+    // The bucket size rides a count window over the SAME (band, bh) key
+    // the pair self-join shuffles on — one exchange serves the cap filter
+    // AND both join sides (guide §2.4), where the previous
+    // groupBy + left_semi shape shuffled the banded stream twice more.
+    val bucketW = Window.partitionBy(col("band"), col("bh"))
+    val bounded = banded
+      .withColumn("__sz", count(lit(1)).over(bucketW))
+      .filter(col("__sz").between(2, MaxBucketSize))
+      .drop("__sz")
     // the doc-level restriction applies BEFORE the bucket self-join: a
     // restricted pair (a,b) survives iff both endpoints share a bucket,
     // and dropping non-endpoint docs removes only pairs the final (a,b)
@@ -590,12 +594,13 @@ object Dedup {
       .toDF("doc_id", "simhash", "band", "bh")
     // skew guard: identical to MinHash-LSH — a bucket larger than
     // MaxBucketSize is boilerplate collapse; its docs still meet through
-    // their other C(nb,2)-1 tables.
-    val smallBuckets = banded.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("sz"))
-      .filter(col("sz").between(2, MaxBucketSize))
-      .select(col("band"), col("bh"))
-    val bounded = banded.join(smallBuckets, Seq("band", "bh"), "left_semi")
+    // their other C(nb,2)-1 tables. Count window on the join key instead
+    // of groupBy + left_semi — see minhashCandidates.
+    val bucketW = Window.partitionBy(col("band"), col("bh"))
+    val bounded = banded
+      .withColumn("__sz", count(lit(1)).over(bucketW))
+      .filter(col("__sz").between(2, MaxBucketSize))
+      .drop("__sz")
     // same pre-join doc restriction as [[minhashCandidates]]: cap counts
     // stay corpus-wide, but the O(bucket²) pair expansion only runs over
     // the gated endpoints (H=14 means 120 8-bit pair-key tables — the

@@ -101,7 +101,13 @@ object Graph {
       checkpointDir: Option[String] = None): DataFrame = {
     val tr = new Truncator(edges.sparkSession, checkpointDir)
     val e = tr.pin(edges.select(col("src"), col("dst")).distinct())
-    val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // loop-invariant, referenced in every iteration's SEPARATE roll job:
+    // without the pin each iteration re-aggregates the degree from the
+    // pinned edges (exchange reuse only dedups within one job, never
+    // across the loop's jobs — guide §2.4/§5). (r14 note: additionally
+    // pre-partitioning e by src was tried and measured slower — the rank
+    // table is small enough that the join broadcasts it.)
+    val out = tr.pin(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val nodes = tr.pin(e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct())
     val n = nodes.count()
@@ -210,7 +216,12 @@ object Graph {
     * runs. All joins are equi-joins on node ids; per-node counts emerge
     * from one explode of each triangle's three corners. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    // canonical undirected edge set (a < b), parallel edges collapsed
+    // canonical undirected edge set (a < b), parallel edges collapsed.
+    // (r14 note: pinning und/ori via localCheckpoint was tried and
+    // measured slightly SLOWER at bench scale — the duplicated sibling
+    // subtrees all live inside ONE job, where their identical exchanges
+    // run concurrently across idle cores; the pins serialized them into
+    // dependent jobs for no net work saved.)
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -327,7 +338,8 @@ object Graph {
       checkpointDir: Option[String] = None): DataFrame = {
     val e = new Truncator(edges.sparkSession, checkpointDir)
       .pin(edges.select(col("src"), col("dst")).distinct())
-    // auth¹ = in-degree (hub⁰ = 1)
+    // auth¹ = in-degree (hub⁰ = 1). (r14: both consumers share one job —
+    // exchange reuse already dedups; pinning measured slower.)
     val auth1 = e.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("a1"))
     // hub¹(u) = Σ_{u→v} auth¹(v)

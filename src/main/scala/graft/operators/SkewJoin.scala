@@ -119,7 +119,11 @@ object SkewJoin {
     val dim = li.select(col("k")).distinct()
       .select(col("k"), pmod(col("k"), lit(97L)).as("w"))
     val st = chooseSkewStrategy(li, "k")
-    val joined = innerJoinAuto(li, dim, "k")
+    // the verdict is already in hand — run the winning plan directly
+    // instead of innerJoinAuto re-measuring the same evidence (one fewer
+    // full probe-side aggregate job; identical decision by construction)
+    val joined = (if (st.useSalting) saltedInnerJoin(li, dim, "k", 8)
+      else li.join(dim, Seq("k")))
       .agg(count(lit(1)).as("jn"), sum(col("w")).as("jw")).head()
     val sqlCtx = s
     import sqlCtx.implicits._

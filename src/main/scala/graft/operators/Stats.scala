@@ -937,8 +937,16 @@ object Stats {
   // ---------------------------------------------------------------------
   def medianMad(df: DataFrame, key: String, value: String): DataFrame = {
     val vals = df.select(col(key), col(value).cast("double").as("__x"))
+    // localCheckpoint: |keys| rows, but referenced by EVERY pass of the
+    // MAD quantile (its range probe, bucket counts, and boundary slice
+    // each re-evaluate the deviation join) plus the final stats join —
+    // without the pin the median's own multi-pass subtree re-runs inside
+    // each of them (guide §5: cut lineage when recomputing an
+    // intermediate is more expensive than holding it; the held state
+    // here is keys-bounded, never corpus-bounded)
     val med = Curation.quantileThresholdsContinuous(vals, key, "__x", 0.5)
       .select(col(key), col("n"), col("threshold").as("median"))
+      .localCheckpoint()
     val dev = vals.join(broadcast(med.select(col(key), col("median"))), key)
       .select(col(key), abs(col("__x") - col("median")).as("__adev"))
     val mad = Curation.quantileThresholdsContinuous(dev, key, "__adev", 0.5)

@@ -43,27 +43,28 @@ object TermIndex {
         .cast("int"))
   }
 
-  /** Additive corpus stats of a batch: (n_docs, sum_dl) as exact longs. */
-  private def statsOf(docs: DataFrame): (Long, Long) = {
-    val r = docs.agg(count(lit(1)),
-      sum(size(TextAnalysis.words(col("text"))).cast("long"))).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-  }
-
-  private def fingerprintOf(docs: DataFrame): String = {
+  /** Batch fingerprint ("n|h", the append idempotency key) AND additive
+    * corpus stats (n_docs, sum_dl) from ONE scan+tokenize pass — they
+    * were two separate aggregation jobs over the same docs (guide §1.2:
+    * don't pay a corpus pass per scalar). Formats unchanged. */
+  private def fpAndStats(docs: DataFrame): (String, Long, Long) = {
     val r = docs.agg(count(lit(1)).as("n"),
       sum(xxhash64(col("doc_id"), col("text")).cast("decimal(38,0)"))
-        .as("h")).head()
-    s"${r.getLong(0)}|${if (r.isNullAt(1)) "0"
+        .as("h"),
+      sum(size(TextAnalysis.words(col("text"))).cast("long")).as("sdl"))
+      .head()
+    val n = r.getLong(0)
+    val fp = s"$n|${if (r.isNullAt(1)) "0"
       else r.getDecimal(1).toBigInteger.toString}"
+    (fp, n, if (r.isNullAt(2)) 0L else r.getLong(2))
   }
 
   /** Full rebuild: postings tree + base ledger entry, swapped in
     * atomically. */
   def buildTermIndex(spark: SparkSession, docs: DataFrame,
       indexDir: String): Unit = {
-    val id = graft.pipeline.AppendCommit.contentId(fingerprintOf(docs))
-    val (n, sumDl) = statsOf(docs)
+    val (fp, n, sumDl) = fpAndStats(docs)
+    val id = graft.pipeline.AppendCommit.contentId(fp)
     graft.pipeline.SafeSwap.replace(indexDir) { tmp =>
       postingsOf(docs).repartition(col("tb"))
         .write.partitionBy("tb").parquet(s"$tmp/postings")
@@ -76,8 +77,8 @@ object TermIndex {
     * an applied batch is a ledger-probe no-op. */
   def appendToTermIndex(spark: SparkSession, batch: DataFrame,
       indexDir: String): Unit = {
-    val id = graft.pipeline.AppendCommit.contentId(fingerprintOf(batch))
-    val (n, sumDl) = statsOf(batch)
+    val (fp, n, sumDl) = fpAndStats(batch)
+    val id = graft.pipeline.AppendCommit.contentId(fp)
     graft.pipeline.AppendCommit.appendBatch(spark, indexDir, id,
         s"$n:$sumDl") { tmp =>
       postingsOf(batch).repartition(col("tb"))

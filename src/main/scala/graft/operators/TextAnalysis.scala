@@ -608,6 +608,9 @@ object TextAnalysis {
     * [[knBigramSurprisal]] — separated so specs can pin the probability
     * algebra directly. */
   def knBigramModel(bg: DataFrame, discount: Double): DataFrame = {
+    // (r14: pinning c12 was tried and measured slower — all four
+    // consumers share one job, where the identical aggregate exchange is
+    // already computed once and reused)
     val c12 = bg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c"))
     val ctx = c12.groupBy(col("t1"))
       .agg(sum(col("c")).as("c1"), count(lit(1)).as("n1p"))

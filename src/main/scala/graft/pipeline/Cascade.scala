@@ -1,7 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, count_distinct, lit, when}
 
 /** RTBF (right-to-be-forgotten) CASCADE delete: a row-level key delete
   * on a corpus table must also leave every maintained DERIVED store the
@@ -269,21 +269,29 @@ object Cascade {
     val leaked = graft.operators.Similarity
       .probeIvfIndex(s, ivf, deletedQ, k = 5)
       .filter(delVec).count()
+    // evidence metrics grouped ONE JOB PER FILE (guide §1.2: don't pay a
+    // scan per scalar — a conditional count and a total ride the same
+    // aggregation); values are identical to the per-metric counts
+    def two(df: DataFrame, m1: Column, m2: Column): (Long, Long) = {
+      val r = df.agg(m1, m2).head(); (r.getLong(0), r.getLong(1))
+    }
+    val cnt = count(lit(1))
+    val (cellsDel, cellsDistinct) = two(s.read.parquet(s"$ivf/cells"),
+      count(when(delVec, 1)), count_distinct(col("vec_id")))
+    val (sigDel, sigTotal) = two(s.read.parquet(s"$mh/signatures"),
+      count(when(delDoc, 1)), cnt)
+    val (docsDel, docsTotal) = two(s.read.parquet(docsT),
+      count(when(delDoc, 1)), cnt)
     val rows = Seq(
-      ("ivf", "cell_rows_deleted_ids",
-        n(s.read.parquet(s"$ivf/cells").filter(delVec))),
-      ("ivf", "distinct_vecs",
-        s.read.parquet(s"$ivf/cells").select("vec_id").distinct().count()),
+      ("ivf", "cell_rows_deleted_ids", cellsDel),
+      ("ivf", "distinct_vecs", cellsDistinct),
       ("ivf", "probe_hits_deleted", leaked),
       ("minhash", "band_rows_deleted_ids",
         n(s.read.parquet(s"$mh/bands").filter(delDoc))),
-      ("minhash", "sig_rows_deleted_ids",
-        n(s.read.parquet(s"$mh/signatures").filter(delDoc))),
-      ("minhash", "sig_rows_total",
-        n(s.read.parquet(s"$mh/signatures"))),
-      ("table", "docs_rows_deleted_ids",
-        n(s.read.parquet(docsT).filter(delDoc))),
-      ("table", "docs_rows_total", n(s.read.parquet(docsT))),
+      ("minhash", "sig_rows_deleted_ids", sigDel),
+      ("minhash", "sig_rows_total", sigTotal),
+      ("table", "docs_rows_deleted_ids", docsDel),
+      ("table", "docs_rows_total", docsTotal),
       ("table", "vecs_rows_total", n(s.read.parquet(embT))),
       ("term", "postings_deleted_ids",
         n(s.read.parquet(s"$term/postings").filter(delDoc))),

@@ -233,6 +233,26 @@ class CurationSpec extends SparkSpec {
     assert(g1 == Map("a" -> 7.5, "b" -> 7.5))
   }
 
+  test("quantile totals count NULL scores toward n on both paths " +
+      "(totals now fold the counts table, not a second corpus scan)") {
+    import spark.implicits._
+    // scores 1..8 plus two NULLs → n = 10, need = ceil(10·0.5) = 5 →
+    // threshold = largest v with #(score ≥ v) ≥ 5 → 4.0. A totals
+    // derivation that dropped NULL rows would see n = 8, need = 4 →
+    // threshold 5.0 — this pins the n-includes-NULLs contract.
+    val df = ((1 to 8).map(i => ("x", Some(i.toDouble))) ++
+      Seq(("x", Option.empty[Double]), ("x", Option.empty[Double])))
+      .toDF("key", "score")
+    val cont = Curation.quantileThresholdsContinuous(df, "key", "score", 0.5)
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("n"),
+        r.getAs[Double]("threshold"))).toSeq
+    assert(cont == Seq(("x", 10L, 4.0)), s"continuous: $cont")
+    val disc = Curation.quantileThresholds(df, "key", "score", 0.5)
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("n"),
+        r.getAs[Double]("threshold"))).toSeq
+    assert(disc == Seq(("x", 10L, 4.0)), s"discrete: $disc")
+  }
+
   test("continuous quantile: the value window never sees unrestricted corpus rows") {
     import spark.implicits._
     val df = (0 until 1000)

@@ -656,4 +656,29 @@ class DedupSpec extends SparkSpec {
         Dedup.shingleRows(flat.limit(20)), 3, 5)) ==
       pairs(Dedup.jaccardPairs(Dedup.shingleRows(flat.limit(20)))))
   }
+
+  test("window-counted bucket cap ≡ the groupBy cap: over-cap buckets drop, " +
+      "pairs and singletons behave") {
+    import spark.implicits._
+    // 1100 byte-identical docs: every band bucket they share holds 1100 >
+    // MaxBucketSize, so the cap must exclude ALL of them from candidate
+    // generation (boilerplate collapse). Two identical unique docs share
+    // size-2 buckets and MUST surface; one singleton doc shares nothing.
+    val boiler = (1L to 1100L).map(i =>
+      (i, "common boilerplate words repeated " * 5))
+    val near = Seq(
+      (5001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5002L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val lone = Seq((9999L, "entirely unique words nothing shares these"))
+    val docs = (boiler ++ near ++ lone).toDF("doc_id", "text")
+    val mh = Dedup.minhashCandidates(Dedup.minhashSignatures(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((5001L, 5002L)),
+      s"minhash candidates must be exactly the planted uncapped pair: $mh")
+    val sh = Dedup.simhashPairs(Dedup.simhash64(docs))
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh == Set((5001L, 5002L)),
+      s"simhash pairs must be exactly the planted uncapped pair: $sh")
+  }
 }
