@@ -269,9 +269,9 @@ class GraphSpec extends SparkSpec {
         here ++ Option(f.listFiles).toSeq.flatten.flatMap(rddDirs)
       } else Seq.empty
     val kept = rddDirs(new java.io.File(dir))
-    // pins (edges, nodes) + the final ranks state = 3; one-per-round
-    // leakage would leave 10
-    assert(kept.size <= 3,
+    // pins (edges, outdegree, nodes) + the final ranks state = 4;
+    // one-per-round leakage would leave 11
+    assert(kept.size <= 4,
       s"superseded checkpoints leaked: ${kept.size} rdd dirs ($kept)")
     assert(kept.nonEmpty, "reliable mode must keep the live state")
   }
