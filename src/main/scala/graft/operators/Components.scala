@@ -45,12 +45,15 @@ object Components {
     * under ANSI arithmetic (bit_xor, not sum). Labels/edges only shrink
     * or re-point monotonically, so an unchanged checksum with a changed
     * set needs an xxhash64 xor-coincidence — negligible against
-    * maxIters more rounds of convergence headroom. */
-  private def checksum(d: DataFrame, x: String, y: String): (Long, Long) = {
-    val r = d.agg(count(lit(1)),
-      coalesce(bit_xor(xxhash64(col(x), col(y))), lit(0L))).head()
+    * maxIters more rounds of convergence headroom. Computed as observed
+    * sidecar aggregates riding each round's checkpoint job
+    * ([[Graph.rollObserved]] — 1 job/round instead of 2). */
+  private def checksumExprs(x: String, y: String) = Seq(
+    count(lit(1)).as("n"),
+    coalesce(bit_xor(xxhash64(col(x), col(y))), lit(0L)).as("h"))
+
+  private def sigOf(r: org.apache.spark.sql.Row): (Long, Long) =
     (r.getLong(0), r.getLong(1))
-  }
 
   /** (id, component) for every node appearing in `edges` (cols `a`, `b`);
     * component = min node id reachable. Nodes not in any edge are absent —
@@ -75,19 +78,24 @@ object Components {
     val adj = tr.pin(
       e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
         .distinct())
-    var labels = tr.roll("labels", adj.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")))
+    val (labels0, sig0) = Graph.rollObserved(tr, "labels",
+      adj.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")),
+      checksumExprs("id", "comp"))
+    var labels = labels0
     var iters = 0
     var converged = false
-    var sig = checksum(labels, "id", "comp")
+    var sig = sigOf(sig0)
     while (!converged && iters < maxIters) {
       // each node offers its label to every neighbor; keep the min of
       // (own label, best offer)
       val offers = adj.join(labels.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("comp"))
-      val next = tr.roll("labels", labels.unionByName(offers)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp")))
-      val nextSig = checksum(next, "id", "comp")
+      val (next, row) = Graph.rollObserved(tr, "labels",
+        labels.unionByName(offers)
+          .groupBy(col("id")).agg(min(col("comp")).as("comp")),
+        checksumExprs("id", "comp"))
+      val nextSig = sigOf(row)
       labels = next
       converged = nextSig == sig
       sig = nextSig

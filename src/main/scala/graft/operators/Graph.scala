@@ -91,6 +91,27 @@ object Graph {
     }
   }
 
+  /** Sidecar aggregates riding a [[Truncator]] roll (guide §1.2 — the
+    * per-round stats/convergence job disappears into the checkpoint
+    * job): observe `metrics` on `df`'s plan, roll it, and read the
+    * metrics back from the SAME QueryExecution's CollectMetricsExec
+    * accumulator. Both roll modes (`localCheckpoint` and reliable
+    * `checkpoint`) are `withAction`-wrapped in Spark, so the plan has
+    * executed — and the accumulator is final — when roll returns; the
+    * read is synchronous plan-state, no listener race. The direct
+    * re-aggregate fallback is defensive only (a roll mode that stopped
+    * executing the observed plan), proven unused by `GraphSpec`. */
+  private[operators] def rollObserved(tr: Truncator, slot: String,
+      df: DataFrame, metrics: Seq[org.apache.spark.sql.Column])
+      : (DataFrame, org.apache.spark.sql.Row) = {
+    val name = "roll_sidecar"
+    val observed = df.observe(name, metrics.head, metrics.tail: _*)
+    val out = tr.roll(slot, observed)
+    val row = observed.queryExecution.observedMetrics.get(name)
+      .getOrElse(out.agg(metrics.head, metrics.tail: _*).head())
+    (out, row)
+  }
+
   /** Ranks after `iters` iterations at damping `d`, over the directed
     * edge set (cols `src`, `dst`; parallel edges collapse). Nodes =
     * endpoint union; dangling nodes keep the teleport term only (mass
@@ -239,24 +260,28 @@ object Graph {
           .otherwise(struct(col("b").as("lo"), col("a").as("hi")))
           .as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
-    val wedges = ori.as("e1")
-      .join(ori.as("e2"), col("e1.lo") === col("e2.lo")
-        && col("e1.hi") < col("e2.hi"))
-      .select(col("e1.lo").as("apex"),
-        col("e1.hi").as("x"), col("e2.hi").as("y"))
-    // the closing edge may be oriented either way between x and y — an
-    // OR-of-equalities join is NOT equi-extractable (it plans a nested
-    // loop over the wedge set); normalize both sides to the canonical
-    // id-ordered pair and join on TWO equi keys instead
-    val closing = ori.select(
-      least(col("lo"), col("hi")).as("p"),
-      greatest(col("lo"), col("hi")).as("q"))
-    val tri = wedges
-      .join(closing,
-        closing("p") === least(col("x"), col("y"))
-          && closing("q") === greatest(col("x"), col("y")))
-      .select(col("apex"), col("x"), col("y"))
-    tri.select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
+    // adjacency-array intersection (guide §2.3/§3 — r14 opt): attach
+    // N+(lo) and N+(hi) to every oriented edge and intersect locally.
+    // A triangle with oriented edges u→v, u→w, v→w surfaces exactly
+    // once, at edge (u,v) with w ∈ N+(u) ∩ N+(v) (at (u,w) it would
+    // need w→v, at (v,w) it would need v→u — both excluded by the
+    // orientation), so the count per node is identical to the former
+    // wedge⋈closing-edge formulation. What changes is the heavy
+    // volume: the O(wedge)-row stream used to be materialized AND
+    // shuffled+sorted into a SortMergeJoin against the edge set;
+    // now the only wedge-sized traffic is the nu arrays riding the
+    // by-hi exchange — one array per edge instead of one row per
+    // wedge, and no join over the wedge stream at all.
+    val adj = ori.groupBy(col("lo")).agg(collect_list(col("hi")).as("ns"))
+    val tri = ori
+      .join(adj.select(col("lo"), col("ns").as("nu")), Seq("lo"))
+      .join(adj.select(col("lo").as("hi"), col("ns").as("nv")), Seq("hi"))
+      .select(col("lo"), col("hi"),
+        array_intersect(col("nu"), col("nv")).as("ws"))
+      .where(size(col("ws")) > 0)
+    tri.select(explode(concat(col("ws"),
+        array_repeat(col("lo"), size(col("ws"))),
+        array_repeat(col("hi"), size(col("ws"))))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
@@ -813,9 +838,13 @@ object Graph {
       val keep = deg.filter(col("d") >= k).select(col("n"))
       e = tr.roll("e", e.join(keep, e("a") === keep("n"), "left_semi")
         .join(keep, e("b") === keep("n"), "left_semi"))
-      deg = tr.roll("deg", degreeOf(e))
-      val stats = deg.agg(count(lit(1)).as("nn"),
-        coalesce(sum(col("d")), lit(0L)).as("sd")).head()
+      // the round's stats ride the deg checkpoint as observed sidecar
+      // aggregates (2 jobs/round instead of 3 — the separate stats
+      // head over the checkpointed node table is gone)
+      val (degC, stats) = rollObserved(tr, "deg", degreeOf(e),
+        Seq(count(lit(1)).as("nn"),
+          coalesce(sum(col("d")), lit(0L)).as("sd")))
+      deg = degC
       (r, stats.getLong(0), stats.getLong(1) / 2)
     }
     val sp = edges.sparkSession
