@@ -55,6 +55,14 @@ object Components {
   private def sigOf(r: org.apache.spark.sql.Row): (Long, Long) =
     (r.getLong(0), r.getLong(1))
 
+  /** Standalone (count, xor-hash) probe for loops that manage their own
+    * checkpoints (the LSS variant below): one aggregate action over the
+    * already-checkpointed edge set. */
+  private def checksum(d: DataFrame, x: String, y: String): (Long, Long) = {
+    val es = checksumExprs(x, y)
+    sigOf(d.agg(es.head, es.tail: _*).head())
+  }
+
   /** (id, component) for every node appearing in `edges` (cols `a`, `b`);
     * component = min node id reachable. Nodes not in any edge are absent —
     * a singleton is its own component by definition, so callers union

@@ -100,7 +100,16 @@ object Graph {
     * executed — and the accumulator is final — when roll returns; the
     * read is synchronous plan-state, no listener race. The direct
     * re-aggregate fallback is defensive only (a roll mode that stopped
-    * executing the observed plan), proven unused by `GraphSpec`. */
+    * executing the observed plan), proven unused by `GraphSpec`.
+    *
+    * SPARK-VERSION PIN: single execution of the observed plan under
+    * eager reliable `checkpoint` is a Spark 4.x behavior (eager mode
+    * calls `internalRdd.doCheckpoint()` directly — one job). Spark 3.x
+    * eager reliable checkpoint ran a count job PLUS a
+    * recompute-and-write job, which would double the count metric and
+    * xor-cancel the bit_xor hash to 0 — falsely converging any checksum
+    * loop after one round in reliable mode. When bumping Spark, keep
+    * the GraphSpec reliable-vs-local bit-identity test as the guard. */
   private[operators] def rollObserved(tr: Truncator, slot: String,
       df: DataFrame, metrics: Seq[org.apache.spark.sql.Column])
       : (DataFrame, org.apache.spark.sql.Row) = {
