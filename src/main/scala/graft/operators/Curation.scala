@@ -819,13 +819,23 @@ object Curation {
     * monotone downward in v, rows above the boundary bucket can never
     * meet the quota, and the boundary bucket's minimum always does —
     * so the answer lives in the boundary bucket. */
+  /** `rangeHint`: caller-supplied [lo, hi] bounds COVERING every non-null
+    * value (they need not be tight — correctness only needs monotone
+    * bucketing over a covering range; a loose bound merely coarsens the
+    * boundary-bucket slice by the slack factor). When the caller already
+    * knows bounds (|x − median| ∈ [0, max − min], the [[Stats.medianMad]]
+    * case) this skips the min/max probe — one full evaluation of an
+    * expensive upstream gone (guide §1.2: don't recompute what a prior
+    * pass already knows). */
   def quantileThresholdsContinuous(df: DataFrame, key: String,
-      value: String, q: Double, numBuckets: Int = 4096): DataFrame = {
-    val range = df.agg(min(col(value)).cast("double"),
-      max(col(value)).cast("double")).head()
-    val (lo, hi) =
+      value: String, q: Double, numBuckets: Int = 4096,
+      rangeHint: Option[(Double, Double)] = None): DataFrame = {
+    val (lo, hi) = rangeHint.getOrElse {
+      val range = df.agg(min(col(value)).cast("double"),
+        max(col(value)).cast("double")).head()
       if (range.isNullAt(0)) (0.0, 0.0)
       else (range.getDouble(0), range.getDouble(1))
+    }
     val width = math.max((hi - lo) / numBuckets, java.lang.Double.MIN_VALUE)
     // NULL scores land in a synthetic bucket BELOW all real ones (bkt -1),
     // mirroring the discrete path's NULLS-LAST descending order: they
@@ -959,12 +969,19 @@ object Curation {
   def winsorizeContinuous(df: DataFrame, key: String, value: String,
       tail: Double, numBuckets: Int = 4096): DataFrame = {
     require(tail > 0 && tail < 0.5, s"tail $tail must be in (0, 0.5)")
-    val hi = quantileThresholdsContinuous(df, key, value, tail, numBuckets)
-      .select(col(key), col("threshold").as("hi"))
-    val lo = quantileThresholdsContinuous(df, key, value, 1.0 - tail,
-        numBuckets)
-      .select(col(key), col("threshold").as("lo"))
-    df.join(broadcast(hi), key).join(broadcast(lo), key)
+    // both tails from ONE multi-quantile pass (the q168/q174 shape) —
+    // the single-q path ran the range probe, bucket counts, and boundary
+    // slice TWICE over the same input (guide §1.2: two aggregation
+    // pipelines for two scalars of the same distribution); the multi
+    // variant is spec-proved equal per q, so the thresholds are
+    // bit-identical
+    val th = quantileThresholdsContinuousMulti(
+        df.select(col(key), col(value)), key, value,
+        Seq(tail, 1.0 - tail), numBuckets)
+      .groupBy(col(key))
+      .agg(max(when(col("q") === tail, col("threshold"))).as("hi"),
+        max(when(col("q") === 1.0 - tail, col("threshold"))).as("lo"))
+    df.join(broadcast(th), key)
       .withColumn("clipped",
         greatest(col("lo"), least(col("hi"), col(value))))
   }

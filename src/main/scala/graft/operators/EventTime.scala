@@ -451,11 +451,19 @@ object EventTime {
   // ---------------------------------------------------------------------
   def q168ConversionLatency(s: SparkSession, dir: String): DataFrame = {
     val (purchases, clicks) = purchasesAndClicks(s, dir)
+    // localCheckpoint: the quantile machinery evaluates its input three
+    // times in SEPARATE jobs (range probe, bucket counts, boundary
+    // slice), and here that input is a full as-of join — a shuffle+sort
+    // of the event stream per evaluation (r14 lesson: pins pay exactly
+    // when the duplication crosses job boundaries). The pinned state is
+    // two narrow columns, one row per purchase — the §8 "lightweight
+    // proxy" shape, never the event payload.
     val lat = AsOf.asofJoin(purchases, clicks, Seq("user_id"),
         "ts_us", "ts_us")
       .filter(col("asof").isNotNull)
       .select((col("user_id") % 5).as("cohort"),
         (col("ts_us") - col("asof.ts_us")).cast("double").as("lat"))
+      .localCheckpoint()
     // both boundaries from ONE corpus pass (the multi-q variant), then
     // a conditional-agg pivot — no second scan, no self-join
     Curation.quantileThresholdsContinuousMulti(lat, "cohort", "lat",

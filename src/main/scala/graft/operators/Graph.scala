@@ -441,7 +441,6 @@ object Graph {
     * PageRank/Components discipline). */
   def labelPropagation(edges: DataFrame, rounds: Int,
       checkpointDir: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -457,10 +456,17 @@ object Graph {
         .join(labels.select(col("node").as("b"), col("label")), "b")
         .groupBy(col("a").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val pick = Window.partitionBy(col("node"))
-        .orderBy(col("c").desc, col("label").asc)
-      val next = counts.withColumn("__rn", row_number().over(pick))
-        .filter(col("__rn") === 1).select(col("node"), col("label"))
+      // argmax as an AGGREGATE, not a window: min over (−c, label)
+      // structs picks max count with ties to the smallest label —
+      // identical to the former row_number()-over-(c desc, label asc)
+      // pick — but it partial-aggregates map-side and replaces the
+      // per-node sort + filter with a hash agg (guide §2.3: aggregate
+      // before you shuffle; the window paid an extra sort of the
+      // (node, label) count table every round)
+      val next = counts
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("negc"), col("label"))).as("__m"))
+        .select(col("node"), col("__m.label").as("label"))
       labels = tr.roll("labels", nodes.join(next, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("label"), col("node")).as("label")))

@@ -937,19 +937,31 @@ object Stats {
   // ---------------------------------------------------------------------
   def medianMad(df: DataFrame, key: String, value: String): DataFrame = {
     val vals = df.select(col(key), col(value).cast("double").as("__x"))
+    // ONE range probe serves both quantile passes (guide §1.2): the
+    // median pass gets the exact [lo, hi]; the MAD pass's deviations are
+    // bounded by [0, hi − lo] in closed form (median is an actual data
+    // value in [lo, hi], so |x − median| ≤ hi − lo) — a covering hint is
+    // all the bucket decomposition needs, and it removes the pass that
+    // re-evaluated the deviation join just to learn its min/max
+    val range = vals.agg(min(col("__x")), max(col("__x"))).head()
+    val (lo, hi) =
+      if (range.isNullAt(0)) (0.0, 0.0)
+      else (range.getDouble(0), range.getDouble(1))
     // localCheckpoint: |keys| rows, but referenced by EVERY pass of the
-    // MAD quantile (its range probe, bucket counts, and boundary slice
-    // each re-evaluate the deviation join) plus the final stats join —
+    // MAD quantile (its bucket counts and boundary slice each
+    // re-evaluate the deviation join) plus the final stats join —
     // without the pin the median's own multi-pass subtree re-runs inside
     // each of them (guide §5: cut lineage when recomputing an
     // intermediate is more expensive than holding it; the held state
     // here is keys-bounded, never corpus-bounded)
-    val med = Curation.quantileThresholdsContinuous(vals, key, "__x", 0.5)
+    val med = Curation.quantileThresholdsContinuous(vals, key, "__x", 0.5,
+        rangeHint = Some((lo, hi)))
       .select(col(key), col("n"), col("threshold").as("median"))
       .localCheckpoint()
     val dev = vals.join(broadcast(med.select(col(key), col("median"))), key)
       .select(col(key), abs(col("__x") - col("median")).as("__adev"))
-    val mad = Curation.quantileThresholdsContinuous(dev, key, "__adev", 0.5)
+    val mad = Curation.quantileThresholdsContinuous(dev, key, "__adev", 0.5,
+        rangeHint = Some((0.0, math.max(hi - lo, 0.0))))
       .select(col(key), col("threshold").as("mad"))
     med.join(mad, key)
       .select(col(key), col("n"), col("median"), col("mad"))

@@ -253,6 +253,27 @@ class CurationSpec extends SparkSpec {
     assert(disc == Seq(("x", 10L, 4.0)), s"discrete: $disc")
   }
 
+  test("continuous quantile: a LOOSE covering rangeHint yields the " +
+      "identical threshold (the medianMad bound-reuse contract)") {
+    import spark.implicits._
+    val rows = (0 until 5000).map { i =>
+      (s"k${i % 3}", ((i * 2654435761L) % 99991).toDouble / 13.0 - 100.0)
+    }
+    val df = rows.toDF("key", "score")
+    def canon(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getAs[String]("key"), x.getAs[Long]("n"),
+        x.getAs[Double]("threshold"))).toSet
+    for (q <- Seq(0.5, 0.1)) {
+      val exact = canon(
+        Curation.quantileThresholdsContinuous(df, "key", "score", q))
+      // a hint 3× wider than the data on both sides: correctness must
+      // not depend on tightness, only on coverage
+      val loose = canon(Curation.quantileThresholdsContinuous(
+        df, "key", "score", q, rangeHint = Some((-8000.0, 8000.0))))
+      assert(exact === loose, s"q=$q")
+    }
+  }
+
   test("continuous quantile: the value window never sees unrestricted corpus rows") {
     import spark.implicits._
     val df = (0 until 1000)
@@ -373,7 +394,10 @@ class CurationSpec extends SparkSpec {
     // the q68b plan guard, extended to the winsorize shape: on a
     // unique-per-row double score, every score-ordered window must
     // consume the boundary-bucket slice (above a join), never raw
-    // corpus rows — for BOTH tails
+    // corpus rows. Both tails now ride ONE multi-quantile pass (r15),
+    // so the plan carries a single score window partitioned by
+    // (key, q) — the per-q fan-out happens on the small cum table,
+    // never as a second corpus pipeline.
     val uniq = (0 until 1000)
       .map(i => (s"k${i % 3}", i.toDouble / 7.0)).toDF("key", "score")
     val plan = Curation.winsorizeContinuous(uniq, "key", "score", 0.05)
@@ -382,10 +406,13 @@ class CurationSpec extends SparkSpec {
     val valueWindows = plan.collect { case w: LWindow => w }
       .filter(_.orderSpec.exists(
         _.child.references.exists(_.name == "score")))
-    assert(valueWindows.size >= 2, "expected a score window per tail")
+    assert(valueWindows.size == 1,
+      "expected ONE shared score window for both tails (multi-quantile)")
     valueWindows.foreach { w =>
       assert(w.child.collectFirst { case j: Join => j }.isDefined,
         "score-ordered window must sit above the boundary-bucket join")
+      assert(w.partitionSpec.exists(_.references.exists(_.name == "q")),
+        "the shared window must partition by the quantile column")
     }
   }
 

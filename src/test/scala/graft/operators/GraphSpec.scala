@@ -114,6 +114,19 @@ class GraphSpec extends SparkSpec {
     assert(m == Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 3, 8 -> 3, 9 -> 3), m)
   }
 
+  test("labelPropagation: equal-count ties pick the SMALLEST label " +
+      "(argmax-as-aggregate ≡ the former window pick)") {
+    // node 5's neighbors {1, 9} carry one vote each after init —
+    // a tie the r15 min(struct(-c, label)) aggregate must break to 1,
+    // exactly as row_number over (c desc, label asc) did
+    val e = Seq((5, 1), (5, 9)).toDF("src", "dst")
+    val m = Graph.labelPropagation(e, 1).as[(Int, Int)].collect().toMap
+    assert(m(5) == 1, s"tie must break to the smallest label: $m")
+    // (a genuine majority overriding a smaller minority label needs a
+    // second round — the two-clique test above pins that case)
+    assert(m(1) == 5 && m(9) == 5)
+  }
+
   test("labelPropagation: synchronous update — round 1 uses ONLY init labels") {
     // path 1-2-3: after one round every node adopts its smallest
     // neighbor's INIT label (2->1, 1->2, 3->2); an async sweep would
