@@ -70,12 +70,23 @@ object Dedup {
     * shingle. */
   private def sharedShingleCounts(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val ex = sh.join(sizes, "doc_id")
-    val a = ex.select(col("doc_id").as("a"), col("n").as("na"), col("s"))
-    val b = ex.select(col("doc_id").as("b"), col("n").as("nb"), col("s"))
-    a.join(b, Seq("s")).filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+    // sizes attach at PAIR level, not posting level (guide §2.3: shuffle
+    // keys, not payloads): the old shape joined sizes onto every posting
+    // row BEFORE the shingle self-join — widening each collision row by
+    // two longs through the hottest exchange, and at cluster scale (a
+    // sizes table too big to broadcast) paying a full extra shuffle of
+    // the posting stream by doc_id. The pair table after the partial-
+    // aggregated intersection count is the small side to decorate.
+    val a = sh.select(col("doc_id").as("a"), col("s"))
+    val b = sh.select(col("doc_id").as("b"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")),
+        Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")),
+        Seq("b"))
+      .select(col("a"), col("b"), col("na"), col("nb"), col("inter"))
   }
 
   /** Exact Jaccard pairs from a precomputed shingle stream (shared with
