@@ -91,12 +91,15 @@ object Classify {
     * well-defined even on degenerate fixtures). */
   def naiveBayesPredict(train: DataFrame, predict: DataFrame,
       labelCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("lbl").asc)
+    // argmax as an AGGREGATE (r15, the labelPropagation trick): min over
+    // (−score, lbl) structs ≡ the former row_number pick over
+    // (score desc, lbl asc) — IEEE negation is exact, so the winner is
+    // bit-identical — but it partial-aggregates map-side and drops the
+    // per-doc sort (guide §2.3)
     naiveBayesScores(train, predict, labelCol, idCol)
-      .withColumn("__r", row_number().over(w))
-      .where(col("__r") === 1)
-      .select(col("doc_id"), col("lbl").as("pred"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("negs"), col("lbl"))).as("__m"))
+      .select(col("doc_id"), col("__m.lbl").as("pred"))
   }
 
   /** Mutual information between document-level token presence and the

@@ -2447,14 +2447,14 @@ object Curation {
     * visible, not invented). */
   def imputeMode(df: DataFrame, group: String, target: String)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df.filter(col(target).isNotNull)
       .groupBy(col(group), col(target)).agg(count(lit(1)).as("c"))
-    val pick = Window.partitionBy(col(group))
-      .orderBy(col("c").desc, col(target).asc)
-    val modes = counts.withColumn("__rn", row_number().over(pick))
-      .filter(col("__rn") === 1)
-      .select(col(group), col(target).as("__mode"))
+    // argmax as an aggregate — the [[Labels.majorityVote]] r15 shape
+    val modes = counts
+      .groupBy(col(group))
+      .agg(min(struct((-col("c")).as("negc"),
+        col(target).as("v"))).as("__m"))
+      .select(col(group), col("__m.v").as("__mode"))
     df.join(broadcast(modes), Seq(group), "left")
       .withColumn("imputed", col(target).isNull && col("__mode").isNotNull)
       .withColumn(target, coalesce(col(target), col("__mode")))
@@ -2503,16 +2503,18 @@ object Curation {
     * column derivable. Two vocabulary-bounded aggregations + the
     * majority-vote argmax window (per-X state = its distinct Y set). */
   def fdCheck(df: DataFrame, x: String, y: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cells = df.groupBy(col(x), col(y)).agg(count(lit(1)).as("c"))
-    val pick = Window.partitionBy(col(x))
-      .orderBy(col("c").desc, col(y).asc)
-    cells.withColumn("__rn", row_number().over(pick))
-      .withColumn("__ny", count(lit(1)).over(Window.partitionBy(col(x))))
-      .withColumn("__n", sum(col("c")).over(Window.partitionBy(col(x))))
-      .filter(col("__rn") === 1)
+    // argmax + both marginals as ONE aggregate over the cells table
+    // (r15, the [[Labels.majorityVote]] shape) — replaces one exchange +
+    // sort + THREE window passes with a single partial-aggregated
+    // groupBy
+    cells
+      .groupBy(col(x))
+      .agg(min(struct((-col("c")).as("negc"), col(y).as("v"))).as("__m"),
+        count(lit(1)).as("__ny"), sum(col("c")).as("__n"))
       .select(col(x), col("__ny").as("n_distinct_y"),
-        col(y).as("majority_y"), col("c").as("majority_support"),
+        col("__m.v").as("majority_y"),
+        (-col("__m.negc")).as("majority_support"),
         col("__n").as("n_rows"),
         (col("__ny") > 1).as("violated"))
   }
@@ -2564,16 +2566,16 @@ object Curation {
     * ([[Components]] / [[graft.operators.Dedup]]). */
   def goldenRecord(df: DataFrame, cluster: String, fields: Seq[String])
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val golden = fields.map { f =>
       val cells = df.filter(col(f).isNotNull)
         .groupBy(col(cluster), col(f).cast("string").as("__v"))
         .agg(count(lit(1)).as("c"))
-      val pick = Window.partitionBy(col(cluster))
-        .orderBy(col("c").desc, col("__v").asc)
-      cells.withColumn("__rn", row_number().over(pick))
-        .filter(col("__rn") === 1)
-        .select(col(cluster), col("__v").as(s"golden_$f"))
+      // argmax as an aggregate — the [[Labels.majorityVote]] r15 shape
+      cells
+        .groupBy(col(cluster))
+        .agg(min(struct((-col("c")).as("negc"), col("__v").as("v")))
+          .as("__m"))
+        .select(col(cluster), col("__m.v").as(s"golden_$f"))
     }.reduce((a, b) => a.join(b, Seq(cluster), "full_outer"))
     val sizes = df.groupBy(col(cluster)).agg(count(lit(1)).as("n_members"))
     sizes.join(golden, Seq(cluster), "left")

@@ -130,6 +130,12 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int, d: Double,
       checkpointDir: Option[String] = None): DataFrame = {
     val tr = new Truncator(edges.sparkSession, checkpointDir)
+    // (r15 note: pre-partitioning e by dst — the per-iteration groupBy
+    // key — was tried and measured a wash: localCheckpoint returns a
+    // bare Scan ExistingRDD with NO outputPartitioning, so the loop's
+    // exchange survives anyway and the repartition only added a setup
+    // shuffle. Pinning partitioning through a checkpoint would need the
+    // reliable-checkpoint path or a bucketed write.)
     val e = tr.pin(edges.select(col("src"), col("dst")).distinct())
     // loop-invariant, referenced in every iteration's SEPARATE roll job:
     // without the pin each iteration re-aggregates the degree from the

@@ -19,17 +19,19 @@ object Labels {
 
   /** One row per item: (item, label, votes, total_votes, vote_share). */
   def majorityVote(df: DataFrame, item: String, label: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(item), col(label))
       .agg(count(lit(1)).as("votes"))
-    val byItem = Window.partitionBy(col(item))
-    val pick = Window.partitionBy(col(item))
-      .orderBy(col("votes").desc, col(label).asc)
+    // argmax + total as ONE aggregate over the counts table (r15): min
+    // over (−votes, label) structs ≡ the former row_number pick over
+    // (votes desc, label asc); the vote total rides the same groupBy —
+    // no per-item sort, partial aggregation map-side (guide §2.3)
     counts
-      .withColumn("total_votes", sum(col("votes")).over(byItem))
-      .withColumn("rn", row_number().over(pick))
-      .filter(col("rn") === 1)
-      .select(col(item), col(label), col("votes"), col("total_votes"))
+      .groupBy(col(item))
+      .agg(min(struct((-col("votes")).as("negv"), col(label).as("lbl")))
+          .as("__m"),
+        sum(col("votes")).as("total_votes"))
+      .select(col(item), col("__m.lbl").as(label),
+        (-col("__m.negv")).as("votes"), col("total_votes"))
   }
 
   // ---------------------------------------------------------------------
