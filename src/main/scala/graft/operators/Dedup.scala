@@ -89,6 +89,36 @@ object Dedup {
       .select(col("a"), col("b"), col("na"), col("nb"), col("inter"))
   }
 
+  /** CROSS-SIDE exact Jaccard pairs: only pairs whose a-side row fails
+    * `rightSide` and whose b-side row satisfies it ever meet — the
+    * incremental-dedup shape (known corpus × incoming batch), mirroring
+    * the oracle's own `x.side = 0 AND y.side = 1` restriction. Pushing
+    * the side split BELOW the shingle self-join keeps the collision
+    * stream to cross collisions only, instead of expanding every
+    * within-corpus pair and discarding it afterwards (guide §1.2: don't
+    * compute what you throw away). Sizes still come from the full
+    * stream, so scores are identical to post-filtering [[jaccardPairs]].
+    * Requires the two sides to be DISJOINT id ranges with every right id
+    * above every left id (the planted-batch convention) so the a < b
+    * canonical order is the cross order. */
+  def crossJaccardPairs(sh: DataFrame, rightSide: Column): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.filter(!rightSide).select(col("doc_id").as("a"), col("s"))
+    val b = sh.filter(rightSide).select(col("doc_id").as("b"), col("s"))
+    val inter = a.join(b, Seq("s"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")),
+        Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")),
+        Seq("b"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.6)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+        col("jac"))
+  }
+
   /** Exact Jaccard pairs from a precomputed shingle stream (shared with
     * q34b so the shingle pass runs once). */
   def jaccardPairs(sh: DataFrame): DataFrame =
@@ -1170,8 +1200,12 @@ object Dedup {
     }
     val incoming = d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"))
-    val exact = jaccardPairs(shingleRows(d.unionByName(incoming)))
-      .filter(col("b") >= PlantOffset && col("a") < PlantOffset)
+    // cross-side pair generation (r15): only corpus × incoming pairs are
+    // the gate's subject, so the within-corpus pair expansion — the bulk
+    // of the collision stream — never runs (the oracle's own side
+    // restriction, applied below the self-join instead of after it)
+    val exact = crossJaccardPairs(shingleRows(d.unionByName(incoming)),
+        col("doc_id") >= PlantOffset)
       .select(col("a"), col("b")).cache()
     exact.count()
     exact.join(incrementalNearDups(s, idx, incoming),
