@@ -144,9 +144,13 @@ object Graph {
     // pre-partitioning e by src was tried and measured slower — the rank
     // table is small enough that the join broadcasts it.)
     val out = tr.pin(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
-    val nodes = tr.pin(e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct())
-    val n = nodes.count()
+    // node count rides the pin as an observed sidecar (rollObserved —
+    // the k-core/components discipline): one job instead of pin + count
+    val (nodes, nRow) = rollObserved(tr, "nodes",
+      e.select(col("src").as("node")).union(e.select(col("dst")))
+        .distinct(),
+      Seq(count(lit(1)).as("n")))
+    val n = nRow.getLong(0)
     // all float arithmetic stays engine-side in one expression shape per
     // term, mirrored verbatim by the SQL oracle
     val teleport = (lit(1.0) - lit(d)) / lit(n.toDouble)
@@ -240,6 +244,14 @@ object Graph {
       |    ROW_NUMBER() OVER (ORDER BY rank DESC, node ASC) AS rnk
       |  FROM r3)
       |WHERE rnk <= 20""".stripMargin
+
+  // (r15 note: replacing the co-purchase lineitem self-join with
+  // per-order collect_set + map-side pair explosion was tried and
+  // measured SLOWER across the family (q140 4.56 -> 6.40 s, q183
+  // 4.90 -> 5.40, q221 2.60 -> 3.23; only q240 improved) — the
+  // self-join's two sides share ONE reused exchange and the sort-merge
+  // beats the ObjectHashAggregate + array slice/explode per order.
+  // Keep the join form.)
 
   /** Triangle counting with degree-ordered orientation (the MapReduce
     * classic, Suri & Vassilvitskii WWW'11): orient every undirected edge
